@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Synthetic-table loading helpers (see /root/repo/TESTDATA.md).
+  *
+  * All operator queries run over the driver-generated parquet tables at
+  * `sfDir`. Parquet scans are the canonical source: self-describing schema,
+  * column pruning and predicate pushdown reach the file footer
+  * (reference parquet scan: spark_jobs/playback_pipeline_curated.py:190).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame   = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame     = table(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame   = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame     = table(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame     = table(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame     = table(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}
