@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreOps.queries
+    ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.CoreOps.oracles
+    ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles
 }

@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Relational parity operators — SURVEY §2.3/§2.4/§2.5/§2.7/§2.8 plus the
+  * window-ranking extension (§2.6, README.md:28 wish list).
+  *
+  * Scale notes are per-query Scaladoc; the common theme: joins against
+  * dimension tables are broadcast (no shuffle of the fact side), fact-fact
+  * joins share one shuffle key, and aggregations are partial+final hash aggs.
+  */
+object RelationalOps {
+
+  /** Exact revenue sum: both factors go to decimal BEFORE the multiply so
+    * every per-row product is exact (a double product cast to decimal would
+    * round differently in Spark vs DuckDB); rounded double at the boundary
+    * so engines hash identically regardless of fp summation order. */
+  private def revenueSum(price: org.apache.spark.sql.Column,
+      discount: org.apache.spark.sql.Column) =
+    round(sum(price.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))), 2)
+      .cast("double")
+
+  private val revenueSumSql =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+
+  // --- J1: left outer equi-join, composite 2-column condition -------------
+  // Mirror of tracks⋈bagged_artists on (played_at, track_id)
+  // (reference: spark_jobs/playback_pipeline.py:278-287). Both conditions are
+  // equalities, so Catalyst still plans a hash join on the composite key —
+  // no nested-loop regression at scale.
+  def joinComposite(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val o  = orders(spark, d)
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") &&
+          year(li("l_shipdate")) === year(o("o_orderdate")), "left")
+      .select(li("l_orderkey"), li("l_linenumber"), li("l_partkey"),
+        li("l_shipdate"), o("o_orderdate"), o("o_orderstatus"))
+  }
+
+  val joinCompositeSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_shipdate,
+      |       o.o_orderdate, o.o_orderstatus
+      |FROM lineitem l
+      |LEFT JOIN orders o
+      |  ON l.l_orderkey = o.o_orderkey
+      | AND year(l.l_shipdate) = year(o.o_orderdate)""".stripMargin
+
+  // --- J2: left anti join (incremental delta load) ------------------------
+  // Mirror of delta_load_tracks (reference:
+  // spark_jobs/playback_pipeline_curated.py:89-123): keep only rows whose
+  // key is NOT already in the "warehouse". The anti-join replaces the
+  // reference's collect()-to-driver IN-list — no driver round-trip, shuffles
+  // on the join key only (SURVEY §4.3#4).
+  def deltaAnti(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val existing = orders(spark, d)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    li.join(existing, Seq("l_orderkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  val deltaAntiSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey
+      |                    AND o.o_orderstatus = 'F')""".stripMargin
+
+  // --- left semi join (EXISTS) --------------------------------------------
+  def semiJoin(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d)
+    val open = orders(spark, d).where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(open, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'O')""".stripMargin
+
+  // --- inner join with explicit broadcast of the dimension side -----------
+  // part is a dimension: broadcast it so the lineitem fact side never
+  // shuffles — the 100 TB-safe plan (BroadcastHashJoin, fact streamed).
+  def joinBroadcastAgg(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val p  = part(spark, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val joinBroadcastAggSql: String =
+    s"""SELECT p.p_brand,
+      |       $revenueSumSql AS revenue,
+      |       sum(l.l_quantity) AS sum_qty,
+      |       count(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  // --- star join: fact → dims, revenue per region (TPC-H Q5 shape) --------
+  // nation/region are broadcast (tiny); customer⋈orders⋈lineitem chain
+  // shares keys so AQE/Catalyst plans at most two fact shuffles at scale.
+  def starJoin(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val o  = orders(spark, d)
+    val c  = customer(spark, d)
+    val n  = nation(spark, d)
+    val r  = region(spark, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  val starJoinSql: String =
+    s"""SELECT r.r_name,
+      |       $revenueSumSql AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY r.r_name""".stripMargin
+
+  // --- A2: dropDuplicates over all columns --------------------------------
+  // (reference: drop_duplicates() ×6, spark_jobs/playback_pipeline.py:107
+  // etc.) = group-by-all-columns hash agg; partial agg makes it shuffle-light
+  // when duplicates are common.
+  def dropDupAll(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+
+  val dropDupAllSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  // --- set operations (union / intersect / except) ------------------------
+  def unionAll(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+    val a = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = o.where(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    a.union(b)
+  }
+
+  val unionAllSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin
+
+  def intersectKeys(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  val intersectKeysSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  def exceptKeys(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d)
+    val o = orders(spark, d)
+    c.select(col("c_custkey"))
+      .except(o.select(col("o_custkey").as("c_custkey")))
+  }
+
+  val exceptKeysSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders""".stripMargin
+
+  // --- window ranking: top-3 orders per customer (README.md:28 extension) --
+  def windowTopOrders(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
+  // --- window running sum per customer ------------------------------------
+  // Decimal accumulation inside the frame, double at the boundary: the
+  // per-row prefix sums are exact, so engines agree on every row.
+  def windowRunning(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, d)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |         AS running_spend
+      |FROM orders""".stripMargin
+
+  // --- P7: isin filter (pushdown stand-in for the BigQuery IN-list scan) ---
+  // (reference: spark_jobs/playback_pipeline_curated.py:103-107). Catalyst
+  // pushes the In predicate into the parquet scan (PushedFilters).
+  def filterIsin(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+
+  val filterIsinSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin
+
+  // --- O1/O2: global sort + top-k ------------------------------------------
+  // orderBy+limit plans as TakeOrderedAndProject — each partition keeps only
+  // its local top-k, no global sort materialization: the scale-safe top-k.
+  def topkOrders(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  // --- O1: global ascending sort (reference sort("played_at"),
+  // spark_jobs/playback_pipeline.py:310) — range-partitioned total sort.
+  def globalSort(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val globalSortSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey""".stripMargin
+
+  // --- P1/P2/P3: struct build, nested projection, drop ---------------------
+  // (reference nested-field projection: spark_jobs/playback_pipeline.py:95-105;
+  // testdata is flat, so build the struct first — Catalyst collapses the
+  // round-trip, proving nested access costs nothing in the plan.)
+  def nestedProj(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")).as("o"))
+      .select(col("o_orderkey"), col("o.o_orderstatus").as("status"),
+        col("o.o_totalprice").as("total"))
+
+  val nestedProjSql: String =
+    "SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total FROM orders"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_composite"  -> (joinComposite _),
+    "q_delta_anti"      -> (deltaAnti _),
+    "q_semi_join"       -> (semiJoin _),
+    "q_join_broadcast"  -> (joinBroadcastAgg _),
+    "q_star_join"       -> (starJoin _),
+    "q_dropdup_all"     -> (dropDupAll _),
+    "q_union_all"       -> (unionAll _),
+    "q_intersect"       -> (intersectKeys _),
+    "q_except"          -> (exceptKeys _),
+    "q_window_top"      -> (windowTopOrders _),
+    "q_window_running"  -> (windowRunning _),
+    "q_filter_isin"     -> (filterIsin _),
+    "q_topk"            -> (topkOrders _),
+    "q_sort"            -> (globalSort _),
+    "q_nested_proj"     -> (nestedProj _))
+
+  def oracles: Map[String, String] = Map(
+    "q_join_composite"  -> joinCompositeSql,
+    "q_delta_anti"      -> deltaAntiSql,
+    "q_semi_join"       -> semiJoinSql,
+    "q_join_broadcast"  -> joinBroadcastAggSql,
+    "q_star_join"       -> starJoinSql,
+    "q_dropdup_all"     -> dropDupAllSql,
+    "q_union_all"       -> unionAllSql,
+    "q_intersect"       -> intersectKeysSql,
+    "q_except"          -> exceptKeysSql,
+    "q_window_top"      -> windowTopOrdersSql,
+    "q_window_running"  -> windowRunningSql,
+    "q_filter_isin"     -> filterIsinSql,
+    "q_topk"            -> topkOrdersSql,
+    "q_sort"            -> globalSortSql,
+    "q_nested_proj"     -> nestedProjSql)
+}

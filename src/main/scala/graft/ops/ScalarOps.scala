@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.etl.Functions
+
+/** Scalar-function parity — SURVEY §2.9 (F1-F11) expressed as codegen'd
+  * Column expressions over the synthetic tables. The reference ran F9/F10 as
+  * Python UDFs; here they are the native forms from [[graft.etl.Functions]],
+  * exercised end-to-end with oracles.
+  */
+object ScalarOps {
+
+  // --- F4/F5: arithmetic + round (duration conversions) --------------------
+  // (reference: spark_jobs/playback_pipeline.py:219-220 — ms→s, ms→min,
+  // round 2dp.) l_extendedprice stands in for duration_ms.
+  def scalarMath(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("duration_s", Functions.durationSeconds(col("l_extendedprice")))
+      .withColumn("duration_min", Functions.durationMinutes(col("l_extendedprice")))
+
+  // Spark's round(double, n) rounds the double's SHORTEST DECIMAL REPR with
+  // HALF_UP (BigDecimal.valueOf); DuckDB's round works on the binary value.
+  // The oracle mirrors Spark: double → VARCHAR (shortest repr, identical
+  // algorithm both engines) → DECIMAL → HALF_UP round → DOUBLE.
+  val scalarMathSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |       CAST(round(CAST(CAST(l_extendedprice / 1000 AS VARCHAR) AS DECIMAL(28,12)), 2) AS DOUBLE) AS duration_s,
+      |       CAST(round(CAST(CAST(l_extendedprice / 60000 AS VARCHAR) AS DECIMAL(28,12)), 2) AS DOUBLE) AS duration_min
+      |FROM lineitem""".stripMargin
+
+  // --- F10: bare-year completion (native udf_complete_year) ----------------
+  // A 4-char string gets "-12-31" appended, anything else passes through
+  // (reference: spark_jobs/playback_pipeline.py:151-158). The year string is
+  // always length 4 (completed); o_orderpriority is longer (passthrough).
+  def completeYear(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderkey"),
+        Functions.completeYear(year(col("o_orderdate")).cast("string")).as("release_date"),
+        Functions.completeYear(col("o_orderpriority")).as("passthrough"))
+
+  val completeYearSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN length(CAST(year(o_orderdate) AS VARCHAR)) = 4
+      |            THEN CAST(year(o_orderdate) AS VARCHAR) || '-12-31'
+      |            ELSE CAST(year(o_orderdate) AS VARCHAR) END AS release_date,
+      |       CASE WHEN length(o_orderpriority) = 4
+      |            THEN o_orderpriority || '-12-31'
+      |            ELSE o_orderpriority END AS passthrough
+      |FROM orders""".stripMargin
+
+  // --- F9: regex value-extraction from JSON strings (native
+  // udf_values_from_key) + F2/F3 to_json(struct(...)) round-trip ------------
+  // (reference: spark_jobs/playback_pipeline.py:139-148,186-187 — regex over
+  // the JSON text, ", "-joined.) events.props carries numeric JSON; the
+  // string-valued case is exercised by building the JSON with to_json first.
+  def valuesFromKey(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .withColumn("jstr", to_json(struct(col("event_type").as("name"))))
+      .select(col("event_id"),
+        Functions.numbersFromKey(col("props"), "k").as("k_vals"),
+        Functions.valuesFromKey(col("jstr"), "name").as("name_vals"))
+
+  val valuesFromKeySql: String =
+    """SELECT event_id,
+      |       array_to_string(regexp_extract_all(props, '"k":\s*(-?[0-9.]+)', 1), ', ') AS k_vals,
+      |       array_to_string(regexp_extract_all(
+      |         to_json(struct_pack(name := event_type)), '"name":"(.*?)"', 1), ', ') AS name_vals
+      |FROM events""".stripMargin
+
+  // --- F6/F7/F11: timestamp → date, UTC microsecond formatting -------------
+  // (reference: to_date at spark_jobs/playback_pipeline_curated.py:194;
+  // driver-side pytz strftime at …:100 → native date_format here.)
+  def dateOps(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_id"), col("ts"),
+        to_date(col("ts")).as("dt"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+
+  val dateOpsSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |       CAST(ts AS DATE) AS dt,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+      |FROM events""".stripMargin
+
+  // --- time-bucketed aggregation over the event stream table ---------------
+  // Daily rollup: partial+final hash agg on a derived low-cardinality key;
+  // countDistinct plans as two-phase expand+agg (scale-safe).
+  def dailyAgg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dt", "event_type")
+
+  val dailyAggSql: String =
+    """SELECT CAST(ts AS DATE) AS dt, event_type,
+      |       count(*) AS n_events,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY dt, event_type""".stripMargin
+
+  // --- P8: source-side time predicate + top-k ------------------------------
+  // (reference: after=yesterday-midnight + limit 50,
+  // spotify_api/spotify_api.py:22-29.)
+  def recentEvents(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .where(col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(50)
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+
+  val recentEventsSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04 00:00:00'
+      |ORDER BY ts, event_id LIMIT 50""".stripMargin
+
+  // --- F1: explode (array → rows) ------------------------------------------
+  // (reference: explode of items/artists, spark_jobs/playback_pipeline.py:92
+  // etc.) Generator inside whole-stage codegen; no shuffle.
+  def explodeEmbeddings(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"), explode(col("embedding")).as("val"))
+
+  val explodeEmbeddingsSql: String =
+    "SELECT vec_id, unnest(embedding) AS val FROM embeddings"
+
+  // --- F1+A1 inverse: explode then re-bag (collect_list round-trip) --------
+  def rebagEmbeddings(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"), col("label"), explode(col("embedding")).as("val"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sort_array(collect_list(col("val"))).as("sorted_vals"),
+        count(lit(1)).as("dim"))
+
+  val rebagEmbeddingsSql: String =
+    """SELECT vec_id, label, list(val ORDER BY val) AS sorted_vals, count(*) AS dim
+      |FROM (SELECT vec_id, label, unnest(embedding) AS val FROM embeddings) t
+      |GROUP BY vec_id, label""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_math"     -> (scalarMath _),
+    "q_complete_year"   -> (completeYear _),
+    "q_values_from_key" -> (valuesFromKey _),
+    "q_date_ops"        -> (dateOps _),
+    "q_daily_agg"       -> (dailyAgg _),
+    "q_recent_events"   -> (recentEvents _),
+    "q_explode"         -> (explodeEmbeddings _),
+    "q_rebag"           -> (rebagEmbeddings _))
+
+  def oracles: Map[String, String] = Map(
+    "q_scalar_math"     -> scalarMathSql,
+    "q_complete_year"   -> completeYearSql,
+    "q_values_from_key" -> valuesFromKeySql,
+    "q_date_ops"        -> dateOpsSql,
+    "q_daily_agg"       -> dailyAggSql,
+    "q_recent_events"   -> recentEventsSql,
+    "q_explode"         -> explodeEmbeddingsSql,
+    "q_rebag"           -> rebagEmbeddingsSql)
+}
