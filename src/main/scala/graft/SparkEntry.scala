@@ -15,12 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.CoreOps.playbackFlatten(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data extensions (dedup, similarity, text analysis,
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries
+    ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries ++
+      operators.Dedup.queries ++ operators.TextAnalysis.queries ++
+      operators.Similarity.queries ++ operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles
+    ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles ++
+      operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
+      operators.Similarity.oracles ++ operators.Multimodal.oracles
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-exact hashing for the dedup/similarity operators.
+  *
+  * Spark's native xxhash64/hash have no DuckDB equivalent, so oracle-checked
+  * queries use a 60-bit hash derived from md5 (identical in any engine):
+  * the first 15 hex chars of md5, parsed base-16 → a non-negative long.
+  *
+  *   Spark:  conv(substring(md5(s), 1, 15), 16, 10) :: long
+  *   DuckDB: CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
+  *
+  * md5 is fine here: these are content fingerprints for dedup, not
+  * cryptographic auth. For pure-Spark hot paths where no oracle is needed
+  * (salting, repartitioning), prefer native xxhash64 — codegen'd and ~10×
+  * cheaper; [[hash64]] below picks it for that use.
+  */
+object Hashing {
+
+  /** 60-bit md5-derived hash, reproducible in DuckDB (see object doc). */
+  def hexHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded family for minhash: h_i(s) = hexHash(i # s). */
+  def seededHexHash(seed: Column, c: Column): Column =
+    hexHash(concat(seed.cast("string"), lit("#"), c))
+
+  /** The DuckDB SQL spelling of [[hexHash]], for building oracle strings. */
+  def hexHashSql(expr: String): String =
+    s"CAST('0x' || substring(md5($expr), 1, 15) AS BIGINT)"
+
+  /** DuckDB spelling of [[seededHexHash]]. */
+  def seededHexHashSql(seedExpr: String, expr: String): String =
+    hexHashSql(s"CAST($seedExpr AS VARCHAR) || '#' || $expr")
+
+  /** Oracle-free fast path: native codegen'd xxhash64 (e.g. for salting). */
+  def hash64(cols: Column*): Column = xxhash64(cols: _*)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Hashing
+
+/** Similarity search over the embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Numeric discipline: embeddings are cast to double BEFORE any arithmetic
+  * and dot products are sequential left-folds — the same operation order as
+  * the DuckDB oracle's list_reduce, so cosine values match bit-for-bit with
+  * no tolerance games.
+  *
+  * Scale design: brute-force top-k is a broadcast of ONE query vector +
+  * a map-side partial top-k (TakeOrderedAndProject) — linear scan, no
+  * shuffle of the corpus. The LSH variant buckets by sign-bit signature so
+  * candidate generation touches only same-bucket vectors; at 100 TB you
+  * re-partition by bucket once and reuse across queries.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (order-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB spelling of the same left-fold dot product. */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  s -> s[1] * s[2]), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def embDouble(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+
+  // ---- brute-force cosine top-k ---------------------------------------------
+
+  /** Exact top-k nearest neighbors (cosine) of the query vector vec_id=0.
+    * The one-row query side is broadcast; orderBy+limit plans as a
+    * partial-top-k per partition — the linear-scan exact baseline. */
+  def cosineTopK(spark: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embDouble(spark, d)
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def cosineTopKSql(queryId: Long = 0L, k: Int = 10): String = {
+    val cos = cosineSql("CAST(e.embedding AS DOUBLE[])", "CAST(q.embedding AS DOUBLE[])")
+    s"""SELECT e.vec_id, e.label, $cos AS cos_sim
+       |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q
+       |WHERE e.vec_id <> $queryId
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT $k""".stripMargin
+  }
+
+  // ---- random-hyperplane LSH signature + bucketed near-dup -------------------
+
+  val Planes = 16
+
+  /** Deterministic pseudo-random hyperplane component w[p][j], derived from
+    * the cross-engine hash so the oracle reproduces it: an integer in
+    * [-500, 500). */
+  private def planeComponent(p: Int, j: Column): Column =
+    pmod(Hashing.hexHash(concat(lit(p.toString), lit(":"), j.cast("string"))),
+      lit(1000L)) - 500L
+
+  private def planeComponentSql(p: String, j: String): String =
+    s"${Hashing.hexHashSql(s"CAST($p AS VARCHAR) || ':' || CAST($j AS VARCHAR)")} % 1000 - 500"
+
+  /** Sign-bit LSH signature: bit p = 1 iff dot(w_p, x) > 0, packed into a
+    * long bucket id. Plane indices are compile-time constants → literal
+    * shifts, codegen-friendly. */
+  def lshSignature(emb: Column): Column =
+    (0 until Planes).map { p =>
+      when(aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, j) => x * planeComponent(p, j).cast("double")),
+          lit(0.0), (acc, x) => acc + x) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val lshSignatureSql: String = {
+    val comp = planeComponentSql("p", "j - 1")
+    s"""list_reduce(list_transform(generate_series(0, ${Planes - 1}),
+       |  p -> CASE WHEN list_reduce(list_transform(
+       |              generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+       |              j -> CAST(embedding AS DOUBLE[])[j] * CAST($comp AS DOUBLE)),
+       |            (x, y) -> x + y) > 0
+       |       THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+       |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-vector LSH bucket assignment (the signature itself, oracle-checked). */
+  def lshBuckets(spark: SparkSession, d: String): DataFrame =
+    embDouble(spark, d)
+      .select(col("vec_id"), lshSignature(col("emb")).as("bucket"))
+
+  val lshBucketsSql: String =
+    s"SELECT vec_id, $lshSignatureSql AS bucket FROM embeddings"
+
+  /** ANN near-dup pairs: vectors sharing an LSH bucket, verified by exact
+    * cosine ≥ threshold. Injected duplicate vectors (vec_id+1000000 for
+    * vec_id < 10) guarantee verifiable hits on the random corpus. Candidate
+    * generation is the bucket self-join — never the full cross product. */
+  def annPairs(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+    val base = embDouble(spark, d).select(col("vec_id"), col("emb"))
+    val e = base.union(
+      base.where(col("vec_id") < 10)
+        .select((col("vec_id") + lit(1000000)).as("vec_id"), col("emb")))
+    val sig = e.select(col("vec_id"), col("emb"), lshSignature(col("emb")).as("bucket"))
+    sig.as("x").join(sig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.emb"), col("y.emb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def annPairsSql(threshold: Double = 0.99): String = {
+    val cos = cosineSql("x.emb", "y.emb")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), embedding
+       |  FROM embeddings WHERE vec_id < 10
+       |), sig AS (
+       |  SELECT vec_id, emb, $lshSignatureSql AS bucket FROM base
+       |)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $cos AS cos_sim
+       |FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE $cos >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "q_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
+    "q_ann_pairs"   -> ((s, d) => annPairs(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q_cosine_topk" -> cosineTopKSql(),
+    "q_lsh_buckets" -> lshBucketsSql,
+    "q_ann_pairs"   -> annPairsSql())
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data curation: language ID (stopword
+  * heuristic), quality scoring, token counting, and content fingerprinting.
+  * All map-only (no shuffle): at 100 TB these run at scan speed and pipeline
+  * into whatever filter/group follows.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // ---- token counting -------------------------------------------------------
+
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * digit runs, single punctuation — the usual pre-tokenizer shape). */
+  def tokenCount(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+      length(col("text")).as("n_chars_calc"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+      |       length(text) AS n_chars_calc
+      |FROM documents""".stripMargin
+
+  // ---- quality scoring ------------------------------------------------------
+
+  /** Heuristic quality features: token stats, lexical diversity, stopword
+    * ratio, mean token length — single divisions of exact ints, so doubles
+    * agree bit-for-bit across engines. */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val stop = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+    documents(spark, d).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      (size(array_distinct(t)) / size(t).cast("double")).as("unique_ratio"),
+      (size(filter(t, x => x.isin(stop: _*))) / size(t).cast("double"))
+        .as("stopword_ratio"),
+      ((length(col("text")) - size(t) + 1) / size(t).cast("double"))
+        .as("mean_token_len"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' ')))
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+      |       len(list_filter(string_split(text, ' '),
+      |             x -> x IN ('the','a','of','and','is','in','to','it')))
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |       (length(text) - len(string_split(text, ' ')) + 1)
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+      |FROM documents""".stripMargin
+
+  // ---- language identification ---------------------------------------------
+
+  /** Stopword-set language ID. Marker hits per language, argmax with a fixed
+    * tie order (en > de > fr > es), 'und' when nothing matches — the n-gram
+    * heuristic shape used by fast LID passes, deterministic and mirrored in
+    * the oracle. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    def score(words: Seq[String]): Column =
+      size(filter(t, x => x.isin(words: _*)))
+    val sEn = score(Seq("the", "a", "of", "and", "is"))
+    val sDe = score(Seq("der", "die", "das", "und", "ist"))
+    val sFr = score(Seq("le", "la", "les", "et", "est"))
+    val sEs = score(Seq("el", "los", "las", "y", "es"))
+    val mx = greatest(sEn, sDe, sFr, sEs)
+    documents(spark, d).select(
+      col("doc_id"), col("lang"),
+      sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"),
+      when(mx === 0, "und")
+        .when(sEn === mx, "en").when(sDe === mx, "de")
+        .when(sFr === mx, "fr").otherwise("es").as("predicted"))
+  }
+
+  val langIdSql: String = {
+    def score(words: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val sEn = score(Seq("the", "a", "of", "and", "is"))
+    val sDe = score(Seq("der", "die", "das", "und", "ist"))
+    val sFr = score(Seq("le", "la", "les", "et", "est"))
+    val sEs = score(Seq("el", "los", "las", "y", "es"))
+    val mx = s"greatest($sEn, $sDe, $sFr, $sEs)"
+    s"""SELECT doc_id, lang,
+       |       $sEn AS s_en, $sDe AS s_de, $sFr AS s_fr, $sEs AS s_es,
+       |       CASE WHEN $mx = 0 THEN 'und'
+       |            WHEN $sEn = $mx THEN 'en'
+       |            WHEN $sDe = $mx THEN 'de'
+       |            WHEN $sFr = $mx THEN 'fr'
+       |            ELSE 'es' END AS predicted
+       |FROM documents""".stripMargin
+  }
+
+  // ---- document fingerprinting ----------------------------------------------
+
+  /** Content fingerprints: whole-text 60-bit hash (exact-dup key) + the
+    * minimum shingle hash (a winnowing-style robust fingerprint that
+    * survives local edits) over normalized text. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")
+    documents(spark, d).select(
+      col("doc_id"),
+      Hashing.hexHash(norm).as("content_fp"),
+      array_min(transform(Dedup.shingles(norm), s => Hashing.hexHash(s)))
+        .as("min_shingle_fp"))
+  }
+
+  val fingerprintSql: String = {
+    val normSql = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
+    val shSql = Dedup.shinglesSql.replace("text", normSql)
+    s"""SELECT doc_id,
+       |       ${Hashing.hexHashSql(normSql)} AS content_fp,
+       |       list_min(list_transform($shSql, s -> ${Hashing.hexHashSql("s")}))
+       |         AS min_shingle_fp
+       |FROM documents""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"   -> ((s, d) => tokenCount(s, d)),
+    "q_text_quality"  -> ((s, d) => qualityScore(s, d)),
+    "q_lang_id"       -> ((s, d) => langId(s, d)),
+    "q_fingerprint"   -> ((s, d) => fingerprint(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q_token_count"   -> tokenCountSql,
+    "q_text_quality"  -> qualityScoreSql,
+    "q_lang_id"       -> langIdSql,
+    "q_fingerprint"   -> fingerprintSql)
+}
