@@ -37,4 +37,24 @@ object Hashing {
 
   /** Oracle-free fast path: native codegen'd xxhash64 (e.g. for salting). */
   def hash64(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** Mersenne-prime modulus for 31-bit hash arithmetic: products of two
+    * 31-bit values stay inside a long, so affine seed families
+    * `(a·h + b) mod P` never overflow. */
+  val P31: Long = 2147483647L // 2^31 - 1
+
+  /** 31-bit reduction of [[hexHash]] — the base hash for minhash families. */
+  def smallHash(c: Column): Column = pmod(hexHash(c), lit(P31))
+
+  def smallHashSql(expr: String): String = s"(${hexHashSql(expr)} % $P31)"
+
+  /** Driver-side evaluation of EXACTLY the same function as [[hexHash]] —
+    * used to precompute literal constants (minhash seeds, LSH hyperplanes)
+    * once at plan-build time instead of per row per element. Keep in sync
+    * with hexHash: first 15 hex chars of md5, parsed base 16. */
+  def hexHashLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

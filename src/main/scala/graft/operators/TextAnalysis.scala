@@ -129,11 +129,25 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** Fast-path fingerprint via the custom codegen'd rolling-hash expression
+    * ([[graft.plans.MinShingleHashExpr]]): one pass, no shingle arrays. No
+    * DuckDB oracle exists for this hash (that's the point — it's the
+    * native-speed variant), so the driver records a rows-only check; its
+    * correctness is covered by MinShingleHashSpec against a reference
+    * implementation. */
+  def fastFingerprint(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.MinShingleHash.register(spark)
+    documents(spark, d).select(
+      col("doc_id"),
+      expr("min_shingle_hash(text, 9)").as("rolling_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_token_count"   -> ((s, d) => tokenCount(s, d)),
-    "q_text_quality"  -> ((s, d) => qualityScore(s, d)),
-    "q_lang_id"       -> ((s, d) => langId(s, d)),
-    "q_fingerprint"   -> ((s, d) => fingerprint(s, d)))
+    "q_token_count"      -> ((s, d) => tokenCount(s, d)),
+    "q_text_quality"     -> ((s, d) => qualityScore(s, d)),
+    "q_lang_id"          -> ((s, d) => langId(s, d)),
+    "q_fingerprint"      -> ((s, d) => fingerprint(s, d)),
+    "q_fast_fingerprint" -> ((s, d) => fastFingerprint(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_token_count"   -> tokenCountSql,

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeBatch(dir: String): Unit =
+    Seq(
+      EventStream.Event(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      EventStream.Event(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "click", 2.0),
+      EventStream.Event(3L, Timestamp.valueOf("2024-01-01 00:06:30"), 2L, "view", 5.0),
+      EventStream.Event(4L, Timestamp.valueOf("2024-01-01 00:07:00"), 2L, "click", 3.0))
+      .toDF().write.mode("append").parquet(dir)
+
+  test("windowed counts aggregate a parquet-fed stream by 5-minute windows") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    writeBatch(dir)
+    val agg = EventStream.windowedCounts(EventStream.readEventStream(spark, dir))
+    EventStream.runToMemory(agg, "win_out", OutputMode.Update)
+    val rows = spark.sql(
+      "SELECT window.start, event_type, n_events, sum_value FROM win_out ORDER BY 1, 2")
+      .collect()
+    assert(rows.length === 3)
+    // window [00:00, 00:05): two clicks; [00:05, 00:10): one click, one view
+    assert(rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq(("click", 2L, 3.0), ("click", 1L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful sessionization folds per-user state across a batch") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    writeBatch(dir)
+    // NoTimeout in the synchronous test: ProcessingTimeTimeout keeps
+    // scheduling timeout-evaluation batches, which processAllAvailable
+    // never drains
+    val sessions = EventStream.sessionize(
+      EventStream.readEventStream(spark, dir).as[EventStream.Event],
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    EventStream.runToMemory(sessions.toDF(), "sess_out", OutputMode.Update)
+    val rows = spark.sql(
+      "SELECT user_id, n_events, total_value, closed FROM sess_out ORDER BY user_id")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+      === Seq((1L, 2L, 3.0, false), (2L, 2L, 8.0, false)))
+  }
+}
