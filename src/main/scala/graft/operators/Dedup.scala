@@ -48,6 +48,34 @@ object Dedup {
        |         i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2])
        |  ELSE [text] END)""".stripMargin.replace("\n", " ")
 
+  /** DISTINCT word-3-gram shingles as ROWS (doc_id, s) — the codegen form.
+    * The array-lambda [[shingles]] is interpreted (Spark HOFs don't
+    * codegen; measured ~0.8 ms/doc); here tokens posexplode and the 3-grams
+    * assemble via window `lead` — posexplode, window, concat are all
+    * whole-stage-codegen'd, and the one extra shuffle (by doc_id for the
+    * window sort) is exactly the partitioning the downstream signature
+    * aggregation needs anyway. Short docs (<3 tokens) contribute the whole
+    * text as their single shingle, matching [[shingles]]. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // normal docs: token rows through the window — only (doc_id, pos, t)
+    // ride the window shuffle, never the full text
+    val long3 = docs
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+    // degenerate docs (<3 tokens): the whole text is the single shingle
+    val short3 = docs
+      .where(size(tokens(col("text"))) < 3)
+      .select(col("doc_id"), col("text").as("s"))
+    long3.union(short3).dropDuplicates("doc_id", "s")
+  }
+
   /** documents ∪ re-keyed copies of the first `nDup` docs — injected exact
     * duplicates so dedup queries verifiably FIND something on the synthetic
     * corpus (pure-random corpora have no near-dups). Offset keeps ids
@@ -103,18 +131,6 @@ object Dedup {
   def seedA(i: Int): Long = Hashing.hexHashLocal(s"a#$i") % (Hashing.P31 - 1) + 1
   def seedB(i: Int): Long = Hashing.hexHashLocal(s"b#$i") % Hashing.P31
 
-  /** Per-shingle 31-bit base hashes (the only md5 work per document). */
-  def baseHashes(text: Column): Column =
-    transform(shingles(text), s => Hashing.smallHash(s))
-
-  /** sig[i] = min over shingles of (a_i·h0 + b_i) mod P31, from the
-    * precomputed base-hash array. */
-  def signatureFromBase(h0: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(h0, h =>
-        pmod(h * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31))))
-    }: _*)
-
   val baseHashesSql: String =
     s"list_transform($shinglesSql, s -> ${Hashing.smallHashSql("s")})"
 
@@ -123,10 +139,24 @@ object Dedup {
       s"list_min(list_transform($h0, h -> (h * ${seedA(i)} + ${seedB(i)}) % ${Hashing.P31}))"
     }.mkString(", ") + "]"
 
+  /** MinHash signatures via explode + codegen'd hash aggregation — the
+    * scale form. One shuffle of (doc_id, shingle-hash) rows; the 12 mins
+    * run partial+final in a whole-stage-codegen HashAggregate. (The
+    * array-lambda formulation is interpreted — Spark HOFs don't codegen —
+    * and was the dominant cost of the pairs query.) */
+  def minhashSigDf(docs: DataFrame): DataFrame = {
+    val ex = shingleRows(docs)
+      .select(col("doc_id"), Hashing.smallHash(col("s")).as("h"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(pmod(col("h") * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31)))
+        .as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("minhash"))
+  }
+
   def minhashSig(spark: SparkSession, d: String): DataFrame =
-    documents(spark, d)
-      .select(col("doc_id"), baseHashes(col("text")).as("h0"))
-      .select(col("doc_id"), signatureFromBase(col("h0")).as("minhash"))
+    minhashSigDf(documents(spark, d).select(col("doc_id"), col("text")))
 
   val minhashSigSql: String =
     s"""SELECT doc_id, ${signatureFromBaseSql("h0")} AS minhash
@@ -146,18 +176,15 @@ object Dedup {
     *     compute exact Jaccard |∩|/|∪|; keep jaccard ≥ threshold.
     */
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    // two-stage projection so shingles and base hashes are computed exactly
-    // once per document, shared by the signature and the Jaccard verify
-    val docs = docsWithInjectedDups(spark, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => Hashing.smallHash(s)).as("h0"))
-      .select(col("doc_id"), col("sh"), signatureFromBase(col("h0")).as("sig"))
+    // signatures come out of a codegen'd aggregation (ends in an Exchange,
+    // so the x/y self-join reuses ONE computation via ReusedExchange)
+    val base = docsWithInjectedDups(spark, d)
+    val sigs = minhashSigDf(base)
 
-    val bands = docs.select(col("doc_id"),
+    val bands = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("band_id"),
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("band_key"))): _*))
+            slice(col("minhash"), b * RowsPerBand + 1, RowsPerBand).as("band_key"))): _*))
           .as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
@@ -168,12 +195,23 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+    // exact-Jaccard verify, distributively: join candidate pairs to the
+    // shingle rows of each side, count matching shingles (|∩|), combine
+    // with per-doc distinct-shingle counts — joins + hash aggs, all
+    // codegen'd, no per-pair array materialization
+    val sh = shingleRows(base)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -207,11 +245,21 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------------
 
-  val SimHashBits = 32
+  // 60 bits (not 32): with 15-bit bands the candidate buckets are 32768-way
+  // instead of 256-way, which is what keeps the band self-join from
+  // exploding on correlated corpora (measured at sf0.1: byte bands produced
+  // ~80M candidate rows; 15-bit bands cut that by ~two orders). 60 keeps
+  // every packed value non-negative, so >> behaves identically in Spark and
+  // DuckDB without sign games.
+  val SimHashBits = 60
+  val SimHashBandBits = 15
+  val SimHashBands = 4
+  val SimHashBandMask = (1L << SimHashBandBits) - 1
 
-  /** 32-bit SimHash: per-token 60-bit hashes, bit-majority vote per
-    * position. Bit positions are compile-time constants, so the shifts are
-    * literal and the whole expression stays in codegen. */
+  /** Per-row SimHash as a single Column (higher-order functions). Correct
+    * but INTERPRETED — Spark HOFs don't codegen — so use [[simhashDf]] for
+    * anything beyond small inputs; this form exists for composition in
+    * other expressions and as the executable spec. */
   def simhashCol(text: Column): Column = {
     val th = transform(array_distinct(tokens(text)), t => Hashing.hexHash(t))
     (0 until SimHashBits).map { j =>
@@ -219,6 +267,26 @@ object Dedup {
           (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** SimHash via explode + codegen'd hash aggregation — the scale form.
+    * Tokens explode to (doc_id, token-hash) rows, 60 conditional sums run
+    * in a whole-stage-codegen HashAggregate (partial agg map-side), and the
+    * packed signature is assembled from the bit sums. Semantically identical
+    * to [[simhashCol]] (same hashes, same majority vote), ~30× faster: the
+    * HOF form is interpreted per row and was the entire cost of the pairs
+    * query (measured 19 s → ~1 s at sf0.1). */
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .select(col("doc_id"), Hashing.hexHash(col("t")).as("h"))
+    val aggs = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$j"))
+    val packed = (0 until SimHashBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 
   val simhashColSql: String = {
@@ -232,24 +300,25 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, d: String): DataFrame =
-    documents(spark, d)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    simhashDf(documents(spark, d).select(col("doc_id"), col("text")))
 
   val simhashSql: String =
     s"SELECT doc_id, $simhashColSql AS simhash FROM documents"
 
-  /** SimHash near-dup pairs: band the 32 bits into 4 bytes; docs sharing any
-    * byte become candidates (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical byte);
-    * verify with bit_count(xor) ≤ maxHamming. Same no-O(n²) shape as
-    * minhashPairs. */
+  /** SimHash near-dup pairs: band the 60 bits into 4×15-bit keys; docs
+    * sharing any band become candidates (pigeonhole: hamming ≤ 3 ⇒ ≥ 1
+    * untouched band); verify with bit_count(xor) ≤ maxHamming. Same
+    * no-O(n²) shape as minhashPairs. */
   def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val docs = docsWithInjectedDups(spark, d)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    // the aggregation ends in an Exchange, so the x/y self-join below reuses
+    // ONE signature computation (ReusedExchange) instead of re-deriving per side
+    val docs = simhashDf(docsWithInjectedDups(spark, d))
 
     val bands = docs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until SimHashBands).map(b =>
           struct(lit(b).as("band_id"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("band_key"))): _*))
+            shiftright(col("simhash"), b * SimHashBandBits)
+              .bitwiseAND(SimHashBandMask).as("band_key"))): _*))
           .as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key"))
 
@@ -269,8 +338,9 @@ object Dedup {
        |  SELECT doc_id, $simhashColSql AS simhash
        |  FROM (${docsWithInjectedDupsSql()})
        |), bands AS (
-       |  SELECT doc_id, simhash, b AS band_id, (simhash >> (b*8)) & 255 AS band_key
-       |  FROM docs, range(0, 4) AS t(b)
+       |  SELECT doc_id, simhash, b AS band_id,
+       |         (simhash >> (b*$SimHashBandBits)) & $SimHashBandMask AS band_key
+       |  FROM docs, range(0, $SimHashBands) AS t(b)
        |)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |       bit_count(xor(x.simhash, y.simhash)) AS hamming
@@ -285,7 +355,14 @@ object Dedup {
   /** Character-3-gram Jaccard over same-(lang, source, length-bucket) pairs.
     * The bucket key bounds candidates (no global self-join); the length
     * bucket is the standard cheap pre-filter: near-dups have near-equal
-    * length. */
+    * length.
+    *
+    * Set intersection is computed distributively: explode grams to
+    * (bucket…, gram, doc_id) rows, equi-join on (bucket…, gram), count per
+    * pair — everything whole-stage codegen'd through joins and hash
+    * aggregates, no per-pair interpreted array_intersect, and at scale the
+    * gram join partitions across the cluster instead of holding both gram
+    * arrays per candidate pair in memory. */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val base = documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
@@ -293,28 +370,37 @@ object Dedup {
       base.where(col("doc_id") < 20)
         .select((col("doc_id") + lit(1000000)).as("doc_id"),
           col("lang"), col("source"), col("n_chars"), col("text")))
-    val docs = injected
+    // char-3-gram ROWS via position explode + dynamic substr — codegen'd
+    // end to end (the array-lambda gramsCol is interpreted); distinct per
+    // doc for set semantics. Short texts (<3 chars) contribute themselves.
+    val grams = injected
       .select(col("doc_id"), col("lang"), col("source"),
-        floor(col("n_chars") / lit(40.0)).cast("int").as("len_bucket"),
-        gramsCol(col("text")).as("g"))
-    docs.as("x").join(docs.as("y"),
+        floor(col("n_chars") / lit(10.0)).cast("int").as("len_bucket"),
+        col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("p"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
+        when(length(col("text")) >= 3, col("text").substr(col("p"), lit(3)))
+          .otherwise(col("text")).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+
+    val inter = grams.as("x").join(grams.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.len_bucket") === col("y.len_bucket") &&
+          col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
-      .withColumn("inter", size(array_intersect(col("x.g"), col("y.g"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("x.g")) + size(col("y.g")) - col("inter")))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
-
-  /** Distinct character 3-grams via dynamic substring in a lambda. */
-  private def gramsCol(t: Column): Column =
-    array_distinct(
-      when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-        .otherwise(array(t)))
 
   def ngramJaccardSql(threshold: Double = 0.9): String =
     s"""WITH injected AS (
@@ -323,7 +409,7 @@ object Dedup {
        |  SELECT doc_id + 1000000, lang, source, n_chars, text FROM documents
        |  WHERE doc_id < 20
        |), docs AS (
-       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 40.0) AS INT) AS len_bucket,
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 10.0) AS INT) AS len_bucket,
        |         list_distinct(CASE WHEN length(text) >= 3
        |           THEN list_transform(generate_series(1, length(text) - 2),
        |                  i -> substring(text, i, 3))
