@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join machinery the 100 TB deployment leans on: bucketed
+  * co-located joins (no shuffle at query time) and salted joins for skewed
+  * keys. Neither exists in the reference (its joins are ≤50-row daily
+  * batches); both are what its operator graph needs at three orders of
+  * magnitude more data.
+  */
+object ScaleTools {
+
+  /** Write a table bucketed (and sorted) by the join key. Pre-paying this
+    * ONE shuffle at write time means every subsequent equi-join or
+    * aggregation on `bucketCols` reads co-located, pre-sorted buckets —
+    * no Exchange in the query plan. This is the batch-pipeline version of
+    * the reference's date-partitioned zones, applied to join keys.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: a managed-table location can survive a
+    // previous session whose catalog entry is gone — clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Join two tables previously written with [[writeBucketed]] on the same
+    * keys/bucket count: planner sees compatible output partitioning on both
+    * sides and elides both exchanges (SortMergeJoin straight over buckets).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, joinType)
+
+  /** Salted inner equi-join for skewed keys: the big (skewed) side gets a
+    * deterministic per-row salt in [0, salts); the small side is replicated
+    * once per salt value. The hot key's rows spread over `salts` reducers
+    * instead of one straggler task. (AQE's skew-join handles moderate skew
+    * automatically; explicit salting is for the pathological keys AQE's
+    * split thresholds miss.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // salt derives from the whole row hash — deterministic, no RNG in the plan
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Invariant checks over the extension operators at sf0.001 — complements
+  * the DuckDB oracle (which checks exact values at sf0.01) with semantic
+  * properties that must hold at any scale. */
+class OperatorsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("exact dedup finds exactly the injected duplicate groups") {
+    val rows = Dedup.exactDedup(spark, d).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") === 2L)
+      val members = r.getAs[scala.collection.Seq[Long]]("member_ids")
+      assert(members.contains(r.getAs[Long]("keep_doc_id")))
+      // injected copy is original + 1000000
+      assert(members.map(_ % 1000000L).distinct.length === 1)
+    }
+  }
+
+  test("minhash pairs include every injected exact duplicate at jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val injected = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(injected.length === 20)
+    assert(injected.forall(_._3 === 1.0))
+  }
+
+  test("simhash signatures are deterministic and pairs are symmetric-free") {
+    val s1 = Dedup.simhash(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = Dedup.simhash(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 === s2)
+    val pairs = Dedup.simhashPairs(spark, d).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // doc_a < doc_b, no mirrored dupes
+      assert(r.getInt(2) <= 3)            // hamming bound honored
+    }
+  }
+
+  test("cosine top-k is sorted, bounded, and within [-1, 1]") {
+    val rows = Similarity.cosineTopK(spark, d).collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("ann pairs recover the injected duplicate vectors at cosine ~1") {
+    val rows = Similarity.annPairs(spark, d).collect()
+    val injected = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(injected.length === 10)
+    injected.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("delta anti-join output is disjoint from the warehouse keys and ⊆ input") {
+    val out = graft.ops.RelationalOps.deltaAnti(spark, d)
+    val li = graft.Tables.lineitem(spark, d)
+    val existing = graft.Tables.orders(spark, d)
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    val keys = out.select("l_orderkey").distinct().collect().map(_.getLong(0))
+    assert(keys.forall(k => !existing.contains(k)))
+    assert(out.count() <= li.count())
+  }
+
+  test("multimodal features match a direct batch-decode of the same records") {
+    val viaSpark = Multimodal.features(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val direct = Multimodal.decodeBatch(
+      Multimodal.mediaTable(spark, d).collect().toSeq)
+    assert(direct.nonEmpty)
+    direct.foreach { f =>
+      val got = viaSpark(f.doc_id)
+      assert(got.getAs[String]("content_hash") === f.content_hash)
+      assert(got.getAs[Int]("thumb_w") === f.thumb_w)
+      assert(got.getAs[Double]("mean_byte") === f.mean_byte)
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ScaleToolsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("bucketed join elides both exchanges (co-located SortMergeJoin)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val o  = spark.read.parquet(s"$d/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    ScaleTools.writeBucketed(li.select($"l_orderkey", $"l_quantity"), "li_b",
+      Seq("l_orderkey"), 8)
+    ScaleTools.writeBucketed(o.select($"l_orderkey", $"o_totalprice"), "o_b",
+      Seq("l_orderkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ScaleTools.bucketedJoin(spark, "li_b", "o_b", Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // result matches the plain join
+      val expected = li.join(o, Seq("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join preserves inner equi-join semantics") {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = ScaleTools.saltedJoin(li, o, "l_orderkey", salts = 7)
+    assert(salted.count() === plain.count())
+    assert(salted.columns.toSet === plain.columns.toSet)
+    // spot check: same row multiset on a projection
+    val a = salted.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    val b = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
