@@ -14,6 +14,14 @@ import java.nio.file.{Files, Paths}
   */
 object Fixture {
 
+  /** F12 — Basic-auth header construction (reference: spotify_api/auth.py:
+    * 18-20 encodes `client_id:client_secret` base64 for the OAuth2 token
+    * request). Pure function here; the network exchange itself is out of
+    * scope (zero egress — the fixture below replaces the API entirely). */
+  def basicAuthHeader(clientId: String, clientSecret: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$clientId:$clientSecret".getBytes("UTF-8"))
+
   private def artist(id: String, name: String): String =
     s"""{
        |    "external_urls": {"spotify": "https://open.spotify.test/artist/$id"},

@@ -83,6 +83,25 @@ class PipelineSpec extends SparkSpec {
     assert(Zones.readParquet(spark, zones.warehouse("playback_hist")).count() === 3)
   }
 
+  test("IN-list delta variant (reference mechanism) agrees with the anti-join path") {
+    deltas
+    val curated = Zones.readParquet(spark, zones.curated(2024, 1, 5, "playback_hist"))
+    val wh = Zones.readParquet(spark, zones.warehouse("playback_hist"))
+    val viaAnti = CuratedZone.deltaLoad(curated, wh)
+    val viaInList = CuratedZone.deltaLoadViaInList(curated, wh)
+    assert(viaInList.count() === viaAnti.count())
+    // fully-published warehouse ⇒ both find no delta
+    assert(viaInList.count() === 0)
+    // and a schema without the key passes through untouched (…curated.py:95)
+    val keyless = curated.drop("played_at")
+    assert(CuratedZone.deltaLoadViaInList(keyless, wh).count() === keyless.count())
+  }
+
+  test("basic-auth header builds the reference's base64 form (F12)") {
+    assert(graft.ingest.Fixture.basicAuthHeader("id", "secret")
+      === "Basic " + java.util.Base64.getEncoder.encodeToString("id:secret".getBytes("UTF-8")))
+  }
+
   test("backfill discovers and reprocesses landed dates (ad-hoc variant)") {
     deltas
     val res = Pipeline.runBackfill(spark, zones)
