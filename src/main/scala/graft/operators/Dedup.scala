@@ -176,10 +176,13 @@ object Dedup {
     *     compute exact Jaccard |∩|/|∪|; keep jaccard ≥ threshold.
     */
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    // signatures come out of a codegen'd aggregation (ends in an Exchange,
-    // so the x/y self-join reuses ONE computation via ReusedExchange)
+    // localCheckpoint pins the computed signatures/shingles: a lazy plan
+    // would re-derive them for EVERY downstream branch (x side, y side,
+    // both verify probes — measured 24 parquet re-scans per run; exchange
+    // reuse does not fire across self-join branches). Same pattern as
+    // persisting the signature table on a real cluster before LSH fan-out.
     val base = docsWithInjectedDups(spark, d)
-    val sigs = minhashSigDf(base)
+    val sigs = minhashSigDf(base).localCheckpoint()
 
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map(b =>
@@ -199,7 +202,7 @@ object Dedup {
     // shingle rows of each side, count matching shingles (|∩|), combine
     // with per-doc distinct-shingle counts — joins + hash aggs, all
     // codegen'd, no per-pair array materialization
-    val sh = shingleRows(base)
+    val sh = shingleRows(base).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     val inter = candidates
@@ -310,9 +313,9 @@ object Dedup {
     * untouched band); verify with bit_count(xor) ≤ maxHamming. Same
     * no-O(n²) shape as minhashPairs. */
   def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    // the aggregation ends in an Exchange, so the x/y self-join below reuses
-    // ONE signature computation (ReusedExchange) instead of re-deriving per side
-    val docs = simhashDf(docsWithInjectedDups(spark, d))
+    // materialize signatures once for the x/y self-join fan-out (see
+    // minhashPairs: exchange reuse does not fire across self-join branches)
+    val docs = simhashDf(docsWithInjectedDups(spark, d)).localCheckpoint()
 
     val bands = docs.select(col("doc_id"), col("simhash"),
         explode(array((0 until SimHashBands).map(b =>
@@ -343,7 +346,7 @@ object Dedup {
        |  FROM docs, range(0, $SimHashBands) AS t(b)
        |)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
        |FROM bands x JOIN bands y
        |  ON x.band_id = y.band_id AND x.band_key = y.band_key
        | AND x.doc_id < y.doc_id
@@ -382,6 +385,7 @@ object Dedup {
         when(length(col("text")) >= 3, col("text").substr(col("p"), lit(3)))
           .otherwise(col("text")).as("gram"))
       .dropDuplicates("doc_id", "gram")
+      .localCheckpoint() // shared by both self-join sides + the size rollup
 
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 

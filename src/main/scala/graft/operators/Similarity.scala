@@ -129,7 +129,10 @@ object Similarity {
     val e = base.union(
       base.where(col("vec_id") < 10)
         .select((col("vec_id") + lit(1000000)).as("vec_id"), col("emb")))
+    // materialized once for the self-join fan-out (signature is an
+    // interpreted-HOF expression; see Dedup.minhashPairs for rationale)
     val sig = e.select(col("vec_id"), col("emb"), lshSignature(col("emb")).as("bucket"))
+      .localCheckpoint()
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

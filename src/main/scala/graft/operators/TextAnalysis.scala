@@ -22,10 +22,12 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, d: String): DataFrame =
     documents(spark, d).select(
       col("doc_id"),
-      size(toks(col("text"))).as("ws_tokens"),
+      // long casts: Spark size()/length() are int32, DuckDB len()/length()
+      // are int64 — align output schema to the oracle's
+      size(toks(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
-      length(col("text")).as("n_chars_calc"))
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
 
   val tokenCountSql: String =
     """SELECT doc_id,
@@ -44,7 +46,7 @@ object TextAnalysis {
     val stop = Seq("the", "a", "of", "and", "is", "in", "to", "it")
     documents(spark, d).select(
       col("doc_id"),
-      size(t).as("n_tokens"),
+      size(t).cast("long").as("n_tokens"),
       (size(array_distinct(t)) / size(t).cast("double")).as("unique_ratio"),
       (size(filter(t, x => x.isin(stop: _*))) / size(t).cast("double"))
         .as("stopword_ratio"),
@@ -73,7 +75,7 @@ object TextAnalysis {
   def langId(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     def score(words: Seq[String]): Column =
-      size(filter(t, x => x.isin(words: _*)))
+      size(filter(t, x => x.isin(words: _*))).cast("long")
     val sEn = score(Seq("the", "a", "of", "and", "is"))
     val sDe = score(Seq("der", "die", "das", "und", "ist"))
     val sFr = score(Seq("le", "la", "les", "et", "est"))

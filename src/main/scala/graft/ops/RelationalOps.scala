@@ -201,7 +201,7 @@ object RelationalOps {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(spark, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long")) // DuckDB row_number is int64
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }

@@ -76,7 +76,9 @@ object ScalarOps {
   // driver-side pytz strftime at …:100 → native date_format here.)
   def dateOps(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
-      .select(col("event_id"), col("ts"),
+      // ntz: DuckDB timestamps are tz-naive; session is UTC so the wall
+      // time is identical and the output parquet schema matches the oracle
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
         to_date(col("ts")).as("dt"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
 
@@ -115,7 +117,8 @@ object ScalarOps {
       .where(col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp"))
       .orderBy(col("ts"), col("event_id"))
       .limit(50)
-      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("user_id"))
 
   val recentEventsSql: String =
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, user_id

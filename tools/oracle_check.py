@@ -45,7 +45,20 @@ def main() -> int:
             got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
             exp = con.execute(oracle[name]).df()
             g, e = canon(got), canon(exp)
-            if list(g.columns) != list(e.columns):
+            dt_g = got.reindex(sorted(got.columns), axis=1).dtypes
+            dt_e = exp.reindex(sorted(exp.columns), axis=1).dtypes
+            # parquet DATE → pandas object(datetime.date) while DuckDB emits
+            # datetime64 — a representation artifact, not a schema mismatch
+            def date_repr(a, b):
+                return a == "object" and b.startswith("datetime64")
+            dtype_diff = [(c, str(dt_g[c]), str(dt_e[c]))
+                          for c in dt_g.index if c in dt_e.index
+                          and str(dt_g[c]) != str(dt_e[c])
+                          and not date_repr(str(dt_g[c]), str(dt_e[c]))]
+            if dtype_diff:
+                print(f"FAIL {name}: dtype mismatch {dtype_diff}")
+                failures += 1
+            elif list(g.columns) != list(e.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(e.columns)}")
                 failures += 1
             elif not g.equals(e):
