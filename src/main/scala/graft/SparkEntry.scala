@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
-      operators.Similarity.oracles ++ operators.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      operators.Sampling.oracles
 }
