@@ -56,7 +56,11 @@ object Dedup {
     * window sort) is exactly the partitioning the downstream signature
     * aggregation needs anyway. Short docs (<3 tokens) contribute the whole
     * text as their single shingle, matching [[shingles]]. */
-  def shingleRows(docs: DataFrame): DataFrame = {
+  /** @param distinct dedupe shingles per doc (set semantics — needed by
+    *   Jaccard counting). Min-based consumers (minhash, fingerprints) pass
+    *   false: min is duplicate-insensitive, and skipping the dedup saves a
+    *   full shuffle of shingle strings. */
+  def shingleRows(docs: DataFrame, distinct: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     // normal docs: token rows through the window — only (doc_id, pos, t)
@@ -73,7 +77,8 @@ object Dedup {
     val short3 = docs
       .where(size(tokens(col("text"))) < 3)
       .select(col("doc_id"), col("text").as("s"))
-    long3.union(short3).dropDuplicates("doc_id", "s")
+    val all = long3.union(short3)
+    if (distinct) all.dropDuplicates("doc_id", "s") else all
   }
 
   /** documents ∪ re-keyed copies of the first `nDup` docs — injected exact
@@ -145,7 +150,7 @@ object Dedup {
     * array-lambda formulation is interpreted — Spark HOFs don't codegen —
     * and was the dominant cost of the pairs query.) */
   def minhashSigDf(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs)
+    val ex = shingleRows(docs, distinct = false)
       .select(col("doc_id"), Hashing.smallHash(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(i =>
       min(pmod(col("h") * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31)))

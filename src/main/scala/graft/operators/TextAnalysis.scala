@@ -120,7 +120,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, d: String): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")
     val normDocs = documents(spark, d).select(col("doc_id"), norm.as("text"))
-    val minFp = Dedup.shingleRows(normDocs)
+    val minFp = Dedup.shingleRows(normDocs, distinct = false)
       .select(col("doc_id"), Hashing.hexHash(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("min_shingle_fp"))
