@@ -23,17 +23,9 @@ object Hashing {
   def hexHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded family for minhash: h_i(s) = hexHash(i # s). */
-  def seededHexHash(seed: Column, c: Column): Column =
-    hexHash(concat(seed.cast("string"), lit("#"), c))
-
   /** The DuckDB SQL spelling of [[hexHash]], for building oracle strings. */
   def hexHashSql(expr: String): String =
     s"CAST('0x' || substring(md5($expr), 1, 15) AS BIGINT)"
-
-  /** DuckDB spelling of [[seededHexHash]]. */
-  def seededHexHashSql(seedExpr: String, expr: String): String =
-    hexHashSql(s"CAST($seedExpr AS VARCHAR) || '#' || $expr")
 
   /** Oracle-free fast path: native codegen'd xxhash64 (e.g. for salting). */
   def hash64(cols: Column*): Column = xxhash64(cols: _*)

@@ -162,7 +162,49 @@ object TextAnalysis {
       expr("compression_ratio(text)").as("deflate_ratio"))
   }
 
+  // ---- PII redaction --------------------------------------------------------
+
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRx = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing — standard curation pass before text enters a training
+    * corpus. The synthetic docs carry no PII, so the query deterministically
+    * plants an email + phone per document and then redacts them; the
+    * redaction expressions (global regexp_replace + match counting) are the
+    * operator under test, and the oracle replays both the planting and the
+    * scrub. Map-only, scan-speed at scale. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" contact: user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    documents(spark, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("raw"), EmailRx, "<EMAIL>"),
+          PhoneRx, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("raw"), lit(EmailRx), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRx), lit(0)))
+          .cast("long").as("n_phones"))
+  }
+
+  val piiScrubSql: String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\+1-555-[0-9]{4}"""
+    s"""SELECT doc_id,
+       |       regexp_replace(regexp_replace(raw, '$email', '<EMAIL>', 'g'),
+       |                      '$phone', '<PHONE>', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones
+       |FROM (SELECT doc_id,
+       |        text || ' contact: user' || doc_id || '@example.com or +1-555-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+       |      FROM documents)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub"        -> ((s, d) => piiScrub(s, d)),
     "q_token_count"      -> ((s, d) => tokenCount(s, d)),
     "q_text_quality"     -> ((s, d) => qualityScore(s, d)),
     "q_lang_id"          -> ((s, d) => langId(s, d)),
@@ -171,6 +213,7 @@ object TextAnalysis {
     "q_compress_signal"  -> ((s, d) => compressionSignal(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_pii_scrub"     -> piiScrubSql,
     "q_token_count"   -> tokenCountSql,
     "q_text_quality"  -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
