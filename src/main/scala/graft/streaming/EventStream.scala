@@ -76,9 +76,60 @@ object EventStream {
   /** Drive a stream synchronously into an in-memory table (test/demo
     * harness): returns the query name to SELECT from. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    df.sparkSession.catalog.dropTempView(name) // idempotent re-runs
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Batch-contract entry for the streaming path: streams the events table
+    * (AvailableNow-style — one synchronous pass over what's on disk)
+    * through the windowed aggregation in Complete mode and returns the
+    * result as a DataFrame. Deterministic: all data arrives in one batch,
+    * so the complete-mode output IS the full grouped aggregation — which is
+    * exactly what the DuckDB oracle computes batch-wise. Proves the
+    * incremental plan produces the batch answer (the streaming/batch parity
+    * Spark's model promises).
+    *
+    * events.ts is parquet TIMESTAMP(NANOS): the stream reads it as a raw
+    * long (same nanosAsLong path as [[graft.Tables.events]]) and converts
+    * to µs — streaming sources require an explicit schema anyway.
+    */
+  def streamingDailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema)
+      // file streams take a directory; glob down to the one events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+    runToMemory(agg, "graft_stream_daily", OutputMode.Complete)
+    spark.table("graft_stream_daily")
+      .select(col("window.start").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val streamingDailyAggSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |       count(*) AS n_events,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_daily" -> ((s, d) => streamingDailyAgg(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_daily" -> streamingDailyAggSql)
 }
