@@ -22,7 +22,8 @@ object SparkEntry {
     ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Sampling.queries ++ streaming.EventStream.queries
+      operators.Sampling.queries ++ streaming.EventStream.queries ++
+      ops.AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Sampling.oracles ++ streaming.EventStream.oracles
+      operators.Sampling.oracles ++ streaming.EventStream.oracles ++
+      ops.AsOfJoin.oracles
 }
