@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
-      ops.AsOfJoin.queries
+      ops.AsOfJoin.queries ++ ops.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
-      ops.AsOfJoin.oracles
+      ops.AsOfJoin.oracles ++ ops.RangeJoin.oracles
 }
