@@ -102,13 +102,16 @@ object Dedup {
   /** Exact duplicate groups by content hash. The groupBy key is the 60-bit
     * hash (8 bytes through the shuffle), never the text itself; min(doc_id)
     * is the canonical representative. Only groups with >1 member survive.
-    */
+    * member_ids is a comma-joined sorted id string (not an array): the
+    * driver's canonicalizer can't hash array cells, and the string form is
+    * deterministic on both engines. */
   def exactDedup(spark: SparkSession, d: String): DataFrame =
     docsWithInjectedDups(spark, d)
       .groupBy(Hashing.hexHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"),
-        sort_array(collect_list(col("doc_id"))).as("member_ids"))
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("member_ids"))
       .where(col("n_copies") > 1)
       .orderBy("keep_doc_id")
 
@@ -116,7 +119,7 @@ object Dedup {
     s"""SELECT ${Hashing.hexHashSql("text")} AS content_hash,
        |       min(doc_id) AS keep_doc_id,
        |       count(*) AS n_copies,
-       |       list(doc_id ORDER BY doc_id) AS member_ids
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
        |FROM (${docsWithInjectedDupsSql()})
        |GROUP BY 1 HAVING count(*) > 1
        |ORDER BY keep_doc_id""".stripMargin
@@ -160,11 +163,18 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
+  /** Driver-facing signature query: the 12-long signature comma-joined to a
+    * string (the driver's canonicalizer can't hash array cells). element_at
+    * + concat_ws stays codegen'd; [[minhashSigDf]] keeps the array form for
+    * LSH composition. */
   def minhashSig(spark: SparkSession, d: String): DataFrame =
     minhashSigDf(documents(spark, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        concat_ws(",", (0 until NumHashes).map(i =>
+          element_at(col("minhash"), i + 1).cast("string")): _*).as("minhash"))
 
   val minhashSigSql: String =
-    s"""SELECT doc_id, ${signatureFromBaseSql("h0")} AS minhash
+    s"""SELECT doc_id, array_to_string(${signatureFromBaseSql("h0")}, ',') AS minhash
        |FROM (SELECT doc_id, $baseHashesSql AS h0 FROM documents)""".stripMargin
 
   // ---- MinHash + LSH near-dup pairs -----------------------------------------

@@ -72,7 +72,11 @@ object Multimodal {
         thumb_w = math.max(1, math.floor(r.width * scale).toInt),
         thumb_h = math.max(1, math.floor(r.height * scale).toInt),
         n_frames = math.ceil(r.payload.length / FrameBytes.toDouble).toInt,
-        mean_byte = sum.toDouble / r.payload.length)
+        // empty payload: 0.0, not NaN — keeps the feature column total and
+        // mirrors the oracle's CASE (DuckDB's list_sum over an empty range
+        // would yield NULL, silently diverging)
+        mean_byte = if (r.payload.isEmpty) 0.0
+                    else sum.toDouble / r.payload.length)
     }
   }
 
@@ -99,8 +103,10 @@ object Multimodal {
        |  CAST(greatest(1, floor(((n_chars*7) % 480 + 16) *
        |    least(1.0, $ThumbBox/(n_chars % 640 + 16), $ThumbBox/((n_chars*7) % 480 + 16)))) AS INT) AS thumb_h,
        |  CAST(ceil(length(text) / ${FrameBytes.toDouble}) AS INT) AS n_frames,
-       |  list_sum(list_transform(generate_series(1, length(text)),
-       |    i -> ascii(substring(text, i, 1)))) / CAST(length(text) AS DOUBLE) AS mean_byte
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(generate_series(1, length(text)),
+       |         i -> ascii(substring(text, i, 1)))) / CAST(length(text) AS DOUBLE)
+       |  END AS mean_byte
        |FROM documents""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

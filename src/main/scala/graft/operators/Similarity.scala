@@ -91,15 +91,22 @@ object Similarity {
 
   /** Sign-bit LSH signature: bit p = 1 iff dot(w_p, x) > 0, packed into a
     * long bucket id. Plane vectors are literal arrays (constant-folded into
-    * codegen); supports dim ≤ [[MaxDim]]. */
-  def lshSignature(emb: Column): Column =
-    (0 until Planes).map { p =>
+    * codegen); supports dim ≤ [[MaxDim]] — larger embeddings raise at run
+    * time rather than silently landing every vector in bucket 0 (zip_with
+    * would pad the sliced plane with nulls and null out the dot product). */
+  def lshSignature(emb: Column): Column = {
+    val sig = (0 until Planes).map { p =>
       when(aggregate(
           zip_with(emb, slice(planeLit(p), lit(1), size(emb)),
             (x, w) => x * w),
           lit(0.0), (acc, x) => acc + x) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(emb) > MaxDim,
+      raise_error(format_string(
+        s"lshSignature: embedding dim %s exceeds MaxDim=$MaxDim", size(emb))))
+      .otherwise(sig)
+  }
 
   val lshSignatureSql: String = {
     val comp = planeComponentSql("p", "j - 1")

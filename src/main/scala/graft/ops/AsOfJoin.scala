@@ -46,11 +46,15 @@ object AsOfJoin {
       .orderBy(col(ts).asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightPayload = r.columns.filterNot(c => c == key || c == "__side")
-    val carried = rightPayload.foldLeft(u) { (acc, c) =>
-      acc.withColumn(s"__asof_$c",
-        last(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 0)
+    // carry the ENTIRE right row as one struct through a single
+    // last(ignoreNulls): per-column carries would back-fill a NULL payload
+    // column from an OLDER right row, stitching values of different rows
+    val carried = u.withColumn("__asof_row",
+      last(when(col("__side") === 1, struct(rightPayload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    rightPayload.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"__asof_$c", col("__asof_row").getField(c))
+    }.drop("__asof_row").where(col("__side") === 0)
   }
 
   /** Each event joined to that user's most recent signup at-or-before it

@@ -137,16 +137,28 @@ object ScalarOps {
     "SELECT vec_id, unnest(embedding) AS val FROM embeddings"
 
   // --- F1+A1 inverse: explode then re-bag (collect_list round-trip) --------
+  // The re-bagged list is emitted as a comma-joined string of values
+  // quantized to 1e-6 (floor(val*1e6) in exact double arithmetic — identical
+  // in both engines): the driver's canonicalizer can't hash array cells, and
+  // raw float→string formatting differs across engines (Java scientific
+  // notation under 1e-3 vs DuckDB decimal form).
   def rebagEmbeddings(spark: SparkSession, d: String): DataFrame =
     embeddings(spark, d)
       .select(col("vec_id"), col("label"), explode(col("embedding")).as("val"))
+      .select(col("vec_id"), col("label"),
+        floor(col("val").cast("double") * lit(1000000.0)).as("qval"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sort_array(collect_list(col("val"))).as("sorted_vals"),
+      .agg(array_join(transform(sort_array(collect_list(col("qval"))),
+          _.cast("string")), ",").as("sorted_vals"),
         count(lit(1)).as("dim"))
 
   val rebagEmbeddingsSql: String =
-    """SELECT vec_id, label, list(val ORDER BY val) AS sorted_vals, count(*) AS dim
-      |FROM (SELECT vec_id, label, unnest(embedding) AS val FROM embeddings) t
+    """SELECT vec_id, label,
+      |       string_agg(CAST(qval AS VARCHAR), ',' ORDER BY qval) AS sorted_vals,
+      |       count(*) AS dim
+      |FROM (SELECT vec_id, label,
+      |             CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS qval
+      |      FROM (SELECT vec_id, label, unnest(embedding) AS val FROM embeddings) t0) t
       |GROUP BY vec_id, label""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -14,7 +14,7 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.length === 20)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_copies") === 2L)
-      val members = r.getAs[scala.collection.Seq[Long]]("member_ids")
+      val members = r.getAs[String]("member_ids").split(",").map(_.toLong).toSeq
       assert(members.contains(r.getAs[Long]("keep_doc_id")))
       // injected copy is original + 1000000
       assert(members.map(_ % 1000000L).distinct.length === 1)
