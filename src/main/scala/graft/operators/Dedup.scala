@@ -147,14 +147,13 @@ object Dedup {
       s"list_min(list_transform($h0, h -> (h * ${seedA(i)} + ${seedB(i)}) % ${Hashing.P31}))"
     }.mkString(", ") + "]"
 
-  /** MinHash signatures via explode + codegen'd hash aggregation — the
-    * scale form. One shuffle of (doc_id, shingle-hash) rows; the 12 mins
-    * run partial+final in a whole-stage-codegen HashAggregate. (The
-    * array-lambda formulation is interpreted — Spark HOFs don't codegen —
-    * and was the dominant cost of the pairs query.) */
-  def minhashSigDf(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs, distinct = false)
-      .select(col("doc_id"), Hashing.smallHash(col("s")).as("h"))
+  /** MinHash signatures from (doc_id, s) shingle ROWS via codegen'd hash
+    * aggregation: the 12 mins run partial+final in a whole-stage-codegen
+    * HashAggregate. min is duplicate-insensitive, so distinct and
+    * non-distinct shingle rows give identical signatures — callers reuse
+    * whichever frontier they already have. */
+  def minhashFromShingleRows(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), Hashing.smallHash(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(i =>
       min(pmod(col("h") * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31)))
         .as(s"m$i"))
@@ -162,6 +161,13 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
+
+  /** MinHash signatures via explode + codegen'd hash aggregation — the
+    * scale form. One shuffle of (doc_id, shingle-hash) rows. (The
+    * array-lambda formulation is interpreted — Spark HOFs don't codegen —
+    * and was the dominant cost of the pairs query.) */
+  def minhashSigDf(docs: DataFrame): DataFrame =
+    minhashFromShingleRows(shingleRows(docs, distinct = false))
 
   /** Driver-facing signature query: the 12-long signature comma-joined to a
     * string (the driver's canonicalizer can't hash array cells). element_at
@@ -196,8 +202,13 @@ object Dedup {
     // both verify probes — measured 24 parquet re-scans per run; exchange
     // reuse does not fire across self-join branches). Same pattern as
     // persisting the signature table on a real cluster before LSH fan-out.
+    // ONE shingle derivation feeds both the signatures and the Jaccard
+    // verify (min is duplicate-insensitive, so the distinct rows serve
+    // both) — the posexplode+window shingle pass is the expensive part and
+    // used to run twice.
     val base = docsWithInjectedDups(spark, d)
-    val sigs = minhashSigDf(base).localCheckpoint()
+    val sh = shingleRows(base).localCheckpoint()
+    val sigs = minhashFromShingleRows(sh).localCheckpoint()
 
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map(b =>
@@ -217,7 +228,6 @@ object Dedup {
     // shingle rows of each side, count matching shingles (|∩|), combine
     // with per-doc distinct-shingle counts — joins + hash aggs, all
     // codegen'd, no per-pair array materialization
-    val sh = shingleRows(base).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     val inter = candidates
@@ -380,7 +390,14 @@ object Dedup {
     * pair — everything whole-stage codegen'd through joins and hash
     * aggregates, no per-pair interpreted array_intersect, and at scale the
     * gram join partitions across the cluster instead of holding both gram
-    * arrays per candidate pair in memory. */
+    * arrays per candidate pair in memory.
+    *
+    * Grams ride the shuffles as PACKED 24-BIT INTS (byte₁·2¹⁶+byte₂·2⁸+byte₃
+    * over the ASCII corpus — injective, so counts are identical to string
+    * grams): the dedup shuffle, the gram equi-join, and the hash tables all
+    * compare ints instead of 3-char strings. Texts shorter than 3 chars pack
+    * their 0-2 bytes the same way (third byte 0 — unreachable by real grams,
+    * so no cross-collisions). */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val base = documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
@@ -388,17 +405,20 @@ object Dedup {
       base.where(col("doc_id") < 20)
         .select((col("doc_id") + lit(1000000)).as("doc_id"),
           col("lang"), col("source"), col("n_chars"), col("text")))
-    // char-3-gram ROWS via position explode + dynamic substr — codegen'd
-    // end to end (the array-lambda gramsCol is interpreted); distinct per
-    // doc for set semantics. Short texts (<3 chars) contribute themselves.
+    def byteAt(i: Column): Column = ascii(col("text").substr(i, lit(1)))
     val grams = injected
       .select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / lit(10.0)).cast("int").as("len_bucket"),
         col("text"),
         explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("p"))
       .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
-        when(length(col("text")) >= 3, col("text").substr(col("p"), lit(3)))
-          .otherwise(col("text")).as("gram"))
+        when(length(col("text")) >= 3,
+          byteAt(col("p")) * lit(65536) + byteAt(col("p") + 1) * lit(256) +
+            byteAt(col("p") + 2))
+          // short text: p is always 1; ascii of an out-of-range substr is 0
+          // on both engines, so this packs 0-2 bytes with trailing zeros
+          .otherwise(byteAt(lit(1)) * lit(65536) + byteAt(lit(2)) * lit(256))
+          .as("gram"))
       .dropDuplicates("doc_id", "gram")
       .localCheckpoint() // shared by both self-join sides + the size rollup
 
@@ -431,8 +451,11 @@ object Dedup {
        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 10.0) AS INT) AS len_bucket,
        |         list_distinct(CASE WHEN length(text) >= 3
        |           THEN list_transform(generate_series(1, length(text) - 2),
-       |                  i -> substring(text, i, 3))
-       |           ELSE [text] END) AS g
+       |                  i -> ascii(substring(text, i, 1))*65536 +
+       |                       ascii(substring(text, i+1, 1))*256 +
+       |                       ascii(substring(text, i+2, 1)))
+       |           ELSE [ascii(substring(text, 1, 1))*65536 +
+       |                 ascii(substring(text, 2, 1))*256] END) AS g
        |  FROM injected
        |)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,

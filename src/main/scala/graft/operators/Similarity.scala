@@ -74,6 +74,15 @@ object Similarity {
   /** Max supported embedding dimension for the literal hyperplane table. */
   val MaxDim = 128
 
+  /** Quantization scale: embeddings are floored to 1e-6 grid ints before the
+    * plane projection, so every dot product is EXACT integer arithmetic —
+    * order-independent, which is what legalizes the codegen'd explode+agg
+    * formulation ([[lshBucketsDf]]): a float dot's sign near zero depends on
+    * summation order, so a distributed sum could disagree with the oracle's
+    * sequential fold. Bucketing quality is unaffected (1e-6 jitter on a
+    * random hyperplane sign test). */
+  val QuantScale = 1000000.0
+
   /** Deterministic pseudo-random hyperplane component w[p][j] ∈ [-500, 500),
     * derived from the cross-engine hash. Evaluated ONCE at plan-build time
     * (driver-side) and embedded as literals — the per-row-per-element md5
@@ -84,22 +93,24 @@ object Similarity {
     Math.floorMod(Hashing.hexHashLocal(s"$p:$j"), 1000L) - 500L
 
   private def planeLit(p: Int): Column =
-    array((0 until MaxDim).map(j => lit(planeComponent(p, j).toDouble)): _*)
+    array((0 until MaxDim).map(j => lit(planeComponent(p, j))): _*)
 
   private def planeComponentSql(p: String, j: String): String =
     s"${Hashing.hexHashSql(s"CAST($p AS VARCHAR) || ':' || CAST($j AS VARCHAR)")} % 1000 - 500"
 
-  /** Sign-bit LSH signature: bit p = 1 iff dot(w_p, x) > 0, packed into a
-    * long bucket id. Plane vectors are literal arrays (constant-folded into
-    * codegen); supports dim ≤ [[MaxDim]] — larger embeddings raise at run
+  /** Sign-bit LSH signature as a single Column (higher-order functions):
+    * bit p = 1 iff ⟨w_p, floor(x·1e6)⟩ > 0, packed into a long bucket id.
+    * Correct but INTERPRETED — the executable spec; [[lshBucketsDf]] is the
+    * scale form. Supports dim ≤ [[MaxDim]] — larger embeddings raise at run
     * time rather than silently landing every vector in bucket 0 (zip_with
     * would pad the sliced plane with nulls and null out the dot product). */
   def lshSignature(emb: Column): Column = {
+    val xq = transform(emb, x => floor(x * lit(QuantScale)))
     val sig = (0 until Planes).map { p =>
       when(aggregate(
-          zip_with(emb, slice(planeLit(p), lit(1), size(emb)),
+          zip_with(xq, slice(planeLit(p), lit(1), size(emb)),
             (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x) > 0,
+          lit(0L), (acc, x) => acc + x) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     when(size(emb) > MaxDim,
@@ -113,16 +124,41 @@ object Similarity {
     s"""list_reduce(list_transform(generate_series(0, ${Planes - 1}),
        |  p -> CASE WHEN list_reduce(list_transform(
        |              generate_series(1, len(CAST(embedding AS DOUBLE[]))),
-       |              j -> CAST(embedding AS DOUBLE[])[j] * CAST($comp AS DOUBLE)),
+       |              j -> CAST(floor(CAST(embedding AS DOUBLE[])[j] * $QuantScale) AS BIGINT)
+       |                     * ($comp)),
        |            (x, y) -> x + y) > 0
        |       THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
        |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
   }
 
+  /** LSH buckets via posexplode + codegen'd hash aggregation — the scale
+    * form (HOFs don't codegen). One shuffle of (vec_id, pos, xq) int rows;
+    * the 16 plane dots run as primitive-long sums in a whole-stage-codegen
+    * HashAggregate with plane weights fetched from constant-folded literal
+    * arrays. Exact integer dots ⇒ identical to [[lshSignature]] and to the
+    * oracle regardless of partitioning. Input `e`: (vec_id, emb). */
+  def lshBucketsDf(e: DataFrame): DataFrame = {
+    val checked = e.select(col("vec_id"),
+      when(size(col("emb")) > MaxDim,
+        raise_error(format_string(
+          s"lshSignature: embedding dim %s exceeds MaxDim=$MaxDim",
+          size(col("emb")))))
+        .otherwise(col("emb")).as("emb"))
+    val rows = checked
+      .select(col("vec_id"), posexplode(col("emb")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col") * lit(QuantScale)).as("xq"))
+    val aggs = (0 until Planes).map(p =>
+      sum(col("xq") * element_at(planeLit(p), col("pos") + 1)).as(s"d$p"))
+    val packed = (0 until Planes).map(p =>
+      when(col(s"d$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), packed.as("bucket"))
+  }
+
   /** Per-vector LSH bucket assignment (the signature itself, oracle-checked). */
   def lshBuckets(spark: SparkSession, d: String): DataFrame =
-    embDouble(spark, d)
-      .select(col("vec_id"), lshSignature(col("emb")).as("bucket"))
+    lshBucketsDf(embDouble(spark, d).select(col("vec_id"), col("emb")))
 
   val lshBucketsSql: String =
     s"SELECT vec_id, $lshSignatureSql AS bucket FROM embeddings"
@@ -130,16 +166,17 @@ object Similarity {
   /** ANN near-dup pairs: vectors sharing an LSH bucket, verified by exact
     * cosine ≥ threshold. Injected duplicate vectors (vec_id+1000000 for
     * vec_id < 10) guarantee verifiable hits on the random corpus. Candidate
-    * generation is the bucket self-join — never the full cross product. */
+    * generation is the bucket self-join — never the full cross product; the
+    * interpreted-HOF cosine runs on candidates only. */
   def annPairs(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
     val base = embDouble(spark, d).select(col("vec_id"), col("emb"))
     val e = base.union(
       base.where(col("vec_id") < 10)
         .select((col("vec_id") + lit(1000000)).as("vec_id"), col("emb")))
-    // materialized once for the self-join fan-out (signature is an
-    // interpreted-HOF expression; see Dedup.minhashPairs for rationale)
-    val sig = e.select(col("vec_id"), col("emb"), lshSignature(col("emb")).as("bucket"))
-      .localCheckpoint()
+    // buckets from the codegen path, embeddings re-attached by key;
+    // materialized once for the self-join fan-out (see Dedup.minhashPairs:
+    // exchange reuse does not fire across self-join branches)
+    val sig = lshBucketsDf(e).join(e, Seq("vec_id")).localCheckpoint()
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

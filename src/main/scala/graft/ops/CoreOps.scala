@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Money
 
 /** Core parity queries — the reference's flagship computation shape plus the
   * headline aggregation, expressed Spark-first over the synthetic tables.
@@ -49,7 +50,12 @@ object CoreOps {
         o("o_orderkey"), o("o_custkey"), o("o_orderstatus"),
         o("o_totalprice"), o("o_orderdate"),
         bagged("bagged_items"), bagged("n_items"))
-      .dropDuplicates()
+      // A2 dedup keyed on the row key, not all columns: o_orderkey is unique
+      // post-join, so the output set is identical, but the dedup reuses the
+      // join's orderkey partitioning (no exchange) instead of re-shuffling
+      // every row by the hash of all 7 columns INCLUDING the JSON bag — at
+      // scale that full-row shuffle is the dominant cost of the query
+      .dropDuplicates("o_orderkey")
       .orderBy("o_orderkey")
   }
 
@@ -70,10 +76,12 @@ object CoreOps {
       |ON o.o_orderkey = b.l_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
 
-  /** Headline aggregation (TPC-H Q1 shape over lineitem). Money sums go
-    * through decimal(18,2) so Spark and DuckDB agree bit-for-bit regardless
-    * of fp summation order; avg stays double because l_quantity is
-    * integral-valued (exact in fp).
+  /** Headline aggregation (TPC-H Q1 shape over lineitem). Money sums run on
+    * exact integer units summed as primitive longs ([[Money]] — bit-exact
+    * across engines like the decimal form, but whole-stage-codegen'd with
+    * no per-row BigDecimal, and split-accumulated so nothing overflows at
+    * cluster scale); avg stays double because l_quantity is integral-valued
+    * (exact in fp).
     *
     * Scale: partial (map-side) + final hash aggregation on a low-cardinality
     * key — the canonical 100 TB-safe shape.
@@ -83,21 +91,18 @@ object CoreOps {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
-          .cast("double").as("sum_base_price"),
-        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
-          .cast("double").as("sum_disc_price"),
+        Money.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Money.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
-      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_base_price,
+      |       ${Money.revenueSumSql("l_extendedprice", "l_discount")} AS sum_disc_price,
       |       avg(l_quantity) AS avg_qty,
       |       count(*) AS count_order
       |FROM lineitem

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Money
 
 /** Relational parity operators — SURVEY §2.3/§2.4/§2.5/§2.7/§2.8 plus the
   * window-ranking extension (§2.6, README.md:28 wish list).
@@ -15,19 +16,15 @@ import graft.Tables._
   */
 object RelationalOps {
 
-  /** Exact revenue sum: both factors go to decimal BEFORE the multiply so
-    * every per-row product is exact (a double product cast to decimal would
-    * round differently in Spark vs DuckDB); rounded double at the boundary
-    * so engines hash identically regardless of fp summation order. */
+  /** Exact revenue sum in integer units summed as primitive longs — see
+    * [[graft.functions.Money]]: bit-exact across engines like the decimal
+    * form, but codegen'd and overflow-safe at cluster scale. */
   private def revenueSum(price: org.apache.spark.sql.Column,
       discount: org.apache.spark.sql.Column) =
-    round(sum(price.cast("decimal(18,2)") *
-      (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))), 2)
-      .cast("double")
+    Money.revenueSum(price, discount)
 
   private val revenueSumSql =
-    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    Money.revenueSumSql("l_extendedprice", "l_discount")
 
   // --- J1: left outer equi-join, composite 2-column condition -------------
   // Mirror of tracks⋈bagged_artists on (played_at, track_id)
@@ -215,23 +212,26 @@ object RelationalOps {
       |WHERE rn <= 3""".stripMargin
 
   // --- window running sum per customer ------------------------------------
-  // Decimal accumulation inside the frame, double at the boundary: the
-  // per-row prefix sums are exact, so engines agree on every row.
+  // Exact integer cents accumulate in a primitive long inside the frame
+  // (per-customer partitions bound the accumulator far below overflow),
+  // rounded-double dollars at the boundary: every per-row prefix sum is
+  // exact, so engines agree on every row.
   def windowRunning(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(spark, d)
       .withColumn("running_spend",
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 2).cast("double"))
+        Money.centsToDollars(sum(Money.cents(col("o_totalprice"))).over(w)))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
   }
 
   val windowRunningSql: String =
-    """SELECT o_custkey, o_orderkey, o_orderdate,
-      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+    s"""SELECT o_custkey, o_orderkey, o_orderdate,
+      |       ${Money.centsToDollarsSql(
+             s"""sum(${Money.centsSql("o_totalprice")})
       |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")}
       |         AS running_spend
       |FROM orders""".stripMargin
 

@@ -90,20 +90,21 @@ object ScalarOps {
 
   // --- time-bucketed aggregation over the event stream table ---------------
   // Daily rollup: partial+final hash agg on a derived low-cardinality key;
-  // countDistinct plans as two-phase expand+agg (scale-safe).
+  // countDistinct plans as two-phase expand+agg (scale-safe). The money sum
+  // runs on exact integer cents summed as primitive longs (Money).
   def dailyAgg(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
       .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("dt", "event_type")
 
   val dailyAggSql: String =
-    """SELECT CAST(ts AS DATE) AS dt, event_type,
+    s"""SELECT CAST(ts AS DATE) AS dt, event_type,
       |       count(*) AS n_events,
-      |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY CAST(ts AS DATE), event_type

@@ -111,7 +111,7 @@ object EventStream {
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
     runToMemory(agg, "graft_stream_daily", OutputMode.Complete)
     spark.table("graft_stream_daily")
       .select(col("window.start").cast("timestamp_ntz").as("day"),
@@ -120,9 +120,9 @@ object EventStream {
   }
 
   val streamingDailyAggSql: String =
-    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+    s"""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
       |       count(*) AS n_events,
-      |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
