@@ -20,6 +20,7 @@ object SparkEntry {
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.RelationalOps.queries ++ ops.ScalarOps.queries ++
+      ops.AnalyticOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracles ++ ops.RelationalOps.oracles ++ ops.ScalarOps.oracles ++
+      ops.AnalyticOps.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++

@@ -201,13 +201,128 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---- IVF-style coarse-quantizer ANN ---------------------------------------
+
+  /** Number of inverted-file cells (coarse centroids). */
+  val IvfCells = 8
+
+  /** Deterministic pseudo-random centroid component in quantized space
+    * (±0.5 after the 1e-6 quantization), same plan-time-literal scheme as
+    * [[planeComponent]] — a stand-in for trained k-means centroids (training
+    * is an offline job; the serving-path operator is what's built here). */
+  def centroidComponent(k: Int, j: Int): Long =
+    Math.floorMod(Hashing.hexHashLocal(s"ivf$k:$j"), 1000001L) - 500000L
+
+  private def centroidLit(k: Int): Column =
+    array((0 until MaxDim).map(j => lit(centroidComponent(k, j))): _*)
+
+  private def centroidComponentSql(k: String, j: String): String =
+    s"${Hashing.hexHashSql(s"'ivf' || CAST($k AS VARCHAR) || ':' || CAST($j AS VARCHAR)")}" +
+      " % 1000001 - 500000"
+
+  /** IVF cell assignment via posexplode + codegen'd hash agg: cell =
+    * argmin_k Σ_j (xq_j − c_k[j])² over quantized ints — exact integer
+    * distances, order-independent, ties broken toward the lowest k. Same
+    * scale shape as [[lshBucketsDf]]: one shuffle of int rows, 8 primitive
+    * sums per vector. Input `e` must carry (vec_id, emb). */
+  def ivfAssignDf(e: DataFrame): DataFrame = {
+    val checked = e.select(col("vec_id"),
+      when(size(col("emb")) > MaxDim,
+        raise_error(format_string(
+          s"ivfAssign: embedding dim %s exceeds MaxDim=$MaxDim",
+          size(col("emb")))))
+        .otherwise(col("emb")).as("emb"))
+    val rows = checked
+      .select(col("vec_id"), posexplode(col("emb")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col") * lit(QuantScale)).as("xq"))
+    val aggs = (0 until IvfCells).map { k =>
+      val dkj = col("xq") - element_at(centroidLit(k), col("pos") + 1)
+      sum(dkj * dkj).as(s"d$k")
+    }
+    val minD = least((0 until IvfCells).map(k => col(s"d$k")): _*)
+    val cell = (0 until IvfCells).foldRight(lit(-1)) { (k, acc) =>
+      when(col(s"d$k") === minD, lit(k)).otherwise(acc)
+    }
+    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), cell.cast("int").as("cell"))
+  }
+
+  private def ivfDistSql(k: Int, emb: String): String = {
+    val comp = centroidComponentSql(k.toString, "j - 1")
+    val xq = s"CAST(floor(CAST($emb AS DOUBLE[])[j] * $QuantScale) AS BIGINT)"
+    s"list_reduce(list_transform(generate_series(1, len(CAST($emb AS DOUBLE[]))), " +
+      s"j -> ($xq - ($comp)) * ($xq - ($comp))), (x, y) -> x + y)"
+  }
+
+  /** DuckDB cell assignment: FROM-clause fragment computing (vec_id …, cell)
+    * from `embeddings`-shaped rows — d0..d7 in a subquery, argmin CASE chain
+    * in the same lowest-k tie order as the Spark side. */
+  private def ivfCellsFromSql(extraCols: String): String = {
+    val dists = (0 until IvfCells)
+      .map(k => s"${ivfDistSql(k, "embedding")} AS d$k").mkString(",\n         ")
+    val least = s"least(${(0 until IvfCells).map(k => s"d$k").mkString(", ")})"
+    val cases = (0 until IvfCells)
+      .map(k => s"WHEN d$k = m THEN $k").mkString(" ")
+    s"""(SELECT vec_id$extraCols, CAST(CASE $cases END AS INT) AS cell
+       |   FROM (SELECT vec_id$extraCols, $least AS m,
+       |         ${(0 until IvfCells).map(k => s"d$k").mkString(", ")}
+       |         FROM (SELECT vec_id$extraCols,
+       |         $dists
+       |         FROM embeddings)))""".stripMargin
+  }
+
+  /** Per-vector IVF cell assignment (oracle-checked, like [[lshBuckets]]). */
+  def ivfCells(spark: SparkSession, d: String): DataFrame =
+    ivfAssignDf(embDouble(spark, d).select(col("vec_id"), col("emb")))
+
+  val ivfCellsSql: String =
+    s"SELECT vec_id, cell FROM ${ivfCellsFromSql("")}"
+
+  /** IVF probe: exact cosine top-k restricted to the query vector's cell —
+    * the serving-path plan: the corpus is bucketed once (at 100 TB,
+    * partitioned/clustered by cell on disk), a query probes only its own
+    * cell(s), and the exact scoring touches a 1/[[IvfCells]] slice. The
+    * one-row query side (embedding + cell) is broadcast. */
+  def ivfTopK(spark: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embDouble(spark, d)
+    // materialized once: the query-side probe and the cell scan both read it
+    // (a lazy plan would run the assignment aggregation twice)
+    val withCell = e.join(ivfAssignDf(e.select(col("vec_id"), col("emb"))), Seq("vec_id"))
+      .localCheckpoint()
+    val q = withCell.where(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), col("cell").as("q_cell"))
+    withCell.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKSql(queryId: Long = 0L, k: Int = 10): String = {
+    val cos = cosineSql("CAST(c.embedding AS DOUBLE[])", "CAST(q.embedding AS DOUBLE[])")
+    s"""WITH cells AS (
+       |  SELECT vec_id, label, embedding, cell
+       |  FROM ${ivfCellsFromSql(", label, embedding")}
+       |), q AS (SELECT embedding, cell FROM cells WHERE vec_id = $queryId)
+       |SELECT c.vec_id, c.label, $cos AS cos_sim
+       |FROM cells c, q
+       |WHERE c.cell = q.cell AND c.vec_id <> $queryId
+       |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "q_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
-    "q_ann_pairs"   -> ((s, d) => annPairs(s, d)))
+    "q_ann_pairs"   -> ((s, d) => annPairs(s, d)),
+    "q_ivf_cells"   -> ((s, d) => ivfCells(s, d)),
+    "q_ivf_topk"    -> ((s, d) => ivfTopK(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql(),
     "q_lsh_buckets" -> lshBucketsSql,
-    "q_ann_pairs"   -> annPairsSql())
+    "q_ann_pairs"   -> annPairsSql(),
+    "q_ivf_cells"   -> ivfCellsSql,
+    "q_ivf_topk"    -> ivfTopKSql())
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Money
+
+/** Analytic aggregation extensions beyond the reference surface: ROLLUP
+  * grouping sets, pivot (long→wide), exact percentiles, and a full outer
+  * join — the aggregate shapes a warehouse user of the reference's BigQuery
+  * backend would reach for next.
+  *
+  * Scale notes: rollup/pivot are partial+final hash aggregations on
+  * low-cardinality keys (the pivot's value list is a fixed literal set, so
+  * the wide row is bounded); exact percentile shuffles each group's values —
+  * fine for bounded groups, and the Scaladoc points to approx_percentile
+  * (t-digest sketch, mergeable map-side) as the 100 TB drop-in.
+  */
+object AnalyticOps {
+
+  // --- ROLLUP grouping sets -------------------------------------------------
+  // Subtotal + grand-total rows in one pass: Spark plans Expand + hash agg
+  // (each input row fans out once per grouping set — no extra scan per
+  // level). grouping_id disambiguates NULL-as-subtotal from NULL data.
+  def rollupAgg(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        Money.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val rollupAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // --- pivot (long → wide) --------------------------------------------------
+  // Explicit value list (no discovery pass over the data, deterministic
+  // column set at any scale); absent combinations coalesce to 0 so the wide
+  // table is total.
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotDaily(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("dt") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("dt")
+
+  val pivotDailySql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n      |       ")
+    s"""SELECT CAST(ts AS DATE) AS dt,
+      |       $cols
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY dt""".stripMargin
+  }
+
+  // --- exact percentiles ----------------------------------------------------
+  // Exact interpolated quantiles (Spark `percentile` ≡ DuckDB quantile_cont:
+  // lower + frac·(upper−lower) at rank (n−1)·q — exact doubles on the
+  // integral quantity domain, so both engines agree bit-for-bit). At 100 TB
+  // swap in approx_percentile: a mergeable sketch that keeps the
+  // aggregation partial+final instead of materializing each group's values.
+  def quantiles(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("q_min"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        max(col("l_quantity")).as("q_max"))
+      .orderBy("l_returnflag")
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |       min(l_quantity) AS q_min,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.75) AS p75,
+      |       max(l_quantity) AS q_max
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- full outer join ------------------------------------------------------
+  // Both sides contribute unmatched rows (high-balance customers without
+  // finished orders; finished-order customers below the balance cut) — the
+  // join key coalesces across sides. Same hash-join physics as J1/J2.
+  def fullJoin(spark: SparkSession, d: String): DataFrame = {
+    val rich = customer(spark, d)
+      .where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val finished = orders(spark, d)
+      .where(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(Money.moneySum(col("o_totalprice")).as("f_spend"))
+    rich.join(finished, Seq("c_custkey"), "full_outer")
+      .orderBy("c_custkey")
+  }
+
+  val fullJoinSql: String =
+    s"""SELECT c_custkey, c_acctbal, f_spend
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) r
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey AS c_custkey,
+      |         ${Money.moneySumSql("o_totalprice")} AS f_spend
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  GROUP BY o_custkey) f
+      |USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup"    -> (rollupAgg _),
+    "q_pivot"     -> (pivotDaily _),
+    "q_quantiles" -> (quantiles _),
+    "q_join_full" -> (fullJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q_rollup"    -> rollupAggSql,
+    "q_pivot"     -> pivotDailySql,
+    "q_quantiles" -> quantilesSql,
+    "q_join_full" -> fullJoinSql)
+}

@@ -43,7 +43,11 @@ object EventStream {
       user_id: Long, event_type: String, value: Double)
   final case class SessionUpdate(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
-  final case class SessionState(n_events: Long, total_value: Double)
+  /** State accumulates exact integer CENTS, not doubles: the fold order over
+    * a group's iterator depends on shuffle internals, and a double sum would
+    * be order-dependent in its last ulp — cents make the emitted total
+    * deterministic (and oracle-checkable) under any partitioning. */
+  final case class SessionState(n_events: Long, total_cents: Long)
 
   /** Per-user session accumulation with processing-time timeout: each batch
     * folds new events into per-user state; on timeout the session closes and
@@ -60,15 +64,15 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(userId, s.n_events, s.total_value, closed = true)
+            SessionUpdate(userId, s.n_events, s.total_cents / 100.0, closed = true)
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
-            val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
-              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val (n, c) = batch.foldLeft((prev.n_events, prev.total_cents)) {
+              case ((cn, cc), e) => (cn + 1, cc + math.round(e.value * 100))
             }
-            state.update(SessionState(n, v))
+            state.update(SessionState(n, c))
             if (useTimeout) state.setTimeoutDuration("30 seconds")
-            SessionUpdate(userId, n, v, closed = false)
+            SessionUpdate(userId, n, c / 100.0, closed = false)
           }
       }
   }
@@ -127,9 +131,51 @@ object EventStream {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** Batch-contract entry for STATEFUL streaming: the whole events table
+    * arrives as one micro-batch (file source, no maxFilesPerTrigger cap),
+    * flows through `mapGroupsWithState` sessionization in Update mode, and
+    * the per-user session rollups are returned. Deterministic because state
+    * accumulates integer cents (see [[SessionState]]) — so the custom-state
+    * operator itself is oracle-checked against the equivalent batch
+    * aggregation, not just spec'd. */
+  def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    // NoTimeout: the synchronous one-batch drive never fires timers, so each
+    // user's final Update-mode row is the complete session rollup
+    val sessions = sessionize(stream, GroupStateTimeout.NoTimeout)
+    runToMemory(sessions.toDF(), "graft_stream_sessions", OutputMode.Update)
+    spark.table("graft_stream_sessions")
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: the batch answer to the session rollup — cents summed exactly,
+    * divided once at the boundary (same op order as the state fold's emit). */
+  val streamingSessionsSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(${graft.functions.Money.centsSql("value")}) AS DOUBLE) / 100.0
+      |         AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_daily" -> ((s, d) => streamingDailyAgg(s, d)))
+    "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
+    "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "q_stream_daily" -> streamingDailyAggSql)
+    "q_stream_daily"    -> streamingDailyAggSql,
+    "q_stream_sessions" -> streamingSessionsSql)
 }

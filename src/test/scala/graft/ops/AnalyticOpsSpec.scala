@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the analytic-aggregation extensions at sf0.001
+  * (exact values are DuckDB-oracle-checked at sf0.01; these assert the
+  * properties that must hold at any scale). */
+class AnalyticOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("rollup emits leaf, subtotal, and grand-total levels that reconcile") {
+    val rows = AnalyticOps.rollupAgg(spark, d).collect()
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0L)
+    val subtotals = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1)
+    assert(leaves.map(_.getAs[Long]("n_rows")).sum ===
+      grand.head.getAs[Long]("n_rows"))
+    assert(subtotals.map(_.getAs[Long]("n_rows")).sum ===
+      grand.head.getAs[Long]("n_rows"))
+    // money reconciles exactly (integer-unit sums → each level is an exact
+    // 2-decimal value; summing their decimal representations is lossless)
+    assert(leaves.map(r => BigDecimal(r.getAs[Double]("sum_price").toString)).sum ===
+      BigDecimal(grand.head.getAs[Double]("sum_price").toString))
+  }
+
+  test("pivot row totals equal the unpivoted daily counts") {
+    val wide = AnalyticOps.pivotDaily(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("dt") ->
+        AnalyticOps.EventTypes.map(t => r.getAs[Long](s"n_$t")).sum).toMap
+    val long = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt")).count().collect()
+      .map(r => r.getAs[java.sql.Date]("dt") -> r.getAs[Long]("count")).toMap
+    assert(wide === long)
+  }
+
+  test("quantiles are ordered within each group and bounded by min/max") {
+    AnalyticOps.quantiles(spark, d).collect().foreach { r =>
+      val vals = Seq(r.getAs[Double]("q_min"), r.getAs[Double]("p25"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p75"), r.getAs[Double]("q_max"))
+      assert(vals === vals.sorted)
+    }
+  }
+
+  test("full outer join keeps unmatched rows from both sides") {
+    val rows = AnalyticOps.fullJoin(spark, d).collect()
+    val leftOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(2))
+    val rightOnly = rows.count(r => r.isNullAt(1) && !r.isNullAt(2))
+    val both = rows.count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(leftOnly > 0); assert(rightOnly > 0); assert(both > 0)
+    assert(rows.forall(!_.isNullAt(0))) // key coalesces, never null
+  }
+
+  test("ivf assigns injected duplicate vectors to the query's cell and finds them") {
+    import graft.operators.Similarity
+    val cells = Similarity.ivfCells(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.values.toSet.size > 1, "centroids should split the corpus")
+    val topk = Similarity.ivfTopK(spark, d).collect()
+    assert(topk.nonEmpty)
+    // every hit really is in the query's cell
+    val qCell = cells(0L)
+    topk.foreach(r => assert(cells(r.getLong(0)) === qCell))
+  }
+}
