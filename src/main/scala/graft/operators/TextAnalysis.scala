@@ -113,20 +113,20 @@ object TextAnalysis {
     * minimum shingle hash (a winnowing-style robust fingerprint that
     * survives local edits) over normalized text.
     *
-    * The min-shingle side runs on the codegen'd shingle-row path
-    * ([[Dedup.shingleRows]] + hash-aggregate min): the array-lambda form
-    * (`array_min(transform(shingles, hexHash))`) is interpreted and
-    * measured 27 s at sf0.1 vs ~1 s for this shape. */
+    * The min-shingle side is the custom codegen'd
+    * [[graft.plans.MinMd5ShingleExpr]] — one map-only pass, NO shuffle (the
+    * round-1 shape exploded shingle rows through a window exchange+sort and
+    * a hash agg, then joined back; the per-doc min needs none of that). The
+    * md5-derived hash is unchanged, so the DuckDB oracle still reproduces
+    * every value. */
   def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.MinMd5Shingle.register(spark)
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")
-    val normDocs = documents(spark, d).select(col("doc_id"), norm.as("text"))
-    val minFp = Dedup.shingleRows(normDocs, distinct = false)
-      .select(col("doc_id"), Hashing.hexHash(col("s")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("min_shingle_fp"))
     documents(spark, d)
-      .select(col("doc_id"), Hashing.hexHash(norm).as("content_fp"))
-      .join(minFp, "doc_id")
+      .select(col("doc_id"),
+        Hashing.hexHash(norm).as("content_fp"),
+        expr("min_md5_shingle(regexp_replace(lower(text), '[^a-z0-9 ]', ' '))")
+          .as("min_shingle_fp"))
   }
 
   val fingerprintSql: String = {

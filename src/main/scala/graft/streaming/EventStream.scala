@@ -78,13 +78,24 @@ object EventStream {
   }
 
   /** Drive a stream synchronously into an in-memory table (test/demo
-    * harness): returns the query name to SELECT from. */
+    * harness): returns the query name to SELECT from.
+    *
+    * Shuffle width is narrowed for the duration of the stream: stateful
+    * operators open one state store PER shuffle partition PER micro-batch,
+    * so a width sized for big batch scans (32 here) pays pure state-store
+    * overhead on these rollup-sized streams. On a real cluster this is the
+    * same dial — size it to state volume, not to scan parallelism. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
-    df.sparkSession.catalog.dropTempView(name) // idempotent re-runs
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(name) // idempotent re-runs
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Batch-contract entry for the streaming path: streams the events table
