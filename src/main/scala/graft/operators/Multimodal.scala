@@ -109,9 +109,42 @@ object Multimodal {
        |  END AS mean_byte
        |FROM documents""".stripMargin
 
+  val FrameStep = 5
+
+  /** Frame sampling — the video-shaped access pattern: every `FrameStep`-th
+    * fixed-size frame of each payload becomes a row with a per-frame
+    * feature (stub: md5 of the frame's bytes; a codec would decode here).
+    * The plumbing is the operator: a BOUNDED generator (n_frames/step rows
+    * per doc, never data-dependent blowup), dynamic-offset slicing, and a
+    * map-only plan — payloads never shuffle, frames project at scan speed. */
+  def frameSample(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ceil(length(col("text")) / lit(FrameBytes.toDouble)).cast("int") - 1,
+          lit(FrameStep))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(encode(col("text").substr(col("frame_idx") * FrameBytes + 1,
+          lit(FrameBytes)), "UTF-8")).as("frame_hash"),
+        length(col("text").substr(col("frame_idx") * FrameBytes + 1,
+          lit(FrameBytes))).cast("long").as("frame_bytes"))
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id, f AS frame_idx,
+       |       md5(substring(text, CAST(f*$FrameBytes+1 AS INT), $FrameBytes)) AS frame_hash,
+       |       length(substring(text, CAST(f*$FrameBytes+1 AS INT), $FrameBytes)) AS frame_bytes
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(0,
+       |          CAST(ceil(length(text)/${FrameBytes.toDouble}) AS BIGINT) - 1,
+       |          $FrameStep)) AS f
+       |      FROM documents WHERE length(text) > 0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_features" -> ((s, d) => features(s, d)))
+    "q_multimodal_features" -> ((s, d) => features(s, d)),
+    "q_frame_sample"        -> ((s, d) => frameSample(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "q_multimodal_features" -> featuresSql)
+    "q_multimodal_features" -> featuresSql,
+    "q_frame_sample"        -> frameSampleSql)
 }

@@ -71,6 +71,23 @@ object ScalarOps {
       |         to_json(struct_pack(name := event_type)), '"name":"(.*?)"', 1), ', ') AS name_vals
       |FROM events""".stripMargin
 
+  // --- JSON path extraction (the engine-native alternative to F9) ----------
+  // The reference parsed its JSON-string column with a regex UDF (F9,
+  // preserved as q_values_from_key); this is the idiomatic form: a real
+  // JSON path getter, codegen'd, map-only. Numeric leaf round-trips through
+  // string AND typed long so both extraction modes are oracle-checked.
+  def jsonExtract(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |       json_extract_string(props, '$.k') AS k_str,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+      |FROM events""".stripMargin
+
   // --- F6/F7/F11: timestamp → date, UTC microsecond formatting -------------
   // (reference: to_date at spark_jobs/playback_pipeline_curated.py:194;
   // driver-side pytz strftime at …:100 → native date_format here.)
@@ -170,7 +187,8 @@ object ScalarOps {
     "q_daily_agg"       -> (dailyAgg _),
     "q_recent_events"   -> (recentEvents _),
     "q_explode"         -> (explodeEmbeddings _),
-    "q_rebag"           -> (rebagEmbeddings _))
+    "q_rebag"           -> (rebagEmbeddings _),
+    "q_json_extract"    -> (jsonExtract _))
 
   def oracles: Map[String, String] = Map(
     "q_scalar_math"     -> scalarMathSql,
@@ -180,5 +198,6 @@ object ScalarOps {
     "q_daily_agg"       -> dailyAggSql,
     "q_recent_events"   -> recentEventsSql,
     "q_explode"         -> explodeEmbeddingsSql,
-    "q_rebag"           -> rebagEmbeddingsSql)
+    "q_rebag"           -> rebagEmbeddingsSql,
+    "q_json_extract"    -> jsonExtractSql)
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up, asserted against the actual executed plan so a regression
+  * (lost pushdown, broadcast demoted to SMJ, an accidental extra shuffle)
+  * fails CI rather than silently degrading at scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(df: DataFrame): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(plan(df)).length
+
+  test("isin predicate reaches the parquet scan (PushedFilters)") {
+    assert(plan(RelationalOps.filterIsin(spark, d))
+      .contains("PushedFilters: [In(o_orderpriority"))
+  }
+
+  test("column pruning: scalar-math scan reads only the projected columns") {
+    val p = plan(ScalarOps.scalarMath(spark, d))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("dimension join plans BroadcastHashJoin, never SortMergeJoin") {
+    val p = plan(RelationalOps.joinBroadcastAgg(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k plans TakeOrderedAndProject (no global sort materialization)") {
+    assert(plan(RelationalOps.topkOrders(spark, d)).contains("TakeOrderedAndProject"))
+  }
+
+  test("map-only operators have ZERO shuffle exchanges") {
+    // fingerprint (custom expression), frame sampling, json extraction,
+    // pii scrub: all must run at scan speed
+    assert(countExchanges(graft.operators.TextAnalysis.fingerprint(spark, d)) === 0)
+    assert(countExchanges(graft.operators.Multimodal.frameSample(spark, d)) === 0)
+    assert(countExchanges(ScalarOps.jsonExtract(spark, d)) === 0)
+    assert(countExchanges(graft.operators.TextAnalysis.piiScrub(spark, d)) === 0)
+  }
+
+  test("flatten reuses the join's partitioning for dedup (bounded exchanges)") {
+    // lineitem→agg exchange, orders→join exchange, final range sort: the
+    // keyed dropDuplicates must NOT add a fourth full-row exchange
+    assert(countExchanges(CoreOps.playbackFlatten(spark, d)) <= 3)
+  }
+
+  test("q1 aggregation is a two-phase hash agg with no decimal in the hot path") {
+    val p = plan(CoreOps.q1Agg(spark, d))
+    assert(p.contains("HashAggregate"))
+    // the split-long accumulators sum as bigint; decimal appears only in
+    // the final output projection, never inside partial_sum
+    assert(!p.contains("partial_sum(cast(l_extendedprice"))
+  }
+}
