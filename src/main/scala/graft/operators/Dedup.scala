@@ -395,30 +395,23 @@ object Dedup {
     * Grams ride the shuffles as PACKED 24-BIT INTS (byte₁·2¹⁶+byte₂·2⁸+byte₃
     * over the ASCII corpus — injective, so counts are identical to string
     * grams): the dedup shuffle, the gram equi-join, and the hash tables all
-    * compare ints instead of 3-char strings. Texts shorter than 3 chars pack
-    * their 0-2 bytes the same way (third byte 0 — unreachable by real grams,
-    * so no cross-collisions). */
+    * compare ints instead of 3-char strings. Extraction is the one-pass
+    * custom expression [[graft.plans.CharNgramCodesExpr]]: the compositional
+    * explode+substr form is O(n²) per document (UTF8String substring scans
+    * from the string start at every position) and was 5.7 s of this query's
+    * 7 s at sf0.1. */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
+    graft.plans.CharNgrams.register(spark)
     val base = documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
     val injected = base.union(
       base.where(col("doc_id") < 20)
         .select((col("doc_id") + lit(1000000)).as("doc_id"),
           col("lang"), col("source"), col("n_chars"), col("text")))
-    def byteAt(i: Column): Column = ascii(col("text").substr(i, lit(1)))
     val grams = injected
       .select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / lit(10.0)).cast("int").as("len_bucket"),
-        col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("p"))
-      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
-        when(length(col("text")) >= 3,
-          byteAt(col("p")) * lit(65536) + byteAt(col("p") + 1) * lit(256) +
-            byteAt(col("p") + 2))
-          // short text: p is always 1; ascii of an out-of-range substr is 0
-          // on both engines, so this packs 0-2 bytes with trailing zeros
-          .otherwise(byteAt(lit(1)) * lit(65536) + byteAt(lit(2)) * lit(256))
-          .as("gram"))
+        explode(expr("char_ngram_codes(text)")).as("gram"))
       .dropDuplicates("doc_id", "gram")
       .localCheckpoint() // shared by both self-join sides + the size rollup
 

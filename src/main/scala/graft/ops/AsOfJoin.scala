@@ -57,9 +57,7 @@ object AsOfJoin {
     }.drop("__asof_row").where(col("__side") === 0)
   }
 
-  /** Each event joined to that user's most recent signup at-or-before it
-    * (inner semantics: events before any signup drop out). */
-  def eventToLastSignup(spark: SparkSession, d: String): DataFrame = {
+  private def eventSignupAsOf(spark: SparkSession, d: String): DataFrame = {
     val ev = events(spark, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     // one signup per (user, ts): deterministic max event_id wins
@@ -68,16 +66,29 @@ object AsOfJoin {
       .agg(max(col("event_id")).as("signup_id"))
       .select(col("user_id"), col("signup_ts_k").as("ts"), col("signup_id"))
     asOf(ev.where(col("event_type") =!= "signup"), signups, "user_id", "ts")
-      .where(col("__asof_signup_id").isNotNull)
-      .select(
+  }
+
+  private def projectAsOf(joined: DataFrame): DataFrame =
+    joined.select(
         col("event_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
         col("event_type"),
         col("__asof_signup_id").as("signup_id"),
+        // null-safe: no prior signup ⇒ null micros (left variant)
         (unix_micros(col("ts")) - unix_micros(col("__asof_ts")))
           .as("micros_since_signup"))
       .orderBy("event_id")
-  }
+
+  /** Each event joined to that user's most recent signup at-or-before it
+    * (inner semantics: events before any signup drop out). */
+  def eventToLastSignup(spark: SparkSession, d: String): DataFrame =
+    projectAsOf(eventSignupAsOf(spark, d).where(col("__asof_signup_id").isNotNull))
+
+  /** LEFT as-of: every event survives; events with no prior signup carry
+    * null signup columns — same single-shuffle composition, the filter is
+    * simply dropped (the union-window carry is left-total by construction). */
+  def eventToLastSignupLeft(spark: SparkSession, d: String): DataFrame =
+    projectAsOf(eventSignupAsOf(spark, d))
 
   val eventToLastSignupSql: String =
     """WITH ev AS (
@@ -94,9 +105,26 @@ object AsOfJoin {
       |  ON e.user_id = s.user_id AND e.ts >= s.ts
       |ORDER BY event_id""".stripMargin
 
+  val eventToLastSignupLeftSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), signups AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id
+      |  FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type, s.signup_id,
+      |       date_diff('microsecond', s.ts, e.ts) AS micros_since_signup
+      |FROM (SELECT * FROM ev WHERE event_type <> 'signup') e
+      |ASOF LEFT JOIN signups s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> ((s, d) => eventToLastSignup(s, d)))
+    "q_asof_join"      -> ((s, d) => eventToLastSignup(s, d)),
+    "q_asof_join_left" -> ((s, d) => eventToLastSignupLeft(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "q_asof_join" -> eventToLastSignupSql)
+    "q_asof_join"      -> eventToLastSignupSql,
+    "q_asof_join_left" -> eventToLastSignupLeftSql)
 }

@@ -67,6 +67,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() <= li.count())
   }
 
+  test("approx_count_distinct (HLL++) tracks the exact count within 5%") {
+    // the 100 TB path for q_daily_agg's n_users: a mergeable sketch instead
+    // of the two-phase exact expand. Sketches differ per engine, so this is
+    // spec-checked against the exact count rather than oracle-hashed.
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val ev = graft.Tables.events(spark, d)
+    val approx = ev.agg(approx_count_distinct("user_id")).head.getLong(0)
+    val exact = ev.agg(countDistinct("user_id")).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("multimodal features match a direct batch-decode of the same records") {
     val viaSpark = Multimodal.features(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
