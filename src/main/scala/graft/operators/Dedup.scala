@@ -147,27 +147,43 @@ object Dedup {
       s"list_min(list_transform($h0, h -> (h * ${seedA(i)} + ${seedB(i)}) % ${Hashing.P31}))"
     }.mkString(", ") + "]"
 
-  /** MinHash signatures from (doc_id, s) shingle ROWS via codegen'd hash
-    * aggregation: the 12 mins run partial+final in a whole-stage-codegen
+  /** DISTINCT 60-bit shingle-hash ROWS (doc_id, h) — the hashed twin of
+    * [[shingleRows]], via the one-pass [[graft.plans.WordShingleHashesExpr]]
+    * (the window-assembled string form pays a shuffle+sort of token rows
+    * just to build adjacent-word strings). Document text never enters a
+    * shuffle: only 8-byte hashes do. Distinct-on-hash ≡ distinct-on-shingle
+    * up to md5 collisions (~2⁻⁶⁰ per pair — absent at any real corpus). */
+  def shingleHashRows(docs: DataFrame): DataFrame = {
+    graft.plans.WordShingleHashes.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("word_shingle_hashes(text)")).as("h"))
+      .dropDuplicates("doc_id", "h")
+  }
+
+  /** MinHash signatures from (doc_id, h) shingle-hash ROWS via codegen'd
+    * hash aggregation: the 12 mins run partial+final in a whole-stage-codegen
     * HashAggregate. min is duplicate-insensitive, so distinct and
-    * non-distinct shingle rows give identical signatures — callers reuse
+    * non-distinct hash rows give identical signatures — callers reuse
     * whichever frontier they already have. */
-  def minhashFromShingleRows(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), Hashing.smallHash(col("s")).as("h"))
+  def minhashFromHashRows(hs: DataFrame): DataFrame = {
+    val ex = hs.select(col("doc_id"), pmod(col("h"), lit(Hashing.P31)).as("h31"))
     val aggs = (0 until NumHashes).map(i =>
-      min(pmod(col("h") * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31)))
+      min(pmod(col("h31") * lit(seedA(i)) + lit(seedB(i)), lit(Hashing.P31)))
         .as(s"m$i"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
-  /** MinHash signatures via explode + codegen'd hash aggregation — the
-    * scale form. One shuffle of (doc_id, shingle-hash) rows. (The
-    * array-lambda formulation is interpreted — Spark HOFs don't codegen —
-    * and was the dominant cost of the pairs query.) */
-  def minhashSigDf(docs: DataFrame): DataFrame =
-    minhashFromShingleRows(shingleRows(docs, distinct = false))
+  /** MinHash signatures via the one-pass hash expression + codegen'd hash
+    * aggregation — the scale form. One shuffle of (doc_id, hash) long rows.
+    * (The array-lambda formulation is interpreted — Spark HOFs don't
+    * codegen — and was the dominant cost of the pairs query.) */
+  def minhashSigDf(docs: DataFrame): DataFrame = {
+    graft.plans.WordShingleHashes.register(docs.sparkSession)
+    // no dedup needed: min is duplicate-insensitive, skip the shuffle
+    minhashFromHashRows(
+      docs.select(col("doc_id"), explode(expr("word_shingle_hashes(text)")).as("h")))
+  }
 
   /** Driver-facing signature query: the 12-long signature comma-joined to a
     * string (the driver's canonicalizer can't hash array cells). element_at
@@ -197,18 +213,19 @@ object Dedup {
     *     compute exact Jaccard |∩|/|∪|; keep jaccard ≥ threshold.
     */
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    // localCheckpoint pins the computed signatures/shingles: a lazy plan
-    // would re-derive them for EVERY downstream branch (x side, y side,
+    // localCheckpoint pins the computed signatures/shingle hashes: a lazy
+    // plan would re-derive them for EVERY downstream branch (x side, y side,
     // both verify probes — measured 24 parquet re-scans per run; exchange
     // reuse does not fire across self-join branches). Same pattern as
     // persisting the signature table on a real cluster before LSH fan-out.
-    // ONE shingle derivation feeds both the signatures and the Jaccard
-    // verify (min is duplicate-insensitive, so the distinct rows serve
-    // both) — the posexplode+window shingle pass is the expensive part and
-    // used to run twice.
+    // ONE hashed-shingle derivation feeds both the signatures and the
+    // Jaccard verify; text never shuffles (only 8-byte hashes and the
+    // Jaccard here is over the 60-bit shingle-hash space — identical to
+    // string-shingle Jaccard absent md5 collisions, and the oracle hashes
+    // its shingle lists the same way).
     val base = docsWithInjectedDups(spark, d)
-    val sh = shingleRows(base).localCheckpoint()
-    val sigs = minhashFromShingleRows(sh).localCheckpoint()
+    val sh = shingleHashRows(base).localCheckpoint()
+    val sigs = minhashFromHashRows(sh).localCheckpoint()
 
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map(b =>
@@ -231,8 +248,8 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
@@ -247,7 +264,10 @@ object Dedup {
 
   def minhashPairsSql(threshold: Double = 0.8): String =
     s"""WITH base AS (
-       |  SELECT doc_id, $shinglesSql AS sh, $baseHashesSql AS h0
+       |  SELECT doc_id,
+       |         list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS sh,
+       |         $baseHashesSql AS h0
        |  FROM (${docsWithInjectedDupsSql()})
        |), docs AS (
        |  SELECT doc_id, sh, ${signatureFromBaseSql("h0")} AS sig FROM base

@@ -57,7 +57,7 @@ object MinMd5Shingle {
     * to `Long.parseLong(hexDigest.substring(0, 15), 16)`
     * ([[graft.functions.Hashing.hexHashLocal]]): 15 hex chars are bytes 0-6
     * plus the high nibble of byte 7 = the big-endian first 8 bytes >>> 4. */
-  private def first60(d: Array[Byte]): Long = {
+  private[plans] def first60(d: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
