@@ -317,24 +317,16 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash via explode + codegen'd hash aggregation — the scale form.
-    * Tokens explode to (doc_id, token-hash) rows, 60 conditional sums run
-    * in a whole-stage-codegen HashAggregate (partial agg map-side), and the
-    * packed signature is assembled from the bit sums. Semantically identical
-    * to [[simhashCol]] (same hashes, same majority vote), ~30× faster: the
-    * HOF form is interpreted per row and was the entire cost of the pairs
-    * query (measured 19 s → ~1 s at sf0.1). */
+  /** SimHash via the one-pass custom expression — the scale form: the
+    * signature needs no cross-row state, so it exits the scan as 8 bytes
+    * with NO shuffle at all. (History: the interpreted HOF form
+    * [[simhashCol]] cost 19 s at sf0.1; the explode + 60-conditional-sum
+    * HashAggregate cut it to ~1 s but still shuffled a row per (doc,
+    * token); [[graft.plans.SimHash60Expr]] removes even that.)
+    * Bit-identical to [[simhashCol]] — SimHashSpec-guarded. */
   def simhashDf(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
-      .select(col("doc_id"), Hashing.hexHash(col("t")).as("h"))
-    val aggs = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"b$j"))
-    val packed = (0 until SimHashBits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    graft.plans.SimHash60.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("simhash60(text)").as("simhash"))
   }
 
   val simhashColSql: String = {
