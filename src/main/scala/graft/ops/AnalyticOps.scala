@@ -43,6 +43,56 @@ object AnalyticOps {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // --- CUBE grouping sets ---------------------------------------------------
+  // All 2² grouping combinations in one Expand+agg pass (rollup's superset:
+  // adds the per-linestatus-only subtotals).
+  def cubeAgg(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        Money.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
+  val cubeAggSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n_rows,
+      |       ${Money.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  // --- lag/lead window offsets ----------------------------------------------
+  // Prior/next order per customer + exact spend delta: offset functions over
+  // the same one-shuffle window as the ranking queries. The delta subtracts
+  // in integer cents (exact) and converts once at the boundary.
+  def windowLag(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        Money.centsToDollars(
+          Money.cents(col("o_totalprice")) -
+            lag(Money.cents(col("o_totalprice")), 1).over(w))
+          .as("delta_vs_prev"))
+  }
+
+  val windowLagSql: String = {
+    val w = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       lag(o_totalprice, 1) $w AS prev_price,
+      |       lead(o_totalprice, 1) $w AS next_price,
+      |       ${Money.centsToDollarsSql(
+           s"${Money.centsSql("o_totalprice")} - lag(${Money.centsSql("o_totalprice")}, 1) $w")}
+      |         AS delta_vs_prev
+      |FROM orders""".stripMargin
+  }
+
   // --- pivot (long → wide) --------------------------------------------------
   // Explicit value list (no discovery pass over the data, deterministic
   // column set at any scale); absent combinations coalesce to 0 so the wide
@@ -124,14 +174,18 @@ object AnalyticOps {
       |ORDER BY c_custkey""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rollup"    -> (rollupAgg _),
-    "q_pivot"     -> (pivotDaily _),
-    "q_quantiles" -> (quantiles _),
-    "q_join_full" -> (fullJoin _))
+    "q_rollup"     -> (rollupAgg _),
+    "q_cube"       -> (cubeAgg _),
+    "q_pivot"      -> (pivotDaily _),
+    "q_quantiles"  -> (quantiles _),
+    "q_join_full"  -> (fullJoin _),
+    "q_window_lag" -> (windowLag _))
 
   def oracles: Map[String, String] = Map(
-    "q_rollup"    -> rollupAggSql,
-    "q_pivot"     -> pivotDailySql,
-    "q_quantiles" -> quantilesSql,
-    "q_join_full" -> fullJoinSql)
+    "q_rollup"     -> rollupAggSql,
+    "q_cube"       -> cubeAggSql,
+    "q_pivot"      -> pivotDailySql,
+    "q_quantiles"  -> quantilesSql,
+    "q_join_full"  -> fullJoinSql,
+    "q_window_lag" -> windowLagSql)
 }
