@@ -32,18 +32,28 @@ object CoreOps {
     * the join key; Catalyst plans SMJ / shuffled-hash with partial
     * aggregation map-side. No driver round-trips.
     */
+  /** Compositional executable spec of the bag column (what the custom
+    * aggregate must reproduce byte-for-byte — JsonBagSpec guards it). */
+  def baggedItemsSpec: org.apache.spark.sql.Column =
+    to_json(
+      sort_array(collect_list(struct(
+        col("l_linenumber").as("linenumber"),
+        col("l_partkey").cast("string").as("partkey"),
+        col("l_suppkey").cast("string").as("suppkey")))))
+
   def playbackFlatten(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.JsonBag.register(spark)
     val o  = orders(spark, d)
     val li = lineitem(spark, d)
     val bagged = li
       .groupBy(col("l_orderkey"))
       .agg(
-        to_json(
-          sort_array(collect_list(struct(
-            col("l_linenumber").as("linenumber"),
-            col("l_partkey").cast("string").as("partkey"),
-            col("l_suppkey").cast("string").as("suppkey"))))
-        ).as("bagged_items"),
+        // custom TypedImperativeAggregate: one buffer, one sort at eval,
+        // serialize straight to the JSON string (the compositional form
+        // materializes the bag three times: collect_list → sort_array →
+        // StructsToJson); byte-identical output
+        expr("json_bag(l_linenumber, CAST(l_partkey AS STRING), CAST(l_suppkey AS STRING))")
+          .as("bagged_items"),
         count(lit(1)).as("n_items"))
     o.join(bagged, o("o_orderkey") === bagged("l_orderkey"), "left")
       .select(
