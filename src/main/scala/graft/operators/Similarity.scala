@@ -312,17 +312,49 @@ object Similarity {
        |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
   }
 
+  // ---- per-label centroid aggregation (IVF "training" complement) ------------
+
+  /** Mean embedding per label, component-wise — the aggregation a k-means /
+    * IVF training step runs every iteration. posexplode to (label, pos, x)
+    * rows, ONE hash aggregation on the (label, pos) grid; sums run on the
+    * exact 1e-6-quantized ints (order-independent ⇒ partitioning-proof and
+    * oracle-exact), one double division per OUTPUT cell. Output stays long
+    * rows (label, pos, centroid) — no array columns (driver canonicalizer).
+    * Result unit: quantized (1e-6) space. */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame =
+    embDouble(spark, d)
+      .select(col("label"), posexplode(col("emb")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(QuantScale)).as("xq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("xq")).cast("double") / count(lit(1))).as("centroid_q"))
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String =
+    s"""SELECT label, CAST(s[2] AS BIGINT) - 1 AS pos,
+       |       count(*) AS n_vecs,
+       |       CAST(sum(CAST(floor(CAST(s[1] AS DOUBLE) * $QuantScale) AS BIGINT)) AS DOUBLE)
+       |         / count(*) AS centroid_q
+       |FROM (SELECT label, unnest(list_zip(CAST(embedding AS DOUBLE[]),
+       |        generate_series(1, len(CAST(embedding AS DOUBLE[]))))) AS s
+       |      FROM embeddings) t
+       |GROUP BY label, pos
+       |ORDER BY label, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
-    "q_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
-    "q_ann_pairs"   -> ((s, d) => annPairs(s, d)),
-    "q_ivf_cells"   -> ((s, d) => ivfCells(s, d)),
-    "q_ivf_topk"    -> ((s, d) => ivfTopK(s, d)))
+    "q_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
+    "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
+    "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
+    "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
+    "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
+    "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "q_cosine_topk" -> cosineTopKSql(),
-    "q_lsh_buckets" -> lshBucketsSql,
-    "q_ann_pairs"   -> annPairsSql(),
-    "q_ivf_cells"   -> ivfCellsSql,
-    "q_ivf_topk"    -> ivfTopKSql())
+    "q_cosine_topk"     -> cosineTopKSql(),
+    "q_lsh_buckets"     -> lshBucketsSql,
+    "q_ann_pairs"       -> annPairsSql(),
+    "q_ivf_cells"       -> ivfCellsSql,
+    "q_ivf_topk"        -> ivfTopKSql(),
+    "q_label_centroids" -> labelCentroidsSql)
 }

@@ -162,6 +162,52 @@ object TextAnalysis {
       expr("compression_ratio(text)").as("deflate_ratio"))
   }
 
+  // ---- corpus-weighted top terms (tf-idf shape) ------------------------------
+
+  /** Highest-weighted term per document: tf·N/df — the tf-idf ranking shape
+    * with an exact rational weight instead of ln(N/df) (libm log differs in
+    * the last ulp across engines; the ranking is the operator under test).
+    * Two hash aggregations (tf per (doc, term); df per term) + a broadcast
+    * of the 1-row corpus count + a per-doc window top-1 — at scale: token
+    * rows shuffle once by (doc, term), once by term; no driver round-trip.
+    * Ties break on the term string, so top-1 is deterministic. */
+  def topTerms(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d).select(col("doc_id"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    tf.join(df, "t")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("t").as("top_term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
+  val topTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, t
+      |), df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, t AS top_term, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+      |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC,
+      |                                     tf.t) AS rn
+      |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n) s
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---- PII redaction --------------------------------------------------------
 
   private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -210,12 +256,14 @@ object TextAnalysis {
     "q_lang_id"          -> ((s, d) => langId(s, d)),
     "q_fingerprint"      -> ((s, d) => fingerprint(s, d)),
     "q_fast_fingerprint" -> ((s, d) => fastFingerprint(s, d)),
-    "q_compress_signal"  -> ((s, d) => compressionSignal(s, d)))
+    "q_compress_signal"  -> ((s, d) => compressionSignal(s, d)),
+    "q_top_terms"        -> ((s, d) => topTerms(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_pii_scrub"     -> piiScrubSql,
     "q_token_count"   -> tokenCountSql,
     "q_text_quality"  -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
-    "q_fingerprint"   -> fingerprintSql)
+    "q_fingerprint"   -> fingerprintSql,
+    "q_top_terms"     -> topTermsSql)
 }

@@ -146,6 +146,27 @@ object AnalyticOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- fixed-width histogram ------------------------------------------------
+  // Value distribution in one hash agg: bucket = floor(x/width) — the same
+  // double division and floor on both engines, exact per row. Bounded
+  // output (price range / width buckets) at any input scale.
+  val HistWidth = 25000.0
+
+  def histogram(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .groupBy(floor(col("o_totalprice") / lit(HistWidth)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    s"""SELECT CAST(floor(o_totalprice / $HistWidth) AS BIGINT) AS bucket,
+      |       count(*) AS n_orders,
+      |       ${Money.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   // --- full outer join ------------------------------------------------------
   // Both sides contribute unmatched rows (high-balance customers without
   // finished orders; finished-order customers below the balance cut) — the
@@ -179,7 +200,8 @@ object AnalyticOps {
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
     "q_join_full"  -> (fullJoin _),
-    "q_window_lag" -> (windowLag _))
+    "q_window_lag" -> (windowLag _),
+    "q_histogram"  -> (histogram _))
 
   def oracles: Map[String, String] = Map(
     "q_rollup"     -> rollupAggSql,
@@ -187,5 +209,6 @@ object AnalyticOps {
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
     "q_join_full"  -> fullJoinSql,
-    "q_window_lag" -> windowLagSql)
+    "q_window_lag" -> windowLagSql,
+    "q_histogram"  -> histogramSql)
 }
