@@ -155,8 +155,9 @@ object Dedup {
     * up to md5 collisions (~2⁻⁶⁰ per pair — absent at any real corpus). */
   def shingleHashRows(docs: DataFrame): DataFrame = {
     graft.plans.WordShingleHashes.register(docs.sparkSession)
+    // the expression dedupes per doc at the scan — rows are already
+    // set-semantic, no dropDuplicates exchange
     docs.select(col("doc_id"), explode(expr("word_shingle_hashes(text)")).as("h"))
-      .dropDuplicates("doc_id", "h")
   }
 
   /** MinHash signatures from (doc_id, h) shingle-hash ROWS via codegen'd
@@ -420,11 +421,13 @@ object Dedup {
       base.where(col("doc_id") < 20)
         .select((col("doc_id") + lit(1000000)).as("doc_id"),
           col("lang"), col("source"), col("n_chars"), col("text")))
+    // char_ngram_codes is distinct-per-doc at the scan, so the gram rows
+    // are ALREADY set-semantic — no dropDuplicates exchange needed; the
+    // checkpoint materializes map-only output
     val grams = injected
       .select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / lit(10.0)).cast("int").as("len_bucket"),
         explode(expr("char_ngram_codes(text)")).as("gram"))
-      .dropDuplicates("doc_id", "gram")
       .localCheckpoint() // shared by both self-join sides + the size rollup
 
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

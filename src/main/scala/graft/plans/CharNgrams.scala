@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `char_ngram_codes(text)` — all 24-bit-packed character 3-grams of a
-  * string (byte₁·2¹⁶ + byte₂·2⁸ + byte₃) as one array, in ONE O(n) pass.
+/** `char_ngram_codes(text)` — the DISTINCT 24-bit-packed character 3-grams
+  * of a string (byte₁·2¹⁶ + byte₂·2⁸ + byte₃) as one array, in ONE O(n)
+  * pass (set semantics: n-gram Jaccard is a set measure, and deduping
+  * inside the expression deletes the downstream dropDuplicates EXCHANGE —
+  * per-doc sets never need cross-row state).
   *
   * Why an expression: the compositional form
   * (`explode(positions) → substr(text, p, …)`) is O(n²) PER DOCUMENT —
@@ -47,7 +50,8 @@ case class CharNgramCodesExpr(child: Expression) extends UnaryExpression {
 
 object CharNgrams {
 
-  /** One-pass packed 3-gram extraction; called from generated code. */
+  /** One-pass distinct packed 3-gram extraction; called from generated
+    * code. Insertion-ordered set → deterministic array per input. */
   def eval(s: UTF8String): GenericArrayData = {
     val b = s.getBytes
     val n = b.length
@@ -56,12 +60,16 @@ object CharNgrams {
         (if (n >= 2) (b(1) & 0xff) << 8 else 0)
       new GenericArrayData(Array[Any](code))
     } else {
-      val out = new Array[Any](n - 2)
+      val seen = new java.util.LinkedHashSet[Integer](n * 2)
       var i = 0
       while (i <= n - 3) {
-        out(i) = ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+        seen.add(((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff))
         i += 1
       }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next().intValue(); j += 1 }
       new GenericArrayData(out)
     }
   }

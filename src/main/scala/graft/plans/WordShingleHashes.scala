@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `word_shingle_hashes(text)` — the cross-engine 60-bit md5 hash
-  * ([[graft.functions.Hashing.hexHash]]) of EVERY word-3-gram shingle, as
-  * one array in one pass (duplicates kept; order = shingle position).
+  * ([[graft.functions.Hashing.hexHash]]) of every DISTINCT word-3-gram
+  * shingle, as one array in one pass (set semantics: min-aggregation is
+  * duplicate-insensitive and Jaccard is a set measure, so deduping inside
+  * the expression deletes the downstream dropDuplicates EXCHANGE the
+  * hashed-shingle consumers would otherwise pay).
   *
   * This is the front half of the MinHash pipeline done at scan speed: the
   * compositional form (posexplode tokens → window `lead` over a per-doc
@@ -21,11 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Downstream, only (doc_id, hash) long pairs enter any shuffle — document
   * text never leaves the scan stage anywhere in the dedup suite.
   *
-  * Semantics are IDENTICAL to `hexHash(s)` over
-  * [[graft.operators.Dedup.shingleRows]](distinct = false): same
-  * `split(text, ' ')` tokenization (empty tokens kept), same single-space
-  * join, whole text when < 3 tokens ([[MinMd5ShingleSpec]] guards the
-  * min; DedupSpec locks the row form this mirrors).
+  * Semantics are IDENTICAL to distinct `hexHash(s)` over
+  * [[graft.operators.Dedup.shingleRows]]: same `split(text, ' ')`
+  * tokenization (empty tokens kept), same single-space join, whole text
+  * when < 3 tokens ([[MinMd5ShingleSpec]] guards the min; DedupSpec locks
+  * the row form this mirrors).
   */
 case class WordShingleHashesExpr(child: Expression) extends UnaryExpression {
 
@@ -48,7 +51,8 @@ case class WordShingleHashesExpr(child: Expression) extends UnaryExpression {
 
 object WordShingleHashes {
 
-  /** Called from generated code — one MessageDigest per row, reused. */
+  /** Called from generated code — one MessageDigest per row, reused.
+    * Insertion-ordered set → deterministic array per input. */
   def eval(s: UTF8String): GenericArrayData = {
     val str = s.toString
     val md = MessageDigest.getInstance("MD5")
@@ -56,16 +60,20 @@ object WordShingleHashes {
     if (toks.length < 3)
       return new GenericArrayData(
         Array[Any](MinMd5Shingle.first60(md.digest(str.getBytes("UTF-8")))))
-    val out = new Array[Any](toks.length - 2)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i + 2 < toks.length) {
       sb.setLength(0)
       sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
         .append(toks(i + 2))
-      out(i) = MinMd5Shingle.first60(md.digest(sb.toString.getBytes("UTF-8")))
+      seen.add(MinMd5Shingle.first60(md.digest(sb.toString.getBytes("UTF-8"))))
       i += 1
     }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
     new GenericArrayData(out)
   }
 
