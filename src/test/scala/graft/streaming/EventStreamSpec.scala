@@ -32,6 +32,31 @@ class EventStreamSpec extends SparkSpec {
       Seq(("click", 2L, 3.0), ("click", 1L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("watermark drops events later than the threshold across micro-batches") {
+    val dir = Files.createTempDirectory("graft_stream_wm").toString
+    // batch 1: event time reaches 01:00 → watermark advances to 00:50
+    Seq(EventStream.Event(1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 1.0))
+      .toDF().write.mode("append").parquet(dir)
+    val agg = EventStream.windowedCounts(EventStream.readEventStream(spark, dir))
+    spark.catalog.dropTempView("wm_out")
+    val q = agg.writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one event far below the watermark (00:00 < 00:50 → DROPPED)
+      // and one fresh event (01:01 → aggregated)
+      Seq(
+        EventStream.Event(2L, Timestamp.valueOf("2024-01-01 00:00:30"), 1L, "late", 7.0),
+        EventStream.Event(3L, Timestamp.valueOf("2024-01-01 01:01:00"), 1L, "click", 2.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.sql("SELECT DISTINCT event_type FROM wm_out")
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains("click"))
+    assert(!types.contains("late"), "an event below the watermark must be dropped")
+  }
+
   test("stateful sessionization folds per-user state across a batch") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     writeBatch(dir)
