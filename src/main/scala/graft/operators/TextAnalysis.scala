@@ -208,6 +208,53 @@ object TextAnalysis {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- end-to-end curation pipeline ------------------------------------------
+
+  /** The training-data curation pass as ONE composed plan: quality-score →
+    * filter → exact-dedup (keep lowest doc_id per content hash) → corpus
+    * rollup. This is the shape the whole operator suite exists for at
+    * 100 TB: scoring is map-only and fuses into the scan, the filter prunes
+    * before anything shuffles, dedup shuffles 8-byte content hashes (not
+    * text), and the rollup is a partial+final hash agg on low-cardinality
+    * keys — one scan, two shuffles, end to end. */
+  def curationPipeline(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = documents(spark, d).select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      size(t).cast("long").as("n_tokens"),
+      (size(array_distinct(t)) / size(t).cast("double")).as("unique_ratio"))
+    val kept = scored.where(col("n_tokens") >= 5 && col("unique_ratio") > 0.3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val deduped = kept
+      .withColumn("content_hash", Hashing.hexHash(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    deduped.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang, source, text,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_distinct(string_split(text, ' ')))
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio
+      |  FROM documents
+      |), kept AS (
+      |  SELECT * FROM scored WHERE n_tokens >= 5 AND unique_ratio > 0.3
+      |), dedup AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY ${Hashing.hexHashSql("text")} ORDER BY doc_id) AS rn
+      |  FROM kept
+      |)
+      |SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM dedup WHERE rn = 1
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   // ---- PII redaction --------------------------------------------------------
 
   private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -257,7 +304,8 @@ object TextAnalysis {
     "q_fingerprint"      -> ((s, d) => fingerprint(s, d)),
     "q_fast_fingerprint" -> ((s, d) => fastFingerprint(s, d)),
     "q_compress_signal"  -> ((s, d) => compressionSignal(s, d)),
-    "q_top_terms"        -> ((s, d) => topTerms(s, d)))
+    "q_top_terms"        -> ((s, d) => topTerms(s, d)),
+    "q_curation"         -> ((s, d) => curationPipeline(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_pii_scrub"     -> piiScrubSql,
@@ -265,5 +313,6 @@ object TextAnalysis {
     "q_text_quality"  -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,
-    "q_top_terms"     -> topTermsSql)
+    "q_top_terms"     -> topTermsSql,
+    "q_curation"      -> curationPipelineSql)
 }
