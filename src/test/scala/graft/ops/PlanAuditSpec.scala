@@ -55,6 +55,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(countExchanges(CoreOps.playbackFlatten(spark, d)) <= 3)
   }
 
+  test("hive-partitioned lake write prunes partitions on read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.Tables.events(spark, d)
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$dir/events_by_day")
+    val pruned = spark.read.parquet(s"$dir/events_by_day")
+      .where(col("dt") === lit(java.sql.Date.valueOf("2024-01-02")))
+    val p = plan(pruned)
+    // the date predicate must resolve at the FILE INDEX (PartitionFilters),
+    // not as a post-scan row filter — at 100 TB this is the difference
+    // between listing one day's directory and scanning the lake
+    assert(p.contains("PartitionFilters:") && p.contains("dt#"),
+      s"expected partition filters in:\n$p")
+    assert(pruned.count() > 0)
+    val filters = p.linesIterator.find(_.contains("PartitionFilters:")).get
+    assert(filters.contains("2024-01-02"))
+  }
+
   test("q1 aggregation is a two-phase hash agg with no decimal in the hot path") {
     val p = plan(CoreOps.q1Agg(spark, d))
     assert(p.contains("HashAggregate"))
