@@ -124,6 +124,40 @@ object Dedup {
        |GROUP BY 1 HAVING count(*) > 1
        |ORDER BY keep_doc_id""".stripMargin
 
+  // ---- exact dedup with a keep policy ----------------------------------------
+
+  /** Survivor selection: one row per content-hash group, keeping the BEST
+    * copy by policy (longest text, then lowest doc_id) — the curation form
+    * of dedup (exactDedup reports groups; this emits the kept corpus).
+    * One shuffle by the 60-bit hash; the policy is a row_number frame, so
+    * swapping policies (newest, highest-quality-score, …) is an orderBy
+    * change, not a new operator. */
+  def dedupKeepBest(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    val g = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    docsWithInjectedDups(spark, d)
+      .withColumn("content_hash", Hashing.hexHash(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(g))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"), col("n_copies"),
+        length(col("text")).cast("long").as("n_chars_kept"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""SELECT doc_id, content_hash, n_copies, length(text) AS n_chars_kept
+       |FROM (
+       |  SELECT doc_id, text, ${Hashing.hexHashSql("text")} AS content_hash,
+       |         row_number() OVER (PARTITION BY ${Hashing.hexHashSql("text")}
+       |                            ORDER BY length(text) DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY ${Hashing.hexHashSql("text")}) AS n_copies
+       |  FROM (${docsWithInjectedDupsSql()})
+       |) WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---- MinHash signatures ----------------------------------------------------
 
   val NumHashes = 12
@@ -478,6 +512,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"   -> ((s, d) => exactDedup(s, d)),
+    "q_dedup_keep"    -> ((s, d) => dedupKeepBest(s, d)),
     "q_minhash_sig"   -> ((s, d) => minhashSig(s, d)),
     "q_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "q_simhash"       -> ((s, d) => simhash(s, d)),
@@ -486,6 +521,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> exactDedupSql,
+    "q_dedup_keep"    -> dedupKeepBestSql,
     "q_minhash_sig"   -> minhashSigSql,
     "q_minhash_pairs" -> minhashPairsSql(),
     "q_simhash"       -> simhashSql,

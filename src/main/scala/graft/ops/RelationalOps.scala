@@ -235,6 +235,35 @@ object RelationalOps {
       |         AS running_spend
       |FROM orders""".stripMargin
 
+  // --- window frames: first/last value + ntile -----------------------------
+  // Explicit ROWS frames (running-first, forward-last) and equi-depth
+  // quartile assignment — one shuffle by customer, shared by all four
+  // window expressions (same partitioning + ordering ⇒ one Window exec).
+  def windowFrames(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        last(col("o_totalprice"))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("last_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  val windowFramesSql: String = {
+    val ord = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+      |       first_value(o_totalprice) OVER ($ord
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |       last_value(o_totalprice) OVER ($ord
+      |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price,
+      |       ntile(4) OVER ($ord) AS quartile
+      |FROM orders""".stripMargin
+  }
+
   // --- P7: isin filter (pushdown stand-in for the BigQuery IN-list scan) ---
   // (reference: spark_jobs/playback_pipeline_curated.py:103-107). Catalyst
   // pushes the In predicate into the parquet scan (PushedFilters).
@@ -297,6 +326,7 @@ object RelationalOps {
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
     "q_window_running"  -> (windowRunning _),
+    "q_window_frames"   -> (windowFrames _),
     "q_filter_isin"     -> (filterIsin _),
     "q_topk"            -> (topkOrders _),
     "q_sort"            -> (globalSort _),
@@ -314,6 +344,7 @@ object RelationalOps {
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,
     "q_window_running"  -> windowRunningSql,
+    "q_window_frames"   -> windowFramesSql,
     "q_filter_isin"     -> filterIsinSql,
     "q_topk"            -> topkOrdersSql,
     "q_sort"            -> globalSortSql,
