@@ -45,6 +45,24 @@ class AnalyticOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile (t-digest sketch) tracks the exact quantiles") {
+    // the 100 TB drop-in for q_quantiles' exact percentile: a mergeable
+    // sketch (partial+final) instead of per-group value materialization.
+    // Sketches differ per engine → spec-checked against exact, not oracled.
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val rows = graft.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
+        sqlExpr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"))
+      .collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Double]("exact_p50")
+      val approx = r.getAs[Double]("approx_p50")
+      assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("full outer join keeps unmatched rows from both sides") {
     val rows = AnalyticOps.fullJoin(spark, d).collect()
     val leftOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(2))
