@@ -83,6 +83,18 @@ object Similarity {
     * random hyperplane sign test). */
   val QuantScale = 1000000.0
 
+  /** Dimension guard shared by every embedding path: raise on dim > MaxDim
+    * (the literal plane/centroid tables end there) AND on dim == 0 — the
+    * posexplode scale forms emit no rows for an empty array, so the vec_id
+    * would silently vanish from the output while the HOF executable specs
+    * would keep it (bucket 0). Raising keeps spec and scale form
+    * contractually identical on all inputs. */
+  private def dimChecked(emb: Column, who: String): Column =
+    when(size(emb) > MaxDim || size(emb) === 0,
+      raise_error(format_string(
+        s"$who: embedding dim %s outside [1, $MaxDim]", size(emb))))
+      .otherwise(emb)
+
   /** Deterministic pseudo-random hyperplane component w[p][j] ∈ [-500, 500),
     * derived from the cross-engine hash. Evaluated ONCE at plan-build time
     * (driver-side) and embedded as literals — the per-row-per-element md5
@@ -113,9 +125,9 @@ object Similarity {
           lit(0L), (acc, x) => acc + x) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(emb) > MaxDim,
+    when(size(emb) > MaxDim || size(emb) === 0,
       raise_error(format_string(
-        s"lshSignature: embedding dim %s exceeds MaxDim=$MaxDim", size(emb))))
+        s"lshSignature: embedding dim %s outside [1, $MaxDim]", size(emb))))
       .otherwise(sig)
   }
 
@@ -139,11 +151,7 @@ object Similarity {
     * oracle regardless of partitioning. Input `e`: (vec_id, emb). */
   def lshBucketsDf(e: DataFrame): DataFrame = {
     val checked = e.select(col("vec_id"),
-      when(size(col("emb")) > MaxDim,
-        raise_error(format_string(
-          s"lshSignature: embedding dim %s exceeds MaxDim=$MaxDim",
-          size(col("emb")))))
-        .otherwise(col("emb")).as("emb"))
+      dimChecked(col("emb"), "lshBuckets").as("emb"))
     val rows = checked
       .select(col("vec_id"), posexplode(col("emb")))
       .select(col("vec_id"), col("pos"),
@@ -227,11 +235,7 @@ object Similarity {
     * sums per vector. Input `e` must carry (vec_id, emb). */
   def ivfAssignDf(e: DataFrame): DataFrame = {
     val checked = e.select(col("vec_id"),
-      when(size(col("emb")) > MaxDim,
-        raise_error(format_string(
-          s"ivfAssign: embedding dim %s exceeds MaxDim=$MaxDim",
-          size(col("emb")))))
-        .otherwise(col("emb")).as("emb"))
+      dimChecked(col("emb"), "ivfAssign").as("emb"))
     val rows = checked
       .select(col("vec_id"), posexplode(col("emb")))
       .select(col("vec_id"), col("pos"),
@@ -323,7 +327,7 @@ object Similarity {
     * Result unit: quantized (1e-6) space. */
   def labelCentroids(spark: SparkSession, d: String): DataFrame =
     embDouble(spark, d)
-      .select(col("label"), posexplode(col("emb")))
+      .select(col("label"), posexplode(dimChecked(col("emb"), "labelCentroids")))
       .select(col("label"), col("pos").cast("long").as("pos"),
         floor(col("col") * lit(QuantScale)).as("xq"))
       .groupBy(col("label"), col("pos"))

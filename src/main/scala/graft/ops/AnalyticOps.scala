@@ -31,7 +31,11 @@ object AnalyticOps {
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).as("sum_qty"),
         Money.moneySum(col("l_extendedprice")).as("sum_price"))
-      .orderBy("gid", "l_returnflag", "l_linestatus")
+      // Null ordering is explicit on BOTH engines: Spark defaults to NULLS
+      // FIRST ascending, DuckDB to NULLS LAST — implicit defaults would
+      // order subtotal rows differently if a grouping key held NULL data.
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val rollupAggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -41,7 +45,7 @@ object AnalyticOps {
       |       ${Money.moneySumSql("l_extendedprice")} AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   // --- CUBE grouping sets ---------------------------------------------------
   // All 2² grouping combinations in one Expand+agg pass (rollup's superset:
@@ -53,7 +57,8 @@ object AnalyticOps {
         grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n_rows"),
         Money.moneySum(col("o_totalprice")).as("sum_price"))
-      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   val cubeAggSql: String =
     s"""SELECT o_orderstatus, o_orderpriority,
@@ -62,7 +67,7 @@ object AnalyticOps {
       |       ${Money.moneySumSql("o_totalprice")} AS sum_price
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
-      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   // --- lag/lead window offsets ----------------------------------------------
   // Prior/next order per customer + exact spend delta: offset functions over

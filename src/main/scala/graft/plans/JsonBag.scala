@@ -133,7 +133,9 @@ object JsonBag {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case x if x < ' ' => sb.append(f"\\u${x.toInt}%04X") // Jackson: uppercase hex
         case x => sb.append(x)
       }
       i += 1

@@ -49,6 +49,14 @@ object EventStream {
     * deterministic (and oracle-checkable) under any partitioning. */
   final case class SessionState(n_events: Long, total_cents: Long)
 
+  /** One rounding rule for the whole engine: matches `Money.cents`
+    * (Spark `round(x*100)`: BigDecimal HALF_UP = ties away from zero) and
+    * the DuckDB oracle's `round()`. `math.round` would differ on negative
+    * ties (half toward +inf), silently diverging stream from batch. */
+  private def toCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** Per-user session accumulation with processing-time timeout: each batch
     * folds new events into per-user state; on timeout the session closes and
     * emits its final rollup. The `KeyValueGroupedDataset.mapGroupsWithState`
@@ -68,7 +76,7 @@ object EventStream {
           } else {
             val prev = state.getOption.getOrElse(SessionState(0L, 0L))
             val (n, c) = batch.foldLeft((prev.n_events, prev.total_cents)) {
-              case ((cn, cc), e) => (cn + 1, cc + math.round(e.value * 100))
+              case ((cn, cc), e) => (cn + 1, cc + toCents(e.value))
             }
             state.update(SessionState(n, c))
             if (useTimeout) state.setTimeoutDuration("30 seconds")

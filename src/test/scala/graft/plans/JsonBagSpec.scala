@@ -29,7 +29,9 @@ class JsonBagSpec extends SparkSpec {
     val df = Seq(
       (1L, 1L, "a\"b", "c\\d"),
       (1L, 2L, "new\nline", "tab\there"),
-      (2L, 1L, "plain", "x"))
+      (2L, 1L, "plain", "x"),
+      (3L, 1L, "back\bspace", "form\ffeed"),
+      (3L, 2L, "ctl" + 1.toChar + "low" + 31.toChar, "mix\b\f\n"))
       .toDF("l_orderkey", "l_linenumber", "pk", "sk")
     val viaAgg = df.groupBy(col("l_orderkey"))
       .agg(expr("json_bag(l_linenumber, pk, sk)").as("bag"))
