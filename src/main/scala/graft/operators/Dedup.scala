@@ -247,6 +247,25 @@ object Dedup {
     *  4. distinct pairs, then ONE join back to fetch both shingle sets and
     *     compute exact Jaccard |∩|/|∪|; keep jaccard ≥ threshold.
     */
+  /** LSH banding candidate generation over a (doc_id, minhash) signature
+    * table: explode to (band_id, band_key) rows, self-equi-join on the band
+    * key (collision buckets only — never the cross product), distinct
+    * ordered pairs. Shared by [[minhashPairs]] and [[fuzzyPairs]]. */
+  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band_id"),
+            slice(col("minhash"), b * RowsPerBand + 1, RowsPerBand).as("band_key"))): _*))
+          .as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     // localCheckpoint pins the computed signatures/shingle hashes: a lazy
     // plan would re-derive them for EVERY downstream branch (x side, y side,
@@ -261,20 +280,7 @@ object Dedup {
     val base = docsWithInjectedDups(spark, d)
     val sh = shingleHashRows(base).localCheckpoint()
     val sigs = minhashFromHashRows(sh).localCheckpoint()
-
-    val bands = sigs.select(col("doc_id"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band_id"),
-            slice(col("minhash"), b * RowsPerBand + 1, RowsPerBand).as("band_key"))): _*))
-          .as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(sigs)
 
     // exact-Jaccard verify, distributively: join candidate pairs to the
     // shingle rows of each side, count matching shingles (|∩|), combine
@@ -324,6 +330,60 @@ object Dedup {
        |JOIN docs b ON c.doc_b = b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- fuzzy dedup: edit-distance verify over LSH candidates ----------------
+
+  /** Fuzzy near-dup pairs: MinHash-LSH candidate generation, verified by
+    * Levenshtein edit distance over a fixed prefix. The edit-distance stage
+    * of a real fuzzy-dedup pipeline — O(prefixLen²) per PAIR, so it must
+    * only ever run on LSH candidates (the full corpus would be O(n²·L²));
+    * the prefix bound keeps the verify cost constant per pair regardless of
+    * document length. Candidates reuse [[lshCandidatePairs]]; only doc ids
+    * and fixed-size prefixes shuffle. */
+  def fuzzyPairs(spark: SparkSession, d: String,
+      prefixLen: Int = 80, maxDist: Int = 20): DataFrame = {
+    val base = docsWithInjectedDups(spark, d)
+    // pinned before fan-out: sigs feed both sides of the band self-join,
+    // prefixes both verify branches (exchange reuse does not fire across
+    // self-join branches — see minhashPairs)
+    val sigs = minhashFromHashRows(shingleHashRows(base)).localCheckpoint()
+    val candidates = lshCandidatePairs(sigs)
+    val prefixes = base.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("prefix")).localCheckpoint()
+    candidates
+      .join(prefixes.select(col("doc_id").as("doc_a"), col("prefix").as("ta")), "doc_a")
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("prefix").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def fuzzyPairsSql(prefixLen: Int = 80, maxDist: Int = 20): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $baseHashesSql AS h0
+       |  FROM (${docsWithInjectedDupsSql()})
+       |), docs AS (
+       |  SELECT doc_id, text, ${signatureFromBaseSql("h0")} AS sig FROM base
+       |), bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |         sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand] AS band_key
+       |  FROM docs, range(0, $Bands) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(levenshtein(substring(a.text, 1, $prefixLen),
+       |                        substring(b.text, 1, $prefixLen)) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN docs a ON c.doc_a = a.doc_id
+       |JOIN docs b ON c.doc_b = b.doc_id
+       |WHERE levenshtein(substring(a.text, 1, $prefixLen),
+       |                  substring(b.text, 1, $prefixLen)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash ---------------------------------------------------------------
@@ -517,7 +577,8 @@ object Dedup {
     "q_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "q_simhash"       -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
-    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)))
+    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q_fuzzy_pairs"   -> ((s, d) => fuzzyPairs(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> exactDedupSql,
@@ -526,5 +587,6 @@ object Dedup {
     "q_minhash_pairs" -> minhashPairsSql(),
     "q_simhash"       -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(),
-    "q_ngram_jaccard" -> ngramJaccardSql())
+    "q_ngram_jaccard" -> ngramJaccardSql(),
+    "q_fuzzy_pairs"   -> fuzzyPairsSql())
 }

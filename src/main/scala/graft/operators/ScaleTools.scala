@@ -58,4 +58,36 @@ object ScaleTools {
       explode(array((0 until salts).map(i => lit(i)): _*)))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-filter-accelerated incremental delta load (EXACT result): keep
+    * source rows whose `key` is not in `existing`.
+    *
+    * At 100 TB the plain left-anti join shuffles the ENTIRE source on the
+    * key; with a daily-delta workload almost every source row is new, so
+    * almost all of that shuffle is wasted motion. Instead: build a bloom
+    * filter over the existing keys once (executor-side partial sketches
+    * merged on the driver, then broadcast — same physics as a broadcast
+    * join's build side), prune the source map-side with it, and run the
+    * exact anti-join ONLY on the rows the filter says might match — a
+    * ~|existing|·(1+fpp) sliver of the source. Rows the filter rejects are
+    * DEFINITELY new (bloom filters have no false negatives), so the union
+    * below is exactly the anti-join's answer — the filter changes the plan,
+    * never the semantics. This is the manual form of Spark's AQE runtime
+    * row-level filtering, usable where that doesn't fire (non-join sinks,
+    * cross-source deltas).
+    */
+  def bloomDelta(source: DataFrame, key: String,
+      existing: DataFrame, existingKey: String,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = source.sparkSession
+    // two short jobs over the (small) existing side: size, then sketch
+    val nExisting = math.max(existing.count(), 1L)
+    val bf = existing.stat.bloomFilter(existingKey, nExisting, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val definitelyNew = source.where(!mightContain(col(key)))
+    val candidates = source.where(mightContain(col(key)))
+      .join(existing.select(col(existingKey).as(key)), Seq(key), "left_anti")
+    definitelyNew.unionByName(candidates)
+  }
 }

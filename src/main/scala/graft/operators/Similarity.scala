@@ -176,11 +176,19 @@ object Similarity {
     * vec_id < 10) guarantee verifiable hits on the random corpus. Candidate
     * generation is the bucket self-join — never the full cross product; the
     * interpreted-HOF cosine runs on candidates only. */
-  def annPairs(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+  /** Corpus with injected duplicates (vec_id+1000000 for vec_id < 10) —
+    * shared by the ANN-pair and embedding-dedup queries. */
+  private def injectedCorpus(spark: SparkSession, d: String): DataFrame = {
     val base = embDouble(spark, d).select(col("vec_id"), col("emb"))
-    val e = base.union(
+    base.union(
       base.where(col("vec_id") < 10)
         .select((col("vec_id") + lit(1000000)).as("vec_id"), col("emb")))
+  }
+
+  /** Unordered near-dup pairs (vec_a < vec_b, cosine ≥ threshold) over a
+    * (vec_id, emb) corpus — the shared core of [[annPairs]] and
+    * [[dedupEmbed]]. */
+  private def annPairsRaw(e: DataFrame, threshold: Double): DataFrame = {
     // buckets from the codegen path, embeddings re-attached by key;
     // materialized once for the self-join fan-out (see Dedup.minhashPairs:
     // exchange reuse does not fire across self-join branches)
@@ -190,8 +198,10 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         cosine(col("x.emb"), col("y.emb")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
-      .orderBy("vec_a", "vec_b")
   }
+
+  def annPairs(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame =
+    annPairsRaw(injectedCorpus(spark, d), threshold).orderBy("vec_a", "vec_b")
 
   def annPairsSql(threshold: Double = 0.99): String = {
     val cos = cosineSql("x.emb", "y.emb")
@@ -207,6 +217,42 @@ object Similarity {
        |FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE $cos >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup DEDUP: the survivor set after removing
+    * near-duplicates (cosine ≥ threshold) from the injected-dup corpus.
+    * Survivor policy is greedy-by-id — drop y whenever some x < y is a
+    * near-dup of y — the standard LSH-dedup policy (one pass, no iterative
+    * connected components; a transitive chain keeps only its minimum id if
+    * every link shares a bucket). Scale shape: LSH candidate pairs (never
+    * the cross product) → exact cosine verify → broadcast-able anti-join of
+    * the small dropped-id set against the corpus. */
+  def dedupEmbed(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+    val corpus = injectedCorpus(spark, d)
+    val dropped = annPairsRaw(corpus, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    corpus.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  def dedupEmbedSql(threshold: Double = 0.99): String = {
+    val cos = cosineSql("x.emb", "y.emb")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), embedding
+       |  FROM embeddings WHERE vec_id < 10
+       |), sig AS (
+       |  SELECT vec_id, emb, $lshSignatureSql AS bucket FROM base
+       |), dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE $cos >= $threshold
+       |)
+       |SELECT vec_id FROM base
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
   }
 
   // ---- IVF-style coarse-quantizer ANN ---------------------------------------
@@ -350,6 +396,7 @@ object Similarity {
     "q_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
     "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
+    "q_dedup_embed"     -> ((s, d) => dedupEmbed(s, d)),
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
@@ -358,6 +405,7 @@ object Similarity {
     "q_cosine_topk"     -> cosineTopKSql(),
     "q_lsh_buckets"     -> lshBucketsSql,
     "q_ann_pairs"       -> annPairsSql(),
+    "q_dedup_embed"     -> dedupEmbedSql(),
     "q_ivf_cells"       -> ivfCellsSql,
     "q_ivf_topk"        -> ivfTopKSql(),
     "q_label_centroids" -> labelCentroidsSql)

@@ -98,6 +98,107 @@ object AnalyticOps {
       |FROM orders""".stripMargin
   }
 
+  // --- explicit GROUPING SETS -----------------------------------------------
+  // Arbitrary grouping-set lists beyond rollup/cube's fixed lattices — here
+  // the two single-key marginals plus the grand total, skipping the leaf
+  // level entirely (a rollup would be forced to compute it). Same Expand +
+  // partial/final hash-agg physics: each input row fans out once per set,
+  // so cost is sets × scan, never sets × shuffle.
+  def groupingSetsAgg(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        Money.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_price,
+      |       l_returnflag, l_linestatus
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // --- date-spine gap fill --------------------------------------------------
+  // The training-pipeline "complete panel" shape: every (event_type, day)
+  // cell present even when no events landed, zero-filled. The spine is
+  // derived, not hand-written: global min/max dates (one tiny agg) →
+  // `sequence` + explode → cross join with the distinct type set. Both spine
+  // inputs are bounded (days × types), so the cross join and the final left
+  // join broadcast — the only real shuffle at any scale is the daily
+  // aggregation over the fact table itself.
+  def dateSpine(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.moneySum(col("value")).as("sum_value"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("dt"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    spine.join(daily, Seq("event_type", "dt"), "left")
+      .select(col("event_type"), col("dt"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "dt")
+  }
+
+  val dateSpineSql: String =
+    s"""WITH b AS (
+      |  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS dt FROM b
+      |), types AS (
+      |  SELECT DISTINCT event_type FROM events
+      |), daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt,
+      |         count(*) AS n_events,
+      |         ${Money.moneySumSql("value")} AS sum_value
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT t.event_type, s.dt,
+      |       COALESCE(d.n_events, 0) AS n_events,
+      |       COALESCE(d.sum_value, 0.0) AS sum_value
+      |FROM spine s
+      |CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.dt = s.dt
+      |ORDER BY t.event_type, s.dt""".stripMargin
+
+  // --- rank-family window functions -------------------------------------------
+  // rank / dense_rank / percent_rank / cume_dist over one shuffle; the window
+  // ORDER BY is price alone (no unique tiebreak) so tie semantics — equal
+  // values share a rank, percent_rank = (rank−1)/(n−1), cume_dist = peers'
+  // cumulative fraction — are actually exercised and must agree across
+  // engines. The final output sort adds the unique key for determinism.
+  def windowRank(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       percent_rank() OVER w AS prnk,
+      |       cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
   // --- pivot (long → wide) --------------------------------------------------
   // Explicit value list (no discovery pass over the data, deterministic
   // column set at any scale); absent combinations coalesce to 0 so the wide
@@ -202,18 +303,24 @@ object AnalyticOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup"     -> (rollupAgg _),
     "q_cube"       -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSetsAgg _),
+    "q_date_spine" -> (dateSpine _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
     "q_join_full"  -> (fullJoin _),
     "q_window_lag" -> (windowLag _),
+    "q_window_rank" -> (windowRank _),
     "q_histogram"  -> (histogram _))
 
   def oracles: Map[String, String] = Map(
     "q_rollup"     -> rollupAggSql,
     "q_cube"       -> cubeAggSql,
+    "q_grouping_sets" -> groupingSetsAggSql,
+    "q_date_spine" -> dateSpineSql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
     "q_join_full"  -> fullJoinSql,
     "q_window_lag" -> windowLagSql,
+    "q_window_rank" -> windowRankSql,
     "q_histogram"  -> histogramSql)
 }

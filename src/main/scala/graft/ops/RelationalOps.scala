@@ -277,6 +277,33 @@ object RelationalOps {
       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin
 
   // --- O1/O2: global sort + top-k ------------------------------------------
+  // --- J2 at 100 TB: bloom-filter-pruned incremental delta -----------------
+  // Same EXACT semantics as q_delta_anti (left-anti on the key), different
+  // physics: a bloom filter over the existing keys is built once and
+  // broadcast, the source is pruned map-side, and only the sliver the filter
+  // can't rule out reaches the anti-join shuffle. On a daily-delta workload
+  // where most source rows are new, this removes almost the entire source
+  // shuffle (see [[graft.operators.ScaleTools.bloomDelta]]). The oracle is
+  // the plain NOT-IN form — the filter must never change the answer.
+  def bloomDeltaOrders(spark: SparkSession, d: String): DataFrame = {
+    val src = orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val existing = orders(spark, d)
+      .where(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    graft.operators.ScaleTools.bloomDelta(src, "o_orderkey", existing, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val bloomDeltaOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1995-07-01')
+      |ORDER BY o_orderkey""".stripMargin
+
   // orderBy+limit plans as TakeOrderedAndProject — each partition keeps only
   // its local top-k, no global sort materialization: the scale-safe top-k.
   def topkOrders(spark: SparkSession, d: String): DataFrame =
@@ -317,6 +344,7 @@ object RelationalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
+    "q_bloom_delta"     -> (bloomDeltaOrders _),
     "q_semi_join"       -> (semiJoin _),
     "q_join_broadcast"  -> (joinBroadcastAgg _),
     "q_star_join"       -> (starJoin _),
@@ -335,6 +363,7 @@ object RelationalOps {
   def oracles: Map[String, String] = Map(
     "q_join_composite"  -> joinCompositeSql,
     "q_delta_anti"      -> deltaAntiSql,
+    "q_bloom_delta"     -> bloomDeltaOrdersSql,
     "q_semi_join"       -> semiJoinSql,
     "q_join_broadcast"  -> joinBroadcastAggSql,
     "q_star_join"       -> starJoinSql,

@@ -179,8 +179,48 @@ object ScalarOps {
       |      FROM (SELECT vec_id, label, unnest(embedding) AS val FROM embeddings) t0) t
       |GROUP BY vec_id, label""".stripMargin
 
+  // --- string-function suite ------------------------------------------------
+  // The string surface a text-curation pipeline leans on daily, all codegen'd
+  // builtins in one narrow projection (zero shuffles, zero exchanges): case
+  // mapping, tokenize-and-count, global regex strip, padding, position,
+  // slicing, reversal, character translation, and multi-column concat.
+  // Engine-parity notes: DuckDB regexp_replace needs the 'g' flag to match
+  // Spark's replace-all; Spark `instr` ≡ DuckDB `strpos`; Spark
+  // `size(split(...))` ≡ DuckDB `len(string_split(...))` (both count empty
+  // trailing fields); both lpad truncate to the target width.
+  def stringFuncs(spark: SparkSession, d: String): DataFrame =
+    part(spark, d)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_type")).as("low_type"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        lpad(col("p_brand"), 12, "*").as("padded_brand"),
+        instr(col("p_name"), " ").cast("long").as("first_space"),
+        substring(col("p_name"), 1, 5).as("first5"),
+        reverse(col("p_brand")).as("rev_brand"),
+        translate(col("p_type"), "aeiou", "12345").as("tr_type"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      |       upper(p_name) AS up_name,
+      |       lower(p_type) AS low_type,
+      |       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+      |       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+      |       lpad(p_brand, 12, '*') AS padded_brand,
+      |       CAST(strpos(p_name, ' ') AS BIGINT) AS first_space,
+      |       substring(p_name, 1, 5) AS first5,
+      |       reverse(p_brand) AS rev_brand,
+      |       translate(p_type, 'aeiou', '12345') AS tr_type,
+      |       concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_math"     -> (scalarMath _),
+    "q_string_funcs"    -> (stringFuncs _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -192,6 +232,7 @@ object ScalarOps {
 
   def oracles: Map[String, String] = Map(
     "q_scalar_math"     -> scalarMathSql,
+    "q_string_funcs"    -> stringFuncsSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,

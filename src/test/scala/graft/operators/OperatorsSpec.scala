@@ -79,6 +79,32 @@ class OperatorsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("fuzzy pairs recover injected exact duplicates at edit distance 0") {
+    val rows = Dedup.fuzzyPairs(spark, d).collect()
+    val injected = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(injected.nonEmpty)
+    injected.foreach(r => assert(r.getAs[Long]("edit_dist") === 0L))
+    // ordered-pair invariant: doc_a < doc_b, no duplicates
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("embedding dedup drops exactly the injected near-dup ids (greedy min-id)") {
+    val survivors = Similarity.dedupEmbed(spark, d).collect().map(_.getLong(0)).toSet
+    // every injected copy (vec_id + 1000000, cosine 1.0 with its original)
+    // must be dropped; its original (the smaller id) must survive
+    val pairs = Similarity.annPairs(spark, d).collect()
+    pairs.foreach { r =>
+      assert(survivors.contains(r.getLong(0)) || !survivors.contains(r.getLong(1)))
+      assert(!survivors.contains(r.getLong(1)))
+    }
+    (0L until 10L).foreach { id =>
+      assert(survivors.contains(id))
+      assert(!survivors.contains(id + 1000000L))
+    }
+  }
+
   test("multimodal features match a direct batch-decode of the same records") {
     val viaSpark = Multimodal.features(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -29,6 +29,21 @@ class ScaleToolsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom delta equals the plain left-anti join exactly") {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val existing = spark.read.parquet(s"$d/orders.parquet")
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val plain = li.join(
+      existing.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_anti")
+    val bloom = ScaleTools.bloomDelta(li, "l_orderkey", existing, "o_orderkey")
+    assert(bloom.count() === plain.count())
+    // exact multiset equality, not just counts
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+  }
+
   test("salted join preserves inner equi-join semantics") {
     val li = spark.read.parquet(s"$d/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
