@@ -190,11 +190,113 @@ object EventStream {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Oracle-checked WATERMARK LATE-DATA DROP: the one streaming behavior the
+    * single-batch queries above can't exercise (all data in one batch means
+    * nothing is ever late).
+    *
+    * Arrival is made deterministic by staging the events table into four
+    * micro-batch files (mtime-ordered, maxFilesPerTrigger=1). The staging
+    * accounts for Spark's TWO watermarks per batch (SPARK-40925): eviction
+    * uses the watermark from the previous batch's data, but LATE-EVENT
+    * FILTERING uses the one from the batch before that — so rows are only
+    * dropped when they arrive ≥2 batches after the data that advanced the
+    * watermark past their window (proven by driving: a 2-batch layout
+    * merges "late" rows into still-live state and drops nothing).
+    *
+    *   batch0 = even event_ids — spans the full range: the watermark
+    *            becomes (max ts − 3 days) after this batch
+    *   batch1 = odd event_ids from the last 7 calendar days — on time
+    *   batch2 = odd event_ids OLDER than 7 days — every row's 1-day window
+    *            closed ≥3 days before the late-filter watermark: ALL DROPPED
+    *            (the 4-day margin makes the result robust to the exact
+    *            boundary predicate and to ms-truncation of watermark stats)
+    *   batch3 = one far-future sentinel row — advances the watermark past
+    *            every real window so Append mode flushes them all (the
+    *            sentinel's own window never closes and is filtered out)
+    *
+    * The DuckDB oracle restates the drop relationally — keep the evens and
+    * the recent odds, drop the old odds — with the same cutoff arithmetic
+    * (whole-day truncation of the global max ts, minus 7 days).
+    */
+  def streamingLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+
+    // cutoff = UTC-midnight of the global max ts, minus 7 days (in ns, on
+    // the raw long column — the oracle does the identical truncation on µs)
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val cutoffNs = (maxNs / dayNs) * dayNs - 7L * dayNs
+    val odd = raw.where(col("event_id") % 2 === 1)
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
+      rawSchema)
+
+    // stage the four arrival batches as single files with ordered mtimes
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    Seq((raw.where(col("event_id") % 2 === 0), "batch0", now - 90000),
+        (odd.where(col("ts") >= cutoffNs), "batch1", now - 60000),
+        (odd.where(col("ts") < cutoffNs), "batch2", now - 30000),
+        (sentinel, "batch3", now)).foreach { case (df, name, mtime) =>
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "3 days")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+    runToMemory(agg, "graft_stream_late", OutputMode.Append)
+    spark.table("graft_stream_late")
+      .where(col("event_type") =!= "__flush__")
+      .select(col("window.start").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val streamingLateDataSql: String =
+    s"""WITH cut AS (
+      |  SELECT date_trunc('day', max(CAST(ts AS TIMESTAMP)))
+      |           - INTERVAL 7 DAY AS cutoff
+      |  FROM events
+      |), kept AS (
+      |  SELECT e.* FROM events e WHERE e.event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT e.* FROM events e, cut
+      |  WHERE e.event_id % 2 = 1 AND CAST(e.ts AS TIMESTAMP) >= cut.cutoff
+      |)
+      |SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |       count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM kept
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
-    "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)))
+    "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
+    "q_stream_late"     -> ((s, d) => streamingLateData(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
-    "q_stream_sessions" -> streamingSessionsSql)
+    "q_stream_sessions" -> streamingSessionsSql,
+    "q_stream_late"     -> streamingLateDataSql)
 }
