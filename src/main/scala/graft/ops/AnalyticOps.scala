@@ -171,6 +171,59 @@ object AnalyticOps {
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.dt = s.dt
       |ORDER BY t.event_type, s.dt""".stripMargin
 
+  // --- batch sessionization (gaps-and-islands) ------------------------------
+  // The batch twin of the streaming sessionizer: a new session starts after
+  // a >30-minute silence. Two window passes over ONE shuffle (same
+  // partition-by key and ordering → single Exchange + Sort in the plan):
+  // lag() marks session starts, a running sum numbers them, then a hash agg
+  // rolls sessions up. The ordering tiebreaks on event_id so ties in ts
+  // can't make the numbering nondeterministic. This is the standard
+  // scale-out sessionization: all work is per-user-partitioned, no
+  // driver-side state, skew bounded by the busiest single user.
+  val SessionGapUs: Long = 30L * 60L * 1000000L
+
+  def sessionizeBatch(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeBatchSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       min(ts) AS session_start,
+      |       max(ts) AS session_end,
+      |       ${Money.moneySumSql("value")} AS sum_value
+      |FROM numbered
+      |GROUP BY 1, 2
+      |ORDER BY user_id, session_id""".stripMargin
+
   // --- rank-family window functions -------------------------------------------
   // rank / dense_rank / percent_rank / cume_dist over one shuffle; the window
   // ORDER BY is price alone (no unique tiebreak) so tie semantics — equal
@@ -305,6 +358,7 @@ object AnalyticOps {
     "q_cube"       -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_date_spine" -> (dateSpine _),
+    "q_sessionize_batch" -> (sessionizeBatch _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
     "q_join_full"  -> (fullJoin _),
@@ -317,6 +371,7 @@ object AnalyticOps {
     "q_cube"       -> cubeAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_date_spine" -> dateSpineSql,
+    "q_sessionize_batch" -> sessionizeBatchSql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
     "q_join_full"  -> fullJoinSql,

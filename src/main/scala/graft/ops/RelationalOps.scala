@@ -304,6 +304,71 @@ object RelationalOps {
       |  WHERE o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- cross join (dimension × dimension) ----------------------------------
+  // The only safe cross join: both sides are bounded dimension tables, so
+  // the product is bounded too (25 × 5 here) and Spark plans
+  // BroadcastNestedLoopJoin with a tiny build side. A fact-side cross join
+  // would be a scale bug, not an operator — never ship one.
+  def crossJoinDims(spark: SparkSession, d: String): DataFrame =
+    nation(spark, d).select(col("n_nationkey"), col("n_name"))
+      .crossJoin(region(spark, d).select(col("r_regionkey"), col("r_name")))
+      .orderBy("n_nationkey", "r_regionkey")
+
+  val crossJoinDimsSql: String =
+    """SELECT n_nationkey, n_name, r_regionkey, r_name
+      |FROM nation CROSS JOIN region
+      |ORDER BY n_nationkey, r_regionkey""".stripMargin
+
+  // --- right outer join -----------------------------------------------------
+  // Orders keep their row even when no qualifying lineitem exists (the
+  // filter on the left side creates genuine misses). count(non-null col)
+  // gives the 0-for-unmatched semantics both engines share. Same hash-join
+  // physics as J1 with the preserved side swapped.
+  def rightJoin(spark: SparkSession, d: String): DataFrame = {
+    val bigLines = lineitem(spark, d)
+      .where(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = orders(spark, d)
+    bigLines.join(o, bigLines("l_orderkey") === o("o_orderkey"), "right")
+      .groupBy(o("o_orderkey"))
+      .agg(count(bigLines("l_orderkey")).as("n_big_lines"),
+        sum(bigLines("l_quantity")).as("sum_big_qty"))
+      .orderBy(o("o_orderkey"))
+  }
+
+  val rightJoinSql: String =
+    """SELECT o.o_orderkey,
+      |       count(l.l_orderkey) AS n_big_lines,
+      |       sum(l.l_quantity) AS sum_big_qty
+      |FROM (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 45) l
+      |RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // --- salted skew join (oracle-checked) ------------------------------------
+  // The skew-mitigation shape from [[graft.operators.ScaleTools.saltedJoin]]
+  // driven end-to-end: the big side gets a random-but-deterministic salt,
+  // the small side is exploded across all salt values, and the join runs on
+  // (key, salt) — splitting any hot key across `salts` reducers. The oracle
+  // is the PLAIN join + aggregation: salting must never change the answer.
+  def saltedJoinAgg(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = orders(spark, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.ScaleTools.saltedJoin(li, o, "l_orderkey", salts = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val saltedJoinAggSql: String =
+    s"""SELECT o.o_orderstatus,
+      |       count(*) AS n_lines,
+      |       $revenueSumSql AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""".stripMargin
+
   // orderBy+limit plans as TakeOrderedAndProject — each partition keeps only
   // its local top-k, no global sort materialization: the scale-safe top-k.
   def topkOrders(spark: SparkSession, d: String): DataFrame =
@@ -345,6 +410,9 @@ object RelationalOps {
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
     "q_bloom_delta"     -> (bloomDeltaOrders _),
+    "q_cross_join"      -> (crossJoinDims _),
+    "q_right_join"      -> (rightJoin _),
+    "q_salted_join"     -> (saltedJoinAgg _),
     "q_semi_join"       -> (semiJoin _),
     "q_join_broadcast"  -> (joinBroadcastAgg _),
     "q_star_join"       -> (starJoin _),
@@ -364,6 +432,9 @@ object RelationalOps {
     "q_join_composite"  -> joinCompositeSql,
     "q_delta_anti"      -> deltaAntiSql,
     "q_bloom_delta"     -> bloomDeltaOrdersSql,
+    "q_cross_join"      -> crossJoinDimsSql,
+    "q_right_join"      -> rightJoinSql,
+    "q_salted_join"     -> saltedJoinAggSql,
     "q_semi_join"       -> semiJoinSql,
     "q_join_broadcast"  -> joinBroadcastAggSql,
     "q_star_join"       -> starJoinSql,

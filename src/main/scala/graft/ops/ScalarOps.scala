@@ -218,9 +218,52 @@ object ScalarOps {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  // --- array / higher-order-function suite ----------------------------------
+  // The array surface over the embeddings table: size, indexing, max,
+  // HOF filter/transform/aggregate, and slicing — all per-row (zero
+  // shuffles). Numeric discipline (see graft.operators.Similarity): floats
+  // cast to double elementwise before arithmetic, outputs quantized to
+  // integer grids (floor(x*1e6)) so no cross-engine float formatting or
+  // fold-order issue can bite; the HOF sum folds QUANTIZED LONGS, which are
+  // order-independent. Spark HOFs are interpreted, not codegen'd — fine
+  // here (one pass over 128-element arrays), never for hot inner loops.
+  def arrayFuncs(spark: SparkSession, d: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    embeddings(spark, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(element_at(emb, 1) * lit(1000000.0)).as("first_q"),
+        floor(array_max(emb) * lit(1000000.0)).as("max_q"),
+        size(filter(emb, _ > lit(0.0))).cast("long").as("n_pos"),
+        aggregate(transform(emb, e => floor(e * lit(1000000.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_join(transform(slice(emb, 1, 3),
+          e => floor(e * lit(1000000.0)).cast("long").cast("string")), ",")
+          .as("head3_q"))
+      .orderBy("vec_id")
+  }
+
+  val arrayFuncsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, embedding FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       CAST(len(embedding) AS BIGINT) AS dim,
+      |       CAST(floor(emb[1] * 1000000.0) AS BIGINT) AS first_q,
+      |       CAST(floor(list_max(emb) * 1000000.0) AS BIGINT) AS max_q,
+      |       CAST(len(list_filter(emb, x -> x > 0.0)) AS BIGINT) AS n_pos,
+      |       CAST(list_sum(list_transform(emb,
+      |         x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS sum_q,
+      |       array_to_string(list_transform(emb[1:3],
+      |         x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+      |         AS head3_q
+      |FROM e
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_math"     -> (scalarMath _),
     "q_string_funcs"    -> (stringFuncs _),
+    "q_array_funcs"     -> (arrayFuncs _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -233,6 +276,7 @@ object ScalarOps {
   def oracles: Map[String, String] = Map(
     "q_scalar_math"     -> scalarMathSql,
     "q_string_funcs"    -> stringFuncsSql,
+    "q_array_funcs"     -> arrayFuncsSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,
