@@ -255,6 +255,48 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- L2 normalization ------------------------------------------------------
+
+  /** Unit-normalize each embedding — the preprocessing step before any
+    * cosine/IP index build. Cross-engine determinism: elements quantize to
+    * exact ints q_i = floor(e_i·1e6); the squared norm Σq_i² is an exact
+    * long (order-free), so norm and each q_i/√Σq_i² are the same IEEE
+    * doubles in both engines, and the 1e6-requantized outputs match
+    * bit-for-bit. Zero vectors yield NULL (nullif guard) rather than
+    * engine-specific NaN/Inf formatting. Per-row only — zero shuffles. */
+  def l2Normalize(spark: SparkSession, d: String): DataFrame = {
+    val q = transform(col("emb"), e => floor(e * lit(1000000.0)).cast("long"))
+    embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("sumsq", aggregate(q, lit(0L), (acc, x) => acc + x * x))
+      .select(col("vec_id"),
+        floor(sqrt(nullif(col("sumsq"), lit(0L)).cast("double"))).cast("long").as("norm_q"),
+        array_join(transform(col("emb"),
+          e => floor(floor(e * lit(1000000.0)) /
+            sqrt(nullif(col("sumsq"), lit(0L)).cast("double")) * lit(1000000.0))
+            .cast("long").cast("string")), ",").as("unit_q"))
+      .orderBy("vec_id")
+  }
+
+  val l2NormalizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, emb,
+      |         CAST(list_sum(list_transform(emb, x ->
+      |           CAST(floor(x * 1000000.0) AS BIGINT)
+      |             * CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS sumsq
+      |  FROM e
+      |)
+      |SELECT vec_id,
+      |       CAST(floor(sqrt(CAST(nullif(sumsq, 0) AS DOUBLE))) AS BIGINT) AS norm_q,
+      |       array_to_string(list_transform(emb, x ->
+      |         CAST(CAST(floor(floor(x * 1000000.0)
+      |           / sqrt(CAST(nullif(sumsq, 0) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |           AS VARCHAR)), ',') AS unit_q
+      |FROM s
+      |ORDER BY vec_id""".stripMargin
+
   // ---- IVF-style coarse-quantizer ANN ---------------------------------------
 
   /** Number of inverted-file cells (coarse centroids). */
@@ -397,6 +439,7 @@ object Similarity {
     "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
     "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
     "q_dedup_embed"     -> ((s, d) => dedupEmbed(s, d)),
+    "q_l2_normalize"    -> ((s, d) => l2Normalize(s, d)),
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
@@ -406,6 +449,7 @@ object Similarity {
     "q_lsh_buckets"     -> lshBucketsSql,
     "q_ann_pairs"       -> annPairsSql(),
     "q_dedup_embed"     -> dedupEmbedSql(),
+    "q_l2_normalize"    -> l2NormalizeSql,
     "q_ivf_cells"       -> ivfCellsSql,
     "q_ivf_topk"        -> ivfTopKSql(),
     "q_label_centroids" -> labelCentroidsSql)

@@ -260,10 +260,61 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id""".stripMargin
 
+  // --- map-typed columns ----------------------------------------------------
+  // The props JSON parsed into a REAL MapType column (not just a path
+  // getter like q_json_extract): key listing, membership, size, and value
+  // lookup all operate on the map. The oracle reaches the same answers via
+  // DuckDB's JSON functions — map semantics on one side, document semantics
+  // on the other, same observable result.
+  def mapFuncs(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+      .select(col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+        col("m").getItem("k").as("k_val"),
+        map_contains_key(col("m"), "missing").as("has_missing"))
+      .orderBy("event_id")
+
+  val mapFuncsSql: String =
+    """SELECT event_id,
+      |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+      |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+      |       json_extract(props, '$.missing') IS NOT NULL AS has_missing
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // --- posexplode (index-preserving flatten) --------------------------------
+  // explode that keeps each element's position — required whenever array
+  // order is data (embedding dimensions here). Generator output stays
+  // pipelined in the scan stage: no shuffle. Oracle: DuckDB lateral range
+  // join subscripting, 1-based on both sides.
+  def posExplode(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("idx"),
+        floor(col("col") * lit(1000000.0)).as("val_q"))
+      .orderBy("vec_id", "idx")
+
+  val posExplodeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       unnest(generate_series(1, len(emb))) AS idx,
+      |       CAST(floor(unnest(emb) * 1000000.0) AS BIGINT) AS val_q
+      |FROM e
+      |ORDER BY vec_id, idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_math"     -> (scalarMath _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_array_funcs"     -> (arrayFuncs _),
+    "q_map_funcs"       -> (mapFuncs _),
+    "q_posexplode"      -> (posExplode _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -277,6 +328,8 @@ object ScalarOps {
     "q_scalar_math"     -> scalarMathSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_array_funcs"     -> arrayFuncsSql,
+    "q_map_funcs"       -> mapFuncsSql,
+    "q_posexplode"      -> posExplodeSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,

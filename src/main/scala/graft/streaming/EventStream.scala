@@ -290,13 +290,55 @@ object EventStream {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** STREAM-STATIC JOIN: the streaming enrich pattern — each micro-batch of
+    * the event stream joins a static dimension table (here: customer, on
+    * user_id = c_custkey) before aggregating per market segment. The static
+    * side is a plain batch DataFrame; Spark re-plans it per micro-batch and
+    * broadcasts it (dimension-sized), so the stream side never shuffles for
+    * the join — the scale-correct enrich topology. Complete-mode single
+    * batch keeps it deterministic; the oracle is the equivalent batch join.
+    */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      // no countDistinct: distinct aggregates are unsupported on streams —
+      // the mergeable alternative at scale is approx_count_distinct
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+    runToMemory(enriched.toDF(), "graft_stream_enrich", OutputMode.Complete)
+    spark.table("graft_stream_enrich")
+      .select(col("c_mktsegment"), col("n_events"), col("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val streamingEnrichSql: String =
+    s"""SELECT c.c_mktsegment,
+      |       count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
-    "q_stream_late"     -> ((s, d) => streamingLateData(s, d)))
+    "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
+    "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_sessions" -> streamingSessionsSql,
-    "q_stream_late"     -> streamingLateDataSql)
+    "q_stream_late"     -> streamingLateDataSql,
+    "q_stream_enrich"   -> streamingEnrichSql)
 }
