@@ -332,6 +332,72 @@ object Dedup {
        |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- duplicate clustering: connected components over near-dup pairs ------
+
+  /** Connected components over the MinHash near-dup pairs — the transitive-
+    * closure step that turns pairwise matches into DUP CLUSTERS (a~b and
+    * b~c must collapse into one {a,b,c} group even when a~c never shared an
+    * LSH band). Implemented as Hash-Min label propagation: every vertex
+    * starts labeled with its own id; each round, labels flow across edges
+    * and each vertex keeps the min; converged when no label changed. Rounds
+    * needed = component diameter (tiny for dup clusters), each round is one
+    * join + one hash agg shuffled on vertex id — the standard cluster-scale
+    * connected-components. `localCheckpoint` per round truncates the plan
+    * lineage: without it, iteration N re-executes all N−1 prior rounds (the
+    * classic Spark iterative-algorithm trap). The driver-side loop holds
+    * only a changed/not-changed bit, never data.
+    *
+    * Oracle: a recursive CTE computing min-reachable-id per vertex —
+    * fixpoint semantics identical to the propagation's. */
+  def dupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val propagated = edges.join(labels, edges("doc_b") === labels("v"))
+        .select(edges("doc_a").as("v"), col("label"))
+      val updated = labels.unionByName(propagated)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = updated.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = updated
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list(col("v"))),
+          _.cast("string")), ",").as("member_ids"))
+      .orderBy("cluster_id")
+  }
+
+  def dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashPairsSql()})
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), verts AS (
+       |  SELECT DISTINCT a AS v FROM edges
+       |), reach(v, l) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+       |), lbl AS (
+       |  SELECT v, min(l) AS cluster_id FROM reach GROUP BY v
+       |)
+       |SELECT cluster_id, count(*) AS n_members,
+       |       string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) AS member_ids
+       |FROM lbl
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
   // ---- fuzzy dedup: edit-distance verify over LSH candidates ----------------
 
   /** Fuzzy near-dup pairs: MinHash-LSH candidate generation, verified by
@@ -578,7 +644,8 @@ object Dedup {
     "q_simhash"       -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
-    "q_fuzzy_pairs"   -> ((s, d) => fuzzyPairs(s, d)))
+    "q_fuzzy_pairs"   -> ((s, d) => fuzzyPairs(s, d)),
+    "q_dup_clusters"  -> ((s, d) => dupClusters(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> exactDedupSql,
@@ -588,5 +655,6 @@ object Dedup {
     "q_simhash"       -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(),
     "q_ngram_jaccard" -> ngramJaccardSql(),
-    "q_fuzzy_pairs"   -> fuzzyPairsSql())
+    "q_fuzzy_pairs"   -> fuzzyPairsSql(),
+    "q_dup_clusters"  -> dupClustersSql)
 }

@@ -304,6 +304,33 @@ object RelationalOps {
       |  WHERE o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- union under schema evolution -----------------------------------------
+  // unionByName(allowMissingColumns): the lake-backfill reality where an old
+  // partition predates a column. Name-based alignment (positional union
+  // would silently mis-bind), absent columns null-fill. DuckDB's UNION ALL
+  // BY NAME is the same operation.
+  def unionEvolve(spark: SparkSession, d: String): DataFrame = {
+    val oldRows = orders(spark, d)
+      .where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("old").as("src"))
+    val newRows = orders(spark, d)
+      .where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        lit("new").as("src"))
+    oldRows.unionByName(newRows, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val unionEvolveSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'old' AS src
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority, 'new' AS src
+      |  FROM orders WHERE o_orderkey % 3 <> 0
+      |)
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- cross join (dimension × dimension) ----------------------------------
   // The only safe cross join: both sides are bounded dimension tables, so
   // the product is bounded too (25 × 5 here) and Spark plans
@@ -354,7 +381,7 @@ object RelationalOps {
   def saltedJoinAgg(spark: SparkSession, d: String): DataFrame = {
     val li = lineitem(spark, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val o = orders(spark, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-    graft.operators.ScaleTools.saltedJoin(li, o, "l_orderkey", salts = 8)
+    graft.operators.ScaleTools.saltedJoin(li, o, "l_orderkey", salts = 4)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"),
         revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -418,6 +445,7 @@ object RelationalOps {
     "q_star_join"       -> (starJoin _),
     "q_dropdup_all"     -> (dropDupAll _),
     "q_union_all"       -> (unionAll _),
+    "q_union_evolve"    -> (unionEvolve _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
@@ -440,6 +468,7 @@ object RelationalOps {
     "q_star_join"       -> starJoinSql,
     "q_dropdup_all"     -> dropDupAllSql,
     "q_union_all"       -> unionAllSql,
+    "q_union_evolve"    -> unionEvolveSql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,

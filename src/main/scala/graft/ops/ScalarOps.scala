@@ -309,12 +309,40 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, idx""".stripMargin
 
+  // --- explode_outer (null-preserving flatten) ------------------------------
+  // explode drops rows whose array is empty; explode_outer keeps them with a
+  // NULL element — the difference between "no qualifying values" vanishing
+  // from the output and being reportable. The filter threshold makes empty
+  // arrays common, so the outer semantics are genuinely exercised. DuckDB
+  // has no outer unnest: the oracle substitutes [NULL] for empty lists.
+  def explodeOuter(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"),
+        filter(col("embedding").cast("array<double>"), _ > lit(2.5)).as("big"))
+      .select(col("vec_id"),
+        explode_outer(col("big")).as("val"))
+      .select(col("vec_id"), floor(col("val") * lit(1000000.0)).as("val_q"))
+      .orderBy(col("vec_id"), col("val_q").asc_nulls_first)
+
+  val explodeOuterSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_filter(CAST(embedding AS DOUBLE[]), x -> x > 2.5) AS big
+      |  FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       CAST(floor(unnest(CASE WHEN len(big) = 0 THEN [NULL]::DOUBLE[]
+      |                              ELSE big END) * 1000000.0) AS BIGINT) AS val_q
+      |FROM e
+      |ORDER BY vec_id, val_q NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_math"     -> (scalarMath _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_array_funcs"     -> (arrayFuncs _),
     "q_map_funcs"       -> (mapFuncs _),
     "q_posexplode"      -> (posExplode _),
+    "q_explode_outer"   -> (explodeOuter _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -330,6 +358,7 @@ object ScalarOps {
     "q_array_funcs"     -> arrayFuncsSql,
     "q_map_funcs"       -> mapFuncsSql,
     "q_posexplode"      -> posExplodeSql,
+    "q_explode_outer"   -> explodeOuterSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,

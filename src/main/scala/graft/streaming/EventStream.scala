@@ -224,7 +224,10 @@ object EventStream {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+    // pinned: the raw table feeds four derived frames (max-ts agg + three
+    // batch filters) — a lazy plan would rescan the parquet for each
     val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .localCheckpoint()
 
     // cutoff = UTC-midnight of the global max ts, minus 7 days (in ns, on
     // the raw long column — the oracle does the identical truncation on µs)

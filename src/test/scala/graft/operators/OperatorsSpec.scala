@@ -79,6 +79,25 @@ class OperatorsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("dup clusters: every near-dup pair lands in one cluster; clusters partition") {
+    val pairs = Dedup.minhashPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, d).collect()
+    val memberToCluster = clusters.flatMap { r =>
+      r.getAs[String]("member_ids").split(",").map(_.toLong -> r.getAs[Long]("cluster_id"))
+    }.toMap
+    // transitive closure: both ends of every pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(memberToCluster(a) === memberToCluster(b), s"pair ($a,$b) split")
+    }
+    // clusters partition the vertex set; cluster_id is its min member
+    assert(memberToCluster.size === clusters.map(_.getAs[Long]("n_members")).sum)
+    clusters.foreach { r =>
+      val members = r.getAs[String]("member_ids").split(",").map(_.toLong)
+      assert(members.min === r.getAs[Long]("cluster_id"))
+    }
+  }
+
   test("fuzzy pairs recover injected exact duplicates at edit distance 0") {
     val rows = Dedup.fuzzyPairs(spark, d).collect()
     val injected = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)

@@ -74,6 +74,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(filters.contains("2024-01-02"))
   }
 
+  test("array/map/posexplode suites run with ZERO shuffle exchanges") {
+    assert(countExchanges(ScalarOps.arrayFuncs(spark, d).limit(1)) <= 1) // orderBy adds range
+    assert(countExchanges(ScalarOps.mapFuncs(spark, d).limit(1)) <= 1)
+    assert(countExchanges(ScalarOps.posExplode(spark, d).limit(1)) <= 1)
+  }
+
+  test("dimension cross join plans BroadcastNestedLoopJoin (bounded product)") {
+    val p = plan(RelationalOps.crossJoinDims(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("batch sessionization shares ONE exchange across both window passes") {
+    // lag + running sum use the same (partition, ordering) spec — a second
+    // Exchange would mean the specs diverged; agg reuses the partitioning,
+    // the final orderBy adds the range exchange
+    assert(countExchanges(AnalyticOps.sessionizeBatch(spark, d)) <= 2)
+  }
+
+  test("date spine joins broadcast (fact table shuffles only for its own agg)") {
+    val p = plan(AnalyticOps.dateSpine(spark, d))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q1 aggregation is a two-phase hash agg with no decimal in the hot path") {
     val p = plan(CoreOps.q1Agg(spark, d))
     assert(p.contains("HashAggregate"))
