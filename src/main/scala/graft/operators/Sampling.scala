@@ -33,6 +33,38 @@ object Sampling {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE ${bucket100Sql("doc_id")} < $pct""".stripMargin
 
+  /** STRATIFIED sample: a different deterministic rate per stratum (here:
+    * per source), the training-data rebalancing primitive — downsample the
+    * over-represented crawl, keep all of the rare high-quality source. Same
+    * hash-bucket machinery as [[hashSample]] so membership is reproducible
+    * and oracle-checked; rates are a plan-time literal map (no data-driven
+    * discovery pass). Map-only: the filter runs at scan speed and pushes
+    * into the parquet scan like any comparison predicate. */
+  /** Rate by stratum class (sources are `src0`..`src19`; class = numeric
+    * suffix mod 4): 10% / 40% / 80% / keep-all. */
+  val StrataRates: Seq[Int] = Seq(10, 40, 80, 100)
+
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    val cls = substring(col("source"), 4, 10).cast("int") % 4
+    val rate = StrataRates.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (pct, i)) => when(cls === i, lit(pct)).otherwise(acc)
+    }
+    documents(spark, d)
+      .where(bucket100(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleSql: String = {
+    val rate = StrataRates.zipWithIndex.foldRight("0") {
+      case ((pct, i), acc) =>
+        s"CASE WHEN (CAST(substring(source, 4, 10) AS INT) % 4) = $i THEN $pct ELSE $acc END"
+    }
+    s"""SELECT doc_id, source, lang, n_chars FROM documents
+       |WHERE ${bucket100Sql("doc_id")} < $rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/val/test assignment: 90/5/5 by hash bucket — stable across runs
     * and engines. */
   def dataSplit(spark: SparkSession, d: String): DataFrame = {
@@ -79,11 +111,13 @@ object Sampling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample"  -> ((s, d) => hashSample(s, d)),
+    "q_strat_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_data_split"   -> ((s, d) => dataSplit(s, d)),
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_hash_sample"  -> hashSampleSql(),
+    "q_strat_sample" -> stratifiedSampleSql,
     "q_data_split"   -> dataSplitSql,
     "q_corpus_stats" -> corpusStatsSql)
 }

@@ -171,6 +171,81 @@ object AnalyticOps {
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.dt = s.dt
       |ORDER BY t.event_type, s.dt""".stripMargin
 
+  // --- forward fill (last observation carried forward) ----------------------
+  // The time-series imputation twin of q_date_spine: build the complete
+  // (cohort, day) panel, then carry each cohort's last observed value
+  // across the gaps with last_value(..., ignoreNulls) over a running
+  // frame. One window shuffle keyed by cohort; the spine join is broadcast
+  // (bounded days × cohorts). The sparse base (signup events with
+  // value > 9) makes real gaps, so the fill is genuinely exercised.
+  def forwardFill(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, d)
+    val daily = ev
+      .where(col("event_type") === "signup" && col("value") > 9)
+      .groupBy((col("user_id") % 10).as("cohort"), to_date(col("ts")).as("dt"))
+      .agg(Money.moneySum(col("value")).as("raw_sum"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("dt"))
+      .crossJoin(spark.range(0, 10).select(col("id").as("cohort")))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("cohort", "dt"), "left")
+      .select(col("cohort"), col("dt"), col("raw_sum"),
+        coalesce(last(col("raw_sum"), ignoreNulls = true).over(w), lit(0.0))
+          .as("filled"))
+      .orderBy("cohort", "dt")
+  }
+
+  val forwardFillSql: String =
+    s"""WITH b AS (
+      |  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS dt FROM b
+      |), cohorts AS (
+      |  SELECT i AS cohort FROM range(0, 10) t(i)
+      |), daily AS (
+      |  SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS dt,
+      |         ${Money.moneySumSql("value")} AS raw_sum
+      |  FROM events
+      |  WHERE event_type = 'signup' AND value > 9
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.cohort, s.dt, d.raw_sum,
+      |       COALESCE(last_value(d.raw_sum IGNORE NULLS) OVER (
+      |         PARTITION BY c.cohort ORDER BY s.dt
+      |         ROWS UNBOUNDED PRECEDING), 0.0) AS filled
+      |FROM spine s
+      |CROSS JOIN cohorts c
+      |LEFT JOIN daily d ON d.cohort = c.cohort AND d.dt = s.dt
+      |ORDER BY c.cohort, s.dt""".stripMargin
+
+  // --- unpivot (wide → long) ------------------------------------------------
+  // The melt inverse of q_pivot: the wide daily table back to (dt,
+  // event_type, n) rows via the native unpivot operator (an Expand node —
+  // one output row per value column per input row, no shuffle, no join).
+  // The oracle uses explicit UNION ALL: the semantics unpivot must match.
+  def unpivotDaily(spark: SparkSession, d: String): DataFrame =
+    pivotDaily(spark, d)
+      .unpivot(
+        Array(col("dt")),
+        EventTypes.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", regexp_replace(col("event_type"), "^n_", ""))
+      .orderBy("dt", "event_type")
+
+  // lazy: EventTypes/pivotDailySql are declared later in the object, and a
+  // strict val here would read them as null during class init
+  lazy val unpivotDailySql: String = {
+    val arms = EventTypes.map(t =>
+      s"SELECT dt, '$t' AS event_type, n_$t AS n FROM wide").mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH wide AS (${pivotDailySql.replace("\n", "\n      |")})
+      |SELECT * FROM (
+      |  $arms
+      |)
+      |ORDER BY dt, event_type""".stripMargin
+  }
+
   // --- batch sessionization (gaps-and-islands) ------------------------------
   // The batch twin of the streaming sessionizer: a new session starts after
   // a >30-minute silence. Two window passes over ONE shuffle (same
@@ -359,6 +434,8 @@ object AnalyticOps {
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_date_spine" -> (dateSpine _),
     "q_sessionize_batch" -> (sessionizeBatch _),
+    "q_forward_fill" -> (forwardFill _),
+    "q_unpivot"    -> (unpivotDaily _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
     "q_join_full"  -> (fullJoin _),
@@ -372,6 +449,8 @@ object AnalyticOps {
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_date_spine" -> dateSpineSql,
     "q_sessionize_batch" -> sessionizeBatchSql,
+    "q_forward_fill" -> forwardFillSql,
+    "q_unpivot"    -> unpivotDailySql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
     "q_join_full"  -> fullJoinSql,

@@ -304,6 +304,45 @@ object RelationalOps {
       |  WHERE o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- SQL frontend (spark.sql over registered views) -----------------------
+  // The engine's other entry surface: the same Catalyst plans reached
+  // through SQL text instead of the DataFrame API (the stand-in for the
+  // reference's warehouse-SQL path, SURVEY §2.1 S4). TPC-H Q3 shape:
+  // segment-filtered customer ⋈ orders ⋈ lineitem, grouped revenue, top 10.
+  // The exact-cents aggregation is applied via the DataFrame API on top of
+  // the parsed plan — the two surfaces compose into ONE optimized plan
+  // (filters still push into all three scans).
+  def sqlQ3(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       l.l_extendedprice, l.l_discount
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'""".stripMargin)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val sqlQ3Sql: String =
+    s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+      |       $revenueSumSql AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+      |LIMIT 10""".stripMargin
+
   // --- union under schema evolution -----------------------------------------
   // unionByName(allowMissingColumns): the lake-backfill reality where an old
   // partition predates a column. Name-based alignment (positional union
@@ -446,6 +485,7 @@ object RelationalOps {
     "q_dropdup_all"     -> (dropDupAll _),
     "q_union_all"       -> (unionAll _),
     "q_union_evolve"    -> (unionEvolve _),
+    "q_sql_q3"          -> (sqlQ3 _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
@@ -469,6 +509,7 @@ object RelationalOps {
     "q_dropdup_all"     -> dropDupAllSql,
     "q_union_all"       -> unionAllSql,
     "q_union_evolve"    -> unionEvolveSql,
+    "q_sql_q3"          -> sqlQ3Sql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,
