@@ -356,6 +356,13 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("doc_a").as("v")).distinct()
       .select(col("v"), col("v").as("label")).localCheckpoint()
+    // convergence via the label-sum invariant: labels only ever DECREASE
+    // (min-propagation), so the total is strictly monotone until fixpoint —
+    // one cheap aggregate per round instead of a full old-vs-new join.
+    // Decimal sum: immune to long overflow at cluster-scale id ranges.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val propagated = edges.join(labels, edges("doc_b") === labels("v"))
@@ -363,10 +370,9 @@ object Dedup {
       val updated = labels.unionByName(propagated)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = updated.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = updated
     }
     labels.groupBy(col("label").as("cluster_id"))
@@ -402,11 +408,14 @@ object Dedup {
 
   /** Fuzzy near-dup pairs: MinHash-LSH candidate generation, verified by
     * Levenshtein edit distance over a fixed prefix. The edit-distance stage
-    * of a real fuzzy-dedup pipeline — O(prefixLen²) per PAIR, so it must
-    * only ever run on LSH candidates (the full corpus would be O(n²·L²));
-    * the prefix bound keeps the verify cost constant per pair regardless of
-    * document length. Candidates reuse [[lshCandidatePairs]]; only doc ids
-    * and fixed-size prefixes shuffle. */
+    * of a real fuzzy-dedup pipeline — quadratic per PAIR, so it must only
+    * ever run on LSH candidates (the full corpus would be O(n²·L²)); the
+    * prefix bound keeps the verify cost constant per pair regardless of
+    * document length, and the THRESHOLD form of levenshtein runs the banded
+    * DP — O(maxDist·prefixLen) per pair with early exit, returning −1 past
+    * the bound instead of computing the exact large distance nobody needs.
+    * Candidates reuse [[lshCandidatePairs]]; only doc ids and fixed-size
+    * prefixes shuffle. */
   def fuzzyPairs(spark: SparkSession, d: String,
       prefixLen: Int = 80, maxDist: Int = 20): DataFrame = {
     val base = docsWithInjectedDups(spark, d)
@@ -421,8 +430,8 @@ object Dedup {
       .join(prefixes.select(col("doc_id").as("doc_a"), col("prefix").as("ta")), "doc_a")
       .join(prefixes.select(col("doc_id").as("doc_b"), col("prefix").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_dist"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -240,22 +240,26 @@ object EventStream {
         -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
       rawSchema)
 
-    // stage the four arrival batches as single files with ordered mtimes
+    // stage all four arrival batches in ONE write job (partitionBy routes
+    // rows to per-batch subdirs; coalesce(1) → exactly one file each), then
+    // move them into the stream dir with ordered mtimes
     val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val stage = root.resolve("stage")
+    raw.withColumn("__batch",
+        when(col("event_id") % 2 === 0, 0)
+          .when(col("ts") >= cutoffNs, 1).otherwise(2))
+      .unionByName(sentinel.withColumn("__batch", lit(3)))
+      .coalesce(1)
+      .write.partitionBy("__batch").mode("overwrite").parquet(stage.toString)
     val now = System.currentTimeMillis()
-    Seq((raw.where(col("event_id") % 2 === 0), "batch0", now - 90000),
-        (odd.where(col("ts") >= cutoffNs), "batch1", now - 60000),
-        (odd.where(col("ts") < cutoffNs), "batch2", now - 30000),
-        (sentinel, "batch3", now)).foreach { case (df, name, mtime) =>
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).filter(p =>
+    (0 to 3).foreach { b =>
+      val part = java.nio.file.Files.list(stage.resolve(s"__batch=$b")).filter(p =>
         p.getFileName.toString.startsWith("part-")).findFirst().get()
-      val dst = inDir.resolve(s"$name.parquet")
+      val dst = inDir.resolve(s"batch$b.parquet")
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
+        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
     }
 
     val stream = spark.readStream.schema(rawSchema)
