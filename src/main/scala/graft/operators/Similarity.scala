@@ -32,8 +32,17 @@ object Similarity {
     s"""list_reduce(list_transform(list_zip($a, $b),
        |  s -> s[1] * s[2]), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
 
+  /** Executable spec of cosine similarity (interpreted HOFs — see
+    * [[graft.plans.CosineSimExpr]] for why the hot paths use the codegen'd
+    * expression instead; CosineSimSpec guards bit-parity between the two). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Codegen'd cosine — same three sequential folds, one primitive loop.
+    * Requires [[graft.plans.CosineSim.register]] on the session (every
+    * query path below does this). */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -48,13 +57,14 @@ object Similarity {
     * The one-row query side is broadcast; orderBy+limit plans as a
     * partial-top-k per partition — the linear-scan exact baseline. */
   def cosineTopK(spark: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.plans.CosineSim.register(spark)
     val e = embDouble(spark, d)
     val q = e.where(col("vec_id") === queryId)
       .select(col("emb").as("q_emb"))
     e.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+        cosineFast(col("emb"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -189,6 +199,7 @@ object Similarity {
     * (vec_id, emb) corpus — the shared core of [[annPairs]] and
     * [[dedupEmbed]]. */
   private def annPairsRaw(e: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.CosineSim.register(e.sparkSession)
     // buckets from the codegen path, embeddings re-attached by key;
     // materialized once for the self-join fan-out (see Dedup.minhashPairs:
     // exchange reuse does not fire across self-join branches)
@@ -196,7 +207,7 @@ object Similarity {
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.emb"), col("y.emb")).as("cos_sim"))
+        cosineFast(col("x.emb"), col("y.emb")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 
@@ -377,6 +388,7 @@ object Similarity {
     * cell(s), and the exact scoring touches a 1/[[IvfCells]] slice. The
     * one-row query side (embedding + cell) is broadcast. */
   def ivfTopK(spark: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.plans.CosineSim.register(spark)
     val e = embDouble(spark, d)
     // materialized once: the query-side probe and the cell scan both read it
     // (a lazy plan would run the assignment aggregation twice)
@@ -387,7 +399,7 @@ object Similarity {
     withCell.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+        cosineFast(col("emb"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

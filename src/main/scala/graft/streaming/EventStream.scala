@@ -337,15 +337,70 @@ object EventStream {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
 
+  /** STREAM-STREAM JOIN: view→purchase attribution — every purchase joined
+    * to the same user's views in the preceding hour. Spark plans a
+    * StreamingSymmetricHashJoin: both sides keep keyed state, each arriving
+    * row probes the other side's state. The watermarks + the two-sided
+    * time-range condition are what BOUND that state on an unbounded stream
+    * (rows older than watermark − range drop out of state); on this
+    * single-batch drive nothing is evicted, so the emitted set is exactly
+    * the batch interval join — which is the oracle. The join result is
+    * rolled up batch-side from the sink table (aggregating ON TOP of a
+    * stream-stream join in Append mode would hold output until watermark
+    * passes — unnecessary here).
+    */
+  def streamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src() = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 day")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
+    runToMemory(joined, "graft_stream_join", OutputMode.Append)
+    spark.table("graft_stream_join")
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_attributed"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingJoinSql: String =
+    s"""SELECT CAST(p.ts AS DATE) AS day,
+      |       count(*) AS n_attributed,
+      |       ${graft.functions.Money.moneySumSql("p.value")} AS sum_value
+      |FROM events v
+      |JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
-    "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)))
+    "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
+    "q_stream_join"     -> ((s, d) => streamingJoin(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
-    "q_stream_enrich"   -> streamingEnrichSql)
+    "q_stream_enrich"   -> streamingEnrichSql,
+    "q_stream_join"     -> streamingJoinSql)
 }
