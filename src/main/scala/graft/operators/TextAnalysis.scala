@@ -296,7 +296,108 @@ object TextAnalysis {
        |      FROM documents)""".stripMargin
   }
 
+  // ---- character entropy (quality signal) -----------------------------------
+
+  /** Per-document Shannon character entropy via the codegen'd
+    * [[graft.plans.CharEntropyExpr]] — one histogram pass in the scan
+    * stage, zero shuffles (the compositional explode-chars form would
+    * shuffle a row per character). Quantized long output; oracle recomputes
+    * the same formula relationally. */
+  def entropySignal(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.CharEntropy.register(spark)
+    documents(spark, d).select(
+      col("doc_id"), col("lang"),
+      expr("char_entropy_q(text)").as("entropy_q"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+  }
+
+  val entropySignalSql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t
+      |  GROUP BY doc_id, ch
+      |), agg AS (
+      |  SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM counts GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       CASE WHEN length(d.text) = 0 THEN 0
+      |            ELSE CAST(floor((ln(a.n) - a.s / a.n) / ln(2) * 100) AS BIGINT)
+      |       END AS entropy_q,
+      |       length(d.text) AS n_chars_calc
+      |FROM documents d JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  // ---- BM25 term scoring -----------------------------------------------------
+
+  /** BM25 relevance of a fixed literal query-term set against every
+    * document. All inputs to the formula are exact (integer tf/df/dl, the
+    * avgdl ratio is one double division), the per-term sum runs in literal
+    * order on both engines, and the output is 0.01-quantized — so the only
+    * cross-engine wiggle is a libm ulp on ln, absorbed by the grid. The
+    * corpus stats (N, df per term, avgdl) are ONE tiny aggregate
+    * cross-joined (broadcast) onto the scan — at any scale the fact table
+    * is touched twice at most, never shuffled on a key. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("data", "model", "the")
+
+  def bm25(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val withTf = documents(spark, d).select(
+      col("doc_id") +:
+        size(t).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(filter(t, _ === lit(term))).cast("long").as(s"tf$i")
+        }: _*)
+    val statExprs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statExprs.head, statExprs.tail: _*)
+    val score = Bm25Terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tf = col(s"tf$i").cast("double")
+      idf * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        floor(score * lit(100.0)).as("bm25_q"))
+      .orderBy("doc_id")
+  }
+
+  val bm25Sql: String = {
+    val tfDefs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$term')) AS tf$i"
+    }.mkString(",\n      |         ")
+    val dfDefs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n      |         ")
+    val score = Bm25Terms.indices.map { i =>
+      s"""ln((n_docs - df$i + 0.5) / (df$i + 0.5))
+         | * (CAST(tf$i AS DOUBLE) * ${Bm25K1 + 1.0})
+         | / (CAST(tf$i AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))"""
+        .stripMargin.replace("\n", "")
+    }.mkString(" + ")
+    s"""WITH tf AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         $tfDefs
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |         $dfDefs
+      |  FROM tf
+      |)
+      |SELECT tf.doc_id, tf.dl,
+      |       CAST(floor(($score) * 100.0) AS BIGINT) AS bm25_q
+      |FROM tf CROSS JOIN stats
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy"          -> ((s, d) => entropySignal(s, d)),
+    "q_bm25"             -> ((s, d) => bm25(s, d)),
     "q_pii_scrub"        -> ((s, d) => piiScrub(s, d)),
     "q_token_count"      -> ((s, d) => tokenCount(s, d)),
     "q_text_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -308,6 +409,8 @@ object TextAnalysis {
     "q_curation"         -> ((s, d) => curationPipeline(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_entropy"       -> entropySignalSql,
+    "q_bm25"          -> bm25Sql,
     "q_pii_scrub"     -> piiScrubSql,
     "q_token_count"   -> tokenCountSql,
     "q_text_quality"  -> qualityScoreSql,
