@@ -98,6 +98,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("char entropy runs at scan speed (zero exchanges, codegen'd)") {
+    val df = graft.operators.TextAnalysis.entropySignal(spark, d)
+    assert(countExchanges(df) === 0)
+    // codegen'd stages are starred in the simple plan string
+    assert(plan(df).contains("*(1)"), plan(df))
+  }
+
+  test("bm25 broadcasts the one-row corpus stats (no fact-side shuffle for the join)") {
+    val p = plan(graft.operators.TextAnalysis.bm25(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q1 aggregation is a two-phase hash agg with no decimal in the hot path") {
     val p = plan(CoreOps.q1Agg(spark, d))
     assert(p.contains("HashAggregate"))
