@@ -271,12 +271,21 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Money.moneySum(col("value")).as("sum_value"))
-    runToMemory(agg, "graft_stream_late", OutputMode.Append)
+    try runToMemory(agg, "graft_stream_late", OutputMode.Append)
+    finally deleteRecursively(root) // the sink table holds the result; staging is disposable
     spark.table("graft_stream_late")
       .where(col("event_type") =!= "__flush__")
       .select(col("window.start").cast("timestamp_ntz").as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("day", "event_type")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   val streamingLateDataSql: String =
