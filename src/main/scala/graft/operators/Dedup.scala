@@ -361,7 +361,10 @@ object Dedup {
     // one cheap aggregate per round instead of a full old-vs-new join.
     // Decimal sum: immune to long overflow at cluster-scale id ranges.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      // empty vertex set → sum is NULL → treat as zero (loop converges
+      // immediately and the cluster set is empty, not an NPE)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -373,6 +376,7 @@ object Dedup {
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      labels.unpersist() // release the prior round's checkpoint blocks
       labels = updated
     }
     labels.groupBy(col("label").as("cluster_id"))

@@ -76,17 +76,31 @@ object ScaleTools {
     * row-level filtering, usable where that doesn't fire (non-join sinks,
     * cross-source deltas).
     */
+  /** @param expectedItems sizing hint for the filter; pass the (approximate)
+    *        existing-key count to skip the extra count() job — at scale a
+    *        metadata row count or a running estimate is enough, since the
+    *        value only tunes fpp, never correctness. Default −1 = count. */
   def bloomDelta(source: DataFrame, key: String,
       existing: DataFrame, existingKey: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     val spark = source.sparkSession
-    // two short jobs over the (small) existing side: size, then sketch
-    val nExisting = math.max(existing.count(), 1L)
+    // long keys only: stat.bloomFilter inserts via the putLong path, and the
+    // probe below must use the SAME hash path or the no-false-negative
+    // guarantee (the entire correctness argument) silently breaks
+    require(source.schema(key).dataType == org.apache.spark.sql.types.LongType &&
+      existing.schema(existingKey).dataType == org.apache.spark.sql.types.LongType,
+      s"bloomDelta requires bigint keys; got ${source.schema(key).dataType} / " +
+        s"${existing.schema(existingKey).dataType}")
+    val nExisting =
+      if (expectedItems > 0) expectedItems else math.max(existing.count(), 1L)
     val bf = existing.stat.bloomFilter(existingKey, nExisting, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val definitelyNew = source.where(!mightContain(col(key)))
-    val candidates = source.where(mightContain(col(key)))
+    // NULL keys: a left-anti join KEEPS a null-keyed left row (null never
+    // equals anything), so they route to the definitely-new branch — the
+    // UDF's null would otherwise drop them from BOTH branches
+    val definitelyNew = source.where(col(key).isNull || !mightContain(col(key)))
+    val candidates = source.where(col(key).isNotNull && mightContain(col(key)))
       .join(existing.select(col(existingKey).as(key)), Seq(key), "left_anti")
     definitelyNew.unionByName(candidates)
   }

@@ -31,6 +31,14 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Raw on-disk schema of events.parquet with ts as the nanos LONG (the
+    * parquet TIMESTAMP(NANOS) workaround — see [[graft.Tables.events]]);
+    * shared by every streaming query below. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** Tumbling 5-minute windows per event type with a 10-minute watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -122,10 +130,6 @@ object EventStream {
   def streamingDailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(rawSchema)
       // file streams take a directory; glob down to the one events file
       .option("pathGlobFilter", "events.parquet")
@@ -161,10 +165,6 @@ object EventStream {
     import org.apache.spark.sql.types._
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -220,10 +220,6 @@ object EventStream {
     */
   def streamingLateData(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // pinned: the raw table feeds four derived frames (max-ts agg + three
     // batch filters) — a lazy plan would rescan the parquet for each
     val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
@@ -254,12 +250,23 @@ object EventStream {
       .write.partitionBy("__batch").mode("overwrite").parquet(stage.toString)
     val now = System.currentTimeMillis()
     (0 to 3).foreach { b =>
-      val part = java.nio.file.Files.list(stage.resolve(s"__batch=$b")).filter(p =>
-        p.getFileName.toString.startsWith("part-")).findFirst().get()
-      val dst = inDir.resolve(s"batch$b.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
+      val dir = stage.resolve(s"__batch=$b")
+      // an empty stratum writes no partition dir (e.g. a fixture spanning
+      // <7 days has no old-odd rows): skip it — fewer arrival batches, same
+      // semantics, and the oracle's relational restatement agrees
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val listing = java.nio.file.Files.list(dir)
+        val part =
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst()
+          finally listing.close() // Files.list leaks a directory handle otherwise
+        part.ifPresent { p =>
+          val dst = inDir.resolve(s"batch$b.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
+        }
+      }
     }
 
     val stream = spark.readStream.schema(rawSchema)
@@ -316,10 +323,6 @@ object EventStream {
     */
   def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -360,10 +363,6 @@ object EventStream {
     */
   def streamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     def src() = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
