@@ -343,6 +343,52 @@ object RelationalOps {
       |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
       |LIMIT 10""".stripMargin
 
+  // --- delete-before-insert upsert ------------------------------------------
+  // The reference SHIPS this dead: delete_if_exists (BigQuery DELETE WHERE
+  // played_at IN (...), then append) exists only in the ad-hoc curated job
+  // with its call commented out (reference:
+  // spark_jobs/adhoc/playback_pipeline_curated_adhoc.py:90-107,212-213).
+  // Here it's live, expressed the engine way: target ANTI-JOIN batch keys
+  // (the relational form of the DELETE — no driver-side IN-list round trip)
+  // unioned with the incoming batch. Batch rows win on key collision; the
+  // "batch" is the latest order per customer, so collisions are real.
+  // Shuffle profile: one anti-join on the key + a union — same physics as
+  // the J2 delta load, and the DELETE never mutates in place (lake-style
+  // rewrite, idempotent on re-run).
+  def upsert(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("existing").as("row_src"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val batch = orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"), // visibly-updated rows
+        lit("upserted").as("row_src"))
+    target.join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch)
+      .orderBy("o_orderkey")
+  }
+
+  val upsertSql: String =
+    """WITH batch AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+      |         'upserted' AS row_src
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders) t
+      |  WHERE rn = 1
+      |)
+      |SELECT o_orderkey, o_custkey, o_totalprice, 'existing' AS row_src
+      |FROM orders
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      |UNION ALL
+      |SELECT * FROM batch
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- union under schema evolution -----------------------------------------
   // unionByName(allowMissingColumns): the lake-backfill reality where an old
   // partition predates a column. Name-based alignment (positional union
@@ -485,6 +531,7 @@ object RelationalOps {
     "q_dropdup_all"     -> (dropDupAll _),
     "q_union_all"       -> (unionAll _),
     "q_union_evolve"    -> (unionEvolve _),
+    "q_upsert"          -> (upsert _),
     "q_sql_q3"          -> (sqlQ3 _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
@@ -509,6 +556,7 @@ object RelationalOps {
     "q_dropdup_all"     -> dropDupAllSql,
     "q_union_all"       -> unionAllSql,
     "q_union_evolve"    -> unionEvolveSql,
+    "q_upsert"          -> upsertSql,
     "q_sql_q3"          -> sqlQ3Sql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,

@@ -398,17 +398,59 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** STREAMING DEDUPLICATION: `dropDuplicates` on a stream is a stateful
+    * operator (StreamingDeduplicate — every seen key held in state; with a
+    * watermark the state is bounded to the lateness horizon). Arrival has
+    * REAL duplicates: the staging write lands two full copies of the events
+    * table, both read in one micro-batch, and the stream must collapse
+    * them. The rolled-up output equals the batch distinct — the oracle. */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    // two identical copies → every event_id arrives exactly twice
+    raw.withColumn("__copy", lit(0))
+      .unionByName(raw.withColumn("__copy", lit(1)))
+      .coalesce(1)
+      .write.partitionBy("__copy").mode("overwrite").parquet(root.toString)
+    // dedup is the ONLY stateful operator in the stream (Append emits each
+    // key on first sight); the rollup runs batch-side from the sink table —
+    // chaining a second stateful agg would need the multi-operator
+    // watermark rules for no benefit here
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(root.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    try runToMemory(stream, "graft_stream_dedup", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val streamingDedupSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
-    "q_stream_join"     -> ((s, d) => streamingJoin(s, d)))
+    "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
+    "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
-    "q_stream_join"     -> streamingJoinSql)
+    "q_stream_join"     -> streamingJoinSql,
+    "q_stream_dedup"    -> streamingDedupSql)
 }
