@@ -91,6 +91,10 @@ object ScaleTools {
       existing.schema(existingKey).dataType == org.apache.spark.sql.types.LongType,
       s"bloomDelta requires bigint keys; got ${source.schema(key).dataType} / " +
         s"${existing.schema(existingKey).dataType}")
+    // empty existing: everything is new — and stat.bloomFilter NPEs on an
+    // empty frame (null aggregate buffer), so this is a required guard, not
+    // just a fast path (one cheap limit-1 job)
+    if (existing.isEmpty) return source
     val nExisting =
       if (expectedItems > 0) expectedItems else math.max(existing.count(), 1L)
     val bf = existing.stat.bloomFilter(existingKey, nExisting, fpp)

@@ -44,6 +44,25 @@ class ScaleToolsSpec extends SparkSpec {
     assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
   }
 
+  test("bloom delta with an empty existing side returns the full source") {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+    val empty = spark.read.parquet(s"$d/orders.parquet")
+      .where(org.apache.spark.sql.functions.lit(false))
+      .select("o_orderkey")
+    val out = ScaleTools.bloomDelta(li, "l_orderkey", empty, "o_orderkey")
+    assert(out.count() === li.count())
+  }
+
+  test("bloom delta rejects non-bigint keys up front") {
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    intercept[IllegalArgumentException] {
+      ScaleTools.bloomDelta(
+        o.select("o_orderstatus"), "o_orderstatus",
+        o.select("o_orderpriority"), "o_orderpriority")
+    }
+  }
+
   test("salted join preserves inner equi-join semantics") {
     val li = spark.read.parquet(s"$d/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
