@@ -110,6 +110,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("sql frontend composes with DataFrame agg into one optimized plan (filters pushed)") {
+    val p = plan(RelationalOps.sqlQ3(spark, d))
+    // the SQL-text filters must reach the parquet scans as pushed filters —
+    // proof the two entry surfaces share one Catalyst pipeline
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).toSeq
+    assert(pushed.exists(_.contains("c_mktsegment")), p.take(4000))
+    assert(pushed.exists(_.contains("o_orderdate")), p.take(4000))
+    assert(pushed.exists(_.contains("l_shipdate")), p.take(4000))
+    // top-10 by revenue plans as partial top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("q1 aggregation is a two-phase hash agg with no decimal in the hot path") {
     val p = plan(CoreOps.q1Agg(spark, d))
     assert(p.contains("HashAggregate"))
