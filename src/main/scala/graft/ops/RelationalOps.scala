@@ -343,6 +343,30 @@ object RelationalOps {
       |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
       |LIMIT 10""".stripMargin
 
+  // --- null-safe equality join ----------------------------------------------
+  // `<=>` (NULL <=> NULL is TRUE) is a distinct join operator, not sugar:
+  // a plain equi-join DROPS null-keyed rows on both sides, a null-safe join
+  // MATCHES them. Catalyst still recognizes <=> as an equi-join key, so this
+  // plans as a hash join (broadcast here), never a nested loop. The
+  // nullable key is constructed (nullif) so null↔null matches are real.
+  def nullSafeJoin(spark: SparkSession, d: String): DataFrame = {
+    val n = nation(spark, d)
+      .select(col("n_nationkey"), col("n_name"),
+        nullif(col("n_regionkey"), lit(2)).as("rk"))
+    val r = region(spark, d)
+      .select(col("r_name"), nullif(col("r_regionkey"), lit(2)).as("rk"))
+    n.join(broadcast(r), n("rk") <=> r("rk"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey", "r_name")
+  }
+
+  val nullSafeJoinSql: String =
+    """SELECT n.n_nationkey, n.n_name, r.r_name
+      |FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk FROM nation) n
+      |JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
+      |  ON n.rk IS NOT DISTINCT FROM r.rk
+      |ORDER BY n_nationkey, r_name""".stripMargin
+
   // --- delete-before-insert upsert ------------------------------------------
   // The reference SHIPS this dead: delete_if_exists (BigQuery DELETE WHERE
   // played_at IN (...), then append) exists only in the ad-hoc curated job
@@ -532,6 +556,7 @@ object RelationalOps {
     "q_union_all"       -> (unionAll _),
     "q_union_evolve"    -> (unionEvolve _),
     "q_upsert"          -> (upsert _),
+    "q_nullsafe_join"   -> (nullSafeJoin _),
     "q_sql_q3"          -> (sqlQ3 _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
@@ -557,6 +582,7 @@ object RelationalOps {
     "q_union_all"       -> unionAllSql,
     "q_union_evolve"    -> unionEvolveSql,
     "q_upsert"          -> upsertSql,
+    "q_nullsafe_join"   -> nullSafeJoinSql,
     "q_sql_q3"          -> sqlQ3Sql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,

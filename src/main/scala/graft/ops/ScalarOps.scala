@@ -309,6 +309,52 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, idx""".stripMargin
 
+  // --- datetime extraction / arithmetic suite -------------------------------
+  // The partition-key derivations every lake layout leans on: field
+  // extraction (year/quarter/month/day/hour), day-of conventions, epoch
+  // seconds, truncation, and date arithmetic. Convention traps handled
+  // explicitly: Spark dayofweek is 1=Sunday while DuckDB dow is 0=Sunday
+  // (align via dow+1); Spark weekofyear is ISO like DuckDB isoyear/week;
+  // datediff argument order is (end, start) in Spark, (part, start, end)
+  // in DuckDB. All integer-exact — no float crosses the engine boundary.
+  def datetimeFuncs(spark: SparkSession, d: String): DataFrame = {
+    val ts = col("ts")
+    events(spark, d)
+      .select(col("event_id"),
+        year(ts).cast("long").as("y"),
+        quarter(ts).cast("long").as("q"),
+        month(ts).cast("long").as("m"),
+        dayofmonth(ts).cast("long").as("dom"),
+        hour(ts).cast("long").as("h"),
+        dayofweek(ts).cast("long").as("dow1"), // 1 = Sunday
+        dayofyear(ts).cast("long").as("doy"),
+        weekofyear(ts).cast("long").as("iso_week"),
+        unix_timestamp(ts).as("epoch_s"),
+        date_trunc("week", ts).cast("timestamp_ntz").as("week_start"),
+        last_day(ts).as("month_end"),
+        date_add(to_date(ts), 30).as("plus30"),
+        datediff(to_date(ts), lit("2024-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("event_id")
+  }
+
+  val datetimeFuncsSql: String =
+    """SELECT event_id,
+      |       year(CAST(ts AS TIMESTAMP)) AS y,
+      |       quarter(CAST(ts AS TIMESTAMP)) AS q,
+      |       month(CAST(ts AS TIMESTAMP)) AS m,
+      |       day(CAST(ts AS TIMESTAMP)) AS dom,
+      |       hour(CAST(ts AS TIMESTAMP)) AS h,
+      |       dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow1,
+      |       dayofyear(CAST(ts AS TIMESTAMP)) AS doy,
+      |       weekofyear(CAST(ts AS TIMESTAMP)) AS iso_week,
+      |       CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+      |       date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_start,
+      |       last_day(CAST(ts AS DATE)) AS month_end,
+      |       CAST(ts AS DATE) + INTERVAL 30 DAY AS plus30,
+      |       datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // --- explode_outer (null-preserving flatten) ------------------------------
   // explode drops rows whose array is empty; explode_outer keeps them with a
   // NULL element — the difference between "no qualifying values" vanishing
@@ -343,6 +389,7 @@ object ScalarOps {
     "q_map_funcs"       -> (mapFuncs _),
     "q_posexplode"      -> (posExplode _),
     "q_explode_outer"   -> (explodeOuter _),
+    "q_datetime_funcs"  -> (datetimeFuncs _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -359,6 +406,7 @@ object ScalarOps {
     "q_map_funcs"       -> mapFuncsSql,
     "q_posexplode"      -> posExplodeSql,
     "q_explode_outer"   -> explodeOuterSql,
+    "q_datetime_funcs"  -> datetimeFuncsSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,
