@@ -266,6 +266,42 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- dedup → curation composite -------------------------------------------
+
+  /** The cross-table training-data story in one query: embedding near-dup
+    * dedup decides survivors, the documents table supplies the content
+    * stats, and the rollup reports retention per language. Same ids link
+    * the tables (vec_id ≡ doc_id); injected synthetic dups (≥1e6) have no
+    * document and are excluded. Shape: the dedup sub-pipeline (LSH
+    * candidates → cosine verify → broadcast anti-join) plus ONE dimension-
+    * sized join and a low-cardinality rollup — nothing new shuffles at
+    * scale beyond what dedup already paid. */
+  def dedupQuality(spark: SparkSession, d: String): DataFrame = {
+    val survivors = dedupEmbed(spark, d)
+      .where(col("vec_id") < 1000000)
+    documents(spark, d)
+      .join(survivors, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_survived"),
+        sum(when(col("vec_id").isNotNull, col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  def dedupQualitySql(threshold: Double = 0.99): String =
+    s"""WITH survivors AS (
+       |  SELECT vec_id FROM (${dedupEmbedSql(threshold)}) WHERE vec_id < 1000000
+       |)
+       |SELECT d.lang,
+       |       count(*) AS n_docs,
+       |       count(s.vec_id) AS n_survived,
+       |       CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+       |            AS BIGINT) AS chars_kept
+       |FROM documents d
+       |LEFT JOIN survivors s ON d.doc_id = s.vec_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   // ---- L2 normalization ------------------------------------------------------
 
   /** Unit-normalize each embedding — the preprocessing step before any
@@ -452,6 +488,7 @@ object Similarity {
     "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
     "q_dedup_embed"     -> ((s, d) => dedupEmbed(s, d)),
     "q_l2_normalize"    -> ((s, d) => l2Normalize(s, d)),
+    "q_dedup_quality"   -> ((s, d) => dedupQuality(s, d)),
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
@@ -462,6 +499,7 @@ object Similarity {
     "q_ann_pairs"       -> annPairsSql(),
     "q_dedup_embed"     -> dedupEmbedSql(),
     "q_l2_normalize"    -> l2NormalizeSql,
+    "q_dedup_quality"   -> dedupQualitySql(),
     "q_ivf_cells"       -> ivfCellsSql,
     "q_ivf_topk"        -> ivfTopKSql(),
     "q_label_centroids" -> labelCentroidsSql)

@@ -309,6 +309,28 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, idx""".stripMargin
 
+  // --- typed Aggregator through the public udaf() API -----------------------
+  // The user-facing custom-aggregate surface (the reference's UDFs were
+  // scalar only; this is the aggregate analog, done right: primitive-long
+  // buffer, exact cents, mergeable partial+final — see
+  // graft.functions.CentsSum). Registered per call; referenced from SQL
+  // text like any builtin.
+  def typedAgg(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.CentsSum.register(spark)
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cents_sum(value)").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val typedAggSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |       ${graft.functions.CentsSum.sql("value")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- datetime extraction / arithmetic suite -------------------------------
   // The partition-key derivations every lake layout leans on: field
   // extraction (year/quarter/month/day/hour), day-of conventions, epoch
@@ -390,6 +412,7 @@ object ScalarOps {
     "q_posexplode"      -> (posExplode _),
     "q_explode_outer"   -> (explodeOuter _),
     "q_datetime_funcs"  -> (datetimeFuncs _),
+    "q_typed_agg"       -> (typedAgg _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -407,6 +430,7 @@ object ScalarOps {
     "q_posexplode"      -> posExplodeSql,
     "q_explode_outer"   -> explodeOuterSql,
     "q_datetime_funcs"  -> datetimeFuncsSql,
+    "q_typed_agg"       -> typedAggSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,

@@ -48,4 +48,18 @@ class MoneySpec extends SparkSpec {
       assert(got === exact)
     }
   }
+
+  test("CentsSum (public udaf Aggregator) agrees with Money.moneySum exactly") {
+    CentsSum.register(spark)
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val both = ev.groupBy(col("event_type"))
+      .agg(Money.moneySum(col("value")).as("a"), expr("cents_sum(value)").as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r)
+    }
+  }
 }
