@@ -171,6 +171,38 @@ object AnalyticOps {
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.dt = s.dt
       |ORDER BY t.event_type, s.dt""".stripMargin
 
+  // --- statistical aggregates (variance family) -----------------------------
+  // stddev/variance/correlation/covariance per group — single-pass
+  // central-moment aggregations (partial+final mergeable, no value
+  // materialization). Both engines use numerically stable merge formulas
+  // but combine partials in different orders, so raw doubles differ in
+  // the last ulps; outputs quantize to a 1e-4 grid (≥10 orders of
+  // magnitude coarser than the wiggle) and no raw double crosses the
+  // engine boundary.
+  def statsAgg(spark: SparkSession, d: String): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column, name: String) =
+      floor(c * lit(10000.0)).as(name)
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        q4(stddev_samp(col("l_quantity")), "sd_qty_q"),
+        q4(var_samp(col("l_quantity")), "var_qty_q"),
+        q4(corr(col("l_quantity"), col("l_extendedprice")), "corr_q"),
+        q4(covar_samp(col("l_quantity"), col("l_discount")), "cov_q"))
+      .orderBy("l_returnflag")
+  }
+
+  val statsAggSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_rows,
+      |       CAST(floor(stddev_samp(l_quantity) * 10000.0) AS BIGINT) AS sd_qty_q,
+      |       CAST(floor(var_samp(l_quantity) * 10000.0) AS BIGINT) AS var_qty_q,
+      |       CAST(floor(corr(l_quantity, l_extendedprice) * 10000.0) AS BIGINT) AS corr_q,
+      |       CAST(floor(covar_samp(l_quantity, l_discount) * 10000.0) AS BIGINT) AS cov_q
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // --- forward fill (last observation carried forward) ----------------------
   // The time-series imputation twin of q_date_spine: build the complete
   // (cohort, day) panel, then carry each cohort's last observed value
@@ -435,6 +467,7 @@ object AnalyticOps {
     "q_date_spine" -> (dateSpine _),
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_forward_fill" -> (forwardFill _),
+    "q_stats_agg"  -> (statsAgg _),
     "q_unpivot"    -> (unpivotDaily _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
@@ -450,6 +483,7 @@ object AnalyticOps {
     "q_date_spine" -> dateSpineSql,
     "q_sessionize_batch" -> sessionizeBatchSql,
     "q_forward_fill" -> forwardFillSql,
+    "q_stats_agg"  -> statsAggSql,
     "q_unpivot"    -> unpivotDailySql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
