@@ -73,4 +73,25 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
       === Seq((1L, 2L, 3.0, false), (2L, 2L, 8.0, false)))
   }
+
+  test("late-data query degrades gracefully on a short-span corpus (empty late stratum)") {
+    // events spanning < 8 days: the "old odds" stratum is empty, so the
+    // staging loop must skip the missing partition dir and the result is
+    // simply the full aggregation (nothing can be late)
+    import org.apache.spark.sql.functions._
+    val dayNs = 86400L * 1000000000L
+    val baseNs = 1704067200L * 1000000000L // 2024-01-01 UTC in nanos
+    val rows = (0 until 300).map { i =>
+      (i.toLong, baseNs + (i % 3) * dayNs + i * 1000000000L,
+        (i % 7).toLong, if (i % 2 == 0) "click" else "view", 1.5, "{}")
+    }
+    val dir = Files.createTempDirectory("graft_short_span")
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventStream.streamingLateData(spark, dir.toString).collect()
+    // full agg: 3 days x 2 types, every row counted (none dropped)
+    assert(out.map(_.getAs[Long]("n_events")).sum === 300L)
+    assert(out.length === 6)
+  }
 }
