@@ -37,6 +37,19 @@ class CharEntropySpec extends SparkSpec {
     assert(direct("abcd") === 200L)
   }
 
+  test("char_entropy_q matches the independent reference on random ASCII strings") {
+    CharEntropy.register(spark)
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val strs = Iterator.continually(Gen.asciiPrintableStr.sample).flatten
+      .take(200).toSeq
+    val got = strs.toDF("s")
+      .select(expr("char_entropy_q(s)").as("h")).collect().map(_.getLong(0))
+    strs.zip(got).foreach { case (s, h) =>
+      assert(h === direct(s), s"diverged on ${s.take(40)}")
+    }
+  }
+
   test("char_entropy_q over the corpus is bounded by log2(alphabet)") {
     CharEntropy.register(spark)
     val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
