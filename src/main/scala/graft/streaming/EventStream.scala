@@ -438,13 +438,73 @@ object EventStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** CHECKPOINT RESTART / EXACTLY-ONCE: the operational streaming property
+    * the other queries can't show — stop a query, land more data, start a
+    * NEW query on the SAME checkpoint, and the file sink must contain every
+    * input row exactly once. Drive: run 1 sees only the first half (second
+    * file doesn't exist yet), stops; the second half lands; run 2 resumes
+    * from the checkpoint and processes ONLY the new file (the offset log
+    * proves what was consumed; the sink's transaction log de-dupes any
+    * replayed task output). If restart semantics broke — reprocessing the
+    * first file or losing the offset — every count below would double or
+    * halve and the batch oracle would catch it. */
+  def streamingRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(rawSchema).parquet(inDir.toString)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    try {
+      land(raw.where(col("event_id") % 2 === 0), "half0")
+      runOnce()                                      // consumes half0 only
+      land(raw.where(col("event_id") % 2 === 1), "half1")
+      runOnce()                                      // resumes: half1 only
+      spark.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Money.moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint() // pin: the temp output dir is deleted below
+    } finally deleteRecursively(root)
+  }
+
+  val streamingRestartSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
-    "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)))
+    "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)),
+    "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
@@ -452,5 +512,6 @@ object EventStream {
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
-    "q_stream_dedup"    -> streamingDedupSql)
+    "q_stream_dedup"    -> streamingDedupSql,
+    "q_stream_restart"  -> streamingRestartSql)
 }
