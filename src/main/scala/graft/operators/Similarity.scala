@@ -266,6 +266,59 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- multi-probe IVF -------------------------------------------------------
+
+  /** IVF with nprobe > 1 — the recall dial: rank ALL cells by the query's
+    * exact-int distance, search the nearest `nprobe` (not just the argmin
+    * cell), exact-cosine top-k over their union. Costs nprobe/[[IvfCells]]
+    * of the corpus instead of 1/[[IvfCells]]; recovers neighbors that fell
+    * just across a Voronoi boundary. The probe-cell set is a broadcast
+    * 3-row side; ties rank toward the lower cell id on both engines. */
+  def ivfTopKProbe(spark: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    graft.plans.CosineSim.register(spark)
+    val e = embDouble(spark, d)
+    val withCell = e.join(ivfAssignDf(e.select(col("vec_id"), col("emb"))), Seq("vec_id"))
+      .localCheckpoint()
+    val probeCells = ivfDistAgg(
+        e.where(col("vec_id") === queryId).select(col("vec_id"), col("emb")))
+      .select(explode(array((0 until IvfCells).map(kk =>
+        struct(col(s"d$kk").as("dist"), lit(kk).as("cell"))): _*)).as("c"))
+      .select(col("c.dist"), col("c.cell"))
+      .orderBy(col("dist"), col("cell"))
+      .limit(nprobe)
+      .select(col("cell").as("q_cell"))
+    val q = e.where(col("vec_id") === queryId).select(col("emb").as("q_emb"))
+    withCell
+      .join(broadcast(probeCells), col("cell") === col("q_cell"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        cosineFast(col("emb"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKProbeSql(queryId: Long = 0L, k: Int = 10, nprobe: Int = 3): String = {
+    val cos = cosineSql("CAST(c.embedding AS DOUBLE[])", "CAST(q.embedding AS DOUBLE[])")
+    val distArms = (0 until IvfCells).map(kk =>
+      s"SELECT $kk AS cell, ${ivfDistSql(kk, "embedding")} AS dist FROM qrow")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, label, embedding, cell
+       |  FROM ${ivfCellsFromSql(", label, embedding")}
+       |), qrow AS (SELECT embedding FROM embeddings WHERE vec_id = $queryId),
+       |probe AS (
+       |  SELECT cell FROM (
+       |  $distArms
+       |  ) ORDER BY dist, cell LIMIT $nprobe
+       |), q AS (SELECT embedding FROM qrow)
+       |SELECT c.vec_id, c.label, $cos AS cos_sim
+       |FROM cells c JOIN probe p ON c.cell = p.cell, q
+       |WHERE c.vec_id <> $queryId
+       |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
+  }
+
   // ---- dedup → curation composite -------------------------------------------
 
   /** The cross-table training-data story in one query: embedding near-dup
@@ -368,7 +421,10 @@ object Similarity {
     * distances, order-independent, ties broken toward the lowest k. Same
     * scale shape as [[lshBucketsDf]]: one shuffle of int rows, 8 primitive
     * sums per vector. Input `e` must carry (vec_id, emb). */
-  def ivfAssignDf(e: DataFrame): DataFrame = {
+  /** Per-vector exact-int squared distance to every centroid: (vec_id,
+    * d0..d7) — the shared core of cell assignment (argmin) and multi-probe
+    * (top-nprobe cells). */
+  def ivfDistAgg(e: DataFrame): DataFrame = {
     val checked = e.select(col("vec_id"),
       dimChecked(col("emb"), "ivfAssign").as("emb"))
     val rows = checked
@@ -379,12 +435,15 @@ object Similarity {
       val dkj = col("xq") - element_at(centroidLit(k), col("pos") + 1)
       sum(dkj * dkj).as(s"d$k")
     }
+    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def ivfAssignDf(e: DataFrame): DataFrame = {
     val minD = least((0 until IvfCells).map(k => col(s"d$k")): _*)
     val cell = (0 until IvfCells).foldRight(lit(-1)) { (k, acc) =>
       when(col(s"d$k") === minD, lit(k)).otherwise(acc)
     }
-    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("vec_id"), cell.cast("int").as("cell"))
+    ivfDistAgg(e).select(col("vec_id"), cell.cast("int").as("cell"))
   }
 
   private def ivfDistSql(k: Int, emb: String): String = {
@@ -491,6 +550,7 @@ object Similarity {
     "q_dedup_quality"   -> ((s, d) => dedupQuality(s, d)),
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
+    "q_ivf_probe3"      -> ((s, d) => ivfTopKProbe(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -502,5 +562,6 @@ object Similarity {
     "q_dedup_quality"   -> dedupQualitySql(),
     "q_ivf_cells"       -> ivfCellsSql,
     "q_ivf_topk"        -> ivfTopKSql(),
+    "q_ivf_probe3"      -> ivfTopKProbeSql(),
     "q_label_centroids" -> labelCentroidsSql)
 }

@@ -98,6 +98,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF recall dominates single-cell probe") {
+    // more cells searched ⇒ the i-th best cosine can only improve (the
+    // candidate set is a superset)
+    val p1 = Similarity.ivfTopK(spark, d).collect().map(_.getDouble(2))
+    val p3 = Similarity.ivfTopKProbe(spark, d).collect().map(_.getDouble(2))
+    assert(p3.length >= p1.length)
+    p1.zip(p3).foreach { case (a, b) => assert(b >= a - 1e-12, s"$b < $a") }
+  }
+
   test("fuzzy pairs recover injected exact duplicates at edit distance 0") {
     val rows = Dedup.fuzzyPairs(spark, d).collect()
     val injected = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
