@@ -309,6 +309,46 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, idx""".stripMargin
 
+  // --- array set operations + boolean HOFs ----------------------------------
+  // Set algebra between each document's token set and a literal stopword
+  // vocabulary — the shape of vocab filtering / allowlist checks. Results
+  // are SIZES and sorted joins (array_intersect/union/except preserve
+  // engine-specific orderings, so raw arrays never cross the boundary).
+  // exists/forall map to len(list_filter(...)) predicates in DuckDB.
+  val StopVocab: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def arraySetOps(spark: SparkSession, d: String): DataFrame = {
+    val vocab = array(StopVocab.map(lit): _*)
+    val toks = array_distinct(split(col("text"), " "))
+    documents(spark, d)
+      .select(col("doc_id"),
+        size(array_intersect(toks, vocab)).cast("long").as("n_stop"),
+        size(array_union(toks, vocab)).cast("long").as("n_union"),
+        size(array_except(toks, vocab)).cast("long").as("n_content"),
+        array_join(array_sort(array_intersect(toks, vocab)), ",").as("stops_found"),
+        exists(toks, _ === lit("the")).as("has_the"),
+        forall(toks, length(_) < 40).as("all_short"))
+      .orderBy("doc_id")
+  }
+
+  val arraySetOpsSql: String = {
+    val vocab = StopVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(list_intersect(toks, $vocab)) AS BIGINT) AS n_stop,
+      |       CAST(len(list_distinct(list_concat(toks, $vocab))) AS BIGINT) AS n_union,
+      |       CAST(len(list_filter(toks, x -> NOT list_contains($vocab, x)))
+      |            AS BIGINT) AS n_content,
+      |       COALESCE(array_to_string(list_sort(list_intersect(toks, $vocab)), ','),
+      |                '') AS stops_found,
+      |       len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+      |       len(list_filter(toks, x -> NOT (length(x) < 40))) = 0 AS all_short
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // --- typed Aggregator through the public udaf() API -----------------------
   // The user-facing custom-aggregate surface (the reference's UDFs were
   // scalar only; this is the aggregate analog, done right: primitive-long
@@ -413,6 +453,7 @@ object ScalarOps {
     "q_explode_outer"   -> (explodeOuter _),
     "q_datetime_funcs"  -> (datetimeFuncs _),
     "q_typed_agg"       -> (typedAgg _),
+    "q_array_setops"    -> (arraySetOps _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -431,6 +472,7 @@ object ScalarOps {
     "q_explode_outer"   -> explodeOuterSql,
     "q_datetime_funcs"  -> datetimeFuncsSql,
     "q_typed_agg"       -> typedAggSql,
+    "q_array_setops"    -> arraySetOpsSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,
