@@ -343,6 +343,48 @@ object RelationalOps {
       |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
       |LIMIT 10""".stripMargin
 
+  // --- SQL frontend, 6-table join (TPC-H Q5 shape) --------------------------
+  // Local-supplier revenue per nation for one region-year: the join-order
+  // stress test — six relations where Catalyst must broadcast the three
+  // dimension tables (region→nation→customer/supplier chain) and shuffle
+  // only the orders⋈lineitem spine. The c_nationkey = s_nationkey condition
+  // makes it a genuine snowflake, not a chain.
+  def sqlQ5(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT n.n_name, l.l_extendedprice, l.l_discount
+        |FROM graft_customer c
+        |JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |                     AND c.c_nationkey = s.s_nationkey
+        |JOIN graft_nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN graft_region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'""".stripMargin)
+      .groupBy(col("n_name"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val sqlQ5Sql: String =
+    s"""SELECT n.n_name,
+      |       ${Money.revenueSumSql("l.l_extendedprice", "l.l_discount")} AS revenue
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |             AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // --- null-safe equality join ----------------------------------------------
   // `<=>` (NULL <=> NULL is TRUE) is a distinct join operator, not sugar:
   // a plain equi-join DROPS null-keyed rows on both sides, a null-safe join
@@ -558,6 +600,7 @@ object RelationalOps {
     "q_upsert"          -> (upsert _),
     "q_nullsafe_join"   -> (nullSafeJoin _),
     "q_sql_q3"          -> (sqlQ3 _),
+    "q_sql_q5"          -> (sqlQ5 _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
@@ -584,6 +627,7 @@ object RelationalOps {
     "q_upsert"          -> upsertSql,
     "q_nullsafe_join"   -> nullSafeJoinSql,
     "q_sql_q3"          -> sqlQ3Sql,
+    "q_sql_q5"          -> sqlQ5Sql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,
