@@ -309,6 +309,32 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, idx""".stripMargin
 
+  // --- regex function suite -------------------------------------------------
+  // Beyond F9's extract-all: match predicate (rlike ≡ regexp_matches),
+  // match counting, first-match extraction (Spark regexp_substr returns
+  // NULL on no match, DuckDB regexp_extract returns '' — aligned with
+  // nullif), and backreference rewrite (Spark spells groups $1, DuckDB \1 —
+  // two spellings, one semantics; DuckDB needs 'g' for replace-all).
+  def regexFuncs(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        col("text").rlike("[0-9]").as("has_digits"),
+        regexp_count(col("text"), lit("\\b[a-z]{4}\\b")).cast("long").as("n_four"),
+        regexp_substr(col("text"), lit("[0-9]+")).as("first_num"),
+        regexp_replace(substring(col("text"), 1, 40),
+          "([a-z]+) ([a-z]+)", "$2 $1").as("swapped"))
+      .orderBy("doc_id")
+
+  val regexFuncsSql: String =
+    """SELECT doc_id,
+      |       regexp_matches(text, '[0-9]') AS has_digits,
+      |       CAST(len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS BIGINT) AS n_four,
+      |       nullif(regexp_extract(text, '[0-9]+'), '') AS first_num,
+      |       regexp_replace(substring(text, 1, 40),
+      |                      '([a-z]+) ([a-z]+)', '\2 \1', 'g') AS swapped
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // --- array set operations + boolean HOFs ----------------------------------
   // Set algebra between each document's token set and a literal stopword
   // vocabulary — the shape of vocab filtering / allowlist checks. Results
@@ -454,6 +480,7 @@ object ScalarOps {
     "q_datetime_funcs"  -> (datetimeFuncs _),
     "q_typed_agg"       -> (typedAgg _),
     "q_array_setops"    -> (arraySetOps _),
+    "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
@@ -473,6 +500,7 @@ object ScalarOps {
     "q_datetime_funcs"  -> datetimeFuncsSql,
     "q_typed_agg"       -> typedAggSql,
     "q_array_setops"    -> arraySetOpsSql,
+    "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,
