@@ -91,10 +91,12 @@ object ScaleTools {
       existing.schema(existingKey).dataType == org.apache.spark.sql.types.LongType,
       s"bloomDelta requires bigint keys; got ${source.schema(key).dataType} / " +
         s"${existing.schema(existingKey).dataType}")
-    // empty existing: everything is new — and stat.bloomFilter NPEs on an
-    // empty frame (null aggregate buffer), so this is a required guard, not
-    // just a fast path (one cheap limit-1 job)
-    if (existing.isEmpty) return source
+    // no non-null existing keys: everything is new — and stat.bloomFilter
+    // NPEs when the aggregate saw zero items (BloomFilterAggregate.eval
+    // returns null at cardinality 0, and it skips NULL inputs), so this is
+    // a required guard for BOTH the empty frame and the all-NULL-keys
+    // frame, not just a fast path (one cheap limit-1 job)
+    if (existing.where(col(existingKey).isNotNull).isEmpty) return source
     val nExisting =
       if (expectedItems > 0) expectedItems else math.max(existing.count(), 1L)
     val bf = existing.stat.bloomFilter(existingKey, nExisting, fpp)

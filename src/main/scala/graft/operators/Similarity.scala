@@ -278,17 +278,20 @@ object Similarity {
       k: Int = 10, nprobe: Int = 3): DataFrame = {
     graft.plans.CosineSim.register(spark)
     val e = embDouble(spark, d)
+    // pinned because THREE consumers read it: the cell scan, the query-row
+    // probe ranking, and the query-embedding broadcast — a lazy plan would
+    // re-run the assignment aggregation for each
     val withCell = e.join(ivfAssignDf(e.select(col("vec_id"), col("emb"))), Seq("vec_id"))
       .localCheckpoint()
     val probeCells = ivfDistAgg(
-        e.where(col("vec_id") === queryId).select(col("vec_id"), col("emb")))
+        withCell.where(col("vec_id") === queryId).select(col("vec_id"), col("emb")))
       .select(explode(array((0 until IvfCells).map(kk =>
         struct(col(s"d$kk").as("dist"), lit(kk).as("cell"))): _*)).as("c"))
       .select(col("c.dist"), col("c.cell"))
       .orderBy(col("dist"), col("cell"))
       .limit(nprobe)
       .select(col("cell").as("q_cell"))
-    val q = e.where(col("vec_id") === queryId).select(col("emb").as("q_emb"))
+    val q = withCell.where(col("vec_id") === queryId).select(col("emb").as("q_emb"))
     withCell
       .join(broadcast(probeCells), col("cell") === col("q_cell"))
       .crossJoin(broadcast(q))
@@ -416,14 +419,12 @@ object Similarity {
     s"${Hashing.hexHashSql(s"'ivf' || CAST($k AS VARCHAR) || ':' || CAST($j AS VARCHAR)")}" +
       " % 1000001 - 500000"
 
-  /** IVF cell assignment via posexplode + codegen'd hash agg: cell =
-    * argmin_k Σ_j (xq_j − c_k[j])² over quantized ints — exact integer
-    * distances, order-independent, ties broken toward the lowest k. Same
-    * scale shape as [[lshBucketsDf]]: one shuffle of int rows, 8 primitive
-    * sums per vector. Input `e` must carry (vec_id, emb). */
   /** Per-vector exact-int squared distance to every centroid: (vec_id,
-    * d0..d7) — the shared core of cell assignment (argmin) and multi-probe
-    * (top-nprobe cells). */
+    * d0..d7), via posexplode + codegen'd hash agg — exact integer
+    * distances, order-independent. Same scale shape as [[lshBucketsDf]]:
+    * one shuffle of int rows, [[IvfCells]] primitive sums per vector. The
+    * shared core of cell assignment (argmin) and multi-probe (top-nprobe
+    * cells). Input `e` must carry (vec_id, emb). */
   def ivfDistAgg(e: DataFrame): DataFrame = {
     val checked = e.select(col("vec_id"),
       dimChecked(col("emb"), "ivfAssign").as("emb"))
@@ -438,6 +439,9 @@ object Similarity {
     rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** IVF cell assignment: cell = argmin_k of [[ivfDistAgg]]'s distances,
+    * ties broken toward the lowest k (same order as the oracle's CASE
+    * chain). */
   def ivfAssignDf(e: DataFrame): DataFrame = {
     val minD = least((0 until IvfCells).map(k => col(s"d$k")): _*)
     val cell = (0 until IvfCells).foldRight(lit(-1)) { (k, acc) =>

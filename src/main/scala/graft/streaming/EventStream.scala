@@ -416,12 +416,17 @@ object EventStream {
     // dedup is the ONLY stateful operator in the stream (Append emits each
     // key on first sight); the rollup runs batch-side from the sink table —
     // chaining a second stateful agg would need the multi-operator
-    // watermark rules for no benefit here
+    // watermark rules for no benefit here. The event-time column is PART OF
+    // the dedup key: Spark only evicts dedup state for keys that embed the
+    // watermark column (StreamingDeduplicateExec keys its eviction
+    // predicate on the dedup key expressions), so dropDuplicates on
+    // event_id alone would grow state forever on an unbounded stream.
+    // Duplicate copies share identical ts, so the output is unchanged.
     val stream = spark.readStream.schema(rawSchema)
       .parquet(root.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
     try runToMemory(stream, "graft_stream_dedup", OutputMode.Append)
     finally deleteRecursively(root)
     spark.table("graft_stream_dedup")
