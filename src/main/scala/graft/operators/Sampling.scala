@@ -58,7 +58,7 @@ object Sampling {
   def stratifiedSampleSql: String = {
     val rate = StrataRates.zipWithIndex.foldRight("0") {
       case ((pct, i), acc) =>
-        s"CASE WHEN (CAST(substring(source, 4, 10) AS INT) % 4) = $i THEN $pct ELSE $acc END"
+        s"CASE WHEN (TRY_CAST(substring(source, 4, 10) AS INT) % 4) = $i THEN $pct ELSE $acc END"
     }
     s"""SELECT doc_id, source, lang, n_chars FROM documents
        |WHERE ${bucket100Sql("doc_id")} < $rate

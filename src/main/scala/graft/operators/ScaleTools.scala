@@ -75,6 +75,17 @@ object ScaleTools {
     * never the semantics. This is the manual form of Spark's AQE runtime
     * row-level filtering, usable where that doesn't fire (non-join sinks,
     * cross-source deltas).
+    *
+    * PRECONDITION: `source` must be DETERMINISTIC across re-evaluation —
+    * the plan fans it out into two branches (definitely-new + candidates),
+    * so a source containing rand()/uuid() or reading a location that
+    * changes between the two scans would break the union≡anti-join
+    * equivalence (a row could land in both branches or neither).
+    * `existing` is additionally probed a third time by the isEmpty guard.
+    * For a non-deterministic or expensive source, `localCheckpoint()` (or
+    * persist) it BEFORE calling — the same pinning discipline used for
+    * shared self-join frontiers elsewhere in this repo (invariant:
+    * exchange reuse does not fire across self-join branches).
     */
   /** @param expectedItems sizing hint for the filter; pass the (approximate)
     *        existing-key count to skip the extra count() job — at scale a

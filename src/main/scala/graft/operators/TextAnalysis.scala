@@ -324,7 +324,7 @@ object TextAnalysis {
       |            ELSE CAST(floor((ln(a.n) - a.s / a.n) / ln(2) * 100) AS BIGINT)
       |       END AS entropy_q,
       |       length(d.text) AS n_chars_calc
-      |FROM documents d JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
   // ---- BM25 term scoring -----------------------------------------------------
 

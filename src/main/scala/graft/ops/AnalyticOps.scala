@@ -257,11 +257,14 @@ object AnalyticOps {
   // event_type, n) rows via the native unpivot operator (an Expand node —
   // one output row per value column per input row, no shuffle, no join).
   // The oracle uses explicit UNION ALL: the semantics unpivot must match.
+  // Spark's unpivot DROPS null-valued rows; the coalesce below makes the
+  // no-null invariant local instead of inherited from pivotDaily's
+  // zero-fill (the oracle's UNION ALL keeps every (dt, event_type) cell).
   def unpivotDaily(spark: SparkSession, d: String): DataFrame =
     pivotDaily(spark, d)
       .unpivot(
         Array(col("dt")),
-        EventTypes.map(t => col(s"n_$t")).toArray,
+        EventTypes.map(t => coalesce(col(s"n_$t"), lit(0L)).as(s"n_$t")).toArray,
         "event_type", "n")
       .withColumn("event_type", regexp_replace(col("event_type"), "^n_", ""))
       .orderBy("dt", "event_type")

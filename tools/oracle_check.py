@@ -38,8 +38,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     failures = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         try:
             files = glob.glob(f"{outdir}/{name}/*.parquet")
             got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
