@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
-      ops.AsOfJoin.queries ++ ops.RangeJoin.queries
+      ops.AsOfJoin.queries ++ ops.RangeJoin.queries ++ ops.LakeOps.queries ++
+      ops.TimeSeriesOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
-      ops.AsOfJoin.oracles ++ ops.RangeJoin.oracles
+      ops.AsOfJoin.oracles ++ ops.RangeJoin.oracles ++ ops.LakeOps.oracles ++
+      ops.TimeSeriesOps.oracles
 }

@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Lakehouse maintenance / layout operators beyond the reference surface:
+  * SCD2 history build, interval union (overlap merge), Z-order clustering
+  * keys, and range-partition boundary planning. The reference's warehouse
+  * zone (spark_jobs/playback_pipeline_curated.py:129-231) only appends
+  * snapshots; these are the operators its curated zone would need next to
+  * manage history and physical layout at scale.
+  *
+  * Scale notes: SCD2 and interval merge are per-key window chains — ONE
+  * shuffle each on the entity key, both window passes and the final agg
+  * sharing that partitioning (same Exchange-sharing shape as
+  * [[AnalyticOps.sessionizeBatch]]); skew is bounded by the busiest single
+  * key. Z-order keys are computed row-local at scan speed (pure bit
+  * arithmetic, no shuffle) — the sort they feed is `repartitionByRange`,
+  * Spark's distributed sample-based total sort. Range-boundary planning is
+  * exact here (oracle-checkable); at 100 TB the same query runs over a
+  * `TABLESAMPLE` slice — which is precisely what Spark's RangePartitioner
+  * does internally (sampled boundaries, exact routing).
+  */
+object LakeOps {
+
+  // --- SCD2 history build (run-length encode attribute changes) -------------
+  // Type-2 slowly-changing-dimension build from an event log: collapse each
+  // user's CONSECUTIVE runs of the same event_type into validity intervals
+  // [valid_from, valid_to), valid_to = next run's first ts, NULL while
+  // current. Change detection (lag ≠ current) + running-sum run numbering +
+  // hash agg + a lead() for the interval close — all four passes share one
+  // user_id Exchange. Ordering tiebreaks on event_id so equal timestamps
+  // can't flip run boundaries between engines.
+  def scd2Build(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_change",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("is_change")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
+  val scd2BuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w <> event_type
+      |                 THEN 1 ELSE 0 END AS is_change
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM marked
+      |), runs AS (
+      |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+      |         count(*) AS n_events, min(ts) AS valid_from
+      |  FROM numbered GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, run_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+      |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+      |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |       n_events
+      |FROM runs
+      |ORDER BY user_id, run_id""".stripMargin
+
+  // --- interval union (merge overlapping intervals) -------------------------
+  // Each event opens an interval [ts, ts + round(value) minutes]; merge each
+  // user's overlapping intervals into maximal islands (the coverage /
+  // availability-window primitive). Island detection is the running-max
+  // trick: an interval starts a new island iff its start exceeds the max
+  // end seen so far (ROWS ... 1 PRECEDING — handles contained intervals
+  // where a plain lag(end) would split an island). All integer µs
+  // arithmetic; round(value) is the one fp op and it's exactly determined.
+  private val UsPerMinute = 60L * 1000000L
+
+  def intervalMerge(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          round(col("value")).cast("long") * UsPerMinute).as("end_us"))
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull ||
+          col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_merged"),
+        timestamp_micros(min(col("start_us"))).cast("timestamp_ntz").as("merged_start"),
+        timestamp_micros(max(col("end_us"))).cast("timestamp_ntz").as("merged_end"))
+      .orderBy("user_id", "island")
+  }
+
+  val intervalMergeSql: String =
+    s"""WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           + CAST(round(value) AS BIGINT) * $UsPerMinute AS end_us
+      |  FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id
+      |                    ORDER BY start_us, end_us, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |                   OR start_us > max(end_us) OVER (PARTITION BY user_id
+      |                    ORDER BY start_us, end_us, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM iv
+      |), numbered AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY start_us, end_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(island AS BIGINT) AS island, count(*) AS n_merged,
+      |       make_timestamp(min(start_us)) AS merged_start,
+      |       make_timestamp(max(end_us)) AS merged_end
+      |FROM numbered
+      |GROUP BY 1, 2
+      |ORDER BY user_id, island""".stripMargin
+
+  // --- Z-order (Morton) clustering key --------------------------------------
+  // Bit-interleave (customer bucket, order-day bucket) into one key whose
+  // sort order clusters BOTH dimensions — sorting files by zkey gives every
+  // file a small (custkey × date) bounding box, so min/max footer stats
+  // prune scans filtered on EITHER column (the layout trick behind
+  // Delta/Iceberg OPTIMIZE ZORDER). 10 bits per dimension, pure bit
+  // arithmetic at scan speed; file_bin = zkey >> 10 is the bin-packing
+  // target a compactor would write one file per.
+  private val ZBits = 10
+
+  /** Morton interleave of two [[ZBits]]-bit values: x in even bit
+    * positions, y in odd. */
+  private def mortonCol(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  def zorderKeys(spark: SparkSession, d: String): DataFrame = {
+    val mask = (1L << ZBits) - 1
+    orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(mask)).as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").bitwiseAND(lit(mask)).as("y"))
+      .withColumn("zkey", mortonCol(col("x"), col("y")))
+      .withColumn("file_bin", shiftright(col("zkey"), ZBits))
+      .orderBy("zkey", "o_orderkey")
+  }
+
+  val zorderKeysSql: String = {
+    val mask = (1L << ZBits) - 1
+    s"""WITH b AS (
+      |  SELECT o_orderkey,
+      |         o_custkey & $mask AS x,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+      |           & $mask AS y
+      |  FROM orders
+      |), z AS (
+      |  SELECT o_orderkey, x, y, ${mortonSql("x", "y")} AS zkey FROM b
+      |)
+      |SELECT o_orderkey, x, y, zkey, zkey >> $ZBits AS file_bin
+      |FROM z
+      |ORDER BY zkey, o_orderkey""".stripMargin
+  }
+
+  // --- range-partition boundary planning ------------------------------------
+  // The planner step behind repartitionByRange / Iceberg sort-order writes:
+  // split a sort key into equal-row buckets and report each bucket's
+  // [min, max] — the split points a writer uses to route rows. Exact
+  // (full-sort ntile) here so the oracle can check it; at 100 TB the same
+  // query runs over a small TABLESAMPLE — sampled boundaries + exact
+  // routing is literally Spark's RangePartitioner algorithm. The ordering
+  // tiebreaks on o_orderkey so equal prices land deterministically.
+  private val RangeBuckets = 32
+
+  def rangeBounds(spark: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    orders(spark, d)
+      .select(col("o_orderkey"), cents.as("price_cents"))
+      .withColumn("bucket", ntile(RangeBuckets)
+        .over(Window.orderBy(col("price_cents"), col("o_orderkey"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price_cents")).as("lo_cents"),
+        max(col("price_cents")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  val rangeBoundsSql: String =
+    s"""WITH t AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders
+      |), b AS (
+      |  SELECT price_cents,
+      |         CAST(ntile($RangeBuckets) OVER (ORDER BY price_cents, o_orderkey)
+      |              AS BIGINT) AS bucket
+      |  FROM t
+      |)
+      |SELECT bucket, count(*) AS n_rows,
+      |       min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2Build _),
+    "q_interval_merge" -> (intervalMerge _),
+    "q_zorder" -> (zorderKeys _),
+    "q_range_bounds" -> (rangeBounds _))
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2" -> scd2BuildSql,
+    "q_interval_merge" -> intervalMergeSql,
+    "q_zorder" -> zorderKeysSql,
+    "q_range_bounds" -> rangeBoundsSql)
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Behavioral / time-series analytics over the event log: funnel
+  * conversion, EWMA smoothing, and z-score outlier flagging — the product
+  * analytics a playback-history warehouse (the reference's domain) feeds.
+  *
+  * Scale notes: the funnel is a chain of per-user hash aggregations whose
+  * tiny per-stage results broadcast back onto the fact scan — the event
+  * table shuffles once per stage on user_id and nothing else moves. EWMA
+  * is one window pass (one Exchange on user_id; the 8 lags share the sort).
+  * Outlier stats are a 5-row aggregate broadcast onto a second scan — the
+  * classic two-pass z-score, no fact shuffle at all.
+  *
+  * Cross-engine determinism: all values enter as exact integer cents; EWMA
+  * weights are dyadic rationals (2^-k, exact in binary fp) so numerator /
+  * denominator sums are EXACT doubles and the single division is
+  * correctly-rounded-identical on both engines. The z-score pipeline
+  * (sum, sumsq as exact longs → one identical double expression tree) is
+  * bit-reproducible the same way; outputs quantize to a 0.01 grid.
+  */
+object TimeSeriesOps {
+
+  // --- funnel conversion (view → click → purchase) --------------------------
+  // Stage n's entry time is the user's first qualifying event STRICTLY
+  // after their stage n-1 entry — the order-sensitive funnel, not the
+  // order-blind "did all three ever happen". Each stage is a groupBy(user)
+  // min + a broadcast join of the previous stage's (user, ts) result onto
+  // the next filtered scan; conversion counts are one tiny agg per stage.
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  def funnel(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("user_id"), col("event_type"), col("ts"))
+    // stage 1: first 'view' per user
+    val first = e.where(col("event_type") === FunnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("entered"))
+    val stages = FunnelStages.tail.scanLeft(first) { (prev, stage) =>
+      e.where(col("event_type") === stage)
+        .join(broadcast(prev.select(col("user_id"), col("entered").as("prev_ts"))),
+          Seq("user_id"))
+        .where(col("ts") > col("prev_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("entered"))
+    }
+    stages.zip(FunnelStages).zipWithIndex
+      .map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("stage_idx"), lit(stage).as("stage"), col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("stage_idx")
+  }
+
+  val funnelSql: String = {
+    val ctes = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS entered
+           |  FROM events WHERE event_type = '$stage' GROUP BY 1
+           |)"""
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS entered
+           |  FROM events e JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$stage' AND CAST(e.ts AS TIMESTAMP) > p.entered
+           |  GROUP BY 1
+           |)"""
+    }.mkString(",\n")
+    val arms = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$stage' AS stage, " +
+        s"count(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$arms\nORDER BY stage_idx".stripMargin
+  }
+
+  // --- EWMA smoothing (dyadic weights, window-exact) ------------------------
+  // Per-user exponentially-weighted moving average over the last 8
+  // observations, alpha = 1/2: weight 2^-k on the k-th most recent value,
+  // normalized over the weights actually present (so early rows average
+  // over fewer terms instead of decaying toward 0). The 8 lag() calls share
+  // one window sort — one Exchange on user_id total.
+  val EwmaDepth = 8
+
+  private def dyadic(k: Int): BigDecimal = BigDecimal(1) / BigDecimal(2).pow(k)
+
+  def ewma(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = events(spark, d).select(col("user_id"), col("event_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("v_cents"))
+    val num = (1 until EwmaDepth).foldLeft(col("v_cents").cast("double")) { (acc, k) =>
+      acc + coalesce(lag(col("v_cents"), k).over(w).cast("double") *
+        lit(dyadic(k).toDouble), lit(0.0))
+    }
+    val den = (1 until EwmaDepth).foldLeft(lit(1.0)) { (acc, k) =>
+      acc + when(lag(col("v_cents"), k).over(w).isNotNull,
+        lit(dyadic(k).toDouble)).otherwise(lit(0.0))
+    }
+    base
+      .withColumn("ewma_cents", num / den)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("v_cents"), col("ewma_cents"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val ewmaSql: String = {
+    val num = (1 until EwmaDepth).map(k =>
+      s"coalesce(CAST(lag(v_cents, $k) OVER w AS DOUBLE) * ${dyadic(k)}, 0.0)")
+      .mkString("CAST(v_cents AS DOUBLE) + ", " + ", "")
+    val den = (1 until EwmaDepth).map(k =>
+      s"CASE WHEN lag(v_cents, $k) OVER w IS NOT NULL THEN ${dyadic(k)} ELSE 0.0 END")
+      .mkString("1.0 + ", " + ", "")
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(round(value * 100) AS BIGINT) AS v_cents
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, ts, v_cents,
+      |       ($num) / ($den) AS ewma_cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  // --- z-score outlier flagging ---------------------------------------------
+  // Two-pass anomaly detection: per-event-type mean/stddev from ONE tiny
+  // aggregate (exact long sum/sumsq over cents), broadcast back onto a
+  // second scan; flag |z| ≥ 2.5. The identical double expression tree on
+  // both engines makes z bit-reproducible; output is 0.01-quantized.
+  // At 100 TB the long sumsq would overflow (~2^63 at ~4e9 rows of 1e5
+  // cents) — the drop-in is double sums (Spark's own Welford-style central
+  // moments, see q_stats_agg); exact longs here keep the oracle airtight.
+  val OutlierZx100 = 250L
+
+  def outliers(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("v_cents"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v_cents")).as("sum_c"),
+      sum(col("v_cents") * col("v_cents")).as("sumsq_c"))
+    val nD = col("n").cast("double")
+    val sumD = col("sum_c").cast("double")
+    val mean = sumD / nD
+    val variance = (col("sumsq_c").cast("double") - sumD * sumD / nD) / (nD - lit(1.0))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z_q",
+        floor((col("v_cents").cast("double") - mean) / sqrt(variance) * 100).cast("long"))
+      .where(abs(col("z_q")) >= OutlierZx100)
+      .select(col("event_id"), col("event_type"), col("v_cents"), col("z_q"))
+      .orderBy("event_id")
+  }
+
+  val outliersSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS v_cents
+      |  FROM events
+      |), stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(v_cents) AS BIGINT) AS sum_c,
+      |         CAST(sum(v_cents * v_cents) AS BIGINT) AS sumsq_c
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT e.event_id, e.event_type, e.v_cents,
+      |       CAST(floor((CAST(e.v_cents AS DOUBLE)
+      |              - CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+      |            / sqrt((CAST(sumsq_c AS DOUBLE)
+      |                - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+      |                  / CAST(n AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) - 1.0))
+      |            * 100) AS BIGINT) AS z_q
+      |FROM e JOIN stats USING (event_type)
+      |WHERE abs(CAST(floor((CAST(e.v_cents AS DOUBLE)
+      |              - CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+      |            / sqrt((CAST(sumsq_c AS DOUBLE)
+      |                - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+      |                  / CAST(n AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) - 1.0))
+      |            * 100) AS BIGINT)) >= $OutlierZx100
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_ewma" -> (ewma _),
+    "q_outliers" -> (outliers _))
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_ewma" -> ewmaSql,
+    "q_outliers" -> outliersSql)
+}
