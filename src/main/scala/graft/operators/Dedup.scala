@@ -649,7 +649,66 @@ object Dedup {
        |         / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- sorted-neighborhood dedup (blocking alternative to LSH) --------------
+
+  /** Blocked sorted-neighborhood near-dup pairs: block on a cheap text
+    * prefix, sort within each block, compare each row only to its next
+    * [[SnmWindow]] sort neighbors (lead), verify with banded Levenshtein.
+    * The classic SNM layout for the case LSH over-engineers: candidate
+    * count is EXACTLY n·w by construction (LSH's bucket-collision blowup
+    * can't happen), at the cost of only finding dups whose sort keys land
+    * within w of each other. One shuffle on the block key; the leads share
+    * the block sort; only ids + fixed-size prefixes ever move. Injected
+    * exact copies share a prefix, sort adjacent, and verify at distance 0.
+    * At 100 TB the block key doubles as the partition key — per-block
+    * work is windowed, never quadratic. */
+  val SnmWindow = 3
+
+  def sortedNeighborPairs(spark: SparkSession, d: String,
+      prefixLen: Int = 80, maxDist: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("prefix"), col("doc_id"))
+    val keyed = docsWithInjectedDups(spark, d).select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("prefix"),
+      substring(col("text"), 1, 2).as("blk"))
+    val neighbors = (1 to SnmWindow).map { k =>
+      keyed
+        .withColumn("nb_id", lead(col("doc_id"), k).over(w))
+        .withColumn("nb_prefix", lead(col("prefix"), k).over(w))
+        .where(col("nb_id").isNotNull)
+    }.reduce(_.unionByName(_))
+    neighbors
+      .select(
+        least(col("doc_id"), col("nb_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb_id")).as("doc_b"),
+        levenshtein(col("prefix"), col("nb_prefix"), maxDist).cast("long").as("edit_dist"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sortedNeighborPairsSql(prefixLen: Int = 80, maxDist: Int = 20): String = {
+    val arms = (1 to SnmWindow).map(k =>
+      s"""SELECT doc_id, prefix,
+         |         lead(doc_id, $k) OVER w$k AS nb_id,
+         |         lead(prefix, $k) OVER w$k AS nb_prefix
+         |  FROM keyed WINDOW w$k AS (PARTITION BY blk ORDER BY prefix, doc_id)""")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, substring(text, 1, $prefixLen) AS prefix,
+       |         substring(text, 1, 2) AS blk
+       |  FROM (${docsWithInjectedDupsSql()})
+       |), nb AS (
+       |  $arms
+       |)
+       |SELECT least(doc_id, nb_id) AS doc_a, greatest(doc_id, nb_id) AS doc_b,
+       |       CAST(levenshtein(prefix, nb_prefix) AS BIGINT) AS edit_dist
+       |FROM nb
+       |WHERE nb_id IS NOT NULL AND levenshtein(prefix, nb_prefix) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sorted_neighbors" -> ((s, d) => sortedNeighborPairs(s, d)),
     "q_dedup_exact"   -> ((s, d) => exactDedup(s, d)),
     "q_dedup_keep"    -> ((s, d) => dedupKeepBest(s, d)),
     "q_minhash_sig"   -> ((s, d) => minhashSig(s, d)),
@@ -661,6 +720,7 @@ object Dedup {
     "q_dup_clusters"  -> ((s, d) => dupClusters(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_sorted_neighbors" -> sortedNeighborPairsSql(),
     "q_dedup_exact"   -> exactDedupSql,
     "q_dedup_keep"    -> dedupKeepBestSql,
     "q_minhash_sig"   -> minhashSigSql,

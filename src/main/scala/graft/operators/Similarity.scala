@@ -545,7 +545,103 @@ object Similarity {
        |GROUP BY label, pos
        |ORDER BY label, pos""".stripMargin
 
+  // ---- k-means Lloyd iterations (the training loop behind IVF) --------------
+
+  /** [[KmIters]] full Lloyd iterations of k-means (K = [[KmK]]) over the
+    * quantized embeddings — the TRAINING loop whose serving-path twin is
+    * the IVF suite (whose centroids are stand-in literals; this op is how
+    * real ones are fit). Per iteration: assignment is a (pos)-join of the
+    * exploded vectors against the K·dims centroid grid + one hash agg
+    * (exact long squared distances, order-free) + a per-vector argmin
+    * window; the update is one hash agg on the (cell, pos) grid with a
+    * floor'd mean (exact: quantized sums < 2^53 survive the double
+    * division bit-identically). The centroid frame is tiny (K·dims rows)
+    * and broadcast every round; the exploded fact rows are localCheckpoint
+    * pinned ONCE and re-scanned per iteration — the same
+    * lineage-truncation discipline as [[graft.operators.Dedup.dupClusters]].
+    * At 100 TB each iteration is one shuffle of (vec, cell, partial-sum)
+    * rows; iterations are strictly sequential (inherent to Lloyd).
+    *
+    * Seeds are plan-deterministic [[graft.functions.Hashing]] pseudo-random
+    * components, ±0.5 in quantized space — the same scheme as
+    * [[centroidComponent]], so the oracle regenerates them exactly. */
+  val KmK = 4
+  val KmIters = 2
+
+  def kmeansAssign(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = embDouble(spark, d)
+      .select(col("vec_id"), posexplode(dimChecked(col("emb"), "kmeans")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(QuantScale)).cast("long").as("xq"))
+      .localCheckpoint()
+    val seeds = rows.select(col("pos")).distinct()
+      .crossJoin(spark.range(KmK).select(col("id").as("cell")))
+      .select(col("cell"), col("pos"),
+        (Hashing.hexHash(concat(lit("km"), col("cell").cast("string"),
+          lit(":"), col("pos").cast("string"))) % 1000001L - 500000L).as("cq"))
+    def assign(cent: DataFrame): DataFrame = {
+      val diff = col("xq") - col("cq")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+      rows.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(diff * diff).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("dist"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("vec_id"), col("cell"))
+        .join(rows, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("xq")).cast("double") / count(lit(1))).cast("long").as("cq"))
+    val fin = (1 until KmIters).foldLeft(assign(seeds)) { (a, _) =>
+      assign(update(a))
+    }
+    fin.orderBy("vec_id")
+  }
+
+  val kmeansAssignSql: String = {
+    val seedCq = s"(${Hashing.hexHashSql("'km' || CAST(cell AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 1000001) - 500000"
+    s"""WITH rws AS (
+       |  SELECT vec_id, CAST(s[2] AS BIGINT) - 1 AS pos,
+       |         CAST(floor(CAST(s[1] AS DOUBLE) * $QuantScale) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(list_zip(CAST(embedding AS DOUBLE[]),
+       |          generate_series(1, len(CAST(embedding AS DOUBLE[]))))) AS s
+       |        FROM embeddings) t
+       |), seeds AS (
+       |  SELECT cell, pos, $seedCq AS cq
+       |  FROM (SELECT DISTINCT pos FROM rws), (SELECT CAST(i AS BIGINT) AS cell
+       |                                        FROM range(0, $KmK) r(i))
+       |), a1 AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT vec_id, cell, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT r.vec_id, c.cell,
+       |                 CAST(sum((r.xq - c.cq) * (r.xq - c.cq)) AS BIGINT) AS dist
+       |          FROM rws r JOIN seeds c ON r.pos = c.pos
+       |          GROUP BY 1, 2)
+       |  ) WHERE rn = 1
+       |), c1 AS (
+       |  SELECT a.cell, r.pos,
+       |         CAST(floor(CAST(sum(r.xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM a1 a JOIN rws r ON a.vec_id = r.vec_id
+       |  GROUP BY 1, 2
+       |), a2 AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT vec_id, cell, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT r.vec_id, c.cell,
+       |                 CAST(sum((r.xq - c.cq) * (r.xq - c.cq)) AS BIGINT) AS dist
+       |          FROM rws r JOIN c1 c ON r.pos = c.pos
+       |          GROUP BY 1, 2)
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans"          -> ((s, d) => kmeansAssign(s, d)),
     "q_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
     "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
@@ -558,6 +654,7 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_kmeans"          -> kmeansAssignSql,
     "q_cosine_topk"     -> cosineTopKSql(),
     "q_lsh_buckets"     -> lshBucketsSql,
     "q_ann_pairs"       -> annPairsSql(),

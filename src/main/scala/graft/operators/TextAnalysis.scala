@@ -395,7 +395,101 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- TF-IDF cosine document similarity (inverted-index join) --------------
+
+  /** Top-[[TfidfTopK]] most-similar documents per document by TF-IDF cosine,
+    * via the inverted-index self-join: postings (doc, term, weight) join on
+    * TERM, so only documents sharing a term ever pair, and the dot product
+    * arrives as one hash-agg over the matched postings — the sparse-vector
+    * similarity plan that scales where dense pairwise (n²·dims) cannot.
+    * A hash-sampled doc subset bounds Σ df² fanout at any scale factor
+    * (this corpus is dense — 31-word vocab — so sampling stands in for the
+    * df-cap stopword prune a natural corpus would use; both bound the same
+    * quantity, the per-term posting length).
+    *
+    * Determinism: tf and df are exact longs; idf quantizes to floor(ln·1e3)
+    * once per term; weights w = tf·idf_q and the dot/norm sums are exact
+    * long arithmetic (order-free), so cosine = dot/(√na·√nb) is the same
+    * correctly-rounded double on both engines, requantized to 1e-6. */
+  val TfidfTopK = 3
+
+  def tfidfPairs(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, d)
+      .where(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+    // postings: (doc_id, term, tf)
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // pinned: feeds df-stats AND both join sides
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000)
+          .cast("long").as("idf_q"))
+    val w = tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf_q")).as("w"))
+      .localCheckpoint() // pinned: norms + both posting-join sides
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("norm2"))
+    val dots = w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")), Seq("term"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val rankW = Window.partitionBy(col("doc_a"))
+      .orderBy(col("cos_q").desc, col("doc_b"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na"))), "doc_a")
+      .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) *
+          1000000).cast("long").as("cos_q"))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .where(col("rnk") <= TfidfTopK)
+      .orderBy("doc_a", "rnk")
+  }
+
+  val tfidfPairsSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |), tf AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)
+      |  GROUP BY 1, 2
+      |), idf AS (
+      |  SELECT term, CAST(floor(ln(
+      |           CAST((SELECT count(DISTINCT doc_id) FROM tf) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS idf_q
+      |  FROM tf GROUP BY term
+      |), w AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q AS w
+      |  FROM tf JOIN idf USING (term)
+      |), norms AS (
+      |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM w GROUP BY doc_id
+      |), dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(floor(CAST(dot AS DOUBLE)
+      |           / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+      |           * 1000000) AS BIGINT) AS cos_q
+      |  FROM dots
+      |  JOIN norms na ON na.doc_id = doc_a
+      |  JOIN norms nb ON nb.doc_id = doc_b
+      |)
+      |SELECT doc_a, doc_b, cos_q, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_a
+      |              ORDER BY cos_q DESC, doc_b) AS BIGINT) AS rnk
+      |  FROM scored
+      |)
+      |WHERE rnk <= $TfidfTopK
+      |ORDER BY doc_a, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_pairs"      -> ((s, d) => tfidfPairs(s, d)),
     "q_entropy"          -> ((s, d) => entropySignal(s, d)),
     "q_bm25"             -> ((s, d) => bm25(s, d)),
     "q_pii_scrub"        -> ((s, d) => piiScrub(s, d)),
@@ -409,6 +503,7 @@ object TextAnalysis {
     "q_curation"         -> ((s, d) => curationPipeline(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf_pairs"   -> tfidfPairsSql,
     "q_entropy"       -> entropySignalSql,
     "q_bm25"          -> bm25Sql,
     "q_pii_scrub"     -> piiScrubSql,

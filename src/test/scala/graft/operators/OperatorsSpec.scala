@@ -133,6 +133,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sorted-neighborhood pairs recover injected exact duplicates at distance 0") {
+    val rows = Dedup.sortedNeighborPairs(spark, d).collect()
+    val injected = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(injected.nonEmpty, "exact copies share a sort key and must pair")
+    injected.foreach(r => assert(r.getAs[Long]("edit_dist") === 0L))
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("tfidf top-k is ranked, bounded, and at most k rows per document") {
+    val rows = TextAnalysis.tfidfPairs(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") >= 1L &&
+        r.getAs[Long]("rnk") <= TextAnalysis.TfidfTopK)
+      assert(r.getAs[Long]("cos_q") <= 1000000L)
+      assert(r.getAs[Long]("doc_a") !== r.getAs[Long]("doc_b"))
+    }
+    rows.groupBy(_.getAs[Long]("doc_a")).foreach { case (_, rs) =>
+      assert(rs.length <= TextAnalysis.TfidfTopK)
+      // rank order must agree with descending score
+      val byRank = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("cos_q"))
+      assert(byRank.toSeq === byRank.sortBy(-_).toSeq)
+    }
+  }
+
+  test("kmeans assigns every vector to a nearer-by-construction cell") {
+    val rows = Similarity.kmeansAssign(spark, d).collect()
+    val n = graft.Tables.table(spark, d, "embeddings").count()
+    assert(rows.length.toLong === n, "every vector is assigned")
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(cell >= 0L && cell < Similarity.KmK)
+      assert(r.getAs[Long]("dist") >= 0L)
+    }
+    // a useful clustering uses more than one cell on this data
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length > 1)
+  }
+
   test("multimodal features match a direct batch-decode of the same records") {
     val viaSpark = Multimodal.features(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

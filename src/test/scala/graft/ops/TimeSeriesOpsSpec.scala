@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the behavioral/time-series operators at
+  * sf0.001 (exact values are DuckDB-oracle-checked at sf0.01). */
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("funnel stage counts are monotone non-increasing and stage 1 is exact") {
+    val rows = TimeSeriesOps.funnel(spark, d).collect()
+      .sortBy(_.getAs[Long]("stage_idx"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      TimeSeriesOps.FunnelStages)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    counts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "later stages cannot gain users")
+      case _ =>
+    }
+    val viewers = graft.Tables.events(spark, d)
+      .where(col("event_type") === TimeSeriesOps.FunnelStages.head)
+      .select("user_id").distinct().count()
+    assert(counts.head === viewers)
+  }
+
+  test("ewma equals the value on a user's first event and stays within the value range") {
+    val rows = TimeSeriesOps.ewma(spark, d).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime]("ts").toString, r.getAs[Long]("event_id")))
+      assert(sorted.head.getAs[Double]("ewma_cents") ===
+        sorted.head.getAs[Long]("v_cents").toDouble)
+      // a convex combination of the trailing values can't leave their range
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val window = sorted.slice(math.max(0, i - 7), i + 1)
+          .map(_.getAs[Long]("v_cents").toDouble)
+        val e = r.getAs[Double]("ewma_cents")
+        assert(e >= window.min - 1e-9 && e <= window.max + 1e-9)
+      }
+    }
+  }
+
+  test("every flagged outlier is at least 2.5 sample stddevs from its type mean") {
+    val events = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_cents")).collect()
+    val stats = events.groupBy(_.getAs[String]("event_type")).map { case (t, rs) =>
+      val vs = rs.map(_.getAs[Long]("v_cents").toDouble)
+      val n = vs.length.toDouble
+      val mean = vs.sum / n
+      val variance = (vs.map(v => v * v).sum - vs.sum * vs.sum / n) / (n - 1)
+      t -> ((mean, math.sqrt(variance)))
+    }
+    val flagged = TimeSeriesOps.outliers(spark, d).collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.length < events.length / 10, "outliers must be rare")
+    flagged.foreach { r =>
+      val (mean, std) = stats(r.getAs[String]("event_type"))
+      val z = (r.getAs[Long]("v_cents").toDouble - mean) / std
+      assert(math.floor(z * 100) === r.getAs[Long]("z_q").toDouble)
+      assert(math.abs(z) >= 2.49)
+    }
+  }
+}
