@@ -129,4 +129,46 @@ class PlanAuditSpec extends SparkSpec {
     // the final output projection, never inside partial_sum
     assert(!p.contains("partial_sum(cast(l_extendedprice"))
   }
+
+  test("scd2 shares ONE user_id exchange across change-mark, numbering, agg, and lead") {
+    // four logical passes (lag, running sum, groupBy, lead) over the same
+    // user_id partitioning — the final orderBy's range exchange is the only
+    // other data movement allowed
+    assert(countExchanges(LakeOps.scd2Build(spark, d)) <= 2)
+  }
+
+  test("interval merge shares ONE user_id exchange across both windows and the agg") {
+    assert(countExchanges(LakeOps.intervalMerge(spark, d)) <= 2)
+  }
+
+  test("zorder keys compute with zero exchanges before the layout sort") {
+    // pure bit arithmetic at scan speed; the single range exchange IS the
+    // z-order clustering write — nothing else may move data
+    assert(countExchanges(LakeOps.zorderKeys(spark, d)) === 1)
+  }
+
+  test("funnel joins broadcast the per-stage user sets (fact never re-shuffles for a join)") {
+    val p = plan(TimeSeriesOps.funnel(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("outlier stats broadcast back onto the scan (no fact-side join shuffle)") {
+    val p = plan(TimeSeriesOps.outliers(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ewma's eight lags share ONE window sort (single user_id exchange + output sort)") {
+    val p = plan(TimeSeriesOps.ewma(spark, d))
+    assert("\\bWindow\\b".r.findAllIn(p).length === 1,
+      "all lag() calls must fold into one Window operator")
+    assert(countExchanges(TimeSeriesOps.ewma(spark, d)) <= 2)
+  }
+
+  test("kmeans broadcasts the centroid grid every round (fact joins never SMJ)") {
+    val p = plan(graft.operators.Similarity.kmeansAssign(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
