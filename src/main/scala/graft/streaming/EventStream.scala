@@ -385,6 +385,124 @@ object EventStream {
       .orderBy("day")
   }
 
+  /** STREAM-STREAM JOIN UNDER LATE DATA: the multi-batch twin of
+    * [[streamingJoin]] — proves the watermark actually DROPS a late side
+    * of a StreamingSymmetricHashJoin (the single-batch drive above can't:
+    * nothing there is ever late).
+    *
+    * Staged arrival (mtime-ordered files, maxFilesPerTrigger=1), views and
+    * purchases only:
+    *
+    *   batch0 = ALL views + EVEN purchases — full ts range; every even
+    *            purchase attributes in-batch (nothing late, nothing
+    *            evicted at watermark 0), and the watermark advances to
+    *            (max b0 ts − 3 days) after the batch
+    *   batch1 = odd purchases from the last calendar day — on time (late
+    *            filtering at batch1 still uses the pre-b0 watermark, per
+    *            the SPARK-40925 two-watermark rule), and the views they
+    *            probe are ≥ 1 day above the view-state eviction line
+    *            (wm − 3d − 1h), so they attribute exactly like the evens
+    *   batch2 = odd purchases OLDER than 7 calendar days — they arrive
+    *            ≥2 batches after the data that advanced the watermark, so
+    *            the late filter (wm from batch0 = max − 3d) drops them at
+    *            input: NO attribution, even though matching views sit in
+    *            the oracle's reach (the ~4-day margin absorbs boundary
+    *            predicates and ms truncation of watermark stats)
+    *
+    *   odd purchases BETWEEN the two cutoffs are excluded from stream AND
+    *   oracle: their arrival would race view-state eviction (they'd need
+    *   views below the eviction line), which is exactly the boundary this
+    *   layout is designed to stay away from.
+    *
+    * Inner stream-stream joins emit on match (only OUTER joins wait for
+    * the watermark), so no flush sentinel is needed. The oracle restates
+    * the drop relationally: attribute every purchase that is even or
+    * recent-odd; old odds contribute nothing.
+    */
+  def streamingJoinLate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+      .localCheckpoint() // feeds the max-ts agg + three batch filters
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val d0Ns = (maxNs / dayNs) * dayNs
+    val recentNs = d0Ns - 1L * dayNs
+    val oldNs = d0Ns - 7L * dayNs
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_join_late")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val stage = root.resolve("stage")
+    raw.withColumn("__batch",
+        when(col("event_type") === "view" || col("event_id") % 2 === 0, 0)
+          .when(col("ts") >= recentNs, 1)
+          .when(col("ts") < oldNs, 2)
+          .otherwise(-1)) // between-cutoff odds: excluded (see scaladoc)
+      .where(col("__batch") >= 0)
+      .coalesce(1)
+      .write.partitionBy("__batch").mode("overwrite").parquet(stage.toString)
+    val now = System.currentTimeMillis()
+    (0 to 2).foreach { b =>
+      val dir = stage.resolve(s"__batch=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val listing = java.nio.file.Files.list(dir)
+        val part =
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst()
+          finally listing.close()
+        part.ifPresent { p =>
+          val dst = inDir.resolve(s"batch$b.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(now - (2 - b) * 30000L))
+        }
+      }
+    }
+
+    def src() = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "3 days")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "3 days")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
+    try runToMemory(joined, "graft_stream_join_late", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_join_late")
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_attributed"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingJoinLateSql: String =
+    s"""WITH mx AS (
+      |  SELECT date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d0
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |), p AS (
+      |  SELECT e.* FROM events e, mx
+      |  WHERE e.event_type = 'purchase'
+      |    AND (e.event_id % 2 = 0
+      |         OR CAST(e.ts AS TIMESTAMP) >= mx.d0 - INTERVAL 1 DAY)
+      |)
+      |SELECT CAST(p.ts AS DATE) AS day,
+      |       count(*) AS n_attributed,
+      |       ${graft.functions.Money.moneySumSql("p.value")} AS sum_value
+      |FROM events v
+      |JOIN p ON v.user_id = p.user_id
+      |      AND v.event_type = 'view'
+      |      AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      |      AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   val streamingJoinSql: String =
     s"""SELECT CAST(p.ts AS DATE) AS day,
       |       count(*) AS n_attributed,
@@ -508,6 +626,7 @@ object EventStream {
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
+    "q_stream_join_late" -> ((s, d) => streamingJoinLate(s, d)),
     "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)),
     "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)))
 
@@ -517,6 +636,7 @@ object EventStream {
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
+    "q_stream_join_late" -> streamingJoinLateSql,
     "q_stream_dedup"    -> streamingDedupSql,
     "q_stream_restart"  -> streamingRestartSql)
 }
