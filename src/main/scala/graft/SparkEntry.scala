@@ -25,7 +25,7 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
       ops.AsOfJoin.queries ++ ops.RangeJoin.queries ++ ops.LakeOps.queries ++
-      ops.TimeSeriesOps.queries
+      ops.TimeSeriesOps.queries ++ ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
       ops.AsOfJoin.oracles ++ ops.RangeJoin.oracles ++ ops.LakeOps.oracles ++
-      ops.TimeSeriesOps.oracles
+      ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles
 }

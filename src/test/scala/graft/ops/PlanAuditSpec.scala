@@ -171,4 +171,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("pagerank supersteps broadcast the node-sized rank frame against pinned edges") {
+    val p = plan(GraphOps.pageRank(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // per iteration: one dst aggregation exchange; plus the final sort —
+    // the pinned edge list must not re-shuffle inside the loop
+    assert(countExchanges(GraphOps.pageRank(spark, d)) <= GraphOps.PrIters + 2)
+  }
 }
