@@ -281,6 +281,37 @@ object AnalyticOps {
       |ORDER BY dt, event_type""".stripMargin
   }
 
+  // --- market-basket co-occurrence ------------------------------------------
+  // Top co-purchased part pairs: distinct parts per order self-joined on
+  // the ORDER key with a < b (each unordered pair once), counted globally.
+  // The join fans out only within an order — pairs per order are bounded
+  // by (parts/order choose 2), so the shuffle is O(rows·pairs-per-order),
+  // never O(n²). Top-k by (count, pair) with a full tiebreak so limit is
+  // deterministic; plans as TakeOrderedAndProject.
+  val CoOccurTopK = 50
+
+  def coOccurrence(spark: SparkSession, d: String): DataFrame = {
+    val parts = lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    parts.select(col("ok"), col("pk").as("part_a"))
+      .join(parts.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(CoOccurTopK)
+  }
+
+  val coOccurrenceSql: String =
+    s"""WITH parts AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |)
+      |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |FROM parts a JOIN parts b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT $CoOccurTopK""".stripMargin
+
   // --- batch sessionization (gaps-and-islands) ------------------------------
   // The batch twin of the streaming sessionizer: a new session starts after
   // a >30-minute silence. Two window passes over ONE shuffle (same
@@ -469,6 +500,7 @@ object AnalyticOps {
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_date_spine" -> (dateSpine _),
     "q_sessionize_batch" -> (sessionizeBatch _),
+    "q_copurchase" -> (coOccurrence _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
     "q_unpivot"    -> (unpivotDaily _),
@@ -485,6 +517,7 @@ object AnalyticOps {
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_date_spine" -> dateSpineSql,
     "q_sessionize_batch" -> sessionizeBatchSql,
+    "q_copurchase" -> coOccurrenceSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,
     "q_unpivot"    -> unpivotDailySql,

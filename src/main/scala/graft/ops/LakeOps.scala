@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Money
 
 /** Lakehouse maintenance / layout operators beyond the reference surface:
   * SCD2 history build, interval union (overlap merge), Z-order clustering
@@ -229,15 +230,107 @@ object LakeOps {
       |FROM b GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // --- snapshot diff (CDC classification) -----------------------------------
+  // Change-data-capture between two table versions: full outer join on the
+  // key, classify every row as INSERT (new only) / DELETE (old only) /
+  // UPDATE (both, payload differs); unchanged rows drop out. The "new"
+  // snapshot is derived deterministically from customer (every 10th key
+  // deleted, keys ≡1 mod 10 get +100 balance, 20 re-keyed inserts) so the
+  // oracle can rebuild it exactly. One shuffle per side on the join key —
+  // the standard lake diff that feeds a MERGE.
+  def snapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val old = customer(spark, d).select(col("c_custkey").as("k"),
+      col("c_acctbal").as("bal_old"))
+    val base = customer(spark, d)
+    val newSnap = base
+      .where(col("c_custkey") % 10 =!= 0) // deletes
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("bal_new"))
+      .unionByName(base.where(col("c_custkey") < 20) // inserts
+        .select((col("c_custkey") + 1000000L).as("k"), col("c_acctbal").as("bal_new")))
+    old.join(newSnap, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("bal_new").isNull, "D")
+          .when(col("bal_old").isNull, "I")
+          .when(col("bal_old") =!= col("bal_new"), "U"))
+      .where(col("op").isNotNull)
+      .select(col("k"), col("op"),
+        Money.cents(col("bal_old")).as("old_cents"),
+        Money.cents(col("bal_new")).as("new_cents"))
+      .orderBy("k")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal_old FROM customer
+      |), new_snap AS (
+      |  SELECT c_custkey AS k,
+      |         CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS bal_new
+      |  FROM customer WHERE c_custkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, c_acctbal AS bal_new
+      |  FROM customer WHERE c_custkey < 20
+      |)
+      |SELECT COALESCE(o.k, n.k) AS k,
+      |       CASE WHEN n.bal_new IS NULL THEN 'D'
+      |            WHEN o.bal_old IS NULL THEN 'I'
+      |            WHEN o.bal_old <> n.bal_new THEN 'U' END AS op,
+      |       CAST(round(o.bal_old * 100) AS BIGINT) AS old_cents,
+      |       CAST(round(n.bal_new * 100) AS BIGINT) AS new_cents
+      |FROM old o FULL OUTER JOIN new_snap n ON o.k = n.k
+      |WHERE (CASE WHEN n.bal_new IS NULL THEN 'D'
+      |            WHEN o.bal_old IS NULL THEN 'I'
+      |            WHEN o.bal_old <> n.bal_new THEN 'U' END) IS NOT NULL
+      |ORDER BY k""".stripMargin
+
+  // --- column profiling (data-quality summary) --------------------------------
+  // One profile row per column of events: row count, null count, exact
+  // distinct count, lexicographic/numeric min-max (stringified — the
+  // driver canonicalizer takes no mixed-type columns). Each column is an
+  // independent pruned-scan aggregate; at 100 TB the distinct counts
+  // become approx_count_distinct (mergeable HLL, one pass) — exact here so
+  // the oracle can check byte-for-byte.
+  private val ProfileCols = Seq("event_id", "user_id", "event_type", "props")
+
+  def columnProfile(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d)
+    ProfileCols.map { c =>
+      e.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
+  val columnProfileSql: String =
+    ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_s,
+         |       CAST(max($c) AS VARCHAR) AS max_s
+         |FROM events""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> (scd2Build _),
     "q_interval_merge" -> (intervalMerge _),
     "q_zorder" -> (zorderKeys _),
-    "q_range_bounds" -> (rangeBounds _))
+    "q_range_bounds" -> (rangeBounds _),
+    "q_snapshot_diff" -> (snapshotDiff _),
+    "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2" -> scd2BuildSql,
     "q_interval_merge" -> intervalMergeSql,
     "q_zorder" -> zorderKeysSql,
-    "q_range_bounds" -> rangeBoundsSql)
+    "q_range_bounds" -> rangeBoundsSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_profile" -> columnProfileSql)
 }

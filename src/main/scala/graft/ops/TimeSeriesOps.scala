@@ -183,13 +183,96 @@ object TimeSeriesOps {
       |            * 100) AS BIGINT)) >= $OutlierZx100
       |ORDER BY event_id""".stripMargin
 
+  // --- cohort retention matrix ----------------------------------------------
+  // The (signup-week × weeks-since) active-user grid: each user's cohort is
+  // the Monday week of their FIRST event; activity in week w counts them in
+  // cell (cohort, (w − cohort)/7). One agg for the tiny cohort frame
+  // (broadcast back), one distinct + count for the matrix — the fact table
+  // shuffles only on its own aggregation keys. Monday-start date_trunc
+  // agrees between engines (q_datetime_funcs proved the convention).
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("user_id"), col("ts"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_ts"))
+    e.join(broadcast(cohorts), Seq("user_id"))
+      .select(col("user_id"),
+        to_date(col("cohort_ts")).as("cohort_week"),
+        // both dates are Mondays ⇒ the difference is an exact multiple of 7
+        // (so the double division is exact and the long cast loses nothing)
+        (datediff(to_date(date_trunc("week", col("ts"))), to_date(col("cohort_ts")))
+          / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cohorts AS (
+      |  SELECT user_id,
+      |         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1
+      |), cells AS (
+      |  SELECT DISTINCT e.user_id, c.cohort_week,
+      |         CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+      |               - c.cohort_week) AS BIGINT) // 7 AS week_offset
+      |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      |)
+      |SELECT cohort_week, week_offset, count(*) AS n_active
+      |FROM cells
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // --- Markov transition matrix ---------------------------------------------
+  // Per-user consecutive event-type pairs (lead over one user_id window
+  // sort) → global (from, to) counts + a 1e-6-quantized row-normalized
+  // probability (exact integer inputs, one correctly-rounded division).
+  // The sequence-mining primitive: 25 output rows regardless of scale.
+  def transitionMatrix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p_q",
+        floor(col("n").cast("double") / sum(col("n")).over(wFrom).cast("double")
+          * 1000000).cast("long"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       CAST(floor(CAST(n AS DOUBLE)
+      |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+      |         * 1000000) AS BIGINT) AS p_q
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_ewma" -> (ewma _),
-    "q_outliers" -> (outliers _))
+    "q_outliers" -> (outliers _),
+    "q_cohort" -> (cohortRetention _),
+    "q_transitions" -> (transitionMatrix _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_ewma" -> ewmaSql,
-    "q_outliers" -> outliersSql)
+    "q_outliers" -> outliersSql,
+    "q_cohort" -> cohortRetentionSql,
+    "q_transitions" -> transitionMatrixSql)
 }

@@ -37,6 +37,16 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(wide === long)
   }
 
+  test("co-purchase pairs are ordered, deduplicated, and bounded by the top-k") {
+    val rows = AnalyticOps.coOccurrence(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= AnalyticOps.CoOccurTopK)
+    rows.foreach(r => assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b")))
+    val counts = rows.map(_.getAs[Long]("n_orders"))
+    assert(counts.toSeq === counts.sortBy(-_).toSeq, "descending by support")
+    val keys = rows.map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("quantiles are ordered within each group and bounded by min/max") {
     AnalyticOps.quantiles(spark, d).collect().foreach { r =>
       val vals = Seq(r.getAs[Double]("q_min"), r.getAs[Double]("p25"),

@@ -68,6 +68,31 @@ class LakeOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff classifies exactly the constructed deletes/inserts/updates") {
+    val diff = LakeOps.snapshotDiff(spark, d).collect()
+    val byOp = diff.groupBy(_.getAs[String]("op")).view.mapValues(_.length).toMap
+    val keys = graft.Tables.customer(spark, d).select("c_custkey").collect()
+      .map(_.getLong(0))
+    assert(byOp.getOrElse("D", 0) === keys.count(_ % 10 == 0))
+    assert(byOp.getOrElse("I", 0) === keys.count(_ < 20))
+    assert(byOp.getOrElse("U", 0) === keys.count(_ % 10 == 1))
+    diff.filter(_.getAs[String]("op") == "U").foreach(r =>
+      assert(r.getAs[Long]("new_cents") === r.getAs[Long]("old_cents") + 10000L))
+  }
+
+  test("column profile: null/distinct counts are bounded and row count is constant") {
+    val rows = LakeOps.columnProfile(spark, d).collect()
+    assert(rows.length === 4)
+    val ns = rows.map(_.getAs[Long]("n_rows")).distinct
+    assert(ns.length === 1, "every column sees the same row count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") <= ns.head)
+      assert(r.getAs[Long]("n_distinct") >= 1L &&
+        r.getAs[Long]("n_distinct") <= ns.head)
+      assert(r.getAs[String]("min_s") != null && r.getAs[String]("max_s") != null)
+    }
+  }
+
   test("range buckets are contiguous, ordered, and balanced to within one row") {
     val rows = LakeOps.rangeBounds(spark, d).collect().sortBy(_.getAs[Long]("bucket"))
     val counts = rows.map(_.getAs[Long]("n_rows"))

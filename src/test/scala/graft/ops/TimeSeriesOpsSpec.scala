@@ -43,6 +43,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort week 0 holds the full cohort; later offsets never exceed it") {
+    val rows = TimeSeriesOps.cohortRetention(spark, d).collect()
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    byCohort.foreach { case (_, rs) =>
+      val base = rs.find(_.getAs[Long]("week_offset") == 0L)
+      assert(base.isDefined, "every user is active in their own first week")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("week_offset") >= 0L)
+        assert(r.getAs[Long]("n_active") <= base.get.getAs[Long]("n_active"))
+      }
+    }
+    // cohort sizes partition the user base
+    val users = graft.Tables.events(spark, d).select("user_id").distinct().count()
+    assert(byCohort.values.map(
+      _.find(_.getAs[Long]("week_offset") == 0L).get.getAs[Long]("n_active")).sum === users)
+  }
+
+  test("transition rows per source sum to that source's outgoing pairs; p_q sums to ~1e6") {
+    val rows = TimeSeriesOps.transitionMatrix(spark, d).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_q")).sum
+      // each floor loses < 1e0 of the 1e6 grid per destination
+      assert(pSum > 1000000L - rs.length && pSum <= 1000000L)
+    }
+  }
+
   test("every flagged outlier is at least 2.5 sample stddevs from its type mean") {
     val events = graft.Tables.events(spark, d)
       .select(col("event_id"), col("event_type"),
