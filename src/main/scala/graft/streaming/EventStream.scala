@@ -421,9 +421,10 @@ object EventStream {
     */
   def streamingJoinLate(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // two consumers only (max-ts agg + ONE staged write): a re-scan of the
+    // pushdown-pruned parquet beats materializing a checkpoint here
     val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
       .where(col("event_type").isin("view", "purchase"))
-      .localCheckpoint() // feeds the max-ts agg + three batch filters
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val d0Ns = (maxNs / dayNs) * dayNs
