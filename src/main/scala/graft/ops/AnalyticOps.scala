@@ -281,6 +281,74 @@ object AnalyticOps {
       |ORDER BY dt, event_type""".stripMargin
   }
 
+  // --- native session windows -----------------------------------------------
+  // Spark's session_window() in a BATCH aggregation — the declarative twin
+  // of the gaps-and-islands sessionizer (q_sessionize_batch): Catalyst
+  // plans a dedicated SessionWindow aggregation (sort within partition +
+  // merge-on-overlap), no window functions involved. Semantics differ at
+  // the boundary: a session window is [first, last+gap), so an event at
+  // EXACTLY gap distance starts a new session (>= in the oracle, where the
+  // lag-based sessionizer uses >). window.end = last event + gap.
+  def sessionWindowAgg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowAggSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${30 * 60 * 1000000L}
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       ${Money.moneySumSql("value")} AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // --- sliding (hopping) time windows ---------------------------------------
+  // window(ts, 7 days, 1 day): every event lands in SEVEN overlapping
+  // windows — Spark plans one Expand (7 rows per event) + hash agg, the
+  // rolling-metrics primitive with no self-join and no spine table. Window
+  // starts are epoch-aligned on the 1-day slide, so they sit on UTC
+  // midnights — the oracle regenerates each event's 7 membership rows
+  // directly.
+  def slidingWindowAgg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.moneySum(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  val slidingWindowAggSql: String =
+    s"""WITH member AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - CAST(i AS INTEGER) AS window_start, value
+      |  FROM events, range(0, 7) r(i)
+      |)
+      |SELECT window_start, count(*) AS n_events,
+      |       ${Money.moneySumSql("value")} AS sum_value
+      |FROM member
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   // --- market-basket co-occurrence ------------------------------------------
   // Top co-purchased part pairs: distinct parts per order self-joined on
   // the ORDER key with a < b (each unordered pair once), counted globally.
@@ -501,6 +569,8 @@ object AnalyticOps {
     "q_date_spine" -> (dateSpine _),
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_copurchase" -> (coOccurrence _),
+    "q_session_window" -> (sessionWindowAgg _),
+    "q_sliding_window" -> (slidingWindowAgg _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
     "q_unpivot"    -> (unpivotDaily _),
@@ -518,6 +588,8 @@ object AnalyticOps {
     "q_date_spine" -> dateSpineSql,
     "q_sessionize_batch" -> sessionizeBatchSql,
     "q_copurchase" -> coOccurrenceSql,
+    "q_session_window" -> sessionWindowAggSql,
+    "q_sliding_window" -> slidingWindowAggSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,
     "q_unpivot"    -> unpivotDailySql,

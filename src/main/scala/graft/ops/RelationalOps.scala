@@ -385,6 +385,42 @@ object RelationalOps {
       |GROUP BY n.n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // --- SQL frontend, correlated scalar subquery (TPC-H Q17 shape) -----------
+  // Small-quantity revenue per brand: the WHERE clause compares each
+  // lineitem against an aggregate over ITS OWN part's lineitems — a
+  // correlated scalar subquery Catalyst must DECORRELATE into a per-part
+  // aggregate joined back to the fact scan (two passes over lineitem, one
+  // l_partkey shuffle each — never a per-row subquery execution). The avg
+  // threshold is exact-deterministic: l_quantity is integral, so sum and
+  // count are exact doubles and avg/0.2· are correctly-rounded identically
+  // in both engines.
+  def sqlQ17(spark: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT p.p_brand, l.l_extendedprice
+        |FROM graft_lineitem l
+        |JOIN graft_part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+        |                            FROM graft_lineitem l2
+        |                            WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        Money.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val sqlQ17Sql: String =
+    s"""SELECT p.p_brand, count(*) AS n_small,
+      |       ${Money.moneySumSql("l.l_extendedprice")} AS sum_price
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+      |                            FROM lineitem l2
+      |                            WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // --- null-safe equality join ----------------------------------------------
   // `<=>` (NULL <=> NULL is TRUE) is a distinct join operator, not sugar:
   // a plain equi-join DROPS null-keyed rows on both sides, a null-safe join
@@ -601,6 +637,7 @@ object RelationalOps {
     "q_nullsafe_join"   -> (nullSafeJoin _),
     "q_sql_q3"          -> (sqlQ3 _),
     "q_sql_q5"          -> (sqlQ5 _),
+    "q_sql_q17"         -> (sqlQ17 _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
@@ -628,6 +665,7 @@ object RelationalOps {
     "q_nullsafe_join"   -> nullSafeJoinSql,
     "q_sql_q3"          -> sqlQ3Sql,
     "q_sql_q5"          -> sqlQ5Sql,
+    "q_sql_q17"         -> sqlQ17Sql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,

@@ -172,6 +172,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sliding windows plan ONE Expand + hash agg (no self-join, no spine)") {
+    val df = AnalyticOps.slidingWindowAgg(spark, d)
+    val p = plan(df)
+    assert(p.contains("Expand"), "hopping windows must fan out via Expand")
+    assert(!p.contains("Join"))
+    assert(countExchanges(df) <= 2) // agg exchange + output sort
+  }
+
+  test("session windows aggregate in-partition (one user_id exchange + output sort)") {
+    val df = AnalyticOps.sessionWindowAgg(spark, d)
+    assert(countExchanges(df) <= 2)
+    assert(!plan(df).contains("Join"))
+  }
+
+  test("q17 correlated subquery decorrelates to a join (no per-row subquery)") {
+    val p = plan(RelationalOps.sqlQ17(spark, d))
+    // the scalar subquery must be rewritten into a per-part aggregate
+    // joined back — any surviving subquery node means per-row re-execution
+    assert(!p.contains("Subquery"))
+    assert(p.contains("HashAggregate"))
+    assert("Join".r.findAllIn(p).nonEmpty)
+  }
+
   test("pagerank supersteps broadcast the node-sized rank frame against pinned edges") {
     val p = plan(GraphOps.pageRank(spark, d))
     assert(p.contains("BroadcastHashJoin"))
