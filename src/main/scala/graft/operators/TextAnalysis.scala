@@ -395,6 +395,56 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- training-sequence packing (token-budget bin assignment) --------------
+
+  /** Pack documents into fixed-token-budget training sequences: docs are
+    * laid out in a deterministic order (source, then doc_id — the shard
+    * order a curation pipeline would write) and CUT into sequences
+    * wherever the running token total crosses a multiple of the budget —
+    * seq_id = floor((cumsum − tokens)/budget), i.e. each doc belongs to
+    * the sequence its FIRST token falls in. This is the contiguous-fill
+    * packing a streaming tokenizer applies (greedy first-fit needs
+    * sequential state; contiguous fill is one window pass and at most one
+    * boundary-straddling doc per sequence — the standard distributed
+    * approximation). One window sort per SOURCE partition, so at 100 TB
+    * each source shard packs independently — embarrassingly parallel.
+    * Output: per sequence: doc count, exact token total, id range. */
+  val SeqPackBudget = 512L
+
+  def seqPack(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum - toks) div $SeqPackBudget"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t
+      |)
+      |SELECT source, (CAST(cum AS BIGINT) - toks) // $SeqPackBudget AS seq_id,
+      |       count(*) AS n_docs,
+      |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY source, seq_id""".stripMargin
+
   // ---- TF-IDF cosine document similarity (inverted-index join) --------------
 
   /** Top-[[TfidfTopK]] most-similar documents per document by TF-IDF cosine,
@@ -490,6 +540,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_pairs"      -> ((s, d) => tfidfPairs(s, d)),
+    "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_entropy"          -> ((s, d) => entropySignal(s, d)),
     "q_bm25"             -> ((s, d) => bm25(s, d)),
     "q_pii_scrub"        -> ((s, d) => piiScrub(s, d)),
@@ -504,6 +555,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q_tfidf_pairs"   -> tfidfPairsSql,
+    "q_seq_pack"      -> seqPackSql,
     "q_entropy"       -> entropySignalSql,
     "q_bm25"          -> bm25Sql,
     "q_pii_scrub"     -> piiScrubSql,

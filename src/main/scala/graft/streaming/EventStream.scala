@@ -621,6 +621,84 @@ object EventStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** STREAMING MERGE via foreachBatch: the custom-sink pattern for
+    * "stream upserts into a lake table" — each micro-batch runs a
+    * key-based MERGE (anti-join out matched keys, union the batch in)
+    * against the versioned warehouse directory, exactly the delete-before-
+    * insert upsert of q_upsert driven incrementally. The second batch
+    * OVERLAPS the first (all odd rows + a re-delivery of the low even
+    * ids), so the merge's idempotent-update path is genuinely exercised:
+    * a blind append would double-count the overlap; the oracle (each
+    * event exactly once) proves the merge collapsed it.
+    *
+    * Versioned dirs (v0 → v1 → …) because a parquet dir can't be read and
+    * overwritten in the same job — the same swap discipline every lake
+    * format formalizes in a transaction log. Batch-internal dedup
+    * (dropDuplicates on the key) guards against duplicate keys WITHIN one
+    * arriving batch, matching MERGE's one-source-row-per-key contract. */
+  def streamingForeachMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    land(raw.where(col("event_id") % 2 === 0), "b0", now - 30000L)
+    land(raw.where(col("event_id") % 2 === 1 || col("event_id") < 1000),
+      "b1", now) // odd rows + re-delivered low evens: the update path
+
+    var version = -1
+    def warehouseDir(v: Int) = root.resolve(s"wh_v$v").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = batch.dropDuplicates("event_id")
+        val merged =
+          if (version < 0) incoming
+          else spark.read.parquet(warehouseDir(version))
+            .join(incoming, Seq("event_id"), "left_anti")
+            .unionByName(incoming)
+        merged.write.mode("overwrite").parquet(warehouseDir(version + 1))
+        version += 1
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    try spark.read.parquet(warehouseDir(version))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+      .localCheckpoint() // pin: the temp warehouse dirs are deleted below
+    finally deleteRecursively(root)
+  }
+
+  /** Oracle: every event exactly once — the merge collapsed the overlap. */
+  val streamingForeachMergeSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
@@ -629,7 +707,8 @@ object EventStream {
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
     "q_stream_join_late" -> ((s, d) => streamingJoinLate(s, d)),
     "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)),
-    "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)))
+    "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)),
+    "q_stream_merge"    -> ((s, d) => streamingForeachMerge(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
@@ -639,5 +718,6 @@ object EventStream {
     "q_stream_join"     -> streamingJoinSql,
     "q_stream_join_late" -> streamingJoinLateSql,
     "q_stream_dedup"    -> streamingDedupSql,
-    "q_stream_restart"  -> streamingRestartSql)
+    "q_stream_restart"  -> streamingRestartSql,
+    "q_stream_merge"    -> streamingForeachMergeSql)
 }

@@ -171,6 +171,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cell")).distinct.length > 1)
   }
 
+  test("sequence packing conserves tokens and overflows only by one straddling doc") {
+    import org.apache.spark.sql.functions._
+    val packed = TextAnalysis.seqPack(spark, d).collect()
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t")).collect()
+    val totBySource = docs.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("t")).sum).toMap
+    val maxDoc = docs.map(_.getAs[Long]("t")).max
+    packed.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum === totBySource(src))
+      rs.foreach { r =>
+        // contiguous fill: a sequence holds at most one boundary-straddling
+        // doc beyond the budget
+        assert(r.getAs[Long]("n_tokens") < TextAnalysis.SeqPackBudget + maxDoc)
+        assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      }
+      // seq ids are dense from 0 within each source
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq)
+    }
+  }
+
   test("multimodal features match a direct batch-decode of the same records") {
     val viaSpark = Multimodal.features(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
