@@ -421,6 +421,73 @@ object RelationalOps {
       |GROUP BY p.p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // --- SQL frontend, correlated LATERAL subquery ----------------------------
+  // Top-2 orders per customer via LATERAL (SELECT … ORDER BY … LIMIT 2):
+  // Spark 4 plans the correlated limit as a per-key partial top-k
+  // (LateralJoin → rewritten window/limit), never a per-customer query
+  // execution. The oracle states the same result with a window row_number —
+  // the semantics LATERAL+LIMIT must match.
+  def sqlLateral(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM graft_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  val sqlLateralSql: String =
+    """SELECT c_custkey, o_orderkey,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM (
+      |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+      |         row_number() OVER (PARTITION BY c.c_custkey
+      |           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |)
+      |WHERE rn <= 2
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  // --- SQL frontend, recursive CTE ------------------------------------------
+  // WITH RECURSIVE (Spark 4's UnionLoop execution): a digit-prefix
+  // hierarchy over customer keys (parent = key div 10, roots < 10) walked
+  // root-to-leaf, rolled up per depth. Each recursion level is one
+  // join+filter batch over the previous level's frontier — the same
+  // frontier-expansion shape as Dedup.dupClusters' hand-rolled loop, but
+  // executed by the engine's recursion operator. Integer division spells
+  // div/Spark, ///DuckDB; all arithmetic exact.
+  def sqlRecursive(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "customer")
+      .createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """WITH RECURSIVE h(k, depth) AS (
+        |  SELECT c_custkey, 0 FROM graft_customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1
+        |  FROM graft_customer c JOIN h ON c.c_custkey div 10 = h.k
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        |       CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val sqlRecursiveSql: String =
+    """WITH RECURSIVE h(k, depth) AS (
+      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, h.depth + 1
+      |  FROM customer c JOIN h ON c.c_custkey // 10 = h.k
+      |  WHERE c.c_custkey >= 10
+      |)
+      |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+      |       CAST(sum(k) AS BIGINT) AS sum_keys
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+
   // --- null-safe equality join ----------------------------------------------
   // `<=>` (NULL <=> NULL is TRUE) is a distinct join operator, not sugar:
   // a plain equi-join DROPS null-keyed rows on both sides, a null-safe join
@@ -638,6 +705,8 @@ object RelationalOps {
     "q_sql_q3"          -> (sqlQ3 _),
     "q_sql_q5"          -> (sqlQ5 _),
     "q_sql_q17"         -> (sqlQ17 _),
+    "q_sql_lateral"     -> (sqlLateral _),
+    "q_sql_recursive"   -> (sqlRecursive _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_top"      -> (windowTopOrders _),
@@ -666,6 +735,8 @@ object RelationalOps {
     "q_sql_q3"          -> sqlQ3Sql,
     "q_sql_q5"          -> sqlQ5Sql,
     "q_sql_q17"         -> sqlQ17Sql,
+    "q_sql_lateral"     -> sqlLateralSql,
+    "q_sql_recursive"   -> sqlRecursiveSql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_top"      -> windowTopOrdersSql,
