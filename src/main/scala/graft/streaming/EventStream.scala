@@ -621,6 +621,99 @@ object EventStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  final case class TimeoutState(n_events: Long, total_cents: Long, last_ms: Long)
+  final case class TimeoutSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** TIMEOUT-DRIVEN EMISSION via flatMapGroupsWithState + EventTimeTimeout:
+    * the state-API surface the Update-mode sessionizer (q_stream_sessions)
+    * doesn't exercise — state accumulates SILENTLY (Iterator.empty per
+    * batch) and each user's summary is emitted exactly once, by the TIMER
+    * firing when the event-time watermark passes their last event + gap.
+    * This is how a production sessionizer actually closes sessions:
+    * emission on quiescence, not on every update.
+    *
+    * Drive: batch0 = the whole events table (states build, timers set —
+    * the first batch runs at watermark 0, so every setTimeoutTimestamp is
+    * valid); batch1 = one far-future sentinel that advances the watermark
+    * past every timer; the automatic no-data micro-batch then fires ALL
+    * timeouts (the same flush mechanics q_stream_late relies on). The
+    * sentinel's own timer sits 30 days past the watermark and never
+    * fires; its user id is filtered from the result. All state folds are
+    * order-free (count, cents sum, max ts) — batch iterator order within
+    * a group is arrival order and must never matter.
+    *
+    * The oracle is the batch per-user rollup: timeout emission must
+    * reproduce it exactly, one row per user, no duplicates (state.remove
+    * on fire), none missing (every timer eventually passes). */
+  def streamingTimeoutSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
+      rawSchema)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_timeout")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    land(raw, "b0", now - 30000L)
+    land(sentinel, "b1", now)
+
+    val GapMs = 30L * 60L * 1000L
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeoutState, TimeoutSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[TimeoutState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(TimeoutSummary(userId, s.n_events, s.total_cents / 100.0))
+          } else {
+            val prev = state.getOption.getOrElse(TimeoutState(0L, 0L, 0L))
+            val next = batch.foldLeft(prev) { (acc, e) =>
+              TimeoutState(acc.n_events + 1, acc.total_cents + toCents(e.value),
+                math.max(acc.last_ms, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ms + GapMs)
+            Iterator.empty
+          }
+      }
+    try runToMemory(out.toDF(), "graft_stream_timeout", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_timeout")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: the batch per-user rollup — identical to q_stream_sessions'
+    * answer, but produced by the timeout path instead of Update rows. */
+  val streamingTimeoutSessionsSql: String = streamingSessionsSql
+
   /** STREAMING MERGE via foreachBatch: the custom-sink pattern for
     * "stream upserts into a lake table" — each micro-batch runs a
     * key-based MERGE (anti-join out matched keys, union the batch in)
@@ -708,7 +801,8 @@ object EventStream {
     "q_stream_join_late" -> ((s, d) => streamingJoinLate(s, d)),
     "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)),
     "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)),
-    "q_stream_merge"    -> ((s, d) => streamingForeachMerge(s, d)))
+    "q_stream_merge"    -> ((s, d) => streamingForeachMerge(s, d)),
+    "q_stream_timeout"  -> ((s, d) => streamingTimeoutSessions(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_stream_daily"    -> streamingDailyAggSql,
@@ -719,5 +813,6 @@ object EventStream {
     "q_stream_join_late" -> streamingJoinLateSql,
     "q_stream_dedup"    -> streamingDedupSql,
     "q_stream_restart"  -> streamingRestartSql,
-    "q_stream_merge"    -> streamingForeachMergeSql)
+    "q_stream_merge"    -> streamingForeachMergeSql,
+    "q_stream_timeout"  -> streamingTimeoutSessionsSql)
 }
