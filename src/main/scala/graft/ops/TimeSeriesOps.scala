@@ -183,6 +183,51 @@ object TimeSeriesOps {
       |            * 100) AS BIGINT)) >= $OutlierZx100
       |ORDER BY event_id""".stripMargin
 
+  // --- winsorization (percentile clipping) ----------------------------------
+  // Robust-statistics preprocessing: clip each value into its event-type's
+  // [p05, p95] band. Two passes: exact percentiles per type (5 rows,
+  // broadcast back), then a map-only clamp + exact aggregation. The
+  // interpolated bounds are doubles but DETERMINISTIC ones (same sorted
+  // neighbors, same lerp both engines — the q_quantiles parity); clipped
+  // values floor to longs before the order-free sum so no fp sum ever
+  // crosses the engine boundary. At 100 TB the exact percentile swaps for
+  // approx_percentile (mergeable t-digest) and everything else is shape-
+  // identical.
+  def winsorize(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"))
+    val bounds = e.groupBy(col("event_type")).agg(
+      percentile(col("v"), lit(0.05)).as("lo"),
+      percentile(col("v"), lit(0.95)).as("hi"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped",
+        least(greatest(col("v").cast("double"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(min(col("lo"))).cast("long").as("lo_q"),
+        floor(min(col("hi"))).cast("long").as("hi_q"),
+        sum(col("v")).as("sum_raw"),
+        sum(floor(col("clipped")).cast("long")).as("sum_clip_q"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |), b AS (
+      |  SELECT event_type, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |       CAST(floor(min(b.lo)) AS BIGINT) AS lo_q,
+      |       CAST(floor(min(b.hi)) AS BIGINT) AS hi_q,
+      |       CAST(sum(e.v) AS BIGINT) AS sum_raw,
+      |       CAST(sum(CAST(floor(least(greatest(CAST(e.v AS DOUBLE), b.lo), b.hi))
+      |                     AS BIGINT)) AS BIGINT) AS sum_clip_q
+      |FROM e JOIN b USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- cohort retention matrix ----------------------------------------------
   // The (signup-week × weeks-since) active-user grid: each user's cohort is
   // the Monday week of their FIRST event; activity in week w counts them in
@@ -267,12 +312,14 @@ object TimeSeriesOps {
     "q_ewma" -> (ewma _),
     "q_outliers" -> (outliers _),
     "q_cohort" -> (cohortRetention _),
-    "q_transitions" -> (transitionMatrix _))
+    "q_transitions" -> (transitionMatrix _),
+    "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_ewma" -> ewmaSql,
     "q_outliers" -> outliersSql,
     "q_cohort" -> cohortRetentionSql,
-    "q_transitions" -> transitionMatrixSql)
+    "q_transitions" -> transitionMatrixSql,
+    "q_winsorize" -> winsorizeSql)
 }

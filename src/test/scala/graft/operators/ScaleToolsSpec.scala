@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.when
+
 import graft.SparkSpec
 
 class ScaleToolsSpec extends SparkSpec {
@@ -27,6 +29,47 @@ class ScaleToolsSpec extends SparkSpec {
       val expected = li.join(o, Seq("l_orderkey")).count()
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The runtime half of the skew story (the planned half is saltedJoin):
+    // one key holding ~90% of the left side, AQE thresholds lowered so the
+    // small fixture trips them, broadcast disabled so the join shuffles.
+    // After execution the ADAPTIVE final plan must mark the join skew=true
+    // — proof the engine splits the hot partition into parallel tasks
+    // instead of serializing on one straggler.
+    val spark2 = spark
+    import spark2.implicits._
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+      "spark.sql.shuffle.partitions" ->
+        spark.conf.get("spark.sql.shuffle.partitions", "4"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // wide shuffle so the skewed partition dwarfs the median (factor ≥ 5)
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      // 90% of the left side lands on key 7
+      val left = spark.range(50000)
+        .select(when($"id" % 10 =!= 0, 7L).otherwise($"id").as("k"),
+          ($"id" * 3).as("payload"))
+      val right = spark.range(2000).select($"id".as("k"), ($"id" + 1).as("r"))
+      val joined = left.join(right, "k")
+      // drive THIS queryExecution (a df.count() would spawn a separate
+      // execution and leave this plan unexecuted / non-final)
+      // k=7: the 45000 non-multiples of 10 (incl. id=7), right has k=7
+      // once; kept-key matches are the multiples of 10 below 2000 → 200
+      assert(joined.queryExecution.toRdd.count() === 45000L + 200L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must flag the skewed join:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("bloom delta equals the plain left-anti join exactly") {
