@@ -349,6 +349,59 @@ object AnalyticOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- rolling 7-day active users (WAU) -------------------------------------
+  // COUNT DISTINCT over a sliding window: the Expand fans each event into
+  // its 7 windows, the (window, user) dedup collapses map-side per
+  // partition before the wire, and the final count is a plain hash agg.
+  // No self-join, no spine, and the distinct shuffles (window, user) id
+  // pairs only — the standard scale-out WAU/rolling-DAU shape.
+  def rollingActiveUsers(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .distinct()
+      .groupBy(to_date(col("w.start")).as("window_start"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy("window_start")
+
+  val rollingActiveUsersSql: String =
+    """WITH member AS (
+      |  SELECT DISTINCT
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) - CAST(i AS INTEGER) AS window_start,
+      |         user_id
+      |  FROM events, range(0, 7) r(i)
+      |)
+      |SELECT window_start, count(*) AS wau
+      |FROM member
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
+  // --- percent-of-total shares ----------------------------------------------
+  // Each event type's share of its day's events — the ratio_to_report
+  // window shape, in EXACT integer arithmetic: share = (n·1e6) div total,
+  // so the 25-row output needs no float tolerance at all. One agg shuffle
+  // + one day-partitioned window over the tiny aggregate.
+  def dailyShare(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by dt)"))
+      .orderBy("dt", "event_type")
+  }
+
+  val dailyShareSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt, event_type,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT dt, event_type, n,
+      |       (n * 1000000) // CAST(sum(n) OVER (PARTITION BY dt) AS BIGINT)
+      |         AS share_ppm
+      |FROM daily
+      |ORDER BY dt, event_type""".stripMargin
+
   // --- market-basket co-occurrence ------------------------------------------
   // Top co-purchased part pairs: distinct parts per order self-joined on
   // the ORDER key with a < b (each unordered pair once), counted globally.
@@ -571,6 +624,8 @@ object AnalyticOps {
     "q_copurchase" -> (coOccurrence _),
     "q_session_window" -> (sessionWindowAgg _),
     "q_sliding_window" -> (slidingWindowAgg _),
+    "q_wau" -> (rollingActiveUsers _),
+    "q_daily_share" -> (dailyShare _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
     "q_unpivot"    -> (unpivotDaily _),
@@ -590,6 +645,8 @@ object AnalyticOps {
     "q_copurchase" -> coOccurrenceSql,
     "q_session_window" -> sessionWindowAggSql,
     "q_sliding_window" -> slidingWindowAggSql,
+    "q_wau" -> rollingActiveUsersSql,
+    "q_daily_share" -> dailyShareSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,
     "q_unpivot"    -> unpivotDailySql,
