@@ -421,6 +421,32 @@ object RelationalOps {
       |GROUP BY p.p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // --- SQL frontend, join-strategy hints ------------------------------------
+  // The hint API surface: /*+ BROADCAST(c) */ forces the build side a user
+  // would otherwise trust the optimizer (or AQE) to pick. Semantics are
+  // UNCHANGED by construction — the oracle is the hint-free SQL — and the
+  // plan audit pins the strategy (BroadcastHashJoin, never SMJ) so a
+  // regression in hint resolution is caught structurally.
+  def sqlHint(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT /*+ BROADCAST(c) */ c.c_mktsegment,
+        |       o.o_totalprice
+        |FROM graft_orders o JOIN graft_customer c ON o.o_custkey = c.c_custkey""".stripMargin)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val sqlHintSql: String =
+    s"""SELECT c.c_mktsegment, count(*) AS n_orders,
+      |       ${Money.moneySumSql("o.o_totalprice")} AS sum_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // --- SQL frontend, correlated LATERAL subquery ----------------------------
   // Top-2 orders per customer via LATERAL (SELECT … ORDER BY … LIMIT 2):
   // Spark 4 plans the correlated limit as a per-key partial top-k
@@ -706,6 +732,7 @@ object RelationalOps {
     "q_sql_q5"          -> (sqlQ5 _),
     "q_sql_q17"         -> (sqlQ17 _),
     "q_sql_lateral"     -> (sqlLateral _),
+    "q_sql_hint"        -> (sqlHint _),
     "q_sql_recursive"   -> (sqlRecursive _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
@@ -736,6 +763,7 @@ object RelationalOps {
     "q_sql_q5"          -> sqlQ5Sql,
     "q_sql_q17"         -> sqlQ17Sql,
     "q_sql_lateral"     -> sqlLateralSql,
+    "q_sql_hint"        -> sqlHintSql,
     "q_sql_recursive"   -> sqlRecursiveSql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,

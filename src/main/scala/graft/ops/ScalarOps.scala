@@ -36,6 +36,32 @@ object ScalarOps {
   // A 4-char string gets "-12-31" appended, anything else passes through
   // (reference: spark_jobs/playback_pipeline.py:151-158). The year string is
   // always length 4 (completed); o_orderpriority is longer (passthrough).
+  // --- UDF registration surface (migration compatibility) -------------------
+  // The reference shipped its scalar logic as registered UDFs
+  // (playback_pipeline.py:128-148); this engine rebuilt them as native
+  // expressions (F9/F10 — codegen'd, pushdown-transparent). This query
+  // keeps the REGISTRATION surface alive for a migrating user: a Scala
+  // UDF registered under a name and called from SQL text, oracle-checked
+  // against the native CASE form — proving a user's own spark.udf.register
+  // code keeps working, while the Scaladoc steers them to the native path
+  // (a UDF is an optimization fence: no codegen, no pushdown through it).
+  def udfCompat(spark: SparkSession, d: String): DataFrame = {
+    spark.udf.register("graft_complete_year",
+      (s: String) => if (s != null && s.length == 4) s + "-12-31" else s)
+    orders(spark, d).createOrReplaceTempView("graft_orders_udf")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       graft_complete_year(CAST(year(o_orderdate) AS STRING)) AS release_date
+        |FROM graft_orders_udf""".stripMargin)
+  }
+
+  val udfCompatSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN length(CAST(year(o_orderdate) AS VARCHAR)) = 4
+      |            THEN CAST(year(o_orderdate) AS VARCHAR) || '-12-31'
+      |            ELSE CAST(year(o_orderdate) AS VARCHAR) END AS release_date
+      |FROM orders""".stripMargin
+
   def completeYear(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)
       .select(col("o_orderkey"),
@@ -482,6 +508,7 @@ object ScalarOps {
     "q_array_setops"    -> (arraySetOps _),
     "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
+    "q_udf_compat"      -> (udfCompat _),
     "q_values_from_key" -> (valuesFromKey _),
     "q_date_ops"        -> (dateOps _),
     "q_daily_agg"       -> (dailyAgg _),
@@ -502,6 +529,7 @@ object ScalarOps {
     "q_array_setops"    -> arraySetOpsSql,
     "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,
+    "q_udf_compat"      -> udfCompatSql,
     "q_values_from_key" -> valuesFromKeySql,
     "q_date_ops"        -> dateOpsSql,
     "q_daily_agg"       -> dailyAggSql,

@@ -186,6 +186,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(df).contains("Join"))
   }
 
+  test("SQL BROADCAST hint resolves to BroadcastHashJoin") {
+    val p = plan(RelationalOps.sqlHint(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q17 correlated subquery decorrelates to a join (no per-row subquery)") {
     val p = plan(RelationalOps.sqlQ17(spark, d))
     // the scalar subquery must be rewritten into a per-part aggregate
