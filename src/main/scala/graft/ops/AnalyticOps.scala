@@ -375,6 +375,48 @@ object AnalyticOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- windowed argmax (top event type per sliding window) ------------------
+  // The "what dominated each rolling week" retention signal: per 7-day/1-day
+  // hopping window, the single top event_type by count plus its exact
+  // integer ppm share of the window. One Expand fans events into their 7
+  // windows, one hash agg counts (window, type), and BOTH window functions
+  // (row_number for the argmax, sum for the total) share ONE partition-by-
+  // window Exchange+sort. Ties break on event_type, so the argmax is
+  // unique; the share is integer-floor ppm — zero float tolerance.
+  def windowArgmax(spark: SparkSession, d: String): DataFrame = {
+    val cnt = events(spark, d)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    cnt
+      .withColumn("rn", row_number().over(byW.orderBy(col("n").desc, col("event_type").asc)))
+      .withColumn("total_n", sum(col("n")).over(byW))
+      .where(col("rn") === 1)
+      .select(to_date(col("w.start")).as("window_start"),
+        col("event_type").as("top_type"), col("n").as("top_n"), col("total_n"),
+        expr("(n * 1000000) div total_n").as("top_share_ppm"))
+      .orderBy("window_start")
+  }
+
+  val windowArgmaxSql: String =
+    """WITH member AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - CAST(i AS INTEGER) AS window_start,
+      |         event_type
+      |  FROM events, range(0, 7) r(i)
+      |), cnt AS (
+      |  SELECT window_start, event_type, count(*) AS n
+      |  FROM member GROUP BY window_start, event_type
+      |), ranked AS (
+      |  SELECT window_start, event_type, n,
+      |         row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rn,
+      |         CAST(sum(n) OVER (PARTITION BY window_start) AS BIGINT) AS total_n
+      |  FROM cnt
+      |)
+      |SELECT window_start, event_type AS top_type, n AS top_n, total_n,
+      |       (n * 1000000) // total_n AS top_share_ppm
+      |FROM ranked WHERE rn = 1
+      |ORDER BY window_start""".stripMargin
+
   // --- percent-of-total shares ----------------------------------------------
   // Each event type's share of its day's events — the ratio_to_report
   // window shape, in EXACT integer arithmetic: share = (n·1e6) div total,
@@ -625,6 +667,7 @@ object AnalyticOps {
     "q_session_window" -> (sessionWindowAgg _),
     "q_sliding_window" -> (slidingWindowAgg _),
     "q_wau" -> (rollingActiveUsers _),
+    "q_window_argmax" -> (windowArgmax _),
     "q_daily_share" -> (dailyShare _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
@@ -646,6 +689,7 @@ object AnalyticOps {
     "q_session_window" -> sessionWindowAggSql,
     "q_sliding_window" -> slidingWindowAggSql,
     "q_wau" -> rollingActiveUsersSql,
+    "q_window_argmax" -> windowArgmaxSql,
     "q_daily_share" -> dailyShareSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,

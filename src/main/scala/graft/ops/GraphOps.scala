@@ -97,9 +97,147 @@ object GraphOps {
       |ORDER BY node""".stripMargin
   }
 
+  // ---- supplier co-occurrence graph helpers --------------------------------
+  // Nodes = suppliers, edge weight = number of orders both appear on. The
+  // (order, supplier) incidence list is distinct-ed first so multi-line
+  // orders don't inflate weights; the per-order self-join fans out
+  // quadratically in suppliers-per-order (bounded small by the order shape,
+  // like q_copurchase's order-key pair join).
+  private def suppPairWeights(spark: SparkSession, d: String): DataFrame = {
+    val su = lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    su.as("a").join(su.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val suppPairWeightsSql: String =
+    """su AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |pairs AS (
+      |  SELECT a.s AS s1, b.s AS s2, count(*) AS w
+      |  FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s
+      |  GROUP BY a.s, b.s
+      |)""".stripMargin
+
+  // ---- triangle counting over a mutual-top-k graph -------------------------
+
+  /** Per-supplier triangle participation counts over the MUTUAL-top-K
+    * co-occurrence graph (an edge survives only if each endpoint ranks the
+    * other in its top-[[TriK]] partners by weight). The mutual-kNN
+    * sparsification is what makes triangle enumeration scale-safe: the raw
+    * co-occurrence graph densifies toward complete as data grows (triangle
+    * count ~n³), while the kept graph has degree ≤ K by construction, so
+    * the two-hop join is ≤ n·K² rows at ANY data scale — the standard
+    * trick for similarity-graph analytics on large corpora.
+    *
+    * Plan shape: one shuffle for the pair weights, one window pass
+    * (partition by node) for the per-node top-K, a self-join for
+    * mutuality, then the triangle path join e(a,b)⋈e(b,c)⋈e(a,c) on the
+    * a<b<c orientation (each triangle enumerated exactly once). The edge
+    * frame is localCheckpoint-pinned — three branches consume it, and
+    * exchange reuse does not fire across self-join branches (round-2
+    * invariant). Determinism: weights are exact counts, top-K ties break
+    * on partner id, so the kept edge set is unique.
+    */
+  val TriK = 8
+
+  def triangles(spark: SparkSession, d: String): DataFrame = {
+    val wdf = suppPairWeights(spark, d)
+    val dir = wdf.select(col("s1").as("a"), col("s2").as("b"), col("w"))
+      .unionByName(wdf.select(col("s2").as("a"), col("s1").as("b"), col("w")))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("w").desc, col("b").asc)
+    val kept = dir.withColumn("rn", row_number().over(byNode))
+      .where(col("rn") <= TriK).select(col("a"), col("b"))
+    val e = kept.as("x").join(kept.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+      .where(col("x.a") < col("x.b"))
+      .select(col("x.a").as("u"), col("x.b").as("v"))
+      .localCheckpoint()
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(e.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
+      .select(col("x"), col("y"), col("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    supplier(spark, d).select(col("s_suppkey").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  val trianglesSql: String =
+    s"""WITH $suppPairWeightsSql,
+      |dir AS (
+      |  SELECT s1 AS a, s2 AS b, w FROM pairs
+      |  UNION ALL
+      |  SELECT s2 AS a, s1 AS b, w FROM pairs
+      |), kept AS (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+      |    FROM dir) t
+      |  WHERE rn <= $TriK
+      |), e AS (
+      |  SELECT x.a AS u, x.b AS v
+      |  FROM kept x JOIN kept y ON x.a = y.b AND x.b = y.a
+      |  WHERE x.a < x.b
+      |), tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+      |), cnt AS (
+      |  SELECT node, count(*) AS n_tri
+      |  FROM (SELECT x AS node FROM tri
+      |        UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) m
+      |  GROUP BY node
+      |)
+      |SELECT s.s_suppkey AS node, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+      |FROM supplier s LEFT JOIN cnt c ON s.s_suppkey = c.node
+      |ORDER BY node""".stripMargin
+
+  // ---- degree distribution -------------------------------------------------
+
+  /** Degree histogram of the raw co-occurrence graph: how many suppliers
+    * have exactly d distinct co-suppliers. Suppliers absent from every
+    * order keep degree 0 via the left join. Output is degree-bucket-sized
+    * (≤ n rows); the only shuffles are the pair-build and two tiny
+    * aggregations — the shape survives any scale because nothing after the
+    * first groupBy is more than node-cardinality wide.
+    */
+  def degreeDist(spark: SparkSession, d: String): DataFrame = {
+    val wdf = suppPairWeights(spark, d)
+    val deg = wdf.select(col("s1").as("node")).unionByName(wdf.select(col("s2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val all = supplier(spark, d).select(col("s_suppkey").as("node"))
+      .join(deg, Seq("node"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+    all.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes")).orderBy("degree")
+  }
+
+  val degreeDistSql: String =
+    s"""WITH $suppPairWeightsSql,
+      |deg AS (
+      |  SELECT node, count(*) AS degree
+      |  FROM (SELECT s1 AS node FROM pairs UNION ALL SELECT s2 FROM pairs) m
+      |  GROUP BY node
+      |), all_nodes AS (
+      |  SELECT CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+      |  FROM supplier s LEFT JOIN deg d ON s.s_suppkey = d.node
+      |)
+      |SELECT degree, count(*) AS n_nodes
+      |FROM all_nodes GROUP BY degree ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pageRank _))
+    "q_pagerank" -> (pageRank _),
+    "q_triangles" -> (triangles _),
+    "q_degree_dist" -> (degreeDist _))
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> pageRankSql)
+    "q_pagerank" -> pageRankSql,
+    "q_triangles" -> trianglesSql,
+    "q_degree_dist" -> degreeDistSql)
 }

@@ -307,7 +307,79 @@ object TimeSeriesOps {
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
+  // --- RFM customer segmentation --------------------------------------------
+
+  /** Recency / frequency / monetary quintile segmentation — the classic
+    * CRM scoring grid, one row per ordering customer. Recency is days
+    * from the customer's last order to the corpus max date (a one-row
+    * scalar aggregate broadcast-cross-joined onto the per-customer
+    * rollup — no window-over-everything for the global max). Each score
+    * is an ntile(5) with a full deterministic ordering (metric, then
+    * custkey), so tile assignment is position-based-identical in both
+    * engines.
+    *
+    * Scale: the fact table shuffles ONCE (groupBy custkey); everything
+    * after is customer-cardinality. The three global ntile sorts are
+    * single-ordering window passes over that reduced frame — at extreme
+    * customer counts they'd become range-partitioned sorts (ntile is the
+    * same exact computation under range partitioning; or swap to
+    * approx-percentile bucket edges and lose the exact-equal-bucket
+    * property, which this operator deliberately keeps). Monetary is the
+    * exact integer-cents sum recombined only at the boundary
+    * ([[graft.functions.Money]]).
+    */
+  def rfm(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Money
+    val per = orders(spark, d).groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        Money.moneySum(col("o_totalprice")).as("monetary"))
+    val ref = per.agg(max(col("last_day")).as("ref_day"))
+    val scored = per.crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val r = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
+    val f = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+    val m = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
+    scored
+      .withColumn("r_score", ntile(5).over(r).cast("long"))
+      .withColumn("f_score", ntile(5).over(f).cast("long"))
+      .withColumn("m_score", ntile(5).over(m).cast("long"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
+  val rfmSql: String = {
+    import graft.functions.Money
+    s"""WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(max(o_orderdate) AS DATE) AS last_day,
+      |         count(*) AS frequency,
+      |         ${Money.moneySumSql("o_totalprice")} AS monetary
+      |  FROM orders GROUP BY o_custkey
+      |), scored AS (
+      |  SELECT o_custkey,
+      |         CAST(datediff('day', last_day, (SELECT max(last_day) FROM per)) AS BIGINT)
+      |           AS recency_days,
+      |         frequency, monetary
+      |  FROM per
+      |)
+      |SELECT o_custkey, recency_days, frequency, monetary,
+      |       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+      |       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+      |       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score,
+      |       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
+      |         || CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+      |         || CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+      |         AS segment
+      |FROM scored
+      |ORDER BY o_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (rfm _),
     "q_funnel" -> (funnel _),
     "q_ewma" -> (ewma _),
     "q_outliers" -> (outliers _),
@@ -316,6 +388,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> rfmSql,
     "q_funnel" -> funnelSql,
     "q_ewma" -> ewmaSql,
     "q_outliers" -> outliersSql,
