@@ -713,6 +713,112 @@ object RelationalOps {
   val nestedProjSql: String =
     "SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total FROM orders"
 
+  // --- SQL frontend, correlated EXISTS (TPC-H Q4 shape) ---------------------
+  // Late-shipment order counts per priority: the EXISTS subquery correlates
+  // on BOTH the join key and an order-local column (o_orderdate), and
+  // Catalyst decorrelates it into ONE left-semi hash join on l_orderkey
+  // with the date comparison as a join-side predicate — never a per-order
+  // probe. Counts only, so cross-engine parity is trivial.
+  def sqlQ4(spark: SparkSession, d: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM graft_orders o
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- SQL frontend, returned-item revenue top-k (TPC-H Q10 shape) ----------
+  // Revenue lost to returns per customer, top 20: a 4-table join where the
+  // selective l_returnflag filter pushes to the lineitem scan, nation
+  // broadcasts, and the final ORDER BY + LIMIT plans as TakeOrderedAndProject
+  // (per-partition top-k, no global sort). SQL states the join+filter; the
+  // DataFrame tail holds the exact-integer revenue aggregation.
+  def sqlQ10(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       l.l_extendedprice, l.l_discount
+        |FROM graft_customer c
+        |JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN graft_nation n   ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'""".stripMargin)
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val sqlQ10Sql: String =
+    s"""SELECT c.c_custkey, c.c_name, n.n_name,
+      |       ${Money.revenueSumSql("l.l_extendedprice", "l.l_discount")} AS revenue,
+      |       count(*) AS n_returned
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- SQL frontend, nested semi-join chain (TPC-H Q20 shape) ---------------
+  // Above-average suppliers of 'small%' parts: an IN subquery whose HAVING
+  // threshold is ITSELF an uncorrelated scalar subquery over the same
+  // filtered join. Catalyst plans the outer IN as a left-semi join and the
+  // scalar as an independent one-row broadcast — two passes over the
+  // filtered fact, zero per-row subquery execution. The threshold is
+  // sum/count(distinct) of integral quantities: exact doubles, one
+  // correctly-rounded division, identical both engines — and
+  // scale-invariant (≈half the suppliers qualify at ANY sf, unlike a
+  // fixed literal threshold).
+  def sqlQ20(spark: SparkSession, d: String): DataFrame = {
+    Seq("supplier", "lineitem", "part").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name
+        |FROM graft_supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM graft_lineitem l JOIN graft_part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'small%'
+        |  GROUP BY l.l_suppkey
+        |  HAVING sum(l.l_quantity) > (
+        |    SELECT sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+        |    FROM graft_lineitem l2 JOIN graft_part p2 ON l2.l_partkey = p2.p_partkey
+        |    WHERE p2.p_name LIKE 'small%'))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val sqlQ20Sql: String =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_name LIKE 'small%'
+      |  GROUP BY l.l_suppkey
+      |  HAVING sum(l.l_quantity) > (
+      |    SELECT sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+      |    FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+      |    WHERE p2.p_name LIKE 'small%'))
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
@@ -731,6 +837,9 @@ object RelationalOps {
     "q_sql_q3"          -> (sqlQ3 _),
     "q_sql_q5"          -> (sqlQ5 _),
     "q_sql_q17"         -> (sqlQ17 _),
+    "q_sql_q4"          -> (sqlQ4 _),
+    "q_sql_q10"         -> (sqlQ10 _),
+    "q_sql_q20"         -> (sqlQ20 _),
     "q_sql_lateral"     -> (sqlLateral _),
     "q_sql_hint"        -> (sqlHint _),
     "q_sql_recursive"   -> (sqlRecursive _),
@@ -762,6 +871,9 @@ object RelationalOps {
     "q_sql_q3"          -> sqlQ3Sql,
     "q_sql_q5"          -> sqlQ5Sql,
     "q_sql_q17"         -> sqlQ17Sql,
+    "q_sql_q4"          -> sqlQ4Sql,
+    "q_sql_q10"         -> sqlQ10Sql,
+    "q_sql_q20"         -> sqlQ20Sql,
     "q_sql_lateral"     -> sqlLateralSql,
     "q_sql_hint"        -> sqlHintSql,
     "q_sql_recursive"   -> sqlRecursiveSql,
