@@ -109,15 +109,94 @@ object Sampling {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Temperature-scaled training-mix weights per source: weight ∝
+    * n_tokens^α with α = 0.5 — the standard upweight-the-tail sampling
+    * temperature for multi-source pretraining mixes. α is DELIBERATELY 1/2:
+    * IEEE-754 sqrt is correctly rounded (unlike libm pow), so the per-source
+    * weight is bit-identical across engines with no tolerance games — it's
+    * quantized to an integer (floor(√tokens·1000)) and the final ppm share
+    * is pure integer arithmetic. One fact shuffle (groupBy source); the
+    * source-cardinality total broadcasts back. */
+  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+    val per = documents(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("qsqrt",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+    val tot = per.agg(sum(col("qsqrt")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(qsqrt * 1000000) div tot").as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  val mixWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), q AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS qsqrt
+      |  FROM per
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST((qsqrt * 1000000) // (SELECT sum(qsqrt) FROM q) AS BIGINT) AS weight_ppm
+      |FROM q ORDER BY source""".stripMargin
+
+  /** Curriculum shard assignment: rank documents by a deterministic
+    * curriculum key (longest first, id tie-break) and deal them
+    * round-robin into [[NShards]] shards — the standard way to get
+    * training shards that are balanced in BOTH doc count and volume
+    * without a bin-packing pass. Output is the per-shard balance sheet
+    * proving it (counts within 1, volumes near-equal). The global
+    * row_number is a range-partitioned sort at scale — same cost class as
+    * [[graft.ops.LakeOps.rangeBounds]]; everything after is shard-sized. */
+  val NShards = 16
+
+  def shardAssign(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("long").as("rank"))
+      .withColumn("shard", (col("rank") - 1) % NShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("rank")).as("first_rank"),
+        max(col("rank")).as("last_rank"))
+      .orderBy("shard")
+  }
+
+  val shardAssignSql: String =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      |  FROM documents
+      |)
+      |SELECT (rank - 1) % $NShards AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(rank) AS first_rank,
+      |       max(rank) AS last_rank
+      |FROM ranked
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample"  -> ((s, d) => hashSample(s, d)),
     "q_strat_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_data_split"   -> ((s, d) => dataSplit(s, d)),
+    "q_mix_weights"  -> ((s, d) => mixWeights(s, d)),
+    "q_shard_assign" -> ((s, d) => shardAssign(s, d)),
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_hash_sample"  -> hashSampleSql(),
     "q_strat_sample" -> stratifiedSampleSql,
     "q_data_split"   -> dataSplitSql,
+    "q_mix_weights"  -> mixWeightsSql,
+    "q_shard_assign" -> shardAssignSql,
     "q_corpus_stats" -> corpusStatsSql)
 }

@@ -538,7 +538,169 @@ object TextAnalysis {
       |WHERE rnk <= $TfidfTopK
       |ORDER BY doc_a, rnk""".stripMargin
 
+  // ---- vocabulary coverage (token-frequency head analysis) -------------------
+
+  /** Cumulative vocabulary coverage: rank every token by corpus frequency
+    * and report each rank's running share of all token occurrences in exact
+    * integer ppm — the "how small can the vocab be" planning table for
+    * tokenizer training. One fact shuffle (term counts); the rank +
+    * running-sum pass runs over the VOCABULARY-cardinality frame (share one
+    * ordering, so one sort), and the grand total broadcasts back. At a
+    * billion-term vocab the single-ordering window becomes a
+    * range-partitioned sort — same cost class as any global rank. */
+  def vocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term").asc)
+    val tf = documents(spark, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("run", sum(col("tf")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("tf"),
+        expr("(run * 1000000) div tot").as("cum_ppm"))
+      .orderBy("rank")
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS tf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  GROUP BY term
+      |), ranked AS (
+      |  SELECT term, tf,
+      |         CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+      |         CAST(sum(tf) OVER (ORDER BY tf DESC, term
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM tf
+      |)
+      |SELECT rank, term, tf,
+      |       CAST((run * 1000000) // (SELECT sum(tf) FROM tf) AS BIGINT) AS cum_ppm
+      |FROM ranked ORDER BY rank""".stripMargin
+
+  // ---- PMI term co-occurrence ------------------------------------------------
+
+  /** Pointwise mutual information between vocabulary terms over
+    * document-level co-occurrence — the collocation/feature-association
+    * signal. Presence rows are (doc, term) for a PLAN-TIME literal
+    * vocabulary, so the self-join fan-out is ≤ |V|²/2 pairs per document
+    * no matter how large the corpus — the same bounded-candidates
+    * discipline as the fixed-vocab BM25. All counts are exact; the single
+    * ln runs on an exactly-computed double ratio, spelled identically in
+    * both engines, and the 1e-3 grid absorbs libm ulps (rounds toward
+    * -inf, invariant #1). */
+  val PmiVocab: Seq[String] = Seq("data", "model", "table", "query", "join",
+    "spark", "hash", "row", "scan", "filter", "window", "agg")
+
+  private def presence(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      .where(col("term").isin(PmiVocab: _*))
+      .select(col("doc_id"), col("lang"), col("term")).distinct()
+
+  private def presenceSql: String =
+    s"""pres AS (
+      |  SELECT DISTINCT doc_id, lang, term
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  WHERE term IN (${PmiVocab.map(t => s"'$t'").mkString(", ")})
+      |)""".stripMargin
+
+  def pmiPairs(spark: SparkSession, d: String): DataFrame = {
+    val pres = presence(spark, d).select(col("doc_id"), col("term"))
+    val nDocs = documents(spark, d).agg(count(lit(1)).as("n"))
+    val nT = pres.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val pairs = pres.as("a").join(pres.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("n12"))
+    pairs
+      .join(broadcast(nT.select(col("term").as("t1"), col("n_t").as("n1"))), Seq("t1"))
+      .join(broadcast(nT.select(col("term").as("t2"), col("n_t").as("n2"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n12"),
+        expr("floor(ln(cast(n12 * n as double) / cast(n1 * n2 as double)) * 1000)")
+          .as("pmi_q"))
+      .orderBy("t1", "t2")
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH $presenceSql,
+      |n_t AS (SELECT term, count(*) AS n_t FROM pres GROUP BY term),
+      |pairs AS (
+      |  SELECT a.term AS t1, b.term AS t2, count(*) AS n12
+      |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY a.term, b.term
+      |)
+      |SELECT t1, t2, n1.n_t AS n1, n2.n_t AS n2, n12,
+      |       CAST(floor(ln(CAST(n12 * (SELECT count(*) FROM documents) AS DOUBLE)
+      |                     / CAST(n1.n_t * n2.n_t AS DOUBLE)) * 1000) AS BIGINT) AS pmi_q
+      |FROM pairs
+      |JOIN n_t n1 ON n1.term = t1
+      |JOIN n_t n2 ON n2.term = t2
+      |ORDER BY t1, t2""".stripMargin
+
+  // ---- chi-squared term–label association ------------------------------------
+
+  /** χ² association between language labels and term presence — the
+    * classic feature-selection score for labeled corpora. The 2×2
+    * contingency counts come from ONE presence aggregation joined onto the
+    * (label × vocab) grid (tiny, broadcast, absent combinations coalesce
+    * to 0); the χ² itself is one double expression over exact longs,
+    * spelled identically in both engines and floor-quantized to a 0.01
+    * grid. Degenerate margins (a term in every doc, or none) emit 0 via
+    * the den=0 guard instead of dividing by zero. */
+  def chi2Terms(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val langN = docs.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+    val pres = presence(spark, d)
+    val nT = pres.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val n11 = pres.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n11"))
+    langN.crossJoin(broadcast(nT))
+      .join(n11, Seq("lang", "term"), "left")
+      .na.fill(0L, Seq("n11"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("term"), col("n11"),
+        expr("""CASE WHEN lang_docs * (n - lang_docs) * n_t * (n - n_t) = 0 THEN 0
+               |ELSE floor(cast(n as double)
+               |  * cast(n11 * (n - lang_docs - n_t + n11) - (lang_docs - n11) * (n_t - n11) as double)
+               |  * cast(n11 * (n - lang_docs - n_t + n11) - (lang_docs - n11) * (n_t - n11) as double)
+               |  / cast(lang_docs * (n - lang_docs) * n_t * (n - n_t) as double) * 100)
+               |END""".stripMargin).as("chi2_q"))
+      .orderBy("lang", "term")
+  }
+
+  val chi2TermsSql: String =
+    s"""WITH $presenceSql,
+      |n_t AS (SELECT term, count(*) AS n_t
+      |        FROM (SELECT DISTINCT doc_id, term FROM pres) p GROUP BY term),
+      |lang_n AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang),
+      |n11s AS (SELECT lang, term, count(*) AS n11 FROM pres GROUP BY lang, term),
+      |grid AS (
+      |  SELECT l.lang, t.term, l.lang_docs, t.n_t,
+      |         CAST(COALESCE(p.n11, 0) AS BIGINT) AS n11,
+      |         (SELECT count(*) FROM documents) AS n
+      |  FROM lang_n l CROSS JOIN n_t t
+      |  LEFT JOIN n11s p ON p.lang = l.lang AND p.term = t.term
+      |)
+      |SELECT lang, term, n11,
+      |       CAST(CASE WHEN lang_docs * (n - lang_docs) * n_t * (n - n_t) = 0 THEN 0
+      |            ELSE floor(CAST(n AS DOUBLE)
+      |              * CAST(n11 * (n - lang_docs - n_t + n11) - (lang_docs - n11) * (n_t - n11) AS DOUBLE)
+      |              * CAST(n11 * (n - lang_docs - n_t + n11) - (lang_docs - n11) * (n_t - n11) AS DOUBLE)
+      |              / CAST(lang_docs * (n - lang_docs) * n_t * (n - n_t) AS DOUBLE) * 100)
+      |            END AS BIGINT) AS chi2_q
+      |FROM grid
+      |ORDER BY lang, term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage"   -> ((s, d) => vocabCoverage(s, d)),
+    "q_pmi"              -> ((s, d) => pmiPairs(s, d)),
+    "q_chi2"             -> ((s, d) => chi2Terms(s, d)),
     "q_tfidf_pairs"      -> ((s, d) => tfidfPairs(s, d)),
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_entropy"          -> ((s, d) => entropySignal(s, d)),
@@ -554,6 +716,9 @@ object TextAnalysis {
     "q_curation"         -> ((s, d) => curationPipeline(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
+    "q_pmi"           -> pmiPairsSql,
+    "q_chi2"          -> chi2TermsSql,
     "q_tfidf_pairs"   -> tfidfPairsSql,
     "q_seq_pack"      -> seqPackSql,
     "q_entropy"       -> entropySignalSql,
