@@ -375,6 +375,48 @@ object AnalyticOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- skyline / Pareto frontier --------------------------------------------
+  // Customers not dominated on (acctbal, order count): q dominates p iff
+  // q ≥ p on both axes and > on at least one. The engine runs the
+  // O(n log n) sweep — collapse ties to per-x best-y, then one descending-x
+  // window pass where prev_max = best y over STRICTLY higher x; p survives
+  // iff it is its x-group's best AND beats every higher-x point. The
+  // oracle is the O(n²) NOT EXISTS restatement of the dominance definition
+  // itself — the pair (fast plan, definitional oracle) is the point: at
+  // scale only the sweep survives, and the sweep is one fact shuffle plus
+  // two x-cardinality window/join passes.
+  def skyline(spark: SparkSession, d: String): DataFrame = {
+    val pts = customer(spark, d).as("c")
+      .join(orders(spark, d).as("o"), col("o.o_custkey") === col("c.c_custkey"), "left")
+      .groupBy(col("c.c_custkey").as("c_custkey"), col("c.c_acctbal").as("c_acctbal"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"))
+    val grp = pts.groupBy(col("c_acctbal")).agg(max(col("n_orders")).as("best_y"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = grp.withColumn("prev_max", max(col("best_y")).over(wx))
+    pts.join(ranked, Seq("c_acctbal"))
+      .where(col("n_orders") === col("best_y") &&
+        (col("prev_max").isNull || col("prev_max") < col("n_orders")))
+      .select(col("c_custkey"), col("c_acctbal"), col("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val skylineSql: String =
+    """WITH pts AS (
+      |  SELECT c.c_custkey, c.c_acctbal,
+      |         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_acctbal
+      |)
+      |SELECT p.c_custkey, p.c_acctbal, p.n_orders
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.c_acctbal >= p.c_acctbal AND q.n_orders >= p.n_orders
+      |    AND (q.c_acctbal > p.c_acctbal OR q.n_orders > p.n_orders))
+      |ORDER BY p.c_custkey""".stripMargin
+
   // --- windowed argmax (top event type per sliding window) ------------------
   // The "what dominated each rolling week" retention signal: per 7-day/1-day
   // hopping window, the single top event_type by count plus its exact
@@ -668,6 +710,7 @@ object AnalyticOps {
     "q_sliding_window" -> (slidingWindowAgg _),
     "q_wau" -> (rollingActiveUsers _),
     "q_window_argmax" -> (windowArgmax _),
+    "q_skyline" -> (skyline _),
     "q_daily_share" -> (dailyShare _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
@@ -690,6 +733,7 @@ object AnalyticOps {
     "q_sliding_window" -> slidingWindowAggSql,
     "q_wau" -> rollingActiveUsersSql,
     "q_window_argmax" -> windowArgmaxSql,
+    "q_skyline" -> skylineSql,
     "q_daily_share" -> dailyShareSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,

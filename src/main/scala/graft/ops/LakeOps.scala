@@ -318,7 +318,44 @@ object LakeOps {
          |FROM events""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // --- bucketed write → bucket-pruned read (end-to-end) ---------------------
+
+  /** The bucket-layout round trip: pay ONE clustering shuffle at write time
+    * ([[graft.operators.ScaleTools.writeBucketed]], 16 buckets on
+    * o_custkey), then point-lookups on the bucket key read ONLY the
+    * buckets those keys hash to — the scan's SelectedBucketsCount shows
+    * ≤3 of 16, i.e. ~80% of the table is never opened (plan-audited in
+    * ScaleToolsSpec). At warehouse scale this is the difference between a
+    * full-table scan and a seek for every keyed read; the oracle (a plain
+    * filter over the unbucketed parquet) proves the layout changes cost,
+    * never answers. */
+  val BucketKeys: Seq[Long] = Seq(7L, 77L, 777L)
+
+  def bucketPrune(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.ScaleTools.writeBucketed(
+      orders(spark, d), "graft_orders_bkt", Seq("o_custkey"), numBuckets = 16)
+    // a filter-only read has no bucketing-exploiting operator, so the
+    // planner would auto-demote the bucketed scan (Bucketed: false) and
+    // forfeit pruning — keep it on for keyed lookups
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table("graft_orders_bkt")
+      .where(col("o_custkey").isin(BucketKeys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
+  val bucketPruneSql: String =
+    s"""SELECT o_custkey, count(*) AS n_orders,
+      |       ${Money.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders
+      |WHERE o_custkey IN (${BucketKeys.mkString(", ")})
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_prune" -> (bucketPrune _),
     "q_scd2" -> (scd2Build _),
     "q_interval_merge" -> (intervalMerge _),
     "q_zorder" -> (zorderKeys _),
@@ -327,6 +364,7 @@ object LakeOps {
     "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_bucket_prune" -> bucketPruneSql,
     "q_scd2" -> scd2BuildSql,
     "q_interval_merge" -> intervalMergeSql,
     "q_zorder" -> zorderKeysSql,

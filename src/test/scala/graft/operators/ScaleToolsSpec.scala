@@ -31,6 +31,30 @@ class ScaleToolsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("point lookup on the bucket key prunes to a subset of buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    ScaleTools.writeBucketed(
+      o.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      "o_bkt_prune", Seq("o_custkey"), 16)
+    // without a bucketing-exploiting join/agg in the plan, the planner
+    // auto-demotes the bucketed scan to a plain file scan — which also
+    // forfeits bucket pruning; pin the bucketed read for keyed lookups
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val lookup = spark.table("o_bkt_prune")
+      .where($"o_custkey".isin(7L, 77L, 777L))
+    val plan = lookup.queryExecution.executedPlan.toString
+    // the scan must report bucket pruning: ≤3 of the 16 buckets opened
+    val sel = "SelectedBucketsCount: (\\d+) out of 16".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"scan must prune buckets:\n$plan")
+    assert(sel.get.group(1).toInt <= 3, plan)
+    // and pruning must not change the answer
+    val expected = o.where($"o_custkey".isin(7L, 77L, 777L)).count()
+    assert(lookup.count() === expected)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // The runtime half of the skew story (the planned half is saltedJoin):
     // one key holding ~90% of the left side, AQE thresholds lowered so the
