@@ -697,7 +697,53 @@ object TextAnalysis {
       |FROM grid
       |ORDER BY lang, term""".stripMargin
 
+  // ---- bigram language-model counts ------------------------------------------
+
+  /** Order-sensitive bigram statistics with exact conditional probabilities
+    * in integer ppm — the n-gram LM / next-token table PMI can't give
+    * (PMI is order-blind document co-occurrence; this is adjacency).
+    * Positions come from the posexplode generator (pipelined in the scan
+    * stage), adjacency from ONE lead() window pass partitioned by doc —
+    * the only fact shuffle. Bigram counts and the per-prefix totals then
+    * share the groupBy(cur) partitioning. Output is vocab²-bounded
+    * regardless of corpus size. */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pos = documents(spark, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+    val pairs = pos.withColumn("nxt", lead(col("col"), 1).over(byDoc))
+      .where(col("nxt").isNotNull)
+    val n12 = pairs.groupBy(col("col").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n12"))
+    val byCur = org.apache.spark.sql.expressions.Window.partitionBy("cur")
+    n12.withColumn("n_cur", sum(col("n12")).over(byCur))
+      .select(col("cur"), col("nxt"), col("n12"), col("n_cur"),
+        expr("(n12 * 1000000) div n_cur").as("p_ppm"))
+      .orderBy("cur", "nxt")
+  }
+
+  val bigramLmSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT term AS cur,
+      |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM pos
+      |), n12s AS (
+      |  SELECT cur, nxt, count(*) AS n12
+      |  FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+      |)
+      |SELECT cur, nxt, n12,
+      |       CAST(sum(n12) OVER (PARTITION BY cur) AS BIGINT) AS n_cur,
+      |       CAST((n12 * 1000000) // (sum(n12) OVER (PARTITION BY cur)) AS BIGINT) AS p_ppm
+      |FROM n12s ORDER BY cur, nxt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm"        -> ((s, d) => bigramLm(s, d)),
     "q_vocab_coverage"   -> ((s, d) => vocabCoverage(s, d)),
     "q_pmi"              -> ((s, d) => pmiPairs(s, d)),
     "q_chi2"             -> ((s, d) => chi2Terms(s, d)),
@@ -716,6 +762,7 @@ object TextAnalysis {
     "q_curation"         -> ((s, d) => curationPipeline(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_bigram_lm"     -> bigramLmSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi"           -> pmiPairsSql,
     "q_chi2"          -> chi2TermsSql,

@@ -354,7 +354,70 @@ object LakeOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // --- mergeable partial aggregates (rollup-table maintenance) --------------
+
+  /** Daily partial aggregates re-merged to monthly — the materialized
+    * rollup-table pattern: store (count, integer money units) per day, and
+    * ANY coarser grain is a cheap re-aggregation of day-cardinality rows
+    * instead of a fact re-scan. The oracle aggregates the raw events
+    * straight to monthly, so the hash-match PROVES the merge algebra:
+    * counts add, integer units add (order-free longs), and the decimal
+    * boundary conversion happens only once, at the final grain — the same
+    * partial+final contract Catalyst applies inside a single aggregation,
+    * here made durable across jobs. At 100 TB the daily frame is what you
+    * persist; every downstream week/month/quarter rollup reads it, not
+    * the events. */
+  def partialMerge(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Money.cents(col("value"))).as("units"))
+    daily
+      .groupBy(trunc(col("dt"), "month").as("month"), col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        Money.exactUnitSum(col("units"), 2).as("sum_value"))
+      .orderBy("month", "event_type")
+  }
+
+  val partialMergeSql: String =
+    s"""SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       ${Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY month, event_type
+      |ORDER BY month, event_type""".stripMargin
+
+  // --- ORC round trip (columnar sink/source beyond parquet) -----------------
+
+  /** Write the fact table as ORC, read it back, aggregate — proving the
+    * second columnar format end-to-end (schema, nulls, doubles, money
+    * exactness all survive the round trip; the oracle reads the ORIGINAL
+    * parquet). ORC shares parquet's scan virtues in Spark: column
+    * pruning, predicate pushdown, vectorized reader. */
+  def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_orc_lineitem").getAbsolutePath
+    lineitem(spark, d).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        Money.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT l_linestatus, count(*) AS n_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partial_merge" -> (partialMerge _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_bucket_prune" -> (bucketPrune _),
     "q_scd2" -> (scd2Build _),
     "q_interval_merge" -> (intervalMerge _),
@@ -364,6 +427,8 @@ object LakeOps {
     "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_partial_merge" -> partialMergeSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_bucket_prune" -> bucketPruneSql,
     "q_scd2" -> scd2BuildSql,
     "q_interval_merge" -> intervalMergeSql,

@@ -378,7 +378,45 @@ object TimeSeriesOps {
       |ORDER BY o_custkey""".stripMargin
   }
 
+  // --- robust center/spread: median + MAD -----------------------------------
+
+  /** Median and median-absolute-deviation per group — the robust
+    * complement to [[outliers]]' mean/stddev z-scores (one wild value
+    * moves a mean arbitrarily; it moves a median by at most one rank).
+    * Classic two-pass shape: per-group exact medians (group-cardinality
+    * result) broadcast back onto a second scan, then a second percentile
+    * over the absolute deviations. Exactness: l_quantity is integral and
+    * interpolation falls on dyadic midpoints, so both engines' exact
+    * percentile (Spark `percentile` ≡ DuckDB quantile_cont) and the
+    * |x − med| doubles are bit-identical — no quantization needed. At
+    * 100 TB swap both passes to approx_percentile (mergeable sketch,
+    * partial+final) and drop the exact-match property. */
+  def madStats(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d).select(col("l_returnflag"), col("l_quantity"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("n"), col("med"))
+      .agg(percentile(abs(col("l_quantity") - col("med")), lit(0.5)).as("mad"))
+      .select(col("l_returnflag"), col("n"), col("med"), col("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  val madStatsSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag, m.n, m.med,
+      |       quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+      |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY l.l_returnflag, m.n, m.med
+      |ORDER BY l.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad" -> (madStats _),
     "q_rfm" -> (rfm _),
     "q_funnel" -> (funnel _),
     "q_ewma" -> (ewma _),
@@ -388,6 +426,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_mad" -> madStatsSql,
     "q_rfm" -> rfmSql,
     "q_funnel" -> funnelSql,
     "q_ewma" -> ewmaSql,
