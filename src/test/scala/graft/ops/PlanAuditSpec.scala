@@ -209,4 +209,59 @@ class PlanAuditSpec extends SparkSpec {
     // the pinned edge list must not re-shuffle inside the loop
     assert(countExchanges(GraphOps.pageRank(spark, d)) <= GraphOps.PrIters + 2)
   }
+
+  test("q4 correlated EXISTS decorrelates to a left-semi join (no per-row subquery)") {
+    val p = plan(RelationalOps.sqlQ4(spark, d))
+    assert(!p.contains("Subquery"), p)
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+  }
+
+  test("q10 pushes the returnflag filter to the scan and plans partial top-k") {
+    val p = plan(RelationalOps.sqlQ10(spark, d))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20 nested IN + scalar HAVING plans as semi join over two aggregate passes") {
+    val p = plan(RelationalOps.sqlQ20(spark, d))
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    // the HAVING threshold must be an independent one-row subquery result,
+    // reused as a literal/broadcast — never a per-group re-aggregation;
+    // executed-plan Subquery nodes here are the LOOP-FREE scalar form
+    assert(!p.contains("InSubquery"), p)
+  }
+
+  test("windowed argmax shares ONE window exchange for row_number and total") {
+    // Expand → count agg (1 exchange on the grouping) → BOTH window
+    // functions over partition-by-window (1 exchange) → final sort (range)
+    assert(countExchanges(AnalyticOps.windowArgmax(spark, d)) <= 3)
+  }
+
+  test("skyline sweep is x-cardinality after one fact shuffle (no n² join)") {
+    val p = plan(AnalyticOps.skyline(spark, d))
+    // the dominance test must be the window sweep, not a theta self-join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangles enumerate over the pinned bounded-degree edge frame") {
+    val p = plan(GraphOps.triangles(spark, d))
+    // the mutual-kNN edge frame is localCheckpoint-pinned: the triangle
+    // path join must read the pinned scan, not recompute the window pass
+    // (3 consumers × window+shuffle would show as repeated Window nodes)
+    assert("Window".r.findAllIn(p).isEmpty, s"pinned edges must hide the window pass:\n$p")
+  }
+
+  test("bigram adjacency shares the doc partition between lead() and the pair agg") {
+    // posexplode (scan stage) → ONE doc_id exchange for lead() → pair-count
+    // exchange → cur-partition window → final sort
+    assert(countExchanges(graft.operators.TextAnalysis.bigramLm(spark, d)) <= 4)
+  }
+
+  test("partial-merge reaggregation keeps integer units until the final grain") {
+    val p = plan(LakeOps.partialMerge(spark, d))
+    // two hash aggregations (daily, monthly), no decimal math in the scan
+    assert(p.contains("HashAggregate"))
+    assert(countExchanges(LakeOps.partialMerge(spark, d)) <= 3)
+  }
 }
