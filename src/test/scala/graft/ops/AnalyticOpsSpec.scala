@@ -93,4 +93,42 @@ class AnalyticOpsSpec extends SparkSpec {
     val qCell = cells(0L)
     topk.foreach(r => assert(cells(r.getLong(0)) === qCell))
   }
+
+  test("skyline equals the brute-force dominance definition") {
+    import org.apache.spark.sql.functions._
+    val c = spark.read.parquet(s"$d/customer.parquet")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    val pts = c.as("c").join(o.as("o"), col("o.o_custkey") === col("c.c_custkey"), "left")
+      .groupBy(col("c.c_custkey"), col("c.c_acctbal"))
+      .agg(count(col("o.o_orderkey")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominated(p: (Long, Double, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val expected = pts.filterNot(dominated).map(_._1).toSet
+    val got = AnalyticOps.skyline(spark, d).collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < pts.length, "frontier must be a proper subset")
+  }
+
+  test("windowed argmax picks the true per-window maximum with lexicographic ties") {
+    val cnts = graft.Tables.events(spark, d)
+      .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "7 days", "1 day"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2)))
+    val best = cnts.groupBy(_._1).view.mapValues(es =>
+      es.minBy(e => (-e._3, e._2))).toMap
+    val got = AnalyticOps.windowArgmax(spark, d).collect()
+    assert(got.length === best.size)
+    got.foreach { r =>
+      val matching = best.find(_._2._1.toLocalDateTime.toLocalDate ===
+        r.getAs[java.sql.Date]("window_start").toLocalDate).get._2
+      assert(r.getAs[String]("top_type") === matching._2)
+      assert(r.getAs[Long]("top_n") === matching._3)
+      assert(r.getAs[Long]("top_share_ppm") ===
+        matching._3 * 1000000L / r.getAs[Long]("total_n"))
+    }
+  }
 }

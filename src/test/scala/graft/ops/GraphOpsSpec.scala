@@ -27,4 +27,34 @@ class GraphOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("rank") >= 150000L,
       "teleport term lower-bounds every rank"))
   }
+
+  test("triangle counts match a brute-force enumeration of the mutual-top-k edges") {
+    import org.apache.spark.sql.functions._
+    // rebuild the mutual-kNN edge set independently (plain Scala) from the
+    // raw co-occurrence counts, then count triangles per node by brute force
+    val su = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    val w = su.as("a").join(su.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dir = w.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val kept = dir.groupBy(_._1).toSeq.flatMap { case (a, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(GraphOps.TriK).map(e => (a, e._2))
+    }.toSet
+    val edges = kept.filter { case (a, b) => a < b && kept((b, a)) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triByNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty) if adj(a)(c)) {
+      triByNode(a) += 1; triByNode(b) += 1; triByNode(c) += 1
+    }
+    val got = GraphOps.triangles(spark, d).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(got.values.sum > 0, "fixture graph must contain triangles")
+    nodes.foreach(n => assert(got(n) === triByNode(n), s"node $n"))
+    // nodes outside the mutual graph appear with zero
+    got.foreach { case (n, t) => if (!nodes.contains(n)) assert(t === 0L) }
+  }
 }

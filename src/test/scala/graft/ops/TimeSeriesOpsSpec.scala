@@ -90,4 +90,48 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(math.abs(z) >= 2.49)
     }
   }
+
+  test("rfm scores are quintiles (sizes within 1) and the segment concatenates them") {
+    val rows = TimeSeriesOps.rfm(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length).toMap
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L, 5L), s"$c tiles: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$c quintiles must be balanced: $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ===
+        s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}")
+      assert(r.getAs[Long]("recency_days") >= 0L)
+      assert(r.getAs[Long]("frequency") >= 1L)
+    }
+    // better recency (fewer days) never gets a worse tile than a strictly
+    // later customer in the deterministic (metric, custkey) ordering
+    val byR = rows.sortBy(r => (r.getAs[Long]("recency_days"), r.getAs[Long]("o_custkey")))
+    assert(byR.map(_.getAs[Long]("r_score")).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true
+    })
+  }
+
+  test("mad is the exact median absolute deviation of the collected values") {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    def medianOf(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val r = (s.length - 1) * 0.5
+      val lo = s(r.toInt); val hi = s(math.ceil(r).toInt)
+      lo + (r - r.toInt) * (hi - lo)
+    }
+    val out = TimeSeriesOps.madStats(spark, d).collect()
+    assert(out.length === li.size)
+    out.foreach { r =>
+      val vs = li(r.getAs[String]("l_returnflag")).map(_.getAs[Double]("l_quantity")).toSeq
+      val med = medianOf(vs)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(r.getAs[Double]("med") === med)
+      assert(r.getAs[Double]("mad") === medianOf(vs.map(v => math.abs(v - med))))
+    }
+  }
 }
