@@ -640,7 +640,151 @@ object Similarity {
        |SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id""".stripMargin
   }
 
+  // ---- product quantization (PQ) ANN -----------------------------------------
+  // The third leg of the ANN stool (exact scan / IVF cell-probe / PQ
+  // compressed-domain): vectors are encoded as [[PqM]] sub-space codebook
+  // ids (8 bits here → a 64-dim float vector becomes 4 bytes), and queries
+  // rank candidates by ASYMMETRIC DISTANCE (ADC) — the query's exact
+  // distance to each centroid, looked up per stored code, never touching
+  // the raw vectors. Codebooks are plan-time literals from the
+  // cross-engine hash (the trained-offline stand-in, like IVF's
+  // centroids); all distances are exact integers in quantized space, so
+  // encode and ADC rank are bit-reproducible in the oracle.
+
+  val PqM = 4
+  val PqK = 8
+  val PqSubDim = 16
+
+  def pqComponent(m: Int, k: Int, j: Int): Long =
+    Math.floorMod(Hashing.hexHashLocal(s"pq$m:$k:$j"), 1000001L) - 500000L
+
+  private def pqLit(m: Int, k: Int): Column =
+    array((0 until PqSubDim).map(j => lit(pqComponent(m, k, j))): _*)
+
+  /** Per-vector exact-int squared distance to every (subspace, code)
+    * centroid: (vec_id, d_0_0 … d_3_7). One posexplode + ONE codegen'd
+    * hash agg computes all [[PqM]]·[[PqK]] sums — the same single-shuffle
+    * shape as [[ivfDistAgg]], just a wider aggregate row. Dimensions
+    * beyond PqM·PqSubDim would be ignored by the subspace mask; the
+    * testdata is exactly 64-dim. */
+  def pqDistAgg(e: DataFrame): DataFrame = {
+    val checked = e.select(col("vec_id"), dimChecked(col("emb"), "pq").as("emb"))
+    val rows = checked
+      .select(col("vec_id"), posexplode(col("emb")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col") * lit(QuantScale)).as("xq"))
+    val aggs = for { m <- 0 until PqM; k <- 0 until PqK } yield {
+      val dkj = col("xq") - element_at(pqLit(m, k), pmod(col("pos"), lit(PqSubDim)) + 1)
+      sum(when(expr(s"pos div $PqSubDim") === m, dkj * dkj).otherwise(lit(0L)))
+        .as(s"d_${m}_$k")
+    }
+    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Codes (per-subspace argmin, lowest-k ties) + total distortion from a
+    * [[pqDistAgg]] frame. */
+  private def pqCodesFromDists(dists: DataFrame): DataFrame = {
+    val codeCols = (0 until PqM).map { m =>
+      val minD = least((0 until PqK).map(k => col(s"d_${m}_$k")): _*)
+      (0 until PqK).foldRight(lit(-1)) { (k, acc) =>
+        when(col(s"d_${m}_$k") === minD, lit(k)).otherwise(acc)
+      }.cast("int").as(s"code$m")
+    }
+    val distortion = (0 until PqM)
+      .map(m => least((0 until PqK).map(k => col(s"d_${m}_$k")): _*))
+      .reduce(_ + _)
+    dists.select(col("vec_id") +: codeCols :+ distortion.as("distortion"): _*)
+  }
+
+  /** PQ encoding of the corpus (the write-path compression job). */
+  def pqCodes(spark: SparkSession, d: String): DataFrame =
+    pqCodesFromDists(pqDistAgg(embDouble(spark, d).select(col("vec_id"), col("emb"))))
+      .orderBy("vec_id")
+
+  private def pqDistSql(m: Int, k: Int, emb: String): String = {
+    val comp = s"(${Hashing.hexHashSql(s"'pq$m:$k:' || CAST(j - 1 AS VARCHAR)")} % 1000001 - 500000)"
+    val xq = s"CAST(floor(CAST($emb AS DOUBLE[])[${m * PqSubDim} + j] * $QuantScale) AS BIGINT)"
+    s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
+      s"j -> ($xq - $comp) * ($xq - $comp)), (x, y) -> x + y)"
+  }
+
+  private def pqDistsFromSql: String = {
+    val cols = (for { m <- 0 until PqM; k <- 0 until PqK }
+      yield s"${pqDistSql(m, k, "embedding")} AS d_${m}_$k").mkString(",\n         ")
+    s"""dists AS (
+       |  SELECT vec_id,
+       |         $cols
+       |  FROM embeddings
+       |)""".stripMargin
+  }
+
+  private def pqCodesFromSql: String = {
+    val mins = (0 until PqM)
+      .map(m => s"least(${(0 until PqK).map(k => s"d_${m}_$k").mkString(", ")}) AS m$m")
+      .mkString(", ")
+    val codes = (0 until PqM).map { m =>
+      val cases = (0 until PqK).map(k => s"WHEN d_${m}_$k = m$m THEN $k").mkString(" ")
+      s"CAST(CASE $cases END AS INT) AS code$m"
+    }.mkString(",\n         ")
+    s"""codes AS (
+       |  SELECT vec_id,
+       |         $codes,
+       |         CAST(${(0 until PqM).map(m => s"m$m").mkString(" + ")} AS BIGINT) AS distortion
+       |  FROM (SELECT *, $mins FROM dists)
+       |)""".stripMargin
+  }
+
+  val pqCodesSql: String =
+    s"""WITH ${pqDistsFromSql},
+       |${pqCodesFromSql}
+       |SELECT vec_id, code0, code1, code2, code3, distortion
+       |FROM codes ORDER BY vec_id""".stripMargin
+
+  /** ADC top-k: rank the whole corpus against query [[pqTopK.queryId]] in
+    * the COMPRESSED domain. The query's 32 centroid distances (its LUT)
+    * come from a pushdown-pruned re-aggregation of just its own row (≤2
+    * consumers → re-scan beats localCheckpoint, round-4 invariant 3) and
+    * broadcast; each corpus row then costs [[PqM]] lookups — no raw
+    * vectors move. The full-dim exact rerank of the ADC shortlist is
+    * [[cosineTopK]]'s shape, composable downstream. */
+  def pqTopK(spark: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embDouble(spark, d)
+    val codes = pqCodesFromDists(pqDistAgg(e.select(col("vec_id"), col("emb"))))
+    val lut = pqDistAgg(e.where(col("vec_id") === queryId).select(col("vec_id"), col("emb")))
+      .select((for { m <- 0 until PqM; kk <- 0 until PqK }
+        yield col(s"d_${m}_$kk").as(s"lut_${m}_$kk")): _*)
+    val adc = (0 until PqM).map { m =>
+      (0 until PqK).foldRight(lit(0L)) { (kk, acc) =>
+        when(col(s"code$m") === kk, col(s"lut_${m}_$kk")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    codes.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lut))
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  def pqTopKSql(queryId: Long = 0L, k: Int = 10): String = {
+    val adc = (0 until PqM).map { m =>
+      val cases = (0 until PqK).map(kk => s"WHEN $kk THEN q.d_${m}_$kk").mkString(" ")
+      s"(CASE c.code$m $cases END)"
+    }.mkString(" + ")
+    s"""WITH ${pqDistsFromSql},
+       |${pqCodesFromSql},
+       |qd AS (SELECT * FROM dists WHERE vec_id = $queryId)
+       |SELECT c.vec_id, e.label, CAST($adc AS BIGINT) AS adc_dist
+       |FROM codes c
+       |CROSS JOIN qd q
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |WHERE c.vec_id <> $queryId
+       |ORDER BY adc_dist, c.vec_id LIMIT $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_codes"        -> ((s, d) => pqCodes(s, d)),
+    "q_pq_topk"         -> ((s, d) => pqTopK(s, d)),
     "q_kmeans"          -> ((s, d) => kmeansAssign(s, d)),
     "q_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
@@ -654,6 +798,8 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_pq_codes"        -> pqCodesSql,
+    "q_pq_topk"         -> pqTopKSql(),
     "q_kmeans"          -> kmeansAssignSql,
     "q_cosine_topk"     -> cosineTopKSql(),
     "q_lsh_buckets"     -> lshBucketsSql,

@@ -217,7 +217,7 @@ object TextAnalysis {
     * before anything shuffles, dedup shuffles 8-byte content hashes (not
     * text), and the rollup is a partial+final hash agg on low-cardinality
     * keys — one scan, two shuffles, end to end. */
-  def curationPipeline(spark: SparkSession, d: String): DataFrame = {
+  private def curatedSurvivors(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val scored = documents(spark, d).select(
       col("doc_id"), col("lang"), col("source"), col("text"),
@@ -226,14 +226,16 @@ object TextAnalysis {
     val kept = scored.where(col("n_tokens") >= 5 && col("unique_ratio") > 0.3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val deduped = kept
+    kept
       .withColumn("content_hash", Hashing.hexHash(col("text")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-    deduped.groupBy(col("lang"), col("source"))
+  }
+
+  def curationPipeline(spark: SparkSession, d: String): DataFrame =
+    curatedSurvivors(spark, d).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang", "source")
-  }
 
   val curationPipelineSql: String =
     s"""WITH scored AS (
@@ -254,6 +256,47 @@ object TextAnalysis {
       |FROM dedup WHERE rn = 1
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
+
+  // ---- curation report over grouping sets ------------------------------------
+
+  /** The curation rollup reported at THREE grains in one pass — (lang,
+    * source) leaves, per-lang marginals, grand total — via explicit
+    * GROUPING SETS over the deduped survivor set (the report every
+    * training-mix review wants, without three scans). Same Expand +
+    * partial/final hash-agg physics as the relational grouping-sets
+    * operator; the expensive part (score, filter, dedup) runs ONCE. */
+  def curationSets(spark: SparkSession, d: String): DataFrame =
+    curatedSurvivors(spark, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("gid"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val curationSetsSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang, source, text,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_distinct(string_split(text, ' ')))
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio
+      |  FROM documents
+      |), kept AS (
+      |  SELECT * FROM scored WHERE n_tokens >= 5 AND unique_ratio > 0.3
+      |), dedup AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY ${Hashing.hexHashSql("text")} ORDER BY doc_id) AS rn
+      |  FROM kept
+      |)
+      |SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       lang, source
+      |FROM dedup WHERE rn = 1
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
   // ---- PII redaction --------------------------------------------------------
 
@@ -759,7 +802,8 @@ object TextAnalysis {
     "q_fast_fingerprint" -> ((s, d) => fastFingerprint(s, d)),
     "q_compress_signal"  -> ((s, d) => compressionSignal(s, d)),
     "q_top_terms"        -> ((s, d) => topTerms(s, d)),
-    "q_curation"         -> ((s, d) => curationPipeline(s, d)))
+    "q_curation"         -> ((s, d) => curationPipeline(s, d)),
+    "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_bigram_lm"     -> bigramLmSql,
@@ -776,5 +820,6 @@ object TextAnalysis {
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,
     "q_top_terms"     -> topTermsSql,
-    "q_curation"      -> curationPipelineSql)
+    "q_curation"      -> curationPipelineSql,
+    "q_curation_sets" -> curationSetsSql)
 }

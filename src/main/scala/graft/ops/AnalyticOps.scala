@@ -375,6 +375,38 @@ object AnalyticOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- RANGE value-window frame (rolling 1-hour sum) ------------------------
+  // A VALUE-based frame — RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW over
+  // event time — vs q_window_frames' ROWS frames: the frame holds whatever
+  // falls in the time interval, not a fixed row count, and peers with equal
+  // timestamps all enter the frame together (both engines' RANGE
+  // semantics, so ties are deterministic without a unique sort key). Time
+  // is integer epoch-µs and the sums are integer cents: exact. One
+  // user_id exchange; the final event_id sort is presentation-only.
+  def rangeFrame(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), Money.cents(col("value")).as("cents"))
+      .withColumn("roll_cents", sum(col("cents")).over(w))
+      .orderBy("event_id")
+  }
+
+  val rangeFrameSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         ${Money.centsSql("value")} AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, us, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN ${3600L * 1000000L} PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS roll_cents
+      |FROM e ORDER BY event_id""".stripMargin
+
   // --- skyline / Pareto frontier --------------------------------------------
   // Customers not dominated on (acctbal, order count): q dominates p iff
   // q ≥ p on both axes and > on at least one. The engine runs the
@@ -711,6 +743,7 @@ object AnalyticOps {
     "q_wau" -> (rollingActiveUsers _),
     "q_window_argmax" -> (windowArgmax _),
     "q_skyline" -> (skyline _),
+    "q_range_frame" -> (rangeFrame _),
     "q_daily_share" -> (dailyShare _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
@@ -734,6 +767,7 @@ object AnalyticOps {
     "q_wau" -> rollingActiveUsersSql,
     "q_window_argmax" -> windowArgmaxSql,
     "q_skyline" -> skylineSql,
+    "q_range_frame" -> rangeFrameSql,
     "q_daily_share" -> dailyShareSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,

@@ -415,7 +415,81 @@ object LakeOps {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  // --- data-quality expectation checks --------------------------------------
+
+  /** Declarative data-quality suite over the warehouse tables — the
+    * expectations every ingest gate runs: primary-key uniqueness,
+    * referential integrity (orphan facts), domain-range bounds, null
+    * contracts. Each check is one aggregate (or one anti-join count) and
+    * the report is a fixed tiny union — at 100 TB each check is a single
+    * scan-shaped job, and the anti-join is the same shuffle class as the
+    * delta load it guards. Violation counts are exact; `pass` makes the
+    * report actionable at a glance. */
+  def dqChecks(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+    val li = lineitem(spark, d)
+    def row(name: String, checked: Column, violations: Column, src: DataFrame) =
+      src.agg(checked.cast("long").as("n_checked"),
+          violations.cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    val pkUnique = row("orders_pk_unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), o)
+    val fkOrphans = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).cast("long").as("n_checked")))
+      .select(lit("lineitem_fk_orphans").as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    val discountRange = row("discount_in_range",
+      count(lit(1)),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)), li)
+    val custNotNull = row("orders_custkey_not_null",
+      count(lit(1)), sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), o)
+    val dateBounds = row("orderdate_in_bounds",
+      count(lit(1)),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2030-01-01").cast("timestamp"), 1L).otherwise(0L)), o)
+    pkUnique.unionByName(fkOrphans).unionByName(discountRange)
+      .unionByName(custNotNull).unionByName(dateBounds)
+      .orderBy("check_name")
+  }
+
+  val dqChecksSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |         count(*) AS n_checked,
+      |         count(*) - count(DISTINCT o_orderkey) AS n_violations,
+      |         count(*) - count(DISTINCT o_orderkey) = 0 AS pass
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orphans',
+      |         (SELECT count(*) FROM lineitem),
+      |         count(*), count(*) = 0
+      |  FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'discount_in_range', count(*),
+      |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+      |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_custkey_not_null', count(*),
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orderdate_in_bounds', count(*),
+      |         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |                         OR o_orderdate >= TIMESTAMP '2030-01-01'
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |               OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) = 0
+      |  FROM orders
+      |) ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (dqChecks _),
     "q_partial_merge" -> (partialMerge _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_bucket_prune" -> (bucketPrune _),
@@ -427,6 +501,7 @@ object LakeOps {
     "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_dq_checks" -> dqChecksSql,
     "q_partial_merge" -> partialMergeSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_bucket_prune" -> bucketPruneSql,
