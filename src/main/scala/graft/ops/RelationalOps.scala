@@ -819,6 +819,211 @@ object RelationalOps {
       |    WHERE p2.p_name LIKE 'small%'))
       |ORDER BY s_suppkey""".stripMargin
 
+  // --- SQL frontend, full pricing-summary report (TPC-H Q1 shape) -----------
+  // The canonical scan-heavy report: one pass over lineitem, 6 exact
+  // aggregates per (returnflag, linestatus) cell. All money aggregates run
+  // in integer units (cents / cents×pct / cents×pct×pct — the charge term
+  // price·(1−disc)·(1+tax) is exact in 10^-6-dollar units) through the
+  // split-long accumulators, so the plan is a single partial+final hash agg
+  // over ~6 groups — pure map-side combine, a few hundred bytes shuffled at
+  // ANY scale. avg_qty is the one double division of two exact longs
+  // (< 2^53), correctly rounded identically in both engines.
+  def sqlQ1Full(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "lineitem")
+      .createOrReplaceTempView("graft_lineitem")
+    val chargeUnits = Money.cents(col("l_extendedprice")) *
+      (lit(100L) - Money.cents(col("l_discount"))) *
+      (lit(100L) + Money.cents(col("l_tax")))
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, l_quantity,
+        |       l_extendedprice, l_discount, l_tax
+        |FROM graft_lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'""".stripMargin)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Money.moneySum(col("l_extendedprice")).as("sum_base"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc"),
+        Money.exactUnitSum(chargeUnits, 6).as("sum_charge"),
+        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val sqlQ1FullSql: String = {
+    val charge = s"${Money.centsSql("l_extendedprice")} * " +
+      s"(100 - ${Money.centsSql("l_discount")}) * " +
+      s"(100 + ${Money.centsSql("l_tax")})"
+    s"""SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_base,
+      |       $revenueSumSql AS sum_disc,
+      |       ${Money.exactUnitSumSql(charge, 6)} AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // --- SQL frontend, bidirectional nation-pair volume (TPC-H Q7 shape) ------
+  // Shipping volume between two nations by direction and year: nation joins
+  // twice under DIFFERENT roles (supplier side vs customer side), with a
+  // disjunctive cross-role pair filter that only prunes AFTER both dims are
+  // attached. Catalyst broadcasts both nation instances (separate aliases —
+  // no self-join ambiguity through the SQL frontend) and the supplier dim,
+  // so the only shuffle is the orders⋈lineitem spine; the date range pushes
+  // to the lineitem scan.
+  def sqlQ7(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       l.l_extendedprice, l.l_discount
+        |FROM graft_supplier s
+        |JOIN graft_lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN graft_orders o   ON o.o_orderkey = l.l_orderkey
+        |JOIN graft_customer c ON c.c_custkey = o.o_custkey
+        |JOIN graft_nation n1  ON s.s_nationkey = n1.n_nationkey
+        |JOIN graft_nation n2  ON c.c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'""".stripMargin)
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val sqlQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |       ${Money.revenueSumSql("l.l_extendedprice", "l.l_discount")} AS revenue
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --- SQL frontend, order-count distribution (TPC-H Q13 shape) -------------
+  // Customer distribution by order count: a LEFT OUTER join whose EXTRA
+  // non-key predicate (priority filter) lives in the ON clause — rows that
+  // fail it null out instead of dropping, so no-order customers survive to
+  // the count(o_orderkey)=0 bucket. Two cascaded aggregations: the first
+  // shuffles on c_custkey (the join can reuse that partitioning), the
+  // second is a near-free re-agg over ≤ a few hundred distinct counts.
+  def sqlQ13(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM graft_customer c
+        |      LEFT OUTER JOIN graft_orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  val sqlQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |      FROM customer c
+      |      LEFT OUTER JOIN orders o
+      |        ON c.c_custkey = o.o_custkey
+      |       AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- SQL frontend, disjunctive multi-predicate join (TPC-H Q19 shape) -----
+  // Three OR'd (brand × size-range × quantity-range) clauses spanning BOTH
+  // join sides: Catalyst extracts the common p_partkey = l_partkey conjunct
+  // as the hash-join key and — because each disjunct's part-only (and
+  // lineitem-only) restriction is implied by the whole OR — pushes a derived
+  // brand-OR filter into the part scan and a quantity-OR filter into the
+  // lineitem scan, leaving only the cross-side residual on the join. One
+  // broadcast join, both scans pruned, single-row exact-revenue output.
+  def sqlQ19(spark: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT l.l_extendedprice, l.l_discount
+        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val sqlQ19Sql: String =
+    s"""SELECT ${Money.revenueSumSql("l.l_extendedprice", "l.l_discount")} AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --- SQL frontend, dormant high-balance customers (TPC-H Q22 shape) -------
+  // Above-average-balance customers with no RECENT orders (the schema has no
+  // phone country codes, so the reference's cntrycode grouping becomes
+  // c_nationkey, and "never ordered" — empty on this data — becomes "not
+  // ordered since 2000"). Two decorrelations in one query: the uncorrelated
+  // scalar avg (one-row broadcast) and the NOT EXISTS (left-anti hash join
+  // with the date filter pushed into the orders scan — at 100 TB the anti
+  // side is only the recent slice, not order history). The avg threshold is
+  // exact-integer cents summed then ONE double division, identical both
+  // engines; per-row comparison stays in integer cents.
+  def sqlQ22(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT c.c_nationkey, c.c_acctbal
+        |FROM graft_customer c
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > (
+        |        SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / count(*)
+        |        FROM graft_customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        Money.moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val sqlQ22Sql: String =
+    s"""SELECT c.c_nationkey, count(*) AS numcust,
+      |       ${Money.moneySumSql("c.c_acctbal")} AS totacctbal
+      |FROM customer c
+      |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > (
+      |        SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / count(*)
+      |        FROM customer c2 WHERE c2.c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
@@ -840,6 +1045,11 @@ object RelationalOps {
     "q_sql_q4"          -> (sqlQ4 _),
     "q_sql_q10"         -> (sqlQ10 _),
     "q_sql_q20"         -> (sqlQ20 _),
+    "q_sql_q1full"      -> (sqlQ1Full _),
+    "q_sql_q7"          -> (sqlQ7 _),
+    "q_sql_q13"         -> (sqlQ13 _),
+    "q_sql_q19"         -> (sqlQ19 _),
+    "q_sql_q22"         -> (sqlQ22 _),
     "q_sql_lateral"     -> (sqlLateral _),
     "q_sql_hint"        -> (sqlHint _),
     "q_sql_recursive"   -> (sqlRecursive _),
@@ -874,6 +1084,11 @@ object RelationalOps {
     "q_sql_q4"          -> sqlQ4Sql,
     "q_sql_q10"         -> sqlQ10Sql,
     "q_sql_q20"         -> sqlQ20Sql,
+    "q_sql_q1full"      -> sqlQ1FullSql,
+    "q_sql_q7"          -> sqlQ7Sql,
+    "q_sql_q13"         -> sqlQ13Sql,
+    "q_sql_q19"         -> sqlQ19Sql,
+    "q_sql_q22"         -> sqlQ22Sql,
     "q_sql_lateral"     -> sqlLateralSql,
     "q_sql_hint"        -> sqlHintSql,
     "q_sql_recursive"   -> sqlRecursiveSql,
