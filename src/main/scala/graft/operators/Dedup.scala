@@ -707,7 +707,108 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- prefix-filtered EXACT set-similarity self-join (AllPairs) ------------
+
+  /** Exact all-pairs Jaccard ≥ τ threshold. */
+  val SsjoinTauNum = 4
+  val SsjoinTauDen = 5
+
+  /** EXACT all-pairs shingle-set similarity self-join at Jaccard ≥ 4/5 —
+    * the deterministic complement to the LSH family above (minhash banding
+    * trades recall for speed; this finds EVERY qualifying pair) via prefix
+    * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07).
+    *
+    * Tokens (60-bit shingle hashes) are globally ordered rarest-first by
+    * document frequency; a doc of set size m only emits its first
+    * m − ⌈τ·m⌉ + 1 tokens as join keys. Two sets with Jaccard ≥ τ MUST
+    * share a token inside both prefixes (if all ≥⌈τ·m⌉ shared tokens sat
+    * beyond the prefix, the suffix — only ⌈τ·m⌉ − 1 long — couldn't hold
+    * them), so the candidate join never misses a pair, and because prefix
+    * tokens are the RAREST, bucket sizes stay tiny: a token shared by k
+    * docs costs k² candidate rows, and frequent tokens never become join
+    * keys. The ⌈τ·m⌉ arithmetic is exact-integer ((num·m + den − 1) div
+    * den) — no double rounding can shrink a prefix into a false negative.
+    *
+    * Plan shape (all distributed, no O(n²)): hash rows → df counts (one
+    * groupBy) → per-doc rarity-sorted array (one groupBy; array_sort on
+    * (df, g) structs is deterministic) → prefix explode → self-equi-join on
+    * the token with a size-ratio prune (den·m_small ≥ num·m_big, integer
+    * form) → distinct pairs → ONE count-join verify computing exact
+    * |∩| like [[ngramJaccard]], with the threshold test in cross-multiplied
+    * integers. Shuffles carry only longs. The final jaccard double is one
+    * int/int division — identical in both engines.
+    *
+    * Reference dedup surface: the drop_duplicates call sites
+    * (spark_jobs/playback_pipeline.py:150,171,189) are exact-only; this is
+    * the scale path a training corpus needs for near-dups with guaranteed
+    * recall. */
+  def ssjoinPrefix(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashRows(docsWithInjectedDups(spark, d))
+      .select(col("doc_id"), col("h").as("g"))
+      .localCheckpoint() // 4 consumers: df agg, doc arrays, both verify sides
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val docs = sh.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("raw"))
+      .select(col("doc_id"),
+        transform(array_sort(col("raw")), x => x.getField("g")).as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("m"))
+    // p = m − ⌈τ·m⌉ + 1 in exact integers: ⌈n/d⌉ = (n + d − 1) div d
+    val ceilTauM = floor((col("m") * SsjoinTauNum + (SsjoinTauDen - 1)) /
+      lit(SsjoinTauDen.toDouble)).cast("long")
+    val pref = docs
+      .select(col("doc_id"), col("m"),
+        explode(slice(col("gs"), lit(1),
+          (col("m") - ceilTauM + lit(1L)).cast("int"))).as("g"))
+
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.m") * SsjoinTauDen >= col("y.m") * SsjoinTauNum &&
+          col("y.m") * SsjoinTauDen >= col("x.m") * SsjoinTauNum)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = docs.select(col("doc_id"), col("m"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
+      .withColumn("n_union", col("m_a") + col("m_b") - col("n_inter"))
+      .where(col("n_inter") * SsjoinTauDen >= col("n_union") * SsjoinTauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force oracle: the O(n²) pair scan with exact list intersection —
+    * states pure SEMANTICS (every pair at Jaccard ≥ τ), no prefix filter to
+    * share bugs with. Same hashed-distinct shingle sets, integer
+    * cross-multiplied threshold. */
+  val ssjoinPrefixSql: String =
+    s"""WITH injected AS (
+       |  ${docsWithInjectedDupsSql()}
+       |), docs AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS g
+       |  FROM injected
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(len(list_intersect(x.g, y.g)) AS BIGINT) AS n_inter,
+       |       CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS BIGINT)
+       |         AS n_union,
+       |       CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+       |         / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+       |FROM docs x JOIN docs y ON x.doc_id < y.doc_id
+       |WHERE $SsjoinTauDen * len(list_intersect(x.g, y.g))
+       |        >= $SsjoinTauNum * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ssjoin_prefix" -> ((s, d) => ssjoinPrefix(s, d)),
     "q_sorted_neighbors" -> ((s, d) => sortedNeighborPairs(s, d)),
     "q_dedup_exact"   -> ((s, d) => exactDedup(s, d)),
     "q_dedup_keep"    -> ((s, d) => dedupKeepBest(s, d)),
@@ -720,6 +821,7 @@ object Dedup {
     "q_dup_clusters"  -> ((s, d) => dupClusters(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_ssjoin_prefix" -> ssjoinPrefixSql,
     "q_sorted_neighbors" -> sortedNeighborPairsSql(),
     "q_dedup_exact"   -> exactDedupSql,
     "q_dedup_keep"    -> dedupKeepBestSql,
