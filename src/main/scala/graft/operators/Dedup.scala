@@ -807,8 +807,67 @@ object Dedup {
        |        >= $SsjoinTauNum * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- benchmark decontamination --------------------------------------------
+
+  /** Shared-shingle threshold: a (train, eval) pair is contaminated when it
+    * shares ≥ this many distinct word-3-gram shingles. */
+  val DecontamMinShared = 25
+
+  /** Train/eval overlap detection — benchmark DECONTAMINATION, the step
+    * every serious training-data pipeline runs before the corpus ships:
+    * find training documents sharing ≥ [[DecontamMinShared]] distinct
+    * word-3-gram shingles with any held-out eval document. The synthetic
+    * eval split is doc_id % 97 = 0; copies of the first eval docs are
+    * injected into the train side (id + 2000000) so the query verifiably
+    * fires (organic 3-gram collisions over the small vocab sit far below
+    * the threshold).
+    *
+    * Scale shape: the eval set is SMALL BY NATURE (benchmarks are KBs, the
+    * corpus is TBs) — its shingle-hash rows BROADCAST, so the train side is
+    * scanned once, map-side joined, and only matching (train, eval, shingle)
+    * rows reach the pair-count shuffle. Text never shuffles — 8-byte hashes
+    * only. Emits one row per contaminated pair with the exact overlap count
+    * (n_shared ≥ threshold), ordered for the driver's hash compare. */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d).select(col("doc_id"), col("text"))
+    val isEval = col("doc_id") % 97 === 0
+    val trainDocs = docs.where(!isEval).union(
+      docs.where(isEval && col("doc_id") < 300)
+        .select((col("doc_id") + lit(2000000)).as("doc_id"), col("text")))
+    val shTrain = shingleHashRows(trainDocs)
+    val shEval = shingleHashRows(docs.where(isEval))
+    shTrain.as("t")
+      .join(broadcast(shEval.as("e")), col("t.h") === col("e.h"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= DecontamMinShared)
+      .orderBy("train_id", "eval_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH evals AS (
+       |  SELECT doc_id, list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS g
+       |  FROM documents WHERE doc_id % 97 = 0
+       |), train AS (
+       |  SELECT doc_id, list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS g
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |         list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS g
+       |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 300
+       |)
+       |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       |       CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared
+       |FROM train t CROSS JOIN evals e
+       |WHERE len(list_intersect(t.g, e.g)) >= $DecontamMinShared
+       |ORDER BY train_id, eval_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ssjoin_prefix" -> ((s, d) => ssjoinPrefix(s, d)),
+    "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_sorted_neighbors" -> ((s, d) => sortedNeighborPairs(s, d)),
     "q_dedup_exact"   -> ((s, d) => exactDedup(s, d)),
     "q_dedup_keep"    -> ((s, d) => dedupKeepBest(s, d)),
@@ -822,6 +881,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_ssjoin_prefix" -> ssjoinPrefixSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_sorted_neighbors" -> sortedNeighborPairsSql(),
     "q_dedup_exact"   -> exactDedupSql,
     "q_dedup_keep"    -> dedupKeepBestSql,

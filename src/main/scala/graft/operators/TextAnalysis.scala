@@ -785,7 +785,97 @@ object TextAnalysis {
       |       CAST((n12 * 1000000) // (sum(n12) OVER (PARTITION BY cur)) AS BIGINT) AS p_ppm
       |FROM n12s ORDER BY cur, nxt""".stripMargin
 
+  // ---- bigram-LM perplexity scoring ------------------------------------------
+
+  /** Per-document negative log-likelihood under the corpus's OWN add-one-
+    * smoothed bigram LM — the classic KenLM-style quality filter (score
+    * each doc by how "surprising" its token sequence is; high NLL → noisy
+    * or off-distribution text for the training mix).
+    *
+    * Numerics contract: each bigram's log-prob ln((n12+1)/(n_cur+V)) is
+    * quantized to a CENTI-NAT INTEGER (floor ×100 — the repo's entropy
+    * grid, wide enough to absorb libm ulps) BEFORE summing, so the per-doc
+    * sum is an order-free integer — a distributed groupBy can hash-match a
+    * single-threaded oracle exactly. The ln argument set is vocab²-bounded,
+    * not corpus-bounded.
+    *
+    * Plan shape: ONE window pass builds (doc_id, cur, nxt) adjacency rows
+    * (the only fact shuffle, same as [[bigramLm]]); the bigram table and
+    * the vocab size are vocab²-bounded aggregates BROADCAST back onto the
+    * adjacency rows — at 100 TB the fact side is never reshuffled for the
+    * lookup. Docs with < 2 tokens (no bigrams) are kept via the final left
+    * join with NLL 0 — the engine/oracle row sets must agree on empty
+    * inputs. */
+  def perplexity(spark: SparkSession, d: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pos = documents(spark, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+    val pairs = pos.withColumn("nxt", lead(col("col"), 1).over(byDoc))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("col").as("cur"), col("nxt"))
+      .localCheckpoint() // consumed by the LM build AND the scoring join
+    val n12 = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n12"))
+    val nCur = pairs.groupBy(col("cur")).agg(count(lit(1)).as("n_cur"))
+    val vocab = documents(spark, d)
+      .select(explode(toks(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = pairs
+      .join(broadcast(n12), Seq("cur", "nxt"))
+      .join(broadcast(nCur), Seq("cur"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("n12") + 1).cast("double") / (col("n_cur") + col("v")))
+          * 100).cast("long").as("lp_q"))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("lp_q"))).as("nll_q"), count(lit(1)).as("n_bigrams"))
+    documents(spark, d).select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q"), lit(0L)).as("nll_q"),
+        coalesce(expr("nll_q div n_bigrams"), lit(0L)).as("avg_nll_q"))
+      .orderBy("doc_id")
+  }
+
+  val perplexitySql: String =
+    """WITH pos AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, cur, nxt FROM (
+      |    SELECT doc_id, term AS cur,
+      |           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |    FROM pos) t
+      |  WHERE nxt IS NOT NULL
+      |), n12s AS (
+      |  SELECT cur, nxt, count(*) AS n12 FROM pairs GROUP BY cur, nxt
+      |), ncurs AS (
+      |  SELECT cur, count(*) AS n_cur FROM pairs GROUP BY cur
+      |), vocab AS (
+      |  SELECT count(DISTINCT term) AS v FROM pos
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |         CAST(-sum(CAST(floor(ln(CAST(b.n12 + 1 AS DOUBLE) / (c.n_cur + vocab.v))
+      |                 * 100) AS BIGINT)) AS BIGINT) AS nll_q,
+      |         count(*) AS n_bigrams
+      |  FROM pairs p
+      |  JOIN n12s b ON p.cur = b.cur AND p.nxt = b.nxt
+      |  JOIN ncurs c ON p.cur = c.cur
+      |  CROSS JOIN vocab
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(s.nll_q, 0) AS nll_q,
+      |       COALESCE(s.nll_q // s.n_bigrams, 0) AS avg_nll_q
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_bigram_lm"        -> ((s, d) => bigramLm(s, d)),
     "q_vocab_coverage"   -> ((s, d) => vocabCoverage(s, d)),
     "q_pmi"              -> ((s, d) => pmiPairs(s, d)),
@@ -806,6 +896,7 @@ object TextAnalysis {
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_perplexity"    -> perplexitySql,
     "q_bigram_lm"     -> bigramLmSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi"           -> pmiPairsSql,
