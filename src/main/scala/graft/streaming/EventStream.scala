@@ -792,7 +792,124 @@ object EventStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** STREAM-STREAM LEFT OUTER JOIN: the null-emitting side of the join
+    * family — [[streamingJoin]]/[[streamingJoinLate]] are inner (emit on
+    * match); a LEFT outer join must additionally emit every unmatched view
+    * null-padded, and Structured Streaming only does that when the
+    * EVICTION watermark passes the view's last possible match time
+    * (view_ts + 1h) — an unmatched row is provably unmatched only once no
+    * future purchase could still pair with it.
+    *
+    * Drive layout (mtime-ordered, maxFilesPerTrigger=1):
+    *
+    *   batch0 = ALL views + ALL purchases — matches emit inner-style;
+    *            unmatched views sit in state (wm still 0, nothing flushes)
+    *   batch1 = sentinel view at d0+10d (user −1, matches nothing) —
+    *            processed under post-b0 wm (max−3d): only views older than
+    *            max−3d−1h flush; the batch's real job is advancing wm to
+    *            d0+10d−3d
+    *   batch2 = sentinel view at d0+20d, batch3 = sentinel at d0+30d —
+    *            state cleanup trails the wm by ONE MORE batch (the same
+    *            SPARK-40925 lag the late filter has: batch2 still evicts
+    *            with the post-b0 wm = max−3d, measured — the last 3 days'
+    *            unmatched views survived it), so the d0+7d wm from batch1
+    *            only drives eviction in batch3, which flushes ALL remaining
+    *            unmatched views null-padded. The sentinels themselves never
+    *            flush (wm never passes their own horizon) and are filtered
+    *            from the rollup regardless.
+    *
+    * The trailing sentinel batches are the point: outer-join null emission
+    * happens during a LATER batch's state cleanup, never at end-of-stream —
+    * processAllAvailable() on a drained source runs no extra batch, so
+    * without them the unmatched rows would simply never appear. The
+    * oracle is the plain relational LEFT JOIN rollup: n_rows counts views
+    * (+1 per extra match), n_matched counts non-null partners. */
+  def streamingOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val d0Ns = (maxNs / dayNs) * dayNs
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_outer")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def land(df: DataFrame, b: Int): Unit = {
+      val stage = root.resolve(s"stage$b")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst()
+        finally listing.close()
+      part.ifPresent { p =>
+        val dst = inDir.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
+      }
+    }
+    // one view AND one purchase per sentinel batch: the global watermark is
+    // the MIN over both sides' trackers, so advancing only the view side
+    // would pin the join's eviction line at the purchases' batch0 max
+    // (measured: the last 3 days' unmatched views never flushed). Distinct
+    // negative users + 10-day spacing keep sentinels from matching anything.
+    def sentinel(b: Int): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(
+            9000000L + b, d0Ns + b.toLong * 10L * dayNs, -1L, "view", 0.0,
+            null.asInstanceOf[String]),
+          org.apache.spark.sql.Row(
+            9100000L + b, d0Ns + b.toLong * 10L * dayNs, -2L, "purchase", 0.0,
+            null.asInstanceOf[String])),
+        rawSchema)
+    land(raw, 0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
+
+    def src() = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "3 days")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "3 days")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
+      "left_outer")
+    try runToMemory(joined, "graft_stream_outer", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_outer")
+      .where(col("v_user") >= 0)
+      .groupBy(to_date(col("view_ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_user")).as("n_matched"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingOuterJoinSql: String =
+    s"""SELECT CAST(v.ts AS DATE) AS day,
+      |       count(*) AS n_rows,
+      |       count(p.user_id) AS n_matched,
+      |       ${graft.functions.Money.moneySumSql("p.value")} AS sum_value
+      |FROM events v
+      |LEFT JOIN events p
+      |  ON p.event_type = 'purchase'
+      | AND v.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view'
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_outer"    -> ((s, d) => streamingOuterJoin(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
@@ -805,6 +922,7 @@ object EventStream {
     "q_stream_timeout"  -> ((s, d) => streamingTimeoutSessions(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_outer"    -> streamingOuterJoinSql,
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
