@@ -423,6 +423,37 @@ object ScalarOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- bounded top-k per group as a mergeable aggregate ----------------------
+  // Same ANSWER as q_window_top's row_number form, different PHYSICS: the
+  // typed [[graft.functions.TopKPairs]] aggregator pre-reduces every map
+  // task's slice of a group to ≤ 3 pairs before the exchange (partial+final
+  // hash agg), where the window form must shuffle and sort the group's
+  // entire row set. The hot-key/skew-proof top-k — see the Aggregator's
+  // scaladoc for the 100 TB argument. Exact-cents scores with key
+  // tie-break make the result a deterministic total order.
+  def topkAgg(spark: SparkSession, d: String): DataFrame = {
+    val top3 = graft.functions.TopKPairs.topK(3)
+    orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(top3(graft.functions.Money.cents(col("o_totalprice")),
+        col("o_orderkey")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("o_orderkey"),
+        graft.functions.Money.centsToDollars(col("col._1")).as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val topkAggSql: String =
+    """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+      |                   o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+
   // --- datetime extraction / arithmetic suite -------------------------------
   // The partition-key derivations every lake layout leans on: field
   // extraction (year/quarter/month/day/hour), day-of conventions, epoch
@@ -505,6 +536,7 @@ object ScalarOps {
     "q_explode_outer"   -> (explodeOuter _),
     "q_datetime_funcs"  -> (datetimeFuncs _),
     "q_typed_agg"       -> (typedAgg _),
+    "q_topk_agg"        -> (topkAgg _),
     "q_array_setops"    -> (arraySetOps _),
     "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
@@ -526,6 +558,7 @@ object ScalarOps {
     "q_explode_outer"   -> explodeOuterSql,
     "q_datetime_funcs"  -> datetimeFuncsSql,
     "q_typed_agg"       -> typedAggSql,
+    "q_topk_agg"        -> topkAggSql,
     "q_array_setops"    -> arraySetOpsSql,
     "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,
