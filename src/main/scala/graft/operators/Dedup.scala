@@ -809,18 +809,23 @@ object Dedup {
 
   // ---- benchmark decontamination --------------------------------------------
 
-  /** Shared-shingle threshold: a (train, eval) pair is contaminated when it
-    * shares ≥ this many distinct word-3-gram shingles. */
-  val DecontamMinShared = 25
+  /** Containment threshold as an exact rational: a (train, eval) pair is
+    * contaminated when the train doc covers ≥ num/den of the eval doc's
+    * distinct word-3-gram shingles. Containment (not absolute count) is the
+    * real-world rule — a short eval item fully embedded in a long training
+    * doc must flag, and an absolute floor would miss it (measured: sf0.001
+    * eval docs with 8 shingles slipped under a 25-shingle floor). */
+  val DecontamNum = 4
+  val DecontamDen = 5
 
   /** Train/eval overlap detection — benchmark DECONTAMINATION, the step
     * every serious training-data pipeline runs before the corpus ships:
-    * find training documents sharing ≥ [[DecontamMinShared]] distinct
-    * word-3-gram shingles with any held-out eval document. The synthetic
-    * eval split is doc_id % 97 = 0; copies of the first eval docs are
-    * injected into the train side (id + 2000000) so the query verifiably
-    * fires (organic 3-gram collisions over the small vocab sit far below
-    * the threshold).
+    * find training documents containing ≥ 4/5 of some held-out eval
+    * document's distinct word-3-gram shingles. The synthetic eval split is
+    * doc_id % 97 = 0; copies of the first eval docs are injected into the
+    * train side (id + 2000000) so the query verifiably fires at 100%
+    * containment (organic 3-gram collisions over the small vocab sit far
+    * below 4/5).
     *
     * Scale shape: the eval set is SMALL BY NATURE (benchmarks are KBs, the
     * corpus is TBs) — its shingle-hash rows BROADCAST, so the train side is
@@ -836,11 +841,16 @@ object Dedup {
         .select((col("doc_id") + lit(2000000)).as("doc_id"), col("text")))
     val shTrain = shingleHashRows(trainDocs)
     val shEval = shingleHashRows(docs.where(isEval))
+      .localCheckpoint() // tiny; consumed by the size agg and the probe join
+    val evalSizes = shEval.groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("m_eval"))
     shTrain.as("t")
       .join(broadcast(shEval.as("e")), col("t.h") === col("e.h"))
       .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= DecontamMinShared)
+      .join(broadcast(evalSizes), "eval_id")
+      .where(col("n_shared") * DecontamDen >= col("m_eval") * DecontamNum)
+      .select(col("train_id"), col("eval_id"), col("n_shared"), col("m_eval"))
       .orderBy("train_id", "eval_id")
   }
 
@@ -860,9 +870,10 @@ object Dedup {
        |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 300
        |)
        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-       |       CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared
+       |       CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared,
+       |       CAST(len(e.g) AS BIGINT) AS m_eval
        |FROM train t CROSS JOIN evals e
-       |WHERE len(list_intersect(t.g, e.g)) >= $DecontamMinShared
+       |WHERE $DecontamDen * len(list_intersect(t.g, e.g)) >= $DecontamNum * len(e.g)
        |ORDER BY train_id, eval_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
