@@ -354,6 +354,39 @@ object LakeOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // --- dt-partitioned write + partition-pruned read --------------------------
+
+  /** Hive-style dt-partitioned write, then a date-sliced read back — the
+    * standard lake layout for time-series facts (and the engine's stand-in
+    * for the reference's per-run warehouse appends, which have no layout
+    * story at all). The read's dt predicate resolves at PLANNING time
+    * against the partition directory listing (PartitionFilters — audited in
+    * LakeOpsSpec), so the scan touches 3 of 30 day directories before a
+    * single row is read; at 100 TB that is the difference between reading
+    * the lake and reading 3 days. The dt column is derived ONCE at write
+    * time; the oracle re-derives it from raw ts — the hash match proves the
+    * layout round trip loses nothing. */
+  def partitionPrune(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_part_prune")
+    val out = root.resolve("events_by_day").toString
+    events(spark, d).withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    spark.read.parquet(out)
+      .where(col("dt").between(lit("2024-01-10"), lit("2024-01-12")))
+      .groupBy(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("dt", "event_type")
+  }
+
+  val partitionPruneSql: String =
+    s"""SELECT CAST(ts AS DATE) AS dt, event_type, count(*) AS n_events,
+      |       ${Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      |GROUP BY dt, event_type
+      |ORDER BY dt, event_type""".stripMargin
+
   // --- mergeable partial aggregates (rollup-table maintenance) --------------
 
   /** Daily partial aggregates re-merged to monthly — the materialized
@@ -493,6 +526,7 @@ object LakeOps {
     "q_partial_merge" -> (partialMerge _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_bucket_prune" -> (bucketPrune _),
+    "q_partition_prune" -> (partitionPrune _),
     "q_scd2" -> (scd2Build _),
     "q_interval_merge" -> (intervalMerge _),
     "q_zorder" -> (zorderKeys _),
@@ -505,6 +539,7 @@ object LakeOps {
     "q_partial_merge" -> partialMergeSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_bucket_prune" -> bucketPruneSql,
+    "q_partition_prune" -> partitionPruneSql,
     "q_scd2" -> scd2BuildSql,
     "q_interval_merge" -> intervalMergeSql,
     "q_zorder" -> zorderKeysSql,

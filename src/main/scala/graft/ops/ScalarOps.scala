@@ -423,6 +423,35 @@ object ScalarOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- ordered string aggregation (LISTAGG ... WITHIN GROUP) -----------------
+  // The ANSI ordered string-agg through the SQL frontend (Spark 4's
+  // listagg; DuckDB's string_agg ORDER BY). The explicit WITHIN GROUP
+  // ordering is what makes the result deterministic under distributed
+  // aggregation — an unordered listagg's output depends on partitioning
+  // and could never hash-match. Bounded key slice keeps cells readable.
+  def listaggKeys(spark: SparkSession, d: String): DataFrame = {
+    customer(spark, d).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_nationkey,
+        |       listagg(CAST(c_custkey AS STRING), ',')
+        |         WITHIN GROUP (ORDER BY c_custkey) AS custkeys,
+        |       count(*) AS n_cust
+        |FROM graft_customer
+        |WHERE c_custkey <= 200
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val listaggKeysSql: String =
+    """SELECT c_nationkey,
+      |       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+      |         AS custkeys,
+      |       count(*) AS n_cust
+      |FROM customer
+      |WHERE c_custkey <= 200
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   // --- bounded top-k per group as a mergeable aggregate ----------------------
   // Same ANSWER as q_window_top's row_number form, different PHYSICS: the
   // typed [[graft.functions.TopKPairs]] aggregator pre-reduces every map
@@ -537,6 +566,7 @@ object ScalarOps {
     "q_datetime_funcs"  -> (datetimeFuncs _),
     "q_typed_agg"       -> (typedAgg _),
     "q_topk_agg"        -> (topkAgg _),
+    "q_listagg"         -> (listaggKeys _),
     "q_array_setops"    -> (arraySetOps _),
     "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
@@ -559,6 +589,7 @@ object ScalarOps {
     "q_datetime_funcs"  -> datetimeFuncsSql,
     "q_typed_agg"       -> typedAggSql,
     "q_topk_agg"        -> topkAggSql,
+    "q_listagg"         -> listaggKeysSql,
     "q_array_setops"    -> arraySetOpsSql,
     "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,

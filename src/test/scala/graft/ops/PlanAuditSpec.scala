@@ -264,4 +264,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(countExchanges(LakeOps.partialMerge(spark, d)) <= 3)
   }
+
+  test("dt-sliced read of the partitioned lake resolves as PartitionFilters") {
+    val p = plan(LakeOps.partitionPrune(spark, d))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // the dt predicate must prune directories at planning time, not scan rows
+    assert(scanLine.contains("dt"), s"expected dt in PartitionFilters:\n$p")
+    val pushed = scanLine.split("PushedFilters: \\[").last.split("]").head
+    assert(!pushed.contains("dt"), "dt must be a partition filter, not a data filter")
+    val dataF = scanLine.split("DataFilters: \\[").last.split("]").head
+    assert(dataF.trim.isEmpty, "no row-level dt filter should remain")
+  }
+
+  test("TPC-H Q19's disjunction pushes per-side derived filters into both scans") {
+    val p = plan(RelationalOps.sqlQ19(spark, d))
+    // Catalyst must extract a brand-only OR for the part scan and keep the
+    // equi-join on p_partkey (hash join, not nested loop)
+    assert(p.contains("Brand#12"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ssjoin verify join carries only longs; no text column past the scan") {
+    val p = plan(graft.operators.Dedup.ssjoinPrefix(spark, d))
+    // shingle text must be hashed at the scan; no string shingle survives
+    // into any exchange (the plan shows only doc_id/g/m/df longs)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text"), exchangeLines)
+  }
 }
