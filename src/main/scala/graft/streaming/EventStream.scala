@@ -908,8 +908,95 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** STREAMING DEDUP WITHIN WATERMARK: `dropDuplicatesWithinWatermark` —
+    * the TTL'd dedup (SPARK-42931): the business key (event_id) excludes
+    * the event-time column, and state expires once the watermark passes
+    * event_time + delay, so a re-arrival AFTER expiry re-emits (plain
+    * `dropDuplicates` would suppress it forever and hold state forever).
+    *
+    * Layout (mtime-ordered, maxFilesPerTrigger=1, delay 3d):
+    *
+    *   batch0 = the full events table — all unique, all emit; post-b0
+    *            wm = d0 − 3d
+    *   batch1 = sentinel pair at d0+10d — jumps the wm to d0+7d
+    *   batch2 = a SECOND COPY of the last-2-days slice (ts ≥ d0 − 2d).
+    *            The late filter runs on the LAGGED wm (post-b0 = d0−3d,
+    *            same SPARK-40925 rule as the joins) → nothing in the slice
+    *            is late; and the state-EXPIRY comparison ALSO runs on the
+    *            lagged wm (measured: the slice came back halved when the
+    *            oracle assumed post-b1 expiry) → the batch0 entries are
+    *            still live → the whole slice is SUPPRESSED as cross-batch
+    *            duplicates.
+    *
+    * So the observable contract here is cross-batch suppression within the
+    * watermark (q_stream_dedup's plain variant only ever dedups within one
+    * arrival). True TTL re-emission is NOT deterministically reachable in
+    * this harness: both the late line and the expiry line track the same
+    * lagged wm, and ts ≥ wm (not late) contradicts ts < wm − delay
+    * (expired) for any positive delay — a wedge would need the lines to
+    * lag by DIFFERENT batch counts, which SPARK-40925 rules out. The
+    * oracle is therefore the pure distinct: every event exactly once. */
+  def streamingDedupWithinWm(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val d0Ns = (maxNs / dayNs) * dayNs
+    val recentNs = d0Ns - 2L * dayNs
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_wm")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def land(df: DataFrame, b: Int): Unit = {
+      val stage = root.resolve(s"stage$b")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst()
+        finally listing.close()
+      part.ifPresent { p =>
+        val dst = inDir.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(now - (2 - b) * 30000L))
+      }
+    }
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        9000001L, d0Ns + 10L * dayNs, -1L, "view", 0.0,
+        null.asInstanceOf[String])),
+      rawSchema)
+    land(raw, 0)
+    land(sentinel, 1)
+    land(raw.where(col("ts") >= recentNs), 2)
+
+    val deduped = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "3 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    try runToMemory(deduped, "graft_stream_dedup_wm", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_dedup_wm")
+      .where(col("user_id") >= 0)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingDedupWithinWmSql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |       ${graft.functions.Money.moneySumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_outer"    -> ((s, d) => streamingOuterJoin(s, d)),
+    "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
@@ -923,6 +1010,7 @@ object EventStream {
 
   def oracles: Map[String, String] = Map(
     "q_stream_outer"    -> streamingOuterJoinSql,
+    "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
