@@ -120,11 +120,78 @@ object AsOfJoin {
       |  ON e.user_id = s.user_id AND e.ts >= s.ts
       |ORDER BY event_id""".stripMargin
 
+  /** FORWARD as-of: attach the right row with the SMALLEST ts ≥ the left
+    * ts within the key ("time until next signup") — the same one-shuffle
+    * union-window composition as [[asOf]], run in reverse sort order: the
+    * window iterates ts DESCENDING, so `last(ignoreNulls)` carries the
+    * NEAREST SUBSEQUENT right row back onto each left row. Equal-ts right
+    * rows still sort before left rows (__side desc), keeping the boundary
+    * inclusive, mirroring the backward variant. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+    val r = right.withColumn("__side", lit(1))
+    val allCols = (l.columns ++ r.columns).distinct
+    val lFull = allCols.foldLeft(l)((acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null)))
+    val rFull = allCols.foldLeft(r)((acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null)))
+    val u = lFull.select(allCols.map(col): _*)
+      .unionByName(rFull.select(allCols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightPayload = r.columns.filterNot(c => c == key || c == "__side")
+    val carried = u.withColumn("__asof_row",
+      last(when(col("__side") === 1, struct(rightPayload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    rightPayload.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"__asof_$c", col("__asof_row").getField(c))
+    }.drop("__asof_row").where(col("__side") === 0)
+  }
+
+  /** Each event joined to that user's EARLIEST signup at-or-after it
+    * (inner semantics: events after the last signup drop out). */
+  def eventToNextSignup(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("signup_ts_k"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("signup_ts_k").as("ts"), col("signup_id"))
+    asOfForward(ev.where(col("event_type") =!= "signup"), signups, "user_id", "ts")
+      .where(col("__asof_signup_id").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"),
+        col("__asof_signup_id").as("signup_id"),
+        (unix_micros(col("__asof_ts")) - unix_micros(col("ts")))
+          .as("micros_until_signup"))
+      .orderBy("event_id")
+  }
+
+  val eventToNextSignupSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), signups AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id
+      |  FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type, s.signup_id,
+      |       date_diff('microsecond', e.ts, s.ts) AS micros_until_signup
+      |FROM (SELECT * FROM ev WHERE event_type <> 'signup') e
+      |ASOF JOIN signups s
+      |  ON e.user_id = s.user_id AND e.ts <= s.ts
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"      -> ((s, d) => eventToLastSignup(s, d)),
-    "q_asof_join_left" -> ((s, d) => eventToLastSignupLeft(s, d)))
+    "q_asof_join_left" -> ((s, d) => eventToLastSignupLeft(s, d)),
+    "q_asof_forward"   -> ((s, d) => eventToNextSignup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join"      -> eventToLastSignupSql,
-    "q_asof_join_left" -> eventToLastSignupLeftSql)
+    "q_asof_join_left" -> eventToLastSignupLeftSql,
+    "q_asof_forward"   -> eventToNextSignupSql)
 }
