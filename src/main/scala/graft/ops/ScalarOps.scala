@@ -114,6 +114,37 @@ object ScalarOps {
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
       |FROM events""".stripMargin
 
+  // --- VARIANT semi-structured path (Spark 4) --------------------------------
+  // The open-ended-schema form of the JSON getters above: parse_json lifts
+  // the props string into a VARIANT (binary semi-structured value, parsed
+  // ONCE) and variant_get path-extracts with a type — Spark 4's answer to
+  // schema-on-read columns, and the shape a lake keeps evolving event
+  // payloads in. Typed extraction + grouped integer aggregates stay exact
+  // (k is a small int; long sums are order-free). DuckDB states the same
+  // semantics through its JSON type.
+  def variantExtract(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val variantExtractSql: String =
+    """SELECT event_type,
+      |       count(k) AS n_with_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k,
+      |       max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- F6/F7/F11: timestamp → date, UTC microsecond formatting -------------
   // (reference: to_date at spark_jobs/playback_pipeline_curated.py:194;
   // driver-side pytz strftime at …:100 → native date_format here.)
@@ -567,6 +598,7 @@ object ScalarOps {
     "q_typed_agg"       -> (typedAgg _),
     "q_topk_agg"        -> (topkAgg _),
     "q_listagg"         -> (listaggKeys _),
+    "q_variant"         -> (variantExtract _),
     "q_array_setops"    -> (arraySetOps _),
     "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
@@ -590,6 +622,7 @@ object ScalarOps {
     "q_typed_agg"       -> typedAggSql,
     "q_topk_agg"        -> topkAggSql,
     "q_listagg"         -> listaggKeysSql,
+    "q_variant"         -> variantExtractSql,
     "q_array_setops"    -> arraySetOpsSql,
     "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,
