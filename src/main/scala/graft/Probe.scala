@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * is before optimizing (round-2 lesson: the slow stage is rarely the one
   * you'd guess — measure first). Not part of the library surface.
   *
-  * Round-4 target: q_copurchase pair generation — distinct+self-join vs
-  * collect_set+HOF pair expansion. Variants A/B'd in ONE JVM. */
+  * Round-5 target: q_ssjoin_prefix — stage split (shingle+df+arrays vs
+  * prefix candidate join vs verify joins), and checkpoint on/off. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,21 +30,14 @@ object Probe {
       println(f"[probe] $name%-28s ${ts.min}%8.3f s (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
 
-    time("copurchase:self_join") { ops.AnalyticOps.coOccurrence(spark, d) }
-    time("copurchase:hof_pairs") {
-      Tables.lineitem(spark, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("parts"))
-        .select(explode(flatten(expr(
-          """transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b)))"""
-            .stripMargin))).as("p"))
-        .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-        .limit(50)
+    // stage 1 only: hashed shingle rows (the pinned frame)
+    time("ssjoin:shingle_rows") {
+      operators.Dedup.shingleHashRows(
+        operators.Dedup.docsWithInjectedDups(spark, d))
     }
-    time("copurchase:self_join#2") { ops.AnalyticOps.coOccurrence(spark, d) }
+    // full operator as shipped (localCheckpoint pin)
+    time("ssjoin:full") { operators.Dedup.ssjoinPrefix(spark, d) }
+    time("ssjoin:full#2") { operators.Dedup.ssjoinPrefix(spark, d) }
     spark.stop()
   }
 }

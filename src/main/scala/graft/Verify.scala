@@ -14,6 +14,7 @@ object Verify {
       // write µs-precision timestamps (not INT96) so pandas/pyarrow reads
       // the result parquet with the same datetime64[us] dtype DuckDB emits
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -868,6 +868,39 @@ object RelationalOps {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  // --- SQL frontend, forecasting-revenue-change scan (TPC-H Q6 shape) -------
+  // The pure-scan aggregate: no join at all — three pushable predicates and
+  // one exact product sum (price·discount in 10^-4-dollar units). The
+  // whole query is a map-side partial agg over the pruned scan; the shuffle
+  // is ONE row per partition. The discount BETWEEN bounds compare exact
+  // 2-decimal doubles to the same parsed literals in both engines.
+  def sqlQ6(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "lineitem")
+      .createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_extendedprice, l_discount
+        |FROM graft_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin)
+      .agg(Money.exactUnitSum(
+          Money.cents(col("l_extendedprice")) * Money.cents(col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val sqlQ6Sql: String = {
+    val units = s"${Money.centsSql("l_extendedprice")} * ${Money.centsSql("l_discount")}"
+    s"""SELECT ${Money.exactUnitSumSql(units, 4)} AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+  }
+
   // --- SQL frontend, bidirectional nation-pair volume (TPC-H Q7 shape) ------
   // Shipping volume between two nations by direction and year: nation joins
   // twice under DIFFERENT roles (supplier side vs customer side), with a
@@ -1046,6 +1079,7 @@ object RelationalOps {
     "q_sql_q10"         -> (sqlQ10 _),
     "q_sql_q20"         -> (sqlQ20 _),
     "q_sql_q1full"      -> (sqlQ1Full _),
+    "q_sql_q6"          -> (sqlQ6 _),
     "q_sql_q7"          -> (sqlQ7 _),
     "q_sql_q13"         -> (sqlQ13 _),
     "q_sql_q19"         -> (sqlQ19 _),
@@ -1085,6 +1119,7 @@ object RelationalOps {
     "q_sql_q10"         -> sqlQ10Sql,
     "q_sql_q20"         -> sqlQ20Sql,
     "q_sql_q1full"      -> sqlQ1FullSql,
+    "q_sql_q6"          -> sqlQ6Sql,
     "q_sql_q7"          -> sqlQ7Sql,
     "q_sql_q13"         -> sqlQ13Sql,
     "q_sql_q19"         -> sqlQ19Sql,

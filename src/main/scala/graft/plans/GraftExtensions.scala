@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Engine-injected optimizer rule: BOUND Levenshtein predicates run the
+  * banded DP.
+  *
+  * `levenshtein(a, b) <= k` evaluates the full O(|a|·|b|) matrix and only
+  * then compares; the 3-arg threshold form `levenshtein(a, b, k)` runs the
+  * banded O(k·min(|a|,|b|)) DP with early exit and returns −1 when the
+  * distance exceeds k. The rewrite is exact:
+  *
+  *   d(a,b) ≤ k  ⟺  levenshtein(a,b,k) ≥ 0        (k ≥ 0)
+  *   d(a,b) < k  ⟺  levenshtein(a,b,k−1) ≥ 0      (k ≥ 1)
+  *
+  * (null inputs: both forms yield null, and null-vs-0 comparisons stay
+  * null — filter semantics unchanged.) This encodes the repo invariant
+  * "always use the banded form when a bound exists" into the OPTIMIZER, so
+  * ad-hoc SQL (`WHERE levenshtein(u, v) <= 2`) gets the banded plan the
+  * hand-tuned operators (fuzzy_pairs, sorted_neighbors) already use — on a
+  * 100 TB fuzzy-join the band is the difference between O(k·n) and
+  * O(n²) per candidate pair.
+  *
+  * Registered through the PUBLIC extension points API
+  * (`spark.sql.extensions` → [[GraftExtensions]]) — the engine's example
+  * of guide-tier (c): injecting plan rules, not just expressions.
+  */
+object BandedLevenshteinRule extends Rule[LogicalPlan] {
+
+  private def banded(l: Expression, r: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+        if k >= 0 => banded(l, r, k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+        if k >= 0 => banded(l, r, k)
+    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+        if k >= 1 => banded(l, r, k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+        if k >= 1 => banded(l, r, k - 1)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — wired into the
+  * engine's Verify/Bench sessions; any user session opts in the same way. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+}
