@@ -683,6 +683,40 @@ object AnalyticOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- discrete percentiles (ANSI percentile_disc WITHIN GROUP) -------------
+  // The no-interpolation twin of q_quantiles: percentile_disc returns an
+  // ACTUAL data value (ANSI: the least value whose cumulative distribution
+  // ≥ p). Engines disagree on discrete-quantile conventions, so the oracle
+  // restates the ANSI definition itself via cume_dist — definition-exact,
+  // not a trust-the-builtin comparison. cume_dist is an exact rational
+  // (tie-rank / n) divided once; the p comparisons are identical doubles
+  // both sides.
+  def quantilesDisc(spark: SparkSession, d: String): DataFrame = {
+    events(spark, d).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type,
+        |       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        |       percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75
+        |FROM graft_events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val quantilesDiscSql: String =
+    """WITH cd AS (
+      |  SELECT event_type, value,
+      |         cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       min(CASE WHEN cd >= 0.25 THEN value END) AS p25,
+      |       min(CASE WHEN cd >= 0.5  THEN value END) AS p50,
+      |       min(CASE WHEN cd >= 0.75 THEN value END) AS p75
+      |FROM cd
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- fixed-width histogram ------------------------------------------------
   // Value distribution in one hash agg: bucket = floor(x/width) — the same
   // double division and floor on both engines, exact per row. Bounded
@@ -750,6 +784,7 @@ object AnalyticOps {
     "q_unpivot"    -> (unpivotDaily _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
+    "q_quantiles_disc" -> (quantilesDisc _),
     "q_join_full"  -> (fullJoin _),
     "q_window_lag" -> (windowLag _),
     "q_window_rank" -> (windowRank _),
@@ -774,6 +809,7 @@ object AnalyticOps {
     "q_unpivot"    -> unpivotDailySql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
+    "q_quantiles_disc" -> quantilesDiscSql,
     "q_join_full"  -> fullJoinSql,
     "q_window_lag" -> windowLagSql,
     "q_window_rank" -> windowRankSql,
