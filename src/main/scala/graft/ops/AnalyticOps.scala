@@ -683,6 +683,30 @@ object AnalyticOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- deterministic mode ----------------------------------------------------
+  // mode(col, deterministic=true): Spark 4's tie rule (lowest value among
+  // the most frequent) made explicit — an UNDETERMINISTIC mode could never
+  // hash-match across engines or even across partitionings. The oracle
+  // restates the definition (min value at max frequency), not DuckDB's
+  // mode() builtin, whose tie behavior is unspecified.
+  def modeAgg(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(mode(col("l_quantity"), deterministic = true).as("mode_qty"))
+      .orderBy("l_returnflag")
+
+  val modeAggSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag AS rf, l_quantity AS q, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2
+      |), m AS (
+      |  SELECT rf, max(n) AS mx FROM c GROUP BY rf
+      |)
+      |SELECT c.rf AS l_returnflag, min(c.q) AS mode_qty
+      |FROM c JOIN m ON c.rf = m.rf AND c.n = m.mx
+      |GROUP BY c.rf
+      |ORDER BY l_returnflag""".stripMargin
+
   // --- discrete percentiles (ANSI percentile_disc WITHIN GROUP) -------------
   // The no-interpolation twin of q_quantiles: percentile_disc returns an
   // ACTUAL data value (ANSI: the least value whose cumulative distribution
@@ -785,6 +809,7 @@ object AnalyticOps {
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
     "q_quantiles_disc" -> (quantilesDisc _),
+    "q_mode"       -> (modeAgg _),
     "q_join_full"  -> (fullJoin _),
     "q_window_lag" -> (windowLag _),
     "q_window_rank" -> (windowRank _),
@@ -810,6 +835,7 @@ object AnalyticOps {
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,
     "q_quantiles_disc" -> quantilesDiscSql,
+    "q_mode"       -> modeAggSql,
     "q_join_full"  -> fullJoinSql,
     "q_window_lag" -> windowLagSql,
     "q_window_rank" -> windowRankSql,

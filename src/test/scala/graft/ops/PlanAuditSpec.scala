@@ -284,6 +284,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q7 broadcasts every dimension; only the fact spine shuffles") {
+    val p = plan(RelationalOps.sqlQ7(spark, d))
+    // supplier, customer, and both nation roles ride broadcasts — the only
+    // (non-broadcast) exchanges are the orders⋈lineitem spine + agg + sort
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(countExchanges(RelationalOps.sqlQ7(spark, d)) <= 4)
+  }
+
+  test("TPC-H Q22's anti-join side scans only the recent orders slice") {
+    val p = plan(RelationalOps.sqlQ22(spark, d))
+    // the o_orderdate cutoff must reach the orders scan feeding the
+    // left-anti join (at scale: the anti side is days, not history)
+    val pushed = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")).toSeq
+    assert(pushed.exists(_.contains("GreaterThanOrEqual")), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("ssjoin verify join carries only longs; no text column past the scan") {
     val p = plan(graft.operators.Dedup.ssjoinPrefix(spark, d))
     // shingle text must be hashed at the scan; no string shingle survives
