@@ -785,6 +785,68 @@ object TextAnalysis {
       |       CAST((n12 * 1000000) // (sum(n12) OVER (PARTITION BY cur)) AS BIGINT) AS p_ppm
       |FROM n12s ORDER BY cur, nxt""".stripMargin
 
+  // ---- repetition quality signal (Gopher-style) ------------------------------
+
+  /** Within-document repetition — the Gopher/MassiveText quality rule the
+    * simple length/punct ratios can't see: heavily repeated n-grams mark
+    * boilerplate, keyboard mash, and generation loops. Two exact-integer
+    * signals per doc: repeated-TOKEN fraction (1 − distinct/total) and
+    * repeated-BIGRAM fraction, both in ppm via integer floor-div (no float
+    * ever — a ratio of counts, order-free, hash-exact). Map + two tiny
+    * per-doc aggregates; at 100 TB this is scan-bound like the other
+    * quality signals. Empty docs keep a row with 0s (LEFT JOIN both
+    * sides — the ADVICE r4 empty-input rule). */
+  def repetitionSignal(spark: SparkSession, d: String): DataFrame = {
+    val toksOf = toks(col("text"))
+    val base = documents(spark, d).select(col("doc_id"), col("lang"),
+      size(toksOf).cast("long").as("n_tokens"),
+      size(array_distinct(toksOf)).cast("long").as("n_distinct"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = documents(spark, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .withColumn("nxt", lead(col("col"), 1).over(byDoc))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("col"), col("nxt")).as("n_bigram_distinct"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        expr("((n_tokens - n_distinct) * 1000000) div n_tokens").as("rep_token_ppm"),
+        coalesce(
+          expr("((n_bigrams - n_bigram_distinct) * 1000000) div n_bigrams"),
+          lit(0L)).as("rep_bigram_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSignalSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         count(DISTINCT (cur, nxt)) AS n_bigram_distinct
+      |  FROM (SELECT doc_id, term AS cur,
+      |          lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |        FROM pos) t
+      |  WHERE nxt IS NOT NULL
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.lang,
+      |       ((b.n_tokens - b.n_distinct) * 1000000) // b.n_tokens
+      |         AS rep_token_ppm,
+      |       COALESCE(((g.n_bigrams - g.n_bigram_distinct) * 1000000)
+      |         // g.n_bigrams, 0) AS rep_bigram_ppm
+      |FROM base b LEFT JOIN bg g ON b.doc_id = g.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---- bigram-LM perplexity scoring ------------------------------------------
 
   /** Per-document negative log-likelihood under the corpus's OWN add-one-
@@ -876,6 +938,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
+    "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
     "q_bigram_lm"        -> ((s, d) => bigramLm(s, d)),
     "q_vocab_coverage"   -> ((s, d) => vocabCoverage(s, d)),
     "q_pmi"              -> ((s, d) => pmiPairs(s, d)),
@@ -897,6 +960,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q_perplexity"    -> perplexitySql,
+    "q_repetition"    -> repetitionSignalSql,
     "q_bigram_lm"     -> bigramLmSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi"           -> pmiPairsSql,

@@ -387,6 +387,24 @@ object LakeOps {
       |GROUP BY dt, event_type
       |ORDER BY dt, event_type""".stripMargin
 
+  // --- small-file compaction --------------------------------------------------
+
+  /** Small-file compaction — the nightly lake-maintenance pass every
+    * streaming/incremental sink needs (per-batch appends degrade a table
+    * into thousands of KB-files; scan cost becomes file-open-bound).
+    * Rewrites a parquet dir at the target file count via `repartition`
+    * (full shuffle → evenly sized outputs; `coalesce` would merge unevenly
+    * and skew downstream scans) and returns the row count for the caller's
+    * write guard. Content parity and the file-count contract are
+    * spec-checked (file counts aren't SQL-oracle material). */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      nFiles: Int): Long = {
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(dstDir)
+    spark.read.parquet(dstDir).count()
+  }
+
   // --- mergeable partial aggregates (rollup-table maintenance) --------------
 
   /** Daily partial aggregates re-merged to monthly — the materialized

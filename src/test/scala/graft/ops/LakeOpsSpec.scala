@@ -105,4 +105,26 @@ class LakeOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compaction hits the target file count and loses no rows") {
+    def partFiles(p: java.nio.file.Path): Int = {
+      val s = java.nio.file.Files.list(p)
+      try s.filter(_.getFileName.toString.startsWith("part-")).count().toInt
+      finally s.close()
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    val small = root.resolve("small"); val compacted = root.resolve("big")
+    val src = graft.Tables.orders(spark, d)
+    // simulate per-batch append debris: 64 small files
+    src.repartition(64).write.mode("overwrite").parquet(small.toString)
+    assert(partFiles(small) === 64)
+    val n = LakeOps.compact(spark, small.toString, compacted.toString, 4)
+    assert(partFiles(compacted) === 4)
+    assert(n === src.count())
+    // content parity: same multiset of keys
+    val a = spark.read.parquet(compacted.toString)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val b = src.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
 }
