@@ -835,6 +835,9 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_outer")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
+    def stamp(dst: java.nio.file.Path, b: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
     def land(df: DataFrame, b: Int): Unit = {
       val stage = root.resolve(s"stage$b")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -846,9 +849,17 @@ object EventStream {
       part.ifPresent { p =>
         val dst = inDir.resolve(s"batch$b.parquet")
         java.nio.file.Files.move(p, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
+        stamp(dst, b)
       }
+    }
+    // batch0 is the source file VERBATIM — a filesystem copy, not a Spark
+    // rewrite (the type filter runs stream-side); saves the single-threaded
+    // coalesce(1) rewrite of the whole fact file at bench scale
+    def landCopy(b: Int): Unit = {
+      val dst = inDir.resolve(s"batch$b.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+      stamp(dst, b)
     }
     // one view AND one purchase per sentinel batch: the global watermark is
     // the MIN over both sides' trackers, so advancing only the view side
@@ -865,7 +876,7 @@ object EventStream {
             9100000L + b, d0Ns + b.toLong * 10L * dayNs, -2L, "purchase", 0.0,
             null.asInstanceOf[String])),
         rawSchema)
-    land(raw, 0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
+    landCopy(0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -947,6 +958,9 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_wm")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
+    def stamp(dst: java.nio.file.Path, b: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(now - (2 - b) * 30000L))
     def land(df: DataFrame, b: Int): Unit = {
       val stage = root.resolve(s"stage$b")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -958,8 +972,7 @@ object EventStream {
       part.ifPresent { p =>
         val dst = inDir.resolve(s"batch$b.parquet")
         java.nio.file.Files.move(p, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(now - (2 - b) * 30000L))
+        stamp(dst, b)
       }
     }
     val sentinel = spark.createDataFrame(
@@ -967,7 +980,10 @@ object EventStream {
         9000001L, d0Ns + 10L * dayNs, -1L, "view", 0.0,
         null.asInstanceOf[String])),
       rawSchema)
-    land(raw, 0)
+    // batch0 = the source file verbatim (filesystem copy, no Spark rewrite)
+    val b0 = inDir.resolve("batch0.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
+    stamp(b0, 0)
     land(sentinel, 1)
     land(raw.where(col("ts") >= recentNs), 2)
 
