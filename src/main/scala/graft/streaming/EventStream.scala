@@ -525,13 +525,13 @@ object EventStream {
     * them. The rolled-up output equals the batch distinct — the oracle. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    // two identical copies → every event_id arrives exactly twice
-    raw.withColumn("__copy", lit(0))
-      .unionByName(raw.withColumn("__copy", lit(1)))
-      .coalesce(1)
-      .write.partitionBy("__copy").mode("overwrite").parquet(root.toString)
+    // two identical copies → every event_id arrives exactly twice; the
+    // copies are filesystem clones of the source file (no Spark rewrite)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      root.resolve("copy0.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      root.resolve("copy1.parquet"))
     // dedup is the ONLY stateful operator in the stream (Append emits each
     // key on first sight); the rollup runs batch-side from the sink table —
     // chaining a second stateful agg would need the multi-operator
