@@ -1057,6 +1057,234 @@ object RelationalOps {
       |GROUP BY c.c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // --- SQL frontend, large-volume orders (TPC-H Q18 shape) -------------------
+  // Orders whose total quantity exceeds a threshold: the IN subquery is a
+  // grouped HAVING over the fact table — Catalyst plans it as one
+  // l_orderkey aggregation semi-joined back to the orders⋈lineitem spine
+  // (the aggregation and the spine share the l_orderkey partitioning).
+  // Quantity sums are integral doubles (exact at any order). Threshold
+  // chosen ~top-1% so the result is scale-covariant, not empty.
+  def sqlQ18(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        |FROM graft_customer c
+        |JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l2.l_orderkey FROM graft_lineitem l2
+        |  GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 220)
+        |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  val sqlQ18Sql: String =
+    """SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+      |       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l2.l_orderkey FROM lineitem l2
+      |  GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 220)
+      |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // --- SQL frontend, sole-late-supplier orders (TPC-H Q21 shape) -------------
+  // The double-correlation stress test: suppliers who shipped late
+  // (> 90 days after order date) on orders where NO OTHER supplier was
+  // late — a correlated EXISTS (another supplier participated) AND a
+  // correlated NOT EXISTS (no other supplier late) against the same fact,
+  // both correlated on the outer row's (orderkey, suppkey). Catalyst
+  // decorrelates into one left-semi and one left-anti hash join on
+  // l_orderkey — never per-row subqueries. (The narrow schema has no
+  // receipt/commit dates; shipdate-vs-orderdate lateness keeps the shape.)
+  def sqlQ21(spark: SparkSession, d: String): DataFrame = {
+    Seq("supplier", "orders", "lineitem").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM graft_supplier s
+        |JOIN graft_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_orders o    ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin)
+  }
+
+  val sqlQ21Sql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 25""".stripMargin
+
+  // --- SQL frontend, promo revenue share (TPC-H Q14 shape) -------------------
+  // A ratio of two conditional revenue sums over one month's scan. Both
+  // sums run in exact integer units through ONE aggregation (the CASE
+  // routes each row's units); the single output division is two exact
+  // decimals-as-doubles divided once — identical both engines — and the
+  // result is floor-quantized to ppm for a zero-tolerance hash match.
+  def sqlQ14(spark: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    spark.sql(
+      """SELECT p.p_type, l.l_extendedprice, l.l_discount
+        |FROM graft_lineitem l JOIN graft_part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin)
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("total_rev"),
+        Money.exactUnitSum(
+          when(col("p_type") === "PROMO",
+            Money.cents(col("l_extendedprice")) *
+              (lit(100L) - Money.cents(col("l_discount")))).otherwise(lit(0L)),
+          4).as("promo_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        floor(col("promo_rev") / col("total_rev") * 1000000).cast("long")
+          .as("promo_share_ppm"))
+  }
+
+  val sqlQ14Sql: String = {
+    val units = s"${Money.centsSql("l.l_extendedprice")} * " +
+      s"(100 - ${Money.centsSql("l.l_discount")})"
+    val promoUnits = s"CASE WHEN p.p_type = 'PROMO' THEN $units ELSE 0 END"
+    s"""SELECT ${Money.exactUnitSumSql(promoUnits, 4)} AS promo_rev,
+      |       ${Money.exactUnitSumSql(units, 4)} AS total_rev,
+      |       CAST(floor(${Money.exactUnitSumSql(promoUnits, 4)}
+      |         / ${Money.exactUnitSumSql(units, 4)} * 1000000) AS BIGINT)
+      |         AS promo_share_ppm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l.l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin
+  }
+
+  // --- SQL frontend, top supplier by quarter revenue (TPC-H Q15 shape) -------
+  // The view + uncorrelated MAX scalar subquery: the revenue aggregation is
+  // stated ONCE as a named CTE used twice (outer scan + the max), and
+  // Catalyst evaluates the scalar max as a one-row broadcast — the fact is
+  // scanned twice but never re-shuffled per row. Exact-integer revenue
+  // makes "= max" a safe equality (no float tolerance at the top).
+  def sqlQ15(spark: SparkSession, d: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach(t =>
+      graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    val revenueAgg = Money.revenueSum(col("l_extendedprice"), col("l_discount"))
+    spark.sql(
+      """SELECT l_suppkey, l_extendedprice, l_discount
+        |FROM graft_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin)
+      .groupBy(col("l_suppkey"))
+      .agg(revenueAgg.as("total_rev"))
+      .createOrReplaceTempView("graft_revenue")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM graft_supplier s JOIN graft_revenue r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM graft_revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val sqlQ15Sql: String = {
+    val rev = Money.revenueSumSql("l_extendedprice", "l_discount")
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey, $rev AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+  }
+
+  // --- SQL frontend, market share (TPC-H Q8 shape) ---------------------------
+  // Nation market share inside a region by year: an 7-relation snowflake
+  // where nation joins under two roles (customer's region membership vs
+  // supplier's identity) and the share is a conditional/total revenue
+  // ratio per year. Same exact-units + ppm-quantized ratio discipline as
+  // Q14; dimensions broadcast, the orders⋈lineitem spine is the only
+  // shuffle.
+  def sqlQ8(spark: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => graft.Tables.table(spark, d, t).createOrReplaceTempView(s"graft_$t"))
+    val units = Money.cents(col("l_extendedprice")) *
+      (lit(100L) - Money.cents(col("l_discount")))
+    spark.sql(
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       n2.n_name AS supp_nation,
+        |       l.l_extendedprice, l.l_discount
+        |FROM graft_customer c
+        |JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN graft_nation n1  ON c.c_nationkey = n1.n_nationkey
+        |JOIN graft_nation n2  ON s.s_nationkey = n2.n_nationkey
+        |JOIN graft_region r   ON n1.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'""".stripMargin)
+      .groupBy(col("o_year"))
+      .agg(
+        Money.exactUnitSum(
+          when(col("supp_nation") === "NATION_3", units).otherwise(lit(0L)), 4)
+          .as("nation_rev"),
+        Money.exactUnitSum(units, 4).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        floor(col("nation_rev") / col("total_rev") * 1000000).cast("long")
+          .as("mkt_share_ppm"))
+      .orderBy("o_year")
+  }
+
+  val sqlQ8Sql: String = {
+    val units = s"${Money.centsSql("l.l_extendedprice")} * " +
+      s"(100 - ${Money.centsSql("l.l_discount")})"
+    val natUnits = s"CASE WHEN n2.n_name = 'NATION_3' THEN $units ELSE 0 END"
+    s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |       ${Money.exactUnitSumSql(natUnits, 4)} AS nation_rev,
+      |       ${Money.exactUnitSumSql(units, 4)} AS total_rev,
+      |       CAST(floor(${Money.exactUnitSumSql(natUnits, 4)}
+      |         / ${Money.exactUnitSumSql(units, 4)} * 1000000) AS BIGINT)
+      |         AS mkt_share_ppm
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      |JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      |JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
@@ -1080,6 +1308,11 @@ object RelationalOps {
     "q_sql_q20"         -> (sqlQ20 _),
     "q_sql_q1full"      -> (sqlQ1Full _),
     "q_sql_q6"          -> (sqlQ6 _),
+    "q_sql_q18"         -> (sqlQ18 _),
+    "q_sql_q21"         -> (sqlQ21 _),
+    "q_sql_q14"         -> (sqlQ14 _),
+    "q_sql_q15"         -> (sqlQ15 _),
+    "q_sql_q8"          -> (sqlQ8 _),
     "q_sql_q7"          -> (sqlQ7 _),
     "q_sql_q13"         -> (sqlQ13 _),
     "q_sql_q19"         -> (sqlQ19 _),
@@ -1120,6 +1353,11 @@ object RelationalOps {
     "q_sql_q20"         -> sqlQ20Sql,
     "q_sql_q1full"      -> sqlQ1FullSql,
     "q_sql_q6"          -> sqlQ6Sql,
+    "q_sql_q18"         -> sqlQ18Sql,
+    "q_sql_q21"         -> sqlQ21Sql,
+    "q_sql_q14"         -> sqlQ14Sql,
+    "q_sql_q15"         -> sqlQ15Sql,
+    "q_sql_q8"          -> sqlQ8Sql,
     "q_sql_q7"          -> sqlQ7Sql,
     "q_sql_q13"         -> sqlQ13Sql,
     "q_sql_q19"         -> sqlQ19Sql,
