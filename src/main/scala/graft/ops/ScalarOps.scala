@@ -114,6 +114,63 @@ object ScalarOps {
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
       |FROM events""".stripMargin
 
+  // --- higher-order-function suite: exists / forall / zip_with ---------------
+  // The remaining HOF surface beyond q_array_funcs' transform/filter/
+  // aggregate. Per-element quantize-then-integer-sum keeps the zip_with
+  // product fold order-free (ROUND_NOTES r1 rule); the boolean reductions
+  // are order-insensitive by nature. Interpreted HOFs are fine here —
+  // per-row small arrays, not a hot join path (invariant #5).
+  def hofFuncs(spark: SparkSession, d: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    embeddings(spark, d)
+      .select(col("vec_id"),
+        exists(emb, _ < lit(0.0)).as("any_neg"),
+        forall(emb, x => abs(x) <= lit(1.0)).as("all_unit"),
+        aggregate(
+          zip_with(emb, reverse(emb),
+            (a, b) => floor(a * b * lit(1000000.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("rev_dot_q"))
+      .orderBy("vec_id")
+  }
+
+  val hofFuncsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       len(list_filter(emb, x -> x < 0.0)) > 0 AS any_neg,
+      |       len(list_filter(emb, x -> abs(x) > 1.0)) = 0 AS all_unit,
+      |       CAST(list_sum(list_transform(generate_series(1, len(emb)),
+      |         i -> CAST(floor(emb[i] * emb[len(emb) - i + 1] * 1000000.0)
+      |                   AS BIGINT))) AS BIGINT) AS rev_dot_q
+      |FROM e
+      |ORDER BY vec_id""".stripMargin
+
+  // --- ANSI-safe try_* arithmetic --------------------------------------------
+  // The error-absorbing scalar family (try_divide / try_cast / try_add):
+  // under ANSI SQL these THROW; the try_ forms yield NULL — the contract a
+  // pipeline needs to quarantine bad rows instead of failing a 100 TB job.
+  // The oracle states the same semantics in DuckDB spellings (NULLIF
+  // guard, TRY_CAST, and an explicit overflow-window CASE for try_add).
+  def tryFuncs(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_id"),
+        expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
+        expr("try_cast(event_type AS INT)").as("type_int"),
+        expr("try_cast(CAST(event_id AS STRING) AS INT)").as("id_int"),
+        expr("try_add(9223372036854775807L, event_id)").as("overflow_add"))
+      .orderBy("event_id")
+
+  val tryFuncsSql: String =
+    """SELECT event_id,
+      |       value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS div3,
+      |       TRY_CAST(event_type AS INTEGER) AS type_int,
+      |       TRY_CAST(CAST(event_id AS VARCHAR) AS INTEGER) AS id_int,
+      |       CASE WHEN event_id > 0 THEN CAST(NULL AS BIGINT)
+      |            ELSE 9223372036854775807 + event_id END AS overflow_add
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // --- VARIANT semi-structured path (Spark 4) --------------------------------
   // The open-ended-schema form of the JSON getters above: parse_json lifts
   // the props string into a VARIANT (binary semi-structured value, parsed
@@ -599,6 +656,8 @@ object ScalarOps {
     "q_topk_agg"        -> (topkAgg _),
     "q_listagg"         -> (listaggKeys _),
     "q_variant"         -> (variantExtract _),
+    "q_hof_funcs"       -> (hofFuncs _),
+    "q_try_funcs"       -> (tryFuncs _),
     "q_array_setops"    -> (arraySetOps _),
     "q_regex_funcs"     -> (regexFuncs _),
     "q_complete_year"   -> (completeYear _),
@@ -623,6 +682,8 @@ object ScalarOps {
     "q_topk_agg"        -> topkAggSql,
     "q_listagg"         -> listaggKeysSql,
     "q_variant"         -> variantExtractSql,
+    "q_hof_funcs"       -> hofFuncsSql,
+    "q_try_funcs"       -> tryFuncsSql,
     "q_array_setops"    -> arraySetOpsSql,
     "q_regex_funcs"     -> regexFuncsSql,
     "q_complete_year"   -> completeYearSql,
