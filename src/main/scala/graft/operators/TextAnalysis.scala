@@ -847,6 +847,60 @@ object TextAnalysis {
       |FROM base b LEFT JOIN bg g ON b.doc_id = g.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---- sliding-window document chunking (RAG / context-window prep) ----------
+
+  val ChunkWidth = 40
+  val ChunkStride = 20
+
+  /** Overlapping token-window chunking — the retrieval/context-window prep
+    * step: split each document into [[ChunkWidth]]-token windows every
+    * [[ChunkStride]] tokens. Start positions are 1, 1+s, … ≤
+    * max(n − s, 1), so every token lands in a chunk, trailing windows may
+    * run short, and a short doc yields exactly one chunk. Emits position
+    * metadata plus the chunk CONTENT HASH (cross-engine
+    * [[graft.functions.Hashing]]) rather than the text — chunk identity is
+    * checkable without shuffling strings, the same discipline as the dedup
+    * suite. Map-side generate+slice at scan speed; no shuffle at all
+    * before the output sort. */
+  def chunkDocs(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(size(t) - ChunkStride, lit(1)), lit(ChunkStride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / ChunkStride).cast("long")).as("chunk_idx"),
+        col("start").cast("long").as("start_pos"),
+        size(slice(toks(col("text")), col("start"), lit(ChunkWidth))).cast("long")
+          .as("chunk_len"),
+        Hashing.hexHash(
+          concat_ws(" ", slice(toks(col("text")), col("start"), lit(ChunkWidth))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkDocsSql: String = {
+    val sliceExpr =
+      s"list_slice(tk, start, start + ${ChunkWidth - 1})"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), s AS (
+       |  SELECT doc_id, tk,
+       |         unnest(generate_series(1, greatest(len(tk) - $ChunkStride, 1),
+       |                                $ChunkStride)) AS start
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |       (start - 1) // $ChunkStride AS chunk_idx,
+       |       CAST(start AS BIGINT) AS start_pos,
+       |       CAST(len($sliceExpr) AS BIGINT) AS chunk_len,
+       |       ${Hashing.hexHashSql(s"array_to_string($sliceExpr, ' ')")}
+       |         AS chunk_hash
+       |FROM s
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   // ---- bigram-LM perplexity scoring ------------------------------------------
 
   /** Per-document negative log-likelihood under the corpus's OWN add-one-
@@ -939,6 +993,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
+    "q_chunk"            -> ((s, d) => chunkDocs(s, d)),
     "q_bigram_lm"        -> ((s, d) => bigramLm(s, d)),
     "q_vocab_coverage"   -> ((s, d) => vocabCoverage(s, d)),
     "q_pmi"              -> ((s, d) => pmiPairs(s, d)),
@@ -961,6 +1016,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
+    "q_chunk"         -> chunkDocsSql,
     "q_bigram_lm"     -> bigramLmSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi"           -> pmiPairsSql,
