@@ -415,7 +415,57 @@ object TimeSeriesOps {
       |GROUP BY l.l_returnflag, m.n, m.med
       |ORDER BY l.l_returnflag""".stripMargin
 
+  // --- supervised feature/label extraction ----------------------------------
+  // The training-example builder for a next-event model: per event, the
+  // LABEL is the user's next event type (lead), the FEATURES are exact
+  // running counts of each prior event type — all five feature columns and
+  // the label ride ONE window partitioning (user_id ordered by the full
+  // tie-broken key), so the whole dataset costs a single Exchange at any
+  // scale. Rows without a next event (each user's last) are the serving
+  // frontier, excluded from the training set — and excluded from the
+  // oracle by the same lead-IS-NOT-NULL rule. Integer counts only: no
+  // float ever, bit-exact across engines.
+  def featureLabel(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val hist = w.rowsBetween(Window.unboundedPreceding, -1)
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).over(hist)
+        .as(s"n_$t")
+    events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"),
+        lead(col("event_type"), 1).over(w).as("label"))
+      .where(col("label").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("n_view"), lit(0L)).as("n_view"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+        col("label"))
+      .orderBy("event_id")
+  }
+
+  val featureLabelSql: String = {
+    def cnt(t: String) =
+      s"""COALESCE(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""".stripMargin
+    s"""SELECT event_id, user_id, event_type,
+      |       CAST(${cnt("view")} AS BIGINT) AS n_view,
+      |       CAST(${cnt("click")} AS BIGINT) AS n_click,
+      |       CAST(${cnt("purchase")} AS BIGINT) AS n_purchase,
+      |       CAST(${cnt("signup")} AS BIGINT) AS n_signup,
+      |       label
+      |FROM (SELECT *, lead(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS label
+      |      FROM events) t
+      |WHERE label IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_label" -> (featureLabel _),
     "q_mad" -> (madStats _),
     "q_rfm" -> (rfm _),
     "q_funnel" -> (funnel _),
@@ -426,6 +476,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_feature_label" -> featureLabelSql,
     "q_mad" -> madStatsSql,
     "q_rfm" -> rfmSql,
     "q_funnel" -> funnelSql,
