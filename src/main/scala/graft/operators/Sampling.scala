@@ -184,7 +184,79 @@ object Sampling {
       |FROM ranked
       |GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- deterministic negative sampling (retrieval / ranking training) -------
+
+  /** Negatives per batch-slice customer. */
+  val NegK = 3
+  /** Deterministic batch slice (a shard of the customer dimension — the
+    * production pipeline runs one such slice per task). */
+  val NegCustLimit = 100L
+
+  /** Hash-ranked NEGATIVE SAMPLING — the contrastive-training data builder:
+    * for each customer in the batch slice, the [[NegK]] catalog items they
+    * never purchased, chosen by ranking the ENTIRE catalog on the
+    * deterministic pair hash h(customer:part). Same-run-anywhere property
+    * as the split samplers: no RNG state, membership is reproducible and
+    * oracle-checkable, and a re-run after a catalog append only shifts
+    * pairs whose hash order changed.
+    *
+    * Scale shape: the catalog is a broadcast DIMENSION (items are bounded;
+    * facts are not), so candidates = slice × catalog is a map-side
+    * crossJoin at |slice|·|catalog| rows — sized by the batch slice, never
+    * by the fact table. Purchases prune via one left-anti hash join on the
+    * pair key; the per-customer top-k window then reuses that customer
+    * partitioning (at production scale the window would be the
+    * [[graft.functions.TopKPairs]] aggregate — same answer, map-side
+    * partial top-k). */
+  def negativeSample(spark: SparkSession, d: String): DataFrame = {
+    val cust = customer(spark, d)
+      .where(col("c_custkey") < NegCustLimit)
+      .select(col("c_custkey"))
+    val cand = cust.crossJoin(broadcast(part(spark, d).select(col("p_partkey"))))
+      .withColumn("h", Hashing.hexHash(
+        concat(col("c_custkey").cast("string"), lit(":"),
+          col("p_partkey").cast("string"))))
+    val purchased = lineitem(spark, d)
+      .join(orders(spark, d).where(col("o_custkey") < NegCustLimit),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("h"), col("p_partkey"))
+    cand.join(purchased, Seq("c_custkey", "p_partkey"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= NegK)
+      .select(col("c_custkey"), col("rank"), col("p_partkey"), col("h"))
+      .orderBy("c_custkey", "rank")
+  }
+
+  val negativeSampleSql: String = {
+    val h = Hashing.hexHashSql(
+      "CAST(c_custkey AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)")
+    s"""WITH cand AS (
+       |  SELECT c.c_custkey, p.p_partkey, $h AS h
+       |  FROM customer c CROSS JOIN part p
+       |  WHERE c.c_custkey < $NegCustLimit
+       |), purchased AS (
+       |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_custkey < $NegCustLimit
+       |), ranked AS (
+       |  SELECT c.c_custkey, c.p_partkey, c.h,
+       |         row_number() OVER (PARTITION BY c.c_custkey
+       |                            ORDER BY c.h, c.p_partkey) AS rank
+       |  FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM purchased u
+       |                    WHERE u.c_custkey = c.c_custkey
+       |                      AND u.p_partkey = c.p_partkey)
+       |)
+       |SELECT c_custkey, CAST(rank AS BIGINT) AS rank, p_partkey, h
+       |FROM ranked WHERE rank <= $NegK
+       |ORDER BY c_custkey, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neg_sample" -> ((s, d) => negativeSample(s, d)),
     "q_hash_sample"  -> ((s, d) => hashSample(s, d)),
     "q_strat_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_data_split"   -> ((s, d) => dataSplit(s, d)),
@@ -193,6 +265,7 @@ object Sampling {
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_neg_sample" -> negativeSampleSql,
     "q_hash_sample"  -> hashSampleSql(),
     "q_strat_sample" -> stratifiedSampleSql,
     "q_data_split"   -> dataSplitSql,
