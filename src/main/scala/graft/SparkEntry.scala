@@ -24,8 +24,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
-      ops.AsOfJoin.queries ++ ops.RangeJoin.queries ++ ops.LakeOps.queries ++
-      ops.TimeSeriesOps.queries ++ ops.GraphOps.queries
+      ops.AsOfJoin.queries ++ ops.NativeAsOf.queries ++ ops.RangeJoin.queries ++
+      ops.LakeOps.queries ++ ops.TimeSeriesOps.queries ++ ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,6 +35,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
-      ops.AsOfJoin.oracles ++ ops.RangeJoin.oracles ++ ops.LakeOps.oracles ++
-      ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles
+      ops.AsOfJoin.oracles ++ ops.NativeAsOf.oracles ++ ops.RangeJoin.oracles ++
+      ops.LakeOps.oracles ++ ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles
 }

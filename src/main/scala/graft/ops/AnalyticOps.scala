@@ -789,7 +789,40 @@ object AnalyticOps {
       |USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // --- row_number()=1 dedup (the rewrite-rule target shape) ----------------
+  // "Latest event per user" written exactly as the ubiquitous windowed
+  // dedup idiom. Under the engine's extensions session
+  // ([[graft.plans.RowNumberDedupRule]]) this plans as a partial+final
+  // ObjectHashAggregate over [[graft.plans.MinRowBy]] — no sort, no Window
+  // operator, map-side combine before the exchange (plan-audited in
+  // RowNumberDedupSpec); on a plain session it falls back to the window
+  // plan with the same answer. Total order (ts desc, event_id desc) makes
+  // the pick deterministic and oracle-checkable.
+  def dedupRewrite(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts").cast("timestamp_ntz").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val dedupRewriteSql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       event_type AS last_event_type, CAST(ts AS TIMESTAMP) AS last_ts
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_rewrite" -> (dedupRewrite _),
     "q_rollup"     -> (rollupAgg _),
     "q_cube"       -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSetsAgg _),
@@ -816,6 +849,7 @@ object AnalyticOps {
     "q_histogram"  -> (histogram _))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_rewrite" -> dedupRewriteSql,
     "q_rollup"     -> rollupAggSql,
     "q_cube"       -> cubeAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+
+/** DataFrame API over the native as-of join operator
+  * ([[graft.plans.AsOfJoinExec]]) — the whole-operator custom-plan route,
+  * sitting beside the composition route ([[AsOfJoin.asOf]]). Both are
+  * oracle-checked against DuckDB's native `ASOF JOIN`, and
+  * AsOfNativeSpec additionally proves the two implementations agree
+  * row-for-row on every variant.
+  */
+object NativeAsOf {
+
+  /** Ensure the planner knows the strategy even on a session built without
+    * `spark.sql.extensions=graft.plans.GraftExtensions` — the
+    * `experimental.extraStrategies` hook is the public per-session
+    * registration point, and appending idempotently keeps this safe to
+    * call per query. */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** `left` as-of `right` on `key`/`ts` (backward, boundary inclusive).
+    * Right payload columns are exposed as `asof_<name>`; the right side is
+    * re-aliased with fresh expression ids so self-derived inputs (the
+    * normal case: a table as-of joined to an aggregate of itself) never
+    * collide. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftOuter: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    // prefix right columns at the DataFrame level: output names stay unique
+    val renamed = right.select(right.columns.map(c => col(c).as(s"asof_$c")).toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right (the analyzer dedups attribute ids for
+    // built-in joins; a custom node must do it itself)
+    val rAnalyzed = renamed.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+    val rOut = rAliases.map(_.toAttribute)
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan.output, key), attr(rOut, s"asof_$key"),
+      attr(lPlan.output, ts), attr(rOut, s"asof_$ts"),
+      leftOuter)
+    GraftSqlShim.ofRows(spark, plan).drop(s"asof_$key")
+  }
+
+  // same query shape as q_asof_join / q_asof_join_left (AsOfJoin.scala):
+  // every non-signup event joined to that user's most recent signup at or
+  // before it — so the SAME DuckDB ASOF oracle checks the native operator
+  private def eventSignupNative(spark: SparkSession, d: String, leftOuter: Boolean): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("signup_ts_k"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("signup_ts_k").as("ts"), col("signup_id"))
+    asOfNative(ev.where(col("event_type") =!= "signup"), signups, "user_id", "ts", leftOuter)
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"),
+        col("asof_signup_id").as("signup_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .as("micros_since_signup"))
+      .orderBy("event_id")
+  }
+
+  def eventToLastSignupNative(spark: SparkSession, d: String): DataFrame =
+    eventSignupNative(spark, d, leftOuter = false)
+
+  def eventToLastSignupNativeLeft(spark: SparkSession, d: String): DataFrame =
+    eventSignupNative(spark, d, leftOuter = true)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_native"      -> ((s, d) => eventToLastSignupNative(s, d)),
+    "q_asof_native_left" -> ((s, d) => eventToLastSignupNativeLeft(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_native"      -> AsOfJoin.eventToLastSignupSql,
+    "q_asof_native_left" -> AsOfJoin.eventToLastSignupLeftSql)
+}

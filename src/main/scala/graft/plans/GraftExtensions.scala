@@ -47,8 +47,14 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — wired into the
-  * engine's Verify/Bench sessions; any user session opts in the same way. */
+  * engine's Verify/Bench sessions; any user session opts in the same way.
+  * Registers the engine's whole extension surface: two optimizer rules
+  * ([[BandedLevenshteinRule]], [[RowNumberDedupRule]]) and the native
+  * as-of join planner strategy ([[AsOfJoinStrategy]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => RowNumberDedupRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` constructors the public extension-points API
+  * does not expose: building a DataFrame from a custom [[LogicalPlan]] node.
+  * This is the standard pattern used by Spark-ecosystem libraries that add
+  * whole-operator plans; the shim is the ONLY file outside the `graft`
+  * namespace and contains no logic.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
