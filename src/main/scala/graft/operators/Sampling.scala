@@ -255,7 +255,82 @@ object Sampling {
        |ORDER BY c_custkey, rank""".stripMargin
   }
 
+  // ---- weighted sampling (A-Res) -------------------------------------------
+
+  /** Weighted sample without replacement — Efraimidis–Spirakis A-Res: each
+    * item draws u ∈ (0,1) and gets key u^(1/w); the k largest keys are a
+    * weighted sample without replacement. Here w = n_chars (size-biased
+    * curation draw) and u is hash-derived (salted [[Hashing.hexHash]] of
+    * the id → a 10⁻⁶-grid uniform), so membership is reproducible and
+    * engine-independent like every sampler in this file. Ranked by
+    * ln(u)/w — the same ordering as u^(1/w) (ln is monotone and negative
+    * here) without the pow — and quantized to a 10⁻⁹ grid before the
+    * comparison so both engines rank identical integers (a double ulp is
+    * ~10⁻¹⁸ relative; the grid absorbs it). Top-k runs as
+    * TakeOrderedAndProject: per-partition partial top-k, only k rows per
+    * partition reach the driver-side merge — no global sort at 100 TB. */
+  def weightedSample(spark: SparkSession, d: String, k: Int = 500): DataFrame = {
+    val u = (pmod(Hashing.hexHash(concat(lit("ws:"), col("doc_id").cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    val key = log(u) / col("n_chars").cast("double")
+    documents(spark, d)
+      .where(col("n_chars") > 0)
+      .withColumn("key_q", floor(key * lit(1000000000.0)).cast("long"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("key_q"))
+  }
+
+  def weightedSampleSql(k: Int = 500): String = {
+    val h = Hashing.hexHashSql("'ws:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars, key_q FROM (
+       |  SELECT doc_id, source, n_chars,
+       |         CAST(floor(ln((CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+       |                    / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS key_q
+       |  FROM documents WHERE n_chars > 0) t
+       |ORDER BY key_q DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // ---- leakage-safe split (cluster-aware) -----------------------------------
+
+  /** Train/val/test split that cannot leak near-identical text across
+    * splits: every member of an exact-duplicate cluster is assigned by the
+    * hash of the cluster REPRESENTATIVE (min doc_id over the content-hash
+    * group), not its own id — the standard decontamination-adjacent
+    * discipline for eval splits. Runs over [[Dedup.docsWithInjectedDups]]
+    * so clusters are non-trivial on the synthetic corpus. One shuffle (the
+    * content-hash window); the 8-byte hash is the partition key, never the
+    * text. */
+  def clusterSplit(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    val b = bucket100(col("rep_id"))
+    Dedup.docsWithInjectedDups(spark, d)
+      .select(col("doc_id"), Hashing.hexHash(col("text")).as("content_hash"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("rep_id"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val clusterSplitSql: String = {
+    val b = bucket100Sql("rep_id")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY ${Hashing.hexHashSql("text")}) AS rep_id
+       |  FROM (${Dedup.docsWithInjectedDupsSql()})
+       |)
+       |SELECT doc_id, rep_id,
+       |       CASE WHEN $b < 90 THEN 'train'
+       |            WHEN $b < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "q_cluster_split"   -> ((s, d) => clusterSplit(s, d)),
     "q_neg_sample" -> ((s, d) => negativeSample(s, d)),
     "q_hash_sample"  -> ((s, d) => hashSample(s, d)),
     "q_strat_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -265,6 +340,8 @@ object Sampling {
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql(),
+    "q_cluster_split"   -> clusterSplitSql,
     "q_neg_sample" -> negativeSampleSql,
     "q_hash_sample"  -> hashSampleSql(),
     "q_strat_sample" -> stratifiedSampleSql,

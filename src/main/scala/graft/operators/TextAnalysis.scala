@@ -990,7 +990,46 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- URL parsing (web-crawl curation) -------------------------------------
+
+  /** URL decomposition — the first pass over any crawl manifest: protocol /
+    * host / path / query-param extraction. The synthetic docs carry no
+    * URLs, so the query deterministically derives one per document from its
+    * own fields (same planting discipline as [[piiScrub]]); the operator
+    * under test is Spark's native codegen'd `parse_url`, and the oracle
+    * replays the derivation and parses with regexes — two independent
+    * parser implementations. Map-only, scan-speed. */
+  def urlParse(spark: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/docs/"), col("lang"),
+      lit("/"), col("doc_id").cast("string"),
+      lit("?ref=r"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit("&page="), pmod(col("doc_id"), lit(13L)).cast("string"))
+    documents(spark, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"), col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("protocol"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+  }
+
+  val urlParseSql: String =
+    """SELECT doc_id, url,
+      |       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+      |       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      |       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |       regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+      |FROM (
+      |  SELECT doc_id,
+      |         'https://' || source || '.example.com/docs/' || lang || '/' ||
+      |         CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '&page=' || CAST(doc_id % 13 AS VARCHAR) AS url
+      |  FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
     "q_chunk"            -> ((s, d) => chunkDocs(s, d)),
@@ -1014,6 +1053,7 @@ object TextAnalysis {
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
     "q_chunk"         -> chunkDocsSql,
