@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
   * is before optimizing (round-2 lesson: the slow stage is rarely the one
   * you'd guess — measure first). Not part of the library surface.
   *
-  * Round-5 target: q_ssjoin_prefix — stage split (shingle+df+arrays vs
-  * prefix candidate join vs verify joins), and checkpoint on/off. */
+  * Round-6 targets: native as-of join vs the union-window composition, and
+  * the row_number()=1 dedup rewrite vs the window plan (toggled via
+  * `spark.sql.optimizer.excludedRules`). Measured at sf0.1 (min of 3):
+  * native inner as-of 0.79 s vs 2.96 s composition (3.7×), native left
+  * 0.74 s vs 0.89 s; dedup rewrite 0.28 s vs 0.33 s windowed (~13% here —
+  * the structural win, no sort either side of the exchange, grows with row
+  * width and group skew). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,6 +22,7 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$d/region.parquet").count()
@@ -30,14 +36,23 @@ object Probe {
       println(f"[probe] $name%-28s ${ts.min}%8.3f s (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
 
-    // stage 1 only: hashed shingle rows (the pinned frame)
-    time("ssjoin:shingle_rows") {
-      operators.Dedup.shingleHashRows(
-        operators.Dedup.docsWithInjectedDups(spark, d))
+    time("asof:composition") { ops.AsOfJoin.eventToLastSignup(spark, d) }
+    time("asof:native")      { ops.NativeAsOf.eventToLastSignupNative(spark, d) }
+    time("asof:comp_left")   { ops.AsOfJoin.eventToLastSignupLeft(spark, d) }
+    time("asof:native_left") { ops.NativeAsOf.eventToLastSignupNativeLeft(spark, d) }
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    def dedupDF(s: SparkSession) = {
+      val e = Tables.events(s, d)
+      e.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
     }
-    // full operator as shipped (localCheckpoint pin)
-    time("ssjoin:full") { operators.Dedup.ssjoinPrefix(spark, d) }
-    time("ssjoin:full#2") { operators.Dedup.ssjoinPrefix(spark, d) }
+    time("dedup:rewrite_on") { dedupDF(spark) }
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.RowNumberDedupRule")
+    time("dedup:rewrite_off") { dedupDF(spark) }
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+
     spark.stop()
   }
 }
