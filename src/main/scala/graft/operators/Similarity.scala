@@ -782,7 +782,113 @@ object Similarity {
        |ORDER BY adc_dist, c.vec_id LIMIT $k""".stripMargin
   }
 
+  // ---- int8 symmetric quantization ------------------------------------------
+
+  /** Int8 symmetric quantization of embeddings — the standard 4× memory
+    * shrink before an ANN index is resident at 100 TB scale: code_i =
+    * floor(127·e_i / amax), per-vector scale amax = max|e_i|. All
+    * arithmetic runs in the exact-integer quantized space ([[l2Normalize]]
+    * discipline): e_i → q_i = floor(e_i·1e6) exact longs, 127·q_i exact,
+    * the single double division floors identically in both engines, and
+    * the reconstruction-error sum Σ(127·q_i − code_i·amax) is an exact
+    * long (each term is a floor-division remainder in [0, amax)). Zero
+    * vectors yield NULL codes (nullif guard), not NaN. Map-only. */
+  def embedQuant(spark: SparkSession, d: String): DataFrame = {
+    val q = transform(col("embedding").cast("array<double>"),
+      e => floor(e * lit(1000000.0)).cast("long"))
+    val amaxD = nullif(col("amax"), lit(0L)).cast("double")
+    val code = (x: org.apache.spark.sql.Column) =>
+      floor((x * lit(127L)).cast("double") / amaxD).cast("long")
+    embeddings(spark, d)
+      .select(col("vec_id"), q.as("qarr"))
+      .withColumn("amax",
+        aggregate(col("qarr"), lit(0L), (a, x) => greatest(a, abs(x))))
+      .select(
+        col("vec_id"), col("amax"),
+        coalesce(array_join(transform(col("qarr"),
+          x => code(x).cast("string")), ","), lit("")).as("codes"),
+        coalesce(aggregate(col("qarr"), lit(0L),
+          (a, x) => a + (x * lit(127L) - code(x) * col("amax"))), lit(0L))
+          .as("err_sum"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qarr
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, qarr,
+      |         CAST(list_max(list_transform(qarr, x -> abs(x))) AS BIGINT) AS amax
+      |  FROM q
+      |)
+      |SELECT vec_id, COALESCE(amax, 0) AS amax,
+      |       COALESCE(array_to_string(list_transform(qarr, x ->
+      |         CAST(CAST(floor(CAST(x * 127 AS DOUBLE)
+      |           / CAST(nullif(amax, 0) AS DOUBLE)) AS BIGINT) AS VARCHAR)), ','),
+      |         '') AS codes,
+      |       COALESCE(CAST(list_sum(list_transform(qarr, x ->
+      |         x * 127 - CAST(floor(CAST(x * 127 AS DOUBLE)
+      |           / CAST(nullif(amax, 0) AS DOUBLE)) AS BIGINT) * amax)) AS BIGINT),
+      |         0) AS err_sum
+      |FROM s
+      |ORDER BY vec_id""".stripMargin
+
+  // ---- chunk → document mean pooling ----------------------------------------
+
+  /** Mean-pool chunk embeddings into a document embedding — the retrieval
+    * preprocessing step after long documents are split and embedded per
+    * chunk. Chunk groups are derived deterministically (vec_id div 4 — 4
+    * chunks per pooled doc). Physics: posexplode to (group, dim, q) rows,
+    * ONE hash aggregation keyed (group, dim) with map-side combine (exact
+    * long sums in quantized space), then per-group reassembly sorted by
+    * dimension — the shape that scales to billions of chunks because the
+    * wide row never shuffles, only (group, dim, long) triples. Mean =
+    * floor(sum/n) in one double division (exact: |sum| < 2^53). */
+  def embedPool(spark: SparkSession, d: String): DataFrame = {
+    val q = transform(col("embedding").cast("array<double>"),
+      e => floor(e * lit(1000000.0)).cast("long"))
+    embeddings(spark, d)
+      .select(expr("vec_id div 4").as("group_id"), posexplode(q).as(Seq("dim", "qv")))
+      .groupBy(col("group_id"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("group_id"), col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("m"),
+        col("n"))
+      .groupBy(col("group_id"))
+      .agg(max(col("n")).as("n_chunks"),
+        array_join(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m").cast("string")), ",").as("pooled_q"))
+      .orderBy("group_id")
+  }
+
+  val embedPoolSql: String =
+    """WITH q AS (
+      |  SELECT vec_id // 4 AS group_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qarr
+      |  FROM embeddings
+      |), flat AS (
+      |  SELECT group_id, i AS dim, qarr[i + 1] AS qv
+      |  FROM q CROSS JOIN range(0, 4096) t(i)
+      |  WHERE i < len(qarr)
+      |), agg AS (
+      |  SELECT group_id, dim,
+      |         CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |           AS BIGINT) AS m,
+      |         count(*) AS n
+      |  FROM flat GROUP BY group_id, dim
+      |)
+      |SELECT group_id, CAST(max(n) AS BIGINT) AS n_chunks,
+      |       string_agg(CAST(m AS VARCHAR), ',' ORDER BY dim) AS pooled_q
+      |FROM agg GROUP BY group_id
+      |ORDER BY group_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quant" -> ((s, d) => embedQuant(s, d)),
+    "q_embed_pool"  -> ((s, d) => embedPool(s, d)),
     "q_pq_codes"        -> ((s, d) => pqCodes(s, d)),
     "q_pq_topk"         -> ((s, d) => pqTopK(s, d)),
     "q_kmeans"          -> ((s, d) => kmeansAssign(s, d)),
@@ -798,6 +904,8 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_embed_quant" -> embedQuantSql,
+    "q_embed_pool"  -> embedPoolSql,
     "q_pq_codes"        -> pqCodesSql,
     "q_pq_topk"         -> pqTopKSql(),
     "q_kmeans"          -> kmeansAssignSql,

@@ -84,11 +84,50 @@ object NativeAsOf {
   def eventToLastSignupNativeLeft(spark: SparkSession, d: String): DataFrame =
     eventSignupNative(spark, d, leftOuter = true)
 
+  /** Staleness bound for [[eventToLastSignupFresh]]: 3 days in µs. */
+  val ToleranceMicros: Long = 3L * 24 * 3600 * 1000000L
+
+  /** Tolerance / staleness-bounded as-of — the FEATURE-STORE join
+    * contract: a feature row older than the staleness bound is treated as
+    * missing, not served. Composition: native as-of (left) + a mask on the
+    * matched age; the mask must null BOTH payload columns together (a row
+    * whose feature is stale has no signup_id AND no age — partial masking
+    * would stitch a phantom row). Same cost as the plain native as-of: the
+    * mask is map-only. */
+  def eventToLastSignupFresh(spark: SparkSession, d: String): DataFrame = {
+    val base = eventSignupNative(spark, d, leftOuter = true)
+    val fresh = col("micros_since_signup") <= ToleranceMicros
+    base.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(fresh, col("signup_id")).as("signup_id"),
+      when(fresh, col("micros_since_signup")).as("micros_since_signup"))
+  }
+
+  val eventToLastSignupFreshSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), signups AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id
+      |  FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |       CASE WHEN date_diff('microsecond', s.ts, e.ts) <= $ToleranceMicros
+      |            THEN s.signup_id END AS signup_id,
+      |       CASE WHEN date_diff('microsecond', s.ts, e.ts) <= $ToleranceMicros
+      |            THEN date_diff('microsecond', s.ts, e.ts) END AS micros_since_signup
+      |FROM (SELECT * FROM ev WHERE event_type <> 'signup') e
+      |ASOF LEFT JOIN signups s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_native"      -> ((s, d) => eventToLastSignupNative(s, d)),
-    "q_asof_native_left" -> ((s, d) => eventToLastSignupNativeLeft(s, d)))
+    "q_asof_native_left" -> ((s, d) => eventToLastSignupNativeLeft(s, d)),
+    "q_asof_fresh"       -> ((s, d) => eventToLastSignupFresh(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_asof_native"      -> AsOfJoin.eventToLastSignupSql,
-    "q_asof_native_left" -> AsOfJoin.eventToLastSignupLeftSql)
+    "q_asof_native_left" -> AsOfJoin.eventToLastSignupLeftSql,
+    "q_asof_fresh"       -> eventToLastSignupFreshSql)
 }
