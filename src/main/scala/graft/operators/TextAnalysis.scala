@@ -1028,7 +1028,25 @@ object TextAnalysis {
       |         '&page=' || CAST(doc_id % 13 AS VARCHAR) AS url
       |  FROM documents)""".stripMargin
 
+  /** [[chunkDocs]] re-expressed over the custom [[graft.plans.ChunkTokensGen]]
+    * GENERATOR (UDTF surface): one tokenize per document instead of one per
+    * chunk row, same contract, same oracle. Uses the shim-wrapped Column
+    * directly (no registry dependency), so it runs on any session; the SQL
+    * spelling `LATERAL VIEW chunk_tokens(...)` is exercised in
+    * ChunkTokensGenSpec. */
+  def chunkDocsGen(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    val gen = GraftSqlShim.column(graft.plans.ChunkTokensGen(
+      GraftSqlShim.expression(col("text")), ChunkWidth, ChunkStride))
+    documents(spark, d)
+      .select(col("doc_id"), gen.as(Seq("chunk_idx", "start_pos", "chunk_len", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("chunk_len"),
+        Hashing.hexHash(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
@@ -1053,6 +1071,7 @@ object TextAnalysis {
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_chunk_gen"     -> chunkDocsSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,

@@ -56,5 +56,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => RowNumberDedupRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  /** `chunk_tokens(text, width, stride)` — SQL surface for
+    * [[ChunkTokensGen]] (usable in LATERAL VIEW / generator positions).
+    * width/stride must be integer literals: they shape the generator, not
+    * per-row data. */
+  private[plans] val chunkTokensDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"chunk_tokens: $what must be an integer literal, got $other")
+    }
+    (FunctionIdentifier("chunk_tokens"),
+      new ExpressionInfo(classOf[ChunkTokensGen].getCanonicalName, "chunk_tokens"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "chunk_tokens(text, width, stride) takes 3 arguments")
+        ChunkTokensGen(exprs.head, lit(exprs(1), "width"), lit(exprs(2), "stride"))
+      })
   }
 }

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+/** The custom chunking Generator: bit-identical to the compositional
+  * chunker on real data, edge-exact on empty/short/null docs, and callable
+  * through SQL (`LATERAL VIEW chunk_tokens`) on an extensions session. */
+class ChunkTokensGenSpec extends AnyFunSuite {
+
+  private lazy val plain: SparkSession = SparkSpec.session
+
+  private lazy val ext: SparkSession = {
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("generator ≡ compositional chunker on the documents table") {
+    val d = "/root/testdata/sf0.001"
+    val gen = TextAnalysis.chunkDocsGen(plain, d)
+    val cmp = TextAnalysis.chunkDocs(plain, d)
+    assert(gen.count() > 0)
+    assert(gen.exceptAll(cmp).isEmpty && cmp.exceptAll(gen).isEmpty)
+  }
+
+  test("edges: empty doc → one empty chunk; null → none; short doc → one") {
+    import plain.implicits._
+    val df = Seq((1L, ""), (2L, null: String), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val gen = org.apache.spark.sql.GraftSqlShim.column(
+      ChunkTokensGen(org.apache.spark.sql.GraftSqlShim.expression(
+        org.apache.spark.sql.functions.col("text")), 40, 20))
+    val out = df.select($"doc_id",
+        gen.as(Seq("chunk_idx", "start_pos", "chunk_len", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSet == Set(
+      (1L, 0L, 1L, 1L, ""),        // "" tokenizes to [""] — one 1-token chunk
+      (3L, 0L, 1L, 3L, "a b c"))) // short doc: exactly one chunk, no row for null
+  }
+
+  test("SQL surface: LATERAL VIEW chunk_tokens on the extensions session") {
+    import ext.implicits._
+    Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ctg_docs")
+    val rows = ext.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk
+        |FROM ctg_docs
+        |LATERAL VIEW chunk_tokens(text, 3, 2) c""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSet == Set(
+      (1L, 0L, "w1 w2 w3"), (1L, 1L, "w3 w4 w5")))
+  }
+}
