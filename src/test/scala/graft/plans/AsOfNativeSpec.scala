@@ -62,6 +62,28 @@ class AsOfNativeSpec extends SparkSpec {
     assert(outer.count() == 5 && outer.where(col("asof_v").isNotNull).count() == 0)
   }
 
+  test("bucketed inputs join with ZERO exchanges (SortMergeJoin contract)") {
+    // both sides bucketed on the key: the operator's ClusteredDistribution
+    // is satisfied from the table layout, EnsureRequirements inserts only
+    // the cheap in-partition sorts — at 100 TB, an as-of join between
+    // bucketed fact and feature history never shuffles at read time
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    graft.operators.ScaleTools.writeBucketed(
+      ev.where(col("event_type") =!= "signup"), "asof_bkt_l", Seq("user_id"), 4)
+    graft.operators.ScaleTools.writeBucketed(
+      ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id")),
+      "asof_bkt_r", Seq("user_id"), 4)
+    val out = NativeAsOf.asOfNative(
+      spark.table("asof_bkt_l"), spark.table("asof_bkt_r"),
+      "user_id", "ts", leftOuter = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).isEmpty, plan)
+    assert(out.count() > 0)
+  }
+
   test("plan: AsOfJoin node present, one exchange per side, no union") {
     // edge frames have no pre-aggregation, so the ONLY shuffles are the two
     // EnsureRequirements exchanges clustering each side on its key
