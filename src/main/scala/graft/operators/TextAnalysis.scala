@@ -1045,7 +1045,49 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- HTML stripping (crawl cleaning) --------------------------------------
+
+  /** Boilerplate/tag removal — the first transform on any HTML crawl
+    * before text quality scoring. The synthetic docs are plain text, so
+    * the query deterministically wraps each doc in markup (same planting
+    * discipline as [[piiScrub]]/[[urlParse]]) and the STRIP chain is the
+    * operator under test: script blocks drop first (their CONTENT must go
+    * too, including literal '<'), then tags, then whitespace collapse.
+    * Map-only regex at scan speed; the oracle replays the plant and strips
+    * with the same patterns under RE2. */
+  def htmlStrip(spark: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p id=\"a\">"),
+      substring(col("text"), 1, 80),
+      lit("</p><script>var x = 1 < 2;</script></body></html>"))
+    documents(spark, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          "<script[\\s\\S]*?</script>", ""), "<[^>]*>", " "), " +", " "))
+          .as("clean"),
+        size(regexp_extract_all(col("raw"), lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"))
+      .orderBy("doc_id")
+  }
+
+  val htmlStripSql: String =
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(regexp_replace(raw,
+      |         '<script[\s\S]*?</script>', '', 'g'), '<[^>]*>', ' ', 'g'),
+      |         ' +', ' ', 'g')) AS clean,
+      |       CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags
+      |FROM (
+      |  SELECT doc_id,
+      |         '<html><body><h1>Doc ' || doc_id || '</h1><p id="a">' ||
+      |         substring(text, 1, 80) ||
+      |         '</p><script>var x = 1 < 2;</script></body></html>' AS raw
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
@@ -1071,6 +1113,7 @@ object TextAnalysis {
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,

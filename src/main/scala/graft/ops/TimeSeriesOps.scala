@@ -464,7 +464,61 @@ object TimeSeriesOps {
       |ORDER BY event_id""".stripMargin
   }
 
+  // --- rolling z-score anomaly flags -----------------------------------------
+  // The STREAMING-shaped twin of q_outliers: each daily total scored
+  // against its OWN trailing 7-observation window (mean/std from exact
+  // long sums inside the ROWS frame — one window pass, one Exchange by
+  // event_type), not a global broadcast. z is null until the window holds
+  // ≥ 2 points or while variance is 0 (both engines agree via the same
+  // CASE guard); output on the 0.01 grid like every z in this repo. The
+  // frame is over OBSERVED days (no dense spine): at 100 TB you score the
+  // series you have, and a gap-filled variant is q_forward_fill composed
+  // upstream.
+  def rollingZ(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dt"))
+      .rowsBetween(-6, Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(col("v_cents")).over(w).cast("double")
+    val sq = sum(col("v_cents") * col("v_cents")).over(w).cast("double")
+    val variance = (sq - s * s / n) / (n - lit(1.0))
+    daily
+      .withColumn("win_n", count(lit(1)).over(w).cast("long"))
+      .withColumn("z_q",
+        when(col("win_n") >= 2 && variance > 0,
+          floor((col("v_cents").cast("double") - s / n) / sqrt(variance) * 100)
+            .cast("long")))
+      .select(col("event_type"), col("dt"), col("v_cents"), col("win_n"), col("z_q"))
+      .orderBy("event_type", "dt")
+  }
+
+  val rollingZSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT event_type, dt, v_cents,
+      |         count(*) OVER w AS win_n,
+      |         CAST(sum(v_cents) OVER w AS DOUBLE) AS s,
+      |         CAST(sum(v_cents * v_cents) OVER w AS DOUBLE) AS sq,
+      |         CAST(count(*) OVER w AS DOUBLE) AS n
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY dt
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_type, dt, v_cents, CAST(win_n AS BIGINT) AS win_n,
+      |       CASE WHEN win_n >= 2 AND (sq - s * s / n) / (n - 1.0) > 0
+      |            THEN CAST(floor((CAST(v_cents AS DOUBLE) - s / n)
+      |                   / sqrt((sq - s * s / n) / (n - 1.0)) * 100) AS BIGINT)
+      |       END AS z_q
+      |FROM win
+      |ORDER BY event_type, dt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_z" -> (rollingZ _),
     "q_feature_label" -> (featureLabel _),
     "q_mad" -> (madStats _),
     "q_rfm" -> (rfm _),
@@ -476,6 +530,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_z" -> rollingZSql,
     "q_feature_label" -> featureLabelSql,
     "q_mad" -> madStatsSql,
     "q_rfm" -> rfmSql,
