@@ -784,6 +784,79 @@ object EventStream {
     finally deleteRecursively(root)
   }
 
+  /** STREAMING AS-OF ENRICHMENT: incoming events enriched per micro-batch
+    * with the most recent prior signup from a STATIC feature history —
+    * the lambda-free serving path a feature store runs, here driving the
+    * NATIVE as-of operator ([[graft.plans.AsOfJoinExec]]) inside
+    * foreachBatch (batch planning per micro-batch, so the custom exec
+    * needs no streaming-specific support). Because the right side is
+    * static and as-of is per-left-row independent, the union of
+    * per-batch outputs must equal the one-shot batch as-of — which is
+    * exactly the DuckDB ASOF oracle this query shares with q_asof_join.
+    * Results land in an append-only parquet dir (append is safe: each
+    * batch writes its own files — no MERGE discipline needed for
+    * insert-only enrichment). */
+  def streamingAsOfEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_asof")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val outDir = root.resolve("out").toString
+    // stage the raw file twice, split by event_id parity → 2 micro-batches
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .localCheckpoint()
+    def land(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"))
+      java.nio.file.Files.setLastModifiedTime(inDir.resolve(s"$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    land(raw.where(col("event_id") % 2 === 0), "b0", now - 30000L)
+    land(raw.where(col("event_id") % 2 === 1), "b1", now)
+
+    // static feature history: one signup row per (user, ts), pinned once
+    val withTs = raw.select(col("event_id"), col("user_id"),
+      expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+    val signups = withTs.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("signup_ts_k"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("signup_ts_k").as("ts"), col("signup_id"))
+      .localCheckpoint()
+
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ev = batch.select(col("event_id"), col("user_id"),
+            expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+          .where(col("event_type") =!= "signup")
+        graft.ops.NativeAsOf.asOfNative(ev, signups, "user_id", "ts", leftOuter = false)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            col("asof_signup_id").as("signup_id"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+              .as("micros_since_signup"))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    try spark.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+        col("signup_id"), col("micros_since_signup"))
+      .orderBy("event_id")
+      .localCheckpoint() // pin: the temp dirs are deleted below
+    finally deleteRecursively(root)
+  }
+
   /** Oracle: every event exactly once — the merge collapsed the overlap. */
   val streamingForeachMergeSql: String =
     s"""SELECT event_type, count(*) AS n_events,
@@ -1012,6 +1085,7 @@ object EventStream {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_outer"    -> ((s, d) => streamingOuterJoin(s, d)),
+    "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
@@ -1025,6 +1099,7 @@ object EventStream {
     "q_stream_timeout"  -> ((s, d) => streamingTimeoutSessions(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_asof"     -> graft.ops.AsOfJoin.eventToLastSignupSql,
     "q_stream_outer"    -> streamingOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
