@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RowNumberDedupRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
+    ext.injectFunction(GraftExtensions.argminRowDescriptor)
   }
 }
 
@@ -82,4 +83,19 @@ object GraftExtensions {
         ChunkTokensGen(exprs.head, lit(exprs(1), "width"), lit(exprs(2), "stride"))
       })
   }
+
+  /** `argmin_row(value, ord)` — the [[MinRowBy]] hash argmin as a plain
+    * SQL aggregate (the analyzer wraps a bare AggregateFunction): the row
+    * struct with the smallest ord, no sort, mergeable. The user-facing
+    * twin of what [[RowNumberDedupRule]] plans automatically; wrap sort
+    * keys in `struct(...)` so ord is never NULL (field nulls compare
+    * nulls-first, same as asc-nulls-first). */
+  private[plans] val argminRowDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("argmin_row"),
+      new ExpressionInfo(classOf[MinRowBy].getCanonicalName, "argmin_row"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "argmin_row(value, ord) takes 2 arguments")
+        MinRowBy(exprs.head, exprs(1), reverse = false)
+      })
 }

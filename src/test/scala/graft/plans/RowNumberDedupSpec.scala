@@ -94,6 +94,23 @@ class RowNumberDedupSpec extends AnyFunSuite {
     assert(sortedRows(q) == sortedRows(ref))
   }
 
+  test("argmin_row SQL aggregate: earliest event per user ≡ window form") {
+    graft.Tables.events(ext, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("rnd_events")
+    val viaAgg = ext.sql(
+      """SELECT user_id, r.event_id AS event_id, r.event_type AS event_type
+        |FROM (SELECT user_id,
+        |             argmin_row(struct(event_id, event_type), struct(ts, event_id)) AS r
+        |      FROM rnd_events GROUP BY user_id)""".stripMargin)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val viaWin = graft.Tables.events(plain, "/root/testdata/sf0.001")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+    assert(sortedRows(viaAgg) == sortedRows(viaWin))
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Sort"), plan)
+  }
+
   test("guards: rn=2, extra window outputs, mixed directions stay windows") {
     val ev = graft.Tables.events(ext, "/root/testdata/sf0.001")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
