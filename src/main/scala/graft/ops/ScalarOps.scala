@@ -150,24 +150,34 @@ object ScalarOps {
   // The error-absorbing scalar family (try_divide / try_cast / try_add):
   // under ANSI SQL these THROW; the try_ forms yield NULL — the contract a
   // pipeline needs to quarantine bad rows instead of failing a 100 TB job.
-  // The oracle states the same semantics in DuckDB spellings (NULLIF
-  // guard, TRY_CAST, and an explicit overflow-window CASE for try_add).
+  // Failures hit a SLICE of rows (10% bad casts, 1% overflows), which is
+  // both the realistic quarantine scenario and a measured scale lesson:
+  // each failing try_* row pays a thrown-and-caught JVM exception (probed
+  // at sf0.1: an ALWAYS-overflowing try_add costs 2.1 s vs 0.1 s baseline,
+  // an always-failing string cast 1.2 s) — try_* is for rare bad rows; a
+  // column that is 100% bad belongs behind a CASE guard instead. The
+  // oracle states the same semantics in DuckDB spellings (NULLIF guard,
+  // TRY_CAST, and an explicit overflow CASE for try_add).
   def tryFuncs(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
       .select(col("event_id"),
         expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
-        expr("try_cast(event_type AS INT)").as("type_int"),
+        expr("try_cast(CASE WHEN event_id % 10 = 0 THEN event_type " +
+          "ELSE CAST(event_id AS STRING) END AS INT)").as("mixed_int"),
         expr("try_cast(CAST(event_id AS STRING) AS INT)").as("id_int"),
-        expr("try_add(9223372036854775807L, event_id)").as("overflow_add"))
+        expr("try_add(CASE WHEN event_id % 100 = 0 THEN 9223372036854775807L " +
+          "ELSE 0L END, event_id)").as("overflow_add"))
       .orderBy("event_id")
 
   val tryFuncsSql: String =
     """SELECT event_id,
       |       value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS div3,
-      |       TRY_CAST(event_type AS INTEGER) AS type_int,
+      |       TRY_CAST(CASE WHEN event_id % 10 = 0 THEN event_type
+      |                ELSE CAST(event_id AS VARCHAR) END AS INTEGER) AS mixed_int,
       |       TRY_CAST(CAST(event_id AS VARCHAR) AS INTEGER) AS id_int,
-      |       CASE WHEN event_id > 0 THEN CAST(NULL AS BIGINT)
-      |            ELSE 9223372036854775807 + event_id END AS overflow_add
+      |       CASE WHEN event_id % 100 = 0 AND event_id > 0 THEN CAST(NULL AS BIGINT)
+      |            WHEN event_id % 100 = 0 THEN 9223372036854775807 + event_id
+      |            ELSE event_id END AS overflow_add
       |FROM events
       |ORDER BY event_id""".stripMargin
 
