@@ -34,7 +34,19 @@ object NativeAsOf {
     * normal case: a table as-of joined to an aggregate of itself) never
     * collide. */
   def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftOuter: Boolean): DataFrame = {
+      leftOuter: Boolean): DataFrame =
+    asOfNativeKeys(left, right, Seq(key), ts, leftOuter)
+
+  /** Composite-key form: the join key is a struct of `keys` — the operator
+    * clusters and merges on struct hash/ordering, so any number of equality
+    * keys costs the same one shuffle per side. Caveat of struct semantics:
+    * a NULL key FIELD equals another NULL field (struct ordering compares
+    * them equal), unlike a bare SQL equi-join key — filter null key fields
+    * upstream when SQL semantics are required (a bare single NULL key is
+    * still never matched: the struct itself is non-null). */
+  def asOfNativeKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, leftOuter: Boolean): DataFrame = {
+    require(keys.nonEmpty, "asOfNativeKeys needs at least one key column")
     val spark = left.sparkSession
     ensureStrategy(spark)
     // prefix right columns at the DataFrame level: output names stay unique
@@ -49,12 +61,29 @@ object NativeAsOf {
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
     val rOut = rAliases.map(_.toAttribute)
+    def keyExpr(out: Seq[Attribute], names: Seq[String])
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      if (names.size == 1) attr(out, names.head)
+      else org.apache.spark.sql.catalyst.expressions.CreateStruct(
+        names.map(attr(out, _)))
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
-      attr(lPlan.output, key), attr(rOut, s"asof_$key"),
+      keyExpr(lPlan.output, keys), keyExpr(rOut, keys.map(k => s"asof_$k")),
       attr(lPlan.output, ts), attr(rOut, s"asof_$ts"),
       leftOuter)
-    GraftSqlShim.ofRows(spark, plan).drop(s"asof_$key")
+    keys.foldLeft(GraftSqlShim.ofRows(spark, plan))((df, k) => df.drop(s"asof_$k"))
+  }
+
+  /** FORWARD native as-of (earliest right row at-or-after): mechanically
+    * the backward operator on NEGATED event time — greatest −t′ ≤ −t ⟺
+    * smallest t′ ≥ t, boundary stays inclusive. The negation columns are
+    * plan-time projections; cost is identical to the backward form. */
+  def asOfNativeForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, leftOuter: Boolean): DataFrame = {
+    val l2 = left.withColumn("__negts", -unix_micros(col(ts)))
+    val r2 = right.withColumn("__negts", -unix_micros(col(ts)))
+    asOfNative(l2, r2, key, "__negts", leftOuter)
+      .drop("__negts").drop("asof___negts")
   }
 
   // same query shape as q_asof_join / q_asof_join_left (AsOfJoin.scala):
@@ -83,6 +112,27 @@ object NativeAsOf {
 
   def eventToLastSignupNativeLeft(spark: SparkSession, d: String): DataFrame =
     eventSignupNative(spark, d, leftOuter = true)
+
+  /** [[AsOfJoin.eventToNextSignup]] on the native operator (forward form) —
+    * shares the DuckDB `ASOF JOIN ... <=` oracle. */
+  def eventToNextSignupNative(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("signup_ts_k"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("signup_ts_k").as("ts"), col("signup_id"))
+    asOfNativeForward(ev.where(col("event_type") =!= "signup"), signups,
+        "user_id", "ts", leftOuter = false)
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"),
+        col("asof_signup_id").as("signup_id"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+          .as("micros_until_signup"))
+      .orderBy("event_id")
+  }
 
   /** Staleness bound for [[eventToLastSignupFresh]]: 3 days in µs. */
   val ToleranceMicros: Long = 3L * 24 * 3600 * 1000000L
@@ -124,10 +174,12 @@ object NativeAsOf {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_native"      -> ((s, d) => eventToLastSignupNative(s, d)),
     "q_asof_native_left" -> ((s, d) => eventToLastSignupNativeLeft(s, d)),
+    "q_asof_native_fwd"  -> ((s, d) => eventToNextSignupNative(s, d)),
     "q_asof_fresh"       -> ((s, d) => eventToLastSignupFresh(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_asof_native"      -> AsOfJoin.eventToLastSignupSql,
     "q_asof_native_left" -> AsOfJoin.eventToLastSignupLeftSql,
+    "q_asof_native_fwd"  -> AsOfJoin.eventToNextSignupSql,
     "q_asof_fresh"       -> eventToLastSignupFreshSql)
 }

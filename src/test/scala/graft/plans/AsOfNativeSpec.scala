@@ -62,6 +62,28 @@ class AsOfNativeSpec extends SparkSpec {
     assert(outer.count() == 5 && outer.where(col("asof_v").isNotNull).count() == 0)
   }
 
+  test("composite key: struct clustering matches per-key backward semantics") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L, "l1"), (1L, "b", 10L, "l2"), (2L, "a", 5L, "l3"))
+      .toDF("k1", "k2", "t", "ltag")
+    val right = Seq((1L, "a", 8L, "ra"), (1L, "b", 9L, "rb"),
+      (1L, "a", 11L, "rx"), (2L, "b", 1L, "ry"))
+      .toDF("k1", "k2", "t", "v")
+    val out = NativeAsOf.asOfNativeKeys(left, right, Seq("k1", "k2"), "t",
+        leftOuter = true)
+      .select("ltag", "asof_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // (1,a)@10 → ra (8 ≤ 10; 11 too late); (1,b)@10 → rb; (2,a) → no (2,a) rows
+    assert(out == Map("l1" -> "ra", "l2" -> "rb", "l3" -> null))
+  }
+
+  test("forward native as-of ≡ forward composition (earliest at-or-after)") {
+    val nat = NativeAsOf.eventToNextSignupNative(spark, d)
+    val cmp = AsOfJoin.eventToNextSignup(spark, d)
+    assert(nat.count() > 0)
+    assert(nat.exceptAll(cmp).isEmpty && cmp.exceptAll(nat).isEmpty)
+  }
+
   test("bucketed inputs join with ZERO exchanges (SortMergeJoin contract)") {
     // both sides bucketed on the key: the operator's ClusteredDistribution
     // is satisfied from the table layout, EnsureRequirements inserts only
