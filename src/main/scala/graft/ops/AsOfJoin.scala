@@ -28,7 +28,13 @@ object AsOfJoin {
 
   /** Generic composition: `left` as-of `right` on `key`/`ts`. `right` must
     * be unique per (key, ts) — pre-aggregate if not. Carries all payload
-    * columns of both sides given by the selections. */
+    * columns of both sides given by the selections.
+    *
+    * NULL-key caveat: the window partition groups null keys together, so a
+    * null-key left row WOULD carry a null-key right row — unlike SQL or
+    * DuckDB ASOF (and unlike [[NativeAsOf.asOfNative]]), where null never
+    * matches. Pre-filter null keys when SQL semantics are required; every
+    * oracle-checked caller in this repo joins on non-null keys. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val l = left.withColumn("__side", lit(0))
     val r = right.withColumn("__side", lit(1))
