@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.Money
+import graft.functions.{Hashing, Money}
 
 /** Lakehouse maintenance / layout operators beyond the reference surface:
   * SCD2 history build, interval union (overlap merge), Z-order clustering
@@ -539,7 +539,47 @@ object LakeOps {
       |  FROM orders
       |) ORDER BY check_name""".stripMargin
 
+  // --- order-independent table checksum (anti-entropy) -----------------------
+  // Replica/migration verification at 100 TB: XOR of canonical per-row
+  // hashes per hash-bucket (a one-level Merkle grain). XOR is commutative
+  // and associative, so the aggregate is partition-order-free, map-side
+  // combinable, and the shuffle carries 64 rows of (bucket, long, long) —
+  // two replicas compare 64 checksums to localize any divergence to a
+  // bucket instead of re-reading each other's data. Canonicalization:
+  // exact cents for money, ISO date strings, explicit null sentinel —
+  // every piece proven cross-engine elsewhere in this repo.
+  def tableChecksum(spark: SparkSession, d: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      coalesce(col("o_orderstatus"), lit(" ")),
+      Money.cents(col("o_totalprice")).cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      coalesce(col("o_orderpriority"), lit(" ")))
+    orders(spark, d)
+      .select(pmod(col("o_orderkey"), lit(64L)).as("bucket"),
+        Hashing.hexHash(canon).as("h"))
+      .groupBy(col("bucket"))
+      .agg(expr("bit_xor(h)").as("xor_hash"), count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  val tableChecksumSql: String = {
+    val canon = "o_orderkey || '|' || o_custkey || '|' || " +
+      "COALESCE(o_orderstatus, ' ') || '|' || " +
+      s"${Money.centsSql("o_totalprice")} || '|' || " +
+      "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' || " +
+      "COALESCE(o_orderpriority, ' ')"
+    s"""SELECT o_orderkey % 64 AS bucket,
+       |       bit_xor(${Hashing.hexHashSql(canon)}) AS xor_hash,
+       |       count(*) AS n_rows
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_checksum" -> (tableChecksum _),
     "q_dq_checks" -> (dqChecks _),
     "q_partial_merge" -> (partialMerge _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -553,6 +593,7 @@ object LakeOps {
     "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_checksum" -> tableChecksumSql,
     "q_dq_checks" -> dqChecksSql,
     "q_partial_merge" -> partialMergeSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
