@@ -578,7 +578,95 @@ object LakeOps {
        |ORDER BY bucket""".stripMargin
   }
 
+  // --- checksum diff / repair drill-down -------------------------------------
+  // The REPAIR half of anti-entropy: replica B is orders with injected
+  // divergence (1-cent corruption on keys %997=0, missing rows on keys
+  // %1009=0 — integer-only injection, no float arithmetic). Per-bucket
+  // checksums localize the damage; the row-level hash anti-joins then run
+  // ONLY over the diverged buckets (broadcast semi-join prune) — at 100 TB
+  // the drill-down re-reads a 1/64th slice per damaged bucket instead of
+  // either full table. Output ≤ 64 rows: bucket, per-replica counts, and
+  // how many rows exist on exactly one side.
+  def checksumDiff(spark: SparkSession, d: String): DataFrame = {
+    def hashes(centsAdj: Column): DataFrame = {
+      val canon = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        coalesce(col("o_orderstatus"), lit(" ")),
+        (Money.cents(col("o_totalprice")) + centsAdj).cast("string"),
+        col("o_orderdate").cast("date").cast("string"),
+        coalesce(col("o_orderpriority"), lit(" ")))
+      orders(spark, d).select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(64L)).as("bucket"),
+        Hashing.hexHash(canon).as("h"))
+    }
+    val a = hashes(lit(0L))
+    val b = hashes(when(pmod(col("o_orderkey"), lit(997L)) === 0, 1L).otherwise(0L))
+      .where(pmod(col("o_orderkey"), lit(1009L)) =!= 0)
+    def sums(df: DataFrame, xn: String, nn: String) =
+      df.groupBy(col("bucket"))
+        .agg(expr("bit_xor(h)").as(xn), count(lit(1)).as(nn))
+    val diverged = sums(a, "xa", "na")
+      .join(sums(b, "xb", "nb"), Seq("bucket"), "full_outer")
+      .where(col("xa") =!= col("xb") || col("na") =!= col("nb") ||
+        col("xa").isNull || col("xb").isNull)
+      .select(col("bucket"), coalesce(col("na"), lit(0L)).as("n_rows_a"),
+        coalesce(col("nb"), lit(0L)).as("n_rows_b"))
+    val dBuckets = diverged.select("bucket")
+    val aPruned = a.join(broadcast(dBuckets), Seq("bucket"), "left_semi")
+    val bPruned = b.join(broadcast(dBuckets), Seq("bucket"), "left_semi")
+    val onlyA = aPruned.join(bPruned.select("bucket", "h"), Seq("bucket", "h"), "left_anti")
+      .groupBy("bucket").agg(count(lit(1)).as("n_only_a"))
+    val onlyB = bPruned.join(aPruned.select("bucket", "h"), Seq("bucket", "h"), "left_anti")
+      .groupBy("bucket").agg(count(lit(1)).as("n_only_b"))
+    diverged
+      .join(onlyA, Seq("bucket"), "left")
+      .join(onlyB, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_rows_a"), col("n_rows_b"),
+        coalesce(col("n_only_a"), lit(0L)).as("n_only_a"),
+        coalesce(col("n_only_b"), lit(0L)).as("n_only_b"))
+      .orderBy("bucket")
+  }
+
+  val checksumDiffSql: String = {
+    def canon(cents: String) = "o_orderkey || '|' || o_custkey || '|' || " +
+      "COALESCE(o_orderstatus, ' ') || '|' || " +
+      s"($cents) || '|' || " +
+      "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' || " +
+      "COALESCE(o_orderpriority, ' ')"
+    val cA = Money.centsSql("o_totalprice")
+    val cB = s"$cA + CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END"
+    s"""WITH a AS (
+       |  SELECT o_orderkey % 64 AS bucket,
+       |         ${Hashing.hexHashSql(canon(cA))} AS h
+       |  FROM orders
+       |), b AS (
+       |  SELECT o_orderkey % 64 AS bucket,
+       |         ${Hashing.hexHashSql(canon(cB))} AS h
+       |  FROM orders WHERE o_orderkey % 1009 <> 0
+       |), ca AS (SELECT bucket, bit_xor(h) AS xa, count(*) AS na FROM a GROUP BY 1),
+       |cb AS (SELECT bucket, bit_xor(h) AS xb, count(*) AS nb FROM b GROUP BY 1),
+       |div AS (
+       |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+       |         COALESCE(na, 0) AS n_rows_a, COALESCE(nb, 0) AS n_rows_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+       |  WHERE xa <> xb OR na <> nb OR xa IS NULL OR xb IS NULL
+       |)
+       |SELECT d.bucket, n_rows_a, n_rows_b,
+       |       COALESCE((SELECT count(*) FROM a
+       |                 WHERE a.bucket = d.bucket
+       |                   AND NOT EXISTS (SELECT 1 FROM b
+       |                     WHERE b.bucket = a.bucket AND b.h = a.h)), 0) AS n_only_a,
+       |       COALESCE((SELECT count(*) FROM b
+       |                 WHERE b.bucket = d.bucket
+       |                   AND NOT EXISTS (SELECT 1 FROM a
+       |                     WHERE a.bucket = b.bucket AND a.h = b.h)), 0) AS n_only_b
+       |FROM div d
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_checksum_diff" -> (checksumDiff _),
     "q_checksum" -> (tableChecksum _),
     "q_dq_checks" -> (dqChecks _),
     "q_partial_merge" -> (partialMerge _),
@@ -593,6 +681,7 @@ object LakeOps {
     "q_profile" -> (columnProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_checksum_diff" -> checksumDiffSql,
     "q_checksum" -> tableChecksumSql,
     "q_dq_checks" -> dqChecksSql,
     "q_partial_merge" -> partialMergeSql,
