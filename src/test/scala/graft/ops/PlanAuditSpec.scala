@@ -309,4 +309,42 @@ class PlanAuditSpec extends SparkSpec {
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text"), exchangeLines)
   }
+
+  // ---- round-6 additions ----------------------------------------------------
+
+  test("weighted sample is a partial top-k, not a global sort") {
+    val p = plan(graft.operators.Sampling.weightedSample(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countExchanges(graft.operators.Sampling.weightedSample(spark, d)) == 0, p)
+  }
+
+  test("cluster split shuffles once, on the 8-byte content hash") {
+    val df = graft.operators.Sampling.clusterSplit(spark, d)
+    // one window exchange by content_hash + the output sort
+    assert(countExchanges(df) <= 2, plan(df))
+    val exchangeLines = plan(df).linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(exchangeLines.contains("content_hash"), exchangeLines)
+    assert(!exchangeLines.contains("text"), exchangeLines)
+  }
+
+  test("embed pooling: partial aggregation before the (group, dim) exchange") {
+    val p = plan(graft.operators.Similarity.embedPool(spark, d))
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    // no array column crosses an exchange: triples only
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("embedding"), exchangeLines)
+  }
+
+  test("table checksum: map-side combined xor, 64-row shuffle grain") {
+    val p = plan(LakeOps.tableChecksum(spark, d))
+    assert(p.contains("partial_bit_xor") || p.contains("Partial"), p)
+    assert(countExchanges(LakeOps.tableChecksum(spark, d)) <= 2, p)
+  }
+
+  test("url parse and html strip stay map-only (zero exchanges)") {
+    assert(countExchanges(graft.operators.TextAnalysis.urlParse(spark, d)) == 0)
+    // htmlStrip ends in an output orderBy — allow exactly that one exchange
+    assert(countExchanges(graft.operators.TextAnalysis.htmlStrip(spark, d)) <= 1)
+  }
 }
