@@ -517,7 +517,139 @@ object TimeSeriesOps {
       |FROM win
       |ORDER BY event_type, dt""".stripMargin
 
+  // --- Gini concentration (inequality of customer spend per nation) ---------
+  // The classic sorted-rank formula G = (2·Σ i·x_i − (n+1)·Σ x_i)/(n·Σ x_i)
+  // over per-customer lifetime spend, grouped by nation. Every input to the
+  // final expression is an EXACT long (cents, ranks, rank-weighted sums —
+  // all < 2^53 per nation at any plausible per-group cardinality), and the
+  // ppm output is one identical double expression on both engines, so the
+  // floor is bit-reproducible. Σ i·x_i is invariant under tie order (equal
+  // x across a rank run contributes the same regardless of permutation),
+  // but the rank window still totally orders on (x, custkey) so the
+  // intermediate frame itself is deterministic.
+  // Scale: one shuffle to agg orders by customer, one hash join to pick up
+  // the nation, one window partitioned by nation (25 groups — at a larger
+  // key space this stays the per-group sort it is), one final 25-row agg.
+  def gini(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Money
+    val spend = orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Money.cents(col("o_totalprice"))).as("x"))
+      .join(customer(spark, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("x"), col("o_custkey"))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val totD = col("total_cents").cast("double")
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total_cents"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("nationkey"), col("n"), col("total_cents"),
+        floor((lit(2.0) * s1D - (nD + lit(1.0)) * totD) * lit(1000000.0)
+          / (nD * totD)).cast("long").as("gini_ppm"))
+      .orderBy("nationkey")
+  }
+
+  val giniSql: String = {
+    import graft.functions.Money
+    s"""WITH spend AS (
+      |  SELECT o_custkey, CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT c.c_nationkey, s.x,
+      |         CAST(row_number() OVER (PARTITION BY c.c_nationkey
+      |                                 ORDER BY s.x, s.o_custkey) AS BIGINT) AS i
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+      |), agg AS (
+      |  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS total_cents,
+      |         CAST(sum(i * x) AS BIGINT) AS s1
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT nationkey, n, total_cents,
+      |       CAST(floor((2.0 * CAST(s1 AS DOUBLE)
+      |                   - (CAST(n AS DOUBLE) + 1.0) * CAST(total_cents AS DOUBLE))
+      |                  * 1000000.0
+      |                  / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE)))
+      |            AS BIGINT) AS gini_ppm
+      |FROM agg ORDER BY nationkey""".stripMargin
+  }
+
+  // --- lag-k autocorrelation (ACF of the daily revenue series) --------------
+  // Calendar-lag ACF: pairs (day t, day t−k) matched on the day INDEX, not
+  // the row offset, so series gaps pair identically on both engines. The
+  // Pearson r per lag is rebuilt from exact long sums (n, Σx, Σy, Σxy,
+  // Σx², Σy² — all within 2^63 at any scale where a daily cents total fits
+  // a long) through ONE identical double expression — built-in corr() is
+  // deliberately avoided because its streaming co-moment update order is
+  // engine-internal. Output on the 1e-6 grid.
+  // Scale: the fact table shuffles once for the daily agg; the series is
+  // bounded by CALENDAR DAYS × lags, so the self-join fan-out is broadcast
+  // and O(days·maxLag) regardless of data volume. The daily frame is
+  // localCheckpoint-pinned before fanning into both join sides (exchange
+  // reuse does not fire across self-join branches).
+  val AcfMaxLag = 7
+
+  def acf(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .select(datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long").as("idx"),
+        col("v"))
+      .localCheckpoint()
+    val lags = spark.range(1, AcfMaxLag + 1).select(col("id").as("k"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .join(broadcast(daily.select(col("idx").as("idx2"), col("v").as("y"))),
+        col("idx2") === col("idx") - col("k"))
+      .select(col("k"), col("v").as("x"), col("y"))
+    val nD = col("n_pairs").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val denx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    val deny = nD * dbl("syy") - dbl("sy") * dbl("sy")
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("k"), col("n_pairs"),
+        when(denx > 0 && deny > 0,
+          floor((nD * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (sqrt(denx) * sqrt(deny)) * lit(1000000.0)).cast("long"))
+          .as("acf_q"))
+      .orderBy("k")
+  }
+
+  val acfSql: String =
+    s"""WITH daily AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS idx,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1
+      |), ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, ${AcfMaxLag + 1}) t(i)),
+      |pairs AS (
+      |  SELECT ks.k, a.v AS x, b.v AS y
+      |  FROM daily a CROSS JOIN ks JOIN daily b ON b.idx = a.idx - ks.k
+      |), s AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |         CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY k
+      |)
+      |SELECT k, n_pairs,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN CAST(floor((n * sxy - sx * sy)
+      |                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |                   * 1000000.0) AS BIGINT)
+      |       END AS acf_q
+      |FROM s ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (gini _),
+    "q_acf" -> (acf _),
     "q_rolling_z" -> (rollingZ _),
     "q_feature_label" -> (featureLabel _),
     "q_mad" -> (madStats _),
@@ -530,6 +662,8 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_gini" -> giniSql,
+    "q_acf" -> acfSql,
     "q_rolling_z" -> rollingZSql,
     "q_feature_label" -> featureLabelSql,
     "q_mad" -> madStatsSql,

@@ -134,4 +134,42 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("mad") === medianOf(vs.map(v => math.abs(v - med))))
     }
   }
+
+  test("gini is in [0, 1e6) ppm and matches an in-Scala restatement per nation") {
+    val out = TimeSeriesOps.gini(spark, d).collect()
+    assert(out.nonEmpty)
+    val spend = spark.read.parquet(s"$d/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(spark.read.parquet(s"$d/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_nationkey", "x").collect()
+      .groupBy(_.getAs[Int]("c_nationkey"))
+    out.foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L)
+      val xs = spend(r.getAs[Int]("nationkey")).map(_.getAs[Long]("x")).sorted
+      val n = xs.length.toLong
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val expected = math.floor(
+        (2.0 * s1 - (n + 1.0) * xs.sum) * 1000000.0 / (n.toDouble * xs.sum)).toLong
+      assert(r.getAs[Long]("n") === n)
+      assert(g === expected)
+    }
+  }
+
+  test("acf lag rows pair only existing day indexes and lag-k pair count shrinks with k") {
+    val out = TimeSeriesOps.acf(spark, d).collect().sortBy(_.getAs[Long]("k"))
+    assert(out.map(_.getAs[Long]("k")).toSeq === (1L to TimeSeriesOps.AcfMaxLag))
+    val days = graft.Tables.events(spark, d)
+      .select(to_date(col("ts")).as("dt")).distinct().collect()
+      .map(_.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay).toSet
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val expectedPairs = days.count(t => days.contains(t - k)).toLong
+      assert(r.getAs[Long]("n_pairs") === expectedPairs)
+      val a = r.getAs[Long]("acf_q")
+      assert(a >= -1000000L && a <= 1000000L)
+    }
+  }
 }
