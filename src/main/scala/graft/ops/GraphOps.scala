@@ -231,13 +231,79 @@ object GraphOps {
       |SELECT degree, count(*) AS n_nodes
       |FROM all_nodes GROUP BY degree ORDER BY degree""".stripMargin
 
+  // ---- BFS shortest-path levels --------------------------------------------
+
+  /** Minimum-hop levels from a fixed source over the customer↔supplier
+    * bipartite trade graph (same node numbering as [[pageRank]]): the
+    * frontier-expansion BFS — per superstep ONE edges⋈frontier hash join,
+    * one distinct, one anti-join against the visited set. The
+    * visited-prune makes each level's join input the DELTA frontier, so
+    * total work is O(edges · diameter) — the semi-naive evaluation the
+    * oracle's recursive UNION performs, expressed relationally. Source =
+    * the minimum node id (2·min custkey-with-orders), computed as a
+    * one-scalar aggregate so both engines pick it identically.
+    *
+    * Scale: edges pin once (partitioned by src); frontier/visited are
+    * node-sized and localCheckpoint-pinned per level (exchange reuse does
+    * not fire across the union/anti-join fan-out). Unreached nodes are
+    * absent — at 4 hops on this near-bipartite-complete graph that's
+    * nothing, but the shape stays correct on any sparse graph.
+    */
+  val BfsMaxHops = 4
+
+  def bfs(spark: SparkSession, d: String): DataFrame = {
+    val pairs = orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val s0 = edges.agg(min(col("src"))).head.getLong(0)
+    var visited = edges.sparkSession.range(1)
+      .select(lit(s0).as("node"), lit(0L).as("level")).localCheckpoint()
+    var frontier = visited.select(col("node").as("src"))
+    for (l <- 1 to BfsMaxHops) {
+      val next = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(l.toLong).as("level"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node").as("src"))
+    }
+    visited.orderBy("node")
+  }
+
+  val bfsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs
+      |), walk(node, lvl) AS (
+      |  SELECT min(src), 0 FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lvl + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.lvl < $BfsMaxHops
+      |)
+      |SELECT node, CAST(min(lvl) AS BIGINT) AS level
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRank _),
     "q_triangles" -> (triangles _),
-    "q_degree_dist" -> (degreeDist _))
+    "q_degree_dist" -> (degreeDist _),
+    "q_bfs" -> (bfs _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
     "q_triangles" -> trianglesSql,
-    "q_degree_dist" -> degreeDistSql)
+    "q_degree_dist" -> degreeDistSql,
+    "q_bfs" -> bfsSql)
 }

@@ -57,4 +57,28 @@ class GraphOpsSpec extends SparkSpec {
     // nodes outside the mutual graph appear with zero
     got.foreach { case (n, t) => if (!nodes.contains(n)) assert(t === 0L) }
   }
+
+  test("bfs levels are true minimum hop counts and respect bipartite parity") {
+    import org.apache.spark.sql.functions._
+    val out = GraphOps.bfs(spark, d).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
+    // rebuild the graph and run a reference BFS in Scala
+    val pairs = spark.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_custkey")
+      .join(spark.read.parquet(s"$d/lineitem.parquet").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val s0 = adj.keys.min
+    var level = Map(s0 -> 0L)
+    var frontier = Set(s0)
+    for (l <- 1 to GraphOps.BfsMaxHops) {
+      frontier = frontier.flatMap(adj(_)).diff(level.keySet)
+      level ++= frontier.map(_ -> l.toLong)
+    }
+    assert(out === level)
+    assert(out(s0) === 0L)
+    // bipartite invariant: even node ids (customers) sit on even levels
+    out.foreach { case (n, l) => assert((n % 2 === l % 2), s"node $n level $l") }
+  }
 }
