@@ -1086,7 +1086,64 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- exact heavy hitters (Misra-Gries candidates + recount) ---------------
+
+  /** Corpus-wide frequent tokens (count·K > total tokens), EXACT — via the
+    * canonical two-pass sketch-then-verify pattern: each partition runs a
+    * Misra-Gries summary with K counters over its token stream
+    * (mapPartitions, O(K) memory, no shuffle), the union of per-partition
+    * survivors is the candidate set, and a broadcast semi-join + exact
+    * recount of candidates only produces the final answer.
+    *
+    * Why this is exact: MG with K counters keeps every item whose
+    * partition-local frequency exceeds n_p/(K+1). If freq(x) > n/K
+    * globally then freq_p(x) > n_p/K ≥ n_p/(K+1) in at least one
+    * partition (else summing the per-partition bounds contradicts the
+    * global one), so x is ALWAYS a candidate; the recount then filters
+    * false positives with exact counts. The candidate set depends on the
+    * partitioning, the OUTPUT does not.
+    *
+    * Scale: the token stream is never shuffled on token — the only wide
+    * ops are the distinct over ≤ partitions·K candidate rows and the
+    * recount groupBy over candidate-matching tokens (a vanishing fraction
+    * of the corpus). At 100 TB the alternative (groupBy every token)
+    * shuffles the entire tokenized corpus; this shuffles kilobytes.
+    */
+  val HhK = 100
+
+  def heavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tokens = documents(spark, d).select(explode(toks(col("text"))).as("token"))
+    val n = tokens.count()
+    val candidates = tokens.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < HhK) counters(t) = 1L
+        else {
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    tokens.join(broadcast(candidates), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * HhK > lit(n))
+      .orderBy("token")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tokens AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), tot AS (SELECT count(*) AS n FROM tokens)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM tokens GROUP BY token
+      |HAVING count(*) * $HhK > (SELECT n FROM tot)
+      |ORDER BY token""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)),
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
@@ -1113,6 +1170,7 @@ object TextAnalysis {
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,
     "q_url_parse"     -> urlParseSql,

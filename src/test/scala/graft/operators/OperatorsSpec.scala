@@ -206,4 +206,18 @@ class OperatorsSpec extends SparkSpec {
       assert(got.getAs[Double]("mean_byte") === f.mean_byte)
     }
   }
+
+  test("heavy hitters equals the brute-force answer despite sketch pruning") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.heavyHitters(spark, d).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    val tokens = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = tokens.count()
+    val brute = tokens.groupBy("token").count().collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("count"))
+      .filter { case (_, c) => c * TextAnalysis.HhK > n }.toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture corpus must contain heavy tokens")
+  }
 }
