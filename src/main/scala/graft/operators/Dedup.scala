@@ -876,7 +876,139 @@ object Dedup {
        |WHERE $DecontamDen * len(list_intersect(t.g, e.g)) >= $DecontamNum * len(e.g)
        |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---- substring-level dedup: duplicated n-gram spans -----------------------
+  // The span-granular dedup primitive (Lee et al., "Deduplicating Training
+  // Data Makes Language Models Better"): instead of whole-document near-dup,
+  // find the exact token K-gram RUNS a document shares with any other
+  // document — the unit you'd actually cut from a training corpus. Two
+  // relational passes: (1) group the corpus's positional K-grams by gram to
+  // find cross-document duplicates; (2) per doc, merge overlapping/adjacent
+  // duplicated positions into maximal spans (gaps-and-islands: running-max
+  // window + island numbering sharing ONE per-doc sort).
+  //
+  // Scale: the gram groupBy is the one heavy shuffle and it is inherent to
+  // cross-document matching — at 100 TB you ship 8-byte rolling hashes
+  // (graft.plans.WordShingleHashesExpr, as the minhash suite does) instead
+  // of gram strings and keep these plans unchanged; strings are used here
+  // so the whole pipeline stays string-exact against the oracle. Span
+  // merging shuffles once on doc_id and both window passes share the sort.
+
+  val SpanK = 5
+
+  /** (doc_id, pos, gram): 1-based token positions of the doc's K-gram
+    * stream; docs shorter than K tokens contribute nothing. The token
+    * array is sliced per position (O(K) each) — never per-character
+    * substr (the round-4 O(n²) trap). */
+  private def gramPositions(spark: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      s"CASE WHEN size(split(text, ' ')) >= $SpanK THEN " +
+        s"transform(sequence(1, size(split(text, ' ')) - ${SpanK - 1}), " +
+        s"i -> array_join(slice(split(text, ' '), i, $SpanK), ' ')) " +
+        s"ELSE slice(split(text, ' '), 1, 0) END")
+    documents(spark, d)
+      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+  }
+
+  private val gramPositionsSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), posu AS (
+      |  SELECT doc_id, t,
+      |         unnest(generate_series(1, len(t) - ${SpanK - 1})) AS pos
+      |  FROM toks
+      |), grams AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |         array_to_string(t[pos:pos + ${SpanK - 1}], ' ') AS gram
+      |  FROM posu
+      |), shared AS (
+      |  SELECT gram FROM grams GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) > 1
+      |)""".stripMargin
+
+  /** Per-doc duplicated-K-gram stats: total positional grams, positions
+    * whose gram appears in ≥ 2 docs, and distinct such grams. */
+  def dupNgrams(spark: SparkSession, d: String): DataFrame = {
+    val pos = gramPositions(spark, d)
+    val shared = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select(col("gram"), lit(1L).as("dup"))
+    pos.join(shared, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_pos"),
+        countDistinct(when(col("dup").isNotNull, col("gram"))).as("n_dup_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramsSql: String =
+    s"""WITH $gramPositionsSql
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |       CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_pos,
+      |       CAST(count(DISTINCT CASE WHEN s.gram IS NOT NULL THEN g.gram END)
+      |            AS BIGINT) AS n_dup_distinct
+      |FROM grams g LEFT JOIN shared s ON g.gram = s.gram
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Maximal duplicated spans per doc: overlapping or adjacent duplicated
+    * K-gram positions merge into islands; outputs span count, total
+    * covered tokens, and the longest span. Docs with no duplicated gram
+    * are absent (they carry no spans). */
+  def dupSpans(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = gramPositions(spark, d)
+    val shared = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("gram")
+    val dupPos = pos.join(shared, Seq("gram"))
+      .select(col("doc_id"), col("pos"), (col("pos") + SpanK - 1).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dupPos
+      .withColumn("is_new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e2") - col("s") + 1).as("covered_tokens"),
+        max(col("e2") - col("s") + 1).as("max_span"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH $gramPositionsSql,
+      |dup AS (
+      |  SELECT g.doc_id, g.pos, g.pos + ${SpanK - 1} AS e
+      |  FROM grams g JOIN shared s ON g.gram = s.gram
+      |), flg AS (
+      |  SELECT doc_id, pos, e,
+      |         CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM dup
+      |  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), isl AS (
+      |  SELECT doc_id, pos, e,
+      |         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM flg
+      |), spans AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(e) AS e2
+      |  FROM isl GROUP BY doc_id, island
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(e2 - s + 1) AS BIGINT) AS covered_tokens,
+      |       CAST(max(e2 - s + 1) AS BIGINT) AS max_span
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_ngrams"    -> ((s, d) => dupNgrams(s, d)),
+    "q_dup_spans"     -> ((s, d) => dupSpans(s, d)),
     "q_ssjoin_prefix" -> ((s, d) => ssjoinPrefix(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_sorted_neighbors" -> ((s, d) => sortedNeighborPairs(s, d)),
@@ -891,6 +1023,8 @@ object Dedup {
     "q_dup_clusters"  -> ((s, d) => dupClusters(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_dup_ngrams"    -> dupNgramsSql,
+    "q_dup_spans"     -> dupSpansSql,
     "q_ssjoin_prefix" -> ssjoinPrefixSql,
     "q_decontaminate" -> decontaminateSql,
     "q_sorted_neighbors" -> sortedNeighborPairsSql(),
