@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ streaming.EventStream.queries ++
       ops.AsOfJoin.queries ++ ops.NativeAsOf.queries ++ ops.RangeJoin.queries ++
-      ops.LakeOps.queries ++ ops.TimeSeriesOps.queries ++ ops.GraphOps.queries
+      ops.LakeOps.queries ++ ops.TimeSeriesOps.queries ++ ops.GraphOps.queries ++
+      ops.TypedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
       ops.AsOfJoin.oracles ++ ops.NativeAsOf.oracles ++ ops.RangeJoin.oracles ++
-      ops.LakeOps.oracles ++ ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles
+      ops.LakeOps.oracles ++ ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles ++
+      ops.TypedOps.oracles
 }
