@@ -654,7 +654,42 @@ object ScalarOps {
       |FROM e
       |ORDER BY vec_id, val_q NULLS FIRST""".stripMargin
 
+  // ---- Jaro-Winkler name similarity -----------------------------------------
+
+  /** Adjacent-customer name similarity plus a name-vs-segment control pair
+    * through the native [[graft.plans.JaroWinklerExpr]] — the boosted
+    * (shared "Customer#0..." prefix, jaro > 0.7) and unboosted branches
+    * both exercised. The pair build is a self-join keyed on c_custkey+1
+    * (shuffle-scalable; deliberately NOT a global-order window, which
+    * would funnel the table through one partition). Doubles are
+    * bit-identical to the oracle's implementation, so the 1e-6 floor
+    * cannot straddle. */
+  def jaroPairs(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.JaroWinkler.register(spark)
+    val c = customer(spark, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val nxt = customer(spark, d)
+      .select((col("c_custkey") - 1).as("k"), col("c_name").as("next_name"))
+    c.join(nxt, col("c_custkey") === col("k"))
+      .select(col("c_custkey"),
+        floor(call_function("jaro_winkler", col("c_name"), col("next_name"))
+          * lit(1000000.0)).cast("long").as("jw_name_q"),
+        floor(call_function("jaro_winkler", col("c_name"), col("c_mktsegment"))
+          * lit(1000000.0)).cast("long").as("jw_seg_q"))
+      .orderBy("c_custkey")
+  }
+
+  val jaroPairsSql: String =
+    """SELECT c.c_custkey,
+      |       CAST(floor(jaro_winkler_similarity(c.c_name, n.c_name)
+      |                  * 1000000.0) AS BIGINT) AS jw_name_q,
+      |       CAST(floor(jaro_winkler_similarity(c.c_name, c.c_mktsegment)
+      |                  * 1000000.0) AS BIGINT) AS jw_seg_q
+      |FROM customer c JOIN customer n ON n.c_custkey = c.c_custkey + 1
+      |ORDER BY c.c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaro"            -> (jaroPairs _),
     "q_scalar_math"     -> (scalarMath _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_array_funcs"     -> (arrayFuncs _),
@@ -681,6 +716,7 @@ object ScalarOps {
     "q_json_extract"    -> (jsonExtract _))
 
   def oracles: Map[String, String] = Map(
+    "q_jaro"            -> jaroPairsSql,
     "q_scalar_math"     -> scalarMathSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_array_funcs"     -> arrayFuncsSql,
