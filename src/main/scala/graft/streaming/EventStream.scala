@@ -313,6 +313,78 @@ object EventStream {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** STREAMING SESSION WINDOWS: the `session_window` gap-merge aggregation
+    * running as a STREAM — the one stateful aggregation operator the other
+    * streaming queries don't touch (its state store merges overlapping
+    * session intervals per key instead of keying fixed windows). Driven
+    * with two mtime-ordered files (maxFilesPerTrigger=1): the real events,
+    * then one far-future sentinel that advances the watermark past every
+    * real session; Spark's trailing no-data micro-batch then evicts and
+    * emits every closed session in Append mode. Output ≡ the BATCH
+    * session_window answer ([[graft.ops.AnalyticOps.sessionWindowAgg]]),
+    * so the streaming operator is checked against the same
+    * gaps-and-islands oracle — stream/batch parity for session merging.
+    *
+    * Scale: state is per (user, open-session interval) and bounded by the
+    * watermark; the shuffle is the same (key, session)-merge exchange the
+    * batch form pays. The sentinel is written as a plain BIGINT ts file —
+    * the explicit long schema plus nanosAsLong reads both that and the
+    * TIMESTAMP(NANOS) original uniformly. */
+  def streamingSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
+      rawSchema)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sw")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val dst0 = inDir.resolve("batch0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst0)
+    val stage = root.resolve("stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst()
+      finally listing.close()
+    val dst1 = inDir.resolve("batch1.parquet")
+    java.nio.file.Files.move(part.get(), dst1)
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.setLastModifiedTime(dst0,
+      java.nio.file.attribute.FileTime.fromMillis(now - 30000L))
+    java.nio.file.Files.setLastModifiedTime(dst1,
+      java.nio.file.attribute.FileTime.fromMillis(now))
+
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+    try runToMemory(agg, "graft_stream_session_window", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_session_window")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Oracle: identical to the batch session_window query's — the streaming
+    * run must reproduce the batch answer exactly. */
+  val streamingSessionWindowSql: String =
+    graft.ops.AnalyticOps.sessionWindowAggSql
+
   /** STREAM-STATIC JOIN: the streaming enrich pattern — each micro-batch of
     * the event stream joins a static dimension table (here: customer, on
     * user_id = c_custkey) before aggregating per market segment. The static
@@ -1088,6 +1160,7 @@ object EventStream {
     "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
+    "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
@@ -1103,6 +1176,7 @@ object EventStream {
     "q_stream_outer"    -> streamingOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
+    "q_stream_session_window" -> streamingSessionWindowSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,

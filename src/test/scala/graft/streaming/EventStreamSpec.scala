@@ -94,4 +94,13 @@ class EventStreamSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).sum === 300L)
     assert(out.length === 6)
   }
+
+  test("streaming session windows reproduce the batch session_window answer") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.streamingSessionWindow(spark, d).collect()
+    val batch = graft.ops.AnalyticOps.sessionWindowAgg(spark, d).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(streamed.nonEmpty)
+  }
 }
