@@ -886,7 +886,78 @@ object Similarity {
       |FROM agg GROUP BY group_id
       |ORDER BY group_id""".stripMargin
 
+  // ---- kNN label classification ---------------------------------------------
+
+  /** Majority-vote kNN over the embedding table: every 50th vector is the
+    * holdout (its true label rides along for accuracy analysis), classified
+    * by its K nearest candidates under exact cosine. The holdout side is
+    * BROADCAST onto one pass over the candidate scan — the candidate table
+    * never shuffles for the similarity; the per-query top-K and the vote
+    * argmax are window passes over query-sized frames. Determinism:
+    * cosines come from [[graft.plans.CosineSimExpr]] (bit-identical to the
+    * oracle's sequential fold), neighbor ties break on vec_id, vote ties
+    * on the smaller label. This is the exact-eval baseline; at 100 TB the
+    * same vote stage composes over [[ivfTopK]]'s cell-probe candidates
+    * instead of the full scan. */
+  val KnnK = 5
+  val KnnHoldout = 50
+
+  def knnClassify(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.CosineSim.register(spark)
+    val e = embDouble(spark, d)
+    val q = e.where(col("vec_id") % KnnHoldout === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("emb").as("q_emb"))
+    val cand = e.where(col("vec_id") % KnnHoldout =!= 0)
+    val sims = cand.crossJoin(broadcast(q))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        cosineFast(col("emb"), col("q_emb")).as("cs"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))
+    val votes = sims.withColumn("rn", row_number().over(byQ))
+      .where(col("rn") <= KnnK)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byVote = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(byVote))
+      .where(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"))
+      .orderBy("q_id")
+  }
+
+  val knnClassifySql: String = {
+    val cos = cosineSql("c.ce", "q.qe")
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, label AS true_label,
+      |         CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id % $KnnHoldout = 0
+      |), c AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id % $KnnHoldout <> 0
+      |), sims AS (
+      |  SELECT q.q_id, q.true_label, c.vec_id, c.label, $cos AS cs
+      |  FROM c CROSS JOIN q
+      |), top AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY cs DESC, vec_id) AS rn
+      |  FROM sims
+      |), votes AS (
+      |  SELECT q_id, true_label, label, count(*) AS votes
+      |  FROM top WHERE rn <= $KnnK GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY votes DESC, label) AS vr
+      |  FROM votes
+      |)
+      |SELECT q_id, true_label, label AS pred_label,
+      |       CAST(votes AS BIGINT) AS votes
+      |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "q_embed_quant" -> ((s, d) => embedQuant(s, d)),
     "q_embed_pool"  -> ((s, d) => embedPool(s, d)),
     "q_pq_codes"        -> ((s, d) => pqCodes(s, d)),
@@ -904,6 +975,7 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_knn_classify" -> knnClassifySql,
     "q_embed_quant" -> embedQuantSql,
     "q_embed_pool"  -> embedPoolSql,
     "q_pq_codes"        -> pqCodesSql,
