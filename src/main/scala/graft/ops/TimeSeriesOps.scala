@@ -517,6 +517,48 @@ object TimeSeriesOps {
       |FROM win
       |ORDER BY event_type, dt""".stripMargin
 
+  // --- rolling exact median (robust trailing smoother) ----------------------
+  // The robust twin of q_rolling_z: each daily total's trailing-7 MEDIAN —
+  // outlier-immune where the mean/std smoother is not. Spark has no
+  // median-over-window; the composition is collect_list over the ROWS
+  // frame + array_sort + middle pick, which is exactly right at this
+  // shape: the frame is 7 elements, so the per-row sort is O(7 log 7) and
+  // the whole thing stays in the ONE window Exchange the daily agg feeds.
+  // Even-count frames interpolate (a+b)/2.0 — cents are < 2^52 so the
+  // double is exact and matches DuckDB's interpolating median() bit for
+  // bit. NOT the pattern for wide frames (collect_list materializes the
+  // frame per row); for large-window medians use the two-pass
+  // median-of-medians in q_mad.
+  def rollingMedian(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dt"))
+      .rowsBetween(-6, Window.currentRow)
+    val arr = col("arr")
+    val n = size(arr)
+    daily
+      .withColumn("arr", array_sort(collect_list(col("v_cents")).over(w)))
+      .select(col("event_type"), col("dt"), col("v_cents"),
+        when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(arr, (n / 2).cast("int"))
+            + element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+          .as("med"))
+      .orderBy("event_type", "dt")
+  }
+
+  val rollingMedianSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, dt, v_cents,
+      |       median(v_cents) OVER (PARTITION BY event_type ORDER BY dt
+      |                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |         AS med
+      |FROM daily ORDER BY event_type, dt""".stripMargin
+
   // --- Gini concentration (inequality of customer spend per nation) ---------
   // The classic sorted-rank formula G = (2·Σ i·x_i − (n+1)·Σ x_i)/(n·Σ x_i)
   // over per-customer lifetime spend, grouped by nation. Every input to the
@@ -648,6 +690,7 @@ object TimeSeriesOps {
       |FROM s ORDER BY k""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (rollingMedian _),
     "q_gini" -> (gini _),
     "q_acf" -> (acf _),
     "q_rolling_z" -> (rollingZ _),
@@ -662,6 +705,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_median" -> rollingMedianSql,
     "q_gini" -> giniSql,
     "q_acf" -> acfSql,
     "q_rolling_z" -> rollingZSql,
