@@ -466,6 +466,46 @@ object LakeOps {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  // --- JSON-lines round trip -------------------------------------------------
+
+  /** Third interchange format through the same sink/scan contract as
+    * [[orcRoundtrip]]: newline-delimited JSON, the landing format the
+    * reference's ingestion writes (fixture JSON land step). Read back with
+    * an EXPLICIT schema — the production contract; inference is a sample
+    * pass that can mistype empty slices. Doubles survive exactly (Spark
+    * writes shortest-round-trip representations); the timestamp column is
+    * deliberately excluded because default JSON timestamp formatting
+    * truncates sub-millisecond precision — the documented lossy edge of
+    * the format, not of this engine. */
+  def jsonRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_json_lineitem").getAbsolutePath
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        Money.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val jsonRoundtripSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       ${Money.moneySumSql("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // --- data-quality expectation checks --------------------------------------
 
   /** Declarative data-quality suite over the warehouse tables — the
@@ -671,6 +711,7 @@ object LakeOps {
     "q_dq_checks" -> (dqChecks _),
     "q_partial_merge" -> (partialMerge _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_bucket_prune" -> (bucketPrune _),
     "q_partition_prune" -> (partitionPrune _),
     "q_scd2" -> (scd2Build _),
@@ -686,6 +727,7 @@ object LakeOps {
     "q_dq_checks" -> dqChecksSql,
     "q_partial_merge" -> partialMergeSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_json_roundtrip" -> jsonRoundtripSql,
     "q_bucket_prune" -> bucketPruneSql,
     "q_partition_prune" -> partitionPruneSql,
     "q_scd2" -> scd2BuildSql,

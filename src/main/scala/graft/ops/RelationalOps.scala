@@ -1285,7 +1285,49 @@ object RelationalOps {
       |ORDER BY o_year""".stripMargin
   }
 
+  // --- SQL frontend, PIVOT clause -------------------------------------------
+  // The parser-level PIVOT surface (distinct from the DataFrame .pivot()
+  // behind q_pivot): order value by status × priority, the five priority
+  // arms becoming value columns. Plans as the same Expand-free single
+  // hash aggregation the manual CASE form produces; the oracle IS that
+  // CASE form. Sums stay NULL for an absent (status, priority) cell in
+  // BOTH spellings — the reason the pivot aggregates one measure (a
+  // PIVOT count(*) would yield NULL where the CASE form yields 0).
+  def sqlPivot(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM graft_orders
+        |)
+        |PIVOT (
+        |  sum(cents)
+        |  FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+        |                          '3-MEDIUM' AS medium,
+        |                          '4-NOT SPECIFIED' AS unspec, '5-LOW' AS low)
+        |)
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlPivotSql: String = {
+    def arm(p: String, alias: String) =
+      s"""CAST(sum(CASE WHEN o_orderpriority = '$p'
+         |           THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+         |    AS BIGINT) AS $alias""".stripMargin
+    s"""SELECT o_orderstatus,
+      |       ${arm("1-URGENT", "urgent")},
+      |       ${arm("2-HIGH", "high")},
+      |       ${arm("3-MEDIUM", "medium")},
+      |       ${arm("4-NOT SPECIFIED", "unspec")},
+      |       ${arm("5-LOW", "low")}
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pivot"       -> (sqlPivot _),
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
     "q_bloom_delta"     -> (bloomDeltaOrders _),
@@ -1331,6 +1373,7 @@ object RelationalOps {
     "q_nested_proj"     -> (nestedProj _))
 
   def oracles: Map[String, String] = Map(
+    "q_sql_pivot"       -> sqlPivotSql,
     "q_join_composite"  -> joinCompositeSql,
     "q_delta_anti"      -> deltaAntiSql,
     "q_bloom_delta"     -> bloomDeltaOrdersSql,
