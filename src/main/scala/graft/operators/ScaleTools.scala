@@ -11,6 +11,42 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTools {
 
+  // ---- zone maps (file-level min/max data skipping) -------------------------
+
+  /** Per-file min/max statistics for one long column — the manifest-level
+    * zone map Delta/Iceberg keep, built here from the files themselves
+    * (one map-only pass; on a real lakehouse you'd read the transaction
+    * log instead and the pruning below is unchanged). Effective only when
+    * the layout clusters the column — write with repartitionByRange on it,
+    * the OPTIMIZE-by-sort-key discipline. */
+  def zoneMap(spark: SparkSession, dir: String, column: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column)).as("zmin"), max(col(column)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+
+  /** Range-predicate read that opens ONLY the files whose [zmin, zmax]
+    * intersects [lo, hi] — manifest pruning expressed as a driver-side
+    * file-list filter feeding an explicit-path scan. The residual filter
+    * still applies (zone maps bound, they don't partition), so the result
+    * is EXACTLY the full scan's; only I/O changes. Returns (pruned frame,
+    * files opened, files total) so callers/specs can assert the skipping
+    * actually happened. The zone map is stats-sized (one row per file):
+    * collecting it to the driver is the same order of work every lakehouse
+    * planner does per query. */
+  def prunedRangeRead(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val zm = zoneMap(spark, dir, column).collect()
+    val keep = zm.filter(r =>
+      r.getAs[Long]("zmax") >= lo && r.getAs[Long]("zmin") <= hi)
+      .map(_.getAs[String]("file"))
+    val base =
+      if (keep.isEmpty)
+        spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (base.where(col(column) >= lo && col(column) <= hi), keep.length, zm.length)
+  }
+
   /** Write a table bucketed (and sorted) by the join key. Pre-paying this
     * ONE shuffle at write time means every subsequent equi-join or
     * aggregation on `bucketCols` reads co-located, pre-sorted buckets —

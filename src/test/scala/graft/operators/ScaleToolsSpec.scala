@@ -145,4 +145,31 @@ class ScaleToolsSpec extends SparkSpec {
     val b = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("zone-map pruned read skips files and still returns the exact answer") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zonemap_li").getAbsolutePath
+    // range-clustered layout: the discipline that makes zone maps bite
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val zm = ScaleTools.zoneMap(spark, dir, "l_orderkey").collect()
+    assert(zm.length === 8)
+    val maxKey = zm.map(_.getAs[Long]("zmax")).max
+    val (lo, hi) = (maxKey / 2, maxKey / 2 + maxKey / 10)
+    val (pruned, opened, total) =
+      ScaleTools.prunedRangeRead(spark, dir, "l_orderkey", lo, hi)
+    assert(opened < total, "a clustered layout must let the range skip files")
+    val full = spark.read.parquet(dir)
+      .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+    assert(pruned.count() === full.count())
+    assert(pruned.agg(sum(col("l_quantity"))).head.getDouble(0) ===
+      full.agg(sum(col("l_quantity"))).head.getDouble(0))
+    // empty intersection degrades to an empty frame, not an error
+    val (none, openedNone, _) =
+      ScaleTools.prunedRangeRead(spark, dir, "l_orderkey", maxKey + 10, maxKey + 20)
+    assert(openedNone === 0 && none.count() === 0L)
+  }
 }

@@ -347,4 +347,37 @@ class PlanAuditSpec extends SparkSpec {
     // htmlStrip ends in an output orderBy — allow exactly that one exchange
     assert(countExchanges(graft.operators.TextAnalysis.htmlStrip(spark, d)) <= 1)
   }
+
+  test("heavy hitters: candidates broadcast back onto the token scan") {
+    val p = plan(graft.operators.TextAnalysis.heavyHitters(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("knn classify: holdout side broadcast, candidate scan never shuffles for similarity") {
+    val p = plan(graft.operators.Similarity.knnClassify(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dup spans: both window passes and the island agg share the doc_id exchange") {
+    val p = plan(graft.operators.Dedup.dupSpans(spark, d))
+    // expected wide ops: gram-shuffle agg (x2 branches may reuse), the
+    // doc_id window exchange, final sort — but NO extra exchange between
+    // the two windows or into the (doc_id, island) aggregation
+    val windowIdx = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("Window")).map(_._2).toSeq
+    assert(windowIdx.nonEmpty)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1, p)
+  }
+
+  test("gini: one window exchange by nation, rank feeds the agg without re-shuffle") {
+    val p = plan(TimeSeriesOps.gini(spark, d))
+    assert("Exchange hashpartitioning\\(c_nationkey".r.findAllIn(p).length === 1, p)
+  }
+
+  test("acf: the pair build is broadcast joins over the pinned daily frame") {
+    val p = plan(TimeSeriesOps.acf(spark, d))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
