@@ -517,6 +517,44 @@ object TimeSeriesOps {
       |FROM win
       |ORDER BY event_type, dt""".stripMargin
 
+  // --- top event-type paths (sequence 3-gram mining) ------------------------
+  // The n-gram view of the journey data q_transitions models pairwise:
+  // corpus-wide counts of consecutive (e1 → e2 → e3) event-type triples
+  // per user timeline, top-20. One window pass (two leads share the
+  // (user, ts) sort), one hash agg over a type³-bounded key space, and a
+  // TakeOrderedAndProject top-k — nothing after the window exchange is
+  // wider than |event types|³. Ordering is total: (ts, event_id) within
+  // user, then (count desc, path) for the cut.
+  val PathTopK = 20
+
+  def eventPaths(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(PathTopK)
+  }
+
+  val eventPathsSql: String =
+    s"""WITH seq AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT e1, e2, e3, count(*) AS n
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n DESC, e1, e2, e3
+      |LIMIT $PathTopK""".stripMargin
+
   // --- rolling exact median (robust trailing smoother) ----------------------
   // The robust twin of q_rolling_z: each daily total's trailing-7 MEDIAN —
   // outlier-immune where the mean/std smoother is not. Spark has no
@@ -690,6 +728,7 @@ object TimeSeriesOps {
       |FROM s ORDER BY k""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> (eventPaths _),
     "q_rolling_median" -> (rollingMedian _),
     "q_gini" -> (gini _),
     "q_acf" -> (acf _),
@@ -705,6 +744,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" -> eventPathsSql,
     "q_rolling_median" -> rollingMedianSql,
     "q_gini" -> giniSql,
     "q_acf" -> acfSql,
