@@ -1064,6 +1064,115 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** STREAM-STREAM FULL OUTER JOIN: completes the streaming join family
+    * (inner / left outer / full outer): BOTH sides' unmatched rows flush
+    * null-padded when the watermark passes their state — unmatched views
+    * AND unmatched purchases, where [[streamingOuterJoin]] only preserves
+    * views. Same staged drive (batch0 = the raw file verbatim, three
+    * two-sided sentinel batches walking the watermark forward — the
+    * global watermark is the MIN over both sides, so each sentinel batch
+    * carries both event types); same time-bounded equi-join, so state
+    * stays bounded. The rollup classifies each emitted row as matched /
+    * view-only / purchase-only; the oracle is the relational FULL JOIN
+    * under the identical time band. */
+  def streamingFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val d0Ns = (maxNs / dayNs) * dayNs
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_fouter")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def stamp(dst: java.nio.file.Path, b: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
+    def land(df: DataFrame, b: Int): Unit = {
+      val stage = root.resolve(s"stage$b")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst()
+        finally listing.close()
+      part.ifPresent { p =>
+        val dst = inDir.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(p, dst)
+        stamp(dst, b)
+      }
+    }
+    def landCopy(b: Int): Unit = {
+      val dst = inDir.resolve(s"batch$b.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+      stamp(dst, b)
+    }
+    def sentinel(b: Int): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(
+            9000000L + b, d0Ns + b.toLong * 10L * dayNs, -1L, "view", 0.0,
+            null.asInstanceOf[String]),
+          org.apache.spark.sql.Row(
+            9100000L + b, d0Ns + b.toLong * 10L * dayNs, -2L, "purchase", 0.0,
+            null.asInstanceOf[String])),
+        rawSchema)
+    landCopy(0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
+
+    def src() = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "3 days")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "3 days")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
+      "full_outer")
+    try runToMemory(joined, "graft_stream_fouter", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_fouter")
+      .where(coalesce(col("v_user"), lit(0L)) >= 0 &&
+        coalesce(col("p_user"), lit(0L)) >= 0)
+      .groupBy(to_date(coalesce(col("view_ts"), col("p_ts"))).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("view_ts").isNotNull && col("p_ts").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_view_only"),
+        sum(when(col("view_ts").isNull, 1L).otherwise(0L)).as("n_purch_only"))
+      .orderBy("day")
+  }
+
+  val streamingFullOuterJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts
+      |  FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT CAST(COALESCE(v.vts, p.pts) AS DATE) AS day,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN v.vts IS NOT NULL AND p.pts IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |       CAST(sum(CASE WHEN p.pts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_view_only,
+      |       CAST(sum(CASE WHEN v.vts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_purch_only
+      |FROM v FULL JOIN p
+      |  ON v.user_id = p.user_id
+      | AND p.pts > v.vts
+      | AND p.pts <= v.vts + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** STREAMING DEDUP WITHIN WATERMARK: `dropDuplicatesWithinWatermark` —
     * the TTL'd dedup (SPARK-42931): the business key (event_id) excludes
     * the event-time column, and state expires once the watermark passes
@@ -1157,6 +1266,7 @@ object EventStream {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_outer"    -> ((s, d) => streamingOuterJoin(s, d)),
+    "q_stream_full_outer" -> ((s, d) => streamingFullOuterJoin(s, d)),
     "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
@@ -1174,6 +1284,7 @@ object EventStream {
   def oracles: Map[String, String] = Map(
     "q_stream_asof"     -> graft.ops.AsOfJoin.eventToLastSignupSql,
     "q_stream_outer"    -> streamingOuterJoinSql,
+    "q_stream_full_outer" -> streamingFullOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
     "q_stream_session_window" -> streamingSessionWindowSql,
