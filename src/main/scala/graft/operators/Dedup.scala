@@ -981,8 +981,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val dupSpansSql: String =
-    s"""WITH $gramPositionsSql,
+  /** The shared gram → duplicated-position → island-merge CTE chain
+    * (everything up to per-island extents), reused by the span stats and
+    * the corpus-cut rollup oracles. */
+  private val spanChainSql: String =
+    s"""$gramPositionsSql,
       |dup AS (
       |  SELECT g.doc_id, g.pos, g.pos + ${SpanK - 1} AS e
       |  FROM grams g JOIN shared s ON g.gram = s.gram
@@ -1000,15 +1003,55 @@ object Dedup {
       |), spans AS (
       |  SELECT doc_id, island, min(pos) AS s, max(e) AS e2
       |  FROM isl GROUP BY doc_id, island
-      |)
+      |)""".stripMargin
+
+  val dupSpansSql: String =
+    s"""WITH $spanChainSql
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
       |       CAST(sum(e2 - s + 1) AS BIGINT) AS covered_tokens,
       |       CAST(max(e2 - s + 1) AS BIGINT) AS max_span
       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-cut rollup: what span-level dedup would actually remove, per
+    * source — the report that drives the keep/cut decision. Composes
+    * [[dupSpans]] (docs without spans kept via LEFT join, zero removed);
+    * retention is exact integer ppm. */
+  def spanCut(spark: SparkSession, d: String): DataFrame = {
+    val spans = dupSpans(spark, d).select(col("doc_id"), col("covered_tokens"))
+    documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(coalesce(col("covered_tokens"), lit(0L))).as("removed_tokens"))
+      .withColumn("retained_ppm",
+        expr("((total_tokens - removed_tokens) * 1000000) div total_tokens"))
+      .orderBy("source")
+  }
+
+  val spanCutSql: String =
+    s"""WITH $spanChainSql,
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(e2 - s + 1) AS BIGINT) AS covered
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT d.source, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(sum(COALESCE(p.covered, 0)) AS BIGINT) AS removed_tokens,
+      |       CAST((CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+      |             - CAST(sum(COALESCE(p.covered, 0)) AS BIGINT)) * 1000000
+      |            // CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+      |            AS BIGINT) AS retained_ppm
+      |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_ngrams"    -> ((s, d) => dupNgrams(s, d)),
     "q_dup_spans"     -> ((s, d) => dupSpans(s, d)),
+    "q_span_cut"      -> ((s, d) => spanCut(s, d)),
     "q_ssjoin_prefix" -> ((s, d) => ssjoinPrefix(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_sorted_neighbors" -> ((s, d) => sortedNeighborPairs(s, d)),
@@ -1025,6 +1068,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q_dup_ngrams"    -> dupNgramsSql,
     "q_dup_spans"     -> dupSpansSql,
+    "q_span_cut"      -> spanCutSql,
     "q_ssjoin_prefix" -> ssjoinPrefixSql,
     "q_decontaminate" -> decontaminateSql,
     "q_sorted_neighbors" -> sortedNeighborPairsSql(),
