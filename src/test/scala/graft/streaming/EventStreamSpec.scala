@@ -57,6 +57,42 @@ class EventStreamSpec extends SparkSpec {
     assert(!types.contains("late"), "an event below the watermark must be dropped")
   }
 
+  test("progress metrics prove the watermark bounds state and counts drops") {
+    val dir = Files.createTempDirectory("graft_stream_metrics").toString
+    def land(events: Seq[EventStream.Event]): Unit =
+      events.toDF().write.mode("append").parquet(dir)
+    // batch 1: 50 keyed windows far in the past + one frontier event that
+    // drags the watermark past all of them
+    land((1 to 50).map(i => EventStream.Event(i.toLong,
+      Timestamp.valueOf(f"2024-01-01 00:${i % 50}%02d:00"), i.toLong, "old", 1.0)) :+
+      EventStream.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 99L, "new", 1.0))
+    val agg = EventStream.windowedCounts(EventStream.readEventStream(spark, dir))
+    spark.catalog.dropTempView("wm_metrics")
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("wm_metrics").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a late row (below watermark → dropped AND counted) plus a
+      // fresh frontier row; the old windows must have been EVICTED from the
+      // state store, not retained forever
+      land(Seq(
+        EventStream.Event(100L, Timestamp.valueOf("2024-01-01 00:10:30"), 1L, "late", 1.0),
+        EventStream.Event(101L, Timestamp.valueOf("2024-01-02 00:05:00"), 7L, "new", 1.0)))
+      q.processAllAvailable()
+      val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progresses.nonEmpty)
+      val stateRows = progresses.map(_.stateOperators.head.numRowsTotal)
+      // state never holds the 50 evictable windows once the watermark passed:
+      // after the cleanup batch the store is down to the frontier windows
+      assert(stateRows.last <= 3,
+        s"state must be watermark-bounded, got ${stateRows.toSeq}")
+      val dropped = progresses
+        .map(_.stateOperators.head.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the late row must be counted as dropped")
+    } finally q.stop()
+  }
+
   test("stateful sessionization folds per-user state across a batch") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     writeBatch(dir)
