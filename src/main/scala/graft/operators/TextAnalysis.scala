@@ -1185,7 +1185,54 @@ object TextAnalysis {
     "q_curation"         -> ((s, d) => curationPipeline(s, d)),
     "q_curation_sets"    -> ((s, d) => curationSets(s, d)))
 
+  /** Oracle for the rolling-fingerprint custom expression — the polynomial
+    * rolling hash restated positionally: per window, nine chained
+    * (h·B + byte) mod 2^64 steps in HUGEINT (128-bit) arithmetic, mapped
+    * to the signed long domain BEFORE the min (Spark mins signed longs —
+    * an unsigned min silently picks different windows). ord(char) ≡ byte
+    * because the corpus is ASCII (probed: max code point 121). Short-doc
+    * arms mirror the operator's min(k, n) window exactly even though the
+    * corpus never exercises them. This retires the query's rows-only
+    * status: the custom codegen expression is now DuckDB-checked
+    * end-to-end, not just spec-checked. */
+  val fastFingerprintSql: String = {
+    val B = "1099511628211" // 0x100000001b3, the FNV prime base
+    val M = "18446744073709551616::HUGEINT"
+    val signedMin = "9223372036854775808::HUGEINT"
+    val chain = (0 until 9).foldLeft("CAST(0 AS HUGEINT)") { (h, j) =>
+      s"(($h) * $B + ord(substring(text, CAST(pos AS INTEGER) + $j, 1))) % $M"
+    }
+    val fold =
+      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |  [CAST(ord(x) AS HUGEINT) for x in string_split(text, '')]),
+         |  (a, b) -> (a * $B + b) % $M)""".stripMargin
+    s"""WITH long_docs AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 8)) AS pos
+      |  FROM documents WHERE length(text) >= 9
+      |), win AS (
+      |  SELECT doc_id, $chain AS hu FROM long_docs
+      |), long_fp AS (
+      |  SELECT doc_id,
+      |         min(CASE WHEN hu >= $signedMin
+      |                  THEN CAST(hu - $M AS BIGINT)
+      |                  ELSE CAST(hu AS BIGINT) END) AS rolling_fp
+      |  FROM win GROUP BY doc_id
+      |), short_fp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              WHEN h >= $signedMin THEN CAST(h - $M AS BIGINT)
+      |              ELSE CAST(h AS BIGINT) END AS rolling_fp
+      |  FROM (SELECT doc_id, text, $fold AS h
+      |        FROM documents WHERE length(text) < 9)
+      |)
+      |SELECT doc_id, rolling_fp FROM long_fp
+      |UNION ALL
+      |SELECT doc_id, rolling_fp FROM short_fp
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_fast_fingerprint" -> fastFingerprintSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,
