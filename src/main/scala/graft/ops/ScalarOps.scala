@@ -688,7 +688,39 @@ object ScalarOps {
       |FROM customer c JOIN customer n ON n.c_custkey = c.c_custkey + 1
       |ORDER BY c.c_custkey""".stripMargin
 
+  // ---- arrays_zip + inline generator ----------------------------------------
+
+  /** The inline generator surface (explode array<struct> into columns,
+    * no pos/col naming dance) over arrays_zip — here pairing each
+    * embedding with its reversal. Zip + inline is one Generate node at
+    * scan speed: no shuffle, no join, and field names flow from the
+    * zipped columns. Values quantized on the shared 1e-6 grid after the
+    * same float→double cast the oracle performs. */
+  def inlineZip(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("fwd"),
+        reverse(col("embedding").cast("array<double>")).as("rev"))
+      .select(col("vec_id"), expr("inline(arrays_zip(fwd, rev))"))
+      .select(col("vec_id"),
+        floor(col("fwd") * lit(1000000.0)).cast("long").as("fwd_q"),
+        floor(col("rev") * lit(1000000.0)).cast("long").as("rev_q"))
+      .orderBy("vec_id", "fwd_q", "rev_q")
+
+  val inlineZipSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+      |), x AS (
+      |  SELECT vec_id, a, unnest(generate_series(1, len(a))) AS i FROM e
+      |)
+      |SELECT vec_id,
+      |       CAST(floor(a[CAST(i AS INTEGER)] * 1000000.0) AS BIGINT) AS fwd_q,
+      |       CAST(floor(a[CAST(len(a) - i + 1 AS INTEGER)] * 1000000.0)
+      |            AS BIGINT) AS rev_q
+      |FROM x ORDER BY vec_id, fwd_q, rev_q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inline_zip"      -> (inlineZip _),
     "q_jaro"            -> (jaroPairs _),
     "q_scalar_math"     -> (scalarMath _),
     "q_string_funcs"    -> (stringFuncs _),
@@ -716,6 +748,7 @@ object ScalarOps {
     "q_json_extract"    -> (jsonExtract _))
 
   def oracles: Map[String, String] = Map(
+    "q_inline_zip"      -> inlineZipSql,
     "q_jaro"            -> jaroPairsSql,
     "q_scalar_math"     -> scalarMathSql,
     "q_string_funcs"    -> stringFuncsSql,

@@ -180,6 +180,63 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** UPDATE-MODE windowed aggregation across REAL multiple micro-batches:
+    * the third output mode's semantics made deterministic. Two staged
+    * files split by event_id parity arrive as separate batches; Update
+    * mode re-emits a (window, type) row each batch its value CHANGES, so
+    * the memory sink accumulates supersede chains. Because counts and
+    * positive-cents sums are STRICTLY INCREASING across updates, the last
+    * update per key ≡ the per-key MAX over the chain — a deterministic
+    * reduction that requires no sink ordering. The reduced result must
+    * equal the plain batch aggregation (the oracle): proves update rows
+    * supersede rather than accumulate. State is (window, type)-sized; in
+    * production a watermark bounds it — omitted here so the two-batch
+    * drive exercises pure Update semantics. */
+  def streamingUpdateAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_upd")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def land(df: DataFrame, b: Int): Unit = {
+      val stage = root.resolve(s"stage$b")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst()
+        finally listing.close()
+      part.ifPresent { p =>
+        val dst = inDir.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
+      }
+    }
+    land(raw.where(col("event_id") % 2 === 0), 0)
+    land(raw.where(col("event_id") % 2 === 1), 1)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+    try runToMemory(agg, "graft_stream_update", OutputMode.Update)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_update")
+      .groupBy(col("window.start").cast("timestamp_ntz").as("day"),
+        col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_value")).as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Oracle: the plain batch aggregation — identical to the Complete-mode
+    * query's; the operator under test is the Update emission path. */
+  val streamingUpdateAggSql: String = streamingDailyAggSql
+
   /** Oracle: the batch answer to the session rollup — cents summed exactly,
     * divided once at the boundary (same op order as the state fold's emit). */
   val streamingSessionsSql: String =
@@ -1270,6 +1327,7 @@ object EventStream {
     "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
+    "q_stream_update"   -> ((s, d) => streamingUpdateAgg(s, d)),
     "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
@@ -1287,6 +1345,7 @@ object EventStream {
     "q_stream_full_outer" -> streamingFullOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
+    "q_stream_update"   -> streamingUpdateAggSql,
     "q_stream_session_window" -> streamingSessionWindowSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_late"     -> streamingLateDataSql,
