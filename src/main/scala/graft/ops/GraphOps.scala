@@ -295,15 +295,101 @@ object GraphOps {
       |SELECT node, CAST(min(lvl) AS BIGINT) AS level
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  val SsspHops = 5
+  val SsspWBase = 1000L
+  val SsspWSpan = 250L
+
+  /** Weighted single-source shortest paths (bounded-hop Bellman-Ford).
+    *
+    * Same bipartite trade graph as [[bfs]], with a deterministic integer
+    * weight per directed edge: w = 1000 + hexHash("src:dst") % 250. The
+    * query computes "minimum-cost walk using ≤ [[SsspHops]] edges" — a
+    * quantity both engines define identically (K unrolled relax-and-combine
+    * rounds here ≡ the oracle's K-level CTE chain), so the oracle match does
+    * not depend on any graph-theory argument. It nonetheless EQUALS true
+    * SSSP on this data: weights live in [1000, 1249], so a walk of h hops
+    * costs ≥ 1000·h, while the minimal-hop path to any reachable node has
+    * h* ≤ 3 (BFS levels are 0..3 on this near-complete bipartite graph) and
+    * costs ≤ 1249·h*; since 1000·(h*+1) > 1249·h* for all h* ≤ 4, no longer
+    * walk can beat the ≤-4-hop optimum, and K=5 rounds converge past it.
+    *
+    * Shape per round: one edges⋈dist hash join (dist is node-sized →
+    * broadcast) + one min-combine aggregation — Bellman-Ford as relational
+    * supersteps, the weighted twin of [[bfs]]'s frontier expansion. dist is
+    * pinned per round (it feeds both the join and the union; exchange reuse
+    * does not fire across fan-out branches). At 100 TB of edges the
+    * broadcast hint drops and the join partitions by src, exactly like
+    * [[pageRank]]'s superstep.
+    */
+  def sssp(spark: SparkSession, d: String): DataFrame = {
+    val pairs = orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .withColumn("w", lit(SsspWBase) +
+        graft.functions.Hashing.hexHash(
+          concat_ws(":", col("src"), col("dst"))) % SsspWSpan)
+      .localCheckpoint()
+    val s0 = edges.agg(min(col("src"))).head.getLong(0)
+    var dist = spark.range(1)
+      .select(lit(s0).as("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to SsspHops) {
+      val relaxed = edges.join(broadcast(dist), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
+  val ssspSql: String = {
+    val wExpr = graft.functions.Hashing.hexHashSql(
+      "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+    val rounds = (1 to SsspHops).map { i =>
+      val prev = if (i == 1) "d0" else s"b${i - 1}"
+      s"""r$i AS (
+         |  SELECT e.dst AS node, min(p.dist + e.w) AS dist
+         |  FROM $prev p JOIN we e ON e.src = p.node
+         |  GROUP BY e.dst
+         |), b$i AS (
+         |  SELECT node, min(dist) AS dist
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM r$i)
+         |  GROUP BY node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs
+      |), we AS (
+      |  SELECT src, dst, $SsspWBase + ($wExpr % $SsspWSpan) AS w FROM edges
+      |), d0 AS (
+      |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges
+      |),
+      |$rounds
+      |SELECT node, CAST(dist AS BIGINT) AS dist
+      |FROM b$SsspHops ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRank _),
     "q_triangles" -> (triangles _),
     "q_degree_dist" -> (degreeDist _),
-    "q_bfs" -> (bfs _))
+    "q_bfs" -> (bfs _),
+    "q_sssp" -> (sssp _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
     "q_triangles" -> trianglesSql,
     "q_degree_dist" -> degreeDistSql,
-    "q_bfs" -> bfsSql)
+    "q_bfs" -> bfsSql,
+    "q_sssp" -> ssspSql)
 }
