@@ -646,6 +646,157 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** STREAM-STREAM LEFT SEMI JOIN: purchases with at least one view by the
+    * same user in the preceding hour — attribution EXISTENCE without row
+    * multiplication. StreamingSymmetricHashJoin supports left_semi
+    * natively: a left (purchase) row emits ONCE on its first match and is
+    * marked matched in state; further matching views add nothing. At
+    * 100 TB the semi form keeps the same keyed state as the inner join but
+    * emits |purchases| rows, not |pairs| — the right shape whenever the
+    * question is "did it convert", not "which view". Watermarks + the
+    * two-sided time bound evict state exactly like [[streamingJoin]]; on
+    * this single-batch drive the emitted set is the batch semi join, which
+    * is the oracle's EXISTS. Completes the streaming join family:
+    * inner / left outer / full outer / left semi.
+    */
+  def streamingSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 day")
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
+      "left_semi")
+    runToMemory(joined, "graft_stream_semi", OutputMode.Append)
+    spark.table("graft_stream_semi")
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingSemiJoinSql: String =
+    s"""SELECT CAST(p.ts AS DATE) AS day,
+      |       count(*) AS n_purchases,
+      |       ${graft.functions.Money.moneySumSql("p.value")} AS sum_value
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (
+      |    SELECT 1 FROM events v
+      |    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      |      AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      |      AND CAST(p.ts AS TIMESTAMP)
+      |          <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR)
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** CHAINED STATEFUL OPERATORS: a stream-stream inner join feeding a
+    * windowed aggregation INSIDE one streaming query — the
+    * multiple-stateful-operator pipeline (watermark propagation is
+    * simulated per operator through the join, accounting for its state
+    * retention, so the downstream agg knows when a window is final).
+    * [[streamingJoin]] had to roll up batch-side from the sink; this runs
+    * the same attribution rollup end-to-end incrementally, which is the
+    * shape a production pipeline actually deploys (join + agg state both
+    * watermark-bounded; two keyed state stores, one per operator).
+    *
+    * Drive: batch0 = the raw events file verbatim; batch1 = one far-future
+    * two-sided sentinel pair (the global watermark is the MIN over both
+    * sides' trackers), 2 h apart so the pair cannot join; the trailing
+    * no-data micro-batch applies the sentinel-advanced watermark, which —
+    * propagated through the join — finalizes every real day window in
+    * Append mode. The inner join emits sentinel rows never (unmatched), so
+    * the aggregated output is exactly [[streamingJoinSql]]'s answer: the
+    * shared oracle now also proves in-stream window finalization.
+    */
+  def streamingJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val d0Ns = (maxNs / dayNs) * dayNs
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_join_agg")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def stamp(dst: java.nio.file.Path, b: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
+    val b0 = inDir.resolve("batch0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
+    stamp(b0, 0)
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(
+          9000001L, d0Ns + 40L * dayNs, -1L, "view", 0.0,
+          null.asInstanceOf[String]),
+        org.apache.spark.sql.Row(
+          9100001L, d0Ns + 40L * dayNs + 7200L * 1000000000L, -1L,
+          "purchase", 0.0, null.asInstanceOf[String])),
+      rawSchema)
+    val stage = root.resolve("stage1")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst()
+      finally listing.close()
+    part.ifPresent { p =>
+      val dst = inDir.resolve("batch1.parquet")
+      java.nio.file.Files.move(p, dst)
+      stamp(dst, 1)
+    }
+
+    def src() = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 day")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
+    val agg = joined
+      .groupBy(window(col("p_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_attributed"),
+        graft.functions.Money.moneySum(col("value")).as("sum_value"))
+    try runToMemory(agg, "graft_stream_join_agg", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_join_agg")
+      .select(col("window.start").cast("timestamp_ntz").as("day"),
+        col("n_attributed"), col("sum_value"))
+      .orderBy("day")
+  }
+
+  val streamingJoinAggSql: String =
+    s"""SELECT date_trunc('day', CAST(p.ts AS TIMESTAMP)) AS day,
+      |       count(*) AS n_attributed,
+      |       ${graft.functions.Money.moneySumSql("p.value")} AS sum_value
+      |FROM events v
+      |JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** STREAMING DEDUPLICATION: `dropDuplicates` on a stream is a stateful
     * operator (StreamingDeduplicate — every seen key held in state; with a
     * watermark the state is bounded to the lateness horizon). Arrival has
@@ -1333,6 +1484,8 @@ object EventStream {
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
+    "q_stream_semi"     -> ((s, d) => streamingSemiJoin(s, d)),
+    "q_stream_join_agg" -> ((s, d) => streamingJoinAgg(s, d)),
     "q_stream_join_late" -> ((s, d) => streamingJoinLate(s, d)),
     "q_stream_dedup"    -> ((s, d) => streamingDedup(s, d)),
     "q_stream_restart"  -> ((s, d) => streamingRestart(s, d)),
@@ -1351,6 +1504,8 @@ object EventStream {
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
+    "q_stream_semi"     -> streamingSemiJoinSql,
+    "q_stream_join_agg" -> streamingJoinAggSql,
     "q_stream_join_late" -> streamingJoinLateSql,
     "q_stream_dedup"    -> streamingDedupSql,
     "q_stream_restart"  -> streamingRestartSql,
