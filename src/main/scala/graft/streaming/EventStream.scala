@@ -93,6 +93,106 @@ object EventStream {
       }
   }
 
+  final case class TwsUpdate(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** The transformWithState surface: per-user running rollup held in an
+    * explicit named ValueState variable. Unlike mapGroupsWithState's single
+    * opaque state value, the processor declares typed state variables
+    * against the handle in init (ValueState here; ListState/MapState and
+    * event-time timers hang off the same handle) — state lives in the
+    * RocksDB state-store provider, the only provider the operator supports.
+    * Emits the running rollup after folding each batch's slice; cents keep
+    * the fold order-independent (same discipline as [[SessionState]]).
+    */
+  final class RunningRollupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TwsUpdate] {
+    @transient private var rollup:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      rollup = getHandle.getValueState[SessionState]("rollup",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsUpdate] = {
+      val prev = if (rollup.exists()) rollup.get() else SessionState(0L, 0L)
+      val (n, c) = rows.foldLeft((prev.n_events, prev.total_cents)) {
+        case ((cn, cc), e) => (cn + 1, cc + toCents(e.value))
+      }
+      rollup.update(SessionState(n, c))
+      Iterator.single(TwsUpdate(userId, n, c))
+    }
+  }
+
+  /** TRANSFORMWITHSTATE (Spark 4's arbitrary-state successor to
+    * mapGroupsWithState): two REAL micro-batches (event_id parity split,
+    * maxFilesPerTrigger=1) prove the named ValueState PERSISTS across
+    * batches in the RocksDB provider — each batch folds its slice into the
+    * per-user rollup and emits the running total. Counts and positive-cents
+    * totals are strictly increasing, so the per-user MAX over the
+    * Update-mode emission chain is the final state: a deterministic
+    * reduction needing no sink ordering, which must equal the plain batch
+    * aggregation (the oracle shared with [[streamingSessions]] — the same
+    * answer through the old and new state APIs).
+    */
+  def streamingTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_tws")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def land(df: DataFrame, b: Int): Unit = {
+      val stage = root.resolve(s"stage$b")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst()
+        finally listing.close()
+      part.ifPresent { p =>
+        val dst = inDir.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
+      }
+    }
+    land(raw.where(col("event_id") % 2 === 0), 0)
+    land(raw.where(col("event_id") % 2 === 1), 1)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new RunningRollupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    try runToMemory(out.toDF(), "graft_stream_tws", OutputMode.Update)
+    finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      deleteRecursively(root)
+    }
+    spark.table("graft_stream_tws")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        (max(col("total_cents")).cast("double") / 100.0).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  // def, not val: streamingSessionsSql initializes later in the object
+  def streamingTwsSql: String = streamingSessionsSql
+
   /** Drive a stream synchronously into an in-memory table (test/demo
     * harness): returns the query name to SELECT from.
     *
@@ -1481,6 +1581,7 @@ object EventStream {
     "q_stream_update"   -> ((s, d) => streamingUpdateAgg(s, d)),
     "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
+    "q_stream_tws"      -> ((s, d) => streamingTws(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
@@ -1501,6 +1602,7 @@ object EventStream {
     "q_stream_update"   -> streamingUpdateAggSql,
     "q_stream_session_window" -> streamingSessionWindowSql,
     "q_stream_sessions" -> streamingSessionsSql,
+    "q_stream_tws"      -> streamingTwsSql,
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
