@@ -81,4 +81,43 @@ class GraphOpsSpec extends SparkSpec {
     // bipartite invariant: even node ids (customers) sit on even levels
     out.foreach { case (n, l) => assert((n % 2 === l % 2), s"node $n level $l") }
   }
+
+  test("sssp distances equal a reference Dijkstra over the hash-weighted graph") {
+    import org.apache.spark.sql.functions._
+    val out = GraphOps.sssp(spark, d).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val pairs = spark.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_custkey")
+      .join(spark.read.parquet(s"$d/lineitem.parquet").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same weight formula as the engine: 1000 + hexHash("src:dst") % 250
+    def w(src: Long, dst: Long): Long =
+      GraphOps.SsspWBase +
+        graft.functions.Hashing.hexHashLocal(s"$src:$dst") % GraphOps.SsspWSpan
+    val edges = (pairs ++ pairs.map(_.swap))
+      .map { case (src, dst) => (src, dst, w(src, dst)) }
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+    val s0 = adj.keys.min
+    // reference Dijkstra (true unbounded SSSP: also proves the bounded-hop
+    // unrolling converged to the real shortest distances on this graph)
+    val dist = collection.mutable.Map(s0 -> 0L)
+    val pq = collection.mutable.PriorityQueue((0L, s0))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    val done = collection.mutable.Set.empty[Long]
+    while (pq.nonEmpty) {
+      val (dd, n) = pq.dequeue()
+      if (!done(n) && dd == dist(n)) {
+        done += n
+        adj.getOrElse(n, Seq.empty).foreach { case (m, ew) =>
+          if (dist.get(m).forall(_ > dd + ew)) {
+            dist(m) = dd + ew; pq.enqueue((dd + ew, m))
+          }
+        }
+      }
+    }
+    assert(out === dist.toMap)
+    assert(out(s0) === 0L)
+  }
 }
