@@ -382,4 +382,42 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("runtime bloom filter injects on the probe side of a selective shuffle join") {
+    // The 100 TB lever this guards: a selective dimension filter becomes a
+    // bloom filter evaluated on the FACT side BEFORE its shuffle, cutting
+    // exchange bytes by the filter's selectivity. Local thresholds are
+    // lowered to make the optimizer treat the fact scan as "large" (the
+    // real default only engages past 10 GB — exactly the regime the
+    // cluster runs in); broadcast is disabled so the join actually
+    // shuffles, which is when the filter pays.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val ord = spark.read.parquet(s"$d/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_extendedprice")))
+      val opt = q.queryExecution.optimizedPlan.toString
+      // probe side gains might_contain(scalar-subquery ...) over a
+      // bloom_filter_agg built from the filtered creation side
+      assert(opt.contains("might_contain"), opt)
+      assert(opt.contains("bloom_filter_agg"), opt)
+      // and the filtered answer is unchanged by the injected filter
+      assert(q.collect().length === 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
