@@ -193,6 +193,145 @@ object EventStream {
   // def, not val: streamingSessionsSql initializes later in the object
   def streamingTwsSql: String = streamingSessionsSql
 
+  final case class TwsTypeRollup(user_id: Long, event_type: String,
+      n_events: Long, total_value: Double)
+
+  /** The TIMER + MapState half of the transformWithState surface: state is
+    * a per-user MAP keyed by event_type (one composite-keyed RocksDB range
+    * per user, vs. packing a growing map into one ValueState blob), input
+    * batches only accumulate, and emission happens EXCLUSIVELY in
+    * [[handleExpiredTimer]] when the event-time watermark passes the
+    * per-user timer (last event + 30 min) — the exactly-once flush
+    * contract of [[streamingTimeoutSessions]] re-expressed in the new API
+    * (registerTimer/deleteTimer replacing setTimeoutTimestamp).
+    */
+  final class TimerFlushProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TwsTypeRollup] {
+    private val GapMs = 30L * 60L * 1000L
+    @transient private var byType:
+        org.apache.spark.sql.streaming.MapState[String, SessionState] = _
+    @transient private var timerTs:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      byType = getHandle.getMapState[String, SessionState]("by_type",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timer_ts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTypeRollup] = {
+      var lastMs = if (timerTs.exists()) timerTs.get() - GapMs else 0L
+      rows.foreach { e =>
+        val prev =
+          if (byType.containsKey(e.event_type)) byType.getValue(e.event_type)
+          else SessionState(0L, 0L)
+        byType.updateValue(e.event_type,
+          SessionState(prev.n_events + 1, prev.total_cents + toCents(e.value)))
+        lastMs = math.max(lastMs, e.ts.getTime)
+      }
+      // one live timer per user: slide it to (latest event + gap)
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      val t = lastMs + GapMs
+      getHandle.registerTimer(t)
+      timerTs.update(t)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(userId: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsTypeRollup] = {
+      // materialize before clearing: the state iterator is live
+      val out = byType.iterator().map { case (tpe, s) =>
+        TwsTypeRollup(userId, tpe, s.n_events, s.total_cents / 100.0)
+      }.toVector
+      byType.clear(); timerTs.clear()
+      out.iterator
+    }
+  }
+
+  /** transformWithState with EVENT-TIME TIMERS over three real
+    * micro-batches (parity-split data + a far-future flush sentinel):
+    * batches 0/1 only fold into MapState and slide each user's timer;
+    * the sentinel batch advances the watermark ~30 days past every
+    * timer, and the trailing no-data micro-batch fires them all —
+    * emitting each user's per-type rollup exactly once. The sentinel
+    * user's own timer sits above the final watermark (never fires), and
+    * is filtered besides. Oracle: the batch (user, type) aggregation.
+    */
+  def streamingTwsTimer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
+      rawSchema)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_tws_timer")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val now = System.currentTimeMillis()
+    def land(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    land(raw.where(col("event_id") % 2 === 0), "b0", now - 60000L)
+    land(raw.where(col("event_id") % 2 === 1), "b1", now - 30000L)
+    land(sentinel, "b2", now)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new TimerFlushProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    try runToMemory(out.toDF(), "graft_stream_tws_timer", OutputMode.Append)
+    finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      deleteRecursively(root)
+    }
+    spark.table("graft_stream_tws_timer")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamingTwsTimerSql: String =
+    s"""SELECT user_id, event_type, count(*) AS n_events,
+      |       CAST(sum(${graft.functions.Money.centsSql("value")}) AS DOUBLE)
+      |         / 100.0 AS total_value
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Drive a stream synchronously into an in-memory table (test/demo
     * harness): returns the query name to SELECT from.
     *
@@ -1582,6 +1721,7 @@ object EventStream {
     "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_tws"      -> ((s, d) => streamingTws(s, d)),
+    "q_stream_tws_timer" -> ((s, d) => streamingTwsTimer(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
@@ -1603,6 +1743,7 @@ object EventStream {
     "q_stream_session_window" -> streamingSessionWindowSql,
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_tws"      -> streamingTwsSql,
+    "q_stream_tws_timer" -> streamingTwsTimerSql,
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
