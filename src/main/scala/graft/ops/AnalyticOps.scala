@@ -821,6 +821,41 @@ object AnalyticOps {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Per-customer top-3 orders by price through the [[graft.plans.TopKRows]]
+    * bounded-heap aggregate (the engine's hash top-k-per-group — k rows per
+    * partition cross the shuffle, no per-group sort; see TopKRows scaladoc
+    * for the 10⁸-row-group argument vs the window form). Ord is
+    * (−price, orderkey): ascending heap order ≡ price DESC with key
+    * tie-break — a total order, so the oracle's row_number() is
+    * deterministic too. posexplode turns the rank-ordered array back into
+    * (rank, row) lines. */
+  def topkAgg(spark: SparkSession, d: String): DataFrame = {
+    val value = struct(col("o_orderkey"), col("o_totalprice"))
+    val ord = struct(-col("o_totalprice"), col("o_orderkey"))
+    val shim = org.apache.spark.sql.GraftSqlShim
+    val top = shim.column(
+      graft.plans.TopKRows(
+        shim.expression(value), shim.expression(ord), 3).toAggregateExpression())
+    orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(top.as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  val topkAggSql: String =
+    """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_rewrite" -> (dedupRewrite _),
     "q_rollup"     -> (rollupAgg _),
@@ -846,7 +881,8 @@ object AnalyticOps {
     "q_join_full"  -> (fullJoin _),
     "q_window_lag" -> (windowLag _),
     "q_window_rank" -> (windowRank _),
-    "q_histogram"  -> (histogram _))
+    "q_histogram"  -> (histogram _),
+    "q_topk_agg"   -> (topkAgg _))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_rewrite" -> dedupRewriteSql,
@@ -873,5 +909,6 @@ object AnalyticOps {
     "q_join_full"  -> fullJoinSql,
     "q_window_lag" -> windowLagSql,
     "q_window_rank" -> windowRankSql,
-    "q_histogram"  -> histogramSql)
+    "q_histogram"  -> histogramSql,
+    "q_topk_agg"   -> topkAggSql)
 }

@@ -58,6 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
     ext.injectFunction(GraftExtensions.argminRowDescriptor)
+    ext.injectFunction(GraftExtensions.topkRowsDescriptor)
   }
 }
 
@@ -97,5 +98,24 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "argmin_row(value, ord) takes 2 arguments")
         MinRowBy(exprs.head, exprs(1), reverse = false)
+      })
+
+  /** `topk_rows(value, ord, k)` — the [[TopKRows]] bounded heap top-k as a
+    * plain SQL aggregate: the k rows with the smallest ord as an array in
+    * rank order, hash-based and map-side mergeable (no per-group sort —
+    * the generalization of [[argminRowDescriptor]] beyond k=1). k must be
+    * an integer literal: it shapes the buffer, not per-row data. */
+  private[plans] val topkRowsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKRows].getCanonicalName, "topk_rows"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "topk_rows(value, ord, k) takes 3 arguments")
+        val k = exprs(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_rows: k must be an integer literal, got $other")
+        }
+        TopKRows(exprs.head, exprs(1), k)
       })
 }
