@@ -74,6 +74,25 @@ object Probe {
         .orderBy("token")
     }
 
+    // round-8: bounded-heap top-k per group vs the row_number window form.
+    // The heap agg ships k rows per partition through the shuffle and never
+    // sorts; the window form shuffles and sorts every group's full row set.
+    // Measured at sf0.1 (min of 3): 0.58 s vs 0.54 s — parity, for the
+    // same reason as the heavy-hitter probe: ~17-row groups and memory-copy
+    // local shuffles hide the k-vs-group-size shuffle-byte asymmetry that
+    // pays on a real network (and grows with group size and skew).
+    time("topk:heap_agg") { ops.AnalyticOps.topkAgg(spark, d) }
+    time("topk:window") {
+      import org.apache.spark.sql.expressions.Window
+      val w2 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(spark, d)
+        .withColumn("rk", row_number().over(w2).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    }
+
     // round-8: state-store footprint of the chained stateful pipeline
     // (stream-stream interval join → day-window agg) at bench scale — the
     // per-operator rows/bytes that size executor memory for the streaming
