@@ -9,11 +9,13 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key names a query; rows-only set is exactly the custom-expression pair") {
+  test("every oracle key names a query; rows-only set is exactly q_compress_signal") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")
-    assert((q diff o) === Set("q_fast_fingerprint", "q_compress_signal"),
-      "rows-only queries must stay the two no-SQL-equivalent custom expressions")
+    // q_fast_fingerprint gained a DuckDB oracle (HUGEINT modular chain);
+    // zlib has no SQL twin, so the compression signal stays rows-only
+    assert((q diff o) === Set("q_compress_signal"),
+      "rows-only queries must stay the no-SQL-equivalent custom expression")
   }
 }
