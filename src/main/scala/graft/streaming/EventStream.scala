@@ -193,6 +193,113 @@ object EventStream {
   // def, not val: streamingSessionsSql initializes later in the object
   def streamingTwsSql: String = streamingSessionsSql
 
+  /** [[RunningRollupProcessor]] plus batch warm-start: handleInitialState
+    * seeds each user's ValueState from a pre-aggregated batch frame BEFORE
+    * any stream rows arrive — the bootstrap path for migrating a batch
+    * pipeline's accumulated state into a streaming deployment without
+    * replaying history. */
+  final class SeededRollupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, TwsUpdate, SessionState] {
+    @transient private var rollup:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      rollup = getHandle.getValueState[SessionState]("rollup",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(userId: Long, initial: SessionState,
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
+      rollup.update(initial)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsUpdate] = {
+      val prev = if (rollup.exists()) rollup.get() else SessionState(0L, 0L)
+      val (n, c) = rows.foldLeft((prev.n_events, prev.total_cents)) {
+        case ((cn, cc), e) => (cn + 1, cc + toCents(e.value))
+      }
+      rollup.update(SessionState(n, c))
+      Iterator.single(TwsUpdate(userId, n, c))
+    }
+  }
+
+  /** transformWithState INITIAL STATE: even-id events are pre-aggregated
+    * BATCH-side into per-user SessionState and handed to the operator as
+    * its initial state; only odd-id events flow through the stream. The
+    * final per-user rollup must equal the batch aggregation over ALL
+    * events (the q_stream_sessions oracle) — proving the seeded state is
+    * genuinely folded under, not recomputed. Users who only ever appear
+    * in the seed never get stream rows and emit nothing; the rollup
+    * re-unions the seed for them (their state is correct but silent —
+    * exactly the semantics a warm-started deployment sees).
+    */
+  def streamingTwsInit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val toEvent = (df: DataFrame) => df
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    // distributed seed build (no driver collect): per-user cents rollup of
+    // the even half, pinned because it feeds BOTH the initial state and the
+    // silent-user re-union below
+    val seedDs = toEvent(raw.where(col("event_id") % 2 === 0)).as[Event]
+      .groupByKey(_.user_id)
+      .mapGroups { (u, it) =>
+        var n = 0L; var c = 0L
+        it.foreach { e => n += 1; c += toCents(e.value) }
+        (u, SessionState(n, c))
+      }.localCheckpoint()
+    val initialState = seedDs.groupByKey(_._1).mapValues(_._2)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_tws_init")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val stage = root.resolve("stage")
+    raw.where(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally listing.close()
+    java.nio.file.Files.move(part, inDir.resolve("batch0.parquet"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = toEvent(spark.readStream.schema(rawSchema)
+      .parquet(inDir.toString)).as[Event]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new SeededRollupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        initialState)
+    try runToMemory(out.toDF(), "graft_stream_tws_init", OutputMode.Update)
+    finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      deleteRecursively(root)
+    }
+    // silent seed-only users re-enter from the seed itself; streamed users'
+    // last Update row (per-user max: counts strictly increase) wins the union
+    val streamed = spark.table("graft_stream_tws_init")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("total_cents")).as("total_cents"))
+    val seedDf = seedDs.toDF("user_id", "s")
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_cents").as("total_cents"))
+      .join(streamed.select("user_id"), Seq("user_id"), "left_anti")
+    streamed.unionByName(seedDf)
+      .select(col("user_id"), col("n_events"),
+        (col("total_cents").cast("double") / 100.0).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  // def, not val: streamingSessionsSql initializes later in the object
+  def streamingTwsInitSql: String = streamingSessionsSql
+
   final case class TwsTypeRollup(user_id: Long, event_type: String,
       n_events: Long, total_value: Double)
 
@@ -1722,6 +1829,7 @@ object EventStream {
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
     "q_stream_tws"      -> ((s, d) => streamingTws(s, d)),
     "q_stream_tws_timer" -> ((s, d) => streamingTwsTimer(s, d)),
+    "q_stream_tws_init" -> ((s, d) => streamingTwsInit(s, d)),
     "q_stream_late"     -> ((s, d) => streamingLateData(s, d)),
     "q_stream_enrich"   -> ((s, d) => streamingEnrich(s, d)),
     "q_stream_join"     -> ((s, d) => streamingJoin(s, d)),
@@ -1744,6 +1852,7 @@ object EventStream {
     "q_stream_sessions" -> streamingSessionsSql,
     "q_stream_tws"      -> streamingTwsSql,
     "q_stream_tws_timer" -> streamingTwsTimerSql,
+    "q_stream_tws_init" -> streamingTwsInitSql,
     "q_stream_late"     -> streamingLateDataSql,
     "q_stream_enrich"   -> streamingEnrichSql,
     "q_stream_join"     -> streamingJoinSql,
