@@ -1293,6 +1293,33 @@ object RelationalOps {
   // CASE form. Sums stay NULL for an absent (status, priority) cell in
   // BOTH spellings — the reason the pivot aggregates one measure (a
   // PIVOT count(*) would yield NULL where the CASE form yields 0).
+  /** SQL PIPE SYNTAX (Spark 4 `|>` operators): the linear
+    * filter→aggregate→sort form of a priority rollup — each `|>` stage is
+    * parser sugar over the same logical operators (the plan is identical
+    * to the nested-SELECT spelling, so every Catalyst optimization applies
+    * unchanged; this pins the parser surface, not new semantics). Exact
+    * cents keep the aggregate integer; DuckDB's HUGEINT sum is cast back
+    * to BIGINT in the oracle. */
+  def sqlPipe(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """TABLE graft_orders
+        ||> WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        ||> AGGREGATE count(*) AS n_orders,
+        |             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |   GROUP BY o_orderpriority
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlPipeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def sqlPivot(spark: SparkSession, d: String): DataFrame = {
     graft.Tables.table(spark, d, "orders").createOrReplaceTempView("graft_orders")
     spark.sql(
@@ -1328,6 +1355,7 @@ object RelationalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_pivot"       -> (sqlPivot _),
+    "q_sql_pipe"        -> (sqlPipe _),
     "q_join_composite"  -> (joinComposite _),
     "q_delta_anti"      -> (deltaAnti _),
     "q_bloom_delta"     -> (bloomDeltaOrders _),
@@ -1374,6 +1402,7 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q_sql_pivot"       -> sqlPivotSql,
+    "q_sql_pipe"        -> sqlPipeSql,
     "q_join_composite"  -> joinCompositeSql,
     "q_delta_anti"      -> deltaAntiSql,
     "q_bloom_delta"     -> bloomDeltaOrdersSql,
