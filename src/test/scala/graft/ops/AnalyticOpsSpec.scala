@@ -131,4 +131,26 @@ class AnalyticOpsSpec extends SparkSpec {
         matching._3 * 1000000L / r.getAs[Long]("total_n"))
     }
   }
+
+  test("observe() metrics report exact counts piggybacked on the action") {
+    // the operational audit surface: data-quality counters collected on the
+    // SAME pass as the real work (zero extra scans, aggregated on the
+    // executors like any partial agg) — vs a separate .count()/.agg() job,
+    // which at 100 TB doubles the read. Exact-cents metric keeps it
+    // deterministic.
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    val ev = graft.Tables.events(spark, d)
+    val cents = graft.functions.Money.cents(col("value"))
+    val n = ev.observe(obs, count(lit(1)).as("n_rows"),
+        sum(cents).as("total_cents"), sum(when(col("value") < 0, 1L)
+          .otherwise(0L)).as("n_negative"))
+      .count()
+    val m = obs.get
+    assert(m("n_rows") === n)
+    val ref = ev.agg(sum(cents), sum(when(col("value") < 0, 1L).otherwise(0L)))
+      .head
+    assert(m("total_cents") === ref.getLong(0))
+    assert(m("n_negative") === ref.getLong(1))
+  }
 }
