@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 custom source: a paginated-API catalog modeled the
+  * Spark-native way.
+  *
+  * The reference ingests its catalog by looping limit/offset pages on the
+  * driver (single-threaded REST pagination; `ingest/Fixture` mirrors that
+  * shape hermetically). This source instead maps EACH PAGE to one
+  * [[InputPartition]], so a backfill of thousands of pages fans out across
+  * the cluster like any other scan — plus the two pushdowns that make a
+  * source a good citizen at 100 TB:
+  *
+  *   - `SupportsPushDownFilters`: id-range predicates prune whole PAGES at
+  *     planning (the manifest-level skip; the filters are also left as
+  *     residuals, so kept pages are still row-filtered — best-effort
+  *     pruning can never change answers)
+  *   - `SupportsPushDownRequiredColumns`: unprojected columns are never
+  *     generated (ReadSchema narrows, like a parquet scan)
+  *
+  * Rows are a deterministic function of the global index through the
+  * engine-standard md5 hash ([[graft.functions.Hashing.hexHashLocal]]), so
+  * a DuckDB oracle can rebuild the identical "API response" from range(n) —
+  * the custom source is oracle-checked end to end (q_source_v2), not just
+  * spec-smoked. Zero egress: nothing is fetched; the page reader IS the
+  * deterministic fixture.
+  */
+object PagedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("track_id", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("title", StringType, nullable = false)))
+
+  val TrackMod = 500L
+  val DurBase = 30000L
+  val DurSpan = 300000L
+
+  /** Executor-side row formula — MUST stay byte-identical to
+    * [[graft.functions.Hashing.hexHashLocal]] and the q_source_v2 oracle. */
+  def trackId(idx: Long): Long =
+    graft.functions.Hashing.hexHashLocal(s"pg:$idx") % TrackMod
+  def durationMs(idx: Long): Long =
+    DurBase + graft.functions.Hashing.hexHashLocal(s"dur:$idx") % DurSpan
+}
+
+class PagedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val pages = Option(properties.get("pages")).map(_.toInt).getOrElse(1)
+    val pageSize = Option(properties.get("pagesize")).map(_.toInt)
+      .orElse(Option(properties.get("pageSize")).map(_.toInt)).getOrElse(100)
+    new PagedTable(pages, pageSize)
+  }
+}
+
+final class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_paged(pages=$pages, pageSize=$pageSize)"
+  override def schema(): StructType = PagedSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(pages, pageSize)
+}
+
+final class PagedScanBuilder(pages: Int, pageSize: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = PagedSource.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var lo: Long = 0L
+  private var hi: Long = pages.toLong * pageSize // exclusive
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept id bounds for page pruning; return EVERYTHING as residual so
+    * Spark re-evaluates row-exactly (pruning stays best-effort). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case _                                 => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new PagedScan(pages, pageSize, required, lo, hi)
+}
+
+final class PagedScan(pages: Int, pageSize: Int, required: StructType,
+    lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedScan pages=$pages pageSize=$pageSize idRange=[$lo,$hi) " +
+      s"cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).filter { p =>
+      val first = p.toLong * pageSize
+      first < hi && (first + pageSize) > lo // page overlaps [lo, hi)
+    }.map(p => PagePartition(p, pageSize): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required.fieldNames)
+}
+
+final case class PagePartition(page: Int, pageSize: Int) extends InputPartition
+
+final class PagedReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.pageSize }
+      override def get(): InternalRow = {
+        val idx = p.page.toLong * p.pageSize + i
+        val vals: Array[Any] = cols.map {
+          case "id"          => idx
+          case "track_id"    => PagedSource.trackId(idx)
+          case "duration_ms" => PagedSource.durationMs(idx)
+          case "title"       => UTF8String.fromString(s"trk_${PagedSource.trackId(idx)}")
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The oracle-checked query over the custom source (sfDir is ignored — the
+  * source is its own deterministic fixture, same n at every scale). */
+object PagedApi {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  val Pages = 40
+  val PageSize = 1500
+
+  /** Per-track listening rollup over a pushed id slice: the id predicates
+    * prune pages at planning (38 of 40 partitions survive) AND re-filter
+    * rows; title is never generated (column pruning). */
+  def sourceV2(spark: SparkSession, d: String): DataFrame =
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+      .where(col("id") >= 3000L && col("id") < 57000L)
+      .groupBy(col("track_id"))
+      .agg(count(lit(1)).as("n_plays"), sum(col("duration_ms")).as("total_ms"))
+      .orderBy("track_id")
+
+  val sourceV2Sql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT track_id, count(*) AS n_plays,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms
+      |FROM src
+      |WHERE id >= 3000 AND id < 57000
+      |GROUP BY track_id
+      |ORDER BY track_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_v2" -> (sourceV2 _))
+  val oracles: Map[String, String] = Map(
+    "q_source_v2" -> sourceV2Sql)
+}

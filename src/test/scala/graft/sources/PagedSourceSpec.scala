@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+
+import graft.SparkSpec
+
+/** PagedSource (DSv2): page-grained partition planning, id-range page
+  * pruning, column pruning, and answer-invariance of best-effort pruning. */
+class PagedSourceSpec extends SparkSpec {
+
+  private def read(pages: Int = 4, pageSize: Int = 100) =
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", pages.toString).option("pageSize", pageSize.toString)
+      .load()
+
+  test("one input partition per page; full scan yields pages x pageSize rows") {
+    val df = read()
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 400L)
+    // ids are the dense global index, exactly once each
+    assert(df.agg(countDistinct(col("id"))).head.getLong(0) === 400L)
+    assert(df.agg(min(col("id")), max(col("id"))).head ===
+      org.apache.spark.sql.Row(0L, 399L))
+  }
+
+  test("id-range filters prune whole pages at planning") {
+    // [150, 250) overlaps pages 1 and 2 only
+    val pruned = read().where(col("id") >= 150L && col("id") < 250L)
+    assert(pruned.rdd.getNumPartitions === 2)
+    assert(pruned.count() === 100L)
+    // kept pages are still row-filtered (residual re-evaluation): exact edges
+    assert(pruned.agg(min(col("id")), max(col("id"))).head ===
+      org.apache.spark.sql.Row(150L, 249L))
+    // builder-level: the same bounds plan 2 of 4 partitions
+    val b = new PagedScanBuilder(4, 100)
+    b.pushFilters(Array(GreaterThanOrEqual("id", 150L), LessThan("id", 250L)))
+    assert(b.pushedFilters().length === 2)
+    val scan = b.build().asInstanceOf[PagedScan]
+    assert(scan.planInputPartitions().length === 2)
+    // disjoint range degrades to an empty scan, not an error
+    val none = read().where(col("id") >= 1000L)
+    assert(none.count() === 0L)
+  }
+
+  test("non-id filters are not claimed; pruning never changes answers") {
+    val b = new PagedScanBuilder(4, 100)
+    val residual = b.pushFilters(Array(GreaterThanOrEqual("track_id", 10L)))
+    assert(b.pushedFilters().isEmpty)
+    assert(residual.length === 1) // everything re-evaluated by Spark
+    val viaFilter = read().where(col("id") >= 150L && col("id") < 250L)
+      .agg(sum(col("duration_ms"))).head.getLong(0)
+    val viaSlice = read().where(col("id").between(150L, 249L))
+      .agg(sum(col("duration_ms"))).head.getLong(0)
+    assert(viaFilter === viaSlice)
+  }
+
+  test("column pruning narrows the read schema (title never generated)") {
+    val df = read().select(col("id"), col("duration_ms"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedScan"), plan)
+    assert(!plan.contains("title"), plan)
+    assert(df.count() === 400L)
+  }
+
+  test("row formula matches the engine hash helpers deterministically") {
+    val rows = read(1, 50).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Long]("track_id"),
+        r.getAs[Long]("duration_ms"), r.getAs[String]("title"))).sortBy(_._1)
+    rows.foreach { case (id, tid, dur, title) =>
+      assert(tid === PagedSource.trackId(id))
+      assert(dur === PagedSource.durationMs(id))
+      assert(title === s"trk_$tid")
+    }
+  }
+}
