@@ -73,12 +73,14 @@ final class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRea
   override def name(): String = s"graft_paged(pages=$pages, pageSize=$pageSize)"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, pageSize)
+    new PagedScanBuilder(pages, pageSize,
+      Option(options.get("pagesPerTrigger")).map(_.toInt).getOrElse(pages))
 }
 
-final class PagedScanBuilder(pages: Int, pageSize: Int) extends ScanBuilder
+final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = Int.MaxValue)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedSource.schema
   private var accepted: Array[Filter] = Array.empty
@@ -102,11 +104,13 @@ final class PagedScanBuilder(pages: Int, pageSize: Int) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new PagedScan(pages, pageSize, required, lo, hi)
+  override def build(): Scan =
+    new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger)
 }
 
 final class PagedScan(pages: Int, pageSize: Int, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch {
+    lo: Long, hi: Long, pagesPerTrigger: Int = Int.MaxValue)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -119,6 +123,48 @@ final class PagedScan(pages: Int, pageSize: Int, required: StructType,
     }.map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(pages, pageSize, pagesPerTrigger,
+      required.fieldNames)
+}
+
+/** Offset = number of pages fully consumed (exclusive upper page). */
+final case class PagedOffset(page: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = page.toString
+}
+
+/** The streaming half of the connector: the page counter IS the offset
+  * log. Each trigger admits up to `pagesPerTrigger` more pages —
+  * `latestOffset` advances incrementally, so one run yields
+  * ceil(pages/step) REAL micro-batches; `planInputPartitions(start, end)`
+  * maps the offset range back to page partitions (identical readers to the
+  * batch path — one row formula, two arrival modes). Offsets are
+  * checkpointable ints: restart-safe exactly-once in the standard
+  * offset-log contract (commit() has nothing to clean: pages are
+  * idempotently re-generable, the replayable-source property). */
+final class PagedMicroBatchStream(pages: Int, pageSize: Int, step: Int,
+    cols: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var advanced = 0
+
+  override def initialOffset(): Offset = PagedOffset(0)
+  override def latestOffset(): Offset = {
+    advanced = math.min(pages, advanced + math.max(1, step))
+    PagedOffset(advanced)
+  }
+  override def deserializeOffset(json: String): Offset =
+    PagedOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    (start.asInstanceOf[PagedOffset].page until end.asInstanceOf[PagedOffset].page)
+      .map(p => PagePartition(p, pageSize): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class PagePartition(page: Int, pageSize: Int) extends InputPartition
@@ -183,8 +229,43 @@ object PagedApi {
       |ORDER BY track_id""".stripMargin
   }
 
+  /** The STREAMING read of the same connector: 6 real micro-batches
+    * (pagesPerTrigger=7 over 40 pages) drive the per-track rollup in
+    * Complete mode; the final state must equal the batch rollup over the
+    * whole range — the replayable-offset-source contract checked against
+    * the same DuckDB rebuild (no id slice here: offsets, not filters,
+    * bound each batch's pages). */
+  def sourceV2Stream(spark: SparkSession, d: String): DataFrame = {
+    val stream = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .option("pagesPerTrigger", "7")
+      .load()
+      .groupBy(col("track_id"))
+      .agg(count(lit(1)).as("n_plays"), sum(col("duration_ms")).as("total_ms"))
+    graft.streaming.EventStream.runToMemory(stream, "graft_source_v2_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    spark.table("graft_source_v2_stream").orderBy("track_id")
+  }
+
+  val sourceV2StreamSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT track_id, count(*) AS n_plays,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms
+      |FROM src
+      |GROUP BY track_id
+      |ORDER BY track_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_source_v2" -> (sourceV2 _))
+    "q_source_v2" -> (sourceV2 _),
+    "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
-    "q_source_v2" -> sourceV2Sql)
+    "q_source_v2" -> sourceV2Sql,
+    "q_source_v2_stream" -> sourceV2StreamSql)
 }

@@ -63,6 +63,26 @@ class PagedSourceSpec extends SparkSpec {
     assert(df.count() === 400L)
   }
 
+  test("micro-batch stream consumes pages in offset steps and totals the table") {
+    val stream = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    val q = stream.writeStream
+      .outputMode("complete").format("memory").queryName("paged_stream_spec")
+      .start()
+    try {
+      q.processAllAvailable()
+      // one page per trigger -> at least 4 data micro-batches ran
+      assert(q.recentProgress.count(_.numInputRows > 0L) === 4,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      val row = spark.table("paged_stream_spec").head
+      assert(row.getLong(0) === 400L)
+      assert(row.getLong(1) === (0L until 400L).sum)
+    } finally q.stop()
+  }
+
   test("row formula matches the engine hash helpers deterministically") {
     val rows = read(1, 50).collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[Long]("track_id"),
