@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 custom SINK with the atomic two-phase commit protocol —
+  * the write-side counterpart of [[PagedSource]].
+  *
+  * Every task's [[DataWriter]] streams rows into a UNIQUELY-NAMED staged
+  * file (task attempt id in the name: speculative or retried attempts can
+  * never collide); its commit message carries the staged name + row count
+  * back to the driver. Only `BatchWrite.commit` — which runs once, after
+  * ALL tasks succeeded — renames staged files into place and publishes a
+  * `_MANIFEST` json with per-file counts; `abort` deletes the stage. A
+  * reader that trusts the manifest therefore never observes a partial
+  * write: exactly the commit discipline every lakehouse table format
+  * builds on, in its minimal form (and the contract q_stream_merge's
+  * versioned-swap emulates one level up).
+  *
+  * Payload is JSON-lines over long/double/string/boolean/timestamp
+  * columns, so a round trip through `spark.read.schema(...).json` proves
+  * the sink byte-exact. Mode("overwrite") engages SupportsTruncate:
+  * commit clears prior committed files before publishing the new set.
+  */
+class JsonAuditSink extends TableProvider {
+  // write-only: schema comes from the DataFrame being written — external
+  // metadata support makes Spark pass that schema into getTable
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new AuditTable(properties.get("path"), schema)
+}
+
+final class AuditTable(path: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
+  override def name(): String = s"graft_audit_sink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AuditWriteBuilder(path, info.schema())
+}
+
+final class AuditWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AuditBatchWrite(path, schema, truncateFirst)
+  }
+}
+
+final case class AuditCommitMessage(stagedName: String, rows: Long)
+  extends WriterCommitMessage
+
+final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    if (truncateFirst && java.nio.file.Files.isDirectory(dir)) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .foreach(java.nio.file.Files.delete)
+      finally listing.close()
+    }
+    val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
+      .sortBy(_.stagedName)
+    entries.zipWithIndex.foreach { case (m, i) =>
+      java.nio.file.Files.move(stage.resolve(m.stagedName),
+        dir.resolve(f"part-$i%05d.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val manifest = entries.zipWithIndex.map { case (m, i) =>
+      f"""{"file":"part-$i%05d.jsonl","rows":${m.rows}%d}"""
+    }
+    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
+      (Seq(s"""{"files":${entries.size},"rows":${entries.map(_.rows).sum}}""") ++
+        manifest).mkString("\n").getBytes("UTF-8"))
+    deleteRecursively(stage)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(java.nio.file.Paths.get(path).resolve("_staging"))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+}
+
+final class AuditWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditDataWriter(path, schema, partitionId, taskId)
+}
+
+final class AuditDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  // attempt-unique staged name: retries/speculation can never collide
+  private val stagedName = f"stage-$partitionId%05d-$taskId.jsonl"
+  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  java.nio.file.Files.createDirectories(stageDir)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
+  private var rows = 0L
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  override def write(record: InternalRow): Unit = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = f.dataType match {
+        case _ if record.isNullAt(i) => "null"
+        case LongType | IntegerType  => record.get(i, f.dataType).toString
+        case DoubleType              => record.getDouble(i).toString
+        case BooleanType             => record.getBoolean(i).toString
+        case StringType              => "\"" + esc(record.getUTF8String(i).toString) + "\""
+        case TimestampType | TimestampNTZType =>
+          record.getLong(i).toString // µs since epoch; reader schema uses long
+        case other => throw new UnsupportedOperationException(
+          s"graft-audit-sink: unsupported column type $other")
+      }
+      "\"" + f.name + "\":" + v
+    }
+    out.write(fields.mkString("{", ",", "}"))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    AuditCommitMessage(stagedName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(stageDir.resolve(stagedName))
+  }
+
+  override def close(): Unit = ()
+}
