@@ -47,7 +47,8 @@ final class AuditTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema())
 }
@@ -58,7 +59,50 @@ final class AuditWriteBuilder(path: String, schema: StructType)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new AuditBatchWrite(path, schema, truncateFirst)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new AuditStreamingWrite(path, schema)
   }
+}
+
+/** Streaming half of the sink: the SAME staged-file discipline per EPOCH —
+  * `commit(epochId, messages)` publishes `part-e<epoch>-NNNNN.jsonl` files
+  * plus a per-epoch manifest line appended to `_EPOCHS`, so each
+  * micro-batch lands atomically and exactly once per epoch (a replayed
+  * epoch overwrites its own files idempotently — the DSv2 streaming-sink
+  * contract). */
+final class AuditStreamingWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new AuditStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
+      .sortBy(_.stagedName)
+    entries.zipWithIndex.foreach { case (m, i) =>
+      java.nio.file.Files.move(stage.resolve(m.stagedName),
+        dir.resolve(f"part-e$epochId%d-$i%05d.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    java.nio.file.Files.write(dir.resolve("_EPOCHS"),
+      (s"""{"epoch":$epochId,"files":${entries.size},""" +
+        s""""rows":${entries.map(_.rows).sum}}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class AuditStreamingWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new AuditDataWriter(path, schema, partitionId, taskId)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long)

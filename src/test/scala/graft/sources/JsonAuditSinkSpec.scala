@@ -64,6 +64,32 @@ class JsonAuditSinkSpec extends SparkSpec {
     assert(head === """{"files":1,"rows":10}""", head)
   }
 
+  test("streaming write commits one atomic epoch per micro-batch (full custom loop)") {
+    // custom source → custom sink: 4 one-page micro-batches through the
+    // epoch-committed streaming write; every row lands exactly once
+    val dir = tempDir()
+    val ckpt = tempDir()
+    val stream = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load()
+      .select(col("id"), col("track_id"), col("title"))
+    val q = stream.writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val epochs = java.nio.file.Files.readAllLines(dir.resolve("_EPOCHS")).asScala
+    assert(epochs.size >= 4, epochs.mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("track_id", LongType),
+      StructField("title", StringType)))
+    val back = spark.read.schema(schema).json(s"$dir/*.jsonl")
+    assert(back.count() === 400L)
+    assert(back.agg(countDistinct(col("id"))).head.getLong(0) === 400L)
+  }
+
   test("aborted writer leaves no staged file behind") {
     val dir = tempDir()
     val schema = StructType(Seq(StructField("x", LongType)))
