@@ -855,8 +855,10 @@ object TextAnalysis {
   /** Overlapping token-window chunking — the retrieval/context-window prep
     * step: split each document into [[ChunkWidth]]-token windows every
     * [[ChunkStride]] tokens. Start positions are 1, 1+s, … ≤
-    * max(n − s, 1), so every token lands in a chunk, trailing windows may
-    * run short, and a short doc yields exactly one chunk. Emits position
+    * max(n − s, 1); with width ≥ 2·stride (as here: 40/20) every token
+    * lands in a chunk, trailing windows may run short, and a short doc
+    * yields exactly one chunk (narrower widths would truncate the tail —
+    * see the coverage note on [[graft.plans.ChunkTokensGen]]). Emits position
     * metadata plus the chunk CONTENT HASH (cross-engine
     * [[graft.functions.Hashing]]) rather than the text — chunk identity is
     * checkable without shuffling strings, the same discipline as the dedup

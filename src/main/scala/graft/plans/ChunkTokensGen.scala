@@ -12,9 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract identical to the compositional
   * [[graft.operators.TextAnalysis.chunkDocs]]: token starts 1, 1+stride, …
-  * ≤ max(n − stride, 1) (every token lands in a chunk, trailing windows
-  * run short, a short/empty doc yields exactly one chunk, null text yields
-  * none). The composition pays one `split` per OUTPUT CHUNK (the exploded
+  * ≤ max(n − stride, 1); trailing windows run short, a short/empty doc
+  * yields exactly one chunk, null text yields none. Coverage
+  * precondition: every token lands in a chunk iff `width >= 2*stride`
+  * (the usual overlapping-chunk regime); with a narrower width the bound
+  * stops before the tail and the last tokens are deliberately NOT
+  * re-covered — the same truncation the compositional operator performs,
+  * so the two surfaces stay interchangeable for any width/stride.
+  * The composition pays one `split` per OUTPUT CHUNK (the exploded
   * row re-tokenizes the carried text for slice/size); this generator
   * tokenizes each document ONCE and emits all its chunks — O(doc) instead
   * of O(doc · chunks) per document, at scan speed inside GenerateExec.

@@ -48,8 +48,13 @@ case class MinRowBy(
   override def withNewInputAggBufferOffset(newOffset: Int): MinRowBy =
     copy(inputAggBufferOffset = newOffset)
 
+  // A zero-row group (aggregate FILTER matching nothing, or a global
+  // aggregate over an empty frame) leaves the buffer null and eval
+  // returns null — the declared type must say so, or the optimizer may
+  // drop IsNull checks on the result. RowNumberDedupRule call sites
+  // always have >= 1 row per group, so this is a pure widening there.
   override def dataType: DataType = valueExpr.dataType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "min_row_by"
 
   // instantiated executor-side AFTER the aggregation operator has bound

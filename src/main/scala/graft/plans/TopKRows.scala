@@ -47,8 +47,14 @@ case class TopKRows(
   override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
     copy(inputAggBufferOffset = newOffset)
 
-  override def dataType: DataType = ArrayType(valueExpr.dataType, containsNull = false)
-  override def nullable: Boolean = false
+  // containsNull tracks the value expression (a nullable value lands in
+  // the array as-is); the aggregate itself yields an empty array — never
+  // null — on a zero-row group (e.g. FILTER matching nothing), but the
+  // SQL surface declares nullable so the optimizer cannot elide IsNull
+  // checks a consumer writes defensively.
+  override def dataType: DataType =
+    ArrayType(valueExpr.dataType, containsNull = valueExpr.nullable)
+  override def nullable: Boolean = true
   override def prettyName: String = "topk_rows"
 
   // instantiated executor-side AFTER binding to the input schema

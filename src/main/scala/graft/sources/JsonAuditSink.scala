@@ -80,6 +80,18 @@ final class AuditStreamingWrite(path: String, schema: StructType)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging")
+    // Idempotent under epoch replay: a re-attempted epoch first clears its
+    // OWN prior part files (an earlier attempt may have published MORE
+    // files than this one — REPLACE_EXISTING alone would leave stale
+    // higher-index files behind), then republishes the full set.
+    val epochPrefix = s"part-e$epochId-"
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(epochPrefix))
+        .foreach(java.nio.file.Files.delete)
+      finally listing.close()
+    }
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .sortBy(_.stagedName)
     entries.zipWithIndex.foreach { case (m, i) =>
@@ -88,14 +100,34 @@ final class AuditStreamingWrite(path: String, schema: StructType)
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    java.nio.file.Files.write(dir.resolve("_EPOCHS"),
-      (s"""{"epoch":$epochId,"files":${entries.size},""" +
-        s""""rows":${entries.map(_.rows).sum}}""" + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // _EPOCHS keeps exactly one line per epoch: drop any line a previous
+    // attempt of this epoch wrote, then append the authoritative one.
+    val epochsFile = dir.resolve("_EPOCHS")
+    val thisLine = s"""{"epoch":$epochId,"files":${entries.size},""" +
+      s""""rows":${entries.map(_.rows).sum}}"""
+    val kept =
+      if (java.nio.file.Files.exists(epochsFile))
+        java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
+          .filterNot(_.startsWith(s"""{"epoch":$epochId,"""))
+      else Seq.empty
+    val tmp = dir.resolve("_EPOCHS.tmp")
+    java.nio.file.Files.write(tmp,
+      (kept :+ thisLine).map(_ + "\n").mkString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, epochsFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  /** A failed epoch attempt removes the staged files its tasks reported —
+    * a later successful attempt re-stages under fresh attempt ids. */
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    messages.foreach {
+      case m: AuditCommitMessage =>
+        java.nio.file.Files.deleteIfExists(stage.resolve(m.stagedName))
+      case _ => () // tasks that never committed have no message
+    }
+  }
 }
 
 final class AuditStreamingWriterFactory(path: String, schema: StructType)
@@ -167,8 +199,26 @@ final class AuditDataWriter(path: String, schema: StructType,
     java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
   private var rows = 0L
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON string escaping — backslash, quote, AND control characters
+    * (a raw newline in a value would split one record across two invalid
+    * JSON lines, breaking both the framing and the read-back round trip). */
+  private def esc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   override def write(record: InternalRow): Unit = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

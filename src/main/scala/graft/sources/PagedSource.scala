@@ -143,19 +143,41 @@ final case class PagedOffset(page: Int)
   * batch path — one row formula, two arrival modes). Offsets are
   * checkpointable ints: restart-safe exactly-once in the standard
   * offset-log contract (commit() has nothing to clean: pages are
-  * idempotently re-generable, the replayable-source property). */
+  * idempotently re-generable, the replayable-source property).
+  *
+  * Restart safety: the stream is STATELESS — it implements
+  * [[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]],
+  * so each trigger's target is computed as `min(pages, start + step)` from
+  * the engine-supplied START offset (the restored committed offset after a
+  * checkpoint restart). A mutable "pages advanced so far" counter would
+  * reset to zero on restart and report a latest offset BELOW the committed
+  * one, replaying already-committed pages; deriving the end from the start
+  * makes the offset sequence monotone by construction. */
 final class PagedMicroBatchStream(pages: Int, pageSize: Int, step: Int,
     cols: Array[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private var advanced = 0
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = PagedOffset(0)
-  override def latestOffset(): Offset = {
-    advanced = math.min(pages, advanced + math.max(1, step))
-    PagedOffset(advanced)
+
+  /** Not called once SupportsAdmissionControl is implemented; keep the
+    * contract explicit rather than silently wrong. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "paged source is admission-controlled: latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admit up to `step` more pages past the (possibly restored) start. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PagedOffset].page
+    PagedOffset(math.min(pages, from + math.max(1, step)))
   }
+
+  /** True end of the source — lets progress reporting show real backlog. */
+  override def reportLatestOffset(): Offset = PagedOffset(pages)
+
   override def deserializeOffset(json: String): Offset =
     PagedOffset(json.trim.toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

@@ -90,6 +90,80 @@ class JsonAuditSinkSpec extends SparkSpec {
     assert(back.agg(countDistinct(col("id"))).head.getLong(0) === 400L)
   }
 
+  test("control characters in string values survive the JSON round trip") {
+    val dir = tempDir()
+    import spark.implicits._
+    val src = Seq(
+      (1L, "line1\nline2"),          // raw newline: the framing killer
+      (2L, "tab\there\rcr"),
+      (3L, "quote\" and back\\slash"),
+      (4L, "low\u0001ctl\u001fend"),
+      (5L, "plain")).toDF("k", "s")
+    src.write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    // one physical line per record — a raw \n would break this count
+    val lines = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala).toSeq
+    assert(lines.size === 5, lines.mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val back = spark.read.schema(schema).json(s"$dir/*.jsonl")
+    assert(back.where(col("s").isNull).count() === 0L, "corrupt json row")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(key(back) === key(src))
+  }
+
+  test("epoch replay is idempotent: stale part files and _EPOCHS lines are replaced") {
+    val dir = tempDir()
+    val stage = dir.resolve("_staging")
+    java.nio.file.Files.createDirectories(stage)
+    def stageFile(name: String, rows: Int): AuditCommitMessage = {
+      val body = (0 until rows).map(i => s"""{"x":$i}""" + "\n").mkString
+      java.nio.file.Files.write(stage.resolve(name), body.getBytes("UTF-8"))
+      AuditCommitMessage(name, rows.toLong)
+    }
+    val w = new AuditStreamingWrite(dir.toString,
+      StructType(Seq(StructField("x", LongType))))
+    // attempt 1 of epoch 5: three task files
+    w.commit(5L, Array(stageFile("stage-00000-1.jsonl", 2),
+      stageFile("stage-00001-2.jsonl", 3), stageFile("stage-00002-3.jsonl", 4)))
+    // replay of epoch 5: only ONE task file this time (e.g. different
+    // partitioning after recovery) — must fully supersede attempt 1
+    w.commit(5L, Array(stageFile("stage-00000-9.jsonl", 6)))
+    val names = {
+      val l = java.nio.file.Files.list(dir)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet finally l.close()
+    }
+    assert(names.count(_.startsWith("part-e5-")) === 1,
+      s"stale attempt-1 files must not survive: $names")
+    val epochLines = java.nio.file.Files.readAllLines(dir.resolve("_EPOCHS")).asScala
+      .filter(_.startsWith("""{"epoch":5,"""))
+    assert(epochLines.toSeq === Seq("""{"epoch":5,"files":1,"rows":6}"""),
+      epochLines.mkString("\n"))
+    // a neighboring epoch is untouched by epoch-5 replays
+    w.commit(6L, Array(stageFile("stage-00000-11.jsonl", 1)))
+    w.commit(5L, Array(stageFile("stage-00000-12.jsonl", 2)))
+    val allEpochs = java.nio.file.Files.readAllLines(dir.resolve("_EPOCHS")).asScala
+    assert(allEpochs.exists(_.startsWith("""{"epoch":6,""")), allEpochs.mkString("\n"))
+  }
+
+  test("streaming abort removes the reported staged files") {
+    val dir = tempDir()
+    val stage = dir.resolve("_staging")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("stage-00000-7.jsonl"), "x".getBytes)
+    val w = new AuditStreamingWrite(dir.toString,
+      StructType(Seq(StructField("x", LongType))))
+    w.abort(3L, Array(AuditCommitMessage("stage-00000-7.jsonl", 1L)))
+    val left = {
+      val l = java.nio.file.Files.list(stage)
+      try l.count() finally l.close()
+    }
+    assert(left === 0L)
+  }
+
   test("aborted writer leaves no staged file behind") {
     val dir = tempDir()
     val schema = StructType(Seq(StructField("x", LongType)))

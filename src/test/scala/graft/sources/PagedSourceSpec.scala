@@ -83,6 +83,50 @@ class PagedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestOffset is monotone w.r.t. a restored checkpoint offset") {
+    // fresh instance simulating a restart: admission control derives the
+    // end from the engine-supplied start, so a restored offset of 20
+    // resumes at 27 (never back at 7 as a reset mutable counter would)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new PagedMicroBatchStream(40, 10, 7, Array("id"))
+    val next = s.latestOffset(PagedOffset(20), ReadLimit.allAvailable())
+      .asInstanceOf[PagedOffset].page
+    assert(next === 27, s"latestOffset must resume above the committed 20, got $next")
+    // and never exceeds the page count
+    assert(s.latestOffset(PagedOffset(38), ReadLimit.allAvailable())
+      .asInstanceOf[PagedOffset].page === 40)
+    assert(s.latestOffset(PagedOffset(40), ReadLimit.allAvailable())
+      .asInstanceOf[PagedOffset].page === 40)
+  }
+
+  test("checkpointed restart resumes at the committed page — no replay") {
+    // run 1 consumes pages [0,2); run 2 restarts from the SAME checkpoint
+    // with more pages available and must emit ONLY pages [2,4)
+    val out = java.nio.file.Files.createTempDirectory("graft_paged_restart_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_paged_restart_ckpt")
+    def run(pages: Int): Unit = {
+      val q = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load()
+        .select(col("id"))
+        .writeStream.format(classOf[JsonAuditSink].getName)
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(2)
+    run(4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val back = spark.read.schema(schema).json(s"$out/*.jsonl")
+    assert(back.count() === 400L, "every page exactly once across both runs")
+    assert(back.agg(countDistinct(col("id"))).head.getLong(0) === 400L,
+      "a replayed page would surface as duplicate ids")
+  }
+
   test("row formula matches the engine hash helpers deterministically") {
     val rows = read(1, 50).collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[Long]("track_id"),
