@@ -152,15 +152,56 @@ object TextAnalysis {
       expr("min_shingle_hash(text, 9)").as("rolling_fp"))
   }
 
-  /** Deflate-ratio repetitiveness signal via the custom codegen'd
-    * expression ([[graft.plans.CompressionRatioExpr]]); rows-only driver
-    * check (no SQL zlib exists), spec-verified against java.util.zip. */
+  /** Compression/repetitiveness signal, restated as the DICTIONARY RATIO:
+    * distinct character 3-grams / total 3-gram positions. Near-random text
+    * ≈ 1.0; templated or repetitive boilerplate ≪ 1 — the same curation
+    * decision the deflate ratio drives, from the same underlying quantity
+    * (LZ-family compressors win exactly when the 3-gram dictionary is
+    * small relative to the text). Unlike deflate output, this proxy is
+    * deterministic across engines, so the query is hash-checkable against
+    * DuckDB end to end: integer counts both sides, one final
+    * correctly-rounded IEEE division.
+    *
+    * One codegen'd O(n) pass per row ([[graft.plans.CharNgramCodesExpr]]
+    * dedups inside the expression — no explode, no shuffle; a map-only
+    * scan at 100 TB). The zlib variant stays available as the
+    * `compression_ratio(text)` SQL function
+    * ([[graft.plans.CompressionRatioExpr]]), spec-pinned MONOTONE against
+    * this proxy on a repetitiveness ladder (CompressionRatioSpec) and
+    * exact-checked against java.util.zip. */
   def compressionSignal(spark: SparkSession, d: String): DataFrame = {
-    graft.plans.CompressionRatio.register(spark)
+    graft.plans.CharNgrams.register(spark)
+    val n = length(col("text"))
     documents(spark, d).select(
       col("doc_id"),
-      expr("compression_ratio(text)").as("deflate_ratio"))
+      when(n >= 3, (n - lit(2)).cast("long")).otherwise(0L).as("total_3grams"),
+      when(n >= 3, size(expr("char_ngram_codes(text)")).cast("long"))
+        .otherwise(0L).as("distinct_3grams"),
+      when(n >= 3,
+        size(expr("char_ngram_codes(text)")).cast("double") / (n - lit(2)))
+        .otherwise(1.0).as("dict_ratio"))
   }
+
+  /** DuckDB twin of [[compressionSignal]]: the distinct-trigram count via
+    * list_distinct over positional substrings (byte 3-grams ≡ char
+    * 3-grams on the ASCII corpus — same identity q_ngram_jaccard uses).
+    * CAST(... AS DOUBLE)/(n-2) is a single correctly-rounded division of
+    * two exact integers on both engines, so no quantization grid is
+    * needed. */
+  val compressionSignalSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         CASE WHEN length(text) >= 3 THEN
+      |           length(list_distinct(list_transform(range(1, length(text)-1),
+      |             i -> substr(text, CAST(i AS INTEGER), 3))))
+      |         ELSE 0 END AS dcount
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN n >= 3 THEN CAST(n-2 AS BIGINT) ELSE 0 END AS total_3grams,
+      |  CAST(dcount AS BIGINT) AS distinct_3grams,
+      |  CASE WHEN n >= 3 THEN CAST(dcount AS DOUBLE)/(n-2) ELSE 1.0 END AS dict_ratio
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
 
   // ---- corpus-weighted top terms (tf-idf shape) ------------------------------
 
@@ -1235,6 +1276,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q_fast_fingerprint" -> fastFingerprintSql,
+    "q_compress_signal" -> compressionSignalSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,

@@ -17,9 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Custom codegen'd expression for the same reason as [[MinShingleHashExpr]]:
   * there is no composable Spark/DuckDB equivalent (no SQL zlib), and the
   * per-row JNI-free Deflater loop belongs inside whole-stage codegen, not a
-  * Scala UDF with serialization overhead. No oracle — covered by spec
-  * against direct java.util.zip output; the driver records a rows-only
-  * check for its query.
+  * Scala UDF with serialization overhead. The expression itself has no SQL
+  * oracle — it is spec-checked exact against direct java.util.zip output and
+  * spec-pinned monotone against the hash-checkable dictionary-ratio proxy
+  * that q_compress_signal now emits
+  * ([[graft.operators.TextAnalysis.compressionSignal]]).
   */
 case class CompressionRatioExpr(child: Expression) extends UnaryExpression {
 

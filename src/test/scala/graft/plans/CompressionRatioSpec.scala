@@ -37,6 +37,28 @@ class CompressionRatioSpec extends SparkSpec {
     assert(div > rep * 3)
   }
 
+  test("deflate ratio is monotone against the dictionary-ratio proxy") {
+    // a repetitiveness ladder: each rung repeats a smaller vocabulary, so
+    // the 3-gram dictionary shrinks and deflate must improve in lockstep —
+    // this pins the zlib signal (un-oracle-able) to the hash-checked
+    // q_compress_signal proxy
+    def dictRatio(s: String): Double = {
+      val n = s.length
+      if (n < 3) 1.0
+      else (0 to n - 3).map(i => s.substring(i, i + 3)).distinct.size.toDouble / (n - 2)
+    }
+    val rungs = Seq(
+      "ab " * 200,                                            // tiny dictionary
+      ("spam ham " * 67).take(600),                           // small
+      (1 to 100).map(i => s"w${i % 25}").mkString(" "),       // medium
+      (1 to 100).map(i => s"w${i * 7919 % 9973}").mkString(" ")) // diverse
+    val proxies = rungs.map(dictRatio)
+    val deflates = rungs.map(s => CompressionRatio.eval(UTF8String.fromString(s)))
+    assert(proxies === proxies.sorted, s"ladder must ascend in proxy: $proxies")
+    assert(deflates === deflates.sorted,
+      s"deflate must ascend with the proxy: $deflates vs $proxies")
+  }
+
   test("runs through SQL registration over a parquet scan in codegen") {
     CompressionRatio.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
