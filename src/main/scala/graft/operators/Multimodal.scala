@@ -1,6 +1,9 @@
 package graft.operators
 
-import java.security.MessageDigest
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,72 +14,97 @@ import graft.Tables._
   * metadata, processed through a batched `mapPartitions` pipeline — the
   * Scala-native equivalent of the PySpark `mapInPandas` batch-UDF shape.
   *
-  * The decode step is a STUB by design: image/audio codecs aren't in this
-  * environment, so `decodeBatch` computes deterministic fake features
-  * (byte stats, aspect-preserving thumbnail dims, frame counts) in place of
-  * a real codec call. Everything AROUND the stub is the real engineering:
-  * the typed schema, the binary column, the batch iterator shape, and the
-  * partition-preserving execution — swap `decodeBatch`'s body for a codec
-  * and nothing else changes.
+  * The decode step is a REAL codec call: payloads are genuine PNG bytes
+  * (encoded with `javax.imageio`, which ships in the JDK — no external
+  * codec needed) and `decodeBatch` runs `ImageIO.read` per payload,
+  * extracting true width/height and raster pixel statistics. The fixture
+  * images are generated from deterministic per-doc formulas (dims and a
+  * gray ramp from doc_id), so a DuckDB oracle can recompute every DECODED
+  * feature from the generation parameters — if the encode→decode path
+  * corrupted a single pixel, the hash compare would fail.
   *
   * Scale: map-only over whatever partitioning the scan provides; payloads
   * never shuffle. Batch size bounds per-batch memory exactly like Arrow
-  * batch sizing does for pandas UDFs.
+  * batch sizing does for pandas UDFs; the decoder is probed once per batch
+  * (`ImageIO` caches readers), mirroring codec-setup amortization.
   */
 object Multimodal {
 
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, payload: Array[Byte],
-      format: String, width: Int, height: Int)
+      format: String)
 
-  /** Decoded (stub) features. */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
-      content_hash: String, width: Int, height: Int,
-      thumb_w: Int, thumb_h: Int, n_frames: Int, mean_byte: Double)
+  /** Features DECODED from the payload (not copied from metadata). */
+  final case class MediaFeatures(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, pixel_sum: Long, mean_px: Double,
+      thumb_w: Long, thumb_h: Long)
 
   val BatchSize = 64
-  val ThumbBox = 64.0
+  val ThumbBox = 16.0
   val FrameBytes = 100
 
-  /** Synthesize the media table from documents: the text bytes stand in for
-    * an encoded payload; metadata derives deterministically from n_chars.
-    * (With real data this is just `spark.read` over a table with a binary
-    * column — the rest of the pipeline is unchanged.) */
-  def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    documents(spark, d).select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        lit("fake/raw").as("format"),
-        (col("n_chars") % 640 + 16).cast("int").as("width"),
-        ((col("n_chars") * 7) % 480 + 16).cast("int").as("height"))
-      .as[MediaRecord]
+  // deterministic generation parameters — the oracle's ground truth
+  def imgWidth(docId: Long): Int = (docId % 24 + 8).toInt
+  def imgHeight(docId: Long): Int = ((docId * 7) % 24 + 8).toInt
+  def pixelValue(docId: Long, x: Int, y: Int): Int =
+    ((3L * x + 7L * y + docId) % 256L).toInt
+
+  /** Encode one REAL PNG (8-bit grayscale, lossless round trip). */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = imgWidth(docId)
+    val h = imgHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixelValue(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** The batch "decode" — deterministic stand-in for a codec library call.
-    * One call per batch (not per row), mirroring how a real decoder would
-    * amortize setup cost across an Arrow batch. */
+  /** Synthesize the media table: one real PNG per document row, encoded on
+    * the EXECUTORS (the payload column is born distributed — with real
+    * data this is just `spark.read` over a table with a binary column;
+    * the rest of the pipeline is unchanged). */
+  def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents(spark, d).select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, encodePng(id), "image/png"))
+  }
+
+  /** The batch decode — a REAL `ImageIO.read` per payload. Width/height
+    * and every pixel statistic come from the decoded raster, never from
+    * row metadata: the codec is on the hot path and under test. */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = {
-    val md = MessageDigest.getInstance("MD5") // per-batch, like codec setup
     batch.map { r =>
-      md.reset()
-      val hash = md.digest(r.payload).map("%02x".format(_)).mkString
-      val scale = math.min(1.0, math.min(ThumbBox / r.width, ThumbBox / r.height))
-      val sum = r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable payload for doc ${r.doc_id}")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val scale = math.min(1.0, math.min(ThumbBox / w, ThumbBox / h))
       MediaFeatures(
         doc_id = r.doc_id,
-        n_bytes = r.payload.length.toLong,
-        content_hash = hash,
-        width = r.width,
-        height = r.height,
-        thumb_w = math.max(1, math.floor(r.width * scale).toInt),
-        thumb_h = math.max(1, math.floor(r.height * scale).toInt),
-        n_frames = math.ceil(r.payload.length / FrameBytes.toDouble).toInt,
-        // empty payload: 0.0, not NaN — keeps the feature column total and
-        // mirrors the oracle's CASE (DuckDB's list_sum over an empty range
-        // would yield NULL, silently diverging)
-        mean_byte = if (r.payload.isEmpty) 0.0
-                    else sum.toDouble / r.payload.length)
+        width = w.toLong,
+        height = h.toLong,
+        n_pixels = w.toLong * h,
+        pixel_sum = sum,
+        // two exact integers, one correctly-rounded division — bit-equal
+        // to the oracle's CAST(sum AS DOUBLE)/(w*h)
+        mean_px = sum.toDouble / (w.toLong * h),
+        thumb_w = math.max(1L, math.floor(w * scale).toLong),
+        thumb_h = math.max(1L, math.floor(h * scale).toLong))
     }
   }
 
@@ -89,25 +117,33 @@ object Multimodal {
   def features(spark: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(spark, d)).toDF()
 
-  /** Oracle: every stub feature is arithmetic over text/n_chars, so DuckDB
-    * reproduces the whole mapPartitions path (ASCII corpus ⇒ byte values =
-    * code points). */
+  /** Oracle: recompute every DECODED feature from the deterministic
+    * generation parameters — dims from the doc_id formulas, the pixel sum
+    * by materializing the same (3x+7y+doc_id) mod 256 gray ramp over a
+    * w×h position grid. The Spark side only matches if the PNG
+    * encode→decode round trip reproduced the raster exactly. */
   val featuresSql: String =
-    s"""SELECT doc_id,
-       |  CAST(length(text) AS BIGINT) AS n_bytes,
-       |  md5(text) AS content_hash,
-       |  CAST(n_chars % 640 + 16 AS INT) AS width,
-       |  CAST((n_chars * 7) % 480 + 16 AS INT) AS height,
-       |  CAST(greatest(1, floor((n_chars % 640 + 16) *
-       |    least(1.0, $ThumbBox/(n_chars % 640 + 16), $ThumbBox/((n_chars*7) % 480 + 16)))) AS INT) AS thumb_w,
-       |  CAST(greatest(1, floor(((n_chars*7) % 480 + 16) *
-       |    least(1.0, $ThumbBox/(n_chars % 640 + 16), $ThumbBox/((n_chars*7) % 480 + 16)))) AS INT) AS thumb_h,
-       |  CAST(ceil(length(text) / ${FrameBytes.toDouble}) AS INT) AS n_frames,
-       |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE list_sum(list_transform(generate_series(1, length(text)),
-       |         i -> ascii(substring(text, i, 1)))) / CAST(length(text) AS DOUBLE)
-       |  END AS mean_byte
-       |FROM documents""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+       |         CAST((doc_id * 7) % 24 + 8 AS BIGINT) AS h
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+       |), pxy AS (
+       |  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+       |), sums AS (
+       |  SELECT doc_id, w, h,
+       |         CAST(sum((3*x + 7*y + doc_id) % 256) AS BIGINT) AS pixel_sum
+       |  FROM pxy GROUP BY doc_id, w, h
+       |)
+       |SELECT doc_id, w AS width, h AS height,
+       |       w * h AS n_pixels, pixel_sum,
+       |       CAST(pixel_sum AS DOUBLE) / (w * h) AS mean_px,
+       |       CAST(greatest(1, floor(w * least(1.0, $ThumbBox/w, $ThumbBox/h))) AS BIGINT) AS thumb_w,
+       |       CAST(greatest(1, floor(h * least(1.0, $ThumbBox/w, $ThumbBox/h))) AS BIGINT) AS thumb_h
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin
 
   val FrameStep = 5
 

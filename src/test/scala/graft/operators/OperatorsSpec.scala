@@ -193,17 +193,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal features match a direct batch-decode of the same records") {
+  test("multimodal payloads are real PNGs and decode matches the generation formulas") {
+    val records = Multimodal.mediaTable(spark, d).collect().toSeq
+    assert(records.nonEmpty)
+    // payloads are genuine PNG files (magic bytes), not fakes
+    records.foreach { r =>
+      val sig = r.payload.take(8).map(_ & 0xff)
+      assert(sig === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+        s"doc ${r.doc_id} payload is not a PNG")
+    }
+    // ImageIO decode recovers the exact generated raster: dims and the
+    // full pixel sum recomputed from first principles
+    val direct = Multimodal.decodeBatch(records)
+    direct.foreach { f =>
+      assert(f.width === Multimodal.imgWidth(f.doc_id).toLong)
+      assert(f.height === Multimodal.imgHeight(f.doc_id).toLong)
+      val expectSum = (0 until f.height.toInt).flatMap(y =>
+        (0 until f.width.toInt).map(x =>
+          Multimodal.pixelValue(f.doc_id, x, y).toLong)).sum
+      assert(f.pixel_sum === expectSum, s"doc ${f.doc_id} raster corrupted")
+    }
+    // and the distributed batched path agrees with the direct decode
     val viaSpark = Multimodal.features(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val direct = Multimodal.decodeBatch(
-      Multimodal.mediaTable(spark, d).collect().toSeq)
-    assert(direct.nonEmpty)
     direct.foreach { f =>
       val got = viaSpark(f.doc_id)
-      assert(got.getAs[String]("content_hash") === f.content_hash)
-      assert(got.getAs[Int]("thumb_w") === f.thumb_w)
-      assert(got.getAs[Double]("mean_byte") === f.mean_byte)
+      assert(got.getAs[Long]("pixel_sum") === f.pixel_sum)
+      assert(got.getAs[Long]("thumb_w") === f.thumb_w)
+      assert(got.getAs[Double]("mean_px") === f.mean_px)
     }
   }
 
