@@ -313,13 +313,21 @@ object GraphOps {
     * costs ≤ 1249·h*; since 1000·(h*+1) > 1249·h* for all h* ≤ 4, no longer
     * walk can beat the ≤-4-hop optimum, and K=5 rounds converge past it.
     *
-    * Shape per round: one edges⋈dist hash join (dist is node-sized →
-    * broadcast) + one min-combine aggregation — Bellman-Ford as relational
-    * supersteps, the weighted twin of [[bfs]]'s frontier expansion. dist is
-    * pinned per round (it feeds both the join and the union; exchange reuse
-    * does not fire across fan-out branches). At 100 TB of edges the
-    * broadcast hint drops and the join partitions by src, exactly like
-    * [[pageRank]]'s superstep.
+    * Shape per round (delta-frontier Bellman-Ford): relax ONLY the edges
+    * leaving last round's IMPROVED nodes — `edges ⋈ broadcast(frontier)` —
+    * then fold the candidates into the accumulated dist with an unhinted
+    * shuffle join + min-combine. The accumulated dist table is NEVER
+    * broadcast: it grows monotonically toward O(V), and re-shipping it to
+    * every executor each superstep is the classic iterative-graph memory
+    * bottleneck at scale (the pre-fix shape of this operator). The
+    * frontier delta is what actually shrinks round over round, so it is
+    * the only broadcast-able piece; above a size threshold even that hint
+    * should drop and AQE decides (the standard relax: both joins then
+    * partition by key, like [[pageRank]]'s superstep). Relaxing only
+    * changed nodes is the textbook frontier optimization and provably
+    * reaches the same ≤K-hop minima: a best ≤i-hop path's node i attains
+    * its optimum no later than round i and enters that round's frontier,
+    * so round i+1 extends it.
     */
   def sssp(spark: SparkSession, d: String): DataFrame = {
     val pairs = orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
@@ -337,14 +345,38 @@ object GraphOps {
     val s0 = edges.agg(min(col("src"))).head.getLong(0)
     var dist = spark.range(1)
       .select(lit(s0).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist // round-0 delta: just the source
     for (_ <- 1 to SsspHops) {
-      val relaxed = edges.join(broadcast(dist), col("src") === col("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      val (newDist, improved) = ssspStep(edges, dist, frontier)
+      dist = newDist
+      frontier = improved
     }
     dist.orderBy("node")
+  }
+
+  /** One delta-frontier superstep: returns (new accumulated dist, the
+    * improved-node delta that seeds the next round's frontier). Broadcast
+    * hint ONLY on the frontier; the accumulated dist always shuffle-joins
+    * (see [[sssp]] scaladoc — plan-audited in GraphOpsSpec). `pin` is the
+    * per-round lineage cut (identity in plan-shape tests so the hint
+    * placement stays visible in the analyzed plan). */
+  private[graft] def ssspStep(edges: DataFrame, dist: DataFrame,
+      frontier: DataFrame,
+      pin: DataFrame => DataFrame = _.localCheckpoint()): (DataFrame, DataFrame) = {
+    // best ≤(i)-hop candidate per node reachable from the delta frontier
+    val cand = edges.join(broadcast(frontier), col("src") === col("node"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+    // keep only strict improvements over the accumulated table — this is
+    // the next frontier, and the only rows that need folding in
+    val improved = cand
+      .join(dist.withColumnRenamed("dist", "prev"), Seq("node"), "left")
+      .where(col("prev").isNull || col("cand") < col("prev"))
+      .select(col("node"), col("cand").as("dist"))
+    val pinned = pin(improved)
+    val newDist = pin(dist.unionByName(pinned)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    (newDist, pinned)
   }
 
   val ssspSql: String = {

@@ -120,4 +120,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === dist.toMap)
     assert(out(s0) === 0L)
   }
+
+  test("sssp superstep broadcasts only the delta frontier, never the accumulated dist") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // distinguishable shapes: dist from range(0,100), frontier from range(0,5)
+    val edges = spark.range(10)
+      .select(col("id").as("src"), (col("id") + 100L).as("dst"), lit(5L).as("w"))
+    val dist = spark.range(100)
+      .select(col("id").as("node"), (col("id") * 10L).as("dist"))
+    val frontier = spark.range(5)
+      .select(col("id").as("node"), (col("id") * 10L).as("dist"))
+    val (newDist, improved) =
+      GraphOps.ssspStep(edges, dist, frontier, pin = identity)
+    val hints = newDist.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size === 1, s"exactly one broadcast hint per superstep, got ${hints.size}")
+    val sub = hints.head.child.toString
+    assert(sub.contains("Range (0, 5"), s"hint must sit over the frontier: $sub")
+    assert(!sub.contains("Range (0, 100"),
+      s"the accumulated dist table must not be broadcast: $sub")
+    // delta semantics on the toy graph: frontier 0..4 relaxes to nodes
+    // 100..104 (cand = 10src+5), all strict improvements over prev = 10node
+    val imp = improved.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(imp === (0L until 5L).map(s => (s + 100L) -> (s * 10L + 5L)).toMap)
+    val nd = newDist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nd(102L) === 25L && nd(99L) === 990L)
+  }
 }
