@@ -146,14 +146,34 @@ object ScaleTools {
     if (existing.where(col(existingKey).isNotNull).isEmpty) return source
     val nExisting =
       if (expectedItems > 0) expectedItems else math.max(existing.count(), 1L)
-    val bf = existing.stat.bloomFilter(existingKey, nExisting, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // Build with Catalyst's own BloomFilterAggregate and probe with the
+    // codegen'd BloomFilterMightContain — the exact pair Spark's runtime
+    // row-level filtering injects. The old form probed through a boxed
+    // Scala udf((k: Long) => ...), paying per-row boxing + a codegen
+    // barrier on precisely the 100 TB scan this utility targets. Clamps
+    // mirror the runtime-filter conf ceilings (4M items / 64M bits);
+    // beyond them the fpp degrades but semantics never change — the
+    // filter is only ever a pruner.
+    val nEff = math.min(nExisting, 4000000L)
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEff, fpp),
+      67108864L)
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bytes = existing
+      .select(GraftSqlShim.column(new BloomFilterAggregate(
+        GraftSqlShim.expression(col(existingKey)),
+        Literal(nEff), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = GraftSqlShim.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftSqlShim.expression(col(key))))
     // NULL keys: a left-anti join KEEPS a null-keyed left row (null never
     // equals anything), so they route to the definitely-new branch — the
-    // UDF's null would otherwise drop them from BOTH branches
-    val definitelyNew = source.where(col(key).isNull || !mightContain(col(key)))
-    val candidates = source.where(col(key).isNotNull && mightContain(col(key)))
+    // probe's null would otherwise drop them from BOTH branches
+    val definitelyNew = source.where(col(key).isNull || !mightContain)
+    val candidates = source.where(col(key).isNotNull && mightContain)
       .join(existing.select(col(existingKey).as(key)), Seq(key), "left_anti")
     definitelyNew.unionByName(candidates)
   }

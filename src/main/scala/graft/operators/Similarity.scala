@@ -236,13 +236,16 @@ object Similarity {
     * near-dup of y — the standard LSH-dedup policy (one pass, no iterative
     * connected components; a transitive chain keeps only its minimum id if
     * every link shares a bucket). Scale shape: LSH candidate pairs (never
-    * the cross product) → exact cosine verify → broadcast-able anti-join of
-    * the small dropped-id set against the corpus. */
+    * the cross product) → exact cosine verify → anti-join of the
+    * dropped-id set against the corpus. No broadcast hint on the dropped
+    * set: on a high-dup corpus it is O(corpus), so forcing a broadcast is
+    * exactly wrong at scale — size statistics (AQE) pick broadcast when
+    * the set really is small, shuffle when it is not. */
   def dedupEmbed(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
     val corpus = injectedCorpus(spark, d)
     val dropped = annPairsRaw(corpus, threshold)
       .select(col("vec_b").as("vec_id")).distinct()
-    corpus.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"))
       .orderBy("vec_id")
   }

@@ -109,6 +109,11 @@ class ScaleToolsSpec extends SparkSpec {
     assert(bloom.count() === plain.count())
     // exact multiset equality, not just counts
     assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+    // the probe is Catalyst's codegen'd might_contain, not a boxed UDF —
+    // the scan-side filter must stay inside whole-stage codegen
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("UDF"), "probe regressed to a Scala UDF:\n" + plan.take(2000))
   }
 
   test("bloom delta with an empty existing side returns the full source") {
