@@ -1353,7 +1353,160 @@ object RelationalOps {
       |ORDER BY o_orderstatus""".stripMargin
   }
 
+  // --- declarative SQL function definitions ---------------------------------
+  // The reference's custom logic lives in Python UDFs; the engine's native
+  // answer is F9/F10-style Catalyst expressions (etl/Functions), but the
+  // MIGRATION PATH most users take first is the declarative SQL UDF:
+  // CREATE FUNCTION bodies inline into the plan at analysis (no serialized
+  // closure, no codegen barrier — identical plans to writing the expression
+  // by hand), so they scale exactly like the built-ins they compose.
+
+  /** SQL scalar UDF via CREATE FUNCTION: exact net-revenue units
+    * (cents × discount-percent, both exact integers) defined ONCE and
+    * reused per row; the function body inlines, so the aggregation is
+    * still a codegen'd long sum. */
+  def sqlCreateFunc(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "lineitem")
+      .createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_units(p DOUBLE, disc DOUBLE)
+        |RETURNS BIGINT
+        |RETURN CAST(round(p * 100) AS BIGINT) *
+        |       (100 - CAST(round(disc * 100) AS BIGINT))""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(sum(graft_net_units(l_extendedprice, l_discount)) AS BIGINT)
+        |         AS net_units
+        |FROM graft_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlCreateFuncSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS net_units
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** SQL TABLE function via CREATE FUNCTION ... RETURNS TABLE: a
+    * parameterized month spine, LEFT-joined so empty months survive with
+    * zero counts (the gap-filling shape q_date_spine does with a derived
+    * frame, here as a reusable declarative table function). */
+  def sqlTableFunc(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "orders")
+      .createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_month_spine(n INT)
+        |RETURNS TABLE(mon INT)
+        |RETURN SELECT explode(sequence(1, n)) AS mon""".stripMargin)
+    spark.sql(
+      """SELECT s.mon, count(o.o_orderkey) AS n_orders
+        |FROM graft_month_spine(12) s
+        |LEFT JOIN graft_orders o
+        |  ON month(o.o_orderdate) = s.mon AND year(o.o_orderdate) = 1995
+        |GROUP BY s.mon
+        |ORDER BY s.mon""".stripMargin)
+  }
+
+  val sqlTableFuncSql: String =
+    """SELECT CAST(s.mon AS INT) AS mon, count(o.o_orderkey) AS n_orders
+      |FROM (SELECT unnest(range(1, 13)) AS mon) s
+      |LEFT JOIN orders o
+      |  ON month(o.o_orderdate) = s.mon AND year(o.o_orderdate) = 1995
+      |GROUP BY s.mon
+      |ORDER BY s.mon""".stripMargin
+
+  /** GROUP BY ALL / ORDER BY ALL — the grouping key inferred from the
+    * non-aggregate select items (oracle states them explicitly; both
+    * engines define ALL the same way, this pins Spark's inference). */
+  def sqlGroupAll(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "orders")
+      .createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM graft_orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  val sqlGroupAllSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Lateral column aliases: each select item references the PREVIOUS
+    * alias in the same list — the incremental-derivation style Python-UDF
+    * pipelines use withColumn chains for; all-integer so the chain is
+    * exact (oracle expands the chain textually). */
+  def sqlLateralAlias(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "lineitem")
+      .createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |       price_cents * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         AS net_units,
+        |       net_units div 100 AS net_cents,
+        |       net_cents - price_cents AS delta_cents
+        |FROM graft_lineitem
+        |WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, price_cents""".stripMargin)
+  }
+
+  val sqlLateralAliasSql: String = {
+    val price = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    val net = s"$price * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    s"""SELECT l_orderkey, l_linenumber,
+      |       $price AS price_cents,
+      |       $net AS net_units,
+      |       $net // 100 AS net_cents,
+      |       $net // 100 - $price AS delta_cents
+      |FROM lineitem
+      |WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber, price_cents""".stripMargin
+  }
+
+  /** EXACT distinct counting via bitmap composition — the scale pattern
+    * for exact COUNT(DISTINCT): per (group, 32k-bucket) bitmaps OR-merge
+    * map-side (fixed-width byte arrays through the shuffle, never raw
+    * values), then counts sum exactly. Unlike approx_count_distinct this
+    * is exact, and unlike a raw distinct it never reshuffles the value
+    * domain. */
+  def sqlBitmap(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.table(spark, d, "orders")
+      .createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_custs
+        |FROM (
+        |  SELECT o_orderpriority, bitmap_bucket_number(o_custkey) AS b,
+        |         bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))
+        |           AS cnt
+        |  FROM graft_orders
+        |  GROUP BY 1, 2)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlBitmapSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_create_func"   -> (sqlCreateFunc _),
+    "q_sql_table_func"    -> (sqlTableFunc _),
+    "q_sql_group_all"     -> (sqlGroupAll _),
+    "q_sql_lateral_alias" -> (sqlLateralAlias _),
+    "q_sql_bitmap"        -> (sqlBitmap _),
     "q_sql_pivot"       -> (sqlPivot _),
     "q_sql_pipe"        -> (sqlPipe _),
     "q_join_composite"  -> (joinComposite _),
@@ -1401,6 +1554,11 @@ object RelationalOps {
     "q_nested_proj"     -> (nestedProj _))
 
   def oracles: Map[String, String] = Map(
+    "q_sql_create_func"   -> sqlCreateFuncSql,
+    "q_sql_table_func"    -> sqlTableFuncSql,
+    "q_sql_group_all"     -> sqlGroupAllSql,
+    "q_sql_lateral_alias" -> sqlLateralAliasSql,
+    "q_sql_bitmap"        -> sqlBitmapSql,
     "q_sql_pivot"       -> sqlPivotSql,
     "q_sql_pipe"        -> sqlPipeSql,
     "q_join_composite"  -> joinCompositeSql,

@@ -420,4 +420,22 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("declarative SQL UDFs inline into the plan — no closure, codegen intact") {
+    // CREATE FUNCTION bodies must resolve to ordinary expressions: the
+    // aggregate over graft_net_units plans as a hash aggregate inside
+    // whole-stage codegen with no UDF/eval-python barrier anywhere
+    val q = graft.ops.RelationalOps.sqlCreateFunc(spark, d)
+    q.collect() // finalize AQE so codegen spans are visible in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("*("), "no WholeStageCodegen span:\n" + plan.take(2000))
+    assert(!plan.contains("UDF") && !plan.contains("BatchEval"),
+      "SQL UDF must inline, not close over a function:\n" + plan.take(2000))
+    // the table function plans as Generate (explode) feeding the join —
+    // a derived relation, not a driver-side loop
+    val tf = graft.ops.RelationalOps.sqlTableFunc(spark, d)
+    val tfPlan = tf.queryExecution.executedPlan.toString
+    assert(tfPlan.contains("Generate"), tfPlan.take(2000))
+  }
 }
