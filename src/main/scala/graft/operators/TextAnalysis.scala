@@ -1088,6 +1088,66 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- sentence-boundary chunking -------------------------------------------
+
+  val SentWidth = 6
+  val SentStride = 3
+  private val SentSep = "\u0001"
+
+  /** Sentence-boundary chunking: overlapping windows of WHOLE sentences —
+    * the retrieval-prep variant that never cuts mid-sentence. Sentences
+    * split on the `([.!?]) +` boundary, rewritten to a sentinel so each
+    * sentence keeps its punctuation; the SAME [[graft.plans.ChunkTokensGen]]
+    * generator then windows over sentence units through its delim
+    * parameter (width 6 / stride 3 ≥ the 2·stride coverage bound, so
+    * every sentence lands in a chunk). One split per document, all chunks
+    * emitted at scan speed, map-only — no shuffle before the output sort.
+    * Emits the chunk FINGERPRINT (engine-standard hash of the
+    * sentinel-joined window), not the text: chunk identity without
+    * shuffling strings. */
+  def sentenceChunks(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    val sentinelized = regexp_replace(col("text"), "([.!?]) +", "$1" + SentSep)
+    val gen = GraftSqlShim.column(graft.plans.ChunkTokensGen(
+      GraftSqlShim.expression(sentinelized), SentWidth, SentStride, SentSep))
+    documents(spark, d)
+      .select(col("doc_id"),
+        gen.as(Seq("chunk_idx", "start_sent", "n_sents", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_sent"), col("n_sents"),
+        Hashing.hexHash(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** DuckDB twin of [[sentenceChunks]]: the same sentinel rewrite (RE2
+    * capture-group replacement ≡ Java's), positional sentence windows via
+    * generate_series over the generator's start grid, 1-based inclusive
+    * list slicing, and the shared hash of the sentinel-joined window. */
+  val sentenceChunksSql: String = {
+    val fp = Hashing.hexHashSql(
+      s"array_to_string(l[start:least(start + ${SentWidth - 1}, n)], chr(1))")
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(text, '([.!?]) +', '\\1' || chr(1), 'g'),
+       |                      chr(1)) AS l
+       |  FROM documents
+       |), info AS (
+       |  SELECT doc_id, l, len(l) AS n FROM lists
+       |), starts AS (
+       |  SELECT doc_id, l, n,
+       |         unnest(generate_series(1, greatest(n - $SentStride, 1), $SentStride))
+       |           AS start
+       |  FROM info
+       |)
+       |SELECT doc_id,
+       |       CAST((start - 1) // $SentStride AS BIGINT) AS chunk_idx,
+       |       CAST(start AS BIGINT) AS start_sent,
+       |       CAST(least(start + ${SentWidth - 1}, n) - start + 1 AS BIGINT)
+       |         AS n_sents,
+       |       $fp AS chunk_fp
+       |FROM starts
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   // ---- HTML stripping (crawl cleaning) --------------------------------------
 
   /** Boilerplate/tag removal — the first transform on any HTML crawl
@@ -1205,6 +1265,7 @@ object TextAnalysis {
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)),
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
+    "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
@@ -1280,6 +1341,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,
+    "q_sent_chunk"    -> sentenceChunksSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,

@@ -24,14 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenizes each document ONCE and emits all its chunks — O(doc) instead
   * of O(doc · chunks) per document, at scan speed inside GenerateExec.
   *
-  * Registered as SQL function `chunk_tokens(text, width, stride)` via
-  * [[GraftExtensions]] (LATERAL VIEW-able), and used directly from the
+  * Registered as SQL function `chunk_tokens(text, width, stride[, delim])`
+  * via [[GraftExtensions]] (LATERAL VIEW-able), and used directly from the
   * DataFrame API through the shim-wrapped Column.
+  *
+  * `delim` generalizes the chunk UNIT: the default `" "` windows over
+  * whitespace tokens; passing a sentence sentinel (text pre-split with
+  * `regexp_replace(text, '([.!?]) +', '$1')`) windows over WHOLE
+  * SENTENCES — the retrieval-chunking variant that never cuts
+  * mid-sentence ([[graft.operators.TextAnalysis.sentenceChunks]]).
   */
-case class ChunkTokensGen(child: Expression, width: Int, stride: Int)
+case class ChunkTokensGen(child: Expression, width: Int, stride: Int,
+    delim: String = " ")
   extends Generator with CodegenFallback {
 
   require(width > 0 && stride > 0, s"width/stride must be positive: $width/$stride")
+  require(delim.length == 1, s"delim must be a single character, got '$delim'")
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -49,9 +57,10 @@ case class ChunkTokensGen(child: Expression, width: Int, stride: Int)
     val t = child.eval(input)
     if (t == null) Nil
     else {
-      // split(" ", -1) keeps trailing empties — same as Spark's split() and
-      // DuckDB's string_split, so "" tokenizes to [""] like the composition
-      val tokens = t.toString.split(" ", -1)
+      // split(delim, -1) keeps trailing empties — same as Spark's split()
+      // and DuckDB's string_split, so "" tokenizes to [""] like the
+      // composition
+      val tokens = t.toString.split(java.util.regex.Pattern.quote(delim), -1)
       val n = tokens.length
       val last = math.max(n - stride, 1)
       new Iterator[InternalRow] {
@@ -64,7 +73,7 @@ case class ChunkTokensGen(child: Expression, width: Int, stride: Int)
             start.toLong,
             (end - start + 1).toLong,
             UTF8String.fromString(
-              tokens.slice(start - 1, end).mkString(" ")))
+              tokens.slice(start - 1, end).mkString(delim)))
           start += stride
           row
         }

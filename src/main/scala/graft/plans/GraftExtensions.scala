@@ -66,9 +66,9 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-  /** `chunk_tokens(text, width, stride)` — SQL surface for
+  /** `chunk_tokens(text, width, stride[, delim])` — SQL surface for
     * [[ChunkTokensGen]] (usable in LATERAL VIEW / generator positions).
-    * width/stride must be integer literals: they shape the generator, not
+    * width/stride/delim must be literals: they shape the generator, not
     * per-row data. */
   private[plans] val chunkTokensDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
@@ -77,11 +77,20 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"chunk_tokens: $what must be an integer literal, got $other")
     }
+    def strLit(e: Expression): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"chunk_tokens: delim must be a string literal, got $other")
+    }
     (FunctionIdentifier("chunk_tokens"),
       new ExpressionInfo(classOf[ChunkTokensGen].getCanonicalName, "chunk_tokens"),
       (exprs: Seq[Expression]) => {
-        require(exprs.size == 3, "chunk_tokens(text, width, stride) takes 3 arguments")
-        ChunkTokensGen(exprs.head, lit(exprs(1), "width"), lit(exprs(2), "stride"))
+        require(exprs.size == 3 || exprs.size == 4,
+          "chunk_tokens(text, width, stride[, delim]) takes 3 or 4 arguments")
+        val delim = if (exprs.size == 4) strLit(exprs(3)) else " "
+        ChunkTokensGen(exprs.head, lit(exprs(1), "width"), lit(exprs(2), "stride"),
+          delim)
       })
   }
 

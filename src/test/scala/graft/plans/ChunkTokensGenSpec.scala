@@ -64,4 +64,37 @@ class ChunkTokensGenSpec extends AnyFunSuite {
     assert(rows.toSet == Set(
       (1L, 0L, "w1 w2 w3"), (1L, 1L, "w3 w4 w5")))
   }
+
+  test("delim variant windows over whole sentences, never cutting one") {
+    import plain.implicits._
+    val sep = "\u0001"
+    val text = "One two. Three four! Five? Six seven. Eight."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val sentinelized = org.apache.spark.sql.functions.regexp_replace(
+      org.apache.spark.sql.functions.col("text"), "([.!?]) +", "$1" + sep)
+    val gen = org.apache.spark.sql.GraftSqlShim.column(
+      ChunkTokensGen(org.apache.spark.sql.GraftSqlShim.expression(sentinelized),
+        width = 2, stride = 1, delim = sep))
+    val out = df.select($"doc_id",
+        gen.as(Seq("chunk_idx", "start_pos", "chunk_len", "chunk")))
+      .collect().map(r => (r.getLong(2), r.getString(4))).toSeq.sortBy(_._1)
+    // 5 sentences, width 2 / stride 1 → windows starting at sentences 1..4;
+    // each chunk is complete sentences joined by the sentinel
+    assert(out === Seq(
+      (1L, s"One two.${sep}Three four!"),
+      (2L, s"Three four!${sep}Five?"),
+      (3L, s"Five?${sep}Six seven."),
+      (4L, s"Six seven.${sep}Eight.")))
+    // SQL spelling of the same call (4-arg form)
+    ext.createDataFrame(Seq((1L, text))).toDF("doc_id", "text")
+      .createOrReplaceTempView("ctg_sent_docs_ext")
+    val viaSql = ext.sql(
+      s"""SELECT c.chunk_len, c.chunk
+         |FROM ctg_sent_docs_ext
+         |LATERAL VIEW chunk_tokens(
+         |  regexp_replace(text, '([.!?]) +', '$$1\\u0001'), 2, 1, '\\u0001') c"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._2)
+    assert(viaSql.map(_._2).toSet === out.map(_._2).toSet)
+  }
 }
