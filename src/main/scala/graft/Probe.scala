@@ -99,38 +99,58 @@ object Probe {
     // family. Single-batch pass over the whole events file: this is the
     // WORST CASE for join state (nothing evicted below the watermark yet),
     // i.e. the peak a 1-day-delay deployment must provision for.
+    // round-9 extension: the SAME pipeline under both state backends —
+    // HDFS-backed (executor heap) vs RocksDB (off-heap/on-disk, the
+    // backend that survives 100 TB state). Same rows, different memory
+    // accounting: RocksDB's memoryUsedBytes reports block-cache+memtable,
+    // and its state lives outside the JVM heap, which is the point.
     {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      def src() = spark.readStream
-        .schema(streaming.EventStream.rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val views = src().where(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
-        .withWatermark("view_ts", "1 day")
-      val purchases = src().where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
-        .withWatermark("p_ts", "1 day")
-      val agg = views.join(purchases,
-          col("v_user") === col("p_user") &&
-            col("p_ts") > col("view_ts") &&
-            col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
-        .groupBy(window(col("p_ts"), "1 day"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
-      val t0 = System.nanoTime()
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName("probe_state").start()
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
-        .filter(_.numRowsTotal > 0)
-        .foreach { so =>
-          println(f"[probe] state:${so.operatorName}%-32s rows=${so.numRowsTotal}%9d mem=${so.memoryUsedBytes / 1024 / 1024}%5d MiB")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      def run(tag: String, provider: Option[String]): Unit = {
+        provider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None    => spark.conf.unset(providerKey)
         }
-      println(f"[probe] state:join_agg_pipeline_wall     $secs%8.3f s")
-      q.stop()
+        def src() = spark.readStream
+          .schema(streaming.EventStream.rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val views = src().where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 day")
+        val purchases = src().where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "1 day")
+        val agg = views.join(purchases,
+            col("v_user") === col("p_user") &&
+              col("p_ts") > col("view_ts") &&
+              col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
+          .groupBy(window(col("p_ts"), "1 day"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        val t0 = System.nanoTime()
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(s"probe_state_$tag").start()
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+          .filter(_.numRowsTotal > 0)
+          .foreach { so =>
+            println(f"[probe] state[$tag]:${so.operatorName}%-28s rows=${so.numRowsTotal}%9d mem=${so.memoryUsedBytes / 1024 / 1024}%5d MiB")
+          }
+        println(f"[probe] state[$tag]:join_agg_pipeline_wall $secs%8.3f s")
+        q.stop()
+      }
+      run("hdfs", None)
+      run("rocksdb", Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 

@@ -18,6 +18,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only state-backend switch: SPARK_GRAFT_STATE_PROVIDER=rocksdb
+    // re-runs every stateful streaming query on the RocksDB provider (the
+    // 100 TB state backend — state spills off-heap/on-disk instead of
+    // living in executor heap). Answers must be identical; SCALING.md
+    // records the sf0.1 drive.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
