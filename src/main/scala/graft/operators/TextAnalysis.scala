@@ -1088,6 +1088,60 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- BPE trainer step (pair statistics + argmax merge choice) -------------
+
+  val BpeTopPairs = 50
+
+  /** One BPE trainer iteration's DECISION: adjacent character-pair
+    * frequencies over the corpus and the deterministic argmax pair the
+    * next merge would create (rank 1; ties break lexicographically — the
+    * standard reproducible-trainer convention). The merge APPLICATION
+    * (left-to-right non-overlapping rewrite) is deliberately out of scope:
+    * its overlap semantics are engine-internal and un-oracle-able, while
+    * the pair-statistics step — where all the data volume is — is exact.
+    *
+    * Scale shape (the real BPE-trainer trick): collapse the corpus to the
+    * DISTINCT-WORD frequency table first (one corpus-sized shuffle), then
+    * all character-pair work runs on the vocabulary — thousands of rows,
+    * not billions; pair counts weight by word frequency. Real tokenizer
+    * trainers (the published BPE algorithm) operate on exactly this
+    * word-frequency dict; the per-word position explode is bounded by
+    * word length, never document length. */
+  def bpePairs(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .where(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= BpeTopPairs)
+      .orderBy("rank")
+  }
+
+  val bpePairsSql: String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), pos AS (
+       |  SELECT w, freq, unnest(range(1, length(w))) AS i
+       |  FROM words WHERE length(w) >= 2
+       |), pairs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+       |         CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM pos GROUP BY 1
+       |)
+       |SELECT pair, cnt,
+       |       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+       |FROM pairs
+       |QUALIFY rank <= $BpeTopPairs
+       |ORDER BY rank""".stripMargin
+
   // ---- sentence-boundary chunking -------------------------------------------
 
   val SentWidth = 6
@@ -1266,6 +1320,7 @@ object TextAnalysis {
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
+    "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
@@ -1342,6 +1397,7 @@ object TextAnalysis {
     "q_html_strip"    -> htmlStripSql,
     "q_chunk_gen"     -> chunkDocsSql,
     "q_sent_chunk"    -> sentenceChunksSql,
+    "q_bpe_pairs"     -> bpePairsSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
