@@ -9,13 +9,16 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key names a query; rows-only set is exactly q_compress_signal") {
+  test("every oracle key names a query; every query is oracle-checked") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")
-    // q_fast_fingerprint gained a DuckDB oracle (HUGEINT modular chain);
-    // zlib has no SQL twin, so the compression signal stays rows-only
-    assert((q diff o) === Set("q_compress_signal"),
-      "rows-only queries must stay the no-SQL-equivalent custom expression")
+    // round 9 retired the last rows-only query: the compression signal is
+    // now the hash-checkable dictionary-ratio proxy (the zlib expression
+    // stays spec-pinned monotone against it). Any NEW rows-only query must
+    // be a deliberate, documented no-SQL-equivalent custom expression —
+    // and this guard updated with its name.
+    assert((q diff o) === Set.empty,
+      s"queries without oracles: ${q diff o}")
   }
 }
