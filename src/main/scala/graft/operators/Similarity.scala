@@ -959,7 +959,50 @@ object Similarity {
       |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin
   }
 
+  // ---- random signed projection (JL-style dimensionality reduction) --------
+
+  val RpK = 8
+
+  /** Johnson–Lindenstrauss-style random signed projection: a dim-D
+    * embedding reduces to [[RpK]] exact-integer components
+    * r_p = ⟨w_p, floor(x·1e6)⟩, reusing the SAME hash-derived plane
+    * family as the LSH signature (plane p's weights are
+    * `hexHash("p:j") % 1000 − 500` — plan-time literals, no RNG in the
+    * plan). This is the dimensionality-reduction step ahead of ANN at
+    * scale: 8 longs instead of D doubles flow through every downstream
+    * shuffle, and the sign bits of these very components ARE the LSH
+    * bucket, so projection and bucketing stay one consistent family.
+    * Shape: posexplode → one codegen'd hash aggregation of K
+    * primitive-long conditional sums (the [[lshBucketsDf]] scale form —
+    * HOF dot products don't codegen); exact integers ⇒ hash-oracle-able
+    * with no quantization grid. */
+  def rpProject(spark: SparkSession, d: String): DataFrame = {
+    val rows = embDouble(spark, d)
+      .select(col("vec_id"), dimChecked(col("emb"), "rpProject").as("emb"))
+      .select(col("vec_id"), posexplode(col("emb")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col") * lit(QuantScale)).as("xq"))
+    val aggs = (0 until RpK).map(p =>
+      sum(col("xq") * element_at(planeLit(p), col("pos") + 1))
+        .cast("long").as(s"rp_$p"))
+    rows.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy("vec_id")
+  }
+
+  val rpProjectSql: String = {
+    val comps = (0 until RpK).map { p =>
+      val comp = planeComponentSql(p.toString, "j - 1")
+      s"""  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |    generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+         |    j -> CAST(floor(CAST(embedding AS DOUBLE[])[j] * $QuantScale) AS BIGINT)
+         |           * ($comp))),
+         |    (x, y) -> x + y) AS BIGINT) AS rp_$p""".stripMargin
+    }.mkString(",\n")
+    s"SELECT vec_id,\n$comps\nFROM embeddings\nORDER BY vec_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rp_project" -> ((s, d) => rpProject(s, d)),
     "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "q_embed_quant" -> ((s, d) => embedQuant(s, d)),
     "q_embed_pool"  -> ((s, d) => embedPool(s, d)),
@@ -978,6 +1021,7 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_rp_project" -> rpProjectSql,
     "q_knn_classify" -> knnClassifySql,
     "q_embed_quant" -> embedQuantSql,
     "q_embed_pool"  -> embedPoolSql,
