@@ -421,6 +421,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sentence chunking is map-only: one Generate, no exchange before the output sort") {
+    val q = graft.operators.TextAnalysis.sentenceChunks(spark, d)
+    val p = plan(q)
+    assert(p.contains("Generate"), p.take(1500))
+    // the ONLY exchange is the rangepartitioning for the final orderBy —
+    // chunking itself never shuffles document text
+    assert(countExchanges(q) === 1, p.take(1500))
+    assert(p.contains("rangepartitioning"), p.take(1500))
+  }
+
+  test("bitmap distinct-count plans as two hash aggregations — raw values never reshuffle twice") {
+    val q = graft.ops.RelationalOps.sqlBitmap(spark, d)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // inner agg builds per-(group,bucket) bitmaps, outer agg sums counts;
+    // no Expand, no distinct-expansion of the raw key domain
+    assert(p.contains("bitmap_construct_agg") || p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("Expand"), "COUNT(DISTINCT) expansion crept in:\n" + p.take(1500))
+  }
+
   test("declarative SQL UDFs inline into the plan — no closure, codegen intact") {
     // CREATE FUNCTION bodies must resolve to ordinary expressions: the
     // aggregate over graft_net_units plans as a hash aggregate inside

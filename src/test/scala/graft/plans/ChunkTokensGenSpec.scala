@@ -65,6 +65,43 @@ class ChunkTokensGenSpec extends AnyFunSuite {
       (1L, 0L, "w1 w2 w3"), (1L, 1L, "w3 w4 w5")))
   }
 
+  test("seeded random differential: generator ≡ the documented contract for any width/stride/delim") {
+    import plain.implicits._
+    // reference implementation of the contract, independent of the
+    // generator's internals
+    def reference(text: String, width: Int, stride: Int, delim: String)
+        : Seq[(Long, Long, Long, String)] = {
+      val toks = text.split(java.util.regex.Pattern.quote(delim), -1)
+      val n = toks.length
+      val last = math.max(n - stride, 1)
+      (1 to last by stride).map { start =>
+        val end = math.min(start - 1 + width, n)
+        (((start - 1) / stride).toLong, start.toLong, (end - start + 1).toLong,
+          toks.slice(start - 1, end).mkString(delim))
+      }
+    }
+    val rng = new scala.util.Random(20260813L)
+    val delims = Seq(" ", "\u0001", ",")
+    (1 to 25).foreach { trial =>
+      val delim = delims(rng.nextInt(delims.length))
+      val nTok = rng.nextInt(30) // 0..29 tokens (0 → "" → [""] edge)
+      val text = (1 to nTok).map(_ => s"t${rng.nextInt(9)}").mkString(delim)
+      val width = 1 + rng.nextInt(8)   // includes width < 2*stride truncation
+      val stride = 1 + rng.nextInt(5)
+      val gen = org.apache.spark.sql.GraftSqlShim.column(
+        ChunkTokensGen(org.apache.spark.sql.GraftSqlShim.expression(
+          org.apache.spark.sql.functions.col("text")), width, stride, delim))
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(gen.as(Seq("chunk_idx", "start_pos", "chunk_len", "chunk")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sortBy(_._2)
+      val want = reference(text, width, stride, delim)
+      assert(got === want,
+        s"trial $trial: width=$width stride=$stride delim=${delim.map(_.toInt)} text='$text'")
+    }
+  }
+
   test("delim variant windows over whole sentences, never cutting one") {
     import plain.implicits._
     val sep = "\u0001"
