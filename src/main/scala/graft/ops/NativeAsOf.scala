@@ -175,11 +175,37 @@ object NativeAsOf {
     "q_asof_native"      -> ((s, d) => eventToLastSignupNative(s, d)),
     "q_asof_native_left" -> ((s, d) => eventToLastSignupNativeLeft(s, d)),
     "q_asof_native_fwd"  -> ((s, d) => eventToNextSignupNative(s, d)),
-    "q_asof_fresh"       -> ((s, d) => eventToLastSignupFresh(s, d)))
+    "q_asof_fresh"       -> ((s, d) => eventToLastSignupFresh(s, d)),
+    "q_sql_asof"         -> ((s, d) => sqlAsOf(s, d)))
+
+  /** The SQL `ASOF JOIN` syntax surface ([[graft.plans.AsOfSqlParser]]):
+    * the SAME spelling DuckDB executes natively as the oracle, planned
+    * here onto the native sorted-merge exec through the parser extension
+    * + resolution rule. Needs an extensions session (Verify/Bench set
+    * `spark.sql.extensions`; AsOfSqlSpec drives `.withExtensions`). */
+  def sqlAsOf(spark: SparkSession, d: String): DataFrame = {
+    events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .createOrReplaceTempView("graft_events_asof")
+    spark.sql(
+      """WITH signups AS (
+        |  SELECT user_id, ts, max(event_id) AS signup_id
+        |  FROM graft_events_asof WHERE event_type = 'signup'
+        |  GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS timestamp_ntz) AS ts,
+        |       e.event_type, s.signup_id,
+        |       unix_micros(e.ts) - unix_micros(s.ts) AS micros_since_signup
+        |FROM (SELECT * FROM graft_events_asof WHERE event_type <> 'signup') e
+        |ASOF JOIN signups s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY event_id""".stripMargin)
+  }
 
   def oracles: Map[String, String] = Map(
     "q_asof_native"      -> AsOfJoin.eventToLastSignupSql,
     "q_asof_native_left" -> AsOfJoin.eventToLastSignupLeftSql,
     "q_asof_native_fwd"  -> AsOfJoin.eventToNextSignupSql,
-    "q_asof_fresh"       -> eventToLastSignupFreshSql)
+    "q_asof_fresh"       -> eventToLastSignupFreshSql,
+    "q_sql_asof"         -> AsOfJoin.eventToLastSignupSql)
 }

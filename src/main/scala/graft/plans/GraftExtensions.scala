@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => RowNumberDedupRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
+    ext.injectResolutionRule(_ => AsOfJoinResolutionRule)
     ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
     ext.injectFunction(GraftExtensions.argminRowDescriptor)
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)

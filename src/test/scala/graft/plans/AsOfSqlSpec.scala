@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The `ASOF JOIN` SQL syntax: parses on an extensions session, lowers
+  * onto the native sorted-merge exec (never a window emulation), agrees
+  * with the DataFrame-API operator, and rejects the out-of-subset shapes
+  * with clear errors instead of silently mis-planning. */
+class AsOfSqlSpec extends AnyFunSuite {
+
+  private lazy val ext: SparkSession = {
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def seed(): Unit = {
+    ext.createDataFrame(Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L)))
+      .toDF("eid", "uid", "ts").createOrReplaceTempView("asof_sql_l")
+    ext.createDataFrame(Seq(
+      (10L, 90L, "a"), (10L, 150L, "b"), (20L, 150L, "c"), (40L, 1L, "d")))
+      .toDF("uid", "ts", "tag").createOrReplaceTempView("asof_sql_r")
+  }
+
+  test("ASOF JOIN plans onto the native exec and picks the latest at-or-before row") {
+    seed()
+    val q = ext.sql(
+      """SELECT l.eid, r.tag
+        |FROM asof_sql_l l ASOF JOIN asof_sql_r r
+        |  ON l.uid = r.uid AND l.ts >= r.ts
+        |ORDER BY l.eid""".stripMargin)
+    assert(q.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      q.queryExecution.executedPlan.toString.take(1500))
+    val rows = q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // eid 1: uid 10, ts 100 → latest r.ts ≤ 100 is 90 ("a");
+    // eid 2: ts 200 → 150 ("b"); eid 3: uid 20 ts 150 → boundary-inclusive
+    // ("c"); eid 4: uid 30 unmatched → dropped (inner)
+    assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("ASOF LEFT JOIN keeps unmatched left rows null-padded") {
+    seed()
+    val rows = ext.sql(
+      """SELECT l.eid, r.tag
+        |FROM asof_sql_l l ASOF LEFT JOIN asof_sql_r r
+        |  ON l.uid = r.uid AND l.ts >= r.ts
+        |ORDER BY l.eid""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows === Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None)))
+  }
+
+  test("SQL form agrees with the DataFrame-API native operator on real data") {
+    val d = "/root/testdata/sf0.001"
+    val viaSql = graft.ops.NativeAsOf.sqlAsOf(ext, d)
+    val viaApi = graft.ops.NativeAsOf.eventToLastSignupNative(ext, d)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("non-asof statements delegate untouched; subset violations error clearly") {
+    seed()
+    // plain SQL still parses through the delegating parser
+    assert(ext.sql("SELECT count(*) FROM asof_sql_l").head.getLong(0) === 4L)
+    // a second join in the statement is out of subset
+    val twoJoins = intercept[IllegalArgumentException] {
+      ext.sql(
+        """SELECT * FROM asof_sql_l l
+          |ASOF JOIN asof_sql_r r ON l.uid = r.uid AND l.ts >= r.ts
+          |JOIN asof_sql_r r2 ON l.uid = r2.uid""".stripMargin)
+    }
+    assert(twoJoins.getMessage.contains("only join"), twoJoins.getMessage)
+    // a forward bound is rejected with guidance, not silently mis-planned
+    val fwd = intercept[Exception] {
+      ext.sql(
+        """SELECT * FROM asof_sql_l l ASOF JOIN asof_sql_r r
+          |  ON l.uid = r.uid AND l.ts <= r.ts""".stripMargin).collect()
+    }
+    assert(fwd.getMessage.contains("backward"), fwd.getMessage)
+  }
+}
