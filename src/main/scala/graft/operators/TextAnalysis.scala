@@ -36,6 +36,39 @@ object TextAnalysis {
       |       length(text) AS n_chars_calc
       |FROM documents""".stripMargin
 
+  // ---- feature hashing (hashing trick) --------------------------------------
+
+  /** Signed hashing-trick featurization: each whitespace token lands in
+    * bucket `hexHash(tok) mod D` with sign `±1` from an independent hash
+    * (the signed variant keeps collision bias zero-mean — Weinberger et al.,
+    * public feature-hashing construction). Output is the sparse form
+    * (doc_id, bucket, feat): explode → map-side-combinable hash agg keyed
+    * (doc_id, bucket), so the shuffle carries at most D=64 rows per doc no
+    * matter how long the text — the fixed-width featurizer a 100 TB corpus
+    * feeds to a linear probe/classifier without ever building a vocab. */
+  def featureHash(spark: SparkSession, d: String): DataFrame = {
+    val D = 64L
+    documents(spark, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(Hashing.hexHash(col("tok")), lit(D)).as("bucket"),
+        when(pmod(Hashing.hexHash(concat(lit("s#"), col("tok"))), lit(2L)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("feat"))
+  }
+
+  val featureHashSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |)
+      |SELECT doc_id,
+      |       ${Hashing.hexHashSql("tok")} % 64 AS bucket,
+      |       CAST(sum(CASE WHEN ${Hashing.hexHashSql("'s#' || tok")} % 2 = 0
+      |                     THEN 1 ELSE -1 END) AS BIGINT) AS feat
+      |FROM tok
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- quality scoring ------------------------------------------------------
 
   /** Heuristic quality features: token stats, lexical diversity, stopword
@@ -1335,6 +1368,7 @@ object TextAnalysis {
     "q_bm25"             -> ((s, d) => bm25(s, d)),
     "q_pii_scrub"        -> ((s, d) => piiScrub(s, d)),
     "q_token_count"      -> ((s, d) => tokenCount(s, d)),
+    "q_feature_hash"     -> ((s, d) => featureHash(s, d)),
     "q_text_quality"     -> ((s, d) => qualityScore(s, d)),
     "q_lang_id"          -> ((s, d) => langId(s, d)),
     "q_fingerprint"      -> ((s, d) => fingerprint(s, d)),
@@ -1412,6 +1446,7 @@ object TextAnalysis {
     "q_bm25"          -> bm25Sql,
     "q_pii_scrub"     -> piiScrubSql,
     "q_token_count"   -> tokenCountSql,
+    "q_feature_hash"  -> featureHashSql,
     "q_text_quality"  -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,

@@ -203,6 +203,87 @@ object AnalyticOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- Welch's t (experiment/segment comparison) ----------------------------
+  // Per-segment two-sample Welch t-statistic of order totals vs ALL OTHER
+  // segments, rebuilt from exact per-group sums: one hash-agg pass collects
+  // (n, Σcents, Σcents²) per segment — cents² summed as DECIMAL(38,0)
+  // (a long accumulator would overflow past ~4k rows/group at 5e7
+  // cents/row; DuckDB's HUGEINT sum is the same exact form) — then a
+  // 5-row unbounded window derives the complement group by subtraction.
+  // All doubles appear AFTER the exact sums, in ONE expression tree both
+  // engines evaluate in the same order (exact ints → deterministic
+  // doubles; / and sqrt are IEEE-determined), floor-quantized at the
+  // boundary. Scale: the shuffle is the groupBy on c_mktsegment (5 keys,
+  // map-side partials do the work); the window is over #segments rows.
+  def welchT(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Money.cents(col("o_totalprice"))
+    val per = orders(spark, d)
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents).as("s"),
+        sum((cents * cents).cast("decimal(38,0)")).as("q"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = per
+      .withColumn("nn", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("s")).over(w))
+      .withColumn("qq", sum(col("q")).over(w))
+    val n1 = col("n").cast("double")
+    val s1 = col("s").cast("double")
+    val q1 = col("q").cast("double")
+    val n2 = (col("nn") - col("n")).cast("double")
+    val s2 = (col("ss") - col("s")).cast("double")
+    val q2 = (col("qq") - col("q")).cast("double")
+    val m1 = s1 / n1
+    val m2 = s2 / n2
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - lit(1.0))
+    val v2 = (q2 - s2 * s2 / n2) / (n2 - lit(1.0))
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((v1 / n1) * (v1 / n1) / (n1 - lit(1.0)) +
+        (v2 / n2) * (v2 / n2) / (n2 - lit(1.0)))
+    tot.select(col("c_mktsegment"), col("n"),
+        floor(m1 * lit(100.0)).cast("long").as("mean_cents_q"),
+        floor(t * lit(1000000.0)).cast("long").as("t_welch_q"),
+        floor(dfW * lit(1000.0)).cast("long").as("df_welch_q"))
+      .orderBy("c_mktsegment")
+  }
+
+  val welchTSql: String = {
+    val c = Money.centsSql("o_totalprice")
+    // identical expression tree as the Column form, inlined via macros
+    val n1 = "CAST(n AS DOUBLE)"; val s1 = "CAST(s AS DOUBLE)"
+    val q1 = "CAST(q AS DOUBLE)"
+    val n2 = "CAST(nn - n AS DOUBLE)"; val s2 = "CAST(ss - s AS DOUBLE)"
+    val q2 = "CAST(qq - q AS DOUBLE)"
+    val m1 = s"($s1 / $n1)"; val m2 = s"($s2 / $n2)"
+    val v1 = s"(($q1 - $s1 * $s1 / $n1) / ($n1 - 1.0))"
+    val v2 = s"(($q2 - $s2 * $s2 / $n2) / ($n2 - 1.0))"
+    val se2 = s"($v1 / $n1 + $v2 / $n2)"
+    val t = s"(($m1 - $m2) / sqrt($se2))"
+    val dfW = s"(($se2 * $se2) / (($v1 / $n1) * ($v1 / $n1) / ($n1 - 1.0)" +
+      s" + ($v2 / $n2) * ($v2 / $n2) / ($n2 - 1.0)))"
+    s"""WITH per AS (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |         CAST(sum($c) AS BIGINT) AS s,
+      |         sum(CAST($c * $c AS HUGEINT)) AS q
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT *, sum(n) OVER () AS nn, sum(s) OVER () AS ss,
+      |         sum(q) OVER () AS qq
+      |  FROM per
+      |)
+      |SELECT c_mktsegment, n,
+      |       CAST(floor($m1 * 100.0) AS BIGINT) AS mean_cents_q,
+      |       CAST(floor($t * 1000000.0) AS BIGINT) AS t_welch_q,
+      |       CAST(floor($dfW * 1000.0) AS BIGINT) AS df_welch_q
+      |FROM tot
+      |ORDER BY c_mktsegment""".stripMargin
+  }
+
   // --- forward fill (last observation carried forward) ----------------------
   // The time-series imputation twin of q_date_spine: build the complete
   // (cohort, day) panel, then carry each cohort's last observed value
@@ -873,6 +954,7 @@ object AnalyticOps {
     "q_daily_share" -> (dailyShare _),
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
+    "q_welch"      -> (welchT _),
     "q_unpivot"    -> (unpivotDaily _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
@@ -901,6 +983,7 @@ object AnalyticOps {
     "q_daily_share" -> dailyShareSql,
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,
+    "q_welch"      -> welchTSql,
     "q_unpivot"    -> unpivotDailySql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,

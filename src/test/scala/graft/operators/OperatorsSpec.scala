@@ -9,6 +9,34 @@ class OperatorsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("feature hashing matches a driver-side recompute and bounds the width") {
+    val rows = TextAnalysis.featureHash(spark, d).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b < 64L)
+    }
+    // sparse width per doc is capped by D regardless of doc length
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 64))
+    // differential: recompute one doc's buckets with the same hash locally
+    val docId = rows.head.getAs[Long]("doc_id")
+    val text = graft.Tables.documents(spark, d)
+      .where(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .select("text").collect().head.getString(0)
+    val expect = text.split(" ", -1).toSeq
+      .map { t =>
+        val bucket = graft.functions.Hashing.hexHashLocal(t) % 64L
+        val sign = if (graft.functions.Hashing.hexHashLocal("s#" + t) % 2L == 0L) 1L else -1L
+        bucket -> sign
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0L).toMap
+    val got = rows.filter(_.getAs[Long]("doc_id") == docId)
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("feat"))
+      .filter(_._2 != 0L).toMap
+    assert(got === expect)
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = Dedup.exactDedup(spark, d).collect()
     assert(rows.length === 20)

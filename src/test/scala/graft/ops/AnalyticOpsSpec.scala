@@ -47,6 +47,36 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("welch t matches a driver-side recompute from raw rows") {
+    val got = AnalyticOps.welchT(spark, d).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("mean_cents_q"),
+          r.getAs[Long]("t_welch_q"))).toMap
+    val raw = graft.Tables.orders(spark, d)
+      .join(graft.Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    val bySeg = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet === bySeg.keySet)
+    for ((seg, cents) <- bySeg) {
+      val other = raw.filter(_._1 != seg).map(_._2)
+      def stats(xs: Array[Long]) = {
+        val n = xs.length.toDouble
+        val s = xs.sum.toDouble
+        val q = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        (n, s / n, (q - s * s / n) / (n - 1.0))
+      }
+      val (n1, m1, v1) = stats(cents)
+      val (n2, m2, v2) = stats(other)
+      val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+      val (gn, gmean, gt) = got(seg)
+      assert(gn === cents.length.toLong)
+      assert(gmean === math.floor(m1 * 100.0).toLong)
+      // same formula, associative-order-insensitive inputs → tight bound
+      assert(math.abs(gt - math.floor(t * 1e6).toLong) <= 1L, s"$seg: $gt vs $t")
+    }
+  }
+
   test("quantiles are ordered within each group and bounded by min/max") {
     AnalyticOps.quantiles(spark, d).collect().foreach { r =>
       val vals = Seq(r.getAs[Double]("q_min"), r.getAs[Double]("p25"),
