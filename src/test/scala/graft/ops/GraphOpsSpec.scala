@@ -58,6 +58,42 @@ class GraphOpsSpec extends SparkSpec {
     got.foreach { case (n, t) => if (!nodes.contains(n)) assert(t === 0L) }
   }
 
+  test("kcore equals an exact driver-side peel and converges inside the oracle bound") {
+    import org.apache.spark.sql.functions._
+    // rebuild the mutual-top-k edge set independently (same recompute as the
+    // triangles spec), then peel to fixpoint in plain Scala
+    val su = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    val w = su.as("a").join(su.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dirE = w.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val kept = dirE.groupBy(_._1).toSeq.flatMap { case (a, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(GraphOps.TriK).map(e => (a, e._2))
+    }.toSet
+    var edges = kept.filter { case (a, b) => kept((b, a)) }
+    var peels = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= GraphOps.KCoreK).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != edges
+      if (changed) peels += 1
+      edges = next
+    }
+    assert(peels <= GraphOps.KCorePeels,
+      s"fixpoint needed $peels peels; oracle unrolls ${GraphOps.KCorePeels}")
+    val expect = edges.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.kcore(spark, d).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture graph must have a non-empty 4-core")
+    got.values.foreach(dg => assert(dg >= GraphOps.KCoreK))
+  }
+
   test("bfs levels are true minimum hop counts and respect bipartite parity") {
     import org.apache.spark.sql.functions._
     val out = GraphOps.bfs(spark, d).collect()
