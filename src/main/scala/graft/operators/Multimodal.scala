@@ -145,6 +145,58 @@ object Multimodal {
        |FROM sums
        |ORDER BY doc_id""".stripMargin
 
+  /** One cell of a nearest-neighbor thumbnail. */
+  final case class ThumbCell(doc_id: Long, ty: Long, tx: Long, v: Long)
+
+  /** Thumbnail grid side: every image downsamples to ThumbN×ThumbN. */
+  val ThumbN = 4
+
+  /** Nearest-neighbor resize over the DECODED raster: cell (ty,tx) samples
+    * source pixel (⌊tx·w/N⌋, ⌊ty·h/N⌋) — the classic decimation kernel,
+    * computed on real pixels the codec produced (not the formulas; the
+    * oracle recomputes those independently, so a one-pixel codec drift
+    * fails the hash). Integer floor division on non-negative operands
+    * keeps the sample coordinates engine-exact. */
+  def resizeBatch(batch: Seq[MediaRecord]): Seq[ThumbCell] =
+    batch.flatMap { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable payload for doc ${r.doc_id}")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      for (ty <- 0 until ThumbN; tx <- 0 until ThumbN) yield {
+        val sx = tx * w / ThumbN
+        val sy = ty * h / ThumbN
+        ThumbCell(r.doc_id, ty.toLong, tx.toLong,
+          raster.getSample(sx, sy, 0).toLong)
+      }
+    }
+
+  /** Decode + resize, batched exactly like [[extractFeatures]] — map-only,
+    * payloads never shuffle, output is the bounded N²-rows-per-doc sparse
+    * thumbnail (the shape a downstream embedding/dedup stage consumes). */
+  def thumbnails(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch)).toDF()
+  }
+
+  val thumbnailsSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+       |         CAST((doc_id * 7) % 24 + 8 AS BIGINT) AS h
+       |  FROM documents
+       |), gy AS (
+       |  SELECT doc_id, w, h, unnest(range(0, $ThumbN)) AS ty FROM dims
+       |), gxy AS (
+       |  SELECT doc_id, w, h, ty, unnest(range(0, $ThumbN)) AS tx FROM gy
+       |)
+       |SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+       |       CAST((3 * ((tx * w) // $ThumbN) + 7 * ((ty * h) // $ThumbN)
+       |             + doc_id) % 256 AS BIGINT) AS v
+       |FROM gxy""".stripMargin
+
   val FrameStep = 5
 
   /** Frame sampling — the video-shaped access pattern: every `FrameStep`-th
@@ -178,9 +230,11 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, d) => features(s, d)),
+    "q_img_resize"          -> ((s, d) => thumbnails(s, d)),
     "q_frame_sample"        -> ((s, d) => frameSample(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
+    "q_img_resize"          -> thumbnailsSql,
     "q_frame_sample"        -> frameSampleSql)
 }

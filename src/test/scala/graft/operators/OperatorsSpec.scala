@@ -252,6 +252,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nearest-neighbor thumbnails sample the decoded raster at exact grid points") {
+    val cells = Multimodal.thumbnails(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ty"),
+        r.getAs[Long]("tx")) -> r.getAs[Long]("v")).toMap
+    val docIds = cells.keys.map(_._1).toSeq.distinct
+    assert(docIds.nonEmpty)
+    // exactly N² cells per doc
+    assert(cells.size === docIds.size * Multimodal.ThumbN * Multimodal.ThumbN)
+    // every cell equals the generation formula at the decimation point —
+    // recomputed from first principles, independent of the codec path
+    for (id <- docIds; ty <- 0 until Multimodal.ThumbN; tx <- 0 until Multimodal.ThumbN) {
+      val w = Multimodal.imgWidth(id)
+      val h = Multimodal.imgHeight(id)
+      val sx = tx * w / Multimodal.ThumbN
+      val sy = ty * h / Multimodal.ThumbN
+      assert(cells((id, ty.toLong, tx.toLong)) ===
+        Multimodal.pixelValue(id, sx, sy).toLong, s"doc $id cell ($ty,$tx)")
+    }
+  }
+
   test("heavy hitters equals the brute-force answer despite sketch pruning") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.heavyHitters(spark, d).collect()
