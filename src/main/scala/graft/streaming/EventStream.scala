@@ -788,6 +788,82 @@ object EventStream {
   val streamingSessionWindowSql: String =
     graft.ops.AnalyticOps.sessionWindowAggSql
 
+  /** CHAINED TIME-WINDOW AGGREGATION (re-windowing): hourly partials
+    * re-aggregated into daily totals INSIDE one streaming query — two
+    * stateful aggs back to back, joined by `window_time()` (the Spark-3.4+
+    * multiple-stateful-operator path, where each downstream operator runs
+    * on the upstream's propagated output watermark). This is the streaming
+    * rollup cascade a 100 TB pipeline wants: the wide raw stream collapses
+    * at the finest grain once, and every coarser grain aggregates
+    * partial-sized input — the second shuffle carries (hour, type) rows,
+    * never raw events.
+    *
+    * Drive: the session-window staging (real file, then one far-future
+    * sentinel file, maxFilesPerTrigger=1); the trailing no-data batches
+    * flush the hourly windows through to the daily agg and then the daily
+    * windows themselves (processAllAvailable drains until no state
+    * changes). Cents keep both grains' sums exact; the final daily output
+    * must equal the DIRECT batch daily aggregation — the cascade must be
+    * lossless, which is exactly what the shared oracle checks. The
+    * sentinel's own windows sit above the final watermark, so it never
+    * reaches the sink. */
+  def streamingRewindow(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val dayNs = 86400L * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
+      rawSchema)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_rw")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val dst0 = inDir.resolve("batch0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst0)
+    val stage = root.resolve("stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst()
+      finally listing.close()
+    val dst1 = inDir.resolve("batch1.parquet")
+    java.nio.file.Files.move(part.get(), dst1)
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.setLastModifiedTime(dst0,
+      java.nio.file.attribute.FileTime.fromMillis(now - 30000L))
+    java.nio.file.Files.setLastModifiedTime(dst1,
+      java.nio.file.attribute.FileTime.fromMillis(now))
+
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val hourly = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.Money.cents(col("value"))).as("cents"))
+    val daily = hourly
+      .groupBy(window(window_time(col("window")), "1 day").as("day_w"),
+        col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        graft.functions.Money.centsToDollars(sum(col("cents"))).as("sum_value"))
+    try runToMemory(daily, "graft_stream_rewindow", OutputMode.Append)
+    finally deleteRecursively(root)
+    spark.table("graft_stream_rewindow")
+      .where(col("event_type") =!= "__flush__")
+      .select(col("day_w.start").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Oracle: the DIRECT batch daily aggregation — the hourly→daily cascade
+    * must be lossless, so the answer is identical to q_stream_daily's. */
+  val streamingRewindowSql: String = streamingDailyAggSql
+
   /** STREAM-STATIC JOIN: the streaming enrich pattern — each micro-batch of
     * the event stream joins a static dimension table (here: customer, on
     * user_id = c_custkey) before aggregating per market segment. The static
@@ -1824,6 +1900,7 @@ object EventStream {
     "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
+    "q_stream_rewindow" -> ((s, d) => streamingRewindow(s, d)),
     "q_stream_update"   -> ((s, d) => streamingUpdateAgg(s, d)),
     "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
     "q_stream_sessions" -> ((s, d) => streamingSessions(s, d)),
@@ -1847,6 +1924,7 @@ object EventStream {
     "q_stream_full_outer" -> streamingFullOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
+    "q_stream_rewindow" -> streamingRewindowSql,
     "q_stream_update"   -> streamingUpdateAggSql,
     "q_stream_session_window" -> streamingSessionWindowSql,
     "q_stream_sessions" -> streamingSessionsSql,

@@ -139,4 +139,17 @@ class EventStreamSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
     assert(streamed.nonEmpty)
   }
+
+  test("chained re-windowing loses nothing vs the single-grain daily stream") {
+    // hourly→daily cascade (two stateful aggs, window_time chaining) must
+    // equal the direct one-agg daily stream: every hourly window flushed
+    // through, every daily window flushed out, sums exact through both
+    // grains
+    val d = "/root/testdata/sf0.001"
+    val cascade = EventStream.streamingRewindow(spark, d).collect()
+    val direct = EventStream.streamingDailyAgg(spark, d).collect()
+    assert(cascade.nonEmpty)
+    assert(cascade.length === direct.length)
+    cascade.zip(direct).foreach { case (c, dd) => assert(c === dd) }
+  }
 }
