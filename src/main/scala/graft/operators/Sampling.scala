@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.Hashing
+import graft.functions.{Hashing, Money}
 
 /** Reproducible sampling and splitting for training-data pipelines.
   *
@@ -328,7 +328,110 @@ object Sampling {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- leave-one-out target encoding ---------------------------------------
+
+  /** LOO target encoding of the customer market segment against order
+    * totals: each row's feature is its category's target mean EXCLUDING
+    * the row itself — (Σcents − own)/(n−1) — the leakage-free categorical
+    * encoder. Shape: one hash agg down to category-cardinality stats, then
+    * a BROADCAST join back onto the fact scan (the stats frame is tiny by
+    * construction; the fact side never shuffles) — at 100 TB this is a
+    * scan + map, not a window over five giant partitions. Exact integer
+    * numerator/denominator → one deterministic double division,
+    * floor-quantized. */
+  def targetEncode(spark: SparkSession, d: String): DataFrame = {
+    val oc = orders(spark, d)
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        Money.cents(col("o_totalprice")).as("cents"))
+    val stats = oc.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents")).as("seg_cents"), count(lit(1)).as("seg_n"))
+    oc.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        floor((col("seg_cents") - col("cents")).cast("double") /
+          (col("seg_n") - lit(1L)).cast("double") * lit(100.0))
+          .cast("long").as("loo_mean_q"))
+  }
+
+  val targetEncodeSql: String = {
+    val c = Money.centsSql("o_totalprice")
+    s"""WITH oc AS (
+       |  SELECT o_orderkey, c_mktsegment, $c AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), stats AS (
+       |  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS seg_cents,
+       |         count(*) AS seg_n
+       |  FROM oc GROUP BY 1
+       |)
+       |SELECT o_orderkey, oc.c_mktsegment,
+       |       CAST(floor(CAST(seg_cents - cents AS DOUBLE)
+       |                  / CAST(seg_n - 1 AS DOUBLE) * 100.0) AS BIGINT)
+       |         AS loo_mean_q
+       |FROM oc JOIN stats USING (c_mktsegment)""".stripMargin
+  }
+
+  // ---- deterministic Poisson bootstrap ---------------------------------------
+
+  /** Hash-derived Poisson bootstrap: [[BootReps]] resampled replicas of the
+    * mean order total, each row weighted by a Poisson(1) draw taken from
+    * the inverse CDF of a [[Hashing.hexHash]] uniform on (o_orderkey, rep)
+    * — the bootstrap-on-a-cluster construction (Chamandy et al.'s Poisson
+    * approximation, public): no RNG state, any partitioning, same replica
+    * membership on every run and every engine. The CDF thresholds are
+    * exact double literals shared with the oracle text; weighted sums stay
+    * in exact integers until one final division. Shape: fact × B flatmap
+    * (map-only) → hash agg to B rows; map-side partials mean the shuffle
+    * carries B rows per task regardless of data size. */
+  val BootReps = 16
+  /** Cumulative Poisson(1) CDF at k = 0..5 (correctly-rounded literals). */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.73575888234288466, 0.91969860292860583,
+    0.98101184312384622, 0.99634015317265632, 0.99940581518241834)
+  private val TwoPow60 = 1152921504606846976.0 // 2^60, exact
+
+  def bootstrap(spark: SparkSession, d: String): DataFrame = {
+    val reps = spark.range(0, BootReps).select(col("id").as("rep"))
+    val u = Hashing.hexHash(concat(col("o_orderkey").cast("string"),
+      lit("#"), col("rep").cast("string"))).cast("double") / lit(TwoPow60)
+    val k = PoissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (cdf, i)) =>
+        acc.when(u < lit(cdf), lit(i.toLong))
+      }.otherwise(lit(PoissonCdf.size.toLong))
+    orders(spark, d)
+      .select(col("o_orderkey"), Money.cents(col("o_totalprice")).as("cents"))
+      .crossJoin(broadcast(reps))
+      .select(col("rep"), k.as("k"), col("cents"))
+      .groupBy(col("rep"))
+      .agg(sum(col("k")).as("n_eff"),
+        sum(col("k") * col("cents")).as("wcents"))
+      .select(col("rep"), col("n_eff"),
+        floor(col("wcents").cast("double") / col("n_eff").cast("double")
+          * lit(100.0)).cast("long").as("boot_mean_q"))
+      .orderBy("rep")
+  }
+
+  val bootstrapSql: String = {
+    val c = Money.centsSql("o_totalprice")
+    val u = s"(CAST(${Hashing.hexHashSql(
+      "CAST(o_orderkey AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")} AS DOUBLE)" +
+      s" / $TwoPow60)"
+    val k = PoissonCdf.zipWithIndex
+      .map { case (cdf, i) => s"WHEN $u < $cdf THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size} END")
+    s"""WITH w AS (
+       |  SELECT rep, $k AS k, $c AS cents
+       |  FROM orders CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS rep) r
+       |)
+       |SELECT rep, CAST(sum(k) AS BIGINT) AS n_eff,
+       |       CAST(floor(CAST(sum(k * cents) AS DOUBLE)
+       |                  / CAST(sum(k) AS DOUBLE) * 100.0) AS BIGINT)
+       |         AS boot_mean_q
+       |FROM w GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> ((s, d) => targetEncode(s, d)),
+    "q_bootstrap"     -> ((s, d) => bootstrap(s, d)),
     "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "q_cluster_split"   -> ((s, d) => clusterSplit(s, d)),
     "q_neg_sample" -> ((s, d) => negativeSample(s, d)),
@@ -340,6 +443,8 @@ object Sampling {
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_target_encode" -> targetEncodeSql,
+    "q_bootstrap"     -> bootstrapSql,
     "q_weighted_sample" -> weightedSampleSql(),
     "q_cluster_split"   -> clusterSplitSql,
     "q_neg_sample" -> negativeSampleSql,

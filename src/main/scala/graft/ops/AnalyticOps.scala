@@ -203,6 +203,40 @@ object AnalyticOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- equal-frequency binning (quantile discretization) --------------------
+  // ntile(8) over order totals with a total order (price, orderkey — ties
+  // can't straddle a boundary differently per engine), then per-bin count,
+  // range, and exact money sum: the feature-discretization op. The global
+  // ntile is a single-partition window — correct and oracle-exact at test
+  // scale; at 100 TB the same output comes from approx_percentile
+  // boundaries + width_bucket (sampled boundaries, exact routing — the
+  // RangePartitioner construction LakeOps.rangeBounds documents), so the
+  // scan never single-threads.
+  def quantileBins(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin", ntile(8).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        Money.moneySum(col("o_totalprice")).as("sum_value"))
+      .orderBy("bin")
+  }
+
+  val quantileBinsSql: String =
+    s"""WITH b AS (
+      |  SELECT o_totalprice,
+      |         CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |           AS bin
+      |  FROM orders
+      |)
+      |SELECT bin, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+      |       ${Money.moneySumSql("o_totalprice")} AS sum_value
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   // --- Welch's t (experiment/segment comparison) ----------------------------
   // Per-segment two-sample Welch t-statistic of order totals vs ALL OTHER
   // segments, rebuilt from exact per-group sums: one hash-agg pass collects
@@ -955,6 +989,7 @@ object AnalyticOps {
     "q_forward_fill" -> (forwardFill _),
     "q_stats_agg"  -> (statsAgg _),
     "q_welch"      -> (welchT _),
+    "q_quantile_bins" -> (quantileBins _),
     "q_unpivot"    -> (unpivotDaily _),
     "q_pivot"      -> (pivotDaily _),
     "q_quantiles"  -> (quantiles _),
@@ -984,6 +1019,7 @@ object AnalyticOps {
     "q_forward_fill" -> forwardFillSql,
     "q_stats_agg"  -> statsAggSql,
     "q_welch"      -> welchTSql,
+    "q_quantile_bins" -> quantileBinsSql,
     "q_unpivot"    -> unpivotDailySql,
     "q_pivot"      -> pivotDailySql,
     "q_quantiles"  -> quantilesSql,

@@ -727,7 +727,65 @@ object TimeSeriesOps {
       |       END AS acf_q
       |FROM s ORDER BY k""".stripMargin
 
+  // ---- grouped OLS trend (closed-form simple regression) -------------------
+
+  /** Per-event-type linear trend of daily value totals: closed-form simple
+    * OLS — slope/intercept rebuilt from the five exact integer sums
+    * (n, Σx, Σy, Σxy, Σx²) with x the CALENDAR epoch-day index (gap-stable,
+    * same convention as [[acf]]) and y exact daily cents. Two hash aggs
+    * (events→days, days→type) and nothing wider than type-cardinality ever
+    * shuffles; the doubles appear only in the final closed-form expression,
+    * evaluated in one identical order both engines, floor-quantized.
+    * Degenerate groups (a single day: zero variance in x) yield NULL.
+    */
+  def olsTrend(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+    def dbl(c: String) = col(c).cast("double")
+    val nD = col("n_days").cast("double")
+    val den = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    val slope = (nD * dbl("sxy") - dbl("sx") * dbl("sy")) / den
+    val icept = (dbl("sy") - slope * dbl("sx")) / nD
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        when(den > 0, floor(slope * lit(1000000.0)).cast("long")).as("slope_q"),
+        when(den > 0, floor(icept * lit(100.0)).cast("long")).as("icept_q"))
+      .orderBy("event_type")
+  }
+
+  val olsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, CAST(ts AS DATE)
+      |), s AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |         CAST(sum(x * x) AS DOUBLE) AS sxx
+      |  FROM daily GROUP BY event_type
+      |)
+      |SELECT event_type, n_days,
+      |       CASE WHEN n * sxx - sx * sx > 0
+      |            THEN CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |                   * 1000000.0) AS BIGINT) END AS slope_q,
+      |       CASE WHEN n * sxx - sx * sx > 0
+      |            THEN CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |                   * sx) / n * 100.0) AS BIGINT) END AS icept_q
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols" -> (olsTrend _),
     "q_event_paths" -> (eventPaths _),
     "q_rolling_median" -> (rollingMedian _),
     "q_gini" -> (gini _),
@@ -744,6 +802,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_ols" -> olsTrendSql,
     "q_event_paths" -> eventPathsSql,
     "q_rolling_median" -> rollingMedianSql,
     "q_gini" -> giniSql,

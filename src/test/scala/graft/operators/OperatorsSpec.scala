@@ -37,6 +37,47 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("loo target encoding reconciles with per-segment totals") {
+    import org.apache.spark.sql.functions._
+    val got = Sampling.targetEncode(spark, d).collect()
+    assert(got.nonEmpty)
+    // reconstruct each segment's totals from raw rows, then check a few
+    // rows' encodings exactly
+    val raw = graft.Tables.orders(spark, d)
+      .join(graft.Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val bySeg = raw.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.length.toLong)).toMap
+    val cents = raw.map(r => r._1 -> (r._2, r._3)).toMap
+    got.take(200).foreach { r =>
+      val (seg, own) = cents(r.getAs[Long]("o_orderkey"))
+      val (s, n) = bySeg(seg)
+      val expect = math.floor((s - own).toDouble / (n - 1).toDouble * 100.0).toLong
+      assert(r.getAs[Long]("loo_mean_q") === expect)
+    }
+  }
+
+  test("poisson bootstrap replicas are deterministic and concentrate near the mean") {
+    val r1 = Sampling.bootstrap(spark, d).collect()
+    val r2 = Sampling.bootstrap(spark, d).collect()
+    assert(r1.toSeq.map(_.toSeq) === r2.toSeq.map(_.toSeq), "hash-derived = rerun-stable")
+    assert(r1.length === Sampling.BootReps)
+    val n = graft.Tables.orders(spark, d).count()
+    r1.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Poisson(1) weights: n_eff ~ n ± a few sigma (sigma = sqrt(n))
+      assert(math.abs(nEff - n) <= 6L * math.sqrt(n.toDouble).toLong + 6L,
+        s"rep ${r.getAs[Long]("rep")}: n_eff $nEff vs n $n")
+    }
+    // replica means spread around the plain mean within a loose CLT band
+    val mean = graft.Tables.orders(spark, d)
+      .agg(org.apache.spark.sql.functions.avg("o_totalprice")).head.getDouble(0)
+    val meansCents = r1.map(_.getAs[Long]("boot_mean_q") / 100.0 / 100.0)
+    meansCents.foreach(m => assert(math.abs(m - mean) / mean < 0.2))
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = Dedup.exactDedup(spark, d).collect()
     assert(rows.length === 20)

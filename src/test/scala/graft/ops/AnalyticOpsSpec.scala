@@ -47,6 +47,19 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("quantile bins are balanced, contiguous, and partition the table") {
+    val rows = AnalyticOps.quantileBins(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq === (1L to 8L))
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1L, "ntile balance")
+    assert(sizes.sum === graft.Tables.orders(spark, d).count())
+    // ranges are non-overlapping and ordered: each bin's hi <= next bin's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    case _ => ()
+    }
+  }
+
   test("welch t matches a driver-side recompute from raw rows") {
     val got = AnalyticOps.welchT(spark, d).collect()
       .map(r => r.getAs[String]("c_mktsegment") ->

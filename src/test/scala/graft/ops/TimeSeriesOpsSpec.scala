@@ -158,6 +158,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("ols trend matches a least-squares fit recomputed from the daily series") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = TimeSeriesOps.olsTrend(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("slope_q"))).toMap
+    for ((t, rows) <- daily.groupBy(_._1)) {
+      val xs = rows.map(_._2.toDouble); val ys = rows.map(_._3.toDouble)
+      val n = xs.length.toDouble
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+        xs.sum * ys.sum) / (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+      val (gn, gs) = got(t)
+      assert(gn === rows.length.toLong)
+      // same closed form over order-insensitive exact sums → ±1 on the grid
+      assert(math.abs(gs - math.floor(slope * 1e6).toLong) <= 1L, s"$t: $gs vs $slope")
+    }
+  }
+
   test("acf lag rows pair only existing day indexes and lag-k pair count shrinks with k") {
     val out = TimeSeriesOps.acf(spark, d).collect().sortBy(_.getAs[Long]("k"))
     assert(out.map(_.getAs[Long]("k")).toSeq === (1L to TimeSeriesOps.AcfMaxLag))
