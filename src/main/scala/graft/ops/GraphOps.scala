@@ -270,10 +270,6 @@ object GraphOps {
       .select(col("x.a").as("u"), col("x.b").as("v"))
       .localCheckpoint()
 
-    def induced(verts: DataFrame): DataFrame =
-      base.join(verts.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(verts.select(col("node").as("v")), Seq("v"), "left_semi")
-
     var edges = base
     var nVerts = -1L
     var done = false
@@ -285,11 +281,21 @@ object GraphOps {
         .localCheckpoint()
       val n = survivors.count()
       if (n == nVerts) done = true
-      else { nVerts = n; edges = induced(survivors) }
+      else { nVerts = n; edges = kcoreStep(base, survivors) }
     }
     edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
       .orderBy("node")
   }
+
+  /** One peel superstep: induced edges of the survivor set, re-derived from
+    * the pinned base via two semi-joins. Package-visible so the plan audit
+    * can inspect the superstep's join strategy directly (the loop's plans
+    * are gone by the time [[kcore]] returns). Survivors are node-sized by
+    * construction — AQE broadcasts them at runtime; no forced hint, so a
+    * billion-node graph degrades to a shuffle semi-join instead of OOM. */
+  private[graft] def kcoreStep(base: DataFrame, survivors: DataFrame): DataFrame =
+    base.join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
 
   val kcoreSql: String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each

@@ -441,6 +441,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), "COUNT(DISTINCT) expansion crept in:\n" + p.take(1500))
   }
 
+  test("target encoding broadcasts category stats; the fact side never re-shuffles") {
+    val q = graft.operators.Sampling.targetEncode(spark, d)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the stats-side join back onto the fact scan must be broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  // AQE's executed-plan toString carries BOTH the final and initial trees
+  // once an action has run — slice to the final section before counting
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("feature hashing shuffles once, on the (doc, bucket) agg after explode") {
+    val p = finalPlan(graft.operators.TextAnalysis.featureHash(spark, d))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).length === 1, p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+    // partial aggregation runs before the exchange (map-side combine caps
+    // the shuffle at D rows per doc)
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("bootstrap replicas broadcast the rep spine; one B-row aggregation shuffle") {
+    val p = finalPlan(graft.operators.Sampling.bootstrap(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // fact scan → map → partial agg → ONE hash exchange at B-row grain
+    // (the only other exchange is the B-row output sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("kcore supersteps semi-join the pinned base against node-sized survivor sets") {
+    import org.apache.spark.sql.functions._
+    // rebuild one real superstep input (the loop's plans are gone once
+    // kcore returns) and audit the induced-edge join strategy
+    val full = GraphOps.kcore(spark, d)
+    assert(full.collect().nonEmpty)
+    val pairs = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    val base = pairs.as("a").join(pairs.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") =!= col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+      .localCheckpoint()
+    val survivors = base.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= GraphOps.KCoreK).select(col("u").as("node"))
+      .localCheckpoint()
+    val p = finalPlan(GraphOps.kcoreStep(base, survivors))
+    // survivor sets are node-sized → AQE broadcasts the semi-joins
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("declarative SQL UDFs inline into the plan — no closure, codegen intact") {
     // CREATE FUNCTION bodies must resolve to ordinary expressions: the
     // aggregate over graft_net_units plans as a hash aggregate inside
