@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -79,19 +79,28 @@ final class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRea
       Option(options.get("pagesPerTrigger")).map(_.toInt).getOrElse(pages))
 }
 
+/** One pushed aggregate: op ∈ count_star|count|sum|min|max over a long
+  * column of the paged schema. */
+final case class PagedAgg(op: String, column: String)
+
 final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = PagedSource.schema
   private var accepted: Array[Filter] = Array.empty
   private var lo: Long = 0L
   private var hi: Long = pages.toLong * pageSize // exclusive
+  private var pushedAggs: Option[Seq[PagedAgg]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after aggregate pushdown the read schema is fixed by the aggregation
+    if (pushedAggs.isEmpty) required = requiredSchema
 
-  /** Accept id bounds for page pruning; return EVERYTHING as residual so
-    * Spark re-evaluates row-exactly (pruning stays best-effort). */
+  /** Consume id bounds EXACTLY (the page reader enforces [lo, hi) on the
+    * global index, so these are full pushdowns — which is what licenses
+    * aggregate pushdown on top: Spark only pushes an aggregation when no
+    * residual filter remains). Anything else stays residual. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
@@ -100,12 +109,129 @@ final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = I
       case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
       case _                                 => false
     }
-    filters
+    filters.filterNot(accepted.contains)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger)
+  /** Per-page PARTIAL aggregation pushed into the source — the "server-side
+    * rollup" a paginated catalog API would do: each page ships its
+    * group/agg partials (≤ groups-per-page rows) instead of pageSize raw
+    * rows, and Spark's final aggregation merges them. Deliberately NOT
+    * complete pushdown ([[supportCompletePushDown]] stays false): the final
+    * combine remains distributed, which is the scale-correct contract when
+    * pages vastly outnumber groups. Accepted only for GROUP BY track_id
+    * with count/sum/min/max over long columns — grouped partials keep
+    * empty-input semantics exact (an empty grouped aggregate is an empty
+    * result on both paths; the ungrouped empty case would need a
+    * synthesized identity row, so it is not claimed). */
+  override def pushAggregation(aggregation: aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(n.fieldNames.head)
+        case _ => None
+      }
+    val longCols = Set("id", "track_id", "duration_ms")
+    val groupOk = aggregation.groupByExpressions.toSeq match {
+      case Seq(g) => ref(g).contains("track_id")
+      case _      => false
+    }
+    val aggs = aggregation.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(PagedAgg("count_star", ""))
+      case c: aggregate.Count if !c.isDistinct =>
+        ref(c.column).filter(longCols).map(PagedAgg("count", _))
+      case s: aggregate.Sum if !s.isDistinct =>
+        ref(s.column).filter(longCols).map(PagedAgg("sum", _))
+      case m: aggregate.Min => ref(m.column).filter(longCols).map(PagedAgg("min", _))
+      case m: aggregate.Max => ref(m.column).filter(longCols).map(PagedAgg("max", _))
+      case _ => None
+    }
+    if (groupOk && aggs.nonEmpty && aggs.forall(_.isDefined)) {
+      pushedAggs = Some(aggs.flatten)
+      true
+    } else false
+  }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new PagedAggScan(pages, pageSize, aggs, lo, hi)
+    case None => new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger)
+  }
+}
+
+/** The aggregated scan: one partial-rollup row per (page, track_id). Read
+  * schema is the V2 pushdown contract — group columns first, then one
+  * column per aggregate (count/sum → long partials, min/max → the column
+  * type; everything here is long). */
+final class PagedAggScan(pages: Int, pageSize: Int, aggs: Seq[PagedAgg],
+    lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    StructField("track_id", LongType, nullable = false) +:
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"agg_${i}_${a.op}", LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedAggScan pages=$pages pageSize=$pageSize idRange=[$lo,$hi) " +
+      s"groupBy=track_id aggs=${aggs.map(a => s"${a.op}(${a.column})").mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).filter { p =>
+      val first = p.toLong * pageSize
+      first < hi && (first + pageSize) > lo
+    }.map(p => PagePartition(p, pageSize): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedAggReaderFactory(aggs, lo, hi)
+}
+
+final class PagedAggReaderFactory(aggs: Seq[PagedAgg], lo: Long, hi: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private def colVal(idx: Long, c: String): Long = c match {
+        case "id"          => idx
+        case "track_id"    => PagedSource.trackId(idx)
+        case "duration_ms" => PagedSource.durationMs(idx)
+      }
+      // page-local partial rollup, grouped by track_id (insertion-ordered
+      // for deterministic row order; the values are order-free)
+      private val groups = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Long]]
+        val first = math.max(p.page.toLong * p.pageSize, lo)
+        val last = math.min((p.page.toLong + 1L) * p.pageSize, hi)
+        var idx = first
+        while (idx < last) {
+          val acc = m.getOrElseUpdate(PagedSource.trackId(idx),
+            aggs.map {
+              case PagedAgg("min", _) => Long.MaxValue
+              case PagedAgg("max", _) => Long.MinValue
+              case _                  => 0L
+            }.toArray)
+          var i = 0
+          while (i < aggs.length) {
+            aggs(i) match {
+              case PagedAgg("count_star", _) => acc(i) += 1L
+              case PagedAgg("count", _)      => acc(i) += 1L // cols are non-null
+              case PagedAgg("sum", c)        => acc(i) += colVal(idx, c)
+              case PagedAgg("min", c)        => acc(i) = math.min(acc(i), colVal(idx, c))
+              case PagedAgg("max", c)        => acc(i) = math.max(acc(i), colVal(idx, c))
+              case _                         => ()
+            }
+            i += 1
+          }
+          idx += 1
+        }
+        m.iterator.toArray
+      }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < groups.length }
+      override def get(): InternalRow = {
+        val (track, acc) = groups(i)
+        new GenericInternalRow((track +: acc.toSeq).toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class PagedScan(pages: Int, pageSize: Int, required: StructType,
@@ -122,7 +248,7 @@ final class PagedScan(pages: Int, pageSize: Int, required: StructType,
       first < hi && (first + pageSize) > lo // page overlaps [lo, hi)
     }.map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required.fieldNames)
+    new PagedReaderFactory(required.fieldNames, lo, hi)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(pages, pageSize, pagesPerTrigger,
@@ -191,15 +317,20 @@ final class PagedMicroBatchStream(pages: Int, pageSize: Int, step: Int,
 
 final case class PagePartition(page: Int, pageSize: Int) extends InputPartition
 
-final class PagedReaderFactory(cols: Array[String])
+/** Row reader; [lo, hi) bounds are enforced HERE because the id filters are
+  * fully pushed (no residual re-evaluation above the scan). The streaming
+  * path passes the unbounded defaults. */
+final class PagedReaderFactory(cols: Array[String],
+    lo: Long = 0L, hi: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.pageSize }
+      private val first = math.max(p.page.toLong * p.pageSize, lo)
+      private val last = math.min((p.page.toLong + 1L) * p.pageSize, hi)
+      private var idx = first - 1
+      override def next(): Boolean = { idx += 1; idx < last }
       override def get(): InternalRow = {
-        val idx = p.page.toLong * p.pageSize + i
         val vals: Array[Any] = cols.map {
           case "id"          => idx
           case "track_id"    => PagedSource.trackId(idx)
@@ -284,10 +415,48 @@ object PagedApi {
       |ORDER BY track_id""".stripMargin
   }
 
+  /** The aggregate-pushdown read: per-track rollup with count/sum/min/max
+    * over an id slice — the source ships ONE partial row per (page, track)
+    * and Spark's final aggregation merges. Same deterministic fixture, so
+    * the pushed path is hash-checked against the row-level rebuild in
+    * DuckDB — if a page's partial rollup dropped or double-counted a row,
+    * the oracle catches it. */
+  def sourceV2Agg(spark: SparkSession, d: String): DataFrame =
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+      .where(col("id") >= 1200L && col("id") < 48600L)
+      .groupBy(col("track_id"))
+      .agg(count(lit(1)).as("n_plays"),
+        sum(col("duration_ms")).as("total_ms"),
+        min(col("duration_ms")).as("min_ms"),
+        max(col("duration_ms")).as("max_ms"))
+      .orderBy("track_id")
+
+  val sourceV2AggSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT track_id, count(*) AS n_plays,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+      |       min(duration_ms) AS min_ms, max(duration_ms) AS max_ms
+      |FROM src
+      |WHERE id >= 1200 AND id < 48600
+      |GROUP BY track_id
+      |ORDER BY track_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
+    "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
+    "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_stream" -> sourceV2StreamSql)
 }

@@ -127,6 +127,49 @@ class PagedSourceSpec extends SparkSpec {
       "a replayed page would surface as duplicate ids")
   }
 
+  test("grouped aggregation pushes into the source as per-page partials") {
+    val df = read().where(col("id") >= 150L && col("id") < 250L)
+      .groupBy(col("track_id"))
+      .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total"),
+        min(col("duration_ms")).as("mn"), max(col("duration_ms")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan's output is the pushed partial schema, not raw rows
+    assert(plan.contains("agg_0_count_star") || plan.contains("agg_0_count"),
+      plan.take(2000))
+    assert(plan.contains("agg_1_sum") && plan.contains("agg_2_min") &&
+      plan.contains("agg_3_max"), plan.take(2000))
+    // answers equal the row-level compute (partials merge across the page
+    // boundary inside [150, 250))
+    val rows = read().where(col("id") >= 150L && col("id") < 250L).collect()
+      .map(r => (r.getAs[Long]("track_id"), r.getAs[Long]("duration_ms")))
+    val expect = rows.groupBy(_._1).view.mapValues { vs =>
+      val ds = vs.map(_._2)
+      (ds.length.toLong, ds.sum, ds.min, ds.max)
+    }.toMap
+    val got = df.collect().map(r => r.getAs[Long]("track_id") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("total"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(got === expect)
+  }
+
+  test("pushed aggregation over an empty id slice yields an empty result") {
+    val df = read().where(col("id") >= 5000L)
+      .groupBy(col("track_id")).agg(count(lit(1)).as("n"))
+    assert(df.collect().isEmpty)
+  }
+
+  test("ungrouped and distinct aggregations are NOT claimed (stay row-level)") {
+    // ungrouped: the empty-input identity row is Spark's job, so the
+    // builder refuses and the scan stays a raw row scan
+    val ungrouped = read().groupBy().agg(sum(col("duration_ms")).as("s"))
+    val p1 = ungrouped.queryExecution.executedPlan.toString
+    assert(!p1.contains("agg_0_"), p1.take(2000))
+    val distinct = read().groupBy(col("track_id"))
+      .agg(countDistinct(col("duration_ms")).as("nd"))
+    val p2 = distinct.queryExecution.executedPlan.toString
+    assert(!p2.contains("agg_0_"), p2.take(2000))
+  }
+
   test("row formula matches the engine hash helpers deterministically") {
     val rows = read(1, 50).collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[Long]("track_id"),
