@@ -86,12 +86,40 @@ final case class PagedAgg(op: String, column: String)
 final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = PagedSource.schema
   private var accepted: Array[Filter] = Array.empty
   private var lo: Long = 0L
   private var hi: Long = pages.toLong * pageSize // exclusive
   private var pushedAggs: Option[Seq[PagedAgg]] = None
+  private var perPartitionCap: Long = Long.MaxValue
+
+  /** LIMIT n: every partition can stop after n rows (Spark reapplies the
+    * global limit above). At 100 TB this is the difference between paging
+    * through the whole catalog and touching ceil(n/pageSize) rows/page. */
+  override def pushLimit(limit: Int): Boolean = {
+    perPartitionCap = limit.toLong
+    false // partial: Spark keeps the global limit
+  }
+
+  /** ORDER BY id LIMIT n: ids ascend within and across pages, so each
+    * page's FIRST n rows are its top-n — same cap as pushLimit, claimed
+    * only for the id-ascending order. Partial: Spark's TakeOrdered merges. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val idAsc = orders.toSeq match {
+      case Seq(o) => (o.expression match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }) && o.direction == SortDirection.ASCENDING
+      case _ => false
+    }
+    if (idAsc) perPartitionCap = limit.toLong
+    idAsc // claimed (partially) only when the source order matches
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // after aggregate pushdown the read schema is fixed by the aggregation
@@ -155,7 +183,8 @@ final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = I
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new PagedAggScan(pages, pageSize, aggs, lo, hi)
-    case None => new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger)
+    case None => new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger,
+      perPartitionCap)
   }
 }
 
@@ -235,20 +264,21 @@ final class PagedAggReaderFactory(aggs: Seq[PagedAgg], lo: Long, hi: Long)
 }
 
 final class PagedScan(pages: Int, pageSize: Int, required: StructType,
-    lo: Long, hi: Long, pagesPerTrigger: Int = Int.MaxValue)
+    lo: Long, hi: Long, pagesPerTrigger: Int = Int.MaxValue,
+    perPartitionCap: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedScan pages=$pages pageSize=$pageSize idRange=[$lo,$hi) " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"cap=$perPartitionCap cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).filter { p =>
       val first = p.toLong * pageSize
       first < hi && (first + pageSize) > lo // page overlaps [lo, hi)
     }.map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required.fieldNames, lo, hi)
+    new PagedReaderFactory(required.fieldNames, lo, hi, perPartitionCap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(pages, pageSize, pagesPerTrigger,
@@ -321,13 +351,15 @@ final case class PagePartition(page: Int, pageSize: Int) extends InputPartition
   * fully pushed (no residual re-evaluation above the scan). The streaming
   * path passes the unbounded defaults. */
 final class PagedReaderFactory(cols: Array[String],
-    lo: Long = 0L, hi: Long = Long.MaxValue)
+    lo: Long = 0L, hi: Long = Long.MaxValue, cap: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
       private val first = math.max(p.page.toLong * p.pageSize, lo)
-      private val last = math.min((p.page.toLong + 1L) * p.pageSize, hi)
+      private val last = math.min(math.min((p.page.toLong + 1L) * p.pageSize, hi),
+        if (cap == Long.MaxValue || first > Long.MaxValue - cap) Long.MaxValue
+        else first + cap)
       private var idx = first - 1
       override def next(): Boolean = { idx += 1; idx < last }
       override def get(): InternalRow = {
@@ -451,12 +483,41 @@ object PagedApi {
       |ORDER BY track_id""".stripMargin
   }
 
+  /** Top-N pushdown read: ORDER BY id LIMIT k over an id slice — each page
+    * partition stops after k rows (ids ascend in-page, so its first k ARE
+    * its top-k) and Spark's TakeOrdered merges. Deterministic output (id is
+    * unique), so the pushed path hash-checks against the row-level rebuild. */
+  def sourceV2TopN(spark: SparkSession, d: String): DataFrame =
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+      .where(col("id") >= 3000L && col("id") < 57000L)
+      .orderBy(col("id")).limit(700)
+      .select(col("id"), col("track_id"), col("duration_ms"))
+
+  val sourceV2TopNSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT id, track_id, duration_ms
+      |FROM src
+      |WHERE id >= 3000 AND id < 57000
+      |ORDER BY id LIMIT 700""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
     "q_source_v2_agg" -> (sourceV2Agg _),
+    "q_source_v2_topn" -> (sourceV2TopN _),
     "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
     "q_source_v2_agg" -> sourceV2AggSql,
+    "q_source_v2_topn" -> sourceV2TopNSql,
     "q_source_v2_stream" -> sourceV2StreamSql)
 }

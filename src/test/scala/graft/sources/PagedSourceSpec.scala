@@ -170,6 +170,23 @@ class PagedSourceSpec extends SparkSpec {
     assert(!p2.contains("agg_0_"), p2.take(2000))
   }
 
+  test("top-n and limit push a per-partition row cap; answers stay exact") {
+    // ORDER BY id LIMIT k: every partition emits at most k rows (its first
+    // k, since ids ascend in-page); the merged answer is the global top-k
+    val top = read().orderBy(col("id")).limit(30)
+    val perPart = top.queryExecution.toRdd
+      .mapPartitions(it => Iterator(it.length)).collect()
+    assert(perPart.forall(_ <= 30), perPart.mkString(","))
+    assert(top.collect().map(_.getAs[Long]("id")).toSeq === (0L until 30L))
+    // bare LIMIT also caps partitions (Spark reapplies the global limit)
+    val lim = read().limit(25)
+    assert(lim.count() === 25L)
+    // a DESC order is not claimed: full pages, Spark sorts
+    val desc = read().orderBy(col("id").desc).limit(10)
+    assert(desc.collect().map(_.getAs[Long]("id")).toSeq ===
+      (399L to 390L by -1L))
+  }
+
   test("row formula matches the engine hash helpers deterministically") {
     val rows = read(1, 50).collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[Long]("track_id"),
