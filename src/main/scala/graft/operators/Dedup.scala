@@ -1048,7 +1048,133 @@ object Dedup {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  // ---- robust winnowing fingerprints (MOSS) ---------------------------------
+
+  /** Winnowing gram width (word K-grams) and window size: every window of
+    * WinnowW consecutive gram hashes contributes its minimum — the classic
+    * guarantee that any shared run of WinnowK+WinnowW-1 tokens yields at
+    * least one shared fingerprint (Schleimer/Wilkerson/Aiken, MOSS). */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Fingerprints live in 40 bits and positions in 20, so the combined
+    * selection key h·2^20 + (2^20-1-pos) fits a long: minimizing it picks
+    * the smallest hash and, on ties, the RIGHTMOST position — robust
+    * winnowing's tie rule — in one integer min both engines agree on. */
+  val WinnowFpMod = 1099511627776L // 2^40
+  val WinnowPosMod = 1048576L      // 2^20
+
+  /** Selected fingerprints per document. One hash exchange on doc_id
+    * serves both window passes (min and frame-count share the frame);
+    * text never shuffles — gram hashes reduce to longs at the scan. Docs
+    * shorter than WinnowK+WinnowW-1 tokens have no full window and emit
+    * nothing (the standard winnowing domain). */
+  def winnow(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = expr(
+      s"CASE WHEN size(split(text, ' ')) >= $WinnowK THEN " +
+        s"transform(sequence(1, size(split(text, ' ')) - ${WinnowK - 1}), " +
+        s"i -> array_join(slice(split(text, ' '), i, $WinnowK), ' ')) " +
+        s"ELSE slice(split(text, ' '), 1, 0) END")
+    val keyed = documents(spark, d)
+      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        (Hashing.hexHash(col("col")) % WinnowFpMod).as("h40"))
+      .select(col("doc_id"), col("pos"),
+        (col("h40") * WinnowPosMod + (lit(WinnowPosMod - 1) - col("pos"))).as("k"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowW - 1)
+    keyed
+      .select(col("doc_id"), min(col("k")).over(w).as("mk"),
+        count(lit(1)).over(w).as("nwin"))
+      .where(col("nwin") === WinnowW)
+      .select(col("doc_id"),
+        (lit(WinnowPosMod - 1) - col("mk") % WinnowPosMod).as("fpos"),
+        expr(s"mk div $WinnowPosMod").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fpos", "fp")
+  }
+
+  private val winnowChainSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), posu AS (
+       |  SELECT doc_id, t,
+       |         unnest(generate_series(1, len(t) - ${WinnowK - 1})) AS pos
+       |  FROM toks
+       |), keyed AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         (${Hashing.hexHashSql(s"array_to_string(t[pos:pos + ${WinnowK - 1}], ' ')")}
+       |          % $WinnowFpMod) * $WinnowPosMod
+       |           + ($WinnowPosMod - 1 - pos) AS k
+       |  FROM posu
+       |), wmin AS (
+       |  SELECT doc_id,
+       |         min(k) OVER fw AS mk,
+       |         count(*) OVER fw AS nwin
+       |  FROM keyed
+       |  WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |), sel AS (
+       |  SELECT DISTINCT doc_id,
+       |         $WinnowPosMod - 1 - (mk % $WinnowPosMod) AS fpos,
+       |         mk // $WinnowPosMod AS fp
+       |  FROM wmin WHERE nwin = $WinnowW
+       |)""".stripMargin
+
+  val winnowSql: String =
+    s"""WITH $winnowChainSql
+       |SELECT doc_id, fpos, fp FROM sel ORDER BY doc_id, fpos, fp""".stripMargin
+
+  /** Stop-fingerprint cap: a fingerprint present in more than DfCap docs is
+    * boilerplate and generates O(df²) pairs — dropped BEFORE the pair join,
+    * the same guard every LSH family here uses. Deterministic, mirrored in
+    * the oracle. */
+  val WinnowDfCap = 50
+
+  /** Pairs at or above this many shared distinct fingerprints. */
+  val WinnowMinShared = 3
+
+  /** MOSS-style overlap pairs: documents sharing ≥ WinnowMinShared distinct
+    * winnowing fingerprints. Candidates meet only inside a fingerprint
+    * posting (bounded by WinnowDfCap) — never a cross product; the join
+    * carries (doc_id, fp) longs only. */
+  def winnowPairs(spark: SparkSession, d: String): DataFrame = {
+    val sel = winnow(spark, d).select(col("doc_id"), col("fp")).distinct()
+    val keep = sel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= WinnowDfCap)
+      .select("fp")
+    val posting = sel.join(keep, Seq("fp"))
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowChainSql,
+       |dfp AS (
+       |  SELECT DISTINCT doc_id, fp FROM sel
+       |), keep AS (
+       |  SELECT fp FROM dfp GROUP BY fp
+       |  HAVING count(*) BETWEEN 2 AND $WinnowDfCap
+       |), posting AS (
+       |  SELECT dfp.doc_id, dfp.fp FROM dfp JOIN keep ON dfp.fp = keep.fp
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS shared
+       |FROM posting a JOIN posting b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow"        -> ((s, d) => winnow(s, d)),
+    "q_winnow_pairs"  -> ((s, d) => winnowPairs(s, d)),
     "q_dup_ngrams"    -> ((s, d) => dupNgrams(s, d)),
     "q_dup_spans"     -> ((s, d) => dupSpans(s, d)),
     "q_span_cut"      -> ((s, d) => spanCut(s, d)),
@@ -1066,6 +1192,8 @@ object Dedup {
     "q_dup_clusters"  -> ((s, d) => dupClusters(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_winnow"        -> winnowSql,
+    "q_winnow_pairs"  -> winnowPairsSql,
     "q_dup_ngrams"    -> dupNgramsSql,
     "q_dup_spans"     -> dupSpansSql,
     "q_span_cut"      -> spanCutSql,

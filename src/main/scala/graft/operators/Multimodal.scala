@@ -197,6 +197,132 @@ object Multimodal {
        |             + doc_id) % 256 AS BIGINT) AS v
        |FROM gxy""".stripMargin
 
+  // ---- perceptual hash + image near-dup ------------------------------------
+
+  /** aHash grid side: PhashN² sample cells → one bit each. */
+  val PhashN = 6
+  /** Hamming radius for "near-duplicate image". */
+  val HamMax = 3
+  /** Band layout for the LSH-style blocking: HamMax+1 bands guarantee (by
+    * pigeonhole) that any pair within HamMax shares at least one intact
+    * band — blocking is COMPLETE, not approximate. */
+  val PhashBands = HamMax + 1
+  val PhashBandBits = 9 // PhashN² = 36 bits / 4 bands
+
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
+    * raster: decimate to a PhashN×PhashN grid (same nearest-neighbor
+    * kernel as [[resizeBatch]]), then bit b = 1 iff cell b is strictly
+    * above the grid mean — compared in exact integers (N²·v > Σv), so no
+    * float mean can straddle engines. Map-only like every decode stage;
+    * the payload never shuffles, only the 8-byte hash does. */
+  def phashBatch(batch: Seq[MediaRecord]): Seq[PHashRow] =
+    batch.map { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable payload for doc ${r.doc_id}")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val n = PhashN * PhashN
+      val cells = new Array[Long](n)
+      var total = 0L
+      var ty = 0
+      while (ty < PhashN) {
+        var tx = 0
+        while (tx < PhashN) {
+          val v = raster.getSample(tx * w / PhashN, ty * h / PhashN, 0).toLong
+          cells(ty * PhashN + tx) = v
+          total += v
+          tx += 1
+        }
+        ty += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < n) {
+        if (cells(b) * n > total) hash |= 1L << b
+        b += 1
+      }
+      PHashRow(r.doc_id, hash)
+    }
+
+  private def phashDf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(phashBatch)).toDF()
+  }
+
+  def phash(spark: SparkSession, d: String): DataFrame =
+    phashDf(spark, d).orderBy("doc_id")
+
+  /** The formula-side recomputation of the aHash — shared by both image
+    * oracles. The Spark side hashes pixels the CODEC produced, so a
+    * one-pixel drift anywhere in the encode→decode→decimate chain flips a
+    * bit and fails the hash compare. */
+  private val phashCteSql: String =
+    s"""dims AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+       |         CAST((doc_id * 7) % 24 + 8 AS BIGINT) AS h
+       |  FROM documents
+       |), gy AS (
+       |  SELECT doc_id, w, h, unnest(range(0, $PhashN)) AS ty FROM dims
+       |), gxy AS (
+       |  SELECT doc_id, w, h, ty, unnest(range(0, $PhashN)) AS tx FROM gy
+       |), cells AS (
+       |  SELECT doc_id, ty, tx,
+       |         (3 * ((tx * w) // $PhashN) + 7 * ((ty * h) // $PhashN)
+       |          + doc_id) % 256 AS v
+       |  FROM gxy
+       |), tot AS (
+       |  SELECT doc_id, sum(v) AS total FROM cells GROUP BY doc_id
+       |), ph AS (
+       |  SELECT c.doc_id,
+       |         CAST(sum(CASE WHEN ${PhashN * PhashN} * c.v > t.total
+       |                       THEN (1::BIGINT) << CAST(c.ty * $PhashN + c.tx AS INT)
+       |                       ELSE 0 END) AS BIGINT) AS phash
+       |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+       |)""".stripMargin
+
+  val phashSql: String =
+    s"""WITH $phashCteSql
+       |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin
+
+  /** Image near-dup pairs: Hamming(phash) ≤ HamMax, found by banded
+    * blocking — each 36-bit hash splits into PhashBands bands; candidates
+    * only ever meet inside a (band, value) bucket (never a cross product),
+    * and the pigeonhole bound makes the blocking exact. The verify step is
+    * one xor+popcount per candidate. The oracle is the brute-force
+    * all-pairs scan — tractable for DuckDB at oracle scale, which is
+    * exactly why the Spark side must NOT be written that way. */
+  def imgDedup(spark: SparkSession, d: String): DataFrame = {
+    val bands = phashDf(spark, d)
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
+      .withColumn("bval",
+        expr(s"shiftright(phash, cast($PhashBandBits * b as int)) % ${1 << PhashBandBits}"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("pa ^ pb")).cast("long").as("hamming"))
+      .where(col("hamming") <= HamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val imgDedupSql: String =
+    s"""WITH $phashCteSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val FrameStep = 5
 
   /** Frame sampling — the video-shaped access pattern: every `FrameStep`-th
@@ -231,10 +357,14 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, d) => features(s, d)),
     "q_img_resize"          -> ((s, d) => thumbnails(s, d)),
+    "q_img_phash"           -> ((s, d) => phash(s, d)),
+    "q_img_dedup"           -> ((s, d) => imgDedup(s, d)),
     "q_frame_sample"        -> ((s, d) => frameSample(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
     "q_img_resize"          -> thumbnailsSql,
+    "q_img_phash"           -> phashSql,
+    "q_img_dedup"           -> imgDedupSql,
     "q_frame_sample"        -> frameSampleSql)
 }

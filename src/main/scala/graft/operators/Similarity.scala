@@ -1001,7 +1001,72 @@ object Similarity {
     s"SELECT vec_id,\n$comps\nFROM embeddings\nORDER BY vec_id"
   }
 
+  // ---- hybrid-retrieval reciprocal-rank fusion -------------------------------
+
+  val RrfK = 60
+  val RrfN = 50
+  val RrfOut = 20
+
+  /** Reciprocal-rank fusion of a lexical ranking (BM25 over documents) and
+    * a semantic ranking (exact cosine vs the query vector) — the standard
+    * hybrid-retrieval combiner: score = Σ 1/(RrfK + rank) over the lists
+    * the id appears in. The testdata aligns vec_id with doc_id, so the two
+    * lists fuse on one id space.
+    *
+    * Scale: each list is produced by its own scale-correct path (BM25 =
+    * broadcast corpus stats over the scan; cosine = broadcast query +
+    * TakeOrderedAndProject partial top-k), cut to a CONSTANT RrfN rows
+    * before any ranking window runs — the global row_number only ever sees
+    * 50 rows, and the fusion join is constant-size. Ranks are total-ordered
+    * (score desc, id) so ties are deterministic; the fused score is one
+    * two-term double sum in fixed order, then 1e-9-floor-quantized. */
+  def rrfFusion(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25(spark, d)
+      .orderBy(col("bm25_q").desc, col("doc_id")).limit(RrfN)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25_q").desc, col("doc_id")))
+          .cast("long").as("ra"))
+    val sem = cosineTopK(spark, d, 0L, RrfN)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("rb"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("ra"), col("rb"),
+        floor((coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0))) * lit(1e9))
+          .as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(RrfOut)
+  }
+
+  def rrfFusionSql: String = {
+    val cos = cosineSql("CAST(e.embedding AS DOUBLE[])", "CAST(q.embedding AS DOUBLE[])")
+    s"""WITH lex_full AS (
+       |${TextAnalysis.bm25Sql}
+       |), lexr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS ra
+       |  FROM lex_full QUALIFY ra <= $RrfN
+       |), semr AS (
+       |  SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rb
+       |  FROM (SELECT e.vec_id, $cos AS cos_sim
+       |        FROM embeddings e,
+       |             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |        WHERE e.vec_id <> 0)
+       |  QUALIFY rb <= $RrfN
+       |)
+       |SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+       |       CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb,
+       |       CAST(floor((COALESCE(1.0 / ($RrfK + ra), 0.0)
+       |                   + COALESCE(1.0 / ($RrfK + rb), 0.0)) * 1e9) AS BIGINT)
+       |         AS rrf_q
+       |FROM lexr FULL JOIN semr ON lexr.doc_id = semr.doc_id
+       |ORDER BY rrf_q DESC, doc_id LIMIT $RrfOut""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf"        -> ((s, d) => rrfFusion(s, d)),
     "q_rp_project" -> ((s, d) => rpProject(s, d)),
     "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "q_embed_quant" -> ((s, d) => embedQuant(s, d)),
@@ -1021,6 +1086,7 @@ object Similarity {
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_rrf"        -> rrfFusionSql,
     "q_rp_project" -> rpProjectSql,
     "q_knn_classify" -> knnClassifySql,
     "q_embed_quant" -> embedQuantSql,

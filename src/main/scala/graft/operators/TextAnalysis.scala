@@ -99,6 +99,72 @@ object TextAnalysis {
       |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
       |FROM documents""".stripMargin
 
+  // ---- Gopher-style quality-rule filter -------------------------------------
+
+  /** Rule-based document filter in the Gopher/C4 style: each rule is one
+    * bit of a reasons bitmask, `keep` = all rules pass — the curation shape
+    * where dropped docs stay auditable by failure reason. Every rule is
+    * EXACT integer arithmetic (ratios compare cross-multiplied, never as
+    * floats), so the bitmask is hash-stable across engines.
+    *
+    * Rules (bounds picked to discriminate on this corpus; the operator
+    * shape — thresholded per-doc scalars ANDed into a mask — is the
+    * general one):
+    *   bit 0  word count in [25, 90]
+    *   bit 1  mean word length in [4, 5]        (4·wc ≤ Σlen ≤ 5·wc)
+    *   bit 2  distinct-word ratio ≥ 0.4         (5·distinct ≥ 2·wc)
+    *   bit 3  ≥ 2 stopword types present ('the', 'a')
+    *
+    * Scale: map-only over the scan — one projection, no shuffle, no UDF;
+    * everything codegens. */
+  def gopherFilter(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val wc = size(t).cast("long")
+    val sumLen = (length(col("text")) - size(t) + 1).cast("long")
+    val dw = size(array_distinct(t)).cast("long")
+    val stops = (when(array_contains(t, "the"), 1L).otherwise(0L) +
+      when(array_contains(t, "a"), 1L).otherwise(0L))
+    val r0 = wc >= 25 && wc <= 90
+    val r1 = sumLen >= wc * 4 && sumLen <= wc * 5
+    val r2 = dw * 5 >= wc * 2
+    val r3 = stops >= 2L
+    val flags = when(r0, 1L).otherwise(0L) + when(r1, 2L).otherwise(0L) +
+      when(r2, 4L).otherwise(0L) + when(r3, 8L).otherwise(0L)
+    documents(spark, d).select(
+      col("doc_id"), wc.as("wc"), flags.as("flags"),
+      when(r0 && r1 && r2 && r3, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val gopherFilterSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+      |         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+      |           AS sumlen,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dw,
+      |         (CASE WHEN list_contains(string_split(text, ' '), 'the')
+      |               THEN 1 ELSE 0 END
+      |          + CASE WHEN list_contains(string_split(text, ' '), 'a')
+      |                 THEN 1 ELSE 0 END) AS stops
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, wc,
+      |         (wc >= 25 AND wc <= 90) AS r0,
+      |         (sumlen >= wc * 4 AND sumlen <= wc * 5) AS r1,
+      |         (dw * 5 >= wc * 2) AS r2,
+      |         (stops >= 2) AS r3
+      |  FROM m
+      |)
+      |SELECT doc_id, wc,
+      |       CAST(CASE WHEN r0 THEN 1 ELSE 0 END
+      |            + CASE WHEN r1 THEN 2 ELSE 0 END
+      |            + CASE WHEN r2 THEN 4 ELSE 0 END
+      |            + CASE WHEN r3 THEN 8 ELSE 0 END AS BIGINT) AS flags,
+      |       CAST(CASE WHEN r0 AND r1 AND r2 AND r3 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- language identification ---------------------------------------------
 
   /** Stopword-set language ID. Marker hits per language, argmax with a fixed
@@ -1352,6 +1418,7 @@ object TextAnalysis {
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)),
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
+    "q_gopher_filter"    -> ((s, d) => gopherFilter(s, d)),
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
@@ -1447,6 +1514,7 @@ object TextAnalysis {
     "q_pii_scrub"     -> piiScrubSql,
     "q_token_count"   -> tokenCountSql,
     "q_feature_hash"  -> featureHashSql,
+    "q_gopher_filter" -> gopherFilterSql,
     "q_text_quality"  -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,

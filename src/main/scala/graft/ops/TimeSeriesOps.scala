@@ -784,7 +784,80 @@ object TimeSeriesOps {
       |                   * sx) / n * 100.0) AS BIGINT) END AS icept_q
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---- CUSUM drift detection -----------------------------------------------
+
+  /** Two-sided CUSUM change detection on daily event counts per type.
+    * The textbook recursion S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)) is not
+    * window-expressible directly, but its closed form is: with cum_t the
+    * prefix sum of deviations, S⁺_t = cum_t − min(0, min_{j≤t} cum_j) and
+    * S⁻_t = max(0, max_{j≤t} cum_j) − cum_t — two running extrema over ONE
+    * sorted pass. Deviations are kept exact by scaling through the day
+    * count: y_t = D·x_t − total (so μ = total/D never becomes a float);
+    * the drift flag compares 2·S > D·total… reduced to S > total/2 in
+    * cross-multiplied integers. One hash agg to days, one window exchange
+    * on event_type — nothing wider than (type, day) ever shuffles, and the
+    * three window functions share a single sort. */
+  def cusum(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("d"))
+    val y = daily.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("total"),
+        (col("d") * col("n") - col("total")).as("yv"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = y.select(col("event_type"), col("day"), col("n"), col("total"),
+      sum(col("yv")).over(w).as("cum"))
+    val s = c.select(col("event_type"), col("day"), col("n"), col("total"),
+      min(col("cum")).over(w).as("runmin"),
+      max(col("cum")).over(w).as("runmax"), col("cum"))
+    s.select(col("event_type"), col("day"),
+        col("n").cast("long").as("n"),
+        (col("cum") - least(lit(0L), col("runmin"))).as("s_pos"),
+        (greatest(lit(0L), col("runmax")) - col("cum")).as("s_neg"),
+        when((col("cum") - least(lit(0L), col("runmin"))) * 2 > col("total") ||
+          (greatest(lit(0L), col("runmax")) - col("cum")) * 2 > col("total"),
+          1L).otherwise(0L).as("drift"))
+      .orderBy("event_type", "day")
+  }
+
+  val cusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, sum(n) AS total, count(*) AS d FROM daily GROUP BY 1
+      |), y AS (
+      |  SELECT daily.event_type, day, n, total, d * n - total AS yv
+      |  FROM daily JOIN tot ON daily.event_type = tot.event_type
+      |), c AS (
+      |  SELECT event_type, day, n, total,
+      |         sum(yv) OVER (PARTITION BY event_type ORDER BY day
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum
+      |  FROM y
+      |), s AS (
+      |  SELECT event_type, day, n, total, cum,
+      |         min(cum) OVER (PARTITION BY event_type ORDER BY day
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS runmin,
+      |         max(cum) OVER (PARTITION BY event_type ORDER BY day
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS runmax
+      |  FROM c
+      |)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |       CAST(cum - least(0, runmin) AS BIGINT) AS s_pos,
+      |       CAST(greatest(0, runmax) - cum AS BIGINT) AS s_neg,
+      |       CAST(CASE WHEN (cum - least(0, runmin)) * 2 > total
+      |                   OR (greatest(0, runmax) - cum) * 2 > total
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS drift
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (cusum _),
     "q_ols" -> (olsTrend _),
     "q_event_paths" -> (eventPaths _),
     "q_rolling_median" -> (rollingMedian _),
@@ -802,6 +875,7 @@ object TimeSeriesOps {
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_cusum" -> cusumSql,
     "q_ols" -> olsTrendSql,
     "q_event_paths" -> eventPathsSql,
     "q_rolling_median" -> rollingMedianSql,
