@@ -115,10 +115,7 @@ object Probe {
           case Some(p) => spark.conf.set(providerKey, p)
           case None    => spark.conf.unset(providerKey)
         }
-        def src() = spark.readStream
-          .schema(streaming.EventStream.rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src() = streaming.EventStream.srcEvents(spark, d)
         val views = src().where(col("event_type") === "view")
           .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
           .withWatermark("view_ts", "1 day")

@@ -20,17 +20,26 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame     = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame     = table(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long
-    * (legacy conf) and convert to a microsecond TimestampType column —
-    * integral `div` so no double round-trip ever touches the 1.7e18 nanos
-    * values (> 2^53). DuckDB's `CAST(ts AS TIMESTAMP)` truncates ns→µs the
-    * same way, so oracles stay aligned.
+  /** events.ts has shipped in two parquet flavors: legacy TIMESTAMP(NANOS)
+    * — which Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless
+    * read as a raw nanos long under the legacy conf — and standard
+    * TIMESTAMP(MICROS). Normalize both to a microsecond TimestampType
+    * column. The nanos branch uses integral `div` so no double round-trip
+    * ever touches the 1.7e18 nanos values (> 2^53); DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncates ns→µs the same way, so oracles stay
+    * aligned on either flavor.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ flavor; session TZ is UTC, so the cast is exact
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

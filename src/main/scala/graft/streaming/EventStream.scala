@@ -31,13 +31,72 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Raw on-disk schema of events.parquet with ts as the nanos LONG (the
-    * parquet TIMESTAMP(NANOS) workaround — see [[graft.Tables.events]]);
-    * shared by every streaming query below. */
+  /** Canonical raw layout for every staged micro-batch file below: ts as an
+    * epoch-NANOS long. The source table has shipped in two parquet flavors —
+    * legacy TIMESTAMP(NANOS), which Spark's reader only accepts as a raw
+    * long under `nanosAsLong`, and standard TIMESTAMP(MICROS). [[rawEvents]]
+    * normalizes both to this layout, so the staged-file readers and their
+    * `timestamp_micros(ts div 1000)` conversion are flavor-independent. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The on-disk type of `sfDir/events.parquet`'s ts column: LongType for
+    * the legacy TIMESTAMP(NANOS) flavor (surfaced as a raw long under the
+    * nanosAsLong conf), TimestampType / TimestampNTZType for the standard
+    * micros flavors. One footer read, no data scan. */
+  private def sourceTsType(spark: SparkSession, sfDir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+  }
+
+  /** Batch read of `sfDir/events.parquet` normalized to [[rawSchema]]
+    * (ts = epoch nanos long) whichever timestamp flavor is on disk.
+    * Integral arithmetic only — nanos values (~1.7e18) exceed 2^53, so a
+    * double round-trip would corrupt them. The NTZ flavor casts through
+    * TimestampType first; the session TZ is UTC, so the cast is exact. */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    if (df.schema("ts").dataType == LongType) df
+    else df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      .select(rawSchema.map(f => col(f.name)): _*)
+  }
+
+  /** File-stream read of `sfDir/events.parquet` (the direct-source drives)
+    * with ts normalized to TimestampType(µs) whichever flavor is on disk.
+    * Streams need the schema up front, so the flavor is sniffed from the
+    * footer via [[sourceTsType]] before the stream starts. */
+  def srcEvents(spark: SparkSession, sfDir: String): DataFrame =
+    sourceTsType(spark, sfDir) match {
+      case LongType =>
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case onDisk =>
+        val schema = StructType(rawSchema.map(f =>
+          if (f.name == "ts") StructField("ts", onDisk) else f))
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** Write `df` (rawSchema layout) as a single parquet file at `dst` via a
+    * scratch dir — the staging primitive for the multi-micro-batch drives.
+    * Staging always goes through [[rawEvents]]' normalized layout, so a
+    * staged dir never mixes timestamp flavors whatever the source ships. */
+  def stageOne(df: DataFrame, scratch: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val listing = java.nio.file.Files.list(scratch)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst()
+      finally listing.close()
+    part.ifPresent(p => java.nio.file.Files.move(p, dst))
+  }
 
   /** Tumbling 5-minute windows per event type with a 10-minute watermark:
     * late data beyond the watermark is dropped, state is bounded. */
@@ -139,8 +198,7 @@ object EventStream {
     */
   def streamingTws(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_tws")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
@@ -235,8 +293,7 @@ object EventStream {
     */
   def streamingTwsInit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val toEvent = (df: DataFrame) => df
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -373,8 +430,7 @@ object EventStream {
     */
   def streamingTwsTimer(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val sentinel = spark.createDataFrame(
@@ -469,18 +525,13 @@ object EventStream {
     * incremental plan produces the batch answer (the streaming/batch parity
     * Spark's model promises).
     *
-    * events.ts is parquet TIMESTAMP(NANOS): the stream reads it as a raw
-    * long (same nanosAsLong path as [[graft.Tables.events]]) and converts
-    * to µs — streaming sources require an explicit schema anyway.
+    * The stream reads the source file directly via [[srcEvents]], which
+    * sniffs the on-disk timestamp flavor and hands back ts as a real
+    * timestamp — streaming sources require an explicit schema anyway.
     */
   def streamingDailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema)
-      // file streams take a directory; glob down to the one events file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = srcEvents(spark, sfDir)
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -510,11 +561,7 @@ object EventStream {
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = srcEvents(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     // NoTimeout: the synchronous one-batch drive never fires timers, so each
@@ -539,8 +586,7 @@ object EventStream {
     * production a watermark bounds it — omitted here so the two-batch
     * drive exercises pure Update semantics. */
   def streamingUpdateAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_upd")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
@@ -622,10 +668,9 @@ object EventStream {
     * (whole-day truncation of the global max ts, minus 7 days).
     */
   def streamingLateData(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // pinned: the raw table feeds four derived frames (max-ts agg + three
     // batch filters) — a lazy plan would rescan the parquet for each
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .localCheckpoint()
 
     // cutoff = UTC-midnight of the global max ts, minus 7 days (in ns, on
@@ -734,8 +779,7 @@ object EventStream {
     * the explicit long schema plus nanosAsLong reads both that and the
     * TIMESTAMP(NANOS) original uniformly. */
   def streamingSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val sentinel = spark.createDataFrame(
@@ -746,8 +790,7 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sw")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val dst0 = inDir.resolve("batch0.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst0)
+    stageOne(raw, root.resolve("stage0"), dst0)
     val stage = root.resolve("stage")
     sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val listing = java.nio.file.Files.list(stage)
@@ -808,8 +851,7 @@ object EventStream {
     * sentinel's own windows sit above the final watermark, so it never
     * reaches the sink. */
   def streamingRewindow(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val sentinel = spark.createDataFrame(
@@ -820,8 +862,7 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_rw")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val dst0 = inDir.resolve("batch0.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst0)
+    stageOne(raw, root.resolve("stage0"), dst0)
     val stage = root.resolve("stage")
     sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val listing = java.nio.file.Files.list(stage)
@@ -873,11 +914,7 @@ object EventStream {
     * batch keeps it deterministic; the oracle is the equivalent batch join.
     */
   def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = srcEvents(spark, sfDir)
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val enriched = stream.join(broadcast(dim), Seq("user_id"))
@@ -913,11 +950,7 @@ object EventStream {
     * passes — unnecessary here).
     */
   def streamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src() = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = srcEvents(spark, sfDir)
     val views = src().where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 day")
@@ -971,10 +1004,9 @@ object EventStream {
     * recent-odd; old odds contribute nothing.
     */
   def streamingJoinLate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // two consumers only (max-ts agg + ONE staged write): a re-scan of the
     // pushdown-pruned parquet beats materializing a checkpoint here
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .where(col("event_type").isin("view", "purchase"))
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
@@ -1082,11 +1114,7 @@ object EventStream {
     * inner / left outer / full outer / left semi.
     */
   def streamingSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src() = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = srcEvents(spark, sfDir)
     val purchases = src().where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 day")
@@ -1131,7 +1159,7 @@ object EventStream {
     * shape a production pipeline actually deploys (join + agg state both
     * watermark-bounded; two keyed state stores, one per operator).
     *
-    * Drive: batch0 = the raw events file verbatim; batch1 = one far-future
+    * Drive: batch0 = the whole events table in one staged file; batch1 = one far-future
     * two-sided sentinel pair (the global watermark is the MIN over both
     * sides' trackers), 2 h apart so the pair cannot join; the trailing
     * no-data micro-batch applies the sentinel-advanced watermark, which —
@@ -1141,8 +1169,7 @@ object EventStream {
     * shared oracle now also proves in-stream window finalization.
     */
   def streamingJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .where(col("event_type").isin("view", "purchase"))
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
@@ -1155,8 +1182,7 @@ object EventStream {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
     val b0 = inDir.resolve("batch0.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
+    stageOne(raw, root.resolve("stage0"), b0)
     stamp(b0, 0)
     val sentinel = spark.createDataFrame(
       java.util.Arrays.asList(
@@ -1226,13 +1252,12 @@ object EventStream {
     * table, both read in one micro-batch, and the stream must collapse
     * them. The rolled-up output equals the batch distinct — the oracle. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    // two identical copies → every event_id arrives exactly twice; the
-    // copies are filesystem clones of the source file (no Spark rewrite)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+    // two identical copies → every event_id arrives exactly twice; stage
+    // the normalized layout once, clone the staged file for the second copy
+    stageOne(rawEvents(spark, sfDir), root.resolve("stage0"),
       root.resolve("copy0.parquet"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+    java.nio.file.Files.copy(root.resolve("copy0.parquet"),
       root.resolve("copy1.parquet"))
     // dedup is the ONLY stateful operator in the stream (Append emits each
     // key on first sight); the rollup runs batch-side from the sink table —
@@ -1275,8 +1300,7 @@ object EventStream {
     * first file or losing the offset — every count below would double or
     * halve and the batch oracle would catch it. */
   def streamingRestart(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft_stream_restart")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
@@ -1349,8 +1373,7 @@ object EventStream {
     * on fire), none missing (every timer eventually passes). */
   def streamingTimeoutSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val sentinel = spark.createDataFrame(
@@ -1432,8 +1455,7 @@ object EventStream {
     * (dropDuplicates on the key) guards against duplicate keys WITHIN one
     * arriving batch, matching MERGE's one-source-row-per-key contract. */
   def streamingForeachMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft_stream_merge")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
@@ -1499,12 +1521,11 @@ object EventStream {
     * batch writes its own files — no MERGE discipline needed for
     * insert-only enrichment). */
   def streamingAsOfEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files.createTempDirectory("graft_stream_asof")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val outDir = root.resolve("out").toString
     // stage the raw file twice, split by event_id parity → 2 micro-batches
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .localCheckpoint()
     def land(df: DataFrame, name: String, mtime: Long): Unit = {
       val stage = root.resolve(s"stage_$name")
@@ -1600,8 +1621,7 @@ object EventStream {
     * oracle is the plain relational LEFT JOIN rollup: n_rows counts views
     * (+1 per extra match), n_matched counts non-null partners. */
   def streamingOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .where(col("event_type").isin("view", "purchase"))
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
@@ -1627,13 +1647,11 @@ object EventStream {
         stamp(dst, b)
       }
     }
-    // batch0 is the source file VERBATIM — a filesystem copy, not a Spark
-    // rewrite (the type filter runs stream-side); saves the single-threaded
-    // coalesce(1) rewrite of the whole fact file at bench scale
+    // batch0 = the whole normalized events table in one staged file (the
+    // type filter runs stream-side)
     def landCopy(b: Int): Unit = {
       val dst = inDir.resolve(s"batch$b.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+      stageOne(raw, root.resolve(s"stage_copy$b"), dst)
       stamp(dst, b)
     }
     // one view AND one purchase per sentinel batch: the global watermark is
@@ -1698,7 +1716,7 @@ object EventStream {
     * (inner / left outer / full outer): BOTH sides' unmatched rows flush
     * null-padded when the watermark passes their state — unmatched views
     * AND unmatched purchases, where [[streamingOuterJoin]] only preserves
-    * views. Same staged drive (batch0 = the raw file verbatim, three
+    * views. Same staged drive (batch0 = the whole table in one staged file, three
     * two-sided sentinel batches walking the watermark forward — the
     * global watermark is the MIN over both sides, so each sentinel batch
     * carries both event types); same time-bounded equi-join, so state
@@ -1706,8 +1724,7 @@ object EventStream {
     * view-only / purchase-only; the oracle is the relational FULL JOIN
     * under the identical time band. */
   def streamingFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
       .where(col("event_type").isin("view", "purchase"))
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
@@ -1735,8 +1752,7 @@ object EventStream {
     }
     def landCopy(b: Int): Unit = {
       val dst = inDir.resolve(s"batch$b.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+      stageOne(raw, root.resolve(s"stage_copy$b"), dst)
       stamp(dst, b)
     }
     def sentinel(b: Int): DataFrame =
@@ -1832,8 +1848,7 @@ object EventStream {
     * lag by DIFFERENT batch counts, which SPARK-40925 rules out. The
     * oracle is therefore the pure distinct: every event exactly once. */
   def streamingDedupWithinWm(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
     val dayNs = 86400L * 1000000000L
     val d0Ns = (maxNs / dayNs) * dayNs
@@ -1864,9 +1879,9 @@ object EventStream {
         9000001L, d0Ns + 10L * dayNs, -1L, "view", 0.0,
         null.asInstanceOf[String])),
       rawSchema)
-    // batch0 = the source file verbatim (filesystem copy, no Spark rewrite)
+    // batch0 = the whole normalized events table in one staged file
     val b0 = inDir.resolve("batch0.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
+    stageOne(raw, root.resolve("stage0"), b0)
     stamp(b0, 0)
     land(sentinel, 1)
     land(raw.where(col("ts") >= recentNs), 2)
