@@ -1501,7 +1501,309 @@ object RelationalOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // === Derived TPC-H extension schema ======================================
+  // The synthetic testdata carries no partsupp table and no l_shipmode /
+  // l_receiptdate / l_commitdate lineitem columns, which blocked TPC-H
+  // Q2/Q9/Q11/Q12/Q16. Derive them DETERMINISTICALLY from the tables it does
+  // carry with pure integer arithmetic, restated verbatim in each oracle's
+  // SQL — both engines compute the identical extension, so the hash gate
+  // still proves the query semantics end to end. At cluster scale the
+  // derivations are map-only over dimension tables (partsupp = 4 rows per
+  // part) or fused into the lineitem scan (the three derived columns) —
+  // they add no shuffle of their own.
+
+  /** partsupp: 4 suppliers per part, keys/quantities/costs hash-derived.
+    * ps_suppkey spreads over the whole supplier table modulo its size (the
+    * size arrives as a broadcast 1-row aggregate, never a driver collect);
+    * ps_supplycost_cents is an exact integer so every downstream aggregate
+    * stays bit-exact across engines. */
+  def partsuppDf(spark: SparkSession, d: String): DataFrame = {
+    val sCnt = broadcast(supplier(spark, d).agg(count(lit(1)).as("s_cnt")))
+    part(spark, d).select(col("p_partkey"))
+      .crossJoin(sCnt)
+      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") + col("i") * 13L, col("s_cnt")).as("ps_suppkey"),
+        (pmod(col("p_partkey") * 7L + col("i") * 11L, lit(9999L)) + 1L)
+          .cast("int").as("ps_availqty"),
+        (pmod(col("p_partkey") * 31L + col("i") * 17L, lit(100000L)) + 1L)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** The partsupp derivation as a SQL CTE body (DuckDB oracle side). */
+  val partsuppSqlCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + g.i * 13) % (SELECT count(*) FROM supplier)
+      |           AS ps_suppkey,
+      |         CAST((p_partkey * 7 + g.i * 11) % 9999 + 1 AS INTEGER)
+      |           AS ps_availqty,
+      |         (p_partkey * 31 + g.i * 17) % 100000 + 1 AS ps_supplycost_cents
+      |  FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i))""".stripMargin
+
+  private val shipModes =
+    Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+
+  /** lineitem extended with derived l_shipmode / l_receiptdate /
+    * l_commitdate — all arithmetic on (l_orderkey, l_linenumber), so the
+    * columns are a projection fused into the scan (no join, no shuffle). */
+  def lineitemExt(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .withColumn("l_shipmode",
+        element_at(array(shipModes.map(lit): _*),
+          (pmod(col("l_orderkey") * 7L + col("l_linenumber"), lit(7L)) + 1L)
+            .cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(to_date(col("l_shipdate")),
+          (pmod(col("l_orderkey") + col("l_linenumber"), lit(30L)) + 1L)
+            .cast("int")))
+      .withColumn("l_commitdate",
+        date_add(to_date(col("l_shipdate")),
+          (pmod(col("l_orderkey") * 3L + col("l_linenumber"), lit(61L)) - 30L)
+            .cast("int")))
+
+  /** The lineitem extension as a SQL CTE body (DuckDB oracle side). */
+  val lineitemExtSqlCte: String =
+    """lineitem_ext AS (
+      |  SELECT l.*,
+      |         list_extract(['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'],
+      |           CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INTEGER))
+      |           AS l_shipmode,
+      |         CAST(l_shipdate AS DATE)
+      |           + CAST((l_orderkey + l_linenumber) % 30 + 1 AS INTEGER)
+      |           AS l_receiptdate,
+      |         CAST(l_shipdate AS DATE)
+      |           + CAST((l_orderkey * 3 + l_linenumber) % 61 - 30 AS INTEGER)
+      |           AS l_commitdate
+      |  FROM lineitem l)""".stripMargin
+
+  // --- TPC-H Q2: minimum-cost supplier per part in a region -----------------
+  // The classic decorrelation: the spec's correlated MIN subquery becomes a
+  // grouped MIN over the region-filtered partsupp joined back on
+  // (part, min-cost) equality. All dims broadcast; the only shuffle is the
+  // dimension-scale partsupp groupBy — nothing fact-sized moves. Exact
+  // integer cents make the MIN-equality tie rule identical in both engines.
+  def sqlQ2(spark: SparkSession, d: String): DataFrame = {
+    val euroNations = nation(spark, d)
+      .join(broadcast(region(spark, d).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val euroSupp = supplier(spark, d)
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val psEuro = partsuppDf(spark, d)
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = psEuro.groupBy(col("ps_partkey"))
+      .agg(min(col("ps_supplycost_cents")).as("min_cents"))
+    val p = part(spark, d)
+      .where(col("p_type") === "LARGE" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"))
+    psEuro.join(minCost, Seq("ps_partkey"))
+      .where(col("ps_supplycost_cents") === col("min_cents"))
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"),
+        (col("ps_supplycost_cents").cast("double") / 100.0).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  val sqlQ2Sql: String =
+    s"""WITH $partsuppSqlCte,
+      |euro AS (
+      |  SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+      |         s_name, s_acctbal, n_name
+      |  FROM partsupp
+      |  JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |mincost AS (
+      |  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+      |  FROM euro GROUP BY ps_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |       ps_supplycost_cents / 100.0 AS ps_supplycost
+      |FROM euro
+      |JOIN mincost USING (ps_partkey)
+      |JOIN part ON p_partkey = ps_partkey
+      |WHERE ps_supplycost_cents = min_cents
+      |  AND p_type = 'LARGE' AND p_size <= 25
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  // --- TPC-H Q9: product-type profit by nation and year ---------------------
+  // The biggest remaining join tree: lineitem ⋈ part(filtered, broadcast)
+  // ⋈ partsupp (composite key; dimension-scale, AQE broadcasts it)
+  // ⋈ supplier→nation (broadcast) ⋈ orders (the one fact-fact shuffle, on
+  // l_orderkey). Profit units are 10^-4 dollars in pure long arithmetic:
+  // price·(100−disc) − cost_cents·100·qty, summed exactly.
+  def sqlQ9(spark: SparkSession, d: String): DataFrame = {
+    val pRed = part(spark, d).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
+    val sn = supplier(spark, d)
+      .join(broadcast(nation(spark, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amountUnits =
+      Money.cents(col("l_extendedprice")) *
+        (lit(100L) - Money.cents(col("l_discount"))) -
+        col("ps_supplycost_cents") * lit(100L) * col("l_quantity").cast("long")
+    lineitem(spark, d)
+      .join(broadcast(pRed), col("l_partkey") === col("p_partkey"))
+      .join(partsuppDf(spark, d),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(Money.exactUnitSum(amountUnits, 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val sqlQ9Sql: String = {
+    val amount = s"${Money.centsSql("l_extendedprice")} * " +
+      s"(100 - ${Money.centsSql("l_discount")}) - " +
+      "ps_supplycost_cents * 100 * CAST(l_quantity AS BIGINT)"
+    s"""WITH $partsuppSqlCte
+      |SELECT n_name AS nation,
+      |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |       ${Money.exactUnitSumSql(amount, 4)} AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+  }
+
+  // --- TPC-H Q11: important stock in a nation group -------------------------
+  // Grouped value per part vs a scalar global threshold: the total arrives
+  // as a broadcast 1-row aggregate (Spark) / scalar subquery (DuckDB), and
+  // the HAVING compares exact integer units cross-multiplied
+  // (part_units · 2000 > total_units) — no fp fraction on either side.
+  def sqlQ11(spark: SparkSession, d: String): DataFrame = {
+    val nationNames =
+      Seq("NATION_1", "NATION_7", "NATION_13", "NATION_19")
+    val supp = supplier(spark, d)
+      .join(broadcast(nation(spark, d)
+          .where(col("n_name").isin(nationNames: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val byPart = partsuppDf(spark, d)
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty").cast("long"))
+        .as("part_units"))
+    val total = broadcast(byPart.agg(sum(col("part_units")).as("total_units")))
+    byPart.crossJoin(total)
+      .where(col("part_units") * 2000L > col("total_units"))
+      .select(col("ps_partkey"),
+        (col("part_units").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  val sqlQ11Sql: String =
+    s"""WITH $partsuppSqlCte,
+      |nat_ps AS (
+      |  SELECT ps_partkey,
+      |         ps_supplycost_cents * CAST(ps_availqty AS BIGINT) AS row_units
+      |  FROM partsupp
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_13', 'NATION_19')),
+      |by_part AS (
+      |  SELECT ps_partkey, CAST(sum(row_units) AS BIGINT) AS part_units
+      |  FROM nat_ps GROUP BY ps_partkey)
+      |SELECT ps_partkey, CAST(part_units AS DOUBLE) / 100.0 AS value
+      |FROM by_part
+      |WHERE part_units * 2000 >
+      |  (SELECT CAST(sum(part_units) AS BIGINT) FROM by_part)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  // --- TPC-H Q12: shipping modes and order priority -------------------------
+  // The derived-column trio in action: mode/receipt/commit are computed in
+  // the lineitem scan, the three date predicates prune before the single
+  // orders⋈lineitem shuffle, and the priority split is a conditional count.
+  def sqlQ12(spark: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitemExt(spark, d)
+      .where(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        to_date(col("l_shipdate")) < col("l_commitdate") &&
+        col("l_receiptdate") >= lit("1997-01-01").cast("date") &&
+        col("l_receiptdate") < lit("1998-01-01").cast("date"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+  }
+
+  val sqlQ12Sql: String =
+    s"""WITH $lineitemExtSqlCte
+      |SELECT l_shipmode,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem_ext
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipmode IN ('MAIL', 'SHIP')
+      |  AND l_commitdate < l_receiptdate
+      |  AND CAST(l_shipdate AS DATE) < l_commitdate
+      |  AND l_receiptdate >= DATE '1997-01-01'
+      |  AND l_receiptdate < DATE '1998-01-01'
+      |GROUP BY l_shipmode
+      |ORDER BY l_shipmode""".stripMargin
+
+  // --- TPC-H Q16: parts/supplier relationship -------------------------------
+  // count(DISTINCT supplier) per part attribute group, minus an excluded
+  // supplier set (the spec's complaints LIKE; the synthetic supplier table
+  // has no comment column, so the stand-in predicate s_suppkey % 13 = 0 is
+  // derived — same exclusion both engines). Anti-join broadcasts the tiny
+  // excluded set; the distinct-count shuffles only partsupp.
+  def sqlQ16(spark: SparkSession, d: String): DataFrame = {
+    val complaints = supplier(spark, d)
+      .where(pmod(col("s_suppkey"), lit(13L)) === 0L)
+      .select(col("s_suppkey"))
+    val p = part(spark, d)
+      .where(col("p_brand") =!= "Brand#3" && col("p_type") =!= "SMALL" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partsuppDf(spark, d)
+      .join(broadcast(complaints), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val sqlQ16Sql: String =
+    s"""WITH $partsuppSqlCte
+      |SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM partsupp
+      |JOIN part ON ps_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type <> 'SMALL'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND ps_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q2"          -> (sqlQ2 _),
+    "q_sql_q9"          -> (sqlQ9 _),
+    "q_sql_q11"         -> (sqlQ11 _),
+    "q_sql_q12"         -> (sqlQ12 _),
+    "q_sql_q16"         -> (sqlQ16 _),
     "q_sql_create_func"   -> (sqlCreateFunc _),
     "q_sql_table_func"    -> (sqlTableFunc _),
     "q_sql_group_all"     -> (sqlGroupAll _),
@@ -1554,6 +1856,11 @@ object RelationalOps {
     "q_nested_proj"     -> (nestedProj _))
 
   def oracles: Map[String, String] = Map(
+    "q_sql_q2"            -> sqlQ2Sql,
+    "q_sql_q9"            -> sqlQ9Sql,
+    "q_sql_q11"           -> sqlQ11Sql,
+    "q_sql_q12"           -> sqlQ12Sql,
+    "q_sql_q16"           -> sqlQ16Sql,
     "q_sql_create_func"   -> sqlCreateFuncSql,
     "q_sql_table_func"    -> sqlTableFuncSql,
     "q_sql_group_all"     -> sqlGroupAllSql,
