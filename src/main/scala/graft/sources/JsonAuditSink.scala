@@ -41,16 +41,183 @@ class JsonAuditSink extends TableProvider {
     new AuditTable(properties.get("path"), schema)
 }
 
-final class AuditTable(path: String, writeSchema: StructType)
-    extends Table with SupportsWrite {
+final class AuditTable(path: String, writeSchema: StructType,
+    pinnedVersion: Option[Long] = None)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+    Set(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema())
+
+  /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
+    * `_EPOCHS` manifest the streaming two-phase commit publishes is a
+    * version log, so `option("versionAsOf", e)` reconstructs the table as
+    * of epoch `e` — only part files of manifest-listed epochs ≤ e are
+    * planned. Without the option the scan reads everything committed
+    * (batch `_MANIFEST` files + all epochs). Listing is manifest-driven,
+    * never a blind directory glob: a reader can never observe a staged or
+    * uncommitted file, completing the lakehouse loop the two-phase commit
+    * started. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
+    () => new AuditScan(path, writeSchema, version)
+  }
+}
+
+/** Manifest-driven scan: one InputPartition per committed file. */
+final class AuditScan(path: String, schema: StructType, versionAsOf: Option[Long])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    val epochsFile = dir.resolve("_EPOCHS")
+    val epochRe = """\{"epoch":(-?\d+),.*""".r
+    val committedEpochs: Set[Long] =
+      if (java.nio.file.Files.exists(epochsFile))
+        java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
+          case epochRe(e) => e.toLong
+        }.toSet
+      else Set.empty
+    val wanted = versionAsOf match {
+      case Some(v) => committedEpochs.filter(_ <= v)
+      case None    => committedEpochs
+    }
+    val partRe = """part-e(-?\d+)-\d+\.jsonl""".r
+    val epochFiles: Seq[String] =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val listing = java.nio.file.Files.list(dir)
+        try listing.iterator().asScala.map(_.getFileName.toString).filter {
+          case partRe(e) => wanted.contains(e.toLong)
+          case _         => false
+        }.toSeq.sorted
+        finally listing.close()
+      } else Seq.empty
+    // batch-committed files come from _MANIFEST (not a directory glob);
+    // they carry no epoch, so they only appear in the un-pinned read
+    val manifestFile = dir.resolve("_MANIFEST")
+    val fileRe = """\{"file":"([^"]+)",.*""".r
+    val batchFiles: Seq[String] =
+      if (versionAsOf.isEmpty && java.nio.file.Files.exists(manifestFile))
+        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
+          case fileRe(f) => f
+        }.toSeq
+      else Seq.empty
+    (batchFiles ++ epochFiles)
+      .map(f => AuditFilePartition(dir.resolve(f).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditReaderFactory(schema)
+}
+
+final case class AuditFilePartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+final class AuditReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[AuditFilePartition].file
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val lines = java.nio.file.Files.lines(
+        java.nio.file.Paths.get(file), java.nio.charset.StandardCharsets.UTF_8)
+      private val it = lines.iterator()
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = AuditJson.parseLine(it.next(), schema); true }
+        else false
+      override def get(): InternalRow = row
+      override def close(): Unit = lines.close()
+    }
+  }
+}
+
+/** Minimal parser for the sink's OWN jsonl output — fields arrive in
+  * schema order with the writer's restricted type set (long/int/double/
+  * boolean/string/timestamp-as-µs-long), so this is a linear scan, not a
+  * general JSON parser. Timestamps parse straight into the long micros
+  * InternalRow representation. */
+private[sources] object AuditJson {
+  def parseLine(line: String, schema: StructType): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 0 // char cursor
+    def expect(c: Char): Unit = {
+      require(i < line.length && line.charAt(i) == c,
+        s"audit jsonl: expected '$c' at $i in $line")
+      i += 1
+    }
+    expect('{')
+    var f = 0
+    while (f < schema.length) {
+      if (f > 0) expect(',')
+      expect('"')
+      val nameEnd = line.indexOf('"', i)
+      require(line.substring(i, nameEnd) == schema(f).name,
+        s"audit jsonl: field ${schema(f).name} out of order in $line")
+      i = nameEnd + 1
+      expect(':')
+      if (line.startsWith("null", i)) { vals(f) = null; i += 4 }
+      else schema(f).dataType match {
+        case StringType =>
+          expect('"')
+          val sb = new java.lang.StringBuilder
+          var done = false
+          while (!done) {
+            line.charAt(i) match {
+              case '"'  => done = true; i += 1
+              case '\\' =>
+                line.charAt(i + 1) match {
+                  case '\\' => sb.append('\\'); i += 2
+                  case '"'  => sb.append('"'); i += 2
+                  case 'n'  => sb.append('\n'); i += 2
+                  case 'r'  => sb.append('\r'); i += 2
+                  case 't'  => sb.append('\t'); i += 2
+                  case 'u'  =>
+                    sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+                    i += 6
+                  case other => throw new IllegalArgumentException(
+                    s"audit jsonl: unknown escape \\$other")
+                }
+              case c => sb.append(c); i += 1
+            }
+          }
+          vals(f) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        case BooleanType =>
+          if (line.startsWith("true", i)) { vals(f) = true; i += 4 }
+          else { vals(f) = false; i += 5 }
+        case dt =>
+          val end0 = line.indexWhere(c => c == ',' || c == '}', i)
+          val end = if (end0 < 0) line.length else end0
+          val tok = line.substring(i, end)
+          vals(f) = dt match {
+            case LongType | TimestampType | TimestampNTZType => tok.toLong
+            case IntegerType => tok.toInt
+            case DoubleType  => tok.toDouble
+            case other => throw new UnsupportedOperationException(
+              s"graft-audit-sink read: unsupported column type $other")
+          }
+          i = end
+      }
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
 }
 
 final class AuditWriteBuilder(path: String, schema: StructType)
@@ -148,6 +315,7 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging")
+    val manifestFile = dir.resolve("_MANIFEST")
     if (truncateFirst && java.nio.file.Files.isDirectory(dir)) {
       val listing = java.nio.file.Files.list(dir)
       try listing.iterator().asScala
@@ -155,18 +323,30 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
         .foreach(java.nio.file.Files.delete)
       finally listing.close()
     }
+    // append commits extend the manifest (and number files after the
+    // already-committed set) instead of clobbering it — a second INSERT
+    // INTO must neither collide on part names nor orphan the first commit
+    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+    val prior: Seq[(String, Long)] =
+      if (!truncateFirst && java.nio.file.Files.exists(manifestFile))
+        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
+          case fileRe(f, r) => (f, r.toLong)
+        }.toSeq
+      else Seq.empty
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .sortBy(_.stagedName)
+    val start = prior.size
     entries.zipWithIndex.foreach { case (m, i) =>
       java.nio.file.Files.move(stage.resolve(m.stagedName),
-        dir.resolve(f"part-$i%05d.jsonl"),
+        dir.resolve(f"part-${start + i}%05d.jsonl"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    val manifest = entries.zipWithIndex.map { case (m, i) =>
-      f"""{"file":"part-$i%05d.jsonl","rows":${m.rows}%d}"""
+    val all = prior ++ entries.zipWithIndex.map { case (m, i) =>
+      (f"part-${start + i}%05d.jsonl", m.rows)
     }
-    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
-      (Seq(s"""{"files":${entries.size},"rows":${entries.map(_.rows).sum}}""") ++
+    val manifest = all.map { case (f, r) => s"""{"file":"$f","rows":$r}""" }
+    java.nio.file.Files.write(manifestFile,
+      (Seq(s"""{"files":${all.size},"rows":${all.map(_._2).sum}}""") ++
         manifest).mkString("\n").getBytes("UTF-8"))
     deleteRecursively(stage)
   }

@@ -266,23 +266,87 @@ final class PagedAggReaderFactory(aggs: Seq[PagedAgg], lo: Long, hi: Long)
 final class PagedScan(pages: Int, pageSize: Int, required: StructType,
     lo: Long, hi: Long, pagesPerTrigger: Int = Int.MaxValue,
     perPartitionCap: Long = Long.MaxValue)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Pages admitted by a runtime (DPP) id filter; None = no runtime filter
+    * arrived. Page-level pruning is best-effort — kept pages still emit
+    * every row in [lo, hi) and the join above re-evaluates the condition,
+    * so a coarse prune can never change answers. */
+  private var runtimePages: Option[Set[Int]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedScan pages=$pages pageSize=$pageSize idRange=[$lo,$hi) " +
-      s"cap=$perPartitionCap cols=${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
+      s"cap=$perPartitionCap cols=${required.fieldNames.mkString(",")}" +
+      runtimePages.map(s => s" runtimePages=${s.size}").getOrElse("")
+
+  private def survivingPages: Seq[Int] =
     (0 until pages).filter { p =>
       val first = p.toLong * pageSize
-      first < hi && (first + pageSize) > lo // page overlaps [lo, hi)
-    }.map(p => PagePartition(p, pageSize): InputPartition).toArray
+      first < hi && (first + pageSize) > lo && // page overlaps [lo, hi)
+        runtimePages.forall(_.contains(p))
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivingPages.map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required.fieldNames, lo, hi, perPartitionCap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(pages, pageSize, pagesPerTrigger,
       required.fieldNames)
+
+  /** POST-pushdown statistics: row count over the pruned id range (capped
+    * by a pushed limit), byte size from the pruned column widths. This is
+    * what makes join strategy follow reality — a narrow pushed slice of
+    * the catalog reports a few KB and gets BROADCAST; an unfiltered scan
+    * reports its true size and shuffles. Without it, DSv2 relations fall
+    * back to defaultSizeInBytes (= "huge"), and every join against the
+    * source becomes a sort-merge at 100 TB whether it needs to or not. */
+  override def estimateStatistics(): Statistics = {
+    val rangeRows = survivingPages.map { p =>
+      val first = math.max(p.toLong * pageSize, lo)
+      val last = math.min((p.toLong + 1L) * pageSize, hi)
+      math.min(math.max(0L, last - first), perPartitionCap)
+    }.sum
+    val rowWidth = required.fields.map(_.dataType.defaultSize).sum.max(8)
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(rangeRows * rowWidth)
+      override def numRows: java.util.OptionalLong =
+        java.util.OptionalLong.of(rangeRows)
+    }
+  }
+
+  /** Runtime filtering (dynamic "partition" pruning for the paged layout):
+    * ids are contiguous per page, so a runtime IN/EQ set from a selective
+    * broadcast join maps each value to page(value / pageSize) and the scan
+    * drops every page outside that set AT EXECUTION TIME — the DSv2 lever
+    * that matters most at 100 TB, where the selective dim arrives only
+    * after the build side runs. Non-id predicates are ignored (best-effort
+    * contract). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def toPage(v: Any): Option[Int] = v match {
+      case l: Long              => Some((l / pageSize).toInt)
+      case l: java.lang.Long    => Some((l.longValue / pageSize).toInt)
+      case i: java.lang.Integer => Some((i.longValue / pageSize).toInt)
+      case _                    => None
+    }
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("id", vs) =>
+        val pagesHit = vs.toSeq.flatMap(toPage)
+        if (pagesHit.length == vs.length) // only prune on a fully-understood set
+          runtimePages = Some(pagesHit.toSet)
+      case org.apache.spark.sql.sources.EqualTo("id", v) =>
+        toPage(v).foreach(p => runtimePages = Some(Set(p)))
+      case _ => () // best-effort: unknown runtime predicates prune nothing
+    }
+  }
 }
 
 /** Offset = number of pages fully consumed (exclusive upper page). */
@@ -510,14 +574,108 @@ object PagedApi {
       |ORDER BY id LIMIT 700""".stripMargin
   }
 
+  /** Selective-dim join against the source — the runtime-filtering (DPP)
+    * path: the 12-id dim broadcasts, and [[PagedScan.filter]] maps the ids
+    * to pages so only those pages are generated at execution (spec-audited;
+    * the join re-evaluates the condition, so pruning is answer-invariant —
+    * which is exactly what this oracle hash-checks). */
+  def sourceV2Dpp(spark: SparkSession, d: String): DataFrame = {
+    val fact = spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+    val dim = spark.range(0, 12).toDF("k")
+      .select((col("k") * 4801L + 997L).as("id"))
+      .where(col("id") >= 0L)
+    fact.join(broadcast(dim), Seq("id"))
+      .select(col("id"), col("track_id"), col("duration_ms"))
+      .orderBy(col("id"))
+  }
+
+  val sourceV2DppSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |),
+      |dim AS (SELECT CAST(t.r AS BIGINT) * 4801 + 997 AS id FROM range(12) t(r))
+      |SELECT s.id, s.track_id, s.duration_ms
+      |FROM src s JOIN dim d ON s.id = d.id
+      |ORDER BY s.id""".stripMargin
+  }
+
+  /** TIME TRAVEL over the audit sink's epoch manifests, end to end: the
+    * paged source streams 7 pages per trigger into [[JsonAuditSink]] (six
+    * two-phase-committed epochs), then `versionAsOf = 2` reconstructs the
+    * table as of the THIRD epoch — exactly pages [0, 21), ids < 31500 —
+    * and rolls it up. Deterministic because offsets (not wall clock) bound
+    * each epoch, so the oracle rebuilds the same prefix from range().
+    * Covers source offsets → sink epochs → versioned read in ONE query. */
+  def sourceV2TimeTravel(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_travel")
+    val out = root.resolve("tbl").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .option("pagesPerTrigger", "7")
+      .load()
+      .select(col("id"), col("track_id"), col("duration_ms"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("track_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_ms",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).option("versionAsOf", "2").load()
+      .groupBy(col("track_id"))
+      .agg(count(lit(1)).as("n_plays"), sum(col("duration_ms")).as("total_ms"))
+      .orderBy(col("track_id"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val sourceV2TimeTravelSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT track_id, count(*) AS n_plays,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms
+      |FROM src
+      |WHERE id < ${3 * 7 * PageSize}
+      |GROUP BY track_id
+      |ORDER BY track_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
+    "q_source_v2_dpp" -> (sourceV2Dpp _),
+    "q_audit_travel" -> (sourceV2TimeTravel _),
     "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
     "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_topn" -> sourceV2TopNSql,
+    "q_source_v2_dpp" -> sourceV2DppSql,
+    "q_audit_travel" -> sourceV2TimeTravelSql,
     "q_source_v2_stream" -> sourceV2StreamSql)
 }

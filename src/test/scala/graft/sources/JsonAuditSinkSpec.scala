@@ -174,4 +174,63 @@ class JsonAuditSinkSpec extends SparkSpec {
     val left = try staged.count() finally staged.close()
     assert(left === 0L)
   }
+
+  test("versionAsOf reconstructs each epoch prefix byte-exact") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_travel_ckpt")
+    // 4 epochs of 100 ids each: page counter = offset = version log
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load()
+      .select(col("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def readVersion(v: Option[Int]) = {
+      val r = spark.read.schema(schema).format(classOf[JsonAuditSink].getName)
+        .option("path", out.toString)
+      v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+    }
+    (0 to 3).foreach { v =>
+      val ids = readVersion(Some(v)).collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === (0L until (v + 1L) * 100L),
+        s"versionAsOf=$v must be exactly the first ${v + 1} epochs")
+    }
+    // a version beyond the log = the full table; no option = everything
+    assert(readVersion(Some(99)).count() === 400L)
+    assert(readVersion(None).count() === 400L)
+    // pinned reads are manifest-driven: an uncommitted straggler in the
+    // directory must stay invisible
+    java.nio.file.Files.write(out.resolve("part-e9-00000.jsonl"),
+      "{\"id\":9999}\n".getBytes("UTF-8"))
+    assert(readVersion(None).count() === 400L,
+      "a part file with no _EPOCHS entry must not be read")
+  }
+
+  test("string/boolean/double columns survive the versioned read round trip") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    val src = spark.range(0, 50).toDF("id")
+      .withColumn("label", concat(lit("v\"x\n"), col("id").cast("string")))
+      .withColumn("score", col("id").cast("double") / 7.0)
+      .withColumn("flag", col("id") % 2 === 0)
+    src.write.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val back = spark.read.schema(schema).format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).load()
+    assert(back.count() === 50L)
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    val want = src.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
 }

@@ -197,4 +197,65 @@ class PagedSourceSpec extends SparkSpec {
       assert(title === s"trk_$tid")
     }
   }
+
+  test("runtime In/EqualTo filters map ids to pages; unknown predicates prune nothing") {
+    val scan = new PagedScanBuilder(4, 100).build().asInstanceOf[PagedScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 250L))))
+    assert(scan.planInputPartitions().map(
+      _.asInstanceOf[PagePartition].page).toSet === Set(0, 2))
+    val eq = new PagedScanBuilder(4, 100).build().asInstanceOf[PagedScan]
+    eq.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 399L)))
+    assert(eq.planInputPartitions().map(
+      _.asInstanceOf[PagePartition].page).toSeq === Seq(3))
+    // best-effort: a predicate the source can't map must not prune
+    val noop = new PagedScanBuilder(4, 100).build().asInstanceOf[PagedScan]
+    noop.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringStartsWith("title", "t")))
+    assert(noop.planInputPartitions().length === 4)
+    // a partially-understood In set must not prune either
+    val mixed = new PagedScanBuilder(4, 100).build().asInstanceOf[PagedScan]
+    mixed.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, "x"))))
+    assert(mixed.planInputPartitions().length === 4)
+  }
+
+  test("a selective broadcast join plants a runtime filter in the scan (DPP at execution)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = read(40, 100) // ids 0..3999 over 40 pages
+      val dim = spark.range(0, 3).toDF("k")
+        .select((col("k") * 1000L).as("id")) // ids 0,1000,2000 → 3 pages
+        .where(col("id") >= 0L) // the selective predicate that licenses DPP
+      val joined = fact.join(dim, "id")
+      val expected = Seq(0L, 1000L, 2000L).map(PagedSource.durationMs).sum
+      assert(joined.agg(sum(col("duration_ms"))).head.getLong(0) === expected)
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.runtimeFilters.nonEmpty),
+        "expected a dynamicpruning runtime filter on the paged scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("estimateStatistics tracks the pruned range and flips the join strategy") {
+    val b = new PagedScanBuilder(40, 100)
+    b.pushFilters(Array(GreaterThanOrEqual("id", 150L), LessThan("id", 250L)))
+    val stats = b.build().asInstanceOf[PagedScan].estimateStatistics()
+    assert(stats.numRows.getAsLong === 100L)
+    val full = new PagedScanBuilder(40, 100).build().asInstanceOf[PagedScan]
+    assert(full.estimateStatistics().numRows.getAsLong === 4000L)
+    // CBO-visible size: a narrow pushed slice broadcasts against a big scan;
+    // the same join with the unfiltered scan stays shuffle-based
+    val big = read(4000, 100) // 400k rows × 44 B ≈ 17 MB > the 10 MB bar
+    val slice = read(4000, 100).where(col("id") >= 0L && col("id") < 1000L)
+    val bcPlan = big.join(slice, "id").queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"))
+    val smPlan = big.join(read(4000, 100), "id")
+      .queryExecution.executedPlan.toString
+    assert(!smPlan.contains("BroadcastHashJoin"))
+  }
 }
