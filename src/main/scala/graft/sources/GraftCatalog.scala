@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableCatalog` exposing the engine's custom connectors as
+  * SQL-managed tables:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  *   CREATE TABLE graft.db.plays USING paged OPTIONS (pages '4', pageSize '100')
+  *   CREATE TABLE graft.db.log (id BIGINT, msg STRING) USING audit
+  *   INSERT INTO graft.db.log SELECT ...
+  *   SELECT * FROM graft.db.log
+  *   SELECT * FROM graft.db.log VERSION AS OF 2   -- epoch time travel
+  *   DROP TABLE graft.db.log
+  * }}}
+  *
+  * Metadata is one JSON file per table under `<warehouse>/_catalog/`
+  * (schema via StructType.json — the public round-trip encoding), data
+  * under `<warehouse>/<ns>/<table>/` with the audit sink's manifest-driven
+  * two-phase commit. `loadTable(ident, version)` pins an [[AuditTable]] to
+  * an epoch, which is what makes SQL `VERSION AS OF` resolve through the
+  * `_EPOCHS` log. The catalog itself holds no state beyond the files: a
+  * second session (or a 1000-executor cluster sharing the warehouse path)
+  * sees the same tables.
+  *
+  * Reference scope: the reference manages its warehouse tables by name
+  * through an external metastore (spark_jobs/playback_pipeline_curated.py:
+  * 211-215, BigQuery table ids); this is that surface rebuilt on Spark's
+  * own catalog plugin API, zero external services.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
+    warehouse = java.nio.file.Paths.get(wh)
+    java.nio.file.Files.createDirectories(warehouse.resolve("_catalog"))
+  }
+
+  override def name(): String = catalogName
+
+  private def metaFile(ident: Identifier): java.nio.file.Path =
+    warehouse.resolve("_catalog")
+      .resolve((ident.namespace() :+ ident.name()).mkString(".") + ".json")
+
+  private def dataDir(ident: Identifier): java.nio.file.Path =
+    ident.namespace().foldLeft(warehouse)(_.resolve(_)).resolve(ident.name())
+
+  // --- TableCatalog --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.mkString(".") + (if (namespace.nonEmpty) "." else "")
+    val listing = java.nio.file.Files.list(warehouse.resolve("_catalog"))
+    try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".json") && f.startsWith(prefix) &&
+        !f.stripPrefix(prefix).stripSuffix(".json").contains("."))
+      .map(f => Identifier.of(namespace, f.stripPrefix(prefix).stripSuffix(".json")))
+      .toArray
+    finally listing.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(metaFile(ident))
+
+  override def loadTable(ident: Identifier): Table = loadTable(ident, None)
+
+  /** SQL `VERSION AS OF v` arrives here; only audit (epoch-logged) tables
+    * support it. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident, Some(version.toLong))
+
+  private def loadTable(ident: Identifier, version: Option[Long]): Table = {
+    val f = metaFile(ident)
+    if (!java.nio.file.Files.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    val provider = """"provider":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("audit")
+    val schemaJson = meta.substring(meta.indexOf("\"schema\":") + 9,
+      meta.lastIndexOf('}')) // schema object runs to the outer closing brace
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    def prop(k: String): Option[String] =
+      ("\"prop_" + k + """":"([^"]+)"""").r.findFirstMatchIn(meta).map(_.group(1))
+    provider match {
+      case "paged" =>
+        require(version.isEmpty, "paged tables carry no version log")
+        new PagedTable(prop("pages").map(_.toInt).getOrElse(1),
+          prop("pagesize").map(_.toInt).getOrElse(100))
+      case "audit" | "" =>
+        new AuditTable(dataDir(ident).toString, schema, version)
+      case other =>
+        throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty, "graft catalog: partitioned tables unsupported")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .getOrElse("audit").toLowerCase
+    require(provider == "audit" || provider == "paged",
+      s"graft catalog supports USING audit|paged, got $provider")
+    // OPTIONS may arrive both bare and under the option. prefix — normalize
+    // every form to prop_<lowercased-key> and dedup
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    val props = properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        s""""prop_${k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase}":"$v""""
+      case (k, v) if !reserved.contains(k) =>
+        s""""prop_${k.toLowerCase}":"$v""""
+    }.distinct
+    val effectiveSchema =
+      if (provider == "paged") PagedSource.schema else schema
+    val meta = (Seq(s""""provider":"$provider"""") ++ props ++
+      Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
+    java.nio.file.Files.createDirectories(dataDir(ident))
+    java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER unsupported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    if (existed) {
+      java.nio.file.Files.delete(metaFile(ident))
+      val data = dataDir(ident)
+      if (java.nio.file.Files.exists(data)) {
+        val walk = java.nio.file.Files.walk(data)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog: RENAME unsupported")
+
+  // --- SupportsNamespaces (minimal single-level namespaces) ----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val listing = java.nio.file.Files.list(warehouse.resolve("_catalog"))
+    try listing.iterator().asScala
+      .map(_.getFileName.toString.stripSuffix(".json"))
+      .filter(_.contains("."))
+      .map(_.split('.').init.toArray).toSeq.distinct.toArray
+    finally listing.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length <= 1
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = () // namespaces are implicit
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE unsupported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    listTables(namespace).isEmpty || cascade && {
+      listTables(namespace).foreach(dropTable); true
+    }
+}
