@@ -76,14 +76,16 @@ final class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRea
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(pages, pageSize,
-      Option(options.get("pagesPerTrigger")).map(_.toInt).getOrElse(pages))
+      Option(options.get("pagesPerTrigger")).map(_.toInt).getOrElse(pages),
+      Option(options.get("columnar")).exists(_.toBoolean))
 }
 
 /** One pushed aggregate: op ∈ count_star|count|sum|min|max over a long
   * column of the paged schema. */
 final case class PagedAgg(op: String, column: String)
 
-final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = Int.MaxValue)
+final class PagedScanBuilder(pages: Int, pageSize: Int,
+    pagesPerTrigger: Int = Int.MaxValue, columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -184,7 +186,7 @@ final class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerTrigger: Int = I
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new PagedAggScan(pages, pageSize, aggs, lo, hi)
     case None => new PagedScan(pages, pageSize, required, lo, hi, pagesPerTrigger,
-      perPartitionCap)
+      perPartitionCap, columnar)
   }
 }
 
@@ -265,7 +267,7 @@ final class PagedAggReaderFactory(aggs: Seq[PagedAgg], lo: Long, hi: Long)
 
 final class PagedScan(pages: Int, pageSize: Int, required: StructType,
     lo: Long, hi: Long, pagesPerTrigger: Int = Int.MaxValue,
-    perPartitionCap: Long = Long.MaxValue)
+    perPartitionCap: Long = Long.MaxValue, columnar: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -292,7 +294,9 @@ final class PagedScan(pages: Int, pageSize: Int, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     survivingPages.map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required.fieldNames, lo, hi, perPartitionCap)
+    if (columnar)
+      new PagedColumnarReaderFactory(required, lo, hi, perPartitionCap)
+    else new PagedReaderFactory(required.fieldNames, lo, hi, perPartitionCap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(pages, pageSize, pagesPerTrigger,
@@ -436,6 +440,82 @@ final class PagedReaderFactory(cols: Array[String],
         new GenericInternalRow(vals)
       }
       override def close(): Unit = ()
+    }
+  }
+}
+
+/** The VECTORIZED read path: `option("columnar", "true")` swaps the
+  * row-at-a-time reader for one that fills [[org.apache.spark.sql.vectorized
+  * .ColumnarBatch]]es of [[org.apache.spark.sql.execution.vectorized
+  * .OnHeapColumnVector]]s (4096 rows per batch, the parquet reader's
+  * batch size). `BatchScanExec` sees `supportColumnarReads` and plans the
+  * scan columnar with a `ColumnarToRow` boundary — the same shape Spark's
+  * own vectorized parquet path uses, so downstream whole-stage codegen
+  * consumes batches, not rows. Both paths share the row formula and the
+  * [lo, hi)/cap enforcement; a spec pins them row-identical, and the
+  * q_source_v2 oracle stays green under either (SCALING.md records the
+  * local A/B). */
+final class PagedColumnarReaderFactory(required: StructType,
+    lo: Long, hi: Long, cap: Long) extends PartitionReaderFactory {
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  /** Row fallback (the API requires it even when columnar is supported). */
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedReaderFactory(required.fieldNames, lo, hi, cap).createReader(partition)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[ColumnarBatch] {
+      private val first = math.max(p.page.toLong * p.pageSize, lo)
+      private val last = math.min(math.min((p.page.toLong + 1L) * p.pageSize, hi),
+        if (cap == Long.MaxValue || first > Long.MaxValue - cap) Long.MaxValue
+        else first + cap)
+      private val batchSize = 4096
+      private var idx = first
+      private var batch: ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (idx >= last) false
+        else {
+          val n = math.min(batchSize.toLong, last - idx).toInt
+          val vectors = org.apache.spark.sql.execution.vectorized
+            .OnHeapColumnVector.allocateColumns(n, required)
+          var c = 0
+          while (c < required.length) {
+            val v = vectors(c)
+            required(c).name match {
+              case "id" =>
+                var i = 0; while (i < n) { v.putLong(i, idx + i); i += 1 }
+              case "track_id" =>
+                var i = 0
+                while (i < n) { v.putLong(i, PagedSource.trackId(idx + i)); i += 1 }
+              case "duration_ms" =>
+                var i = 0
+                while (i < n) { v.putLong(i, PagedSource.durationMs(idx + i)); i += 1 }
+              case "title" =>
+                var i = 0
+                while (i < n) {
+                  val b = s"trk_${PagedSource.trackId(idx + i)}"
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, b, 0, b.length)
+                  i += 1
+                }
+            }
+            c += 1
+          }
+          idx += n
+          batch = new ColumnarBatch(
+            vectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]),
+            n)
+          true
+        }
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) { batch.close(); batch = null }
     }
   }
 }

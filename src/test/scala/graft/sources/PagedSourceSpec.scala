@@ -241,6 +241,30 @@ class PagedSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("columnar read path plans ColumnarToRow and matches the row path exactly") {
+    def df(columnar: Boolean) =
+      spark.read.format(classOf[PagedSource].getName)
+        .option("pages", "4").option("pageSize", "100")
+        .option("columnar", columnar.toString)
+        .load()
+    val colDf = df(columnar = true)
+    val plan = colDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // row-identical across the whole schema, including strings
+    val a = colDf.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    val b = df(columnar = false).collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long].longValue)
+    assert(a.toSeq === b.toSeq)
+    // pushdown still composes: id slice + projection through the batch reader
+    val sliced = df(columnar = true)
+      .where(col("id") >= 150L && col("id") < 250L)
+      .select(col("id"), col("duration_ms"))
+    assert(sliced.rdd.getNumPartitions === 2)
+    assert(sliced.count() === 100L)
+    assert(sliced.agg(sum(col("duration_ms"))).head.getLong(0) ===
+      (150L until 250L).map(PagedSource.durationMs).sum)
+  }
+
   test("estimateStatistics tracks the pruned range and flips the join strategy") {
     val b = new PagedScanBuilder(40, 100)
     b.pushFilters(Array(GreaterThanOrEqual("id", 150L), LessThan("id", 250L)))
