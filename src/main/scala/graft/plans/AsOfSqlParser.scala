@@ -25,18 +25,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * equivalent ASOF JOIN natively (q_sql_asof).
   *
   * Documented subset (checked with clear errors, never silent): exactly
-  * one ASOF JOIN per statement and no other joins in the same statement;
-  * condition = N equalities AND one `l.ts >= r.ts` (or the mirrored
-  * `r.ts <= l.ts`); self-referential sides (shared attribute ids) are
-  * rejected — the DataFrame API (`NativeAsOf.asOfNative`) re-aliases and
-  * handles those. Statements without the ASOF token delegate untouched,
-  * so the parser is a zero-cost passthrough for everything else.
+  * one ASOF JOIN per statement; ordinary joins may appear alongside it,
+  * in which case the ASOF right side must be a NAMED relation or alias
+  * that appears as the right side of exactly one join (the marker that
+  * ties the rewritten token back to its Join node — ambiguity is a hard
+  * error, not a guess); condition = N equalities AND one `l.ts >= r.ts`
+  * (or the mirrored `r.ts <= l.ts`); self-referential sides (shared
+  * attribute ids) are rejected — the DataFrame API
+  * (`NativeAsOf.asOfNative`) re-aliases and handles those. Statements
+  * without the ASOF token delegate untouched, so the parser is a
+  * zero-cost passthrough for everything else.
   */
 class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val AsofLeftRe = "(?i)\\bASOF\\s+LEFT\\s+(?:OUTER\\s+)?JOIN\\b".r
   private val AsofInnerRe = "(?i)\\bASOF\\s+(?:INNER\\s+)?JOIN\\b".r
-  private val AnyJoinRe = "(?i)\\bJOIN\\b".r
+  private val AsofRightNameRe =
+    "(?i)\\bASOF\\s+(?:LEFT\\s+(?:OUTER\\s+)?|INNER\\s+)?JOIN\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val nLeft = AsofLeftRe.findAllIn(sqlText).length
@@ -46,18 +51,48 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     require(nLeft + nInner == 1,
       "graft ASOF JOIN SQL: exactly one ASOF JOIN per statement " +
         "(compose NativeAsOf.asOfNative for multi-asof plans)")
-    require(AnyJoinRe.findAllIn(sqlText).length == 1,
-      "graft ASOF JOIN SQL subset: the ASOF JOIN must be the statement's only join")
     val rewritten = AsofInnerRe.replaceAllIn(withLeft, "JOIN")
     val outer = nLeft == 1
+    val parsed = delegate.parsePlan(rewritten)
+    val joins = parsed.collect { case j: Join if j.condition.isDefined => j }
+    val target: Join =
+      if (joins.size == 1) joins.head
+      else {
+        // other joins present: the token's right-side relation name (and
+        // optional alias) identifies WHICH join the user marked ASOF
+        val m = AsofRightNameRe.findFirstMatchIn(sqlText).getOrElse(
+          throw new IllegalArgumentException(
+            "graft ASOF JOIN SQL: with other joins present the ASOF right " +
+              "side must be a named relation or alias (subqueries: alias " +
+              "them, or compose NativeAsOf.asOfNative)"))
+        // an explicit alias binds uniquely in SQL — prefer it; fall back to
+        // the relation name only when the ASOF side is unaliased
+        val alias = Option(m.group(2)).filterNot(n =>
+          n.equalsIgnoreCase("ON") || n.equalsIgnoreCase("USING"))
+        val names = alias.map(a => Set(a.toLowerCase))
+          .getOrElse(Set(m.group(1).split('.').last.toLowerCase))
+        def rightNames(p: LogicalPlan): Set[String] = p match {
+          case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, child) =>
+            Set(id.name.toLowerCase) ++ rightNames(child)
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            Set(u.multipartIdentifier.last.toLowerCase)
+          case _ => Set.empty
+        }
+        val candidates = joins.filter(j => rightNames(j.right).intersect(names).nonEmpty)
+        require(candidates.size == 1,
+          s"graft ASOF JOIN SQL: the ASOF right side '${names.mkString("/")}' must " +
+            s"identify exactly one join, matched ${candidates.size} " +
+            "(alias the ASOF side uniquely)")
+        candidates.head
+      }
     var wrapped = 0
-    val plan = delegate.parsePlan(rewritten).transformUp {
-      case j: Join if j.condition.isDefined =>
+    val plan = parsed.transformUp {
+      case j: Join if j eq target =>
         wrapped += 1
         UnresolvedAsOfJoin(j.left, j.right, j.condition.get, outer)
     }
     require(wrapped == 1,
-      s"graft ASOF JOIN SQL: expected exactly one joined pair, found $wrapped")
+      s"graft ASOF JOIN SQL: expected exactly one marked join, found $wrapped")
     plan
   }
 

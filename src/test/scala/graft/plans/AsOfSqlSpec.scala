@@ -72,18 +72,36 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("an ASOF join composes with ordinary joins in the same statement") {
+    seed()
+    // the ASOF alias `r` marks which join lowers onto the native exec; the
+    // r2 join stays a plain equi-join against the SAME table name
+    val rows = ext.sql(
+      """SELECT l.eid, r.tag, r2.tag AS tag2
+        |FROM asof_sql_l l
+        |ASOF JOIN asof_sql_r r ON l.uid = r.uid AND l.ts >= r.ts
+        |JOIN asof_sql_r r2 ON l.uid = r2.uid AND r2.ts = 150
+        |ORDER BY l.eid""".stripMargin)
+    assert(rows.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      rows.queryExecution.executedPlan.toString.take(1500))
+    assert(rows.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "b"), (2L, "b", "b"), (3L, "c", "c")))
+  }
+
   test("non-asof statements delegate untouched; subset violations error clearly") {
     seed()
     // plain SQL still parses through the delegating parser
     assert(ext.sql("SELECT count(*) FROM asof_sql_l").head.getLong(0) === 4L)
-    // a second join in the statement is out of subset
-    val twoJoins = intercept[IllegalArgumentException] {
+    // an UNALIASED asof side that can't be told apart from another join
+    // against the same table is a hard error, not a guess
+    val ambiguous = intercept[IllegalArgumentException] {
       ext.sql(
         """SELECT * FROM asof_sql_l l
-          |ASOF JOIN asof_sql_r r ON l.uid = r.uid AND l.ts >= r.ts
+          |ASOF JOIN asof_sql_r ON l.uid = asof_sql_r.uid AND l.ts >= asof_sql_r.ts
           |JOIN asof_sql_r r2 ON l.uid = r2.uid""".stripMargin)
     }
-    assert(twoJoins.getMessage.contains("only join"), twoJoins.getMessage)
+    assert(ambiguous.getMessage.contains("exactly one join"), ambiguous.getMessage)
     // a forward bound is rejected with guidance, not silently mis-planned
     val fwd = intercept[Exception] {
       ext.sql(
