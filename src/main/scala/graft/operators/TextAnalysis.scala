@@ -1241,6 +1241,53 @@ object TextAnalysis {
        |QUALIFY rank <= $BpeTopPairs
        |ORDER BY rank""".stripMargin
 
+  /** The FIXED merge table for the bounded encode step — a trained
+    * tokenizer's model artifact (3 ranked merges learned once, broadcast
+    * everywhere; merge 2 consumes merge 1's output, so the chain is a real
+    * priority-ordered BPE application, not 3 independent rewrites). */
+  val BpeMerges: Seq[(String, String)] =
+    Seq(("t a", "ta"), ("ta b", "tab"), ("a l", "al"))
+
+  /** BPE ENCODE with a fixed merge table (the bounded-merge-count variant
+    * the trainer's pair-statistics step pairs with): text collapses to its
+    * letter stream, explodes to space-separated character tokens, then the
+    * ranked merges apply in priority order as left-to-right non-overlapping
+    * rewrites. On space-separated tokens, `replace(s, "a b", "ab")` IS the
+    * published algorithm's apply step for one merge — both engines scan
+    * left to right over non-overlapping occurrences, so the semantics are
+    * identical and the whole encode is hash-checkable (the unbounded
+    * repeat-until-fixpoint loop stays out of scope — un-oracle-able).
+    * Map-only over documents: at 100 TB this is scan-speed tokenization,
+    * the merge table rides along as 3 string literals. */
+  def bpeApply(spark: SparkSession, d: String): DataFrame = {
+    val base = substring(
+      regexp_replace(lower(col("text")), "[^a-z]+", ""), 1, 80)
+    val spaced = trim(regexp_replace(base, "(.)", "$1 "))
+    val enc = BpeMerges.foldLeft(spaced) { case (c, (from, to)) =>
+      org.apache.spark.sql.functions.replace(c, lit(from), lit(to))
+    }
+    documents(spark, d)
+      .select(col("doc_id"), enc.as("enc"))
+      .select(col("doc_id"),
+        when(col("enc") === "", 0L)
+          .otherwise(size(split(col("enc"), " ")).cast("long")).as("n_tokens"),
+        substring(col("enc"), 1, 60).as("enc_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val bpeApplySql: String = {
+    val enc = BpeMerges.foldLeft(
+      """trim(regexp_replace(substr(regexp_replace(lower(text), '[^a-z]+', '', 'g'), 1, 80), '(.)', '\1 ', 'g'))""") {
+      case (s, (from, to)) => s"replace($s, '$from', '$to')"
+    }
+    s"""SELECT doc_id,
+       |       CASE WHEN enc = '' THEN 0
+       |            ELSE CAST(len(string_split(enc, ' ')) AS BIGINT) END AS n_tokens,
+       |       substr(enc, 1, 60) AS enc_prefix
+       |FROM (SELECT doc_id, $enc AS enc FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- sentence-boundary chunking -------------------------------------------
 
   val SentWidth = 6
@@ -1421,6 +1468,7 @@ object TextAnalysis {
     "q_gopher_filter"    -> ((s, d) => gopherFilter(s, d)),
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
+    "q_bpe_apply"        -> ((s, d) => bpeApply(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
@@ -1499,6 +1547,7 @@ object TextAnalysis {
     "q_chunk_gen"     -> chunkDocsSql,
     "q_sent_chunk"    -> sentenceChunksSql,
     "q_bpe_pairs"     -> bpePairsSql,
+    "q_bpe_apply"     -> bpeApplySql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
