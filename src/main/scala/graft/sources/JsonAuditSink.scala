@@ -44,7 +44,8 @@ class JsonAuditSink extends TableProvider {
 final class AuditTable(path: String, writeSchema: StructType,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
@@ -54,6 +55,20 @@ final class AuditTable(path: String, writeSchema: StructType,
       TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema())
+
+  /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
+    * catalog): copy-on-write — every committed file is rewritten without
+    * the matching rows, manifests updated in place. The rewrite covers
+    * epoch files too, so the delete is RETROACTIVE across `versionAsOf`
+    * history (a hard delete: the compliance semantics you actually want
+    * from an audit table — history must not resurrect purged rows).
+    * `canDeleteWhere` claims only predicates this table can evaluate
+    * EXACTLY (3-valued logic, null never matches); anything else is
+    * refused so Spark errors instead of a partial delete. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(AuditDelete.supported(writeSchema, _))
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    AuditDelete.deleteWhere(path, writeSchema, filters)
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -144,6 +159,132 @@ final class AuditReaderFactory(schema: StructType)
         else false
       override def get(): InternalRow = row
       override def close(): Unit = lines.close()
+    }
+  }
+}
+
+/** Copy-on-write DELETE over the committed file set. Filter evaluation is
+  * exact 3-valued logic on the writer's restricted types; the top-level
+  * filter array is a conjunction (the V2 contract). */
+private[sources] object AuditDelete {
+  import org.apache.spark.sql.sources._
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: IsNull | _: IsNotNull =>
+      f.references.length == 1 && schema.fieldNames.contains(f.references.head)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r)  => supported(schema, l) && supported(schema, r)
+    case Not(x)    => supported(schema, x)
+    case _         => false
+  }
+
+  /** SQL 3VL: None = unknown (null operand). A row is deleted only when
+    * the whole conjunction is Some(true). */
+  private def eval(f: Filter, v: String => Any): Option[Boolean] = {
+    def cmp(c: String, x: Any)(op: Int => Boolean): Option[Boolean] =
+      Option(v(c)).map {
+        case l: Long   => op(java.lang.Long.compare(l, x.asInstanceOf[Number].longValue))
+        case i: Int    => op(java.lang.Long.compare(i.toLong, x.asInstanceOf[Number].longValue))
+        case d: Double => op(java.lang.Double.compare(d, x.asInstanceOf[Number].doubleValue))
+        case b: Boolean => op(java.lang.Boolean.compare(b, x.asInstanceOf[Boolean]))
+        case s: String => op(s.compareTo(x.toString))
+        case other => throw new UnsupportedOperationException(s"delete cmp on $other")
+      }
+    f match {
+      case EqualTo(c, x)            => cmp(c, x)(_ == 0)
+      case GreaterThan(c, x)        => cmp(c, x)(_ > 0)
+      case GreaterThanOrEqual(c, x) => cmp(c, x)(_ >= 0)
+      case LessThan(c, x)           => cmp(c, x)(_ < 0)
+      case LessThanOrEqual(c, x)    => cmp(c, x)(_ <= 0)
+      case In(c, xs)                =>
+        if (v(c) == null) None
+        else Some(xs.exists(x => cmp(c, x)(_ == 0).contains(true)))
+      case IsNull(c)    => Some(v(c) == null)
+      case IsNotNull(c) => Some(v(c) != null)
+      case And(l, r) => (eval(l, v), eval(r, v)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (eval(l, v), eval(r, v)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(x) => eval(x, v).map(!_)
+      case other => throw new UnsupportedOperationException(s"delete filter $other")
+    }
+  }
+
+  def deleteWhere(path: String, schema: StructType, filters: Array[Filter]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    def keep(line: String): Boolean = {
+      val row = AuditJson.parseLine(line, schema)
+      val byName: String => Any = { name =>
+        val i = schema.fieldIndex(name)
+        if (row.isNullAt(i)) null
+        else schema(i).dataType match {
+          case org.apache.spark.sql.types.StringType => row.getUTF8String(i).toString
+          case org.apache.spark.sql.types.BooleanType => row.getBoolean(i)
+          case org.apache.spark.sql.types.DoubleType => row.getDouble(i)
+          case _ => row.getLong(i)
+        }
+      }
+      // delete iff the conjunction is definitely TRUE
+      !filters.forall(f => eval(f, byName).contains(true))
+    }
+    def rewrite(file: java.nio.file.Path): Long = {
+      val lines = java.nio.file.Files.readAllLines(file,
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+      val kept = lines.filter(keep)
+      val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        kept.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      kept.size.toLong
+    }
+    // batch manifest: rewrite files, refresh per-file counts
+    val manifestFile = dir.resolve("_MANIFEST")
+    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+    if (java.nio.file.Files.exists(manifestFile)) {
+      val entries = java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
+        case fileRe(f, _) => f
+      }.toSeq
+      val updated = entries.map(f => (f, rewrite(dir.resolve(f))))
+      java.nio.file.Files.write(manifestFile,
+        (Seq(s"""{"files":${updated.size},"rows":${updated.map(_._2).sum}}""") ++
+          updated.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
+          .mkString("\n").getBytes("UTF-8"))
+    }
+    // epoch files: rewrite, refresh per-epoch row totals in _EPOCHS
+    val epochsFile = dir.resolve("_EPOCHS")
+    val epochRe = """\{"epoch":(-?\d+),"files":(\d+),.*""".r
+    if (java.nio.file.Files.exists(epochsFile)) {
+      val partRe = """part-e(-?\d+)-\d+\.jsonl""".r
+      val byEpoch = {
+        val listing = java.nio.file.Files.list(dir)
+        try listing.iterator().asScala.map(_.getFileName.toString).collect {
+          case f @ partRe(e) => (e.toLong, f)
+        }.toSeq.groupBy(_._1)
+        finally listing.close()
+      }
+      val newLines = java.nio.file.Files.readAllLines(epochsFile).asScala.map {
+        case epochRe(e, nf) =>
+          val rows = byEpoch.getOrElse(e.toLong, Seq.empty)
+            .map { case (_, f) => rewrite(dir.resolve(f)) }.sum
+          s"""{"epoch":$e,"files":$nf,"rows":$rows}"""
+        case other => other
+      }
+      val tmp = dir.resolve("_EPOCHS.tmp")
+      java.nio.file.Files.write(tmp,
+        newLines.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, epochsFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 }

@@ -43,6 +43,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/log").exists())
   }
 
+  test("DELETE FROM is copy-on-write and retroactive across versions") {
+    init()
+    spark.sql("CREATE TABLE graft.db.del_t (id BIGINT, msg STRING) USING audit")
+    spark.sql(
+      "INSERT INTO graft.db.del_t VALUES (1, 'a'), (2, 'b'), (3, NULL), (4, 'd')")
+    // null msg must NOT match msg = 'x' (3-valued logic) — only id prunes
+    spark.sql("DELETE FROM graft.db.del_t WHERE id < 2 OR msg = 'd'")
+    val rows = spark.sql("SELECT id FROM graft.db.del_t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // manifest row counts were refreshed: a fresh read agrees
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_t").head.getLong(0) === 2L)
+    spark.sql("DROP TABLE graft.db.del_t")
+
+    // epoch-committed history: the delete rewrites every version
+    spark.sql("CREATE TABLE graft.db.del_s (id BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_del_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/del_s")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql("DELETE FROM graft.db.del_s WHERE id >= 150")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_s").head.getLong(0) === 150L)
+    // retroactive hard delete: epoch 1's history lost its purged rows too,
+    // epoch 0 (ids 0..99) is untouched
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_s VERSION AS OF 1")
+      .head.getLong(0) === 150L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_s VERSION AS OF 0")
+      .head.getLong(0) === 100L)
+    // an untranslatable predicate errors instead of partially deleting
+    intercept[Exception](spark.sql("DELETE FROM graft.db.del_s WHERE id % 2 = 0"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_s").head.getLong(0) === 150L)
+    spark.sql("DROP TABLE graft.db.del_s")
+  }
+
   test("VERSION AS OF resolves through the epoch log via the catalog") {
     init()
     spark.sql("CREATE TABLE graft.db.events_tt (id BIGINT) USING audit")
