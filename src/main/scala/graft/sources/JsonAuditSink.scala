@@ -45,14 +45,28 @@ final class AuditTable(path: String, writeSchema: StructType,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** `_epoch` metadata column: which two-phase-committed epoch a row landed
+    * in (null for batch-committed files). `SELECT *, _epoch FROM t` is the
+    * audit question this table exists to answer. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_epoch"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "streaming commit epoch this row was published in (null for batch commits)"
+    })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema())
 
@@ -83,80 +97,162 @@ final class AuditTable(path: String, writeSchema: StructType,
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
-    () => new AuditScan(path, writeSchema, version)
+    new AuditScanBuilder(path, writeSchema, version)
   }
 }
 
-/** Manifest-driven scan: one InputPartition per committed file. */
-final class AuditScan(path: String, schema: StructType, versionAsOf: Option[Long])
+/** Scan builder: required-column pruning doubles as the metadata-column
+  * hook — when Spark appends `_epoch` to the required schema, the reader
+  * fills it from the partition's epoch instead of the json payload. */
+final class AuditScanBuilder(path: String, writeSchema: StructType,
+    versionAsOf: Option[Long])
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = writeSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new AuditScan(path, writeSchema, required, versionAsOf)
+}
+
+/** Manifest-driven scan: one InputPartition per committed file. Also the
+  * STREAMING-TAIL source ([[AuditMicroBatchStream]]): the `_EPOCHS` commit
+  * log doubles as an offset log, so a downstream job can subscribe to the
+  * table and receive each committed epoch as a micro-batch — the
+  * write-side two-phase commit becomes an end-to-end exactly-once bus. */
+final class AuditScan(path: String, writeSchema: StructType,
+    required: StructType, versionAsOf: Option[Long])
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
-    val epochsFile = dir.resolve("_EPOCHS")
-    val epochRe = """\{"epoch":(-?\d+),.*""".r
-    val committedEpochs: Set[Long] =
-      if (java.nio.file.Files.exists(epochsFile))
-        java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
-          case epochRe(e) => e.toLong
-        }.toSet
-      else Set.empty
     val wanted = versionAsOf match {
-      case Some(v) => committedEpochs.filter(_ <= v)
-      case None    => committedEpochs
+      case Some(v) => AuditScan.committedEpochs(path).filter(_ <= v).toSet
+      case None    => AuditScan.committedEpochs(path).toSet
     }
-    val partRe = """part-e(-?\d+)-\d+\.jsonl""".r
-    val epochFiles: Seq[String] =
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val listing = java.nio.file.Files.list(dir)
-        try listing.iterator().asScala.map(_.getFileName.toString).filter {
-          case partRe(e) => wanted.contains(e.toLong)
-          case _         => false
-        }.toSeq.sorted
-        finally listing.close()
-      } else Seq.empty
+    val epochFiles: Seq[(String, Option[Long])] =
+      AuditScan.epochFiles(path, wanted).map { case (f, e) => (f, Some(e)) }
     // batch-committed files come from _MANIFEST (not a directory glob);
     // they carry no epoch, so they only appear in the un-pinned read
     val manifestFile = dir.resolve("_MANIFEST")
     val fileRe = """\{"file":"([^"]+)",.*""".r
-    val batchFiles: Seq[String] =
+    val batchFiles: Seq[(String, Option[Long])] =
       if (versionAsOf.isEmpty && java.nio.file.Files.exists(manifestFile))
         java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-          case fileRe(f) => f
+          case fileRe(f) => (f, None)
         }.toSeq
       else Seq.empty
-    (batchFiles ++ epochFiles)
-      .map(f => AuditFilePartition(dir.resolve(f).toString): InputPartition)
-      .toArray
+    (batchFiles ++ epochFiles).map { case (f, e) =>
+      AuditFilePartition(dir.resolve(f).toString, e): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AuditReaderFactory(schema)
+    new AuditReaderFactory(writeSchema, required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AuditMicroBatchStream(path, writeSchema, required)
 }
 
-final case class AuditFilePartition(file: String)
+private[sources] object AuditScan {
+  private val EpochRe = """\{"epoch":(-?\d+),.*""".r
+  private val PartRe = """part-e(-?\d+)-\d+\.jsonl""".r
+
+  /** Epochs recorded in `_EPOCHS`, ascending (the stream's offset axis). */
+  def committedEpochs(path: String): Seq[Long] = {
+    val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
+    if (java.nio.file.Files.exists(epochsFile))
+      java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
+        case EpochRe(e) => e.toLong
+      }.toSeq.sorted
+    else Seq.empty
+  }
+
+  /** Committed part files of the given epochs, with their epoch. */
+  def epochFiles(path: String, wanted: Set[Long]): Seq[(String, Long)] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val listing = java.nio.file.Files.list(dir)
+    try listing.iterator().asScala.map(_.getFileName.toString).collect {
+      case f @ PartRe(e) if wanted.contains(e.toLong) => (f, e.toLong)
+    }.toSeq.sortBy(_._1)
+    finally listing.close()
+  }
+}
+
+final case class AuditFilePartition(file: String, epoch: Option[Long])
     extends org.apache.spark.sql.connector.read.InputPartition
 
-final class AuditReaderFactory(schema: StructType)
+/** Tail the `_EPOCHS` commit log as a micro-batch stream: offset = number
+  * of committed epochs consumed. Epochs are immutable once committed (the
+  * writer's replay discipline rewrites, never reorders), so the offset →
+  * file mapping is stable across restarts — the standard replayable-source
+  * contract, derived entirely from the sink's own metadata. */
+final class AuditMicroBatchStream(path: String, writeSchema: StructType,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read._
+
+  private def epochs: Seq[Long] = AuditScan.committedEpochs(path)
+
+  override def initialOffset(): Offset = PagedOffset(0)
+  override def latestOffset(): Offset = PagedOffset(epochs.size)
+  override def deserializeOffset(json: String): Offset =
+    PagedOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    val slice = epochs.slice(start.asInstanceOf[PagedOffset].page,
+      end.asInstanceOf[PagedOffset].page).toSet
+    AuditScan.epochFiles(path, slice).map { case (f, e) =>
+      AuditFilePartition(dir.resolve(f).toString, Some(e)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditReaderFactory(writeSchema, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class AuditReaderFactory(writeSchema: StructType, required: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[AuditFilePartition].file
+    val p = partition.asInstanceOf[AuditFilePartition]
+    // map each required field to its write-schema index, or -1 for _epoch
+    val srcIdx = required.fields.map {
+      case f if f.name == "_epoch" => -1
+      case f => writeSchema.fieldIndex(f.name)
+    }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val lines = java.nio.file.Files.lines(
-        java.nio.file.Paths.get(file), java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
       private val it = lines.iterator()
       private var row: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { row = AuditJson.parseLine(it.next(), schema); true }
-        else false
+        if (it.hasNext) {
+          val full = AuditJson.parseLine(it.next(), writeSchema)
+          val vals = new Array[Any](srcIdx.length)
+          var i = 0
+          while (i < srcIdx.length) {
+            vals(i) =
+              if (srcIdx(i) == -1) p.epoch.map(Long.box).orNull
+              else if (full.isNullAt(srcIdx(i))) null
+              else full.get(srcIdx(i), writeSchema(srcIdx(i)).dataType)
+            i += 1
+          }
+          row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+          true
+        } else false
       override def get(): InternalRow = row
       override def close(): Unit = lines.close()
     }

@@ -102,6 +102,13 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) === 200L)
     assert(spark.sql("SELECT max(id) FROM graft.db.events_tt VERSION AS OF 0")
       .head.getLong(0) === 99L)
+    // _epoch metadata column: every row knows its commit epoch
+    val byEpoch = spark.sql(
+      """SELECT _epoch, count(*) AS n, min(id) AS lo, max(id) AS hi
+        |FROM graft.db.events_tt GROUP BY _epoch ORDER BY _epoch""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(byEpoch.toSeq === (0 to 3).map(e =>
+      (e.toLong, 100L, e * 100L, e * 100L + 99L)))
     spark.sql("DROP TABLE graft.db.events_tt")
   }
 }

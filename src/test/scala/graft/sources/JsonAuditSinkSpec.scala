@@ -212,6 +212,35 @@ class JsonAuditSinkSpec extends SparkSpec {
       "a part file with no _EPOCHS entry must not be read")
   }
 
+  test("streaming tail: the epoch log replays as micro-batches with totals intact") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tail_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try w.processAllAvailable() finally w.stop()
+    // now SUBSCRIBE to the table: the _EPOCHS log is the offset axis
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val tail = spark.readStream.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).load()
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    val q = tail.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_audit_tail").start()
+    try {
+      q.processAllAvailable()
+      val row = spark.table("graft_audit_tail").head
+      assert(row.getLong(0) === 400L)
+      assert(row.getLong(1) === (0L until 400L).sum)
+    } finally q.stop()
+  }
+
   test("string/boolean/double columns survive the versioned read round trip") {
     import org.apache.spark.sql.functions._
     val out = tempDir()
