@@ -273,6 +273,8 @@ private[sources] object AuditDelete {
     case And(l, r) => supported(schema, l) && supported(schema, r)
     case Or(l, r)  => supported(schema, l) && supported(schema, r)
     case Not(x)    => supported(schema, x)
+    // TRUNCATE TABLE / unconditional deletes arrive as AlwaysTrue
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case _         => false
   }
 
@@ -310,6 +312,8 @@ private[sources] object AuditDelete {
         case _                                 => None
       }
       case Not(x) => eval(x, v).map(!_)
+      case _: AlwaysTrue  => Some(true)
+      case _: AlwaysFalse => Some(false)
       case other => throw new UnsupportedOperationException(s"delete filter $other")
     }
   }

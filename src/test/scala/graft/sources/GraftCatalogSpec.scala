@@ -43,6 +43,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/log").exists())
   }
 
+  test("TRUNCATE TABLE and INSERT OVERWRITE reset the committed set") {
+    init()
+    spark.sql("CREATE TABLE graft.db.trunc_t (id BIGINT) USING audit")
+    spark.sql("INSERT INTO graft.db.trunc_t VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE graft.db.trunc_t")
+    assert(spark.sql("SELECT count(*) FROM graft.db.trunc_t").head.getLong(0) === 0L)
+    spark.sql("INSERT INTO graft.db.trunc_t VALUES (10), (11)")
+    spark.sql("INSERT OVERWRITE graft.db.trunc_t VALUES (7)")
+    assert(spark.sql("SELECT id FROM graft.db.trunc_t").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+    spark.sql("DROP TABLE graft.db.trunc_t")
+  }
+
   test("DELETE FROM is copy-on-write and retroactive across versions") {
     init()
     spark.sql("CREATE TABLE graft.db.del_t (id BIGINT, msg STRING) USING audit")
