@@ -46,7 +46,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
@@ -83,6 +84,20 @@ final class AuditTable(path: String, writeSchema: StructType,
     filters.forall(AuditDelete.supported(writeSchema, _))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     AuditDelete.deleteWhere(path, writeSchema, filters)
+
+  /** SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
+    * can't translate): group-based copy-on-write at TABLE granularity —
+    * the scan feeds Spark's rewrite plan the current rows, and the
+    * replacement state commits through the same two-phase truncate+publish
+    * write, so a reader never observes a half-merged table. Table-as-one-
+    * group is the honest granularity for a manifest-only format (no
+    * per-file row lineage); simple DELETEs still take the surgical
+    * metadata path above. The rewrite publishes a BATCH commit: epoch
+    * history is superseded (the `_EPOCHS` log clears on truncate). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new AuditRowLevelOperation(path, writeSchema, info.command())
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -257,6 +272,34 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
       override def close(): Unit = lines.close()
     }
   }
+}
+
+/** The row-level operation: scan current rows, write the replacement state
+  * as a truncate+publish batch commit. */
+final class AuditRowLevelOperation(path: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new AuditScanBuilder(path, schema, None)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val b = new AuditWriteBuilder(path, info.schema())
+    b.truncate()
+    b
+  }
+  /** REQUIRED: without a metadata attribute, Spark's ReplaceDataExec takes
+    * the plain writing task and hands the writer the RAW rewrite rows with
+    * `__row_operation` still prepended — the row projection is only applied
+    * by the metadata-aware task (verified against the 4.1 bytecode; it is
+    * why every real connector declares metadata attrs here). The `_epoch`
+    * column this table already exposes is the natural choice; the metadata
+    * row reaches `DataWriter.writeWithMetadata`, whose default drops it,
+    * and the data row arrives correctly projected. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_epoch"))
 }
 
 /** Copy-on-write DELETE over the committed file set. Filter evaluation is
@@ -563,6 +606,9 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
         .filter(_.getFileName.toString.endsWith(".jsonl"))
         .foreach(java.nio.file.Files.delete)
       finally listing.close()
+      // epoch part files die with the truncate — a stale epoch log would
+      // point versioned readers at deleted files
+      java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
     }
     // append commits extend the manifest (and number files after the
     // already-committed set) instead of clobbering it — a second INSERT

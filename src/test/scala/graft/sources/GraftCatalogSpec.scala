@@ -89,10 +89,29 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) === 150L)
     assert(spark.sql("SELECT count(*) FROM graft.db.del_s VERSION AS OF 0")
       .head.getLong(0) === 100L)
-    // an untranslatable predicate errors instead of partially deleting
-    intercept[Exception](spark.sql("DELETE FROM graft.db.del_s WHERE id % 2 = 0"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.del_s").head.getLong(0) === 150L)
+    // a predicate the metadata path can't translate falls through to the
+    // row-level rewrite (copy-on-write) instead of failing
+    spark.sql("DELETE FROM graft.db.del_s WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_s").head.getLong(0) === 75L)
     spark.sql("DROP TABLE graft.db.del_s")
+  }
+
+  test("UPDATE and MERGE INTO rewrite through the row-level operation") {
+    init()
+    spark.sql("CREATE TABLE graft.db.mrg (id BIGINT, msg STRING) USING audit")
+    spark.sql("INSERT INTO graft.db.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("UPDATE graft.db.mrg SET msg = 'x' WHERE id = 2")
+    def state() = spark.sql("SELECT id, msg FROM graft.db.mrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() === Seq((1L, "a"), (2L, "x"), (3L, "c")))
+    spark.sql(
+      """MERGE INTO graft.db.mrg t
+        |USING (SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(id, msg)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.msg = s.msg
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state() === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    spark.sql("DROP TABLE graft.db.mrg")
   }
 
   test("VERSION AS OF resolves through the epoch log via the catalog") {
