@@ -26,7 +26,7 @@ object SparkEntry {
       operators.Sampling.queries ++ streaming.EventStream.queries ++
       ops.AsOfJoin.queries ++ ops.NativeAsOf.queries ++ ops.RangeJoin.queries ++
       ops.LakeOps.queries ++ ops.TimeSeriesOps.queries ++ ops.GraphOps.queries ++
-      ops.TypedOps.queries ++ sources.PagedApi.queries
+      ops.TypedOps.queries ++ sources.PagedApi.queries ++ sources.CatalogApi.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       operators.Sampling.oracles ++ streaming.EventStream.oracles ++
       ops.AsOfJoin.oracles ++ ops.NativeAsOf.oracles ++ ops.RangeJoin.oracles ++
       ops.LakeOps.oracles ++ ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles ++
-      ops.TypedOps.oracles ++ sources.PagedApi.oracles
+      ops.TypedOps.oracles ++ sources.PagedApi.oracles ++ sources.CatalogApi.oracles
 }

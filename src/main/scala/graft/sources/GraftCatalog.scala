@@ -195,3 +195,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       listTables(namespace).foreach(dropTable); true
     }
 }
+
+/** Oracle-checked query driving the catalog's FULL SQL DDL/DML surface in
+  * one pass: CREATE TABLE → INSERT INTO (aggregate of lineitem) → UPDATE
+  * (row-level rewrite) → DELETE (metadata path) → SELECT back. The DuckDB
+  * oracle restates the same pipeline as pure SELECT algebra over lineitem,
+  * so the hash gate proves the DDL/DML round trip preserves exact values —
+  * the catalog is correctness-gated, not just spec-smoked. The warehouse
+  * is a fixed per-JVM temp path with DROP-and-recreate at query start, so
+  * repeated runs (bench min-of-2) stay deterministic. */
+object CatalogApi {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def catalogDml(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_q_wh")
+    spark.conf.set("spark.sql.catalog.graft_q", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_q.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li")
+    spark.sql("DROP TABLE IF EXISTS graft_q.db.flags")
+    spark.sql(
+      """CREATE TABLE graft_q.db.flags (
+        |  l_returnflag STRING, l_linestatus STRING,
+        |  n_rows BIGINT, sum_qty BIGINT) USING audit""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_q.db.flags
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM graft_cat_li
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    spark.sql("UPDATE graft_q.db.flags SET sum_qty = 0 WHERE l_returnflag = 'R'")
+    spark.sql("DELETE FROM graft_q.db.flags WHERE n_rows < 1000")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |FROM graft_q.db.flags
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val catalogDmlSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_rows,
+      |       CASE WHEN l_returnflag = 'R' THEN 0 ELSE sum_qty END AS sum_qty
+      |FROM g
+      |WHERE n_rows >= 1000
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_catalog_dml" -> (catalogDml _))
+  val oracles: Map[String, String] =
+    Map("q_catalog_dml" -> catalogDmlSql)
+}
