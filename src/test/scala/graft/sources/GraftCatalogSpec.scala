@@ -43,6 +43,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/log").exists())
   }
 
+  test("CTAS and DESCRIBE work through the catalog") {
+    init()
+    spark.sql(
+      """CREATE TABLE graft.db.ctas USING audit AS
+        |SELECT CAST(id AS BIGINT) AS id, CAST(id * 2 AS DOUBLE) AS dbl
+        |FROM range(5)""".stripMargin)
+    val rows = spark.sql("SELECT id, dbl FROM graft.db.ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === (0L until 5L).map(i => (i, i * 2.0)))
+    val desc = spark.sql("DESCRIBE TABLE graft.db.ctas").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("dbl").contains("double"))
+    spark.sql("DROP TABLE graft.db.ctas")
+  }
+
   test("TRUNCATE TABLE and INSERT OVERWRITE reset the committed set") {
     init()
     spark.sql("CREATE TABLE graft.db.trunc_t (id BIGINT) USING audit")
