@@ -122,13 +122,94 @@ final class AuditTable(path: String, writeSchema: StructType,
 final class AuditScanBuilder(path: String, writeSchema: StructType,
     versionAsOf: Option[Long])
     extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = writeSchema
+  private var metadataCount = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Metadata-only COUNT(*): the manifests already carry exact per-file
+    * row counts (kept current by append, truncate, and both delete
+    * paths), so an ungrouped COUNT(*) is answered from `_MANIFEST` +
+    * `_EPOCHS` without opening a single data file — the classic
+    * table-format count. COMPLETE pushdown is claimed (the driver-side
+    * sum IS the answer; an empty table correctly yields one row of 0).
+    * Anything else — grouping, other aggregates, count over a column
+    * (null semantics need the data) — is refused and stays row-level. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.toSeq.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(aggregation) && { metadataCount = true; true }
+
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new AuditScan(path, writeSchema, required, versionAsOf)
+    if (metadataCount) new AuditCountScan(path, versionAsOf)
+    else new AuditScan(path, writeSchema, required, versionAsOf)
 }
+
+/** The manifest-count scan: one partition, one row, zero data files read. */
+final class AuditCountScan(path: String, versionAsOf: Option[Long])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AuditCountScan $path (metadata-only)" +
+      versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
+
+  private def manifestCount(): Long = {
+    val dir = java.nio.file.Paths.get(path)
+    val rowsRe = """.*"rows":(\d+)\}""".r
+    val epochRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
+    val epochRows: Long = {
+      val f = dir.resolve("_EPOCHS")
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readAllLines(f).asScala.collect {
+          case epochRe(e, r) if versionAsOf.forall(e.toLong <= _) => r.toLong
+        }.sum
+      else 0L
+    }
+    val batchRows: Long = {
+      val f = dir.resolve("_MANIFEST")
+      if (versionAsOf.isEmpty && java.nio.file.Files.exists(f))
+        java.nio.file.Files.readAllLines(f).asScala.drop(1).collect {
+          case rowsRe(r) => r.toLong
+        }.sum
+      else 0L
+    }
+    epochRows + batchRows
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AuditCountPartition(manifestCount()))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val n = partition.asInstanceOf[AuditCountPartition].n
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](n))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class AuditCountPartition(n: Long)
+    extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Manifest-driven scan: one InputPartition per committed file. Also the
   * STREAMING-TAIL source ([[AuditMicroBatchStream]]): the `_EPOCHS` commit

@@ -43,6 +43,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/log").exists())
   }
 
+  test("COUNT(*) is answered from the manifests without reading data files") {
+    init()
+    spark.sql("CREATE TABLE graft.db.cnt_t (id BIGINT, msg STRING) USING audit")
+    spark.sql("INSERT INTO graft.db.cnt_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val q = spark.sql("SELECT count(*) FROM graft.db.cnt_t")
+    assert(q.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      q.queryExecution.executedPlan.toString.take(1200))
+    assert(q.head.getLong(0) === 3L)
+    // counts stay exact through append, metadata delete, and rewrite delete
+    spark.sql("INSERT INTO graft.db.cnt_t VALUES (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.cnt_t").head.getLong(0) === 4L)
+    spark.sql("DELETE FROM graft.db.cnt_t WHERE id <= 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.cnt_t").head.getLong(0) === 3L)
+    spark.sql("DELETE FROM graft.db.cnt_t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.cnt_t").head.getLong(0) === 1L)
+    // a residual WHERE blocks the pushdown — row-level count stays exact
+    val filtered = spark.sql("SELECT count(*) FROM graft.db.cnt_t WHERE msg = 'c'")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(filtered.head.getLong(0) === 1L)
+    // empty table: complete pushdown must still yield the 0 row
+    spark.sql("TRUNCATE TABLE graft.db.cnt_t")
+    assert(spark.sql("SELECT count(*) FROM graft.db.cnt_t").head.getLong(0) === 0L)
+    spark.sql("DROP TABLE graft.db.cnt_t")
+  }
+
   test("CTAS and DESCRIBE work through the catalog") {
     init()
     spark.sql(
