@@ -69,7 +69,8 @@ final class AuditTable(path: String, writeSchema: StructType,
         "streaming commit epoch this row was published in (null for batch commits)"
     })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AuditWriteBuilder(path, info.schema())
+    new AuditWriteBuilder(path, info.schema(),
+      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap)
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -585,11 +586,37 @@ private[sources] object AuditJson {
   }
 }
 
-final class AuditWriteBuilder(path: String, schema: StructType)
+final class AuditWriteBuilder(path: String, schema: StructType,
+    options: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+
+  /** Write-side layout control — the small-files lever at scale:
+    * `targetFileCount` asks Spark to repartition to exactly N tasks (= N
+    * staged files, since each task writes one), `clusterBy`/`sortBy`
+    * request a hash-clustered distribution and an in-file sort order.
+    * Spark inserts the exchange/sort; the sink stays a dumb row consumer —
+    * declaring requirements beats re-shuffling inside the writer, the
+    * `RequiresDistributionAndOrdering` contract file formats rely on so a
+    * 1000-task job does not publish 1000 tiny files. Defaults leave the
+    * write unconstrained (the row-level rewrite path passes no options). */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    override def requiredDistribution(): Distribution =
+      options.get("clusterby") match {
+        case Some(c) => Distributions.clustered(Array(Expressions.column(c)))
+        case None    => Distributions.unspecified()
+      }
+    override def requiredNumPartitions(): Int =
+      options.get("targetfilecount").map(_.toInt).getOrElse(0)
+    override def requiredOrdering(): Array[SortOrder] =
+      options.get("sortby").toArray.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+
     override def toBatch: BatchWrite = new AuditBatchWrite(path, schema, truncateFirst)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =

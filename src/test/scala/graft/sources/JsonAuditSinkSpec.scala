@@ -241,6 +241,69 @@ class JsonAuditSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tail picks up epochs committed AFTER the tail started") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    // writer run 1: epochs 0-1 (pages 0-1 of 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tail2_wckpt")
+    def writeRun(pages: Int): Unit = {
+      val w = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().select(col("id"))
+        .writeStream.format(classOf[JsonAuditSink].getName)
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try w.processAllAvailable() finally w.stop()
+    }
+    writeRun(2)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val tail = spark.readStream.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).load()
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = tail.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_audit_tail2").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_audit_tail2").head.getLong(0) === 200L)
+      // MORE epochs land while the tail is live (same writer checkpoint
+      // resumes at page 2) — the subscriber must see them incrementally
+      writeRun(4)
+      q.processAllAvailable()
+      assert(spark.table("graft_audit_tail2").head.getLong(0) === 400L)
+    } finally q.stop()
+  }
+
+  test("targetFileCount/clusterBy/sortBy control the committed layout") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    spark.range(0, 300).toDF("id")
+      .withColumn("id", col("id").cast("long"))
+      .repartition(8) // writer must NOT inherit this: 3 files requested
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString)
+      .option("targetFileCount", "3")
+      .option("clusterBy", "id").option("sortBy", "id")
+      .mode("append").save()
+    val manifest = java.nio.file.Files.readAllLines(out.resolve("_MANIFEST"))
+    assert(manifest.get(0) === """{"files":3,"rows":300}""", manifest.get(0))
+    // every committed file is internally sorted by id (the writer wrote
+    // rows in arrival order, so order proves Spark applied the sort)
+    (0 to 2).foreach { i =>
+      val ids = java.nio.file.Files
+        .readAllLines(out.resolve(f"part-$i%05d.jsonl")).asScala
+        .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+      assert(ids.toSeq === ids.sorted.toSeq, s"file $i not sorted")
+    }
+    // and the full set survives intact
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val back = spark.read.schema(schema).format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).load()
+    assert(back.agg(countDistinct(col("id"))).head.getLong(0) === 300L)
+  }
+
   test("string/boolean/double columns survive the versioned read round trip") {
     import org.apache.spark.sql.functions._
     val out = tempDir()
