@@ -82,7 +82,12 @@ final class AuditTable(path: String, writeSchema: StructType,
     * EXACTLY (3-valued logic, null never matches); anything else is
     * refused so Spark errors instead of a partial delete. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(AuditDelete.supported(writeSchema, _))
+    filters.forall(AuditDelete.supported(writeSchema, _)) &&
+      // SCALE GUARD: this path rewrites files on the driver — surgical and
+      // cheap at metadata scale, wrong for a huge table. The manifests
+      // give the row count for free; past the bound, canDeleteWhere=false
+      // routes the delete to Spark's DISTRIBUTED row-level rewrite instead.
+      AuditDelete.tableRows(path) <= AuditDelete.MaxDriverRewriteRows
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     AuditDelete.deleteWhere(path, writeSchema, filters)
 
@@ -389,6 +394,24 @@ final class AuditRowLevelOperation(path: String, schema: StructType,
   * filter array is a conjunction (the V2 contract). */
 private[sources] object AuditDelete {
   import org.apache.spark.sql.sources._
+
+  /** Above this, deletes route to the distributed row-level rewrite. */
+  val MaxDriverRewriteRows: Long = 10L * 1000 * 1000
+
+  /** Total committed rows, straight from the manifests (no data read). */
+  def tableRows(path: String): Long = {
+    val dir = java.nio.file.Paths.get(path)
+    val rowsRe = """.*"rows":(\d+)\}""".r
+    def sumOf(name: String, dropHeader: Boolean): Long = {
+      val f = dir.resolve(name)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readAllLines(f).asScala
+          .drop(if (dropHeader) 1 else 0)
+          .collect { case rowsRe(r) => r.toLong }.sum
+      else 0L
+    }
+    sumOf("_MANIFEST", dropHeader = true) + sumOf("_EPOCHS", dropHeader = false)
+  }
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |

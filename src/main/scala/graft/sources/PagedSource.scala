@@ -744,12 +744,70 @@ object PagedApi {
       |ORDER BY track_id""".stripMargin
   }
 
+  /** `_epoch` METADATA COLUMN, oracle-checked: the same 6-epoch staged
+    * table as [[sourceV2TimeTravel]], read back WITH the metadata column
+    * and rolled up per commit epoch. Offsets make epoch membership a pure
+    * function of id (epoch = id div pagesPerTrigger·pageSize), so the
+    * oracle recomputes the per-epoch row counts, duration sums, and id
+    * ranges from range() — proving both the commit structure and the
+    * metadata-column plumbing value-exact. */
+  def epochRollup(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_epoch_rollup")
+    val out = root.resolve("tbl").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .option("pagesPerTrigger", "7")
+      .load()
+      .select(col("id"), col("duration_ms"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_ms",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).load()
+      .select(col("_epoch"), col("id"), col("duration_ms"))
+      .groupBy(col("_epoch"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("duration_ms")).as("total_ms"),
+        min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+      .orderBy(col("_epoch"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val epochRollupSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    val perEpoch = 7 * PageSize
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT id // $perEpoch AS _epoch, count(*) AS n_rows,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+      |       min(id) AS lo_id, max(id) AS hi_id
+      |FROM src
+      |GROUP BY 1
+      |ORDER BY _epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
     "q_source_v2_dpp" -> (sourceV2Dpp _),
     "q_audit_travel" -> (sourceV2TimeTravel _),
+    "q_epoch_rollup" -> (epochRollup _),
     "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
@@ -757,5 +815,6 @@ object PagedApi {
     "q_source_v2_topn" -> sourceV2TopNSql,
     "q_source_v2_dpp" -> sourceV2DppSql,
     "q_audit_travel" -> sourceV2TimeTravelSql,
+    "q_epoch_rollup" -> epochRollupSql,
     "q_source_v2_stream" -> sourceV2StreamSql)
 }
