@@ -446,7 +446,13 @@ private[sources] object AuditDelete {
       case LessThanOrEqual(c, x)    => cmp(c, x)(_ <= 0)
       case In(c, xs)                =>
         if (v(c) == null) None
-        else Some(xs.exists(x => cmp(c, x)(_ == 0).contains(true)))
+        else {
+          val nonNull = xs.filter(_ != null)
+          if (nonNull.exists(x => cmp(c, x)(_ == 0).contains(true))) Some(true)
+          // SQL IN with a null in the list: no match → UNKNOWN, not false
+          else if (nonNull.length != xs.length) None
+          else Some(false)
+        }
       case IsNull(c)    => Some(v(c) == null)
       case IsNotNull(c) => Some(v(c) != null)
       case And(l, r) => (eval(l, v), eval(r, v)) match {

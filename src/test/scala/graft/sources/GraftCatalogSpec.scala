@@ -105,8 +105,13 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft.db.del_t WHERE id < 2 OR msg = 'd'")
     val rows = spark.sql("SELECT id FROM graft.db.del_t ORDER BY id").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // a NULL in an IN list is UNKNOWN for non-matching rows, true for
+    // matching ones — only id=2 goes
+    spark.sql("DELETE FROM graft.db.del_t WHERE id IN (2, NULL)")
+    assert(spark.sql("SELECT id FROM graft.db.del_t").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
     // manifest row counts were refreshed: a fresh read agrees
-    assert(spark.sql("SELECT count(*) FROM graft.db.del_t").head.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.del_t").head.getLong(0) === 1L)
     spark.sql("DROP TABLE graft.db.del_t")
 
     // epoch-committed history: the delete rewrites every version
