@@ -1043,6 +1043,83 @@ object TextAnalysis {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---- composed training-data pipeline --------------------------------------
+
+  /** The COMPOSED corpus-prep pipeline in one plan — what an actual
+    * training-data run executes, end to end: quality filter (length +
+    * repetition), exact dedup keep-lowest-id (written as the
+    * row_number()=1 window so [[graft.plans.RowNumberDedupRule]] replans it
+    * to the partial+final argmin aggregate engine-wide), token-window
+    * chunking (map-side generate), and hash-sharding with per-shard
+    * rollups. Every stage is individually oracle-checked elsewhere; this
+    * query proves they COMPOSE — one plan, two shuffles total: the dedup
+    * argmin (which necessarily carries the kept rows' text — the content
+    * is consumed downstream) and the final shard rollup, which moves only
+    * hashes and counts. Thresholds are exact-integer
+    * cross-multiplications, so the filter line is engine-identical. */
+  def dataPipeline(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col("text"))
+    val filtered = documents(spark, d)
+      .withColumn("n_tok", size(t).cast("long"))
+      .where(col("n_tok") >= 30L &&
+        size(array_distinct(t)).cast("long") * 10L >= col("n_tok") * 3L)
+    val deduped = filtered
+      .withColumn("tkey", Hashing.hexHash(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tkey")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    val chunks = deduped
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(size(t) - ChunkStride, lit(1)), lit(ChunkStride)))
+          .as("start"))
+      .select(col("doc_id"),
+        size(slice(toks(col("text")), col("start"), lit(ChunkWidth)))
+          .cast("long").as("chunk_len"))
+    chunks
+      .withColumn("shard",
+        pmod(Hashing.hexHash(
+          concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L)))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val dataPipelineSql: String = {
+    val slice = s"list_slice(tk, start, start + ${ChunkWidth - 1})"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+       |), f AS (
+       |  SELECT doc_id, text, tk FROM t
+       |  WHERE len(tk) >= 30 AND len(list_distinct(tk)) * 10 >= len(tk) * 3
+       |), keyed AS (
+       |  SELECT doc_id, tk, ${Hashing.hexHashSql("text")} AS tkey,
+       |         row_number() OVER (PARTITION BY ${Hashing.hexHashSql("text")}
+       |                            ORDER BY doc_id) AS rn
+       |  FROM f
+       |), kept AS (
+       |  SELECT doc_id, tk FROM keyed WHERE rn = 1
+       |), s AS (
+       |  SELECT doc_id, tk,
+       |         unnest(generate_series(1, greatest(len(tk) - $ChunkStride, 1),
+       |                                $ChunkStride)) AS start
+       |  FROM kept
+       |), c AS (
+       |  SELECT doc_id, CAST(len($slice) AS BIGINT) AS chunk_len FROM s
+       |)
+       |SELECT ${Hashing.hexHashSql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+       |         AS shard,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       count(*) AS n_chunks,
+       |       CAST(sum(chunk_len) AS BIGINT) AS total_tokens
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin
+  }
+
   // ---- bigram-LM perplexity scoring ------------------------------------------
 
   /** Per-document negative log-likelihood under the corpus's OWN add-one-
@@ -1469,6 +1546,7 @@ object TextAnalysis {
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply"        -> ((s, d) => bpeApply(s, d)),
+    "q_data_pipeline"    -> ((s, d) => dataPipeline(s, d)),
     "q_url_parse"        -> ((s, d) => urlParse(s, d)),
     "q_perplexity"       -> ((s, d) => perplexity(s, d)),
     "q_repetition"       -> ((s, d) => repetitionSignal(s, d)),
@@ -1548,6 +1626,7 @@ object TextAnalysis {
     "q_sent_chunk"    -> sentenceChunksSql,
     "q_bpe_pairs"     -> bpePairsSql,
     "q_bpe_apply"     -> bpeApplySql,
+    "q_data_pipeline" -> dataPipelineSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
