@@ -496,6 +496,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("composed data pipeline: bounded exchanges, dedup rewritten to the argmin aggregate") {
+    // under the extensions session the row_number()=1 dedup stage must
+    // replan to the partial+final MinRowBy aggregate (no Window, no sort)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val q = graft.operators.TextAnalysis.dataPipeline(ext, d)
+      q.collect() // finalize AQE
+      // the AQE toString prints final AND initial plans — audit the final
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Window"), "dedup must not plan a Window:\n" + p.take(2000))
+      assert(p.contains("min_row_by") || p.contains("MinRowBy") ||
+        p.contains("ObjectHashAggregate"),
+        "dedup must plan as the argmin aggregate:\n" + p.take(2000))
+      // dedup argmin + countDistinct's two-phase rollup + the output
+      // sort's range exchange = 4; anything more is a regression
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges <= 4, s"expected <= 4 non-broadcast exchanges, got $exchanges:\n" +
+        p.take(2500))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("declarative SQL UDFs inline into the plan — no closure, codegen intact") {
     // CREATE FUNCTION bodies must resolve to ordinary expressions: the
     // aggregate over graft_net_units plans as a hash aggregate inside
