@@ -1915,7 +1915,6 @@ object EventStream {
     "q_stream_asof"     -> ((s, d) => streamingAsOfEnrich(s, d)),
     "q_stream_dedup_wm" -> ((s, d) => streamingDedupWithinWm(s, d)),
     "q_stream_daily"    -> ((s, d) => streamingDailyAgg(s, d)),
-    "q_stream_tws_timer" -> ((s, d) => streamingTwsTimer(s, d)),
     "q_stream_rewindow" -> ((s, d) => streamingRewindow(s, d)),
     "q_stream_update"   -> ((s, d) => streamingUpdateAgg(s, d)),
     "q_stream_session_window" -> ((s, d) => streamingSessionWindow(s, d)),
@@ -1940,7 +1939,6 @@ object EventStream {
     "q_stream_full_outer" -> streamingFullOuterJoinSql,
     "q_stream_dedup_wm" -> streamingDedupWithinWmSql,
     "q_stream_daily"    -> streamingDailyAggSql,
-    "q_stream_tws_timer" -> streamingTwsTimerSql,
     "q_stream_rewindow" -> streamingRewindowSql,
     "q_stream_update"   -> streamingUpdateAggSql,
     "q_stream_session_window" -> streamingSessionWindowSql,
