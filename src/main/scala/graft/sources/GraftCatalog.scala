@@ -137,8 +137,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER unsupported")
+  /** Schema evolution: ALTER TABLE ADD COLUMN (top-level, nullable —
+    * committed rows carry no value for the new column, and the jsonl
+    * reader surfaces exactly that as null: lines shorter than the schema
+    * null-fill from the first missing field). Anything else — drops,
+    * renames, type changes — would need a data rewrite or lineage this
+    * format does not keep, so it stays a loud error. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val f = metaFile(ident)
+    if (!java.nio.file.Files.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    val schemaJson = meta.substring(meta.indexOf("\"schema\":") + 9,
+      meta.lastIndexOf('}'))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val newSchema = changes.foldLeft(schema) {
+      case (sc, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: nested ADD COLUMN unsupported")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable (existing rows have no value)")
+        require(!sc.fieldNames.contains(add.fieldNames.head),
+          s"graft catalog: column ${add.fieldNames.head} already exists")
+        sc.add(org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other")
+    }
+    val prefix = meta.substring(0, meta.indexOf("\"schema\":") + 9)
+    java.nio.file.Files.write(f, (prefix + newSchema.json + "}").getBytes("UTF-8"))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)

@@ -560,6 +560,11 @@ private[sources] object AuditJson {
     expect('{')
     var f = 0
     while (f < schema.length) {
+      // schema evolution: a line written under an OLDER schema ends early —
+      // every remaining (added) column reads as null
+      if (i < line.length && line.charAt(i) == '}') {
+        while (f < schema.length) { vals(f) = null; f += 1 }
+      } else {
       if (f > 0) expect(',')
       expect('"')
       val nameEnd = line.indexOf('"', i)
@@ -610,6 +615,7 @@ private[sources] object AuditJson {
           i = end
       }
       f += 1
+      }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }

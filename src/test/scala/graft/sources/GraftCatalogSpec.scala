@@ -68,6 +68,31 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.cnt_t")
   }
 
+  test("ALTER TABLE ADD COLUMN evolves the schema; old rows read null") {
+    init()
+    spark.sql("CREATE TABLE graft.db.ev (id BIGINT, msg STRING) USING audit")
+    spark.sql("INSERT INTO graft.db.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.db.ev ADD COLUMN score DOUBLE")
+    // rows committed under the old schema surface null for the new column
+    val old = spark.sql("SELECT id, msg, score FROM graft.db.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(old.toSeq === Seq((1L, "a", null), (2L, "b", null)))
+    // new writes carry the full schema; reads mix both vintages
+    spark.sql("INSERT INTO graft.db.ev VALUES (3, 'c', 1.5)")
+    val mixed = spark.sql(
+      "SELECT id, score FROM graft.db.ev WHERE score IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mixed.toSeq === Seq((3L, 1.5)))
+    // 3VL holds across vintages: score > 1 is UNKNOWN for old rows
+    spark.sql("DELETE FROM graft.db.ev WHERE score > 1.0")
+    assert(spark.sql("SELECT id FROM graft.db.ev ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // destructive changes stay loud errors
+    intercept[Exception](spark.sql("ALTER TABLE graft.db.ev DROP COLUMN msg"))
+    spark.sql("DROP TABLE graft.db.ev")
+  }
+
   test("CTAS and DESCRIBE work through the catalog") {
     init()
     spark.sql(
