@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 211-215, BigQuery table ids); this is that surface rebuilt on Spark's
   * own catalog plugin API, zero external services.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with GraftStagingSupport {
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
 
@@ -118,8 +119,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse("audit").toLowerCase
     require(provider == "audit" || provider == "paged",
       s"graft catalog supports USING audit|paged, got $provider")
-    // OPTIONS may arrive both bare and under the option. prefix — normalize
-    // every form to prop_<lowercased-key> and dedup
+    java.nio.file.Files.createDirectories(dataDir(ident))
+    writeMeta(ident, provider, schema, properties)
+    loadTable(ident)
+  }
+
+  /** Serialize and write the metadata file (shared by create + staged
+    * publish). OPTIONS may arrive both bare and under the option. prefix —
+    * normalize every form to prop_<lowercased-key> and dedup. */
+  private[sources] def writeMeta(ident: Identifier, provider: String,
+      schema: StructType, properties: JMap[String, String]): Unit = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
     val props = properties.asScala.toSeq.collect {
@@ -132,9 +141,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (provider == "paged") PagedSource.schema else schema
     val meta = (Seq(s""""provider":"$provider"""") ++ props ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
-    java.nio.file.Files.createDirectories(dataDir(ident))
     java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
-    loadTable(ident)
+  }
+
+  /** Hidden staging directory beside the table's data dir. */
+  private[sources] def stagingDirFor(ident: Identifier): java.nio.file.Path =
+    ident.namespace().foldLeft(warehouse)(_.resolve(_))
+      .resolve("." + ident.name() + ".staged." +
+        java.util.UUID.randomUUID().toString.take(8))
+
+  /** Atomic publish of a staged CTAS/RTAS: metadata + a directory move —
+    * a reader resolves either the old table or the new one, never a mix. */
+  private[sources] def publishStaged(ident: Identifier, schema: StructType,
+      properties: JMap[String, String], stageDir: java.nio.file.Path,
+      replace: Boolean): Unit = {
+    if (!replace && tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val data = dataDir(ident)
+    if (java.nio.file.Files.exists(data)) {
+      val walk = java.nio.file.Files.walk(data)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(data.getParent)
+    java.nio.file.Files.move(stageDir, data,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeMeta(ident, "audit", schema, properties)
   }
 
   /** Schema evolution: ALTER TABLE ADD COLUMN (top-level, nullable —
@@ -278,4 +312,76 @@ object CatalogApi {
     Map("q_catalog_dml" -> (catalogDml _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql)
+}
+
+/** Atomic CTAS / RTAS: the staging half of the catalog. The staged table
+  * writes its data into a hidden sibling directory; only
+  * `commitStagedChanges` — which runs after the WHOLE query succeeded —
+  * publishes metadata and moves the directory into place, and
+  * `abortStagedChanges` deletes the stage. A failed `CREATE TABLE AS
+  * SELECT` therefore leaves NO table behind, and a failed `REPLACE TABLE
+  * AS SELECT` leaves the old table untouched — the same
+  * stage-then-publish discipline the audit sink's own two-phase commit
+  * uses, lifted one level up to DDL. */
+trait GraftStagingSupport extends StagingTableCatalog { self: GraftCatalog =>
+
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    stagedTable(ident, info, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    stagedTable(ident, info, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stagedTable(ident, info, replace = true)
+
+  private def stagedTable(ident: Identifier, info: TableInfo,
+      replace: Boolean): StagedTable =
+    new StagedAuditTable(self, ident, info.schema(), info.properties(), replace)
+}
+
+final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
+    stagedSchema: StructType, properties: JMap[String, String],
+    replace: Boolean)
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+
+  private val stageDir = catalog.stagingDirFor(ident)
+  java.nio.file.Files.createDirectories(stageDir)
+
+  override def name(): String = s"graft_staged(${ident})"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    // RTAS plans an overwrite-by-true on the staged table; truncating the
+    // freshly-created empty stage is a no-op, so claim it
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AuditWriteBuilder(stageDir.toString, info.schema(),
+      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap)
+
+  override def commitStagedChanges(): Unit =
+    catalog.publishStaged(ident, stagedSchema, properties, stageDir, replace)
+
+  override def abortStagedChanges(): Unit = {
+    if (java.nio.file.Files.exists(stageDir)) {
+      val walk = java.nio.file.Files.walk(stageDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

@@ -68,6 +68,52 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.cnt_t")
   }
 
+  test("CTAS and REPLACE TABLE are atomic: failures leave no trace / the old table") {
+    init()
+    // a failing CTAS must not create the table (staged data discarded)
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.db.atomic_t USING audit AS
+          |SELECT CAST(id AS BIGINT) AS id,
+          |       CAST(raise_error('boom') AS STRING) AS msg
+          |FROM range(3)""".stripMargin)
+    }
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.db.atomic_t").collect())
+    // successful CTAS publishes atomically
+    spark.sql(
+      """CREATE TABLE graft.db.atomic_t USING audit AS
+        |SELECT CAST(id AS BIGINT) AS id FROM range(3)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.atomic_t")
+      .head.getLong(0) === 3L)
+    // a failing REPLACE leaves the OLD table fully intact
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE graft.db.atomic_t USING audit AS
+          |SELECT CAST(raise_error('boom') AS BIGINT) AS id FROM range(9)""".stripMargin)
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db.atomic_t")
+      .head.getLong(0) === 3L)
+    // a successful REPLACE swaps data and schema in one step
+    spark.sql(
+      """REPLACE TABLE graft.db.atomic_t USING audit AS
+        |SELECT CAST(id AS BIGINT) AS id, CAST(id AS DOUBLE) AS score
+        |FROM range(5)""".stripMargin)
+    val rows = spark.sql("SELECT id, score FROM graft.db.atomic_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === (0L until 5L).map(i => (i, i.toDouble)))
+    // no staged litter left behind in the namespace dir
+    val ns = java.nio.file.Paths.get(s"$wh/db")
+    val listing = java.nio.file.Files.list(ns)
+    val staged = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .count(_.getFileName.toString.contains(".staged."))
+    } finally listing.close()
+    assert(staged === 0, "staging directories must not survive commit/abort")
+    spark.sql("DROP TABLE graft.db.atomic_t")
+  }
+
   test("ALTER TABLE ADD COLUMN evolves the schema; old rows read null") {
     init()
     spark.sql("CREATE TABLE graft.db.ev (id BIGINT, msg STRING) USING audit")
