@@ -345,8 +345,14 @@ trait GraftStagingSupport extends StagingTableCatalog { self: GraftCatalog =>
     stagedTable(ident, info, replace = true)
 
   private def stagedTable(ident: Identifier, info: TableInfo,
-      replace: Boolean): StagedTable =
+      replace: Boolean): StagedTable = {
+    val provider = Option(info.properties().get(TableCatalog.PROP_PROVIDER))
+      .getOrElse("audit").toLowerCase
+    require(provider == "audit",
+      "graft catalog: CTAS/RTAS supports USING audit only " +
+        "(paged is a generated, read-only source)")
     new StagedAuditTable(self, ident, info.schema(), info.properties(), replace)
+  }
 }
 
 final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
