@@ -304,6 +304,38 @@ class JsonAuditSinkSpec extends SparkSpec {
     assert(back.agg(countDistinct(col("id"))).head.getLong(0) === 300L)
   }
 
+  test("mixed batch+epoch tables: pinned reads see only epoch history (documented)") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir()
+    // batch commit first...
+    spark.range(0, 7).toDF("id").write.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString).mode("append").save()
+    // ...then two streamed epochs on top
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mix_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select((col("id") + 1000L).as("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def read(v: Option[Int]) = {
+      val r = spark.read.schema(schema).format(classOf[JsonAuditSink].getName)
+        .option("path", out.toString)
+      v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+    }
+    // un-pinned: batch + all epochs
+    assert(read(None).count() === 207L)
+    // pinned: epoch history ONLY — batch files carry no version, so a
+    // time-travel read must not silently include them at every version
+    assert(read(Some(0)).count() === 100L)
+    assert(read(Some(1)).count() === 200L)
+    assert(read(Some(0)).agg(min(col("id"))).head.getLong(0) === 1000L)
+  }
+
   test("string/boolean/double columns survive the versioned read round trip") {
     import org.apache.spark.sql.functions._
     val out = tempDir()
