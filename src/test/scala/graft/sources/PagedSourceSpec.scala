@@ -265,6 +265,29 @@ class PagedSourceSpec extends SparkSpec {
       (150L until 250L).map(PagedSource.durationMs).sum)
   }
 
+  test("columnar reader composes with runtime filtering in one join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.read.format(classOf[PagedSource].getName)
+        .option("pages", "40").option("pageSize", "100")
+        .option("columnar", "true").load()
+      val dim = spark.range(0, 2).toDF("k")
+        .select((col("k") * 1500L + 10L).as("id"))
+        .where(col("id") >= 0L)
+      val joined = fact.join(dim, "id")
+      val expected = Seq(10L, 1510L).map(PagedSource.durationMs).sum
+      assert(joined.agg(sum(col("duration_ms"))).head.getLong(0) === expected)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("ColumnarToRow"), plan.toString.take(1500))
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.exists(_.runtimeFilters.nonEmpty),
+        "DPP must still plant a runtime filter on the columnar scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("estimateStatistics tracks the pruned range and flips the join strategy") {
     val b = new PagedScanBuilder(40, 100)
     b.pushFilters(Array(GreaterThanOrEqual("id", 150L), LessThan("id", 250L)))
