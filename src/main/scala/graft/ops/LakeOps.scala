@@ -592,10 +592,10 @@ object LakeOps {
     val canon = concat_ws("|",
       col("o_orderkey").cast("string"),
       col("o_custkey").cast("string"),
-      coalesce(col("o_orderstatus"), lit(" ")),
+      coalesce(col("o_orderstatus"), lit(" ")),
       Money.cents(col("o_totalprice")).cast("string"),
       col("o_orderdate").cast("date").cast("string"),
-      coalesce(col("o_orderpriority"), lit(" ")))
+      coalesce(col("o_orderpriority"), lit(" ")))
     orders(spark, d)
       .select(pmod(col("o_orderkey"), lit(64L)).as("bucket"),
         Hashing.hexHash(canon).as("h"))

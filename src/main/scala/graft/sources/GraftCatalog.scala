@@ -91,12 +91,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
     val provider = """"provider":"([^"]+)"""".r.findFirstMatchIn(meta)
       .map(_.group(1)).getOrElse("audit")
-    val schemaJson = meta.substring(meta.indexOf("\"schema\":") + 9,
+    // anchor on the LAST "schema": — writeMeta escapes property values, so
+    // an escaped value can never contain the bare token, but the schema is
+    // also always serialized last, making lastIndexOf doubly safe
+    val schemaJson = meta.substring(meta.lastIndexOf("\"schema\":") + 9,
       meta.lastIndexOf('}')) // schema object runs to the outer closing brace
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
     def prop(k: String): Option[String] =
-      ("\"prop_" + k + """":"([^"]+)"""").r.findFirstMatchIn(meta).map(_.group(1))
+      ("\"prop_" + k + """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(meta)
+        .map(m => GraftCatalog.unescape(m.group(1)))
     provider match {
       case "paged" =>
         require(version.isEmpty, "paged tables carry no version log")
@@ -131,11 +135,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType, properties: JMap[String, String]): Unit = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    // property values are user input (OPTIONS / TBLPROPERTIES / COMMENT):
+    // escape them, or a quote/backslash corrupts the metadata file and a
+    // value containing the literal schema token shifts schema extraction
     val props = properties.asScala.toSeq.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
-        s""""prop_${k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase}":"$v""""
+        s""""prop_${k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase}":"${GraftCatalog.escape(v)}""""
       case (k, v) if !reserved.contains(k) =>
-        s""""prop_${k.toLowerCase}":"$v""""
+        s""""prop_${k.toLowerCase}":"${GraftCatalog.escape(v)}""""
     }.distinct
     val effectiveSchema =
       if (provider == "paged") PagedSource.schema else schema
@@ -150,8 +157,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .resolve("." + ident.name() + ".staged." +
         java.util.UUID.randomUUID().toString.take(8))
 
-  /** Atomic publish of a staged CTAS/RTAS: metadata + a directory move —
-    * a reader resolves either the old table or the new one, never a mix. */
+  /** Publish a staged CTAS/RTAS. Crash-safe by construction: the OLD data
+    * directory is renamed aside (one atomic move), the stage renamed into
+    * place (a second atomic move), metadata written, and only then the
+    * displaced directory deleted — a crash at any point leaves either the
+    * old table recoverable (displaced dir + old metadata) or the new table
+    * fully published; the old data is never destroyed before the new data
+    * is in place. The read window between the two renames is a
+    * missing-directory (empty) read, not a torn mix of old and new files;
+    * closing even that window would need an indirection pointer this
+    * single-writer-DDL format doesn't carry (concurrent DDL on one table
+    * is out of scope, as for any filesystem-renamed catalog). */
   private[sources] def publishStaged(ident: Identifier, schema: StructType,
       properties: JMap[String, String], stageDir: java.nio.file.Path,
       replace: Boolean): Unit = {
@@ -159,16 +175,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val data = dataDir(ident)
-    if (java.nio.file.Files.exists(data)) {
-      val walk = java.nio.file.Files.walk(data)
+    java.nio.file.Files.createDirectories(data.getParent)
+    val displaced = data.resolveSibling(
+      "." + ident.name() + ".old." + java.util.UUID.randomUUID().toString.take(8))
+    val hadOld = java.nio.file.Files.exists(data)
+    if (hadOld)
+      java.nio.file.Files.move(data, displaced,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(stageDir, data,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeMeta(ident, "audit", schema, properties)
+    if (hadOld) {
+      val walk = java.nio.file.Files.walk(displaced)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
       finally walk.close()
     }
-    java.nio.file.Files.createDirectories(data.getParent)
-    java.nio.file.Files.move(stageDir, data,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeMeta(ident, "audit", schema, properties)
   }
 
   /** Schema evolution: ALTER TABLE ADD COLUMN (top-level, nullable —
@@ -182,7 +204,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!java.nio.file.Files.exists(f))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-    val schemaJson = meta.substring(meta.indexOf("\"schema\":") + 9,
+    val schemaJson = meta.substring(meta.lastIndexOf("\"schema\":") + 9,
       meta.lastIndexOf('}'))
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -199,7 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
-    val prefix = meta.substring(0, meta.indexOf("\"schema\":") + 9)
+    val prefix = meta.substring(0, meta.lastIndexOf("\"schema\":") + 9)
     java.nio.file.Files.write(f, (prefix + newSchema.json + "}").getBytes("UTF-8"))
     loadTable(ident)
   }
@@ -258,6 +280,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     listTables(namespace).isEmpty || cascade && {
       listTables(namespace).foreach(dropTable); true
     }
+}
+
+object GraftCatalog {
+  /** JSON string escaping for metadata property values (same discipline as
+    * the audit sink's writer: backslash, quote, control chars). */
+  private[sources] def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[sources] def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case '"'  => sb.append('"'); i += 2
+            case 'n'  => sb.append('\n'); i += 2
+            case 'r'  => sb.append('\r'); i += 2
+            case 't'  => sb.append('\t'); i += 2
+            case 'u'  =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 }
 
 /** Oracle-checked query driving the catalog's FULL SQL DDL/DML surface in

@@ -312,8 +312,18 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
     PagedOffset(json.trim.toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
-    val slice = epochs.slice(start.asInstanceOf[PagedOffset].page,
-      end.asInstanceOf[PagedOffset].page).toSet
+    val eps = epochs
+    val from = start.asInstanceOf[PagedOffset].page
+    // Offsets index the sorted epoch log. TRUNCATE and the row-level
+    // UPDATE/MERGE rewrite DELETE epochs; a checkpoint whose offset
+    // exceeds the surviving log would silently plan empty slices and let
+    // newly committed epochs re-use consumed indices. That violates the
+    // replayable-source contract, so fail loudly instead.
+    require(from <= eps.size,
+      s"audit stream: restored offset $from exceeds the epoch log length " +
+        s"${eps.size} at $path — the table's epochs were truncated or " +
+        "rewritten since the checkpoint; restart from a fresh checkpoint")
+    val slice = eps.slice(from, end.asInstanceOf[PagedOffset].page).toSet
     AuditScan.epochFiles(path, slice).map { case (f, e) =>
       AuditFilePartition(dir.resolve(f).toString, Some(e)): InputPartition
     }.toArray
@@ -435,7 +445,14 @@ private[sources] object AuditDelete {
         case i: Int    => op(java.lang.Long.compare(i.toLong, x.asInstanceOf[Number].longValue))
         case d: Double => op(java.lang.Double.compare(d, x.asInstanceOf[Number].doubleValue))
         case b: Boolean => op(java.lang.Boolean.compare(b, x.asInstanceOf[Boolean]))
-        case s: String => op(s.compareTo(x.toString))
+        // Spark orders strings by UTF-8 binary (code-point) comparison;
+        // java.lang.String.compareTo is UTF-16 code-unit order, which
+        // disagrees for supplementary chars vs U+E000..U+FFFF — a silent
+        // divergence between what a WHERE clause selects and what this
+        // path would delete. Compare exactly as Spark does.
+        case s: String => op(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s).compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(x.toString)))
         case other => throw new UnsupportedOperationException(s"delete cmp on $other")
       }
     f match {
@@ -483,7 +500,13 @@ private[sources] object AuditDelete {
           case org.apache.spark.sql.types.StringType => row.getUTF8String(i).toString
           case org.apache.spark.sql.types.BooleanType => row.getBoolean(i)
           case org.apache.spark.sql.types.DoubleType => row.getDouble(i)
-          case _ => row.getLong(i)
+          // parseLine boxes Int for IntegerType — a blind getLong would CCE
+          case org.apache.spark.sql.types.IntegerType => row.getInt(i)
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => row.getLong(i)
+          case other => throw new UnsupportedOperationException(
+            s"audit delete: unsupported column type $other")
         }
       }
       // delete iff the conjunction is definitely TRUE

@@ -259,4 +259,30 @@ class GraftCatalogSpec extends SparkSpec {
       (e.toLong, 100L, e * 100L, e * 100L + 99L)))
     spark.sql("DROP TABLE graft.db.events_tt")
   }
+
+  test("DELETE by INT-column predicate takes the metadata path without a cast crash") {
+    init()
+    spark.sql("CREATE TABLE graft.db.int_del (id INT, n BIGINT) USING audit")
+    spark.sql("INSERT INTO graft.db.int_del VALUES (1, 10), (5, 50), (9, 90)")
+    spark.sql("DELETE FROM graft.db.int_del WHERE id = 5")
+    val rows = spark.sql("SELECT id, n FROM graft.db.int_del ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1, 10L), (9, 90L)))
+    // range predicate on INT exercises the comparison path too
+    spark.sql("DELETE FROM graft.db.int_del WHERE id > 3")
+    assert(spark.sql("SELECT count(*) FROM graft.db.int_del").head.getLong(0) === 1L)
+    spark.sql("DROP TABLE graft.db.int_del")
+  }
+
+  test("metadata survives hostile property values (quotes, backslashes, schema token)") {
+    init()
+    spark.sql(
+      """CREATE TABLE graft.db.props_t (id BIGINT) USING audit
+        |TBLPROPERTIES ('note' = 'a "quoted" \\ value with "schema": inside')
+        |""".stripMargin)
+    spark.sql("INSERT INTO graft.db.props_t VALUES (7)")
+    // the schema extraction must not be shifted by the hostile value
+    assert(spark.sql("SELECT id FROM graft.db.props_t").head.getLong(0) === 7L)
+    spark.sql("DROP TABLE graft.db.props_t")
+  }
 }
