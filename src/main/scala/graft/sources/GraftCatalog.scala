@@ -101,13 +101,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def prop(k: String): Option[String] =
       ("\"prop_" + k + """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(meta)
         .map(m => GraftCatalog.unescape(m.group(1)))
+    val partCol = """"partcols":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1))
     provider match {
       case "paged" =>
         require(version.isEmpty, "paged tables carry no version log")
         new PagedTable(prop("pages").map(_.toInt).getOrElse(1),
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
-        new AuditTable(dataDir(ident).toString, schema, version)
+        new AuditTable(dataDir(ident).toString, schema, version, partCol)
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
     }
@@ -115,7 +117,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty, "graft catalog: partitioned tables unsupported")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -123,8 +124,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse("audit").toLowerCase
     require(provider == "audit" || provider == "paged",
       s"graft catalog supports USING audit|paged, got $provider")
+    val partCol = GraftCatalog.identityPartCol(partitions, schema)
+    require(partCol.isEmpty || provider == "audit",
+      "graft catalog: only audit tables can be partitioned")
     java.nio.file.Files.createDirectories(dataDir(ident))
-    writeMeta(ident, provider, schema, properties)
+    writeMeta(ident, provider, schema, properties, partCol)
     loadTable(ident)
   }
 
@@ -132,7 +136,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * publish). OPTIONS may arrive both bare and under the option. prefix —
     * normalize every form to prop_<lowercased-key> and dedup. */
   private[sources] def writeMeta(ident: Identifier, provider: String,
-      schema: StructType, properties: JMap[String, String]): Unit = {
+      schema: StructType, properties: JMap[String, String],
+      partCol: Option[String] = None): Unit = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
     // property values are user input (OPTIONS / TBLPROPERTIES / COMMENT):
@@ -146,7 +151,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.distinct
     val effectiveSchema =
       if (provider == "paged") PagedSource.schema else schema
-    val meta = (Seq(s""""provider":"$provider"""") ++ props ++
+    val meta = (Seq(s""""provider":"$provider"""") ++
+      partCol.map(c => s""""partcols":"$c"""") ++ props ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
     java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
   }
@@ -170,7 +176,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * is out of scope, as for any filesystem-renamed catalog). */
   private[sources] def publishStaged(ident: Identifier, schema: StructType,
       properties: JMap[String, String], stageDir: java.nio.file.Path,
-      replace: Boolean): Unit = {
+      replace: Boolean, partCol: Option[String] = None): Unit = {
     if (!replace && tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -184,7 +190,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stageDir, data,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeMeta(ident, "audit", schema, properties)
+    writeMeta(ident, "audit", schema, properties, partCol)
     if (hadOld) {
       val walk = java.nio.file.Files.walk(displaced)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -283,6 +289,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** PARTITIONED BY validation: at most ONE identity transform over an
+    * existing long/int/string column (the audit format's Hive-style
+    * directory layout — see [[AuditPartition]]). Bucket/temporal
+    * transforms would need a V2 FunctionCatalog to be SPJ-eligible, so
+    * they are refused loudly rather than silently flattened. */
+  private[sources] def identityPartCol(partitions: Array[Transform],
+      schema: StructType): Option[String] = {
+    if (partitions.isEmpty) return None
+    require(partitions.length == 1,
+      "graft catalog: at most one partition column is supported")
+    val t = partitions.head
+    require(t.name == "identity" && t.references.length == 1 &&
+      t.references.head.fieldNames.length == 1,
+      s"graft catalog: only identity(col) partitioning is supported, got $t")
+    val col = t.references.head.fieldNames.head
+    require(schema.fieldNames.contains(col),
+      s"graft catalog: partition column $col not in schema")
+    Some(col)
+  }
+
   /** JSON string escaping for metadata property values (same discipline as
     * the audit sink's writer: backslash, quote, control chars). */
   private[sources] def escape(s: String): String = {
@@ -375,10 +401,100 @@ object CatalogApi {
       |WHERE n_rows >= 1000
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Partitioned audit table, oracle-checked end to end: CREATE …
+    * PARTITIONED BY routes an INSERT into per-value directories, then a
+    * partition-predicate read opens ONLY the matching directory (the spec
+    * asserts the pruning; this query hash-checks the values) and rolls up.
+    * The DuckDB oracle restates the same pipeline as pure SELECT algebra. */
+  def auditPartition(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qp.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li2")
+    spark.sql("DROP TABLE IF EXISTS graft_qp.db.psales")
+    spark.sql(
+      """CREATE TABLE graft_qp.db.psales (
+        |  l_returnflag STRING, l_linestatus STRING, okey BIGINT, qty BIGINT)
+        |USING audit PARTITIONED BY (l_returnflag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qp.db.psales
+        |SELECT l_returnflag, l_linestatus, l_orderkey,
+        |       CAST(l_quantity AS BIGINT)
+        |FROM graft_cat_li2 WHERE l_orderkey % 7 = 0""".stripMargin)
+    spark.sql(
+      """SELECT l_linestatus, count(*) AS n_rows, sum(qty) AS sum_qty,
+        |       min(okey) AS min_okey, max(okey) AS max_okey
+        |FROM graft_qp.db.psales
+        |WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  val auditPartitionSql: String =
+    """SELECT l_linestatus, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_orderkey % 7 = 0 AND l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Storage-partitioned join, oracle-checked: two audit tables partitioned
+    * on the same column join on that column with ZERO join-side exchanges
+    * (KeyGroupedPartitioning + spark.sql.sources.v2.bucketing.enabled; the
+    * spec asserts the exchange-free plan, this query hash-checks the
+    * values). This is the DSv2 analogue of a co-located bucketed join —
+    * at 100 TB it removes BOTH shuffles from the fact-to-fact join. */
+  def auditSpj(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qs_wh")
+    spark.conf.set("spark.sql.catalog.graft_qs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qs.warehouse", wh.toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li3")
+    spark.sql("DROP TABLE IF EXISTS graft_qs.db.spj_l")
+    spark.sql("DROP TABLE IF EXISTS graft_qs.db.spj_r")
+    spark.sql(
+      """CREATE TABLE graft_qs.db.spj_l USING audit PARTITIONED BY (l_returnflag)
+        |AS SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |   FROM graft_cat_li3 GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_qs.db.spj_r USING audit PARTITIONED BY (l_returnflag)
+        |AS SELECT l_returnflag, count(*) AS flag_rows,
+        |          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS flag_cents
+        |   FROM graft_cat_li3 GROUP BY l_returnflag""".stripMargin)
+    spark.sql(
+      """SELECT l.l_returnflag, l.l_linestatus, l.n_rows, l.sum_qty,
+        |       r.flag_rows, r.flag_cents
+        |FROM graft_qs.db.spj_l l
+        |JOIN graft_qs.db.spj_r r ON l.l_returnflag = r.l_returnflag
+        |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin)
+  }
+
+  val auditSpjSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+      |r AS (
+      |  SELECT l_returnflag, count(*) AS flag_rows,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS flag_cents
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, l.l_linestatus, l.n_rows, l.sum_qty,
+      |       r.flag_rows, r.flag_cents
+      |FROM l JOIN r ON l.l_returnflag = r.l_returnflag
+      |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_catalog_dml" -> (catalogDml _))
+    Map("q_catalog_dml" -> (catalogDml _),
+      "q_audit_partition" -> (auditPartition _),
+      "q_audit_spj" -> (auditSpj _))
   val oracles: Map[String, String] =
-    Map("q_catalog_dml" -> catalogDmlSql)
+    Map("q_catalog_dml" -> catalogDmlSql,
+      "q_audit_partition" -> auditPartitionSql,
+      "q_audit_spj" -> auditSpjSql)
 }
 
 /** Atomic CTAS / RTAS: the staging half of the catalog. The staged table
@@ -418,13 +534,15 @@ trait GraftStagingSupport extends StagingTableCatalog { self: GraftCatalog =>
     require(provider == "audit",
       "graft catalog: CTAS/RTAS supports USING audit only " +
         "(paged is a generated, read-only source)")
-    new StagedAuditTable(self, ident, info.schema(), info.properties(), replace)
+    val partCol = GraftCatalog.identityPartCol(info.partitions(), info.schema())
+    new StagedAuditTable(self, ident, info.schema(), info.properties(), replace,
+      partCol)
   }
 }
 
 final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
     stagedSchema: StructType, properties: JMap[String, String],
-    replace: Boolean)
+    replace: Boolean, partCol: Option[String] = None)
     extends StagedTable with SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -444,10 +562,12 @@ final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(stageDir.toString, info.schema(),
-      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap)
+      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
+      partCol.map(c => (c, stagedSchema(c).dataType)))
 
   override def commitStagedChanges(): Unit =
-    catalog.publishStaged(ident, stagedSchema, properties, stageDir, replace)
+    catalog.publishStaged(ident, stagedSchema, properties, stageDir, replace,
+      partCol)
 
   override def abortStagedChanges(): Unit = {
     if (java.nio.file.Files.exists(stageDir)) {

@@ -41,16 +41,97 @@ class JsonAuditSink extends TableProvider {
     new AuditTable(properties.get("path"), schema)
 }
 
+/** Hive-style single-column identity partitioning for the audit format:
+  * `<table>/<col>=<token>/` directories, each with its OWN `_MANIFEST` —
+  * the per-partition metadata that makes partition-predicate reads open
+  * only the matching directories and partition-sliced COUNT(*) stay
+  * metadata-only. Tokens are URL-encoded (filename-safe, lossless for
+  * strings), `__NULL__` encodes a null partition value. This lifts the
+  * reference's only layout idea — date-partitioned zone directories
+  * (main.py:41-46) — into the table format itself. */
+private[sources] object AuditPartition {
+  val NullToken = "__NULL__"
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  /** Partition value → filename-safe token (lossless round trip). */
+  def encode(v: Any): String = v match {
+    case null => NullToken
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      java.net.URLEncoder.encode(s.toString, "UTF-8")
+    case s: String => java.net.URLEncoder.encode(s, "UTF-8")
+    case other => other.toString
+  }
+
+  /** Token → typed partition value in InternalRow representation. */
+  def decode(token: String, dt: DataType): Any =
+    if (token == NullToken) null
+    else dt match {
+      case LongType    => token.toLong
+      case IntegerType => token.toInt
+      case StringType  => org.apache.spark.unsafe.types.UTF8String
+        .fromString(java.net.URLDecoder.decode(token, "UTF-8"))
+      case other => throw new UnsupportedOperationException(
+        s"audit partition column type $other")
+    }
+
+  /** Partition directories of the table, as (token, dirPath) ascending. */
+  def listDirs(path: String, col: String): Seq[(String, java.nio.file.Path)] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val prefix = col + "="
+    val listing = java.nio.file.Files.list(dir)
+    try listing.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .map(p => (p.getFileName.toString.stripPrefix(prefix), p))
+      .toSeq.sortBy(_._1)
+    finally listing.close()
+  }
+
+  /** (file, rows) entries of one partition directory's manifest. */
+  def manifestEntries(dir: java.nio.file.Path): Seq[(String, Long)] = {
+    val f = dir.resolve("_MANIFEST")
+    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readAllLines(f).asScala.collect {
+        case fileRe(name, r) => (name, r.toLong)
+      }.toSeq
+    else Seq.empty
+  }
+
+  def writeManifest(dir: java.nio.file.Path, entries: Seq[(String, Long)]): Unit =
+    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
+      (Seq(s"""{"files":${entries.size},"rows":${entries.map(_._2).sum}}""") ++
+        entries.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
+        .mkString("\n").getBytes("UTF-8"))
+}
+
 final class AuditTable(path: String, writeSchema: StructType,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None, partCol: Option[String] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
+  partCol.foreach { c =>
+    require(writeSchema.fieldNames.contains(c),
+      s"audit partition column $c not in schema")
+    require(AuditPartition.supported(writeSchema(c).dataType),
+      s"audit partition column $c must be long/int/string")
+    require(pinnedVersion.isEmpty,
+      "partitioned audit tables carry no epoch log (no VERSION AS OF)")
+  }
+  private def partInfo: Option[(String, DataType)] =
+    partCol.map(c => (c, writeSchema(c).dataType))
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
+  override def partitioning(): Array[Transform] =
+    partCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -70,7 +151,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema(),
-      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap)
+      info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
+      partInfo)
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -87,9 +169,9 @@ final class AuditTable(path: String, writeSchema: StructType,
       // cheap at metadata scale, wrong for a huge table. The manifests
       // give the row count for free; past the bound, canDeleteWhere=false
       // routes the delete to Spark's DISTRIBUTED row-level rewrite instead.
-      AuditDelete.tableRows(path) <= AuditDelete.MaxDriverRewriteRows
+      AuditDelete.tableRows(path, partInfo) <= AuditDelete.MaxDriverRewriteRows
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    AuditDelete.deleteWhere(path, writeSchema, filters)
+    AuditDelete.deleteWhere(path, writeSchema, filters, partInfo)
 
   /** SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
     * can't translate): group-based copy-on-write at TABLE granularity —
@@ -103,7 +185,7 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new AuditRowLevelOperation(path, writeSchema, info.command())
+    () => new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo)
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -118,22 +200,56 @@ final class AuditTable(path: String, writeSchema: StructType,
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
-    new AuditScanBuilder(path, writeSchema, version)
+    new AuditScanBuilder(path, writeSchema, version, partInfo)
   }
 }
 
 /** Scan builder: required-column pruning doubles as the metadata-column
   * hook — when Spark appends `_epoch` to the required schema, the reader
-  * fills it from the partition's epoch instead of the json payload. */
+  * fills it from the partition's epoch instead of the json payload.
+  *
+  * On PARTITIONED tables it additionally pushes partition predicates:
+  * EqualTo / In / IsNull on the partition column are claimed EXACTLY (all
+  * rows of a directory share the value and tokens round-trip losslessly),
+  * so the scan opens only matching directories — and, because no residual
+  * remains, a partition-sliced COUNT(*) still takes the metadata-only
+  * path. Anything else stays residual: pruning can never change answers. */
 final class AuditScanBuilder(path: String, writeSchema: StructType,
-    versionAsOf: Option[Long])
+    versionAsOf: Option[Long], partInfo: Option[(String, DataType)] = None,
+    // the row-level COW rewrite scan must read EVERY partition (its write
+    // truncates the whole table) — it disables partition-filter pushdown
+    allowPartFilters: Boolean = true)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNull}
   private var required: StructType = writeSchema
   private var metadataCount = false
+  private var accepted: Array[Filter] = Array.empty
+  /** Allowed partition TOKENS after pushed predicates; None = all. */
+  private var allowedTokens: Option[Set[String]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = partInfo match {
+    case None => filters // unpartitioned: nothing to prune with
+    case _ if !allowPartFilters => filters
+    case Some((col, _)) =>
+      def restrict(tokens: Set[String]): Unit =
+        allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
+      accepted = filters.filter {
+        case EqualTo(c, v) if c == col && v != null =>
+          restrict(Set(AuditPartition.encode(v))); true
+        case In(c, vs) if c == col && vs.forall(_ != null) =>
+          restrict(vs.map(AuditPartition.encode).toSet); true
+        case IsNull(c) if c == col =>
+          restrict(Set(AuditPartition.NullToken)); true
+        case _ => false
+      }
+      filters.filterNot(accepted.contains)
+  }
+  override def pushedFilters(): Array[Filter] = accepted
 
   /** Metadata-only COUNT(*): the manifests already carry exact per-file
     * row counts (kept current by append, truncate, and both delete
@@ -154,12 +270,16 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     supportCompletePushDown(aggregation) && { metadataCount = true; true }
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    if (metadataCount) new AuditCountScan(path, versionAsOf)
-    else new AuditScan(path, writeSchema, required, versionAsOf)
+    if (metadataCount) new AuditCountScan(path, versionAsOf, partInfo, allowedTokens)
+    else new AuditScan(path, writeSchema, required, versionAsOf, partInfo, allowedTokens)
 }
 
-/** The manifest-count scan: one partition, one row, zero data files read. */
-final class AuditCountScan(path: String, versionAsOf: Option[Long])
+/** The manifest-count scan: one partition, one row, zero data files read.
+  * On partitioned tables the count sums only the SURVIVING partition
+  * directories' manifests — a partition-sliced COUNT(*) stays metadata-only. */
+final class AuditCountScan(path: String, versionAsOf: Option[Long],
+    partInfo: Option[(String, DataType)] = None,
+    allowedTokens: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
@@ -169,9 +289,19 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long])
   override def toBatch: Batch = this
   override def description(): String =
     s"AuditCountScan $path (metadata-only)" +
-      versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
+      versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
+      allowedTokens.map(t => s" partitions=${t.toSeq.sorted.mkString(",")}").getOrElse("")
 
-  private def manifestCount(): Long = {
+  private def manifestCount(): Long = partInfo match {
+    case Some((col, _)) =>
+      AuditPartition.listDirs(path, col).collect {
+        case (token, dir) if allowedTokens.forall(_.contains(token)) =>
+          AuditPartition.manifestEntries(dir).map(_._2).sum
+      }.sum
+    case None => unpartitionedCount()
+  }
+
+  private def unpartitionedCount(): Long = {
     val dir = java.nio.file.Paths.get(path)
     val rowsRe = """.*"rows":(\d+)\}""".r
     val epochRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
@@ -223,17 +353,61 @@ final case class AuditCountPartition(n: Long)
   * table and receive each committed epoch as a micro-batch — the
   * write-side two-phase commit becomes an end-to-end exactly-once bus. */
 final class AuditScan(path: String, writeSchema: StructType,
-    required: StructType, versionAsOf: Option[Long])
+    required: StructType, versionAsOf: Option[Long],
+    partInfo: Option[(String, DataType)] = None,
+    allowedTokens: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.Scan
-    with org.apache.spark.sql.connector.read.Batch {
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.read._
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
+    s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
+      partInfo.map { case (c, _) =>
+        s" partitionBy=$c dirs=${survivingDirs.map(_._1).mkString(",")}"
+      }.getOrElse("")
+
+  /** Partition dirs surviving the pushed partition predicates (pinned once:
+    * outputPartitioning's numPartitions must equal planInputPartitions'
+    * length, so both must see one listing). */
+  private lazy val survivingDirs: Seq[(String, java.nio.file.Path)] =
+    partInfo.toSeq.flatMap { case (col, _) =>
+      AuditPartition.listDirs(path, col)
+        .filter { case (token, _) => allowedTokens.forall(_.contains(token)) }
+    }
+
+  /** One InputPartition per partition DIRECTORY (all its manifest files),
+    * each carrying its decoded key — the [[HasPartitionKey]] +
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * contract that licenses storage-partitioned joins: two audit tables
+    * partitioned on the same column co-locate by construction and join
+    * with ZERO exchanges (spark.sql.sources.v2.bucketing.enabled). A real
+    * deployment would split large partitions by file and let Spark's
+    * partition grouping re-cluster them; one-group-per-dir is the honest
+    * granularity while a directory is one task's worth of data. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    partInfo match {
+      case Some((col, _)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
+          survivingDirs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    partInfo match {
+      case Some((_, dt)) =>
+        return survivingDirs.map { case (token, dir) =>
+          AuditDirPartition(
+            AuditPartition.manifestEntries(dir).map(f => dir.resolve(f._1).toString),
+            token, dt): InputPartition
+        }.toArray
+      case None => ()
+    }
     val dir = java.nio.file.Paths.get(path)
     val wanted = versionAsOf match {
       case Some(v) => AuditScan.committedEpochs(path).filter(_ <= v).toSet
@@ -293,6 +467,17 @@ private[sources] object AuditScan {
 final case class AuditFilePartition(file: String, epoch: Option[Long])
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** One partition DIRECTORY of a partitioned audit table; `partitionKey`
+  * exposes the decoded value so Spark can key-group for SPJ. */
+final case class AuditDirPartition(files: Seq[String], token: String,
+    dt: DataType)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](AuditPartition.decode(token, dt)))
+}
+
 /** Tail the `_EPOCHS` commit log as a micro-batch stream: offset = number
   * of committed epochs consumed. Epochs are immutable once committed (the
   * writer's replay discipline rewrites, never reorders), so the offset →
@@ -338,35 +523,48 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[AuditFilePartition]
+    val (files, epoch) = partition match {
+      case p: AuditFilePartition => (Seq(p.file), p.epoch)
+      case p: AuditDirPartition  => (p.files, None)
+    }
     // map each required field to its write-schema index, or -1 for _epoch
     val srcIdx = required.fields.map {
       case f if f.name == "_epoch" => -1
       case f => writeSchema.fieldIndex(f.name)
     }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private val lines = java.nio.file.Files.lines(
-        java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
-      private val it = lines.iterator()
+      private val fileIt = files.iterator
+      private var lines: java.util.stream.Stream[String] = _
+      private var it: java.util.Iterator[String] = java.util.Collections.emptyIterator()
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) {
-          val full = AuditJson.parseLine(it.next(), writeSchema)
-          val vals = new Array[Any](srcIdx.length)
-          var i = 0
-          while (i < srcIdx.length) {
-            vals(i) =
-              if (srcIdx(i) == -1) p.epoch.map(Long.box).orNull
-              else if (full.isNullAt(srcIdx(i))) null
-              else full.get(srcIdx(i), writeSchema(srcIdx(i)).dataType)
-            i += 1
-          }
-          row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(vals)
+      private def advanceFile(): Boolean =
+        if (!fileIt.hasNext) false
+        else {
+          if (lines != null) lines.close()
+          lines = java.nio.file.Files.lines(
+            java.nio.file.Paths.get(fileIt.next()),
+            java.nio.charset.StandardCharsets.UTF_8)
+          it = lines.iterator()
           true
-        } else false
+        }
+      override def next(): Boolean = {
+        while (!it.hasNext) if (!advanceFile()) return false
+        val full = AuditJson.parseLine(it.next(), writeSchema)
+        val vals = new Array[Any](srcIdx.length)
+        var i = 0
+        while (i < srcIdx.length) {
+          vals(i) =
+            if (srcIdx(i) == -1) epoch.map(Long.box).orNull
+            else if (full.isNullAt(srcIdx(i))) null
+            else full.get(srcIdx(i), writeSchema(srcIdx(i)).dataType)
+          i += 1
+        }
+        row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals)
+        true
+      }
       override def get(): InternalRow = row
-      override def close(): Unit = lines.close()
+      override def close(): Unit = if (lines != null) lines.close()
     }
   }
 }
@@ -374,15 +572,16 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
 /** The row-level operation: scan current rows, write the replacement state
   * as a truncate+publish batch commit. */
 final class AuditRowLevelOperation(path: String, schema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    partInfo: Option[(String, DataType)] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new AuditScanBuilder(path, schema, None)
+    new AuditScanBuilder(path, schema, None, partInfo, allowPartFilters = false)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new AuditWriteBuilder(path, info.schema())
+    val b = new AuditWriteBuilder(path, info.schema(), Map.empty, partInfo)
     b.truncate()
     b
   }
@@ -409,7 +608,11 @@ private[sources] object AuditDelete {
   val MaxDriverRewriteRows: Long = 10L * 1000 * 1000
 
   /** Total committed rows, straight from the manifests (no data read). */
-  def tableRows(path: String): Long = {
+  def tableRows(path: String, partInfo: Option[(String, DataType)] = None): Long = {
+    partInfo.foreach { case (col, _) =>
+      return AuditPartition.listDirs(path, col)
+        .map { case (_, d) => AuditPartition.manifestEntries(d).map(_._2).sum }.sum
+    }
     val dir = java.nio.file.Paths.get(path)
     val rowsRe = """.*"rows":(\d+)\}""".r
     def sumOf(name: String, dropHeader: Boolean): Long = {
@@ -489,7 +692,8 @@ private[sources] object AuditDelete {
     }
   }
 
-  def deleteWhere(path: String, schema: StructType, filters: Array[Filter]): Unit = {
+  def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
+      partInfo: Option[(String, DataType)] = None): Unit = {
     val dir = java.nio.file.Paths.get(path)
     def keep(line: String): Boolean = {
       val row = AuditJson.parseLine(line, schema)
@@ -523,6 +727,16 @@ private[sources] object AuditDelete {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       kept.size.toLong
+    }
+    // partitioned table: rewrite inside each partition dir, refresh its
+    // own manifest (per-partition metadata stays exact through deletes)
+    partInfo.foreach { case (col, _) =>
+      AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+        val updated = AuditPartition.manifestEntries(pdir)
+          .map { case (f, _) => (f, rewrite(pdir.resolve(f))) }
+        AuditPartition.writeManifest(pdir, updated)
+      }
+      return
     }
     // batch manifest: rewrite files, refresh per-file counts
     val manifestFile = dir.resolve("_MANIFEST")
@@ -645,7 +859,8 @@ private[sources] object AuditJson {
 }
 
 final class AuditWriteBuilder(path: String, schema: StructType,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    partInfo: Option[(String, DataType)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -675,10 +890,19 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       options.get("sortby").toArray.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
 
-    override def toBatch: BatchWrite = new AuditBatchWrite(path, schema, truncateFirst)
+    override def toBatch: BatchWrite = partInfo match {
+      case Some((col, _)) =>
+        new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
+          schema.fieldIndex(col))
+      case None => new AuditBatchWrite(path, schema, truncateFirst)
+    }
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(partInfo.isEmpty,
+        "audit: streaming writes to PARTITIONED tables are unsupported " +
+          "(the epoch log is table-level; batch INSERT/CTAS routes by partition)")
       new AuditStreamingWrite(path, schema)
+    }
   }
 }
 
@@ -822,20 +1046,13 @@ final class AuditWriterFactory(path: String, schema: StructType)
     new AuditDataWriter(path, schema, partitionId, taskId)
 }
 
-final class AuditDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  // attempt-unique staged name: retries/speculation can never collide
-  private val stagedName = f"stage-$partitionId%05d-$taskId.jsonl"
-  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
-  java.nio.file.Files.createDirectories(stageDir)
-  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
-  private var rows = 0L
-
+/** Shared row→jsonl serialization (batch, streaming, and partitioned
+  * writers all emit the identical line format the reader parses). */
+private[sources] object AuditRowJson {
   /** JSON string escaping — backslash, quote, AND control characters
     * (a raw newline in a value would split one record across two invalid
     * JSON lines, breaking both the framing and the read-back round trip). */
-  private def esc(s: String): String = {
+  def esc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -853,7 +1070,7 @@ final class AuditDataWriter(path: String, schema: StructType,
     sb.toString
   }
 
-  override def write(record: InternalRow): Unit = {
+  def line(schema: StructType, record: InternalRow): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       val v = f.dataType match {
         case _ if record.isNullAt(i) => "null"
@@ -868,7 +1085,22 @@ final class AuditDataWriter(path: String, schema: StructType,
       }
       "\"" + f.name + "\":" + v
     }
-    out.write(fields.mkString("{", ",", "}"))
+    fields.mkString("{", ",", "}")
+  }
+}
+
+final class AuditDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  // attempt-unique staged name: retries/speculation can never collide
+  private val stagedName = f"stage-$partitionId%05d-$taskId.jsonl"
+  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  java.nio.file.Files.createDirectories(stageDir)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    out.write(AuditRowJson.line(schema, record))
     out.write("\n")
     rows += 1
   }
@@ -884,4 +1116,116 @@ final class AuditDataWriter(path: String, schema: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+final class AuditPartitionedWriterFactory(path: String, schema: StructType,
+    partIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId)
+}
+
+final case class AuditPartCommitMessage(
+    entries: Seq[(String, String, Long)]) // (token, stagedName, rows)
+  extends WriterCommitMessage
+
+/** Partition-routing DataWriter: one staged file per partition VALUE per
+  * task (Hive-style dynamic partitioning). The task does no shuffle of its
+  * own — callers that want one file per partition ask Spark for a
+  * clusterBy distribution via the existing write options; this writer
+  * just routes whatever rows reach it. */
+final class AuditPartitionedDataWriter(path: String, schema: StructType,
+    partIdx: Int, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  java.nio.file.Files.createDirectories(stageDir)
+  private val outs = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, String, Array[Long])]
+  private val partDt = schema(partIdx).dataType
+
+  private def writerFor(token: String) = outs.getOrElseUpdate(token, {
+    val staged = f"stage-$partitionId%05d-$taskId-$token.jsonl"
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
+    (w, staged, Array(0L))
+  })
+
+  override def write(record: InternalRow): Unit = {
+    val token = AuditPartition.encode(
+      if (record.isNullAt(partIdx)) null else record.get(partIdx, partDt))
+    val (w, _, n) = writerFor(token)
+    w.write(AuditRowJson.line(schema, record))
+    w.write("\n")
+    n(0) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    outs.values.foreach(_._1.close())
+    AuditPartCommitMessage(outs.map { case (token, (_, staged, n)) =>
+      (token, staged, n(0))
+    }.toSeq)
+  }
+
+  override def abort(): Unit = {
+    outs.values.foreach { case (w, staged, _) =>
+      w.close()
+      java.nio.file.Files.deleteIfExists(stageDir.resolve(staged))
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Commit for partitioned tables: group staged files by partition token,
+  * publish into `<col>=<token>/` dirs, refresh each dir's `_MANIFEST` —
+  * per-partition metadata, so readers and counts touch only matching
+  * directories. Same all-tasks-succeeded-then-rename discipline as the
+  * unpartitioned write. */
+final class AuditPartitionedBatchWrite(path: String, schema: StructType,
+    truncateFirst: Boolean, col: String, partIdx: Int) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditPartitionedWriterFactory(path, schema, partIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    if (truncateFirst)
+      AuditPartition.listDirs(path, col).foreach { case (_, d) =>
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    val byToken = messages.toSeq
+      .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
+      .groupBy(_._1)
+    byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
+      val pdir = dir.resolve(s"$col=$token")
+      java.nio.file.Files.createDirectories(pdir)
+      val prior = AuditPartition.manifestEntries(pdir)
+      val start = prior.size
+      val added = entries.sortBy(_._2).zipWithIndex.map {
+        case ((_, staged, rows), i) =>
+          val name = f"part-${start + i}%05d.jsonl"
+          java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (name, rows)
+      }
+      AuditPartition.writeManifest(pdir, prior ++ added)
+    }
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }

@@ -274,6 +274,98 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.int_del")
   }
 
+  test("partitioned audit table: routing, pruned reads, metadata count, DML") {
+    init()
+    spark.sql(
+      """CREATE TABLE graft.db.psales (flag STRING, qty BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.psales VALUES ('A', 1), ('B', 2), ('A', 3), ('C', 4)")
+    // layout: one dir per value, each with its own manifest
+    val dirs = new java.io.File(s"$wh/db/psales").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("flag=A", "flag=B", "flag=C"))
+    assert(new java.io.File(s"$wh/db/psales/flag=A/_MANIFEST").exists())
+    // a partition-predicate read plans ONLY that partition's files
+    val q = spark.sql("SELECT qty FROM graft.db.psales WHERE flag = 'A'")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputPartitions.collect { case p: AuditDirPartition => p }
+    assert(parts.map(_.token) === Seq("A"), scan.toString)
+    assert(parts.flatMap(_.files).forall(_.contains("flag=A")))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // partition-sliced COUNT(*) stays metadata-only
+    val cnt = spark.sql("SELECT count(*) FROM graft.db.psales WHERE flag IN ('A','B')")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      cnt.queryExecution.executedPlan.toString.take(800))
+    assert(cnt.head.getLong(0) === 3L)
+    // metadata DELETE rewrites inside partition dirs, keeps counts exact
+    spark.sql("DELETE FROM graft.db.psales WHERE qty = 3")
+    assert(spark.sql("SELECT count(*) FROM graft.db.psales").head.getLong(0) === 3L)
+    // the COW UPDATE must NOT lose unmatched partitions (its scan reads all)
+    spark.sql("UPDATE graft.db.psales SET qty = qty * 10 WHERE flag = 'A'")
+    val after = spark.sql("SELECT flag, qty FROM graft.db.psales ORDER BY flag")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(after.toSeq === Seq(("A", 10L), ("B", 2L), ("C", 4L)))
+    spark.sql("DROP TABLE graft.db.psales")
+  }
+
+  test("CTAS PARTITIONED BY publishes a partitioned table atomically") {
+    init()
+    spark.sql(
+      """CREATE TABLE graft.db.pctas USING audit PARTITIONED BY (k)
+        |AS SELECT id % 3 AS k, id AS v FROM range(9)""".stripMargin)
+    val dirs = new java.io.File(s"$wh/db/pctas").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("k=0", "k=1", "k=2"))
+    val pruned = spark.sql("SELECT sum(v) FROM graft.db.pctas WHERE k = 1")
+    assert(pruned.head.getLong(0) === 1L + 4L + 7L)
+    spark.sql("DROP TABLE graft.db.pctas")
+  }
+
+  test("storage-partitioned join: audit-to-audit on the partition key, zero exchanges") {
+    init()
+    spark.sql(
+      """CREATE TABLE graft.db.spj_a (flag STRING, qty BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.db.spj_b (flag STRING, price BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.spj_a VALUES ('A', 1), ('B', 2), ('C', 3), ('A', 4)")
+    spark.sql(
+      "INSERT INTO graft.db.spj_b VALUES ('A', 10), ('B', 20), ('C', 30)")
+    val was = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val wasBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // force the shuffle-or-SPJ decision (broadcast would mask it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        """SELECT a.flag, a.qty, b.price FROM graft.db.spj_a a
+          |JOIN graft.db.spj_b b ON a.flag = b.flag""".stripMargin)
+      val rows = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq === Seq(("A", 1L, 10L), ("A", 4L, 10L),
+        ("B", 2L, 20L), ("C", 3L, 30L)))
+      // inspect only the FINAL adaptive plan (toString appends the initial
+      // pre-AQE plan, which legitimately still shows ensure-requirements
+      // exchanges that never ran)
+      val full = j.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), full.take(1500))
+      assert(!plan.contains("Exchange"),
+        "SPJ should elide both join-side exchanges:\n" + full.take(2500))
+    } finally {
+      was.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      wasBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE graft.db.spj_a")
+      spark.sql("DROP TABLE graft.db.spj_b")
+    }
+  }
+
   test("metadata survives hostile property values (quotes, backslashes, schema token)") {
     init()
     spark.sql(
