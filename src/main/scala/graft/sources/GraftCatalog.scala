@@ -487,14 +487,77 @@ object CatalogApi {
       |FROM l JOIN r ON l.l_returnflag = r.l_returnflag
       |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin
 
+  /** Delta-granular MERGE, oracle-checked: the table takes an aggregate of
+    * lineitem, then MERGE updates every matched group and inserts a
+    * sentinel group — through the [[AuditDeltaOperation]] path, so the
+    * original files stay in place and only delete vectors + the changed
+    * rows are written (the spec proves the mechanics; this hash-checks
+    * the values), then a modulo DELETE routes through delta too. */
+  def catalogMergeDelta(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qm_wh")
+    spark.conf.set("spark.sql.catalog.graft_qm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qm.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li4")
+    spark.sql("DROP TABLE IF EXISTS graft_qm.db.mflags")
+    spark.sql(
+      """CREATE TABLE graft_qm.db.mflags (
+        |  l_returnflag STRING, l_linestatus STRING,
+        |  n_rows BIGINT, sum_qty BIGINT) USING audit""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qm.db.mflags
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM graft_cat_li4
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_qm.db.mflags t
+        |USING (
+        |  SELECT l_linestatus, count(*) AS ls_rows
+        |  FROM graft_cat_li4 GROUP BY l_linestatus
+        |  UNION ALL SELECT 'Z' AS l_linestatus, 999 AS ls_rows
+        |) s
+        |ON t.l_linestatus = s.l_linestatus
+        |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + s.ls_rows
+        |WHEN NOT MATCHED THEN INSERT
+        |  (l_returnflag, l_linestatus, n_rows, sum_qty)
+        |  VALUES ('Z', s.l_linestatus, 0, s.ls_rows)""".stripMargin)
+    spark.sql("DELETE FROM graft_qm.db.mflags WHERE n_rows % 2 = 1")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |FROM graft_qm.db.mflags
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val catalogMergeDeltaSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+      |s AS (
+      |  SELECT l_linestatus, count(*) AS ls_rows
+      |  FROM lineitem GROUP BY l_linestatus),
+      |merged AS (
+      |  SELECT t.l_returnflag, t.l_linestatus, t.n_rows,
+      |         t.sum_qty + s.ls_rows AS sum_qty
+      |  FROM t JOIN s ON t.l_linestatus = s.l_linestatus
+      |  UNION ALL
+      |  SELECT 'Z', 'Z', CAST(0 AS BIGINT), CAST(999 AS BIGINT))
+      |SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+      |FROM merged
+      |WHERE n_rows % 2 = 0
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_audit_partition" -> (auditPartition _),
-      "q_audit_spj" -> (auditSpj _))
+      "q_audit_spj" -> (auditSpj _),
+      "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_audit_partition" -> auditPartitionSql,
-      "q_audit_spj" -> auditSpjSql)
+      "q_audit_spj" -> auditSpjSql,
+      "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 
 /** Atomic CTAS / RTAS: the staging half of the catalog. The staged table

@@ -139,16 +139,34 @@ final class AuditTable(path: String, writeSchema: StructType,
 
   /** `_epoch` metadata column: which two-phase-committed epoch a row landed
     * in (null for batch-committed files). `SELECT *, _epoch FROM t` is the
-    * audit question this table exists to answer. */
+    * audit question this table exists to answer. `_file`/`_pos` are the
+    * STABLE ROW ID (committed file name + line position) that powers the
+    * delta-granular DML path: positions never move because delta DML only
+    * ever appends files and delete-vector entries — files are rewritten
+    * solely by the retroactive metadata DELETE, which refuses to run while
+    * vectors reference them. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_epoch"
-      override def dataType(): org.apache.spark.sql.types.DataType = LongType
-      override def isNullable: Boolean = true
-      override def comment(): String =
-        "streaming commit epoch this row was published in (null for batch commits)"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_epoch"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "streaming commit epoch this row was published in (null for batch commits)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "committed file this row lives in"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "line position of this row within _file"
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema(),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
@@ -185,7 +203,15 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo)
+    () => partInfo match {
+      // unpartitioned tables take the DELTA path: DML writes only changed
+      // rows (delete vectors + an appended file) and epoch lineage survives
+      case None    => new AuditDeltaOperation(path, writeSchema, info.command())
+      // partitioned tables keep group-based copy-on-write (they carry no
+      // epoch log, and their per-partition manifests rewrite cheaply)
+      case Some(_) =>
+        new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo)
+    }
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -298,7 +324,11 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
         case (token, dir) if allowedTokens.forall(_.contains(token)) =>
           AuditPartition.manifestEntries(dir).map(_._2).sum
       }.sum
-    case None => unpartitionedCount()
+    case None =>
+      // current-state counts subtract the delete vectors (kept exact by
+      // append's dedup); pinned reads ignore vectors, so no adjustment
+      unpartitionedCount() -
+        (if (versionAsOf.isEmpty) AuditDeletes.count(path) else 0L)
   }
 
   private def unpartitionedCount(): Long = {
@@ -425,8 +455,13 @@ final class AuditScan(path: String, writeSchema: StructType,
           case fileRe(f) => (f, None)
         }.toSeq
       else Seq.empty
+    // delete vectors apply to CURRENT-state reads only: pinned reads
+    // reconstruct pure epoch history (delta DML never retro-edits it)
+    val vectors: Map[String, Set[Long]] =
+      if (versionAsOf.isEmpty) AuditDeletes.read(path) else Map.empty
     (batchFiles ++ epochFiles).map { case (f, e) =>
-      AuditFilePartition(dir.resolve(f).toString, e): InputPartition
+      AuditFilePartition(dir.resolve(f).toString, e,
+        vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
     }.toArray
   }
 
@@ -436,6 +471,60 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new AuditMicroBatchStream(path, writeSchema, required)
+}
+
+/** DELETE VECTORS: `_DELETES` holds one json line per delta-deleted row —
+  * `{"file":"part-...","pos":N}` — the minimal positional delete file of
+  * the big table formats. Delta DML appends here instead of rewriting
+  * data files, which is what keeps (a) an UPDATE of 10 rows writing ~10
+  * rows instead of the whole table, and (b) epoch history intact: pinned
+  * (`VERSION AS OF`) reads reconstruct pure epoch state and ignore
+  * vectors, so DML never retro-edits history (the retroactive compliance
+  * path remains the metadata DELETE, which refuses to run while vectors
+  * exist and so never invalidates a position). At 100 TB the one-line-per
+  * -row encoding would become a compressed bitmap per file (Puffin-style);
+  * the contract — append-only vectors, never moving a committed row — is
+  * the part that scales. */
+private[sources] object AuditDeletes {
+  private val LineRe = """\{"file":"([^"]+)","pos":(\d+)\}""".r
+
+  def file(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve("_DELETES")
+
+  def exists(path: String): Boolean = java.nio.file.Files.exists(file(path))
+
+  def read(path: String): Map[String, Set[Long]] =
+    if (!exists(path)) Map.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case LineRe(f, p) => (f, p.toLong)
+    }.groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
+
+  def count(path: String): Long =
+    if (!exists(path)) 0L
+    else {
+      val lines = java.nio.file.Files.lines(file(path))
+      try lines.count() finally lines.close()
+    }
+
+  /** Append new vector entries (dedup against the existing set: a replayed
+    * task attempt or an idempotent MERGE must not double-count). */
+  def append(path: String, entries: Seq[(String, Long)]): Unit = {
+    if (entries.isEmpty) return
+    val prior = read(path)
+    val fresh = entries.distinct.filterNot { case (f, p) =>
+      prior.get(f).exists(_.contains(p))
+    }
+    if (fresh.isEmpty) return
+    val f = file(path)
+    java.nio.file.Files.write(f,
+      fresh.map { case (n, p) => s"""{"file":"$n","pos":$p}""" + "\n" }
+        .mkString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def clear(path: String): Unit =
+    java.nio.file.Files.deleteIfExists(file(path))
 }
 
 private[sources] object AuditScan {
@@ -464,7 +553,8 @@ private[sources] object AuditScan {
   }
 }
 
-final case class AuditFilePartition(file: String, epoch: Option[Long])
+final case class AuditFilePartition(file: String, epoch: Option[Long],
+    deleted: Seq[Long] = Nil)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** One partition DIRECTORY of a partitioned audit table; `partitionKey`
@@ -523,40 +613,57 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val (files, epoch) = partition match {
-      case p: AuditFilePartition => (Seq(p.file), p.epoch)
-      case p: AuditDirPartition  => (p.files, None)
+    val (files, epoch, deleted) = partition match {
+      case p: AuditFilePartition => (Seq(p.file), p.epoch, p.deleted.toSet)
+      case p: AuditDirPartition  => (p.files, None, Set.empty[Long])
     }
-    // map each required field to its write-schema index, or -1 for _epoch
+    // map each required field to its write-schema index, or a negative
+    // sentinel for the metadata columns (_epoch/_file/_pos)
     val srcIdx = required.fields.map {
       case f if f.name == "_epoch" => -1
+      case f if f.name == "_file"  => -2
+      case f if f.name == "_pos"   => -3
       case f => writeSchema.fieldIndex(f.name)
     }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val fileIt = files.iterator
       private var lines: java.util.stream.Stream[String] = _
       private var it: java.util.Iterator[String] = java.util.Collections.emptyIterator()
+      private var fileName: org.apache.spark.unsafe.types.UTF8String = _
+      private var pos = -1L // line position within the current file
       private var row: InternalRow = _
       private def advanceFile(): Boolean =
         if (!fileIt.hasNext) false
         else {
           if (lines != null) lines.close()
-          lines = java.nio.file.Files.lines(
-            java.nio.file.Paths.get(fileIt.next()),
+          val p = java.nio.file.Paths.get(fileIt.next())
+          fileName = org.apache.spark.unsafe.types.UTF8String
+            .fromString(p.getFileName.toString)
+          pos = -1L
+          lines = java.nio.file.Files.lines(p,
             java.nio.charset.StandardCharsets.UTF_8)
           it = lines.iterator()
           true
         }
       override def next(): Boolean = {
-        while (!it.hasNext) if (!advanceFile()) return false
-        val full = AuditJson.parseLine(it.next(), writeSchema)
+        var line: String = null
+        do {
+          while (!it.hasNext) if (!advanceFile()) return false
+          line = it.next()
+          pos += 1
+        } while (deleted.contains(pos)) // vector-deleted rows never surface
+        val full = AuditJson.parseLine(line, writeSchema)
         val vals = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {
-          vals(i) =
-            if (srcIdx(i) == -1) epoch.map(Long.box).orNull
-            else if (full.isNullAt(srcIdx(i))) null
-            else full.get(srcIdx(i), writeSchema(srcIdx(i)).dataType)
+          vals(i) = srcIdx(i) match {
+            case -1 => epoch.map(Long.box).orNull
+            case -2 => fileName
+            case -3 => pos
+            case s  =>
+              if (full.isNullAt(s)) null
+              else full.get(s, writeSchema(s).dataType)
+          }
           i += 1
         }
         row = new org.apache.spark.sql.catalyst.expressions
@@ -596,6 +703,153 @@ final class AuditRowLevelOperation(path: String, schema: StructType,
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_epoch"))
+}
+
+/** DELTA-granular row-level operations ([[org.apache.spark.sql.connector
+  * .write.SupportsDelta]]): UPDATE / MERGE / fallback-DELETE write ONLY
+  * the changed rows. The scan exposes `(_file, _pos)` as the stable row
+  * id; Spark's WriteDelta plan calls `delete`/`update`/`insert` per
+  * matched row, and commit publishes (a) the replacement/new rows as an
+  * ordinary appended batch file and (b) one delete-vector entry per
+  * removed row id — no committed file is ever rewritten, so an UPDATE of
+  * 10 rows costs ~10 rows at any table size (the table-granular
+  * copy-on-write this replaces was the format's one true scale-killer)
+  * and `VERSION AS OF` keeps resolving pre-DML epochs afterwards. */
+final class AuditDeltaOperation(path: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new AuditScanBuilder(path, schema, None)
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new AuditDeltaWrite(path, info.schema())
+    }
+}
+
+final class AuditDeltaWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new AuditDeltaBatchWrite(path, schema)
+}
+
+final case class AuditDeltaCommitMessage(staged: Option[String], rows: Long,
+    deletes: Seq[(String, Long)]) extends WriterCommitMessage
+
+final class AuditDeltaWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new AuditDeltaWriter(path, schema, partitionId, taskId)
+}
+
+/** Per-task delta writer: inserts/updated rows stream into ONE staged
+  * file; deleted row ids buffer as (file, pos) pairs in the commit
+  * message (metadata-sized: one pair per changed row, not per table row). */
+final class AuditDeltaWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val stagedName = f"stage-delta-$partitionId%05d-$taskId.jsonl"
+  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  private var out: java.io.BufferedWriter = _
+  private var rows = 0L
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (out == null) {
+      java.nio.file.Files.createDirectories(stageDir)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
+    }
+    out.write(AuditRowJson.line(schema, row))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    AuditDeltaCommitMessage(if (rows > 0) Some(stagedName) else None, rows,
+      deletes.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    java.nio.file.Files.deleteIfExists(stageDir.resolve(stagedName))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Delta commit: append the replacement rows as ordinary batch files
+  * (extending `_MANIFEST` numbering) and merge the delete vectors — two
+  * metadata appends, zero data-file rewrites. */
+final class AuditDeltaBatchWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new AuditDeltaWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
+    val manifestFile = dir.resolve("_MANIFEST")
+    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+    val prior: Seq[(String, Long)] =
+      if (java.nio.file.Files.exists(manifestFile))
+        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
+          case fileRe(f, r) => (f, r.toLong)
+        }.toSeq
+      else Seq.empty
+    val start = prior.size
+    val added = msgs.flatMap(m => m.staged.map((_, m.rows))).sortBy(_._1)
+      .zipWithIndex.map { case ((staged, rows), i) =>
+        val name = f"part-${start + i}%05d.jsonl"
+        java.nio.file.Files.move(stage.resolve(staged), dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (name, rows)
+      }
+    if (added.nonEmpty || !java.nio.file.Files.exists(manifestFile)) {
+      val all = prior ++ added
+      java.nio.file.Files.write(manifestFile,
+        (Seq(s"""{"files":${all.size},"rows":${all.map(_._2).sum}}""") ++
+          all.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
+          .mkString("\n").getBytes("UTF-8"))
+    }
+    AuditDeletes.append(path, msgs.flatMap(_.deletes))
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    messages.foreach {
+      case AuditDeltaCommitMessage(Some(staged), _, _) =>
+        java.nio.file.Files.deleteIfExists(stage.resolve(staged))
+      case _ => ()
+    }
+  }
 }
 
 /** Copy-on-write DELETE over the committed file set. Filter evaluation is
@@ -695,6 +949,12 @@ private[sources] object AuditDelete {
   def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
       partInfo: Option[(String, DataType)] = None): Unit = {
     val dir = java.nio.file.Paths.get(path)
+    // TRUNCATE reaches this path DIRECTLY (TruncatableTable.truncateTable
+    // does not consult canDeleteWhere), so delete vectors may exist here:
+    // fold them into the rewrite — a compacted file keeps neither
+    // filter-matched nor vector-deleted rows — then clear the vector file,
+    // since compaction shifted every surviving position.
+    val vectors = AuditDeletes.read(path)
     def keep(line: String): Boolean = {
       val row = AuditJson.parseLine(line, schema)
       val byName: String => Any = { name =>
@@ -717,9 +977,12 @@ private[sources] object AuditDelete {
       !filters.forall(f => eval(f, byName).contains(true))
     }
     def rewrite(file: java.nio.file.Path): Long = {
+      val gone = vectors.getOrElse(file.getFileName.toString, Set.empty)
       val lines = java.nio.file.Files.readAllLines(file,
         java.nio.charset.StandardCharsets.UTF_8).asScala
-      val kept = lines.filter(keep)
+      val kept = lines.zipWithIndex.collect {
+        case (l, pos) if !gone.contains(pos.toLong) && keep(l) => l
+      }
       val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
@@ -777,6 +1040,7 @@ private[sources] object AuditDelete {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    AuditDeletes.clear(path) // folded into the rewrite above
   }
 }
 
@@ -997,8 +1261,9 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
         .foreach(java.nio.file.Files.delete)
       finally listing.close()
       // epoch part files die with the truncate — a stale epoch log would
-      // point versioned readers at deleted files
+      // point versioned readers at deleted files; same for delete vectors
       java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
+      AuditDeletes.clear(path)
     }
     // append commits extend the manifest (and number files after the
     // already-committed set) instead of clobbering it — a second INSERT

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -364,6 +366,64 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE graft.db.spj_a")
       spark.sql("DROP TABLE graft.db.spj_b")
     }
+  }
+
+  test("delta DML: MERGE/UPDATE/DELETE write only changed rows and preserve epoch lineage") {
+    init()
+    spark.sql("CREATE TABLE graft.db.dlt (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dlt_ckpt")
+    // 4 streamed epochs: ids 0..399, v = duration formula
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/dlt")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tdir = java.nio.file.Paths.get(s"$wh/db/dlt")
+    def epochBytes(): Map[String, Long] = {
+      val l = java.nio.file.Files.list(tdir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-e")).map(f =>
+          (f, java.nio.file.Files.size(tdir.resolve(f)))).toMap
+      finally l.close()
+    }
+    val before = epochBytes()
+    val preMergeV1 = spark.sql(
+      "SELECT sum(v), count(*) FROM graft.db.dlt VERSION AS OF 1").head
+    // MERGE: one matched row becomes a delete-vector + appended row, one
+    // unmatched row appends — committed epoch files must NOT be rewritten
+    spark.sql(
+      """MERGE INTO graft.db.dlt t
+        |USING (SELECT * FROM VALUES (5L, 111L), (1000L, 222L) AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(epochBytes() === before, "delta DML must not rewrite epoch files")
+    assert(java.nio.file.Files.exists(tdir.resolve("_DELETES")))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dlt").head.getLong(0) === 401L)
+    assert(spark.sql("SELECT v FROM graft.db.dlt WHERE id = 5").head.getLong(0) === 111L)
+    assert(spark.sql("SELECT v FROM graft.db.dlt WHERE id = 1000").head.getLong(0) === 222L)
+    // epoch lineage SURVIVES the merge: the pinned read is byte-identical
+    assert(spark.sql(
+      "SELECT sum(v), count(*) FROM graft.db.dlt VERSION AS OF 1").head === preMergeV1)
+    // UPDATE takes the delta path too
+    spark.sql("UPDATE graft.db.dlt SET v = 0 WHERE id = 7")
+    assert(epochBytes() === before)
+    assert(spark.sql("SELECT v FROM graft.db.dlt WHERE id = 7").head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dlt").head.getLong(0) === 401L)
+    // a DELETE the metadata path can't translate routes through delta:
+    // vectors grow, files stay, metadata count stays exact
+    spark.sql("DELETE FROM graft.db.dlt WHERE id % 2 = 1 AND id < 400")
+    assert(epochBytes() === before)
+    val cnt = spark.sql("SELECT count(*) FROM graft.db.dlt")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 201L)
+    assert(spark.sql(
+      "SELECT sum(v), count(*) FROM graft.db.dlt VERSION AS OF 1").head === preMergeV1)
+    spark.sql("DROP TABLE graft.db.dlt")
   }
 
   test("metadata survives hostile property values (quotes, backslashes, schema token)") {
