@@ -548,13 +548,89 @@ object CatalogApi {
       |WHERE n_rows % 2 = 0
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Change feed, oracle-checked: four streamed epochs + a delta MERGE +
+    * a delta DELETE produce a deterministic event history — insert events
+    * per epoch, delta inserts, and delete events carrying the ORIGINAL row
+    * values. The rollup per (change type, commit epoch) is rebuilt by the
+    * DuckDB oracle from the paged source's row formulas, so the feed's
+    * event semantics (not just its counts) are hash-checked. */
+  def auditCdf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qc_wh")
+    spark.conf.set("spark.sql.catalog.graft_qc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qc.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qc.db.cdf")
+    spark.sql("CREATE TABLE graft_qc.db.cdf (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qc_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("cdf").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      """MERGE INTO graft_qc.db.cdf t
+        |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+        |       AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft_qc.db.cdf WHERE id % 100 = 3 AND id < 400")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_epoch",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(cdfSchema).format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("cdf").toString)
+      .option("changeFeed", "true").load()
+      .groupBy(col("_change_type").as("change_type"),
+        coalesce(col("_commit_epoch"), lit(-1L)).as("commit_epoch"))
+      .agg(count(lit(1)).as("n_events"), sum(col("id")).as("sum_id"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("change_type"), col("commit_epoch"))
+  }
+
+  val auditCdfSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |),
+      |ev AS (
+      |  SELECT 'insert' AS change_type, id // 100 AS commit_epoch, id, v FROM src
+      |  UNION ALL
+      |  SELECT 'insert', CAST(-1 AS BIGINT), id, v
+      |  FROM (VALUES (5, 111), (17, 111), (1000, 222)) AS m(id, v)
+      |  UNION ALL
+      |  SELECT 'delete', CAST(-1 AS BIGINT), id, v FROM src
+      |  WHERE id IN (5, 17) OR id % 100 = 3
+      |)
+      |SELECT change_type, commit_epoch, count(*) AS n_events,
+      |       CAST(sum(id) AS BIGINT) AS sum_id, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM ev
+      |GROUP BY change_type, commit_epoch
+      |ORDER BY change_type, commit_epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
+      "q_audit_cdf" -> (auditCdf _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
+      "q_audit_cdf" -> auditCdfSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)

@@ -224,6 +224,19 @@ final class AuditTable(path: String, writeSchema: StructType,
     * started. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
+    // CHANGE FEED read: option("changeFeed","true") with a read schema of
+    // the data columns + _change_type (+ optional _commit_epoch) — every
+    // committed row arrives as an 'insert' event and every delete-vector
+    // entry as a 'delete' event carrying the original row values, batch
+    // AND streaming (the streaming tail turns delta DML into a true CDF).
+    if (Option(options.get("changeFeed")).exists(_.toBoolean)) {
+      require(partInfo.isEmpty,
+        "audit: changeFeed reads are for unpartitioned (epoch/delta) tables")
+      require(writeSchema.fieldNames.contains("_change_type"),
+        "audit changeFeed: the read schema must include _change_type STRING " +
+          "(and may include _commit_epoch BIGINT)")
+      return new AuditCdfScan(path, writeSchema)
+    }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
     new AuditScanBuilder(path, writeSchema, version, partInfo)
@@ -506,6 +519,13 @@ private[sources] object AuditDeletes {
       try lines.count() finally lines.close()
     }
 
+  /** Vector entries in FILE ORDER (the append order — the CDF offset axis). */
+  def entries(path: String): Seq[(String, Long)] =
+    if (!exists(path)) Seq.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case LineRe(f, p) => (f, p.toLong)
+    }.toSeq
+
   /** Append new vector entries (dedup against the existing set: a replayed
     * task attempt or an idempotent MERGE must not double-count). */
   def append(path: String, entries: Seq[(String, Long)]): Unit = {
@@ -605,6 +625,175 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AuditReaderFactory(writeSchema, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** CHANGE-DATA-FEED scan: the table's full mutation history as events.
+  * Every committed row is an `insert` event (epoch-stamped when it landed
+  * via the streaming commit) and every delete-vector entry is a `delete`
+  * event carrying the ORIGINAL row values read back from its (file, pos)
+  * id — so `inserts − deletes`, applied keyed on (file, pos), reconstructs
+  * the current table exactly (the spec replays the stream and proves it).
+  *
+  * The offset axis is the triple of the format's three APPEND-ONLY logs:
+  * (epochs committed, batch files committed, delete-vector entries). Delta
+  * DML only ever appends to these, which is precisely what makes the tail
+  * replayable; the RETROACTIVE metadata DELETE rewrites files instead —
+  * an open changelog detects the shrunken logs and fails loudly rather
+  * than replaying drifted history. */
+final class AuditCdfScan(path: String, fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = fullSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"AuditCdfScan $path (change feed)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AuditCdf.partitionsFor(path,
+      AuditScan.committedEpochs(path),
+      AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).map(_._1),
+      AuditDeletes.entries(path))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditCdfReaderFactory(fullSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AuditCdfStream(path, fullSchema)
+}
+
+private[sources] object AuditCdf {
+  /** CDF partitions for a slice of the three logs: epoch files and batch
+    * files become insert partitions, delete entries group per file. */
+  def partitionsFor(path: String, epochs: Seq[Long], batchFiles: Seq[String],
+      deletes: Seq[(String, Long)])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    val inserts =
+      AuditScan.epochFiles(path, epochs.toSet).map { case (f, e) =>
+        AuditCdfPartition(dir.resolve(f).toString, Some(e), None)
+      } ++ batchFiles.map(f =>
+        AuditCdfPartition(dir.resolve(f).toString, None, None))
+    val dels = deletes.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
+      AuditCdfPartition(dir.resolve(f).toString, None,
+        Some(ps.map(_._2).sorted))
+    }
+    (inserts ++ dels)
+      .toArray[org.apache.spark.sql.connector.read.InputPartition]
+  }
+}
+
+final case class AuditCdfPartition(file: String, epoch: Option[Long],
+    deletePositions: Option[Seq[Long]])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+final class AuditCdfReaderFactory(fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private val metaCols = Set("_change_type", "_commit_epoch", "_file", "_pos")
+  private val dataSchema = StructType(fullSchema.filterNot(f => metaCols(f.name)))
+
+  override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AuditCdfPartition]
+    val changeType = org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (p.deletePositions.isDefined) "delete" else "insert")
+    val fileName = org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.nio.file.Paths.get(p.file).getFileName.toString)
+    val srcIdx = fullSchema.fields.map {
+      case f if f.name == "_change_type"  => -1
+      case f if f.name == "_commit_epoch" => -2
+      case f if f.name == "_file"         => -3
+      case f if f.name == "_pos"          => -4
+      case f => dataSchema.fieldIndex(f.name)
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val all = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
+      // events carry their (file, pos) row id so a replay can key exactly
+      private val lines: Iterator[(Long, String)] = p.deletePositions match {
+        case Some(ps) => ps.iterator.map(pos => (pos, all.get(pos.toInt)))
+        case None     => all.iterator().asScala.zipWithIndex
+          .map { case (l, i) => (i.toLong, l) }
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (!lines.hasNext) false
+        else {
+          val (pos, line) = lines.next()
+          val full = AuditJson.parseLine(line, dataSchema)
+          val vals = new Array[Any](srcIdx.length)
+          var i = 0
+          while (i < srcIdx.length) {
+            vals(i) = srcIdx(i) match {
+              case -1 => changeType
+              case -2 => p.epoch.map(Long.box).orNull
+              case -3 => fileName
+              case -4 => pos
+              case s  =>
+                if (full.isNullAt(s)) null
+                else full.get(s, dataSchema(s).dataType)
+            }
+            i += 1
+          }
+          row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Offset over the three append-only logs: epochs : batchFiles : deletes. */
+final case class AuditCdfOffset(e: Int, b: Int, d: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"$e:$b:$d"
+}
+
+final class AuditCdfStream(path: String, fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def now(): AuditCdfOffset = AuditCdfOffset(
+    AuditScan.committedEpochs(path).size,
+    AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).size,
+    AuditDeletes.count(path))
+
+  override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L)
+  override def latestOffset(): Offset = now()
+  override def deserializeOffset(json: String): Offset = {
+    val Array(e, b, d) = json.trim.split(':')
+    AuditCdfOffset(e.toInt, b.toInt, d.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AuditCdfOffset]
+    val en = end.asInstanceOf[AuditCdfOffset]
+    val epochs = AuditScan.committedEpochs(path)
+    val batch = AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).map(_._1)
+    val dels = AuditDeletes.entries(path)
+    // the changelog contract holds only while the logs are append-only: a
+    // retroactive metadata DELETE (or TRUNCATE) shrinks them, and replaying
+    // across that boundary would emit drifted history — fail loudly
+    require(s.e <= epochs.size && s.b <= batch.size && s.d <= dels.size,
+      s"audit changeFeed: restored offset ${s.json()} exceeds the current " +
+        s"logs (${epochs.size}:${batch.size}:${dels.size}) at $path — the " +
+        "table was truncated or retroactively deleted; restart the feed")
+    AuditCdf.partitionsFor(path,
+      epochs.slice(s.e, en.e),
+      batch.slice(s.b, en.b),
+      dels.slice(s.d.toInt, en.d.toInt))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditCdfReaderFactory(fullSchema)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -426,6 +426,75 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.dlt")
   }
 
+  test("change feed: replaying the streamed changelog reconstructs the table") {
+    init()
+    spark.sql("CREATE TABLE graft.db.cdf_t (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/cdf_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      """MERGE INTO graft.db.cdf_t t
+        |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+        |       AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft.db.cdf_t WHERE id % 100 = 3 AND id < 400")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_epoch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)))
+    // batch CDF: full history — 400 epoch inserts + 3 delta inserts,
+    // 3 merge deletes (5, 17 updated = delete+insert) ... plus 4 modulo
+    // deletes (3, 103, 203, 303); update of 5 and 17 = 2 deletes
+    val batchCdf = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/cdf_t").option("changeFeed", "true").load()
+    val byType = batchCdf.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === Map("insert" -> 403L, "delete" -> 6L))
+    // epoch attribution: the 400 original inserts carry their epoch
+    assert(batchCdf.where(col("_change_type") === "insert" &&
+      col("_commit_epoch").isNotNull).count() === 400L)
+    // STREAMED changelog, replayed keyed on (file, pos): equals the table
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt2")
+    val state = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+    val feed = spark.readStream.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/cdf_t").option("changeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ckpt2.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val key = (r.getString(4), r.getLong(5))
+          if (r.getString(2) == "insert") state(key) = (r.getLong(0), r.getLong(1))
+          else state.remove(key)
+        }
+      }.start()
+    try feed.processAllAvailable() finally feed.stop()
+    val replayed = state.values.toSeq.sorted
+    val actual = spark.sql("SELECT id, v FROM graft.db.cdf_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(replayed === actual)
+    assert(actual.size === 397) // 400 + 1 insert - 4 deleted
+    spark.sql("DROP TABLE graft.db.cdf_t")
+  }
+
   test("metadata survives hostile property values (quotes, backslashes, schema token)") {
     init()
     spark.sql(
