@@ -1,0 +1,373 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** OPTIMIZE / VACUUM — table maintenance for the audit format.
+  *
+  * The format's write side already controls file counts at commit time
+  * (`targetFileCount` / `clusterBy` / `sortBy` via
+  * RequiresDistributionAndOrdering); what it lacked was POST-HOC
+  * maintenance: a long-lived streaming table accretes one small file per
+  * epoch per task forever, and superseded history is never reclaimed. The
+  * two procedures here close that gap, following the shape every lakehouse
+  * format converged on (Iceberg's rewrite_data_files/expire_snapshots,
+  * Delta's OPTIMIZE/VACUUM):
+  *
+  * '''OPTIMIZE''' compacts the table into a BASE CHECKPOINT: a distributed
+  * Spark job reads the table's full row history (current rows AND
+  * vector-deleted ones — `includeDeleted`), repartitions to
+  * `target_file_count`, optionally sorts within files, and commits
+  * `base-*.jsonl` files where every row carries its ORIGIN
+  * (`_oepoch`/`_ofile`/`_opos` — the epoch and (file, pos) row id it was
+  * first committed under). Origins are what keep every contract intact
+  * after the rewrite:
+  *  - current reads plan base + post-base files and apply delete vectors
+  *    by origin (vectors are ALWAYS keyed by origin coordinates, which
+  *    never change across any number of re-compactions);
+  *  - `VERSION AS OF v` reconstructs pure epoch history from base rows
+  *    with `_oepoch <= v` — time travel survives compaction;
+  *  - the change feed and the epoch tail resolve epochs whose original
+  *    files are gone from the base by origin, so the offset axes (the
+  *    `_EPOCHS` log, the manifest line order, the vector log) stay stable.
+  * Batch-manifest entries folded into the base are kept in `_MANIFEST` as
+  * `{"folded":...}` tombstone lines: the line ORDER is the change feed's
+  * batch offset axis, so entries are marked, never removed.
+  *
+  * '''VACUUM''' reclaims the superseded original epoch files (their rows
+  * live in the base) and EXPIRES epoch time travel older than
+  * `retain_last` versions: expired `VERSION AS OF` reads fail with a clear
+  * error instead of answering. Retained versions keep answering — from the
+  * base. The expiry is a POLICY bound, not a physical one (base rows could
+  * still serve older versions): like Delta's log retention, the format
+  * only GUARANTEES reconstruction inside the declared window, which is
+  * what licenses future maintenance to purge history beyond it.
+  *
+  * Both are exposed as SQL stored procedures through [[GraftCatalog]]
+  * (Spark 4's ProcedureCatalog):
+  * {{{
+  *   CALL graft.system.optimize(table => 'db.t', target_file_count => 4,
+  *                              sort_by => 'id')
+  *   CALL graft.system.vacuum(table => 'db.t', retain_last => 2)
+  * }}}
+  *
+  * Maintenance assumes a single writer (the same assumption as the
+  * catalog's rename-based DDL): the manifest fold and the `_BASE` publish
+  * are two renames, and a reader racing the window between them can see a
+  * partially-switched table. A multi-writer deployment would serialize
+  * maintenance through the same lock/pointer indirection it already needs
+  * for commits.
+  *
+  * Reference scope: the reference has no maintenance story at all — its
+  * zones are overwritten wholesale each run (spark_jobs/
+  * playback_pipeline.py:300-320). This is the piece a persistent 100 TB
+  * deployment of the same pipeline would need first.
+  */
+private[sources] object AuditBase {
+  /** One `_MANIFEST` body line: a live batch file or a folded tombstone. */
+  final case class ManifestEntry(file: String, rows: Long, folded: Boolean)
+
+  final case class Info(throughEpoch: Long, expiredThrough: Long,
+      files: Seq[(String, Long)])
+
+  /** Origin columns appended to every base row. `_oepoch` is null for rows
+    * first committed by a batch write. */
+  val OriginFields: Array[StructField] = Array(
+    StructField("_oepoch", LongType, nullable = true),
+    StructField("_ofile", StringType, nullable = false),
+    StructField("_opos", LongType, nullable = false))
+
+  def baseSchema(write: StructType): StructType =
+    StructType(write.fields ++ OriginFields)
+
+  private def baseFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve("_BASE")
+
+  private val HeaderRe =
+    """\{"throughEpoch":(-?\d+),"expiredThrough":(-?\d+)\}""".r
+  private val FileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+
+  def read(path: String): Option[Info] = {
+    val f = baseFile(path)
+    if (!java.nio.file.Files.exists(f)) return None
+    val lines = java.nio.file.Files.readAllLines(f).asScala
+    val (through, expired) = lines.head match {
+      case HeaderRe(t, e) => (t.toLong, e.toLong)
+      case other => throw new IllegalStateException(s"audit _BASE header: $other")
+    }
+    Some(Info(through, expired, lines.tail.collect {
+      case FileRe(n, r) => (n, r.toLong)
+    }.toSeq))
+  }
+
+  def write(path: String, throughEpoch: Long, expiredThrough: Long,
+      files: Seq[(String, Long)]): Unit = {
+    val f = baseFile(path)
+    val tmp = f.resolveSibling("_BASE.tmp")
+    java.nio.file.Files.write(tmp,
+      (Seq(s"""{"throughEpoch":$throughEpoch,"expiredThrough":$expiredThrough}""") ++
+        files.map { case (n, r) => s"""{"file":"$n","rows":$r}""" })
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Expiry gate for pinned reads — VACUUM's retention bound. */
+  def checkNotExpired(path: String, versionAsOf: Option[Long]): Unit =
+    for (v <- versionAsOf; b <- read(path); if v <= b.expiredThrough)
+      throw new IllegalArgumentException(
+        s"audit: VERSION AS OF $v at $path is expired — VACUUM retained " +
+          s"only epochs > ${b.expiredThrough} (earliest available version " +
+          s"is ${b.expiredThrough + 1})")
+
+  // --- _MANIFEST with folded tombstones ----------------------------------
+  // Live lines stay byte-identical to the pre-maintenance format
+  // ({"file":...,"rows":...}) so every existing regex consumer keeps
+  // working; folded lines use DIFFERENT keys ({"folded":...,"origrows":...})
+  // so those same consumers skip them without knowing why.
+
+  private val LiveRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+  private val FoldedRe = """\{"folded":"([^"]+)","origrows":(\d+)\}""".r
+
+  /** All body lines of `_MANIFEST`, in file order (the CDF batch axis). */
+  def readManifest(path: String): Seq[ManifestEntry] = {
+    val f = java.nio.file.Paths.get(path).resolve("_MANIFEST")
+    if (!java.nio.file.Files.exists(f)) return Seq.empty
+    java.nio.file.Files.readAllLines(f).asScala.drop(1).collect {
+      case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
+      case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
+    }.toSeq
+  }
+
+  /** Rewrite `_MANIFEST` preserving entry order; the header counts LIVE
+    * entries only (it is what the metadata COUNT path and the write guard
+    * sum). */
+  def writeManifest(path: String, entries: Seq[ManifestEntry]): Unit = {
+    val live = entries.filterNot(_.folded)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path).resolve("_MANIFEST"),
+      (Seq(s"""{"files":${live.size},"rows":${live.map(_.rows).sum}}""") ++
+        entries.map {
+          case ManifestEntry(n, r, false) => s"""{"file":"$n","rows":$r}"""
+          case ManifestEntry(n, r, true)  => s"""{"folded":"$n","origrows":$r}"""
+        }).mkString("\n").getBytes("UTF-8"))
+  }
+
+  private val PartNumRe = """part-(\d+)\.jsonl""".r
+
+  /** Next batch part index: one PAST the highest ever committed (folded
+    * entries included — a reused name would collide with the origin row
+    * ids delete vectors are keyed by). */
+  def nextPartIndex(entries: Seq[ManifestEntry]): Int =
+    entries.map(_.file).collect { case PartNumRe(n) => n.toInt + 1 }
+      .foldLeft(0)(math.max)
+}
+
+/** Commit half of OPTIMIZE: publish staged rewrite files as the table's
+  * base checkpoint. The staged files arrive through the ordinary
+  * [[AuditDataWriter]] discipline; commit renames them to `base-*`, folds
+  * the live batch-manifest entries (their rows are now in the base),
+  * publishes `_BASE`, and deletes the data files the base supersedes
+  * (previous base files + folded batch files). Original EPOCH files are
+  * left for VACUUM: they keep serving running epoch tails until the
+  * operator decides to reclaim them. */
+final class AuditBaseBatchWrite(path: String, schema: StructType,
+    throughEpoch: Long) extends BatchWrite {
+  require(schema.fields.takeRight(3).map(_.name).toSeq ==
+    Seq("_oepoch", "_ofile", "_opos"),
+    s"audit base commit: schema must end with the origin columns, got " +
+      schema.fieldNames.mkString(","))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
+      .filter(_.rows > 0).sortBy(_.stagedName) // empty tasks publish nothing
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val files = entries.zipWithIndex.map { case (m, i) =>
+      val name = f"base-$gen-$i%05d.jsonl"
+      java.nio.file.Files.move(stage.resolve(m.stagedName), dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (name, m.rows)
+    }
+    val prev = AuditBase.read(path)
+    val manifest = AuditBase.readManifest(path)
+    // fold live batch entries, then publish _BASE (single-writer window
+    // documented on AuditBase) and reclaim the superseded data files
+    AuditBase.writeManifest(path, manifest.map(_.copy(folded = true)))
+    AuditBase.write(path, throughEpoch,
+      prev.map(_.expiredThrough).getOrElse(-1L), files)
+    prev.foreach(_.files.foreach { case (f, _) =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(f))
+    })
+    manifest.filterNot(_.folded).foreach { e =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(e.file))
+    }
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    messages.foreach {
+      case m: AuditCommitMessage =>
+        java.nio.file.Files.deleteIfExists(stage.resolve(m.stagedName))
+      case _ => ()
+    }
+  }
+}
+
+private[sources] object AuditMaintenance {
+
+  /** Distributed compaction: read full history, rewrite as an
+    * origin-tagged base checkpoint. Runs as an ordinary Spark job — the
+    * scan fans out per file, the exchange is the one repartition the
+    * caller asked for, and the write commits through the sink's staged
+    * two-phase protocol, so this is exactly as scalable as any other
+    * write to the table. */
+  def optimize(spark: SparkSession, path: String, schema: StructType,
+      targetFileCount: Int, sortBy: Option[String]): (Int, Long, Long) = {
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"audit OPTIMIZE: sort_by column $c not in table schema"))
+    val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
+    val full = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("includeDeleted", "true").load()
+    var df = full.select(schema.fieldNames.map(col).toSeq ++ Seq(
+      col("_epoch").as("_oepoch"),
+      col("_file").as("_ofile"),
+      col("_pos").as("_opos")): _*)
+    if (targetFileCount > 0) df = df.repartition(targetFileCount)
+    sortBy.foreach(c => df = df.sortWithinPartitions(col(c)))
+    df.write.format(classOf[JsonAuditSink].getName)
+      .option("path", path)
+      .option("basecommit", "true")
+      .option("basethroughepoch", through.toString)
+      .mode("append").save()
+    val b = AuditBase.read(path).getOrElse(
+      throw new IllegalStateException("audit OPTIMIZE: base commit missing"))
+    (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
+  }
+
+  /** Reclaim superseded epoch files and bound the time-travel window. */
+  def vacuum(path: String, retainLast: Int): (Int, Long) = {
+    val b = AuditBase.read(path).getOrElse(throw new IllegalStateException(
+      s"audit VACUUM: $path has no base checkpoint — run OPTIMIZE first " +
+        "(only epochs superseded by a base can be reclaimed)"))
+    val dir = java.nio.file.Paths.get(path)
+    val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
+    val keep = math.max(retainLast, 0)
+    val newExpired =
+      if (superseded.size > keep)
+        math.max(b.expiredThrough, superseded(superseded.size - keep - 1))
+      else b.expiredThrough
+    val gone = AuditScan.epochFiles(path, superseded.toSet)
+    gone.foreach { case (f, _) =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(f))
+    }
+    AuditBase.write(path, b.throughEpoch, newExpired, b.files)
+    (gone.size, newExpired)
+  }
+}
+
+/** SQL stored procedures (`CALL graft.system.<proc>(...)`) — Spark 4's
+  * ProcedureCatalog surface over [[AuditMaintenance]]. */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  val Names: Seq[String] = Seq("optimize", "vacuum")
+
+  private final class Result(schema: StructType, data: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data
+  }
+
+  private def one(schema: StructType, vals: Any*): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      new Result(schema,
+        Array(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals.toArray))): Scan).iterator()
+
+  private def str(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  def optimize(catalog: GraftCatalog): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "compact an audit table into an origin-tagged base checkpoint " +
+        "(target_file_count files, optionally sorted by sort_by)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "optimize"
+      override def description(): String = optimize(catalog).description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("audit table, as <namespace>.<name>").build(),
+        ProcedureParameter.in("target_file_count", IntegerType)
+          .defaultValue("0")
+          .comment("base file count; 0 keeps the scan's partitioning").build(),
+        ProcedureParameter.in("sort_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("optional within-file sort column").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tfc = if (input.isNullAt(1)) 0 else input.getInt(1)
+        val sortBy =
+          if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString)
+        val (path, schema) = catalog.resolveAuditTable(table)
+        val (files, rows, through) = AuditMaintenance.optimize(
+          org.apache.spark.sql.SparkSession.active, path, schema, tfc, sortBy)
+        one(StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("base_files", IntegerType, nullable = false),
+          StructField("base_rows", LongType, nullable = false),
+          StructField("through_epoch", LongType, nullable = false))),
+          str(table), files, rows, through)
+      }
+    }
+  }
+
+  def vacuum(catalog: GraftCatalog): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim base-superseded epoch files and expire time travel beyond " +
+        "the newest retain_last versions"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String = vacuum(catalog).description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("audit table, as <namespace>.<name>").build(),
+        ProcedureParameter.in("retain_last", IntegerType)
+          .defaultValue("0")
+          .comment("how many newest superseded versions stay travelable").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
+        val (path, _) = catalog.resolveAuditTable(table)
+        val (deleted, expired) = AuditMaintenance.vacuum(path, retain)
+        one(StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("deleted_files", IntegerType, nullable = false),
+          StructField("expired_through", LongType, nullable = false))),
+          str(table), deleted, expired)
+      }
+    }
+  }
+}

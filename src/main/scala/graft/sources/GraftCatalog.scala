@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own catalog plugin API, zero external services.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with GraftStagingSupport {
+    with GraftStagingSupport with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
 
@@ -286,6 +286,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     listTables(namespace).isEmpty || cascade && {
       listTables(namespace).foreach(dropTable); true
     }
+
+  // --- ProcedureCatalog (CALL graft.system.optimize / vacuum) --------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name().toLowerCase) match {
+      case (Seq("system"), "optimize") => GraftProcedures.optimize(this)
+      case (Seq("system"), "vacuum")   => GraftProcedures.vacuum(this)
+      case _ => throw new RuntimeException(
+        s"graft catalog: no such procedure $ident (available: " +
+          GraftProcedures.Names.map("system." + _).mkString(", ") + ")")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  /** Maintenance-procedure target resolution: `<ns>.<table>` → (data path,
+    * table schema). Only unpartitioned audit tables qualify — partitioned
+    * tables carry per-partition manifests and no epoch log. */
+  private[sources] def resolveAuditTable(name: String): (String, StructType) = {
+    val parts = name.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"graft maintenance: table must be <namespace>.<name>, got '$name'")
+    val ident = Identifier.of(parts.init, parts.last)
+    loadTable(ident) match {
+      case a: AuditTable =>
+        require(a.partitionColumn.isEmpty,
+          s"graft maintenance: $name is partitioned — compaction is " +
+            "per-partition at write time (clusterBy/targetFileCount)")
+        (a.dataPath, a.schema())
+      case other => throw new IllegalArgumentException(
+        s"graft maintenance: $name is not an audit table (${other.name()})")
+    }
+  }
 }
 
 object GraftCatalog {
@@ -622,17 +658,91 @@ object CatalogApi {
       |ORDER BY change_type, commit_epoch""".stripMargin
   }
 
+  /** OPTIMIZE + VACUUM, oracle-checked: four streamed epochs + delta
+    * MERGE/DELETE, then `CALL system.optimize` (compaction into 2 sorted
+    * base files) and `CALL system.vacuum` (reclaim epoch files, retain the
+    * 2 newest versions). The final read unions the CURRENT state with a
+    * RETAINED `VERSION AS OF` — both now served entirely from the
+    * origin-tagged base checkpoint — and the DuckDB oracle rebuilds both
+    * from the paged source's row formulas, so the hash gate proves
+    * maintenance changed the LAYOUT and nothing else. (The spec covers the
+    * expiry error, file counts, and sort order.) */
+  def auditOptimize(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qv_wh")
+    spark.conf.set("spark.sql.catalog.graft_qv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qv.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qv.db.optt")
+    spark.sql("CREATE TABLE graft_qv.db.optt (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qv_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("optt").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      """MERGE INTO graft_qv.db.optt t
+        |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+        |       AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft_qv.db.optt WHERE id % 100 = 3 AND id < 400")
+    spark.sql(
+      "CALL graft_qv.system.optimize(table => 'db.optt', " +
+        "target_file_count => 2, sort_by => 'id')")
+    spark.sql("CALL graft_qv.system.vacuum(table => 'db.optt', retain_last => 2)")
+    spark.sql(
+      """SELECT 'current' AS src, count(*) AS n_rows,
+        |       sum(id) AS sum_id, sum(v) AS sum_v
+        |FROM graft_qv.db.optt
+        |UNION ALL
+        |SELECT 'asof2' AS src, count(*) AS n_rows,
+        |       sum(id) AS sum_id, sum(v) AS sum_v
+        |FROM graft_qv.db.optt VERSION AS OF 2
+        |ORDER BY src""".stripMargin)
+  }
+
+  val auditOptimizeSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |),
+      |current_state AS (
+      |  SELECT id, CASE WHEN id IN (5, 17) THEN 111 ELSE v END AS v
+      |  FROM src WHERE NOT (id % 100 = 3)
+      |  UNION ALL SELECT 1000, 222
+      |)
+      |SELECT 'current' AS src, count(*) AS n_rows,
+      |       CAST(sum(id) AS BIGINT) AS sum_id, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM current_state
+      |UNION ALL
+      |SELECT 'asof2' AS src, count(*) AS n_rows,
+      |       CAST(sum(id) AS BIGINT) AS sum_id, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM src WHERE id < 300
+      |ORDER BY src""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_audit_cdf" -> (auditCdf _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
+      "q_audit_optimize" -> (auditOptimize _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_audit_cdf" -> auditCdfSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
+      "q_audit_optimize" -> auditOptimizeSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

@@ -187,7 +187,13 @@ final class AuditTable(path: String, writeSchema: StructType,
       // cheap at metadata scale, wrong for a huge table. The manifests
       // give the row count for free; past the bound, canDeleteWhere=false
       // routes the delete to Spark's DISTRIBUTED row-level rewrite instead.
-      AuditDelete.tableRows(path, partInfo) <= AuditDelete.MaxDriverRewriteRows
+      AuditDelete.tableRows(path, partInfo) <= AuditDelete.MaxDriverRewriteRows &&
+      // a compacted table routes predicate deletes to the delta path: the
+      // retroactive rewrite would have to rebuild per-epoch history from
+      // the base. TRUNCATE (AlwaysTrue — also how truncateTable() probes
+      // this method) still clears everything — see deleteWhere.
+      (AuditBase.read(path).isEmpty || filters.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     AuditDelete.deleteWhere(path, writeSchema, filters, partInfo)
 
@@ -239,8 +245,14 @@ final class AuditTable(path: String, writeSchema: StructType,
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
-    new AuditScanBuilder(path, writeSchema, version, partInfo)
+    // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
+    val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
+    new AuditScanBuilder(path, writeSchema, version, partInfo,
+      includeDeleted = includeDeleted)
   }
+
+  private[sources] def dataPath: String = path
+  private[sources] def partitionColumn: Option[String] = partCol
 }
 
 /** Scan builder: required-column pruning doubles as the metadata-column
@@ -257,7 +269,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     versionAsOf: Option[Long], partInfo: Option[(String, DataType)] = None,
     // the row-level COW rewrite scan must read EVERY partition (its write
     // truncates the whole table) — it disables partition-filter pushdown
-    allowPartFilters: Boolean = true)
+    allowPartFilters: Boolean = true,
+    includeDeleted: Boolean = false)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -306,11 +319,13 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportCompletePushDown(aggregation) && { metadataCount = true; true }
+    !includeDeleted && // the history read counts rows the manifests net out
+      supportCompletePushDown(aggregation) && { metadataCount = true; true }
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     if (metadataCount) new AuditCountScan(path, versionAsOf, partInfo, allowedTokens)
-    else new AuditScan(path, writeSchema, required, versionAsOf, partInfo, allowedTokens)
+    else new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
+      allowedTokens, includeDeleted)
 }
 
 /** The manifest-count scan: one partition, one row, zero data files read.
@@ -348,11 +363,19 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
     val dir = java.nio.file.Paths.get(path)
     val rowsRe = """.*"rows":(\d+)\}""".r
     val epochRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
-    val epochRows: Long = {
+    // base checkpoint: current-state counts swap the superseded epochs'
+    // _EPOCHS rows for the base manifest total (which includes the
+    // still-subtracted vector-deleted rows); pinned counts keep reading
+    // _EPOCHS, which OPTIMIZE never rewrites
+    val base = if (versionAsOf.isEmpty) AuditBase.read(path) else None
+    val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
+    val baseRows = base.map(_.files.map(_._2).sum).getOrElse(0L)
+    val epochRows: Long = baseRows + {
       val f = dir.resolve("_EPOCHS")
       if (java.nio.file.Files.exists(f))
         java.nio.file.Files.readAllLines(f).asScala.collect {
-          case epochRe(e, r) if versionAsOf.forall(e.toLong <= _) => r.toLong
+          case epochRe(e, r) if versionAsOf.forall(e.toLong <= _) &&
+            e.toLong > baseThrough => r.toLong
         }.sum
       else 0L
     }
@@ -367,8 +390,10 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
     epochRows + batchRows
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    AuditBase.checkNotExpired(path, versionAsOf) // VACUUM's retention bound
     Array(AuditCountPartition(manifestCount()))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition)
@@ -398,7 +423,8 @@ final case class AuditCountPartition(n: Long)
 final class AuditScan(path: String, writeSchema: StructType,
     required: StructType, versionAsOf: Option[Long],
     partInfo: Option[(String, DataType)] = None,
-    allowedTokens: Option[Set[String]] = None)
+    allowedTokens: Option[Set[String]] = None,
+    includeDeleted: Boolean = false)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -452,14 +478,23 @@ final class AuditScan(path: String, writeSchema: StructType,
       case None => ()
     }
     val dir = java.nio.file.Paths.get(path)
+    AuditBase.checkNotExpired(path, versionAsOf) // VACUUM's retention bound
+    // with a base checkpoint, epochs <= throughEpoch (and the folded batch
+    // files) are served from the origin-tagged base rows instead of their
+    // original files — see AuditBase
+    val base = AuditBase.read(path)
+    val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
     val wanted = versionAsOf match {
-      case Some(v) => AuditScan.committedEpochs(path).filter(_ <= v).toSet
-      case None    => AuditScan.committedEpochs(path).toSet
+      case Some(v) => AuditScan.committedEpochs(path)
+        .filter(e => e <= v && e > baseThrough).toSet
+      case None => AuditScan.committedEpochs(path).filter(_ > baseThrough).toSet
     }
     val epochFiles: Seq[(String, Option[Long])] =
       AuditScan.epochFiles(path, wanted).map { case (f, e) => (f, Some(e)) }
     // batch-committed files come from _MANIFEST (not a directory glob);
-    // they carry no epoch, so they only appear in the un-pinned read
+    // they carry no epoch, so they only appear in the un-pinned read.
+    // Folded entries (rows now in the base) parse as a different key and
+    // are skipped here by construction.
     val manifestFile = dir.resolve("_MANIFEST")
     val fileRe = """\{"file":"([^"]+)",.*""".r
     val batchFiles: Seq[(String, Option[Long])] =
@@ -471,11 +506,24 @@ final class AuditScan(path: String, writeSchema: StructType,
     // delete vectors apply to CURRENT-state reads only: pinned reads
     // reconstruct pure epoch history (delta DML never retro-edits it)
     val vectors: Map[String, Set[Long]] =
-      if (versionAsOf.isEmpty) AuditDeletes.read(path) else Map.empty
-    (batchFiles ++ epochFiles).map { case (f, e) =>
+      if (versionAsOf.isEmpty && !includeDeleted) AuditDeletes.read(path)
+      else Map.empty
+    val baseParts: Seq[InputPartition] = base.toSeq.flatMap { b =>
+      b.files.map { case (f, _) =>
+        versionAsOf match {
+          // pinned: pure epoch history — epoch-origin rows <= v, no vectors
+          case Some(v) => AuditBasePartition(dir.resolve(f).toString,
+            maxEpoch = Some(v), epochOriginOnly = true)
+          // current: every base row whose ORIGIN id is not vector-deleted
+          case None => AuditBasePartition(dir.resolve(f).toString,
+            vectors = vectors)
+        }
+      }
+    }
+    (baseParts ++ (batchFiles ++ epochFiles).map { case (f, e) =>
       AuditFilePartition(dir.resolve(f).toString, e,
         vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
-    }.toArray
+    }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -577,6 +625,17 @@ final case class AuditFilePartition(file: String, epoch: Option[Long],
     deleted: Seq[Long] = Nil)
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** One base-checkpoint file (origin-tagged rows — see [[AuditBase]]).
+  * Exactly one of the three filter configurations is active per read:
+  * current (vectors, by ORIGIN row id), pinned (`maxEpoch` +
+  * `epochOriginOnly`), or an epoch-tail slice (`epochFilter`). */
+final case class AuditBasePartition(file: String,
+    epochFilter: Option[Set[Long]] = None,
+    maxEpoch: Option[Long] = None,
+    epochOriginOnly: Boolean = false,
+    vectors: Map[String, Set[Long]] = Map.empty)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
 /** One partition DIRECTORY of a partitioned audit table; `partitionKey`
   * exposes the decoded value so Spark can key-group for SPJ. */
 final case class AuditDirPartition(files: Seq[String], token: String,
@@ -619,9 +678,24 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
         s"${eps.size} at $path — the table's epochs were truncated or " +
         "rewritten since the checkpoint; restart from a fresh checkpoint")
     val slice = eps.slice(from, end.asInstanceOf[PagedOffset].page).toSet
-    AuditScan.epochFiles(path, slice).map { case (f, e) =>
+    val onDisk = AuditScan.epochFiles(path, slice)
+    // epochs whose original files were reclaimed (OPTIMIZE + VACUUM)
+    // replay from the origin-tagged base instead — the offset axis is the
+    // _EPOCHS log, which maintenance never rewrites, so a tail spanning a
+    // compaction keeps its exactly-once accounting
+    val gone = slice -- onDisk.map(_._2).toSet
+    val baseParts: Seq[InputPartition] =
+      if (gone.isEmpty) Seq.empty
+      else AuditBase.read(path) match {
+        case Some(b) => b.files.map { case (f, _) =>
+          AuditBasePartition(dir.resolve(f).toString,
+            epochFilter = Some(gone)): InputPartition
+        }
+        case None => Seq.empty // zero-file epochs: nothing to read
+      }
+    (onDisk.map { case (f, e) =>
       AuditFilePartition(dir.resolve(f).toString, Some(e)): InputPartition
-    }.toArray
+    } ++ baseParts).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AuditReaderFactory(writeSchema, required)
@@ -656,7 +730,7 @@ final class AuditCdfScan(path: String, fullSchema: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     AuditCdf.partitionsFor(path,
       AuditScan.committedEpochs(path),
-      AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).map(_._1),
+      AuditBase.readManifest(path),
       AuditDeletes.entries(path))
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -669,27 +743,60 @@ final class AuditCdfScan(path: String, fullSchema: StructType)
 
 private[sources] object AuditCdf {
   /** CDF partitions for a slice of the three logs: epoch files and batch
-    * files become insert partitions, delete entries group per file. */
-  def partitionsFor(path: String, epochs: Seq[Long], batchFiles: Seq[String],
+    * files become insert partitions, delete entries group per file.
+    * History whose original files were folded into a base checkpoint
+    * (OPTIMIZE) or reclaimed (VACUUM) resolves from the base by ORIGIN —
+    * the feed's events, offsets, and (file, pos) replay keys are identical
+    * either way, so a running changelog tail survives maintenance. */
+  def partitionsFor(path: String, epochs: Seq[Long],
+      batchEntries: Seq[AuditBase.ManifestEntry],
       deletes: Seq[(String, Long)])
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
+    val base = AuditBase.read(path)
+    val onDisk = AuditScan.epochFiles(path, epochs.toSet)
+    val liveEpochSet =
+      if (base.isEmpty) epochs.toSet else onDisk.map(_._2).toSet
+    val goneEpochs = epochs.filterNot(liveEpochSet.contains)
+    val goneBatch = batchEntries.collect { case e if e.folded => e.file }
+    val delGroups = deletes.groupBy(_._1).toSeq.sortBy(_._1)
+    val (liveDel, goneDel) = delGroups.partition { case (f, _) =>
+      base.isEmpty || java.nio.file.Files.exists(dir.resolve(f))
+    }
     val inserts =
-      AuditScan.epochFiles(path, epochs.toSet).map { case (f, e) =>
-        AuditCdfPartition(dir.resolve(f).toString, Some(e), None)
-      } ++ batchFiles.map(f =>
-        AuditCdfPartition(dir.resolve(f).toString, None, None))
-    val dels = deletes.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
+      onDisk.filter { case (_, e) => liveEpochSet.contains(e) }
+        .map { case (f, e) =>
+          AuditCdfPartition(dir.resolve(f).toString, Some(e), None)
+        } ++ batchEntries.collect {
+          case e if !e.folded =>
+            AuditCdfPartition(dir.resolve(e.file).toString, None, None)
+        }
+    val dels = liveDel.map { case (f, ps) =>
       AuditCdfPartition(dir.resolve(f).toString, None,
         Some(ps.map(_._2).sorted))
     }
-    (inserts ++ dels)
+    val baseParts: Seq[AuditCdfBasePartition] =
+      if (goneEpochs.isEmpty && goneBatch.isEmpty && goneDel.isEmpty) Seq.empty
+      else base.toSeq.flatMap(_.files.map { case (f, _) =>
+        AuditCdfBasePartition(dir.resolve(f).toString, goneEpochs.toSet,
+          goneBatch.toSet,
+          goneDel.map { case (df, ps) => (df, ps.map(_._2).toSet) }.toMap)
+      })
+    (inserts ++ dels ++ baseParts)
       .toArray[org.apache.spark.sql.connector.read.InputPartition]
   }
 }
 
 final case class AuditCdfPartition(file: String, epoch: Option[Long],
     deletePositions: Option[Seq[Long]])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Base-resolved slice of the change feed: one base file scanned for rows
+  * whose ORIGIN falls in the requested epochs / folded batch files /
+  * delete-vector entries. A row can yield both its insert event and a
+  * delete event in the same slice. */
+final case class AuditCdfBasePartition(file: String, epochs: Set[Long],
+    batchOrigins: Set[String], deletes: Map[String, Set[Long]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 final class AuditCdfReaderFactory(fullSchema: StructType)
@@ -699,6 +806,10 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
 
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    partition match {
+      case bp: AuditCdfBasePartition => return baseReader(bp)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[AuditCdfPartition]
     val changeType = org.apache.spark.unsafe.types.UTF8String.fromString(
       if (p.deletePositions.isDefined) "delete" else "insert")
@@ -748,6 +859,69 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       override def close(): Unit = ()
     }
   }
+
+  /** Events re-derived from a base file by row origin — identical
+    * `_change_type`/`_commit_epoch`/`_file`/`_pos`/values to what the
+    * original file would have produced. */
+  private def baseReader(p: AuditCdfBasePartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val baseSchema = AuditBase.baseSchema(dataSchema)
+    val n = dataSchema.length
+    val insertTag = org.apache.spark.unsafe.types.UTF8String.fromString("insert")
+    val deleteTag = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
+    val srcIdx = fullSchema.fields.map {
+      case f if f.name == "_change_type"  => -1
+      case f if f.name == "_commit_epoch" => -2
+      case f if f.name == "_file"         => -3
+      case f if f.name == "_pos"          => -4
+      case f => dataSchema.fieldIndex(f.name)
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val lines = java.nio.file.Files.lines(
+        java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
+      private val it = lines.iterator()
+      private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+      private var row: InternalRow = _
+      private def emit(full: InternalRow, tag: org.apache.spark.unsafe.types.UTF8String,
+          epoch: java.lang.Long, of: org.apache.spark.unsafe.types.UTF8String,
+          op: Long): Unit = {
+        val vals = new Array[Any](srcIdx.length)
+        var i = 0
+        while (i < srcIdx.length) {
+          vals(i) = srcIdx(i) match {
+            case -1 => tag
+            case -2 => epoch
+            case -3 => of
+            case -4 => op
+            case s  =>
+              if (full.isNullAt(s)) null
+              else full.get(s, dataSchema(s).dataType)
+          }
+          i += 1
+        }
+        pending.enqueue(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+      }
+      override def next(): Boolean = {
+        while (pending.isEmpty && it.hasNext) {
+          val full = AuditJson.parseLine(it.next(), baseSchema)
+          val oe: java.lang.Long =
+            if (full.isNullAt(n)) null else Long.box(full.getLong(n))
+          val of = full.getUTF8String(n + 1)
+          val op = full.getLong(n + 2)
+          val insertHit = (oe != null && p.epochs.contains(oe)) ||
+            (oe == null && p.batchOrigins.contains(of.toString))
+          if (insertHit) emit(full, insertTag, oe, of, op)
+          if (p.deletes.get(of.toString).exists(_.contains(op)))
+            emit(full, deleteTag, null, of, op)
+        }
+        if (pending.isEmpty) false
+        else { row = pending.dequeue(); true }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = lines.close()
+    }
+  }
 }
 
 /** Offset over the three append-only logs: epochs : batchFiles : deletes. */
@@ -761,9 +935,11 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
   import org.apache.spark.sql.connector.read._
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // the batch axis counts ALL manifest body lines — folded tombstones
+  // included — so offsets stay stable across OPTIMIZE's manifest fold
   private def now(): AuditCdfOffset = AuditCdfOffset(
     AuditScan.committedEpochs(path).size,
-    AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).size,
+    AuditBase.readManifest(path).size,
     AuditDeletes.count(path))
 
   override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L)
@@ -777,7 +953,7 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
     val s = start.asInstanceOf[AuditCdfOffset]
     val en = end.asInstanceOf[AuditCdfOffset]
     val epochs = AuditScan.committedEpochs(path)
-    val batch = AuditPartition.manifestEntries(java.nio.file.Paths.get(path)).map(_._1)
+    val batch = AuditBase.readManifest(path)
     val dels = AuditDeletes.entries(path)
     // the changelog contract holds only while the logs are append-only: a
     // retroactive metadata DELETE (or TRUNCATE) shrinks them, and replaying
@@ -802,6 +978,10 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    partition match {
+      case p: AuditBasePartition => return baseReader(p)
+      case _ => ()
+    }
     val (files, epoch, deleted) = partition match {
       case p: AuditFilePartition => (Seq(p.file), p.epoch, p.deleted.toSet)
       case p: AuditDirPartition  => (p.files, None, Set.empty[Long])
@@ -861,6 +1041,64 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
       }
       override def get(): InternalRow = row
       override def close(): Unit = if (lines != null) lines.close()
+    }
+  }
+
+  /** Reader over a base-checkpoint file: rows carry their origin
+    * (`_oepoch`/`_ofile`/`_opos`) as trailing json fields. The metadata
+    * columns surface the ORIGIN coordinates — the row id a row was first
+    * committed under is its id forever, which is what keeps delete
+    * vectors valid across any number of re-compactions. */
+  private def baseReader(p: AuditBasePartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val baseSchema = AuditBase.baseSchema(writeSchema)
+    val n = writeSchema.length // origin fields sit at n, n+1, n+2
+    val srcIdx = required.fields.map {
+      case f if f.name == "_epoch" => -1
+      case f if f.name == "_file"  => -2
+      case f if f.name == "_pos"   => -3
+      case f => writeSchema.fieldIndex(f.name)
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val lines = java.nio.file.Files.lines(
+        java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
+      private val it = lines.iterator()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val full = AuditJson.parseLine(it.next(), baseSchema)
+          val oe: java.lang.Long =
+            if (full.isNullAt(n)) null else Long.box(full.getLong(n))
+          val of = full.getUTF8String(n + 1)
+          val op = full.getLong(n + 2)
+          val keep =
+            p.epochFilter.forall(s => oe != null && s.contains(oe)) &&
+              p.maxEpoch.forall(v => oe != null && oe <= v) &&
+              (!p.epochOriginOnly || oe != null) &&
+              !p.vectors.get(of.toString).exists(_.contains(op))
+          if (keep) {
+            val vals = new Array[Any](srcIdx.length)
+            var i = 0
+            while (i < srcIdx.length) {
+              vals(i) = srcIdx(i) match {
+                case -1 => oe
+                case -2 => of
+                case -3 => op
+                case s  =>
+                  if (full.isNullAt(s)) null
+                  else full.get(s, writeSchema(s).dataType)
+              }
+              i += 1
+            }
+            row = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = lines.close()
     }
   }
 }
@@ -1000,28 +1238,17 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val stage = dir.resolve("_staging")
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
     val manifestFile = dir.resolve("_MANIFEST")
-    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
-    val prior: Seq[(String, Long)] =
-      if (java.nio.file.Files.exists(manifestFile))
-        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-          case fileRe(f, r) => (f, r.toLong)
-        }.toSeq
-      else Seq.empty
-    val start = prior.size
+    val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
+    val start = AuditBase.nextPartIndex(prior)
     val added = msgs.flatMap(m => m.staged.map((_, m.rows))).sortBy(_._1)
       .zipWithIndex.map { case ((staged, rows), i) =>
         val name = f"part-${start + i}%05d.jsonl"
         java.nio.file.Files.move(stage.resolve(staged), dir.resolve(name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (name, rows)
+        AuditBase.ManifestEntry(name, rows, folded = false)
       }
-    if (added.nonEmpty || !java.nio.file.Files.exists(manifestFile)) {
-      val all = prior ++ added
-      java.nio.file.Files.write(manifestFile,
-        (Seq(s"""{"files":${all.size},"rows":${all.map(_._2).sum}}""") ++
-          all.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
-          .mkString("\n").getBytes("UTF-8"))
-    }
+    if (added.nonEmpty || !java.nio.file.Files.exists(manifestFile))
+      AuditBase.writeManifest(path, prior ++ added)
     AuditDeletes.append(path, msgs.flatMap(_.deletes))
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
@@ -1138,6 +1365,24 @@ private[sources] object AuditDelete {
   def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
       partInfo: Option[(String, DataType)] = None): Unit = {
     val dir = java.nio.file.Paths.get(path)
+    // compacted table: canDeleteWhere routed predicate deletes to the
+    // delta path, but TRUNCATE TABLE reaches here directly — clear the
+    // base checkpoint and every log wholesale
+    if (partInfo.isEmpty && AuditBase.read(path).isDefined) {
+      require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+        "audit: retroactive metadata DELETE on a compacted (OPTIMIZEd) " +
+          "table is unsupported — predicate deletes take the delta path")
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .foreach(java.nio.file.Files.delete)
+      finally listing.close()
+      java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("_BASE"))
+      AuditDeletes.clear(path)
+      AuditBase.writeManifest(path, Seq.empty)
+      return
+    }
     // TRUNCATE reaches this path DIRECTLY (TruncatableTable.truncateTable
     // does not consult canDeleteWhere), so delete vectors may exist here:
     // fold them into the rewrite — a compacted file keeps neither
@@ -1343,12 +1588,21 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       options.get("sortby").toArray.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
 
-    override def toBatch: BatchWrite = partInfo match {
-      case Some((col, _)) =>
-        new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
-          schema.fieldIndex(col))
-      case None => new AuditBatchWrite(path, schema, truncateFirst)
-    }
+    override def toBatch: BatchWrite =
+      if (options.get("basecommit").exists(_.toBoolean)) {
+        // OPTIMIZE's base-checkpoint publish — see AuditBase
+        require(partInfo.isEmpty,
+          "audit: base compaction applies to unpartitioned tables " +
+            "(partitioned small files are controlled per-partition at write " +
+            "time via clusterBy/targetFileCount)")
+        new AuditBaseBatchWrite(path, schema,
+          options("basethroughepoch").toLong)
+      } else partInfo match {
+        case Some((col, _)) =>
+          new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
+            schema.fieldIndex(col))
+        case None => new AuditBatchWrite(path, schema, truncateFirst)
+      }
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(partInfo.isEmpty,
@@ -1451,34 +1705,31 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       finally listing.close()
       // epoch part files die with the truncate — a stale epoch log would
       // point versioned readers at deleted files; same for delete vectors
+      // and the base checkpoint (its .jsonl files died in the loop above)
       java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("_BASE"))
       AuditDeletes.clear(path)
     }
-    // append commits extend the manifest (and number files after the
-    // already-committed set) instead of clobbering it — a second INSERT
-    // INTO must neither collide on part names nor orphan the first commit
-    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
-    val prior: Seq[(String, Long)] =
+    // append commits extend the manifest (and number files past the
+    // already-committed set — folded tombstones included: a reused name
+    // would collide with origin row ids) instead of clobbering it
+    val prior: Seq[AuditBase.ManifestEntry] =
       if (!truncateFirst && java.nio.file.Files.exists(manifestFile))
-        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-          case fileRe(f, r) => (f, r.toLong)
-        }.toSeq
+        AuditBase.readManifest(path)
       else Seq.empty
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .sortBy(_.stagedName)
-    val start = prior.size
+    val start = AuditBase.nextPartIndex(prior)
     entries.zipWithIndex.foreach { case (m, i) =>
       java.nio.file.Files.move(stage.resolve(m.stagedName),
         dir.resolve(f"part-${start + i}%05d.jsonl"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    val all = prior ++ entries.zipWithIndex.map { case (m, i) =>
-      (f"part-${start + i}%05d.jsonl", m.rows)
-    }
-    val manifest = all.map { case (f, r) => s"""{"file":"$f","rows":$r}""" }
-    java.nio.file.Files.write(manifestFile,
-      (Seq(s"""{"files":${all.size},"rows":${all.map(_._2).sum}}""") ++
-        manifest).mkString("\n").getBytes("UTF-8"))
+    AuditBase.writeManifest(path, prior ++ entries.zipWithIndex.map {
+      case (m, i) =>
+        AuditBase.ManifestEntry(f"part-${start + i}%05d.jsonl", m.rows,
+          folded = false)
+    })
     deleteRecursively(stage)
   }
 

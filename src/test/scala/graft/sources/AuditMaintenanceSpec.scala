@@ -1,0 +1,227 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OPTIMIZE / VACUUM over the audit table format: compaction into an
+  * origin-tagged base checkpoint, superseded-epoch reclamation, and the
+  * retention-bounded time-travel expiry — with every read contract
+  * (current, pinned, metadata count, change feed, epoch tail, delta DML)
+  * asserted identical across maintenance. */
+class AuditMaintenanceSpec extends SparkSpec {
+  private lazy val wh = java.nio.file.Files.createTempDirectory("graft_maint_wh")
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_m", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_m.warehouse", wh.toString)
+  }
+
+  private def dataDir(t: String) = wh.resolve("db").resolve(t)
+
+  private def jsonlFiles(t: String, prefix: String): Seq[String] = {
+    val d = dataDir(t)
+    if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
+    val listing = java.nio.file.Files.list(d)
+    try listing.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".jsonl")).toSeq.sorted
+    finally listing.close()
+  }
+
+  /** 4 streamed epochs (ids 0..399), a delta MERGE (update 5,17; insert
+    * 1000) and a delta DELETE (3,103,203,303) — the fixture every test
+    * compacts. */
+  private def buildTable(t: String): Unit = {
+    init()
+    spark.sql(s"DROP TABLE IF EXISTS graft_m.db.$t")
+    spark.sql(s"CREATE TABLE graft_m.db.$t (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_maint_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir(t).toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      s"""MERGE INTO graft_m.db.$t t
+         |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+         |       AS s(id, v)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"DELETE FROM graft_m.db.$t WHERE id % 100 = 3 AND id < 400")
+  }
+
+  private def snap(sqlText: String): Seq[(Long, Long)] =
+    spark.sql(sqlText).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_epoch",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_pos",
+      org.apache.spark.sql.types.LongType)))
+
+  private def cdfEvents(t: String): Seq[(String, Any, Long, Long, String, Long)] =
+    spark.read.schema(cdfSchema).format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir(t).toString).option("changeFeed", "true").load()
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.getLong(0), r.getLong(1), r.getString(4), r.getLong(5)))
+      .toSeq.sortBy(e => (e._1, e._5, e._6))
+
+  test("OPTIMIZE compacts to sorted base files; every read is unchanged") {
+    buildTable("opt1")
+    val curBefore = snap("SELECT id, v FROM graft_m.db.opt1 ORDER BY id")
+    val pinBefore = snap("SELECT id, v FROM graft_m.db.opt1 VERSION AS OF 2 ORDER BY id")
+    val cdfBefore = cdfEvents("opt1")
+    assert(curBefore.size === 397) // 400 - 4 deleted - 2 updated-old + 3 inserted
+    assert(pinBefore.size === 300) // pure epochs 0..2, vectors ignored
+
+    val res = spark.sql(
+      "CALL graft_m.system.optimize(table => 'db.opt1', " +
+        "target_file_count => 2, sort_by => 'id')").collect()
+    assert(res.head.getInt(1) === 2, res.toSeq)    // base_files
+    assert(res.head.getLong(2) === 403L, res.toSeq) // full history incl deleted
+    assert(res.head.getLong(3) === 3L, res.toSeq)   // through epoch
+
+    assert(jsonlFiles("opt1", "base-").size === 2)
+    assert(jsonlFiles("opt1", "part-e").size === 4) // epoch files wait for VACUUM
+    assert(jsonlFiles("opt1", "part-0").isEmpty &&
+      jsonlFiles("opt1", "part-1").isEmpty) // folded batch files reclaimed
+
+    // within-file sort honored (ids ascending inside each base file)
+    val ids = java.nio.file.Files
+      .readAllLines(dataDir("opt1").resolve(jsonlFiles("opt1", "base-").head))
+      .asScala.map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+    assert(ids.toSeq === ids.toSeq.sorted)
+
+    // current, pinned, metadata count, and the change feed are identical
+    assert(snap("SELECT id, v FROM graft_m.db.opt1 ORDER BY id") === curBefore)
+    assert(snap("SELECT id, v FROM graft_m.db.opt1 VERSION AS OF 2 ORDER BY id")
+      === pinBefore)
+    val cnt = spark.sql("SELECT count(*) FROM graft_m.db.opt1")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 397L)
+    assert(cdfEvents("opt1") === cdfBefore)
+  }
+
+  test("delta DML, appends, and re-OPTIMIZE keep working on a compacted table") {
+    buildTable("opt2")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.opt2', target_file_count => 2)")
+    // delta UPDATE against base rows: vectors key on ORIGIN row ids
+    spark.sql("UPDATE graft_m.db.opt2 SET v = 1 WHERE id IN (7, 250)")
+    assert(snap("SELECT id, v FROM graft_m.db.opt2 WHERE id IN (7, 250) ORDER BY id")
+      === Seq((7L, 1L), (250L, 1L)))
+    // pinned history still shows the pre-UPDATE values
+    val pin = snap("SELECT id, v FROM graft_m.db.opt2 VERSION AS OF 2 ORDER BY id")
+    assert(pin.size === 300 && pin.count(_._2 == 1L) === 0)
+    // append lands as a fresh live batch file numbered PAST the folded set
+    spark.sql("INSERT INTO graft_m.db.opt2 VALUES (2000, 9)")
+    assert(jsonlFiles("opt2", "part-0").nonEmpty) // part-00002+ (post-fold)
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.opt2").head.getLong(0) === 398L)
+    val cur = snap("SELECT id, v FROM graft_m.db.opt2 ORDER BY id")
+    // re-OPTIMIZE folds everything again; answers stable
+    spark.sql("CALL graft_m.system.optimize(table => 'db.opt2', target_file_count => 1)")
+    assert(jsonlFiles("opt2", "base-").size === 1)
+    assert(snap("SELECT id, v FROM graft_m.db.opt2 ORDER BY id") === cur)
+    assert(snap("SELECT id, v FROM graft_m.db.opt2 VERSION AS OF 2 ORDER BY id")
+      === pin)
+  }
+
+  test("VACUUM reclaims epoch files, retains recent versions, expires the rest") {
+    buildTable("vac1")
+    val pin3 = snap("SELECT id, v FROM graft_m.db.vac1 VERSION AS OF 3 ORDER BY id")
+    val cur = snap("SELECT id, v FROM graft_m.db.vac1 ORDER BY id")
+    val cdf = cdfEvents("vac1")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.vac1', target_file_count => 2)")
+    val res = spark.sql(
+      "CALL graft_m.system.vacuum(table => 'db.vac1', retain_last => 2)").collect()
+    assert(res.head.getInt(1) === 4, res.toSeq)     // 4 epoch files reclaimed
+    assert(res.head.getLong(2) === 1L, res.toSeq)   // expired through epoch 1
+    assert(jsonlFiles("vac1", "part-e").isEmpty)
+
+    // retained versions answer (from the base); expired ones error cleanly
+    assert(snap("SELECT id, v FROM graft_m.db.vac1 VERSION AS OF 3 ORDER BY id")
+      === pin3)
+    assert(snap("SELECT id, v FROM graft_m.db.vac1 VERSION AS OF 2 ORDER BY id")
+      .size === 300)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft_m.db.vac1 VERSION AS OF 1").collect())
+    assert(err.getMessage.contains("expired") ||
+      Option(err.getCause).exists(_.getMessage.contains("expired")),
+      err.getMessage)
+    val errCnt = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft_m.db.vac1 VERSION AS OF 0").collect())
+    assert(errCnt.getMessage.contains("expired") ||
+      Option(errCnt.getCause).exists(_.getMessage.contains("expired")))
+
+    // current state and the full change feed are untouched
+    assert(snap("SELECT id, v FROM graft_m.db.vac1 ORDER BY id") === cur)
+    assert(cdfEvents("vac1") === cdf)
+
+    // the epoch TAIL replays every epoch from the base (same offset axis)
+    val tailCkpt = java.nio.file.Files.createTempDirectory("graft_maint_tail")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_maint_out")
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(cdfSchema.take(2)))
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir("vac1").toString).load()
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", tailCkpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val replayed = spark.read.parquet(outDir.toString)
+    assert(replayed.count() === 400L) // all 4 epochs, pure insert history
+    assert(replayed.agg(sum("id")).head.getLong(0) === (0L until 400L).sum)
+  }
+
+  test("maintenance guardrails: bad targets fail loudly; TRUNCATE clears the base") {
+    init()
+    // vacuum before optimize
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.g1")
+    spark.sql("CREATE TABLE graft_m.db.g1 (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_m.db.g1 VALUES (1, 1)")
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft_m.system.vacuum(table => 'db.g1')").collect())
+    assert(e1.getMessage.contains("OPTIMIZE") ||
+      Option(e1.getCause).exists(_.getMessage.contains("OPTIMIZE")))
+    // partitioned tables are refused
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.g2")
+    spark.sql("CREATE TABLE graft_m.db.g2 (id BIGINT, flag STRING) " +
+      "USING audit PARTITIONED BY (flag)")
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_m.system.optimize(table => 'db.g2')").collect())
+    assert(e2.getMessage.contains("partitioned") ||
+      Option(e2.getCause).exists(_.getMessage.contains("partitioned")))
+    // unknown procedure
+    intercept[Exception](
+      spark.sql("CALL graft_m.system.nope(table => 'db.g1')").collect())
+    // TRUNCATE on a compacted table clears base + logs; table reads empty
+    buildTable("g3")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.g3', target_file_count => 1)")
+    spark.sql("TRUNCATE TABLE graft_m.db.g3")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.g3").head.getLong(0) === 0L)
+    assert(jsonlFiles("g3", "").isEmpty)
+    assert(!java.nio.file.Files.exists(dataDir("g3").resolve("_BASE")))
+    // and the table is writable again afterwards
+    spark.sql("INSERT INTO graft_m.db.g3 VALUES (1, 1)")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.g3").head.getLong(0) === 1L)
+    // SHOW PROCEDURES lists the maintenance surface
+    val procs = spark.sql("SHOW PROCEDURES IN graft_m.system").collect()
+      .map(_.toSeq.mkString(".")).mkString(";")
+    assert(procs.contains("optimize") && procs.contains("vacuum"), procs)
+  }
+}
