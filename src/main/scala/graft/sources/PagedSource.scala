@@ -277,6 +277,10 @@ final class PagedScan(pages: Int, pageSize: Int, required: StructType,
     * so a coarse prune can never change answers. */
   private var runtimePages: Option[Set[Int]] = None
 
+  /** Which runtime-filter API last pruned: "v2-native" for the Predicate
+    * overload, "v1" for the converted Filter path (spec-visible). */
+  private[sources] var runtimeFilterApi: Option[String] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -344,12 +348,63 @@ final class PagedScan(pages: Int, pageSize: Int, required: StructType,
     filters.foreach {
       case org.apache.spark.sql.sources.In("id", vs) =>
         val pagesHit = vs.toSeq.flatMap(toPage)
-        if (pagesHit.length == vs.length) // only prune on a fully-understood set
+        if (pagesHit.length == vs.length) { // only prune on a fully-understood set
           runtimePages = Some(pagesHit.toSet)
+          runtimeFilterApi = Some(runtimeFilterApi.getOrElse("v1"))
+        }
       case org.apache.spark.sql.sources.EqualTo("id", v) =>
-        toPage(v).foreach(p => runtimePages = Some(Set(p)))
+        toPage(v).foreach { p =>
+          runtimePages = Some(Set(p))
+          runtimeFilterApi = Some(runtimeFilterApi.getOrElse("v1"))
+        }
       case _ => () // best-effort: unknown runtime predicates prune nothing
     }
+  }
+
+  /** NATIVE V2 predicate path ([[SupportsRuntimeV2Filtering]] — the API
+    * the DSv2 ecosystem is converging on; v1 `Filter` above stays as the
+    * compatibility fallback). Spark's DPP calls THIS overload: `IN` / `=`
+    * predicates over the id column are parsed straight from the connector
+    * expression tree (FieldReference + LiteralValue — no v1 conversion in
+    * the hot path); any shape the native parser does not understand
+    * delegates to the default v1-converting implementation so the two
+    * paths can never disagree on what prunes. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def isIdRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq("id")
+      case _                 => false
+    }
+    def litPage(e: Expression): Option[Int] = e match {
+      case l: Literal[_] => l.value match {
+        case v: java.lang.Long    => Some((v.longValue / pageSize).toInt)
+        case v: java.lang.Integer => Some((v.longValue / pageSize).toInt)
+        case _                    => None
+      }
+      case _ => None
+    }
+    val unhandled = predicates.filterNot { p =>
+      (p.name, p.children().toSeq) match {
+        case ("IN", ref +: vals) if isIdRef(ref) && vals.nonEmpty =>
+          val pagesHit = vals.flatMap(litPage)
+          pagesHit.length == vals.length && {
+            runtimePages = Some(pagesHit.toSet)
+            runtimeFilterApi = Some("v2-native")
+            true
+          }
+        case ("=", Seq(a, b)) if isIdRef(a) || isIdRef(b) =>
+          val lit = if (isIdRef(a)) litPage(b) else litPage(a)
+          lit.exists { pg =>
+            runtimePages = Some(Set(pg))
+            runtimeFilterApi = Some("v2-native")
+            true
+          }
+        case _ => false
+      }
+    }
+    if (unhandled.nonEmpty)
+      super.filter(unhandled) // default SupportsRuntimeFiltering v1 bridge
   }
 }
 
