@@ -212,6 +212,11 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     manifest.filterNot(_.folded).foreach { e =>
       java.nio.file.Files.deleteIfExists(dir.resolve(e.file))
     }
+    // zone maps: record the base files' bounds, drop lines for the files
+    // the base superseded (stale lines are superset-safe, just unbounded)
+    AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
+    AuditStats.append(path,
+      entries.zip(files).map { case (m, (name, _)) => (name, m.stats) })
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -278,6 +283,7 @@ private[sources] object AuditMaintenance {
     gone.foreach { case (f, _) =>
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     }
+    AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
     AuditBase.write(path, b.throughEpoch, newExpired, b.files)
     (gone.size, newExpired)
   }

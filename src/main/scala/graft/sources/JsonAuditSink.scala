@@ -284,22 +284,30 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = partInfo match {
-    case None => filters // unpartitioned: nothing to prune with
-    case _ if !allowPartFilters => filters
-    case Some((col, _)) =>
-      def restrict(tokens: Set[String]): Unit =
-        allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
-      accepted = filters.filter {
-        case EqualTo(c, v) if c == col && v != null =>
-          restrict(Set(AuditPartition.encode(v))); true
-        case In(c, vs) if c == col && vs.forall(_ != null) =>
-          restrict(vs.map(AuditPartition.encode).toSet); true
-        case IsNull(c) if c == col =>
-          restrict(Set(AuditPartition.NullToken)); true
-        case _ => false
-      }
-      filters.filterNot(accepted.contains)
+  /** Conjuncts remembered for ZONE-MAP file skipping (`_STATS`): they are
+    * never claimed — every data filter stays residual, so a skip can only
+    * remove files whose every row the residual would drop anyway. */
+  private var skipFilters: Seq[Filter] = Nil
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (allowPartFilters) skipFilters = filters.toSeq
+    partInfo match {
+      case None => filters // unpartitioned: no partition dirs to prune
+      case _ if !allowPartFilters => filters
+      case Some((col, _)) =>
+        def restrict(tokens: Set[String]): Unit =
+          allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
+        accepted = filters.filter {
+          case EqualTo(c, v) if c == col && v != null =>
+            restrict(Set(AuditPartition.encode(v))); true
+          case In(c, vs) if c == col && vs.forall(_ != null) =>
+            restrict(vs.map(AuditPartition.encode).toSet); true
+          case IsNull(c) if c == col =>
+            restrict(Set(AuditPartition.NullToken)); true
+          case _ => false
+        }
+        filters.filterNot(accepted.contains)
+    }
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -325,7 +333,7 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   override def build(): org.apache.spark.sql.connector.read.Scan =
     if (metadataCount) new AuditCountScan(path, versionAsOf, partInfo, allowedTokens)
     else new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
-      allowedTokens, includeDeleted)
+      allowedTokens, includeDeleted, skipFilters)
 }
 
 /** The manifest-count scan: one partition, one row, zero data files read.
@@ -424,7 +432,8 @@ final class AuditScan(path: String, writeSchema: StructType,
     required: StructType, versionAsOf: Option[Long],
     partInfo: Option[(String, DataType)] = None,
     allowedTokens: Option[Set[String]] = None,
-    includeDeleted: Boolean = false)
+    includeDeleted: Boolean = false,
+    skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -466,6 +475,14 @@ final class AuditScan(path: String, writeSchema: StructType,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  /** ZONE-MAP skip: a file whose `_STATS` bounds prove every row fails
+    * the pushed conjuncts is dropped from planning without being opened
+    * (the conjuncts stay residual, so a skip can never change answers). */
+  private lazy val fileStats = AuditStats.read(path)
+  private def skippable(f: String): Boolean =
+    skipFilters.nonEmpty &&
+      fileStats.get(f).exists(AuditStats.canSkip(_, skipFilters))
 
   override def planInputPartitions(): Array[InputPartition] = {
     partInfo match {
@@ -509,7 +526,7 @@ final class AuditScan(path: String, writeSchema: StructType,
       if (versionAsOf.isEmpty && !includeDeleted) AuditDeletes.read(path)
       else Map.empty
     val baseParts: Seq[InputPartition] = base.toSeq.flatMap { b =>
-      b.files.map { case (f, _) =>
+      b.files.collect { case (f, _) if !skippable(f) =>
         versionAsOf match {
           // pinned: pure epoch history — epoch-origin rows <= v, no vectors
           case Some(v) => AuditBasePartition(dir.resolve(f).toString,
@@ -520,9 +537,10 @@ final class AuditScan(path: String, writeSchema: StructType,
         }
       }
     }
-    (baseParts ++ (batchFiles ++ epochFiles).map { case (f, e) =>
-      AuditFilePartition(dir.resolve(f).toString, e,
-        vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
+    (baseParts ++ (batchFiles ++ epochFiles).collect {
+      case (f, e) if !skippable(f) =>
+        AuditFilePartition(dir.resolve(f).toString, e,
+          vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
     }).toArray
   }
 
@@ -1170,7 +1188,8 @@ final class AuditDeltaWrite(path: String, schema: StructType)
 }
 
 final case class AuditDeltaCommitMessage(staged: Option[String], rows: Long,
-    deletes: Seq[(String, Long)]) extends WriterCommitMessage
+    deletes: Seq[(String, Long)],
+    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
 
 final class AuditDeltaWriterFactory(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
@@ -1189,6 +1208,7 @@ final class AuditDeltaWriter(path: String, schema: StructType,
   private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
+  private val acc = new AuditStats.Acc(schema)
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -1207,13 +1227,14 @@ final class AuditDeltaWriter(path: String, schema: StructType,
     }
     out.write(AuditRowJson.line(schema, row))
     out.write("\n")
+    acc.update(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     AuditDeltaCommitMessage(if (rows > 0) Some(stagedName) else None, rows,
-      deletes.toSeq)
+      deletes.toSeq, acc.result)
   }
 
   override def abort(): Unit = {
@@ -1240,15 +1261,17 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val manifestFile = dir.resolve("_MANIFEST")
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
-    val added = msgs.flatMap(m => m.staged.map((_, m.rows))).sortBy(_._1)
-      .zipWithIndex.map { case ((staged, rows), i) =>
+    val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
+      .sortBy(_._1).zipWithIndex.map { case ((staged, rows, stats), i) =>
         val name = f"part-${start + i}%05d.jsonl"
         java.nio.file.Files.move(stage.resolve(staged), dir.resolve(name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        AuditBase.ManifestEntry(name, rows, folded = false)
+        (AuditBase.ManifestEntry(name, rows, folded = false), stats)
       }
+    val added = placed.map(_._1)
     if (added.nonEmpty || !java.nio.file.Files.exists(manifestFile))
       AuditBase.writeManifest(path, prior ++ added)
+    AuditStats.append(path, placed.map { case (e, s) => (e.file, s) })
     AuditDeletes.append(path, msgs.flatMap(_.deletes))
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
@@ -1261,7 +1284,7 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val stage = java.nio.file.Paths.get(path).resolve("_staging")
     messages.foreach {
-      case AuditDeltaCommitMessage(Some(staged), _, _) =>
+      case AuditDeltaCommitMessage(Some(staged), _, _, _) =>
         java.nio.file.Files.deleteIfExists(stage.resolve(staged))
       case _ => ()
     }
@@ -1380,6 +1403,7 @@ private[sources] object AuditDelete {
       java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
       java.nio.file.Files.deleteIfExists(dir.resolve("_BASE"))
       AuditDeletes.clear(path)
+      AuditStats.clear(path)
       AuditBase.writeManifest(path, Seq.empty)
       return
     }
@@ -1648,6 +1672,11 @@ final class AuditStreamingWrite(path: String, schema: StructType)
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // zone maps: a replayed epoch first drops its own prior stats lines
+    AuditStats.retain(path, !_.startsWith(epochPrefix))
+    AuditStats.append(path, entries.zipWithIndex.map { case (m, i) =>
+      (f"part-e$epochId%d-$i%05d.jsonl", m.stats)
+    })
     // _EPOCHS keeps exactly one line per epoch: drop any line a previous
     // attempt of this epoch wrote, then append the authoritative one.
     val epochsFile = dir.resolve("_EPOCHS")
@@ -1685,8 +1714,145 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType)
     new AuditDataWriter(path, schema, partitionId, taskId)
 }
 
-final case class AuditCommitMessage(stagedName: String, rows: Long)
+final case class AuditCommitMessage(stagedName: String, rows: Long,
+    stats: Map[String, (Long, Long)] = Map.empty)
   extends WriterCommitMessage
+
+/** Per-file column statistics (`_STATS`): one json line per committed
+  * file with min/max for every integral/timestamp column — the zone map
+  * every columnar format keeps in its footer, lifted to the table level
+  * so planning can SKIP whole files against pushed range predicates
+  * without opening them. Bounds are computed by the writer as rows
+  * stream through (free at write time) and are SUPERSET-safe by
+  * construction: the metadata DELETE rewrites rows in place, which only
+  * ever narrows a file's true range, so a stale bound can admit an
+  * unnecessary file but never skip a needed one. Files without a stats
+  * line are never skipped. */
+private[sources] object AuditStats {
+  private val LineRe = """\{"file":"([^"]+)","cols":\{(.*)\}\}""".r
+  private val ColRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+
+  def file(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve("_STATS")
+
+  def statable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  def read(path: String): Map[String, Map[String, (Long, Long)]] =
+    if (!java.nio.file.Files.exists(file(path))) Map.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case LineRe(f, cols) =>
+        f -> ColRe.findAllMatchIn(cols).map(m =>
+          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    }.toMap // last line wins for a replayed epoch file — exactly right
+
+  def line(fileName: String, stats: Map[String, (Long, Long)]): String =
+    s"""{"file":"$fileName","cols":{""" + stats.toSeq.sortBy(_._1).map {
+      case (c, (lo, hi)) => s""""$c":[$lo,$hi]"""
+    }.mkString(",") + "}}"
+
+  def append(path: String, entries: Seq[(String, Map[String, (Long, Long)])]): Unit = {
+    val withStats = entries.filter(_._2.nonEmpty)
+    if (withStats.isEmpty) return
+    java.nio.file.Files.write(file(path),
+      withStats.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Drop stats lines for files that no longer exist (compaction/vacuum
+    * hygiene — stale lines are harmless but unbounded). */
+  def retain(path: String, keep: String => Boolean): Unit =
+    if (java.nio.file.Files.exists(file(path))) {
+      val kept = java.nio.file.Files.readAllLines(file(path)).asScala.filter {
+        case LineRe(f, _) => keep(f)
+        case _            => false
+      }
+      val tmp = file(path).resolveSibling("_STATS.tmp")
+      java.nio.file.Files.write(tmp,
+        kept.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, file(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  def clear(path: String): Unit =
+    java.nio.file.Files.deleteIfExists(file(path))
+
+  /** Streaming-row accumulator for the writers: min/max per statable
+    * column, updated as rows pass — free at write time. */
+  final class Acc(schema: StructType) {
+    private val idx = schema.fields.zipWithIndex
+      .filter { case (f, _) => statable(f.dataType) }
+    private val lo = Array.fill(idx.length)(Long.MaxValue)
+    private val hi = Array.fill(idx.length)(Long.MinValue)
+    def update(record: InternalRow): Unit = {
+      var i = 0
+      while (i < idx.length) {
+        val (f, j) = idx(i)
+        if (!record.isNullAt(j)) {
+          val v = f.dataType match {
+            case IntegerType => record.getInt(j).toLong
+            case _           => record.getLong(j)
+          }
+          if (v < lo(i)) lo(i) = v
+          if (v > hi(i)) hi(i) = v
+        }
+        i += 1
+      }
+    }
+    def result: Map[String, (Long, Long)] =
+      idx.indices.filter(i => lo(i) <= hi(i)).map(i =>
+        idx(i)._1.name -> (lo(i), hi(i))).toMap
+  }
+
+  /** Can every row of a file with bounds `st` fail the pushed conjuncts?
+    * Conservative 3-valued: unknown column/shape → cannot skip. */
+  def canSkip(st: Map[String, (Long, Long)],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[Long] = v match {
+      case l: Long              => Some(l)
+      case l: java.lang.Long    => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case _                    => None
+    }
+    // true = the file PROVABLY contains no matching row for this conjunct
+    def disjoint(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => (st.get(c), lit(v)) match {
+        case (Some((lo, hi)), Some(x)) => x < lo || x > hi
+        case _ => false
+      }
+      case In(c, vs) => st.get(c).exists { case (lo, hi) =>
+        val xs = vs.toSeq.map(lit)
+        xs.forall(_.isDefined) && xs.flatten.forall(x => x < lo || x > hi)
+      }
+      case GreaterThan(c, v) => (st.get(c), lit(v)) match {
+        case (Some((_, hi)), Some(x)) => hi <= x
+        case _ => false
+      }
+      case GreaterThanOrEqual(c, v) => (st.get(c), lit(v)) match {
+        case (Some((_, hi)), Some(x)) => hi < x
+        case _ => false
+      }
+      case LessThan(c, v) => (st.get(c), lit(v)) match {
+        case (Some((lo, _)), Some(x)) => lo >= x
+        case _ => false
+      }
+      case LessThanOrEqual(c, v) => (st.get(c), lit(v)) match {
+        case (Some((lo, _)), Some(x)) => lo > x
+        case _ => false
+      }
+      // one provably-empty AND arm empties the conjunction
+      case And(l, r) => disjoint(l) || disjoint(r)
+      case Or(l, r)  => disjoint(l) && disjoint(r)
+      case _         => false
+    }
+    filters.exists(disjoint)
+  }
+}
 
 final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
     extends BatchWrite {
@@ -1709,6 +1875,7 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
       java.nio.file.Files.deleteIfExists(dir.resolve("_BASE"))
       AuditDeletes.clear(path)
+      AuditStats.clear(path)
     }
     // append commits extend the manifest (and number files past the
     // already-committed set — folded tombstones included: a reused name
@@ -1729,6 +1896,9 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       case (m, i) =>
         AuditBase.ManifestEntry(f"part-${start + i}%05d.jsonl", m.rows,
           folded = false)
+    })
+    AuditStats.append(path, entries.zipWithIndex.map { case (m, i) =>
+      (f"part-${start + i}%05d.jsonl", m.stats)
     })
     deleteRecursively(stage)
   }
@@ -1803,16 +1973,18 @@ final class AuditDataWriter(path: String, schema: StructType,
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
   private var rows = 0L
+  private val acc = new AuditStats.Acc(schema)
 
   override def write(record: InternalRow): Unit = {
     out.write(AuditRowJson.line(schema, record))
     out.write("\n")
+    acc.update(record)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    AuditCommitMessage(stagedName, rows)
+    AuditCommitMessage(stagedName, rows, acc.result)
   }
 
   override def abort(): Unit = {

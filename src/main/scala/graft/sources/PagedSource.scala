@@ -856,8 +856,71 @@ object PagedApi {
       |ORDER BY _epoch""".stripMargin
   }
 
+  /** ZONE-MAP file skipping, oracle-checked: the paged rows land in the
+    * audit table as 8 range-partitioned files (repartitionByRange → each
+    * task's file covers a disjoint id range, and the writer records
+    * min/max per integral column in `_STATS` as the rows stream through).
+    * The sliced read-back then plans ONLY the overlapping files — the
+    * spec asserts ~2 of 8 partitions survive — while the predicate stays
+    * residual, so this oracle hash-checks that skipping is answer-exact.
+    * This is the manifest-level data skipping every table format keeps
+    * (parquet zone maps lifted to table metadata), and at 100 TB it is
+    * the difference between a metadata lookup and a full-table read for
+    * every range-predicated query. */
+  def auditSkip(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_skip")
+    val out = root.resolve("tbl").toString
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+      .select(col("id"), col("track_id"), col("duration_ms"))
+      .repartitionByRange(8, col("id"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", out).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("track_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_ms",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).load()
+      .where(col("id") >= 9000L && col("id") < 19500L)
+      .groupBy(pmod(col("id"), lit(7L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("duration_ms")).as("total_ms"),
+        min(col("track_id")).as("lo_track"))
+      .orderBy(col("bucket"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val auditSkipSql: String = {
+    val track = graft.functions.Hashing.hexHashSql("'pg:' || CAST(t.r AS VARCHAR)")
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         $track % ${PagedSource.TrackMod} AS track_id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT id % 7 AS bucket, count(*) AS n_rows,
+      |       CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+      |       min(track_id) AS lo_track
+      |FROM src
+      |WHERE id >= 9000 AND id < 19500
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
+    "q_audit_skip" -> (auditSkip _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
     "q_source_v2_dpp" -> (sourceV2Dpp _),
@@ -866,6 +929,7 @@ object PagedApi {
     "q_source_v2_stream" -> (sourceV2Stream _))
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
+    "q_audit_skip" -> auditSkipSql,
     "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_topn" -> sourceV2TopNSql,
     "q_source_v2_dpp" -> sourceV2DppSql,

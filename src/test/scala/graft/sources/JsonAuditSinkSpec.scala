@@ -357,4 +357,68 @@ class JsonAuditSinkSpec extends SparkSpec {
       r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("zone-map stats skip non-overlapping files; predicates stay residual") {
+    val dir = tempDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    // 8 range-partitioned files → disjoint id ranges, tight _STATS bounds
+    spark.range(0, 8000).toDF("id")
+      .select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(8, col("id"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    assert(java.nio.file.Files.exists(dir.resolve("_STATS")))
+    def read() = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
+    // a 1.5-file-wide slice plans 2 of 8 partitions, answers stay exact
+    val sliced = read().where(col("id") >= 2100L && col("id") < 3600L)
+    assert(sliced.rdd.getNumPartitions === 2, sliced.rdd.getNumPartitions)
+    assert(sliced.count() === 1500L)
+    assert(sliced.agg(sum(col("v"))).head.getLong(0) ===
+      (2100L until 3600L).map(_ * 3L).sum)
+    // IN-list: one value per end of the table → exactly 2 files survive
+    val inq = read().where(col("id").isin(5L, 7995L))
+    assert(inq.rdd.getNumPartitions === 2)
+    assert(inq.count() === 2L)
+    // a predicate stats can't decide (string/unknown col shapes) skips nothing
+    assert(read().where(col("v") =!= 0L).rdd.getNumPartitions === 8)
+    // delete-rewrite leaves stats as supersets: skipping still never lies
+    val tbl = new AuditTable(dir.toString, schema)
+    tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("id", 1000L)))
+    val after = read().where(col("id") >= 500L && col("id") < 1500L)
+    assert(after.count() === 500L) // 1000..1499 survive, skip is superset-safe
+    // a later append's file gets its own stats line and skips cleanly
+    spark.range(100000, 100010).toDF("id")
+      .select(col("id"), (col("id") * 3L).as("v"))
+      .repartition(1)
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    val far = read().where(col("id") >= 100000L)
+    assert(far.rdd.getNumPartitions === 1)
+    assert(far.count() === 10L)
+  }
+
+  test("zone-map disjointness logic: And/Or/In bounds compose conservatively") {
+    import org.apache.spark.sql.sources._
+    val st = Map("id" -> (100L, 200L))
+    assert(AuditStats.canSkip(st, Seq(EqualTo("id", 50L))))
+    assert(!AuditStats.canSkip(st, Seq(EqualTo("id", 150L))))
+    assert(AuditStats.canSkip(st, Seq(GreaterThan("id", 200L))))
+    assert(!AuditStats.canSkip(st, Seq(GreaterThanOrEqual("id", 200L))))
+    assert(AuditStats.canSkip(st, Seq(LessThan("id", 100L))))
+    assert(AuditStats.canSkip(st, Seq(In("id", Array(10L, 300L)))))
+    assert(!AuditStats.canSkip(st, Seq(In("id", Array(10L, 150L)))))
+    // In with a value stats can't type → conservative keep
+    assert(!AuditStats.canSkip(st, Seq(In("id", Array[Any](10L, "x")))))
+    assert(AuditStats.canSkip(st,
+      Seq(And(LessThan("id", 100L), IsNotNull("id")))))
+    assert(!AuditStats.canSkip(st,
+      Seq(Or(LessThan("id", 100L), IsNotNull("id")))))
+    assert(AuditStats.canSkip(st,
+      Seq(Or(LessThan("id", 100L), GreaterThan("id", 300L)))))
+    // unknown column → keep
+    assert(!AuditStats.canSkip(st, Seq(EqualTo("other", 1L))))
+  }
 }
