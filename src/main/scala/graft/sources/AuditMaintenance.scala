@@ -73,7 +73,7 @@ private[sources] object AuditBase {
   final case class ManifestEntry(file: String, rows: Long, folded: Boolean)
 
   final case class Info(throughEpoch: Long, expiredThrough: Long,
-      files: Seq[(String, Long)])
+      files: Seq[(String, Long)], sortBy: Option[String] = None)
 
   /** Origin columns appended to every base row. `_oepoch` is null for rows
     * first committed by a batch write. */
@@ -89,28 +89,31 @@ private[sources] object AuditBase {
     java.nio.file.Paths.get(path).resolve("_BASE")
 
   private val HeaderRe =
-    """\{"throughEpoch":(-?\d+),"expiredThrough":(-?\d+)\}""".r
+    """\{"throughEpoch":(-?\d+),"expiredThrough":(-?\d+)(?:,"sortBy":"([^"]+)")?\}""".r
   private val FileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
 
   def read(path: String): Option[Info] = {
     val f = baseFile(path)
     if (!java.nio.file.Files.exists(f)) return None
     val lines = java.nio.file.Files.readAllLines(f).asScala
-    val (through, expired) = lines.head match {
-      case HeaderRe(t, e) => (t.toLong, e.toLong)
+    val (through, expired, sortBy) = lines.head match {
+      case HeaderRe(t, e, s) => (t.toLong, e.toLong, Option(s))
       case other => throw new IllegalStateException(s"audit _BASE header: $other")
     }
     Some(Info(through, expired, lines.tail.collect {
       case FileRe(n, r) => (n, r.toLong)
-    }.toSeq))
+    }.toSeq, sortBy))
   }
 
   def write(path: String, throughEpoch: Long, expiredThrough: Long,
-      files: Seq[(String, Long)]): Unit = {
+      files: Seq[(String, Long)], sortBy: Option[String] = None): Unit = {
     val f = baseFile(path)
     val tmp = f.resolveSibling("_BASE.tmp")
+    val header = s"""{"throughEpoch":$throughEpoch,""" +
+      s""""expiredThrough":$expiredThrough""" +
+      sortBy.map(s => s""","sortBy":"$s"""").getOrElse("") + "}"
     java.nio.file.Files.write(tmp,
-      (Seq(s"""{"throughEpoch":$throughEpoch,"expiredThrough":$expiredThrough}""") ++
+      (Seq(header) ++
         files.map { case (n, r) => s"""{"file":"$n","rows":$r}""" })
         .mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, f,
@@ -178,7 +181,7 @@ private[sources] object AuditBase {
   * left for VACUUM: they keep serving running epoch tails until the
   * operator decides to reclaim them. */
 final class AuditBaseBatchWrite(path: String, schema: StructType,
-    throughEpoch: Long) extends BatchWrite {
+    throughEpoch: Long, sortBy: Option[String] = None) extends BatchWrite {
   require(schema.fields.takeRight(3).map(_.name).toSeq ==
     Seq("_oepoch", "_ofile", "_opos"),
     s"audit base commit: schema must end with the origin columns, got " +
@@ -205,7 +208,7 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     // documented on AuditBase) and reclaim the superseded data files
     AuditBase.writeManifest(path, manifest.map(_.copy(folded = true)))
     AuditBase.write(path, throughEpoch,
-      prev.map(_.expiredThrough).getOrElse(-1L), files)
+      prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy)
     prev.foreach(_.files.foreach { case (f, _) =>
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     })
@@ -257,11 +260,11 @@ private[sources] object AuditMaintenance {
       col("_pos").as("_opos")): _*)
     if (targetFileCount > 0) df = df.repartition(targetFileCount)
     sortBy.foreach(c => df = df.sortWithinPartitions(col(c)))
-    df.write.format(classOf[JsonAuditSink].getName)
+    val writer = df.write.format(classOf[JsonAuditSink].getName)
       .option("path", path)
       .option("basecommit", "true")
       .option("basethroughepoch", through.toString)
-      .mode("append").save()
+    sortBy.fold(writer)(writer.option("basesortby", _)).mode("append").save()
     val b = AuditBase.read(path).getOrElse(
       throw new IllegalStateException("audit OPTIMIZE: base commit missing"))
     (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
@@ -284,7 +287,7 @@ private[sources] object AuditMaintenance {
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     }
     AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
-    AuditBase.write(path, b.throughEpoch, newExpired, b.files)
+    AuditBase.write(path, b.throughEpoch, newExpired, b.files, b.sortBy)
     (gone.size, newExpired)
   }
 }

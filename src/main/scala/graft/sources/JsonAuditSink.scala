@@ -436,8 +436,32 @@ final class AuditScan(path: String, writeSchema: StructType,
     skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.connector.read._
+
+  /** Sorted-scan reporting: after `OPTIMIZE ... sort_by => c` every base
+    * file is internally sorted on c, and each file is one input
+    * partition — so a read planning ONLY base files has a true
+    * per-partition ordering and declares it, letting Spark elide the
+    * sort below sort-merge joins, sort-aggregates, and
+    * sortWithinPartitions. Any live batch file or post-base epoch
+    * withdraws the claim (their rows are unsorted), as does column
+    * pruning that drops c. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val claim = for {
+      _ <- Option.when(partInfo.isEmpty && versionAsOf.isEmpty)(())
+      b <- AuditBase.read(path)
+      s <- b.sortBy
+      if required.fieldNames.contains(s)
+      if AuditBase.readManifest(path).forall(_.folded)
+      if AuditScan.committedEpochs(path).forall(_ <= b.throughEpoch)
+    } yield org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(s),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    claim.toArray
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1620,7 +1644,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
             "(partitioned small files are controlled per-partition at write " +
             "time via clusterBy/targetFileCount)")
         new AuditBaseBatchWrite(path, schema,
-          options("basethroughepoch").toLong)
+          options("basethroughepoch").toLong, options.get("basesortby"))
       } else partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,

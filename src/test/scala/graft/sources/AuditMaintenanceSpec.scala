@@ -188,6 +188,24 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(replayed.agg(sum("id")).head.getLong(0) === (0L until 400L).sum)
   }
 
+  test("a sort_by base reports its ordering: per-partition sorts are elided") {
+    buildTable("ord1")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.ord1', " +
+      "target_file_count => 2, sort_by => 'id')")
+    val df = spark.sql("SELECT id, v FROM graft_m.db.ord1")
+      .sortWithinPartitions("id")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Sort "),
+      df.queryExecution.executedPlan.toString.take(800))
+    // an unsorted append withdraws the ordering claim — the sort returns
+    spark.sql("INSERT INTO graft_m.db.ord1 VALUES (50000, 1)")
+    val df2 = spark.sql("SELECT id, v FROM graft_m.db.ord1")
+      .sortWithinPartitions("id")
+    df2.collect()
+    assert(df2.queryExecution.executedPlan.toString.contains("Sort "),
+      df2.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("maintenance guardrails: bad targets fail loudly; TRUNCATE clears the base") {
     init()
     // vacuum before optimize
