@@ -730,8 +730,82 @@ object CatalogApi {
       |ORDER BY src""".stripMargin
   }
 
+  /** Incremental materialized-view maintenance from the change feed,
+    * oracle-checked: the CDF events (inserts +, deletes −, an UPDATE being
+    * its delete/insert pair) FOLD into a grouped aggregate without ever
+    * re-reading the table — `sum(±v)`/`count(±1)` per group — and the
+    * DuckDB oracle restates the same groups from the CURRENT table state,
+    * so the hash gate proves the feed's event algebra reconstructs the
+    * table exactly. This is the consumption pattern the change feed
+    * exists for at 100 TB: a downstream aggregate pays for the DELTA, not
+    * for a snapshot re-scan. */
+  def cdfIncrementalMv(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qmv_wh")
+    spark.conf.set("spark.sql.catalog.graft_qmv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qmv.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qmv.db.mv")
+    spark.sql("CREATE TABLE graft_qmv.db.mv (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qmv_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("mv").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      """MERGE INTO graft_qmv.db.mv t
+        |USING (SELECT * FROM VALUES (8L, 400L), (212L, 400L), (2000L, 500L)
+        |       AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft_qmv.db.mv WHERE id % 50 = 7 AND id < 400")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    spark.read.schema(cdfSchema).format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("mv").toString)
+      .option("changeFeed", "true").load()
+      .groupBy(pmod(col("id"), lit(10L)).as("k"))
+      .agg(sum(sign).as("n_rows"), sum(sign * col("v")).as("sum_v"),
+        sum(sign * col("id")).as("sum_id"))
+      .orderBy(col("k"))
+  }
+
+  val cdfIncrementalMvSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |),
+      |current_state AS (
+      |  SELECT id,
+      |         CASE WHEN id IN (8, 212) THEN 400 ELSE v END AS v
+      |  FROM src WHERE NOT (id % 50 = 7)
+      |  UNION ALL SELECT 2000, 500
+      |)
+      |SELECT id % 10 AS k, count(*) AS n_rows,
+      |       CAST(sum(v) AS BIGINT) AS sum_v,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM current_state
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
+      "q_cdf_mv" -> (cdfIncrementalMv _),
       "q_audit_cdf" -> (auditCdf _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
@@ -739,6 +813,7 @@ object CatalogApi {
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
+      "q_cdf_mv" -> cdfIncrementalMvSql,
       "q_audit_cdf" -> auditCdfSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
