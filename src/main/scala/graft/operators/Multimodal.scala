@@ -72,7 +72,15 @@ object Multimodal {
     * the rest of the pipeline is unchanged). */
   def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
     import spark.implicits._
+    // Decode/encode parallelism is bound by INPUT SPLITS, not rows: a
+    // small single-file corpus plans one partition and runs the whole
+    // per-image codec pass single-threaded (measured at sf1: the decode
+    // dominated q_img_dedup 80:1 before this repartition — SCALING.md
+    // round-10). Payloads here are a narrow id column, so the reshuffle
+    // is cheap; with real binary payloads the same rule says repartition
+    // BEFORE the expensive per-row codec, not after.
     documents(spark, d).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .map(id => MediaRecord(id, encodePng(id), "image/png"))
   }
 
