@@ -317,42 +317,134 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     * `_EPOCHS` without opening a single data file — the classic
     * table-format count. COMPLETE pushdown is claimed (the driver-side
     * sum IS the answer; an empty table correctly yields one row of 0).
-    * Anything else — grouping, other aggregates, count over a column
-    * (null semantics need the data) — is refused and stays row-level. */
+    *
+    * Ungrouped MIN/MAX over integral columns additionally answer from
+    * the `_STATS` zone maps (Iceberg-style metadata min/max) — but ONLY
+    * when the bounds are provably EXACT: current read, unpartitioned, no
+    * delete vectors outstanding (a vector could hide the extreme row; the
+    * metadata DELETE recomputes bounds during its rewrite, so those stay
+    * exact), and every planned file carries a stats line for every asked
+    * column. Anything else — grouping, other aggregates, count over a
+    * column (null semantics need the data) — is refused, row-level. */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.toSeq.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    metadataAggs(aggregation).isDefined
+
+  /** Parse + validate the aggregation into metadata-answerable specs. */
+  private def metadataAggs(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[AuditMetaAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions.nonEmpty || includeDeleted) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        writeSchema.find(f => f.name == r.fieldNames.head &&
+          AuditStats.statable(f.dataType))
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AuditMetaAgg("count", None))
+      case m: Min => colOf(m.column).map(f => AuditMetaAgg("min", Some(f)))
+      case m: Max => colOf(m.column).map(f => AuditMetaAgg("max", Some(f)))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val wantsMinMax = specs.flatten.exists(_.op != "count")
+    if (wantsMinMax) {
+      // exactness gate for the stats-answered aggregates
+      if (partInfo.isDefined || versionAsOf.isDefined) return None
+      if (AuditDeletes.exists(path) && AuditDeletes.count(path) > 0) return None
+      val stats = AuditStats.read(path)
+      val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
+        AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
+        AuditScan.epochFiles(path,
+          AuditScan.committedEpochs(path)
+            .filter(_ > AuditBase.read(path).map(_.throughEpoch)
+              .getOrElse(Long.MinValue)).toSet).map(_._1)
+      val cols = specs.flatten.collect {
+        case AuditMetaAgg(_, Some(f)) => f.name
+      }.distinct
+      // every planned file must carry a bound for every asked column —
+      // an all-null-column file legitimately has none, so refuse (the
+      // row-level path owns null semantics)
+      if (!files.forall(f => stats.get(f).exists(s => cols.forall(s.contains))))
+        return None
+    }
+    Some(specs.flatten)
+  }
+
+  private var pushedMetaAggs: Option[Seq[AuditMetaAgg]] = None
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !includeDeleted && // the history read counts rows the manifests net out
-      supportCompletePushDown(aggregation) && { metadataCount = true; true }
+    metadataAggs(aggregation) match {
+      case Some(specs) => pushedMetaAggs = Some(specs); true
+      case None        => false
+    }
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    if (metadataCount) new AuditCountScan(path, versionAsOf, partInfo, allowedTokens)
-    else new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
-      allowedTokens, includeDeleted, skipFilters)
+    pushedMetaAggs match {
+      case Some(specs) =>
+        new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs)
+      case None =>
+        new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
+          allowedTokens, includeDeleted, skipFilters)
+    }
 }
+
+/** One metadata-answerable aggregate: `count` (manifests) or `min`/`max`
+  * over a statable column (zone maps). */
+final case class AuditMetaAgg(op: String, field: Option[StructField])
 
 /** The manifest-count scan: one partition, one row, zero data files read.
   * On partitioned tables the count sums only the SURVIVING partition
   * directories' manifests — a partition-sliced COUNT(*) stays metadata-only. */
 final class AuditCountScan(path: String, versionAsOf: Option[Long],
     partInfo: Option[(String, DataType)] = None,
-    allowedTokens: Option[Set[String]] = None)
+    allowedTokens: Option[Set[String]] = None,
+    aggs: Seq[AuditMetaAgg] = Seq(AuditMetaAgg("count", None)))
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
 
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
+    StructType(aggs.map {
+      case AuditMetaAgg("count", _) =>
+        StructField("count", LongType, nullable = false)
+      case AuditMetaAgg(op, Some(f)) =>
+        StructField(s"$op(${f.name})", f.dataType, nullable = true)
+      case other => throw new IllegalStateException(s"meta agg $other")
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"AuditCountScan $path (metadata-only)" +
+    s"AuditCountScan $path (metadata-only " +
+      aggs.map(a => a.field.fold(a.op)(f => s"${a.op}(${f.name})"))
+        .mkString(",") + ")" +
       versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
       allowedTokens.map(t => s" partitions=${t.toSeq.sorted.mkString(",")}").getOrElse("")
+
+  /** Zone-map MIN/MAX across the current-read file set (the pushdown
+    * gate already proved every one of these files has exact bounds). */
+  private def statValue(op: String, f: StructField): Any = {
+    val stats = AuditStats.read(path)
+    val baseThrough = AuditBase.read(path).map(_.throughEpoch)
+      .getOrElse(Long.MinValue)
+    val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
+      AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
+      AuditScan.epochFiles(path,
+        AuditScan.committedEpochs(path).filter(_ > baseThrough).toSet).map(_._1)
+    val bounds = files.flatMap(stats.get(_).flatMap(_.get(f.name)))
+    if (bounds.isEmpty) null
+    else {
+      val v = if (op == "min") bounds.map(_._1).min else bounds.map(_._2).max
+      f.dataType match {
+        case IntegerType => v.toInt
+        case _           => v
+      }
+    }
+  }
 
   private def manifestCount(): Long = partInfo match {
     case Some((col, _)) =>
@@ -400,27 +492,31 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
 
   override def planInputPartitions(): Array[InputPartition] = {
     AuditBase.checkNotExpired(path, versionAsOf) // VACUUM's retention bound
-    Array(AuditCountPartition(manifestCount()))
+    Array(AuditCountPartition(aggs.map {
+      case AuditMetaAgg("count", _)   => manifestCount()
+      case AuditMetaAgg(op, Some(f))  => statValue(op, f)
+      case other => throw new IllegalStateException(s"meta agg $other")
+    }))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition)
           : PartitionReader[InternalRow] = {
-        val n = partition.asInstanceOf[AuditCountPartition].n
+        val vals = partition.asInstanceOf[AuditCountPartition].vals
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean =
             if (emitted) false else { emitted = true; true }
           override def get(): InternalRow =
             new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(Array[Any](n))
+              .GenericInternalRow(vals.toArray)
           override def close(): Unit = ()
         }
       }
     }
 }
 
-final case class AuditCountPartition(n: Long)
+final case class AuditCountPartition(vals: Seq[Any])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Manifest-driven scan: one InputPartition per committed file. Also the
@@ -1458,6 +1554,11 @@ private[sources] object AuditDelete {
       // delete iff the conjunction is definitely TRUE
       !filters.forall(f => eval(f, byName).contains(true))
     }
+    // bounds are recomputed per rewritten file so the zone maps stay
+    // EXACT through the metadata delete — which is what licenses the
+    // MIN/MAX metadata pushdown to keep claiming afterwards
+    val newStats = scala.collection.mutable.Map
+      .empty[String, Map[String, (Long, Long)]]
     def rewrite(file: java.nio.file.Path): Long = {
       val gone = vectors.getOrElse(file.getFileName.toString, Set.empty)
       val lines = java.nio.file.Files.readAllLines(file,
@@ -1465,6 +1566,9 @@ private[sources] object AuditDelete {
       val kept = lines.zipWithIndex.collect {
         case (l, pos) if !gone.contains(pos.toLong) && keep(l) => l
       }
+      val acc = new AuditStats.Acc(schema)
+      kept.foreach(l => acc.update(AuditJson.parseLine(l, schema)))
+      newStats(file.getFileName.toString) = acc.result
       val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
@@ -1522,6 +1626,8 @@ private[sources] object AuditDelete {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    AuditStats.retain(path, f => !newStats.contains(f))
+    AuditStats.append(path, newStats.toSeq)
     AuditDeletes.clear(path) // folded into the rewrite above
   }
 }

@@ -918,9 +918,63 @@ object PagedApi {
       |ORDER BY bucket""".stripMargin
   }
 
+  /** Metadata MIN/MAX, oracle-checked: count(*)+min/max over two integral
+    * columns answer from `_MANIFEST` + the `_STATS` zone maps without
+    * opening a data file (the spec asserts the AuditCountScan plan and
+    * the exactness gates: outstanding delete vectors or an un-statable
+    * column refuse the pushdown). The hash gate proves the
+    * metadata-answered extremes equal the row-level recomputation. */
+  def auditMinMax(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_minmax")
+    val out = root.resolve("tbl").toString
+    spark.read.format(classOf[PagedSource].getName)
+      .option("pages", Pages.toString).option("pageSize", PageSize.toString)
+      .load()
+      .where(col("id") >= 1200L && col("id") < 48600L)
+      .select(col("id"), col("track_id"), col("duration_ms"))
+      .repartition(4)
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", out).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("track_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_ms",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        min(col("duration_ms")).as("min_dur"),
+        max(col("duration_ms")).as("max_dur"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val auditMinMaxSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS duration_ms
+      |  FROM range(${Pages * PageSize}) t(r)
+      |)
+      |SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id,
+      |       CAST(min(duration_ms) AS BIGINT) AS min_dur,
+      |       CAST(max(duration_ms) AS BIGINT) AS max_dur
+      |FROM src
+      |WHERE id >= 1200 AND id < 48600""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
     "q_audit_skip" -> (auditSkip _),
+    "q_audit_minmax" -> (auditMinMax _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
     "q_source_v2_dpp" -> (sourceV2Dpp _),
@@ -930,6 +984,7 @@ object PagedApi {
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
     "q_audit_skip" -> auditSkipSql,
+    "q_audit_minmax" -> auditMinMaxSql,
     "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_topn" -> sourceV2TopNSql,
     "q_source_v2_dpp" -> sourceV2DppSql,

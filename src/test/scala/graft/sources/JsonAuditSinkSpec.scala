@@ -400,6 +400,42 @@ class JsonAuditSinkSpec extends SparkSpec {
     assert(far.count() === 10L)
   }
 
+  test("metadata MIN/MAX answers from zone maps with exactness gates") {
+    val dir = tempDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    spark.range(100, 900).toDF("id")
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+      .repartition(4)
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    def read() = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
+    val q = read().agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(q.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      q.queryExecution.executedPlan.toString.take(900))
+    assert(q.head.toSeq === Seq(800L, 100L, 899L))
+    // string min is not statable → whole aggregation stays row-level
+    val qs = read().agg(min(col("name")))
+    assert(!qs.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(qs.head.getString(0) === "n100")
+    // metadata DELETE recomputes bounds during its rewrite → still exact
+    val tbl = new AuditTable(dir.toString, schema)
+    tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 800L)))
+    val q2 = read().agg(min(col("id")), max(col("id")))
+    assert(q2.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(q2.head.toSeq === Seq(100L, 799L))
+    // outstanding delete vectors could hide the extreme row → refuse
+    AuditDeletes.append(dir.toString, Seq(("part-00000.jsonl", 0L)))
+    val q3 = read().agg(min(col("id")), max(col("id")))
+    assert(!q3.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    // ... while plain COUNT still takes the manifest path (vector-adjusted)
+    val q4 = read().agg(count(lit(1)))
+    assert(q4.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(q4.head.getLong(0) === 699L)
+  }
+
   test("zone-map disjointness logic: And/Or/In bounds compose conservatively") {
     import org.apache.spark.sql.sources._
     val st = Map("id" -> (100L, 200L))
