@@ -292,6 +292,74 @@ private[sources] object AuditMaintenance {
   }
 }
 
+/** DataSource V2 catalog FUNCTIONS (`SELECT graft.system.hex_hash(...)`)
+  * — the engine's cross-engine hash surfaced through Spark's
+  * FunctionCatalog so plain SQL (and future bucket transforms) can call
+  * it by qualified name. `hex_hash(s)` is [[graft.functions.Hashing]]'s
+  * first-15-md5-hex-chars int64 (nonnegative — `%` ≡ pmod), identical to
+  * the Column/SQL twins every oracle in the repo hashes with, so the
+  * DuckDB gate can check catalog-function calls value-exact.
+  * `hex_bucket(s, n)` is the derived shard assignment. */
+private[sources] object GraftFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+
+  val Names: Seq[String] = Seq("hex_hash", "hex_bucket")
+
+  private def unbound(fname: String, desc: String,
+      make: StructType => BoundFunction): UnboundFunction =
+    new UnboundFunction {
+      override def name(): String = fname
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundFunction = make(inputType)
+    }
+
+  val hexHash: UnboundFunction = unbound("hex_hash",
+    "first-15-md5-hex-chars int64 of a string (the engine's cross-engine hash)",
+    inputType => {
+      require(inputType.length == 1 &&
+        inputType.head.dataType == StringType,
+        s"hex_hash(STRING) — got ${inputType.simpleString}")
+      new ScalarFunction[java.lang.Long] {
+        override def name(): String = "hex_hash"
+        override def canonicalName(): String = "graft.system.hex_hash"
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = LongType
+        override def isResultNullable: Boolean = inputType.head.nullable
+        override def produceResult(input: InternalRow): java.lang.Long =
+          if (input.isNullAt(0)) null
+          else Long.box(graft.functions.Hashing.hexHashLocal(
+            input.getUTF8String(0).toString))
+      }
+    })
+
+  val hexBucket: UnboundFunction = unbound("hex_bucket",
+    "pmod(hex_hash(s), n) — deterministic shard assignment",
+    inputType => {
+      require(inputType.length == 2 &&
+        inputType.head.dataType == StringType &&
+        (inputType(1).dataType == LongType ||
+          inputType(1).dataType == IntegerType), // Spark casts to inputTypes()
+        s"hex_bucket(STRING, BIGINT) — got ${inputType.simpleString}")
+      new ScalarFunction[java.lang.Long] {
+        override def name(): String = "hex_bucket"
+        override def canonicalName(): String = "graft.system.hex_bucket"
+        override def inputTypes(): Array[DataType] = Array(StringType, LongType)
+        override def resultType(): DataType = LongType
+        override def isResultNullable: Boolean =
+          inputType.exists(_.nullable)
+        override def produceResult(input: InternalRow): java.lang.Long =
+          if (input.isNullAt(0) || input.isNullAt(1)) null
+          else {
+            val n = input.getLong(1)
+            require(n > 0, s"hex_bucket: bucket count must be positive, got $n")
+            Long.box(java.lang.Math.floorMod(
+              graft.functions.Hashing.hexHashLocal(
+                input.getUTF8String(0).toString), n))
+          }
+      }
+    })
+}
+
 /** SQL stored procedures (`CALL graft.system.<proc>(...)`) — Spark 4's
   * ProcedureCatalog surface over [[AuditMaintenance]]. */
 private[sources] object GraftProcedures {

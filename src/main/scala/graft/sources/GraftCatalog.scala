@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own catalog plugin API, zero external services.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with GraftStagingSupport with ProcedureCatalog {
+    with GraftStagingSupport with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
 
@@ -303,6 +303,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // --- FunctionCatalog (the engine's cross-engine hash in SQL) -------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftFunctions.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (ident.namespace().toSeq, ident.name().toLowerCase) match {
+      case (Seq("system"), "hex_hash")   => GraftFunctions.hexHash
+      case (Seq("system"), "hex_bucket") => GraftFunctions.hexBucket
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   /** Maintenance-procedure target resolution: `<ns>.<table>` → (data path,
     * table schema). Only unpartitioned audit tables qualify — partitioned
@@ -803,9 +819,44 @@ object CatalogApi {
       |ORDER BY k""".stripMargin
   }
 
+  /** DSv2 catalog FUNCTIONS, oracle-checked: `graft.system.hex_hash` /
+    * `hex_bucket` called by qualified name from plain SQL, grouped by the
+    * bucket function and aggregated over hash values — the DuckDB oracle
+    * recomputes every hash with the md5 twin ([[graft.functions.Hashing
+    * .hexHashSql]]), so the FunctionCatalog binding, null handling, and
+    * value semantics are all hash-gated. */
+  def catalogFunc(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_qf", classOf[GraftCatalog].getName)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li5")
+    spark.sql(
+      """SELECT graft_qf.system.hex_bucket(k, 8) AS bucket,
+        |       count(*) AS n_rows,
+        |       min(graft_qf.system.hex_hash(k)) AS min_h,
+        |       max(graft_qf.system.hex_hash(k)) AS max_h,
+        |       sum(pmod(graft_qf.system.hex_hash(k), 1000000)) AS sum_hmod
+        |FROM (SELECT l_returnflag || ':' || CAST(l_orderkey AS STRING) AS k
+        |      FROM graft_cat_li5)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
+  val catalogFuncSql: String = {
+    val h = graft.functions.Hashing.hexHashSql("k")
+    s"""WITH src AS (
+      |  SELECT l_returnflag || ':' || CAST(l_orderkey AS VARCHAR) AS k
+      |  FROM lineitem)
+      |SELECT $h % 8 AS bucket, count(*) AS n_rows,
+      |       min($h) AS min_h, max($h) AS max_h,
+      |       CAST(sum($h % 1000000) AS BIGINT) AS sum_hmod
+      |FROM src
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_cdf_mv" -> (cdfIncrementalMv _),
+      "q_catalog_func" -> (catalogFunc _),
       "q_audit_cdf" -> (auditCdf _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
@@ -814,6 +865,7 @@ object CatalogApi {
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_cdf_mv" -> cdfIncrementalMvSql,
+      "q_catalog_func" -> catalogFuncSql,
       "q_audit_cdf" -> auditCdfSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,

@@ -274,15 +274,56 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNull}
   private var required: StructType = writeSchema
   private var metadataCount = false
   private var accepted: Array[Filter] = Array.empty
   /** Allowed partition TOKENS after pushed predicates; None = all. */
   private var allowedTokens: Option[Set[String]] = None
+  /** Per-partition row cap from a pushed LIMIT / sorted-base TopN. */
+  private var pushedCap: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL limit pushdown: each partition stops after n surviving rows
+    * (Spark applies the final global limit). Any scan can claim this —
+    * a LIMIT 10 over a huge table reads ~10 rows per file instead of
+    * everything. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedCap = Some(limit); true
+  }
+  override def isPartiallyPushed: Boolean = true
+
+  /** PARTIAL TopN pushdown — the sorted-base synergy: when the table is a
+    * `sort_by` base checkpoint (and nothing unsorted is planned beside
+    * it), each base file is internally ascending on the sort column, so
+    * its first n surviving rows ARE its top-n and the per-partition cap
+    * is exact. Claimed only for a single ascending-nulls-first order on
+    * exactly that column; Spark still merges (partial contract). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val ok = partInfo.isEmpty && versionAsOf.isEmpty && !includeDeleted &&
+      orders.length == 1 && {
+        val o = orders.head
+        o.direction == SortDirection.ASCENDING &&
+          o.nullOrdering == NullOrdering.NULLS_FIRST &&
+          (o.expression match {
+            case r: NamedReference => r.fieldNames.length == 1 &&
+              AuditBase.read(path).exists(b =>
+                b.sortBy.contains(r.fieldNames.head) &&
+                  AuditBase.readManifest(path).forall(_.folded) &&
+                  AuditScan.committedEpochs(path).forall(_ <= b.throughEpoch))
+            case _ => false
+          })
+      }
+    if (ok) pushedCap = Some(limit)
+    ok
+  }
 
   /** Conjuncts remembered for ZONE-MAP file skipping (`_STATS`): they are
     * never claimed — every data filter stays residual, so a skip can only
@@ -363,14 +404,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
           AuditScan.committedEpochs(path)
             .filter(_ > AuditBase.read(path).map(_.throughEpoch)
               .getOrElse(Long.MinValue)).toSet).map(_._1)
-      val cols = specs.flatten.collect {
-        case AuditMetaAgg(_, Some(f)) => f.name
-      }.distinct
-      // every planned file must carry a bound for every asked column —
-      // an all-null-column file legitimately has none, so refuse (the
-      // row-level path owns null semantics)
-      if (!files.forall(f => stats.get(f).exists(s => cols.forall(s.contains))))
-        return None
+      // every planned file must carry a stats LINE (a line with a column
+      // absent means no non-null values — it contributes no bound, which
+      // is exactly SQL min/max null semantics; a file with NO line is
+      // unknown and refuses the claim)
+      if (!files.forall(stats.contains)) return None
     }
     Some(specs.flatten)
   }
@@ -390,7 +428,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
         new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs)
       case None =>
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
-          allowedTokens, includeDeleted, skipFilters)
+          allowedTokens, includeDeleted, skipFilters,
+          pushedCap.map(_.toLong).getOrElse(Long.MaxValue))
     }
 }
 
@@ -529,7 +568,8 @@ final class AuditScan(path: String, writeSchema: StructType,
     partInfo: Option[(String, DataType)] = None,
     allowedTokens: Option[Set[String]] = None,
     includeDeleted: Boolean = false,
-    skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    rowCap: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -563,6 +603,7 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
+      (if (rowCap != Long.MaxValue) s" rowCap=$rowCap" else "") +
       partInfo.map { case (c, _) =>
         s" partitionBy=$c dirs=${survivingDirs.map(_._1).mkString(",")}"
       }.getOrElse("")
@@ -600,9 +641,13 @@ final class AuditScan(path: String, writeSchema: StructType,
     * the pushed conjuncts is dropped from planning without being opened
     * (the conjuncts stay residual, so a skip can never change answers). */
   private lazy val fileStats = AuditStats.read(path)
+  private lazy val statableCols: Set[String] =
+    writeSchema.fields.collect {
+      case f if AuditStats.statable(f.dataType) => f.name
+    }.toSet
   private def skippable(f: String): Boolean =
     skipFilters.nonEmpty &&
-      fileStats.get(f).exists(AuditStats.canSkip(_, skipFilters))
+      fileStats.get(f).exists(AuditStats.canSkip(_, skipFilters, statableCols))
 
   override def planInputPartitions(): Array[InputPartition] = {
     partInfo match {
@@ -665,7 +710,7 @@ final class AuditScan(path: String, writeSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AuditReaderFactory(writeSchema, required)
+    new AuditReaderFactory(writeSchema, required, rowCap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1112,7 +1157,8 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
   override def stop(): Unit = ()
 }
 
-final class AuditReaderFactory(writeSchema: StructType, required: StructType)
+final class AuditReaderFactory(writeSchema: StructType, required: StructType,
+    rowCap: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
@@ -1152,7 +1198,10 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
           it = lines.iterator()
           true
         }
+      private var emitted = 0L // pushed LIMIT/TopN partition cap
       override def next(): Boolean = {
+        if (emitted >= rowCap) return false
+        emitted += 1
         var line: String = null
         do {
           while (!it.hasNext) if (!advanceFile()) return false
@@ -1202,7 +1251,10 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType)
         java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
       private val it = lines.iterator()
       private var row: InternalRow = _
+      private var emitted = 0L // pushed LIMIT/TopN partition cap
       override def next(): Boolean = {
+        if (emitted >= rowCap) return false
+        emitted += 1
         while (it.hasNext) {
           val full = AuditJson.parseLine(it.next(), baseSchema)
           val oe: java.lang.Long =
@@ -1883,11 +1935,14 @@ private[sources] object AuditStats {
       case (c, (lo, hi)) => s""""$c":[$lo,$hi]"""
     }.mkString(",") + "}}"
 
+  /** A line is written for EVERY committed file — an empty bounds map is
+    * itself information: it says the file has no non-null value for any
+    * statable column (it may be empty outright), which licenses skipping
+    * it under every null-rejecting predicate on such a column. */
   def append(path: String, entries: Seq[(String, Map[String, (Long, Long)])]): Unit = {
-    val withStats = entries.filter(_._2.nonEmpty)
-    if (withStats.isEmpty) return
+    if (entries.isEmpty) return
     java.nio.file.Files.write(file(path),
-      withStats.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"),
+      entries.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
@@ -1939,9 +1994,14 @@ private[sources] object AuditStats {
   }
 
   /** Can every row of a file with bounds `st` fail the pushed conjuncts?
-    * Conservative 3-valued: unknown column/shape → cannot skip. */
+    * Conservative 3-valued: unknown column/shape → cannot skip. A
+    * STATABLE column absent from `st` means the file holds no non-null
+    * value for it (possibly no rows at all — see [[append]]), so every
+    * null-rejecting comparison on it is refuted; non-statable columns
+    * carry no bounds and never license a skip. */
   def canSkip(st: Map[String, (Long, Long)],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      statableCols: Set[String]): Boolean = {
     import org.apache.spark.sql.sources._
     def lit(v: Any): Option[Long] = v match {
       case l: Long              => Some(l)
@@ -1949,31 +2009,41 @@ private[sources] object AuditStats {
       case i: java.lang.Integer => Some(i.longValue)
       case _                    => None
     }
+    // for a null-rejecting comparison on column c: Some(bounds) = compare,
+    // None+statable = all-null → refuted, else unknown
+    def bounds(c: String): Option[Option[(Long, Long)]] =
+      st.get(c) match {
+        case Some(b)                    => Some(Some(b))
+        case None if statableCols(c)    => Some(None)
+        case None                       => None
+      }
     // true = the file PROVABLY contains no matching row for this conjunct
     def disjoint(f: Filter): Boolean = f match {
-      case EqualTo(c, v) => (st.get(c), lit(v)) match {
-        case (Some((lo, hi)), Some(x)) => x < lo || x > hi
-        case _ => false
+      case EqualTo(c, v) => lit(v).isDefined && bounds(c).exists {
+        case Some((lo, hi)) => { val x = lit(v).get; x < lo || x > hi }
+        case None           => true
       }
-      case In(c, vs) => st.get(c).exists { case (lo, hi) =>
+      case In(c, vs) =>
         val xs = vs.toSeq.map(lit)
-        xs.forall(_.isDefined) && xs.flatten.forall(x => x < lo || x > hi)
+        xs.nonEmpty && xs.forall(_.isDefined) && bounds(c).exists {
+          case Some((lo, hi)) => xs.flatten.forall(x => x < lo || x > hi)
+          case None           => true
+        }
+      case GreaterThan(c, v) => lit(v).isDefined && bounds(c).exists {
+        case Some((_, hi)) => hi <= lit(v).get
+        case None          => true
       }
-      case GreaterThan(c, v) => (st.get(c), lit(v)) match {
-        case (Some((_, hi)), Some(x)) => hi <= x
-        case _ => false
+      case GreaterThanOrEqual(c, v) => lit(v).isDefined && bounds(c).exists {
+        case Some((_, hi)) => hi < lit(v).get
+        case None          => true
       }
-      case GreaterThanOrEqual(c, v) => (st.get(c), lit(v)) match {
-        case (Some((_, hi)), Some(x)) => hi < x
-        case _ => false
+      case LessThan(c, v) => lit(v).isDefined && bounds(c).exists {
+        case Some((lo, _)) => lo >= lit(v).get
+        case None          => true
       }
-      case LessThan(c, v) => (st.get(c), lit(v)) match {
-        case (Some((lo, _)), Some(x)) => lo >= x
-        case _ => false
-      }
-      case LessThanOrEqual(c, v) => (st.get(c), lit(v)) match {
-        case (Some((lo, _)), Some(x)) => lo > x
-        case _ => false
+      case LessThanOrEqual(c, v) => lit(v).isDefined && bounds(c).exists {
+        case Some((lo, _)) => lo > lit(v).get
+        case None          => true
       }
       // one provably-empty AND arm empties the conjunction
       case And(l, r) => disjoint(l) || disjoint(r)

@@ -206,6 +206,54 @@ class AuditMaintenanceSpec extends SparkSpec {
       df2.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("LIMIT and sorted-base TopN push a per-partition row cap") {
+    buildTable("cap1")
+    // plain LIMIT caps every partition before sorting enters the picture
+    val lim = spark.sql("SELECT id, v FROM graft_m.db.cap1 LIMIT 5")
+    assert(lim.collect().length === 5)
+    assert(lim.queryExecution.executedPlan.toString.contains("rowCap=5"),
+      lim.queryExecution.executedPlan.toString.take(600))
+    // pre-compaction: epoch files are unsorted → TopN must NOT claim
+    val pre = spark.sql("SELECT id, v FROM graft_m.db.cap1 ORDER BY id LIMIT 4")
+    assert(!pre.queryExecution.executedPlan.toString.contains("rowCap"),
+      pre.queryExecution.executedPlan.toString.take(600))
+    assert(pre.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 4L)) // 3 deleted
+    // sorted base: each file ascending on id → its first k are its top-k
+    spark.sql("CALL graft_m.system.optimize(table => 'db.cap1', " +
+      "target_file_count => 2, sort_by => 'id')")
+    val top = spark.sql("SELECT id, v FROM graft_m.db.cap1 ORDER BY id LIMIT 4")
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 4L))
+    assert(top.queryExecution.executedPlan.toString.contains("rowCap=4"),
+      top.queryExecution.executedPlan.toString.take(600))
+    // descending order is not the base's order → refuse
+    val desc = spark.sql("SELECT id, v FROM graft_m.db.cap1 ORDER BY id DESC LIMIT 4")
+    assert(!desc.queryExecution.executedPlan.toString.contains("rowCap"))
+    assert(desc.collect().map(_.getLong(0)).headOption === Some(1000L))
+  }
+
+  test("catalog functions: hex_hash/hex_bucket bind, compute, and refuse bad args") {
+    init()
+    val h = spark.sql(
+      "SELECT graft_m.system.hex_hash('abc'), graft_m.system.hex_bucket('abc', 7)")
+      .head
+    assert(h.getLong(0) === graft.functions.Hashing.hexHashLocal("abc"))
+    assert(h.getLong(1) === java.lang.Math.floorMod(
+      graft.functions.Hashing.hexHashLocal("abc"), 7L))
+    // null flows through as null (isResultNullable honest)
+    val n = spark.sql(
+      "SELECT graft_m.system.hex_hash(CAST(NULL AS STRING))").head
+    assert(n.isNullAt(0))
+    // wrong arity/type refuses at analysis
+    intercept[Exception](
+      spark.sql("SELECT graft_m.system.hex_hash(1, 2)").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_m.system.nope('x')").collect())
+    // SHOW FUNCTIONS surfaces the system namespace
+    val fns = spark.sql("SHOW FUNCTIONS IN graft_m.system").collect()
+      .map(_.getString(0)).mkString(";")
+    assert(fns.contains("hex_hash") && fns.contains("hex_bucket"), fns)
+  }
+
   test("maintenance guardrails: bad targets fail loudly; TRUNCATE clears the base") {
     init()
     // vacuum before optimize

@@ -439,22 +439,28 @@ class JsonAuditSinkSpec extends SparkSpec {
   test("zone-map disjointness logic: And/Or/In bounds compose conservatively") {
     import org.apache.spark.sql.sources._
     val st = Map("id" -> (100L, 200L))
-    assert(AuditStats.canSkip(st, Seq(EqualTo("id", 50L))))
-    assert(!AuditStats.canSkip(st, Seq(EqualTo("id", 150L))))
-    assert(AuditStats.canSkip(st, Seq(GreaterThan("id", 200L))))
-    assert(!AuditStats.canSkip(st, Seq(GreaterThanOrEqual("id", 200L))))
-    assert(AuditStats.canSkip(st, Seq(LessThan("id", 100L))))
-    assert(AuditStats.canSkip(st, Seq(In("id", Array(10L, 300L)))))
-    assert(!AuditStats.canSkip(st, Seq(In("id", Array(10L, 150L)))))
+    val cols = Set("id", "v")
+    assert(AuditStats.canSkip(st, Seq(EqualTo("id", 50L)), cols))
+    assert(!AuditStats.canSkip(st, Seq(EqualTo("id", 150L)), cols))
+    assert(AuditStats.canSkip(st, Seq(GreaterThan("id", 200L)), cols))
+    assert(!AuditStats.canSkip(st, Seq(GreaterThanOrEqual("id", 200L)), cols))
+    assert(AuditStats.canSkip(st, Seq(LessThan("id", 100L)), cols))
+    assert(AuditStats.canSkip(st, Seq(In("id", Array(10L, 300L))), cols))
+    assert(!AuditStats.canSkip(st, Seq(In("id", Array(10L, 150L))), cols))
     // In with a value stats can't type → conservative keep
-    assert(!AuditStats.canSkip(st, Seq(In("id", Array[Any](10L, "x")))))
+    assert(!AuditStats.canSkip(st, Seq(In("id", Array[Any](10L, "x"))), cols))
     assert(AuditStats.canSkip(st,
-      Seq(And(LessThan("id", 100L), IsNotNull("id")))))
+      Seq(And(LessThan("id", 100L), IsNotNull("id"))), cols))
     assert(!AuditStats.canSkip(st,
-      Seq(Or(LessThan("id", 100L), IsNotNull("id")))))
+      Seq(Or(LessThan("id", 100L), IsNotNull("id"))), cols))
     assert(AuditStats.canSkip(st,
-      Seq(Or(LessThan("id", 100L), GreaterThan("id", 300L)))))
-    // unknown column → keep
-    assert(!AuditStats.canSkip(st, Seq(EqualTo("other", 1L))))
+      Seq(Or(LessThan("id", 100L), GreaterThan("id", 300L))), cols))
+    // non-statable / unknown column → keep
+    assert(!AuditStats.canSkip(st, Seq(EqualTo("other", 1L)), cols))
+    // a statable column ABSENT from the file's line = all-null (or an
+    // empty file): every null-rejecting comparison on it is refuted
+    assert(AuditStats.canSkip(st, Seq(EqualTo("v", 1L)), cols))
+    assert(AuditStats.canSkip(Map.empty, Seq(LessThan("id", 100L)), cols))
+    assert(!AuditStats.canSkip(Map.empty, Seq(IsNull("id")), cols))
   }
 }
