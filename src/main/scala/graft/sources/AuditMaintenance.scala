@@ -332,6 +332,39 @@ private[sources] object GraftFunctions {
       }
     })
 
+  /** The `bucket(n, col)` transform function — Spark binds it with an
+    * input of (numBuckets INT, partition column) when resolving a
+    * bucket-partitioned table's reported KeyGroupedPartitioning. MUST
+    * agree exactly with the write router and the pruning path
+    * ([[AuditPartition.bucketOf]]): SPJ correctness rests on one hash. */
+  val bucketTransform: UnboundFunction = unbound("bucket",
+    "hash-bucket index of a partition value (the audit format's bucket transform)",
+    inputType => {
+      require(inputType.length == 2 &&
+        (inputType.head.dataType == IntegerType ||
+          inputType.head.dataType == LongType) &&
+        AuditPartition.supported(inputType(1).dataType),
+        s"bucket(INT, long|int|string) — got ${inputType.simpleString}")
+      val colType = inputType(1).dataType
+      new ScalarFunction[java.lang.Integer] {
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "graft.bucket"
+        override def inputTypes(): Array[DataType] =
+          Array(inputType.head.dataType, colType)
+        override def resultType(): DataType = IntegerType
+        override def isResultNullable: Boolean = inputType(1).nullable
+        override def produceResult(input: InternalRow): java.lang.Integer =
+          if (input.isNullAt(1)) null
+          else {
+            val n = inputType.head.dataType match {
+              case LongType => input.getLong(0).toInt
+              case _        => input.getInt(0)
+            }
+            Int.box(AuditPartition.bucketOf(input.get(1, colType), n))
+          }
+      }
+    })
+
   val hexBucket: UnboundFunction = unbound("hex_bucket",
     "pmod(hex_hash(s), n) — deterministic shard assignment",
     inputType => {

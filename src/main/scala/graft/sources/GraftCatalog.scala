@@ -316,6 +316,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "hex_hash")   => GraftFunctions.hexHash
       case (Seq("system"), "hex_bucket") => GraftFunctions.hexBucket
+      // Spark resolves a table's bucket(n, col) partition transform by
+      // loading "bucket" from the table catalog's EMPTY namespace
+      // (V2ExpressionUtils.loadV2FunctionOpt) — this binding is what
+      // makes two bucket-partitioned audit tables SPJ-compatible
+      case (Seq(), "bucket") => GraftFunctions.bucketTransform
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -341,24 +346,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
-  /** PARTITIONED BY validation: at most ONE identity transform over an
-    * existing long/int/string column (the audit format's Hive-style
-    * directory layout — see [[AuditPartition]]). Bucket/temporal
-    * transforms would need a V2 FunctionCatalog to be SPJ-eligible, so
-    * they are refused loudly rather than silently flattened. */
+  /** PARTITIONED BY validation: at most ONE transform — `identity(col)`
+    * (Hive-style value directories) or `bucket(n, col)` (hash-bucket
+    * directories; SPJ-eligible because the catalog's FunctionCatalog
+    * serves the `bucket` V2 function Spark resolves the transform
+    * against) — over an existing long/int/string column. Anything else
+    * is refused loudly rather than silently flattened. */
   private[sources] def identityPartCol(partitions: Array[Transform],
       schema: StructType): Option[String] = {
     if (partitions.isEmpty) return None
     require(partitions.length == 1,
       "graft catalog: at most one partition column is supported")
     val t = partitions.head
-    require(t.name == "identity" && t.references.length == 1 &&
+    require(t.references.length == 1 &&
       t.references.head.fieldNames.length == 1,
-      s"graft catalog: only identity(col) partitioning is supported, got $t")
+      s"graft catalog: single-column partitioning only, got $t")
     val col = t.references.head.fieldNames.head
     require(schema.fieldNames.contains(col),
       s"graft catalog: partition column $col not in schema")
-    Some(col)
+    t.name match {
+      case "identity" => Some(col)
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.value.isInstanceOf[Number] =>
+            lit.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform needs a literal count, got $t"))
+        require(n > 0, s"graft catalog: bucket count must be positive, got $n")
+        Some(AuditPartition.Spec(col, Some(n)).serialized)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: only identity(col) / bucket(n, col) partitioning " +
+          s"is supported, got $other")
+    }
   }
 
   /** JSON string escaping for metadata property values (same discipline as
@@ -853,10 +873,67 @@ object CatalogApi {
       |ORDER BY bucket""".stripMargin
   }
 
+  /** BUCKET-partitioned storage-partitioned join, oracle-checked: two
+    * audit tables `PARTITIONED BY (bucket(8, okey))` (CTAS routes rows by
+    * the shared hash) join on okey with zero join-side exchanges — the
+    * catalog's V2 `bucket` function is what Spark resolves the reported
+    * transform against (spec asserts the exchange-free plan; this query
+    * hash-checks the values). Bucketing is the layout for HIGH-CARDINALITY
+    * keys where identity dirs would explode: at 100 TB this is the
+    * co-located fact-to-fact join with a bounded directory count. */
+  def auditBucket(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qbk_wh")
+    spark.conf.set("spark.sql.catalog.graft_qbk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qbk.warehouse", wh.toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li6")
+    graft.Tables.orders(spark, d).createOrReplaceTempView("graft_cat_ord6")
+    spark.sql("DROP TABLE IF EXISTS graft_qbk.db.bkt_l")
+    spark.sql("DROP TABLE IF EXISTS graft_qbk.db.bkt_o")
+    spark.sql(
+      """CREATE TABLE graft_qbk.db.bkt_l
+        |USING audit PARTITIONED BY (bucket(8, okey))
+        |AS SELECT l_orderkey AS okey,
+        |          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |   FROM graft_cat_li6 WHERE l_orderkey % 5 = 0
+        |   GROUP BY l_orderkey""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_qbk.db.bkt_o
+        |USING audit PARTITIONED BY (bucket(8, okey))
+        |AS SELECT o_orderkey AS okey,
+        |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |   FROM graft_cat_ord6 WHERE o_orderkey % 5 = 0""".stripMargin)
+    spark.sql(
+      """SELECT pmod(l.okey, 7) AS g, count(*) AS n_rows,
+        |       sum(l.qty) AS sum_qty, sum(o.cents) AS sum_cents
+        |FROM graft_qbk.db.bkt_l l
+        |JOIN graft_qbk.db.bkt_o o ON l.okey = o.okey
+        |GROUP BY 1
+        |ORDER BY g""".stripMargin)
+  }
+
+  val auditBucketSql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey AS okey,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1),
+      |b AS (
+      |  SELECT o_orderkey AS okey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT a.okey % 7 AS g, count(*) AS n_rows,
+      |       CAST(sum(a.qty) AS BIGINT) AS sum_qty,
+      |       CAST(sum(b.cents) AS BIGINT) AS sum_cents
+      |FROM a JOIN b ON a.okey = b.okey
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_cdf_mv" -> (cdfIncrementalMv _),
       "q_catalog_func" -> (catalogFunc _),
+      "q_audit_bucket" -> (auditBucket _),
       "q_audit_cdf" -> (auditCdf _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
@@ -866,6 +943,7 @@ object CatalogApi {
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_cdf_mv" -> cdfIncrementalMvSql,
       "q_catalog_func" -> catalogFuncSql,
+      "q_audit_bucket" -> auditBucketSql,
       "q_audit_cdf" -> auditCdfSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
@@ -936,10 +1014,13 @@ final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
     s.add(TableCapability.TRUNCATE)
     s
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val spec = partCol.map(AuditPartition.parseSpec)
     new AuditWriteBuilder(stageDir.toString, info.schema(),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      partCol.map(c => (c, stagedSchema(c).dataType)))
+      spec.map(s => (s.col, stagedSchema(s.col).dataType)),
+      spec.flatMap(_.bucket))
+  }
 
   override def commitStagedChanges(): Unit =
     catalog.publishStaged(ident, stagedSchema, properties, stageDir, replace,

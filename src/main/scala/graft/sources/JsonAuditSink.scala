@@ -57,6 +57,40 @@ private[sources] object AuditPartition {
     case _ => false
   }
 
+  /** Partition spec: identity(col) or bucket(n, col). Serialized into the
+    * catalog metadata as `col` / `bucket(n,col)`. */
+  final case class Spec(col: String, bucket: Option[Int]) {
+    def serialized: String = bucket.fold(col)(n => s"bucket($n,$col)")
+  }
+  private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
+  def parseSpec(s: String): Spec = s match {
+    case BucketRe(n, c) => Spec(c, Some(n.toInt))
+    case c              => Spec(c, None)
+  }
+
+  /** Canonical string form of a partition value — the ONE form the bucket
+    * hash is computed over, shared by the write router, the pruning path,
+    * and the catalog `bucket` V2 function (SPJ compatibility depends on
+    * all three agreeing). */
+  def valueString(v: Any): String = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => other.toString
+  }
+
+  /** Bucket index of a non-null value (hexHash keeps it oracle-checkable:
+    * DuckDB recomputes the same md5-prefix hash). */
+  def bucketOf(v: Any, n: Int): Int =
+    java.lang.Math.floorMod(
+      graft.functions.Hashing.hexHashLocal(valueString(v)), n.toLong).toInt
+
+  /** Directory token for a row's partition value under the spec. */
+  def tokenFor(v: Any, bucket: Option[Int]): String =
+    if (v == null) NullToken
+    else bucket match {
+      case Some(n) => bucketOf(v, n).toString
+      case None    => encode(v)
+    }
+
   /** Partition value → filename-safe token (lossless round trip). */
   def encode(v: Any): String = v match {
     case null => NullToken
@@ -118,20 +152,28 @@ final class AuditTable(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
-  partCol.foreach { c =>
-    require(writeSchema.fieldNames.contains(c),
-      s"audit partition column $c not in schema")
-    require(AuditPartition.supported(writeSchema(c).dataType),
-      s"audit partition column $c must be long/int/string")
+  private val partSpec: Option[AuditPartition.Spec] =
+    partCol.map(AuditPartition.parseSpec)
+  partSpec.foreach { s =>
+    require(writeSchema.fieldNames.contains(s.col),
+      s"audit partition column ${s.col} not in schema")
+    require(AuditPartition.supported(writeSchema(s.col).dataType),
+      s"audit partition column ${s.col} must be long/int/string")
     require(pinnedVersion.isEmpty,
       "partitioned audit tables carry no epoch log (no VERSION AS OF)")
   }
   private def partInfo: Option[(String, DataType)] =
-    partCol.map(c => (c, writeSchema(c).dataType))
+    partSpec.map(s => (s.col, writeSchema(s.col).dataType))
+  private def bucketN: Option[Int] = partSpec.flatMap(_.bucket)
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
   override def partitioning(): Array[Transform] =
-    partCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+    partSpec.toArray.map {
+      case AuditPartition.Spec(c, Some(n)) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      case AuditPartition.Spec(c, None) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -170,7 +212,7 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, info.schema(),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      partInfo)
+      partInfo, bucketN)
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -216,7 +258,8 @@ final class AuditTable(path: String, writeSchema: StructType,
       // partitioned tables keep group-based copy-on-write (they carry no
       // epoch log, and their per-partition manifests rewrite cheaply)
       case Some(_) =>
-        new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo)
+        new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo,
+          bucketN)
     }
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
@@ -248,7 +291,7 @@ final class AuditTable(path: String, writeSchema: StructType,
     // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
     val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
     new AuditScanBuilder(path, writeSchema, version, partInfo,
-      includeDeleted = includeDeleted)
+      includeDeleted = includeDeleted, bucketN = bucketN)
   }
 
   private[sources] def dataPath: String = path
@@ -270,7 +313,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     // the row-level COW rewrite scan must read EVERY partition (its write
     // truncates the whole table) — it disables partition-filter pushdown
     allowPartFilters: Boolean = true,
-    includeDeleted: Boolean = false)
+    includeDeleted: Boolean = false,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -338,15 +382,19 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       case Some((col, _)) =>
         def restrict(tokens: Set[String]): Unit =
           allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
-        accepted = filters.filter {
+        val prunable = filters.filter {
           case EqualTo(c, v) if c == col && v != null =>
-            restrict(Set(AuditPartition.encode(v))); true
+            restrict(Set(AuditPartition.tokenFor(v, bucketN))); true
           case In(c, vs) if c == col && vs.forall(_ != null) =>
-            restrict(vs.map(AuditPartition.encode).toSet); true
+            restrict(vs.map(AuditPartition.tokenFor(_, bucketN)).toSet); true
           case IsNull(c) if c == col =>
             restrict(Set(AuditPartition.NullToken)); true
           case _ => false
         }
+        // identity dirs hold EXACTLY the predicate's value → the filter is
+        // consumed; a bucket dir holds every value in the hash bucket, so
+        // bucketed pruning keeps the predicate RESIDUAL (prune, re-filter)
+        accepted = if (bucketN.isEmpty) prunable else Array.empty
         filters.filterNot(accepted.contains)
     }
   }
@@ -429,7 +477,7 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       case None =>
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
           allowedTokens, includeDeleted, skipFilters,
-          pushedCap.map(_.toLong).getOrElse(Long.MaxValue))
+          pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN)
     }
 }
 
@@ -569,7 +617,8 @@ final class AuditScan(path: String, writeSchema: StructType,
     allowedTokens: Option[Set[String]] = None,
     includeDeleted: Boolean = false,
     skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    rowCap: Long = Long.MaxValue)
+    rowCap: Long = Long.MaxValue,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -630,9 +679,14 @@ final class AuditScan(path: String, writeSchema: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     partInfo match {
       case Some((col, _)) =>
+        val expr = bucketN match {
+          case Some(n) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+          case None =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(col)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
-          survivingDirs.size)
+          Array(expr), survivingDirs.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -655,7 +709,7 @@ final class AuditScan(path: String, writeSchema: StructType,
         return survivingDirs.map { case (token, dir) =>
           AuditDirPartition(
             AuditPartition.manifestEntries(dir).map(f => dir.resolve(f._1).toString),
-            token, dt): InputPartition
+            token, dt, bucketed = bucketN.isDefined): InputPartition
         }.toArray
       case None => ()
     }
@@ -820,14 +874,18 @@ final case class AuditBasePartition(file: String,
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** One partition DIRECTORY of a partitioned audit table; `partitionKey`
-  * exposes the decoded value so Spark can key-group for SPJ. */
+  * exposes the decoded value (identity) or the bucket INDEX so Spark can
+  * key-group for SPJ. */
 final case class AuditDirPartition(files: Seq[String], token: String,
-    dt: DataType)
+    dt: DataType, bucketed: Boolean = false)
     extends org.apache.spark.sql.connector.read.InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](AuditPartition.decode(token, dt)))
+      Array[Any](
+        if (bucketed) {
+          if (token == AuditPartition.NullToken) null else token.toInt
+        } else AuditPartition.decode(token, dt)))
 }
 
 /** Tail the `_EPOCHS` commit log as a micro-batch stream: offset = number
@@ -1297,7 +1355,8 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
   * as a truncate+publish batch commit. */
 final class AuditRowLevelOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    partInfo: Option[(String, DataType)] = None)
+    partInfo: Option[(String, DataType)] = None,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -1305,7 +1364,8 @@ final class AuditRowLevelOperation(path: String, schema: StructType,
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new AuditScanBuilder(path, schema, None, partInfo, allowPartFilters = false)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new AuditWriteBuilder(path, info.schema(), Map.empty, partInfo)
+    val b = new AuditWriteBuilder(path, info.schema(), Map.empty, partInfo,
+      bucketN)
     b.truncate()
     b
   }
@@ -1764,7 +1824,8 @@ private[sources] object AuditJson {
 
 final class AuditWriteBuilder(path: String, schema: StructType,
     options: Map[String, String] = Map.empty,
-    partInfo: Option[(String, DataType)] = None)
+    partInfo: Option[(String, DataType)] = None,
+    bucketN: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -1806,7 +1867,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       } else partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
-            schema.fieldIndex(col))
+            schema.fieldIndex(col), bucketN)
         case None => new AuditBatchWrite(path, schema, truncateFirst)
       }
     override def toStreaming
@@ -2196,9 +2257,10 @@ final class AuditDataWriter(path: String, schema: StructType,
 }
 
 final class AuditPartitionedWriterFactory(path: String, schema: StructType,
-    partIdx: Int) extends DataWriterFactory {
+    partIdx: Int, bucketN: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId)
+    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
+      bucketN)
 }
 
 final case class AuditPartCommitMessage(
@@ -2211,7 +2273,8 @@ final case class AuditPartCommitMessage(
   * clusterBy distribution via the existing write options; this writer
   * just routes whatever rows reach it. */
 final class AuditPartitionedDataWriter(path: String, schema: StructType,
-    partIdx: Int, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partIdx: Int, partitionId: Int, taskId: Long,
+    bucketN: Option[Int] = None) extends DataWriter[InternalRow] {
   private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
   java.nio.file.Files.createDirectories(stageDir)
   private val outs = scala.collection.mutable.LinkedHashMap
@@ -2226,8 +2289,9 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   })
 
   override def write(record: InternalRow): Unit = {
-    val token = AuditPartition.encode(
-      if (record.isNullAt(partIdx)) null else record.get(partIdx, partDt))
+    val token = AuditPartition.tokenFor(
+      if (record.isNullAt(partIdx)) null else record.get(partIdx, partDt),
+      bucketN)
     val (w, _, n) = writerFor(token)
     w.write(AuditRowJson.line(schema, record))
     w.write("\n")
@@ -2257,9 +2321,10 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   * directories. Same all-tasks-succeeded-then-rename discipline as the
   * unpartitioned write. */
 final class AuditPartitionedBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean, col: String, partIdx: Int) extends BatchWrite {
+    truncateFirst: Boolean, col: String, partIdx: Int,
+    bucketN: Option[Int] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditPartitionedWriterFactory(path, schema, partIdx)
+    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)

@@ -231,6 +231,72 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(desc.collect().map(_.getLong(0)).headOption === Some(1000L))
   }
 
+  test("bucket(n, col) partitioning: routed writes, pruned reads, zero-exchange SPJ") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.bkt_b")
+    spark.sql(
+      """CREATE TABLE graft_m.db.bkt_a (okey BIGINT, qty BIGINT)
+        |USING audit PARTITIONED BY (bucket(4, okey))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_m.db.bkt_b (okey BIGINT, price BIGINT)
+        |USING audit PARTITIONED BY (bucket(4, okey))""".stripMargin)
+    spark.sql("INSERT INTO graft_m.db.bkt_a " +
+      "SELECT id, id * 2 FROM range(0, 64)")
+    spark.sql("INSERT INTO graft_m.db.bkt_b " +
+      "SELECT id, id * 10 FROM range(0, 64) WHERE id % 2 = 0")
+    // rows landed in okey=<bucket> dirs, each with its own manifest
+    val dirs = {
+      val listing = java.nio.file.Files.list(wh.resolve("db").resolve("bkt_a"))
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("okey=")).toSeq.sorted
+      finally listing.close()
+    }
+    assert(dirs.size === 4, dirs)
+    assert(dirs.forall(d => java.nio.file.Files.exists(
+      wh.resolve("db").resolve("bkt_a").resolve(d).resolve("_MANIFEST"))))
+    // per-row routing matches the shared hash
+    dirs.foreach { d =>
+      val b = d.stripPrefix("okey=").toInt
+      val ids = spark.read.schema("okey BIGINT, qty BIGINT")
+        .json(wh.resolve("db").resolve("bkt_a").resolve(d).toString + "/*.jsonl")
+        .collect().map(_.getLong(0))
+      assert(ids.forall(id => AuditPartition.bucketOf(Long.box(id), 4) === b))
+    }
+    // EqualTo prunes to ONE bucket dir; the residual keeps answers exact
+    val one = spark.sql("SELECT qty FROM graft_m.db.bkt_a WHERE okey = 17")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.head.getLong(0) === 34L)
+    // COUNT with a bucket filter must NOT take the metadata path (the dir
+    // holds the whole hash bucket, not just okey=17)
+    val cnt = spark.sql("SELECT count(*) FROM graft_m.db.bkt_a WHERE okey = 17")
+    assert(!cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 1L)
+    // SPJ: same bucket transform both sides → zero join-side exchanges
+    val was = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val wasBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        """SELECT a.okey, a.qty, b.price FROM graft_m.db.bkt_a a
+          |JOIN graft_m.db.bkt_b b ON a.okey = b.okey""".stripMargin)
+      val rows = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length === 32)
+      assert(rows.forall { case (k, q, p) => q === k * 2 && p === k * 10 })
+      val full = j.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), full.take(1500))
+      assert(!plan.contains("Exchange"),
+        "bucketed SPJ must not shuffle either side:\n" + full.take(1500))
+    } finally {
+      was.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      wasBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("catalog functions: hex_hash/hex_bucket bind, compute, and refuse bad args") {
     init()
     val h = spark.sql(
