@@ -247,9 +247,21 @@ private[sources] object AuditMaintenance {
     * two-phase protocol, so this is exactly as scalable as any other
     * write to the table. */
   def optimize(spark: SparkSession, path: String, schema: StructType,
-      targetFileCount: Int, sortBy: Option[String]): (Int, Long, Long) = {
+      targetFileCount: Int, sortBy: Option[String],
+      zorderBy: Seq[String] = Nil): (Int, Long, Long) = {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"audit OPTIMIZE: sort_by column $c not in table schema"))
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "audit OPTIMIZE: sort_by and zorder_by are mutually exclusive")
+    zorderBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(
+          s"audit OPTIMIZE: zorder_by column $c not in table schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"audit OPTIMIZE: zorder_by needs integral columns, $c is " +
+          s"${f.dataType.simpleString} (z-order a timestamp via a derived " +
+          "epoch column)")
+    }
     val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
     val full = spark.read.schema(schema)
       .format(classOf[JsonAuditSink].getName)
@@ -258,7 +270,34 @@ private[sources] object AuditMaintenance {
       col("_epoch").as("_oepoch"),
       col("_file").as("_ofile"),
       col("_pos").as("_opos")): _*)
-    if (targetFileCount > 0) df = df.repartition(targetFileCount)
+    if (zorderBy.nonEmpty) {
+      // Pass 1: per-column quantile boundaries (equi-populated buckets —
+      // skew-robust, unlike min/max linear scaling). Approximation error
+      // only loosens file bounds; it can never change a query answer.
+      val bits = 10 // 1024 rank buckets per dimension
+      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
+      val bounds = asDouble.stat
+        .approxQuantile(asDouble.columns, probs, 0.001)
+        .map(_.map(_.toLong).distinct.sorted)
+      val zkey = org.apache.spark.sql.GraftSqlShim.column(graft.plans.ZOrderExpr(
+        zorderBy.map(c => org.apache.spark.sql.GraftSqlShim.expression(col(c))),
+        bounds.toSeq, bits))
+      // Pass 2: range-cluster across files on the curve, sort within each —
+      // both columns' per-file _STATS bounds come out tight.
+      val n = if (targetFileCount > 0) targetFileCount else 32
+      df = df.withColumn("_zkey", zkey)
+        .repartitionByRange(n, col("_zkey"))
+        .sortWithinPartitions(col("_zkey"))
+        .drop("_zkey")
+    }
+    // sort_by clusters ACROSS files too (range partition, not round-robin):
+    // a round-robin split would leave every file spanning the full key
+    // range, wasting the zone maps the sort is meant to tighten.
+    if (zorderBy.isEmpty && targetFileCount > 0) df = sortBy match {
+      case Some(c) => df.repartitionByRange(targetFileCount, col(c))
+      case None    => df.repartition(targetFileCount)
+    }
     sortBy.foreach(c => df = df.sortWithinPartitions(col(c)))
     val writer = df.write.format(classOf[JsonAuditSink].getName)
       .option("path", path)
@@ -433,15 +472,24 @@ private[sources] object GraftProcedures {
           .comment("base file count; 0 keeps the scan's partitioning").build(),
         ProcedureParameter.in("sort_by", StringType)
           .defaultValue("CAST(NULL AS STRING)")
-          .comment("optional within-file sort column").build())
+          .comment("optional within-file sort column").build(),
+        ProcedureParameter.in("zorder_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("optional comma-separated multi-dimensional clustering " +
+            "columns (mutually exclusive with sort_by)").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val tfc = if (input.isNullAt(1)) 0 else input.getInt(1)
         val sortBy =
           if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString)
+        val zorderBy =
+          if (input.isNullAt(3)) Nil
+          else input.getUTF8String(3).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
         val (path, schema) = catalog.resolveAuditTable(table)
         val (files, rows, through) = AuditMaintenance.optimize(
-          org.apache.spark.sql.SparkSession.active, path, schema, tfc, sortBy)
+          org.apache.spark.sql.SparkSession.active, path, schema, tfc, sortBy,
+          zorderBy)
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("base_files", IntegerType, nullable = false),

@@ -744,6 +744,49 @@ object CatalogApi {
         |ORDER BY src""".stripMargin)
   }
 
+  /** OPTIMIZE zorder_by, oracle-checked: after multi-dimensional
+    * clustering, a conjunctive range slice over BOTH curve columns prunes
+    * files via the `_STATS` zone maps (the spec asserts the pruning; this
+    * query hash-checks the answers are layout-invariant). At 100 TB this
+    * is the difference between "predicates on the second column scan the
+    * whole table" (lexicographic sort) and "any clustered column prunes". */
+  def auditZorder(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qz_wh")
+    spark.conf.set("spark.sql.catalog.graft_qz", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qz.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li4")
+    spark.sql("DROP TABLE IF EXISTS graft_qz.db.zsales")
+    spark.sql(
+      """CREATE TABLE graft_qz.db.zsales (okey BIGINT, pkey BIGINT, qty BIGINT)
+        |USING audit""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qz.db.zsales
+        |SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT)
+        |FROM graft_cat_li4""".stripMargin)
+    spark.sql(
+      "CALL graft_qz.system.optimize(table => 'db.zsales', " +
+        "target_file_count => 16, zorder_by => 'okey,pkey')")
+    spark.sql(
+      """SELECT okey % 10 AS g, count(*) AS n_rows,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       min(pkey) AS min_pkey, max(okey) AS max_okey
+        |FROM graft_qz.db.zsales
+        |WHERE okey >= 1000 AND okey < 3000 AND pkey >= 500 AND pkey < 1500
+        |GROUP BY 1
+        |ORDER BY g""".stripMargin)
+  }
+
+  val auditZorderSql: String =
+    """SELECT l_orderkey % 10 AS g, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       min(l_partkey) AS min_pkey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+      |  AND l_partkey >= 500 AND l_partkey < 1500
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
+
   val auditOptimizeSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -938,6 +981,7 @@ object CatalogApi {
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
+      "q_audit_zorder" -> (auditZorder _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
@@ -948,6 +992,7 @@ object CatalogApi {
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
+      "q_audit_zorder" -> auditZorderSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

@@ -206,6 +206,57 @@ class AuditMaintenanceSpec extends SparkSpec {
       df2.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("OPTIMIZE zorder_by clusters files in every dimension; sort_by in one") {
+    init()
+    // 80x80 grid over (a, b), written unclustered (hash-shuffled, 8 files)
+    def grid(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_m.db.$t")
+      spark.sql(s"CREATE TABLE graft_m.db.$t (a BIGINT, b BIGINT) USING audit")
+      spark.range(0, 6400).toDF("id")
+        .select((col("id") % 80).as("a"), expr("id DIV 80").as("b"))
+        .repartition(8, col("id"))
+        .write.format(classOf[JsonAuditSink].getName)
+        .option("path", dataDir(t).toString).mode("append").save()
+    }
+    def survivors(t: String, pred: org.apache.spark.sql.Column): Int =
+      spark.table(s"graft_m.db.$t").where(pred).rdd.getNumPartitions
+
+    grid("zo1")
+    val before = snap("SELECT a, b FROM graft_m.db.zo1 ORDER BY a, b")
+    // unclustered: every file spans both full ranges — nothing skips
+    assert(survivors("zo1", col("a") >= 10L && col("a") < 20L) === 8)
+    spark.sql("CALL graft_m.system.optimize(table => 'db.zo1', " +
+      "target_file_count => 16, zorder_by => 'a,b')")
+    assert(jsonlFiles("zo1", "base-").size === 16)
+    // one-eighth slices of EITHER dimension now open a minority of files
+    val aSurv = survivors("zo1", col("a") >= 10L && col("a") < 20L)
+    val bSurv = survivors("zo1", col("b") >= 10L && col("b") < 20L)
+    assert(aSurv <= 8, s"a-slice opened $aSurv of 16 files")
+    assert(bSurv <= 8, s"b-slice opened $bSurv of 16 files")
+    // and answers are unchanged
+    assert(snap("SELECT a, b FROM graft_m.db.zo1 ORDER BY a, b") === before)
+    assert(spark.table("graft_m.db.zo1")
+      .where(col("a") >= 10L && col("a") < 20L).count() === 800L)
+
+    // contrast: lexicographic sort_by 'a' prunes a-slices hard but leaves
+    // b-slices opening every file (each file spans the full b range)
+    grid("zo2")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.zo2', " +
+      "target_file_count => 16, sort_by => 'a')")
+    assert(survivors("zo2", col("a") >= 10L && col("a") < 20L) <= 4)
+    assert(survivors("zo2", col("b") >= 10L && col("b") < 20L) === 16)
+
+    // guardrails: mutual exclusion and non-integral columns fail loudly
+    val ex1 = intercept[Exception](spark.sql(
+      "CALL graft_m.system.optimize(table => 'db.zo1', " +
+        "sort_by => 'a', zorder_by => 'a,b')").collect())
+    assert(ex1.getMessage.contains("mutually exclusive"), ex1.getMessage)
+    val ex2 = intercept[Exception](spark.sql(
+      "CALL graft_m.system.optimize(table => 'db.zo1', " +
+        "zorder_by => 'nope')").collect())
+    assert(ex2.getMessage.contains("not in table schema"), ex2.getMessage)
+  }
+
   test("LIMIT and sorted-base TopN push a per-partition row cap") {
     buildTable("cap1")
     // plain LIMIT caps every partition before sorting enters the picture
