@@ -284,12 +284,23 @@ private[sources] object AuditMaintenance {
         zorderBy.map(c => org.apache.spark.sql.GraftSqlShim.expression(col(c))),
         bounds.toSeq, bits))
       // Pass 2: range-cluster across files on the curve, sort within each —
-      // both columns' per-file _STATS bounds come out tight.
+      // both columns' per-file _STATS bounds come out tight. Files split on
+      // a DISCRETE tile id (the curve key's top ceil(log2 n) bits), not the
+      // raw key: range sampling on the continuous key can cut mid-tile,
+      // and one mid-tile cut near a curve wrap gives a file the full width
+      // of a dimension. Splitting on whole tiles keeps every file a union
+      // of axis-aligned blocks.
       val n = if (targetFileCount > 0) targetFileCount else 32
+      val totalBits = zorderBy.length * bits
+      val tileBits = math.min(totalBits,
+        if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((n - 1).toLong))
       df = df.withColumn("_zkey", zkey)
-        .repartitionByRange(n, col("_zkey"))
+        .withColumn("_ztile",
+          org.apache.spark.sql.functions.shiftrightunsigned(
+            col("_zkey"), totalBits - tileBits))
+        .repartitionByRange(n, col("_ztile"))
         .sortWithinPartitions(col("_zkey"))
-        .drop("_zkey")
+        .drop("_zkey", "_ztile")
     }
     // sort_by clusters ACROSS files too (range partition, not round-robin):
     // a round-robin split would leave every file spanning the full key

@@ -522,7 +522,7 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
       AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
       AuditScan.epochFiles(path,
         AuditScan.committedEpochs(path).filter(_ > baseThrough).toSet).map(_._1)
-    val bounds = files.flatMap(stats.get(_).flatMap(_.get(f.name)))
+    val bounds = files.flatMap(stats.get(_).flatMap(_.ints.get(f.name)))
     if (bounds.isEmpty) null
     else {
       val v = if (op == "min") bounds.map(_._1).min else bounds.map(_._2).max
@@ -699,9 +699,14 @@ final class AuditScan(path: String, writeSchema: StructType,
     writeSchema.fields.collect {
       case f if AuditStats.statable(f.dataType) => f.name
     }.toSet
+  private lazy val strCols: Set[String] =
+    writeSchema.fields.collect {
+      case f if AuditStats.strStatable(f.dataType) => f.name
+    }.toSet
   private def skippable(f: String): Boolean =
     skipFilters.nonEmpty &&
-      fileStats.get(f).exists(AuditStats.canSkip(_, skipFilters, statableCols))
+      fileStats.get(f).exists(
+        AuditStats.canSkip(_, skipFilters, statableCols, strCols))
 
   override def planInputPartitions(): Array[InputPartition] = {
     partInfo match {
@@ -1421,7 +1426,8 @@ final class AuditDeltaWrite(path: String, schema: StructType)
 
 final case class AuditDeltaCommitMessage(staged: Option[String], rows: Long,
     deletes: Seq[(String, Long)],
-    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
+    stats: AuditStats.FileStats = AuditStats.FileStats.empty)
+  extends WriterCommitMessage
 
 final class AuditDeltaWriterFactory(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
@@ -1670,7 +1676,7 @@ private[sources] object AuditDelete {
     // EXACT through the metadata delete — which is what licenses the
     // MIN/MAX metadata pushdown to keep claiming afterwards
     val newStats = scala.collection.mutable.Map
-      .empty[String, Map[String, (Long, Long)]]
+      .empty[String, AuditStats.FileStats]
     def rewrite(file: java.nio.file.Path): Long = {
       val gone = vectors.getOrElse(file.getFileName.toString, Set.empty)
       val lines = java.nio.file.Files.readAllLines(file,
@@ -1958,22 +1964,43 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long,
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: AuditStats.FileStats = AuditStats.FileStats.empty)
   extends WriterCommitMessage
 
 /** Per-file column statistics (`_STATS`): one json line per committed
-  * file with min/max for every integral/timestamp column — the zone map
-  * every columnar format keeps in its footer, lifted to the table level
-  * so planning can SKIP whole files against pushed range predicates
-  * without opening them. Bounds are computed by the writer as rows
-  * stream through (free at write time) and are SUPERSET-safe by
-  * construction: the metadata DELETE rewrites rows in place, which only
-  * ever narrows a file's true range, so a stale bound can admit an
-  * unnecessary file but never skip a needed one. Files without a stats
-  * line are never skipped. */
+  * file with min/max for every integral/timestamp column AND truncated
+  * min/max for every string column — the zone map every columnar format
+  * keeps in its footer, lifted to the table level so planning can SKIP
+  * whole files against pushed range predicates without opening them.
+  * Bounds are computed by the writer as rows stream through (free at
+  * write time) and are SUPERSET-safe by construction: the metadata
+  * DELETE rewrites rows in place, which only ever narrows a file's true
+  * range, so a stale bound can admit an unnecessary file but never skip
+  * a needed one. Files without a stats line are never skipped.
+  *
+  * String bounds follow the Iceberg truncate(16) convention: the lower
+  * bound is the min's first 16 code points (a prefix is never greater in
+  * binary order, so it stays a valid lower bound); the upper bound is the
+  * max itself when short enough, else the SUCCESSOR of its 16-cp prefix
+  * (last code point incremented — strictly above every string sharing the
+  * prefix), or unbounded when no successor exists. Comparisons are
+  * UTF8String binary order — Spark's string ordering — NOT
+  * java.lang.String UTF-16 code-unit order, which diverges on
+  * supplementary characters.
+  *
+  * Lines carry `"v":2` since string bounds landed; on v2 lines a string
+  * column ABSENT from the map means the file holds no non-null value for
+  * it (same all-null inference the integral columns always had). v1
+  * lines predate string tracking, so absence there licenses nothing for
+  * strings — only the integral inference. */
 private[sources] object AuditStats {
-  private val LineRe = """\{"file":"([^"]+)","cols":\{(.*)\}\}""".r
-  private val ColRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val LineRe = """\{"file":"([^"]+)"(?:,"v":(\d+))?,"cols":\{(.*)\}\}""".r
+
+  /** Everything planning knows about one file's columns. */
+  final case class FileStats(version: Int,
+      ints: Map[String, (Long, Long)],
+      strs: Map[String, (String, Option[String])])
+  object FileStats { val empty: FileStats = FileStats(2, Map.empty, Map.empty) }
 
   def file(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path).resolve("_STATS")
@@ -1983,24 +2010,133 @@ private[sources] object AuditStats {
     case _ => false
   }
 
-  def read(path: String): Map[String, Map[String, (Long, Long)]] =
+  def strStatable(dt: DataType): Boolean = dt == StringType
+
+  val TruncLen = 16
+
+  /** An upper bound strictly above every string starting with `p`: the
+    * last incrementable code point bumped by one (None when every code
+    * point is U+10FFFF — unbounded above). Code-point increment preserves
+    * UTF-8 byte order, so the bound holds in UTF8String binary order. */
+  def prefixSucc(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      // never land in the surrogate gap (not a valid scalar value)
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      val out = cps.take(i) :+ next
+      Some(new String(out, 0, out.length))
+    }
+  }
+
+  /** Upper bound for a file's string max under truncation: the max itself
+    * when short enough (exact), else a successor of its prefix. */
+  def truncUpper(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= TruncLen) Some(s)
+    else prefixSucc(truncLower(s))
+
+  def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= TruncLen) s
+    else new String(s.codePoints().limit(TruncLen.toLong).toArray, 0, TruncLen)
+
+  private def binCmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Exact single-pass parser for the cols object — regexes cannot parse
+    * escaped string bounds safely (an escaped quote still CONTAINS a raw
+    * '"' char, so an int-shaped substring inside a bound would false-
+    * match a pattern scan). */
+  private def parseCols(s: String): (Map[String, (Long, Long)],
+      Map[String, (String, Option[String])]) = {
+    val ints = Map.newBuilder[String, (Long, Long)]
+    val strs = Map.newBuilder[String, (String, Option[String])]
+    var i = 0
+    def expect(c: Char): Unit = {
+      require(i < s.length && s.charAt(i) == c,
+        s"audit _STATS: expected '$c' at $i in $s")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      var done = false
+      while (!done) s.charAt(i) match {
+        case '"'  => done = true; i += 1
+        case '\\' => s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'u'  =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => throw new IllegalArgumentException(
+            s"audit _STATS: unknown escape \\$other")
+        }
+        case c => sb.append(c); i += 1
+      }
+      sb.toString
+    }
+    def num(): Long = {
+      val end0 = s.indexWhere(c => c == ',' || c == ']', i)
+      val end = if (end0 < 0) s.length else end0
+      val v = s.substring(i, end).toLong
+      i = end
+      v
+    }
+    while (i < s.length) {
+      if (s.charAt(i) == ',') i += 1
+      val name = str()
+      expect(':')
+      expect('[')
+      if (i < s.length && s.charAt(i) == '"') {
+        val lo = str()
+        expect(',')
+        val hi =
+          if (s.startsWith("null", i)) { i += 4; None }
+          else Some(str())
+        strs += name -> (lo, hi)
+      } else {
+        val lo = num()
+        expect(',')
+        ints += name -> (lo, num())
+      }
+      expect(']')
+    }
+    (ints.result(), strs.result())
+  }
+
+  def read(path: String): Map[String, FileStats] =
     if (!java.nio.file.Files.exists(file(path))) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case LineRe(f, cols) =>
-        f -> ColRe.findAllMatchIn(cols).map(m =>
-          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      case LineRe(f, v, cols) =>
+        val (ints, strs) = parseCols(cols)
+        f -> FileStats(if (v == null) 1 else v.toInt, ints, strs)
     }.toMap // last line wins for a replayed epoch file — exactly right
 
-  def line(fileName: String, stats: Map[String, (Long, Long)]): String =
-    s"""{"file":"$fileName","cols":{""" + stats.toSeq.sortBy(_._1).map {
-      case (c, (lo, hi)) => s""""$c":[$lo,$hi]"""
-    }.mkString(",") + "}}"
+  def line(fileName: String, st: FileStats): String = {
+    val esc = AuditRowJson.esc _
+    val entries =
+      st.ints.toSeq.map { case (c, (lo, hi)) =>
+        (c, s""""${esc(c)}":[$lo,$hi]""")
+      } ++ st.strs.toSeq.map { case (c, (lo, hi)) =>
+        (c, s""""${esc(c)}":["${esc(lo)}",""" +
+          hi.fold("null")(h => s""""${esc(h)}"""") + "]")
+      }
+    s"""{"file":"$fileName","v":2,"cols":{""" +
+      entries.sortBy(_._1).map(_._2).mkString(",") + "}}"
+  }
 
   /** A line is written for EVERY committed file — an empty bounds map is
     * itself information: it says the file has no non-null value for any
     * statable column (it may be empty outright), which licenses skipping
     * it under every null-rejecting predicate on such a column. */
-  def append(path: String, entries: Seq[(String, Map[String, (Long, Long)])]): Unit = {
+  def append(path: String, entries: Seq[(String, FileStats)]): Unit = {
     if (entries.isEmpty) return
     java.nio.file.Files.write(file(path),
       entries.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"),
@@ -2028,12 +2164,19 @@ private[sources] object AuditStats {
     java.nio.file.Files.deleteIfExists(file(path))
 
   /** Streaming-row accumulator for the writers: min/max per statable
-    * column, updated as rows pass — free at write time. */
+    * column (and truncated min/max per string column), updated as rows
+    * pass — free at write time. */
   final class Acc(schema: StructType) {
     private val idx = schema.fields.zipWithIndex
       .filter { case (f, _) => statable(f.dataType) }
     private val lo = Array.fill(idx.length)(Long.MaxValue)
     private val hi = Array.fill(idx.length)(Long.MinValue)
+    private val sIdx = schema.fields.zipWithIndex
+      .filter { case (f, _) => strStatable(f.dataType) }
+    private val sLo =
+      new Array[org.apache.spark.unsafe.types.UTF8String](sIdx.length)
+    private val sHi =
+      new Array[org.apache.spark.unsafe.types.UTF8String](sIdx.length)
     def update(record: InternalRow): Unit = {
       var i = 0
       while (i < idx.length) {
@@ -2048,21 +2191,38 @@ private[sources] object AuditStats {
         }
         i += 1
       }
+      var k = 0
+      while (k < sIdx.length) {
+        val j = sIdx(k)._2
+        if (!record.isNullAt(j)) {
+          val v = record.getUTF8String(j)
+          // clone: getUTF8String may expose a reused backing buffer
+          if (sLo(k) == null || v.compareTo(sLo(k)) < 0) sLo(k) = v.clone()
+          if (sHi(k) == null || v.compareTo(sHi(k)) > 0) sHi(k) = v.clone()
+        }
+        k += 1
+      }
     }
-    def result: Map[String, (Long, Long)] =
+    def result: FileStats = FileStats(2,
       idx.indices.filter(i => lo(i) <= hi(i)).map(i =>
-        idx(i)._1.name -> (lo(i), hi(i))).toMap
+        idx(i)._1.name -> (lo(i), hi(i))).toMap,
+      sIdx.indices.filter(k => sLo(k) != null).map(k =>
+        sIdx(k)._1.name ->
+          (truncLower(sLo(k).toString), truncUpper(sHi(k).toString))).toMap)
   }
 
   /** Can every row of a file with bounds `st` fail the pushed conjuncts?
     * Conservative 3-valued: unknown column/shape → cannot skip. A
     * STATABLE column absent from `st` means the file holds no non-null
     * value for it (possibly no rows at all — see [[append]]), so every
-    * null-rejecting comparison on it is refuted; non-statable columns
-    * carry no bounds and never license a skip. */
-  def canSkip(st: Map[String, (Long, Long)],
+    * null-rejecting comparison on it is refuted; for STRING columns the
+    * same inference needs a v2 line (v1 predates string tracking). String
+    * bounds are truncated supersets — `lo <= min`, `hi >= max` (or
+    * unbounded) — so every refutation below stays sound under
+    * truncation. */
+  def canSkip(st: FileStats,
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      statableCols: Set[String]): Boolean = {
+      statableCols: Set[String], strCols: Set[String] = Set.empty): Boolean = {
     import org.apache.spark.sql.sources._
     def lit(v: Any): Option[Long] = v match {
       case l: Long              => Some(l)
@@ -2070,42 +2230,84 @@ private[sources] object AuditStats {
       case i: java.lang.Integer => Some(i.longValue)
       case _                    => None
     }
+    def slit(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
     // for a null-rejecting comparison on column c: Some(bounds) = compare,
     // None+statable = all-null → refuted, else unknown
     def bounds(c: String): Option[Option[(Long, Long)]] =
-      st.get(c) match {
+      st.ints.get(c) match {
         case Some(b)                    => Some(Some(b))
         case None if statableCols(c)    => Some(None)
         case None                       => None
       }
+    def sbounds(c: String): Option[Option[(String, Option[String])]] =
+      st.strs.get(c) match {
+        case Some(b)                              => Some(Some(b))
+        case None if strCols(c) && st.version >= 2 => Some(None)
+        case None                                 => None
+      }
+    def cmp(a: String, b: String): Int = binCmp(a, b)
+    // true = the file PROVABLY contains no string row matching pred(x)
+    // where pred constrains x against the file's [lo, hi] envelope
+    def sDisjoint(c: String, x: String,
+        refute: (String, (String, Option[String])) => Boolean): Boolean =
+      sbounds(c).exists {
+        case Some(b) => refute(x, b)
+        case None    => true // all-null refutes any null-rejecting pred
+      }
+    val sEq = (x: String, b: (String, Option[String])) =>
+      cmp(x, b._1) < 0 || b._2.exists(h => cmp(x, h) > 0)
     // true = the file PROVABLY contains no matching row for this conjunct
     def disjoint(f: Filter): Boolean = f match {
+      case EqualTo(c, v) if slit(v).isDefined => sDisjoint(c, slit(v).get, sEq)
       case EqualTo(c, v) => lit(v).isDefined && bounds(c).exists {
         case Some((lo, hi)) => { val x = lit(v).get; x < lo || x > hi }
         case None           => true
       }
+      case In(c, vs) if vs.nonEmpty && vs.forall(slit(_).isDefined) =>
+        vs.forall(v => sDisjoint(c, slit(v).get, sEq))
       case In(c, vs) =>
         val xs = vs.toSeq.map(lit)
         xs.nonEmpty && xs.forall(_.isDefined) && bounds(c).exists {
           case Some((lo, hi)) => xs.flatten.forall(x => x < lo || x > hi)
           case None           => true
         }
+      case GreaterThan(c, v) if slit(v).isDefined =>
+        sDisjoint(c, slit(v).get,
+          (x, b) => b._2.exists(h => cmp(h, x) <= 0)) // max <= hi <= x
       case GreaterThan(c, v) => lit(v).isDefined && bounds(c).exists {
         case Some((_, hi)) => hi <= lit(v).get
         case None          => true
       }
+      case GreaterThanOrEqual(c, v) if slit(v).isDefined =>
+        sDisjoint(c, slit(v).get,
+          (x, b) => b._2.exists(h => cmp(h, x) < 0))
       case GreaterThanOrEqual(c, v) => lit(v).isDefined && bounds(c).exists {
         case Some((_, hi)) => hi < lit(v).get
         case None          => true
       }
+      case LessThan(c, v) if slit(v).isDefined =>
+        sDisjoint(c, slit(v).get,
+          (x, b) => cmp(b._1, x) >= 0) // min >= lo >= x
       case LessThan(c, v) => lit(v).isDefined && bounds(c).exists {
         case Some((lo, _)) => lo >= lit(v).get
         case None          => true
       }
+      case LessThanOrEqual(c, v) if slit(v).isDefined =>
+        sDisjoint(c, slit(v).get, (x, b) => cmp(b._1, x) > 0)
       case LessThanOrEqual(c, v) => lit(v).isDefined && bounds(c).exists {
         case Some((lo, _)) => lo > lit(v).get
         case None          => true
       }
+      // matching rows all live in [prefix, successor(prefix)): skip when
+      // the file envelope is entirely below or entirely above that range
+      case StringStartsWith(c, p) =>
+        sDisjoint(c, p, (x, b) =>
+          b._2.exists(h => cmp(h, x) < 0) ||
+            prefixSucc(x).exists(succ => cmp(b._1, succ) >= 0))
       // one provably-empty AND arm empties the conjunction
       case And(l, r) => disjoint(l) || disjoint(r)
       case Or(l, r)  => disjoint(l) && disjoint(r)

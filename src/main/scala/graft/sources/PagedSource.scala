@@ -918,6 +918,63 @@ object PagedApi {
       |ORDER BY bucket""".stripMargin
   }
 
+  /** STRING zone-map skipping, oracle-checked: files range-partitioned on
+    * a string key record truncated min/max bounds in `_STATS`; an
+    * equality + prefix predicate read-back then plans only the
+    * overlapping files (the spec asserts the pruning and the UTF8-binary
+    * comparison semantics; this hash gate proves skipping is
+    * answer-exact). The high-cardinality composed key also exercises the
+    * 16-code-point truncation path on every bound. */
+  def auditSkipStr(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_skipstr")
+    val out = root.resolve("tbl").toString
+    graft.Tables.lineitem(spark, d)
+      .select(
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus"), lit("-key-"),
+          lpad(col("l_orderkey").cast("string"), 10, "0")).as("k"),
+        col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("qty"))
+      .repartitionByRange(8, col("k"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", out).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).load()
+      .where(col("k").startsWith("R-F") || col("k") >= "N-O-key-0000005000")
+      .groupBy(substring(col("k"), 1, 3).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        min(col("okey")).as("lo_okey"), max(col("k")).as("hi_k"))
+      .orderBy(col("grp"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val auditSkipStrSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag || '-' || l_linestatus || '-key-' ||
+      |         lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+      |         l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |)
+      |SELECT substring(k, 1, 3) AS grp, count(*) AS n_rows,
+      |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |       min(okey) AS lo_okey, max(k) AS hi_k
+      |FROM src
+      |WHERE k LIKE 'R-F%' OR k >= 'N-O-key-0000005000'
+      |GROUP BY 1
+      |ORDER BY grp""".stripMargin
+
   /** Metadata MIN/MAX, oracle-checked: count(*)+min/max over two integral
     * columns answer from `_MANIFEST` + the `_STATS` zone maps without
     * opening a data file (the spec asserts the AuditCountScan plan and
@@ -974,6 +1031,7 @@ object PagedApi {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_v2" -> (sourceV2 _),
     "q_audit_skip" -> (auditSkip _),
+    "q_audit_skip_str" -> (auditSkipStr _),
     "q_audit_minmax" -> (auditMinMax _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
@@ -984,6 +1042,7 @@ object PagedApi {
   val oracles: Map[String, String] = Map(
     "q_source_v2" -> sourceV2Sql,
     "q_audit_skip" -> auditSkipSql,
+    "q_audit_skip_str" -> auditSkipStrSql,
     "q_audit_minmax" -> auditMinMaxSql,
     "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_topn" -> sourceV2TopNSql,

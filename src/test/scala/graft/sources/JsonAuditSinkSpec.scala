@@ -438,7 +438,8 @@ class JsonAuditSinkSpec extends SparkSpec {
 
   test("zone-map disjointness logic: And/Or/In bounds compose conservatively") {
     import org.apache.spark.sql.sources._
-    val st = Map("id" -> (100L, 200L))
+    val st = AuditStats.FileStats(2, Map("id" -> (100L, 200L)), Map.empty)
+    val empty = AuditStats.FileStats(2, Map.empty, Map.empty)
     val cols = Set("id", "v")
     assert(AuditStats.canSkip(st, Seq(EqualTo("id", 50L)), cols))
     assert(!AuditStats.canSkip(st, Seq(EqualTo("id", 150L)), cols))
@@ -460,7 +461,115 @@ class JsonAuditSinkSpec extends SparkSpec {
     // a statable column ABSENT from the file's line = all-null (or an
     // empty file): every null-rejecting comparison on it is refuted
     assert(AuditStats.canSkip(st, Seq(EqualTo("v", 1L)), cols))
-    assert(AuditStats.canSkip(Map.empty, Seq(LessThan("id", 100L)), cols))
-    assert(!AuditStats.canSkip(Map.empty, Seq(IsNull("id")), cols))
+    assert(AuditStats.canSkip(empty, Seq(LessThan("id", 100L)), cols))
+    assert(!AuditStats.canSkip(empty, Seq(IsNull("id")), cols))
+  }
+
+  test("string zone maps: truncated bounds refute in UTF8 binary order") {
+    import org.apache.spark.sql.sources._
+    val strCols = Set("name", "tag")
+    def st(lo: String, hi: Option[String], v: Int = 2) =
+      AuditStats.FileStats(v, Map.empty, Map("name" -> (lo, hi)))
+    val bb_dd = st("bb", Some("dd"))
+    def skip(s: AuditStats.FileStats, f: Filter*) =
+      AuditStats.canSkip(s, f.toSeq, Set.empty, strCols)
+    assert(skip(bb_dd, EqualTo("name", "aa")))
+    assert(!skip(bb_dd, EqualTo("name", "cc")))
+    assert(skip(bb_dd, EqualTo("name", "ee")))
+    assert(skip(bb_dd, GreaterThan("name", "dd")))
+    assert(!skip(bb_dd, GreaterThanOrEqual("name", "dd")))
+    assert(skip(bb_dd, GreaterThanOrEqual("name", "ee")))
+    assert(skip(bb_dd, LessThan("name", "bb")))
+    assert(!skip(bb_dd, LessThanOrEqual("name", "bb")))
+    assert(skip(bb_dd, LessThanOrEqual("name", "ab")))
+    assert(skip(bb_dd, In("name", Array[Any]("aa", "zz"))))
+    assert(!skip(bb_dd, In("name", Array[Any]("aa", "cc"))))
+    // all matching rows live in [prefix, succ(prefix))
+    assert(skip(bb_dd, StringStartsWith("name", "a")))
+    assert(!skip(bb_dd, StringStartsWith("name", "c")))
+    assert(!skip(bb_dd, StringStartsWith("name", "b"))) // "bb" starts with it
+    assert(skip(bb_dd, StringStartsWith("name", "e")))
+    // unbounded above (truncated max with no successor): only lower-bound
+    // refutations remain available
+    val open = st("bb", None)
+    assert(!skip(open, GreaterThan("name", "zz")))
+    assert(skip(open, LessThan("name", "bb")))
+    // absent string column: all-null inference needs a v2 line
+    assert(skip(bb_dd, EqualTo("tag", "x")))
+    assert(!skip(st("bb", Some("dd"), v = 1), EqualTo("tag", "x")))
+    // UTF8String BINARY order, not UTF-16 code-unit order: U+10000 (a
+    // surrogate pair in Java, 4 bytes in UTF-8) sorts ABOVE U+FFFF
+    val supp = new String(Character.toChars(0x10000))
+    assert(skip(st("\uFFFF", Some("\uFFFF")), GreaterThan("name", supp)))
+    // java.lang.String.compareTo would order these the other way:
+    assert("\uFFFF".compareTo(supp) > 0)
+  }
+
+  test("string zone-map bounds: truncation, successor, and line round trip") {
+    // truncation: bounds cap at 16 code points; upper bound is a successor
+    val long = "abcdefghijklmnop" + "qrstuvwx" // 24 cps
+    assert(AuditStats.truncLower(long) === "abcdefghijklmnop")
+    assert(AuditStats.truncUpper(long) === Some("abcdefghijklmnoq"))
+    assert(AuditStats.truncUpper("short") === Some("short"))
+    assert(AuditStats.prefixSucc("ab") === Some("ac"))
+    // surrogate gap is never a bound: U+D7FF increments to U+E000
+    assert(AuditStats.prefixSucc("\uD7FF") === Some("\uE000"))
+    assert(AuditStats.prefixSucc(
+      new String(Character.toChars(0x10FFFF))) === None)
+    // line/read round trip with hostile bound content (quotes, escapes,
+    // int-shaped substrings inside a string bound)
+    val dir = tempDir()
+    val hostile = AuditStats.FileStats(2,
+      Map("id" -> (-5L, 9L)),
+      Map("name" -> ("""a"b\c""" + "\n", Some("""x":[1,2]""")),
+        "open" -> ("lo", None)))
+    AuditStats.append(dir.toString, Seq(("f1.jsonl", hostile)))
+    val back = AuditStats.read(dir.toString)
+    assert(back === Map("f1.jsonl" -> hostile))
+    // v1 lines (no "v", int-only) still parse as version 1
+    java.nio.file.Files.write(dir.resolve("_STATS"),
+      """{"file":"old.jsonl","cols":{"id":[1,2]}}""".stripMargin
+        .concat("\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val all = AuditStats.read(dir.toString)
+    assert(all("old.jsonl") ===
+      AuditStats.FileStats(1, Map("id" -> (1L, 2L)), Map.empty))
+  }
+
+  test("string-keyed files are skipped at planning; answers stay exact") {
+    val dir = tempDir()
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("v", LongType)))
+    // 8 range-partitioned files over a string key: k000..k799 zero-padded
+    // (lexicographic == numeric), plus one file of >16-cp names
+    spark.range(0, 800).toDF("id")
+      .select(format_string("k%03d", col("id")).as("name"), col("id").as("v"))
+      .repartitionByRange(8, col("name"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    def read() = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
+    // equality hits exactly one file
+    val eq = read().where(col("name") === "k500")
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.collect().map(_.getLong(1)).toSeq === Seq(500L))
+    // range slice spans a couple of files (sampled split points wobble)
+    val rng = read().where(col("name") >= "k190" && col("name") < "k310")
+    assert(rng.rdd.getNumPartitions <= 3, rng.rdd.getNumPartitions)
+    assert(rng.count() === 120L)
+    // prefix pushdown prunes too
+    val pre = read().where(col("name").startsWith("k7"))
+    assert(pre.rdd.getNumPartitions === 1)
+    assert(pre.count() === 100L)
+    // long names: bounds truncate to 16 cps, superset-safe — a probe
+    // inside the truncated range keeps the file, outside skips it
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("z-" + "a" * 30, 9000L),
+      org.apache.spark.sql.Row("z-" + "m" * 30, 9001L)), schema)
+      .repartition(1)
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    assert(read().where(col("name") > "z-" + "n" * 30).rdd.getNumPartitions === 0)
+    assert(read().where(col("name") === "z-" + "m" * 30).count() === 1L)
   }
 }
