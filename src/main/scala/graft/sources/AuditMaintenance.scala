@@ -181,7 +181,8 @@ private[sources] object AuditBase {
   * left for VACUUM: they keep serving running epoch tails until the
   * operator decides to reclaim them. */
 final class AuditBaseBatchWrite(path: String, schema: StructType,
-    throughEpoch: Long, sortBy: Option[String] = None) extends BatchWrite {
+    throughEpoch: Long, sortBy: Option[String] = None,
+    foldFiles: Option[Set[String]] = None) extends BatchWrite {
   require(schema.fields.takeRight(3).map(_.name).toSeq ==
     Seq("_oepoch", "_ofile", "_opos"),
     s"audit base commit: schema must end with the origin columns, got " +
@@ -204,15 +205,20 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     }
     val prev = AuditBase.read(path)
     val manifest = AuditBase.readManifest(path)
-    // fold live batch entries, then publish _BASE (single-writer window
+    // fold ONLY the batch entries the compaction's pinned snapshot read
+    // (entries appended while the job ran stay LIVE — folding them would
+    // silently drop their rows), then publish _BASE (single-writer window
     // documented on AuditBase) and reclaim the superseded data files
-    AuditBase.writeManifest(path, manifest.map(_.copy(folded = true)))
+    val toFold: AuditBase.ManifestEntry => Boolean = e =>
+      !e.folded && foldFiles.forall(_.contains(e.file))
+    AuditBase.writeManifest(path,
+      manifest.map(e => if (toFold(e)) e.copy(folded = true) else e))
     AuditBase.write(path, throughEpoch,
       prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy)
     prev.foreach(_.files.foreach { case (f, _) =>
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     })
-    manifest.filterNot(_.folded).foreach { e =>
+    manifest.filter(toFold).foreach { e =>
       java.nio.file.Files.deleteIfExists(dir.resolve(e.file))
     }
     // zone maps: record the base files' bounds, drop lines for the files
@@ -248,7 +254,8 @@ private[sources] object AuditMaintenance {
     * write to the table. */
   def optimize(spark: SparkSession, path: String, schema: StructType,
       targetFileCount: Int, sortBy: Option[String],
-      zorderBy: Seq[String] = Nil): (Int, Long, Long) = {
+      zorderBy: Seq[String] = Nil,
+      pinned: Option[CompactionSnapshot] = None): (Int, Long, Long) = {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"audit OPTIMIZE: sort_by column $c not in table schema"))
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -262,10 +269,22 @@ private[sources] object AuditMaintenance {
           s"${f.dataType.simpleString} (z-order a timestamp via a derived " +
           "epoch column)")
     }
-    val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
+    // Pin the input snapshot BEFORE building the job: the scan plans
+    // lazily (at write-job time), so without the pin an epoch or batch
+    // INSERT landing between here and execution would be read into the
+    // base yet stay live (duplicates), and one landing between execution
+    // and commit would be folded without being read (lost rows). The
+    // snapshot closes both windows: the scan reads exactly these epochs
+    // and batch files, and commit folds exactly the same set — anything
+    // newer stays live alongside the base.
+    val snap = pinned.getOrElse(snapshot(path))
+    val through = snap.throughEpoch
     val full = spark.read.schema(schema)
       .format(classOf[JsonAuditSink].getName)
-      .option("path", path).option("includeDeleted", "true").load()
+      .option("path", path).option("includeDeleted", "true")
+      .option("snapshotMaxEpoch", through.toString)
+      .option("snapshotFiles", snap.batchFiles.mkString(","))
+      .load()
     var df = full.select(schema.fieldNames.map(col).toSeq ++ Seq(
       col("_epoch").as("_oepoch"),
       col("_file").as("_ofile"),
@@ -314,11 +333,21 @@ private[sources] object AuditMaintenance {
       .option("path", path)
       .option("basecommit", "true")
       .option("basethroughepoch", through.toString)
+      .option("basefoldfiles", snap.batchFiles.mkString(","))
     sortBy.fold(writer)(writer.option("basesortby", _)).mode("append").save()
     val b = AuditBase.read(path).getOrElse(
       throw new IllegalStateException("audit OPTIMIZE: base commit missing"))
     (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
   }
+
+  /** The pinned input set of one compaction run: the newest committed
+    * epoch and the LIVE batch-manifest files at capture time. */
+  final case class CompactionSnapshot(throughEpoch: Long,
+      batchFiles: Seq[String])
+
+  def snapshot(path: String): CompactionSnapshot = CompactionSnapshot(
+    AuditScan.committedEpochs(path).lastOption.getOrElse(-1L),
+    AuditBase.readManifest(path).collect { case e if !e.folded => e.file })
 
   /** Reclaim superseded epoch files and bound the time-travel window. */
   def vacuum(path: String, retainLast: Int): (Int, Long) = {

@@ -290,8 +290,15 @@ final class AuditTable(path: String, writeSchema: StructType,
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
     // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
     val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
+    // compaction snapshot pin: only epochs <= snapshotMaxEpoch and batch
+    // files named in snapshotFiles are planned, so commits landing while
+    // the compaction job runs are neither folded nor duplicated
+    val snapMaxEpoch = Option(options.get("snapshotMaxEpoch")).map(_.toLong)
+    val snapFiles = Option(options.get("snapshotFiles"))
+      .map(_.split(",").filter(_.nonEmpty).toSet)
     new AuditScanBuilder(path, writeSchema, version, partInfo,
-      includeDeleted = includeDeleted, bucketN = bucketN)
+      includeDeleted = includeDeleted, bucketN = bucketN,
+      snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles)
   }
 
   private[sources] def dataPath: String = path
@@ -314,7 +321,9 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     // truncates the whole table) — it disables partition-filter pushdown
     allowPartFilters: Boolean = true,
     includeDeleted: Boolean = false,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None,
+    snapMaxEpoch: Option[Long] = None,
+    snapFiles: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -477,7 +486,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       case None =>
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
           allowedTokens, includeDeleted, skipFilters,
-          pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN)
+          pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN,
+          snapMaxEpoch, snapFiles)
     }
 }
 
@@ -618,12 +628,82 @@ final class AuditScan(path: String, writeSchema: StructType,
     includeDeleted: Boolean = false,
     skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     rowCap: Long = Long.MaxValue,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None,
+    snapMaxEpoch: Option[Long] = None,
+    snapFiles: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read._
+
+  /** Planning-consistent statistics: `sizeInBytes` totals exactly the
+    * files this scan will open — after partition pruning AND zone-map
+    * skipping — so a range-sliced read of a big table correctly offers
+    * itself for broadcast while the unfiltered read stays shuffle-sided
+    * (the same CBO contract the paged source reports; at scale this is
+    * what turns "filtered fact ⋈ fact" into a broadcast join instead of
+    * two full shuffles). `numRows` is reported only when every surviving
+    * file's count is metadata-known (base/manifest entries); epoch files
+    * track rows per EPOCH, not per file, so a scan containing them
+    * reports size only rather than guessing. */
+  override def estimateStatistics(): Statistics = {
+    val dir = java.nio.file.Paths.get(path)
+    def sizeOf(p: java.nio.file.Path): Long =
+      try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+    // (file path, rows when metadata-known)
+    val files: Seq[(java.nio.file.Path, Option[Long])] = partInfo match {
+      case Some(_) => survivingDirs.flatMap { case (_, d) =>
+        AuditPartition.manifestEntries(d).map {
+          case (f, r) => (d.resolve(f), Some(r))
+        }
+      }
+      case None =>
+        val base = AuditBase.read(path)
+        val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
+        val wanted = versionAsOf match {
+          case Some(v) => committedEpochsMemo.filter(e => e <= v && e > baseThrough)
+          case None    => committedEpochsMemo.filter(_ > baseThrough)
+        }
+        val baseFiles = base.toSeq.flatMap(_.files).collect {
+          // pinned reads filter base rows to epoch origins <= v: the file
+          // row count is an upper bound, not the answer — size only
+          case (f, r) if !skippable(f) =>
+            (dir.resolve(f), if (versionAsOf.isEmpty) Some(r) else None)
+        }
+        val batchFiles =
+          if (versionAsOf.isEmpty)
+            AuditBase.readManifest(path).collect {
+              case e if !e.folded && !skippable(e.file) =>
+                (dir.resolve(e.file), Some(e.rows))
+            }
+          else Seq.empty
+        val epochFiles = AuditScan.epochFiles(path, wanted.toSet).collect {
+          case (f, _) if !skippable(f) => (dir.resolve(f), None)
+        }
+        baseFiles ++ batchFiles ++ epochFiles
+    }
+    val bytes = files.map(f => sizeOf(f._1)).sum
+    val rows: Option[Long] =
+      if (files.forall(_._2.isDefined)) {
+        val raw = files.flatMap(_._2).sum
+        val deleted =
+          if (versionAsOf.isEmpty && !includeDeleted && partInfo.isEmpty)
+            AuditDeletes.count(path)
+          else 0L
+        Some(math.max(0L, raw - deleted))
+      } else None
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows: java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
+
+  private lazy val committedEpochsMemo: Seq[Long] =
+    AuditScan.committedEpochs(path)
 
   /** Sorted-scan reporting: after `OPTIMIZE ... sort_by => c` every base
     * file is internally sorted on c, and each file is one input
@@ -728,7 +808,8 @@ final class AuditScan(path: String, writeSchema: StructType,
     val wanted = versionAsOf match {
       case Some(v) => AuditScan.committedEpochs(path)
         .filter(e => e <= v && e > baseThrough).toSet
-      case None => AuditScan.committedEpochs(path).filter(_ > baseThrough).toSet
+      case None => AuditScan.committedEpochs(path)
+        .filter(e => e > baseThrough && snapMaxEpoch.forall(e <= _)).toSet
     }
     val epochFiles: Seq[(String, Option[Long])] =
       AuditScan.epochFiles(path, wanted).map { case (f, e) => (f, Some(e)) }
@@ -741,7 +822,7 @@ final class AuditScan(path: String, writeSchema: StructType,
     val batchFiles: Seq[(String, Option[Long])] =
       if (versionAsOf.isEmpty && java.nio.file.Files.exists(manifestFile))
         java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-          case fileRe(f) => (f, None)
+          case fileRe(f) if snapFiles.forall(_.contains(f)) => (f, None)
         }.toSeq
       else Seq.empty
     // delete vectors apply to CURRENT-state reads only: pinned reads
@@ -1869,7 +1950,9 @@ final class AuditWriteBuilder(path: String, schema: StructType,
             "(partitioned small files are controlled per-partition at write " +
             "time via clusterBy/targetFileCount)")
         new AuditBaseBatchWrite(path, schema,
-          options("basethroughepoch").toLong, options.get("basesortby"))
+          options("basethroughepoch").toLong, options.get("basesortby"),
+          options.get("basefoldfiles")
+            .map(_.split(",").filter(_.nonEmpty).toSet))
       } else partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,

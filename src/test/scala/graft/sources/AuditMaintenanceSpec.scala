@@ -260,6 +260,55 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(ex2.getMessage.contains("not in table schema"), ex2.getMessage)
   }
 
+  test("OPTIMIZE pins its snapshot: commits landing mid-compaction survive live") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.cc1")
+    spark.sql("CREATE TABLE graft_m.db.cc1 (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_m.db.cc1 SELECT id, id * 2 FROM range(100)")
+    val path = dataDir("cc1").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // capture the compaction's input snapshot, then land "concurrent"
+    // commits before the compaction executes: a batch INSERT and a
+    // streaming epoch — the scan plans lazily, so without the pin both
+    // would be read into the base AND stay live (duplicates), or be
+    // folded without being read (lost rows)
+    val snap = AuditMaintenance.snapshot(path)
+    spark.sql("INSERT INTO graft_m.db.cc1 VALUES (1000, 1), (1001, 2)")
+    val stage = dataDir("cc1").resolve("_staging")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("stage-00000-1.jsonl"),
+      (5000L until 5005L).map(i => s"""{"id":$i,"v":9}""" + "\n")
+        .mkString.getBytes("UTF-8"))
+    new AuditStreamingWrite(path, schema).commit(0L,
+      Array(AuditCommitMessage("stage-00000-1.jsonl", 5L,
+        AuditStats.FileStats(2,
+          Map("id" -> (5000L, 5004L), "v" -> (9L, 9L)), Map.empty))))
+    val (_, baseRows, through) = AuditMaintenance.optimize(
+      spark, path, schema, 2, None, Nil, Some(snap))
+    // the base folded exactly the pinned snapshot; late commits stay live
+    assert(baseRows === 100L)
+    assert(through === -1L) // no epochs existed at snapshot time
+    assert(AuditBase.readManifest(path).exists(!_.folded),
+      "the mid-compaction INSERT's manifest entry must stay live")
+    assert(jsonlFiles("cc1", "part-e0-").nonEmpty,
+      "the mid-compaction epoch's file must survive")
+    // nothing lost, nothing duplicated
+    val q = spark.sql(
+      "SELECT count(*), count(DISTINCT id) FROM graft_m.db.cc1").head
+    assert(q.getLong(0) === 107L, q)
+    assert(q.getLong(1) === 107L, q)
+    // a fresh OPTIMIZE folds the late commits too; answers unchanged
+    spark.sql("CALL graft_m.system.optimize(table => 'db.cc1', " +
+      "target_file_count => 1)")
+    val q2 = spark.sql(
+      "SELECT count(*), count(DISTINCT id) FROM graft_m.db.cc1").head
+    assert((q2.getLong(0), q2.getLong(1)) === ((107L, 107L)), q2)
+  }
+
   test("LIMIT and sorted-base TopN push a per-partition row cap") {
     buildTable("cap1")
     // plain LIMIT caps every partition before sorting enters the picture

@@ -465,6 +465,43 @@ class JsonAuditSinkSpec extends SparkSpec {
     assert(!AuditStats.canSkip(empty, Seq(IsNull("id")), cols))
   }
 
+  test("estimateStatistics follows zone-map pruning and flips the join strategy") {
+    val dir = tempDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("pad", StringType)))
+    // ~8 MB over 16 range-partitioned files, disjoint id ranges
+    spark.range(0, 40000).toDF("id")
+      .select(col("id"), concat(lit("x" * 180), col("id").cast("string")).as("pad"))
+      .repartitionByRange(16, col("id"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString).mode("append").save()
+    def scan(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
+      val b = new AuditScanBuilder(dir.toString, schema, None)
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[AuditScan]
+    }
+    val full = scan(Nil).estimateStatistics()
+    val sliced = scan(Seq(org.apache.spark.sql.sources.LessThan("id", 2000L)))
+      .estimateStatistics()
+    assert(full.numRows.getAsLong === 40000L)
+    // the slice survives ~1 of 16 files: both metrics shrink with it
+    assert(sliced.numRows.getAsLong <= 40000L / 8)
+    assert(sliced.sizeInBytes.getAsLong <= full.sizeInBytes.getAsLong / 8)
+    // CBO flip: a narrow slice of a big audit table broadcasts; the
+    // unfiltered read of the same table stays shuffle-sided
+    def read() = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024 * 1024).toString)
+    try {
+      val bc = read().join(read().where(col("id") < 2000L), "id")
+        .queryExecution.executedPlan.toString
+      assert(bc.contains("BroadcastHashJoin"), bc.take(500))
+      val sm = read().join(read(), "id").queryExecution.executedPlan.toString
+      assert(!sm.contains("BroadcastHashJoin"), sm.take(500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("string zone maps: truncated bounds refute in UTF8 binary order") {
     import org.apache.spark.sql.sources._
     val strCols = Set("name", "tag")
