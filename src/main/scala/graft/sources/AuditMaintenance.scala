@@ -478,7 +478,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.catalog.procedures._
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 
-  val Names: Seq[String] = Seq("optimize", "vacuum")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "history")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -487,10 +487,14 @@ private[sources] object GraftProcedures {
   }
 
   private def one(schema: StructType, vals: Any*): java.util.Iterator[Scan] =
+    rowsOf(schema, Seq(vals.toArray))
+
+  private def rowsOf(schema: StructType,
+      rows: Seq[Array[Any]]): java.util.Iterator[Scan] =
     java.util.Collections.singletonList(
       new Result(schema,
-        Array(new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(vals.toArray))): Scan).iterator()
+        rows.map(vs => new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vs): InternalRow).toArray): Scan).iterator()
 
   private def str(s: String) =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -536,6 +540,69 @@ private[sources] object GraftProcedures {
           StructField("base_rows", LongType, nullable = false),
           StructField("through_epoch", LongType, nullable = false))),
           str(table), files, rows, through)
+      }
+    }
+  }
+
+  /** `CALL graft.system.history('db.t')` — the table's commit log as
+    * rows: every streaming epoch, every live/folded batch commit, the
+    * base checkpoint, and the outstanding delete-vector count. The
+    * observability surface every table format grows (Delta DESCRIBE
+    * HISTORY, Iceberg snapshots metadata table), derived entirely from
+    * the format's own metadata files — no data file is opened. */
+  def history(catalog: GraftCatalog): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "list an audit table's commit history (epochs, batch commits, " +
+        "base checkpoint, outstanding deletes) from metadata only"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "history"
+      override def description(): String = history(catalog).description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("audit table, as <namespace>.<name>").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val (path, _) = catalog.resolveAuditTable(table)
+        val schema = StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("version", LongType, nullable = true),
+          StructField("files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("detail", StringType, nullable = false)))
+        val epochRe =
+          """\{"epoch":(-?\d+),"files":(\d+),"rows":(\d+)\}""".r
+        val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
+        val epochRows: Seq[Array[Any]] =
+          if (java.nio.file.Files.exists(epochsFile))
+            java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq.collect {
+              case epochRe(e, nf, r) => Array[Any]("epoch", e.toLong,
+                nf.toInt, r.toLong, str("streamed micro-batch"))
+            }.sortBy(_(1).asInstanceOf[Long])
+          else Seq.empty
+        val batchRows: Seq[Array[Any]] =
+          AuditBase.readManifest(path).map { e =>
+            Array[Any]("batch", null, 1, e.rows,
+              str(e.file + (if (e.folded) " (folded into base)" else "")))
+          }
+        val baseRows: Seq[Array[Any]] = AuditBase.read(path).toSeq.map { b =>
+          Array[Any]("base", b.throughEpoch, b.files.size,
+            b.files.map(_._2).sum,
+            str("checkpoint through epoch " + b.throughEpoch +
+              b.sortBy.fold("")(s => s", sorted by $s") +
+              (if (b.expiredThrough >= 0)
+                s", expired through ${b.expiredThrough}" else "")))
+        }
+        val delRows: Seq[Array[Any]] = {
+          val n = AuditDeletes.count(path)
+          if (n > 0)
+            Seq(Array[Any]("deletes", null, 0, n,
+              str("outstanding delete-vector entries")))
+          else Seq.empty
+        }
+        rowsOf(schema, (epochRows ++ batchRows ++ baseRows ++ delRows)
+          .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
       }
     }
   }

@@ -294,6 +294,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "optimize") => GraftProcedures.optimize(this)
       case (Seq("system"), "vacuum")   => GraftProcedures.vacuum(this)
+      case (Seq("system"), "history")  => GraftProcedures.history(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")

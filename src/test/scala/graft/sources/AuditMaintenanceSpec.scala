@@ -400,6 +400,35 @@ class AuditMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("history procedure lists epochs, batch commits, base, and deletes") {
+    buildTable("his1")
+    def hist() = spark.sql(
+      "CALL graft_m.system.history(table => 'db.his1')").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -99L else r.getLong(1),
+        r.getInt(2), r.getLong(3), r.getString(4))).toSeq
+    val before = hist()
+    // 4 streamed epochs + the MERGE's delta batch commit + delete vectors
+    assert(before.count(_._1 == "epoch") === 4, before)
+    assert(before.filter(_._1 == "epoch").map(_._4).sum === 400L)
+    assert(before.count(_._1 == "batch") === 1, before)
+    assert(before.count(_._1 == "base") === 0)
+    val dels = before.filter(_._1 == "deletes")
+    assert(dels.map(_._4) === Seq(6L), before) // 2 updated-old + 4 deleted
+    // after OPTIMIZE: base row appears, batch entries marked folded
+    spark.sql("CALL graft_m.system.optimize(table => 'db.his1', " +
+      "target_file_count => 2)")
+    val after = hist()
+    val base = after.filter(_._1 == "base")
+    assert(base.map(b => (b._2, b._3, b._4)) === Seq((3L, 2, 403L)), after)
+    assert(after.filter(_._1 == "batch").forall(_._5.contains("folded")))
+    // vectors are origin-keyed and survive compaction untouched
+    assert(after.filter(_._1 == "deletes").map(_._4) === Seq(6L), after)
+    // unknown procedure name still fails loudly
+    val ex = intercept[Exception](spark.sql(
+      "CALL graft_m.system.nope(table => 'db.his1')").collect())
+    assert(ex.getMessage.contains("nope"), ex.getMessage)
+  }
+
   test("catalog functions: hex_hash/hex_bucket bind, compute, and refuse bad args") {
     init()
     val h = spark.sql(
