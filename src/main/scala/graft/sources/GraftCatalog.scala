@@ -788,6 +788,57 @@ object CatalogApi {
       |GROUP BY 1
       |ORDER BY g""".stripMargin
 
+  /** Streaming ingestion into a PARTITIONED audit table, oracle-checked:
+    * micro-batch epochs route rows into `flag=<token>` directories with
+    * per-partition manifests (the spec asserts the layout, replay
+    * retraction, and that pruning/metadata counts keep working; this
+    * hash gate proves the streamed content is exactly-once and
+    * partition-complete). */
+  def auditStreamPart(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qsp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qsp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qsp.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qsp.db.pstream")
+    spark.sql(
+      """CREATE TABLE graft_qsp.db.pstream (id BIGINT, flag BIGINT, dur BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qsp_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load()
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") % 3).as("flag"),
+        org.apache.spark.sql.functions.col("duration_ms").as("dur"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_qsp.db.pstream")
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      """SELECT flag, count(*) AS n_rows, sum(dur) AS sum_dur,
+        |       min(id) AS lo_id, max(id) AS hi_id
+        |FROM graft_qsp.db.pstream
+        |WHERE flag IN (0, 2)
+        |GROUP BY flag
+        |ORDER BY flag""".stripMargin)
+  }
+
+  val auditStreamPartSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS dur
+      |  FROM range(400) t(r)
+      |)
+      |SELECT flag, count(*) AS n_rows, CAST(sum(dur) AS BIGINT) AS sum_dur,
+      |       min(id) AS lo_id, max(id) AS hi_id
+      |FROM src
+      |WHERE flag IN (0, 2)
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+  }
+
   val auditOptimizeSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -983,6 +1034,7 @@ object CatalogApi {
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
       "q_audit_zorder" -> (auditZorder _),
+      "q_audit_stream_part" -> (auditStreamPart _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
@@ -994,6 +1046,7 @@ object CatalogApi {
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
       "q_audit_zorder" -> auditZorderSql,
+      "q_audit_stream_part" -> auditStreamPartSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

@@ -323,7 +323,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     includeDeleted: Boolean = false,
     bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
-    snapFiles: Option[Set[String]] = None)
+    snapFiles: Option[Set[String]] = None,
+    excludeNull: Boolean = false)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -336,6 +337,7 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   private var accepted: Array[Filter] = Array.empty
   /** Allowed partition TOKENS after pushed predicates; None = all. */
   private var allowedTokens: Option[Set[String]] = None
+  private var excludeNull = false
   /** Per-partition row cap from a pushed LIMIT / sorted-base TopN. */
   private var pushedCap: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -398,6 +400,12 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
             restrict(vs.map(AuditPartition.tokenFor(_, bucketN)).toSet); true
           case IsNull(c) if c == col =>
             restrict(Set(AuditPartition.NullToken)); true
+          // identity dirs hold exact values, so dropping the null-token
+          // dir GUARANTEES IsNotNull — claiming it keeps the residual set
+          // empty and the metadata COUNT(*) pushdown available under the
+          // not-null inference Catalyst adds beside every equality
+          case org.apache.spark.sql.sources.IsNotNull(c) if c == col =>
+            excludeNull = true; true
           case _ => false
         }
         // identity dirs hold EXACTLY the predicate's value → the filter is
@@ -482,12 +490,13 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   override def build(): org.apache.spark.sql.connector.read.Scan =
     pushedMetaAggs match {
       case Some(specs) =>
-        new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs)
+        new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs,
+          excludeNull)
       case None =>
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
           allowedTokens, includeDeleted, skipFilters,
           pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN,
-          snapMaxEpoch, snapFiles)
+          snapMaxEpoch, snapFiles, excludeNull)
     }
 }
 
@@ -501,7 +510,8 @@ final case class AuditMetaAgg(op: String, field: Option[StructField])
 final class AuditCountScan(path: String, versionAsOf: Option[Long],
     partInfo: Option[(String, DataType)] = None,
     allowedTokens: Option[Set[String]] = None,
-    aggs: Seq[AuditMetaAgg] = Seq(AuditMetaAgg("count", None)))
+    aggs: Seq[AuditMetaAgg] = Seq(AuditMetaAgg("count", None)),
+    excludeNull: Boolean = false)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
@@ -546,7 +556,8 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
   private def manifestCount(): Long = partInfo match {
     case Some((col, _)) =>
       AuditPartition.listDirs(path, col).collect {
-        case (token, dir) if allowedTokens.forall(_.contains(token)) =>
+        case (token, dir) if allowedTokens.forall(_.contains(token)) &&
+            !(excludeNull && token == AuditPartition.NullToken) =>
           AuditPartition.manifestEntries(dir).map(_._2).sum
       }.sum
     case None =>
@@ -630,7 +641,8 @@ final class AuditScan(path: String, writeSchema: StructType,
     rowCap: Long = Long.MaxValue,
     bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
-    snapFiles: Option[Set[String]] = None)
+    snapFiles: Option[Set[String]] = None,
+    excludeNull: Boolean = false)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -743,7 +755,8 @@ final class AuditScan(path: String, writeSchema: StructType,
   private lazy val survivingDirs: Seq[(String, java.nio.file.Path)] =
     partInfo.toSeq.flatMap { case (col, _) =>
       AuditPartition.listDirs(path, col)
-        .filter { case (token, _) => allowedTokens.forall(_.contains(token)) }
+        .filter { case (token, _) => allowedTokens.forall(_.contains(token)) &&
+          !(excludeNull && token == AuditPartition.NullToken) }
     }
 
   /** One InputPartition per partition DIRECTORY (all its manifest files),
@@ -853,8 +866,13 @@ final class AuditScan(path: String, writeSchema: StructType,
     new AuditReaderFactory(writeSchema, required, rowCap)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(partInfo.isEmpty,
+      "audit: the streaming TAIL reads the table-level epoch log; on a " +
+        "partitioned table epochs land inside partition directories and " +
+        "serve write idempotence only — tail the unpartitioned form")
     new AuditMicroBatchStream(path, writeSchema, required)
+  }
 }
 
 /** DELETE VECTORS: `_DELETES` holds one json line per delta-deleted row —
@@ -1960,12 +1978,13 @@ final class AuditWriteBuilder(path: String, schema: StructType,
         case None => new AuditBatchWrite(path, schema, truncateFirst)
       }
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(partInfo.isEmpty,
-        "audit: streaming writes to PARTITIONED tables are unsupported " +
-          "(the epoch log is table-level; batch INSERT/CTAS routes by partition)")
-      new AuditStreamingWrite(path, schema)
-    }
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      partInfo match {
+        case Some((col, _)) =>
+          new AuditPartitionedStreamingWrite(path, schema, col,
+            schema.fieldIndex(col), bucketN)
+        case None => new AuditStreamingWrite(path, schema)
+      }
   }
 }
 
@@ -2044,6 +2063,98 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new AuditDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Streaming ingestion into a PARTITIONED audit table: tasks route rows
+  * into one staged file per partition value (the same Hive-style dynamic
+  * routing the batch write uses), and each epoch commits atomically into
+  * the partition directories — files named `part-e<epoch>-NNNNN.jsonl`,
+  * every touched partition's `_MANIFEST` extended in one pass, plus one
+  * table-level `_EPOCHS` line so a REPLAYED epoch first retracts its own
+  * files (and manifest entries) from EVERY partition before republishing,
+  * keeping exactly-once semantics per epoch. Epochs here serve write
+  * idempotence only — partitioned reads stay manifest-driven per
+  * directory (pruning, SPJ, and metadata counts all keep working on a
+  * streamed table), and the table-level epoch TAIL remains an
+  * unpartitioned-table feature. */
+final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
+    col: String, partIdx: Int, bucketN: Option[Int] = None)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new AuditPartitionedStreamingWriterFactory(path, schema, partIdx, bucketN)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging")
+    val epochPrefix = s"part-e$epochId-"
+    // idempotent replay: retract this epoch's previous publication from
+    // every partition (a replay may route to different partitions)
+    AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+      val prior = AuditPartition.manifestEntries(pdir)
+      val (mine, keep) = prior.partition(_._1.startsWith(epochPrefix))
+      if (mine.nonEmpty) {
+        mine.foreach { case (f, _) =>
+          java.nio.file.Files.deleteIfExists(pdir.resolve(f))
+        }
+        AuditPartition.writeManifest(pdir, keep)
+      }
+    }
+    val byToken = messages.toSeq
+      .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
+      .groupBy(_._1)
+    var files = 0
+    var rows = 0L
+    byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
+      val pdir = dir.resolve(s"$col=$token")
+      java.nio.file.Files.createDirectories(pdir)
+      val prior = AuditPartition.manifestEntries(pdir)
+      val added = entries.sortBy(_._2).zipWithIndex.map {
+        case ((_, staged, r), i) =>
+          val name = f"part-e$epochId%d-$i%05d.jsonl"
+          java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          (name, r)
+      }
+      AuditPartition.writeManifest(pdir, prior ++ added)
+      files += added.size
+      rows += added.map(_._2).sum
+    }
+    // the epoch log: one authoritative line per epoch (replay replaces it)
+    val epochsFile = dir.resolve("_EPOCHS")
+    val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows}"""
+    val kept =
+      if (java.nio.file.Files.exists(epochsFile))
+        java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
+          .filterNot(_.startsWith(s"""{"epoch":$epochId,"""))
+      else Seq.empty
+    val tmp = dir.resolve("_EPOCHS.tmp")
+    java.nio.file.Files.write(tmp,
+      (kept :+ thisLine).map(_ + "\n").mkString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, epochsFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    messages.foreach {
+      case m: AuditPartCommitMessage => m.entries.foreach { case (_, staged, _) =>
+        java.nio.file.Files.deleteIfExists(stage.resolve(staged))
+      }
+      case _ => ()
+    }
+  }
+}
+
+final class AuditPartitionedStreamingWriterFactory(path: String,
+    schema: StructType, partIdx: Int, bucketN: Option[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
+      bucketN)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long,
@@ -2628,7 +2739,13 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
       val pdir = dir.resolve(s"$col=$token")
       java.nio.file.Files.createDirectories(pdir)
       val prior = AuditPartition.manifestEntries(pdir)
-      val start = prior.size
+      // next index from the highest EXISTING batch name, not the entry
+      // count: epoch entries (and their replay retractions) make the
+      // count non-monotone, and a count-derived name could collide
+      val batchRe = """part-(\d+)\.jsonl""".r
+      val start = prior.map(_._1).collect {
+        case batchRe(n) => n.toInt + 1
+      }.foldLeft(0)(math.max)
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, rows), i) =>
           val name = f"part-${start + i}%05d.jsonl"

@@ -400,6 +400,68 @@ class AuditMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming writes route epochs into partition directories") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.ps1")
+    spark.sql(
+      """CREATE TABLE graft_m.db.ps1 (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pstream_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_m.db.ps1")
+    try q.processAllAvailable() finally q.stop()
+    // epochs landed INSIDE partition dirs, recorded in their manifests
+    val dirs = (0 to 2).map(t => dataDir("ps1").resolve(s"flag=$t"))
+    assert(dirs.forall(java.nio.file.Files.isDirectory(_)), dirs)
+    dirs.foreach { d =>
+      val entries = AuditPartition.manifestEntries(d)
+      assert(entries.nonEmpty && entries.forall(_._1.startsWith("part-e")), entries)
+    }
+    assert(java.nio.file.Files.readAllLines(
+      dataDir("ps1").resolve("_EPOCHS")).size >= 4)
+    // every read contract keeps working on the streamed partitioned table
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1").head.getLong(0) === 400L)
+    val cnt = spark.sql("SELECT count(*) FROM graft_m.db.ps1 WHERE flag = 1")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 133L)
+    val pruned = spark.table("graft_m.db.ps1").where(col("flag") === 2L)
+    assert(pruned.rdd.getNumPartitions === 1, "partition pruning must hold")
+    assert(pruned.count() === 133L)
+    // a later batch INSERT appends beside the epoch files without clashes
+    spark.sql("INSERT INTO graft_m.db.ps1 VALUES (9000, 1), (9001, 1)")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1 WHERE flag = 1")
+      .head.getLong(0) === 135L)
+    // epoch replay retracts its own files from EVERY partition first: a
+    // replay of epoch 0 that now routes only to flag=9 must remove the
+    // epoch-0 files from flag=0..2 and leave totals exactly-once
+    val path = dataDir("ps1").toString
+    val stage = dataDir("ps1").resolve("_staging")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("stage-redo.jsonl"),
+      "{\"id\":77,\"flag\":9}\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType)))
+    new AuditPartitionedStreamingWrite(path, schema, "flag", 1)
+      .commit(0L, Array(AuditPartCommitMessage(
+        Seq(("9", "stage-redo.jsonl", 1L)))))
+    dirs.foreach { d =>
+      assert(!AuditPartition.manifestEntries(d).exists(_._1.startsWith("part-e0-")),
+        s"epoch-0 entries must be retracted from $d")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1 WHERE flag = 9")
+      .head.getLong(0) === 1L)
+    // 400 original - epoch 0's 100 rows + 2 inserted + 1 replayed
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1").head.getLong(0) === 303L)
+  }
+
   test("history procedure lists epochs, batch commits, base, and deletes") {
     buildTable("his1")
     def hist() = spark.sql(
