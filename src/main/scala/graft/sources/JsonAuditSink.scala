@@ -1949,6 +1949,12 @@ final class AuditWriteBuilder(path: String, schema: StructType,
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+    /** Opt-in per-column bloom filters (see [[AuditBloom]]) — a write
+      * option, like the other layout controls. */
+    private val bloomCols: Set[String] = options.get("bloomcols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
     override def requiredDistribution(): Distribution =
       options.get("clusterby") match {
         case Some(c) => Distributions.clustered(Array(Expressions.column(c)))
@@ -1975,7 +1981,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
             schema.fieldIndex(col), bucketN)
-        case None => new AuditBatchWrite(path, schema, truncateFirst)
+        case None => new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
       }
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -1983,7 +1989,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
         case Some((col, _)) =>
           new AuditPartitionedStreamingWrite(path, schema, col,
             schema.fieldIndex(col), bucketN)
-        case None => new AuditStreamingWrite(path, schema)
+        case None => new AuditStreamingWrite(path, schema, bloomCols)
       }
   }
 }
@@ -1994,11 +2000,12 @@ final class AuditWriteBuilder(path: String, schema: StructType,
   * micro-batch lands atomically and exactly once per epoch (a replayed
   * epoch overwrites its own files idempotently — the DSv2 streaming-sink
   * contract). */
-final class AuditStreamingWrite(path: String, schema: StructType)
+final class AuditStreamingWrite(path: String, schema: StructType,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AuditStreamingWriterFactory(path, schema)
+    new AuditStreamingWriterFactory(path, schema, bloomCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
@@ -2058,11 +2065,12 @@ final class AuditStreamingWrite(path: String, schema: StructType)
   }
 }
 
-final class AuditStreamingWriterFactory(path: String, schema: StructType)
+final class AuditStreamingWriterFactory(path: String, schema: StructType,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new AuditDataWriter(path, schema, partitionId, taskId)
+    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols)
 }
 
 /** Streaming ingestion into a PARTITIONED audit table: tasks route rows
@@ -2187,13 +2195,81 @@ final case class AuditCommitMessage(stagedName: String, rows: Long,
   * it (same all-null inference the integral columns always had). v1
   * lines predate string tracking, so absence there licenses nothing for
   * strings — only the integral inference. */
-private[sources] object AuditStats {
-  private val LineRe = """\{"file":"([^"]+)"(?:,"v":(\d+))?,"cols":\{(.*)\}\}""".r
+/** Per-file BLOOM FILTERS for equality skipping: min/max zone maps only
+  * prune when the layout clusters the column (sorted, range-partitioned,
+  * z-ordered); a point lookup on a HIGH-CARDINALITY column over an
+  * unclustered layout overlaps every file's range. A small per-column
+  * bloom (4096 bits, 3 probes — ~2% false-positive at ~500 distinct
+  * values/file) refutes `=`/`IN` probes without opening the file, the
+  * same per-column opt-in Delta and Parquet offer. Refutation is sound
+  * under the in-place delete rewrite for the same reason bounds are:
+  * rewrites only REMOVE rows, so a stale bloom is a superset — it can
+  * admit an unnecessary file, never skip a needed one (the rewrite drops
+  * the bloom rather than recomputing it, which only loses skipping). */
+private[sources] object AuditBloom {
+  val Bits = 4096
+  val K = 3
 
-  /** Everything planning knows about one file's columns. */
+  def bloomable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  def newBits: Array[Byte] = new Array[Byte](Bits / 8)
+
+  /** Two independent 32-bit hashes (double hashing spans the K probes). */
+  def hashLong(v: Long): (Int, Int) = {
+    // 64-bit avalanche (splitmix64 finalizer), halves as the two hashes
+    var x = v
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    ((x >>> 32).toInt, x.toInt)
+  }
+
+  def hashBytes(b: Array[Byte]): (Int, Int) =
+    (scala.util.hashing.MurmurHash3.bytesHash(b, 0x9747b28c),
+      scala.util.hashing.MurmurHash3.bytesHash(b, 0x1b873593))
+
+  private def idx(h: (Int, Int), i: Int): Int =
+    ((h._1 + i * h._2) & Int.MaxValue) % Bits
+
+  def add(bits: Array[Byte], h: (Int, Int)): Unit = {
+    var i = 0
+    while (i < K) {
+      val j = idx(h, i)
+      bits(j >>> 3) = (bits(j >>> 3) | (1 << (j & 7))).toByte
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Byte], h: (Int, Int)): Boolean = {
+    var i = 0
+    while (i < K) {
+      val j = idx(h, i)
+      if ((bits(j >>> 3) & (1 << (j & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def encode(bits: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bits)
+  def decode(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+}
+
+private[sources] object AuditStats {
+  private val LineRe =
+    """\{"file":"([^"]+)"(?:,"v":(\d+))?(?:,"blooms":\{([^}]*)\})?,"cols":\{(.*)\}\}""".r
+  private val BloomColRe = """"([^"]+)":"([^"]+)"""".r
+
+  /** Everything planning knows about one file's columns. `blooms` holds
+    * base64-encoded [[AuditBloom]] bit arrays per opted-in column. */
   final case class FileStats(version: Int,
       ints: Map[String, (Long, Long)],
-      strs: Map[String, (String, Option[String])])
+      strs: Map[String, (String, Option[String])],
+      blooms: Map[String, String] = Map.empty)
   object FileStats { val empty: FileStats = FileStats(2, Map.empty, Map.empty) }
 
   def file(path: String): java.nio.file.Path =
@@ -2308,9 +2384,13 @@ private[sources] object AuditStats {
   def read(path: String): Map[String, FileStats] =
     if (!java.nio.file.Files.exists(file(path))) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case LineRe(f, v, cols) =>
+      case LineRe(f, v, blooms, cols) =>
         val (ints, strs) = parseCols(cols)
-        f -> FileStats(if (v == null) 1 else v.toInt, ints, strs)
+        val bl =
+          if (blooms == null) Map.empty[String, String]
+          else BloomColRe.findAllMatchIn(blooms)
+            .map(m => m.group(1) -> m.group(2)).toMap
+        f -> FileStats(if (v == null) 1 else v.toInt, ints, strs, bl)
     }.toMap // last line wins for a replayed epoch file — exactly right
 
   def line(fileName: String, st: FileStats): String = {
@@ -2322,7 +2402,12 @@ private[sources] object AuditStats {
         (c, s""""${esc(c)}":["${esc(lo)}",""" +
           hi.fold("null")(h => s""""${esc(h)}"""") + "]")
       }
-    s"""{"file":"$fileName","v":2,"cols":{""" +
+    val blooms =
+      if (st.blooms.isEmpty) ""
+      else ""","blooms":{""" + st.blooms.toSeq.sorted.map {
+        case (c, b64) => s""""${esc(c)}":"$b64""""
+      }.mkString(",") + "}"
+    s"""{"file":"$fileName","v":2$blooms,"cols":{""" +
       entries.sortBy(_._1).map(_._2).mkString(",") + "}}"
   }
 
@@ -2360,7 +2445,11 @@ private[sources] object AuditStats {
   /** Streaming-row accumulator for the writers: min/max per statable
     * column (and truncated min/max per string column), updated as rows
     * pass — free at write time. */
-  final class Acc(schema: StructType) {
+  final class Acc(schema: StructType, bloomCols: Set[String] = Set.empty) {
+    private val bIdx = schema.fields.zipWithIndex.filter { case (f, _) =>
+      bloomCols.contains(f.name) && AuditBloom.bloomable(f.dataType)
+    }
+    private val bBits = bIdx.map(_ => AuditBloom.newBits)
     private val idx = schema.fields.zipWithIndex
       .filter { case (f, _) => statable(f.dataType) }
     private val lo = Array.fill(idx.length)(Long.MaxValue)
@@ -2396,13 +2485,28 @@ private[sources] object AuditStats {
         }
         k += 1
       }
+      var b = 0
+      while (b < bIdx.length) {
+        val (f, j) = bIdx(b)
+        if (!record.isNullAt(j)) {
+          val h = f.dataType match {
+            case StringType  => AuditBloom.hashBytes(record.getUTF8String(j).getBytes)
+            case IntegerType => AuditBloom.hashLong(record.getInt(j).toLong)
+            case _           => AuditBloom.hashLong(record.getLong(j))
+          }
+          AuditBloom.add(bBits(b), h)
+        }
+        b += 1
+      }
     }
     def result: FileStats = FileStats(2,
       idx.indices.filter(i => lo(i) <= hi(i)).map(i =>
         idx(i)._1.name -> (lo(i), hi(i))).toMap,
       sIdx.indices.filter(k => sLo(k) != null).map(k =>
         sIdx(k)._1.name ->
-          (truncLower(sLo(k).toString), truncUpper(sHi(k).toString))).toMap)
+          (truncLower(sLo(k).toString), truncUpper(sHi(k).toString))).toMap,
+      bIdx.indices.map(b =>
+        bIdx(b)._1.name -> AuditBloom.encode(bBits(b))).toMap)
   }
 
   /** Can every row of a file with bounds `st` fail the pushed conjuncts?
@@ -2454,21 +2558,30 @@ private[sources] object AuditStats {
       }
     val sEq = (x: String, b: (String, Option[String])) =>
       cmp(x, b._1) < 0 || b._2.exists(h => cmp(x, h) > 0)
+    // bloom refutation: a column's filter says the probe value was never
+    // inserted — sound alongside bounds, each can independently refute
+    def bloomRefutes(c: String, h: (Int, Int)): Boolean =
+      st.blooms.get(c).exists(b64 =>
+        !AuditBloom.mightContain(AuditBloom.decode(b64), h))
+    def sEqRefuted(c: String, x: String): Boolean =
+      sDisjoint(c, x, sEq) ||
+        bloomRefutes(c, AuditBloom.hashBytes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x).getBytes))
+    def nEqRefuted(c: String, x: Long): Boolean =
+      bounds(c).exists {
+        case Some((lo, hi)) => x < lo || x > hi
+        case None           => true
+      } || bloomRefutes(c, AuditBloom.hashLong(x))
     // true = the file PROVABLY contains no matching row for this conjunct
     def disjoint(f: Filter): Boolean = f match {
-      case EqualTo(c, v) if slit(v).isDefined => sDisjoint(c, slit(v).get, sEq)
-      case EqualTo(c, v) => lit(v).isDefined && bounds(c).exists {
-        case Some((lo, hi)) => { val x = lit(v).get; x < lo || x > hi }
-        case None           => true
-      }
+      case EqualTo(c, v) if slit(v).isDefined => sEqRefuted(c, slit(v).get)
+      case EqualTo(c, v) => lit(v).exists(nEqRefuted(c, _))
       case In(c, vs) if vs.nonEmpty && vs.forall(slit(_).isDefined) =>
-        vs.forall(v => sDisjoint(c, slit(v).get, sEq))
+        vs.forall(v => sEqRefuted(c, slit(v).get))
       case In(c, vs) =>
         val xs = vs.toSeq.map(lit)
-        xs.nonEmpty && xs.forall(_.isDefined) && bounds(c).exists {
-          case Some((lo, hi)) => xs.flatten.forall(x => x < lo || x > hi)
-          case None           => true
-        }
+        xs.nonEmpty && xs.forall(_.isDefined) &&
+          xs.flatten.forall(nEqRefuted(c, _))
       case GreaterThan(c, v) if slit(v).isDefined =>
         sDisjoint(c, slit(v).get,
           (x, b) => b._2.exists(h => cmp(h, x) <= 0)) // max <= hi <= x
@@ -2511,10 +2624,11 @@ private[sources] object AuditStats {
   }
 }
 
-final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
+    bloomCols: Set[String] = Set.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditWriterFactory(path, schema)
+    new AuditWriterFactory(path, schema, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
@@ -2572,10 +2686,11 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
     }
 }
 
-final class AuditWriterFactory(path: String, schema: StructType)
+final class AuditWriterFactory(path: String, schema: StructType,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AuditDataWriter(path, schema, partitionId, taskId)
+    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols)
 }
 
 /** Shared row→jsonl serialization (batch, streaming, and partitioned
@@ -2622,7 +2737,8 @@ private[sources] object AuditRowJson {
 }
 
 final class AuditDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    bloomCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
   // attempt-unique staged name: retries/speculation can never collide
   private val stagedName = f"stage-$partitionId%05d-$taskId.jsonl"
   private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
@@ -2630,7 +2746,7 @@ final class AuditDataWriter(path: String, schema: StructType,
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
   private var rows = 0L
-  private val acc = new AuditStats.Acc(schema)
+  private val acc = new AuditStats.Acc(schema, bloomCols)
 
   override def write(record: InternalRow): Unit = {
     out.write(AuditRowJson.line(schema, record))

@@ -975,6 +975,57 @@ object PagedApi {
       |GROUP BY 1
       |ORDER BY grp""".stripMargin
 
+  /** BLOOM-FILTER skipping, oracle-checked: a hash-scattered layout makes
+    * every file's min/max envelope overlap every probe, so only the
+    * opt-in per-column blooms (`bloomcols` write option) can prune
+    * point lookups — the spec asserts the pruning; this hash gate proves
+    * the probe answers are exact under it. At 100 TB this is the
+    * metadata-only point-lookup path for tables not clustered on the
+    * probed column. */
+  def auditBloom(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_bloom")
+    val out = root.resolve("tbl").toString
+    graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("okey"),
+        col("l_partkey").as("pkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .repartition(8, col("l_linenumber")) // scatter: no okey clustering
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", out)
+      .option("bloomcols", "okey")
+      .mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.LongType)))
+    val pinned = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", out).load()
+      .where(col("okey").isin(1L, 7L, 32L, 35876L, 999999999L))
+      .groupBy(col("okey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        min(col("pkey")).as("lo_pkey"))
+      .orderBy(col("okey"))
+      .localCheckpoint() // pin: the temp table dir is deleted below
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    pinned
+  }
+
+  val auditBloomSql: String =
+    """SELECT l_orderkey AS okey, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       min(l_partkey) AS lo_pkey
+      |FROM lineitem
+      |WHERE l_orderkey IN (1, 7, 32, 35876, 999999999)
+      |GROUP BY 1
+      |ORDER BY okey""".stripMargin
+
   /** Metadata MIN/MAX, oracle-checked: count(*)+min/max over two integral
     * columns answer from `_MANIFEST` + the `_STATS` zone maps without
     * opening a data file (the spec asserts the AuditCountScan plan and
@@ -1032,6 +1083,7 @@ object PagedApi {
     "q_source_v2" -> (sourceV2 _),
     "q_audit_skip" -> (auditSkip _),
     "q_audit_skip_str" -> (auditSkipStr _),
+    "q_audit_bloom" -> (auditBloom _),
     "q_audit_minmax" -> (auditMinMax _),
     "q_source_v2_agg" -> (sourceV2Agg _),
     "q_source_v2_topn" -> (sourceV2TopN _),
@@ -1043,6 +1095,7 @@ object PagedApi {
     "q_source_v2" -> sourceV2Sql,
     "q_audit_skip" -> auditSkipSql,
     "q_audit_skip_str" -> auditSkipStrSql,
+    "q_audit_bloom" -> auditBloomSql,
     "q_audit_minmax" -> auditMinMaxSql,
     "q_source_v2_agg" -> sourceV2AggSql,
     "q_source_v2_topn" -> sourceV2TopNSql,

@@ -502,6 +502,62 @@ class JsonAuditSinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom filters refute point lookups where bounds cannot") {
+    val dir = tempDir()
+    val keyOf = (i: Long) => i * 2654435761L % 100000L
+    val keys = (0L until 8000L).map(keyOf).toSet
+    spark.range(0, 8000).toDF("id")
+      .select((col("id") * 2654435761L % 100000L).as("key"),
+        concat(lit("u"), col("id").cast("string")).as("name"))
+      .repartition(8, col("id")) // hash-scattered: every file spans the range
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString)
+      .option("bloomcols", "key,name")
+      .mode("append").save()
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("name", StringType)))
+    def read() = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
+    // an absent value INSIDE the min/max envelope: only a bloom can refute
+    val mid = (keys.min + keys.max) / 2
+    val absentKey = (mid to keys.max).find(!keys.contains(_)).get
+    val miss = read().where(col("key") === absentKey)
+    assert(miss.rdd.getNumPartitions <= 1, // fp rate allows a stray file
+      s"bloom should prune bound-overlapped files: ${miss.rdd.getNumPartitions}")
+    assert(miss.count() === 0L)
+    // a present value keeps its file(s) and answers exactly
+    val hitKey = keyOf(4321L)
+    val expected = (0L until 8000L).count(keyOf(_) == hitKey).toLong
+    val hit = read().where(col("key") === hitKey)
+    assert(hit.count() === expected)
+    assert(hit.rdd.getNumPartitions >= 1)
+    // string blooms: equality and IN both refute scattered lookups
+    assert(read().where(col("name") === "nope").rdd.getNumPartitions <= 1)
+    assert(read().where(col("name") === "u4321").count() === 1L)
+    assert(read().where(col("name").isin("u10", "u7999")).count() === 2L)
+    // ranges never consult blooms — the scattered layout opens everything
+    assert(read().where(col("key") > keys.min && col("key") < keys.max)
+      .rdd.getNumPartitions === 8)
+    // a table written WITHOUT bloomcols carries no blooms and never
+    // bloom-refutes (every file survives the same in-envelope probe)
+    val plain = tempDir()
+    spark.range(0, 800).toDF("id")
+      .select((col("id") * 2654435761L % 100000L).as("key"),
+        lit("x").as("name"))
+      .repartition(4, col("id"))
+      .write.format(classOf[JsonAuditSink].getName)
+      .option("path", plain.toString).mode("append").save()
+    val plainKeys = (0L until 800L).map(keyOf).toSet
+    val plainMid = (plainKeys.min + plainKeys.max) / 2
+    val plainAbsent = (plainMid to plainKeys.max)
+      .find(!plainKeys.contains(_)).get
+    val pm = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName).option("path", plain.toString)
+      .load().where(col("key") === plainAbsent)
+    assert(pm.rdd.getNumPartitions === 4)
+    assert(pm.count() === 0L)
+  }
+
   test("string zone maps: truncated bounds refute in UTF8 binary order") {
     import org.apache.spark.sql.sources._
     val strCols = Set("name", "tag")
@@ -556,13 +612,19 @@ class JsonAuditSinkSpec extends SparkSpec {
     // line/read round trip with hostile bound content (quotes, escapes,
     // int-shaped substrings inside a string bound)
     val dir = tempDir()
+    val bits = AuditBloom.newBits
+    AuditBloom.add(bits, AuditBloom.hashLong(42L))
     val hostile = AuditStats.FileStats(2,
       Map("id" -> (-5L, 9L)),
       Map("name" -> ("""a"b\c""" + "\n", Some("""x":[1,2]""")),
-        "open" -> ("lo", None)))
+        "open" -> ("lo", None)),
+      Map("id" -> AuditBloom.encode(bits)))
     AuditStats.append(dir.toString, Seq(("f1.jsonl", hostile)))
     val back = AuditStats.read(dir.toString)
     assert(back === Map("f1.jsonl" -> hostile))
+    val rt = AuditBloom.decode(back("f1.jsonl").blooms("id"))
+    assert(AuditBloom.mightContain(rt, AuditBloom.hashLong(42L)))
+    assert(!AuditBloom.mightContain(rt, AuditBloom.hashLong(43L)))
     // v1 lines (no "v", int-only) still parse as version 1
     java.nio.file.Files.write(dir.resolve("_STATS"),
       """{"file":"old.jsonl","cols":{"id":[1,2]}}""".stripMargin
