@@ -182,14 +182,15 @@ private[sources] object AuditBase {
   * operator decides to reclaim them. */
 final class AuditBaseBatchWrite(path: String, schema: StructType,
     throughEpoch: Long, sortBy: Option[String] = None,
-    foldFiles: Option[Set[String]] = None) extends BatchWrite {
+    foldFiles: Option[Set[String]] = None,
+    bloomCols: Set[String] = Set.empty) extends BatchWrite {
   require(schema.fields.takeRight(3).map(_.name).toSeq ==
     Seq("_oepoch", "_ofile", "_opos"),
     s"audit base commit: schema must end with the origin columns, got " +
       schema.fieldNames.mkString(","))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditWriterFactory(path, schema)
+    new AuditWriterFactory(path, schema, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
@@ -255,7 +256,8 @@ private[sources] object AuditMaintenance {
   def optimize(spark: SparkSession, path: String, schema: StructType,
       targetFileCount: Int, sortBy: Option[String],
       zorderBy: Seq[String] = Nil,
-      pinned: Option[CompactionSnapshot] = None): (Int, Long, Long) = {
+      pinned: Option[CompactionSnapshot] = None,
+      bloomBy: Seq[String] = Nil): (Int, Long, Long) = {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"audit OPTIMIZE: sort_by column $c not in table schema"))
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -329,11 +331,20 @@ private[sources] object AuditMaintenance {
       case None    => df.repartition(targetFileCount)
     }
     sortBy.foreach(c => df = df.sortWithinPartitions(col(c)))
+    // blooms survive maintenance: columns bloomed in ANY current stats
+    // line stay bloomed in the base (plus any newly requested ones) —
+    // without this a compaction would silently drop the point-lookup
+    // skipping a table was written with
+    val bloomCols = (AuditStats.read(path).valuesIterator
+      .flatMap(_.blooms.keysIterator).toSet ++ bloomBy)
+      .filter(c => schema.fields.exists(f =>
+        f.name == c && AuditBloom.bloomable(f.dataType)))
     val writer = df.write.format(classOf[JsonAuditSink].getName)
       .option("path", path)
       .option("basecommit", "true")
       .option("basethroughepoch", through.toString)
       .option("basefoldfiles", snap.batchFiles.mkString(","))
+      .option("bloomcols", bloomCols.mkString(","))
     sortBy.fold(writer)(writer.option("basesortby", _)).mode("append").save()
     val b = AuditBase.read(path).getOrElse(
       throw new IllegalStateException("audit OPTIMIZE: base commit missing"))
@@ -520,7 +531,12 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("zorder_by", StringType)
           .defaultValue("CAST(NULL AS STRING)")
           .comment("optional comma-separated multi-dimensional clustering " +
-            "columns (mutually exclusive with sort_by)").build())
+            "columns (mutually exclusive with sort_by)").build(),
+        ProcedureParameter.in("bloom_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("optional comma-separated columns to (re)build " +
+            "per-file bloom filters for; existing bloomed columns are " +
+            "always preserved").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val tfc = if (input.isNullAt(1)) 0 else input.getInt(1)
@@ -530,10 +546,14 @@ private[sources] object GraftProcedures {
           if (input.isNullAt(3)) Nil
           else input.getUTF8String(3).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
+        val bloomBy =
+          if (input.isNullAt(4)) Nil
+          else input.getUTF8String(4).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
         val (path, schema) = catalog.resolveAuditTable(table)
         val (files, rows, through) = AuditMaintenance.optimize(
           org.apache.spark.sql.SparkSession.active, path, schema, tfc, sortBy,
-          zorderBy)
+          zorderBy, bloomBy = bloomBy)
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("base_files", IntegerType, nullable = false),

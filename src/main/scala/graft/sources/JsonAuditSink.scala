@@ -1976,7 +1976,8 @@ final class AuditWriteBuilder(path: String, schema: StructType,
         new AuditBaseBatchWrite(path, schema,
           options("basethroughepoch").toLong, options.get("basesortby"),
           options.get("basefoldfiles")
-            .map(_.split(",").filter(_.nonEmpty).toSet))
+            .map(_.split(",").filter(_.nonEmpty).toSet),
+          bloomCols)
       } else partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
@@ -2199,16 +2200,18 @@ final case class AuditCommitMessage(stagedName: String, rows: Long,
   * prune when the layout clusters the column (sorted, range-partitioned,
   * z-ordered); a point lookup on a HIGH-CARDINALITY column over an
   * unclustered layout overlaps every file's range. A small per-column
-  * bloom (4096 bits, 3 probes — ~2% false-positive at ~500 distinct
-  * values/file) refutes `=`/`IN` probes without opening the file, the
+  * bloom (32768 bits = 4 KB, 5 probes — ~0.1% false-positive at ~2000
+  * distinct values/file, ~3% at 5000; beyond that the filter saturates
+  * and merely stops pruning, never lies) refutes `=`/`IN` probes
+  * without opening the file, the
   * same per-column opt-in Delta and Parquet offer. Refutation is sound
   * under the in-place delete rewrite for the same reason bounds are:
   * rewrites only REMOVE rows, so a stale bloom is a superset — it can
   * admit an unnecessary file, never skip a needed one (the rewrite drops
   * the bloom rather than recomputing it, which only loses skipping). */
 private[sources] object AuditBloom {
-  val Bits = 4096
-  val K = 3
+  val Bits = 32768
+  val K = 5
 
   def bloomable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType => true

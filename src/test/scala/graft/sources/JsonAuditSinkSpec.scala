@@ -538,6 +538,17 @@ class JsonAuditSinkSpec extends SparkSpec {
     // ranges never consult blooms — the scattered layout opens everything
     assert(read().where(col("key") > keys.min && col("key") < keys.max)
       .rdd.getNumPartitions === 8)
+    // blooms survive OPTIMIZE (compaction recomputes them on base files;
+    // without that a maintenance run would silently lose the skipping)
+    val tbl = new AuditTable(dir.toString, schema)
+    AuditMaintenance.optimize(spark, dir.toString, schema, 4, None)
+    assert(java.nio.file.Files.list(dir).iterator().asScala
+      .count(_.getFileName.toString.startsWith("base-")) === 4)
+    val postMiss = read().where(col("key") === absentKey)
+    assert(postMiss.rdd.getNumPartitions <= 1,
+      s"post-OPTIMIZE bloom pruning lost: ${postMiss.rdd.getNumPartitions}")
+    assert(read().where(col("key") === hitKey).count() === expected)
+
     // a table written WITHOUT bloomcols carries no blooms and never
     // bloom-refutes (every file survives the same in-envelope probe)
     val plain = tempDir()
