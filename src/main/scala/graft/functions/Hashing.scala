@@ -40,13 +40,27 @@ object Hashing {
 
   def smallHashSql(expr: String): String = s"(${hexHashSql(expr)} % $P31)"
 
-  /** Driver-side evaluation of EXACTLY the same function as [[hexHash]] —
-    * used to precompute literal constants (minhash seeds, LSH hyperplanes)
-    * once at plan-build time instead of per row per element. Keep in sync
-    * with hexHash: first 15 hex chars of md5, parsed base 16. */
-  def hexHashLocal(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  /** Driver/executor-side evaluation of EXACTLY the same function as
+    * [[hexHash]] — precomputes literal constants (minhash seeds, LSH
+    * hyperplanes) at plan-build time, generates the paged source's rows,
+    * and backs the catalog `hex_hash` function. Keep in sync with
+    * hexHash: first 15 hex chars of md5, parsed base 16 — computed here
+    * by bit-packing (the first 15 hex chars ARE the top 60 bits of the
+    * digest), not by hex formatting: the obvious
+    * `digest.map("%02x".format).mkString` spelling costs 16 boxed
+    * String.format calls per hash and dominated whole queries when this
+    * ran per-row. */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def hexHashLocal(s: String): Long =
+    hexHashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def hexHashBytes(b: Array[Byte]): Long = {
+    val d = Md5.get().digest(b) // digest() resets the instance
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // 16 packed hex digits → drop the last = first 15, base 16
   }
 }

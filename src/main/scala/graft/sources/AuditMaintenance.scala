@@ -403,23 +403,55 @@ private[sources] object GraftFunctions {
       override def bind(inputType: StructType): BoundFunction = make(inputType)
     }
 
+  /** NAMED classes, not anonymous: the MAGIC METHOD `invoke` must be a
+    * public JVM method for Spark to codegen a direct Invoke on it, and
+    * scalac compiles extra members of anonymous classes as PRIVATE
+    * (invisible through the widened interface type — Spark then throws
+    * "Couldn't find method invoke" at runtime). Without the magic
+    * method every call routes through produceResult with a fresh
+    * InternalRow — the interpreted path. */
+  final class HexHashFunction(nullableIn: Boolean)
+      extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "hex_hash"
+    override def canonicalName(): String = "graft.system.hex_hash"
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = nullableIn
+    def invoke(s: org.apache.spark.unsafe.types.UTF8String): java.lang.Long =
+      if (s == null) null
+      else Long.box(graft.functions.Hashing.hexHashBytes(s.getBytes))
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) null
+      else invoke(input.getUTF8String(0))
+  }
+
+  final class HexBucketFunction(nullableIn: Boolean)
+      extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "hex_bucket"
+    override def canonicalName(): String = "graft.system.hex_bucket"
+    override def inputTypes(): Array[DataType] = Array(StringType, LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = nullableIn
+    def invoke(s: org.apache.spark.unsafe.types.UTF8String,
+        n: Long): java.lang.Long =
+      if (s == null) null
+      else {
+        require(n > 0, s"hex_bucket: bucket count must be positive, got $n")
+        Long.box(java.lang.Math.floorMod(
+          graft.functions.Hashing.hexHashBytes(s.getBytes), n))
+      }
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else invoke(input.getUTF8String(0), input.getLong(1))
+  }
+
   val hexHash: UnboundFunction = unbound("hex_hash",
     "first-15-md5-hex-chars int64 of a string (the engine's cross-engine hash)",
     inputType => {
       require(inputType.length == 1 &&
         inputType.head.dataType == StringType,
         s"hex_hash(STRING) — got ${inputType.simpleString}")
-      new ScalarFunction[java.lang.Long] {
-        override def name(): String = "hex_hash"
-        override def canonicalName(): String = "graft.system.hex_hash"
-        override def inputTypes(): Array[DataType] = Array(StringType)
-        override def resultType(): DataType = LongType
-        override def isResultNullable: Boolean = inputType.head.nullable
-        override def produceResult(input: InternalRow): java.lang.Long =
-          if (input.isNullAt(0)) null
-          else Long.box(graft.functions.Hashing.hexHashLocal(
-            input.getUTF8String(0).toString))
-      }
+      new HexHashFunction(inputType.head.nullable)
     })
 
   /** The `bucket(n, col)` transform function — Spark binds it with an
@@ -463,23 +495,7 @@ private[sources] object GraftFunctions {
         (inputType(1).dataType == LongType ||
           inputType(1).dataType == IntegerType), // Spark casts to inputTypes()
         s"hex_bucket(STRING, BIGINT) — got ${inputType.simpleString}")
-      new ScalarFunction[java.lang.Long] {
-        override def name(): String = "hex_bucket"
-        override def canonicalName(): String = "graft.system.hex_bucket"
-        override def inputTypes(): Array[DataType] = Array(StringType, LongType)
-        override def resultType(): DataType = LongType
-        override def isResultNullable: Boolean =
-          inputType.exists(_.nullable)
-        override def produceResult(input: InternalRow): java.lang.Long =
-          if (input.isNullAt(0) || input.isNullAt(1)) null
-          else {
-            val n = input.getLong(1)
-            require(n > 0, s"hex_bucket: bucket count must be positive, got $n")
-            Long.box(java.lang.Math.floorMod(
-              graft.functions.Hashing.hexHashLocal(
-                input.getUTF8String(0).toString), n))
-          }
-      }
+      new HexBucketFunction(inputType.exists(_.nullable))
     })
 }
 
