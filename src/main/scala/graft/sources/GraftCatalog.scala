@@ -745,6 +745,38 @@ object CatalogApi {
         |ORDER BY src""".stripMargin)
   }
 
+  /** GROUPED metadata count, oracle-checked: `GROUP BY <partition col>`
+    * with COUNT(*) answers one row per partition directory from its
+    * manifest — zero data files opened (the spec asserts the
+    * AuditGroupCountScan plan; this gate hash-checks the counts). At
+    * 100 TB this is the "row counts per partition" dashboard query as a
+    * pure metadata lookup. */
+  def auditGroupCount(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qg_wh")
+    spark.conf.set("spark.sql.catalog.graft_qg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qg.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li6")
+    spark.sql("DROP TABLE IF EXISTS graft_qg.db.gsales")
+    spark.sql(
+      """CREATE TABLE graft_qg.db.gsales (okey BIGINT, l_returnflag STRING)
+        |USING audit PARTITIONED BY (l_returnflag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qg.db.gsales
+        |SELECT l_orderkey, l_returnflag FROM graft_cat_li6""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n_rows
+        |FROM graft_qg.db.gsales
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val auditGroupCountSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** OPTIMIZE zorder_by, oracle-checked: after multi-dimensional
     * clustering, a conjunctive range slice over BOTH curve columns prunes
     * files via the `_STATS` zone maps (the spec asserts the pruning; this
@@ -1035,6 +1067,7 @@ object CatalogApi {
       "q_audit_optimize" -> (auditOptimize _),
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_stream_part" -> (auditStreamPart _),
+      "q_audit_gcount" -> (auditGroupCount _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
@@ -1047,6 +1080,7 @@ object CatalogApi {
       "q_audit_optimize" -> auditOptimizeSql,
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_stream_part" -> auditStreamPartSql,
+      "q_audit_gcount" -> auditGroupCountSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

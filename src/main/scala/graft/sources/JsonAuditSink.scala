@@ -434,9 +434,31 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     * column (null semantics need the data) — is refused, row-level. */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    metadataAggs(aggregation).isDefined
+    metadataAggs(aggregation).isDefined || groupedCountPushable(aggregation)
 
   /** Parse + validate the aggregation into metadata-answerable specs. */
+  /** GROUPED metadata count: `GROUP BY <identity partition col>` with
+    * only COUNT(*) aggregates answers one row per surviving partition
+    * directory straight from its manifest — the partitioned analogue of
+    * the ungrouped metadata count. Refused for bucket partitioning (the
+    * bucket token does not determine the column VALUE) and for any other
+    * aggregate or grouping shape. Empty directories emit no row, matching
+    * SQL group semantics. */
+  private def groupedCountPushable(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    !includeDeleted && versionAsOf.isEmpty && bucketN.isEmpty &&
+      partInfo.exists { case (col, _) =>
+        (aggregation.groupByExpressions.toSeq match {
+          case Seq(r: NamedReference) =>
+            r.fieldNames.length == 1 && r.fieldNames.head == col
+          case _ => false
+        }) && aggregation.aggregateExpressions.nonEmpty &&
+          aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+      }
+  }
+
   private def metadataAggs(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[AuditMetaAgg]] = {
@@ -479,12 +501,15 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   }
 
   private var pushedMetaAggs: Option[Seq[AuditMetaAgg]] = None
+  private var pushedGroupCounts = 0
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     metadataAggs(aggregation) match {
       case Some(specs) => pushedMetaAggs = Some(specs); true
-      case None        => false
+      case None if groupedCountPushable(aggregation) =>
+        pushedGroupCounts = aggregation.aggregateExpressions.length; true
+      case None => false
     }
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
@@ -492,6 +517,9 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       case Some(specs) =>
         new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs,
           excludeNull)
+      case None if pushedGroupCounts > 0 =>
+        new AuditGroupCountScan(path, partInfo.get._1, partInfo.get._2,
+          allowedTokens, excludeNull, pushedGroupCounts)
       case None =>
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
           allowedTokens, includeDeleted, skipFilters,
@@ -507,6 +535,57 @@ final case class AuditMetaAgg(op: String, field: Option[StructField])
 /** The manifest-count scan: one partition, one row, zero data files read.
   * On partitioned tables the count sums only the SURVIVING partition
   * directories' manifests — a partition-sliced COUNT(*) stays metadata-only. */
+/** One row per surviving partition directory: (partition value, COUNT(*))
+  * read from the per-partition manifests — zero data files opened. The
+  * COMPLETE-pushdown grouped count for identity-partitioned tables. */
+final class AuditGroupCountScan(path: String, col: String, dt: DataType,
+    allowedTokens: Option[Set[String]] = None,
+    excludeNull: Boolean = false,
+    nCounts: Int = 1)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType = StructType(
+    StructField(col, dt, nullable = true) +:
+      (0 until nCounts).map(i =>
+        StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AuditGroupCountScan $path (metadata-only count group by $col)" +
+      allowedTokens.map(t => s" partitions=${t.toSeq.sorted.mkString(",")}")
+        .getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AuditPartition.listDirs(path, col).collect {
+      case (token, dir) if allowedTokens.forall(_.contains(token)) &&
+          !(excludeNull && token == AuditPartition.NullToken) =>
+        (token, AuditPartition.manifestEntries(dir).map(_._2).sum)
+    }.collect { // an empty partition is no group at all in SQL semantics
+      case (token, n) if n > 0 =>
+        AuditCountPartition(
+          AuditPartition.decode(token, dt) +: Seq.fill(nCounts)(n))
+          : InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vals = partition.asInstanceOf[AuditCountPartition].vals
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals.toArray)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
 final class AuditCountScan(path: String, versionAsOf: Option[Long],
     partInfo: Option[(String, DataType)] = None,
     allowedTokens: Option[Set[String]] = None,

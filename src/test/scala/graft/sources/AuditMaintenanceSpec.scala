@@ -462,6 +462,52 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1").head.getLong(0) === 303L)
   }
 
+  test("grouped COUNT by the partition column answers from manifests only") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.gc1")
+    spark.sql(
+      """CREATE TABLE graft_m.db.gc1 (id BIGINT, flag STRING)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_m.db.gc1
+        |SELECT id, CASE WHEN id % 7 = 0 THEN NULL
+        |                WHEN id % 3 = 0 THEN 'A'
+        |                WHEN id % 3 = 1 THEN 'B' ELSE 'C' END
+        |FROM range(2100)""".stripMargin)
+    val q = spark.sql(
+      "SELECT flag, count(*) AS n FROM graft_m.db.gc1 GROUP BY flag")
+    assert(q.queryExecution.executedPlan.toString.contains("AuditGroupCountScan"),
+      q.queryExecution.executedPlan.toString.take(600))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(t => Option(t._1).getOrElse("~"))
+    // ids 0..2099: %7==0 → 300 nulls; of the rest: %3 splits the 1800
+    assert(got.map(_._2).sum === 2100L)
+    assert(got.toMap.apply(null) === 300L)
+    // partition-sliced grouped count: pruned AND still metadata-only
+    val sliced = spark.sql(
+      "SELECT flag, count(*) AS n FROM graft_m.db.gc1 " +
+        "WHERE flag IN ('A', 'B') GROUP BY flag ORDER BY flag")
+    assert(sliced.queryExecution.executedPlan.toString
+      .contains("AuditGroupCountScan"))
+    assert(sliced.collect().map(_.getLong(1)).sum ===
+      got.collect { case (f, n) if f == "A" || f == "B" => n }.sum)
+    // refusals stay row-level: count(col), non-partition grouping
+    val c1 = spark.sql("SELECT flag, count(id) FROM graft_m.db.gc1 GROUP BY flag")
+    assert(!c1.queryExecution.executedPlan.toString.contains("GroupCountScan"))
+    val c2 = spark.sql(
+      "SELECT id % 2, count(*) FROM graft_m.db.gc1 GROUP BY id % 2")
+    assert(!c2.queryExecution.executedPlan.toString.contains("GroupCountScan"))
+    assert(c1.collect().map(_.getLong(1)).sum === 2100L) // ids are never null
+    // metadata DELETE keeps the grouped counts exact
+    spark.sql("DELETE FROM graft_m.db.gc1 WHERE flag = 'A'")
+    val after = spark.sql(
+      "SELECT flag, count(*) FROM graft_m.db.gc1 GROUP BY flag")
+    assert(after.queryExecution.executedPlan.toString
+      .contains("AuditGroupCountScan"))
+    assert(after.collect().map(r => Option(r.getString(0))).toSet ===
+      Set(None, Some("B"), Some("C"))) // empty partition = no group
+  }
+
   test("history procedure lists epochs, batch commits, base, and deletes") {
     buildTable("his1")
     def hist() = spark.sql(
