@@ -883,10 +883,20 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     partInfo match {
       case Some((_, dt)) =>
+        // per-DIRECTORY zone maps: inside each surviving partition the
+        // same bounds/bloom refutation drops files; the partition itself
+        // stays (possibly empty) so KeyGroupedPartitioning is unaffected
         return survivingDirs.map { case (token, dir) =>
-          AuditDirPartition(
-            AuditPartition.manifestEntries(dir).map(f => dir.resolve(f._1).toString),
-            token, dt, bucketed = bucketN.isDefined): InputPartition
+          val dirStats =
+            if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
+            else Map.empty[String, AuditStats.FileStats]
+          val files = AuditPartition.manifestEntries(dir).collect {
+            case (f, _) if !dirStats.get(f).exists(
+                AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
+              dir.resolve(f).toString
+          }
+          AuditDirPartition(files, token, dt,
+            bucketed = bucketN.isDefined): InputPartition
         }.toArray
       case None => ()
     }
@@ -1877,9 +1887,12 @@ private[sources] object AuditDelete {
     // own manifest (per-partition metadata stays exact through deletes)
     partInfo.foreach { case (col, _) =>
       AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+        newStats.clear() // per-DIR stats: file names repeat across dirs
         val updated = AuditPartition.manifestEntries(pdir)
           .map { case (f, _) => (f, rewrite(pdir.resolve(f))) }
         AuditPartition.writeManifest(pdir, updated)
+        AuditStats.retain(pdir.toString, f => !newStats.contains(f))
+        AuditStats.append(pdir.toString, newStats.toSeq)
       }
       return
     }
@@ -2186,6 +2199,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
           java.nio.file.Files.deleteIfExists(pdir.resolve(f))
         }
         AuditPartition.writeManifest(pdir, keep)
+        AuditStats.retain(pdir.toString, !_.startsWith(epochPrefix))
       }
     }
     val byToken = messages.toSeq
@@ -2198,14 +2212,17 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       java.nio.file.Files.createDirectories(pdir)
       val prior = AuditPartition.manifestEntries(pdir)
       val added = entries.sortBy(_._2).zipWithIndex.map {
-        case ((_, staged, r), i) =>
+        case ((_, staged, r, st), i) =>
           val name = f"part-e$epochId%d-$i%05d.jsonl"
           java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          (name, r)
+          (name, r, st)
       }
-      AuditPartition.writeManifest(pdir, prior ++ added)
+      AuditPartition.writeManifest(pdir,
+        prior ++ added.map { case (n, r, _) => (n, r) })
+      AuditStats.append(pdir.toString,
+        added.map { case (n, _, st) => (n, st) })
       files += added.size
       rows += added.map(_._2).sum
     }
@@ -2228,9 +2245,10 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stage = java.nio.file.Paths.get(path).resolve("_staging")
     messages.foreach {
-      case m: AuditPartCommitMessage => m.entries.foreach { case (_, staged, _) =>
-        java.nio.file.Files.deleteIfExists(stage.resolve(staged))
-      }
+      case m: AuditPartCommitMessage =>
+        m.entries.foreach { case (_, staged, _, _) =>
+          java.nio.file.Files.deleteIfExists(stage.resolve(staged))
+        }
       case _ => ()
     }
   }
@@ -2858,7 +2876,8 @@ final class AuditPartitionedWriterFactory(path: String, schema: StructType,
 }
 
 final case class AuditPartCommitMessage(
-    entries: Seq[(String, String, Long)]) // (token, stagedName, rows)
+    // (token, stagedName, rows, per-file column stats)
+    entries: Seq[(String, String, Long, AuditStats.FileStats)])
   extends WriterCommitMessage
 
 /** Partition-routing DataWriter: one staged file per partition VALUE per
@@ -2872,35 +2891,36 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
   java.nio.file.Files.createDirectories(stageDir)
   private val outs = scala.collection.mutable.LinkedHashMap
-    .empty[String, (java.io.BufferedWriter, String, Array[Long])]
+    .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
   private val partDt = schema(partIdx).dataType
 
   private def writerFor(token: String) = outs.getOrElseUpdate(token, {
     val staged = f"stage-$partitionId%05d-$taskId-$token.jsonl"
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
-    (w, staged, Array(0L))
+    (w, staged, Array(0L), new AuditStats.Acc(schema))
   })
 
   override def write(record: InternalRow): Unit = {
     val token = AuditPartition.tokenFor(
       if (record.isNullAt(partIdx)) null else record.get(partIdx, partDt),
       bucketN)
-    val (w, _, n) = writerFor(token)
+    val (w, _, n, acc) = writerFor(token)
     w.write(AuditRowJson.line(schema, record))
     w.write("\n")
+    acc.update(record)
     n(0) += 1
   }
 
   override def commit(): WriterCommitMessage = {
     outs.values.foreach(_._1.close())
-    AuditPartCommitMessage(outs.map { case (token, (_, staged, n)) =>
-      (token, staged, n(0))
+    AuditPartCommitMessage(outs.map { case (token, (_, staged, n, acc)) =>
+      (token, staged, n(0), acc.result)
     }.toSeq)
   }
 
   override def abort(): Unit = {
-    outs.values.foreach { case (w, staged, _) =>
+    outs.values.foreach { case (w, staged, _, _) =>
       w.close()
       java.nio.file.Files.deleteIfExists(stageDir.resolve(staged))
     }
@@ -2945,13 +2965,17 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
         case batchRe(n) => n.toInt + 1
       }.foldLeft(0)(math.max)
       val added = entries.sortBy(_._2).zipWithIndex.map {
-        case ((_, staged, rows), i) =>
+        case ((_, staged, rows, st), i) =>
           val name = f"part-${start + i}%05d.jsonl"
           java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          (name, rows)
+          (name, rows, st)
       }
-      AuditPartition.writeManifest(pdir, prior ++ added)
+      AuditPartition.writeManifest(pdir,
+        prior ++ added.map { case (n, r, _) => (n, r) })
+      // per-DIRECTORY zone maps: same skipping inside surviving partitions
+      AuditStats.append(pdir.toString,
+        added.map { case (n, _, st) => (n, st) })
     }
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)

@@ -451,7 +451,9 @@ class AuditMaintenanceSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType)))
     new AuditPartitionedStreamingWrite(path, schema, "flag", 1)
       .commit(0L, Array(AuditPartCommitMessage(
-        Seq(("9", "stage-redo.jsonl", 1L)))))
+        Seq(("9", "stage-redo.jsonl", 1L,
+          AuditStats.FileStats(2, Map("id" -> (77L, 77L), "flag" -> (9L, 9L)),
+            Map.empty))))))
     dirs.foreach { d =>
       assert(!AuditPartition.manifestEntries(d).exists(_._1.startsWith("part-e0-")),
         s"epoch-0 entries must be retracted from $d")
@@ -460,6 +462,53 @@ class AuditMaintenanceSpec extends SparkSpec {
       .head.getLong(0) === 1L)
     // 400 original - epoch 0's 100 rows + 2 inserted + 1 replayed
     assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1").head.getLong(0) === 303L)
+  }
+
+  test("partitioned tables skip files inside surviving dirs via per-dir stats") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.pz1")
+    spark.sql(
+      """CREATE TABLE graft_m.db.pz1 (id BIGINT, flag STRING)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    // two inserts with disjoint id ranges → 2 files per partition dir,
+    // each with tight per-dir _STATS bounds
+    spark.sql(
+      """INSERT INTO graft_m.db.pz1
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END
+        |FROM range(0, 1000)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_m.db.pz1
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END
+        |FROM range(100000, 101000)""".stripMargin)
+    assert(java.nio.file.Files.exists(
+      dataDir("pz1").resolve("flag=A").resolve("_STATS")))
+    def dirFiles(where: String): Seq[Int] = {
+      val q = spark.sql(s"SELECT id FROM graft_m.db.pz1 WHERE $where")
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      scan.inputPartitions.collect {
+        case p: AuditDirPartition => p.files.size
+      }
+    }
+    // partition pruning composes with in-dir file skipping: the id
+    // slice keeps only the first insert's files (half the dir)
+    val allA = dirFiles("flag = 'A'").head
+    val keptA = dirFiles("flag = 'A' AND id < 1000").head
+    assert(allA >= 2 && keptA <= allA / 2, s"$keptA of $allA files kept")
+    // no partition predicate: both dirs survive, each drops the low half
+    val both = dirFiles("id >= 100000")
+    assert(both.size === 2 && both.forall(_ <= allA / 2), both)
+    // answers stay exact under the skip (predicates are residual)
+    assert(spark.sql(
+      "SELECT count(*) , sum(id) FROM graft_m.db.pz1 WHERE id < 1000")
+      .head.toSeq === Seq(1000L, (0L until 1000L).sum))
+    // metadata DELETE narrows per-dir stats without breaking them
+    spark.sql("DELETE FROM graft_m.db.pz1 WHERE id >= 100500")
+    assert(dirFiles("id >= 100000").forall(_ <= allA / 2))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_m.db.pz1 WHERE id >= 100000")
+      .head.getLong(0) === 500L)
   }
 
   test("grouped COUNT by the partition column answers from manifests only") {
