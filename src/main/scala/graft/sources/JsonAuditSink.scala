@@ -482,20 +482,37 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     val wantsMinMax = specs.flatten.exists(_.op != "count")
     if (wantsMinMax) {
       // exactness gate for the stats-answered aggregates
-      if (partInfo.isDefined || versionAsOf.isDefined) return None
-      if (AuditDeletes.exists(path) && AuditDeletes.count(path) > 0) return None
-      val stats = AuditStats.read(path)
-      val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
-        AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
-        AuditScan.epochFiles(path,
-          AuditScan.committedEpochs(path)
-            .filter(_ > AuditBase.read(path).map(_.throughEpoch)
-              .getOrElse(Long.MinValue)).toSet).map(_._1)
-      // every planned file must carry a stats LINE (a line with a column
-      // absent means no non-null values — it contributes no bound, which
-      // is exactly SQL min/max null semantics; a file with NO line is
-      // unknown and refuses the claim)
-      if (!files.forall(stats.contains)) return None
+      if (versionAsOf.isDefined) return None
+      partInfo match {
+        case Some((col, _)) =>
+          // partitioned: per-DIRECTORY stats must cover every file of
+          // every surviving partition (partitioned DML is copy-on-write,
+          // so no delete vectors can hide an extreme; the metadata DELETE
+          // recomputes per-dir bounds during its rewrite)
+          val covered = AuditPartition.listDirs(path, col).forall {
+            case (token, dir) =>
+              !allowedTokens.forall(_.contains(token)) ||
+                (excludeNull && token == AuditPartition.NullToken) || {
+                  val st = AuditStats.read(dir.toString)
+                  AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1))
+                }
+          }
+          if (!covered) return None
+        case None =>
+          if (AuditDeletes.exists(path) && AuditDeletes.count(path) > 0) return None
+          val stats = AuditStats.read(path)
+          val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
+            AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
+            AuditScan.epochFiles(path,
+              AuditScan.committedEpochs(path)
+                .filter(_ > AuditBase.read(path).map(_.throughEpoch)
+                  .getOrElse(Long.MinValue)).toSet).map(_._1)
+          // every planned file must carry a stats LINE (a line with a column
+          // absent means no non-null values — it contributes no bound, which
+          // is exactly SQL min/max null semantics; a file with NO line is
+          // unknown and refuses the claim)
+          if (!files.forall(stats.contains)) return None
+      }
     }
     Some(specs.flatten)
   }
@@ -614,14 +631,28 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
   /** Zone-map MIN/MAX across the current-read file set (the pushdown
     * gate already proved every one of these files has exact bounds). */
   private def statValue(op: String, f: StructField): Any = {
-    val stats = AuditStats.read(path)
-    val baseThrough = AuditBase.read(path).map(_.throughEpoch)
-      .getOrElse(Long.MinValue)
-    val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
-      AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
-      AuditScan.epochFiles(path,
-        AuditScan.committedEpochs(path).filter(_ > baseThrough).toSet).map(_._1)
-    val bounds = files.flatMap(stats.get(_).flatMap(_.ints.get(f.name)))
+    val bounds: Seq[(Long, Long)] = partInfo match {
+      case Some((col, _)) =>
+        AuditPartition.listDirs(path, col).collect {
+          case (token, dir) if allowedTokens.forall(_.contains(token)) &&
+              !(excludeNull && token == AuditPartition.NullToken) =>
+            val st = AuditStats.read(dir.toString)
+            AuditPartition.manifestEntries(dir)
+              .flatMap(e => st.get(e._1).flatMap(_.ints.get(f.name)))
+        }.flatten
+      case None =>
+        val stats = AuditStats.read(path)
+        val baseThrough = AuditBase.read(path).map(_.throughEpoch)
+          .getOrElse(Long.MinValue)
+        val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
+          AuditBase.readManifest(path).collect {
+            case e if !e.folded => e.file
+          } ++
+          AuditScan.epochFiles(path,
+            AuditScan.committedEpochs(path)
+              .filter(_ > baseThrough).toSet).map(_._1)
+        files.flatMap(stats.get(_).flatMap(_.ints.get(f.name)))
+    }
     if (bounds.isEmpty) null
     else {
       val v = if (op == "min") bounds.map(_._1).min else bounds.map(_._2).max

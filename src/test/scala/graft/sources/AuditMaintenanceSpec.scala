@@ -509,6 +509,17 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft_m.db.pz1 WHERE id >= 100000")
       .head.getLong(0) === 500L)
+    // metadata MIN/MAX now answers on partitioned tables from per-dir
+    // stats — exact through the DELETE because the rewrite recomputed them
+    val mm = spark.sql("SELECT min(id), max(id) FROM graft_m.db.pz1")
+    assert(mm.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      mm.queryExecution.executedPlan.toString.take(500))
+    assert(mm.head.toSeq === Seq(0L, 100499L))
+    // partition-sliced extremes stay metadata-only and slice-exact
+    val mmA = spark.sql(
+      "SELECT min(id), max(id) FROM graft_m.db.pz1 WHERE flag = 'A'")
+    assert(mmA.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(mmA.head.toSeq === Seq(0L, 100498L)) // 'A' holds the even ids
   }
 
   test("grouped COUNT by the partition column answers from manifests only") {
