@@ -361,24 +361,67 @@ private[sources] object AuditMaintenance {
     AuditBase.readManifest(path).collect { case e if !e.folded => e.file })
 
   /** Reclaim superseded epoch files and bound the time-travel window. */
-  def vacuum(path: String, retainLast: Int): (Int, Long) = {
-    val b = AuditBase.read(path).getOrElse(throw new IllegalStateException(
-      s"audit VACUUM: $path has no base checkpoint — run OPTIMIZE first " +
-        "(only epochs superseded by a base can be reclaimed)"))
+  def vacuum(path: String, retainLast: Int,
+      cleanOrphans: Boolean = false): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
-    val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
-    val keep = math.max(retainLast, 0)
-    val newExpired =
-      if (superseded.size > keep)
-        math.max(b.expiredThrough, superseded(superseded.size - keep - 1))
-      else b.expiredThrough
-    val gone = AuditScan.epochFiles(path, superseded.toSet)
-    gone.foreach { case (f, _) =>
-      java.nio.file.Files.deleteIfExists(dir.resolve(f))
+    val b0 = AuditBase.read(path)
+    if (b0.isEmpty && !cleanOrphans)
+      throw new IllegalStateException(
+        s"audit VACUUM: $path has no base checkpoint — run OPTIMIZE first " +
+          "(only epochs superseded by a base can be reclaimed), or pass " +
+          "clean_orphans => true for orphan cleanup alone")
+    var removed = 0
+    var expired = b0.map(_.expiredThrough).getOrElse(-1L)
+    b0.foreach { b =>
+      val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
+      val keep = math.max(retainLast, 0)
+      val newExpired =
+        if (superseded.size > keep)
+          math.max(b.expiredThrough, superseded(superseded.size - keep - 1))
+        else b.expiredThrough
+      val gone = AuditScan.epochFiles(path, superseded.toSet)
+      gone.foreach { case (f, _) =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(f))
+      }
+      AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
+      AuditBase.write(path, b.throughEpoch, newExpired, b.files, b.sortBy)
+      removed += gone.size
+      expired = newExpired
     }
-    AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
-    AuditBase.write(path, b.throughEpoch, newExpired, b.files, b.sortBy)
-    (gone.size, newExpired)
+    // ORPHAN cleanup: a crash between "move staged files in" and "publish
+    // the metadata" leaves data files no manifest/epoch/base references —
+    // invisible to every read, but they hold space forever. Safe under
+    // the format's documented single-writer assumption (no commit is
+    // in flight while maintenance runs). Staged leftovers likewise.
+    if (cleanOrphans) {
+      val referenced: Set[String] =
+        AuditBase.readManifest(path).map(_.file).toSet ++
+          AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
+          AuditScan.epochFiles(path,
+            AuditScan.committedEpochs(path).toSet).map(_._1)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val listing = java.nio.file.Files.list(dir)
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".jsonl") &&
+            !referenced(p.getFileName.toString))
+          .foreach { p =>
+            java.nio.file.Files.deleteIfExists(p); removed += 1
+          }
+        finally listing.close()
+      }
+      val stage = dir.resolve("_staging")
+      if (java.nio.file.Files.isDirectory(stage)) {
+        val walk = java.nio.file.Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach { p => // writers recreate the dir on demand
+            val isFile = java.nio.file.Files.isRegularFile(p)
+            if (java.nio.file.Files.deleteIfExists(p) && isFile) removed += 1
+          }
+        finally walk.close()
+      }
+      AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
+    }
+    (removed, expired)
   }
 }
 
@@ -657,12 +700,17 @@ private[sources] object GraftProcedures {
           .comment("audit table, as <namespace>.<name>").build(),
         ProcedureParameter.in("retain_last", IntegerType)
           .defaultValue("0")
-          .comment("how many newest superseded versions stay travelable").build())
+          .comment("how many newest superseded versions stay travelable").build(),
+        ProcedureParameter.in("clean_orphans", BooleanType)
+          .defaultValue("false")
+          .comment("also remove unreferenced data files and staged " +
+            "leftovers (single-writer assumption)").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
+        val orphans = !input.isNullAt(2) && input.getBoolean(2)
         val (path, _) = catalog.resolveAuditTable(table)
-        val (deleted, expired) = AuditMaintenance.vacuum(path, retain)
+        val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans)
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),

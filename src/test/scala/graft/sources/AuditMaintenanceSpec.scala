@@ -620,6 +620,44 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(fns.contains("hex_hash") && fns.contains("hex_bucket"), fns)
   }
 
+  test("VACUUM clean_orphans removes unreferenced files and staged leftovers") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.orf1")
+    spark.sql("CREATE TABLE graft_m.db.orf1 (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_m.db.orf1 SELECT id, id FROM range(100)")
+    val before = snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id")
+    // plant a crash's debris: an unreferenced data file + a staged leftover
+    val d = dataDir("orf1")
+    java.nio.file.Files.write(d.resolve("part-99999.jsonl"),
+      "{\"id\":666,\"v\":666}\n".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(d.resolve("_staging"))
+    java.nio.file.Files.write(d.resolve("_staging").resolve("stage-junk.jsonl"),
+      "{\"id\":667,\"v\":667}\n".getBytes("UTF-8"))
+    // debris is invisible to reads (manifest-driven) but holds space
+    assert(snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id") === before)
+    // orphan cleanup works without a base checkpoint
+    val res = spark.sql(
+      "CALL graft_m.system.vacuum(table => 'db.orf1', clean_orphans => true)")
+      .collect()
+    assert(res.head.getInt(1) === 2, res.toSeq) // both debris files removed
+    assert(!java.nio.file.Files.exists(d.resolve("part-99999.jsonl")))
+    assert(!java.nio.file.Files.exists(d.resolve("_staging")))
+    assert(snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id") === before)
+    // referenced files are untouched; plain VACUUM still demands a base
+    val ex = intercept[Exception](spark.sql(
+      "CALL graft_m.system.vacuum(table => 'db.orf1')").collect())
+    assert(ex.getMessage.contains("base checkpoint"), ex.getMessage)
+    // with a base, epoch reclaim and orphan cleanup compose
+    spark.sql("CALL graft_m.system.optimize(table => 'db.orf1', " +
+      "target_file_count => 1)")
+    java.nio.file.Files.write(d.resolve("part-88888.jsonl"),
+      "{\"id\":6,\"v\":6}\n".getBytes("UTF-8"))
+    spark.sql(
+      "CALL graft_m.system.vacuum(table => 'db.orf1', clean_orphans => true)")
+    assert(!java.nio.file.Files.exists(d.resolve("part-88888.jsonl")))
+    assert(snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id") === before)
+  }
+
   test("maintenance guardrails: bad targets fail loudly; TRUNCATE clears the base") {
     init()
     // vacuum before optimize
