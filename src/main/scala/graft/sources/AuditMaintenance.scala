@@ -351,6 +351,54 @@ private[sources] object AuditMaintenance {
     (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
   }
 
+  /** PARTITIONED compaction: pin the table's current content, truncate,
+    * and rewrite clustered by the partition column — each partition
+    * directory comes out with one file per task that holds its value
+    * (one file per identity partition when target_file_count covers the
+    * token count), per-dir manifests and `_STATS` rebuilt by the routed
+    * write. A streamed partitioned table accretes one file per epoch per
+    * token forever; this is its maintenance path. The epoch log is folded
+    * away (epochs only serve replay idempotence, and maintenance runs
+    * under the format's single-writer rule — never beside a live
+    * stream). The truncate-then-append swap is NOT crash-atomic; the
+    * unpartitioned base-checkpoint path is, because it publishes through
+    * one `_BASE` rename — the partitioned layout trades that for
+    * per-directory metadata. */
+  def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
+      partSpec: String, targetFileCount: Int,
+      sortBy: Option[String]): (Int, Long, Long) = {
+    val spec = AuditPartition.parseSpec(partSpec)
+    val pinned = spark.table(fullName).localCheckpoint()
+    val rows = pinned.count()
+    val n =
+      if (targetFileCount > 0) targetFileCount
+      else spark.sparkContext.defaultParallelism
+    var df = pinned.repartition(n, col(spec.col))
+    sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
+    spark.sql(s"TRUNCATE TABLE $fullName")
+    df.writeTo(fullName).append()
+    // TRUNCATE routes through the metadata delete, which empties files in
+    // place (0-row manifest entries) rather than removing them — exactly
+    // the clutter a compaction exists to clear, so drop them here, along
+    // with the folded epoch log
+    val dir = java.nio.file.Paths.get(path)
+    AuditPartition.listDirs(path, spec.col).foreach { case (_, d) =>
+      val (dead, live) = AuditPartition.manifestEntries(d).partition(_._2 == 0L)
+      if (dead.nonEmpty) {
+        dead.foreach { case (f, _) =>
+          java.nio.file.Files.deleteIfExists(d.resolve(f))
+        }
+        AuditPartition.writeManifest(d, live)
+        AuditStats.retain(d.toString,
+          f => java.nio.file.Files.exists(d.resolve(f)))
+      }
+    }
+    java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
+    val files = AuditPartition.listDirs(path, spec.col)
+      .map { case (_, d) => AuditPartition.manifestEntries(d).size }.sum
+    (files, rows, -1L)
+  }
+
   /** The pinned input set of one compaction run: the newest committed
     * epoch and the LIVE batch-manifest files at capture time. */
   final case class CompactionSnapshot(throughEpoch: Long,
@@ -609,10 +657,20 @@ private[sources] object GraftProcedures {
           if (input.isNullAt(4)) Nil
           else input.getUTF8String(4).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
-        val (path, schema) = catalog.resolveAuditTable(table)
-        val (files, rows, through) = AuditMaintenance.optimize(
-          org.apache.spark.sql.SparkSession.active, path, schema, tfc, sortBy,
-          zorderBy, bloomBy = bloomBy)
+        val (path, schema, partSpec) = catalog.resolveAuditTableFull(table)
+        val (files, rows, through) = partSpec match {
+          case Some(ps) =>
+            require(zorderBy.isEmpty && bloomBy.isEmpty,
+              "audit OPTIMIZE: zorder_by/bloom_by apply to unpartitioned " +
+                "tables (partitioned compaction clusters by the partition " +
+                "column)")
+            AuditMaintenance.optimizePartitioned(
+              org.apache.spark.sql.SparkSession.active,
+              s"${catalog.name()}.$table", path, ps, tfc, sortBy)
+          case None => AuditMaintenance.optimize(
+            org.apache.spark.sql.SparkSession.active, path, schema, tfc,
+            sortBy, zorderBy, bloomBy = bloomBy)
+        }
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("base_files", IntegerType, nullable = false),

@@ -330,16 +330,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * table schema). Only unpartitioned audit tables qualify — partitioned
     * tables carry per-partition manifests and no epoch log. */
   private[sources] def resolveAuditTable(name: String): (String, StructType) = {
+    val (path, schema, part) = resolveAuditTableFull(name)
+    require(part.isEmpty,
+      s"graft maintenance: this operation needs an unpartitioned table; " +
+        s"$name is partitioned")
+    (path, schema)
+  }
+
+  private[sources] def resolveAuditTableFull(name: String)
+      : (String, StructType, Option[String]) = {
     val parts = name.split('.')
     require(parts.length >= 2 && parts.forall(_.nonEmpty),
       s"graft maintenance: table must be <namespace>.<name>, got '$name'")
     val ident = Identifier.of(parts.init, parts.last)
     loadTable(ident) match {
-      case a: AuditTable =>
-        require(a.partitionColumn.isEmpty,
-          s"graft maintenance: $name is partitioned — compaction is " +
-            "per-partition at write time (clusterBy/targetFileCount)")
-        (a.dataPath, a.schema())
+      case a: AuditTable => (a.dataPath, a.schema(), a.partitionColumn)
       case other => throw new IllegalArgumentException(
         s"graft maintenance: $name is not an audit table (${other.name()})")
     }

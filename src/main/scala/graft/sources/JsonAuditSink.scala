@@ -2974,13 +2974,16 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging")
-    if (truncateFirst)
+    if (truncateFirst) {
       AuditPartition.listDirs(path, col).foreach { case (_, d) =>
         val walk = java.nio.file.Files.walk(d)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
         finally walk.close()
       }
+      // the table-level epoch log dies with the data it described
+      java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
+    }
     val byToken = messages.toSeq
       .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
       .groupBy(_._1)

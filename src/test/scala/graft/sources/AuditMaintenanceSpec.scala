@@ -568,6 +568,61 @@ class AuditMaintenanceSpec extends SparkSpec {
       Set(None, Some("B"), Some("C"))) // empty partition = no group
   }
 
+  test("partitioned OPTIMIZE compacts epoch files into per-dir batch files") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.po1")
+    spark.sql(
+      """CREATE TABLE graft_m.db.po1 (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_po_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_m.db.po1")
+    try q.processAllAvailable() finally q.stop()
+    spark.sql("INSERT INTO graft_m.db.po1 VALUES (9000, 1)")
+    val before = snap("SELECT id, flag FROM graft_m.db.po1 ORDER BY id")
+    assert(before.size === 401)
+    val filesBefore = (0 to 2).map(t =>
+      AuditPartition.manifestEntries(
+        dataDir("po1").resolve(s"flag=$t")).size).sum
+    assert(filesBefore > 6, s"streamed fixture should be fragmented: $filesBefore")
+
+    val res = spark.sql("CALL graft_m.system.optimize(table => 'db.po1', " +
+      "target_file_count => 3, sort_by => 'id')").collect()
+    assert(res.head.getLong(2) === 401L, res.toSeq)
+    // one file per partition dir, batch-named, epoch log folded away
+    (0 to 2).foreach { t =>
+      val entries = AuditPartition.manifestEntries(
+        dataDir("po1").resolve(s"flag=$t"))
+      assert(entries.size === 1, s"flag=$t: $entries")
+      assert(entries.head._1.matches("part-\\d{5}\\.jsonl"), entries)
+      assert(java.nio.file.Files.exists(
+        dataDir("po1").resolve(s"flag=$t").resolve("_STATS")))
+    }
+    assert(!java.nio.file.Files.exists(dataDir("po1").resolve("_EPOCHS")))
+    // every read contract is unchanged
+    assert(snap("SELECT id, flag FROM graft_m.db.po1 ORDER BY id") === before)
+    val cnt = spark.sql(
+      "SELECT count(*) FROM graft_m.db.po1 WHERE flag = 1")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 134L) // 133 streamed + 1 inserted
+    assert(spark.sql("SELECT min(id), max(id) FROM graft_m.db.po1")
+      .head.toSeq === Seq(0L, 9000L))
+    // within-dir sort honored
+    val ids = java.nio.file.Files.readAllLines(
+      dataDir("po1").resolve("flag=0").resolve("part-00000.jsonl"))
+      .asScala.map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+    assert(ids.toSeq === ids.toSeq.sorted)
+    // zorder/bloom refusal on partitioned compaction
+    val ex = intercept[Exception](spark.sql(
+      "CALL graft_m.system.optimize(table => 'db.po1', " +
+        "zorder_by => 'id')").collect())
+    assert(ex.getMessage.contains("unpartitioned"), ex.getMessage)
+  }
+
   test("history procedure lists epochs, batch commits, base, and deletes") {
     buildTable("his1")
     def hist() = spark.sql(
@@ -668,12 +723,13 @@ class AuditMaintenanceSpec extends SparkSpec {
       spark.sql("CALL graft_m.system.vacuum(table => 'db.g1')").collect())
     assert(e1.getMessage.contains("OPTIMIZE") ||
       Option(e1.getCause).exists(_.getMessage.contains("OPTIMIZE")))
-    // partitioned tables are refused
+    // epoch-log maintenance stays unpartitioned-only (partitioned
+    // OPTIMIZE is its own path; vacuum/history target table-level logs)
     spark.sql("DROP TABLE IF EXISTS graft_m.db.g2")
     spark.sql("CREATE TABLE graft_m.db.g2 (id BIGINT, flag STRING) " +
       "USING audit PARTITIONED BY (flag)")
     val e2 = intercept[Exception](
-      spark.sql("CALL graft_m.system.optimize(table => 'db.g2')").collect())
+      spark.sql("CALL graft_m.system.vacuum(table => 'db.g2')").collect())
     assert(e2.getMessage.contains("partitioned") ||
       Option(e2.getCause).exists(_.getMessage.contains("partitioned")))
     // unknown procedure
