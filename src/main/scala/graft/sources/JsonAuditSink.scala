@@ -150,7 +150,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   private val partSpec: Option[AuditPartition.Spec] =
     partCol.map(AuditPartition.parseSpec)
@@ -165,6 +166,85 @@ final class AuditTable(path: String, writeSchema: StructType,
   private def partInfo: Option[(String, DataType)] =
     partSpec.map(s => (s.col, writeSchema(s.col).dataType))
   private def bucketN: Option[Int] = partSpec.flatMap(_.bucket)
+
+  // --- SupportsPartitionManagement (SHOW PARTITIONS / ADD / DROP) ---------
+  // Partition DDL over the directory layout: partitions normally come and
+  // go with the data (dynamic routing), but the management surface makes
+  // them inspectable (SHOW PARTITIONS) and lets operators pre-create or
+  // retire whole partitions (ALTER TABLE ADD/DROP PARTITION — a DROP is
+  // the O(1) retention delete every date-partitioned pipeline wants).
+  // Identity partitioning only: a bucket dir's identifier is a hash
+  // bucket, not a value, so value-addressed DDL would be a lie.
+  private def mgmtSpec: (String, DataType) = {
+    require(partSpec.isDefined && bucketN.isEmpty,
+      "audit partition management needs an identity-partitioned table")
+    partInfo.get
+  }
+  private def identToken(ident: InternalRow): String = {
+    val (_, dt) = mgmtSpec
+    AuditPartition.tokenFor(
+      if (ident.isNullAt(0)) null else ident.get(0, dt), None)
+  }
+  override def partitionSchema(): StructType = {
+    val (c, dt) = mgmtSpec
+    StructType(Seq(StructField(c, dt, nullable = true)))
+  }
+  override def partitionExists(ident: InternalRow): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path).resolve(s"${mgmtSpec._1}=${identToken(ident)}"))
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit = {
+    val d = java.nio.file.Paths.get(path)
+      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    if (java.nio.file.Files.isDirectory(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    java.nio.file.Files.createDirectories(d)
+    AuditPartition.writeManifest(d, Seq.empty)
+  }
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val d = java.nio.file.Paths.get(path)
+      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    if (!java.nio.file.Files.isDirectory(d)) return false
+    val walk = java.nio.file.Files.walk(d)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    true
+  }
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "audit partitions carry no custom metadata")
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] = {
+    val d = java.nio.file.Paths.get(path)
+      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    if (!java.nio.file.Files.isDirectory(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(name(), ident, partitionSchema())
+    val entries = AuditPartition.manifestEntries(d)
+    java.util.Map.of("files", entries.size.toString,
+      "rows", entries.map(_._2).sum.toString)
+  }
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val (c, dt) = mgmtSpec
+    require(names.length == ident.numFields)
+    val want: Option[Any] =
+      if (names.isEmpty) None
+      else {
+        require(names.sameElements(Array(c)),
+          s"audit: unknown partition field ${names.mkString(",")}")
+        Some(if (ident.isNullAt(0)) null else ident.get(0, dt))
+      }
+    AuditPartition.listDirs(path, c).collect {
+      case (token, _) if want.forall(w =>
+          AuditPartition.tokenFor(w, None) == token) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](AuditPartition.decode(token, dt)))
+    }.toArray
+  }
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
   override def partitioning(): Array[Transform] =

@@ -713,6 +713,41 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id") === before)
   }
 
+  test("SHOW PARTITIONS / ADD / DROP PARTITION manage the directory layout") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.pm1")
+    spark.sql(
+      """CREATE TABLE graft_m.db.pm1 (id BIGINT, flag STRING)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_m.db.pm1 SELECT id,
+        |CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(100)""".stripMargin)
+    def parts(): Seq[String] =
+      spark.sql("SHOW PARTITIONS graft_m.db.pm1").collect()
+        .map(_.getString(0)).toSeq.sorted
+    assert(parts() === Seq("flag=A", "flag=B"))
+    // pre-created partition shows up empty; writes land in it
+    spark.sql("ALTER TABLE graft_m.db.pm1 ADD PARTITION (flag = 'C')")
+    assert(parts() === Seq("flag=A", "flag=B", "flag=C"))
+    spark.sql("INSERT INTO graft_m.db.pm1 VALUES (900, 'C')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_m.db.pm1 WHERE flag = 'C'")
+      .head.getLong(0) === 1L)
+    // DROP PARTITION is the O(1) retention delete: data goes with the dir
+    spark.sql("ALTER TABLE graft_m.db.pm1 DROP PARTITION (flag = 'A')")
+    assert(parts() === Seq("flag=B", "flag=C"))
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.pm1")
+      .head.getLong(0) === 51L)
+    // duplicate ADD fails loudly; DROP of a missing partition errors
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_m.db.pm1 ADD PARTITION (flag = 'B')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_m.db.pm1 DROP PARTITION (flag = 'zzz')"))
+    // sliced listing
+    assert(spark.sql("SHOW PARTITIONS graft_m.db.pm1 PARTITION (flag = 'B')")
+      .collect().map(_.getString(0)).toSeq === Seq("flag=B"))
+  }
+
   test("maintenance guardrails: bad targets fail loudly; TRUNCATE clears the base") {
     init()
     // vacuum before optimize
