@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `delim` generalizes the chunk UNIT: the default `" "` windows over
   * whitespace tokens; passing a sentence sentinel (text pre-split with
-  * `regexp_replace(text, '([.!?]) +', '$1')`) windows over WHOLE
+  * `regexp_replace(text, '([.!?]) +', '$1' + U+0001)`) windows over WHOLE
   * SENTENCES — the retrieval-chunking variant that never cuts
   * mid-sentence ([[graft.operators.TextAnalysis.sentenceChunks]]).
   */
