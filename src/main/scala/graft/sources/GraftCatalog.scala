@@ -876,6 +876,63 @@ object CatalogApi {
       |ORDER BY flag""".stripMargin
   }
 
+  /** PARTITIONED streaming TAIL, oracle-checked: epochs stream INTO a
+    * partitioned audit table (rows routed across `flag=<token>` dirs),
+    * then a second streaming query SUBSCRIBES to the table — the
+    * table-level `_EPOCHS` log is the offset axis and each epoch's files
+    * are resolved manifest-driven across the partition directories
+    * ([[AuditPartitionedMicroBatchStream]]). The hash gate proves the
+    * tailed content is exactly-once and partition-complete: grouped
+    * totals from the SUBSCRIBER equal DuckDB's restatement of the source
+    * formulas. This closes the loop the partitioned streaming write
+    * opened — a partitioned audit table is now a write-AND-read
+    * streaming bus, same as the unpartitioned form. */
+  def auditPartTail(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qpt_wh")
+    spark.conf.set("spark.sql.catalog.graft_qpt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qpt.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qpt.db.ptail")
+    spark.sql(
+      """CREATE TABLE graft_qpt.db.ptail (id BIGINT, flag BIGINT, dur BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val wckpt = java.nio.file.Files.createTempDirectory("graft_qpt_wckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load()
+      .select(col("id"), (col("id") % 3).as("flag"),
+        col("duration_ms").as("dur"))
+      .writeStream
+      .option("checkpointLocation", wckpt.toString)
+      .outputMode("append").toTable("graft_qpt.db.ptail")
+    try w.processAllAvailable() finally w.stop()
+    spark.catalog.dropTempView("graft_qpt_mem")
+    val tail = spark.readStream.table("graft_qpt.db.ptail")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dur")).as("sum_dur"),
+        min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+    val q = tail.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_qpt_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_qpt_mem").orderBy("flag")
+  }
+
+  val auditPartTailSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS dur
+      |  FROM range(400) t(r)
+      |)
+      |SELECT flag, count(*) AS n_rows, CAST(sum(dur) AS BIGINT) AS sum_dur,
+      |       min(id) AS lo_id, max(id) AS hi_id
+      |FROM src
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+  }
+
   val auditOptimizeSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -1072,6 +1129,7 @@ object CatalogApi {
       "q_audit_optimize" -> (auditOptimize _),
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_stream_part" -> (auditStreamPart _),
+      "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_gcount" -> (auditGroupCount _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
@@ -1085,6 +1143,7 @@ object CatalogApi {
       "q_audit_optimize" -> auditOptimizeSql,
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_stream_part" -> auditStreamPartSql,
+      "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_gcount" -> auditGroupCountSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }

@@ -1066,13 +1066,12 @@ final class AuditScan(path: String, writeSchema: StructType,
     new AuditReaderFactory(writeSchema, required, rowCap)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(partInfo.isEmpty,
-      "audit: the streaming TAIL reads the table-level epoch log; on a " +
-        "partitioned table epochs land inside partition directories and " +
-        "serve write idempotence only — tail the unpartitioned form")
-    new AuditMicroBatchStream(path, writeSchema, required)
-  }
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    partInfo match {
+      case Some((c, _)) =>
+        new AuditPartitionedMicroBatchStream(path, writeSchema, required, c)
+      case None => new AuditMicroBatchStream(path, writeSchema, required)
+    }
 }
 
 /** DELETE VECTORS: `_DELETES` holds one json line per delta-deleted row —
@@ -1241,6 +1240,57 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
     (onDisk.map { case (f, e) =>
       AuditFilePartition(dir.resolve(f).toString, Some(e)): InputPartition
     } ++ baseParts).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditReaderFactory(writeSchema, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Streaming TAIL of a PARTITIONED audit table. The offset axis is the
+  * same table-level `_EPOCHS` log the unpartitioned tail uses (the
+  * partitioned streaming commit writes exactly one line per epoch); what
+  * differs is file RESOLUTION: an epoch's part files live inside the
+  * partition directories its rows routed to, so each micro-batch slice is
+  * resolved MANIFEST-DRIVEN across every partition — epoch files carry
+  * their epoch in the name (`part-e<epoch>-NNNNN.jsonl`, disjoint from
+  * the batch writer's `part-NNNNN.jsonl` namespace), and replay
+  * retraction rewrites an epoch's full file set before its `_EPOCHS` line
+  * lands, keeping the name→epoch mapping stable. A subscriber therefore
+  * receives each committed epoch exactly once regardless of how its rows
+  * spread across partitions. Partitioned OPTIMIZE folds the epoch log
+  * into the partition manifests; a tail restarted across that
+  * maintenance hits the same shrunken-log guard as the unpartitioned
+  * tail and fails loudly instead of replaying drifted offsets. */
+final class AuditPartitionedMicroBatchStream(path: String,
+    writeSchema: StructType, required: StructType, col: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read._
+
+  private def epochs: Seq[Long] = AuditScan.committedEpochs(path)
+
+  override def initialOffset(): Offset = PagedOffset(0)
+  override def latestOffset(): Offset = PagedOffset(epochs.size)
+  override def deserializeOffset(json: String): Offset =
+    PagedOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val eps = epochs
+    val from = start.asInstanceOf[PagedOffset].page
+    require(from <= eps.size,
+      s"audit stream: restored offset $from exceeds the epoch log length " +
+        s"${eps.size} at $path — the table's epochs were truncated, " +
+        "rewritten, or folded by OPTIMIZE since the checkpoint; restart " +
+        "from a fresh checkpoint")
+    val slice = eps.slice(from, end.asInstanceOf[PagedOffset].page).toSet
+    val epochRe = """part-e(-?\d+)-\d+\.jsonl""".r
+    AuditPartition.listDirs(path, col).flatMap { case (_, pdir) =>
+      AuditPartition.manifestEntries(pdir).collect {
+        case (f @ epochRe(e), _) if slice.contains(e.toLong) =>
+          AuditFilePartition(pdir.resolve(f).toString,
+            Some(e.toLong)): InputPartition
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AuditReaderFactory(writeSchema, required)
@@ -2284,11 +2334,11 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType,
   * every touched partition's `_MANIFEST` extended in one pass, plus one
   * table-level `_EPOCHS` line so a REPLAYED epoch first retracts its own
   * files (and manifest entries) from EVERY partition before republishing,
-  * keeping exactly-once semantics per epoch. Epochs here serve write
-  * idempotence only — partitioned reads stay manifest-driven per
-  * directory (pruning, SPJ, and metadata counts all keep working on a
-  * streamed table), and the table-level epoch TAIL remains an
-  * unpartitioned-table feature. */
+  * keeping exactly-once semantics per epoch. Partitioned BATCH reads stay
+  * manifest-driven per directory (pruning, SPJ, and metadata counts all
+  * keep working on a streamed table), and the table-level `_EPOCHS` log
+  * doubles as the offset axis of the partitioned streaming TAIL
+  * ([[AuditPartitionedMicroBatchStream]]). */
 final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     col: String, partIdx: Int, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {

@@ -464,6 +464,59 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_m.db.ps1").head.getLong(0) === 303L)
   }
 
+  test("partitioned streaming tail replays epochs across partition dirs") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.ps2")
+    spark.sql(
+      """CREATE TABLE graft_m.db.ps2 (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val wckpt = java.nio.file.Files.createTempDirectory("graft_ptail_wckpt")
+    def writeRun(pages: Int): Unit = {
+      val w = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().select(col("id"), (col("id") % 3).as("flag"))
+        .writeStream
+        .option("checkpointLocation", wckpt.toString)
+        .outputMode("append").toTable("graft_m.db.ps2")
+      try w.processAllAvailable() finally w.stop()
+    }
+    writeRun(2) // epochs 0-1: ids 0..199, routed across flag=0..2
+    val tail = spark.readStream.table("graft_m.db.ps2")
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+        sum(col("flag")).as("flag_sum"))
+    val q = tail.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_ptail").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("graft_ptail").head
+      assert(r1.getLong(0) === 200L)
+      assert(r1.getLong(1) === (0L until 200L).sum)
+      assert(r1.getLong(2) === (0L until 200L).map(_ % 3).sum)
+      // a batch INSERT is not an epoch: the tail's offset axis ignores it
+      spark.sql("INSERT INTO graft_m.db.ps2 VALUES (9000, 1)")
+      // more epochs land while the tail is live — incremental pickup
+      writeRun(4) // epochs 2-3: ids 200..399
+      q.processAllAvailable()
+      val r2 = spark.table("graft_ptail").head
+      assert(r2.getLong(0) === 400L,
+        "tail must deliver the new epochs and skip the batch insert")
+      assert(r2.getLong(1) === (0L until 400L).sum)
+    } finally q.stop()
+    // the shrunken-log guard: a checkpoint past the current epoch log
+    // (OPTIMIZE folds _EPOCHS) must fail loudly, not plan empty slices
+    val stream = new AuditPartitionedMicroBatchStream(
+      dataDir("ps2").toString,
+      spark.table("graft_m.db.ps2").schema,
+      spark.table("graft_m.db.ps2").schema, "flag")
+    assert(stream.planInputPartitions(PagedOffset(0), PagedOffset(4))
+      .length > 0)
+    val err = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(PagedOffset(99), PagedOffset(99))
+    }
+    assert(err.getMessage.contains("exceeds the epoch log"))
+  }
+
   test("partitioned tables skip files inside surviving dirs via per-dir stats") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_m.db.pz1")
