@@ -351,52 +351,62 @@ private[sources] object AuditMaintenance {
     (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
   }
 
-  /** PARTITIONED compaction: pin the table's current content, truncate,
-    * and rewrite clustered by the partition column — each partition
-    * directory comes out with one file per task that holds its value
-    * (one file per identity partition when target_file_count covers the
-    * token count), per-dir manifests and `_STATS` rebuilt by the routed
-    * write. A streamed partitioned table accretes one file per epoch per
-    * token forever; this is its maintenance path. The epoch log is folded
-    * away (epochs only serve replay idempotence, and maintenance runs
-    * under the format's single-writer rule — never beside a live
-    * stream). The truncate-then-append swap is NOT crash-atomic; the
-    * unpartitioned base-checkpoint path is, because it publishes through
-    * one `_BASE` rename — the partitioned layout trades that for
-    * per-directory metadata. */
+  /** PARTITIONED compaction, STAGE-AND-SWAP: rewrite the table clustered
+    * by the partition column into a hidden SIBLING directory tree (the
+    * path-based `partitionby` write rebuilds `<col>=<token>` dirs,
+    * per-dir manifests and `_STATS`), then publish with the same
+    * displaced-rename discipline the catalog's RTAS uses — old dir
+    * renamed aside, stage renamed into place, displaced dir deleted last.
+    * A crash mid-job leaves the live table UNTOUCHED (only an orphan
+    * stage, reclaimed by VACUUM clean_orphans); a crash between the two
+    * renames leaves the old tree recoverable beside a loudly-missing
+    * data dir — never a healthy-looking empty or half-compacted table
+    * (the truncate-then-append shape this replaces could crash into
+    * exactly that). Because the source table is never mutated while the
+    * job runs, the rewrite scan streams straight from the live
+    * directories — no driver pin, no localCheckpoint materialization, so
+    * the path costs one distributed read + one routed write at any
+    * scale. A streamed partitioned table accretes one file per epoch per
+    * token forever; this is its maintenance path. The epoch log is
+    * folded away by construction (the stage is a pure batch tree;
+    * epochs only serve replay idempotence, and maintenance runs under
+    * the format's single-writer rule — never beside a live stream or a
+    * checkpointed tail, which would hit the shrunken-log guard on
+    * restart). */
   def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
       partSpec: String, targetFileCount: Int,
       sortBy: Option[String]): (Int, Long, Long) = {
     val spec = AuditPartition.parseSpec(partSpec)
-    val pinned = spark.table(fullName).localCheckpoint()
-    val rows = pinned.count()
     val n =
       if (targetFileCount > 0) targetFileCount
       else spark.sparkContext.defaultParallelism
-    var df = pinned.repartition(n, col(spec.col))
+    var df = spark.table(fullName).repartition(n, col(spec.col))
     sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
-    spark.sql(s"TRUNCATE TABLE $fullName")
-    df.writeTo(fullName).append()
-    // TRUNCATE routes through the metadata delete, which empties files in
-    // place (0-row manifest entries) rather than removing them — exactly
-    // the clutter a compaction exists to clear, so drop them here, along
-    // with the folded epoch log
     val dir = java.nio.file.Paths.get(path)
-    AuditPartition.listDirs(path, spec.col).foreach { case (_, d) =>
-      val (dead, live) = AuditPartition.manifestEntries(d).partition(_._2 == 0L)
-      if (dead.nonEmpty) {
-        dead.foreach { case (f, _) =>
-          java.nio.file.Files.deleteIfExists(d.resolve(f))
-        }
-        AuditPartition.writeManifest(d, live)
-        AuditStats.retain(d.toString,
-          f => java.nio.file.Files.exists(d.resolve(f)))
+    def hidden(tag: String) = dir.resolveSibling(
+      "." + dir.getFileName.toString + s".$tag." +
+        java.util.UUID.randomUUID().toString.take(8))
+    val stage = hidden("optstage")
+    df.write.format(classOf[JsonAuditSink].getName)
+      .option("path", stage.toString)
+      .option("partitionby", spec.serialized)
+      .mode("append").save()
+    val displaced = hidden("old")
+    java.nio.file.Files.move(dir, displaced,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(stage, dir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val walk = java.nio.file.Files.walk(displaced)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    spark.catalog.refreshTable(fullName) // drop any cached file listing
+    val perDir = AuditPartition.listDirs(path, spec.col)
+      .map { case (_, d) =>
+        val e = AuditPartition.manifestEntries(d)
+        (e.size, e.map(_._2).sum)
       }
-    }
-    java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
-    val files = AuditPartition.listDirs(path, spec.col)
-      .map { case (_, d) => AuditPartition.manifestEntries(d).size }.sum
-    (files, rows, -1L)
+    (perDir.map(_._1).sum, perDir.map(_._2).sum, -1L)
   }
 
   /** The pinned input set of one compaction run: the newest committed
@@ -408,15 +418,23 @@ private[sources] object AuditMaintenance {
     AuditScan.committedEpochs(path).lastOption.getOrElse(-1L),
     AuditBase.readManifest(path).collect { case e if !e.folded => e.file })
 
-  /** Reclaim superseded epoch files and bound the time-travel window. */
+  /** Reclaim superseded epoch files and bound the time-travel window.
+    * On a PARTITIONED table (`partCol` set) there is no base checkpoint
+    * or travelable epoch log — only the `clean_orphans` half applies,
+    * extended to sweep each partition directory's unreferenced files. */
   def vacuum(path: String, retainLast: Int,
-      cleanOrphans: Boolean = false): (Int, Long) = {
+      cleanOrphans: Boolean = false,
+      partCol: Option[String] = None): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
     if (b0.isEmpty && !cleanOrphans)
       throw new IllegalStateException(
-        s"audit VACUUM: $path has no base checkpoint — run OPTIMIZE first " +
-          "(only epochs superseded by a base can be reclaimed), or pass " +
+        s"audit VACUUM: $path has no base checkpoint — " +
+          (if (partCol.isDefined)
+            "partitioned tables have no superseded epochs to reclaim; pass "
+          else
+            "run OPTIMIZE first (only epochs superseded by a base can be " +
+              "reclaimed), or pass ") +
           "clean_orphans => true for orphan cleanup alone")
     var removed = 0
     var expired = b0.map(_.expiredThrough).getOrElse(-1L)
@@ -468,6 +486,47 @@ private[sources] object AuditMaintenance {
         finally walk.close()
       }
       AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
+      // partition directories: a file its dir's manifest does not list is
+      // a crashed-commit leftover, same as the table-level case
+      partCol.foreach { c =>
+        AuditPartition.listDirs(path, c).foreach { case (_, pdir) =>
+          val listed = AuditPartition.manifestEntries(pdir).map(_._1).toSet
+          val listing = java.nio.file.Files.list(pdir)
+          try listing.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".jsonl") &&
+              !listed(p.getFileName.toString))
+            .toSeq.foreach { p =>
+              java.nio.file.Files.deleteIfExists(p); removed += 1
+            }
+          finally listing.close()
+          AuditStats.retain(pdir.toString,
+            f => java.nio.file.Files.exists(pdir.resolve(f)))
+        }
+      }
+      // Swap leftovers BESIDE the table dir (partitioned OPTIMIZE's
+      // stage-and-swap): an orphan `.optstage.` tree is a crashed rewrite
+      // and safe to drop any time; a displaced `.old.` tree is dropped
+      // only while the swapped-in data dir is live — if the data dir is
+      // MISSING, the old tree is the only copy (crash between the two
+      // renames) and recovery is manual, never automatic deletion.
+      val parent = dir.getParent
+      val nm = dir.getFileName.toString
+      if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+        val siblings = java.nio.file.Files.list(parent)
+        try siblings.iterator().asScala.filter { p =>
+          val f = p.getFileName.toString
+          f.startsWith(s".$nm.optstage.") ||
+            (f.startsWith(s".$nm.old.") && java.nio.file.Files.isDirectory(dir))
+        }.toSeq.foreach { p =>
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder()).forEach { q =>
+            val isFile = java.nio.file.Files.isRegularFile(q)
+            if (java.nio.file.Files.deleteIfExists(q) && isFile) removed += 1
+          }
+          finally walk.close()
+        }
+        finally siblings.close()
+      }
     }
     (removed, expired)
   }
@@ -767,8 +826,9 @@ private[sources] object GraftProcedures {
         val table = input.getUTF8String(0).toString
         val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
-        val (path, _) = catalog.resolveAuditTable(table)
-        val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans)
+        val (path, _, part) = catalog.resolveAuditTableFull(table)
+        val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans,
+          part.map(AuditPartition.parseSpec(_).col))
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),

@@ -38,7 +38,12 @@ class JsonAuditSink extends TableProvider {
     new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new AuditTable(properties.get("path"), schema)
+    // `partitionby` (an identity column or `bucket(n,col)`) gives the
+    // PATH-BASED surface the same partitioned layout the catalog serves —
+    // and is what lets partitioned OPTIMIZE stage its rewrite as a
+    // sibling directory tree before the atomic swap
+    new AuditTable(properties.get("path"), schema,
+      partCol = Option(properties.get("partitionby")))
 }
 
 /** Hive-style single-column identity partitioning for the audit format:
@@ -368,6 +373,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
+    require(version.isEmpty || partInfo.isEmpty,
+      "partitioned audit tables carry no epoch log (no VERSION AS OF)")
     // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
     val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
     // compaction snapshot pin: only epochs <= snapshotMaxEpoch and batch

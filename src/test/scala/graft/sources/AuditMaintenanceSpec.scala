@@ -676,6 +676,59 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(ex.getMessage.contains("unpartitioned"), ex.getMessage)
   }
 
+  test("partitioned OPTIMIZE stages beside the table; crash leftovers are safe") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.po2")
+    spark.sql(
+      """CREATE TABLE graft_m.db.po2 (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO graft_m.db.po2 SELECT id, id % 2 FROM range(0, 100)")
+    val before = snap("SELECT id, flag FROM graft_m.db.po2 ORDER BY id")
+    val parent = dataDir("po2").getParent
+    // simulate a CRASHED rewrite: an orphan stage tree beside the data dir
+    val orphanStage = parent.resolve(".po2.optstage.deadbeef")
+    java.nio.file.Files.createDirectories(orphanStage.resolve("flag=0"))
+    java.nio.file.Files.write(
+      orphanStage.resolve("flag=0").resolve("part-00000.jsonl"),
+      "{\"id\":1,\"flag\":0}\n".getBytes("UTF-8"))
+    // and a displaced old tree with the data dir LIVE (publish completed)
+    val oldTree = parent.resolve(".po2.old.deadbeef")
+    java.nio.file.Files.createDirectories(oldTree)
+    java.nio.file.Files.write(oldTree.resolve("junk.jsonl"),
+      "{}\n".getBytes("UTF-8"))
+    // neither leftover is visible to a read
+    assert(snap("SELECT id, flag FROM graft_m.db.po2 ORDER BY id") === before)
+    // clean_orphans reclaims both (the data dir is live, so .old is dead)
+    spark.sql("CALL graft_m.system.vacuum(table => 'db.po2', " +
+      "clean_orphans => true)").collect()
+    assert(!java.nio.file.Files.exists(orphanStage), "orphan stage reclaimed")
+    assert(!java.nio.file.Files.exists(oldTree), "displaced old tree reclaimed")
+    // a displaced tree with the data dir MISSING is the only copy: kept
+    val oldTree2 = parent.resolve(".po2.old.cafebabe")
+    java.nio.file.Files.createDirectories(oldTree2)
+    val dataDirPath = dataDir("po2")
+    val hidden = parent.resolve(".po2.hidden_during_test")
+    java.nio.file.Files.move(dataDirPath, hidden)
+    try {
+      AuditMaintenance.vacuum(dataDirPath.toString, 0, cleanOrphans = true)
+      assert(java.nio.file.Files.exists(oldTree2),
+        "the only surviving copy must never be auto-deleted")
+    } finally {
+      java.nio.file.Files.delete(oldTree2)
+      java.nio.file.Files.move(hidden, dataDirPath)
+    }
+    // a successful swap leaves no hidden siblings and identical answers
+    spark.sql("CALL graft_m.system.optimize(table => 'db.po2', " +
+      "target_file_count => 2, sort_by => 'id')").collect()
+    val listing = java.nio.file.Files.list(parent)
+    val leftovers =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".po2.")).toSeq
+      finally listing.close()
+    assert(leftovers.isEmpty, leftovers)
+    assert(snap("SELECT id, flag FROM graft_m.db.po2 ORDER BY id") === before)
+  }
+
   test("history procedure lists epochs, batch commits, base, and deletes") {
     buildTable("his1")
     def hist() = spark.sql(
