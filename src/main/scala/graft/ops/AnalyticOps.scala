@@ -971,7 +971,128 @@ object AnalyticOps {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  // --- KMV distinct sketches ------------------------------------------------
+  /** Per-group distinct-count estimation via the [[graft.plans.KmvSketch]]
+    * k-minimum-values sketch (k = 64) over the cross-engine hash, beside
+    * the exact `COUNT(DISTINCT)` it replaces at scale. The exact side is
+    * the expensive plan (every distinct (flag, partkey) pair crosses the
+    * shuffle); the sketch side ships ≤ 64 longs per partition per group —
+    * at 100 TB that is the difference between a distinct-value shuffle
+    * and a constant-size one. Hashes are truncated to 45 bits (`>> 15`)
+    * so the estimator's (k−1)·M numerator (63·2^45 ≈ 2.2e15) stays in
+    * exact long arithmetic in BOTH engines; estimates are therefore
+    * bit-reproducible, unlike approx_count_distinct's engine-internal
+    * HLL. n < k means the sketch saw every distinct hash: exact count. */
+  def kmvDistinct(spark: SparkSession, d: String): DataFrame = {
+    val shim = org.apache.spark.sql.GraftSqlShim
+    import graft.functions.Hashing
+    val h45 = shiftright(Hashing.hexHash(col("l_partkey").cast("string")), 15)
+    val kmv = shim.column(graft.plans.KmvSketch(
+      shim.expression(h45), 64).toAggregateExpression())
+    val sketch = lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kmv.as("s"))
+      .withColumn("ndv_est", expr(
+        "CASE WHEN size(s) < 64 THEN CAST(size(s) AS BIGINT) " +
+          "ELSE 2216615441596416L div greatest(element_at(s, 64), 1L) END"))
+      .drop("s")
+    val exact = lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ndv_exact"))
+    sketch.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
+  val kmvDistinctSql: String = {
+    val hv = "(" + graft.functions.Hashing.hexHashSql(
+      "CAST(l_partkey AS VARCHAR)") + " // 32768)"
+    s"""WITH h AS (SELECT l_returnflag, $hv AS hv, l_partkey FROM lineitem),
+      |dh AS (SELECT DISTINCT l_returnflag, hv FROM h),
+      |r AS (SELECT l_returnflag, hv,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      |      FROM dh),
+      |s AS (SELECT l_returnflag, count(*) AS n, max(hv) AS hk
+      |      FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+      |e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS ndv_exact
+      |      FROM h GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       CAST(CASE WHEN s.n < 64 THEN s.n
+      |            ELSE 2216615441596416 // greatest(s.hk, 1) END AS BIGINT)
+      |         AS ndv_est,
+      |       CAST(e.ndv_exact AS BIGINT) AS ndv_exact
+      |FROM s JOIN e USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** KMV sketch SET ALGEBRA: union and intersection distinct-count
+    * estimates for two corpora (returnflag A vs R part sets) composed
+    * from their per-corpus sketches — neither corpus is re-read. Merging
+    * the two k-min arrays and re-taking the k smallest IS the sketch of
+    * the union (KMV's closure property); the fraction of those merged
+    * k-mins present in BOTH input sketches estimates Jaccard, and
+    * intersection = Jaccard × union. Exact answers computed beside for
+    * the error exhibit. All arithmetic exact-integer; the array algebra
+    * runs once over two 64-element arrays (interpreted HOFs are fine at
+    * that cardinality — invariant: never per-row hot paths). */
+  def kmvSetOps(spark: SparkSession, d: String): DataFrame = {
+    val shim = org.apache.spark.sql.GraftSqlShim
+    import graft.functions.Hashing
+    val h45 = shiftright(Hashing.hexHash(col("l_partkey").cast("string")), 15)
+    val base = lineitem(spark, d).where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("flag"), col("l_partkey"), h45.as("hv"))
+    val sketches = base.groupBy(col("flag"))
+      .agg(shim.column(graft.plans.KmvSketch(
+        shim.expression(col("hv")), 64).toAggregateExpression()).as("s"))
+      .agg(
+        first(when(col("flag") === "A", col("s")), ignoreNulls = true).as("sa"),
+        first(when(col("flag") === "R", col("s")), ignoreNulls = true).as("sb"))
+      .withColumn("m", expr("slice(array_sort(array_distinct(concat(sa, sb))), 1, 64)"))
+      .withColumn("union_est", expr(
+        "CASE WHEN size(m) < 64 THEN CAST(size(m) AS BIGINT) " +
+          "ELSE 2216615441596416L div greatest(element_at(m, 64), 1L) END"))
+      .withColumn("inter_est", expr(
+        "(CAST(size(filter(m, v -> array_contains(sa, v) AND array_contains(sb, v))) AS BIGINT)" +
+          " * union_est) div 64"))
+      .select(col("union_est"), col("inter_est"))
+    val exactUnion = base.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("union_exact"))
+    val exactInter = base.where(col("flag") === "A").select(col("l_partkey")).distinct()
+      .join(base.where(col("flag") === "R").select(col("l_partkey")).distinct(),
+        Seq("l_partkey"), "left_semi")
+      .agg(count(lit(1)).as("inter_exact"))
+    sketches.crossJoin(exactUnion).crossJoin(exactInter)
+  }
+
+  val kmvSetOpsSql: String = {
+    val hv = "(" + graft.functions.Hashing.hexHashSql(
+      "CAST(l_partkey AS VARCHAR)") + " // 32768)"
+    s"""WITH h AS (SELECT l_returnflag AS flag, $hv AS hv, l_partkey
+      |           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |sa AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE flag = 'A')
+      |       ORDER BY hv LIMIT 64),
+      |sb AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE flag = 'R')
+      |       ORDER BY hv LIMIT 64),
+      |sm AS (SELECT hv FROM (SELECT DISTINCT hv FROM
+      |         (SELECT hv FROM sa UNION ALL SELECT hv FROM sb))
+      |       ORDER BY hv LIMIT 64),
+      |st AS (SELECT count(*) AS n, max(hv) AS hk FROM sm),
+      |mt AS (SELECT count(*) AS c FROM sm
+      |       WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)),
+      |ue AS (SELECT CASE WHEN n < 64 THEN n
+      |              ELSE 2216615441596416 // greatest(hk, 1) END AS u FROM st),
+      |ex AS (SELECT count(DISTINCT l_partkey) AS union_exact FROM h),
+      |ei AS (SELECT count(*) AS inter_exact FROM
+      |         (SELECT DISTINCT l_partkey FROM h WHERE flag = 'A') x
+      |       WHERE l_partkey IN (SELECT l_partkey FROM h WHERE flag = 'R'))
+      |SELECT CAST(ue.u AS BIGINT) AS union_est,
+      |       CAST((mt.c * ue.u) // 64 AS BIGINT) AS inter_est,
+      |       CAST(ex.union_exact AS BIGINT) AS union_exact,
+      |       CAST(ei.inter_exact AS BIGINT) AS inter_exact
+      |FROM ue, mt, ex, ei""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (kmvDistinct _),
+    "q_kmv_setops" -> (kmvSetOps _),
     "q_dedup_rewrite" -> (dedupRewrite _),
     "q_rollup"     -> (rollupAgg _),
     "q_cube"       -> (cubeAgg _),
@@ -1002,6 +1123,8 @@ object AnalyticOps {
     "q_topk_agg"   -> (topkAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> kmvDistinctSql,
+    "q_kmv_setops" -> kmvSetOpsSql,
     "q_dedup_rewrite" -> dedupRewriteSql,
     "q_rollup"     -> rollupAggSql,
     "q_cube"       -> cubeAggSql,

@@ -61,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
     ext.injectFunction(GraftExtensions.argminRowDescriptor)
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)
+    ext.injectFunction(GraftExtensions.kmvSketchDescriptor)
   }
 }
 
@@ -128,5 +129,27 @@ object GraftExtensions {
             s"topk_rows: k must be an integer literal, got $other")
         }
         TopKRows(exprs.head, exprs(1), k)
+      })
+
+  /** `kmv_sketch(hash, k)` — the [[KmvSketch]] k-minimum-values distinct
+    * sketch as a plain SQL aggregate: the k smallest distinct BIGINT hash
+    * values as an ascending array. Mergeable (≤ k longs per partition
+    * cross the shuffle) and, over the repo's deterministic cross-engine
+    * hash, bit-reproducible — the oracle-checkable alternative to
+    * approx_count_distinct that also supports union/intersection
+    * estimates by sketch algebra. k must be an integer literal: it shapes
+    * the buffer, not per-row data. */
+  private[plans] val kmvSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getCanonicalName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "kmv_sketch(hash, k) takes 2 arguments")
+        val k = exprs(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch: k must be an integer literal, got $other")
+        }
+        KmvSketch(exprs.head, k)
       })
 }
