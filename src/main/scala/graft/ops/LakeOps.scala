@@ -705,7 +705,72 @@ object LakeOps {
        |ORDER BY bucket""".stripMargin
   }
 
+  // --- materialized-view query rewriting ------------------------------------
+  /** Aggregate over the BASE lineitem scan, answered from a registered
+    * summary table by [[graft.plans.MvRewriteRule]] — the optimizer
+    * rewrites the grouped aggregate (grouping coarser than the MV grain,
+    * filter on an MV group column, count/sum/min/max measures) onto the
+    * 6-row MV with compensating re-aggregation. The query SELF-AUDITS:
+    * it forces the optimized plan and requires the MV path in it, so a
+    * silently-unfired rewrite fails the run rather than passing on the
+    * base-scan answer; the oracle then proves the REWRITTEN plan returns
+    * exactly the base-table answer. sum measure is l_quantity
+    * (integer-valued doubles — exact in any association order); min/max
+    * are order-free; count is long. Registration is scoped to this
+    * query: the memoized optimizedPlan keeps the rewrite after
+    * unregister, and no other query in the run can match. */
+  def mvRewrite(spark: SparkSession, d: String): DataFrame = {
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val mv = graft.plans.MvRewriteRule.MvDef(
+      basePath = s"$d/lineitem.parquet",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      cnt = "mv_cnt",
+      sums = Map("l_quantity" -> "mv_sum_qty"),
+      mins = Map("l_extendedprice" -> "mv_min_price"),
+      maxs = Map("l_extendedprice" -> "mv_max_price"),
+      mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
+    graft.plans.MvRewriteRule.materialize(lineitem(spark, d), mv, mvDir)
+    graft.plans.MvRewriteRule.register(mv)
+    try {
+      val q = lineitem(spark, d)
+        .where(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag")
+      // memoize the optimized plan NOW (while registered) and audit that
+      // the scan is the MV (Relation.toString omits paths — check the
+      // file index's root paths)
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      require(scans.exists(_.contains(mvDir)),
+        s"mv rewrite did not fire — plan reads: ${scans.mkString(", ")}")
+      q
+    } finally graft.plans.MvRewriteRule.unregister(mv.basePath)
+  }
+
+  val mvRewriteSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS cnt_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       min(l_extendedprice) AS min_price,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_rewrite" -> (mvRewrite _),
     "q_checksum_diff" -> (checksumDiff _),
     "q_checksum" -> (tableChecksum _),
     "q_dq_checks" -> (dqChecks _),
@@ -726,6 +791,7 @@ object LakeOps {
     "q_checksum" -> tableChecksumSql,
     "q_dq_checks" -> dqChecksSql,
     "q_partial_merge" -> partialMergeSql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_bucket_prune" -> bucketPruneSql,

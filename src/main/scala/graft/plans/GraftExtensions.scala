@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => RowNumberDedupRule)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
     ext.injectResolutionRule(_ => AsOfJoinResolutionRule)
