@@ -138,28 +138,193 @@ private[sources] object AuditBase {
   private val LiveRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
   private val FoldedRe = """\{"folded":"([^"]+)","origrows":(\d+)\}""".r
 
-  /** All body lines of `_MANIFEST`, in file order (the CDF batch axis). */
-  def readManifest(path: String): Seq[ManifestEntry] = {
-    val f = java.nio.file.Paths.get(path).resolve("_MANIFEST")
-    if (!java.nio.file.Files.exists(f)) return Seq.empty
-    java.nio.file.Files.readAllLines(f).asScala.drop(1).collect {
-      case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
-      case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
-    }.toSeq
+  // --- OCC append commit log (_TXN) ---------------------------------------
+  // Concurrent batch appends commit OPTIMISTICALLY: each commit's entries
+  // (and their zone-map stats lines) live in an immutable
+  // `_TXN/<v>.json`, published by hard-link put-if-absent
+  // (Files.createLink fails atomically if <v> exists — the loser re-reads
+  // and retries with the next v). `_MANIFEST` is never read-modify-
+  // written by appends, so no append can clobber another. The logical
+  // manifest = `_MANIFEST` body ++ live txn entries in v order; the
+  // manifest header's `txnfloor` marks the highest txn already folded in
+  // (maintenance CONSOLIDATES txns before any manifest rewrite), so the
+  // CDF batch-offset axis — the global line order — is STABLE across
+  // consolidation: folding appends exactly the txn entries, in txn
+  // order, at the end of `_MANIFEST`.
+  //
+  // Read ordering discipline (linearizable vs a racing consolidation):
+  // read the txn files FIRST, then `_MANIFEST`, and drop txns ≤ the
+  // floor of the manifest just read. Consolidation writes the manifest
+  // BEFORE deleting the txn files it folded, so this order can only
+  // observe an entry twice (deduped by the floor), never zero times.
+
+  private def txnDir(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve("_TXN")
+  private val TxnNameRe = """(\d+)\.json""".r
+  private val FloorRe = """"txnfloor":(\d+)""".r
+  // a stats line is distinguished from an entry line by its "v" field
+  private def isStatsLine(l: String): Boolean = l.startsWith("{\"file\":") &&
+    !LiveRe.pattern.matcher(l).matches()
+
+  private final case class Txn(v: Long, entries: Seq[ManifestEntry],
+      statsLines: Seq[String])
+
+  /** All committed txn files, ascending v. A file deleted mid-listing by
+    * a racing consolidation is skipped — its entries are already in the
+    * manifest (deletion happens strictly after the manifest write). */
+  private def rawTxns(path: String): Seq[Txn] = {
+    val d = txnDir(path)
+    if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
+    val names = {
+      val listing = java.nio.file.Files.list(d)
+      try listing.iterator().asScala.map(_.getFileName.toString).collect {
+        case n @ TxnNameRe(v) => (v.toLong, n)
+      }.toSeq.sortBy(_._1)
+      finally listing.close()
+    }
+    names.flatMap { case (v, n) =>
+      try {
+        val lines = java.nio.file.Files.readAllLines(d.resolve(n)).asScala
+        Some(Txn(v,
+          lines.drop(1).collect { case LiveRe(f, r) =>
+            ManifestEntry(f, r.toLong, folded = false) }.toSeq,
+          lines.drop(1).filter(isStatsLine).toSeq))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
   }
 
-  /** Rewrite `_MANIFEST` preserving entry order; the header counts LIVE
-    * entries only (it is what the metadata COUNT path and the write guard
-    * sum). */
-  def writeManifest(path: String, entries: Seq[ManifestEntry]): Unit = {
+  private def manifestLines(path: String): Option[Seq[String]] = {
+    val f = java.nio.file.Paths.get(path).resolve("_MANIFEST")
+    if (!java.nio.file.Files.exists(f))
+      None
+    else Some(java.nio.file.Files.readAllLines(f).asScala.toSeq)
+  }
+
+  private def floorOf(header: String): Long =
+    FloorRe.findFirstMatchIn(header).map(_.group(1).toLong).getOrElse(0L)
+
+  def readTxnFloor(path: String): Long =
+    manifestLines(path).map(ls => floorOf(ls.head)).getOrElse(0L)
+
+  /** All body lines of `_MANIFEST` ++ live txn entries, in the global
+    * file order (the CDF batch axis). */
+  def readManifest(path: String): Seq[ManifestEntry] = {
+    val txns = rawTxns(path) // BEFORE the manifest — see ordering note
+    manifestLines(path) match {
+      case None => txns.flatMap(_.entries)
+      case Some(lines) =>
+        val floor = floorOf(lines.head)
+        lines.drop(1).collect {
+          case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
+          case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
+        } ++ txns.filter(_.v > floor).flatMap(_.entries)
+    }
+  }
+
+  /** Live (unconsolidated) txn stats lines in v order, for the zone-map
+    * overlay. Same txns-first discipline; duplicates vs `_STATS` are
+    * harmless (identical content, last-wins). */
+  def liveTxnStatsLines(path: String): Seq[String] = {
+    val txns = rawTxns(path)
+    val floor = readTxnFloor(path)
+    txns.filter(_.v > floor).flatMap(_.statsLines)
+  }
+
+  /** OCC commit: publish `entries` (+ their stats lines) as the next txn.
+    * Returns the committed version. The loop is wait-free vs other
+    * appenders — only the createLink is contended, and the loser's retry
+    * re-reads nothing heavier than a directory listing. */
+  def commitTxn(path: String, entries: Seq[ManifestEntry],
+      statsLines: Seq[String]): Long = {
+    val d = txnDir(path)
+    java.nio.file.Files.createDirectories(d)
+    val body = entries.map(e => s"""{"file":"${e.file}","rows":${e.rows}}""") ++
+      statsLines
+    var attempt = 0
+    while (true) {
+      val v = math.max(readTxnFloor(path),
+        rawTxns(path).lastOption.map(_.v).getOrElse(0L)) + 1
+      val header = s"""{"v":$v,"files":${entries.size},""" +
+        s""""rows":${entries.map(_.rows).sum}}"""
+      val tmp = d.resolve(s"$v.json.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      java.nio.file.Files.write(tmp,
+        (header +: body).mkString("\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(d.resolve(s"$v.json"), tmp)
+        java.nio.file.Files.delete(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmp) // lost the race — retry at v+1
+          attempt += 1
+          require(attempt < 10000, s"audit OCC: $attempt failed commit attempts")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Fold every live txn into `_MANIFEST` (+ its stats into `_STATS`) and
+    * advance the floor. MUST run at the start of every path that
+    * read-modify-writes `_MANIFEST` or rewrites committed files in place
+    * (DML rewrites, metadata DELETE, OPTIMIZE fold) — those paths stay
+    * single-maintenance-writer; only APPENDS are multi-writer. Crash-safe:
+    * stats first (duplicates are last-wins idempotent), manifest second
+    * (the floor makes folded txns dead), deletion last (pure GC). */
+  def consolidate(path: String): Unit = {
+    val txns = rawTxns(path)
+    if (txns.isEmpty) return
+    val (floor, body) = manifestLines(path) match {
+      case None => (0L, Seq.empty[ManifestEntry])
+      case Some(lines) => (floorOf(lines.head), lines.drop(1).collect {
+        case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
+        case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
+      }.toSeq)
+    }
+    val live = txns.filter(_.v > floor)
+    if (live.nonEmpty) {
+      AuditStats.appendRaw(path, live.flatMap(_.statsLines))
+      writeManifestWithFloor(path, body ++ live.flatMap(_.entries),
+        math.max(floor, txns.map(_.v).max))
+    }
+    txns.foreach(t => java.nio.file.Files.deleteIfExists(
+      txnDir(path).resolve(s"${t.v}.json")))
+  }
+
+  /** Remove crash debris: commit attempts that never won their link. */
+  def cleanTxnDebris(path: String): Unit = {
+    val d = txnDir(path)
+    if (!java.nio.file.Files.isDirectory(d)) return
+    val listing = java.nio.file.Files.list(d)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.contains(".tmp-"))
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally listing.close()
+  }
+
+  /** Rewrite `_MANIFEST` preserving entry order AND the current txn
+    * floor; the header counts LIVE entries only (it is what the metadata
+    * COUNT path and the write guard sum). Atomic (tmp + move): readers
+    * racing the write see old-or-new, never a torn file. */
+  def writeManifest(path: String, entries: Seq[ManifestEntry]): Unit =
+    writeManifestWithFloor(path, entries, readTxnFloor(path))
+
+  private def writeManifestWithFloor(path: String,
+      entries: Seq[ManifestEntry], floor: Long): Unit = {
     val live = entries.filterNot(_.folded)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path).resolve("_MANIFEST"),
-      (Seq(s"""{"files":${live.size},"rows":${live.map(_.rows).sum}}""") ++
+    val f = java.nio.file.Paths.get(path).resolve("_MANIFEST")
+    val header = s"""{"files":${live.size},"rows":${live.map(_.rows).sum}""" +
+      (if (floor > 0) s""","txnfloor":$floor""" else "") + "}"
+    val tmp = f.resolveSibling(
+      s"_MANIFEST.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    java.nio.file.Files.write(tmp,
+      (Seq(header) ++
         entries.map {
           case ManifestEntry(n, r, false) => s"""{"file":"$n","rows":$r}"""
           case ManifestEntry(n, r, true)  => s"""{"folded":"$n","origrows":$r}"""
         }).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private val PartNumRe = """part-(\d+)\.jsonl""".r
@@ -205,6 +370,10 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
       (name, m.rows)
     }
     val prev = AuditBase.read(path)
+    // maintenance is single-writer: consolidate OCC txn appends into the
+    // manifest before the fold's read-modify-write (mid-job appends —
+    // txn or otherwise — stay LIVE; they are not in the pinned snapshot)
+    AuditBase.consolidate(path)
     val manifest = AuditBase.readManifest(path)
     // fold ONLY the batch entries the compaction's pinned snapshot read
     // (entries appended while the job ran stay LIVE — folding them would
@@ -486,6 +655,8 @@ private[sources] object AuditMaintenance {
         finally walk.close()
       }
       AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
+      // OCC commit attempts that never won their put-if-absent link
+      AuditBase.cleanTxnDebris(path)
       // partition directories: a file its dir's manifest does not list is
       // a crashed-commit leftover, same as the table-level case
       partCol.foreach { c =>

@@ -1118,8 +1118,68 @@ object CatalogApi {
       |GROUP BY 1
       |ORDER BY g""".stripMargin
 
+  /** CONCURRENT multi-writer ingestion, oracle-checked: four threads
+    * INSERT disjoint slices into one audit table SIMULTANEOUSLY. Each
+    * commit publishes as an immutable `_TXN/<v>.json` via put-if-absent
+    * (hard-link CAS) — under the old read-modify-write manifest two
+    * racing commits would silently drop one side's rows, which the
+    * rollup oracle would catch as a hash mismatch. The query SELF-AUDITS
+    * that all four commits landed as four distinct txn versions (no
+    * consolidation has run), then aggregates through the logical
+    * manifest. At scale this is the difference between "one Spark job
+    * may write a table" and "any number of jobs may append": the
+    * contended window is one createLink syscall, not the whole commit. */
+  def auditOcc(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qocc_wh")
+    spark.conf.set("spark.sql.catalog.graft_qocc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qocc.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qocc.db.occt")
+    spark.sql(
+      "CREATE TABLE graft_qocc.db.occt (id BIGINT, g BIGINT, v BIGINT) USING audit")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        try spark.sql(
+          s"""INSERT INTO graft_qocc.db.occt
+            |SELECT id, id % 7 AS g, id * 3 AS v
+            |FROM range(${i * 500L}, ${(i + 1) * 500L})""".stripMargin)
+        catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    require(failures.isEmpty, s"concurrent INSERT failed: ${failures.peek()}")
+    val txnDir = wh.resolve("db").resolve("occt").resolve("_TXN")
+    val versions = {
+      val l = java.nio.file.Files.list(txnDir)
+      try {
+        val b = Seq.newBuilder[String]
+        val it = l.iterator()
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result().filter(_.endsWith(".json")).sorted
+      } finally l.close()
+    }
+    require(versions == (1 to 4).map(v => s"$v.json"),
+      s"expected 4 OCC txn commits, got $versions")
+    spark.sql(
+      """SELECT g, count(*) AS n_rows, sum(v) AS sum_v,
+        |       min(id) AS lo_id, max(id) AS hi_id
+        |FROM graft_qocc.db.occt
+        |GROUP BY g
+        |ORDER BY g""".stripMargin)
+  }
+
+  val auditOccSql: String =
+    """SELECT id % 7 AS g, count(*) AS n_rows,
+      |       CAST(sum(id * 3) AS BIGINT) AS sum_v,
+      |       min(id) AS lo_id, max(id) AS hi_id
+      |FROM (SELECT CAST(t.r AS BIGINT) AS id FROM range(2000) t(r))
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
+      "q_audit_occ" -> (auditOcc _),
       "q_cdf_mv" -> (cdfIncrementalMv _),
       "q_catalog_func" -> (catalogFunc _),
       "q_audit_bucket" -> (auditBucket _),
@@ -1134,6 +1194,7 @@ object CatalogApi {
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
+      "q_audit_occ" -> auditOccSql,
       "q_cdf_mv" -> cdfIncrementalMvSql,
       "q_catalog_func" -> catalogFuncSql,
       "q_audit_bucket" -> auditBucketSql,

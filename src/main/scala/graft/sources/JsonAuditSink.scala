@@ -784,14 +784,12 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
         }.sum
       else 0L
     }
-    val batchRows: Long = {
-      val f = dir.resolve("_MANIFEST")
-      if (versionAsOf.isEmpty && java.nio.file.Files.exists(f))
-        java.nio.file.Files.readAllLines(f).asScala.drop(1).collect {
-          case rowsRe(r) => r.toLong
-        }.sum
+    val batchRows: Long =
+      if (versionAsOf.isEmpty)
+        // logical manifest (incl. OCC txn commits); live entries only
+        AuditBase.readManifest(path)
+          .collect { case e if !e.folded => e.rows }.sum
       else 0L
-    }
     epochRows + batchRows
   }
 
@@ -1033,17 +1031,16 @@ final class AuditScan(path: String, writeSchema: StructType,
     }
     val epochFiles: Seq[(String, Option[Long])] =
       AuditScan.epochFiles(path, wanted).map { case (f, e) => (f, Some(e)) }
-    // batch-committed files come from _MANIFEST (not a directory glob);
-    // they carry no epoch, so they only appear in the un-pinned read.
-    // Folded entries (rows now in the base) parse as a different key and
-    // are skipped here by construction.
-    val manifestFile = dir.resolve("_MANIFEST")
-    val fileRe = """\{"file":"([^"]+)",.*""".r
+    // batch-committed files come from the logical manifest — _MANIFEST
+    // plus unconsolidated OCC txn commits — never a directory glob; they
+    // carry no epoch, so they only appear in the un-pinned read. Folded
+    // entries (rows now in the base) are skipped.
     val batchFiles: Seq[(String, Option[Long])] =
-      if (versionAsOf.isEmpty && java.nio.file.Files.exists(manifestFile))
-        java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-          case fileRe(f) if snapFiles.forall(_.contains(f)) => (f, None)
-        }.toSeq
+      if (versionAsOf.isEmpty)
+        AuditBase.readManifest(path).collect {
+          case e if !e.folded && snapFiles.forall(_.contains(e.file)) =>
+            (e.file, None)
+        }
       else Seq.empty
     // delete vectors apply to CURRENT-state reads only: pinned reads
     // reconstruct pure epoch history (delta DML never retro-edits it)
@@ -1853,6 +1850,9 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val stage = dir.resolve("_staging")
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
     val manifestFile = dir.resolve("_MANIFEST")
+    // DML is single-writer (documented): fold any OCC txn appends into
+    // the manifest before this read-modify-write
+    AuditBase.consolidate(path)
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
     val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
@@ -1910,7 +1910,10 @@ private[sources] object AuditDelete {
           .collect { case rowsRe(r) => r.toLong }.sum
       else 0L
     }
-    sumOf("_MANIFEST", dropHeader = true) + sumOf("_EPOCHS", dropHeader = false)
+    // batch side through readManifest (includes unconsolidated OCC txn
+    // commits); epoch side straight from the _EPOCHS log as before
+    AuditBase.readManifest(path).collect { case e if !e.folded => e.rows }.sum +
+      sumOf("_EPOCHS", dropHeader = false)
   }
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
@@ -1982,6 +1985,9 @@ private[sources] object AuditDelete {
   def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
       partInfo: Option[(String, DataType)] = None): Unit = {
     val dir = java.nio.file.Paths.get(path)
+    // maintenance is single-writer (documented): fold OCC txn appends in
+    // before any in-place file rewrite or manifest read-modify-write
+    if (partInfo.isEmpty) AuditBase.consolidate(path)
     // compacted table: canDeleteWhere routed predicate deletes to the
     // delta path, but TRUNCATE TABLE reaches here directly — clear the
     // base checkpoint and every log wholesale
@@ -2072,10 +2078,9 @@ private[sources] object AuditDelete {
         case fileRe(f, _) => f
       }.toSeq
       val updated = entries.map(f => (f, rewrite(dir.resolve(f))))
-      java.nio.file.Files.write(manifestFile,
-        (Seq(s"""{"files":${updated.size},"rows":${updated.map(_._2).sum}}""") ++
-          updated.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
-          .mkString("\n").getBytes("UTF-8"))
+      AuditBase.writeManifest(path, updated.map { case (f, r) =>
+        AuditBase.ManifestEntry(f, r, folded = false)
+      }) // preserves the OCC txn floor (atomic tmp+move)
     }
     // epoch files: rewrite, refresh per-epoch row totals in _EPOCHS
     val epochsFile = dir.resolve("_EPOCHS")
@@ -2649,9 +2654,8 @@ private[sources] object AuditStats {
     (ints.result(), strs.result())
   }
 
-  def read(path: String): Map[String, FileStats] =
-    if (!java.nio.file.Files.exists(file(path))) Map.empty
-    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+  private def parseLines(lines: Seq[String]): Map[String, FileStats] =
+    lines.collect {
       case LineRe(f, v, blooms, cols) =>
         val (ints, strs) = parseCols(cols)
         val bl =
@@ -2660,6 +2664,25 @@ private[sources] object AuditStats {
             .map(m => m.group(1) -> m.group(2)).toMap
         f -> FileStats(if (v == null) 1 else v.toInt, ints, strs, bl)
     }.toMap // last line wins for a replayed epoch file — exactly right
+
+  def read(path: String): Map[String, FileStats] = {
+    // OCC overlay: stats lines of unconsolidated txn commits live inside
+    // their _TXN files; consolidation folds them into _STATS (duplicates
+    // during the race are identical content — last-wins is idempotent)
+    val txn = AuditBase.liveTxnStatsLines(path)
+    val base =
+      if (!java.nio.file.Files.exists(file(path))) Map.empty[String, FileStats]
+      else parseLines(java.nio.file.Files.readAllLines(file(path)).asScala.toSeq)
+    if (txn.isEmpty) base else base ++ parseLines(txn)
+  }
+
+  /** Append pre-rendered stats lines (txn consolidation). */
+  def appendRaw(path: String, lines: Seq[String]): Unit =
+    if (lines.nonEmpty)
+      java.nio.file.Files.write(file(path),
+        lines.map(_ + "\n").mkString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
 
   def line(fileName: String, st: FileStats): String = {
     val esc = AuditRowJson.esc _
@@ -2910,35 +2933,53 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       finally listing.close()
       // epoch part files die with the truncate — a stale epoch log would
       // point versioned readers at deleted files; same for delete vectors
-      // and the base checkpoint (its .jsonl files died in the loop above)
+      // and the base checkpoint (its .jsonl files died in the loop above),
+      // and for unconsolidated txn commits (their part files died too)
       java.nio.file.Files.deleteIfExists(dir.resolve("_EPOCHS"))
       java.nio.file.Files.deleteIfExists(dir.resolve("_BASE"))
       AuditDeletes.clear(path)
       AuditStats.clear(path)
+      deleteRecursively(dir.resolve("_TXN"))
     }
-    // append commits extend the manifest (and number files past the
-    // already-committed set — folded tombstones included: a reused name
-    // would collide with origin row ids) instead of clobbering it
-    val prior: Seq[AuditBase.ManifestEntry] =
-      if (!truncateFirst && java.nio.file.Files.exists(manifestFile))
-        AuditBase.readManifest(path)
-      else Seq.empty
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .sortBy(_.stagedName)
-    val start = AuditBase.nextPartIndex(prior)
-    entries.zipWithIndex.foreach { case (m, i) =>
-      java.nio.file.Files.move(stage.resolve(m.stagedName),
-        dir.resolve(f"part-${start + i}%05d.jsonl"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (truncateFirst) {
+      // overwrite is exclusive by nature (it just deleted the table) —
+      // numbered names + direct manifest, as before
+      val start = 0
+      entries.zipWithIndex.foreach { case (m, i) =>
+        java.nio.file.Files.move(stage.resolve(m.stagedName),
+          dir.resolve(f"part-${start + i}%05d.jsonl"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      AuditBase.writeManifest(path, entries.zipWithIndex.map {
+        case (m, i) =>
+          AuditBase.ManifestEntry(f"part-${start + i}%05d.jsonl", m.rows,
+            folded = false)
+      })
+      AuditStats.append(path, entries.zipWithIndex.map { case (m, i) =>
+        (f"part-${start + i}%05d.jsonl", m.stats)
+      })
+    } else if (entries.nonEmpty) {
+      // OCC APPEND: move files under commit-unique names (no index to
+      // contend for), then publish the commit as an immutable _TXN file
+      // via put-if-absent — concurrent appenders NEVER read-modify-write
+      // the manifest, so no commit can clobber another. A crash between
+      // move and publish leaves unreferenced .jsonl files that VACUUM
+      // clean_orphans reclaims. Stats lines travel INSIDE the txn file,
+      // so zone maps/blooms publish atomically with the entries.
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      val named = entries.zipWithIndex.map { case (m, i) =>
+        val name = f"part-x$gen-$i%05d.jsonl"
+        java.nio.file.Files.move(stage.resolve(m.stagedName),
+          dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (name, m)
+      }
+      AuditBase.commitTxn(path,
+        named.map { case (n, m) =>
+          AuditBase.ManifestEntry(n, m.rows, folded = false) },
+        named.map { case (n, m) => AuditStats.line(n, m.stats) })
     }
-    AuditBase.writeManifest(path, prior ++ entries.zipWithIndex.map {
-      case (m, i) =>
-        AuditBase.ManifestEntry(f"part-${start + i}%05d.jsonl", m.rows,
-          folded = false)
-    })
-    AuditStats.append(path, entries.zipWithIndex.map { case (m, i) =>
-      (f"part-${start + i}%05d.jsonl", m.stats)
-    })
     deleteRecursively(stage)
   }
 

@@ -30,12 +30,19 @@ class JsonAuditSinkSpec extends SparkSpec {
     val names = try files.iterator().asScala.map(_.getFileName.toString).toSet
       finally files.close()
     assert(names.count(_.endsWith(".jsonl")) === 3, names)
-    assert(names.contains("_MANIFEST"))
     assert(!names.contains("_staging"), "staging must be cleaned on commit")
 
+    // the append publishes as an immutable OCC txn commit…
+    val txnLines = java.nio.file.Files.readAllLines(
+      dir.resolve("_TXN").resolve("1.json"))
+    assert(txnLines.get(0) === s"""{"v":1,"files":3,"rows":$n}""", txnLines.get(0))
+    // …which consolidation folds into _MANIFEST with identical totals
+    AuditBase.consolidate(dir.toString)
     val manifestHead = java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
       .get(0)
-    assert(manifestHead === s"""{"files":3,"rows":$n}""", manifestHead)
+    assert(manifestHead === s"""{"files":3,"rows":$n,"txnfloor":1}""", manifestHead)
+    assert(!java.nio.file.Files.exists(dir.resolve("_TXN").resolve("1.json")),
+      "consolidation garbage-collects the folded txn file")
 
     // byte-exact round trip through a plain JSON reader
     val schema = StructType(Seq(
@@ -287,15 +294,15 @@ class JsonAuditSinkSpec extends SparkSpec {
       .option("targetFileCount", "3")
       .option("clusterBy", "id").option("sortBy", "id")
       .mode("append").save()
-    val manifest = java.nio.file.Files.readAllLines(out.resolve("_MANIFEST"))
-    assert(manifest.get(0) === """{"files":3,"rows":300}""", manifest.get(0))
+    val committed = AuditBase.readManifest(out.toString)
+    assert(committed.size === 3 && committed.map(_.rows).sum === 300L, committed)
     // every committed file is internally sorted by id (the writer wrote
     // rows in arrival order, so order proves Spark applied the sort)
-    (0 to 2).foreach { i =>
+    committed.foreach { e =>
       val ids = java.nio.file.Files
-        .readAllLines(out.resolve(f"part-$i%05d.jsonl")).asScala
+        .readAllLines(out.resolve(e.file)).asScala
         .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
-      assert(ids.toSeq === ids.sorted.toSeq, s"file $i not sorted")
+      assert(ids.toSeq === ids.sorted.toSeq, s"file ${e.file} not sorted")
     }
     // and the full set survives intact
     val schema = StructType(Seq(StructField("id", LongType)))
@@ -368,7 +375,9 @@ class JsonAuditSinkSpec extends SparkSpec {
       .repartitionByRange(8, col("id"))
       .write.format(classOf[JsonAuditSink].getName)
       .option("path", dir.toString).mode("append").save()
-    assert(java.nio.file.Files.exists(dir.resolve("_STATS")))
+    // stats travel inside the txn commit until consolidation — read the
+    // merged view, one zone-map line per committed file
+    assert(AuditStats.read(dir.toString).size === 8)
     def read() = spark.read.schema(schema)
       .format(classOf[JsonAuditSink].getName).option("path", dir.toString).load()
     // a 1.5-file-wide slice plans 2 of 8 partitions, answers stay exact
