@@ -269,6 +269,105 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- SemDeDup (cluster-then-dedup) ----------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, then search for near-duplicate pairs ONLY inside each
+    * cluster and drop the higher-id member — the clustering exists to
+    * bound the pair search at O(Σ n_c²) instead of O(n²), which is what
+    * makes embedding dedup feasible on a web-scale corpus (the paper
+    * runs K ∝ n so cells stay constant-sized; here K = [[KmK]]).
+    *
+    * Beside [[dedupEmbed]] (LSH-bucketed candidates) this is the OTHER
+    * standard blocking scheme: LSH bounds by hash agreement, SemDeDup by
+    * cluster membership — exact duplicates always share a cluster (same
+    * vector ⇒ same distances ⇒ same argmin cell), so injected dups are
+    * provably caught. One-pass assignment to the hash-derived seed
+    * centroids in exact integer arithmetic ([[kmeansAssign]]'s seed
+    * formula — the clustering is a blocking device, determinism matters
+    * and Lloyd fidelity does not); pair verification is the codegen'd
+    * exact cosine, bit-identical in both engines. */
+  def semDedup(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.CosineSim.register(spark)
+    val corpus = injectedCorpus(spark, d)
+    val rows = corpus
+      .select(col("vec_id"), posexplode(dimChecked(col("emb"), "semdedup")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(QuantScale)).cast("long").as("xq"))
+    val seeds = rows.select(col("pos")).distinct()
+      .crossJoin(spark.range(KmK).select(col("id").as("cell")))
+      .select(col("cell"), col("pos"),
+        (Hashing.hexHash(concat(lit("km"), col("cell").cast("string"),
+          lit(":"), col("pos").cast("string"))) % 1000001L - 500000L).as("cq"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val assigned = rows.join(broadcast(seeds), Seq("pos"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    // pinned: the self-join fan-out reads it twice (exchange reuse does
+    // not fire across self-join branches) plus the rollup
+    val withCell = corpus.join(assigned, Seq("vec_id")).localCheckpoint()
+    val dropped = withCell.as("x").join(withCell.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .where(cosineFast(col("x.emb"), col("y.emb")) >= threshold)
+      .select(col("y.vec_id").as("vec_id"), col("y.cell").as("cell"))
+      .distinct()
+    withCell.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cell")
+  }
+
+  def semDedupSql(threshold: Double = 0.99): String = {
+    val seedCq = s"(${Hashing.hexHashSql("'km' || CAST(cell AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 1000001) - 500000"
+    val cos = cosineSql("x.emb", "y.emb")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+       |  FROM embeddings WHERE vec_id < 10
+       |), rws AS (
+       |  SELECT vec_id, CAST(s[2] AS BIGINT) - 1 AS pos,
+       |         CAST(floor(CAST(s[1] AS DOUBLE) * $QuantScale) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(list_zip(emb,
+       |          generate_series(1, len(emb)))) AS s
+       |        FROM base) t
+       |), seeds AS (
+       |  SELECT cell, pos, $seedCq AS cq
+       |  FROM (SELECT DISTINCT pos FROM rws), (SELECT CAST(i AS BIGINT) AS cell
+       |                                        FROM range(0, $KmK) r(i))
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT r.vec_id, c.cell,
+       |                 CAST(sum((r.xq - c.cq) * (r.xq - c.cq)) AS BIGINT) AS dist
+       |          FROM rws r JOIN seeds c ON r.pos = c.pos
+       |          GROUP BY 1, 2)
+       |  ) WHERE rn = 1
+       |), wc AS (
+       |  SELECT b.vec_id, b.emb, a.cell FROM base b JOIN assigned a USING (vec_id)
+       |), dropped AS (
+       |  SELECT DISTINCT y.vec_id, y.cell
+       |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE $cos >= $threshold
+       |), nv AS (
+       |  SELECT cell, count(*) AS n_vecs FROM wc GROUP BY cell
+       |), nd AS (
+       |  SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell
+       |)
+       |SELECT nv.cell, nv.n_vecs,
+       |       CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM nv LEFT JOIN nd USING (cell)
+       |ORDER BY cell""".stripMargin
+  }
+
   // ---- multi-probe IVF -------------------------------------------------------
 
   /** IVF with nprobe > 1 — the recall dial: rank ALL cells by the query's
@@ -1078,6 +1177,7 @@ object Similarity {
     "q_lsh_buckets"     -> ((s, d) => lshBuckets(s, d)),
     "q_ann_pairs"       -> ((s, d) => annPairs(s, d)),
     "q_dedup_embed"     -> ((s, d) => dedupEmbed(s, d)),
+    "q_semdedup"        -> ((s, d) => semDedup(s, d)),
     "q_l2_normalize"    -> ((s, d) => l2Normalize(s, d)),
     "q_dedup_quality"   -> ((s, d) => dedupQuality(s, d)),
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
@@ -1098,6 +1198,7 @@ object Similarity {
     "q_lsh_buckets"     -> lshBucketsSql,
     "q_ann_pairs"       -> annPairsSql(),
     "q_dedup_embed"     -> dedupEmbedSql(),
+    "q_semdedup"        -> semDedupSql(),
     "q_l2_normalize"    -> l2NormalizeSql,
     "q_dedup_quality"   -> dedupQualitySql(),
     "q_ivf_cells"       -> ivfCellsSql,

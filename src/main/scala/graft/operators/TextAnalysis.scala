@@ -1538,7 +1538,95 @@ object TextAnalysis {
       |HAVING count(*) * $HhK > (SELECT n FROM tot)
       |ORDER BY token""".stripMargin
 
+  // ---- DSIR importance weighting (data selection) ---------------------------
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by the log importance ratio log p_target(x)/p_raw(x) under
+    * add-one-smoothed unigram bag models of a TARGET slice (lang='en'
+    * here) vs the whole raw corpus, and keep the top-k — the standard way
+    * a 100 TB web crawl is steered toward a target domain without
+    * training a classifier.
+    *
+    * Numerics contract (the [[perplexity]] pattern): each token's
+    * log-ratio ln(((n_t+1)·(N_r+V)) / ((n_r+1)·(N_t+V))) is ONE double
+    * expression evaluated in the same order by both engines — integer
+    * products are exact in doubles at these magnitudes — then floor-
+    * quantized to a CENTI-NAT INTEGER per DISTINCT token before the
+    * per-doc sum, so document scores are order-free exact integers.
+    *
+    * Plan shape: both unigram tables are vocab-bounded aggregates
+    * BROADCAST onto the token stream; the only corpus-wide shuffle is the
+    * per-doc score groupBy, and the top-k is TakeOrderedAndProject.
+    * Docs with no tokens score 0 via the left join. */
+  def dsirSelect(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val tokens = documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("t"))
+      .localCheckpoint() // LM build (×2 aggregates) AND scoring read it
+    val tgt = tokens.where(col("lang") === "en")
+      .groupBy(col("t")).agg(count(lit(1)).as("nt"))
+    val raw = tokens.groupBy(col("t")).agg(count(lit(1)).as("nr"))
+    val totals = tokens.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"),
+      count(lit(1)).as("n_raw"),
+      countDistinct(col("t")).as("v"))
+    // per-distinct-token quantized log-ratio: the broadcastable "LM"
+    val lm = raw.join(tgt, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("t"),
+        floor(log(((coalesce(col("nt"), lit(0L)) + 1L).cast("double") *
+            (col("n_raw") + col("v"))) /
+          ((col("nr") + 1L).cast("double") * (col("n_tgt") + col("v"))))
+          * 100).cast("long").as("lr_q"))
+    val scored = tokens
+      .join(broadcast(lm), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr_q")).as("w_q"), count(lit(1)).as("n_toks"))
+    documents(spark, d).select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("w_q"), lit(0L)).as("w_q"))
+      .orderBy(col("w_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val dsirSelectSql: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |  FROM documents
+      |), tgt AS (
+      |  SELECT t, count(*) AS nt FROM tokens WHERE lang = 'en' GROUP BY t
+      |), raw AS (
+      |  SELECT t, count(*) AS nr FROM tokens GROUP BY t
+      |), totals AS (
+      |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_tgt,
+      |         count(*) AS n_raw, count(DISTINCT t) AS v
+      |  FROM tokens
+      |), lm AS (
+      |  SELECT r.t,
+      |         CAST(floor(ln((CAST(COALESCE(g.nt, 0) + 1 AS DOUBLE)
+      |                         * (totals.n_raw + totals.v))
+      |                       / (CAST(r.nr + 1 AS DOUBLE)
+      |                         * (totals.n_tgt + totals.v)))
+      |                    * 100) AS BIGINT) AS lr_q
+      |  FROM raw r LEFT JOIN tgt g ON r.t = g.t CROSS JOIN totals
+      |), scored AS (
+      |  SELECT tk.doc_id, CAST(sum(lm.lr_q) AS BIGINT) AS w_q,
+      |         count(*) AS n_toks
+      |  FROM tokens tk JOIN lm ON tk.t = lm.t
+      |  GROUP BY tk.doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       COALESCE(s.n_toks, 0) AS n_toks,
+      |       COALESCE(s.w_q, 0) AS w_q
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY w_q DESC, d.doc_id
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> ((s, d) => dsirSelect(s, d)),
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)),
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
@@ -1618,6 +1706,7 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_dsir" -> dsirSelectSql,
     "q_fast_fingerprint" -> fastFingerprintSql,
     "q_compress_signal" -> compressionSignalSql,
     "q_heavy_hitters" -> heavyHittersSql,
