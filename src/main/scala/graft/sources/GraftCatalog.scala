@@ -1177,9 +1177,120 @@ object CatalogApi {
       |GROUP BY 1
       |ORDER BY g""".stripMargin
 
+  /** STREAMING CDC REPLICATION, oracle-checked end to end: a replica
+    * audit table is maintained EXCLUSIVELY by tailing the source table's
+    * change feed — the capstone proof that the CDF is a sufficient
+    * interface (inserts + tombstones) to keep a downstream copy
+    * consistent through INSERT, MERGE and DELETE, without ever reading
+    * the source table itself.
+    *
+    * The apply recipe is the scale-sane CDC standard: each micro-batch
+    * of change events is FOLDED per key (a MERGE emits delete(old) +
+    * insert(new) for the same id inside one commit — net effect is an
+    * upsert; a bare tombstone is a delete), then applied in one
+    * `MERGE INTO replica` statement. No collect, no driver loop: the
+    * fold is a hash aggregate and the apply is the delta row-level
+    * operation, so the replica pays O(changes) per batch, never a
+    * snapshot rescan. The stream runs LIVE across three DML waves
+    * (initial load, MERGE upserts, retention DELETE) — each wave's
+    * events arrive as new offsets on the already-running tail. */
+  def cdfReplica(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qrep_wh")
+    spark.conf.set("spark.sql.catalog.graft_qrep", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qrep.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qrep.db.src")
+    spark.sql("DROP TABLE IF EXISTS graft_qrep.db.rep")
+    spark.sql("CREATE TABLE graft_qrep.db.src (id BIGINT, v BIGINT) USING audit")
+    spark.sql("CREATE TABLE graft_qrep.db.rep (id BIGINT, v BIGINT) USING audit")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qrep_ckpt")
+    val tail = spark.readStream.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("src").toString)
+      .option("changeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-key net effect: any insert in the batch wins (MERGE's
+        // delete(old)+insert(new) folds to an upsert); delete-only is a
+        // tombstone. max(v) is exact: at most ONE insert per key per
+        // commit, so it just selects that insert's value.
+        batch.groupBy(col("id")).agg(
+          max(when(col("_change_type") === "insert", col("v"))).as("v"),
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+            .as("n_ins"))
+          .createOrReplaceTempView("cdf_batch")
+        batch.sparkSession.sql(
+          """MERGE INTO graft_qrep.db.rep t
+            |USING (SELECT id, v, n_ins > 0 AS up FROM cdf_batch) s
+            |ON t.id = s.id
+            |WHEN MATCHED AND NOT s.up THEN DELETE
+            |WHEN MATCHED AND s.up THEN UPDATE SET t.v = s.v
+            |WHEN NOT MATCHED AND s.up THEN INSERT (id, v) VALUES (s.id, s.v)
+            |""".stripMargin)
+        ()
+      }
+      .start()
+    try {
+      // wave 1: initial load (batch INSERT → insert events)
+      spark.sql(
+        s"""INSERT INTO graft_qrep.db.src
+          |SELECT id,
+          |       ${PagedSource.DurBase}L +
+          |         pmod(${sparkHexHashSql("concat('dur:', CAST(id AS STRING))")},
+          |              ${PagedSource.DurSpan}L) AS v
+          |FROM range(0, 400)""".stripMargin)
+      tail.processAllAvailable()
+      // wave 2: MERGE upserts (delete(old)+insert(new) per matched id)
+      spark.sql(
+        """MERGE INTO graft_qrep.db.src t
+          |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+          |       AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      tail.processAllAvailable()
+      // wave 3: retention DELETE (tombstones only)
+      spark.sql("DELETE FROM graft_qrep.db.src WHERE id % 100 = 3 AND id < 400")
+      tail.processAllAvailable()
+    } finally tail.stop()
+    // the replica must BE the source's final state — hash the whole thing
+    spark.sql(
+      """SELECT id, v FROM graft_qrep.db.rep ORDER BY id""")
+  }
+
+  /** Spark-side spelling of the cross-engine hash for SQL-string use. */
+  private def sparkHexHashSql(expr: String): String =
+    s"CAST(conv(substring(md5($expr), 1, 15), 16, 10) AS BIGINT)"
+
+  val cdfReplicaSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |), merged AS (
+      |  SELECT id, CASE WHEN id IN (5, 17) THEN 111 ELSE v END AS v FROM src
+      |  UNION ALL
+      |  SELECT CAST(1000 AS BIGINT), CAST(222 AS BIGINT)
+      |)
+      |SELECT id, CAST(v AS BIGINT) AS v FROM merged
+      |WHERE NOT (id % 100 = 3 AND id < 400)
+      |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_audit_occ" -> (auditOcc _),
+      "q_cdf_replica" -> (cdfReplica _),
       "q_cdf_mv" -> (cdfIncrementalMv _),
       "q_catalog_func" -> (catalogFunc _),
       "q_audit_bucket" -> (auditBucket _),
@@ -1195,6 +1306,7 @@ object CatalogApi {
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_audit_occ" -> auditOccSql,
+      "q_cdf_replica" -> cdfReplicaSql,
       "q_cdf_mv" -> cdfIncrementalMvSql,
       "q_catalog_func" -> catalogFuncSql,
       "q_audit_bucket" -> auditBucketSql,
