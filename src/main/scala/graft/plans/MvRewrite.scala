@@ -86,20 +86,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Strip column-pruning Projects and collect Filters down to a base
-    * scan; None when anything else intervenes. */
+    * scan; None when anything else intervenes. The scan may be a V1 file
+    * relation (identified by its rootPaths) or a DSv2 relation
+    * (identified by its table name — e.g. the audit format's
+    * `graft_audit_sink(<path>)` — so MVs can summarize catalog tables,
+    * not just parquet directories). */
   private def stripToScan(plan: LogicalPlan)
-      : Option[(Seq[Expression], LogicalRelation)] = plan match {
-    case l: LogicalRelation => Some((Seq.empty, l))
+      : Option[(Seq[Expression], Seq[String])] = plan match {
+    case l: LogicalRelation => Some((Seq.empty, scanIds(l)))
+    case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      Some((Seq.empty, Seq(v2.table.name())))
     case Filter(cond, child) =>
-      stripToScan(child).map { case (fs, l) => (cond +: fs, l) }
+      stripToScan(child).map { case (fs, ids) => (cond +: fs, ids) }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
       stripToScan(child)
     case _ => None
   }
 
-  private def scanPath(l: LogicalRelation): Option[Seq[String]] = l.relation match {
-    case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
-    case _ => None
+  private def scanIds(l: LogicalRelation): Seq[String] = l.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+    case _ => Seq.empty
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -107,9 +113,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (mvs.isEmpty) return plan
     plan.transform {
       case agg @ Aggregate(ges, aes, child, _) =>
-        stripToScan(child).flatMap { case (filters, rel) =>
-          val mv = mvs.find(m => scanPath(rel).exists(_.exists(p =>
-            p == m.basePath || p.endsWith(m.basePath))))
+        stripToScan(child).flatMap { case (filters, ids) =>
+          val mv = mvs.find(m => ids.exists(p =>
+            p == m.basePath || p.endsWith(m.basePath) || p.contains(m.basePath)))
           mv.flatMap(m => rewrite(agg, ges, aes, filters, m))
         }.getOrElse(agg)
     }

@@ -1287,9 +1287,112 @@ object CatalogApi {
       |ORDER BY id""".stripMargin
   }
 
+  /** SELF-MAINTAINING MATERIALIZED VIEW, end to end: a summary table is
+    * derived EXCLUSIVELY from the base audit table's change feed (±fold
+    * of insert/tombstone events — it pays for the deltas, never a
+    * snapshot rescan), registered with [[graft.plans.MvRewriteRule]],
+    * and then a plain aggregate over the BASE table is answered from the
+    * summary by the optimizer — maintenance and rewriting composed. The
+    * rewrite path here matches a DSv2 relation (the catalog audit
+    * table), not a parquet directory: MVs summarize catalog tables too.
+    * Self-audits that the optimized plan scans the summary, then the
+    * oracle proves the rewritten answer IS the base-table answer after
+    * all three DML waves. min/max are deliberately absent from this MV:
+    * they are not maintainable from a ±fold under deletes — the
+    * registration only claims what the maintenance can keep exact. */
+  def mvE2e(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qe2e_wh")
+    spark.conf.set("spark.sql.catalog.graft_qe2e", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qe2e.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qe2e.db.base")
+    spark.sql(
+      "CREATE TABLE graft_qe2e.db.base (id BIGINT, g BIGINT, v BIGINT) USING audit")
+    spark.sql(
+      s"""INSERT INTO graft_qe2e.db.base
+        |SELECT id, pmod(id, 5L) AS g,
+        |       ${PagedSource.DurBase}L +
+        |         pmod(${sparkHexHashSql("concat('dur:', CAST(id AS STRING))")},
+        |              ${PagedSource.DurSpan}L) AS v
+        |FROM range(0, 400)""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_qe2e.db.base t
+        |USING (SELECT * FROM VALUES (9L, 4L, 900L), (2000L, 0L, 800L)
+        |       AS s(id, g, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.g = s.g
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft_qe2e.db.base WHERE id % 100 = 9 AND id < 400")
+    // maintain the summary FROM THE FEED (±fold), never scanning the base
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_e2e_").toString
+    spark.read.schema(cdfSchema).format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("base").toString)
+      .option("changeFeed", "true").load()
+      .groupBy(col("g"))
+      .agg(sum(sign).as("mv_cnt"), sum(sign * col("v")).as("mv_sum_v"))
+      .write.mode("overwrite").parquet(mvDir)
+    val mv = graft.plans.MvRewriteRule.MvDef(
+      basePath = wh.resolve("db").resolve("base").toString,
+      groupCols = Seq("g"),
+      cnt = "mv_cnt",
+      sums = Map("v" -> "mv_sum_v"),
+      mins = Map.empty, maxs = Map.empty,
+      mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
+    graft.plans.MvRewriteRule.register(mv)
+    try {
+      val q = spark.table("graft_qe2e.db.base")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt_rows"), sum(col("v")).as("sum_v"))
+        .orderBy("g")
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      require(scans.exists(_.contains(mvDir)),
+        s"mv rewrite over the DSv2 base did not fire — plan scans: $scans")
+      q
+    } finally graft.plans.MvRewriteRule.unregister(mv.basePath)
+  }
+
+  val mvE2eSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 5 AS g,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |), merged AS (
+      |  SELECT id, CASE WHEN id = 9 THEN 4 ELSE g END AS g,
+      |         CASE WHEN id = 9 THEN 900 ELSE v END AS v
+      |  FROM src
+      |  UNION ALL
+      |  SELECT CAST(2000 AS BIGINT), CAST(0 AS BIGINT), CAST(800 AS BIGINT)
+      |)
+      |SELECT g, count(*) AS cnt_rows, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM merged
+      |WHERE NOT (id % 100 = 9 AND id < 400)
+      |GROUP BY g
+      |ORDER BY g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
       "q_audit_occ" -> (auditOcc _),
+      "q_mv_e2e" -> (mvE2e _),
       "q_cdf_replica" -> (cdfReplica _),
       "q_cdf_mv" -> (cdfIncrementalMv _),
       "q_catalog_func" -> (catalogFunc _),
@@ -1306,6 +1409,7 @@ object CatalogApi {
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
       "q_audit_occ" -> auditOccSql,
+      "q_mv_e2e" -> mvE2eSql,
       "q_cdf_replica" -> cdfReplicaSql,
       "q_cdf_mv" -> cdfIncrementalMvSql,
       "q_catalog_func" -> catalogFuncSql,
