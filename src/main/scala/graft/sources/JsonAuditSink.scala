@@ -2996,10 +2996,11 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
 }
 
 final class AuditWriterFactory(path: String, schema: StructType,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    stageSub: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols)
+    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols, stageSub)
 }
 
 /** Shared row→jsonl serialization (batch, streaming, and partitioned
@@ -3047,10 +3048,17 @@ private[sources] object AuditRowJson {
 
 final class AuditDataWriter(path: String, schema: StructType,
     partitionId: Int, taskId: Long,
-    bloomCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
+    bloomCols: Set[String] = Set.empty,
+    stageSub: String = "") extends DataWriter[InternalRow] {
   // attempt-unique staged name: retries/speculation can never collide
   private val stagedName = f"stage-$partitionId%05d-$taskId.jsonl"
-  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  // stageSub scopes staging PER COMMIT (OCC batch appends): concurrent
+  // jobs must not share a staging dir, or one commit's final cleanup
+  // deletes another in-flight commit's staged files
+  private val stageDir = {
+    val base = java.nio.file.Paths.get(path).resolve("_staging")
+    if (stageSub.isEmpty) base else base.resolve(stageSub)
+  }
   java.nio.file.Files.createDirectories(stageDir)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))

@@ -115,6 +115,33 @@ class AuditOccSpec extends AnyFunSuite {
     assert(read(dir).count() === 50L)
   }
 
+  test("a live streaming writer and OCC batch appenders do not corrupt each other") {
+    // epochs commit through the separate _EPOCHS log; batch appends
+    // through _TXN — the logical table is the union, and neither
+    // commit path read-modify-writes the other's metadata
+    val dir = tempDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_occ_ckpt")
+    val stream = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "50")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id").plus(100000L).as("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", dir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      val appenders = (0 until 3).map { i =>
+        new Thread(() => append(dir, i * 100L, i * 100L + 100L))
+      }
+      appenders.foreach(_.start())
+      stream.processAllAvailable()
+      appenders.foreach(_.join())
+      stream.processAllAvailable()
+    } finally stream.stop()
+    assert(read(dir).count() === 400L) // 3×100 batch + 100 streamed
+    assert(read(dir).agg(countDistinct(col("id"))).head.getLong(0) === 400L)
+  }
+
   test("maintenance on an unconsolidated table sees every txn commit") {
     val dir = tempDir()
     append(dir, 0L, 100L)
