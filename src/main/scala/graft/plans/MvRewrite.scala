@@ -108,14 +108,32 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => Seq.empty
   }
 
+  /** Scheme-insensitive canonical form: `file:/x/y/`, `file:///x/y` and
+    * `/x/y` all name the same local table. */
+  private def canon(p: String): String =
+    p.stripPrefix("file://").stripPrefix("file:").stripSuffix("/")
+
+  /** EXACT scan-identity match. A substring/suffix test would let a
+    * sibling table under the MV's directory (or any path merely
+    * containing it) be silently answered from the summary — the match
+    * must be path equality, or the DSv2 name form `<source>(<path>)`
+    * whose wrapped path is equal. */
+  private def scanMatches(id: String, basePath: String): Boolean = {
+    val b = canon(basePath)
+    canon(id) == b || {
+      val i = id.indexOf('(')
+      i >= 0 && id.endsWith(")") &&
+        canon(id.substring(i + 1, id.length - 1)) == b
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = registered.get()
     if (mvs.isEmpty) return plan
     plan.transform {
       case agg @ Aggregate(ges, aes, child, _) =>
         stripToScan(child).flatMap { case (filters, ids) =>
-          val mv = mvs.find(m => ids.exists(p =>
-            p == m.basePath || p.endsWith(m.basePath) || p.contains(m.basePath)))
+          val mv = mvs.find(m => ids.exists(id => scanMatches(id, m.basePath)))
           mv.flatMap(m => rewrite(agg, ges, aes, filters, m))
         }.getOrElse(agg)
     }

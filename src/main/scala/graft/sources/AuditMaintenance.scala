@@ -242,8 +242,13 @@ private[sources] object AuditBase {
       statsLines
     var attempt = 0
     while (true) {
-      val v = math.max(readTxnFloor(path),
-        rawTxns(path).lastOption.map(_.v).getOrElse(0L)) + 1
+      // List the txn dir BEFORE reading the floor: a consolidation (run by
+      // DML/OPTIMIZE, which may race appends) folds txns and advances the
+      // floor — reading the floor first could observe floor=0 plus an
+      // already-emptied dir and publish a version at or below the new
+      // floor, which readers would silently skip (lost commit).
+      val maxTxn = rawTxns(path).lastOption.map(_.v).getOrElse(0L)
+      val v = math.max(readTxnFloor(path), maxTxn) + 1
       val header = s"""{"v":$v,"files":${entries.size},""" +
         s""""rows":${entries.map(_.rows).sum}}"""
       val tmp = d.resolve(s"$v.json.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -252,13 +257,32 @@ private[sources] object AuditBase {
       try {
         java.nio.file.Files.createLink(d.resolve(s"$v.json"), tmp)
         java.nio.file.Files.delete(tmp)
-        return v
+        // Post-link fence: if a racing consolidation advanced the floor to
+        // >= v between our listing and the link, our txn is below the floor.
+        // Two sub-cases, distinguished via the manifest (floor and body are
+        // one atomic write, so floor>=v implies the fold that set it is
+        // fully visible): (a) the consolidation SAW our linked file and
+        // folded it — our commit-unique file names are in the manifest body
+        // and the commit succeeded; (b) it never saw us (it folded a
+        // sibling, deleted its file, freeing the name we then linked) — our
+        // entries are nowhere, so unpublish the dead txn and retry above
+        // the new floor.
+        if (readTxnFloor(path) >= v) {
+          val manifested = readManifest(path).map(_.file).toSet
+          if (entries.nonEmpty && entries.forall(e => manifested(e.file))) {
+            java.nio.file.Files.deleteIfExists(d.resolve(s"$v.json"))
+            return v // folded in — already durable in the manifest
+          }
+          java.nio.file.Files.deleteIfExists(d.resolve(s"$v.json"))
+        } else {
+          return v
+        }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.delete(tmp) // lost the race — retry at v+1
-          attempt += 1
-          require(attempt < 10000, s"audit OCC: $attempt failed commit attempts")
       }
+      attempt += 1
+      require(attempt < 10000, s"audit OCC: $attempt failed commit attempts")
     }
     -1L // unreachable
   }
@@ -354,12 +378,16 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     s"audit base commit: schema must end with the origin columns, got " +
       schema.fieldNames.mkString(","))
 
+  // commit-unique staging subdir: OPTIMIZE is single-writer vs other
+  // maintenance but races OCC appends, so cleanup stays in its own subdir
+  private val stageSub = "b-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditWriterFactory(path, schema, bloomCols)
+    new AuditWriterFactory(path, schema, bloomCols, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .filter(_.rows > 0).sortBy(_.stagedName) // empty tasks publish nothing
     val gen = java.util.UUID.randomUUID().toString.take(8)
@@ -405,7 +433,7 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
     messages.foreach {
       case m: AuditCommitMessage =>
         java.nio.file.Files.deleteIfExists(stage.resolve(m.stagedName))

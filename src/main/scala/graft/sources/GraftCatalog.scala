@@ -1004,6 +1004,9 @@ object CatalogApi {
       .groupBy(pmod(col("id"), lit(10L)).as("k"))
       .agg(sum(sign).as("n_rows"), sum(sign * col("v")).as("sum_v"),
         sum(sign * col("id")).as("sum_id"))
+      // a group whose ±fold nets to zero has NO rows in the base table —
+      // the fold must drop it, as a base-table GROUP BY would
+      .filter(col("n_rows") > 0)
       .orderBy(col("k"))
   }
 
@@ -1210,27 +1213,39 @@ object CatalogApi {
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)))
     val ckpt = java.nio.file.Files.createTempDirectory("graft_qrep_ckpt")
-    val tail = spark.readStream.schema(cdfSchema)
+    def startTail() = spark.readStream.schema(cdfSchema)
       .format(classOf[JsonAuditSink].getName)
       .option("path", wh.resolve("db").resolve("src").toString)
       .option("changeFeed", "true").load()
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-key net effect: any insert in the batch wins (MERGE's
-        // delete(old)+insert(new) folds to an upsert); delete-only is a
-        // tombstone. max(v) is exact: at most ONE insert per key per
-        // commit, so it just selects that insert's value.
-        batch.groupBy(col("id")).agg(
-          max(when(col("_change_type") === "insert", col("v"))).as("v"),
-          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
-            .as("n_ins"))
+        // SURVIVOR fold — exact even when one micro-batch spans MULTIPLE
+        // source commits (checkpoint recovery, slow trigger): events are
+        // keyed by the (_file, _pos) row id the feed carries, and row ids
+        // are never reused, so the fold is order-free. An insert whose
+        // row id is tombstoned later in the same batch is dead; a key's
+        // net effect is its surviving insert (upsert — at most one, the
+        // source is key-unique) or, with none, a delete of the key.
+        val ins = batch.filter(col("_change_type") === "insert")
+          .select(col("id"), col("v"), col("_file"), col("_pos"))
+        val del = batch.filter(col("_change_type") === "delete")
+          .select(col("id"), col("_file"), col("_pos"))
+        val surv = ins.join(del, Seq("_file", "_pos"), "left_anti")
+          .groupBy(col("id"))
+          .agg(max(col("v")).as("v"), lit(true).as("up"))
+        batch.select(col("id")).distinct()
+          .join(surv, Seq("id"), "left_outer")
           .createOrReplaceTempView("cdf_batch")
         batch.sparkSession.sql(
           """MERGE INTO graft_qrep.db.rep t
-            |USING (SELECT id, v, n_ins > 0 AS up FROM cdf_batch) s
+            |USING (SELECT id, v, coalesce(up, false) AS up FROM cdf_batch) s
             |ON t.id = s.id
             |WHEN MATCHED AND NOT s.up THEN DELETE
             |WHEN MATCHED AND s.up THEN UPDATE SET t.v = s.v
@@ -1239,6 +1254,7 @@ object CatalogApi {
         ()
       }
       .start()
+    val tail = startTail()
     try {
       // wave 1: initial load (batch INSERT → insert events)
       spark.sql(
@@ -1249,19 +1265,23 @@ object CatalogApi {
           |              ${PagedSource.DurSpan}L) AS v
           |FROM range(0, 400)""".stripMargin)
       tail.processAllAvailable()
-      // wave 2: MERGE upserts (delete(old)+insert(new) per matched id)
-      spark.sql(
-        """MERGE INTO graft_qrep.db.src t
-          |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
-          |       AS s(id, v)) s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET t.v = s.v
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      tail.processAllAvailable()
-      // wave 3: retention DELETE (tombstones only)
-      spark.sql("DELETE FROM graft_qrep.db.src WHERE id % 100 = 3 AND id < 400")
-      tail.processAllAvailable()
     } finally tail.stop()
+    // waves 2 and 3 commit while the tail is DOWN, so the restarted
+    // stream's first micro-batch SPANS both commits — the case the
+    // survivor fold exists for. id=5 is updated by the MERGE and then
+    // deleted in the same batch: its fresh insert must lose to the later
+    // tombstone, which a naive "any insert wins" fold gets wrong.
+    spark.sql(
+      """MERGE INTO graft_qrep.db.src t
+        |USING (SELECT * FROM VALUES (5L, 111L), (17L, 111L), (1000L, 222L)
+        |       AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      "DELETE FROM graft_qrep.db.src WHERE (id % 100 = 3 AND id < 400) OR id = 5")
+    val tail2 = startTail()
+    try tail2.processAllAvailable() finally tail2.stop()
     // the replica must BE the source's final state — hash the whole thing
     spark.sql(
       """SELECT id, v FROM graft_qrep.db.rep ORDER BY id""")
@@ -1283,7 +1303,7 @@ object CatalogApi {
       |  SELECT CAST(1000 AS BIGINT), CAST(222 AS BIGINT)
       |)
       |SELECT id, CAST(v AS BIGINT) AS v FROM merged
-      |WHERE NOT (id % 100 = 3 AND id < 400)
+      |WHERE NOT ((id % 100 = 3 AND id < 400) OR id = 5)
       |ORDER BY id""".stripMargin
   }
 
@@ -1316,6 +1336,12 @@ object CatalogApi {
         |         pmod(${sparkHexHashSql("concat('dur:', CAST(id AS STRING))")},
         |              ${PagedSource.DurSpan}L) AS v
         |FROM range(0, 400)""".stripMargin)
+    // a small extra group (g=7) that the retention DELETE will FULLY
+    // empty: the maintained summary must drop it (a zero-count group has
+    // no base rows, and a rewritten count(*)/sum must not resurrect it)
+    spark.sql(
+      """INSERT INTO graft_qe2e.db.base
+        |SELECT id, 7L AS g, id * 10 AS v FROM range(500, 503)""".stripMargin)
     spark.sql(
       """MERGE INTO graft_qe2e.db.base t
         |USING (SELECT * FROM VALUES (9L, 4L, 900L), (2000L, 0L, 800L)
@@ -1323,7 +1349,9 @@ object CatalogApi {
         |ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.g = s.g
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    spark.sql("DELETE FROM graft_qe2e.db.base WHERE id % 100 = 9 AND id < 400")
+    spark.sql(
+      """DELETE FROM graft_qe2e.db.base
+        |WHERE (id % 100 = 9 AND id < 400) OR g = 7""".stripMargin)
     // maintain the summary FROM THE FEED (±fold), never scanning the base
     val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
@@ -1341,6 +1369,10 @@ object CatalogApi {
       .option("changeFeed", "true").load()
       .groupBy(col("g"))
       .agg(sum(sign).as("mv_cnt"), sum(sign * col("v")).as("mv_sum_v"))
+      // drop groups whose ±fold nets to ZERO rows: they no longer exist
+      // in the base table, and keeping them would make the rewritten
+      // count(*) emit a 0-row group the base aggregate would not return
+      .filter(col("mv_cnt") > 0)
       .write.mode("overwrite").parquet(mvDir)
     val mv = graft.plans.MvRewriteRule.MvDef(
       basePath = wh.resolve("db").resolve("base").toString,

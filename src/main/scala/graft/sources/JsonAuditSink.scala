@@ -308,6 +308,30 @@ final class AuditTable(path: String, writeSchema: StructType,
     * `canDeleteWhere` claims only predicates this table can evaluate
     * EXACTLY (3-valued logic, null never matches); anything else is
     * refused so Spark errors instead of a partial delete. */
+  /** V2-predicate overrides of the `SupportsDelete` bridge. Spark's
+    * default V2→V1 conversion is LOSSY: a predicate it cannot convert is
+    * weakened or dropped (observed: `(id % 100 = 3 AND id < 400) OR
+    * id = 5` reaching the v1 `canDeleteWhere` as just `EqualTo(id,5)`),
+    * and `deleteWhere` then deletes the WRONG row set — there is no
+    * post-check on a destructive op. These overrides convert STRICTLY:
+    * any inconvertible node refuses the metadata path entirely, routing
+    * the DELETE to the exact row-level delta rewrite instead. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = {
+    val v1 = predicates.map(AuditV2Filters.toV1)
+    v1.forall(_.isDefined) && canDeleteWhere(v1.flatten)
+  }
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = predicates.map(AuditV2Filters.toV1)
+    require(v1.forall(_.isDefined),
+      s"audit delete: inconvertible predicate in ${predicates.mkString(", ")} — " +
+        "canDeleteWhere should have refused this metadata delete")
+    deleteWhere(v1.flatten)
+  }
+
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(AuditDelete.supported(writeSchema, _)) &&
       // SCALE GUARD: this path rewrites files on the driver — surgical and
@@ -1782,21 +1806,26 @@ final case class AuditDeltaCommitMessage(staged: Option[String], rows: Long,
     stats: AuditStats.FileStats = AuditStats.FileStats.empty)
   extends WriterCommitMessage
 
-final class AuditDeltaWriterFactory(path: String, schema: StructType)
+final class AuditDeltaWriterFactory(path: String, schema: StructType,
+    stageSub: String = "")
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new AuditDeltaWriter(path, schema, partitionId, taskId)
+    new AuditDeltaWriter(path, schema, partitionId, taskId, stageSub)
 }
 
 /** Per-task delta writer: inserts/updated rows stream into ONE staged
   * file; deleted row ids buffer as (file, pos) pairs in the commit
   * message (metadata-sized: one pair per changed row, not per table row). */
 final class AuditDeltaWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, stageSub: String = "")
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val stagedName = f"stage-delta-$partitionId%05d-$taskId.jsonl"
-  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+  // per-commit staging subdir — see AuditDataWriter.stageDir
+  private val stageDir = {
+    val base = java.nio.file.Paths.get(path).resolve("_staging")
+    if (stageSub.isEmpty) base else base.resolve(stageSub)
+  }
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
   private val acc = new AuditStats.Acc(schema)
@@ -1841,13 +1870,18 @@ final class AuditDeltaWriter(path: String, schema: StructType,
   * metadata appends, zero data-file rewrites. */
 final class AuditDeltaBatchWrite(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  // commit-unique staging subdir: DML is single-writer vs other DML but
+  // is ALLOWED to race OCC appends, so its end-of-commit cleanup must
+  // only touch its own staged files
+  private val stageSub = "d-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new AuditDeltaWriterFactory(path, schema)
+    new AuditDeltaWriterFactory(path, schema, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
     val manifestFile = dir.resolve("_MANIFEST")
     // DML is single-writer (documented): fold any OCC txn appends into
@@ -1876,7 +1910,7 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
     messages.foreach {
       case AuditDeltaCommitMessage(Some(staged), _, _, _) =>
         java.nio.file.Files.deleteIfExists(stage.resolve(staged))
@@ -1888,6 +1922,74 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
 /** Copy-on-write DELETE over the committed file set. Filter evaluation is
   * exact 3-valued logic on the writer's restricted types; the top-level
   * filter array is a conjunction (the V2 contract). */
+/** STRICT V2-Predicate → V1-Filter conversion for destructive paths.
+  * Unlike Spark's default bridge, any node this cannot represent EXACTLY
+  * yields None for the whole predicate — never a weakened or partial
+  * filter. Scan pushdown can afford lossy conversion (the engine
+  * re-evaluates the original expression post-scan); a metadata DELETE
+  * cannot (the filter IS the operation). */
+private[sources] object AuditV2Filters {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+  import org.apache.spark.sql.sources._
+
+  private def column(e: V2Expr): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Catalyst-internal literal → external Scala value (UTF8String →
+    * String etc.), the representation the V1 Filter API carries. */
+  private def literal(e: V2Expr): Option[Any] = e match {
+    case l: V2Literal[_] =>
+      Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType))
+    case _ => None
+  }
+
+  def toV1(p: V2Predicate): Option[Filter] = p match {
+    case _: AlwaysTrue  => Some(org.apache.spark.sql.sources.AlwaysTrue)
+    case _: AlwaysFalse => Some(org.apache.spark.sql.sources.AlwaysFalse)
+    case and: V2And =>
+      for (l <- toV1(and.left()); r <- toV1(and.right())) yield And(l, r)
+    case or: V2Or =>
+      for (l <- toV1(or.left()); r <- toV1(or.right())) yield Or(l, r)
+    case not: V2Not => toV1(not.child()).map(Not)
+    case _ =>
+      val kids = p.children()
+      def binary(mk: (String, Any) => Filter,
+          flip: (String, Any) => Filter): Option[Filter] =
+        if (kids.length != 2) None
+        else (column(kids(0)), literal(kids(1)),
+            column(kids(1)), literal(kids(0))) match {
+          case (Some(c), Some(v), _, _) => Some(mk(c, v))
+          case (_, _, Some(c), Some(v)) => Some(flip(c, v))
+          case _ => None
+        }
+      p.name() match {
+        case "="   => binary(EqualTo, EqualTo)
+        case "<=>" => binary(EqualNullSafe, EqualNullSafe)
+        case "<>"  => binary((c, v) => Not(EqualTo(c, v)),
+                             (c, v) => Not(EqualTo(c, v)))
+        case ">"   => binary(GreaterThan, LessThan)
+        case ">="  => binary(GreaterThanOrEqual, LessThanOrEqual)
+        case "<"   => binary(LessThan, GreaterThan)
+        case "<="  => binary(LessThanOrEqual, GreaterThanOrEqual)
+        case "IS_NULL" if kids.length == 1 => column(kids(0)).map(IsNull)
+        case "IS_NOT_NULL" if kids.length == 1 => column(kids(0)).map(IsNotNull)
+        case "STARTS_WITH" if kids.length == 2 =>
+          for (c <- column(kids(0)); v <- literal(kids(1))
+               if v.isInstanceOf[String])
+            yield StringStartsWith(c, v.asInstanceOf[String])
+        case "IN" if kids.length >= 2 =>
+          val vs = kids.tail.map(literal)
+          for (c <- column(kids(0)) if vs.forall(_.isDefined))
+            yield In(c, vs.map(_.get).toArray)
+        case _ => None
+      }
+  }
+}
+
 private[sources] object AuditDelete {
   import org.apache.spark.sql.sources._
 
@@ -2269,13 +2371,19 @@ final class AuditWriteBuilder(path: String, schema: StructType,
 final class AuditStreamingWrite(path: String, schema: StructType,
     bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // Writer-unique staging subdir (epochs within one query are serialized,
+  // so one subdir per StreamingWrite suffices): concurrent OCC batch
+  // appenders must never see this writer's staged files in THEIR cleanup,
+  // nor vice versa.
+  private[sources] val stageSub = "s-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AuditStreamingWriterFactory(path, schema, bloomCols)
+    new AuditStreamingWriterFactory(path, schema, bloomCols, stageSub)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     // Idempotent under epoch replay: a re-attempted epoch first clears its
     // OWN prior part files (an earlier attempt may have published MORE
     // files than this one — REPLACE_EXISTING alone would leave stale
@@ -2322,7 +2430,7 @@ final class AuditStreamingWrite(path: String, schema: StructType,
   /** A failed epoch attempt removes the staged files its tasks reported —
     * a later successful attempt re-stages under fresh attempt ids. */
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
     messages.foreach {
       case m: AuditCommitMessage =>
         java.nio.file.Files.deleteIfExists(stage.resolve(m.stagedName))
@@ -2332,11 +2440,11 @@ final class AuditStreamingWrite(path: String, schema: StructType,
 }
 
 final class AuditStreamingWriterFactory(path: String, schema: StructType,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty, stageSub: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols)
+    new AuditDataWriter(path, schema, partitionId, taskId, bloomCols, stageSub)
 }
 
 /** Streaming ingestion into a PARTITIONED audit table: tasks route rows
@@ -2354,13 +2462,17 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType,
 final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     col: String, partIdx: Int, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // writer-unique staging subdir — see AuditStreamingWrite.stageSub
+  private[sources] val stageSub = "sp-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AuditPartitionedStreamingWriterFactory(path, schema, partIdx, bucketN)
+    new AuditPartitionedStreamingWriterFactory(path, schema, partIdx, bucketN,
+      stageSub)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     val epochPrefix = s"part-e$epochId-"
     // idempotent replay: retract this epoch's previous publication from
     // every partition (a replay may route to different partitions)
@@ -2416,7 +2528,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
     messages.foreach {
       case m: AuditPartCommitMessage =>
         m.entries.foreach { case (_, staged, _, _) =>
@@ -2428,12 +2540,13 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
 }
 
 final class AuditPartitionedStreamingWriterFactory(path: String,
-    schema: StructType, partIdx: Int, bucketN: Option[Int])
+    schema: StructType, partIdx: Int, bucketN: Option[Int],
+    stageSub: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN)
+      bucketN, stageSub)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long,
@@ -2918,12 +3031,19 @@ private[sources] object AuditStats {
 final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     bloomCols: Set[String] = Set.empty)
     extends BatchWrite {
+  // Commit-unique staging subdirectory: concurrent OCC appenders (and a
+  // live streaming writer) each stage under `_staging/<sub>/`, so this
+  // commit's final cleanup can never delete another in-flight commit's
+  // staged files. The table-level `_staging` root is only reclaimed by
+  // VACUUM clean_orphans (documented single-writer window).
+  private val stageSub = "c-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditWriterFactory(path, schema, bloomCols)
+    new AuditWriterFactory(path, schema, bloomCols, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     val manifestFile = dir.resolve("_MANIFEST")
     if (truncateFirst && java.nio.file.Files.isDirectory(dir)) {
       val listing = java.nio.file.Files.list(dir)
@@ -2984,7 +3104,8 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    deleteRecursively(java.nio.file.Paths.get(path).resolve("_staging"))
+    deleteRecursively(
+      java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub))
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -3086,10 +3207,11 @@ final class AuditDataWriter(path: String, schema: StructType,
 }
 
 final class AuditPartitionedWriterFactory(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int] = None) extends DataWriterFactory {
+    partIdx: Int, bucketN: Option[Int] = None, stageSub: String = "")
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN)
+      bucketN, stageSub)
 }
 
 final case class AuditPartCommitMessage(
@@ -3104,8 +3226,13 @@ final case class AuditPartCommitMessage(
   * just routes whatever rows reach it. */
 final class AuditPartitionedDataWriter(path: String, schema: StructType,
     partIdx: Int, partitionId: Int, taskId: Long,
-    bucketN: Option[Int] = None) extends DataWriter[InternalRow] {
-  private val stageDir = java.nio.file.Paths.get(path).resolve("_staging")
+    bucketN: Option[Int] = None, stageSub: String = "")
+    extends DataWriter[InternalRow] {
+  // per-commit staging subdir — see AuditDataWriter.stageDir
+  private val stageDir = {
+    val base = java.nio.file.Paths.get(path).resolve("_staging")
+    if (stageSub.isEmpty) base else base.resolve(stageSub)
+  }
   java.nio.file.Files.createDirectories(stageDir)
   private val outs = scala.collection.mutable.LinkedHashMap
     .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
@@ -3154,12 +3281,15 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
 final class AuditPartitionedBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, col: String, partIdx: Int,
     bucketN: Option[Int] = None) extends BatchWrite {
+  // commit-unique staging subdir — see AuditBatchWrite.stageSub
+  private val stageSub = "p-" + java.util.UUID.randomUUID.toString.take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN)
+    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    val stage = dir.resolve("_staging")
+    val stage = dir.resolve("_staging").resolve(stageSub)
     if (truncateFirst) {
       AuditPartition.listDirs(path, col).foreach { case (_, d) =>
         val walk = java.nio.file.Files.walk(d)
@@ -3206,7 +3336,7 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val stage = java.nio.file.Paths.get(path).resolve("_staging")
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
       try walk.sorted(java.util.Comparator.reverseOrder())

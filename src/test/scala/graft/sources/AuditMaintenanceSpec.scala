@@ -278,12 +278,13 @@ class AuditMaintenanceSpec extends SparkSpec {
     // folded without being read (lost rows)
     val snap = AuditMaintenance.snapshot(path)
     spark.sql("INSERT INTO graft_m.db.cc1 VALUES (1000, 1), (1001, 2)")
-    val stage = dataDir("cc1").resolve("_staging")
+    val sw = new AuditStreamingWrite(path, schema)
+    val stage = dataDir("cc1").resolve("_staging").resolve(sw.stageSub)
     java.nio.file.Files.createDirectories(stage)
     java.nio.file.Files.write(stage.resolve("stage-00000-1.jsonl"),
       (5000L until 5005L).map(i => s"""{"id":$i,"v":9}""" + "\n")
         .mkString.getBytes("UTF-8"))
-    new AuditStreamingWrite(path, schema).commit(0L,
+    sw.commit(0L,
       Array(AuditCommitMessage("stage-00000-1.jsonl", 5L,
         AuditStats.FileStats(2,
           Map("id" -> (5000L, 5004L), "v" -> (9L, 9L)), Map.empty))))
@@ -440,16 +441,17 @@ class AuditMaintenanceSpec extends SparkSpec {
     // replay of epoch 0 that now routes only to flag=9 must remove the
     // epoch-0 files from flag=0..2 and leave totals exactly-once
     val path = dataDir("ps1").toString
-    val stage = dataDir("ps1").resolve("_staging")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.write(stage.resolve("stage-redo.jsonl"),
-      "{\"id\":77,\"flag\":9}\n".getBytes("UTF-8"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("flag",
         org.apache.spark.sql.types.LongType)))
-    new AuditPartitionedStreamingWrite(path, schema, "flag", 1)
+    val psw = new AuditPartitionedStreamingWrite(path, schema, "flag", 1)
+    val stage = dataDir("ps1").resolve("_staging").resolve(psw.stageSub)
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("stage-redo.jsonl"),
+      "{\"id\":77,\"flag\":9}\n".getBytes("UTF-8"))
+    psw
       .commit(0L, Array(AuditPartCommitMessage(
         Seq(("9", "stage-redo.jsonl", 1L,
           AuditStats.FileStats(2, Map("id" -> (77L, 77L), "flag" -> (9L, 9L)),

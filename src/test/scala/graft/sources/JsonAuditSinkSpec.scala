@@ -30,7 +30,14 @@ class JsonAuditSinkSpec extends SparkSpec {
     val names = try files.iterator().asScala.map(_.getFileName.toString).toSet
       finally files.close()
     assert(names.count(_.endsWith(".jsonl")) === 3, names)
-    assert(!names.contains("_staging"), "staging must be cleaned on commit")
+    // commit reclaims its OWN staging subdir; an empty `_staging` root may
+    // remain (concurrent commits each own a subdir — VACUUM removes the root)
+    val stagingRoot = dir.resolve("_staging")
+    if (java.nio.file.Files.isDirectory(stagingRoot)) {
+      val l = java.nio.file.Files.list(stagingRoot)
+      try assert(l.count() === 0L, "no staged debris may survive commit")
+      finally l.close()
+    }
 
     // the append publishes as an immutable OCC txn commit…
     val txnLines = java.nio.file.Files.readAllLines(
@@ -124,15 +131,16 @@ class JsonAuditSinkSpec extends SparkSpec {
 
   test("epoch replay is idempotent: stale part files and _EPOCHS lines are replaced") {
     val dir = tempDir()
-    val stage = dir.resolve("_staging")
+    val w = new AuditStreamingWrite(dir.toString,
+      StructType(Seq(StructField("x", LongType))))
+    // tasks stage into the writer's commit-scoped subdir
+    val stage = dir.resolve("_staging").resolve(w.stageSub)
     java.nio.file.Files.createDirectories(stage)
     def stageFile(name: String, rows: Int): AuditCommitMessage = {
       val body = (0 until rows).map(i => s"""{"x":$i}""" + "\n").mkString
       java.nio.file.Files.write(stage.resolve(name), body.getBytes("UTF-8"))
       AuditCommitMessage(name, rows.toLong)
     }
-    val w = new AuditStreamingWrite(dir.toString,
-      StructType(Seq(StructField("x", LongType))))
     // attempt 1 of epoch 5: three task files
     w.commit(5L, Array(stageFile("stage-00000-1.jsonl", 2),
       stageFile("stage-00001-2.jsonl", 3), stageFile("stage-00002-3.jsonl", 4)))
@@ -158,11 +166,11 @@ class JsonAuditSinkSpec extends SparkSpec {
 
   test("streaming abort removes the reported staged files") {
     val dir = tempDir()
-    val stage = dir.resolve("_staging")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.write(stage.resolve("stage-00000-7.jsonl"), "x".getBytes)
     val w = new AuditStreamingWrite(dir.toString,
       StructType(Seq(StructField("x", LongType))))
+    val stage = dir.resolve("_staging").resolve(w.stageSub)
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("stage-00000-7.jsonl"), "x".getBytes)
     w.abort(3L, Array(AuditCommitMessage("stage-00000-7.jsonl", 1L)))
     val left = {
       val l = java.nio.file.Files.list(stage)
