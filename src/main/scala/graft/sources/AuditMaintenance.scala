@@ -203,6 +203,13 @@ private[sources] object AuditBase {
   private def floorOf(header: String): Long =
     FloorRe.findFirstMatchIn(header).map(_.group(1).toLong).getOrElse(0L)
 
+  /** Versions of live (unconsolidated) txn commits, ascending. */
+  def liveTxnVersions(path: String): Seq[Long] = {
+    val txns = rawTxns(path)
+    val floor = readTxnFloor(path)
+    txns.collect { case t if t.v > floor => t.v }
+  }
+
   def readTxnFloor(path: String): Long =
     manifestLines(path).map(ls => floorOf(ls.head)).getOrElse(0L)
 
@@ -689,6 +696,7 @@ private[sources] object AuditMaintenance {
       // a crashed-commit leftover, same as the table-level case
       partCol.foreach { c =>
         AuditPartition.listDirs(path, c).foreach { case (_, pdir) =>
+          AuditBase.cleanTxnDebris(pdir.toString) // lost per-dir OCC attempts
           val listed = AuditPartition.manifestEntries(pdir).map(_._1).toSet
           val listing = java.nio.file.Files.list(pdir)
           try listing.iterator().asScala

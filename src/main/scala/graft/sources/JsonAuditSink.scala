@@ -131,22 +131,22 @@ private[sources] object AuditPartition {
     finally listing.close()
   }
 
-  /** (file, rows) entries of one partition directory's manifest. */
-  def manifestEntries(dir: java.nio.file.Path): Seq[(String, Long)] = {
-    val f = dir.resolve("_MANIFEST")
-    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readAllLines(f).asScala.collect {
-        case fileRe(name, r) => (name, r.toLong)
-      }.toSeq
-    else Seq.empty
-  }
+  /** (file, rows) entries of one partition directory's manifest, PLUS any
+    * unconsolidated per-directory OCC txn appends. Partition dirs reuse
+    * the table-level `_TXN` put-if-absent discipline (the manifest format
+    * is shared, so [[AuditBase.readManifest]] applies verbatim): readers
+    * see txn commits immediately, and every read-modify-write of a
+    * partition `_MANIFEST` must call `AuditBase.consolidate(dir)` first. */
+  def manifestEntries(dir: java.nio.file.Path): Seq[(String, Long)] =
+    AuditBase.readManifest(dir.toString)
+      .collect { case e if !e.folded => (e.file, e.rows) }
 
+  /** Rewrite a partition dir's manifest, PRESERVING its txn floor (a
+    * plain header would resurrect crash-leftover folded txn files).
+    * Delegates to the table-level writer — one format, one writer. */
   def writeManifest(dir: java.nio.file.Path, entries: Seq[(String, Long)]): Unit =
-    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
-      (Seq(s"""{"files":${entries.size},"rows":${entries.map(_._2).sum}}""") ++
-        entries.map { case (f, r) => s"""{"file":"$f","rows":$r}""" })
-        .mkString("\n").getBytes("UTF-8"))
+    AuditBase.writeManifest(dir.toString,
+      entries.map { case (f, r) => AuditBase.ManifestEntry(f, r, folded = false) })
 }
 
 final class AuditTable(path: String, writeSchema: StructType,
@@ -2164,6 +2164,9 @@ private[sources] object AuditDelete {
     partInfo.foreach { case (col, _) =>
       AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
         newStats.clear() // per-DIR stats: file names repeat across dirs
+        // DML is single-writer vs maintenance but may race OCC appends:
+        // fold live txns in before rewriting files + manifest in place
+        AuditBase.consolidate(pdir.toString)
         val updated = AuditPartition.manifestEntries(pdir)
           .map { case (f, _) => (f, rewrite(pdir.resolve(f))) }
         AuditPartition.writeManifest(pdir, updated)
@@ -2475,8 +2478,11 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     val stage = dir.resolve("_staging").resolve(stageSub)
     val epochPrefix = s"part-e$epochId-"
     // idempotent replay: retract this epoch's previous publication from
-    // every partition (a replay may route to different partitions)
+    // every partition (a replay may route to different partitions).
+    // consolidate first: this path read-modify-writes the partition
+    // manifest, and live OCC txn appends must fold in, not double-count
     AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+      AuditBase.consolidate(pdir.toString)
       val prior = AuditPartition.manifestEntries(pdir)
       val (mine, keep) = prior.partition(_._1.startsWith(epochPrefix))
       if (mine.nonEmpty) {
@@ -2495,6 +2501,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
       val pdir = dir.resolve(s"$col=$token")
       java.nio.file.Files.createDirectories(pdir)
+      AuditBase.consolidate(pdir.toString) // RMW of the manifest below
       val prior = AuditPartition.manifestEntries(pdir)
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, r, st), i) =>
@@ -3306,26 +3313,24 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
     byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
       val pdir = dir.resolve(s"$col=$token")
       java.nio.file.Files.createDirectories(pdir)
-      val prior = AuditPartition.manifestEntries(pdir)
-      // next index from the highest EXISTING batch name, not the entry
-      // count: epoch entries (and their replay retractions) make the
-      // count non-monotone, and a count-derived name could collide
-      val batchRe = """part-(\d+)\.jsonl""".r
-      val start = prior.map(_._1).collect {
-        case batchRe(n) => n.toInt + 1
-      }.foldLeft(0)(math.max)
+      // OCC APPEND per directory: files land under commit-unique names
+      // (no index to contend for) and publish as an immutable put-if-
+      // absent `_TXN` commit — the same discipline as the unpartitioned
+      // append, so concurrent partitioned INSERTs never read-modify-write
+      // a partition `_MANIFEST` and can never clobber each other. Stats
+      // travel inside the txn file (atomic with the entries).
+      val gen = java.util.UUID.randomUUID.toString.take(8)
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, rows, st), i) =>
-          val name = f"part-${start + i}%05d.jsonl"
+          val name = f"part-x$gen-$i%05d.jsonl"
           java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           (name, rows, st)
       }
-      AuditPartition.writeManifest(pdir,
-        prior ++ added.map { case (n, r, _) => (n, r) })
-      // per-DIRECTORY zone maps: same skipping inside surviving partitions
-      AuditStats.append(pdir.toString,
-        added.map { case (n, _, st) => (n, st) })
+      AuditBase.commitTxn(pdir.toString,
+        added.map { case (n, r, _) =>
+          AuditBase.ManifestEntry(n, r, folded = false) },
+        added.map { case (n, _, st) => AuditStats.line(n, st) })
     }
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)

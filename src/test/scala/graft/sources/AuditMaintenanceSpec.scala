@@ -357,8 +357,9 @@ class AuditMaintenanceSpec extends SparkSpec {
       finally listing.close()
     }
     assert(dirs.size === 4, dirs)
-    assert(dirs.forall(d => java.nio.file.Files.exists(
-      wh.resolve("db").resolve("bkt_a").resolve(d).resolve("_MANIFEST"))))
+    // entries visible per dir (OCC appends may still be txn-only)
+    assert(dirs.forall(d => AuditPartition.manifestEntries(
+      wh.resolve("db").resolve("bkt_a").resolve(d)).nonEmpty))
     // per-row routing matches the shared hash
     dirs.foreach { d =>
       val b = d.stripPrefix("okey=").toInt
@@ -535,8 +536,8 @@ class AuditMaintenanceSpec extends SparkSpec {
       """INSERT INTO graft_m.db.pz1
         |SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END
         |FROM range(100000, 101000)""".stripMargin)
-    assert(java.nio.file.Files.exists(
-      dataDir("pz1").resolve("flag=A").resolve("_STATS")))
+    // per-dir stats are readable pre-consolidation (they travel in txns)
+    assert(AuditStats.read(dataDir("pz1").resolve("flag=A").toString).nonEmpty)
     def dirFiles(where: String): Seq[Int] = {
       val q = spark.sql(s"SELECT id FROM graft_m.db.pz1 WHERE $where")
       val scan = q.queryExecution.executedPlan.collectFirst {
@@ -653,9 +654,10 @@ class AuditMaintenanceSpec extends SparkSpec {
       val entries = AuditPartition.manifestEntries(
         dataDir("po1").resolve(s"flag=$t"))
       assert(entries.size === 1, s"flag=$t: $entries")
-      assert(entries.head._1.matches("part-\\d{5}\\.jsonl"), entries)
-      assert(java.nio.file.Files.exists(
-        dataDir("po1").resolve(s"flag=$t").resolve("_STATS")))
+      // batch files are commit-unique-named (OCC txn append naming)
+      assert(entries.head._1.matches("part-x[0-9a-f]{8}-\\d{5}\\.jsonl"), entries)
+      assert(AuditStats.read(
+        dataDir("po1").resolve(s"flag=$t").toString).nonEmpty)
     }
     assert(!java.nio.file.Files.exists(dataDir("po1").resolve("_EPOCHS")))
     // every read contract is unchanged
@@ -667,8 +669,10 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql("SELECT min(id), max(id) FROM graft_m.db.po1")
       .head.toSeq === Seq(0L, 9000L))
     // within-dir sort honored
+    val f0 = AuditPartition.manifestEntries(
+      dataDir("po1").resolve("flag=0")).head._1
     val ids = java.nio.file.Files.readAllLines(
-      dataDir("po1").resolve("flag=0").resolve("part-00000.jsonl"))
+      dataDir("po1").resolve("flag=0").resolve(f0))
       .asScala.map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
     assert(ids.toSeq === ids.toSeq.sorted)
     // zorder/bloom refusal on partitioned compaction
