@@ -924,6 +924,13 @@ private[sources] object GraftProcedures {
           else input.getUTF8String(4).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
         val (path, schema, partSpec) = catalog.resolveAuditTableFull(table)
+        // user-facing column args arrive in CURRENT names; the rewrite
+        // works in storage names (see resolveAuditTableFull)
+        val cm = catalog.resolveAuditColMap(table)
+        def st(c: String): String = cm.getOrElse(c, c)
+        val sortBySt = sortBy.map(st)
+        val zorderBySt = zorderBy.map(st)
+        val bloomBySt = bloomBy.map(st)
         val (files, rows, through) = partSpec match {
           case Some(ps) =>
             require(zorderBy.isEmpty && bloomBy.isEmpty,
@@ -932,10 +939,10 @@ private[sources] object GraftProcedures {
                 "column)")
             AuditMaintenance.optimizePartitioned(
               org.apache.spark.sql.SparkSession.active,
-              s"${catalog.name()}.$table", path, ps, tfc, sortBy)
+              s"${catalog.name()}.$table", path, ps, tfc, sortBySt)
           case None => AuditMaintenance.optimize(
             org.apache.spark.sql.SparkSession.active, path, schema, tfc,
-            sortBy, zorderBy, bloomBy = bloomBy)
+            sortBySt, zorderBySt, bloomBy = bloomBySt)
         }
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),

@@ -103,13 +103,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(m => GraftCatalog.unescape(m.group(1)))
     val partCol = """"partcols":"([^"]+)"""".r.findFirstMatchIn(meta)
       .map(_.group(1))
+    val colMap = GraftCatalog.parseColMap(meta)
     provider match {
       case "paged" =>
         require(version.isEmpty, "paged tables carry no version log")
         new PagedTable(prop("pages").map(_.toInt).getOrElse(1),
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
-        new AuditTable(dataDir(ident).toString, schema, version, partCol)
+        new AuditTable(dataDir(ident).toString, schema, version, partCol,
+          colMap)
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
     }
@@ -137,7 +139,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * normalize every form to prop_<lowercased-key> and dedup. */
   private[sources] def writeMeta(ident: Identifier, provider: String,
       schema: StructType, properties: JMap[String, String],
-      partCol: Option[String] = None): Unit = {
+      partCol: Option[String] = None,
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil): Unit = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
     // property values are user input (OPTIONS / TBLPROPERTIES / COMMENT):
@@ -151,8 +155,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.distinct
     val effectiveSchema =
       if (provider == "paged") PagedSource.schema else schema
+    // column name mapping (RENAME/DROP without rewrite): current→storage
+    // pairs, plus storage names RETIRED by forced drops (a re-added column
+    // of the same name must get a FRESH storage name, never the old data)
+    val mapJson =
+      if (colMap.isEmpty) Seq.empty
+      else Seq(s""""colmap":{${colMap.toSeq.sorted.map { case (c, st) =>
+        s""""${GraftCatalog.escape(c)}":"${GraftCatalog.escape(st)}""""
+      }.mkString(",")}}""")
+    val retiredJson =
+      if (retired.isEmpty) Seq.empty
+      else Seq(s""""retired":[${retired.map(r =>
+        s""""${GraftCatalog.escape(r)}"""").mkString(",")}]""")
     val meta = (Seq(s""""provider":"$provider"""") ++
       partCol.map(c => s""""partcols":"$c"""") ++ props ++
+      mapJson ++ retiredJson ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
     java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
   }
@@ -199,12 +216,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** Schema evolution: ALTER TABLE ADD COLUMN (top-level, nullable —
-    * committed rows carry no value for the new column, and the jsonl
-    * reader surfaces exactly that as null: lines shorter than the schema
-    * null-fill from the first missing field). Anything else — drops,
-    * renames, type changes — would need a data rewrite or lineage this
-    * format does not keep, so it stays a loud error. */
+  /** Schema evolution without data rewrite. ADD COLUMN (top-level,
+    * nullable — committed rows null-fill), RENAME COLUMN and DROP COLUMN
+    * are pure METADATA edits via the name-mapping layer: the jsonl
+    * payload stays keyed by each column's STORAGE name (its name at ADD
+    * time), `colmap` translates current→storage on every read and write,
+    * and a forced DROP retires the storage name so a later re-ADD of the
+    * same name gets a FRESH storage key (old data can never resurrect).
+    * DROP is destructive to readability, so it errors loudly unless the
+    * table property `graft.allow-column-drop=true` is set. Type changes
+    * stay a loud error (they would need a data rewrite). Rename/drop on
+    * PARTITIONED tables is refused — directory names embed the partition
+    * column. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val f = metaFile(ident)
     if (!java.nio.file.Files.exists(f))
@@ -212,23 +235,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
     val schemaJson = meta.substring(meta.lastIndexOf("\"schema\":") + 9,
       meta.lastIndexOf('}'))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+    val schema0 = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-    val newSchema = changes.foldLeft(schema) {
+    val provider = """"provider":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("audit")
+    val partCol = """"partcols":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1))
+    var props: Map[String, String] = GraftCatalog.parseProps(meta)
+    var colMap: Map[String, String] = GraftCatalog.parseColMap(meta)
+    var retired: Seq[String] = GraftCatalog.parseRetired(meta)
+    def storageOf(sc: StructType, c: String): String = colMap.getOrElse(c, c)
+    def requireUnpartitioned(what: String): Unit =
+      require(partCol.isEmpty,
+        s"graft catalog: $what is unsupported on partitioned tables " +
+          "(directory names embed the partition column)")
+    val newSchema = changes.foldLeft(schema0) {
       case (sc, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: nested ADD COLUMN unsupported")
         require(add.isNullable,
           "graft catalog: added columns must be nullable (existing rows have no value)")
-        require(!sc.fieldNames.contains(add.fieldNames.head),
-          s"graft catalog: column ${add.fieldNames.head} already exists")
+        val name = add.fieldNames.head
+        require(!sc.fieldNames.contains(name),
+          s"graft catalog: column $name already exists")
+        // a storage name may be occupied by an older column (renamed away
+        // or force-dropped): mint a fresh one so old bytes stay invisible
+        val used = sc.fieldNames.map(storageOf(sc, _)).toSet ++ retired
+        if (used.contains(name)) {
+          val fresh = Iterator.from(2).map(i => s"$name#$i")
+            .dropWhile(used.contains).next()
+          colMap += (name -> fresh)
+        }
         sc.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, nullable = true))
+          name, add.dataType, nullable = true))
+      case (sc, ren: TableChange.RenameColumn) =>
+        requireUnpartitioned("RENAME COLUMN")
+        require(ren.fieldNames.length == 1,
+          "graft catalog: nested RENAME COLUMN unsupported")
+        val from = ren.fieldNames.head
+        val to = ren.newName
+        require(sc.fieldNames.contains(from),
+          s"graft catalog: no such column $from")
+        require(!sc.fieldNames.contains(to),
+          s"graft catalog: column $to already exists")
+        val storage = storageOf(sc, from)
+        colMap -= from
+        if (storage != to) colMap += (to -> storage)
+        StructType(sc.fields.map(fl =>
+          if (fl.name == from) fl.copy(name = to) else fl))
+      case (sc, del: TableChange.DeleteColumn) =>
+        requireUnpartitioned("DROP COLUMN")
+        require(del.fieldNames.length == 1,
+          "graft catalog: nested DROP COLUMN unsupported")
+        val name = del.fieldNames.head
+        if (!sc.fieldNames.contains(name)) {
+          require(del.ifExists, s"graft catalog: no such column $name")
+          sc
+        } else {
+          require(props.get("graft.allow-column-drop").contains("true"),
+            s"graft catalog: DROP COLUMN $name would make committed data " +
+              "unreadable — set TBLPROPERTIES " +
+              "('graft.allow-column-drop'='true') on the table to force it")
+          retired = (retired :+ storageOf(sc, name)).distinct
+          colMap -= name
+          StructType(sc.fields.filterNot(_.name == name))
+        }
+      case (sc, set: TableChange.SetProperty) =>
+        props += (set.property.toLowerCase -> set.value); sc
+      case (sc, rm: TableChange.RemoveProperty) =>
+        props -= rm.property.toLowerCase; sc
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
-    val prefix = meta.substring(0, meta.lastIndexOf("\"schema\":") + 9)
-    java.nio.file.Files.write(f, (prefix + newSchema.json + "}").getBytes("UTF-8"))
+    val jProps = new java.util.HashMap[String, String]
+    props.foreach { case (k, v) => jProps.put(k, v) }
+    writeMeta(ident, provider, newSchema, jProps, partCol, colMap, retired)
     loadTable(ident)
   }
 
@@ -337,6 +418,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (path, schema)
   }
 
+  /** current→storage column map of an audit table (for procedures whose
+    * column arguments arrive in current names). */
+  private[sources] def resolveAuditColMap(name: String): Map[String, String] = {
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    loadTable(ident) match {
+      case a: AuditTable => a.columnMap
+      case _ => Map.empty
+    }
+  }
+
   private[sources] def resolveAuditTableFull(name: String)
       : (String, StructType, Option[String]) = {
     val parts = name.split('.')
@@ -344,7 +436,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft maintenance: table must be <namespace>.<name>, got '$name'")
     val ident = Identifier.of(parts.init, parts.last)
     loadTable(ident) match {
-      case a: AuditTable => (a.dataPath, a.schema(), a.partitionColumn)
+      // maintenance reads and rewrites PHYSICAL bytes through the raw
+      // provider: it must speak STORAGE column names (the name-mapping
+      // layer translates only at the catalog-table boundary)
+      case a: AuditTable => (a.dataPath, a.storageNamedSchema, a.partitionColumn)
       case other => throw new IllegalArgumentException(
         s"graft maintenance: $name is not an audit table (${other.name()})")
     }
@@ -389,6 +484,32 @@ object GraftCatalog {
 
   /** JSON string escaping for metadata property values (same discipline as
     * the audit sink's writer: backslash, quote, control chars). */
+  private val PropRe = """"prop_([a-z0-9_.-]+)":"((?:[^"\\]|\\.)*)"""".r
+  private val PairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+  private val ColMapRe = """"colmap":\{((?:[^{}]*))\}""".r
+  private val RetiredRe = """"retired":\[((?:[^\]]*))\]""".r
+  private val StrRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private[sources] def parseProps(meta: String): Map[String, String] =
+    PropRe.findAllMatchIn(meta)
+      .map(m => (m.group(1), unescape(m.group(2)))).toMap
+
+  /** current→storage column map from a metadata file (empty = identity). */
+  private[sources] def parseColMap(meta: String): Map[String, String] =
+    ColMapRe.findFirstMatchIn(meta).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) => PairRe.findAllMatchIn(body)
+        .map(m => (unescape(m.group(1)), unescape(m.group(2)))).toMap
+    }
+
+  /** Storage names retired by forced DROP COLUMN. */
+  private[sources] def parseRetired(meta: String): Seq[String] =
+    RetiredRe.findFirstMatchIn(meta).map(_.group(1)) match {
+      case None => Seq.empty
+      case Some(body) => StrRe.findAllMatchIn(body)
+        .map(m => unescape(m.group(1))).toSeq
+    }
+
   private[sources] def escape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
@@ -933,6 +1054,197 @@ object CatalogApi {
       |ORDER BY flag""".stripMargin
   }
 
+  /** PARTITIONED TIME TRAVEL, oracle-checked: `VERSION AS OF e` on a
+    * PARTITIONED audit table reconstructs the table as of streaming
+    * epoch e — per-directory manifests carry the epoch-named files, so a
+    * pinned read keeps only `part-e<=v` entries in every partition and
+    * excludes batch txn appends, exactly the unpartitioned semantics.
+    * The result tags the pinned aggregate ('v1') beside the current one
+    * ('cur'), so the oracle proves BOTH that history resolves and that
+    * the un-pinned read still sees the post-pin batch INSERT. */
+  def auditPartTravel(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qptt_wh")
+    spark.conf.set("spark.sql.catalog.graft_qptt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qptt.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qptt.db.pt")
+    spark.sql(
+      """CREATE TABLE graft_qptt.db.pt (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qptt_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_qptt.db.pt")
+    try w.processAllAvailable() finally w.stop()
+    // a batch (txn) append AFTER the epochs: visible current, never pinned
+    spark.sql("INSERT INTO graft_qptt.db.pt VALUES (9000, 1), (9001, 2)")
+    spark.sql(
+      """SELECT 'v1' AS at, flag, count(*) AS n, sum(id) AS sum_id
+        |FROM graft_qptt.db.pt VERSION AS OF 1
+        |GROUP BY flag
+        |UNION ALL
+        |SELECT 'cur' AS at, flag, count(*) AS n, sum(id) AS sum_id
+        |FROM graft_qptt.db.pt
+        |GROUP BY flag
+        |ORDER BY at, flag""".stripMargin)
+  }
+
+  val auditPartTravelSql: String =
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(400) t(r)
+      |), cur AS (
+      |  SELECT id, flag FROM src
+      |  UNION ALL SELECT 9000, 1 UNION ALL SELECT 9001, 2
+      |)
+      |SELECT 'v1' AS at, flag, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM src WHERE id < 200 GROUP BY flag
+      |UNION ALL
+      |SELECT 'cur' AS at, flag, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM cur GROUP BY flag
+      |ORDER BY at, flag""".stripMargin
+
+  /** PARTITIONED CDC REPLICATION, oracle-checked: a partitioned replica
+    * is maintained EXCLUSIVELY from the partitioned table's change feed.
+    * The partitioned feed's axis is the per-directory manifests (every
+    * entry — streaming epoch or OCC txn append — is an insert event), so
+    * the apply step is a pure append of each batch's events; the tail is
+    * STOPPED across the second wave and restarted from its checkpoint,
+    * proving the per-directory offsets resume exactly (no loss, no
+    * double-apply) even when one micro-batch spans multiple commits. */
+  def cdfReplicaPart(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qrpp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qrpp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qrpp.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qrpp.db.src")
+    spark.sql("DROP TABLE IF EXISTS graft_qrpp.db.rep")
+    spark.sql(
+      """CREATE TABLE graft_qrpp.db.src (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_qrpp.db.rep (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qrpp_ckpt")
+    def startTail() = spark.readStream.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("src").toString)
+      .option("partitionby", "flag")
+      .option("changeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partitioned feed is insert-only (DML rewrites in place and is
+        // excluded by contract): the apply is a pure partitioned append
+        batch.filter(col("_change_type") === "insert")
+          .select(col("id"), col("flag"))
+          .write.format(classOf[JsonAuditSink].getName)
+          .option("path", wh.resolve("db").resolve("rep").toString)
+          .option("partitionby", "flag")
+          .mode("append").save()
+        ()
+      }
+      .start()
+    // wave 1: streaming epochs land while the tail is LIVE
+    val wckpt = java.nio.file.Files.createTempDirectory("graft_qrpp_wckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", wckpt.toString)
+      .outputMode("append").toTable("graft_qrpp.db.src")
+    val tail = startTail()
+    try {
+      try w.processAllAvailable() finally w.stop()
+      tail.processAllAvailable()
+    } finally tail.stop()
+    // wave 2: two OCC batch appends commit while the tail is DOWN; the
+    // restarted tail's first batch spans BOTH commits
+    spark.sql("INSERT INTO graft_qrpp.db.src VALUES (9000, 0), (9001, 1)")
+    spark.sql("INSERT INTO graft_qrpp.db.src VALUES (9002, 2), (9003, 0)")
+    val tail2 = startTail()
+    try tail2.processAllAvailable() finally tail2.stop()
+    spark.sql("SELECT id, flag FROM graft_qrpp.db.rep ORDER BY id")
+  }
+
+  val cdfReplicaPartSql: String =
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(200) t(r)
+      |), merged AS (
+      |  SELECT id, flag FROM src
+      |  UNION ALL SELECT 9000, 0 UNION ALL SELECT 9001, 1
+      |  UNION ALL SELECT 9002, 2 UNION ALL SELECT 9003, 0
+      |)
+      |SELECT id, flag FROM merged ORDER BY id""".stripMargin
+
+  /** COLUMN RENAME/DROP (name-mapping layer), oracle-checked end to end:
+    * write → RENAME COLUMN (pure metadata; files keep the storage key) →
+    * append under the new name → DML through the new name → forced DROP
+    * + re-ADD of another column (fresh storage key, old bytes stay
+    * buried) — and the final SELECT reads ONE coherent column across all
+    * vintages. The oracle restates the final state from first
+    * principles. */
+  def catalogRename(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qren_wh")
+    spark.conf.set("spark.sql.catalog.graft_qren", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qren.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qren.db.t")
+    spark.sql(
+      "CREATE TABLE graft_qren.db.t (id BIGINT, v BIGINT, junk BIGINT) USING audit")
+    spark.sql(
+      "INSERT INTO graft_qren.db.t SELECT id, id * 10, 777 FROM range(0, 200)")
+    // rename: metadata-only; committed files stay keyed by storage name "v"
+    spark.sql("ALTER TABLE graft_qren.db.t RENAME COLUMN v TO score")
+    spark.sql(
+      "INSERT INTO graft_qren.db.t SELECT id, id * 10, 777 FROM range(200, 300)")
+    // DML through the renamed column (delta path translates the filters)
+    spark.sql("DELETE FROM graft_qren.db.t WHERE score % 100 = 30 AND id < 300")
+    spark.sql(
+      """MERGE INTO graft_qren.db.t t
+        |USING (SELECT 7L AS id, 111L AS score) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.score = s.score
+        |""".stripMargin)
+    // forced drop + re-add: the re-added column must read NULL for every
+    // pre-drop row (fresh storage key), then accept new writes
+    spark.sql("ALTER TABLE graft_qren.db.t SET TBLPROPERTIES " +
+      "('graft.allow-column-drop'='true')")
+    spark.sql("ALTER TABLE graft_qren.db.t DROP COLUMN junk")
+    spark.sql("ALTER TABLE graft_qren.db.t ADD COLUMN junk BIGINT")
+    spark.sql("INSERT INTO graft_qren.db.t VALUES (1000, 5, 42)")
+    spark.sql(
+      """SELECT id, score, junk FROM graft_qren.db.t ORDER BY id""")
+  }
+
+  val catalogRenameSql: String =
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) * 10 AS score
+      |  FROM range(300) t(r)
+      |), kept AS (
+      |  SELECT id, CASE WHEN id = 7 THEN 111 ELSE score END AS score
+      |  FROM src WHERE NOT (score % 100 = 30)
+      |)
+      |SELECT id, score, CAST(NULL AS BIGINT) AS junk FROM kept
+      |UNION ALL SELECT 1000, 5, 42
+      |ORDER BY id""".stripMargin
+
   val auditOptimizeSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -1436,6 +1748,9 @@ object CatalogApi {
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
+      "q_audit_part_travel" -> (auditPartTravel _),
+      "q_cdf_replica_part" -> (cdfReplicaPart _),
+      "q_catalog_rename" -> (catalogRename _),
       "q_audit_gcount" -> (auditGroupCount _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
@@ -1453,6 +1768,9 @@ object CatalogApi {
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
+      "q_audit_part_travel" -> auditPartTravelSql,
+      "q_cdf_replica_part" -> cdfReplicaPartSql,
+      "q_catalog_rename" -> catalogRenameSql,
       "q_audit_gcount" -> auditGroupCountSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }

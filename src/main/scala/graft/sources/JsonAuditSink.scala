@@ -150,7 +150,8 @@ private[sources] object AuditPartition {
 }
 
 final class AuditTable(path: String, writeSchema: StructType,
-    pinnedVersion: Option[Long] = None, partCol: Option[String] = None)
+    pinnedVersion: Option[Long] = None, partCol: Option[String] = None,
+    colMap: Map[String, String] = Map.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -158,6 +159,12 @@ final class AuditTable(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
+  require(colMap.isEmpty || partCol.isEmpty,
+    "audit: column name mapping (RENAME/DROP) is unsupported on " +
+      "partitioned tables (directory names embed the partition column)")
+  // storage-named twin of the Spark-facing schema: same field order and
+  // types, names as physically written in the jsonl payload
+  private val storageSchema = AuditNameMap.toStorage(writeSchema, colMap)
   private val partSpec: Option[AuditPartition.Spec] =
     partCol.map(AuditPartition.parseSpec)
   partSpec.foreach { s =>
@@ -165,8 +172,6 @@ final class AuditTable(path: String, writeSchema: StructType,
       s"audit partition column ${s.col} not in schema")
     require(AuditPartition.supported(writeSchema(s.col).dataType),
       s"audit partition column ${s.col} must be long/int/string")
-    require(pinnedVersion.isEmpty,
-      "partitioned audit tables carry no epoch log (no VERSION AS OF)")
   }
   private def partInfo: Option[(String, DataType)] =
     partSpec.map(s => (s.col, writeSchema(s.col).dataType))
@@ -295,7 +300,7 @@ final class AuditTable(path: String, writeSchema: StructType,
         override def comment(): String = "line position of this row within _file"
       })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AuditWriteBuilder(path, info.schema(),
+    new AuditWriteBuilder(path, AuditNameMap.toStorage(info.schema(), colMap),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
       partInfo, bucketN)
 
@@ -333,7 +338,8 @@ final class AuditTable(path: String, writeSchema: StructType,
   }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(AuditDelete.supported(writeSchema, _)) &&
+    filters.forall(f => AuditDelete.supported(storageSchema,
+      AuditNameMap.mapFilter(f, colMap))) &&
       // SCALE GUARD: this path rewrites files on the driver — surgical and
       // cheap at metadata scale, wrong for a huge table. The manifests
       // give the row count for free; past the bound, canDeleteWhere=false
@@ -346,7 +352,8 @@ final class AuditTable(path: String, writeSchema: StructType,
       (AuditBase.read(path).isEmpty || filters.forall(
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    AuditDelete.deleteWhere(path, writeSchema, filters, partInfo)
+    AuditDelete.deleteWhere(path, storageSchema,
+      filters.map(AuditNameMap.mapFilter(_, colMap)), partInfo)
 
   /** SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
     * can't translate): group-based copy-on-write at TABLE granularity —
@@ -363,7 +370,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     () => partInfo match {
       // unpartitioned tables take the DELTA path: DML writes only changed
       // rows (delete vectors + an appended file) and epoch lineage survives
-      case None    => new AuditDeltaOperation(path, writeSchema, info.command())
+      case None    =>
+        new AuditDeltaOperation(path, storageSchema, info.command(), colMap)
       // partitioned tables keep group-based copy-on-write (they carry no
       // epoch log, and their per-partition manifests rewrite cheaply)
       case Some(_) =>
@@ -388,17 +396,23 @@ final class AuditTable(path: String, writeSchema: StructType,
     // entry as a 'delete' event carrying the original row values, batch
     // AND streaming (the streaming tail turns delta DML into a true CDF).
     if (Option(options.get("changeFeed")).exists(_.toBoolean)) {
-      require(partInfo.isEmpty,
-        "audit: changeFeed reads are for unpartitioned (epoch/delta) tables")
       require(writeSchema.fieldNames.contains("_change_type"),
         "audit changeFeed: the read schema must include _change_type STRING " +
           "(and may include _commit_epoch BIGINT)")
-      return new AuditCdfScan(path, writeSchema)
+      // partitioned tables feed from the per-directory manifests: every
+      // entry (streaming epoch or OCC txn append) is an insert event.
+      // Partitioned DML rewrites files IN PLACE (no delete vectors), so
+      // the partitioned feed is append-only by construction and the tail
+      // fails loudly if a directory's manifest ever shrinks.
+      partSpec match {
+        case Some(sp) =>
+          return new AuditPartitionedCdfScan(path, writeSchema, sp.col)
+        case None => return new AuditCdfScan(path, writeSchema,
+          AuditNameMap.toStorage(writeSchema, colMap))
+      }
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
-    require(version.isEmpty || partInfo.isEmpty,
-      "partitioned audit tables carry no epoch log (no VERSION AS OF)")
     // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
     val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
     // compaction snapshot pin: only epochs <= snapshotMaxEpoch and batch
@@ -407,13 +421,17 @@ final class AuditTable(path: String, writeSchema: StructType,
     val snapMaxEpoch = Option(options.get("snapshotMaxEpoch")).map(_.toLong)
     val snapFiles = Option(options.get("snapshotFiles"))
       .map(_.split(",").filter(_.nonEmpty).toSet)
-    new AuditScanBuilder(path, writeSchema, version, partInfo,
+    new AuditScanBuilder(path, storageSchema, version, partInfo,
       includeDeleted = includeDeleted, bucketN = bucketN,
-      snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles)
+      snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles, nameMap = colMap)
   }
 
   private[sources] def dataPath: String = path
   private[sources] def partitionColumn: Option[String] = partCol
+  /** Storage-named schema + current→storage map, for maintenance code
+    * that reads/writes through the raw provider (OPTIMIZE, VACUUM). */
+  private[sources] def storageNamedSchema: StructType = storageSchema
+  private[sources] def columnMap: Map[String, String] = colMap
 }
 
 /** Scan builder: required-column pruning doubles as the metadata-column
@@ -435,7 +453,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
     snapFiles: Option[Set[String]] = None,
-    excludeNull: Boolean = false)
+    excludeNull: Boolean = false,
+    // current→storage column name map (RENAME without rewrite): Spark
+    // pushes pruning/filters in CURRENT names; everything below this
+    // boundary speaks STORAGE names (writeSchema here is storage-named)
+    nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -444,6 +466,9 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNull}
   private var required: StructType = writeSchema
+  // the pruned schema in CURRENT names — what Scan.readSchema must return
+  private var requiredOut: StructType = AuditNameMap.toStorage(
+    writeSchema, nameMap.map(_.swap))
   private var metadataCount = false
   private var accepted: Array[Filter] = Array.empty
   /** Allowed partition TOKENS after pushed predicates; None = all. */
@@ -451,8 +476,10 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   private var excludeNull = false
   /** Per-partition row cap from a pushed LIMIT / sorted-base TopN. */
   private var pushedCap: Option[Int] = None
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requiredOut = requiredSchema
+    required = AuditNameMap.toStorage(requiredSchema, nameMap)
+  }
 
   /** PARTIAL limit pushdown: each partition stops after n surviving rows
     * (Spark applies the final global limit). Any scan can claim this —
@@ -496,11 +523,15 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     * remove files whose every row the residual would drop anyway. */
   private var skipFilters: Seq[Filter] = Nil
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  override def pushFilters(filters0: Array[Filter]): Array[Filter] = {
+    val filters = filters0.map(AuditNameMap.mapFilter(_, nameMap))
     if (allowPartFilters) skipFilters = filters.toSeq
     partInfo match {
-      case None => filters // unpartitioned: no partition dirs to prune
-      case _ if !allowPartFilters => filters
+      // residuals go back in Spark's ORIGINAL objects (it maps them to
+      // catalyst expressions by value); the storage-named twins above
+      // only feed the zone-map skip, whose _STATS keys are storage names
+      case None => filters0 // unpartitioned: no partition dirs to prune
+      case _ if !allowPartFilters => filters0
       case Some((col, _)) =>
         def restrict(tokens: Set[String]): Unit =
           allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
@@ -652,7 +683,7 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
         new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
           allowedTokens, includeDeleted, skipFilters,
           pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN,
-          snapMaxEpoch, snapFiles, excludeNull)
+          snapMaxEpoch, snapFiles, excludeNull, outSchema = Some(requiredOut))
     }
 }
 
@@ -779,7 +810,9 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
       AuditPartition.listDirs(path, col).collect {
         case (token, dir) if allowedTokens.forall(_.contains(token)) &&
             !(excludeNull && token == AuditPartition.NullToken) =>
-          AuditPartition.manifestEntries(dir).map(_._2).sum
+          AuditPartition.manifestEntries(dir).collect {
+            case (f, r) if AuditScan.epochVisible(f, versionAsOf) => r
+          }.sum
       }.sum
     case None =>
       // current-state counts subtract the delete vectors (kept exact by
@@ -861,7 +894,10 @@ final class AuditScan(path: String, writeSchema: StructType,
     bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
     snapFiles: Option[Set[String]] = None,
-    excludeNull: Boolean = false)
+    excludeNull: Boolean = false,
+    // current-named pruned schema for Spark (readSchema); `required` is
+    // its storage-named twin the readers parse with. None = identical.
+    outSchema: Option[StructType] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -886,8 +922,9 @@ final class AuditScan(path: String, writeSchema: StructType,
     // (file path, rows when metadata-known)
     val files: Seq[(java.nio.file.Path, Option[Long])] = partInfo match {
       case Some(_) => survivingDirs.flatMap { case (_, d) =>
-        AuditPartition.manifestEntries(d).map {
-          case (f, r) => (d.resolve(f), Some(r))
+        AuditPartition.manifestEntries(d).collect {
+          case (f, r) if AuditScan.epochVisible(f, versionAsOf) =>
+            (d.resolve(f), Some(r))
         }
       }
       case None =>
@@ -953,13 +990,19 @@ final class AuditScan(path: String, writeSchema: StructType,
       if required.fieldNames.contains(s)
       if AuditBase.readManifest(path).forall(_.folded)
       if AuditScan.committedEpochs(path).forall(_ <= b.throughEpoch)
-    } yield org.apache.spark.sql.connector.expressions.Expressions.sort(
-      org.apache.spark.sql.connector.expressions.Expressions.column(s),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    } yield {
+      // _BASE records the STORAGE column name; Spark resolves the claim
+      // against readSchema's CURRENT names — translate positionally
+      val outName = outSchema
+        .map(o => o(required.fieldIndex(s)).name).getOrElse(s)
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(outName),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }
     claim.toArray
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = outSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
@@ -1025,13 +1068,17 @@ final class AuditScan(path: String, writeSchema: StructType,
       case Some((_, dt)) =>
         // per-DIRECTORY zone maps: inside each surviving partition the
         // same bounds/bloom refutation drops files; the partition itself
-        // stays (possibly empty) so KeyGroupedPartitioning is unaffected
+        // stays (possibly empty) so KeyGroupedPartitioning is unaffected.
+        // A pinned (VERSION AS OF) read keeps only streaming-epoch files
+        // with epoch <= v — batch txn appends carry no epoch, the same
+        // exclusion the unpartitioned pinned read applies.
         return survivingDirs.map { case (token, dir) =>
           val dirStats =
             if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
             else Map.empty[String, AuditStats.FileStats]
           val files = AuditPartition.manifestEntries(dir).collect {
-            case (f, _) if !dirStats.get(f).exists(
+            case (f, _) if AuditScan.epochVisible(f, versionAsOf) &&
+              !dirStats.get(f).exists(
                 AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
               dir.resolve(f).toString
           }
@@ -1176,6 +1223,22 @@ private[sources] object AuditScan {
       }.toSeq.sorted
     else Seq.empty
   }
+
+  /** Epoch a part file belongs to, when it is a streaming-epoch file. */
+  def epochOf(fileName: String): Option[Long] = fileName match {
+    case PartRe(e) => Some(e.toLong)
+    case _         => None
+  }
+
+  /** Visibility of a manifest entry under a pinned (VERSION AS OF) read:
+    * streaming-epoch files are visible iff epoch <= v; batch txn appends
+    * carry no epoch and are excluded from pinned reads entirely. An
+    * un-pinned read sees everything. */
+  def epochVisible(fileName: String, versionAsOf: Option[Long]): Boolean =
+    versionAsOf match {
+      case None    => true
+      case Some(v) => epochOf(fileName).exists(_ <= v)
+    }
 
   /** Committed part files of the given epochs, with their epoch. */
   def epochFiles(path: String, wanted: Set[Long]): Seq[(String, Long)] = {
@@ -1339,11 +1402,17 @@ final class AuditPartitionedMicroBatchStream(path: String,
   * replayable; the RETROACTIVE metadata DELETE rewrites files instead —
   * an open changelog detects the shrunken logs and fails loudly rather
   * than replaying drifted history. */
-final class AuditCdfScan(path: String, fullSchema: StructType)
+final class AuditCdfScan(path: String, fullSchema: StructType,
+    parseSchema0: StructType = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
+
+  // storage-named twin used by the readers (column RENAME mapping);
+  // fullSchema keeps the Spark-facing current names
+  private val parseSchema =
+    if (parseSchema0 == null) fullSchema else parseSchema0
 
   override def build(): Scan = this
   override def readSchema(): StructType = fullSchema
@@ -1357,11 +1426,111 @@ final class AuditCdfScan(path: String, fullSchema: StructType)
       AuditDeletes.entries(path))
 
   override def createReaderFactory(): PartitionReaderFactory =
+    new AuditCdfReaderFactory(parseSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AuditCdfStream(path, parseSchema)
+}
+
+/** CHANGE-DATA-FEED over a PARTITIONED audit table. The feed's axis is
+  * the per-directory manifests: every entry — a streaming epoch file or
+  * an OCC txn append — is an `insert` event (epoch-stamped when the file
+  * name carries one). Partitioned DML rewrites files IN PLACE (the
+  * format keeps no delete vectors per directory), so the partitioned
+  * feed is append-only BY CONSTRUCTION: an open tail that observes a
+  * directory's manifest shrink (retroactive delete, epoch replay after a
+  * crash) fails loudly instead of replaying drifted history. */
+final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
+    col: String)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = fullSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AuditPartitionedCdfScan $path (change feed)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AuditPartition.listDirs(path, col).flatMap { case (_, pdir) =>
+      AuditPartition.manifestEntries(pdir).map { case (f, _) =>
+        AuditCdfPartition(pdir.resolve(f).toString,
+          AuditScan.epochOf(f), None): InputPartition
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
     new AuditCdfReaderFactory(fullSchema)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AuditCdfStream(path, fullSchema)
+    new AuditPartitionedCdfStream(path, fullSchema, col)
+}
+
+/** Offset of the partitioned change feed: entry count PER DIRECTORY
+  * (a single global counter would shift when a new directory sorts into
+  * the middle of the token order). */
+final case class AuditPartCdfOffset(dirs: Map[String, Int])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    dirs.toSeq.sortBy(_._1)
+      .map { case (t, n) => s""""${AuditRowJson.esc(t)}":$n""" }
+      .mkString("{", ",", "}")
+}
+
+private[sources] object AuditPartCdfOffset {
+  private val EntryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+  def parse(json: String): AuditPartCdfOffset = AuditPartCdfOffset(
+    EntryRe.findAllMatchIn(json).map { m =>
+      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toInt)
+    }.toMap)
+}
+
+final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
+    col: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def now(): AuditPartCdfOffset = AuditPartCdfOffset(
+    AuditPartition.listDirs(path, col).map { case (tok, pdir) =>
+      (tok, AuditPartition.manifestEntries(pdir).size)
+    }.toMap)
+
+  override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
+  override def latestOffset(): Offset = now()
+  override def deserializeOffset(json: String): Offset =
+    AuditPartCdfOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AuditPartCdfOffset].dirs
+    val en = end.asInstanceOf[AuditPartCdfOffset].dirs
+    val dirs = AuditPartition.listDirs(path, col).toMap
+    en.toSeq.sortBy(_._1).flatMap { case (tok, until) =>
+      val pdir = dirs.getOrElse(tok, throw new IllegalStateException(
+        s"audit changeFeed: partition dir $col=$tok vanished at $path — " +
+          "the table was truncated or its partition dropped; restart the feed"))
+      val entries = AuditPartition.manifestEntries(pdir)
+      val from = s.getOrElse(tok, 0)
+      require(from <= entries.size && until <= entries.size,
+        s"audit changeFeed: restored offset $from..$until exceeds the " +
+          s"manifest length ${entries.size} for $col=$tok at $path — the " +
+          "directory was rewritten (partitioned DML or epoch replay); " +
+          "restart the feed from a fresh checkpoint")
+      entries.slice(from, until).map { case (f, _) =>
+        AuditCdfPartition(pdir.resolve(f).toString,
+          AuditScan.epochOf(f), None): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AuditCdfReaderFactory(fullSchema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] object AuditCdf {
@@ -1775,14 +1944,15 @@ final class AuditRowLevelOperation(path: String, schema: StructType,
   * copy-on-write this replaces was the format's one true scale-killer)
   * and `VERSION AS OF` keeps resolving pre-DML epochs afterwards. */
 final class AuditDeltaOperation(path: String, schema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new AuditScanBuilder(path, schema, None)
+    new AuditScanBuilder(path, schema, None, nameMap = nameMap)
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
@@ -1791,7 +1961,7 @@ final class AuditDeltaOperation(path: String, schema: StructType,
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new AuditDeltaWrite(path, info.schema())
+        new AuditDeltaWrite(path, AuditNameMap.toStorage(info.schema(), nameMap))
     }
 }
 
@@ -1922,6 +2092,48 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
 /** Copy-on-write DELETE over the committed file set. Filter evaluation is
   * exact 3-valued logic on the writer's restricted types; the top-level
   * filter array is a conjunction (the V2 contract). */
+/** COLUMN NAME MAPPING (RENAME/DROP without data rewrite). The jsonl
+  * payload is keyed by each column's STORAGE name — the name it had when
+  * first added — which never changes; the catalog schema carries the
+  * CURRENT names plus a current→storage map. A rename is a pure metadata
+  * edit (O(1) vs table size, the Iceberg/Delta-name-mapping posture);
+  * reads and writes translate at the table boundary, and everything
+  * below (readers, writers, stats, delete evaluation) speaks storage
+  * names. Spark-facing schemas (Table.schema, Scan.readSchema) keep
+  * current names; rows are positional, so only name LOOKUPS translate. */
+private[sources] object AuditNameMap {
+  import org.apache.spark.sql.sources._
+
+  /** Rename schema fields current→storage (identity for unmapped). */
+  def toStorage(schema: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
+  /** Rename every attribute reference inside a V1 filter tree. */
+  def mapFilter(f: Filter, m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    def c(n: String) = m.getOrElse(n, n)
+    f match {
+      case EqualTo(a, v)            => EqualTo(c(a), v)
+      case EqualNullSafe(a, v)      => EqualNullSafe(c(a), v)
+      case GreaterThan(a, v)        => GreaterThan(c(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(c(a), v)
+      case LessThan(a, v)           => LessThan(c(a), v)
+      case LessThanOrEqual(a, v)    => LessThanOrEqual(c(a), v)
+      case In(a, vs)                => In(c(a), vs)
+      case IsNull(a)                => IsNull(c(a))
+      case IsNotNull(a)             => IsNotNull(c(a))
+      case StringStartsWith(a, v)   => StringStartsWith(c(a), v)
+      case StringEndsWith(a, v)     => StringEndsWith(c(a), v)
+      case StringContains(a, v)     => StringContains(c(a), v)
+      case And(l, r)                => And(mapFilter(l, m), mapFilter(r, m))
+      case Or(l, r)                 => Or(mapFilter(l, m), mapFilter(r, m))
+      case Not(x)                   => Not(mapFilter(x, m))
+      case other                    => other // AlwaysTrue/AlwaysFalse
+    }
+  }
+}
+
 /** STRICT V2-Predicate → V1-Filter conversion for destructive paths.
   * Unlike Spark's default bridge, any node this cannot represent EXACTLY
   * yields None for the whole predicate — never a weakened or partial
@@ -2243,9 +2455,50 @@ private[sources] object AuditJson {
       } else {
       if (f > 0) expect(',')
       expect('"')
-      val nameEnd = line.indexOf('"', i)
-      require(line.substring(i, nameEnd) == schema(f).name,
-        s"audit jsonl: field ${schema(f).name} out of order in $line")
+      var nameEnd = line.indexOf('"', i)
+      // NAME-MAPPING vintages: a line written before a (forced) DROP
+      // carries the dropped column's storage key — keys of SURVIVING
+      // columns always appear in schema order (order never changes; adds
+      // append), so an unexpected key is a dropped vintage's and its
+      // value is skipped. A '}' mid-skip means every remaining schema
+      // field post-dates this line (null-fill via the loop head).
+      var key = line.substring(i, nameEnd)
+      while (key != schema(f).name) {
+        // a key that IS a schema field arriving at the wrong position is
+        // corruption (the sink writes in schema order) — stay loud; only
+        // keys unknown to the schema are dropped-vintage skips
+        require(!schema.fieldNames.contains(key),
+          s"audit jsonl: field ${schema(f).name} out of order in $line")
+        i = nameEnd + 1
+        require(i < line.length && line.charAt(i) == ':',
+          s"audit jsonl: expected ':' at $i in $line")
+        i += 1
+        if (i < line.length && line.charAt(i) == '"') { // string value
+          i += 1
+          var done = false
+          while (!done) {
+            line.charAt(i) match {
+              case '"'  => done = true; i += 1
+              case '\\' => i += 2
+              case _    => i += 1
+            }
+          }
+        } else { // null / number / boolean
+          val end0 = line.indexWhere(c => c == ',' || c == '}', i)
+          i = if (end0 < 0) line.length else end0
+        }
+        if (i < line.length && line.charAt(i) == '}') {
+          // dropped key was the last: remaining schema fields are null
+          var g = f
+          while (g < schema.length) { vals(g) = null; g += 1 }
+          return new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+        }
+        expect(',')
+        expect('"')
+        nameEnd = line.indexOf('"', i)
+        key = line.substring(i, nameEnd)
+      }
       i = nameEnd + 1
       expect(':')
       if (line.startsWith("null", i)) { vals(f) = null; i += 4 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Time travel and the change feed on PARTITIONED audit tables: pinned
+  * reads keep only epoch files <= v in every partition directory (batch
+  * txn appends are excluded, matching the unpartitioned contract), and
+  * the partitioned feed — whose offset is the per-directory manifest
+  * length — resumes exactly and fails loudly when history is rewritten
+  * under it. */
+class AuditPartitionedCdfSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshTable(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_pcdf_${tag}_")
+    val cat = s"graft_pcdf_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT)
+         |USING audit PARTITIONED BY (flag)""".stripMargin)
+    (cat, wh.resolve("db").resolve("t"))
+  }
+
+  private def streamEpochs(cat: String, pages: Int): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pcdf_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", pages.toString).option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.t")
+    try w.processAllAvailable() finally w.stop()
+  }
+
+  test("VERSION AS OF on a partitioned table pins epoch history per dir") {
+    val (cat, dataDir) = freshTable("tt")
+    streamEpochs(cat, 3) // epochs 0..2, ids 0..299
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 0)") // txn append
+    // pinned: epochs <= 1 only — ids 0..199, no txn row
+    val v1 = spark.sql(s"SELECT id FROM $cat.db.t VERSION AS OF 1")
+    assert(v1.count() === 200L)
+    assert(v1.agg(max(col("id"))).head.getLong(0) === 199L)
+    // pinned + partition-pruned
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.t VERSION AS OF 0 WHERE flag = 1")
+      .head.getLong(0) === 33L)
+    // pinned metadata COUNT stays exact (manifest-only, epoch-filtered)
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 200L)
+    // the current read still sees everything
+    assert(spark.table(s"$cat.db.t").count() === 301L)
+  }
+
+  test("partitioned change feed: batch events cover epochs AND txn appends") {
+    val (cat, dataDir) = freshTable("ev")
+    streamEpochs(cat, 2) // ids 0..199
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1), (9001, 2)")
+    val cdfSchema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType),
+      StructField("_commit_epoch", LongType)))
+    val events = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir.toString)
+      .option("partitionby", "flag")
+      .option("changeFeed", "true").load()
+    assert(events.count() === 202L)
+    assert(events.filter(col("_change_type") =!= "insert").count() === 0L)
+    // epoch files carry their epoch stamp; txn appends carry null
+    assert(events.filter(col("_commit_epoch").isNull)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(9000L, 9001L))
+    assert(events.filter(col("_commit_epoch") === 0L).count() === 100L)
+  }
+
+  test("partitioned feed offsets are per-directory and fail loudly on rewrite") {
+    val (cat, dataDir) = freshTable("off")
+    streamEpochs(cat, 2)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType)))
+    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema, "flag")
+    val off = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
+    // two epochs routed into three flag dirs: two entries per dir
+    assert(off.dirs.keySet === Set("0", "1", "2"))
+    assert(off.dirs.values.toSet === Set(2))
+    // offsets round-trip through their JSON form
+    assert(stream.deserializeOffset(off.json()) === off)
+    // a restored offset beyond a (rewritten) manifest fails loudly
+    val bad = AuditPartCdfOffset(off.dirs.map { case (t, _) => (t, 99) })
+    val ex = intercept[IllegalArgumentException](
+      stream.planInputPartitions(bad, bad))
+    assert(ex.getMessage.contains("restart the feed"), ex.getMessage)
+    // a vanished partition directory (DROP PARTITION / truncate) too
+    val gone = AuditPartCdfOffset(Map("7" -> 1))
+    val ex2 = intercept[IllegalStateException](
+      stream.planInputPartitions(AuditPartCdfOffset(Map.empty), gone))
+    assert(ex2.getMessage.contains("vanished"), ex2.getMessage)
+  }
+}
