@@ -288,26 +288,46 @@ object Similarity {
     * formula — the clustering is a blocking device, determinism matters
     * and Lloyd fidelity does not); pair verification is the codegen'd
     * exact cosine, bit-identical in both engines. */
-  def semDedup(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+  /** Vectors per k-means cell SemDeDup aims for: the number of cells is
+    * K = max(KmK, ceil(n / TargetCellSize)), so the within-cell pair join
+    * stays O(Σ cell²) ≈ O(n · TargetCellSize) — LINEAR in the corpus —
+    * instead of exploding quadratically under a compile-time-constant K
+    * (the paper's own regime: K grows with the corpus). */
+  val SemDedupCellSize = 512L
+
+  def semDedupCells(n: Long): Long =
+    math.max(KmK.toLong, (n + SemDedupCellSize - 1) / SemDedupCellSize)
+
+  /** Hash-seeded single-pass cell assignment (the Lloyd-0 blocking step):
+    * (vec_id, cell) for K cells. */
+  private[operators] def semDedupAssign(spark: SparkSession,
+      corpus: DataFrame, k: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.plans.CosineSim.register(spark)
-    val corpus = injectedCorpus(spark, d)
     val rows = corpus
       .select(col("vec_id"), posexplode(dimChecked(col("emb"), "semdedup")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         floor(col("col") * lit(QuantScale)).cast("long").as("xq"))
     val seeds = rows.select(col("pos")).distinct()
-      .crossJoin(spark.range(KmK).select(col("id").as("cell")))
+      .crossJoin(spark.range(k).select(col("id").as("cell")))
       .select(col("cell"), col("pos"),
         (Hashing.hexHash(concat(lit("km"), col("cell").cast("string"),
           lit(":"), col("pos").cast("string"))) % 1000001L - 500000L).as("cq"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    val assigned = rows.join(broadcast(seeds), Seq("pos"))
+    rows.join(broadcast(seeds), Seq("pos"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cell"))
+  }
+
+  def semDedup(spark: SparkSession, d: String, threshold: Double = 0.99): DataFrame = {
+    graft.plans.CosineSim.register(spark)
+    val corpus = injectedCorpus(spark, d)
+    // K scales with the corpus (one metadata-cheap count) — cells stay
+    // bounded near SemDedupCellSize as the corpus grows
+    val k = semDedupCells(corpus.count())
+    val assigned = semDedupAssign(spark, corpus, k)
     // pinned: the self-join fan-out reads it twice (exchange reuse does
     // not fire across self-join branches) plus the rollup
     val withCell = corpus.join(assigned, Seq("vec_id")).localCheckpoint()
@@ -338,10 +358,13 @@ object Similarity {
        |  FROM (SELECT vec_id, unnest(list_zip(emb,
        |          generate_series(1, len(emb)))) AS s
        |        FROM base) t
+       |), cells AS (
+       |  SELECT unnest(generate_series(0, (SELECT greatest(CAST($KmK AS BIGINT),
+       |           CAST(ceil(count(*) / $SemDedupCellSize.0) AS BIGINT)) - 1
+       |         FROM base))) AS cell
        |), seeds AS (
        |  SELECT cell, pos, $seedCq AS cq
-       |  FROM (SELECT DISTINCT pos FROM rws), (SELECT CAST(i AS BIGINT) AS cell
-       |                                        FROM range(0, $KmK) r(i))
+       |  FROM (SELECT DISTINCT pos FROM rws), cells
        |), assigned AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,

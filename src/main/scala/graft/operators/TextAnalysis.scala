@@ -1559,27 +1559,55 @@ object TextAnalysis {
     * BROADCAST onto the token stream; the only corpus-wide shuffle is the
     * per-doc score groupBy, and the top-k is TakeOrderedAndProject.
     * Docs with no tokens score 0 via the left join. */
-  def dsirSelect(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val tokens = documents(spark, d)
+  /** DSIR importance weights over HASHED token buckets (Xie et al.'s
+    * scalable variant): tokens hash into a FIXED number of buckets and
+    * the importance "LM" is the per-bucket target/raw count ratio — the
+    * broadcast side is O(buckets), a compile-time constant, never
+    * O(vocabulary). At 100 TB the vocabulary grows without bound (URLs,
+    * ids, typos) but the LM stays exactly `DsirBuckets` longs, which is
+    * the whole point of the paper's hashed n-gram features. Quantized
+    * log-ratios keep the weights exact-integer (bit-reproducible against
+    * the DuckDB oracle, which restates the same bucketing through the
+    * shared cross-engine hash). */
+  val DsirBuckets = 8192
+
+  /** (doc_id, lang, hashed token bucket) rows — the LM's only input. */
+  private[operators] def dsirTokens(spark: SparkSession, d: String,
+      buckets: Int): DataFrame =
+    documents(spark, d)
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.Hashing.hexHash(col("t")),
+          lit(buckets.toLong)).as("b"))
+
+  /** The broadcast importance LM alone, for the O(buckets) bound spec. */
+  private[operators] def dsirLm(spark: SparkSession, d: String,
+      buckets: Int): DataFrame =
+    dsirTokens(spark, d, buckets).groupBy(col("b"))
+      .agg(count(lit(1)).as("nr"))
+
+  def dsirSelect(spark: SparkSession, d: String, k: Int = 20,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val tokens = dsirTokens(spark, d, buckets)
       .localCheckpoint() // LM build (×2 aggregates) AND scoring read it
     val tgt = tokens.where(col("lang") === "en")
-      .groupBy(col("t")).agg(count(lit(1)).as("nt"))
-    val raw = tokens.groupBy(col("t")).agg(count(lit(1)).as("nr"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val raw = tokens.groupBy(col("b")).agg(count(lit(1)).as("nr"))
     val totals = tokens.agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"),
-      count(lit(1)).as("n_raw"),
-      countDistinct(col("t")).as("v"))
-    // per-distinct-token quantized log-ratio: the broadcastable "LM"
-    val lm = raw.join(tgt, Seq("t"), "left")
+      count(lit(1)).as("n_raw"))
+    // per-BUCKET quantized log-ratio: the O(buckets) broadcastable "LM"
+    // (add-1 smoothing over the fixed bucket alphabet)
+    val lm = raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("t"),
+      .select(col("b"),
         floor(log(((coalesce(col("nt"), lit(0L)) + 1L).cast("double") *
-            (col("n_raw") + col("v"))) /
-          ((col("nr") + 1L).cast("double") * (col("n_tgt") + col("v"))))
+            (col("n_raw") + lit(buckets.toLong))) /
+          ((col("nr") + 1L).cast("double") *
+            (col("n_tgt") + lit(buckets.toLong))))
           * 100).cast("long").as("lr_q"))
     val scored = tokens
-      .join(broadcast(lm), Seq("t"))
+      .join(broadcast(lm), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("lr_q")).as("w_q"), count(lit(1)).as("n_toks"))
     documents(spark, d).select(col("doc_id"), col("lang"))
@@ -1591,31 +1619,35 @@ object TextAnalysis {
       .limit(k)
   }
 
-  val dsirSelectSql: String =
-    """WITH tokens AS (
-      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-      |  FROM documents
+  val dsirSelectSql: String = {
+    val h = graft.functions.Hashing.hexHashSql("t")
+    s"""WITH tokens AS (
+      |  SELECT doc_id, lang,
+      |         ((($h) % $DsirBuckets) + $DsirBuckets) % $DsirBuckets AS b
+      |  FROM (SELECT doc_id, lang,
+      |               unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
       |), tgt AS (
-      |  SELECT t, count(*) AS nt FROM tokens WHERE lang = 'en' GROUP BY t
+      |  SELECT b, count(*) AS nt FROM tokens WHERE lang = 'en' GROUP BY b
       |), raw AS (
-      |  SELECT t, count(*) AS nr FROM tokens GROUP BY t
+      |  SELECT b, count(*) AS nr FROM tokens GROUP BY b
       |), totals AS (
       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
       |           AS n_tgt,
-      |         count(*) AS n_raw, count(DISTINCT t) AS v
+      |         count(*) AS n_raw
       |  FROM tokens
       |), lm AS (
-      |  SELECT r.t,
+      |  SELECT r.b,
       |         CAST(floor(ln((CAST(COALESCE(g.nt, 0) + 1 AS DOUBLE)
-      |                         * (totals.n_raw + totals.v))
+      |                         * (totals.n_raw + $DsirBuckets))
       |                       / (CAST(r.nr + 1 AS DOUBLE)
-      |                         * (totals.n_tgt + totals.v)))
+      |                         * (totals.n_tgt + $DsirBuckets)))
       |                    * 100) AS BIGINT) AS lr_q
-      |  FROM raw r LEFT JOIN tgt g ON r.t = g.t CROSS JOIN totals
+      |  FROM raw r LEFT JOIN tgt g ON r.b = g.b CROSS JOIN totals
       |), scored AS (
       |  SELECT tk.doc_id, CAST(sum(lm.lr_q) AS BIGINT) AS w_q,
       |         count(*) AS n_toks
-      |  FROM tokens tk JOIN lm ON tk.t = lm.t
+      |  FROM tokens tk JOIN lm ON tk.b = lm.b
       |  GROUP BY tk.doc_id
       |)
       |SELECT d.doc_id, d.lang,
@@ -1624,6 +1656,7 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY w_q DESC, d.doc_id
       |LIMIT 20""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir" -> ((s, d) => dsirSelect(s, d)),

@@ -302,7 +302,7 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, AuditNameMap.toStorage(info.schema(), colMap),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      partInfo, bucketN)
+      partInfo, bucketN, Option(info.queryId()))
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -2553,7 +2553,8 @@ private[sources] object AuditJson {
 final class AuditWriteBuilder(path: String, schema: StructType,
     options: Map[String, String] = Map.empty,
     partInfo: Option[(String, DataType)] = None,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None,
+    queryId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -2612,9 +2613,73 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedStreamingWrite(path, schema, col,
-            schema.fieldIndex(col), bucketN)
-        case None => new AuditStreamingWrite(path, schema, bloomCols)
+            schema.fieldIndex(col), bucketN, queryId)
+        case None =>
+          new AuditStreamingWrite(path, schema, bloomCols, queryId)
       }
+  }
+}
+
+
+/** SINGLE-STREAMING-WRITER lease. Two concurrent streaming queries on one
+  * audit table would be catastrophic — epochs are the replay/idempotency
+  * key AND the time-travel axis, and both queries number their epochs
+  * from their own checkpoints, so writer B's epoch-0 replay would
+  * retract writer A's epoch-0 files. The format therefore REJECTS a
+  * second live streaming query loudly (the Delta/Iceberg streaming-sink
+  * contract) via a lease file: `_STREAM_LOCK` holds (queryId, renewed-at)
+  * and every epoch commit renews it. The SAME query — identified by
+  * Spark's checkpoint-stable queryId — re-acquires freely across
+  * restarts; a different query may claim only after the lease expires
+  * (a crashed writer never bricks the table). Batch OCC appends and DML
+  * are unaffected — they commit through `_TXN`, not `_EPOCHS`. */
+private[sources] object AuditStreamLock {
+  /** Lease duration; override via -Dgraft.audit.streamLeaseMs for tests. */
+  def leaseMs: Long =
+    sys.props.get("graft.audit.streamLeaseMs").map(_.toLong).getOrElse(60000L)
+
+  private val LockRe = """\{"query":"([^"]*)","ts":(\d+)\}""".r
+
+  def acquire(path: String, queryId: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve("_STREAM_LOCK")
+    val now = System.currentTimeMillis()
+    def conflict(): Unit =
+      if (java.nio.file.Files.exists(lock))
+        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
+          case LockRe(q, ts)
+              if q != queryId && now - ts.toLong < leaseMs =>
+            throw new IllegalStateException(
+              s"audit: streaming query $queryId cannot write to $path — " +
+                s"streaming query $q holds the writer lease (renewed " +
+                s"${now - ts.toLong} ms ago; expires after ${leaseMs} ms). " +
+                "One live streaming writer per audit table: epochs are the " +
+                "idempotent-replay and time-travel axis and cannot be " +
+                "shared. Stop the other query (or wait out its lease).")
+          case _ => () // ours, expired, or unreadable debris — claimable
+        }
+    conflict()
+    val line = s"""{"query":"$queryId","ts":$now}"""
+    val tmp = lock.resolveSibling(
+      "_STREAM_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+    if (java.nio.file.Files.exists(lock)) {
+      // renew (ours) or steal (expired): atomic replace; a lost race with
+      // another claimant surfaces on the NEXT commit's conflict check
+      java.nio.file.Files.move(tmp, lock,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try {
+        java.nio.file.Files.createLink(lock, tmp)
+        java.nio.file.Files.delete(tmp)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmp)
+          conflict() // someone claimed first — loud if it was not us
+      }
+    }
   }
 }
 
@@ -2625,7 +2690,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
   * epoch overwrites its own files idempotently — the DSv2 streaming-sink
   * contract). */
 final class AuditStreamingWrite(path: String, schema: StructType,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty, queryId: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   // Writer-unique staging subdir (epochs within one query are serialized,
   // so one subdir per StreamingWrite suffices): concurrent OCC batch
@@ -2638,6 +2703,9 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     new AuditStreamingWriterFactory(path, schema, bloomCols, stageSub)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // one live streaming writer per table: acquire/renew the lease (test
+    // harnesses constructing this class directly carry no queryId)
+    queryId.foreach(AuditStreamLock.acquire(path, _))
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     // Idempotent under epoch replay: a re-attempted epoch first clears its
@@ -2716,7 +2784,8 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType,
   * doubles as the offset axis of the partitioned streaming TAIL
   * ([[AuditPartitionedMicroBatchStream]]). */
 final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
-    col: String, partIdx: Int, bucketN: Option[Int] = None)
+    col: String, partIdx: Int, bucketN: Option[Int] = None,
+    queryId: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   // writer-unique staging subdir — see AuditStreamingWrite.stageSub
   private[sources] val stageSub = "sp-" + java.util.UUID.randomUUID.toString.take(12)
@@ -2727,6 +2796,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       stageSub)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    queryId.foreach(AuditStreamLock.acquire(path, _)) // one live writer
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val epochPrefix = s"part-e$epochId-"

@@ -326,4 +326,47 @@ class OperatorsSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty, "fixture corpus must contain heavy tokens")
   }
+
+  test("DSIR importance LM is O(buckets), never O(vocabulary)") {
+    import org.apache.spark.sql.functions._
+    val vocab = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    val buckets = 8
+    assert(vocab > buckets,
+      s"fixture vocabulary ($vocab) must exceed the bucket count to prove the bound")
+    // the broadcast side of the importance join is bounded by the FIXED
+    // bucket alphabet, regardless of how many distinct tokens exist
+    assert(TextAnalysis.dsirLm(spark, d, buckets).count() <= buckets.toLong)
+    assert(TextAnalysis.dsirLm(spark, d, TextAnalysis.DsirBuckets).count()
+      <= TextAnalysis.DsirBuckets.toLong)
+    // and the selection itself still returns k well-formed rows
+    val top = TextAnalysis.dsirSelect(spark, d, k = 5, buckets = buckets)
+    assert(top.count() === 5L)
+  }
+
+  test("SemDeDup cell count scales with the corpus; cells stay bounded") {
+    import org.apache.spark.sql.functions._
+    // a 10x synthesized corpus: hash-derived pseudo-random 8-dim vectors
+    val n = 10L * Similarity.SemDedupCellSize
+    val dims = (0 until 8).map(j =>
+      (pmod(graft.functions.Hashing.hexHash(
+          concat(col("id").cast("string"), lit(s":$j"))), lit(2001L))
+        .cast("double") - 1000.0) / 1000.0)
+    val corpus = spark.range(n)
+      .select(col("id").as("vec_id"), array(dims: _*).as("emb"))
+    val k = Similarity.semDedupCells(n)
+    assert(k === 10L, s"ceil($n / ${Similarity.SemDedupCellSize}) cells")
+    assert(k > Similarity.KmK.toLong,
+      "a 10x corpus must get MORE cells than the compile-time floor")
+    val sizes = Similarity.semDedupAssign(spark, corpus, k)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.map(_._2).sum === n)
+    // hash-seeded cells are roughly balanced: no cell may exceed a small
+    // multiple of the target size (the pair join budget per cell)
+    val maxCell = sizes.map(_._2).max
+    assert(maxCell <= 8L * Similarity.SemDedupCellSize,
+      s"max cell $maxCell vs target ${Similarity.SemDedupCellSize}")
+  }
 }
