@@ -747,6 +747,58 @@ object CatalogApi {
       |WHERE n_rows % 2 = 0
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** PARTITIONED delta MERGE/UPDATE/DELETE, oracle-checked — the
+    * partitioned twin of [[catalogMergeDelta]]: the summary table is
+    * PARTITIONED BY its join key, so the MERGE's matched updates land as
+    * per-directory delete-vector + txn-append pairs (no file rewritten,
+    * no table truncation — the round-11 group copy-on-write this
+    * replaced), the not-matched arm creates a brand-new partition
+    * directory, and the delta DELETE (modulo predicate — refused by the
+    * strict metadata converter) removes rows via vectors. The final
+    * SELECT must read identically through the vectors. */
+  def catalogMergePart(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qmp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qmp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qmp.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li5")
+    spark.sql("DROP TABLE IF EXISTS graft_qmp.db.pflags")
+    spark.sql(
+      """CREATE TABLE graft_qmp.db.pflags (
+        |  l_returnflag STRING, l_linestatus STRING,
+        |  n_rows BIGINT, sum_qty BIGINT)
+        |USING audit PARTITIONED BY (l_linestatus)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qmp.db.pflags
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM graft_cat_li5
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_qmp.db.pflags t
+        |USING (
+        |  SELECT l_linestatus, count(*) AS ls_rows
+        |  FROM graft_cat_li5 GROUP BY l_linestatus
+        |  UNION ALL SELECT 'Z' AS l_linestatus, 999 AS ls_rows
+        |) s
+        |ON t.l_linestatus = s.l_linestatus
+        |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + s.ls_rows
+        |WHEN NOT MATCHED THEN INSERT
+        |  (l_returnflag, l_linestatus, n_rows, sum_qty)
+        |  VALUES ('Z', s.l_linestatus, 0, s.ls_rows)""".stripMargin)
+    // modulo predicate → strict V2→V1 converter refuses the metadata
+    // path → row-level DELTA delete (per-directory vectors)
+    spark.sql("DELETE FROM graft_qmp.db.pflags WHERE n_rows % 2 = 1")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |FROM graft_qmp.db.pflags
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  // the state algebra is identical to the unpartitioned delta MERGE —
+  // same oracle restatement
+  val catalogMergePartSql: String = catalogMergeDeltaSql
+
   /** Change feed, oracle-checked: four streamed epochs + a delta MERGE +
     * a delta DELETE produce a deterministic event history — insert events
     * per epoch, delta inserts, and delete events carrying the ORIGINAL row
@@ -1113,12 +1165,19 @@ object CatalogApi {
 
   /** PARTITIONED CDC REPLICATION, oracle-checked: a partitioned replica
     * is maintained EXCLUSIVELY from the partitioned table's change feed.
-    * The partitioned feed's axis is the per-directory manifests (every
-    * entry — streaming epoch or OCC txn append — is an insert event), so
-    * the apply step is a pure append of each batch's events; the tail is
-    * STOPPED across the second wave and restarted from its checkpoint,
-    * proving the per-directory offsets resume exactly (no loss, no
-    * double-apply) even when one micro-batch spans multiple commits. */
+    * The feed's axes are the per-directory APPEND-ONLY logs — manifest
+    * entries are insert events, per-directory delete-vector entries
+    * (partitioned delta DML) are delete events carrying the original row
+    * values — and every event carries its dir-qualified `(_file, _pos)`
+    * row id, so the apply step is the same order-free SURVIVOR FOLD the
+    * unpartitioned replica uses. The tail is STOPPED across the later
+    * waves and restarted from its checkpoint, proving the per-directory
+    * offsets resume exactly even when one micro-batch spans multiple
+    * commits; the last wave is a MERGE (which MOVES one row across
+    * partitions and updates another) plus a delta DELETE that kills a row
+    * the MERGE just updated — the replica, itself a partitioned audit
+    * table maintained through partitioned delta MERGE, must equal the
+    * source's final state. */
   def cdfReplicaPart(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Paths.get(
@@ -1139,7 +1198,11 @@ object CatalogApi {
       org.apache.spark.sql.types.StructField("flag",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)))
     val ckpt = java.nio.file.Files.createTempDirectory("graft_qrpp_ckpt")
     def startTail() = spark.readStream.schema(cdfSchema)
       .format(classOf[JsonAuditSink].getName)
@@ -1149,14 +1212,29 @@ object CatalogApi {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // partitioned feed is insert-only (DML rewrites in place and is
-        // excluded by contract): the apply is a pure partitioned append
-        batch.filter(col("_change_type") === "insert")
-          .select(col("id"), col("flag"))
-          .write.format(classOf[JsonAuditSink].getName)
-          .option("path", wh.resolve("db").resolve("rep").toString)
-          .option("partitionby", "flag")
-          .mode("append").save()
+        // survivor fold keyed on the dir-qualified (_file, _pos) row id:
+        // an insert tombstoned later in the same batch is dead; a key's
+        // net effect is its surviving insert or a delete of the key
+        val ins = batch.filter(col("_change_type") === "insert")
+          .select(col("id"), col("flag"), col("_file"), col("_pos"))
+        val del = batch.filter(col("_change_type") === "delete")
+          .select(col("id"), col("_file"), col("_pos"))
+        val surv = ins.join(del, Seq("_file", "_pos"), "left_anti")
+          .groupBy(col("id"))
+          .agg(max(col("flag")).as("flag"), lit(true).as("up"))
+        batch.select(col("id")).distinct()
+          .join(surv, Seq("id"), "left_outer")
+          .createOrReplaceTempView("cdf_part_batch")
+        batch.sparkSession.sql(
+          """MERGE INTO graft_qrpp.db.rep t
+            |USING (SELECT id, flag, coalesce(up, false) AS up
+            |       FROM cdf_part_batch) s
+            |ON t.id = s.id
+            |WHEN MATCHED AND NOT s.up THEN DELETE
+            |WHEN MATCHED AND s.up THEN UPDATE SET t.flag = s.flag
+            |WHEN NOT MATCHED AND s.up THEN INSERT (id, flag)
+            |  VALUES (s.id, s.flag)
+            |""".stripMargin)
         ()
       }
       .start()
@@ -1180,6 +1258,21 @@ object CatalogApi {
     spark.sql("INSERT INTO graft_qrpp.db.src VALUES (9002, 2), (9003, 0)")
     val tail2 = startTail()
     try tail2.processAllAvailable() finally tail2.stop()
+    // wave 3, tail DOWN again: partitioned delta DML — the MERGE moves
+    // id=5 to a NEW partition (flag 111) and id=9000 to flag 7, inserts
+    // id=10000; the DELETE then kills id=5 (whose fresh insert must lose
+    // to the later tombstone) and id=7 (the modulo keeps the predicate
+    // off the metadata path, so it lands as delete-vector events)
+    spark.sql(
+      """MERGE INTO graft_qrpp.db.src t
+        |USING (SELECT * FROM VALUES (5L, 111L), (9000L, 7L), (10000L, 1L)
+        |       AS s(id, flag)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.flag = s.flag
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft_qrpp.db.src WHERE id % 1000 IN (5, 7)")
+    val tail3 = startTail()
+    try tail3.processAllAvailable() finally tail3.stop()
     spark.sql("SELECT id, flag FROM graft_qrpp.db.rep ORDER BY id")
   }
 
@@ -1191,8 +1284,12 @@ object CatalogApi {
       |  SELECT id, flag FROM src
       |  UNION ALL SELECT 9000, 0 UNION ALL SELECT 9001, 1
       |  UNION ALL SELECT 9002, 2 UNION ALL SELECT 9003, 0
+      |  UNION ALL SELECT 10000, 1
+      |), updated AS (
+      |  SELECT id, CASE WHEN id = 9000 THEN 7 ELSE flag END AS flag
+      |  FROM merged WHERE id NOT IN (5, 7)
       |)
-      |SELECT id, flag FROM merged ORDER BY id""".stripMargin
+      |SELECT id, flag FROM updated ORDER BY id""".stripMargin
 
   /** COLUMN RENAME/DROP (name-mapping layer), oracle-checked end to end:
     * write → RENAME COLUMN (pure metadata; files keep the storage key) →
@@ -1750,6 +1847,7 @@ object CatalogApi {
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
+      "q_catalog_merge_part" -> (catalogMergePart _),
       "q_catalog_rename" -> (catalogRename _),
       "q_audit_gcount" -> (auditGroupCount _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
@@ -1770,6 +1868,7 @@ object CatalogApi {
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
+      "q_catalog_merge_part" -> catalogMergePartSql,
       "q_catalog_rename" -> catalogRenameSql,
       "q_audit_gcount" -> auditGroupCountSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)

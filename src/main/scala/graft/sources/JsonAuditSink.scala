@@ -356,27 +356,23 @@ final class AuditTable(path: String, writeSchema: StructType,
       filters.map(AuditNameMap.mapFilter(_, colMap)), partInfo)
 
   /** SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
-    * can't translate): group-based copy-on-write at TABLE granularity —
-    * the scan feeds Spark's rewrite plan the current rows, and the
-    * replacement state commits through the same two-phase truncate+publish
-    * write, so a reader never observes a half-merged table. Table-as-one-
-    * group is the honest granularity for a manifest-only format (no
-    * per-file row lineage); simple DELETEs still take the surgical
-    * metadata path above. The rewrite publishes a BATCH commit: epoch
-    * history is superseded (the `_EPOCHS` log clears on truncate). */
+    * can't translate): DELTA-granular on BOTH layouts. Unpartitioned
+    * tables append replacement rows + table-level delete vectors;
+    * partitioned tables route replacement rows into their partition
+    * directories (an UPDATE may MOVE a row across partitions) and append
+    * PER-DIRECTORY delete vectors keyed by the dir-qualified
+    * `(_file, _pos)` row id — no committed file is ever rewritten, so
+    * epoch lineage and `VERSION AS OF` survive DML on either layout, and
+    * the partitioned change feed emits true update/delete events. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => partInfo match {
-      // unpartitioned tables take the DELTA path: DML writes only changed
-      // rows (delete vectors + an appended file) and epoch lineage survives
       case None    =>
         new AuditDeltaOperation(path, storageSchema, info.command(), colMap)
-      // partitioned tables keep group-based copy-on-write (they carry no
-      // epoch log, and their per-partition manifests rewrite cheaply)
       case Some(_) =>
-        new AuditRowLevelOperation(path, writeSchema, info.command(), partInfo,
-          bucketN)
+        new AuditPartDeltaOperation(path, storageSchema, info.command(),
+          partInfo, bucketN, colMap)
     }
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
@@ -399,14 +395,15 @@ final class AuditTable(path: String, writeSchema: StructType,
       require(writeSchema.fieldNames.contains("_change_type"),
         "audit changeFeed: the read schema must include _change_type STRING " +
           "(and may include _commit_epoch BIGINT)")
-      // partitioned tables feed from the per-directory manifests: every
-      // entry (streaming epoch or OCC txn append) is an insert event.
-      // Partitioned DML rewrites files IN PLACE (no delete vectors), so
-      // the partitioned feed is append-only by construction and the tail
-      // fails loudly if a directory's manifest ever shrinks.
+      // partitioned tables feed from the per-directory logs: every
+      // manifest entry (streaming epoch or OCC txn append) is an insert
+      // event and every per-directory delete-vector entry (partitioned
+      // delta DML) a delete event; the tail fails loudly on manifest
+      // shrink, consumed-entry row drift, or a vanished directory.
       partSpec match {
         case Some(sp) =>
-          return new AuditPartitionedCdfScan(path, writeSchema, sp.col)
+          return new AuditPartitionedCdfScan(path, writeSchema, sp.col,
+            AuditNameMap.toStorage(writeSchema, colMap))
         case None => return new AuditCdfScan(path, writeSchema,
           AuditNameMap.toStorage(writeSchema, colMap))
       }
@@ -508,7 +505,10 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
           (o.expression match {
             case r: NamedReference => r.fieldNames.length == 1 &&
               AuditBase.read(path).exists(b =>
-                b.sortBy.contains(r.fieldNames.head) &&
+                // _BASE records the STORAGE sort column; the reference
+                // carries the CURRENT name — translate before comparing
+                b.sortBy.contains(nameMap.getOrElse(
+                  r.fieldNames.head, r.fieldNames.head)) &&
                   AuditBase.readManifest(path).forall(_.folded) &&
                   AuditScan.committedEpochs(path).forall(_ <= b.throughEpoch))
             case _ => false
@@ -610,7 +610,12 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
-        writeSchema.find(f => f.name == r.fieldNames.head &&
+        // Spark's references carry CURRENT names; writeSchema and the
+        // `_STATS` keys below are STORAGE-named — translate first, or a
+        // RENAME+re-ADD could answer min/max from the OLD column's bounds
+        val storageName =
+          nameMap.getOrElse(r.fieldNames.head, r.fieldNames.head)
+        writeSchema.find(f => f.name == storageName &&
           AuditStats.statable(f.dataType))
       case _ => None
     }
@@ -628,15 +633,17 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       partInfo match {
         case Some((col, _)) =>
           // partitioned: per-DIRECTORY stats must cover every file of
-          // every surviving partition (partitioned DML is copy-on-write,
-          // so no delete vectors can hide an extreme; the metadata DELETE
-          // recomputes per-dir bounds during its rewrite)
+          // every surviving partition, and the directory must carry NO
+          // outstanding delete vectors (partitioned delta DML — a vector
+          // could hide the extreme row; the metadata DELETE folds vectors
+          // and recomputes per-dir bounds during its rewrite)
           val covered = AuditPartition.listDirs(path, col).forall {
             case (token, dir) =>
               !allowedTokens.forall(_.contains(token)) ||
                 (excludeNull && token == AuditPartition.NullToken) || {
                   val st = AuditStats.read(dir.toString)
-                  AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1))
+                  AuditDeletes.count(dir.toString) == 0L &&
+                    AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1))
                 }
           }
           if (!covered) return None
@@ -719,7 +726,9 @@ final class AuditGroupCountScan(path: String, col: String, dt: DataType,
     AuditPartition.listDirs(path, col).collect {
       case (token, dir) if allowedTokens.forall(_.contains(token)) &&
           !(excludeNull && token == AuditPartition.NullToken) =>
-        (token, AuditPartition.manifestEntries(dir).map(_._2).sum)
+        // live rows = manifest total − the dir's delete-vector entries
+        (token, AuditPartition.manifestEntries(dir).map(_._2).sum -
+          AuditDeletes.count(dir.toString))
     }.collect { // an empty partition is no group at all in SQL semantics
       case (token, n) if n > 0 =>
         AuditCountPartition(
@@ -812,7 +821,10 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
             !(excludeNull && token == AuditPartition.NullToken) =>
           AuditPartition.manifestEntries(dir).collect {
             case (f, r) if AuditScan.epochVisible(f, versionAsOf) => r
-          }.sum
+          }.sum -
+            // current-state counts subtract the directory's delete
+            // vectors (partitioned delta DML); pinned reads ignore them
+            (if (versionAsOf.isEmpty) AuditDeletes.count(dir.toString) else 0L)
       }.sum
     case None =>
       // current-state counts subtract the delete vectors (kept exact by
@@ -957,8 +969,12 @@ final class AuditScan(path: String, writeSchema: StructType,
       if (files.forall(_._2.isDefined)) {
         val raw = files.flatMap(_._2).sum
         val deleted =
-          if (versionAsOf.isEmpty && !includeDeleted && partInfo.isEmpty)
-            AuditDeletes.count(path)
+          if (versionAsOf.isEmpty && !includeDeleted) partInfo match {
+            case Some(_) =>
+              survivingDirs.map { case (_, d) =>
+                AuditDeletes.count(d.toString) }.sum
+            case None => AuditDeletes.count(path)
+          }
           else 0L
         Some(math.max(0L, raw - deleted))
       } else None
@@ -1082,8 +1098,17 @@ final class AuditScan(path: String, writeSchema: StructType,
                 AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
               dir.resolve(f).toString
           }
+          // per-directory delete vectors (partitioned delta DML) apply to
+          // CURRENT reads only — pinned reads reconstruct pure epoch
+          // history, the same contract as the unpartitioned path
+          val dirVectors =
+            if (versionAsOf.isEmpty && !includeDeleted)
+              AuditDeletes.read(dir.toString)
+            else Map.empty[String, Set[Long]]
           AuditDirPartition(files, token, dt,
-            bucketed = bucketN.isDefined): InputPartition
+            bucketed = bucketN.isDefined,
+            dirName = dir.getFileName.toString,
+            vectors = dirVectors): InputPartition
         }.toArray
       case None => ()
     }
@@ -1269,9 +1294,15 @@ final case class AuditBasePartition(file: String,
 
 /** One partition DIRECTORY of a partitioned audit table; `partitionKey`
   * exposes the decoded value (identity) or the bucket INDEX so Spark can
-  * key-group for SPJ. */
+  * key-group for SPJ. `dirName` (the `col=token` directory name) prefixes
+  * the `_file` metadata column so row ids are unique TABLE-wide — the
+  * partitioned delta-DML path keys its per-directory delete vectors by
+  * that id; `vectors` are the directory's outstanding vector entries,
+  * keyed by the PLAIN file name within the directory. */
 final case class AuditDirPartition(files: Seq[String], token: String,
-    dt: DataType, bucketed: Boolean = false)
+    dt: DataType, bucketed: Boolean = false,
+    dirName: String = "",
+    vectors: Map[String, Set[Long]] = Map.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1433,20 +1464,29 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
     new AuditCdfStream(path, parseSchema)
 }
 
-/** CHANGE-DATA-FEED over a PARTITIONED audit table. The feed's axis is
-  * the per-directory manifests: every entry — a streaming epoch file or
-  * an OCC txn append — is an `insert` event (epoch-stamped when the file
-  * name carries one). Partitioned DML rewrites files IN PLACE (the
-  * format keeps no delete vectors per directory), so the partitioned
-  * feed is append-only BY CONSTRUCTION: an open tail that observes a
-  * directory's manifest shrink (retroactive delete, epoch replay after a
-  * crash) fails loudly instead of replaying drifted history. */
+/** CHANGE-DATA-FEED over a PARTITIONED audit table. The feed's axes are
+  * the per-directory APPEND-ONLY logs: every manifest entry — a
+  * streaming epoch file or an OCC txn append — is an `insert` event
+  * (epoch-stamped when the file name carries one), and every
+  * per-directory delete-vector entry (partitioned delta DML) is a
+  * `delete` event carrying the ORIGINAL row values, so updates and
+  * deletes flow to CDC consumers exactly as on the unpartitioned feed.
+  * Events carry the dir-qualified `(_file, _pos)` row id for exact
+  * replay. The one non-append mutation left — the retroactive metadata
+  * DELETE, which rewrites files in place — is DETECTED: the streaming
+  * offset records the row count under every consumed manifest entry, and
+  * a tail that observes those rows change (or a manifest shrink, or a
+  * vanished directory) fails loudly instead of replaying drifted
+  * history. */
 final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
-    col: String)
+    col: String, parseSchema0: StructType = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
+
+  private val parseSchema =
+    if (parseSchema0 == null) fullSchema else parseSchema0
 
   override def build(): Scan = this
   override def readSchema(): StructType = fullSchema
@@ -1456,36 +1496,59 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     AuditPartition.listDirs(path, col).flatMap { case (_, pdir) =>
+      val dirName = pdir.getFileName.toString
       AuditPartition.manifestEntries(pdir).map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
-          AuditScan.epochOf(f), None): InputPartition
-      }
+          AuditScan.epochOf(f), None,
+          relName = Some(s"$dirName/$f")): InputPartition
+      } ++ AuditDeletes.entries(pdir.toString).groupBy(_._1).toSeq
+        .sortBy(_._1).map { case (f, ps) =>
+          AuditCdfPartition(pdir.resolve(f).toString, None,
+            Some(ps.map(_._2).sorted),
+            relName = Some(s"$dirName/$f")): InputPartition
+        }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AuditCdfReaderFactory(fullSchema)
+    new AuditCdfReaderFactory(parseSchema)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AuditPartitionedCdfStream(path, fullSchema, col)
+    new AuditPartitionedCdfStream(path, parseSchema, col)
 }
 
-/** Offset of the partitioned change feed: entry count PER DIRECTORY
-  * (a single global counter would shift when a new directory sorts into
-  * the middle of the token order). */
-final case class AuditPartCdfOffset(dirs: Map[String, Int])
+/** Offset of the partitioned change feed, PER DIRECTORY (a single global
+  * counter would shift when a new directory sorts into the middle of the
+  * token order): `entries` manifest entries consumed, `rows` the exact
+  * row total under those entries at consumption time (the in-place-
+  * rewrite detector — manifests only ever APPEND entries, so this prefix
+  * sum is constant unless a retroactive metadata DELETE rewrote consumed
+  * files), and `dels` delete-vector entries consumed. */
+final case class AuditPartCdfOffset(
+    dirs: Map[String, AuditPartCdfOffset.DirOff])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
     dirs.toSeq.sortBy(_._1)
-      .map { case (t, n) => s""""${AuditRowJson.esc(t)}":$n""" }
+      .map { case (t, o) =>
+        s""""${AuditRowJson.esc(t)}":"${o.entries}:${o.rows}:${o.dels}"""" }
       .mkString("{", ",", "}")
 }
 
 private[sources] object AuditPartCdfOffset {
-  private val EntryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+  /** rows = -1 marks a legacy (round-11) checkpoint offset that carried
+    * no row count: the rewrite detector is skipped for that directory's
+    * already-consumed prefix, everything else resumes exactly. */
+  final case class DirOff(entries: Int, rows: Long, dels: Int)
+  val Zero: DirOff = DirOff(0, 0L, 0)
+
+  private val EntryRe = """"((?:[^"\\]|\\.)*)":(?:"(\d+):(-?\d+):(\d+)"|(\d+))""".r
   def parse(json: String): AuditPartCdfOffset = AuditPartCdfOffset(
     EntryRe.findAllMatchIn(json).map { m =>
-      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toInt)
+      val tok = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      val off =
+        if (m.group(5) != null) DirOff(m.group(5).toInt, -1L, 0)
+        else DirOff(m.group(2).toInt, m.group(3).toLong, m.group(4).toInt)
+      (tok, off)
     }.toMap)
 }
 
@@ -1497,7 +1560,9 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
 
   private def now(): AuditPartCdfOffset = AuditPartCdfOffset(
     AuditPartition.listDirs(path, col).map { case (tok, pdir) =>
-      (tok, AuditPartition.manifestEntries(pdir).size)
+      val entries = AuditPartition.manifestEntries(pdir)
+      (tok, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
+        AuditDeletes.count(pdir.toString).toInt))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
@@ -1513,17 +1578,39 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       val pdir = dirs.getOrElse(tok, throw new IllegalStateException(
         s"audit changeFeed: partition dir $col=$tok vanished at $path — " +
           "the table was truncated or its partition dropped; restart the feed"))
+      val dirName = pdir.getFileName.toString
       val entries = AuditPartition.manifestEntries(pdir)
-      val from = s.getOrElse(tok, 0)
-      require(from <= entries.size && until <= entries.size,
-        s"audit changeFeed: restored offset $from..$until exceeds the " +
-          s"manifest length ${entries.size} for $col=$tok at $path — the " +
-          "directory was rewritten (partitioned DML or epoch replay); " +
+      val from = s.getOrElse(tok, AuditPartCdfOffset.Zero)
+      require(from.entries <= entries.size && until.entries <= entries.size,
+        s"audit changeFeed: restored offset ${from.entries}..${until.entries} " +
+          s"exceeds the manifest length ${entries.size} for $col=$tok at " +
+          s"$path — the directory was rewritten (epoch replay after a " +
+          "crash); restart the feed from a fresh checkpoint")
+      // in-place-rewrite detector: the retroactive metadata DELETE keeps
+      // entry COUNTS but changes entry ROWS — a consumed prefix whose row
+      // sum moved means already-emitted history was rewritten under us
+      if (from.rows >= 0L)
+        require(entries.take(from.entries).map(_._2).sum == from.rows,
+          s"audit changeFeed: already-consumed entries of $col=$tok at " +
+            s"$path changed row counts (retroactive metadata DELETE " +
+            "rewrote published history in place); restart the feed from " +
+            "a fresh checkpoint")
+      val dels = AuditDeletes.entries(pdir.toString)
+      require(from.dels <= dels.size && until.dels <= dels.size,
+        s"audit changeFeed: restored vector offset ${from.dels}..${until.dels} " +
+          s"exceeds the delete log length ${dels.size} for $col=$tok at " +
+          s"$path — the vectors were folded (metadata DELETE or OPTIMIZE); " +
           "restart the feed from a fresh checkpoint")
-      entries.slice(from, until).map { case (f, _) =>
+      entries.slice(from.entries, until.entries).map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
-          AuditScan.epochOf(f), None): InputPartition
-      }
+          AuditScan.epochOf(f), None,
+          relName = Some(s"$dirName/$f")): InputPartition
+      } ++ dels.slice(from.dels, until.dels).groupBy(_._1).toSeq
+        .sortBy(_._1).map { case (f, ps) =>
+          AuditCdfPartition(pdir.resolve(f).toString, None,
+            Some(ps.map(_._2).sorted),
+            relName = Some(s"$dirName/$f")): InputPartition
+        }
     }.toArray
   }
 
@@ -1580,7 +1667,11 @@ private[sources] object AuditCdf {
 }
 
 final case class AuditCdfPartition(file: String, epoch: Option[Long],
-    deletePositions: Option[Seq[Long]])
+    deletePositions: Option[Seq[Long]],
+    // `_file` value when it must differ from the plain file name — the
+    // partitioned feed dir-qualifies it (`col=token/part-…`) so
+    // (file, pos) replay keys are unique table-wide
+    relName: Option[String] = None)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Base-resolved slice of the change feed: one base file scanned for rows
@@ -1606,7 +1697,8 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
     val changeType = org.apache.spark.unsafe.types.UTF8String.fromString(
       if (p.deletePositions.isDefined) "delete" else "insert")
     val fileName = org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.nio.file.Paths.get(p.file).getFileName.toString)
+      p.relName.getOrElse(
+        java.nio.file.Paths.get(p.file).getFileName.toString))
     val srcIdx = fullSchema.fields.map {
       case f if f.name == "_change_type"  => -1
       case f if f.name == "_commit_epoch" => -2
@@ -1775,9 +1867,15 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       case p: AuditBasePartition => return baseReader(p)
       case _ => ()
     }
-    val (files, epoch, deleted) = partition match {
-      case p: AuditFilePartition => (Seq(p.file), p.epoch, p.deleted.toSet)
-      case p: AuditDirPartition  => (p.files, None, Set.empty[Long])
+    // (file paths, epoch, fixed vector for the single-file case,
+    //  per-file vectors + `_file` prefix for the directory case)
+    val (files, epoch, fixedDeleted, dirVectors, filePrefix) = partition match {
+      case p: AuditFilePartition =>
+        (Seq(p.file), p.epoch, p.deleted.toSet,
+          Map.empty[String, Set[Long]], "")
+      case p: AuditDirPartition  =>
+        (p.files, None, Set.empty[Long], p.vectors,
+          if (p.dirName.isEmpty) "" else p.dirName + "/")
     }
     // map each required field to its write-schema index, or a negative
     // sentinel for the metadata columns (_epoch/_file/_pos)
@@ -1793,14 +1891,18 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       private var it: java.util.Iterator[String] = java.util.Collections.emptyIterator()
       private var fileName: org.apache.spark.unsafe.types.UTF8String = _
       private var pos = -1L // line position within the current file
+      private var deleted: Set[Long] = fixedDeleted
       private var row: InternalRow = _
       private def advanceFile(): Boolean =
         if (!fileIt.hasNext) false
         else {
           if (lines != null) lines.close()
           val p = java.nio.file.Paths.get(fileIt.next())
+          val plain = p.getFileName.toString
           fileName = org.apache.spark.unsafe.types.UTF8String
-            .fromString(p.getFileName.toString)
+            .fromString(filePrefix + plain)
+          if (dirVectors.nonEmpty)
+            deleted = dirVectors.getOrElse(plain, Set.empty)
           pos = -1L
           lines = java.nio.file.Files.lines(p,
             java.nio.charset.StandardCharsets.UTF_8)
@@ -1902,35 +2004,204 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
   }
 }
 
-/** The row-level operation: scan current rows, write the replacement state
-  * as a truncate+publish batch commit. */
-final class AuditRowLevelOperation(path: String, schema: StructType,
+/** PARTITIONED delta row-level operation ([[org.apache.spark.sql
+  * .connector.write.SupportsDelta]]): UPDATE / MERGE / fallback-DELETE on
+  * a partitioned audit table write ONLY the changed rows. The scan's row
+  * id is the dir-qualified `(_file, _pos)` (`col=token/part-….jsonl`),
+  * unique table-wide; commit publishes replacement/new rows as ordinary
+  * per-directory OCC txn appends (a row routes by its — possibly NEW —
+  * partition value, so an UPDATE can move a row across partitions) and
+  * one PER-DIRECTORY delete-vector entry per removed row id. No committed
+  * file is rewritten: partitioned `VERSION AS OF` keeps resolving pre-DML
+  * epochs, and the partitioned change feed (whose offset tracks the
+  * per-directory vector log) emits true update/delete events. This
+  * replaced the round-11 group copy-on-write path, which truncated the
+  * whole table per UPDATE — the partitioned layout's one remaining
+  * scale-killer. */
+final class AuditPartDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    partInfo: Option[(String, DataType)] = None,
-    bucketN: Option[Int] = None)
-    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    partInfo: Option[(String, DataType)], bucketN: Option[Int],
+    nameMap: Map[String, String] = Map.empty)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new AuditScanBuilder(path, schema, None, partInfo, allowPartFilters = false)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new AuditWriteBuilder(path, info.schema(), Map.empty, partInfo,
-      bucketN)
-    b.truncate()
-    b
-  }
-  /** REQUIRED: without a metadata attribute, Spark's ReplaceDataExec takes
-    * the plain writing task and hands the writer the RAW rewrite rows with
-    * `__row_operation` still prepended — the row projection is only applied
-    * by the metadata-aware task (verified against the 4.1 bytecode; it is
-    * why every real connector declares metadata attrs here). The `_epoch`
-    * column this table already exposes is the natural choice; the metadata
-    * row reaches `DataWriter.writeWithMetadata`, whose default drops it,
-    * and the data row arrives correctly projected. */
-  override def requiredMetadataAttributes()
+    new AuditScanBuilder(path, schema, None, partInfo, bucketN = bucketN,
+      nameMap = nameMap)
+  override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_epoch"))
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
+        val storage = AuditNameMap.toStorage(info.schema(), nameMap)
+        // a pure DELETE writes no rows: its write schema is EMPTY, so
+        // there is no partition column to route by (and no insert to route)
+        val partIdx =
+          if (storage.fieldNames.contains(partInfo.get._1))
+            storage.fieldIndex(partInfo.get._1)
+          else -1
+        new AuditPartDeltaWrite(path, storage, partIdx, bucketN)
+      }
+    }
+}
+
+final class AuditPartDeltaWrite(path: String, schema: StructType,
+    partIdx: Int, bucketN: Option[Int])
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new AuditPartDeltaBatchWrite(path, schema, partIdx, bucketN)
+}
+
+final case class AuditPartDeltaCommitMessage(
+    // inserted rows: (partition token, staged name, rows, column stats)
+    entries: Seq[(String, String, Long, AuditStats.FileStats)],
+    // deleted row ids: (dir-qualified file, pos)
+    deletes: Seq[(String, Long)])
+  extends WriterCommitMessage
+
+final class AuditPartDeltaWriterFactory(path: String, schema: StructType,
+    partIdx: Int, bucketN: Option[Int], stageSub: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new AuditPartDeltaWriter(path, schema, partIdx, bucketN,
+      partitionId, taskId, stageSub)
+}
+
+/** Per-task partitioned delta writer: inserts route into one staged file
+  * per partition token (the [[AuditPartitionedDataWriter]] discipline);
+  * deleted row ids buffer in the commit message. */
+final class AuditPartDeltaWriter(path: String, schema: StructType,
+    partIdx: Int, bucketN: Option[Int], partitionId: Int, taskId: Long,
+    stageSub: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val stageDir =
+    java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
+  private val outs = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
+  // partIdx = -1 for a pure DELETE (empty write schema, no inserts)
+  private lazy val partDt = schema(partIdx).dataType
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  private def writerFor(token: String) = outs.getOrElseUpdate(token, {
+    java.nio.file.Files.createDirectories(stageDir)
+    val staged = f"stage-delta-$partitionId%05d-$taskId-$token.jsonl"
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
+    (w, staged, Array(0L), new AuditStats.Acc(schema))
+  })
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    require(partIdx >= 0,
+      "audit partitioned delta: insert without a partition column in the " +
+        "write schema")
+    val token = AuditPartition.tokenFor(
+      if (row.isNullAt(partIdx)) null else row.get(partIdx, partDt), bucketN)
+    val (w, _, n, acc) = writerFor(token)
+    w.write(AuditRowJson.line(schema, row))
+    w.write("\n")
+    acc.update(row)
+    n(0) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    outs.values.foreach(_._1.close())
+    AuditPartDeltaCommitMessage(
+      outs.collect { case (token, (_, staged, n, acc)) if n(0) > 0 =>
+        (token, staged, n(0), acc.result) }.toSeq,
+      deletes.toSeq)
+  }
+
+  override def abort(): Unit = {
+    outs.values.foreach { case (w, staged, _, _) =>
+      w.close()
+      java.nio.file.Files.deleteIfExists(stageDir.resolve(staged))
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Partitioned delta commit: per touched directory, publish the inserted
+  * rows as an ordinary OCC txn append (`_TXN` put-if-absent — DML may
+  * race concurrent partitioned appends) and append the directory's
+  * delete-vector entries. Two metadata appends per directory, zero data
+  * file rewrites. Inserts publish BEFORE deletes (the unpartitioned delta
+  * order): a crash in between duplicates the updated rows rather than
+  * losing them. */
+final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
+    partIdx: Int, bucketN: Option[Int])
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private val stageSub = "pd-" + java.util.UUID.randomUUID.toString.take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new AuditPartDeltaWriterFactory(path, schema, partIdx, bucketN, stageSub)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging").resolve(stageSub)
+    // unused (and unavailable) for a pure DELETE — no inserts to place
+    lazy val col = schema(partIdx).name
+    val msgs = messages.toSeq.map(_.asInstanceOf[AuditPartDeltaCommitMessage])
+    // inserts: per-directory OCC txn append, same as the batch writer
+    msgs.flatMap(_.entries).groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (token, entries) =>
+        val pdir = dir.resolve(s"$col=$token")
+        java.nio.file.Files.createDirectories(pdir)
+        val gen = java.util.UUID.randomUUID.toString.take(8)
+        val added = entries.sortBy(_._2).zipWithIndex.map {
+          case ((_, staged, rows, st), i) =>
+            val name = f"part-x$gen-$i%05d.jsonl"
+            java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            (name, rows, st)
+        }
+        AuditBase.commitTxn(pdir.toString,
+          added.map { case (n, r, _) =>
+            AuditBase.ManifestEntry(n, r, folded = false) },
+          added.map { case (n, _, st) => AuditStats.line(n, st) })
+      }
+    // deletes: split the dir-qualified row id back into (dir, plain file)
+    msgs.flatMap(_.deletes).map { case (rel, pos) =>
+      val cut = rel.lastIndexOf('/')
+      require(cut > 0, s"audit partitioned delta: row id file $rel is not " +
+        "dir-qualified — scan/write contract violation")
+      (rel.substring(0, cut), (rel.substring(cut + 1), pos))
+    }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (dirName, pairs) =>
+      AuditDeletes.append(dir.resolve(dirName).toString, pairs.map(_._2))
+    }
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
+    messages.foreach {
+      case AuditPartDeltaCommitMessage(entries, _) =>
+        entries.foreach { case (_, staged, _, _) =>
+          java.nio.file.Files.deleteIfExists(stage.resolve(staged))
+        }
+      case _ => ()
+    }
+  }
 }
 
 /** DELTA-granular row-level operations ([[org.apache.spark.sql.connector
@@ -2326,7 +2597,7 @@ private[sources] object AuditDelete {
     // fold them into the rewrite — a compacted file keeps neither
     // filter-matched nor vector-deleted rows — then clear the vector file,
     // since compaction shifted every surviving position.
-    val vectors = AuditDeletes.read(path)
+    val rootVectors = AuditDeletes.read(path)
     def keep(line: String): Boolean = {
       val row = AuditJson.parseLine(line, schema)
       val byName: String => Any = { name =>
@@ -2353,7 +2624,8 @@ private[sources] object AuditDelete {
     // MIN/MAX metadata pushdown to keep claiming afterwards
     val newStats = scala.collection.mutable.Map
       .empty[String, AuditStats.FileStats]
-    def rewrite(file: java.nio.file.Path): Long = {
+    def rewrite(file: java.nio.file.Path,
+        vectors: Map[String, Set[Long]] = rootVectors): Long = {
       val gone = vectors.getOrElse(file.getFileName.toString, Set.empty)
       val lines = java.nio.file.Files.readAllLines(file,
         java.nio.charset.StandardCharsets.UTF_8).asScala
@@ -2379,9 +2651,14 @@ private[sources] object AuditDelete {
         // DML is single-writer vs maintenance but may race OCC appends:
         // fold live txns in before rewriting files + manifest in place
         AuditBase.consolidate(pdir.toString)
+        // fold the directory's outstanding delete vectors (partitioned
+        // delta DML) into the rewrite, then clear them — compaction
+        // shifted every surviving position, same as the unpartitioned path
+        val dirVectors = AuditDeletes.read(pdir.toString)
         val updated = AuditPartition.manifestEntries(pdir)
-          .map { case (f, _) => (f, rewrite(pdir.resolve(f))) }
+          .map { case (f, _) => (f, rewrite(pdir.resolve(f), dirVectors)) }
         AuditPartition.writeManifest(pdir, updated)
+        AuditDeletes.clear(pdir.toString)
         AuditStats.retain(pdir.toString, f => !newStats.contains(f))
         AuditStats.append(pdir.toString, newStats.toSeq)
       }

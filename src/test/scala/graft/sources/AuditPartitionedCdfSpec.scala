@@ -89,20 +89,90 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
       StructField("_change_type", StringType)))
     val stream = new AuditPartitionedCdfStream(dataDir.toString, schema, "flag")
     val off = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
-    // two epochs routed into three flag dirs: two entries per dir
+    // two epochs routed into three flag dirs: two entries per dir, each
+    // offset carrying the exact row total under its consumed entries
     assert(off.dirs.keySet === Set("0", "1", "2"))
-    assert(off.dirs.values.toSet === Set(2))
+    assert(off.dirs.values.map(_.entries).toSet === Set(2))
+    assert(off.dirs.values.map(_.rows).sum === 200L)
+    assert(off.dirs.values.map(_.dels).toSet === Set(0))
     // offsets round-trip through their JSON form
     assert(stream.deserializeOffset(off.json()) === off)
+    // a legacy (round-11, entries-only) offset still parses and resumes
+    val legacy = stream.deserializeOffset("""{"0":2,"1":2,"2":2}""")
+      .asInstanceOf[AuditPartCdfOffset]
+    assert(legacy.dirs("1") === AuditPartCdfOffset.DirOff(2, -1L, 0))
+    assert(stream.planInputPartitions(legacy, off).isEmpty)
     // a restored offset beyond a (rewritten) manifest fails loudly
-    val bad = AuditPartCdfOffset(off.dirs.map { case (t, _) => (t, 99) })
+    val bad = AuditPartCdfOffset(off.dirs.map { case (t, o) =>
+      (t, o.copy(entries = 99)) })
     val ex = intercept[IllegalArgumentException](
       stream.planInputPartitions(bad, bad))
     assert(ex.getMessage.contains("restart the feed"), ex.getMessage)
     // a vanished partition directory (DROP PARTITION / truncate) too
-    val gone = AuditPartCdfOffset(Map("7" -> 1))
+    val gone = AuditPartCdfOffset(Map("7" -> AuditPartCdfOffset.DirOff(1, -1L, 0)))
     val ex2 = intercept[IllegalStateException](
       stream.planInputPartitions(AuditPartCdfOffset(Map.empty), gone))
     assert(ex2.getMessage.contains("vanished"), ex2.getMessage)
+  }
+
+  test("partitioned delta DML emits update/delete events; in-place rewrite detected") {
+    val (cat, dataDir) = freshTable("dml")
+    streamEpochs(cat, 2) // ids 0..199 across flag=0,1,2
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType),
+      StructField("_file", StringType), StructField("_pos", LongType)))
+    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema, "flag")
+    val consumed = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
+    // delta DML: an UPDATE that MOVES a row across partitions (id=9 gets
+    // flag 1 instead of 0) plus a plain DELETE — both append-only
+    spark.sql(s"UPDATE $cat.db.t SET flag = 1 WHERE id = 9")
+    // the modulo keeps the predicate off the metadata (in-place rewrite)
+    // path: the strict V2→V1 converter refuses it, so the DELETE takes
+    // the row-level DELTA path and lands as per-directory vectors
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 1000 IN (4, 5)")
+    // table state: moved row visible under its new partition, deletes gone
+    assert(spark.table(s"$cat.db.t").count() === 198L)
+    assert(spark.sql(s"SELECT flag FROM $cat.db.t WHERE id = 9")
+      .head.getLong(0) === 1L)
+    // metadata COUNT stays exact under outstanding vectors
+    // (flag=0 held ids ≡0 mod 3 → 67 rows; id=9 moved away → 66)
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE flag = 0")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === 66L)
+    // the feed's incremental slice carries the DML as events
+    val end = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
+    val parts = stream.planInputPartitions(consumed, end)
+    val factory = stream.createReaderFactory()
+    val events = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getLong(1), row.getUTF8String(2).toString,
+          row.getUTF8String(3).toString, row.getLong(4)))
+      }
+      r.close(); buf
+    }
+    val dels = events.filter(_._3 == "delete")
+    val ins = events.filter(_._3 == "insert")
+    // delete events carry ORIGINAL values incl. the pre-move flag, and
+    // dir-qualified row ids; the moved row re-inserts under flag=1
+    assert(dels.map(e => (e._1, e._2)).toSet === Set((9L, 0L), (4L, 1L), (5L, 2L)))
+    assert(dels.forall(_._4.startsWith("flag=")))
+    assert(ins.map(e => (e._1, e._2)).toSet === Set((9L, 1L)))
+    // VERSION AS OF pre-DML epochs still resolves pre-DML state (delta
+    // DML never rewrites committed files)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+      .head.getLong(0) === 200L)
+    // the retroactive metadata path (TRUNCATE-grade rewrite) changes
+    // consumed-entry row counts IN PLACE — the tail must detect it
+    AuditDelete.deleteWhere(dataDir.toString,
+      StructType(schema.take(2)),
+      Array(org.apache.spark.sql.sources.LessThan("id", 3L)),
+      Some(("flag", LongType)))
+    val ex = intercept[IllegalArgumentException](
+      stream.planInputPartitions(end, stream.latestOffset()))
+    assert(ex.getMessage.contains("rewrote published history"), ex.getMessage)
   }
 }
