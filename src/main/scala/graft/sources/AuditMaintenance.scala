@@ -461,7 +461,17 @@ private[sources] object AuditMaintenance {
       targetFileCount: Int, sortBy: Option[String],
       zorderBy: Seq[String] = Nil,
       pinned: Option[CompactionSnapshot] = None,
-      bloomBy: Seq[String] = Nil): (Int, Long, Long) = {
+      bloomBy: Seq[String] = Nil): (Int, Long, Long) =
+    AuditMaintLock.withLease(path, "optimize") {
+      optimizeLocked(spark, path, schema, targetFileCount, sortBy, zorderBy,
+        pinned, bloomBy)
+    }
+
+  private def optimizeLocked(spark: SparkSession, path: String,
+      schema: StructType, targetFileCount: Int, sortBy: Option[String],
+      zorderBy: Seq[String],
+      pinned: Option[CompactionSnapshot],
+      bloomBy: Seq[String]): (Int, Long, Long) = {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"audit OPTIMIZE: sort_by column $c not in table schema"))
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -579,6 +589,14 @@ private[sources] object AuditMaintenance {
     * restart). */
   def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
       partSpec: String, targetFileCount: Int,
+      sortBy: Option[String]): (Int, Long, Long) =
+    AuditMaintLock.withLease(path, "optimize") {
+      optimizePartitionedLocked(spark, fullName, path, partSpec,
+        targetFileCount, sortBy)
+    }
+
+  private def optimizePartitionedLocked(spark: SparkSession, fullName: String,
+      path: String, partSpec: String, targetFileCount: Int,
       sortBy: Option[String]): (Int, Long, Long) = {
     val spec = AuditPartition.parseSpec(partSpec)
     val n =
@@ -595,6 +613,12 @@ private[sources] object AuditMaintenance {
       .option("path", stage.toString)
       .option("partitionby", spec.serialized)
       .mode("append").save()
+    // test-only failure injection (-Dgraft.audit.maintFailPoint=after-stage):
+    // dies AFTER the stage tree is fully written but BEFORE any rename —
+    // the live table must read identically, the orphan stage reclaimable
+    if (sys.props.get("graft.audit.maintFailPoint").contains("after-stage"))
+      throw new IllegalStateException(
+        "injected failure: partitioned OPTIMIZE killed after staging")
     val displaced = hidden("old")
     java.nio.file.Files.move(dir, displaced,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -628,7 +652,14 @@ private[sources] object AuditMaintenance {
     * extended to sweep each partition directory's unreferenced files. */
   def vacuum(path: String, retainLast: Int,
       cleanOrphans: Boolean = false,
-      partCol: Option[String] = None): (Int, Long) = {
+      partCol: Option[String] = None): (Int, Long) =
+    AuditMaintLock.withLease(path, "vacuum") {
+      vacuumLocked(path, retainLast, cleanOrphans, partCol)
+    }
+
+  private def vacuumLocked(path: String, retainLast: Int,
+      cleanOrphans: Boolean,
+      partCol: Option[String]): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
     if (b0.isEmpty && !cleanOrphans)

@@ -2151,7 +2151,11 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new AuditPartDeltaWriterFactory(path, schema, partIdx, bucketN, stageSub)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // single-maintenance-writer lease, as on the unpartitioned delta path
+    AuditMaintLock.withLease(path, "delta-dml") { commitLocked(messages) }
+
+  private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     // unused (and unavailable) for a pure DELETE — no inserts to place
@@ -2320,13 +2324,18 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new AuditDeltaWriterFactory(path, schema, stageSub)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // DML is single-writer vs other maintenance: the `_MAINT_LOCK` lease
+    // ENFORCES it — a racing OPTIMIZE/VACUUM/DML is rejected loudly
+    AuditMaintLock.withLease(path, "delta-dml") { commitLocked(messages) }
+
+  private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
     val manifestFile = dir.resolve("_MANIFEST")
-    // DML is single-writer (documented): fold any OCC txn appends into
-    // the manifest before this read-modify-write
+    // fold any OCC txn appends into the manifest before this
+    // read-modify-write (appends may race DML freely)
     AuditBase.consolidate(path)
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
@@ -2568,10 +2577,18 @@ private[sources] object AuditDelete {
   }
 
   def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
-      partInfo: Option[(String, DataType)] = None): Unit = {
+      partInfo: Option[(String, DataType)] = None): Unit =
+    // maintenance single-writer rule, ENFORCED by the `_MAINT_LOCK` lease
+    AuditMaintLock.withLease(path, "metadata-delete") {
+      deleteWhereLocked(path, schema, filters, partInfo)
+    }
+
+  private def deleteWhereLocked(path: String, schema: StructType,
+      filters: Array[Filter],
+      partInfo: Option[(String, DataType)]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    // maintenance is single-writer (documented): fold OCC txn appends in
-    // before any in-place file rewrite or manifest read-modify-write
+    // fold OCC txn appends in before any in-place file rewrite or
+    // manifest read-modify-write (appends may race DML freely)
     if (partInfo.isEmpty) AuditBase.consolidate(path)
     // compacted table: canDeleteWhere routed predicate deletes to the
     // delta path, but TRUNCATE TABLE reaches here directly — clear the
@@ -2942,8 +2959,7 @@ private[sources] object AuditStreamLock {
       "_STREAM_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
     java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
     if (java.nio.file.Files.exists(lock)) {
-      // renew (ours) or steal (expired): atomic replace; a lost race with
-      // another claimant surfaces on the NEXT commit's conflict check
+      // renew (ours) or steal (expired): atomic replace
       java.nio.file.Files.move(tmp, lock,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -2957,6 +2973,117 @@ private[sources] object AuditStreamLock {
           conflict() // someone claimed first — loud if it was not us
       }
     }
+    // COMPARE-AND-SWAP verify: two claimants racing one EXPIRED lease can
+    // both pass conflict() and both publish — the replace is last-wins,
+    // so without this check the loser would publish one epoch (possibly
+    // colliding epoch numbers with the winner) before its NEXT commit
+    // noticed. Re-read and require OUR claim actually won; the loser
+    // throws BEFORE publishing anything.
+    val won = java.nio.file.Files.exists(lock) &&
+      (new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
+        case LockRe(q, _) => q == queryId
+        case _            => false
+      })
+    if (!won)
+      throw new IllegalStateException(
+        s"audit: streaming query $queryId lost the writer-lease race at " +
+          s"$path — another query claimed the expired lease concurrently; " +
+          "this epoch is NOT published")
+  }
+}
+
+/** SINGLE-MAINTENANCE-WRITER lease: OPTIMIZE / VACUUM / row-level DML /
+  * the retroactive metadata DELETE read-modify-write manifests, rewrite
+  * files, or fold logs — operations the format documents as
+  * single-writer. This lease ENFORCES the rule the way `_STREAM_LOCK`
+  * enforces the single-streaming-writer rule: each operation acquires
+  * `_MAINT_LOCK` for its duration, a second concurrent maintenance
+  * operation is rejected LOUDLY (instead of silently corrupting a
+  * manifest), and a crashed operation's lease expires so the table is
+  * never bricked. Multi-writer OCC APPENDS are unaffected — they commit
+  * through `_TXN` put-if-absent and never take this lease. */
+private[sources] object AuditMaintLock {
+  /** Lease duration; override via -Dgraft.audit.maintLeaseMs for tests. */
+  def leaseMs: Long =
+    sys.props.get("graft.audit.maintLeaseMs").map(_.toLong).getOrElse(60000L)
+
+  private val LockRe = """\{"op":"([^"]*)","ts":(\d+)\}""".r
+
+  /** Acquire the lease for one maintenance operation; returns the unique
+    * op id to pass to [[release]]. Loud when another live op holds it. */
+  def acquire(path: String, opDesc: String): String = {
+    val dir = java.nio.file.Paths.get(path)
+    val opIdEarly = opDesc + "-" + java.util.UUID.randomUUID.toString.take(8)
+    // NEVER create the table directory here: a missing data dir is load-
+    // bearing state (it marks a displaced `.old.` tree as the only copy
+    // after a crashed swap — see the VACUUM orphan rules), and the
+    // operation itself will fail loudly on the missing dir anyway
+    if (!java.nio.file.Files.isDirectory(dir)) return opIdEarly
+    val lock = dir.resolve("_MAINT_LOCK")
+    val now = System.currentTimeMillis()
+    val opId = opIdEarly
+    def conflict(): Unit =
+      if (java.nio.file.Files.exists(lock))
+        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
+          case LockRe(op, ts) if now - ts.toLong < leaseMs =>
+            throw new IllegalStateException(
+              s"audit: maintenance operation $opDesc cannot start at $path — " +
+                s"operation $op holds the maintenance lease (acquired " +
+                s"${now - ts.toLong} ms ago; expires after ${leaseMs} ms). " +
+                "OPTIMIZE/VACUUM/DML are single-writer on this table; wait " +
+                "for the other operation (or its lease) to end.")
+          case _ => () // expired or unreadable debris — claimable
+        }
+    conflict()
+    val line = s"""{"op":"$opId","ts":$now}"""
+    val tmp = lock.resolveSibling(
+      "_MAINT_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+    if (java.nio.file.Files.exists(lock)) {
+      java.nio.file.Files.move(tmp, lock,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try {
+        java.nio.file.Files.createLink(lock, tmp)
+        java.nio.file.Files.delete(tmp)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmp)
+          conflict()
+      }
+    }
+    // CAS verify (same shape as the stream lock): racing claimants of an
+    // expired lease both reach here; only the one whose claim is on disk
+    // proceeds — the loser throws before touching any metadata
+    val won = java.nio.file.Files.exists(lock) &&
+      (new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
+        case LockRe(op, _) => op == opId
+        case _             => false
+      })
+    if (!won)
+      throw new IllegalStateException(
+        s"audit: maintenance operation $opDesc lost the lease race at " +
+          s"$path — another operation claimed the expired lease " +
+          "concurrently; nothing was modified")
+    opId
+  }
+
+  /** Release the lease iff still held by `opId` (an expired-and-stolen
+    * lease belongs to the thief — never delete someone else's claim). */
+  def release(path: String, opId: String): Unit = {
+    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+    if (java.nio.file.Files.exists(lock))
+      new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
+        case LockRe(op, _) if op == opId =>
+          java.nio.file.Files.deleteIfExists(lock)
+        case _ => ()
+      }
+  }
+
+  def withLease[T](path: String, opDesc: String)(body: => T): T = {
+    val id = acquire(path, opDesc)
+    try body finally release(path, id)
   }
 }
 

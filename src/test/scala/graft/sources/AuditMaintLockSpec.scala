@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** `_MAINT_LOCK`: the single-maintenance-writer rule is ENFORCED, not
+  * just documented — a second concurrent OPTIMIZE/VACUUM/DML is rejected
+  * loudly, a finished operation releases promptly, an expired lease is
+  * stealable, and the steal is compare-and-swap (the loser of a steal
+  * race throws before touching metadata). */
+class AuditMaintLockSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshTable(tag: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_mlock_${tag}_")
+    val cat = s"graft_mlock_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id, id * 7 FROM range(0, 1000)")
+    (cat, wh.resolve("db").resolve("t").toString)
+  }
+
+  test("a second concurrent maintenance operation is refused loudly") {
+    val (cat, path) = freshTable("conc")
+    // simulate a live OPTIMIZE by holding the lease ourselves
+    val held = AuditMaintLock.acquire(path, "optimize")
+    val ex = intercept[IllegalStateException](
+      spark.sql(s"CALL $cat.system.optimize(table => 'db.t')"))
+    assert(ex.getMessage.contains("holds the maintenance lease"),
+      ex.getMessage)
+    // DML is maintenance too: UPDATE (delta commit) must also refuse.
+    // Spark wraps the commit-time failure; the cause chain carries it.
+    val ex2 = intercept[Throwable](
+      spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE id = 3"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("holds the maintenance lease")), ex2.toString)
+    // ...and the metadata DELETE path
+    val ex3 = intercept[Throwable](
+      spark.sql(s"DELETE FROM $cat.db.t WHERE id = 5"))
+    assert(chain(ex3).exists(t => t.getMessage != null &&
+      t.getMessage.contains("holds the maintenance lease")), ex3.toString)
+    AuditMaintLock.release(path, held)
+    // released: the same operations now run to completion
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE id = 3")
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE id = 3")
+      .head.getLong(0) === 0L)
+    // and the lock does not linger after a successful operation
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+  }
+
+  test("an expired lease is stealable; release ignores a stolen lease") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_exp_")
+      .toString
+    val stale = AuditMaintLock.acquire(path, "optimize")
+    sys.props("graft.audit.maintLeaseMs") = "1"
+    try {
+      Thread.sleep(5)
+      val thief = AuditMaintLock.acquire(path, "vacuum")
+      // the original holder's release must NOT delete the thief's claim
+      AuditMaintLock.release(path, stale)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+      AuditMaintLock.release(path, thief)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+    } finally sys.props.remove("graft.audit.maintLeaseMs")
+  }
+
+  test("acquire is compare-and-swap: the on-disk claim is the returned op") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_cas_")
+      .toString
+    val id = AuditMaintLock.acquire(path, "optimize")
+    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+    val content = new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+    assert(content.contains(s""""op":"$id""""), content)
+    // a claim overwritten by a racing thief (simulated) makes release a no-op
+    java.nio.file.Files.write(lock,
+      s"""{"op":"intruder-1","ts":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    AuditMaintLock.release(path, id)
+    assert(java.nio.file.Files.exists(lock))
+  }
+}

@@ -735,6 +735,45 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(snap("SELECT id, flag FROM graft_m.db.po2 ORDER BY id") === before)
   }
 
+  test("partitioned OPTIMIZE killed mid-run leaves the table byte-identical") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.po3")
+    spark.sql(
+      """CREATE TABLE graft_m.db.po3 (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO graft_m.db.po3 SELECT id, id % 3 FROM range(0, 300)")
+    spark.sql("INSERT INTO graft_m.db.po3 VALUES (9000, 1)")
+    // outstanding delta vectors must also survive the aborted maintenance
+    spark.sql("UPDATE graft_m.db.po3 SET flag = 2 WHERE id = 9000")
+    val q = "SELECT id, flag FROM graft_m.db.po3 ORDER BY id, flag"
+    val before = snap(q)
+    val beforeCount = spark.sql(
+      "SELECT count(*) FROM graft_m.db.po3 WHERE flag = 2").head.getLong(0)
+    // KILL the rewrite after staging, before any rename: the failure hook
+    // throws exactly in the window the stage-and-swap design protects
+    sys.props("graft.audit.maintFailPoint") = "after-stage"
+    try {
+      val ex = intercept[Throwable](
+        spark.sql("CALL graft_m.system.optimize(table => 'db.po3', " +
+          "target_file_count => 2)").collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("injected failure")), ex.toString)
+    } finally sys.props.remove("graft.audit.maintFailPoint")
+    // the live table is UNTOUCHED: identical rows, identical metadata count
+    assert(snap(q) === before)
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.po3 WHERE flag = 2")
+      .head.getLong(0) === beforeCount)
+    // the aborted run's lease does not block the retry...
+    // ...and the orphan stage is reclaimable, then the retry succeeds
+    spark.sql("CALL graft_m.system.vacuum(table => 'db.po3', " +
+      "clean_orphans => true)").collect()
+    spark.sql("CALL graft_m.system.optimize(table => 'db.po3', " +
+      "target_file_count => 2)").collect()
+    assert(snap(q) === before)
+  }
+
   test("history procedure lists epochs, batch commits, base, and deletes") {
     buildTable("his1")
     def hist() = spark.sql(
