@@ -495,9 +495,12 @@ private[sources] object AuditMaintenance {
     // newer stays live alongside the base.
     val snap = pinned.getOrElse(snapshot(path))
     val through = snap.throughEpoch
+    // rawcolumns: this schema is STORAGE-named (resolveAuditTableFull) —
+    // the provider must not re-translate it through a data-dir _COLMAP
     val full = spark.read.schema(schema)
       .format(classOf[JsonAuditSink].getName)
       .option("path", path).option("includeDeleted", "true")
+      .option("rawcolumns", "true")
       .option("snapshotMaxEpoch", through.toString)
       .option("snapshotFiles", snap.batchFiles.mkString(","))
       .load()
@@ -555,6 +558,7 @@ private[sources] object AuditMaintenance {
         f.name == c && AuditBloom.bloomable(f.dataType)))
     val writer = df.write.format(classOf[JsonAuditSink].getName)
       .option("path", path)
+      .option("rawcolumns", "true") // df columns are storage-named
       .option("basecommit", "true")
       .option("basethroughepoch", through.toString)
       .option("basefoldfiles", snap.batchFiles.mkString(","))
@@ -589,20 +593,29 @@ private[sources] object AuditMaintenance {
     * restart). */
   def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
       partSpec: String, targetFileCount: Int,
-      sortBy: Option[String]): (Int, Long, Long) =
+      sortBy: Option[String],
+      colMap: Map[String, String] = Map.empty): (Int, Long, Long) =
     AuditMaintLock.withLease(path, "optimize") {
       optimizePartitionedLocked(spark, fullName, path, partSpec,
-        targetFileCount, sortBy)
+        targetFileCount, sortBy, colMap)
     }
 
   private def optimizePartitionedLocked(spark: SparkSession, fullName: String,
       path: String, partSpec: String, targetFileCount: Int,
-      sortBy: Option[String]): (Int, Long, Long) = {
+      sortBy: Option[String],
+      colMap: Map[String, String]): (Int, Long, Long) = {
     val spec = AuditPartition.parseSpec(partSpec)
     val n =
       if (targetFileCount > 0) targetFileCount
       else spark.sparkContext.defaultParallelism
-    var df = spark.table(fullName).repartition(n, col(spec.col))
+    // the catalog read speaks CURRENT names; the staged rewrite must
+    // keep the STORAGE keys (renaming a column must never silently
+    // rewrite the payload keys out from under the colmap)
+    var df = colMap.foldLeft(spark.table(fullName)) {
+      case (d, (current, storage)) => d.withColumnRenamed(current, storage)
+    }.repartition(n, col(spec.col))
+    // sortBy arrives storage-named from the procedure — applied after
+    // the rename above, both spellings agree
     sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
     val dir = java.nio.file.Paths.get(path)
     def hidden(tag: String) = dir.resolveSibling(
@@ -620,6 +633,10 @@ private[sources] object AuditMaintenance {
       throw new IllegalStateException(
         "injected failure: partitioned OPTIMIZE killed after staging")
     val displaced = hidden("old")
+    // the swap replaces the whole data dir — restore the replicated
+    // colmap INTO THE STAGE before it becomes the table, so the path
+    // surface never observes a renamed table without its map
+    AuditNameMap.writeColMapFile(stage, colMap)
     java.nio.file.Files.move(dir, displaced,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage, dir,
@@ -970,7 +987,7 @@ private[sources] object GraftProcedures {
                 "column)")
             AuditMaintenance.optimizePartitioned(
               org.apache.spark.sql.SparkSession.active,
-              s"${catalog.name()}.$table", path, ps, tfc, sortBySt)
+              s"${catalog.name()}.$table", path, ps, tfc, sortBySt, cm)
           case None => AuditMaintenance.optimize(
             org.apache.spark.sql.SparkSession.active, path, schema, tfc,
             sortBySt, zorderBySt, bloomBy = bloomBySt)

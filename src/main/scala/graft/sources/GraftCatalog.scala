@@ -172,6 +172,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mapJson ++ retiredJson ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
     java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
+    // replicate the colmap into the data dir (`_COLMAP`) so the PATH
+    // surface — change-feed reads included — translates renamed columns
+    // without this catalog's metadata file
+    if (provider != "paged" && java.nio.file.Files.isDirectory(dataDir(ident)))
+      AuditNameMap.writeColMapFile(dataDir(ident), colMap)
   }
 
   /** Hidden staging directory beside the table's data dir. */
@@ -245,10 +250,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var colMap: Map[String, String] = GraftCatalog.parseColMap(meta)
     var retired: Seq[String] = GraftCatalog.parseRetired(meta)
     def storageOf(sc: StructType, c: String): String = colMap.getOrElse(c, c)
-    def requireUnpartitioned(what: String): Unit =
-      require(partCol.isEmpty,
-        s"graft catalog: $what is unsupported on partitioned tables " +
-          "(directory names embed the partition column)")
+    // RENAME/DROP of NON-partition columns works on partitioned tables
+    // too (the colmap is table-level metadata; per-directory files keep
+    // their storage keys like any other file) — only the PARTITION column
+    // itself is immovable: directory names embed it
+    def requireNotPartitionCol(what: String, c: String): Unit =
+      partCol.map(AuditPartition.parseSpec(_).col).foreach(pc =>
+        require(pc != c,
+          s"graft catalog: $what of partition column $c is unsupported " +
+            "(directory names embed the partition column)"))
     val newSchema = changes.foldLeft(schema0) {
       case (sc, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -269,9 +279,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         sc.add(org.apache.spark.sql.types.StructField(
           name, add.dataType, nullable = true))
       case (sc, ren: TableChange.RenameColumn) =>
-        requireUnpartitioned("RENAME COLUMN")
         require(ren.fieldNames.length == 1,
           "graft catalog: nested RENAME COLUMN unsupported")
+        requireNotPartitionCol("RENAME COLUMN", ren.fieldNames.head)
         val from = ren.fieldNames.head
         val to = ren.newName
         require(sc.fieldNames.contains(from),
@@ -284,9 +294,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructType(sc.fields.map(fl =>
           if (fl.name == from) fl.copy(name = to) else fl))
       case (sc, del: TableChange.DeleteColumn) =>
-        requireUnpartitioned("DROP COLUMN")
         require(del.fieldNames.length == 1,
           "graft catalog: nested DROP COLUMN unsupported")
+        requireNotPartitionCol("DROP COLUMN", del.fieldNames.head)
         val name = del.fieldNames.head
         if (!sc.fieldNames.contains(name)) {
           require(del.ifExists, s"graft catalog: no such column $name")
@@ -1342,6 +1352,69 @@ object CatalogApi {
       |UNION ALL SELECT 1000, 5, 42
       |ORDER BY id""".stripMargin
 
+  /** PARTITIONED column RENAME/DROP, oracle-checked: the same vintage
+    * walk as [[catalogRename]] on a PARTITIONED table — rename a
+    * non-partition column (pure metadata; per-directory files keep the
+    * storage key), append under the new name, run partitioned delta DML
+    * through it, compact with partitioned OPTIMIZE (the stage-and-swap
+    * must carry the replicated `_COLMAP` across), then force-DROP and
+    * re-ADD another column (fresh storage key per directory). The final
+    * SELECT reads one coherent column across every vintage and every
+    * partition directory. */
+  def catalogRenamePart(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qrnp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qrnp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qrnp.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qrnp.db.t")
+    spark.sql(
+      """CREATE TABLE graft_qrnp.db.t (id BIGINT, v BIGINT, junk BIGINT,
+        |  flag BIGINT) USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qrnp.db.t
+        |SELECT id, id * 10, 777, id % 3 FROM range(0, 200)""".stripMargin)
+    // rename: metadata-only; files in every partition dir keep key "v"
+    spark.sql("ALTER TABLE graft_qrnp.db.t RENAME COLUMN v TO score")
+    spark.sql(
+      """INSERT INTO graft_qrnp.db.t
+        |SELECT id, id * 10, 777, id % 3 FROM range(200, 300)""".stripMargin)
+    // partitioned DELTA DML through the renamed column (modulo predicate
+    // stays off the metadata path; vectors land per directory)
+    spark.sql(
+      "DELETE FROM graft_qrnp.db.t WHERE score % 100 = 30 AND id < 300")
+    spark.sql(
+      """MERGE INTO graft_qrnp.db.t t
+        |USING (SELECT 7L AS id, 111L AS score) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.score = s.score
+        |""".stripMargin)
+    // compaction swaps the whole directory tree; the colmap must survive
+    spark.sql("CALL graft_qrnp.system.optimize(table => 'db.t', " +
+      "target_file_count => 2, sort_by => 'score')").collect()
+    spark.sql("ALTER TABLE graft_qrnp.db.t SET TBLPROPERTIES " +
+      "('graft.allow-column-drop'='true')")
+    spark.sql("ALTER TABLE graft_qrnp.db.t DROP COLUMN junk")
+    spark.sql("ALTER TABLE graft_qrnp.db.t ADD COLUMN junk BIGINT")
+    spark.sql("INSERT INTO graft_qrnp.db.t VALUES (1000, 5, 1, 42)")
+    // the final read crosses: pre-rename files, post-rename appends,
+    // delete vectors folded by OPTIMIZE, and the re-keyed junk column
+    spark.sql(
+      """SELECT id, score, junk, flag FROM graft_qrnp.db.t
+        |ORDER BY id""".stripMargin)
+  }
+
+  val catalogRenamePartSql: String =
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) * 10 AS score,
+      |         CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(300) t(r)
+      |), kept AS (
+      |  SELECT id, CASE WHEN id = 7 THEN 111 ELSE score END AS score, flag
+      |  FROM src WHERE NOT (score % 100 = 30)
+      |)
+      |SELECT id, score, CAST(NULL AS BIGINT) AS junk, flag FROM kept
+      |UNION ALL SELECT 1000, 5, 42, 1
+      |ORDER BY id""".stripMargin
+
   val auditOptimizeSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -1849,6 +1922,7 @@ object CatalogApi {
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
       "q_catalog_rename" -> (catalogRename _),
+      "q_catalog_rename_part" -> (catalogRenamePart _),
       "q_audit_gcount" -> (auditGroupCount _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
@@ -1870,6 +1944,7 @@ object CatalogApi {
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,
       "q_catalog_rename" -> catalogRenameSql,
+      "q_catalog_rename_part" -> catalogRenamePartSql,
       "q_audit_gcount" -> auditGroupCountSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }

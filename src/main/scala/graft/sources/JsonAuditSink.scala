@@ -37,13 +37,26 @@ class JsonAuditSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
     // `partitionby` (an identity column or `bucket(n,col)`) gives the
     // PATH-BASED surface the same partitioned layout the catalog serves —
     // and is what lets partitioned OPTIMIZE stage its rewrite as a
     // sibling directory tree before the atomic swap
-    new AuditTable(properties.get("path"), schema,
-      partCol = Option(properties.get("partitionby")))
+    val path = properties.get("path")
+    // a `_COLMAP` replicated into the data dir by the catalog (column
+    // RENAME/DROP) makes path-based reads — the change feed included —
+    // translate current names without the catalog metadata file. The
+    // caller's schema speaks CURRENT names either way. Skipped for
+    // maintenance stage writes (rawcolumns): their schema is already
+    // storage-named.
+    val colMap =
+      if (path != null && !properties.containsKey("rawcolumns"))
+        AuditNameMap.readColMapFile(path)
+      else Map.empty[String, String]
+    new AuditTable(path, schema,
+      partCol = Option(properties.get("partitionby")),
+      colMap = colMap.filter { case (c, _) => schema.fieldNames.contains(c) })
+  }
 }
 
 /** Hive-style single-column identity partitioning for the audit format:
@@ -159,9 +172,14 @@ final class AuditTable(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
-  require(colMap.isEmpty || partCol.isEmpty,
-    "audit: column name mapping (RENAME/DROP) is unsupported on " +
-      "partitioned tables (directory names embed the partition column)")
+  // name mapping works on partitioned tables for NON-partition columns;
+  // the partition column itself is immovable (directory names embed it),
+  // so it must never appear in the map — the catalog refuses the DDL,
+  // this guards the invariant at the table boundary too
+  for (pc <- partCol.map(AuditPartition.parseSpec(_).col))
+    require(!colMap.contains(pc) && !colMap.valuesIterator.contains(pc),
+      s"audit: partition column $pc cannot be renamed or remapped " +
+        "(directory names embed the partition column)")
   // storage-named twin of the Spark-facing schema: same field order and
   // types, names as physically written in the jsonl payload
   private val storageSchema = AuditNameMap.toStorage(writeSchema, colMap)
@@ -524,37 +542,40 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   private var skipFilters: Seq[Filter] = Nil
 
   override def pushFilters(filters0: Array[Filter]): Array[Filter] = {
-    val filters = filters0.map(AuditNameMap.mapFilter(_, nameMap))
-    if (allowPartFilters) skipFilters = filters.toSeq
+    val mapped = filters0.map(AuditNameMap.mapFilter(_, nameMap))
+    if (allowPartFilters) skipFilters = mapped.toSeq
     partInfo match {
-      // residuals go back in Spark's ORIGINAL objects (it maps them to
-      // catalyst expressions by value); the storage-named twins above
-      // only feed the zone-map skip, whose _STATS keys are storage names
+      // residuals (and pushedFilters) go back in Spark's ORIGINAL objects
+      // (it maps them to catalyst expressions by value); the storage-named
+      // twins above only feed the zone-map skip, whose _STATS keys are
+      // storage names — so prunability is DECIDED on the mapped twin but
+      // RECORDED against the original (the partition column itself is
+      // never mapped, so its twin is value-equal anyway)
       case None => filters0 // unpartitioned: no partition dirs to prune
       case _ if !allowPartFilters => filters0
       case Some((col, _)) =>
         def restrict(tokens: Set[String]): Unit =
           allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
-        val prunable = filters.filter {
-          case EqualTo(c, v) if c == col && v != null =>
+        val prunable = filters0.zip(mapped).filter {
+          case (_, EqualTo(c, v)) if c == col && v != null =>
             restrict(Set(AuditPartition.tokenFor(v, bucketN))); true
-          case In(c, vs) if c == col && vs.forall(_ != null) =>
+          case (_, In(c, vs)) if c == col && vs.forall(_ != null) =>
             restrict(vs.map(AuditPartition.tokenFor(_, bucketN)).toSet); true
-          case IsNull(c) if c == col =>
+          case (_, IsNull(c)) if c == col =>
             restrict(Set(AuditPartition.NullToken)); true
           // identity dirs hold exact values, so dropping the null-token
           // dir GUARANTEES IsNotNull — claiming it keeps the residual set
           // empty and the metadata COUNT(*) pushdown available under the
           // not-null inference Catalyst adds beside every equality
-          case org.apache.spark.sql.sources.IsNotNull(c) if c == col =>
+          case (_, org.apache.spark.sql.sources.IsNotNull(c)) if c == col =>
             excludeNull = true; true
           case _ => false
-        }
+        }.map(_._1)
         // identity dirs hold EXACTLY the predicate's value → the filter is
         // consumed; a bucket dir holds every value in the hash bucket, so
         // bucketed pruning keeps the predicate RESIDUAL (prune, re-filter)
         accepted = if (bucketN.isEmpty) prunable else Array.empty
-        filters.filterNot(accepted.contains)
+        filters0.filterNot(accepted.contains)
     }
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -2383,6 +2404,41 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
   * current names; rows are positional, so only name LOOKUPS translate. */
 private[sources] object AuditNameMap {
   import org.apache.spark.sql.sources._
+
+  /** `_COLMAP`: the current→storage map REPLICATED INTO THE DATA DIR by
+    * the catalog whenever it changes, so the PATH-BASED surface (spark
+    * .read.format(...).option("path", ...), including change-feed reads
+    * over a catalog table's directory) translates renamed columns without
+    * access to the catalog metadata file. Absent file = empty map; plain
+    * path tables (never renamed) are unaffected. */
+  private val ColMapEntryRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  def writeColMapFile(dataDir: java.nio.file.Path,
+      m: Map[String, String]): Unit = {
+    val f = dataDir.resolve("_COLMAP")
+    if (m.isEmpty) { java.nio.file.Files.deleteIfExists(f); return }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = m.toSeq.sorted
+      .map { case (c, st) => s""""${esc(c)}":"${esc(st)}"""" }
+      .mkString("{", ",", "}")
+    val tmp = f.resolveSibling(
+      "_COLMAP.tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readColMapFile(path: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(path).resolve("_COLMAP")
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val body = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    ColMapEntryRe.findAllMatchIn(body)
+      .map(m => (unesc(m.group(1)), unesc(m.group(2)))).toMap
+  }
 
   /** Rename schema fields current→storage (identity for unmapped). */
   def toStorage(schema: StructType, m: Map[String, String]): StructType =
