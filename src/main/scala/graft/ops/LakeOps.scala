@@ -730,7 +730,7 @@ object LakeOps {
       maxs = Map("l_extendedprice" -> "mv_max_price"),
       mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
     graft.plans.MvRewriteRule.materialize(lineitem(spark, d), mv, mvDir)
-    graft.plans.MvRewriteRule.register(mv)
+    graft.plans.MvRewriteRule.register(spark, mv)
     try {
       val q = lineitem(spark, d)
         .where(col("l_linestatus") === "F")
@@ -755,7 +755,7 @@ object LakeOps {
       require(scans.exists(_.contains(mvDir)),
         s"mv rewrite did not fire — plan reads: ${scans.mkString(", ")}")
       q
-    } finally graft.plans.MvRewriteRule.unregister(mv.basePath)
+    } finally graft.plans.MvRewriteRule.unregister(spark, mv.basePath)
   }
 
   val mvRewriteSql: String =

@@ -55,7 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => RowNumberDedupRule)
-    ext.injectOptimizerRule(_ => MvRewriteRule)
+    // per-session instance: the MV registry is scoped to the session the
+    // optimizer belongs to (see MvRewriteRule's registry)
+    ext.injectOptimizerRule(session => new MvRewriteRule(session))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
     ext.injectResolutionRule(_ => AsOfJoinResolutionRule)

@@ -40,16 +40,25 @@ import org.apache.spark.sql.functions._
   *
   * FRESHNESS is the registrant's contract (same as every MV engine):
   * register after materializing, unregister before mutating the base.
-  * Registration is per-run state, not catalog metadata — the oracle
-  * query materializes, registers, plans (forcing `optimizedPlan` so the
-  * memoized plan keeps the rewrite), and unregisters.
+  * Registration is PER-SESSION state, not catalog metadata: the registry
+  * is a weak map keyed on the owning [[SparkSession]], and each session's
+  * optimizer carries its own rule instance (injected per session by
+  * [[GraftExtensions]]), so an MV registered in one session can never
+  * rewrite another session's queries — and a session's registrations die
+  * with it.
   *
   * Output attributes keep the ORIGINAL names and exprIds (Alias with the
   * original exprId — round-6 invariant: downstream operators resolve
   * against those ids). The MV plan is re-read per rewrite so its
   * exprIds are fresh and cannot collide with the query's.
   */
-object MvRewriteRule extends Rule[LogicalPlan] {
+final class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override val ruleName: String = "graft.plans.MvRewriteRule"
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    MvRewriteRule.applyFor(session, plan)
+}
+
+object MvRewriteRule {
 
   /** One registered summary table. `sums`/`mins`/`maxs` map BASE column
     * name → MV measure column name; `cnt` is the MV's count(*) column. */
@@ -62,14 +71,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       maxs: Map[String, String],
       mvPlan: () => LogicalPlan)
 
+  // weak keys: a discarded session's registrations are GC-reclaimed
   private val registered =
-    new java.util.concurrent.atomic.AtomicReference[Seq[MvDef]](Seq.empty)
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Seq[MvDef]]())
 
-  def register(mv: MvDef): Unit =
-    registered.updateAndGet(s => s.filterNot(_.basePath == mv.basePath) :+ mv)
-  def unregister(basePath: String): Unit =
-    registered.updateAndGet(_.filterNot(_.basePath == basePath))
-  def clear(): Unit = registered.set(Seq.empty)
+  def register(session: SparkSession, mv: MvDef): Unit =
+    registered.synchronized {
+      val prior = Option(registered.get(session)).getOrElse(Seq.empty)
+      registered.put(session,
+        prior.filterNot(_.basePath == mv.basePath) :+ mv)
+    }
+  def unregister(session: SparkSession, basePath: String): Unit =
+    registered.synchronized {
+      val prior = Option(registered.get(session)).getOrElse(Seq.empty)
+      registered.put(session, prior.filterNot(_.basePath == basePath))
+    }
+  def clear(): Unit = registered.synchronized { registered.clear() }
 
   /** Build + write the summary table for `mv` from the base frame, so
     * the materialization and the rewrite share one definition (they
@@ -127,8 +145,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val mvs = registered.get()
+  private[plans] def applyFor(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    val mvs = Option(registered.get(session)).getOrElse(Seq.empty)
     if (mvs.isEmpty) return plan
     plan.transform {
       case agg @ Aggregate(ges, aes, child, _) =>

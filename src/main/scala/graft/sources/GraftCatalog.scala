@@ -1863,7 +1863,7 @@ object CatalogApi {
       sums = Map("v" -> "mv_sum_v"),
       mins = Map.empty, maxs = Map.empty,
       mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
-    graft.plans.MvRewriteRule.register(mv)
+    graft.plans.MvRewriteRule.register(spark, mv)
     try {
       val q = spark.table("graft_qe2e.db.base")
         .groupBy(col("g"))
@@ -1880,7 +1880,7 @@ object CatalogApi {
       require(scans.exists(_.contains(mvDir)),
         s"mv rewrite over the DSv2 base did not fire — plan scans: $scans")
       q
-    } finally graft.plans.MvRewriteRule.unregister(mv.basePath)
+    } finally graft.plans.MvRewriteRule.unregister(spark, mv.basePath)
   }
 
   val mvE2eSql: String = {

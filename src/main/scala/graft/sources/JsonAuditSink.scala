@@ -1595,6 +1595,17 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
     val s = start.asInstanceOf[AuditPartCdfOffset].dirs
     val en = end.asInstanceOf[AuditPartCdfOffset].dirs
     val dirs = AuditPartition.listDirs(path, col).toMap
+    // a directory the tail ALREADY CONSUMED from must still exist: DROP
+    // PARTITION / TRUNCATE under a live tail removes it from the END
+    // offset entirely, which would otherwise be a silent skip of
+    // published history — the contract is a loud error, never drift
+    s.foreach { case (tok, from) =>
+      if ((from.entries > 0 || from.dels > 0) && !dirs.contains(tok))
+        throw new IllegalStateException(
+          s"audit changeFeed: partition dir $col=$tok vanished at $path " +
+            "after the feed consumed from it — the partition was dropped " +
+            "or the table truncated; restart the feed from a fresh checkpoint")
+    }
     en.toSeq.sortBy(_._1).flatMap { case (tok, until) =>
       val pdir = dirs.getOrElse(tok, throw new IllegalStateException(
         s"audit changeFeed: partition dir $col=$tok vanished at $path — " +

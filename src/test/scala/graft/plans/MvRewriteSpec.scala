@@ -49,8 +49,8 @@ class MvRewriteSpec extends AnyFunSuite {
     mvPlan = () => ext.read.parquet(dir).queryExecution.analyzed)
 
   private def withMv[T](body: => T): T = {
-    MvRewriteRule.register(mvDef(mvDir))
-    try body finally MvRewriteRule.unregister(s"$d/lineitem.parquet")
+    MvRewriteRule.register(ext, mvDef(mvDir))
+    try body finally MvRewriteRule.unregister(ext, s"$d/lineitem.parquet")
   }
 
   private def q(): DataFrame =
@@ -123,5 +123,26 @@ class MvRewriteSpec extends AnyFunSuite {
 
   test("unregistered: the same query keeps the base scan") {
     assert(!fired(q()))
+  }
+
+  test("the registry is per-session: a sibling session is never rewritten") {
+    // newSession shares the SparkContext AND the injected extensions, but
+    // gets its own optimizer (and thus its own MvRewriteRule instance)
+    val sibling = ext.newSession()
+    def sq(s: SparkSession): DataFrame = graft.Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+    withMv {
+      assert(fired(sq(ext)), "owning session must rewrite")
+      assert(!fired(sq(sibling)),
+        "an MV registered in one session must NEVER rewrite another's query")
+      // and registering in the sibling affects only the sibling
+      MvRewriteRule.register(sibling, mvDef(mvDir))
+      try assert(fired(sq(sibling)))
+      finally MvRewriteRule.unregister(sibling, s"$d/lineitem.parquet")
+    }
+    // after unregister (withMv's finally), the owner stops rewriting too
+    assert(!fired(sq(ext)))
   }
 }

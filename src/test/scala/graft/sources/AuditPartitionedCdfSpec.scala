@@ -115,6 +115,42 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("vanished"), ex2.getMessage)
   }
 
+  test("DROP PARTITION under a live tail fails loudly, never silently skips") {
+    val (cat, dataDir) = freshTable("drop")
+    streamEpochs(cat, 2) // dirs flag=0,1,2 populated
+    val cdfSchema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pcdf_dropck")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    def startTail() = spark.readStream.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir.toString)
+      .option("partitionby", "flag")
+      .option("changeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(batch.count()); ()
+      }
+      .start()
+    val tail = startTail()
+    try tail.processAllAvailable() finally tail.stop()
+    assert(seen.get() === 200L)
+    // the tail consumed from flag=1; drop that partition under it
+    spark.sql(s"ALTER TABLE $cat.db.t DROP PARTITION (flag = 1)")
+    val tail2 = startTail()
+    val ex = intercept[Throwable] {
+      try tail2.processAllAvailable() finally tail2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("vanished")), ex.toString)
+    // and nothing was silently re-counted or skipped into the sink
+    assert(seen.get() === 200L)
+  }
+
   test("partitioned delta DML emits update/delete events; in-place rewrite detected") {
     val (cat, dataDir) = freshTable("dml")
     streamEpochs(cat, 2) // ids 0..199 across flag=0,1,2
