@@ -1022,7 +1022,7 @@ private[sources] object GraftProcedures {
           .comment("audit table, as <namespace>.<name>").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
-        val (path, _) = catalog.resolveAuditTable(table)
+        val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
         val schema = StructType(Seq(
           StructField("kind", StringType, nullable = false),
           StructField("version", LongType, nullable = true),
@@ -1052,6 +1052,23 @@ private[sources] object GraftProcedures {
               (if (b.expiredThrough >= 0)
                 s", expired through ${b.expiredThrough}" else "")))
         }
+        // PARTITIONED tables: one row per partition directory (live files
+        // and rows from its manifest) plus its outstanding delete vectors
+        // — the epochs section above is shared (the partitioned streaming
+        // commit writes the same table-level `_EPOCHS` log)
+        val partRows: Seq[Array[Any]] =
+          partSpec.map(AuditPartition.parseSpec(_).col).toSeq.flatMap { c =>
+            AuditPartition.listDirs(path, c).flatMap { case (token, pdir) =>
+              val entries = AuditPartition.manifestEntries(pdir)
+              val dels = AuditDeletes.count(pdir.toString)
+              Seq(Array[Any]("partition", null, entries.size,
+                entries.map(_._2).sum - dels, str(s"$c=$token"))) ++
+                (if (dels > 0)
+                  Seq(Array[Any]("deletes", null, 0, dels,
+                    str(s"outstanding delete-vector entries in $c=$token")))
+                else Seq.empty)
+            }
+          }
         val delRows: Seq[Array[Any]] = {
           val n = AuditDeletes.count(path)
           if (n > 0)
@@ -1059,8 +1076,9 @@ private[sources] object GraftProcedures {
               str("outstanding delete-vector entries")))
           else Seq.empty
         }
-        rowsOf(schema, (epochRows ++ batchRows ++ baseRows ++ delRows)
-          .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
+        rowsOf(schema,
+          (epochRows ++ batchRows ++ baseRows ++ partRows ++ delRows)
+            .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
       }
     }
   }

@@ -253,7 +253,8 @@ final class AuditTable(path: String, writeSchema: StructType,
         .NoSuchPartitionException(name(), ident, partitionSchema())
     val entries = AuditPartition.manifestEntries(d)
     java.util.Map.of("files", entries.size.toString,
-      "rows", entries.map(_._2).sum.toString)
+      // live rows: manifest total − the dir's outstanding delete vectors
+      "rows", (entries.map(_._2).sum - AuditDeletes.count(d.toString)).toString)
   }
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
@@ -1260,6 +1261,17 @@ private[sources] object AuditScan {
   private val EpochRe = """\{"epoch":(-?\d+),.*""".r
   private val PartRe = """part-e(-?\d+)-\d+\.jsonl""".r
 
+  private val EpochRowsRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
+
+  /** epoch → committed rows, from the `_EPOCHS` log. */
+  def epochRowsByEpoch(path: String): Map[Long, Long] = {
+    val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
+    if (!java.nio.file.Files.exists(epochsFile)) return Map.empty
+    java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
+      case EpochRowsRe(e, r) => (e.toLong, r.toLong)
+    }.toMap
+  }
+
   /** Epochs recorded in `_EPOCHS`, ascending (the stream's offset axis). */
   def committedEpochs(path: String): Seq[Long] = {
     val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
@@ -1840,10 +1852,17 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
   }
 }
 
-/** Offset over the three append-only logs: epochs : batchFiles : deletes. */
-final case class AuditCdfOffset(e: Int, b: Int, d: Long)
+/** Offset over the three append-only logs: epochs : batchFiles : deletes
+  * (+ `r`, the exact row total under the consumed epoch lines and batch
+  * entries at consumption time — the in-place-rewrite detector: a
+  * retroactive metadata DELETE keeps the log LENGTHS but changes entry
+  * row counts, which length-only offsets cannot see. `r` = -1 marks a
+  * legacy checkpoint without the axis; the detector is skipped, all
+  * other accounting resumes exactly). */
+final case class AuditCdfOffset(e: Int, b: Int, d: Long, r: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"$e:$b:$d"
+  override def json(): String =
+    if (r < 0L) s"$e:$b:$d" else s"$e:$b:$d:$r"
 }
 
 final class AuditCdfStream(path: String, fullSchema: StructType)
@@ -1851,19 +1870,31 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
   import org.apache.spark.sql.connector.read._
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  /** Exact rows under the first `e` (sorted) epochs + first `b` manifest
+    * body lines. Folded tombstones carry their ORIGINAL rows and
+    * `_EPOCHS` survives OPTIMIZE/VACUUM untouched, so this prefix sum is
+    * constant across maintenance — only an in-place rewrite moves it. */
+  private def rowsUnder(e: Int, b: Int): Long = {
+    val byEpoch = AuditScan.epochRowsByEpoch(path)
+    AuditScan.committedEpochs(path).take(e).map(byEpoch.getOrElse(_, 0L)).sum +
+      AuditBase.readManifest(path).take(b).map(_.rows).sum
+  }
+
   // the batch axis counts ALL manifest body lines — folded tombstones
   // included — so offsets stay stable across OPTIMIZE's manifest fold
-  private def now(): AuditCdfOffset = AuditCdfOffset(
-    AuditScan.committedEpochs(path).size,
-    AuditBase.readManifest(path).size,
-    AuditDeletes.count(path))
-
-  override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L)
-  override def latestOffset(): Offset = now()
-  override def deserializeOffset(json: String): Offset = {
-    val Array(e, b, d) = json.trim.split(':')
-    AuditCdfOffset(e.toInt, b.toInt, d.toLong)
+  private def now(): AuditCdfOffset = {
+    val e = AuditScan.committedEpochs(path).size
+    val b = AuditBase.readManifest(path).size
+    AuditCdfOffset(e, b, AuditDeletes.count(path), rowsUnder(e, b))
   }
+
+  override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L, 0L)
+  override def latestOffset(): Offset = now()
+  override def deserializeOffset(json: String): Offset =
+    json.trim.split(':') match {
+      case Array(e, b, d)    => AuditCdfOffset(e.toInt, b.toInt, d.toLong)
+      case Array(e, b, d, r) => AuditCdfOffset(e.toInt, b.toInt, d.toLong, r.toLong)
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[AuditCdfOffset]
@@ -1878,6 +1909,12 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
       s"audit changeFeed: restored offset ${s.json()} exceeds the current " +
         s"logs (${epochs.size}:${batch.size}:${dels.size}) at $path — the " +
         "table was truncated or retroactively deleted; restart the feed")
+    // in-place-rewrite detector (see AuditCdfOffset.r)
+    if (s.r >= 0L)
+      require(rowsUnder(s.e, s.b) == s.r,
+        s"audit changeFeed: already-consumed commits at $path changed row " +
+          "counts (retroactive metadata DELETE rewrote published history " +
+          "in place); restart the feed from a fresh checkpoint")
     AuditCdf.partitionsFor(path,
       epochs.slice(s.e, en.e),
       batch.slice(s.b, en.b),

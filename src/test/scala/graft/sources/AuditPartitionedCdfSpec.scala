@@ -151,6 +151,35 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
     assert(seen.get() === 200L)
   }
 
+  test("bucket-partitioned delta DML: vectors, cross-bucket moves, history") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pcdf_bkt_")
+    val cat = "graft_pcdf_bkt"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.b (id BIGINT, name STRING, v BIGINT)
+         |USING audit PARTITIONED BY (bucket(4, name))""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.db.b
+         |SELECT id, concat('k', id), id * 10 FROM range(0, 100)""".stripMargin)
+    // delta UPDATE that changes the BUCKETING column: the row must move
+    // to its new hash bucket's directory via delete-vector + append
+    spark.sql(s"UPDATE $cat.db.b SET name = 'moved' WHERE id = 7")
+    spark.sql(s"DELETE FROM $cat.db.b WHERE id % 1000 IN (3, 4)")
+    assert(spark.table(s"$cat.db.b").count() === 98L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.b WHERE name = 'moved'")
+      .head.getLong(0) === 70L)
+    // bucket-pruned read finds the moved row in its NEW bucket
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.b WHERE name = 'k7'")
+      .head.getLong(0) === 0L)
+    // history on a PARTITIONED table: per-directory rows + vector counts
+    val hist = spark.sql(s"CALL $cat.system.history(table => 'db.b')")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(hist.exists(_._1 == "partition"), hist)
+    assert(hist.collect { case ("partition", n) => n }.sum === 98L, hist)
+    assert(hist.collect { case ("deletes", n) => n }.sum === 3L, hist)
+  }
+
   test("partitioned delta DML emits update/delete events; in-place rewrite detected") {
     val (cat, dataDir) = freshTable("dml")
     streamEpochs(cat, 2) // ids 0..199 across flag=0,1,2
