@@ -594,17 +594,23 @@ private[sources] object AuditMaintenance {
   def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
       partSpec: String, targetFileCount: Int,
       sortBy: Option[String],
-      colMap: Map[String, String] = Map.empty): (Int, Long, Long) =
+      colMap: Map[String, String] = Map.empty,
+      zorderBy: Seq[String] = Nil,
+      bloomBy: Seq[String] = Nil): (Int, Long, Long) =
     AuditMaintLock.withLease(path, "optimize") {
       optimizePartitionedLocked(spark, fullName, path, partSpec,
-        targetFileCount, sortBy, colMap)
+        targetFileCount, sortBy, colMap, zorderBy, bloomBy)
     }
 
   private def optimizePartitionedLocked(spark: SparkSession, fullName: String,
       path: String, partSpec: String, targetFileCount: Int,
       sortBy: Option[String],
-      colMap: Map[String, String]): (Int, Long, Long) = {
+      colMap: Map[String, String],
+      zorderBy: Seq[String],
+      bloomBy: Seq[String]): (Int, Long, Long) = {
     val spec = AuditPartition.parseSpec(partSpec)
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "audit OPTIMIZE: sort_by and zorder_by are mutually exclusive")
     val n =
       if (targetFileCount > 0) targetFileCount
       else spark.sparkContext.defaultParallelism
@@ -613,10 +619,55 @@ private[sources] object AuditMaintenance {
     // rewrite the payload keys out from under the colmap)
     var df = colMap.foldLeft(spark.table(fullName)) {
       case (d, (current, storage)) => d.withColumnRenamed(current, storage)
-    }.repartition(n, col(spec.col))
-    // sortBy arrives storage-named from the procedure — applied after
-    // the rename above, both spellings agree
-    sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
+    }
+    // sortBy/zorderBy arrive storage-named from the procedure — applied
+    // after the rename above, both spellings agree
+    if (zorderBy.nonEmpty) {
+      zorderBy.foreach { c =>
+        val f = df.schema.fields.find(_.name == c).getOrElse(throw
+          new IllegalArgumentException(
+            s"audit OPTIMIZE: zorder_by column $c not in table schema"))
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"audit OPTIMIZE: zorder_by needs integral columns, $c is " +
+            s"${f.dataType.simpleString}")
+      }
+      // WITHIN-DIRECTORY z-order: quantile bounds over the whole table
+      // (approximation only loosens file bounds, never answers), then
+      // range-cluster on (partition col, z-tile) so every directory
+      // splits into files covering tight axis-aligned blocks — the same
+      // two-pass design as the unpartitioned zorder, with the partition
+      // column as the leading range key so rows stay dir-clustered
+      val bits = 10
+      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
+      val bounds = asDouble.stat
+        .approxQuantile(asDouble.columns, probs, 0.001)
+        .map(_.map(_.toLong).distinct.sorted)
+      val zkey = org.apache.spark.sql.GraftSqlShim.column(graft.plans.ZOrderExpr(
+        zorderBy.map(c => org.apache.spark.sql.GraftSqlShim.expression(col(c))),
+        bounds.toSeq, bits))
+      val totalBits = zorderBy.length * bits
+      val tileBits = math.min(totalBits,
+        if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((n - 1).toLong))
+      df = df.withColumn("_zkey", zkey)
+        .withColumn("_ztile",
+          org.apache.spark.sql.functions.shiftrightunsigned(
+            col("_zkey"), totalBits - tileBits))
+        .repartitionByRange(n, col(spec.col), col("_ztile"))
+        .sortWithinPartitions(col(spec.col), col("_zkey"))
+        .drop("_zkey", "_ztile")
+    } else {
+      df = df.repartition(n, col(spec.col))
+      sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
+    }
+    // blooms survive partitioned maintenance too: any column bloomed in
+    // any directory's current stats stays bloomed, plus requested ones
+    val priorBloomed = AuditPartition.listDirs(path, spec.col)
+      .flatMap { case (_, pdir) => AuditStats.read(pdir.toString)
+        .valuesIterator.flatMap(_.blooms.keysIterator) }.toSet
+    val bloomCols = (priorBloomed ++ bloomBy).filter(c =>
+      df.schema.fields.exists(f =>
+        f.name == c && AuditBloom.bloomable(f.dataType)))
     val dir = java.nio.file.Paths.get(path)
     def hidden(tag: String) = dir.resolveSibling(
       "." + dir.getFileName.toString + s".$tag." +
@@ -625,6 +676,7 @@ private[sources] object AuditMaintenance {
     df.write.format(classOf[JsonAuditSink].getName)
       .option("path", stage.toString)
       .option("partitionby", spec.serialized)
+      .option("bloomcols", bloomCols.mkString(","))
       .mode("append").save()
     // test-only failure injection (-Dgraft.audit.maintFailPoint=after-stage):
     // dies AFTER the stage tree is fully written but BEFORE any rename —
@@ -981,13 +1033,10 @@ private[sources] object GraftProcedures {
         val bloomBySt = bloomBy.map(st)
         val (files, rows, through) = partSpec match {
           case Some(ps) =>
-            require(zorderBy.isEmpty && bloomBy.isEmpty,
-              "audit OPTIMIZE: zorder_by/bloom_by apply to unpartitioned " +
-                "tables (partitioned compaction clusters by the partition " +
-                "column)")
             AuditMaintenance.optimizePartitioned(
               org.apache.spark.sql.SparkSession.active,
-              s"${catalog.name()}.$table", path, ps, tfc, sortBySt, cm)
+              s"${catalog.name()}.$table", path, ps, tfc, sortBySt, cm,
+              zorderBySt, bloomBySt)
           case None => AuditMaintenance.optimize(
             org.apache.spark.sql.SparkSession.active, path, schema, tfc,
             sortBySt, zorderBySt, bloomBy = bloomBySt)

@@ -1008,6 +1008,54 @@ object CatalogApi {
       |GROUP BY 1
       |ORDER BY g""".stripMargin
 
+  /** PARTITIONED multi-dimensional clustering, oracle-checked: the same
+    * z-order rewrite as [[auditZorder]] on a PARTITIONED table —
+    * `CALL optimize(zorder_by, bloom_by)` range-clusters every
+    * `rflag=<token>` directory into z-tiled files (tight per-file bounds
+    * in BOTH dimensions, per-dir `_STATS` + blooms), and the final query
+    * combines partition pruning with zone-map file skipping inside the
+    * surviving directories. */
+  def auditPartZorder(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qpz_wh")
+    spark.conf.set("spark.sql.catalog.graft_qpz", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qpz.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li6")
+    spark.sql("DROP TABLE IF EXISTS graft_qpz.db.pzsales")
+    spark.sql(
+      """CREATE TABLE graft_qpz.db.pzsales (
+        |  okey BIGINT, pkey BIGINT, qty BIGINT, rflag STRING)
+        |USING audit PARTITIONED BY (rflag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qpz.db.pzsales
+        |SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT), l_returnflag
+        |FROM graft_cat_li6""".stripMargin)
+    spark.sql(
+      "CALL graft_qpz.system.optimize(table => 'db.pzsales', " +
+        "target_file_count => 12, zorder_by => 'okey,pkey', " +
+        "bloom_by => 'okey')")
+    spark.sql(
+      """SELECT rflag, okey % 10 AS g, count(*) AS n_rows,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       min(pkey) AS min_pkey, max(okey) AS max_okey
+        |FROM graft_qpz.db.pzsales
+        |WHERE rflag IN ('A', 'R')
+        |  AND okey >= 1000 AND okey < 3000 AND pkey >= 500 AND pkey < 1500
+        |GROUP BY rflag, okey % 10
+        |ORDER BY rflag, g""".stripMargin)
+  }
+
+  val auditPartZorderSql: String =
+    """SELECT l_returnflag AS rflag, l_orderkey % 10 AS g, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       min(l_partkey) AS min_pkey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_orderkey >= 1000 AND l_orderkey < 3000
+      |  AND l_partkey >= 500 AND l_partkey < 1500
+      |GROUP BY 1, 2
+      |ORDER BY rflag, g""".stripMargin
+
   /** Streaming ingestion into a PARTITIONED audit table, oracle-checked:
     * micro-batch epochs route rows into `flag=<token>` directories with
     * per-partition manifests (the spec asserts the layout, replay
@@ -1120,7 +1168,12 @@ object CatalogApi {
     * PARTITIONED audit table reconstructs the table as of streaming
     * epoch e — per-directory manifests carry the epoch-named files, so a
     * pinned read keeps only `part-e<=v` entries in every partition and
-    * excludes batch txn appends, exactly the unpartitioned semantics.
+    * excludes batch txn appends, exactly the unpartitioned semantics —
+    * including under DML: partitioned delta DML appends vectors and txn
+    * files without ever rewriting an epoch file, so pinned reads keep
+    * resolving pre-DML history; only the retroactive metadata DELETE
+    * (the compliance hard-delete, same contract on both layouts)
+    * rewrites history in place.
     * The result tags the pinned aggregate ('v1') beside the current one
     * ('cur'), so the oracle proves BOTH that history resolves and that
     * the un-pinned read still sees the post-pin batch INSERT. */
@@ -1916,6 +1969,7 @@ object CatalogApi {
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
       "q_audit_zorder" -> (auditZorder _),
+      "q_audit_part_zorder" -> (auditPartZorder _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
@@ -1938,6 +1992,7 @@ object CatalogApi {
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
       "q_audit_zorder" -> auditZorderSql,
+      "q_audit_part_zorder" -> auditPartZorderSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,

@@ -3003,7 +3003,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       } else partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
-            schema.fieldIndex(col), bucketN)
+            schema.fieldIndex(col), bucketN, bloomCols)
         case None => new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
       }
     override def toStreaming
@@ -3011,7 +3011,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       partInfo match {
         case Some((col, _)) =>
           new AuditPartitionedStreamingWrite(path, schema, col,
-            schema.fieldIndex(col), bucketN, queryId)
+            schema.fieldIndex(col), bucketN, queryId, bloomCols)
         case None =>
           new AuditStreamingWrite(path, schema, bloomCols, queryId)
       }
@@ -3293,7 +3293,8 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType,
   * ([[AuditPartitionedMicroBatchStream]]). */
 final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     col: String, partIdx: Int, bucketN: Option[Int] = None,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   // writer-unique staging subdir — see AuditStreamingWrite.stageSub
   private[sources] val stageSub = "sp-" + java.util.UUID.randomUUID.toString.take(12)
@@ -3301,7 +3302,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new AuditPartitionedStreamingWriterFactory(path, schema, partIdx, bucketN,
-      stageSub)
+      stageSub, bloomCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     queryId.foreach(AuditStreamLock.acquire(path, _)) // one live writer
@@ -3379,12 +3380,12 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
 
 final class AuditPartitionedStreamingWriterFactory(path: String,
     schema: StructType, partIdx: Int, bucketN: Option[Int],
-    stageSub: String = "")
+    stageSub: String = "", bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN, stageSub)
+      bucketN, stageSub, bloomCols)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long,
@@ -4045,11 +4046,12 @@ final class AuditDataWriter(path: String, schema: StructType,
 }
 
 final class AuditPartitionedWriterFactory(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int] = None, stageSub: String = "")
+    partIdx: Int, bucketN: Option[Int] = None, stageSub: String = "",
+    bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN, stageSub)
+      bucketN, stageSub, bloomCols)
 }
 
 final case class AuditPartCommitMessage(
@@ -4064,7 +4066,8 @@ final case class AuditPartCommitMessage(
   * just routes whatever rows reach it. */
 final class AuditPartitionedDataWriter(path: String, schema: StructType,
     partIdx: Int, partitionId: Int, taskId: Long,
-    bucketN: Option[Int] = None, stageSub: String = "")
+    bucketN: Option[Int] = None, stageSub: String = "",
+    bloomCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   // per-commit staging subdir — see AuditDataWriter.stageDir
   private val stageDir = {
@@ -4080,7 +4083,7 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
     val staged = f"stage-$partitionId%05d-$taskId-$token.jsonl"
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
-    (w, staged, Array(0L), new AuditStats.Acc(schema))
+    (w, staged, Array(0L), new AuditStats.Acc(schema, bloomCols))
   })
 
   override def write(record: InternalRow): Unit = {
@@ -4118,12 +4121,14 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   * unpartitioned write. */
 final class AuditPartitionedBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, col: String, partIdx: Int,
-    bucketN: Option[Int] = None) extends BatchWrite {
+    bucketN: Option[Int] = None,
+    bloomCols: Set[String] = Set.empty) extends BatchWrite {
   // commit-unique staging subdir — see AuditBatchWrite.stageSub
   private val stageSub = "p-" + java.util.UUID.randomUUID.toString.take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN, stageSub)
+    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN, stageSub,
+      bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)

@@ -675,11 +675,52 @@ class AuditMaintenanceSpec extends SparkSpec {
       dataDir("po1").resolve("flag=0").resolve(f0))
       .asScala.map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
     assert(ids.toSeq === ids.toSeq.sorted)
-    // zorder/bloom refusal on partitioned compaction
+    // sort_by and zorder_by stay mutually exclusive on either layout
     val ex = intercept[Exception](spark.sql(
       "CALL graft_m.system.optimize(table => 'db.po1', " +
-        "zorder_by => 'id')").collect())
-    assert(ex.getMessage.contains("unpartitioned"), ex.getMessage)
+        "sort_by => 'id', zorder_by => 'id')").collect())
+    assert(ex.getMessage.contains("mutually exclusive"), ex.getMessage)
+  }
+
+  test("partitioned OPTIMIZE zorder_by tiles files within dirs; bloom_by blooms them") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.po4")
+    spark.sql(
+      """CREATE TABLE graft_m.db.po4 (id BIGINT, v BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_m.db.po4
+        |SELECT id, (id * 37) % 1000, id % 2 FROM range(0, 2000)""".stripMargin)
+    val before = snap("SELECT id, v, flag FROM graft_m.db.po4 ORDER BY id")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.po4', " +
+      "target_file_count => 8, zorder_by => 'id,v', bloom_by => 'id')")
+      .collect()
+    assert(snap("SELECT id, v, flag FROM graft_m.db.po4 ORDER BY id") === before)
+    (0 to 1).foreach { t =>
+      val pdir = dataDir("po4").resolve(s"flag=$t")
+      val entries = AuditPartition.manifestEntries(pdir)
+      assert(entries.size >= 2,
+        s"flag=$t should hold multiple z-tiled files: $entries")
+      val stats = AuditStats.read(pdir.toString)
+      // every file carries bounds for BOTH z-ordered dimensions and an
+      // id bloom; z-tiling makes the per-file id ranges non-identical
+      assert(entries.forall(e => stats.get(e._1)
+        .exists(s => s.ints.contains("id") && s.ints.contains("v") &&
+          s.blooms.contains("id"))), stats.keySet)
+      val idBounds = entries.flatMap(e => stats(e._1).ints.get("id"))
+      assert(idBounds.distinct.size > 1,
+        s"z-tiled files should have distinct id ranges: $idBounds")
+    }
+    // a selective range predicate answers correctly through the zone maps
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_m.db.po4 WHERE id BETWEEN 100 AND 199")
+      .head.getLong(0) === 100L)
+    // and blooms survive a follow-up compaction without re-requesting
+    spark.sql("CALL graft_m.system.optimize(table => 'db.po4', " +
+      "target_file_count => 4)").collect()
+    val pdir0 = dataDir("po4").resolve("flag=0")
+    assert(AuditStats.read(pdir0.toString).values.exists(_.blooms.contains("id")),
+      "bloomed columns must survive partitioned maintenance")
   }
 
   test("partitioned OPTIMIZE stages beside the table; crash leftovers are safe") {
