@@ -1056,6 +1056,47 @@ object CatalogApi {
       |GROUP BY 1, 2
       |ORDER BY rflag, g""".stripMargin
 
+  /** RUNTIME partition pruning (DPP), oracle-checked: a date-partitioned
+    * fact joined to a small filtered dimension — the dimension's
+    * surviving keys are only known at execution, when Spark plants them
+    * into the audit scan as IN predicates over the partition column
+    * ([[AuditScan]]'s SupportsRuntimeFiltering) and whole directories
+    * drop before any file opens. The hash gate proves pruning never
+    * changes the join's answer. */
+  def auditDpp(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qdpp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qdpp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qdpp.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li7")
+    graft.Tables.nation(spark, d).createOrReplaceTempView("graft_cat_nat7")
+    spark.sql("DROP TABLE IF EXISTS graft_qdpp.db.fact")
+    spark.sql(
+      """CREATE TABLE graft_qdpp.db.fact (okey BIGINT, day BIGINT, qty BIGINT)
+        |USING audit PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qdpp.db.fact
+        |SELECT l_orderkey, l_orderkey % 10, CAST(l_quantity AS BIGINT)
+        |FROM graft_cat_li7""".stripMargin)
+    spark.sql(
+      """SELECT f.day, count(*) AS n_rows, CAST(sum(f.qty) AS BIGINT) AS sum_qty
+        |FROM graft_qdpp.db.fact f
+        |JOIN (SELECT DISTINCT n_nationkey % 10 AS day FROM graft_cat_nat7
+        |      WHERE n_regionkey = 1) dim
+        |  ON f.day = dim.day
+        |GROUP BY f.day
+        |ORDER BY f.day""".stripMargin)
+  }
+
+  val auditDppSql: String =
+    """SELECT l_orderkey % 10 AS day, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey % 10 IN (
+      |  SELECT DISTINCT n_nationkey % 10 FROM nation WHERE n_regionkey = 1)
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** Streaming ingestion into a PARTITIONED audit table, oracle-checked:
     * micro-batch epochs route rows into `flag=<token>` directories with
     * per-partition manifests (the spec asserts the layout, replay
@@ -1970,6 +2011,7 @@ object CatalogApi {
       "q_audit_optimize" -> (auditOptimize _),
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_part_zorder" -> (auditPartZorder _),
+      "q_audit_dpp" -> (auditDpp _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
@@ -1993,6 +2035,7 @@ object CatalogApi {
       "q_audit_optimize" -> auditOptimizeSql,
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_part_zorder" -> auditPartZorderSql,
+      "q_audit_dpp" -> auditDppSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,

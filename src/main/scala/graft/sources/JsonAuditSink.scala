@@ -936,8 +936,89 @@ final class AuditScan(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.read._
+
+  // --- RUNTIME partition pruning (DPP) --------------------------------
+  // A selective join against a partitioned audit table plants IN/=
+  // predicates over the partition column at EXECUTION time; directories
+  // outside the value set are dropped before a single file opens. At
+  // 100 TB this is the difference between "join reads one day" and
+  // "join reads the table" whenever the partition values only become
+  // known at runtime (dim-filtered joins, subquery results). Identity
+  // AND bucket layouts prune (values map to tokens through the same
+  // tokenFor the write router uses); null literals match no equi-join
+  // row, so dropping the null directory is correct.
+  private var runtimeTokens: Option[Set[String]] = None
+  private[sources] var runtimeFilterApi: Option[String] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partInfo match {
+      // the partition column is never renamed: current name == storage
+      case Some((col, _)) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(col))
+      case None => Array.empty
+    }
+
+  private def restrictRuntime(tokens: Set[String], api: String): Unit = {
+    runtimeTokens = Some(runtimeTokens.fold(tokens)(_ intersect tokens))
+    runtimeFilterApi = Some(api)
+  }
+
+  /** NATIVE V2 predicate path — Spark's DPP calls this overload; shapes
+    * the parser does not understand delegate to the v1 bridge below so
+    * the two paths can never disagree on what prunes. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    val col = partInfo.map(_._1).getOrElse(return)
+    def isPartRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(col)
+      case _                 => false
+    }
+    def litToken(e: Expression): Option[Option[String]] = e match {
+      // Some(None) = a null literal (matches nothing — contributes no
+      // token); None = not a literal (unparseable)
+      case l: Literal[_] =>
+        Some(Option(l.value).map(v => AuditPartition.tokenFor(v, bucketN)))
+      case _ => None
+    }
+    val unhandled = predicates.filterNot { p =>
+      (p.name, p.children().toSeq) match {
+        case ("IN", ref +: vals) if isPartRef(ref) && vals.nonEmpty =>
+          val toks = vals.map(litToken)
+          toks.forall(_.isDefined) && {
+            restrictRuntime(toks.flatMap(_.get).toSet, "v2-native")
+            true
+          }
+        case ("=", Seq(a, b)) if isPartRef(a) || isPartRef(b) =>
+          litToken(if (isPartRef(a)) b else a).exists { t =>
+            restrictRuntime(t.toSet, "v2-native")
+            true
+          }
+        case _ => false
+      }
+    }
+    if (unhandled.nonEmpty)
+      super.filter(unhandled) // default v1-converting bridge → below
+  }
+
+  /** v1 bridge fallback. Unparseable shapes prune nothing (safe). */
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val col = partInfo.map(_._1).getOrElse(return)
+    filters.foreach {
+      case EqualTo(c, v) if c == col && v != null =>
+        restrictRuntime(Set(AuditPartition.tokenFor(v, bucketN)), "v1")
+      case In(c, vs) if c == col =>
+        restrictRuntime(
+          vs.iterator.filter(_ != null)
+            .map(AuditPartition.tokenFor(_, bucketN)).toSet, "v1")
+      case _ => ()
+    }
+  }
 
   /** Planning-consistent statistics: `sizeInBytes` totals exactly the
     * files this scan will open — after partition pruning AND zone-map
@@ -1049,14 +1130,23 @@ final class AuditScan(path: String, writeSchema: StructType,
         s" partitionBy=$c dirs=${survivingDirs.map(_._1).mkString(",")}"
       }.getOrElse("")
 
-  /** Partition dirs surviving the pushed partition predicates (pinned once:
-    * outputPartitioning's numPartitions must equal planInputPartitions'
-    * length, so both must see one listing). */
-  private lazy val survivingDirs: Seq[(String, java.nio.file.Path)] =
+  /** Partition dirs surviving the STATICALLY pushed partition predicates
+    * (pinned once: outputPartitioning's numPartitions must equal
+    * planInputPartitions' length under one listing). */
+  private lazy val listedDirs: Seq[(String, java.nio.file.Path)] =
     partInfo.toSeq.flatMap { case (col, _) =>
       AuditPartition.listDirs(path, col)
         .filter { case (token, _) => allowedTokens.forall(_.contains(token)) &&
           !(excludeNull && token == AuditPartition.NullToken) }
+    }
+
+  /** …further narrowed by RUNTIME filters (applied at use time: Spark
+    * re-plans input partitions after calling `filter`, and re-groups the
+    * reported key-grouped partitioning over the survivors). */
+  private def survivingDirs: Seq[(String, java.nio.file.Path)] =
+    runtimeTokens match {
+      case Some(ts) => listedDirs.filter { case (tok, _) => ts.contains(tok) }
+      case None     => listedDirs
     }
 
   /** One InputPartition per partition DIRECTORY (all its manifest files),
