@@ -53,6 +53,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt in to CHECK constraint DDL (Spark gates the whole constraint
+    * surface on this catalog capability). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def metaFile(ident: Identifier): java.nio.file.Path =
     warehouse.resolve("_catalog")
       .resolve((ident.namespace() :+ ident.name()).mkString(".") + ".json")
@@ -104,6 +111,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCol = """"partcols":"([^"]+)"""".r.findFirstMatchIn(meta)
       .map(_.group(1))
     val colMap = GraftCatalog.parseColMap(meta)
+    val checks = GraftCatalog.parseChecks(meta)
     provider match {
       case "paged" =>
         require(version.isEmpty, "paged tables carry no version log")
@@ -111,10 +119,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
         new AuditTable(dataDir(ident).toString, schema, version, partCol,
-          colMap)
+          colMap, checks)
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
     }
+  }
+
+  /** CREATE TABLE with CHECK constraints (Spark 4 DSv2 constraints API):
+    * enforced CHECKs are stored in the table metadata and served back
+    * through [[AuditTable.constraints]], where Spark's analyzer injects
+    * write-time validation into every INSERT / streaming write / DML.
+    * PRIMARY KEY / UNIQUE / FOREIGN KEY are refused loudly — this format
+    * will not silently record an informational constraint it cannot
+    * enforce. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints().toSeq.map(GraftCatalog.asCheck)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val provider = Option(info.properties().get(TableCatalog.PROP_PROVIDER))
+      .getOrElse("audit").toLowerCase
+    require(checks.isEmpty || provider == "audit",
+      "graft catalog: only audit tables support CHECK constraints")
+    val partCol = GraftCatalog.identityPartCol(info.partitions(), info.schema())
+    require(partCol.isEmpty || provider == "audit",
+      "graft catalog: only audit tables can be partitioned")
+    java.nio.file.Files.createDirectories(dataDir(ident))
+    writeMeta(ident, provider, info.schema(), info.properties(), partCol,
+      checks = checks)
+    loadTable(ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -141,7 +175,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType, properties: JMap[String, String],
       partCol: Option[String] = None,
       colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil): Unit = {
+      retired: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Unit = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
     // property values are user input (OPTIONS / TBLPROPERTIES / COMMENT):
@@ -167,9 +202,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (retired.isEmpty) Seq.empty
       else Seq(s""""retired":[${retired.map(r =>
         s""""${GraftCatalog.escape(r)}"""").mkString(",")}]""")
+    // enforced CHECK constraints: (name, predicate SQL in CURRENT names)
+    val checksJson =
+      if (checks.isEmpty) Seq.empty
+      else Seq(s""""checks":[${checks.map { case (n, sql) =>
+        s"""{"name":"${GraftCatalog.escape(n)}","sql":"${GraftCatalog.escape(sql)}"}"""
+      }.mkString(",")}]""")
     val meta = (Seq(s""""provider":"$provider"""") ++
       partCol.map(c => s""""partcols":"$c"""") ++ props ++
-      mapJson ++ retiredJson ++
+      mapJson ++ retiredJson ++ checksJson ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
     java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
     // replicate the colmap into the data dir (`_COLMAP`) so the PATH
@@ -249,7 +290,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var props: Map[String, String] = GraftCatalog.parseProps(meta)
     var colMap: Map[String, String] = GraftCatalog.parseColMap(meta)
     var retired: Seq[String] = GraftCatalog.parseRetired(meta)
+    var checks: Seq[(String, String)] = GraftCatalog.parseChecks(meta)
     def storageOf(sc: StructType, c: String): String = colMap.getOrElse(c, c)
+    // a CHECK referencing a renamed/dropped column would break every
+    // subsequent write at analysis — refuse the DDL while referenced
+    // (conservative word match on the stored predicate SQL)
+    def requireNotChecked(what: String, c: String): Unit =
+      checks.find(_._2.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c)}\\b.*"))
+        .foreach { case (n, sql) => throw new IllegalArgumentException(
+          s"graft catalog: $what of column $c is blocked by CHECK " +
+            s"constraint $n ($sql) — DROP CONSTRAINT $n first") }
     // RENAME/DROP of NON-partition columns works on partitioned tables
     // too (the colmap is table-level metadata; per-directory files keep
     // their storage keys like any other file) — only the PARTITION column
@@ -282,6 +332,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames.length == 1,
           "graft catalog: nested RENAME COLUMN unsupported")
         requireNotPartitionCol("RENAME COLUMN", ren.fieldNames.head)
+        requireNotChecked("RENAME COLUMN", ren.fieldNames.head)
         val from = ren.fieldNames.head
         val to = ren.newName
         require(sc.fieldNames.contains(from),
@@ -297,6 +348,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "graft catalog: nested DROP COLUMN unsupported")
         requireNotPartitionCol("DROP COLUMN", del.fieldNames.head)
+        requireNotChecked("DROP COLUMN", del.fieldNames.head)
         val name = del.fieldNames.head
         if (!sc.fieldNames.contains(name)) {
           require(del.ifExists, s"graft catalog: no such column $name")
@@ -314,12 +366,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props += (set.property.toLowerCase -> set.value); sc
       case (sc, rm: TableChange.RemoveProperty) =>
         props -= rm.property.toLowerCase; sc
+      // ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): Spark validates
+      // the EXISTING rows before this call (ENFORCED semantics) and every
+      // later write revalidates through Table.constraints()
+      case (sc, add: TableChange.AddConstraint) =>
+        val (n, sql) = GraftCatalog.asCheck(add.constraint())
+        require(!checks.exists(_._1.equalsIgnoreCase(n)),
+          s"graft catalog: constraint $n already exists")
+        checks = checks :+ (n, sql)
+        sc
+      case (sc, drop: TableChange.DropConstraint) =>
+        val existed = checks.exists(_._1.equalsIgnoreCase(drop.name()))
+        require(existed || drop.ifExists(),
+          s"graft catalog: no such constraint ${drop.name()}")
+        checks = checks.filterNot(_._1.equalsIgnoreCase(drop.name()))
+        sc
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
     val jProps = new java.util.HashMap[String, String]
     props.foreach { case (k, v) => jProps.put(k, v) }
-    writeMeta(ident, provider, newSchema, jProps, partCol, colMap, retired)
+    writeMeta(ident, provider, newSchema, jProps, partCol, colMap, retired,
+      checks)
     loadTable(ident)
   }
 
@@ -497,6 +565,30 @@ object GraftCatalog {
   private val PropRe = """"prop_([a-z0-9_.-]+)":"((?:[^"\\]|\\.)*)"""".r
   private val PairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
   private val ColMapRe = """"colmap":\{((?:[^{}]*))\}""".r
+  private val ChecksRe = """"checks":\[(.*?)\](?=,")""".r
+  private val CheckEntryRe =
+    """\{"name":"((?:[^"\\]|\\.)*)","sql":"((?:[^"\\]|\\.)*)"\}""".r
+
+  /** (name, predicate SQL) pairs of the stored CHECK constraints. */
+  private[sources] def parseChecks(meta: String): Seq[(String, String)] =
+    ChecksRe.findFirstMatchIn(meta).toSeq.flatMap(m =>
+      CheckEntryRe.findAllMatchIn(m.group(1)).map(e =>
+        (unescape(e.group(1)), unescape(e.group(2)))).toSeq)
+
+  /** Accept only enforced CHECK constraints; anything else is refused
+    * loudly (an informational PK/FK/UNIQUE this engine cannot enforce
+    * must never be silently recorded). */
+  private[sources] def asCheck(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : (String, String) = c match {
+    case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      require(ck.predicateSql() != null && ck.predicateSql().nonEmpty,
+        s"graft catalog: CHECK constraint ${ck.name()} carries no predicate SQL")
+      (ck.name(), ck.predicateSql())
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog: only CHECK constraints are supported (cannot " +
+        s"enforce ${other.toDDL()})")
+  }
   private val RetiredRe = """"retired":\[((?:[^\]]*))\]""".r
   private val StrRe = """"((?:[^"\\]|\\.)*)"""".r
 
@@ -1055,6 +1147,73 @@ object CatalogApi {
       |  AND l_partkey >= 500 AND l_partkey < 1500
       |GROUP BY 1, 2
       |ORDER BY rflag, g""".stripMargin
+
+  /** Enforced CHECK constraints, oracle-checked: a constrained table
+    * accepts conforming writes, REJECTS a violating batch INSERT and a
+    * violating delta UPDATE (both loudly, with nothing published — the
+    * staged two-phase commit aborts clean), keeps enforcing through a
+    * partitioned layout, and the final state equals the conforming
+    * writes alone. ALTER-time validation is covered too: adding a
+    * constraint the existing rows violate fails, after a cleanup DELETE
+    * it sticks. */
+  def catalogCheck(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qchk_wh")
+    spark.conf.set("spark.sql.catalog.graft_qchk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qchk.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li8")
+    spark.sql("DROP TABLE IF EXISTS graft_qchk.db.ck")
+    spark.sql(
+      """CREATE TABLE graft_qchk.db.ck (
+        |  okey BIGINT, qty BIGINT, flag STRING,
+        |  CONSTRAINT qty_pos CHECK (qty > 0))
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qchk.db.ck
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+        |FROM graft_cat_li8 WHERE l_orderkey <= 1000""".stripMargin)
+    // a violating batch must be rejected WHOLE — nothing publishes
+    val rejected =
+      try {
+        spark.sql(
+          """INSERT INTO graft_qchk.db.ck
+            |SELECT l_orderkey, CAST(l_quantity AS BIGINT) - 100, l_returnflag
+            |FROM graft_cat_li8 WHERE l_orderkey <= 200""".stripMargin)
+        false
+      } catch { case _: Throwable => true }
+    require(rejected, "audit CHECK: violating INSERT must be rejected")
+    // a violating delta UPDATE is rejected the same way
+    val rejectedDml =
+      try {
+        spark.sql("UPDATE graft_qchk.db.ck SET qty = -1 WHERE okey % 7 = 0")
+        false
+      } catch { case _: Throwable => true }
+    require(rejectedDml, "audit CHECK: violating UPDATE must be rejected")
+    // ALTER-time validation: existing rows have qty <= 60, so CHECK
+    // (qty < 50) must fail; after deleting the offenders it sticks and
+    // keeps enforcing
+    val rejectedAlter =
+      try {
+        spark.sql("ALTER TABLE graft_qchk.db.ck " +
+          "ADD CONSTRAINT qty_small CHECK (qty < 50)")
+        false
+      } catch { case _: Throwable => true }
+    require(rejectedAlter, "audit CHECK: ADD CONSTRAINT over violating rows")
+    spark.sql("DELETE FROM graft_qchk.db.ck WHERE qty % 1000 >= 50")
+    spark.sql("ALTER TABLE graft_qchk.db.ck " +
+      "ADD CONSTRAINT qty_small CHECK (qty < 50)")
+    spark.sql(
+      """SELECT flag, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM graft_qchk.db.ck
+        |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  val catalogCheckSql: String =
+    """SELECT l_returnflag AS flag, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 1000 AND CAST(l_quantity AS BIGINT) < 50
+      |GROUP BY 1 ORDER BY flag""".stripMargin
 
   /** RUNTIME partition pruning (DPP), oracle-checked: a date-partitioned
     * fact joined to a small filtered dimension — the dimension's
@@ -2012,6 +2171,7 @@ object CatalogApi {
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_part_zorder" -> (auditPartZorder _),
       "q_audit_dpp" -> (auditDpp _),
+      "q_catalog_check" -> (catalogCheck _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
@@ -2036,6 +2196,7 @@ object CatalogApi {
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_part_zorder" -> auditPartZorderSql,
       "q_audit_dpp" -> auditDppSql,
+      "q_catalog_check" -> catalogCheckSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,

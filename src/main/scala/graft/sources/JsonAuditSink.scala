@@ -164,7 +164,9 @@ private[sources] object AuditPartition {
 
 final class AuditTable(path: String, writeSchema: StructType,
     pinnedVersion: Option[Long] = None, partCol: Option[String] = None,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    // enforced CHECK constraints: (name, predicate SQL in CURRENT names)
+    checks: Seq[(String, String)] = Nil)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -276,6 +278,22 @@ final class AuditTable(path: String, writeSchema: StructType,
   }
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = writeSchema
+
+  /** Enforced CHECK constraints (Spark 4 DSv2 constraints): served back
+    * to the analyzer, which injects row validation into every INSERT,
+    * streaming write, and DML against this table — a violating row fails
+    * the write LOUDLY before anything publishes (the staged two-phase
+    * commit aborts clean). Enforcement happens ABOVE the connector in
+    * CURRENT column names, so it composes with the rename map for free. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def partitioning(): Array[Transform] =
     partSpec.toArray.map {
       case AuditPartition.Spec(c, Some(n)) =>
