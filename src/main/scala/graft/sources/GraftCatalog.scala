@@ -53,12 +53,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  /** Opt in to CHECK constraint DDL (Spark gates the whole constraint
-    * surface on this catalog capability). */
+  /** Opt in to CHECK constraint DDL and column DEFAULT values (Spark
+    * gates both surfaces on catalog capabilities). Defaults ride the
+    * schema's field metadata (CURRENT_DEFAULT / EXISTS_DEFAULT), which
+    * this catalog round-trips verbatim through the stored schema json;
+    * the audit readers apply existence defaults to rows written before
+    * the column was added. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def metaFile(ident: Identifier): java.nio.file.Path =
     warehouse.resolve("_catalog")
@@ -313,8 +320,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (sc, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: nested ADD COLUMN unsupported")
-        require(add.isNullable,
-          "graft catalog: added columns must be nullable (existing rows have no value)")
+        require(add.isNullable || add.defaultValue() != null,
+          "graft catalog: added columns must be nullable or carry a " +
+            "DEFAULT (existing rows have no value)")
         val name = add.fieldNames.head
         require(!sc.fieldNames.contains(name),
           s"graft catalog: column $name already exists")
@@ -326,8 +334,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .dropWhile(used.contains).next()
           colMap += (name -> fresh)
         }
+        // ADD COLUMN ... DEFAULT v: both the current default (applied by
+        // Spark to later INSERTs that omit the column) and the existence
+        // default (applied by the readers to rows that PREDATE the
+        // column) ride the field metadata, Spark's own convention
+        val meta = Option(add.defaultValue()).map { dv =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql)
+            .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .EXISTS_DEFAULT_COLUMN_METADATA_KEY, dv.getSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         sc.add(org.apache.spark.sql.types.StructField(
-          name, add.dataType, nullable = true))
+          name, add.dataType, nullable = add.isNullable, metadata = meta))
       case (sc, ren: TableChange.RenameColumn) =>
         require(ren.fieldNames.length == 1,
           "graft catalog: nested RENAME COLUMN unsupported")
@@ -362,6 +382,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           colMap -= name
           StructType(sc.fields.filterNot(_.name == name))
         }
+      // ALTER COLUMN ... SET/DROP DEFAULT: changes the CURRENT default
+      // only (what future INSERTs fill in); the existence default —
+      // what pre-column rows read — is immutable history
+      case (sc, upd: TableChange.UpdateColumnDefaultValue) =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: nested ALTER COLUMN unsupported")
+        val name = upd.fieldNames.head
+        require(sc.fieldNames.contains(name),
+          s"graft catalog: no such column $name")
+        StructType(sc.fields.map { fl =>
+          if (fl.name != name) fl
+          else {
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(fl.metadata)
+            val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+            Option(upd.newCurrentDefault()) match {
+              case Some(dv) => b.putString(key, dv.getSql)
+              case None     => b.remove(key)
+            }
+            fl.copy(metadata = b.build())
+          }
+        })
       case (sc, set: TableChange.SetProperty) =>
         props += (set.property.toLowerCase -> set.value); sc
       case (sc, rm: TableChange.RemoveProperty) =>
@@ -1214,6 +1257,63 @@ object CatalogApi {
       |FROM lineitem
       |WHERE l_orderkey <= 1000 AND CAST(l_quantity AS BIGINT) < 50
       |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  /** Column DEFAULT values, oracle-checked: CREATE-time defaults fill
+    * omitted INSERT columns, ADD COLUMN ... DEFAULT backfills rows that
+    * predate the column with the EXISTENCE default on read (no data
+    * rewrite — the readers fill absence), ALTER COLUMN SET DEFAULT
+    * changes future INSERTs only, and predicates/DML evaluate against
+    * the backfilled values. The oracle restates the vintage walk. */
+  def catalogDefault(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qdf_wh")
+    spark.conf.set("spark.sql.catalog.graft_qdf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qdf.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li9")
+    spark.sql("DROP TABLE IF EXISTS graft_qdf.db.df")
+    spark.sql(
+      """CREATE TABLE graft_qdf.db.df (
+        |  okey BIGINT, qty BIGINT DEFAULT 1)
+        |USING audit""".stripMargin)
+    // vintage 1: qty omitted → CREATE-time default 1
+    spark.sql(
+      """INSERT INTO graft_qdf.db.df (okey)
+        |SELECT l_orderkey FROM graft_cat_li9 WHERE l_orderkey <= 400""".stripMargin)
+    // vintage 2: a column added WITH a default — every vintage-1 row
+    // backfills src=10 on read; later inserts default to 20 after the
+    // SET DEFAULT
+    spark.sql("ALTER TABLE graft_qdf.db.df ADD COLUMN src BIGINT DEFAULT 10")
+    spark.sql("ALTER TABLE graft_qdf.db.df ALTER COLUMN src SET DEFAULT 20")
+    spark.sql(
+      """INSERT INTO graft_qdf.db.df (okey, qty)
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT)
+        |FROM graft_cat_li9
+        |WHERE l_orderkey > 400 AND l_orderkey <= 800""".stripMargin)
+    // DML filters evaluate against the backfill: kill part of vintage 1
+    spark.sql("DELETE FROM graft_qdf.db.df WHERE src = 10 AND okey % 4 = 1")
+    spark.sql(
+      """SELECT src, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       CAST(sum(okey) AS BIGINT) AS sum_okey
+        |FROM graft_qdf.db.df
+        |GROUP BY src ORDER BY src""".stripMargin)
+  }
+
+  val catalogDefaultSql: String =
+    """WITH v1 AS (
+      |  SELECT l_orderkey AS okey, CAST(1 AS BIGINT) AS qty,
+      |         CAST(10 AS BIGINT) AS src
+      |  FROM lineitem WHERE l_orderkey <= 400
+      |), v2 AS (
+      |  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(20 AS BIGINT) AS src
+      |  FROM lineitem WHERE l_orderkey > 400 AND l_orderkey <= 800
+      |), kept AS (
+      |  SELECT * FROM v1 WHERE NOT (okey % 4 = 1)
+      |  UNION ALL SELECT * FROM v2
+      |)
+      |SELECT src, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |       CAST(sum(okey) AS BIGINT) AS sum_okey
+      |FROM kept GROUP BY src ORDER BY src""".stripMargin
 
   /** RUNTIME partition pruning (DPP), oracle-checked: a date-partitioned
     * fact joined to a small filtered dimension — the dimension's
@@ -2172,6 +2272,7 @@ object CatalogApi {
       "q_audit_part_zorder" -> (auditPartZorder _),
       "q_audit_dpp" -> (auditDpp _),
       "q_catalog_check" -> (catalogCheck _),
+      "q_catalog_default" -> (catalogDefault _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
@@ -2197,6 +2298,7 @@ object CatalogApi {
       "q_audit_part_zorder" -> auditPartZorderSql,
       "q_audit_dpp" -> auditDppSql,
       "q_catalog_check" -> catalogCheckSql,
+      "q_catalog_default" -> catalogDefaultSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,

@@ -656,7 +656,12 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
         val storageName =
           nameMap.getOrElse(r.fieldNames.head, r.fieldNames.head)
         writeSchema.find(f => f.name == storageName &&
-          AuditStats.statable(f.dataType))
+          AuditStats.statable(f.dataType) &&
+          // a column with an existence default has VALUES the write-time
+          // stats never saw (rows predating the column) — its zone-map
+          // bounds cannot answer min/max exactly
+          !f.metadata.contains(org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
       case _ => None
     }
     val specs = aggregation.aggregateExpressions.toSeq.map {
@@ -1196,13 +1201,19 @@ final class AuditScan(path: String, writeSchema: StructType,
     * the pushed conjuncts is dropped from planning without being opened
     * (the conjuncts stay residual, so a skip can never change answers). */
   private lazy val fileStats = AuditStats.read(path)
+  // columns with an EXISTENCE DEFAULT are excluded: for them, "no stats
+  // line entry" means "rows predate the column and hold the default",
+  // NOT "all null" — the all-null refutation would wrongly skip files
+  private def noExistsDefault(f: StructField): Boolean =
+    !f.metadata.contains(org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
   private lazy val statableCols: Set[String] =
     writeSchema.fields.collect {
-      case f if AuditStats.statable(f.dataType) => f.name
+      case f if AuditStats.statable(f.dataType) && noExistsDefault(f) => f.name
     }.toSet
   private lazy val strCols: Set[String] =
     writeSchema.fields.collect {
-      case f if AuditStats.strStatable(f.dataType) => f.name
+      case f if AuditStats.strStatable(f.dataType) && noExistsDefault(f) => f.name
     }.toSet
   private def skippable(f: String): Boolean =
     skipFilters.nonEmpty &&
@@ -1858,6 +1869,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       case f if f.name == "_pos"          => -4
       case f => dataSchema.fieldIndex(f.name)
     }
+    val absent = AuditJson.absentFill(dataSchema)
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val all = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
@@ -1872,7 +1884,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
         if (!lines.hasNext) false
         else {
           val (pos, line) = lines.next()
-          val full = AuditJson.parseLine(line, dataSchema)
+          val full = AuditJson.parseLine(line, dataSchema, absent)
           val vals = new Array[Any](srcIdx.length)
           var i = 0
           while (i < srcIdx.length) {
@@ -1902,6 +1914,10 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
   private def baseReader(p: AuditCdfBasePartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val baseSchema = AuditBase.baseSchema(dataSchema)
+    val absent: Array[Any] = AuditJson.absentFill(dataSchema) match {
+      case null => null
+      case a    => a ++ Array[Any](null, null, null)
+    }
     val n = dataSchema.length
     val insertTag = org.apache.spark.unsafe.types.UTF8String.fromString("insert")
     val deleteTag = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
@@ -1940,7 +1956,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       }
       override def next(): Boolean = {
         while (pending.isEmpty && it.hasNext) {
-          val full = AuditJson.parseLine(it.next(), baseSchema)
+          val full = AuditJson.parseLine(it.next(), baseSchema, absent)
           val oe: java.lang.Long =
             if (full.isNullAt(n)) null else Long.box(full.getLong(n))
           val of = full.getUTF8String(n + 1)
@@ -2062,6 +2078,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       case f if f.name == "_pos"   => -3
       case f => writeSchema.fieldIndex(f.name)
     }
+    val absent = AuditJson.absentFill(writeSchema)
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val fileIt = files.iterator
       private var lines: java.util.stream.Stream[String] = _
@@ -2096,7 +2113,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
           line = it.next()
           pos += 1
         } while (deleted.contains(pos)) // vector-deleted rows never surface
-        val full = AuditJson.parseLine(line, writeSchema)
+        val full = AuditJson.parseLine(line, writeSchema, absent)
         val vals = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {
@@ -2134,6 +2151,13 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       case f if f.name == "_pos"   => -3
       case f => writeSchema.fieldIndex(f.name)
     }
+    // columns added AFTER compaction are absent from base lines too —
+    // but never the trailing origin fields, which compaction always
+    // materializes (keys absent mid-line parse correctly either way)
+    val absent: Array[Any] = AuditJson.absentFill(writeSchema) match {
+      case null => null
+      case a    => a ++ Array[Any](null, null, null)
+    }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val lines = java.nio.file.Files.lines(
         java.nio.file.Paths.get(p.file), java.nio.charset.StandardCharsets.UTF_8)
@@ -2144,7 +2168,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
         if (emitted >= rowCap) return false
         emitted += 1
         while (it.hasNext) {
-          val full = AuditJson.parseLine(it.next(), baseSchema)
+          val full = AuditJson.parseLine(it.next(), baseSchema, absent)
           val oe: java.lang.Long =
             if (full.isNullAt(n)) null else Long.box(full.getLong(n))
           val of = full.getUTF8String(n + 1)
@@ -2827,8 +2851,11 @@ private[sources] object AuditDelete {
     // filter-matched nor vector-deleted rows — then clear the vector file,
     // since compaction shifted every surviving position.
     val rootVectors = AuditDeletes.read(path)
+    // rows predating an ADD COLUMN ... DEFAULT evaluate the delete
+    // predicate against their existence default, matching the read path
+    val absent = AuditJson.absentFill(schema)
     def keep(line: String): Boolean = {
-      val row = AuditJson.parseLine(line, schema)
+      val row = AuditJson.parseLine(line, schema, absent)
       val byName: String => Any = { name =>
         val i = schema.fieldIndex(name)
         if (row.isNullAt(i)) null
@@ -2943,7 +2970,21 @@ private[sources] object AuditDelete {
   * general JSON parser. Timestamps parse straight into the long micros
   * InternalRow representation. */
 private[sources] object AuditJson {
-  def parseLine(line: String, schema: StructType): InternalRow = {
+  /** Existence-default fill values for fields ABSENT from a line (rows
+    * written before the field's ADD COLUMN ... DEFAULT): InternalRow-
+    * representation values per field, or null when the schema carries no
+    * existence defaults (the common case — zero overhead). An explicitly
+    * stored `"f":null` stays null; only ABSENCE fills the default. */
+  def absentFill(schema: StructType): Array[Any] =
+    if (org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .hasExistenceDefaultValues(schema))
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .existenceDefaultValues(schema).asInstanceOf[Array[Any]]
+    else null
+
+  def parseLine(line: String, schema: StructType,
+      absent: Array[Any] = null): InternalRow = {
+    def fillAbsent(f: Int): Any = if (absent == null) null else absent(f)
     val vals = new Array[Any](schema.length)
     var i = 0 // char cursor
     def expect(c: Char): Unit = {
@@ -2955,9 +2996,10 @@ private[sources] object AuditJson {
     var f = 0
     while (f < schema.length) {
       // schema evolution: a line written under an OLDER schema ends early —
-      // every remaining (added) column reads as null
+      // every remaining (added) column reads its existence default (null
+      // without one)
       if (i < line.length && line.charAt(i) == '}') {
-        while (f < schema.length) { vals(f) = null; f += 1 }
+        while (f < schema.length) { vals(f) = fillAbsent(f); f += 1 }
       } else {
       if (f > 0) expect(',')
       expect('"')
@@ -2970,11 +3012,21 @@ private[sources] object AuditJson {
       // field post-dates this line (null-fill via the loop head).
       var key = line.substring(i, nameEnd)
       while (key != schema(f).name) {
-        // a key that IS a schema field arriving at the wrong position is
-        // corruption (the sink writes in schema order) — stay loud; only
-        // keys unknown to the schema are dropped-vintage skips
-        require(!schema.fieldNames.contains(key),
-          s"audit jsonl: field ${schema(f).name} out of order in $line")
+        // a key that IS a schema field can only legally arrive AHEAD of
+        // the cursor: the line predates columns added between f and that
+        // key (e.g. a base line's origin fields after a post-compaction
+        // ADD COLUMN) — the skipped-over fields are absent and fill
+        // their existence default. A key BEHIND the cursor is corruption
+        // (the sink writes in schema order) — stay loud.
+        val g = schema.fieldNames.indexOf(key)
+        if (g >= 0) {
+          require(g > f,
+            s"audit jsonl: field ${schema(f).name} out of order in $line")
+          while (f < g) { vals(f) = fillAbsent(f); f += 1 }
+        }
+        if (key == schema(f).name) {
+          // jumped to the key's position — parse its value normally
+        } else {
         i = nameEnd + 1
         require(i < line.length && line.charAt(i) == ':',
           s"audit jsonl: expected ':' at $i in $line")
@@ -2994,9 +3046,10 @@ private[sources] object AuditJson {
           i = if (end0 < 0) line.length else end0
         }
         if (i < line.length && line.charAt(i) == '}') {
-          // dropped key was the last: remaining schema fields are null
+          // dropped key was the last: remaining schema fields post-date
+          // this line — existence default (null without one)
           var g = f
-          while (g < schema.length) { vals(g) = null; g += 1 }
+          while (g < schema.length) { vals(g) = fillAbsent(g); g += 1 }
           return new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(vals)
         }
@@ -3004,6 +3057,7 @@ private[sources] object AuditJson {
         expect('"')
         nameEnd = line.indexOf('"', i)
         key = line.substring(i, nameEnd)
+        }
       }
       i = nameEnd + 1
       expect(':')

@@ -77,12 +77,20 @@ class AuditJsonPropSpec extends AnyFunSuite {
     }
   }
 
-  test("parser rejects out-of-order and misnamed fields loudly") {
+  test("parser rejects out-of-order fields loudly; vintage gaps fill forward") {
+    // a known field arriving BEHIND the cursor is corruption (the sink
+    // writes in schema order) — loud
     intercept[IllegalArgumentException] {
       AuditJson.parseLine("""{"msg":"a","id":1,"score":1.0,"flag":true}""", schema)
     }
-    intercept[IllegalArgumentException] {
-      AuditJson.parseLine("""{"idx":1,"msg":"a","score":1.0,"flag":true}""", schema)
-    }
+    // a known field arriving AHEAD of the cursor is a VINTAGE line that
+    // predates the skipped columns (e.g. a base line's origin fields
+    // after a post-compaction ADD COLUMN): the gap fills null (or the
+    // existence default), and parsing continues at the jumped-to field
+    val jumped = AuditJson.parseLine(
+      """{"idx":1,"msg":"a","score":1.0,"flag":true}""", schema)
+    assert(jumped.isNullAt(0)) // id absent from this vintage
+    assert(jumped.getUTF8String(1).toString === "a")
+    assert(jumped.getBoolean(3) === true)
   }
 }
