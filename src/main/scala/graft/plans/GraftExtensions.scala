@@ -59,8 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer belongs to (see MvRewriteRule's registry)
     ext.injectOptimizerRule(session => new MvRewriteRule(session))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
+    // view DDL rewrites at PARSE time (ResolveSessionCatalog would refuse
+    // it in the same analyzer pass that resolves the identifier), chained
+    // around the as-of parser; SELECT-through-view resolves lazily below
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftViewSqlParser(session, new AsOfSqlParser(delegate)))
     ext.injectResolutionRule(_ => AsOfJoinResolutionRule)
+    ext.injectResolutionRule(session => graft.sources.GraftViewRules(session))
     ext.injectFunction(GraftExtensions.chunkTokensDescriptor)
     ext.injectFunction(GraftExtensions.argminRowDescriptor)
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)

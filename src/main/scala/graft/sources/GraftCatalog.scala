@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own catalog plugin API, zero external services.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with GraftStagingSupport with ProcedureCatalog with FunctionCatalog {
+    with GraftStagingSupport with ProcedureCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
 
@@ -145,6 +146,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
+    require(!viewExists(ident),
+      s"graft catalog: a VIEW named $ident already exists")
     val provider = Option(info.properties().get(TableCatalog.PROP_PROVIDER))
       .getOrElse("audit").toLowerCase
     require(checks.isEmpty || provider == "audit",
@@ -163,6 +166,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
+    require(!viewExists(ident),
+      s"graft catalog: a VIEW named $ident already exists")
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
       .getOrElse("audit").toLowerCase
     require(provider == "audit" || provider == "paged",
@@ -449,6 +454,139 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     existed
   }
 
+  // --- ViewCatalog ---------------------------------------------------------
+  // SQL views (CREATE/ALTER/DROP/SHOW VIEWS, SELECT through them): the
+  // definition — query text, the catalog+namespace it resolves in, the
+  // analysis-time schema, column aliases/comments, properties — persists
+  // as a sidecar `.view` file beside the table metadata. Spark re-parses
+  // the stored SQL against the stored resolution context at read time
+  // (the standard lazy-view contract).
+
+  private def viewFile(ident: Identifier): java.nio.file.Path =
+    warehouse.resolve("_catalog")
+      .resolve((ident.namespace() :+ ident.name()).mkString(".") + ".view")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val prefix = ns.mkString(".") + (if (ns.nonEmpty) "." else "")
+    val listing = java.nio.file.Files.list(warehouse.resolve("_catalog"))
+    try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".view") && f.startsWith(prefix) &&
+        !f.stripPrefix(prefix).stripSuffix(".view").contains("."))
+      .map(f => Identifier.of(ns, f.stripPrefix(prefix).stripSuffix(".view")))
+      .toArray
+    finally listing.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val f = viewFile(ident)
+    if (!java.nio.file.Files.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val lines = java.nio.file.Files.readAllLines(f).asScala.toSeq
+    def vals(tag: String): Seq[String] = lines.collect {
+      case l if l.startsWith(tag + "\t") =>
+        GraftCatalog.unescape(l.substring(tag.length + 1))
+    }
+    def one(tag: String): String = vals(tag).headOption.getOrElse(
+      throw new IllegalStateException(s"graft view ${ident}: missing $tag"))
+    val comments: Seq[String] = lines.collect {
+      case l if l.startsWith("comment\t") => l.substring(8)
+    }.map {
+      case "-" => null
+      case s   => GraftCatalog.unescape(s.stripPrefix("+"))
+    }
+    val props = lines.collect {
+      case l if l.startsWith("prop\t") =>
+        val rest = l.substring(5)
+        val cut = rest.indexOf('\t')
+        (GraftCatalog.unescape(rest.substring(0, cut)),
+          GraftCatalog.unescape(rest.substring(cut + 1)))
+    }.toMap
+    GraftView(
+      viewName = (ident.namespace() :+ ident.name()).mkString("."),
+      sql = one("sql"),
+      catalog = one("catalog"),
+      namespace = vals("ns").toArray,
+      viewSchema = org.apache.spark.sql.types.DataType
+        .fromJson(one("schema")).asInstanceOf[StructType],
+      qcols = vals("qcol").toArray,
+      aliases = vals("alias").toArray,
+      comments = comments.toArray,
+      props = props)
+  }
+
+  private def writeView(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      props: Map[String, String]): Unit = {
+    def esc(s: String) = GraftCatalog.escape(s)
+    val body =
+      Seq("graft-view\t1", s"sql\t${esc(info.sql())}",
+        s"catalog\t${esc(info.currentCatalog())}") ++
+        info.currentNamespace().toSeq.map(n => s"ns\t${esc(n)}") ++
+        Option(info.queryColumnNames()).toSeq.flatten.map(c => s"qcol\t${esc(c)}") ++
+        Option(info.columnAliases()).toSeq.flatten.map(a => s"alias\t${esc(a)}") ++
+        Option(info.columnComments()).toSeq.flatten.map {
+          case null => "comment\t-"
+          case c    => s"comment\t+${esc(c)}"
+        } ++
+        props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"prop\t${esc(k)}\t${esc(v)}" } ++
+        Seq(s"schema\t${esc(info.schema().json)}")
+    java.nio.file.Files.write(viewFile(ident),
+      body.mkString("\n").getBytes("UTF-8"))
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    require(!tableExists(ident),
+      s"graft catalog: a TABLE named $ident already exists")
+    writeView(ident, info, info.properties().asScala.toMap)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    val props = changes.foldLeft(v.props) {
+      case (p, set: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty) =>
+        p + (set.property() -> set.value())
+      case (p, rm: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty) =>
+        p - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported view change $other")
+    }
+    writeView(ident,
+      new org.apache.spark.sql.connector.catalog.ViewInfo(ident, v.sql,
+        v.catalog, v.namespace, v.viewSchema, v.qcols, v.aliases, v.comments,
+        props.asJava),
+      props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(viewFile(oldIdent), viewFile(newIdent),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME unsupported")
 
@@ -565,6 +703,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft maintenance: $name is not an audit table (${other.name()})")
     }
   }
+}
+
+/** A stored SQL view served back to Spark's view resolution. */
+final case class GraftView(viewName: String, sql: String, catalog: String,
+    namespace: Array[String], viewSchema: StructType, qcols: Array[String],
+    aliases: Array[String], comments: Array[String],
+    props: Map[String, String])
+    extends org.apache.spark.sql.connector.catalog.View {
+  import scala.jdk.CollectionConverters._
+  override def name(): String = viewName
+  override def query(): String = sql
+  override def currentCatalog(): String = catalog
+  override def currentNamespace(): Array[String] = namespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = qcols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): java.util.Map[String, String] = props.asJava
 }
 
 object GraftCatalog {
@@ -1257,6 +1413,54 @@ object CatalogApi {
       |FROM lineitem
       |WHERE l_orderkey <= 1000 AND CAST(l_quantity AS BIGINT) < 50
       |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  /** SQL VIEWS through the catalog, oracle-checked: a view over a
+    * partitioned audit table resolves LAZILY (rows appended after CREATE
+    * VIEW are visible through it), applies its declared column aliases,
+    * and composes with views-over-views. The oracle restates the final
+    * aggregate from the base data. */
+  def catalogView(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qvw_wh")
+    spark.conf.set("spark.sql.catalog.graft_qvw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qvw.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li10")
+    spark.sql("DROP VIEW IF EXISTS graft_qvw.db.flagged")
+    spark.sql("DROP VIEW IF EXISTS graft_qvw.db.base")
+    spark.sql("DROP TABLE IF EXISTS graft_qvw.db.sales")
+    spark.sql(
+      """CREATE TABLE graft_qvw.db.sales (okey BIGINT, qty BIGINT, rflag STRING)
+        |USING audit PARTITIONED BY (rflag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qvw.db.sales
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+        |FROM graft_cat_li10 WHERE l_orderkey <= 2000""".stripMargin)
+    // the view is created BEFORE the second wave lands — lazy resolution
+    // must surface the later rows through it
+    spark.sql(
+      """CREATE VIEW graft_qvw.db.base (k, q, f) AS
+        |SELECT okey, qty, rflag FROM graft_qvw.db.sales WHERE qty > 10
+        |""".stripMargin)
+    spark.sql(
+      """CREATE VIEW graft_qvw.db.flagged AS
+        |SELECT f, count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_q
+        |FROM graft_qvw.db.base GROUP BY f
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qvw.db.sales
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+        |FROM graft_cat_li10
+        |WHERE l_orderkey > 2000 AND l_orderkey <= 4000""".stripMargin)
+    spark.sql(
+      "SELECT f, n_rows, sum_q FROM graft_qvw.db.flagged ORDER BY f")
+  }
+
+  val catalogViewSql: String =
+    """SELECT l_returnflag AS f, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
+      |FROM lineitem
+      |WHERE l_orderkey <= 4000 AND CAST(l_quantity AS BIGINT) > 10
+      |GROUP BY 1 ORDER BY f""".stripMargin
 
   /** Column DEFAULT values, oracle-checked: CREATE-time defaults fill
     * omitted INSERT columns, ADD COLUMN ... DEFAULT backfills rows that
@@ -2273,6 +2477,7 @@ object CatalogApi {
       "q_audit_dpp" -> (auditDpp _),
       "q_catalog_check" -> (catalogCheck _),
       "q_catalog_default" -> (catalogDefault _),
+      "q_catalog_view" -> (catalogView _),
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
@@ -2299,6 +2504,7 @@ object CatalogApi {
       "q_audit_dpp" -> auditDppSql,
       "q_catalog_check" -> catalogCheckSql,
       "q_catalog_default" -> catalogDefaultSql,
+      "q_catalog_view" -> catalogViewSql,
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,

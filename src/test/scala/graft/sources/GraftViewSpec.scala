@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** SQL views through the catalog (DSv2 ViewCatalog): CREATE VIEW stores
+  * the definition as catalog metadata, SELECT re-resolves the stored SQL
+  * lazily (new base-table data is visible through the view), SHOW VIEWS
+  * lists, ALTER VIEW edits properties, DROP VIEW removes — and views
+  * compose with the engine's own surfaces (partitioned audit tables,
+  * time travel inside the view text). */
+class GraftViewSpec extends AnyFunSuite {
+
+  // the view SQL surface rides GraftExtensions (GraftViewRules) — build
+  // a fresh session with them, the GraftExtensionsSpec convention
+  private lazy val spark: SparkSession = {
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def freshCat(tag: String): String = {
+    val cat = s"graft_view_$tag"
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_view_${tag}_")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    cat
+  }
+
+  test("CREATE VIEW / SELECT / SHOW VIEWS / ALTER / RENAME / DROP round trip") {
+    val cat = freshCat("crud")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) USING audit " +
+      "PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 3 FROM range(0, 90)")
+    spark.sql(
+      s"""CREATE VIEW $cat.db.v (grp, n, total) AS
+         |SELECT flag, count(*), sum(id) FROM $cat.db.t GROUP BY flag
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT grp, n, total FROM $cat.db.v ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === (0L to 2L).map(g =>
+      (g, 30L, (0L until 90L).filter(_ % 3 == g).sum)))
+    // LAZY resolution: new base rows are visible through the view
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (900, 0)")
+    assert(spark.sql(s"SELECT n FROM $cat.db.v WHERE grp = 0").head.getLong(0)
+      === 31L)
+    // SHOW VIEWS lists it; tables are not views and vice versa
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown === Seq("v"), shown)
+    assert(!spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).contains("v"))
+    // ALTER VIEW properties round-trip
+    spark.sql(s"ALTER VIEW $cat.db.v SET TBLPROPERTIES ('note' = 'hello')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("note").contains("hello"), props)
+    // RENAME, then the old name is gone and the new one answers
+    spark.sql(s"ALTER VIEW $cat.db.v RENAME TO db.v2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v2").head.getLong(0) === 3L)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.v").collect())
+    spark.sql(s"DROP VIEW $cat.db.v2")
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect().isEmpty)
+  }
+
+  test("views over engine surfaces: time travel text; name collisions refused") {
+    val cat = freshCat("tt")
+    spark.sql(s"CREATE TABLE $cat.db.log (id BIGINT, v BIGINT) USING audit")
+    // two streamed epochs so VERSION AS OF 0 differs from current
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_view_ckpt")
+    import org.apache.spark.sql.functions._
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "50")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.log")
+    try q.processAllAvailable() finally q.stop()
+    spark.sql(
+      s"""CREATE VIEW $cat.db.asof0 AS
+         |SELECT count(*) AS n FROM $cat.db.log VERSION AS OF 0""".stripMargin)
+    assert(spark.sql(s"SELECT n FROM $cat.db.asof0").head.getLong(0) === 50L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.log").head.getLong(0) === 100L)
+    // a view may not shadow a table, nor a table a view
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.db.log AS SELECT 1 AS x"))
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.asof0 (x BIGINT) USING audit"))
+  }
+}
