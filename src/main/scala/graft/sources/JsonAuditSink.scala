@@ -979,10 +979,14 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     partInfo match {
-      // the partition column is never renamed: current name == storage
-      case Some((col, _)) => Array(
+      // the partition column is never renamed (current name == storage) —
+      // but it must have SURVIVED column pruning: Spark resolves these
+      // references against the scan's (pruned) output and THROWS on a
+      // miss (seen on a MERGE's delete-branch scan, which projects only
+      // the row id), rather than skipping the scan for DPP
+      case Some((col, _)) if readSchema().fieldNames.contains(col) => Array(
         org.apache.spark.sql.connector.expressions.Expressions.column(col))
-      case None => Array.empty
+      case _ => Array.empty
     }
 
   private def restrictRuntime(tokens: Set[String], api: String): Unit = {

@@ -64,6 +64,23 @@ class AuditDppSpec extends AnyFunSuite {
     withAqeOff { runJoin(freshTable("bkt", "bucket(4, day)")) }
   }
 
+  test("a scan that pruned away the partition column does not claim DPP") {
+    // REGRESSION: Spark resolves filterAttributes against the scan's
+    // PRUNED output and throws on a miss — a MERGE's delete branch
+    // projects only the row id, so claiming the pruned-out partition
+    // column crashed the whole DML statement
+    val cat = freshTable("prune", "day")
+    spark.sql(
+      s"""MERGE INTO $cat.db.f t
+         |USING (SELECT * FROM VALUES (3L), (5L) AS s(id)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table(s"$cat.db.f").count() === 998L)
+    // and a projection without the partition column still reads fine
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.f").head.getLong(0)
+      === (0L until 1000L).filterNot(Seq(3L, 5L).contains).map(_ * 3).sum)
+  }
+
   test("runtime pruning composes with static partition predicates") {
     withAqeOff {
       val cat = freshTable("mix", "day")
