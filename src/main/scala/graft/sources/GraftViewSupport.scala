@@ -134,6 +134,19 @@ object GraftViewRules {
           case _ => uv
         }
 
+      // ALTER VIEW v AS <query>: redefinition keeps the existing
+      // properties, recomputes schema/aliases from the new query
+      case ava: AlterViewAs =>
+        ava.child match {
+          case ViewTarget(parts) =>
+            graftView(spark, parts) match {
+              case Some((g, id)) if g.viewExists(id) =>
+                GraftAlterViewAsCommand(g, id, ava.originalText, ava.query)
+              case _ => ava
+            }
+          case _ => ava
+        }
+
       // SHOW TBLPROPERTIES over a stored view
       case stp: ShowTableProperties =>
         stp.table match {
@@ -226,6 +239,22 @@ final case class GraftAlterViewPropsCommand(catalog: GraftCatalog,
       set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
         unset.map(ViewChange.removeProperty)
     catalog.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
+final case class GraftAlterViewAsCommand(catalog: GraftCatalog,
+    ident: Identifier, sql: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val prior = catalog.loadView(ident).asInstanceOf[GraftView]
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    val qcols = analyzed.schema.fieldNames
+    val cm = spark.sessionState.catalogManager
+    catalog.dropView(ident)
+    catalog.createView(new ViewInfo(ident, sql,
+      cm.currentCatalog.name(), cm.currentNamespace, analyzed.schema,
+      qcols, qcols, qcols.map(_ => null: String), prior.properties()))
     Seq.empty
   }
 }

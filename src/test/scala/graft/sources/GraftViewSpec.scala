@@ -68,6 +68,16 @@ class GraftViewSpec extends AnyFunSuite {
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.v").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props.get("note").contains("hello"), props)
+    // ALTER VIEW AS redefines lazily and keeps properties
+    spark.sql(s"ALTER VIEW $cat.db.v AS SELECT count(*) AS only_n FROM $cat.db.t")
+    assert(spark.sql(s"SELECT only_n FROM $cat.db.v").head.getLong(0) === 91L)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("note").contains("hello"))
+    spark.sql(
+      s"""ALTER VIEW $cat.db.v AS
+         |SELECT flag AS grp, count(*) AS n, sum(id) AS total
+         |FROM $cat.db.t GROUP BY flag""".stripMargin)
     // RENAME, then the old name is gone and the new one answers
     spark.sql(s"ALTER VIEW $cat.db.v RENAME TO db.v2")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.v2").head.getLong(0) === 3L)
