@@ -608,7 +608,8 @@ private[sources] object AuditMaintenance {
       colMap: Map[String, String],
       zorderBy: Seq[String],
       bloomBy: Seq[String]): (Int, Long, Long) = {
-    val spec = AuditPartition.parseSpec(partSpec)
+    val specs = AuditPartition.parseSpecs(partSpec)
+    val partCols = specs.map(_.col)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "audit OPTIMIZE: sort_by and zorder_by are mutually exclusive")
     val n =
@@ -633,10 +634,10 @@ private[sources] object AuditMaintenance {
       }
       // WITHIN-DIRECTORY z-order: quantile bounds over the whole table
       // (approximation only loosens file bounds, never answers), then
-      // range-cluster on (partition col, z-tile) so every directory
+      // range-cluster on (partition cols…, z-tile) so every directory
       // splits into files covering tight axis-aligned blocks — the same
       // two-pass design as the unpartitioned zorder, with the partition
-      // column as the leading range key so rows stay dir-clustered
+      // columns as the leading range keys so rows stay dir-clustered
       val bits = 10
       val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
       val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
@@ -653,16 +654,17 @@ private[sources] object AuditMaintenance {
         .withColumn("_ztile",
           org.apache.spark.sql.functions.shiftrightunsigned(
             col("_zkey"), totalBits - tileBits))
-        .repartitionByRange(n, col(spec.col), col("_ztile"))
-        .sortWithinPartitions(col(spec.col), col("_zkey"))
+        .repartitionByRange(n, partCols.map(col) :+ col("_ztile"): _*)
+        .sortWithinPartitions(partCols.map(col) :+ col("_zkey"): _*)
         .drop("_zkey", "_ztile")
     } else {
-      df = df.repartition(n, col(spec.col))
-      sortBy.foreach(c => df = df.sortWithinPartitions(col(spec.col), col(c)))
+      df = df.repartition(n, partCols.map(col): _*)
+      sortBy.foreach(c =>
+        df = df.sortWithinPartitions(partCols.map(col) :+ col(c): _*))
     }
     // blooms survive partitioned maintenance too: any column bloomed in
     // any directory's current stats stays bloomed, plus requested ones
-    val priorBloomed = AuditPartition.listDirs(path, spec.col)
+    val priorBloomed = AuditPartition.listDirsByCols(path, partCols)
       .flatMap { case (_, pdir) => AuditStats.read(pdir.toString)
         .valuesIterator.flatMap(_.blooms.keysIterator) }.toSet
     val bloomCols = (priorBloomed ++ bloomBy).filter(c =>
@@ -675,7 +677,7 @@ private[sources] object AuditMaintenance {
     val stage = hidden("optstage")
     df.write.format(classOf[JsonAuditSink].getName)
       .option("path", stage.toString)
-      .option("partitionby", spec.serialized)
+      .option("partitionby", AuditPartition.serializeSpecs(specs))
       .option("bloomcols", bloomCols.mkString(","))
       .mode("append").save()
     // test-only failure injection (-Dgraft.audit.maintFailPoint=after-stage):
@@ -698,7 +700,7 @@ private[sources] object AuditMaintenance {
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
     finally walk.close()
     spark.catalog.refreshTable(fullName) // drop any cached file listing
-    val perDir = AuditPartition.listDirs(path, spec.col)
+    val perDir = AuditPartition.listDirsByCols(path, partCols)
       .map { case (_, d) =>
         val e = AuditPartition.manifestEntries(d)
         (e.size, e.map(_._2).sum)
@@ -721,20 +723,20 @@ private[sources] object AuditMaintenance {
     * extended to sweep each partition directory's unreferenced files. */
   def vacuum(path: String, retainLast: Int,
       cleanOrphans: Boolean = false,
-      partCol: Option[String] = None): (Int, Long) =
+      partCols: Seq[String] = Nil): (Int, Long) =
     AuditMaintLock.withLease(path, "vacuum") {
-      vacuumLocked(path, retainLast, cleanOrphans, partCol)
+      vacuumLocked(path, retainLast, cleanOrphans, partCols)
     }
 
   private def vacuumLocked(path: String, retainLast: Int,
       cleanOrphans: Boolean,
-      partCol: Option[String]): (Int, Long) = {
+      partCols: Seq[String]): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
     if (b0.isEmpty && !cleanOrphans)
       throw new IllegalStateException(
         s"audit VACUUM: $path has no base checkpoint — " +
-          (if (partCol.isDefined)
+          (if (partCols.nonEmpty)
             "partitioned tables have no superseded epochs to reclaim; pass "
           else
             "run OPTIMIZE first (only epochs superseded by a base can be " +
@@ -794,8 +796,8 @@ private[sources] object AuditMaintenance {
       AuditBase.cleanTxnDebris(path)
       // partition directories: a file its dir's manifest does not list is
       // a crashed-commit leftover, same as the table-level case
-      partCol.foreach { c =>
-        AuditPartition.listDirs(path, c).foreach { case (_, pdir) =>
+      if (partCols.nonEmpty) {
+        AuditPartition.listDirsByCols(path, partCols).foreach { case (_, pdir) =>
           AuditBase.cleanTxnDebris(pdir.toString) // lost per-dir OCC attempts
           val listed = AuditPartition.manifestEntries(pdir).map(_._1).toSet
           val listing = java.nio.file.Files.list(pdir)
@@ -1106,16 +1108,18 @@ private[sources] object GraftProcedures {
         // — the epochs section above is shared (the partitioned streaming
         // commit writes the same table-level `_EPOCHS` log)
         val partRows: Seq[Array[Any]] =
-          partSpec.map(AuditPartition.parseSpec(_).col).toSeq.flatMap { c =>
-            AuditPartition.listDirs(path, c).flatMap { case (token, pdir) =>
-              val entries = AuditPartition.manifestEntries(pdir)
-              val dels = AuditDeletes.count(pdir.toString)
-              Seq(Array[Any]("partition", null, entries.size,
-                entries.map(_._2).sum - dels, str(s"$c=$token"))) ++
-                (if (dels > 0)
-                  Seq(Array[Any]("deletes", null, 0, dels,
-                    str(s"outstanding delete-vector entries in $c=$token")))
-                else Seq.empty)
+          partSpec.toSeq.flatMap { ps =>
+            val cols = AuditPartition.parseSpecs(ps).map(_.col)
+            AuditPartition.listDirsByCols(path, cols).flatMap {
+              case (relDir, pdir) =>
+                val entries = AuditPartition.manifestEntries(pdir)
+                val dels = AuditDeletes.count(pdir.toString)
+                Seq(Array[Any]("partition", null, entries.size,
+                  entries.map(_._2).sum - dels, str(relDir))) ++
+                  (if (dels > 0)
+                    Seq(Array[Any]("deletes", null, 0, dels,
+                      str(s"outstanding delete-vector entries in $relDir")))
+                  else Seq.empty)
             }
           }
         val delRows: Seq[Array[Any]] = {
@@ -1157,7 +1161,7 @@ private[sources] object GraftProcedures {
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
         val (path, _, part) = catalog.resolveAuditTableFull(table)
         val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans,
-          part.map(AuditPartition.parseSpec(_).col))
+          part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)))
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),

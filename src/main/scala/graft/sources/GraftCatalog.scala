@@ -317,7 +317,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // their storage keys like any other file) — only the PARTITION column
     // itself is immovable: directory names embed it
     def requireNotPartitionCol(what: String, c: String): Unit =
-      partCol.map(AuditPartition.parseSpec(_).col).foreach(pc =>
+      partCol.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)).foreach(pc =>
         require(pc != c,
           s"graft catalog: $what of partition column $c is unsupported " +
             "(directory names embed the partition column)"))
@@ -733,17 +733,24 @@ object GraftCatalog {
   private[sources] def identityPartCol(partitions: Array[Transform],
       schema: StructType): Option[String] = {
     if (partitions.isEmpty) return None
-    require(partitions.length == 1,
-      "graft catalog: at most one partition column is supported")
-    val t = partitions.head
+    val specs = partitions.toSeq.map(t => transformSpec(t, schema))
+    require(specs.map(_.col).distinct.size == specs.size,
+      "graft catalog: duplicate partition column in " +
+        specs.map(_.col).mkString(","))
+    Some(AuditPartition.serializeSpecs(specs))
+  }
+
+  /** One PARTITIONED BY transform → its serialized per-level spec. */
+  private def transformSpec(t: Transform, schema: StructType)
+      : AuditPartition.Spec = {
     require(t.references.length == 1 &&
       t.references.head.fieldNames.length == 1,
-      s"graft catalog: single-column partitioning only, got $t")
+      s"graft catalog: single-column partition transforms only, got $t")
     val col = t.references.head.fieldNames.head
     require(schema.fieldNames.contains(col),
       s"graft catalog: partition column $col not in schema")
     t.name match {
-      case "identity" => Some(col)
+      case "identity" => AuditPartition.Spec(col, None)
       case "bucket" =>
         val n = t.arguments.collectFirst {
           case lit: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -752,7 +759,7 @@ object GraftCatalog {
         }.getOrElse(throw new IllegalArgumentException(
           s"graft catalog: bucket transform needs a literal count, got $t"))
         require(n > 0, s"graft catalog: bucket count must be positive, got $n")
-        Some(AuditPartition.Spec(col, Some(n)).serialized)
+        AuditPartition.Spec(col, Some(n))
       case other => throw new IllegalArgumentException(
         s"graft catalog: only identity(col) / bucket(n, col) partitioning " +
           s"is supported, got $other")
@@ -2580,11 +2587,11 @@ final class StagedAuditTable(catalog: GraftCatalog, ident: Identifier,
     s
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val spec = partCol.map(AuditPartition.parseSpec)
+    val levels = AuditPartition.levelsOf(
+      partCol.toSeq.flatMap(AuditPartition.parseSpecs), stagedSchema)
     new AuditWriteBuilder(stageDir.toString, info.schema(),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      spec.map(s => (s.col, stagedSchema(s.col).dataType)),
-      spec.flatMap(_.bucket))
+      levels)
   }
 
   override def commitStagedChanges(): Unit =

@@ -59,14 +59,20 @@ class JsonAuditSink extends TableProvider {
   }
 }
 
-/** Hive-style single-column identity partitioning for the audit format:
-  * `<table>/<col>=<token>/` directories, each with its OWN `_MANIFEST` —
-  * the per-partition metadata that makes partition-predicate reads open
-  * only the matching directories and partition-sliced COUNT(*) stay
-  * metadata-only. Tokens are URL-encoded (filename-safe, lossless for
-  * strings), `__NULL__` encodes a null partition value. This lifts the
-  * reference's only layout idea — date-partitioned zone directories
-  * (main.py:41-46) — into the table format itself. */
+/** Hive-style MULTI-LEVEL partitioning for the audit format:
+  * `<table>/<c1>=<t1>/…/<cK>=<tK>/` nested directories, each LEAF with
+  * its OWN `_MANIFEST` — the per-partition metadata that makes
+  * partition-predicate reads open only the matching directories and
+  * partition-sliced COUNT(*) stay metadata-only. Tokens are URL-encoded
+  * (filename-safe, lossless for strings), `__NULL__` encodes a null
+  * partition value. This lifts the reference's only layout idea —
+  * `{year}/{month}/{day}` date-partitioned zone directories
+  * (main.py:41-46, spark_jobs/playback_pipeline.py:254-262) — into the
+  * table format itself. Throughout the format, a partition directory is
+  * identified by its RELATIVE PATH string `c1=t1/…/cK=tK` (the
+  * "relDir"): single-level tables keep their exact round-12 layout
+  * (`col=token`), and relDirs are what commit messages, CDF offsets and
+  * dir-qualified `(_file,_pos)` row ids carry. */
 private[sources] object AuditPartition {
   val NullToken = "__NULL__"
 
@@ -75,8 +81,9 @@ private[sources] object AuditPartition {
     case _ => false
   }
 
-  /** Partition spec: identity(col) or bucket(n, col). Serialized into the
-    * catalog metadata as `col` / `bucket(n,col)`. */
+  /** One partition level: identity(col) or bucket(n, col). Serialized
+    * into the catalog metadata as `col` / `bucket(n,col)`, levels joined
+    * with `,`. */
   final case class Spec(col: String, bucket: Option[Int]) {
     def serialized: String = bucket.fold(col)(n => s"bucket($n,$col)")
   }
@@ -85,6 +92,57 @@ private[sources] object AuditPartition {
     case BucketRe(n, c) => Spec(c, Some(n.toInt))
     case c              => Spec(c, None)
   }
+
+  /** Parse a serialized multi-level spec: top-level commas separate
+    * levels; commas INSIDE `bucket(n,col)` do not split. */
+  def parseSpecs(s: String): Seq[Spec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq.filter(_.nonEmpty).map(parseSpec)
+  }
+  def serializeSpecs(specs: Seq[Spec]): String =
+    specs.map(_.serialized).mkString(",")
+
+  /** One partition level BOUND to its column type — what the scan/write
+    * plumbing threads around (empty seq = unpartitioned). */
+  final case class Level(col: String, dt: DataType, bucket: Option[Int])
+
+  def levelsOf(specs: Seq[Spec], schema: StructType): Seq[Level] =
+    specs.map { s =>
+      require(schema.fieldNames.contains(s.col),
+        s"audit partition column ${s.col} not in schema")
+      require(supported(schema(s.col).dataType),
+        s"audit partition column ${s.col} must be long/int/string")
+      Level(s.col, schema(s.col).dataType, s.bucket)
+    }
+
+  /** Relative directory path of a partition combo: `c1=t1/…/cK=tK`. */
+  def relDirOf(levels: Seq[Level], tokens: Seq[String]): String =
+    levels.zip(tokens).map { case (l, t) => s"${l.col}=$t" }.mkString("/")
+
+  /** Bare token of level `i` within a relDir (the `=`-suffix of its i-th
+    * path component). */
+  def componentToken(relDir: String, i: Int): String = {
+    val comp = relDir.split('/')(i)
+    comp.substring(comp.indexOf('=') + 1)
+  }
+
+  /** Does a leaf dir survive the per-level restrictions? `allowed` maps a
+    * level index to its permitted tokens (absent = unrestricted);
+    * `exclNull` lists levels whose null-token dir is excluded. */
+  def survives(relDir: String, allowed: Map[Int, Set[String]],
+      exclNull: Set[Int]): Boolean =
+    allowed.forall { case (li, toks) =>
+      toks.contains(componentToken(relDir, li)) } &&
+      !exclNull.exists(li => componentToken(relDir, li) == NullToken)
 
   /** Canonical string form of a partition value — the ONE form the bucket
     * hash is computed over, shared by the write router, the pruning path,
@@ -130,18 +188,40 @@ private[sources] object AuditPartition {
         s"audit partition column type $other")
     }
 
-  /** Partition directories of the table, as (token, dirPath) ascending. */
-  def listDirs(path: String, col: String): Seq[(String, java.nio.file.Path)] = {
-    val dir = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
-    val prefix = col + "="
-    val listing = java.nio.file.Files.list(dir)
-    try listing.iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix))
-      .map(p => (p.getFileName.toString.stripPrefix(prefix), p))
-      .toSeq.sortBy(_._1)
-    finally listing.close()
+  /** LEAF partition directories of the table, as (relDir, dirPath)
+    * ascending by relDir. Recurses one listing per level: a level-i
+    * directory must be named `<levels(i).col>=<token>` — anything else
+    * (metadata files, staging) is skipped. */
+  def listDirs(path: String, levels: Seq[Level])
+      : Seq[(String, java.nio.file.Path)] =
+    listDirsByCols(path, levels.map(_.col))
+
+  /** Same, keyed by column names only (maintenance paths hold the
+    * serialized spec, not a schema-bound Level seq). */
+  def listDirsByCols(path: String, cols: Seq[String])
+      : Seq[(String, java.nio.file.Path)] = {
+    def children(dir: java.nio.file.Path, col: String)
+        : Seq[(String, java.nio.file.Path)] = {
+      if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+      val prefix = col + "="
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(prefix))
+        .map(p => (p.getFileName.toString, p))
+        .toSeq
+      finally listing.close()
+    }
+    var acc: Seq[(String, java.nio.file.Path)] =
+      Seq(("", java.nio.file.Paths.get(path)))
+    cols.foreach { c =>
+      acc = acc.flatMap { case (rel, d) =>
+        children(d, c).map { case (name, p) =>
+          (if (rel.isEmpty) name else s"$rel/$name", p)
+        }
+      }
+    }
+    acc.sortBy(_._1)
   }
 
   /** (file, rows) entries of one partition directory's manifest, PLUS any
@@ -175,27 +255,20 @@ final class AuditTable(path: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-audit-sink requires .option(\"path\", ...)")
   // name mapping works on partitioned tables for NON-partition columns;
-  // the partition column itself is immovable (directory names embed it),
-  // so it must never appear in the map — the catalog refuses the DDL,
-  // this guards the invariant at the table boundary too
-  for (pc <- partCol.map(AuditPartition.parseSpec(_).col))
+  // partition columns themselves are immovable (directory names embed
+  // them), so they must never appear in the map — the catalog refuses
+  // the DDL, this guards the invariant at the table boundary too
+  for (pc <- partCol.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)))
     require(!colMap.contains(pc) && !colMap.valuesIterator.contains(pc),
       s"audit: partition column $pc cannot be renamed or remapped " +
         "(directory names embed the partition column)")
   // storage-named twin of the Spark-facing schema: same field order and
   // types, names as physically written in the jsonl payload
   private val storageSchema = AuditNameMap.toStorage(writeSchema, colMap)
-  private val partSpec: Option[AuditPartition.Spec] =
-    partCol.map(AuditPartition.parseSpec)
-  partSpec.foreach { s =>
-    require(writeSchema.fieldNames.contains(s.col),
-      s"audit partition column ${s.col} not in schema")
-    require(AuditPartition.supported(writeSchema(s.col).dataType),
-      s"audit partition column ${s.col} must be long/int/string")
-  }
-  private def partInfo: Option[(String, DataType)] =
-    partSpec.map(s => (s.col, writeSchema(s.col).dataType))
-  private def bucketN: Option[Int] = partSpec.flatMap(_.bucket)
+  private val partSpecs: Seq[AuditPartition.Spec] =
+    partCol.toSeq.flatMap(AuditPartition.parseSpecs)
+  private val partLevels: Seq[AuditPartition.Level] =
+    AuditPartition.levelsOf(partSpecs, writeSchema)
 
   // --- SupportsPartitionManagement (SHOW PARTITIONS / ADD / DROP) ---------
   // Partition DDL over the directory layout: partitions normally come and
@@ -205,27 +278,26 @@ final class AuditTable(path: String, writeSchema: StructType,
   // the O(1) retention delete every date-partitioned pipeline wants).
   // Identity partitioning only: a bucket dir's identifier is a hash
   // bucket, not a value, so value-addressed DDL would be a lie.
-  private def mgmtSpec: (String, DataType) = {
-    require(partSpec.isDefined && bucketN.isEmpty,
+  private def mgmtLevels: Seq[AuditPartition.Level] = {
+    require(partLevels.nonEmpty && partLevels.forall(_.bucket.isEmpty),
       "audit partition management needs an identity-partitioned table")
-    partInfo.get
+    partLevels
   }
-  private def identToken(ident: InternalRow): String = {
-    val (_, dt) = mgmtSpec
-    AuditPartition.tokenFor(
-      if (ident.isNullAt(0)) null else ident.get(0, dt), None)
+  private def identRelDir(ident: InternalRow): String = {
+    val ls = mgmtLevels
+    AuditPartition.relDirOf(ls, ls.zipWithIndex.map { case (l, i) =>
+      AuditPartition.tokenFor(
+        if (ident.isNullAt(i)) null else ident.get(i, l.dt), None)
+    })
   }
-  override def partitionSchema(): StructType = {
-    val (c, dt) = mgmtSpec
-    StructType(Seq(StructField(c, dt, nullable = true)))
-  }
+  override def partitionSchema(): StructType =
+    StructType(mgmtLevels.map(l => StructField(l.col, l.dt, nullable = true)))
   override def partitionExists(ident: InternalRow): Boolean =
     java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(path).resolve(s"${mgmtSpec._1}=${identToken(ident)}"))
+      java.nio.file.Paths.get(path).resolve(identRelDir(ident)))
   override def createPartition(ident: InternalRow,
       properties: java.util.Map[String, String]): Unit = {
-    val d = java.nio.file.Paths.get(path)
-      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    val d = java.nio.file.Paths.get(path).resolve(identRelDir(ident))
     if (java.nio.file.Files.isDirectory(d))
       throw new org.apache.spark.sql.catalyst.analysis
         .PartitionsAlreadyExistException(name(), ident, partitionSchema())
@@ -233,13 +305,24 @@ final class AuditTable(path: String, writeSchema: StructType,
     AuditPartition.writeManifest(d, Seq.empty)
   }
   override def dropPartition(ident: InternalRow): Boolean = {
-    val d = java.nio.file.Paths.get(path)
-      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    val d = java.nio.file.Paths.get(path).resolve(identRelDir(ident))
     if (!java.nio.file.Files.isDirectory(d)) return false
     val walk = java.nio.file.Files.walk(d)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
     finally walk.close()
+    // drop empty intermediate level dirs left behind (multi-level): a
+    // parent with no remaining children is layout debris, not a partition
+    var parent = d.getParent
+    val root = java.nio.file.Paths.get(path)
+    while (parent != null && parent != root &&
+        parent.startsWith(root) && {
+          val l = java.nio.file.Files.list(parent)
+          try !l.iterator().hasNext finally l.close()
+        }) {
+      java.nio.file.Files.deleteIfExists(parent)
+      parent = parent.getParent
+    }
     true
   }
   override def replacePartitionMetadata(ident: InternalRow,
@@ -248,8 +331,7 @@ final class AuditTable(path: String, writeSchema: StructType,
       "audit partitions carry no custom metadata")
   override def loadPartitionMetadata(ident: InternalRow)
       : java.util.Map[String, String] = {
-    val d = java.nio.file.Paths.get(path)
-      .resolve(s"${mgmtSpec._1}=${identToken(ident)}")
+    val d = java.nio.file.Paths.get(path).resolve(identRelDir(ident))
     if (!java.nio.file.Files.isDirectory(d))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchPartitionException(name(), ident, partitionSchema())
@@ -260,20 +342,23 @@ final class AuditTable(path: String, writeSchema: StructType,
   }
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
-    val (c, dt) = mgmtSpec
+    val ls = mgmtLevels
     require(names.length == ident.numFields)
-    val want: Option[Any] =
-      if (names.isEmpty) None
-      else {
-        require(names.sameElements(Array(c)),
-          s"audit: unknown partition field ${names.mkString(",")}")
-        Some(if (ident.isNullAt(0)) null else ident.get(0, dt))
-      }
-    AuditPartition.listDirs(path, c).collect {
-      case (token, _) if want.forall(w =>
-          AuditPartition.tokenFor(w, None) == token) =>
+    // a partial ident names a SUBSET of the partition fields (SHOW
+    // PARTITIONS t PARTITION(c=v)): match each named field's token
+    val wantByLevel: Map[Int, String] = names.zipWithIndex.map {
+      case (n, i) =>
+        val li = ls.indexWhere(_.col == n)
+        require(li >= 0, s"audit: unknown partition field $n")
+        (li, AuditPartition.tokenFor(
+          if (ident.isNullAt(i)) null else ident.get(i, ls(li).dt), None))
+    }.toMap
+    AuditPartition.listDirs(path, ls).collect {
+      case (relDir, _) if wantByLevel.forall { case (li, tok) =>
+          AuditPartition.componentToken(relDir, li) == tok } =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](AuditPartition.decode(token, dt)))
+          ls.indices.map(i => AuditPartition.decode(
+            AuditPartition.componentToken(relDir, i), ls(i).dt)).toArray)
     }.toArray
   }
   override def name(): String = s"graft_audit_sink($path)"
@@ -295,7 +380,7 @@ final class AuditTable(path: String, writeSchema: StructType,
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
   override def partitioning(): Array[Transform] =
-    partSpec.toArray.map {
+    partSpecs.toArray.map {
       case AuditPartition.Spec(c, Some(n)) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
       case AuditPartition.Spec(c, None) =>
@@ -339,7 +424,7 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(path, AuditNameMap.toStorage(info.schema(), colMap),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      partInfo, bucketN, Option(info.queryId()))
+      partLevels, Option(info.queryId()))
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -381,7 +466,7 @@ final class AuditTable(path: String, writeSchema: StructType,
       // cheap at metadata scale, wrong for a huge table. The manifests
       // give the row count for free; past the bound, canDeleteWhere=false
       // routes the delete to Spark's DISTRIBUTED row-level rewrite instead.
-      AuditDelete.tableRows(path, partInfo) <= AuditDelete.MaxDriverRewriteRows &&
+      AuditDelete.tableRows(path, partLevels) <= AuditDelete.MaxDriverRewriteRows &&
       // a compacted table routes predicate deletes to the delta path: the
       // retroactive rewrite would have to rebuild per-epoch history from
       // the base. TRUNCATE (AlwaysTrue — also how truncateTable() probes
@@ -390,7 +475,7 @@ final class AuditTable(path: String, writeSchema: StructType,
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     AuditDelete.deleteWhere(path, storageSchema,
-      filters.map(AuditNameMap.mapFilter(_, colMap)), partInfo)
+      filters.map(AuditNameMap.mapFilter(_, colMap)), partLevels)
 
   /** SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
     * can't translate): DELTA-granular on BOTH layouts. Unpartitioned
@@ -404,13 +489,12 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => partInfo match {
-      case None    =>
+    () =>
+      if (partLevels.isEmpty)
         new AuditDeltaOperation(path, storageSchema, info.command(), colMap)
-      case Some(_) =>
+      else
         new AuditPartDeltaOperation(path, storageSchema, info.command(),
-          partInfo, bucketN, colMap)
-    }
+          partLevels, colMap)
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -437,13 +521,12 @@ final class AuditTable(path: String, writeSchema: StructType,
       // event and every per-directory delete-vector entry (partitioned
       // delta DML) a delete event; the tail fails loudly on manifest
       // shrink, consumed-entry row drift, or a vanished directory.
-      partSpec match {
-        case Some(sp) =>
-          return new AuditPartitionedCdfScan(path, writeSchema, sp.col,
-            AuditNameMap.toStorage(writeSchema, colMap))
-        case None => return new AuditCdfScan(path, writeSchema,
+      if (partLevels.nonEmpty)
+        return new AuditPartitionedCdfScan(path, writeSchema, partLevels,
           AuditNameMap.toStorage(writeSchema, colMap))
-      }
+      else
+        return new AuditCdfScan(path, writeSchema,
+          AuditNameMap.toStorage(writeSchema, colMap))
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
@@ -455,8 +538,8 @@ final class AuditTable(path: String, writeSchema: StructType,
     val snapMaxEpoch = Option(options.get("snapshotMaxEpoch")).map(_.toLong)
     val snapFiles = Option(options.get("snapshotFiles"))
       .map(_.split(",").filter(_.nonEmpty).toSet)
-    new AuditScanBuilder(path, storageSchema, version, partInfo,
-      includeDeleted = includeDeleted, bucketN = bucketN,
+    new AuditScanBuilder(path, storageSchema, version, partLevels,
+      includeDeleted = includeDeleted,
       snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles, nameMap = colMap)
   }
 
@@ -479,15 +562,14 @@ final class AuditTable(path: String, writeSchema: StructType,
   * remains, a partition-sliced COUNT(*) still takes the metadata-only
   * path. Anything else stays residual: pruning can never change answers. */
 final class AuditScanBuilder(path: String, writeSchema: StructType,
-    versionAsOf: Option[Long], partInfo: Option[(String, DataType)] = None,
+    versionAsOf: Option[Long],
+    partLevels: Seq[AuditPartition.Level] = Nil,
     // the row-level COW rewrite scan must read EVERY partition (its write
     // truncates the whole table) — it disables partition-filter pushdown
     allowPartFilters: Boolean = true,
     includeDeleted: Boolean = false,
-    bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
     snapFiles: Option[Set[String]] = None,
-    excludeNull: Boolean = false,
     // current→storage column name map (RENAME without rewrite): Spark
     // pushes pruning/filters in CURRENT names; everything below this
     // boundary speaks STORAGE names (writeSchema here is storage-named)
@@ -505,9 +587,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     writeSchema, nameMap.map(_.swap))
   private var metadataCount = false
   private var accepted: Array[Filter] = Array.empty
-  /** Allowed partition TOKENS after pushed predicates; None = all. */
-  private var allowedTokens: Option[Set[String]] = None
-  private var excludeNull = false
+  /** Allowed partition TOKENS per LEVEL after pushed predicates; a level
+    * absent from the map is unrestricted. */
+  private var allowedTokens: Map[Int, Set[String]] = Map.empty
+  /** Levels whose null-token directory is excluded (IsNotNull claims). */
+  private var excludeNull: Set[Int] = Set.empty
   /** Per-partition row cap from a pushed LIMIT / sorted-base TopN. */
   private var pushedCap: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -534,7 +618,7 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    val ok = partInfo.isEmpty && versionAsOf.isEmpty && !includeDeleted &&
+    val ok = partLevels.isEmpty && versionAsOf.isEmpty && !includeDeleted &&
       orders.length == 1 && {
         val o = orders.head
         o.direction == SortDirection.ASCENDING &&
@@ -563,39 +647,47 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   override def pushFilters(filters0: Array[Filter]): Array[Filter] = {
     val mapped = filters0.map(AuditNameMap.mapFilter(_, nameMap))
     if (allowPartFilters) skipFilters = mapped.toSeq
-    partInfo match {
-      // residuals (and pushedFilters) go back in Spark's ORIGINAL objects
-      // (it maps them to catalyst expressions by value); the storage-named
-      // twins above only feed the zone-map skip, whose _STATS keys are
-      // storage names — so prunability is DECIDED on the mapped twin but
-      // RECORDED against the original (the partition column itself is
-      // never mapped, so its twin is value-equal anyway)
-      case None => filters0 // unpartitioned: no partition dirs to prune
-      case _ if !allowPartFilters => filters0
-      case Some((col, _)) =>
-        def restrict(tokens: Set[String]): Unit =
-          allowedTokens = Some(allowedTokens.fold(tokens)(_ intersect tokens))
-        val prunable = filters0.zip(mapped).filter {
-          case (_, EqualTo(c, v)) if c == col && v != null =>
-            restrict(Set(AuditPartition.tokenFor(v, bucketN))); true
-          case (_, In(c, vs)) if c == col && vs.forall(_ != null) =>
-            restrict(vs.map(AuditPartition.tokenFor(_, bucketN)).toSet); true
-          case (_, IsNull(c)) if c == col =>
-            restrict(Set(AuditPartition.NullToken)); true
-          // identity dirs hold exact values, so dropping the null-token
-          // dir GUARANTEES IsNotNull — claiming it keeps the residual set
-          // empty and the metadata COUNT(*) pushdown available under the
-          // not-null inference Catalyst adds beside every equality
-          case (_, org.apache.spark.sql.sources.IsNotNull(c)) if c == col =>
-            excludeNull = true; true
-          case _ => false
-        }.map(_._1)
-        // identity dirs hold EXACTLY the predicate's value → the filter is
-        // consumed; a bucket dir holds every value in the hash bucket, so
-        // bucketed pruning keeps the predicate RESIDUAL (prune, re-filter)
-        accepted = if (bucketN.isEmpty) prunable else Array.empty
-        filters0.filterNot(accepted.contains)
+    // residuals (and pushedFilters) go back in Spark's ORIGINAL objects
+    // (it maps them to catalyst expressions by value); the storage-named
+    // twins above only feed the zone-map skip, whose _STATS keys are
+    // storage names — so prunability is DECIDED on the mapped twin but
+    // RECORDED against the original (partition columns themselves are
+    // never mapped, so their twins are value-equal anyway)
+    if (partLevels.isEmpty || !allowPartFilters) return filters0
+    def levelOf(c: String): Int = partLevels.indexWhere(_.col == c)
+    def restrict(li: Int, tokens: Set[String]): Unit =
+      allowedTokens += (li ->
+        allowedTokens.get(li).fold(tokens)(_ intersect tokens))
+    // prunable filters paired with the LEVEL they restrict — a bucket
+    // level keeps its predicate residual (a bucket dir holds every value
+    // hashing there), an identity level consumes it (dirs hold exactly
+    // the predicate's value)
+    val prunable = filters0.zip(mapped).flatMap {
+      case (orig, EqualTo(c, v)) if levelOf(c) >= 0 && v != null =>
+        val li = levelOf(c)
+        restrict(li, Set(AuditPartition.tokenFor(v, partLevels(li).bucket)))
+        Some((orig, li))
+      case (orig, In(c, vs)) if levelOf(c) >= 0 && vs.forall(_ != null) =>
+        val li = levelOf(c)
+        restrict(li,
+          vs.map(AuditPartition.tokenFor(_, partLevels(li).bucket)).toSet)
+        Some((orig, li))
+      case (orig, IsNull(c)) if levelOf(c) >= 0 =>
+        restrict(levelOf(c), Set(AuditPartition.NullToken))
+        Some((orig, levelOf(c)))
+      // identity dirs hold exact values, so dropping the null-token
+      // dir GUARANTEES IsNotNull — claiming it keeps the residual set
+      // empty and the metadata COUNT(*) pushdown available under the
+      // not-null inference Catalyst adds beside every equality
+      case (orig, org.apache.spark.sql.sources.IsNotNull(c)) if levelOf(c) >= 0 =>
+        excludeNull += levelOf(c)
+        Some((orig, levelOf(c)))
+      case _ => None
     }
+    accepted = prunable.collect {
+      case (orig, li) if partLevels(li).bucket.isEmpty => orig
+    }
+    filters0.filterNot(accepted.contains)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -616,7 +708,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     * column (null semantics need the data) — is refused, row-level. */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    metadataAggs(aggregation).isDefined || groupedCountPushable(aggregation)
+    metadataAggs(aggregation).isDefined ||
+      groupedCountLevels(aggregation).isDefined
 
   /** Parse + validate the aggregation into metadata-answerable specs. */
   /** GROUPED metadata count: `GROUP BY <identity partition col>` with
@@ -626,19 +719,29 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     * bucket token does not determine the column VALUE) and for any other
     * aggregate or grouping shape. Empty directories emit no row, matching
     * SQL group semantics. */
-  private def groupedCountPushable(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+  /** The identity-level indices a grouped count groups by, when pushable:
+    * every grouping expression is a distinct IDENTITY partition level
+    * (bucket tokens do not determine the column value, so bucket levels
+    * refuse). A subset of the levels is fine — counts aggregate across
+    * the unmentioned levels' directories. */
+  private def groupedCountLevels(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[Int]] = {
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
     import org.apache.spark.sql.connector.expressions.NamedReference
-    !includeDeleted && versionAsOf.isEmpty && bucketN.isEmpty &&
-      partInfo.exists { case (col, _) =>
-        (aggregation.groupByExpressions.toSeq match {
-          case Seq(r: NamedReference) =>
-            r.fieldNames.length == 1 && r.fieldNames.head == col
-          case _ => false
-        }) && aggregation.aggregateExpressions.nonEmpty &&
-          aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-      }
+    if (includeDeleted || versionAsOf.isDefined || partLevels.isEmpty)
+      return None
+    if (aggregation.aggregateExpressions.isEmpty ||
+        !aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      return None
+    val lis = aggregation.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        partLevels.indexWhere(l =>
+          l.col == r.fieldNames.head && l.bucket.isEmpty)
+      case _ => -1
+    }
+    if (lis.nonEmpty && lis.forall(_ >= 0) && lis.distinct == lis) Some(lis)
+    else None
   }
 
   private def metadataAggs(
@@ -675,24 +778,22 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     if (wantsMinMax) {
       // exactness gate for the stats-answered aggregates
       if (versionAsOf.isDefined) return None
-      partInfo match {
-        case Some((col, _)) =>
+      if (partLevels.nonEmpty) {
           // partitioned: per-DIRECTORY stats must cover every file of
           // every surviving partition, and the directory must carry NO
           // outstanding delete vectors (partitioned delta DML — a vector
           // could hide the extreme row; the metadata DELETE folds vectors
           // and recomputes per-dir bounds during its rewrite)
-          val covered = AuditPartition.listDirs(path, col).forall {
-            case (token, dir) =>
-              !allowedTokens.forall(_.contains(token)) ||
-                (excludeNull && token == AuditPartition.NullToken) || {
+          val covered = AuditPartition.listDirs(path, partLevels).forall {
+            case (relDir, dir) =>
+              !AuditPartition.survives(relDir, allowedTokens, excludeNull) || {
                   val st = AuditStats.read(dir.toString)
                   AuditDeletes.count(dir.toString) == 0L &&
                     AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1))
                 }
           }
           if (!covered) return None
-        case None =>
+      } else {
           if (AuditDeletes.exists(path) && AuditDeletes.count(path) > 0) return None
           val stats = AuditStats.read(path)
           val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
@@ -713,28 +814,32 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
 
   private var pushedMetaAggs: Option[Seq[AuditMetaAgg]] = None
   private var pushedGroupCounts = 0
+  private var pushedGroupLevels: Seq[Int] = Nil
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     metadataAggs(aggregation) match {
       case Some(specs) => pushedMetaAggs = Some(specs); true
-      case None if groupedCountPushable(aggregation) =>
-        pushedGroupCounts = aggregation.aggregateExpressions.length; true
-      case None => false
+      case None => groupedCountLevels(aggregation) match {
+        case Some(lis) =>
+          pushedGroupLevels = lis
+          pushedGroupCounts = aggregation.aggregateExpressions.length; true
+        case None => false
+      }
     }
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     pushedMetaAggs match {
       case Some(specs) =>
-        new AuditCountScan(path, versionAsOf, partInfo, allowedTokens, specs,
+        new AuditCountScan(path, versionAsOf, partLevels, allowedTokens, specs,
           excludeNull)
       case None if pushedGroupCounts > 0 =>
-        new AuditGroupCountScan(path, partInfo.get._1, partInfo.get._2,
+        new AuditGroupCountScan(path, partLevels, pushedGroupLevels,
           allowedTokens, excludeNull, pushedGroupCounts)
       case None =>
-        new AuditScan(path, writeSchema, required, versionAsOf, partInfo,
+        new AuditScan(path, writeSchema, required, versionAsOf, partLevels,
           allowedTokens, includeDeleted, skipFilters,
-          pushedCap.map(_.toLong).getOrElse(Long.MaxValue), bucketN,
+          pushedCap.map(_.toLong).getOrElse(Long.MaxValue),
           snapMaxEpoch, snapFiles, excludeNull, outSchema = Some(requiredOut))
     }
 }
@@ -746,40 +851,54 @@ final case class AuditMetaAgg(op: String, field: Option[StructField])
 /** The manifest-count scan: one partition, one row, zero data files read.
   * On partitioned tables the count sums only the SURVIVING partition
   * directories' manifests — a partition-sliced COUNT(*) stays metadata-only. */
-/** One row per surviving partition directory: (partition value, COUNT(*))
-  * read from the per-partition manifests — zero data files opened. The
-  * COMPLETE-pushdown grouped count for identity-partitioned tables. */
-final class AuditGroupCountScan(path: String, col: String, dt: DataType,
-    allowedTokens: Option[Set[String]] = None,
-    excludeNull: Boolean = false,
+/** One row per surviving GROUP of partition directories: (grouped level
+  * values, COUNT(*)) read from the per-partition manifests — zero data
+  * files opened. The COMPLETE-pushdown grouped count for identity
+  * partition levels; grouping by a SUBSET of the levels sums across the
+  * unmentioned levels' directories. */
+final class AuditGroupCountScan(path: String,
+    partLevels: Seq[AuditPartition.Level],
+    groupLevels: Seq[Int],
+    allowedTokens: Map[Int, Set[String]] = Map.empty,
+    excludeNull: Set[Int] = Set.empty,
     nCounts: Int = 1)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
 
   override def readSchema(): StructType = StructType(
-    StructField(col, dt, nullable = true) +:
+    groupLevels.map(li =>
+      StructField(partLevels(li).col, partLevels(li).dt, nullable = true)) ++
       (0 until nCounts).map(i =>
         StructField(s"count_$i", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"AuditGroupCountScan $path (metadata-only count group by $col)" +
-      allowedTokens.map(t => s" partitions=${t.toSeq.sorted.mkString(",")}")
-        .getOrElse("")
+    s"AuditGroupCountScan $path (metadata-only count group by " +
+      s"${groupLevels.map(partLevels(_).col).mkString(",")})" +
+      (if (allowedTokens.nonEmpty)
+        allowedTokens.toSeq.sortBy(_._1).map { case (li, ts) =>
+          s" ${partLevels(li).col}=${ts.toSeq.sorted.mkString("|")}"
+        }.mkString(" partitions:", ",", "")
+      else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    AuditPartition.listDirs(path, col).collect {
-      case (token, dir) if allowedTokens.forall(_.contains(token)) &&
-          !(excludeNull && token == AuditPartition.NullToken) =>
+    AuditPartition.listDirs(path, partLevels).collect {
+      case (relDir, dir)
+        if AuditPartition.survives(relDir, allowedTokens, excludeNull) =>
         // live rows = manifest total − the dir's delete-vector entries
-        (token, AuditPartition.manifestEntries(dir).map(_._2).sum -
-          AuditDeletes.count(dir.toString))
-    }.collect { // an empty partition is no group at all in SQL semantics
-      case (token, n) if n > 0 =>
-        AuditCountPartition(
-          AuditPartition.decode(token, dt) +: Seq.fill(nCounts)(n))
-          : InputPartition
-    }.toArray
+        (groupLevels.map(AuditPartition.componentToken(relDir, _)),
+          AuditPartition.manifestEntries(dir).map(_._2).sum -
+            AuditDeletes.count(dir.toString))
+    }.groupBy(_._1).toSeq.sortBy(_._1.mkString("/"))
+      .map { case (toks, dirs) => (toks, dirs.map(_._2).sum) }
+      .collect { // an empty group is no group at all in SQL semantics
+        case (toks, n) if n > 0 =>
+          AuditCountPartition(
+            toks.zip(groupLevels).map { case (t, li) =>
+              AuditPartition.decode(t, partLevels(li).dt) } ++
+              Seq.fill(nCounts)(n))
+            : InputPartition
+      }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -800,13 +919,17 @@ final class AuditGroupCountScan(path: String, col: String, dt: DataType,
 }
 
 final class AuditCountScan(path: String, versionAsOf: Option[Long],
-    partInfo: Option[(String, DataType)] = None,
-    allowedTokens: Option[Set[String]] = None,
+    partLevels: Seq[AuditPartition.Level] = Nil,
+    allowedTokens: Map[Int, Set[String]] = Map.empty,
     aggs: Seq[AuditMetaAgg] = Seq(AuditMetaAgg("count", None)),
-    excludeNull: Boolean = false)
+    excludeNull: Set[Int] = Set.empty)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
+
+  private def survivingDirs: Seq[(String, java.nio.file.Path)] =
+    AuditPartition.listDirs(path, partLevels).filter { case (relDir, _) =>
+      AuditPartition.survives(relDir, allowedTokens, excludeNull) }
 
   override def readSchema(): StructType =
     StructType(aggs.map {
@@ -822,21 +945,20 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
       aggs.map(a => a.field.fold(a.op)(f => s"${a.op}(${f.name})"))
         .mkString(",") + ")" +
       versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
-      allowedTokens.map(t => s" partitions=${t.toSeq.sorted.mkString(",")}").getOrElse("")
+      (if (allowedTokens.nonEmpty)
+        s" partitions=${survivingDirs.map(_._1).mkString(",")}" else "")
 
   /** Zone-map MIN/MAX across the current-read file set (the pushdown
     * gate already proved every one of these files has exact bounds). */
   private def statValue(op: String, f: StructField): Any = {
-    val bounds: Seq[(Long, Long)] = partInfo match {
-      case Some((col, _)) =>
-        AuditPartition.listDirs(path, col).collect {
-          case (token, dir) if allowedTokens.forall(_.contains(token)) &&
-              !(excludeNull && token == AuditPartition.NullToken) =>
+    val bounds: Seq[(Long, Long)] =
+      if (partLevels.nonEmpty)
+        survivingDirs.flatMap { case (_, dir) =>
             val st = AuditStats.read(dir.toString)
             AuditPartition.manifestEntries(dir)
               .flatMap(e => st.get(e._1).flatMap(_.ints.get(f.name)))
-        }.flatten
-      case None =>
+        }
+      else {
         val stats = AuditStats.read(path)
         val baseThrough = AuditBase.read(path).map(_.throughEpoch)
           .getOrElse(Long.MinValue)
@@ -848,7 +970,7 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
             AuditScan.committedEpochs(path)
               .filter(_ > baseThrough).toSet).map(_._1)
         files.flatMap(stats.get(_).flatMap(_.ints.get(f.name)))
-    }
+      }
     if (bounds.isEmpty) null
     else {
       val v = if (op == "min") bounds.map(_._1).min else bounds.map(_._2).max
@@ -859,11 +981,9 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
     }
   }
 
-  private def manifestCount(): Long = partInfo match {
-    case Some((col, _)) =>
-      AuditPartition.listDirs(path, col).collect {
-        case (token, dir) if allowedTokens.forall(_.contains(token)) &&
-            !(excludeNull && token == AuditPartition.NullToken) =>
+  private def manifestCount(): Long =
+    if (partLevels.nonEmpty)
+      survivingDirs.map { case (_, dir) =>
           AuditPartition.manifestEntries(dir).collect {
             case (f, r) if AuditScan.epochVisible(f, versionAsOf) => r
           }.sum -
@@ -871,12 +991,11 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
             // vectors (partitioned delta DML); pinned reads ignore them
             (if (versionAsOf.isEmpty) AuditDeletes.count(dir.toString) else 0L)
       }.sum
-    case None =>
+    else
       // current-state counts subtract the delete vectors (kept exact by
       // append's dedup); pinned reads ignore vectors, so no adjustment
       unpartitionedCount() -
         (if (versionAsOf.isEmpty) AuditDeletes.count(path) else 0L)
-  }
 
   private def unpartitionedCount(): Long = {
     val dir = java.nio.file.Paths.get(path)
@@ -943,15 +1062,14 @@ final case class AuditCountPartition(vals: Seq[Any])
   * write-side two-phase commit becomes an end-to-end exactly-once bus. */
 final class AuditScan(path: String, writeSchema: StructType,
     required: StructType, versionAsOf: Option[Long],
-    partInfo: Option[(String, DataType)] = None,
-    allowedTokens: Option[Set[String]] = None,
+    partLevels: Seq[AuditPartition.Level] = Nil,
+    allowedTokens: Map[Int, Set[String]] = Map.empty,
     includeDeleted: Boolean = false,
     skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     rowCap: Long = Long.MaxValue,
-    bucketN: Option[Int] = None,
     snapMaxEpoch: Option[Long] = None,
     snapFiles: Option[Set[String]] = None,
-    excludeNull: Boolean = false,
+    excludeNull: Set[Int] = Set.empty,
     // current-named pruned schema for Spark (readSchema); `required` is
     // its storage-named twin the readers parse with. None = identical.
     outSchema: Option[StructType] = None)
@@ -965,32 +1083,34 @@ final class AuditScan(path: String, writeSchema: StructType,
 
   // --- RUNTIME partition pruning (DPP) --------------------------------
   // A selective join against a partitioned audit table plants IN/=
-  // predicates over the partition column at EXECUTION time; directories
+  // predicates over a partition column at EXECUTION time; directories
   // outside the value set are dropped before a single file opens. At
   // 100 TB this is the difference between "join reads one day" and
   // "join reads the table" whenever the partition values only become
   // known at runtime (dim-filtered joins, subquery results). Identity
-  // AND bucket layouts prune (values map to tokens through the same
+  // AND bucket levels prune (values map to tokens through the same
   // tokenFor the write router uses); null literals match no equi-join
-  // row, so dropping the null directory is correct.
-  private var runtimeTokens: Option[Set[String]] = None
+  // row, so dropping the null directory is correct. Multi-level tables
+  // prune per LEVEL: a runtime filter on any partition column narrows
+  // that level's component independently.
+  private var runtimeTokens: Map[Int, Set[String]] = Map.empty
   private[sources] var runtimeFilterApi: Option[String] = None
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partInfo match {
-      // the partition column is never renamed (current name == storage) —
-      // but it must have SURVIVED column pruning: Spark resolves these
-      // references against the scan's (pruned) output and THROWS on a
-      // miss (seen on a MERGE's delete-branch scan, which projects only
-      // the row id), rather than skipping the scan for DPP
-      case Some((col, _)) if readSchema().fieldNames.contains(col) => Array(
-        org.apache.spark.sql.connector.expressions.Expressions.column(col))
-      case _ => Array.empty
-    }
+    // partition columns are never renamed (current name == storage) —
+    // but each must have SURVIVED column pruning: Spark resolves these
+    // references against the scan's (pruned) output and THROWS on a
+    // miss (seen on a MERGE's delete-branch scan, which projects only
+    // the row id), rather than skipping the scan for DPP
+    partLevels.collect {
+      case l if readSchema().fieldNames.contains(l.col) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(l.col)
+    }.toArray
 
-  private def restrictRuntime(tokens: Set[String], api: String): Unit = {
-    runtimeTokens = Some(runtimeTokens.fold(tokens)(_ intersect tokens))
+  private def restrictRuntime(li: Int, tokens: Set[String], api: String): Unit = {
+    runtimeTokens += (li ->
+      runtimeTokens.get(li).fold(tokens)(_ intersect tokens))
     runtimeFilterApi = Some(api)
   }
 
@@ -1000,29 +1120,33 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
-    val col = partInfo.map(_._1).getOrElse(return)
-    def isPartRef(e: Expression): Boolean = e match {
-      case r: NamedReference => r.fieldNames.toSeq == Seq(col)
-      case _                 => false
+    if (partLevels.isEmpty) return
+    def partLevel(e: Expression): Int = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        partLevels.indexWhere(_.col == r.fieldNames.head)
+      case _ => -1
     }
-    def litToken(e: Expression): Option[Option[String]] = e match {
+    def litToken(li: Int, e: Expression): Option[Option[String]] = e match {
       // Some(None) = a null literal (matches nothing — contributes no
       // token); None = not a literal (unparseable)
       case l: Literal[_] =>
-        Some(Option(l.value).map(v => AuditPartition.tokenFor(v, bucketN)))
+        Some(Option(l.value).map(v =>
+          AuditPartition.tokenFor(v, partLevels(li).bucket)))
       case _ => None
     }
     val unhandled = predicates.filterNot { p =>
       (p.name, p.children().toSeq) match {
-        case ("IN", ref +: vals) if isPartRef(ref) && vals.nonEmpty =>
-          val toks = vals.map(litToken)
+        case ("IN", ref +: vals) if partLevel(ref) >= 0 && vals.nonEmpty =>
+          val li = partLevel(ref)
+          val toks = vals.map(litToken(li, _))
           toks.forall(_.isDefined) && {
-            restrictRuntime(toks.flatMap(_.get).toSet, "v2-native")
+            restrictRuntime(li, toks.flatMap(_.get).toSet, "v2-native")
             true
           }
-        case ("=", Seq(a, b)) if isPartRef(a) || isPartRef(b) =>
-          litToken(if (isPartRef(a)) b else a).exists { t =>
-            restrictRuntime(t.toSet, "v2-native")
+        case ("=", Seq(a, b)) if partLevel(a) >= 0 || partLevel(b) >= 0 =>
+          val li = math.max(partLevel(a), partLevel(b))
+          litToken(li, if (partLevel(a) >= 0) b else a).exists { t =>
+            restrictRuntime(li, t.toSet, "v2-native")
             true
           }
         case _ => false
@@ -1035,14 +1159,18 @@ final class AuditScan(path: String, writeSchema: StructType,
   /** v1 bridge fallback. Unparseable shapes prune nothing (safe). */
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
-    val col = partInfo.map(_._1).getOrElse(return)
+    if (partLevels.isEmpty) return
+    def levelOf(c: String): Int = partLevels.indexWhere(_.col == c)
     filters.foreach {
-      case EqualTo(c, v) if c == col && v != null =>
-        restrictRuntime(Set(AuditPartition.tokenFor(v, bucketN)), "v1")
-      case In(c, vs) if c == col =>
-        restrictRuntime(
+      case EqualTo(c, v) if levelOf(c) >= 0 && v != null =>
+        val li = levelOf(c)
+        restrictRuntime(li,
+          Set(AuditPartition.tokenFor(v, partLevels(li).bucket)), "v1")
+      case In(c, vs) if levelOf(c) >= 0 =>
+        val li = levelOf(c)
+        restrictRuntime(li,
           vs.iterator.filter(_ != null)
-            .map(AuditPartition.tokenFor(_, bucketN)).toSet, "v1")
+            .map(AuditPartition.tokenFor(_, partLevels(li).bucket)).toSet, "v1")
       case _ => ()
     }
   }
@@ -1062,14 +1190,14 @@ final class AuditScan(path: String, writeSchema: StructType,
     def sizeOf(p: java.nio.file.Path): Long =
       try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
     // (file path, rows when metadata-known)
-    val files: Seq[(java.nio.file.Path, Option[Long])] = partInfo match {
-      case Some(_) => survivingDirs.flatMap { case (_, d) =>
+    val files: Seq[(java.nio.file.Path, Option[Long])] =
+      if (partLevels.nonEmpty) survivingDirs.flatMap { case (_, d) =>
         AuditPartition.manifestEntries(d).collect {
           case (f, r) if AuditScan.epochVisible(f, versionAsOf) =>
             (d.resolve(f), Some(r))
         }
       }
-      case None =>
+      else {
         val base = AuditBase.read(path)
         val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
         val wanted = versionAsOf match {
@@ -1093,17 +1221,17 @@ final class AuditScan(path: String, writeSchema: StructType,
           case (f, _) if !skippable(f) => (dir.resolve(f), None)
         }
         baseFiles ++ batchFiles ++ epochFiles
-    }
+      }
     val bytes = files.map(f => sizeOf(f._1)).sum
     val rows: Option[Long] =
       if (files.forall(_._2.isDefined)) {
         val raw = files.flatMap(_._2).sum
         val deleted =
-          if (versionAsOf.isEmpty && !includeDeleted) partInfo match {
-            case Some(_) =>
+          if (versionAsOf.isEmpty && !includeDeleted) {
+            if (partLevels.nonEmpty)
               survivingDirs.map { case (_, d) =>
                 AuditDeletes.count(d.toString) }.sum
-            case None => AuditDeletes.count(path)
+            else AuditDeletes.count(path)
           }
           else 0L
         Some(math.max(0L, raw - deleted))
@@ -1130,7 +1258,7 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val claim = for {
-      _ <- Option.when(partInfo.isEmpty && versionAsOf.isEmpty)(())
+      _ <- Option.when(partLevels.isEmpty && versionAsOf.isEmpty)(())
       b <- AuditBase.read(path)
       s <- b.sortBy
       if required.fieldNames.contains(s)
@@ -1153,28 +1281,26 @@ final class AuditScan(path: String, writeSchema: StructType,
   override def description(): String =
     s"AuditScan $path" + versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
       (if (rowCap != Long.MaxValue) s" rowCap=$rowCap" else "") +
-      partInfo.map { case (c, _) =>
-        s" partitionBy=$c dirs=${survivingDirs.map(_._1).mkString(",")}"
-      }.getOrElse("")
+      (if (partLevels.nonEmpty)
+        s" partitionBy=${partLevels.map(_.col).mkString(",")} " +
+          s"dirs=${survivingDirs.map(_._1).mkString(",")}"
+      else "")
 
   /** Partition dirs surviving the STATICALLY pushed partition predicates
     * (pinned once: outputPartitioning's numPartitions must equal
     * planInputPartitions' length under one listing). */
   private lazy val listedDirs: Seq[(String, java.nio.file.Path)] =
-    partInfo.toSeq.flatMap { case (col, _) =>
-      AuditPartition.listDirs(path, col)
-        .filter { case (token, _) => allowedTokens.forall(_.contains(token)) &&
-          !(excludeNull && token == AuditPartition.NullToken) }
-    }
+    AuditPartition.listDirs(path, partLevels)
+      .filter { case (relDir, _) =>
+        AuditPartition.survives(relDir, allowedTokens, excludeNull) }
 
   /** …further narrowed by RUNTIME filters (applied at use time: Spark
     * re-plans input partitions after calling `filter`, and re-groups the
     * reported key-grouped partitioning over the survivors). */
   private def survivingDirs: Seq[(String, java.nio.file.Path)] =
-    runtimeTokens match {
-      case Some(ts) => listedDirs.filter { case (tok, _) => ts.contains(tok) }
-      case None     => listedDirs
-    }
+    if (runtimeTokens.isEmpty) listedDirs
+    else listedDirs.filter { case (relDir, _) =>
+      AuditPartition.survives(relDir, runtimeTokens, Set.empty) }
 
   /** One InputPartition per partition DIRECTORY (all its manifest files),
     * each carrying its decoded key — the [[HasPartitionKey]] +
@@ -1187,19 +1313,20 @@ final class AuditScan(path: String, writeSchema: StructType,
     * granularity while a directory is one task's worth of data. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    partInfo match {
-      case Some((col, _)) =>
-        val expr = bucketN match {
-          case Some(n) =>
-            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
-          case None =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(col)
-        }
-        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(expr), survivingDirs.size)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
-    }
+    if (partLevels.nonEmpty) {
+      val exprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        partLevels.map { l =>
+          (l.bucket match {
+            case Some(n) =>
+              org.apache.spark.sql.connector.expressions.Expressions.bucket(n, l.col)
+            case None =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(l.col)
+          }): org.apache.spark.sql.connector.expressions.Expression
+        }.toArray
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        exprs, survivingDirs.size)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** ZONE-MAP skip: a file whose `_STATS` bounds prove every row fails
     * the pushed conjuncts is dropped from planning without being opened
@@ -1225,15 +1352,14 @@ final class AuditScan(path: String, writeSchema: StructType,
         AuditStats.canSkip(_, skipFilters, statableCols, strCols))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    partInfo match {
-      case Some((_, dt)) =>
+    if (partLevels.nonEmpty) {
         // per-DIRECTORY zone maps: inside each surviving partition the
         // same bounds/bloom refutation drops files; the partition itself
         // stays (possibly empty) so KeyGroupedPartitioning is unaffected.
         // A pinned (VERSION AS OF) read keeps only streaming-epoch files
         // with epoch <= v — batch txn appends carry no epoch, the same
         // exclusion the unpartitioned pinned read applies.
-        return survivingDirs.map { case (token, dir) =>
+        return survivingDirs.map { case (relDir, dir) =>
           val dirStats =
             if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
             else Map.empty[String, AuditStats.FileStats]
@@ -1250,12 +1376,9 @@ final class AuditScan(path: String, writeSchema: StructType,
             if (versionAsOf.isEmpty && !includeDeleted)
               AuditDeletes.read(dir.toString)
             else Map.empty[String, Set[Long]]
-          AuditDirPartition(files, token, dt,
-            bucketed = bucketN.isDefined,
-            dirName = dir.getFileName.toString,
+          AuditDirPartition(files, relDir, partLevels,
             vectors = dirVectors): InputPartition
         }.toArray
-      case None => ()
     }
     val dir = java.nio.file.Paths.get(path)
     AuditBase.checkNotExpired(path, versionAsOf) // VACUUM's retention bound
@@ -1312,11 +1435,10 @@ final class AuditScan(path: String, writeSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    partInfo match {
-      case Some((c, _)) =>
-        new AuditPartitionedMicroBatchStream(path, writeSchema, required, c)
-      case None => new AuditMicroBatchStream(path, writeSchema, required)
-    }
+    if (partLevels.nonEmpty)
+      new AuditPartitionedMicroBatchStream(path, writeSchema, required,
+        partLevels)
+    else new AuditMicroBatchStream(path, writeSchema, required)
 }
 
 /** DELETE VECTORS: `_DELETES` holds one json line per delta-deleted row —
@@ -1448,25 +1570,27 @@ final case class AuditBasePartition(file: String,
     vectors: Map[String, Set[Long]] = Map.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
 
-/** One partition DIRECTORY of a partitioned audit table; `partitionKey`
-  * exposes the decoded value (identity) or the bucket INDEX so Spark can
-  * key-group for SPJ. `dirName` (the `col=token` directory name) prefixes
-  * the `_file` metadata column so row ids are unique TABLE-wide — the
-  * partitioned delta-DML path keys its per-directory delete vectors by
-  * that id; `vectors` are the directory's outstanding vector entries,
-  * keyed by the PLAIN file name within the directory. */
-final case class AuditDirPartition(files: Seq[String], token: String,
-    dt: DataType, bucketed: Boolean = false,
-    dirName: String = "",
+/** One LEAF partition DIRECTORY of a partitioned audit table;
+  * `partitionKey` exposes one value per level — the decoded value
+  * (identity) or the bucket INDEX — so Spark can key-group for SPJ.
+  * `relDir` (the `c1=t1/…/cK=tK` relative path) prefixes the `_file`
+  * metadata column so row ids are unique TABLE-wide — the partitioned
+  * delta-DML path keys its per-directory delete vectors by that id;
+  * `vectors` are the directory's outstanding vector entries, keyed by
+  * the PLAIN file name within the directory. */
+final case class AuditDirPartition(files: Seq[String], relDir: String,
+    levels: Seq[AuditPartition.Level],
     vectors: Map[String, Set[Long]] = Map.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](
-        if (bucketed) {
-          if (token == AuditPartition.NullToken) null else token.toInt
-        } else AuditPartition.decode(token, dt)))
+      levels.zipWithIndex.map { case (l, i) =>
+        val token = AuditPartition.componentToken(relDir, i)
+        if (l.bucket.isDefined) {
+          if (token == AuditPartition.NullToken) null else Int.box(token.toInt)
+        } else AuditPartition.decode(token, l.dt)
+      }.toArray[Any])
 }
 
 /** Tail the `_EPOCHS` commit log as a micro-batch stream: offset = number
@@ -1541,7 +1665,8 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
   * maintenance hits the same shrunken-log guard as the unpartitioned
   * tail and fails loudly instead of replaying drifted offsets. */
 final class AuditPartitionedMicroBatchStream(path: String,
-    writeSchema: StructType, required: StructType, col: String)
+    writeSchema: StructType, required: StructType,
+    partLevels: Seq[AuditPartition.Level])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   import org.apache.spark.sql.connector.read._
@@ -1562,7 +1687,7 @@ final class AuditPartitionedMicroBatchStream(path: String,
         "from a fresh checkpoint")
     val slice = eps.slice(from, end.asInstanceOf[PagedOffset].page).toSet
     val epochRe = """part-e(-?\d+)-\d+\.jsonl""".r
-    AuditPartition.listDirs(path, col).flatMap { case (_, pdir) =>
+    AuditPartition.listDirs(path, partLevels).flatMap { case (_, pdir) =>
       AuditPartition.manifestEntries(pdir).collect {
         case (f @ epochRe(e), _) if slice.contains(e.toLong) =>
           AuditFilePartition(pdir.resolve(f).toString,
@@ -1635,7 +1760,7 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
   * vanished directory) fails loudly instead of replaying drifted
   * history. */
 final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
-    col: String, parseSchema0: StructType = null)
+    partLevels: Seq[AuditPartition.Level], parseSchema0: StructType = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
@@ -1651,17 +1776,16 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
     s"AuditPartitionedCdfScan $path (change feed)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    AuditPartition.listDirs(path, col).flatMap { case (_, pdir) =>
-      val dirName = pdir.getFileName.toString
+    AuditPartition.listDirs(path, partLevels).flatMap { case (relDir, pdir) =>
       AuditPartition.manifestEntries(pdir).map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
           AuditScan.epochOf(f), None,
-          relName = Some(s"$dirName/$f")): InputPartition
+          relName = Some(s"$relDir/$f")): InputPartition
       } ++ AuditDeletes.entries(pdir.toString).groupBy(_._1).toSeq
         .sortBy(_._1).map { case (f, ps) =>
           AuditCdfPartition(pdir.resolve(f).toString, None,
             Some(ps.map(_._2).sorted),
-            relName = Some(s"$dirName/$f")): InputPartition
+            relName = Some(s"$relDir/$f")): InputPartition
         }
     }.toArray
 
@@ -1670,7 +1794,7 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AuditPartitionedCdfStream(path, parseSchema, col)
+    new AuditPartitionedCdfStream(path, parseSchema, partLevels)
 }
 
 /** Offset of the partitioned change feed, PER DIRECTORY (a single global
@@ -1709,48 +1833,57 @@ private[sources] object AuditPartCdfOffset {
 }
 
 final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
-    col: String)
+    partLevels: Seq[AuditPartition.Level])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read._
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  /** Offset keys are relDirs; a legacy (single-level round-12) checkpoint
+    * stored BARE tokens — normalize by prefixing the level-0 column
+    * (tokens are URL-encoded, so a raw `=` never appears in one). */
+  private def normKey(k: String): String =
+    if (k.contains('=')) k else s"${partLevels.head.col}=$k"
+
   private def now(): AuditPartCdfOffset = AuditPartCdfOffset(
-    AuditPartition.listDirs(path, col).map { case (tok, pdir) =>
+    AuditPartition.listDirs(path, partLevels).map { case (relDir, pdir) =>
       val entries = AuditPartition.manifestEntries(pdir)
-      (tok, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
+      (relDir, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
         AuditDeletes.count(pdir.toString).toInt))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
   override def latestOffset(): Offset = now()
-  override def deserializeOffset(json: String): Offset =
-    AuditPartCdfOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val parsed = AuditPartCdfOffset.parse(json)
+    AuditPartCdfOffset(parsed.dirs.map { case (k, v) => (normKey(k), v) })
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[AuditPartCdfOffset].dirs
+      .map { case (k, v) => (normKey(k), v) }
     val en = end.asInstanceOf[AuditPartCdfOffset].dirs
-    val dirs = AuditPartition.listDirs(path, col).toMap
+      .map { case (k, v) => (normKey(k), v) }
+    val dirs = AuditPartition.listDirs(path, partLevels).toMap
     // a directory the tail ALREADY CONSUMED from must still exist: DROP
     // PARTITION / TRUNCATE under a live tail removes it from the END
     // offset entirely, which would otherwise be a silent skip of
     // published history — the contract is a loud error, never drift
-    s.foreach { case (tok, from) =>
-      if ((from.entries > 0 || from.dels > 0) && !dirs.contains(tok))
+    s.foreach { case (relDir, from) =>
+      if ((from.entries > 0 || from.dels > 0) && !dirs.contains(relDir))
         throw new IllegalStateException(
-          s"audit changeFeed: partition dir $col=$tok vanished at $path " +
+          s"audit changeFeed: partition dir $relDir vanished at $path " +
             "after the feed consumed from it — the partition was dropped " +
             "or the table truncated; restart the feed from a fresh checkpoint")
     }
-    en.toSeq.sortBy(_._1).flatMap { case (tok, until) =>
-      val pdir = dirs.getOrElse(tok, throw new IllegalStateException(
-        s"audit changeFeed: partition dir $col=$tok vanished at $path — " +
+    en.toSeq.sortBy(_._1).flatMap { case (relDir, until) =>
+      val pdir = dirs.getOrElse(relDir, throw new IllegalStateException(
+        s"audit changeFeed: partition dir $relDir vanished at $path — " +
           "the table was truncated or its partition dropped; restart the feed"))
-      val dirName = pdir.getFileName.toString
       val entries = AuditPartition.manifestEntries(pdir)
-      val from = s.getOrElse(tok, AuditPartCdfOffset.Zero)
+      val from = s.getOrElse(relDir, AuditPartCdfOffset.Zero)
       require(from.entries <= entries.size && until.entries <= entries.size,
         s"audit changeFeed: restored offset ${from.entries}..${until.entries} " +
-          s"exceeds the manifest length ${entries.size} for $col=$tok at " +
+          s"exceeds the manifest length ${entries.size} for $relDir at " +
           s"$path — the directory was rewritten (epoch replay after a " +
           "crash); restart the feed from a fresh checkpoint")
       // in-place-rewrite detector: the retroactive metadata DELETE keeps
@@ -1758,25 +1891,25 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       // sum moved means already-emitted history was rewritten under us
       if (from.rows >= 0L)
         require(entries.take(from.entries).map(_._2).sum == from.rows,
-          s"audit changeFeed: already-consumed entries of $col=$tok at " +
+          s"audit changeFeed: already-consumed entries of $relDir at " +
             s"$path changed row counts (retroactive metadata DELETE " +
             "rewrote published history in place); restart the feed from " +
             "a fresh checkpoint")
       val dels = AuditDeletes.entries(pdir.toString)
       require(from.dels <= dels.size && until.dels <= dels.size,
         s"audit changeFeed: restored vector offset ${from.dels}..${until.dels} " +
-          s"exceeds the delete log length ${dels.size} for $col=$tok at " +
+          s"exceeds the delete log length ${dels.size} for $relDir at " +
           s"$path — the vectors were folded (metadata DELETE or OPTIMIZE); " +
           "restart the feed from a fresh checkpoint")
       entries.slice(from.entries, until.entries).map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
           AuditScan.epochOf(f), None,
-          relName = Some(s"$dirName/$f")): InputPartition
+          relName = Some(s"$relDir/$f")): InputPartition
       } ++ dels.slice(from.dels, until.dels).groupBy(_._1).toSeq
         .sortBy(_._1).map { case (f, ps) =>
           AuditCdfPartition(pdir.resolve(f).toString, None,
             Some(ps.map(_._2).sorted),
-            relName = Some(s"$dirName/$f")): InputPartition
+            relName = Some(s"$relDir/$f")): InputPartition
         }
     }.toArray
   }
@@ -2072,7 +2205,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
           Map.empty[String, Set[Long]], "")
       case p: AuditDirPartition  =>
         (p.files, None, Set.empty[Long], p.vectors,
-          if (p.dirName.isEmpty) "" else p.dirName + "/")
+          if (p.relDir.isEmpty) "" else p.relDir + "/")
     }
     // map each required field to its write-schema index, or a negative
     // sentinel for the metadata columns (_epoch/_file/_pos)
@@ -2225,7 +2358,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
   * scale-killer. */
 final class AuditPartDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    partInfo: Option[(String, DataType)], bucketN: Option[Int],
+    partLevels: Seq[AuditPartition.Level],
     nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
@@ -2233,7 +2366,7 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new AuditScanBuilder(path, schema, None, partInfo, bucketN = bucketN,
+    new AuditScanBuilder(path, schema, None, partLevels,
       nameMap = nameMap)
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -2245,57 +2378,59 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
         val storage = AuditNameMap.toStorage(info.schema(), nameMap)
         // a pure DELETE writes no rows: its write schema is EMPTY, so
-        // there is no partition column to route by (and no insert to route)
-        val partIdx =
-          if (storage.fieldNames.contains(partInfo.get._1))
-            storage.fieldIndex(partInfo.get._1)
-          else -1
-        new AuditPartDeltaWrite(path, storage, partIdx, bucketN)
+        // there are no partition columns to route by (and no insert)
+        val routable = partLevels.forall(l =>
+          storage.fieldNames.contains(l.col))
+        new AuditPartDeltaWrite(path, storage,
+          if (routable) partLevels else Nil)
       }
     }
 }
 
 final class AuditPartDeltaWrite(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int])
+    partLevels: Seq[AuditPartition.Level])
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new AuditPartDeltaBatchWrite(path, schema, partIdx, bucketN)
+    new AuditPartDeltaBatchWrite(path, schema, partLevels)
 }
 
 final case class AuditPartDeltaCommitMessage(
-    // inserted rows: (partition token, staged name, rows, column stats)
+    // inserted rows: (partition relDir, staged name, rows, column stats)
     entries: Seq[(String, String, Long, AuditStats.FileStats)],
     // deleted row ids: (dir-qualified file, pos)
     deletes: Seq[(String, Long)])
   extends WriterCommitMessage
 
 final class AuditPartDeltaWriterFactory(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int], stageSub: String)
+    partLevels: Seq[AuditPartition.Level], stageSub: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new AuditPartDeltaWriter(path, schema, partIdx, bucketN,
+    new AuditPartDeltaWriter(path, schema, partLevels,
       partitionId, taskId, stageSub)
 }
 
 /** Per-task partitioned delta writer: inserts route into one staged file
-  * per partition token (the [[AuditPartitionedDataWriter]] discipline);
+  * per partition relDir (the [[AuditPartitionedDataWriter]] discipline);
   * deleted row ids buffer in the commit message. */
 final class AuditPartDeltaWriter(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int], partitionId: Int, taskId: Long,
+    partLevels: Seq[AuditPartition.Level], partitionId: Int, taskId: Long,
     stageSub: String)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val stageDir =
     java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
   private val outs = scala.collection.mutable.LinkedHashMap
     .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
-  // partIdx = -1 for a pure DELETE (empty write schema, no inserts)
-  private lazy val partDt = schema(partIdx).dataType
+  // empty for a pure DELETE (empty write schema, no inserts)
+  private lazy val partIdxs: Array[Int] =
+    partLevels.map(l => schema.fieldIndex(l.col)).toArray
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
-  private def writerFor(token: String) = outs.getOrElseUpdate(token, {
+  private def writerFor(relDir: String) = outs.getOrElseUpdate(relDir, {
     java.nio.file.Files.createDirectories(stageDir)
-    val staged = f"stage-delta-$partitionId%05d-$taskId-$token.jsonl"
+    // staged names must be flat files: relDirs contain '/', so key the
+    // name on the writer's running file count instead
+    val staged = f"stage-delta-$partitionId%05d-$taskId-${outs.size}%04d.jsonl"
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
     (w, staged, Array(0L), new AuditStats.Acc(schema))
@@ -2310,12 +2445,15 @@ final class AuditPartDeltaWriter(path: String, schema: StructType,
   }
 
   override def insert(row: InternalRow): Unit = {
-    require(partIdx >= 0,
-      "audit partitioned delta: insert without a partition column in the " +
-        "write schema")
-    val token = AuditPartition.tokenFor(
-      if (row.isNullAt(partIdx)) null else row.get(partIdx, partDt), bucketN)
-    val (w, _, n, acc) = writerFor(token)
+    require(partLevels.nonEmpty,
+      "audit partitioned delta: insert without the partition columns in " +
+        "the write schema")
+    val relDir = AuditPartition.relDirOf(partLevels,
+      partLevels.zip(partIdxs).map { case (l, i) =>
+        AuditPartition.tokenFor(
+          if (row.isNullAt(i)) null else row.get(i, l.dt), l.bucket)
+      })
+    val (w, _, n, acc) = writerFor(relDir)
     w.write(AuditRowJson.line(schema, row))
     w.write("\n")
     acc.update(row)
@@ -2325,8 +2463,8 @@ final class AuditPartDeltaWriter(path: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     outs.values.foreach(_._1.close())
     AuditPartDeltaCommitMessage(
-      outs.collect { case (token, (_, staged, n, acc)) if n(0) > 0 =>
-        (token, staged, n(0), acc.result) }.toSeq,
+      outs.collect { case (relDir, (_, staged, n, acc)) if n(0) > 0 =>
+        (relDir, staged, n(0), acc.result) }.toSeq,
       deletes.toSeq)
   }
 
@@ -2348,13 +2486,13 @@ final class AuditPartDeltaWriter(path: String, schema: StructType,
   * order): a crash in between duplicates the updated rows rather than
   * losing them. */
 final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int])
+    partLevels: Seq[AuditPartition.Level])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   private val stageSub = "pd-" + java.util.UUID.randomUUID.toString.take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new AuditPartDeltaWriterFactory(path, schema, partIdx, bucketN, stageSub)
+    new AuditPartDeltaWriterFactory(path, schema, partLevels, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // single-maintenance-writer lease, as on the unpartitioned delta path
@@ -2363,13 +2501,11 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
   private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
-    // unused (and unavailable) for a pure DELETE — no inserts to place
-    lazy val col = schema(partIdx).name
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditPartDeltaCommitMessage])
     // inserts: per-directory OCC txn append, same as the batch writer
     msgs.flatMap(_.entries).groupBy(_._1).toSeq.sortBy(_._1)
-      .foreach { case (token, entries) =>
-        val pdir = dir.resolve(s"$col=$token")
+      .foreach { case (relDir, entries) =>
+        val pdir = dir.resolve(relDir)
         java.nio.file.Files.createDirectories(pdir)
         val gen = java.util.UUID.randomUUID.toString.take(8)
         val added = entries.sortBy(_._2).zipWithIndex.map {
@@ -2729,11 +2865,11 @@ private[sources] object AuditDelete {
   val MaxDriverRewriteRows: Long = 10L * 1000 * 1000
 
   /** Total committed rows, straight from the manifests (no data read). */
-  def tableRows(path: String, partInfo: Option[(String, DataType)] = None): Long = {
-    partInfo.foreach { case (col, _) =>
-      return AuditPartition.listDirs(path, col)
+  def tableRows(path: String,
+      partLevels: Seq[AuditPartition.Level] = Nil): Long = {
+    if (partLevels.nonEmpty)
+      return AuditPartition.listDirs(path, partLevels)
         .map { case (_, d) => AuditPartition.manifestEntries(d).map(_._2).sum }.sum
-    }
     val dir = java.nio.file.Paths.get(path)
     val rowsRe = """.*"rows":(\d+)\}""".r
     def sumOf(name: String, dropHeader: Boolean): Long = {
@@ -2817,23 +2953,23 @@ private[sources] object AuditDelete {
   }
 
   def deleteWhere(path: String, schema: StructType, filters: Array[Filter],
-      partInfo: Option[(String, DataType)] = None): Unit =
+      partLevels: Seq[AuditPartition.Level] = Nil): Unit =
     // maintenance single-writer rule, ENFORCED by the `_MAINT_LOCK` lease
     AuditMaintLock.withLease(path, "metadata-delete") {
-      deleteWhereLocked(path, schema, filters, partInfo)
+      deleteWhereLocked(path, schema, filters, partLevels)
     }
 
   private def deleteWhereLocked(path: String, schema: StructType,
       filters: Array[Filter],
-      partInfo: Option[(String, DataType)]): Unit = {
+      partLevels: Seq[AuditPartition.Level]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     // fold OCC txn appends in before any in-place file rewrite or
     // manifest read-modify-write (appends may race DML freely)
-    if (partInfo.isEmpty) AuditBase.consolidate(path)
+    if (partLevels.isEmpty) AuditBase.consolidate(path)
     // compacted table: canDeleteWhere routed predicate deletes to the
     // delta path, but TRUNCATE TABLE reaches here directly — clear the
     // base checkpoint and every log wholesale
-    if (partInfo.isEmpty && AuditBase.read(path).isDefined) {
+    if (partLevels.isEmpty && AuditBase.read(path).isDefined) {
       require(filters.forall(_.isInstanceOf[AlwaysTrue]),
         "audit: retroactive metadata DELETE on a compacted (OPTIMIZEd) " +
           "table is unsupported — predicate deletes take the delta path")
@@ -2905,8 +3041,8 @@ private[sources] object AuditDelete {
     }
     // partitioned table: rewrite inside each partition dir, refresh its
     // own manifest (per-partition metadata stays exact through deletes)
-    partInfo.foreach { case (col, _) =>
-      AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+    if (partLevels.nonEmpty) {
+      AuditPartition.listDirs(path, partLevels).foreach { case (_, pdir) =>
         newStats.clear() // per-DIR stats: file names repeat across dirs
         // DML is single-writer vs maintenance but may race OCC appends:
         // fold live txns in before rewriting files + manifest in place
@@ -3116,8 +3252,7 @@ private[sources] object AuditJson {
 
 final class AuditWriteBuilder(path: String, schema: StructType,
     options: Map[String, String] = Map.empty,
-    partInfo: Option[(String, DataType)] = None,
-    bucketN: Option[Int] = None,
+    partLevels: Seq[AuditPartition.Level] = Nil,
     queryId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
@@ -3157,7 +3292,7 @@ final class AuditWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       if (options.get("basecommit").exists(_.toBoolean)) {
         // OPTIMIZE's base-checkpoint publish — see AuditBase
-        require(partInfo.isEmpty,
+        require(partLevels.isEmpty,
           "audit: base compaction applies to unpartitioned tables " +
             "(partitioned small files are controlled per-partition at write " +
             "time via clusterBy/targetFileCount)")
@@ -3166,21 +3301,16 @@ final class AuditWriteBuilder(path: String, schema: StructType,
           options.get("basefoldfiles")
             .map(_.split(",").filter(_.nonEmpty).toSet),
           bloomCols)
-      } else partInfo match {
-        case Some((col, _)) =>
-          new AuditPartitionedBatchWrite(path, schema, truncateFirst, col,
-            schema.fieldIndex(col), bucketN, bloomCols)
-        case None => new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
-      }
+      } else if (partLevels.nonEmpty)
+        new AuditPartitionedBatchWrite(path, schema, truncateFirst,
+          partLevels, bloomCols)
+      else new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      partInfo match {
-        case Some((col, _)) =>
-          new AuditPartitionedStreamingWrite(path, schema, col,
-            schema.fieldIndex(col), bucketN, queryId, bloomCols)
-        case None =>
-          new AuditStreamingWrite(path, schema, bloomCols, queryId)
-      }
+      if (partLevels.nonEmpty)
+        new AuditPartitionedStreamingWrite(path, schema, partLevels,
+          queryId, bloomCols)
+      else new AuditStreamingWrite(path, schema, bloomCols, queryId)
   }
 }
 
@@ -3458,7 +3588,7 @@ final class AuditStreamingWriterFactory(path: String, schema: StructType,
   * doubles as the offset axis of the partitioned streaming TAIL
   * ([[AuditPartitionedMicroBatchStream]]). */
 final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
-    col: String, partIdx: Int, bucketN: Option[Int] = None,
+    partLevels: Seq[AuditPartition.Level],
     queryId: Option[String] = None,
     bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -3467,7 +3597,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AuditPartitionedStreamingWriterFactory(path, schema, partIdx, bucketN,
+    new AuditPartitionedStreamingWriterFactory(path, schema, partLevels,
       stageSub, bloomCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3479,7 +3609,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     // every partition (a replay may route to different partitions).
     // consolidate first: this path read-modify-writes the partition
     // manifest, and live OCC txn appends must fold in, not double-count
-    AuditPartition.listDirs(path, col).foreach { case (_, pdir) =>
+    AuditPartition.listDirs(path, partLevels).foreach { case (_, pdir) =>
       AuditBase.consolidate(pdir.toString)
       val prior = AuditPartition.manifestEntries(pdir)
       val (mine, keep) = prior.partition(_._1.startsWith(epochPrefix))
@@ -3496,8 +3626,8 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       .groupBy(_._1)
     var files = 0
     var rows = 0L
-    byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
-      val pdir = dir.resolve(s"$col=$token")
+    byToken.toSeq.sortBy(_._1).foreach { case (relDir, entries) =>
+      val pdir = dir.resolve(relDir)
       java.nio.file.Files.createDirectories(pdir)
       AuditBase.consolidate(pdir.toString) // RMW of the manifest below
       val prior = AuditPartition.manifestEntries(pdir)
@@ -3545,13 +3675,13 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
 }
 
 final class AuditPartitionedStreamingWriterFactory(path: String,
-    schema: StructType, partIdx: Int, bucketN: Option[Int],
+    schema: StructType, partLevels: Seq[AuditPartition.Level],
     stageSub: String = "", bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN, stageSub, bloomCols)
+    new AuditPartitionedDataWriter(path, schema, partLevels, partitionId,
+      taskId, stageSub, bloomCols)
 }
 
 final case class AuditCommitMessage(stagedName: String, rows: Long,
@@ -4212,27 +4342,27 @@ final class AuditDataWriter(path: String, schema: StructType,
 }
 
 final class AuditPartitionedWriterFactory(path: String, schema: StructType,
-    partIdx: Int, bucketN: Option[Int] = None, stageSub: String = "",
+    partLevels: Seq[AuditPartition.Level], stageSub: String = "",
     bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AuditPartitionedDataWriter(path, schema, partIdx, partitionId, taskId,
-      bucketN, stageSub, bloomCols)
+    new AuditPartitionedDataWriter(path, schema, partLevels, partitionId,
+      taskId, stageSub, bloomCols)
 }
 
 final case class AuditPartCommitMessage(
-    // (token, stagedName, rows, per-file column stats)
+    // (relDir, stagedName, rows, per-file column stats)
     entries: Seq[(String, String, Long, AuditStats.FileStats)])
   extends WriterCommitMessage
 
-/** Partition-routing DataWriter: one staged file per partition VALUE per
+/** Partition-routing DataWriter: one staged file per partition COMBO per
   * task (Hive-style dynamic partitioning). The task does no shuffle of its
   * own — callers that want one file per partition ask Spark for a
   * clusterBy distribution via the existing write options; this writer
   * just routes whatever rows reach it. */
 final class AuditPartitionedDataWriter(path: String, schema: StructType,
-    partIdx: Int, partitionId: Int, taskId: Long,
-    bucketN: Option[Int] = None, stageSub: String = "",
+    partLevels: Seq[AuditPartition.Level], partitionId: Int, taskId: Long,
+    stageSub: String = "",
     bloomCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   // per-commit staging subdir — see AuditDataWriter.stageDir
@@ -4243,20 +4373,25 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   java.nio.file.Files.createDirectories(stageDir)
   private val outs = scala.collection.mutable.LinkedHashMap
     .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
-  private val partDt = schema(partIdx).dataType
+  private val partIdxs: Array[Int] =
+    partLevels.map(l => schema.fieldIndex(l.col)).toArray
 
-  private def writerFor(token: String) = outs.getOrElseUpdate(token, {
-    val staged = f"stage-$partitionId%05d-$taskId-$token.jsonl"
+  private def writerFor(relDir: String) = outs.getOrElseUpdate(relDir, {
+    // staged names must be flat files: relDirs contain '/', so key the
+    // name on the writer's running file count instead
+    val staged = f"stage-$partitionId%05d-$taskId-${outs.size}%04d.jsonl"
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       java.nio.file.Files.newOutputStream(stageDir.resolve(staged)), "UTF-8"))
     (w, staged, Array(0L), new AuditStats.Acc(schema, bloomCols))
   })
 
   override def write(record: InternalRow): Unit = {
-    val token = AuditPartition.tokenFor(
-      if (record.isNullAt(partIdx)) null else record.get(partIdx, partDt),
-      bucketN)
-    val (w, _, n, acc) = writerFor(token)
+    val relDir = AuditPartition.relDirOf(partLevels,
+      partLevels.zip(partIdxs).map { case (l, i) =>
+        AuditPartition.tokenFor(
+          if (record.isNullAt(i)) null else record.get(i, l.dt), l.bucket)
+      })
+    val (w, _, n, acc) = writerFor(relDir)
     w.write(AuditRowJson.line(schema, record))
     w.write("\n")
     acc.update(record)
@@ -4265,8 +4400,8 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     outs.values.foreach(_._1.close())
-    AuditPartCommitMessage(outs.map { case (token, (_, staged, n, acc)) =>
-      (token, staged, n(0), acc.result)
+    AuditPartCommitMessage(outs.map { case (relDir, (_, staged, n, acc)) =>
+      (relDir, staged, n(0), acc.result)
     }.toSeq)
   }
 
@@ -4280,27 +4415,27 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   override def close(): Unit = ()
 }
 
-/** Commit for partitioned tables: group staged files by partition token,
-  * publish into `<col>=<token>/` dirs, refresh each dir's `_MANIFEST` —
-  * per-partition metadata, so readers and counts touch only matching
-  * directories. Same all-tasks-succeeded-then-rename discipline as the
-  * unpartitioned write. */
+/** Commit for partitioned tables: group staged files by partition relDir,
+  * publish into `<c1>=<t1>/…/<cK>=<tK>/` dirs, refresh each dir's
+  * `_MANIFEST` — per-partition metadata, so readers and counts touch only
+  * matching directories. Same all-tasks-succeeded-then-rename discipline
+  * as the unpartitioned write. */
 final class AuditPartitionedBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean, col: String, partIdx: Int,
-    bucketN: Option[Int] = None,
+    truncateFirst: Boolean, partLevels: Seq[AuditPartition.Level],
     bloomCols: Set[String] = Set.empty) extends BatchWrite {
   // commit-unique staging subdir — see AuditBatchWrite.stageSub
   private val stageSub = "p-" + java.util.UUID.randomUUID.toString.take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditPartitionedWriterFactory(path, schema, partIdx, bucketN, stageSub,
+    new AuditPartitionedWriterFactory(path, schema, partLevels, stageSub,
       bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     if (truncateFirst) {
-      AuditPartition.listDirs(path, col).foreach { case (_, d) =>
+      // remove level-0 dirs whole: nested level dirs die with their parent
+      AuditPartition.listDirs(path, partLevels.take(1)).foreach { case (_, d) =>
         val walk = java.nio.file.Files.walk(d)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
@@ -4312,8 +4447,8 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
     val byToken = messages.toSeq
       .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
       .groupBy(_._1)
-    byToken.toSeq.sortBy(_._1).foreach { case (token, entries) =>
-      val pdir = dir.resolve(s"$col=$token")
+    byToken.toSeq.sortBy(_._1).foreach { case (relDir, entries) =>
+      val pdir = dir.resolve(relDir)
       java.nio.file.Files.createDirectories(pdir)
       // OCC APPEND per directory: files land under commit-unique names
       // (no index to contend for) and publish as an immutable put-if-

@@ -447,14 +447,15 @@ class AuditMaintenanceSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("flag",
         org.apache.spark.sql.types.LongType)))
-    val psw = new AuditPartitionedStreamingWrite(path, schema, "flag", 1)
+    val psw = new AuditPartitionedStreamingWrite(path, schema,
+      Seq(AuditPartition.Level("flag", org.apache.spark.sql.types.LongType, None)))
     val stage = dataDir("ps1").resolve("_staging").resolve(psw.stageSub)
     java.nio.file.Files.createDirectories(stage)
     java.nio.file.Files.write(stage.resolve("stage-redo.jsonl"),
       "{\"id\":77,\"flag\":9}\n".getBytes("UTF-8"))
     psw
       .commit(0L, Array(AuditPartCommitMessage(
-        Seq(("9", "stage-redo.jsonl", 1L,
+        Seq(("flag=9", "stage-redo.jsonl", 1L,
           AuditStats.FileStats(2, Map("id" -> (77L, 77L), "flag" -> (9L, 9L)),
             Map.empty))))))
     dirs.foreach { d =>
@@ -511,7 +512,9 @@ class AuditMaintenanceSpec extends SparkSpec {
     val stream = new AuditPartitionedMicroBatchStream(
       dataDir("ps2").toString,
       spark.table("graft_m.db.ps2").schema,
-      spark.table("graft_m.db.ps2").schema, "flag")
+      spark.table("graft_m.db.ps2").schema,
+      Seq(AuditPartition.Level("flag",
+        org.apache.spark.sql.types.LongType, None)))
     assert(stream.planInputPartitions(PagedOffset(0), PagedOffset(4))
       .length > 0)
     val err = intercept[IllegalArgumentException] {

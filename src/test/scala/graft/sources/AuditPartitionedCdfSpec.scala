@@ -87,20 +87,22 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("flag", LongType),
       StructField("_change_type", StringType)))
-    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema, "flag")
+    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
     val off = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
     // two epochs routed into three flag dirs: two entries per dir, each
     // offset carrying the exact row total under its consumed entries
-    assert(off.dirs.keySet === Set("0", "1", "2"))
+    assert(off.dirs.keySet === Set("flag=0", "flag=1", "flag=2"))
     assert(off.dirs.values.map(_.entries).toSet === Set(2))
     assert(off.dirs.values.map(_.rows).sum === 200L)
     assert(off.dirs.values.map(_.dels).toSet === Set(0))
     // offsets round-trip through their JSON form
     assert(stream.deserializeOffset(off.json()) === off)
-    // a legacy (round-11, entries-only) offset still parses and resumes
+    // a legacy (round-11, entries-only) offset still parses and resumes;
+    // legacy BARE-token keys normalize to level-0 relDirs on parse
     val legacy = stream.deserializeOffset("""{"0":2,"1":2,"2":2}""")
       .asInstanceOf[AuditPartCdfOffset]
-    assert(legacy.dirs("1") === AuditPartCdfOffset.DirOff(2, -1L, 0))
+    assert(legacy.dirs("flag=1") === AuditPartCdfOffset.DirOff(2, -1L, 0))
     assert(stream.planInputPartitions(legacy, off).isEmpty)
     // a restored offset beyond a (rewritten) manifest fails loudly
     val bad = AuditPartCdfOffset(off.dirs.map { case (t, o) =>
@@ -187,7 +189,8 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
       StructField("id", LongType), StructField("flag", LongType),
       StructField("_change_type", StringType),
       StructField("_file", StringType), StructField("_pos", LongType)))
-    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema, "flag")
+    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
     val consumed = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
     // delta DML: an UPDATE that MOVES a row across partitions (id=9 gets
     // flag 1 instead of 0) plus a plain DELETE — both append-only
@@ -235,7 +238,7 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
     AuditDelete.deleteWhere(dataDir.toString,
       StructType(schema.take(2)),
       Array(org.apache.spark.sql.sources.LessThan("id", 3L)),
-      Some(("flag", LongType)))
+      Seq(AuditPartition.Level("flag", LongType, None)))
     val ex = intercept[IllegalArgumentException](
       stream.planInputPartitions(end, stream.latestOffset()))
     assert(ex.getMessage.contains("rewrote published history"), ex.getMessage)

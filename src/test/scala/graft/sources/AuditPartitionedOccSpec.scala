@@ -72,7 +72,7 @@ class AuditPartitionedOccSpec extends AnyFunSuite {
       assert(perPart(p.toLong) === expected, s"partition $p")
     }
     // each partition dir holds one txn per writer, versions contiguous
-    AuditPartition.listDirs(dir.toString, "part").foreach { case (tok, pdir) =>
+    AuditPartition.listDirsByCols(dir.toString, Seq("part")).foreach { case (tok, pdir) =>
       val txns = {
         val l = java.nio.file.Files.list(pdir.resolve("_TXN"))
         try l.iterator().asScala.map(_.getFileName.toString).toSeq
@@ -88,7 +88,7 @@ class AuditPartitionedOccSpec extends AnyFunSuite {
     append(dir, 0L, 300L, 3)
     append(dir, 300L, 600L, 3)
     val before = read(dir).collect().map(_.getLong(0)).sorted.toSeq
-    AuditPartition.listDirs(dir.toString, "part").foreach { case (_, pdir) =>
+    AuditPartition.listDirsByCols(dir.toString, Seq("part")).foreach { case (_, pdir) =>
       AuditBase.consolidate(pdir.toString)
       // manifest carries everything, floor advanced, txn dir emptied
       assert(AuditBase.readTxnFloor(pdir.toString) === 2L)
@@ -104,7 +104,7 @@ class AuditPartitionedOccSpec extends AnyFunSuite {
     // a post-consolidation append publishes ABOVE the floor
     append(dir, 600L, 900L, 3)
     assert(read(dir).count() === 900L)
-    AuditPartition.listDirs(dir.toString, "part").foreach { case (tok, pdir) =>
+    AuditPartition.listDirsByCols(dir.toString, Seq("part")).foreach { case (tok, pdir) =>
       val vs = AuditBase.liveTxnVersions(pdir.toString)
       assert(vs === Seq(3L), s"part=$tok: $vs")
     }
@@ -122,7 +122,7 @@ class AuditPartitionedOccSpec extends AnyFunSuite {
     // streaming epochs and txn appends coexist: the epoch writer's
     // retraction path consolidates before its manifest rewrite
     val stats = AuditStats.read(
-      AuditPartition.listDirs(dir.toString, "part").head._2.toString)
+      AuditPartition.listDirsByCols(dir.toString, Seq("part")).head._2.toString)
     assert(stats.nonEmpty, "per-file stats must be visible pre-consolidation")
   }
 }

@@ -70,15 +70,17 @@ class AuditStreamLockSpec extends AnyFunSuite {
     val pschema = StructType(Seq(
       StructField("x", LongType), StructField("p", LongType)))
     val a = new AuditPartitionedStreamingWrite(
-      dir.toString, pschema, "p", 1, None, Some("query-A"))
+      dir.toString, pschema, Seq(AuditPartition.Level("p", LongType, None)),
+      Some("query-A"))
     val subA = dir.resolve("_staging").resolve(a.stageSub)
     java.nio.file.Files.createDirectories(subA)
     java.nio.file.Files.write(subA.resolve("stage-1.jsonl"),
       "{\"x\":1,\"p\":0}\n".getBytes("UTF-8"))
     a.commit(0L, Array(AuditPartCommitMessage(
-      Seq(("0", "stage-1.jsonl", 1L, AuditStats.FileStats.empty)))))
+      Seq(("p=0", "stage-1.jsonl", 1L, AuditStats.FileStats.empty)))))
     val b = new AuditPartitionedStreamingWrite(
-      dir.toString, pschema, "p", 1, None, Some("query-B"))
+      dir.toString, pschema, Seq(AuditPartition.Level("p", LongType, None)),
+      Some("query-B"))
     val ex = intercept[IllegalStateException](
       b.commit(0L, Array(AuditPartCommitMessage(Seq.empty))))
     assert(ex.getMessage.contains("query-A"), ex.getMessage)

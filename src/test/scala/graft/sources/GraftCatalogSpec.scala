@@ -297,7 +297,7 @@ class GraftCatalogSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.get
     val parts = scan.inputPartitions.collect { case p: AuditDirPartition => p }
-    assert(parts.map(_.token) === Seq("A"), scan.toString)
+    assert(parts.map(_.relDir) === Seq("flag=A"), scan.toString)
     assert(parts.flatMap(_.files).forall(_.contains("flag=A")))
     assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
     // partition-sliced COUNT(*) stays metadata-only
