@@ -1567,6 +1567,68 @@ object CatalogApi {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** MULTI-LEVEL partitioning end-to-end: a `(y, m)`-partitioned audit
+    * table (the reference's own `{year}/{month}/{day}` zone layout,
+    * main.py:41-46, lifted into the catalog-managed format), loaded from
+    * lineitem, DML'd inside specific leaves (an in-place delta UPDATE
+    * and a delta DELETE), then read through a DPP join whose dim narrows
+    * the INNER level at runtime — directories outside the surviving
+    * `m` values never open. The hash gate proves routing, per-leaf
+    * delete vectors, and per-level pruning all compose. */
+  def auditMultiPart(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qmp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qmp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qmp.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li8")
+    graft.Tables.nation(spark, d).createOrReplaceTempView("graft_cat_nat8")
+    spark.sql("DROP TABLE IF EXISTS graft_qmp.db.fact")
+    spark.sql(
+      """CREATE TABLE graft_qmp.db.fact (okey BIGINT, y BIGINT, m BIGINT,
+        |  qty BIGINT) USING audit PARTITIONED BY (y, m)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qmp.db.fact
+        |SELECT l_orderkey, l_orderkey % 2, l_orderkey % 3,
+        |       CAST(l_quantity AS BIGINT)
+        |FROM graft_cat_li8""".stripMargin)
+    // delta UPDATE inside one leaf (y=0/m=1); no partition move
+    spark.sql(
+      """UPDATE graft_qmp.db.fact SET qty = qty + 1000
+        |WHERE y = 0 AND m = 1 AND okey < 100""".stripMargin)
+    // delta DELETE in another leaf (modulo predicate → row-level path)
+    spark.sql(
+      "DELETE FROM graft_qmp.db.fact WHERE y = 1 AND m = 2 AND okey % 7 = 0")
+    // DPP: the dim restricts m to {0, 1} at runtime → m=2 leaves pruned
+    spark.sql(
+      """SELECT f.y, f.m, count(*) AS n_rows,
+        |       CAST(sum(f.qty) AS BIGINT) AS sum_qty
+        |FROM graft_qmp.db.fact f
+        |JOIN (SELECT DISTINCT n_nationkey % 3 AS m FROM graft_cat_nat8
+        |      WHERE n_nationkey < 2) dim
+        |  ON f.m = dim.m
+        |GROUP BY f.y, f.m
+        |ORDER BY f.y, f.m""".stripMargin)
+  }
+
+  val auditMultiPartSql: String =
+    """WITH fact AS (
+      |  SELECT l_orderkey AS okey, l_orderkey % 2 AS y, l_orderkey % 3 AS m,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |), upd AS (
+      |  SELECT okey, y, m,
+      |         CASE WHEN y = 0 AND m = 1 AND okey < 100
+      |              THEN qty + 1000 ELSE qty END AS qty
+      |  FROM fact
+      |  WHERE NOT (y = 1 AND m = 2 AND okey % 7 = 0)
+      |)
+      |SELECT y, m, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
+      |FROM upd
+      |WHERE m IN (SELECT DISTINCT n_nationkey % 3 FROM nation
+      |            WHERE n_nationkey < 2)
+      |GROUP BY y, m
+      |ORDER BY y, m""".stripMargin
+
   /** Streaming ingestion into a PARTITIONED audit table, oracle-checked:
     * micro-batch epochs route rows into `flag=<token>` directories with
     * per-partition manifests (the spec asserts the layout, replay
@@ -2482,6 +2544,7 @@ object CatalogApi {
       "q_audit_zorder" -> (auditZorder _),
       "q_audit_part_zorder" -> (auditPartZorder _),
       "q_audit_dpp" -> (auditDpp _),
+      "q_audit_multipart" -> (auditMultiPart _),
       "q_catalog_check" -> (catalogCheck _),
       "q_catalog_default" -> (catalogDefault _),
       "q_catalog_view" -> (catalogView _),
@@ -2509,6 +2572,7 @@ object CatalogApi {
       "q_audit_zorder" -> auditZorderSql,
       "q_audit_part_zorder" -> auditPartZorderSql,
       "q_audit_dpp" -> auditDppSql,
+      "q_audit_multipart" -> auditMultiPartSql,
       "q_catalog_check" -> catalogCheckSql,
       "q_catalog_default" -> catalogDefaultSql,
       "q_catalog_view" -> catalogViewSql,
