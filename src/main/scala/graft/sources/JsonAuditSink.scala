@@ -573,7 +573,14 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     // current→storage column name map (RENAME without rewrite): Spark
     // pushes pruning/filters in CURRENT names; everything below this
     // boundary speaks STORAGE names (writeSchema here is storage-named)
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    // DML (row-level-operation) scans FORCE the partition columns to
+    // survive column pruning: a MERGE branch that projects only the
+    // row id would otherwise gate `filterAttributes` off — and at
+    // 100 TB a selective MERGE that can't runtime-prune opens every
+    // directory on the target side. Reading K extra small columns per
+    // matched row is noise next to that. Plain reads never force.
+    keepPartCols: Boolean = false)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -595,8 +602,16 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
   /** Per-partition row cap from a pushed LIMIT / sorted-base TopN. */
   private var pushedCap: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    requiredOut = requiredSchema
-    required = AuditNameMap.toStorage(requiredSchema, nameMap)
+    // partition columns are never renamed, so the current-named and
+    // storage-named spellings agree and one writeSchema field serves both
+    val out =
+      if (!keepPartCols) requiredSchema
+      else StructType(requiredSchema.fields ++
+        partLevels.map(_.col)
+          .filterNot(requiredSchema.fieldNames.contains)
+          .map(writeSchema(_)))
+    requiredOut = out
+    required = AuditNameMap.toStorage(out, nameMap)
   }
 
   /** PARTIAL limit pushdown: each partition stops after n surviving rows
@@ -2367,7 +2382,7 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new AuditScanBuilder(path, schema, None, partLevels,
-      nameMap = nameMap)
+      nameMap = nameMap, keepPartCols = true)
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),

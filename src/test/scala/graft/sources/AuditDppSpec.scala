@@ -81,6 +81,71 @@ class AuditDppSpec extends AnyFunSuite {
       === (0L until 1000L).filterNot(Seq(3L, 5L).contains).map(_ * 3).sum)
   }
 
+  test("a selective MERGE runtime-prunes the target-side DML scan") {
+    withAqeOff {
+      val cat = freshTable("dml", "day")
+      // the delta MERGE joins target RIGHT-OUTER source, so the source
+      // side can never be the broadcast build — DPP must run its own
+      // pruning subquery, which Spark only does when not restricted to
+      // broadcast reuse (at 100 TB, one extra subquery over a small
+      // source is noise next to opening every target directory)
+      val prevReuse = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      // capture the DML's EXECUTED plan (MERGE returns no DataFrame)
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.SparkPlan]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = plans.add(qe.executedPlan)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        // the source keeps a REAL selective Filter (a VALUES WHERE would
+        // constant-fold away and nothing licenses DPP). DELETE-only:
+        // an UPDATE branch adds the cardinality check's nondeterministic
+        // __row_id projection, which blocks PhysicalOperation — and with
+        // it any DPP — on the target side (Spark limitation, see
+        // ROUND_NOTES r13)
+        spark.sql(
+          s"""MERGE INTO $cat.db.f t
+             |USING (SELECT id, id % 10 AS day FROM range(0, 1010)
+             |       WHERE id % 100 = 3) s
+             |ON t.day = s.day AND t.id = s.id
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+        // listener delivery is async; poll until the DML plan arrives
+        val deadline = System.nanoTime + 10_000_000_000L
+        while (plans.isEmpty && System.nanoTime < deadline) Thread.sleep(50)
+        // the target read (the one that joined the source) carried a
+        // dynamic-pruning runtime filter and it REACHED the audit scan
+        val scans = plans.toArray(Array.empty[
+          org.apache.spark.sql.execution.SparkPlan]).toSeq.flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        })
+        assert(scans.exists(_.runtimeFilters.nonEmpty),
+          s"no runtime filter on any DML scan:\n${plans.toArray.mkString("\n")}")
+        assert(scans.flatMap(_.scan match {
+          case s: AuditScan => s.runtimeFilterApi
+          case _            => None
+        }).nonEmpty, "runtime filter never reached the DML audit scan")
+      } finally {
+        spark.listenerManager.unregister(listener)
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+          prevReuse)
+      }
+      // semantics unchanged: ids 3,103,…,903 (day 3) deleted
+      assert(spark.table(s"$cat.db.f").count() === 990L)
+      assert(spark.table(s"$cat.db.f").where("id % 100 = 3").count() === 0L)
+    }
+  }
+
   test("runtime pruning composes with static partition predicates") {
     withAqeOff {
       val cat = freshTable("mix", "day")
