@@ -728,12 +728,65 @@ private[sources] object AuditMaintenance {
       vacuumLocked(path, retainLast, cleanOrphans, partCols)
     }
 
+  /** VECTOR RETENTION: fold positional delete-vector entries that target
+    * BATCH-append files into the files themselves. Batch files are
+    * invisible to every pinned (`VERSION AS OF`) read — only streaming-
+    * epoch files participate in time travel — so physically removing the
+    * rows changes no retained version. The fold BLANKS the deleted lines
+    * in place (surviving rows keep their exact `(_file,_pos)` ids: no
+    * position ever shifts, so the operation is idempotent and every
+    * crash window reads consistently) and then atomically replaces the
+    * file's positional entries with one `{"file","folded":n}` summary —
+    * counts keep subtracting exactly n, while reads stop anti-joining an
+    * ever-growing positional set. Epoch-file vectors stay: their rows
+    * remain observable at retained versions; OPTIMIZE is their fold
+    * path. A DML-heavy, never-optimized partition thus pays O(#files)
+    * vector overhead instead of O(#deleted rows). */
+  private def foldBatchVectors(dirPath: String): Int = {
+    val entries = AuditDeletes.entries(dirPath)
+    if (entries.isEmpty) return 0
+    AuditBase.consolidate(dirPath) // manifest read below must be whole
+    val live = AuditBase.readManifest(dirPath)
+      .collect { case e if !e.folded => e.file }.toSet
+    val d = java.nio.file.Paths.get(dirPath)
+    val (foldable, keep) = entries.partition { case (f, _) =>
+      AuditScan.epochOf(f).isEmpty && live.contains(f) &&
+        java.nio.file.Files.exists(d.resolve(f))
+    }
+    if (foldable.isEmpty) return 0
+    foldable.groupBy(_._1).foreach { case (f, ps) =>
+      val file = d.resolve(f)
+      val gone = ps.map(_._2.toInt).toSet
+      val lines = java.nio.file.Files.readAllLines(file,
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+      val blanked = lines.zipWithIndex.map { case (l, i) =>
+        if (gone(i)) "" else l }
+      val tmp = file.resolveSibling(f + ".vfold")
+      java.nio.file.Files.write(tmp,
+        blanked.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val mergedFolds = (AuditDeletes.folded(dirPath).toSeq ++
+      foldable.groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
+      .groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
+    AuditDeletes.replace(dirPath, keep, mergedFolds)
+    foldable.size
+  }
+
   private def vacuumLocked(path: String, retainLast: Int,
       cleanOrphans: Boolean,
       partCols: Seq[String]): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
-    if (b0.isEmpty && !cleanOrphans)
+    // vector retention runs on every VACUUM, both layouts (lease held)
+    val foldedEntries: Int =
+      if (partCols.nonEmpty)
+        AuditPartition.listDirsByCols(path, partCols)
+          .map { case (_, pdir) => foldBatchVectors(pdir.toString) }.sum
+      else foldBatchVectors(path)
+    if (b0.isEmpty && !cleanOrphans && foldedEntries == 0)
       throw new IllegalStateException(
         s"audit VACUUM: $path has no base checkpoint — " +
           (if (partCols.nonEmpty)
@@ -741,7 +794,8 @@ private[sources] object AuditMaintenance {
           else
             "run OPTIMIZE first (only epochs superseded by a base can be " +
               "reclaimed), or pass ") +
-          "clean_orphans => true for orphan cleanup alone")
+          "clean_orphans => true for orphan cleanup alone " +
+          "(and no outstanding batch-file delete vectors were foldable)")
     var removed = 0
     var expired = b0.map(_.expiredThrough).getOrElse(-1L)
     b0.foreach { b =>
@@ -774,8 +828,10 @@ private[sources] object AuditMaintenance {
       if (java.nio.file.Files.isDirectory(dir)) {
         val listing = java.nio.file.Files.list(dir)
         try listing.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".jsonl") &&
-            !referenced(p.getFileName.toString))
+          .filter(p => (p.getFileName.toString.endsWith(".jsonl") &&
+            !referenced(p.getFileName.toString)) ||
+            // crashed vector-fold tmp (atomic-move never landed)
+            p.getFileName.toString.endsWith(".vfold"))
           .foreach { p =>
             java.nio.file.Files.deleteIfExists(p); removed += 1
           }
@@ -802,8 +858,9 @@ private[sources] object AuditMaintenance {
           val listed = AuditPartition.manifestEntries(pdir).map(_._1).toSet
           val listing = java.nio.file.Files.list(pdir)
           try listing.iterator().asScala
-            .filter(p => p.getFileName.toString.endsWith(".jsonl") &&
-              !listed(p.getFileName.toString))
+            .filter(p => (p.getFileName.toString.endsWith(".jsonl") &&
+              !listed(p.getFileName.toString)) ||
+              p.getFileName.toString.endsWith(".vfold"))
             .toSeq.foreach { p =>
               java.nio.file.Files.deleteIfExists(p); removed += 1
             }

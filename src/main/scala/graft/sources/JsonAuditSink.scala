@@ -1470,6 +1470,10 @@ final class AuditScan(path: String, writeSchema: StructType,
   * the part that scales. */
 private[sources] object AuditDeletes {
   private val LineRe = """\{"file":"([^"]+)","pos":(\d+)\}""".r
+  // VACUUM's vector-retention summary: n rows of `file` were delta-
+  // deleted and have been FOLDED — physically blanked in place — so no
+  // positional entry is needed anymore. Counts still subtract them.
+  private val FoldRe = """\{"file":"([^"]+)","folded":(\d+)\}""".r
 
   def file(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path).resolve("_DELETES")
@@ -1482,12 +1486,22 @@ private[sources] object AuditDeletes {
       case LineRe(f, p) => (f, p.toLong)
     }.groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
 
+  /** Folded-summary entries: file → rows already blanked in place. */
+  def folded(path: String): Map[String, Long] =
+    if (!exists(path)) Map.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case FoldRe(f, n) => (f, n.toLong)
+    }.groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
+
+  /** Total delta-deleted rows: positional entries + folded summaries
+    * (the exact amount every current-state count must subtract). */
   def count(path: String): Long =
     if (!exists(path)) 0L
-    else {
-      val lines = java.nio.file.Files.lines(file(path))
-      try lines.count() finally lines.close()
-    }
+    else java.nio.file.Files.readAllLines(file(path)).asScala.map {
+      case LineRe(_, _) => 1L
+      case FoldRe(_, n) => n.toLong
+      case _            => 0L
+    }.sum
 
   /** Vector entries in FILE ORDER (the append order — the CDF offset axis). */
   def entries(path: String): Seq[(String, Long)] =
@@ -1515,6 +1529,25 @@ private[sources] object AuditDeletes {
 
   def clear(path: String): Unit =
     java.nio.file.Files.deleteIfExists(file(path))
+
+  /** Atomically REPLACE the vector log with the given positional entries
+    * + folded summaries (VACUUM's vector retention — the one writer that
+    * may shrink this log; it holds the maintenance lease). */
+  def replace(path: String, positional: Seq[(String, Long)],
+      foldedSums: Map[String, Long]): Unit = {
+    if (positional.isEmpty && foldedSums.isEmpty) { clear(path); return }
+    val f = file(path)
+    val tmp = f.resolveSibling("_DELETES.tmp")
+    val body =
+      foldedSums.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"""{"file":"$n","folded":$c}""" + "\n" }.mkString +
+        positional.map { case (n, p) =>
+          s"""{"file":"$n","pos":$p}""" + "\n" }.mkString
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }
 
 private[sources] object AuditScan {
@@ -1862,8 +1895,11 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
   private def now(): AuditPartCdfOffset = AuditPartCdfOffset(
     AuditPartition.listDirs(path, partLevels).map { case (relDir, pdir) =>
       val entries = AuditPartition.manifestEntries(pdir)
+      // dels axis = POSITIONAL entries (folded summaries carry no
+      // replayable positions; a fold shrinks this log and a resuming
+      // tail fails loudly — the documented maintenance contract)
       (relDir, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
-        AuditDeletes.count(pdir.toString).toInt))
+        AuditDeletes.entries(pdir.toString).size))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
@@ -2035,7 +2071,22 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       override def next(): Boolean =
         if (!lines.hasNext) false
         else {
-          val (pos, line) = lines.next()
+          var (pos, line) = lines.next()
+          if (p.deletePositions.isDefined)
+            // a positional delete entry pointing at a VACUUM-blanked line
+            // means a fold crashed between blanking and the vector
+            // replace — rerun VACUUM; emitting nothing here would
+            // silently drop a published delete event
+            require(line.nonEmpty,
+              s"audit changeFeed: delete entry at $pos of ${p.file} points " +
+                "at a folded (blank) row — an interrupted VACUUM vector " +
+                "fold; rerun VACUUM, then restart the feed")
+          else
+            // insert path: blank lines are folded tombstones, skip them
+            while (line.isEmpty && lines.hasNext) {
+              val n = lines.next(); pos = n._1; line = n._2
+            }
+          if (line.isEmpty) return false
           val full = AuditJson.parseLine(line, dataSchema, absent)
           val vals = new Array[Any](srcIdx.length)
           var i = 0
@@ -2161,7 +2212,10 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
   private def now(): AuditCdfOffset = {
     val e = AuditScan.committedEpochs(path).size
     val b = AuditBase.readManifest(path).size
-    AuditCdfOffset(e, b, AuditDeletes.count(path), rowsUnder(e, b))
+    // d axis = POSITIONAL entries only (folded summaries are not
+    // replayable; a VACUUM fold shrinks this log → loud restart)
+    AuditCdfOffset(e, b, AuditDeletes.entries(path).size.toLong,
+      rowsUnder(e, b))
   }
 
   override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L, 0L)
@@ -2264,7 +2318,9 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
           while (!it.hasNext) if (!advanceFile()) return false
           line = it.next()
           pos += 1
-        } while (deleted.contains(pos)) // vector-deleted rows never surface
+          // blank lines are VACUUM-folded tombstones: physically dead
+          // rows whose positions still count (surviving rows never shift)
+        } while (deleted.contains(pos) || line.isEmpty)
         val full = AuditJson.parseLine(line, writeSchema, absent)
         val vals = new Array[Any](srcIdx.length)
         var i = 0
@@ -3041,7 +3097,8 @@ private[sources] object AuditDelete {
       val lines = java.nio.file.Files.readAllLines(file,
         java.nio.charset.StandardCharsets.UTF_8).asScala
       val kept = lines.zipWithIndex.collect {
-        case (l, pos) if !gone.contains(pos.toLong) && keep(l) => l
+        // blank lines are VACUUM-folded tombstones (already dead)
+        case (l, pos) if l.nonEmpty && !gone.contains(pos.toLong) && keep(l) => l
       }
       val acc = new AuditStats.Acc(schema)
       kept.foreach(l => acc.update(AuditJson.parseLine(l, schema)))
