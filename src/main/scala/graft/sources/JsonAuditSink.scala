@@ -472,6 +472,15 @@ final class AuditTable(path: String, writeSchema: StructType,
       // the base. TRUNCATE (AlwaysTrue — also how truncateTable() probes
       // this method) still clears everything — see deleteWhere.
       (AuditBase.read(path).isEmpty || filters.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) &&
+      // PARTITIONED tables route every predicate DELETE to the delta
+      // (vector) path too: the per-directory logs stay pure-append, so a
+      // live change-feed tail consumes the DELETE as delete events
+      // instead of tripping the in-place-rewrite detector, and no
+      // manifest fold happens under concurrent OCC appends. The in-place
+      // machinery below remains for TRUNCATE (wholesale, by design) and
+      // O(1) whole-partition retirement stays ALTER TABLE DROP PARTITION.
+      (partLevels.isEmpty || filters.forall(
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     AuditDelete.deleteWhere(path, storageSchema,

@@ -562,14 +562,22 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) , sum(id) FROM graft_m.db.pz1 WHERE id < 1000")
       .head.toSeq === Seq(1000L, (0L until 1000L).sum))
-    // metadata DELETE narrows per-dir stats without breaking them
+    // partitioned predicate DELETE now takes the DELTA path (pure-append
+    // logs, CDC-visible): counts stay exact via vector subtraction …
     spark.sql("DELETE FROM graft_m.db.pz1 WHERE id >= 100500")
-    assert(dirFiles("id >= 100000").forall(_ <= allA / 2))
     assert(spark.sql(
       "SELECT count(*) FROM graft_m.db.pz1 WHERE id >= 100000")
       .head.getLong(0) === 500L)
-    // metadata MIN/MAX now answers on partitioned tables from per-dir
-    // stats — exact through the DELETE because the rewrite recomputed them
+    // … while MIN/MAX correctly REFUSES the metadata claim (an
+    // outstanding vector could hide the extreme row) yet answers exactly
+    val mm0 = spark.sql("SELECT min(id), max(id) FROM graft_m.db.pz1")
+    assert(!mm0.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      mm0.queryExecution.executedPlan.toString.take(500))
+    assert(mm0.head.toSeq === Seq(0L, 100499L))
+    // partitioned OPTIMIZE folds the vectors and recomputes per-dir
+    // stats — the metadata MIN/MAX claim comes back, exact
+    spark.sql(
+      "CALL graft_m.system.optimize(table => 'db.pz1', target_file_count => 4)")
     val mm = spark.sql("SELECT min(id), max(id) FROM graft_m.db.pz1")
     assert(mm.queryExecution.executedPlan.toString.contains("AuditCountScan"),
       mm.queryExecution.executedPlan.toString.take(500))

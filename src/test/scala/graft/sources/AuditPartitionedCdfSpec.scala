@@ -153,6 +153,41 @@ class AuditPartitionedCdfSpec extends AnyFunSuite {
     assert(seen.get() === 200L)
   }
 
+  test("a plain SQL DELETE on a partitioned table is CDC-visible") {
+    // simple convertible predicates used to take the METADATA path
+    // (in-place manifest fold) — a live tail then tripped the rewrite
+    // detector on a perfectly legitimate DELETE. Partitioned predicate
+    // deletes now route to the delta (vector) path: the tail consumes
+    // them as delete events, pure-append history intact.
+    val (cat, dataDir) = freshTable("sdel")
+    streamEpochs(cat, 1) // ids 0..99 across flag=0,1,2
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType)))
+    val stream = new AuditPartitionedCdfStream(dataDir.toString, schema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
+    val consumed = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id < 4") // fully convertible
+    assert(spark.table(s"$cat.db.t").count() === 96L)
+    // the slice after the DELETE plans WITHOUT tripping the detector …
+    val end = stream.latestOffset().asInstanceOf[AuditPartCdfOffset]
+    val parts = stream.planInputPartitions(consumed, end)
+    val factory = stream.createReaderFactory()
+    val events = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getUTF8String(2).toString))
+      }
+      r.close(); buf
+    }
+    // … and carries exactly the four deletes with their original rows
+    assert(events.count(_._2 == "insert") === 0)
+    assert(events.filter(_._2 == "delete").map(_._1).toSet ===
+      Set(0L, 1L, 2L, 3L))
+  }
+
   test("bucket-partitioned delta DML: vectors, cross-bucket moves, history") {
     val wh = java.nio.file.Files.createTempDirectory("graft_pcdf_bkt_")
     val cat = "graft_pcdf_bkt"
