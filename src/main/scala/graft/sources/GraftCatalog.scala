@@ -537,8 +537,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props.toSeq.sortBy(_._1).map { case (k, v) =>
           s"prop\t${esc(k)}\t${esc(v)}" } ++
         Seq(s"schema\t${esc(info.schema().json)}")
-    java.nio.file.Files.write(viewFile(ident),
-      body.mkString("\n").getBytes("UTF-8"))
+    // ATOMIC publish: write a tmp sidecar and move it over the target —
+    // a crash mid-(re)definition never loses or corrupts the view, and a
+    // concurrent reader sees either the old or the new definition whole
+    val f = viewFile(ident)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    java.nio.file.Files.write(tmp, body.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def createView(
@@ -548,6 +556,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
+    require(!tableExists(ident),
+      s"graft catalog: a TABLE named $ident already exists")
+    writeView(ident, info, info.properties().asScala.toMap)
+    loadView(ident)
+  }
+
+  /** Atomic view REDEFINITION (CREATE OR REPLACE / ALTER VIEW AS): one
+    * sidecar write replacing the old definition — never a drop+create
+    * window where a crash loses the view or a reader sees neither. */
+  def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
     require(!tableExists(ident),
       s"graft catalog: a TABLE named $ident already exists")
     writeView(ident, info, info.properties().asScala.toMap)

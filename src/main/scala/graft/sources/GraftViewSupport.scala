@@ -31,11 +31,18 @@ final case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((g, id)) if g.viewExists(id) =>
           val v = g.loadView(id).asInstanceOf[GraftView]
           val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+          // resolve the stored SQL against the view's STORED resolution
+          // context, not the reader's: relative table references are
+          // qualified with the catalog/namespace captured at CREATE time
+          // (the Iceberg ResolveViews pattern), so the view answers
+          // identically from any session context
+          val contexted = GraftViewRules.qualifyRelations(spark, parsed,
+            v.catalog, v.namespace.toSeq)
           val aliased =
-            if (v.aliases.isEmpty || v.aliases.sameElements(v.qcols)) parsed
+            if (v.aliases.isEmpty || v.aliases.sameElements(v.qcols)) contexted
             else Project(v.qcols.zip(v.aliases).toSeq.map { case (q, a) =>
               Alias(UnresolvedAttribute.quoted(q), a)()
-            }, parsed)
+            }, contexted)
           SubqueryAlias(parts.last, aliased)
         case _ => u
       }
@@ -50,16 +57,51 @@ final case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
   * the freshly parsed command nodes before the analyzer ever sees them. */
 object GraftViewRules {
 
+  /** Qualify RELATIVE table references of a view's freshly parsed SQL
+    * against the view's stored resolution context, mirroring Spark's own
+    * name resolution: a 1-part name gets the stored catalog+namespace, a
+    * multi-part name whose head is NOT a registered catalog gets the
+    * stored catalog prepended; fully-qualified names pass through.
+    * Applied through subqueries — views routinely nest them. */
+  private[sources] def qualifyRelations(spark: SparkSession,
+      plan: LogicalPlan, catalog: String, namespace: Seq[String])
+      : LogicalPlan = {
+    val cm = spark.sessionState.catalogManager
+    def isCatalog(name: String): Boolean =
+      try { cm.catalog(name); true } catch { case _: Exception => false }
+    def qualify(parts: Seq[String]): Seq[String] =
+      if (parts.length == 1) (catalog +: namespace) :+ parts.head
+      else if (!isCatalog(parts.head)) catalog +: parts
+      else parts
+    plan.transformUpWithSubqueries {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        u.copy(multipartIdentifier = qualify(parts))
+    }
+  }
+
+  /** Resolve a (possibly relative) multipart name to a graft catalog +
+    * identifier, mirroring Spark's own rules: a leading registered
+    * catalog wins; otherwise the name is relative to the CURRENT catalog
+    * (and, for a bare name, the current namespace). */
   private[sources] def graftView(spark: SparkSession,
-      parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
-    if (parts.length < 2) None
-    else try {
-      spark.sessionState.catalogManager.catalog(parts.head) match {
-        case g: GraftCatalog =>
-          Some((g, Identifier.of(parts.tail.init.toArray, parts.last)))
-        case _ => None
-      }
-    } catch { case _: Exception => None }
+      parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    def asCatalog(n: String) =
+      try Some(cm.catalog(n)) catch { case _: Exception => None }
+    if (parts.length >= 2) asCatalog(parts.head) match {
+      case Some(g: GraftCatalog) =>
+        return Some((g, Identifier.of(parts.tail.init.toArray, parts.last)))
+      case Some(_) => return None
+      case None    => () // not a catalog → relative name, fall through
+    }
+    cm.currentCatalog match {
+      case g: GraftCatalog =>
+        val ns =
+          if (parts.length >= 2) parts.init.toArray else cm.currentNamespace
+        Some((g, Identifier.of(ns, parts.last)))
+      case _ => None
+    }
+  }
 
   /** The parser wraps ALTER VIEW targets in UnresolvedView /
     * UnresolvedTableOrView nodes — extract the multipart name uniformly. */
@@ -194,16 +236,20 @@ final case class GraftCreateViewCommand(catalog: GraftCatalog,
     val schema = StructType(analyzed.schema.fields.zip(aliases).map {
       case (f, a) => f.copy(name = a)
     })
-    if (catalog.viewExists(ident)) {
-      if (replace) catalog.dropView(ident)
-      else if (allowExisting) return Seq.empty
-      else throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(ident)
+    val exists = catalog.viewExists(ident)
+    if (exists) {
+      if (allowExisting && !replace) return Seq.empty
+      if (!replace)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
     }
     val cm = spark.sessionState.catalogManager
-    catalog.createView(new ViewInfo(ident, sql,
+    val info = new ViewInfo(ident, sql,
       cm.currentCatalog.name(), cm.currentNamespace, schema,
-      qcols, aliases, comments, props.asJava))
+      qcols, aliases, comments, props.asJava)
+    // OR REPLACE over an existing view is ONE atomic sidecar write — no
+    // drop+create window where a crash loses the view
+    if (exists) catalog.replaceView(info) else catalog.createView(info)
     Seq.empty
   }
 }
@@ -250,11 +296,23 @@ final case class GraftAlterViewAsCommand(catalog: GraftCatalog,
     val prior = catalog.loadView(ident).asInstanceOf[GraftView]
     val analyzed = spark.sessionState.executePlan(query).analyzed
     val qcols = analyzed.schema.fieldNames
+    // the declared column aliases/comments survive the redefinition when
+    // the new query has the same arity (the columns the user NAMED are a
+    // property of the view, not of one query revision); an arity change
+    // resets them to the new query's own names
+    val sameArity = prior.aliases.length == qcols.length
+    val aliases = if (sameArity) prior.aliases else qcols
+    val comments =
+      if (sameArity) prior.comments else qcols.map(_ => null: String)
+    val schema = StructType(analyzed.schema.fields.zip(aliases).map {
+      case (f, a) => f.copy(name = a)
+    })
     val cm = spark.sessionState.catalogManager
-    catalog.dropView(ident)
-    catalog.createView(new ViewInfo(ident, sql,
-      cm.currentCatalog.name(), cm.currentNamespace, analyzed.schema,
-      qcols, qcols, qcols.map(_ => null: String), prior.properties()))
+    // ONE atomic sidecar write: a crash mid-redefinition leaves the old
+    // view intact, never a dropped-but-not-recreated gap
+    catalog.replaceView(new ViewInfo(ident, sql,
+      cm.currentCatalog.name(), cm.currentNamespace, schema,
+      qcols, aliases, comments, prior.properties()))
     Seq.empty
   }
 }

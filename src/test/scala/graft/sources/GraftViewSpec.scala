@@ -110,4 +110,60 @@ class GraftViewSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.db.asof0 (x BIGINT) USING audit"))
   }
+
+  test("CREATE OR REPLACE / IF NOT EXISTS / atomic ALTER VIEW AS") {
+    val cat = freshCat("forms")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 2 FROM range(0, 10)")
+    spark.sql(s"CREATE VIEW $cat.db.w (a COMMENT 'the id', b) AS " +
+      s"SELECT id, v FROM $cat.db.t")
+    spark.sql(s"ALTER VIEW $cat.db.w SET TBLPROPERTIES ('team' = 'graft')")
+    // IF NOT EXISTS over an existing view: no-op, definition untouched
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.db.w AS SELECT 1 AS only")
+    assert(spark.sql(s"SELECT a, b FROM $cat.db.w").count() === 10L)
+    // ALTER VIEW AS: same arity → declared aliases AND comments survive,
+    // properties survive, new query takes effect
+    spark.sql(s"ALTER VIEW $cat.db.w AS SELECT id, v FROM $cat.db.t " +
+      "WHERE id < 5")
+    assert(spark.sql(s"SELECT a, b FROM $cat.db.w").count() === 5L)
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "w")
+    val after = g.loadView(id).asInstanceOf[GraftView]
+    assert(after.aliases.toSeq === Seq("a", "b"))
+    assert(after.comments.toSeq === Seq("the id", null))
+    assert(after.props.get("team").contains("graft"))
+    // a FAILING redefinition (analysis error) leaves the view intact —
+    // the atomic replace has no dropped-but-not-recreated window
+    intercept[Exception](spark.sql(
+      s"ALTER VIEW $cat.db.w AS SELECT no_such_col FROM $cat.db.t"))
+    assert(spark.sql(s"SELECT a, b FROM $cat.db.w").count() === 5L)
+    // arity change resets aliases/comments to the new query's columns
+    spark.sql(s"ALTER VIEW $cat.db.w AS SELECT id FROM $cat.db.t")
+    val reset = g.loadView(id).asInstanceOf[GraftView]
+    assert(reset.aliases.toSeq === Seq("id"))
+    assert(spark.sql(s"SELECT id FROM $cat.db.w").count() === 10L)
+    // CREATE OR REPLACE swaps the whole definition atomically
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.db.w (total) AS " +
+      s"SELECT sum(v) FROM $cat.db.t")
+    assert(spark.sql(s"SELECT total FROM $cat.db.w").head.getLong(0) === 90L)
+  }
+
+  test("a view resolves against its STORED context from any session context") {
+    val cat = freshCat("ctx")
+    spark.sql(s"CREATE TABLE $cat.db.base (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.base SELECT id FROM range(0, 7)")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    // create the view FROM the graft catalog context with a RELATIVE
+    // base-table reference (db.base, no catalog)
+    spark.sql(s"USE $cat")
+    try {
+      spark.sql(s"CREATE VIEW db.ctx_v AS SELECT count(*) AS n FROM db.base")
+      assert(spark.sql(s"SELECT n FROM $cat.db.ctx_v").head.getLong(0) === 7L)
+    } finally spark.sql(s"USE $prevCat")
+    // read it from a DIFFERENT current catalog: the stored context wins
+    assert(spark.sessionState.catalogManager.currentCatalog.name() === prevCat)
+    assert(spark.sql(s"SELECT n FROM $cat.db.ctx_v").head.getLong(0) === 7L)
+  }
 }
