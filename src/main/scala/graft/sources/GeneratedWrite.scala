@@ -1,0 +1,229 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, Cast, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Engine-side GENERATED / IDENTITY column materialization. Spark 4.1's
+  * DSv2 surface parses `GENERATED ALWAYS AS (expr)` / `... AS IDENTITY`
+  * and validates the expressions at CREATE time, but leaves computing
+  * the values entirely to the connector (the Delta model). This module
+  * is that connector half for the audit format:
+  *
+  *  - at write-BUILD time (driver) the generation expressions are
+  *    parsed, analyzed against the table schema, cast to the column
+  *    type, and BOUND positionally — the bound catalyst expressions ship
+  *    to the tasks and evaluate per row (no per-row SQL, no UDF);
+  *  - a GENERATED column is recomputed for every row; an EXPLICIT
+  *    non-null value must agree with the expression or the write fails
+  *    loudly (GENERATED ALWAYS semantics — never silently diverge);
+  *  - an IDENTITY column assigns `start + step * k` with k unique
+  *    table-wide: each commit RESERVES a block of 2^33 k-values from the
+  *    `_IDENTITY` high-water-mark file (a short critical section under
+  *    the maintenance lease — the reservation serializes, the writes
+  *    stay concurrent), and within a commit task `pid` uses
+  *    k = base + pid·2^20 + rowIndex. Crashed commits waste their block,
+  *    exactly like every transactional identity allocator; values are
+  *    unique and step-aligned, not dense.
+  */
+private[sources] object GeneratedWrite {
+
+  /** One bound generated column: write-schema index + bound expression
+    * (evaluates against the incoming row) in the column's type. */
+  final case class Gen(idx: Int, expr: Expression)
+  /** One identity column: write-schema index + spec. */
+  final case class Id(idx: Int, start: Long, step: Long,
+      allowExplicit: Boolean)
+
+  final case class Specs(gens: Seq[Gen], ids: Seq[Id],
+      fieldTypes: Array[DataType]) extends Serializable {
+    def isEmpty: Boolean = gens.isEmpty && ids.isEmpty
+  }
+
+  /** Per-commit reserved k-block size (2^33) and per-task row capacity
+    * (2^20 rows across up to 2^13 tasks). A 100 TB deployment would size
+    * these up; the allocation SHAPE — reserve once per commit, assign
+    * coordination-free within it — is the part that scales. */
+  val Block: Long = 1L << 33
+  val TaskRows: Long = 1L << 20
+
+  /** Does the (current-named) table schema declare generated or identity
+    * columns? */
+  def hasAny(schema: StructType): Boolean =
+    GeneratedColumn.hasGeneratedColumns(schema) ||
+      IdentityColumn.hasIdentityColumns(schema)
+
+  /** Driver-side: resolve + bind the table's generation expressions.
+    * `schema` is the CURRENT-named table schema in field order — the
+    * incoming rows (storage-named twin) share that order, so positional
+    * binding is exact across renames. */
+  def specsOf(spark: SparkSession, schema: StructType): Specs = {
+    val attrs: Seq[Attribute] =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+        StructType(schema.fields.map(_.copy(metadata =
+          org.apache.spark.sql.types.Metadata.empty))))
+    val gens = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      GeneratedColumn.getGenerationExpression(f).map { sql =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val project = Project(Seq(Alias(parsed, f.name)()),
+          LocalRelation(attrs))
+        val analyzed = spark.sessionState.analyzer.executeAndCheck(
+          project, new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+        val resolved = analyzed.asInstanceOf[Project]
+          .projectList.head.asInstanceOf[Alias].child
+        val typed =
+          if (resolved.dataType == f.dataType) resolved
+          else Cast(resolved, f.dataType)
+        Gen(i, BindReferences.bindReference(typed, attrs))
+      }
+    }.toSeq
+    val ids = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      IdentityColumn.getIdentityInfo(f).map(s =>
+        Id(i, s.getStart, s.getStep, s.isAllowExplicitInsert))
+    }.toSeq
+    Specs(gens, ids, schema.fields.map(_.dataType))
+  }
+
+  // --- identity high-water mark (k-counter) ------------------------------
+
+  private def hwmFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve("_IDENTITY")
+
+  private def readHwm(path: String): Long = {
+    val f = hwmFile(path)
+    if (!java.nio.file.Files.exists(f)) 0L
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+  }
+
+  /** Reserve one commit's k-block; returns its base. Serialized by the
+    * maintenance lease (short critical section — only the reservation,
+    * never the write itself). */
+  def reserveBlock(path: String): Long =
+    AuditMaintLock.withLease(path, "identity-alloc") {
+      val base = readHwm(path)
+      val f = hwmFile(path)
+      val tmp = f.resolveSibling("_IDENTITY.tmp")
+      java.nio.file.Files.write(tmp,
+        (base + Block).toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      base
+    }
+
+  /** Per-task row transform: recompute generated columns (validating
+    * explicit values), assign identity values from the task's k-range. */
+  final class Filler(specs: Specs, idBase: Long, partitionId: Int)
+      extends Serializable {
+    private var localIdx = 0L
+    require(specs.ids.isEmpty || partitionId < (Block / TaskRows),
+      s"audit identity: task $partitionId exceeds the per-commit task " +
+        s"capacity ${Block / TaskRows}")
+
+    def apply(row: InternalRow): InternalRow = {
+      val n = specs.fieldTypes.length
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        vals(i) = if (row.isNullAt(i)) null else row.get(i, specs.fieldTypes(i))
+        i += 1
+      }
+      specs.gens.foreach { g =>
+        val computed = g.expr.eval(row)
+        val arrived = vals(g.idx)
+        if (arrived != null && arrived != computed)
+          throw new IllegalArgumentException(
+            s"audit generated column: explicit value $arrived does not " +
+              s"match the generation expression's $computed — GENERATED " +
+              "ALWAYS columns cannot diverge from their expression")
+        vals(g.idx) = computed
+      }
+      specs.ids.foreach { id =>
+        val arrived = vals(id.idx)
+        if (arrived != null) {
+          if (!id.allowExplicit)
+            throw new IllegalArgumentException(
+              "audit identity column: explicit INSERT is not allowed " +
+                "(GENERATED ALWAYS AS IDENTITY) — omit the column")
+        } else {
+          require(localIdx < TaskRows,
+            s"audit identity: task $partitionId exceeded its per-commit " +
+              s"row capacity $TaskRows")
+          val k = idBase + partitionId.toLong * TaskRows + localIdx
+          vals(id.idx) = id.start + id.step * k
+        }
+      }
+      if (specs.ids.nonEmpty) localIdx += 1
+      new GenericInternalRow(vals)
+    }
+  }
+
+  /** Wrap a batch write so every task's rows pass through a [[Filler]]
+    * before the underlying (routing) writer sees them. */
+  final class FillingBatchWrite(delegate: BatchWrite, specs: Specs,
+      idBase: Long) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DataWriterFactory = {
+      val f = delegate.createBatchWriterFactory(info)
+      new FillingWriterFactory(f, specs, idBase)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      delegate.commit(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      delegate.abort(messages)
+    override def useCommitCoordinator(): Boolean =
+      delegate.useCommitCoordinator()
+  }
+
+  final class FillingWriterFactory(delegate: DataWriterFactory,
+      specs: Specs, idBase: Long) extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : DataWriter[InternalRow] = {
+      val d = delegate.createWriter(partitionId, taskId)
+      val fill = new Filler(specs, idBase, partitionId)
+      new DataWriter[InternalRow] {
+        override def write(record: InternalRow): Unit = d.write(fill(record))
+        override def commit(): WriterCommitMessage = d.commit()
+        override def abort(): Unit = d.abort()
+        override def close(): Unit = d.close()
+      }
+    }
+  }
+
+  /** Delta-write wrapper: generated columns recompute on INSERT and
+    * UPDATE rows (an UPDATE that changes a referenced column must move
+    * the generated value with it). Identity tables refuse DML upstream. */
+  final class FillingDeltaBatchWrite(
+      delegate: org.apache.spark.sql.connector.write.DeltaBatchWrite,
+      specs: Specs)
+      extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+      val f = delegate.createBatchWriterFactory(info)
+      (partitionId: Int, taskId: Long) => {
+        val d = f.createWriter(partitionId, taskId)
+        val fill = new Filler(specs, 0L, partitionId)
+        new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+          override def insert(row: InternalRow): Unit = d.insert(fill(row))
+          override def update(meta: InternalRow, id: InternalRow,
+              row: InternalRow): Unit = d.update(meta, id, fill(row))
+          override def delete(meta: InternalRow, id: InternalRow): Unit =
+            d.delete(meta, id)
+          override def commit(): WriterCommitMessage = d.commit()
+          override def abort(): Unit = d.abort()
+          override def close(): Unit = d.close()
+        }
+      }
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      delegate.commit(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      delegate.abort(messages)
+    override def useCommitCoordinator(): Boolean =
+      delegate.useCommitCoordinator()
+  }
+}

@@ -66,7 +66,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def metaFile(ident: Identifier): java.nio.file.Path =
     warehouse.resolve("_catalog")
@@ -150,13 +154,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog: a VIEW named $ident already exists")
     val provider = Option(info.properties().get(TableCatalog.PROP_PROVIDER))
       .getOrElse("audit").toLowerCase
+    // validate the provider BEFORE any metadata write: an unknown
+    // provider must not leave an orphan _catalog entry behind
+    require(provider == "audit" || provider == "paged",
+      s"graft catalog supports USING audit|paged, got $provider")
     require(checks.isEmpty || provider == "audit",
       "graft catalog: only audit tables support CHECK constraints")
-    val partCol = GraftCatalog.identityPartCol(info.partitions(), info.schema())
+    // encode generation expressions / identity specs into field metadata
+    // (Spark's own conversion keeps only comment+default; the stored
+    // schema json round-trips the extra metadata to the write path)
+    val schema = GraftCatalog.v2ColumnsToSchema(info.columns())
+    require(!org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .hasGeneratedColumns(schema) || provider == "audit",
+      "graft catalog: only audit tables support generated columns")
+    require(!org.apache.spark.sql.catalyst.util.IdentityColumn
+      .hasIdentityColumns(schema) || provider == "audit",
+      "graft catalog: only audit tables support identity columns")
+    val partCol = GraftCatalog.identityPartCol(info.partitions(), schema)
     require(partCol.isEmpty || provider == "audit",
       "graft catalog: only audit tables can be partitioned")
     java.nio.file.Files.createDirectories(dataDir(ident))
-    writeMeta(ident, provider, info.schema(), info.properties(), partCol,
+    writeMeta(ident, provider, schema, info.properties(), partCol,
       checks = checks)
     loadTable(ident)
   }
@@ -321,6 +339,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(pc != c,
           s"graft catalog: $what of partition column $c is unsupported " +
             "(directory names embed the partition column)"))
+    // a generation expression referencing a renamed/dropped column would
+    // break every subsequent write — refuse, same guard as CHECKs
+    def requireNotGenerated(what: String, c: String): Unit =
+      schema0.fields.foreach { f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).foreach { g =>
+            require(!g.matches(
+              s"(?s).*\\b${java.util.regex.Pattern.quote(c)}\\b.*"),
+              s"graft catalog: $what of column $c is blocked by the " +
+                s"generation expression of ${f.name} ($g)")
+          }
+      }
     val newSchema = changes.foldLeft(schema0) {
       case (sc, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -358,6 +388,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: nested RENAME COLUMN unsupported")
         requireNotPartitionCol("RENAME COLUMN", ren.fieldNames.head)
         requireNotChecked("RENAME COLUMN", ren.fieldNames.head)
+        requireNotGenerated("RENAME COLUMN", ren.fieldNames.head)
         val from = ren.fieldNames.head
         val to = ren.newName
         require(sc.fieldNames.contains(from),
@@ -374,6 +405,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: nested DROP COLUMN unsupported")
         requireNotPartitionCol("DROP COLUMN", del.fieldNames.head)
         requireNotChecked("DROP COLUMN", del.fieldNames.head)
+        requireNotGenerated("DROP COLUMN", del.fieldNames.head)
         val name = del.fieldNames.head
         if (!sc.fieldNames.contains(name)) {
           require(del.ifExists, s"graft catalog: no such column $name")
@@ -750,6 +782,35 @@ object GraftCatalog {
     * serves the `bucket` V2 function Spark resolves the transform
     * against) — over an existing long/int/string column. Anything else
     * is refused loudly rather than silently flattened. */
+  /** v2 Column[] → StructType, keeping generation-expression and
+    * identity-column metadata (Spark's `v2ColumnsToStructType` encodes
+    * only comment + default value). */
+  private[sources] def v2ColumnsToSchema(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : StructType = {
+    val base = org.apache.spark.sql.GraftSqlShim.v2ColumnsToStructType(cols)
+    StructType(base.fields.zip(cols).map { case (f, c) =>
+      val gen = Option(c.generationExpression())
+      val id = Option(c.identityColumnSpec())
+      if (gen.isEmpty && id.isEmpty) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        gen.foreach(g => mb.putString(org.apache.spark.sql.catalyst.util
+          .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, g))
+        id.foreach { s =>
+          mb.putLong(org.apache.spark.sql.catalyst.util.IdentityColumn
+            .IDENTITY_INFO_START, s.getStart)
+          mb.putLong(org.apache.spark.sql.catalyst.util.IdentityColumn
+            .IDENTITY_INFO_STEP, s.getStep)
+          mb.putBoolean(org.apache.spark.sql.catalyst.util.IdentityColumn
+            .IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, s.isAllowExplicitInsert)
+        }
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
+
   private[sources] def identityPartCol(partitions: Array[Transform],
       schema: StructType): Option[String] = {
     if (partitions.isEmpty) return None

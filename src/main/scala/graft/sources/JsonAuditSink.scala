@@ -421,10 +421,19 @@ final class AuditTable(path: String, writeSchema: StructType,
         override def isNullable: Boolean = false
         override def comment(): String = "line position of this row within _file"
       })
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // generated/identity columns: resolve + bind the fill specs ON THE
+    // DRIVER (this is driver code); the batch write wraps its writers
+    val genSpecs: Option[GeneratedWrite.Specs] =
+      if (GeneratedWrite.hasAny(writeSchema) &&
+          info.schema().length == writeSchema.length)
+        Some(GeneratedWrite.specsOf(
+          org.apache.spark.sql.SparkSession.active, writeSchema))
+      else None
     new AuditWriteBuilder(path, AuditNameMap.toStorage(info.schema(), colMap),
       info.options().asScala.map { case (k, v) => (k.toLowerCase, v) }.toMap,
-      partLevels, Option(info.queryId()))
+      partLevels, Option(info.queryId()), genSpecs)
+  }
 
   /** Row-level DELETE (SQL `DELETE FROM graft.db.t WHERE ...` through the
     * catalog): copy-on-write — every committed file is rewritten without
@@ -497,13 +506,29 @@ final class AuditTable(path: String, writeSchema: StructType,
     * the partitioned change feed emits true update/delete events. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // identity allocation is a per-commit block reservation the delta
+    // path does not perform — refuse DML on identity tables loudly.
+    // GENERATED columns recompute inside the delta writers (an UPDATE
+    // that changes a referenced column moves the generated value too).
+    require(!org.apache.spark.sql.catalyst.util.IdentityColumn
+      .hasIdentityColumns(writeSchema),
+      "audit: UPDATE/MERGE/row-level DELETE on a table with IDENTITY " +
+        "columns is unsupported")
+    val genSpecs: Option[GeneratedWrite.Specs] =
+      if (org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .hasGeneratedColumns(writeSchema))
+        Some(GeneratedWrite.specsOf(
+          org.apache.spark.sql.SparkSession.active, writeSchema))
+      else None
     () =>
       if (partLevels.isEmpty)
-        new AuditDeltaOperation(path, storageSchema, info.command(), colMap)
+        new AuditDeltaOperation(path, storageSchema, info.command(), colMap,
+          genSpecs)
       else
         new AuditPartDeltaOperation(path, storageSchema, info.command(),
-          partLevels, colMap)
+          partLevels, colMap, genSpecs)
+  }
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
     * `_EPOCHS` manifest the streaming two-phase commit publishes is a
@@ -2439,7 +2464,8 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
 final class AuditPartDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     partLevels: Seq[AuditPartition.Level],
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    genSpecs: Option[GeneratedWrite.Specs] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
@@ -2462,16 +2488,21 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
         val routable = partLevels.forall(l =>
           storage.fieldNames.contains(l.col))
         new AuditPartDeltaWrite(path, storage,
-          if (routable) partLevels else Nil)
+          if (routable) partLevels else Nil,
+          genSpecs.filter(_.fieldTypes.length == storage.length))
       }
     }
 }
 
 final class AuditPartDeltaWrite(path: String, schema: StructType,
-    partLevels: Seq[AuditPartition.Level])
+    partLevels: Seq[AuditPartition.Level],
+    genSpecs: Option[GeneratedWrite.Specs] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
-  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new AuditPartDeltaBatchWrite(path, schema, partLevels)
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    val inner = new AuditPartDeltaBatchWrite(path, schema, partLevels)
+    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite)(
+      s => new GeneratedWrite.FillingDeltaBatchWrite(inner, s))
+  }
 }
 
 final case class AuditPartDeltaCommitMessage(
@@ -2641,7 +2672,8 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
   * and `VERSION AS OF` keeps resolving pre-DML epochs afterwards. */
 final class AuditDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    genSpecs: Option[GeneratedWrite.Specs] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
@@ -2656,15 +2688,22 @@ final class AuditDeltaOperation(path: String, schema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new AuditDeltaWrite(path, AuditNameMap.toStorage(info.schema(), nameMap))
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
+        val storage = AuditNameMap.toStorage(info.schema(), nameMap)
+        new AuditDeltaWrite(path, storage,
+          genSpecs.filter(_.fieldTypes.length == storage.length))
+      }
     }
 }
 
-final class AuditDeltaWrite(path: String, schema: StructType)
+final class AuditDeltaWrite(path: String, schema: StructType,
+    genSpecs: Option[GeneratedWrite.Specs] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
-  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new AuditDeltaBatchWrite(path, schema)
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    val inner = new AuditDeltaBatchWrite(path, schema)
+    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite)(
+      s => new GeneratedWrite.FillingDeltaBatchWrite(inner, s))
+  }
 }
 
 final case class AuditDeltaCommitMessage(staged: Option[String], rows: Long,
@@ -3334,7 +3373,8 @@ private[sources] object AuditJson {
 final class AuditWriteBuilder(path: String, schema: StructType,
     options: Map[String, String] = Map.empty,
     partLevels: Seq[AuditPartition.Level] = Nil,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    genSpecs: Option[GeneratedWrite.Specs] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -3382,16 +3422,31 @@ final class AuditWriteBuilder(path: String, schema: StructType,
           options.get("basefoldfiles")
             .map(_.split(",").filter(_.nonEmpty).toSet),
           bloomCols)
-      } else if (partLevels.nonEmpty)
-        new AuditPartitionedBatchWrite(path, schema, truncateFirst,
-          partLevels, bloomCols)
-      else new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
+      } else {
+        val inner: BatchWrite =
+          if (partLevels.nonEmpty)
+            new AuditPartitionedBatchWrite(path, schema, truncateFirst,
+              partLevels, bloomCols)
+          else new AuditBatchWrite(path, schema, truncateFirst, bloomCols)
+        genSpecs match {
+          case Some(s) =>
+            // identity commits reserve their k-block HERE (driver, once)
+            val base =
+              if (s.ids.nonEmpty) GeneratedWrite.reserveBlock(path) else 0L
+            new GeneratedWrite.FillingBatchWrite(inner, s, base)
+          case None => inner
+        }
+      }
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(genSpecs.isEmpty,
+        "audit: streaming writes to a table with generated/identity " +
+          "columns are unsupported (batch INSERT materializes them)")
       if (partLevels.nonEmpty)
         new AuditPartitionedStreamingWrite(path, schema, partLevels,
           queryId, bloomCols)
       else new AuditStreamingWrite(path, schema, bloomCols, queryId)
+    }
   }
 }
 

@@ -17,4 +17,12 @@ object GraftSqlShim {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Canonical v2 Column[] → StructType conversion (keeps generation
+    * expression / identity metadata) — `CatalogV2Util` is private[sql]. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
 }
