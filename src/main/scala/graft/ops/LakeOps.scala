@@ -728,7 +728,7 @@ object LakeOps {
       sums = Map("l_quantity" -> "mv_sum_qty"),
       mins = Map("l_extendedprice" -> "mv_min_price"),
       maxs = Map("l_extendedprice" -> "mv_max_price"),
-      mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
+      mvPlan = s => s.read.parquet(mvDir).queryExecution.analyzed)
     graft.plans.MvRewriteRule.materialize(lineitem(spark, d), mv, mvDir)
     graft.plans.MvRewriteRule.register(spark, mv)
     try {

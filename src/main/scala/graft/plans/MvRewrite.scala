@@ -69,7 +69,11 @@ object MvRewriteRule {
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      mvPlan: () => LogicalPlan)
+      // takes the session as a PARAMETER: a closure capturing the
+      // session would make the WeakHashMap value reference its own key,
+      // pinning discarded sessions forever (the map's weakness would be
+      // purely decorative)
+      mvPlan: SparkSession => LogicalPlan)
 
   // weak keys: a discarded session's registrations are GC-reclaimed
   private val registered =
@@ -88,6 +92,11 @@ object MvRewriteRule {
       registered.put(session, prior.filterNot(_.basePath == basePath))
     }
   def clear(): Unit = registered.synchronized { registered.clear() }
+
+  /** TEST HOOK: live sessions in the registry (WeakHashMap expunges
+    * stale entries on access — a dropped session must disappear). */
+  private[plans] def registeredSessionCount: Int =
+    registered.synchronized { registered.size }
 
   /** Build + write the summary table for `mv` from the base frame, so
     * the materialization and the rewrite share one definition (they
@@ -153,16 +162,16 @@ object MvRewriteRule {
       case agg @ Aggregate(ges, aes, child, _) =>
         stripToScan(child).flatMap { case (filters, ids) =>
           val mv = mvs.find(m => ids.exists(id => scanMatches(id, m.basePath)))
-          mv.flatMap(m => rewrite(agg, ges, aes, filters, m))
+          mv.flatMap(m => rewrite(session, agg, ges, aes, filters, m))
         }.getOrElse(agg)
     }
   }
 
-  private def rewrite(orig: Aggregate, ges: Seq[Expression],
-      aes: Seq[NamedExpression], filters: Seq[Expression],
-      mv: MvDef): Option[LogicalPlan] = {
+  private def rewrite(session: SparkSession, orig: Aggregate,
+      ges: Seq[Expression], aes: Seq[NamedExpression],
+      filters: Seq[Expression], mv: MvDef): Option[LogicalPlan] = {
     // fresh MV relation per rewrite: new exprIds, no collision possible
-    val mvRel = mv.mvPlan()
+    val mvRel = mv.mvPlan(session)
     val mvAttr: Map[String, AttributeReference] =
       mvRel.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
     val groupSet = mv.groupCols.toSet

@@ -393,6 +393,7 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     new AuditWriterFactory(path, schema, bloomCols, stageSub)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    AuditMaintLock.verifyCurrent(path, "OPTIMIZE base publish")
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
@@ -691,6 +692,10 @@ private[sources] object AuditMaintenance {
     // colmap INTO THE STAGE before it becomes the table, so the path
     // surface never observes a renamed table without its map
     AuditNameMap.writeColMapFile(stage, colMap)
+    // re-verify the lease immediately before the swap: the staging write
+    // above is the long phase — a frozen-then-resumed operation whose
+    // lease was stolen must abort HERE, not replace the thief's table
+    AuditMaintLock.verifyCurrent(path, "partitioned OPTIMIZE dir swap")
     java.nio.file.Files.move(dir, displaced,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage, dir,
@@ -745,6 +750,9 @@ private[sources] object AuditMaintenance {
   private def foldBatchVectors(dirPath: String): Int = {
     val entries = AuditDeletes.entries(dirPath)
     if (entries.isEmpty) return 0
+    // the fold rewrites committed state in place — re-verify the VACUUM
+    // lease (held on the TABLE root; dirPath may be a partition leaf)
+    AuditMaintLock.verifyCurrent(dirPath, "VACUUM vector fold")
     AuditBase.consolidate(dirPath) // manifest read below must be whole
     val live = AuditBase.readManifest(dirPath)
       .collect { case e if !e.folded => e.file }.toSet

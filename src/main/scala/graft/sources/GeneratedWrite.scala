@@ -47,9 +47,13 @@ private[sources] object GeneratedWrite {
   /** Per-commit reserved k-block size (2^33) and per-task row capacity
     * (2^20 rows across up to 2^13 tasks). A 100 TB deployment would size
     * these up; the allocation SHAPE — reserve once per commit, assign
-    * coordination-free within it — is the part that scales. */
+    * coordination-free within it — is the part that scales. A task that
+    * outruns its slice (huge coalesced inputs) reserves a whole fresh
+    * block via [[Reserver]] instead of failing.
+    * TaskRows overridable via -Dgraft.audit.identityTaskRows for tests. */
   val Block: Long = 1L << 33
-  val TaskRows: Long = 1L << 20
+  def TaskRows: Long = sys.props.get("graft.audit.identityTaskRows")
+    .map(_.toLong).getOrElse(1L << 20)
 
   /** Does the (current-named) table schema declare generated or identity
     * columns? */
@@ -115,11 +119,35 @@ private[sources] object GeneratedWrite {
       base
     }
 
+  /** Task-side escape hatch for the per-task identity row cap: when a
+    * task exhausts its 2^20 sub-range of the commit block, it reserves a
+    * WHOLE fresh block (2^33 k-values) for itself from the `_IDENTITY`
+    * high-water mark — the same put-if-newer file op the driver's
+    * per-commit reservation uses, so uniqueness holds across any mix of
+    * driver- and task-side reservations. Ships only the path string. */
+  final case class Reserver(path: String) extends Serializable {
+    def reserve(): Long = reserveBlock(path)
+  }
+
   /** Per-task row transform: recompute generated columns (validating
-    * explicit values), assign identity values from the task's k-range. */
-  final class Filler(specs: Specs, idBase: Long, partitionId: Int)
+    * explicit values), assign identity values from the task's k-range.
+    *
+    * `validateExplicit = false` on the delta-DML path: an UPDATE row
+    * arrives carrying the generated column's STALE pre-update value
+    * (non-null and legitimately != the recomputed one), so the
+    * GENERATED-ALWAYS divergence check would reject every UPDATE that
+    * changes a referenced column. The delta path always recomputes —
+    * the user cannot assign a GENERATED ALWAYS column through DML, so
+    * there is no explicit value to validate. */
+  final class Filler(specs: Specs, idBase: Long, partitionId: Int,
+      validateExplicit: Boolean = true, reserver: Reserver = null)
       extends Serializable {
     private var localIdx = 0L
+    // absolute k-base and capacity of the task's CURRENT range: starts
+    // as the 2^20 slice of the commit block, grows by whole fresh blocks
+    // when a huge (coalesced) task outruns it
+    private var kBase = idBase + partitionId.toLong * TaskRows
+    private var kCap = TaskRows
     require(specs.ids.isEmpty || partitionId < (Block / TaskRows),
       s"audit identity: task $partitionId exceeds the per-commit task " +
         s"capacity ${Block / TaskRows}")
@@ -135,7 +163,7 @@ private[sources] object GeneratedWrite {
       specs.gens.foreach { g =>
         val computed = g.expr.eval(row)
         val arrived = vals(g.idx)
-        if (arrived != null && arrived != computed)
+        if (validateExplicit && arrived != null && arrived != computed)
           throw new IllegalArgumentException(
             s"audit generated column: explicit value $arrived does not " +
               s"match the generation expression's $computed — GENERATED " +
@@ -145,15 +173,23 @@ private[sources] object GeneratedWrite {
       specs.ids.foreach { id =>
         val arrived = vals(id.idx)
         if (arrived != null) {
-          if (!id.allowExplicit)
+          // delta path (validateExplicit = false): a non-null identity is
+          // the row's EXISTING value carried through the UPDATE/MERGE
+          // scan — keep it. Insert path: explicit values need BY DEFAULT.
+          if (validateExplicit && !id.allowExplicit)
             throw new IllegalArgumentException(
               "audit identity column: explicit INSERT is not allowed " +
                 "(GENERATED ALWAYS AS IDENTITY) — omit the column")
         } else {
-          require(localIdx < TaskRows,
-            s"audit identity: task $partitionId exceeded its per-commit " +
-              s"row capacity $TaskRows")
-          val k = idBase + partitionId.toLong * TaskRows + localIdx
+          if (localIdx >= kCap) {
+            require(reserver != null,
+              s"audit identity: task $partitionId exceeded its per-commit " +
+                s"row capacity $kCap and no re-reservation path is wired")
+            kBase = reserver.reserve()
+            kCap = Block
+            localIdx = 0L
+          }
+          val k = kBase + localIdx
           vals(id.idx) = id.start + id.step * k
         }
       }
@@ -165,11 +201,11 @@ private[sources] object GeneratedWrite {
   /** Wrap a batch write so every task's rows pass through a [[Filler]]
     * before the underlying (routing) writer sees them. */
   final class FillingBatchWrite(delegate: BatchWrite, specs: Specs,
-      idBase: Long) extends BatchWrite {
+      idBase: Long, reserver: Reserver = null) extends BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : DataWriterFactory = {
       val f = delegate.createBatchWriterFactory(info)
-      new FillingWriterFactory(f, specs, idBase)
+      new FillingWriterFactory(f, specs, idBase, reserver)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       delegate.commit(messages)
@@ -180,11 +216,13 @@ private[sources] object GeneratedWrite {
   }
 
   final class FillingWriterFactory(delegate: DataWriterFactory,
-      specs: Specs, idBase: Long) extends DataWriterFactory {
+      specs: Specs, idBase: Long, reserver: Reserver = null)
+      extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long)
         : DataWriter[InternalRow] = {
       val d = delegate.createWriter(partitionId, taskId)
-      val fill = new Filler(specs, idBase, partitionId)
+      val fill = new Filler(specs, idBase, partitionId,
+        reserver = reserver)
       new DataWriter[InternalRow] {
         override def write(record: InternalRow): Unit = d.write(fill(record))
         override def commit(): WriterCommitMessage = d.commit()
@@ -196,34 +234,52 @@ private[sources] object GeneratedWrite {
 
   /** Delta-write wrapper: generated columns recompute on INSERT and
     * UPDATE rows (an UPDATE that changes a referenced column must move
-    * the generated value with it). Identity tables refuse DML upstream. */
+    * the generated value with it); identity columns keep a row's
+    * existing value (scan-carried through UPDATE) and allocate fresh
+    * values for MERGE-inserted rows from `idBase`, the per-commit block
+    * the driver reserved at write-build time. */
   final class FillingDeltaBatchWrite(
       delegate: org.apache.spark.sql.connector.write.DeltaBatchWrite,
-      specs: Specs)
+      specs: Specs, idBase: Long = 0L, reserver: Reserver = null)
       extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
-        : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
-      val f = delegate.createBatchWriterFactory(info)
-      (partitionId: Int, taskId: Long) => {
-        val d = f.createWriter(partitionId, taskId)
-        val fill = new Filler(specs, 0L, partitionId)
-        new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-          override def insert(row: InternalRow): Unit = d.insert(fill(row))
-          override def update(meta: InternalRow, id: InternalRow,
-              row: InternalRow): Unit = d.update(meta, id, fill(row))
-          override def delete(meta: InternalRow, id: InternalRow): Unit =
-            d.delete(meta, id)
-          override def commit(): WriterCommitMessage = d.commit()
-          override def abort(): Unit = d.abort()
-          override def close(): Unit = d.close()
-        }
-      }
-    }
+        : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+      // a named factory class, NOT a SAM lambda: a lambda defined in this
+      // class body closes over the (non-serializable) enclosing
+      // FillingDeltaBatchWrite and fails Task-not-serializable on every
+      // UPDATE/MERGE — mirror the INSERT path's FillingWriterFactory.
+      new FillingDeltaWriterFactory(
+        delegate.createBatchWriterFactory(info), specs, idBase, reserver)
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       delegate.commit(messages)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       delegate.abort(messages)
     override def useCommitCoordinator(): Boolean =
       delegate.useCommitCoordinator()
+  }
+
+  /** Task-side factory for the delta path — only (delegate, specs) ship
+    * to executors. `validateExplicit = false`: UPDATE rows arrive with
+    * the stale generated value; always recompute instead of compare. */
+  final class FillingDeltaWriterFactory(
+      delegate: org.apache.spark.sql.connector.write.DeltaWriterFactory,
+      specs: Specs, idBase: Long, reserver: Reserver = null)
+      extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
+      val d = delegate.createWriter(partitionId, taskId)
+      val fill = new Filler(specs, idBase, partitionId,
+        validateExplicit = false, reserver = reserver)
+      new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+        override def insert(row: InternalRow): Unit = d.insert(fill(row))
+        override def update(meta: InternalRow, id: InternalRow,
+            row: InternalRow): Unit = d.update(meta, id, fill(row))
+        override def delete(meta: InternalRow, id: InternalRow): Unit =
+          d.delete(meta, id)
+        override def commit(): WriterCommitMessage = d.commit()
+        override def abort(): Unit = d.abort()
+        override def close(): Unit = d.close()
+      }
+    }
   }
 }

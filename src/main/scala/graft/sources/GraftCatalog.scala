@@ -340,17 +340,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: $what of partition column $c is unsupported " +
             "(directory names embed the partition column)"))
     // a generation expression referencing a renamed/dropped column would
-    // break every subsequent write — refuse, same guard as CHECKs
-    def requireNotGenerated(what: String, c: String): Unit =
+    // break every subsequent write — refuse, same guard as CHECKs. The
+    // check PARSES the stored SQL and compares attribute references with
+    // the session resolver (not a text regex: SQL identifiers are
+    // case-insensitive, and a column name inside a string literal must
+    // not spuriously block legal DDL)
+    def requireNotGenerated(what: String, c: String): Unit = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val resolver = spark.sessionState.conf.resolver
       schema0.fields.foreach { f =>
         org.apache.spark.sql.catalyst.util.GeneratedColumn
           .getGenerationExpression(f).foreach { g =>
-            require(!g.matches(
-              s"(?s).*\\b${java.util.regex.Pattern.quote(c)}\\b.*"),
+            val refs = spark.sessionState.sqlParser.parseExpression(g)
+              .collect {
+                case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => a.nameParts.head
+              }
+            require(!refs.exists(resolver(_, c)),
               s"graft catalog: $what of column $c is blocked by the " +
                 s"generation expression of ${f.name} ($g)")
           }
       }
+    }
     val newSchema = changes.foldLeft(schema0) {
       case (sc, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -1459,33 +1470,41 @@ object CatalogApi {
       """INSERT INTO graft_qchk.db.ck
         |SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
         |FROM graft_cat_li8 WHERE l_orderkey <= 1000""".stripMargin)
+    // the rejection check is NARROW: only a failure whose cause chain
+    // names the constraint machinery counts as "correctly rejected" — an
+    // OOM or an analysis typo must PROPAGATE, never read as a pass
+    def rejectedAsViolation(what: String)(body: => Unit): Unit = {
+      val wasRejected =
+        try { body; false }
+        catch {
+          case t: Throwable =>
+            def chain(x: Throwable): Seq[Throwable] =
+              if (x == null) Seq.empty else x +: chain(x.getCause)
+            if (chain(t).flatMap(e => Option(e.getMessage)).exists(m =>
+              m.toLowerCase.contains("constraint") ||
+                m.toLowerCase.contains("check"))) true
+            else throw t
+        }
+      require(wasRejected, s"audit CHECK: $what must be rejected")
+    }
     // a violating batch must be rejected WHOLE — nothing publishes
-    val rejected =
-      try {
-        spark.sql(
-          """INSERT INTO graft_qchk.db.ck
-            |SELECT l_orderkey, CAST(l_quantity AS BIGINT) - 100, l_returnflag
-            |FROM graft_cat_li8 WHERE l_orderkey <= 200""".stripMargin)
-        false
-      } catch { case _: Throwable => true }
-    require(rejected, "audit CHECK: violating INSERT must be rejected")
+    rejectedAsViolation("violating INSERT") {
+      spark.sql(
+        """INSERT INTO graft_qchk.db.ck
+          |SELECT l_orderkey, CAST(l_quantity AS BIGINT) - 100, l_returnflag
+          |FROM graft_cat_li8 WHERE l_orderkey <= 200""".stripMargin)
+    }
     // a violating delta UPDATE is rejected the same way
-    val rejectedDml =
-      try {
-        spark.sql("UPDATE graft_qchk.db.ck SET qty = -1 WHERE okey % 7 = 0")
-        false
-      } catch { case _: Throwable => true }
-    require(rejectedDml, "audit CHECK: violating UPDATE must be rejected")
+    rejectedAsViolation("violating UPDATE") {
+      spark.sql("UPDATE graft_qchk.db.ck SET qty = -1 WHERE okey % 7 = 0")
+    }
     // ALTER-time validation: existing rows have qty <= 60, so CHECK
     // (qty < 50) must fail; after deleting the offenders it sticks and
     // keeps enforcing
-    val rejectedAlter =
-      try {
-        spark.sql("ALTER TABLE graft_qchk.db.ck " +
-          "ADD CONSTRAINT qty_small CHECK (qty < 50)")
-        false
-      } catch { case _: Throwable => true }
-    require(rejectedAlter, "audit CHECK: ADD CONSTRAINT over violating rows")
+    rejectedAsViolation("ADD CONSTRAINT over violating rows") {
+      spark.sql("ALTER TABLE graft_qchk.db.ck " +
+        "ADD CONSTRAINT qty_small CHECK (qty < 50)")
+    }
     spark.sql("DELETE FROM graft_qchk.db.ck WHERE qty % 1000 >= 50")
     spark.sql("ALTER TABLE graft_qchk.db.ck " +
       "ADD CONSTRAINT qty_small CHECK (qty < 50)")
@@ -2569,7 +2588,7 @@ object CatalogApi {
       cnt = "mv_cnt",
       sums = Map("v" -> "mv_sum_v"),
       mins = Map.empty, maxs = Map.empty,
-      mvPlan = () => spark.read.parquet(mvDir).queryExecution.analyzed)
+      mvPlan = s => s.read.parquet(mvDir).queryExecution.analyzed)
     graft.plans.MvRewriteRule.register(spark, mv)
     try {
       val q = spark.table("graft_qe2e.db.base")
@@ -2610,8 +2629,104 @@ object CatalogApi {
       |ORDER BY g""".stripMargin
   }
 
+  /** GENERATED + IDENTITY columns, oracle-checked end to end: CREATE
+    * TABLE with a `GENERATED ALWAYS AS` column and a `GENERATED ALWAYS
+    * AS IDENTITY (START WITH 100 INCREMENT BY 7)` column, two INSERT
+    * waves, a delta MERGE (updates keep each row's identity, inserts
+    * allocate fresh ones), and a delta DELETE. Identity VALUES are
+    * inherently nondeterministic (per-commit block base × task id), so
+    * the result restates the INVARIANTS as deterministic aggregates:
+    * `uniq_ids` (count distinct — the oracle emits the group size, so
+    * any collision hash-mismatches) and `step_ok` (min over
+    * `(id-100) % 7 = 0 AND id >= 100` — the oracle emits 1). The
+    * generated column's VALUES flow through the whole DML sequence and
+    * are hash-checked exactly via `sum_qty2`. */
+  def catalogIdentity(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qid_wh")
+    spark.conf.set("spark.sql.catalog.graft_qid", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qid.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li5")
+    spark.sql("DROP TABLE IF EXISTS graft_qid.db.ident")
+    spark.sql(
+      """CREATE TABLE graft_qid.db.ident (
+        |  flag STRING, ls STRING, n_rows BIGINT,
+        |  qty2 BIGINT GENERATED ALWAYS AS (n_rows * 2),
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100
+        |    INCREMENT BY 7)) USING audit""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qid.db.ident (flag, ls, n_rows)
+        |SELECT l_returnflag, l_linestatus, count(*)
+        |FROM graft_cat_li5 GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qid.db.ident (flag, ls, n_rows)
+        |SELECT 'W', l_linestatus, count(*)
+        |FROM graft_cat_li5 GROUP BY l_linestatus""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_qid.db.ident t
+        |USING (
+        |  SELECT l_linestatus AS ls, count(*) AS delta
+        |  FROM graft_cat_li5 GROUP BY l_linestatus
+        |  UNION ALL SELECT 'Z1', 111 UNION ALL SELECT 'Z2', 222
+        |) s
+        |ON t.ls = s.ls AND t.flag = 'W'
+        |WHEN MATCHED THEN UPDATE SET t.n_rows = t.n_rows + s.delta
+        |WHEN NOT MATCHED THEN INSERT (flag, ls, n_rows)
+        |  VALUES ('Z', s.ls, s.delta)""".stripMargin)
+    spark.sql("DELETE FROM graft_qid.db.ident WHERE n_rows % 3 = 1")
+    spark.sql(
+      """SELECT flag, count(*) AS n_groups,
+        |       sum(n_rows) AS sum_rows, sum(qty2) AS sum_qty2,
+        |       count(DISTINCT id) AS uniq_ids,
+        |       CAST(min(CASE WHEN id >= 100 AND (id - 100) % 7 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS step_ok
+        |FROM graft_qid.db.ident GROUP BY flag
+        |UNION ALL
+        |SELECT '__ALL__', count(*), sum(n_rows), sum(qty2),
+        |       count(DISTINCT id),
+        |       CAST(min(CASE WHEN id >= 100 AND (id - 100) % 7 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM graft_qid.db.ident
+        |ORDER BY flag""".stripMargin)
+  }
+
+  val catalogIdentitySql: String =
+    """WITH w1 AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS ls,
+      |         count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1, 2),
+      |w2 AS (
+      |  SELECT 'W' AS flag, l_linestatus AS ls, count(*) AS n_rows
+      |  FROM lineitem GROUP BY 2),
+      |base AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+      |src AS (
+      |  SELECT l_linestatus AS ls, count(*) AS delta
+      |  FROM lineitem GROUP BY 1
+      |  UNION ALL SELECT 'Z1', 111 UNION ALL SELECT 'Z2', 222),
+      |merged AS (
+      |  SELECT b.flag, b.ls,
+      |         b.n_rows + COALESCE(CASE WHEN b.flag = 'W' THEN s.delta END,
+      |                             0) AS n_rows
+      |  FROM base b LEFT JOIN src s ON b.ls = s.ls
+      |  UNION ALL
+      |  SELECT 'Z', s.ls, s.delta FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM base b
+      |                    WHERE b.ls = s.ls AND b.flag = 'W')),
+      |survivors AS (SELECT * FROM merged WHERE n_rows % 3 <> 1)
+      |SELECT flag, count(*) AS n_groups,
+      |       CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+      |       CAST(sum(n_rows * 2) AS BIGINT) AS sum_qty2,
+      |       count(*) AS uniq_ids, CAST(1 AS BIGINT) AS step_ok
+      |FROM survivors GROUP BY flag
+      |UNION ALL
+      |SELECT '__ALL__', count(*), CAST(sum(n_rows) AS BIGINT),
+      |       CAST(sum(n_rows * 2) AS BIGINT), count(*), CAST(1 AS BIGINT)
+      |FROM survivors
+      |ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_catalog_dml" -> (catalogDml _),
+      "q_catalog_identity" -> (catalogIdentity _),
       "q_audit_occ" -> (auditOcc _),
       "q_mv_e2e" -> (mvE2e _),
       "q_cdf_replica" -> (cdfReplica _),
@@ -2640,6 +2755,7 @@ object CatalogApi {
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
+      "q_catalog_identity" -> catalogIdentitySql,
       "q_audit_occ" -> auditOccSql,
       "q_mv_e2e" -> mvE2eSql,
       "q_cdf_replica" -> cdfReplicaSql,

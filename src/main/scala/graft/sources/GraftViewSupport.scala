@@ -62,7 +62,17 @@ object GraftViewRules {
     * name resolution: a 1-part name gets the stored catalog+namespace, a
     * multi-part name whose head is NOT a registered catalog gets the
     * stored catalog prepended; fully-qualified names pass through.
-    * Applied through subqueries — views routinely nest them. */
+    * Applied through subqueries — views routinely nest them.
+    *
+    * CTE references must NOT be qualified: `WITH x AS (...) SELECT …
+    * FROM x` parses `x` as a 1-part UnresolvedRelation, and Spark's
+    * CTESubstitution only substitutes 1-part names — qualifying `x` to
+    * catalog.ns.x would resolve it to a real table (or fail). So
+    * CTESubstitution is applied to the parsed plan FIRST (the Iceberg
+    * ResolveViews pattern): it runs in the analyzer's Substitution
+    * batch, which has already passed by the time this resolution rule
+    * expands the view, so it must be re-driven here by hand. After
+    * substitution every surviving UnresolvedRelation is a real table. */
   private[sources] def qualifyRelations(spark: SparkSession,
       plan: LogicalPlan, catalog: String, namespace: Seq[String])
       : LogicalPlan = {
@@ -73,7 +83,9 @@ object GraftViewRules {
       if (parts.length == 1) (catalog +: namespace) :+ parts.head
       else if (!isCatalog(parts.head)) catalog +: parts
       else parts
-    plan.transformUpWithSubqueries {
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution.apply(plan)
+    substituted.transformUpWithSubqueries {
       case u @ UnresolvedRelation(parts, _, false) =>
         u.copy(multipartIdentifier = qualify(parts))
     }

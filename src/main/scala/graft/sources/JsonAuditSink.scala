@@ -507,17 +507,13 @@ final class AuditTable(path: String, writeSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // identity allocation is a per-commit block reservation the delta
-    // path does not perform — refuse DML on identity tables loudly.
     // GENERATED columns recompute inside the delta writers (an UPDATE
-    // that changes a referenced column moves the generated value too).
-    require(!org.apache.spark.sql.catalyst.util.IdentityColumn
-      .hasIdentityColumns(writeSchema),
-      "audit: UPDATE/MERGE/row-level DELETE on a table with IDENTITY " +
-        "columns is unsupported")
+    // that changes a referenced column moves the generated value too);
+    // IDENTITY columns keep a row's scan-carried value on UPDATE and
+    // allocate for MERGE-inserted rows from a per-commit block the
+    // DeltaWrite reserves at build time (same discipline as INSERT).
     val genSpecs: Option[GeneratedWrite.Specs] =
-      if (org.apache.spark.sql.catalyst.util.GeneratedColumn
-          .hasGeneratedColumns(writeSchema))
+      if (GeneratedWrite.hasAny(writeSchema))
         Some(GeneratedWrite.specsOf(
           org.apache.spark.sql.SparkSession.active, writeSchema))
       else None
@@ -1527,6 +1523,15 @@ private[sources] object AuditDeletes {
       case FoldRe(f, n) => (f, n.toLong)
     }.groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
 
+  /** Total rows ever folded out of this log — a MONOTONIC fold
+    * generation (every fold adds its entries' count; nothing ever
+    * subtracts). The change feed checkpoints it: positional indices are
+    * meaningless across a fold REGARDLESS of where in the log the folded
+    * entries sat, so any advance past the checkpointed value is a loud
+    * restart — not just the shrink-below-consumed-offset case the
+    * length guard alone can see. */
+  def foldedRows(path: String): Long = folded(path).values.sum
+
   /** Total delta-deleted rows: positional entries + folded summaries
     * (the exact amount every current-state count must subtract). */
   def count(path: String): Long =
@@ -1892,24 +1897,31 @@ final case class AuditPartCdfOffset(
   override def json(): String =
     dirs.toSeq.sortBy(_._1)
       .map { case (t, o) =>
-        s""""${AuditRowJson.esc(t)}":"${o.entries}:${o.rows}:${o.dels}"""" }
+        val folds = if (o.folds < 0L) "" else s":${o.folds}"
+        s""""${AuditRowJson.esc(t)}":"${o.entries}:${o.rows}:${o.dels}$folds"""" }
       .mkString("{", ",", "}")
 }
 
 private[sources] object AuditPartCdfOffset {
   /** rows = -1 marks a legacy (round-11) checkpoint offset that carried
     * no row count: the rewrite detector is skipped for that directory's
-    * already-consumed prefix, everything else resumes exactly. */
-  final case class DirOff(entries: Int, rows: Long, dels: Int)
+    * already-consumed prefix, everything else resumes exactly. folds is
+    * the directory's monotonic fold generation ([[AuditDeletes
+    * .foldedRows]]) at consumption time; -1 marks a pre-round-14
+    * checkpoint without the axis (that detector skipped too). */
+  final case class DirOff(entries: Int, rows: Long, dels: Int,
+      folds: Long = -1L)
   val Zero: DirOff = DirOff(0, 0L, 0)
 
-  private val EntryRe = """"((?:[^"\\]|\\.)*)":(?:"(\d+):(-?\d+):(\d+)"|(\d+))""".r
+  private val EntryRe =
+    """"((?:[^"\\]|\\.)*)":(?:"(\d+):(-?\d+):(\d+)(?::(-?\d+))?"|(\d+))""".r
   def parse(json: String): AuditPartCdfOffset = AuditPartCdfOffset(
     EntryRe.findAllMatchIn(json).map { m =>
       val tok = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
       val off =
-        if (m.group(5) != null) DirOff(m.group(5).toInt, -1L, 0)
-        else DirOff(m.group(2).toInt, m.group(3).toLong, m.group(4).toInt)
+        if (m.group(6) != null) DirOff(m.group(6).toInt, -1L, 0)
+        else DirOff(m.group(2).toInt, m.group(3).toLong, m.group(4).toInt,
+          if (m.group(5) == null) -1L else m.group(5).toLong)
       (tok, off)
     }.toMap)
 }
@@ -1933,7 +1945,8 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       // replayable positions; a fold shrinks this log and a resuming
       // tail fails loudly — the documented maintenance contract)
       (relDir, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
-        AuditDeletes.entries(pdir.toString).size))
+        AuditDeletes.entries(pdir.toString).size,
+        AuditDeletes.foldedRows(pdir.toString)))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
@@ -1986,6 +1999,18 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
           s"exceeds the delete log length ${dels.size} for $relDir at " +
           s"$path — the vectors were folded (metadata DELETE or OPTIMIZE); " +
           "restart the feed from a fresh checkpoint")
+      // fold-generation detector: a fold shifts EVERY later positional
+      // index wherever in the log the folded entries sat — the length
+      // guard above only sees shrink below the consumed offset. The
+      // generation is monotonic, so any change past the checkpoint is a
+      // fold. Only checked for dirs the start offset KNOWS (a dir first
+      // consumed now may legitimately carry pre-existing folds).
+      if (from.folds >= 0L)
+        require(AuditDeletes.foldedRows(pdir.toString) == from.folds,
+          s"audit changeFeed: delete vectors of $relDir at $path were " +
+            "folded (VACUUM vector retention) after this feed " +
+            "checkpointed — positional offsets no longer align; restart " +
+            "the feed from a fresh checkpoint")
       entries.slice(from.entries, until.entries).map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
           AuditScan.epochOf(f), None,
@@ -2220,10 +2245,13 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
   * row counts, which length-only offsets cannot see. `r` = -1 marks a
   * legacy checkpoint without the axis; the detector is skipped, all
   * other accounting resumes exactly). */
-final case class AuditCdfOffset(e: Int, b: Int, d: Long, r: Long = -1L)
+final case class AuditCdfOffset(e: Int, b: Int, d: Long, r: Long = -1L,
+    f: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    if (r < 0L) s"$e:$b:$d" else s"$e:$b:$d:$r"
+    if (r < 0L) s"$e:$b:$d"
+    else if (f < 0L) s"$e:$b:$d:$r"
+    else s"$e:$b:$d:$r:$f"
 }
 
 final class AuditCdfStream(path: String, fullSchema: StructType)
@@ -2249,15 +2277,20 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
     // d axis = POSITIONAL entries only (folded summaries are not
     // replayable; a VACUUM fold shrinks this log → loud restart)
     AuditCdfOffset(e, b, AuditDeletes.entries(path).size.toLong,
-      rowsUnder(e, b))
+      rowsUnder(e, b), AuditDeletes.foldedRows(path))
   }
 
-  override def initialOffset(): Offset = AuditCdfOffset(0, 0, 0L, 0L)
+  override def initialOffset(): Offset =
+    // a PRE-EXISTING fold (before this feed ever consumed anything) is
+    // fine — pin the fold generation at first start, detect advances
+    AuditCdfOffset(0, 0, 0L, 0L, AuditDeletes.foldedRows(path))
   override def latestOffset(): Offset = now()
   override def deserializeOffset(json: String): Offset =
     json.trim.split(':') match {
       case Array(e, b, d)    => AuditCdfOffset(e.toInt, b.toInt, d.toLong)
       case Array(e, b, d, r) => AuditCdfOffset(e.toInt, b.toInt, d.toLong, r.toLong)
+      case Array(e, b, d, r, f) =>
+        AuditCdfOffset(e.toInt, b.toInt, d.toLong, r.toLong, f.toLong)
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -2279,6 +2312,15 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
         s"audit changeFeed: already-consumed commits at $path changed row " +
           "counts (retroactive metadata DELETE rewrote published history " +
           "in place); restart the feed from a fresh checkpoint")
+    // fold-generation detector: a VACUUM vector fold shifts EVERY later
+    // positional index — detectable regardless of where in the log the
+    // folded entries sat (the length guard above only sees shrink below
+    // the consumed offset). Monotonic, so != means a fold happened.
+    if (s.f >= 0L)
+      require(AuditDeletes.foldedRows(path) == s.f,
+        s"audit changeFeed: delete vectors at $path were folded (VACUUM " +
+          "vector retention) after this feed checkpointed — positional " +
+          "offsets no longer align; restart the feed from a fresh checkpoint")
     AuditCdf.partitionsFor(path,
       epochs.slice(s.e, en.e),
       batch.slice(s.b, en.b),
@@ -2500,8 +2542,15 @@ final class AuditPartDeltaWrite(path: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
     val inner = new AuditPartDeltaBatchWrite(path, schema, partLevels)
-    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite)(
-      s => new GeneratedWrite.FillingDeltaBatchWrite(inner, s))
+    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite) {
+      s =>
+        // MERGE-inserted rows need identity values: reserve one commit
+        // block here on the driver, exactly like the INSERT path
+        val idBase =
+          if (s.ids.nonEmpty) GeneratedWrite.reserveBlock(path) else 0L
+        new GeneratedWrite.FillingDeltaBatchWrite(inner, s, idBase,
+          GeneratedWrite.Reserver(path))
+    }
   }
 }
 
@@ -2610,6 +2659,7 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
     AuditMaintLock.withLease(path, "delta-dml") { commitLocked(messages) }
 
   private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
+    AuditMaintLock.verifyCurrent(path, "partitioned delta DML publish")
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditPartDeltaCommitMessage])
@@ -2701,8 +2751,13 @@ final class AuditDeltaWrite(path: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
     val inner = new AuditDeltaBatchWrite(path, schema)
-    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite)(
-      s => new GeneratedWrite.FillingDeltaBatchWrite(inner, s))
+    genSpecs.fold(inner: org.apache.spark.sql.connector.write.DeltaBatchWrite) {
+      s =>
+        val idBase =
+          if (s.ids.nonEmpty) GeneratedWrite.reserveBlock(path) else 0L
+        new GeneratedWrite.FillingDeltaBatchWrite(inner, s, idBase,
+          GeneratedWrite.Reserver(path))
+    }
   }
 }
 
@@ -2790,6 +2845,7 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     AuditMaintLock.withLease(path, "delta-dml") { commitLocked(messages) }
 
   private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
+    AuditMaintLock.verifyCurrent(path, "delta DML publish")
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditDeltaCommitMessage])
@@ -3433,7 +3489,8 @@ final class AuditWriteBuilder(path: String, schema: StructType,
             // identity commits reserve their k-block HERE (driver, once)
             val base =
               if (s.ids.nonEmpty) GeneratedWrite.reserveBlock(path) else 0L
-            new GeneratedWrite.FillingBatchWrite(inner, s, base)
+            new GeneratedWrite.FillingBatchWrite(inner, s, base,
+              GeneratedWrite.Reserver(path))
           case None => inner
         }
       }
@@ -3545,8 +3602,126 @@ private[sources] object AuditMaintLock {
 
   private val LockRe = """\{"op":"([^"]*)","ts":(\d+)\}""".r
 
+  // ---- heartbeat: a LIVE operation keeps its lease fresh ---------------
+  // An OPTIMIZE/VACUUM/DML commit running longer than the TTL — the norm
+  // at 100 TB — must not silently lose its lease mid-operation. Each held
+  // lease schedules a renewal at leaseMs/3 on one shared daemon thread;
+  // renewal rewrites the lock's ts iff the claim is still ours, and
+  // records an irreversible LOSS otherwise, so every later
+  // [[verifyHeld]] (called before each publish step) fails loudly.
+  private lazy val scheduler = {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "audit-maint-lease-heartbeat")
+        t.setDaemon(true); t
+      })
+    s.setRemoveOnCancelPolicy(true); s
+  }
+  private val beats = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ScheduledFuture[_]]()
+  private val lostLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def beatKey(path: String, opId: String) = path + "|" + opId
+
+  private def readLock(lock: java.nio.file.Path): Option[(String, Long)] =
+    if (!java.nio.file.Files.exists(lock)) None
+    else new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      .trim match {
+        case LockRe(op, ts) => Some((op, ts.toLong))
+        case _              => None
+      }
+
+  private def writeLockLine(target: java.nio.file.Path, opId: String,
+      replace: Boolean): Unit = {
+    val line = s"""{"op":"$opId","ts":${System.currentTimeMillis()}}"""
+    if (!replace) {
+      // exclusive create via hard link — single winner among racers
+      val tmp = target.resolveSibling(target.getFileName.toString +
+        ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(target, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = target.resolveSibling(target.getFileName.toString +
+        ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def startHeartbeat(path: String, opId: String): Unit = {
+    val period = math.max(leaseMs / 3, 10L)
+    val key = beatKey(path, opId)
+    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+    val task: Runnable = () => AuditMaintLock.synchronized {
+      if (beats.containsKey(key)) // not released/crashed meanwhile
+        readLock(lock) match {
+          case Some((op, _)) if op == opId =>
+            try writeLockLine(lock, opId, replace = true)
+            catch { case _: java.io.IOException => () } // retry next beat
+          case other =>
+            lostLeases.put(key, s"lease renewal found $other instead of " +
+              s"own claim $opId")
+            Option(beats.remove(key)).foreach(_.cancel(false))
+        }
+    }
+    beats.put(key, scheduler.scheduleAtFixedRate(task, period, period,
+      java.util.concurrent.TimeUnit.MILLISECONDS))
+  }
+
+  /** Loud ownership re-check, called immediately BEFORE each publish
+    * step of a leased operation: if the lease was ever lost (heartbeat
+    * detected a thief, or the claim on disk is not ours NOW), the
+    * operation must abort before making any metadata visible. */
+  def verifyHeld(path: String, opId: String, step: String): Unit = {
+    val key = beatKey(path, opId)
+    val lostReason = lostLeases.get(key)
+    if (lostReason != null)
+      throw new IllegalStateException(
+        s"audit: maintenance operation $opId lost its lease at $path " +
+          s"before '$step' ($lostReason) — aborting WITHOUT publishing; " +
+          "another operation may own the table now")
+    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      readLock(lock) match {
+        case Some((op, _)) if op == opId => ()
+        case other =>
+          lostLeases.put(key, s"verify at '$step' found $other")
+          throw new IllegalStateException(
+            s"audit: maintenance operation $opId no longer holds the " +
+              s"lease at $path before '$step' (found $other) — aborting " +
+              "WITHOUT publishing")
+      }
+  }
+
+  // leases held by THIS thread, innermost first — lets deep publish
+  // helpers re-verify ownership without threading the op id through
+  private val held = new ThreadLocal[List[(String, String)]] {
+    override def initialValue: List[(String, String)] = Nil
+  }
+
+  /** Re-verify the current thread's lease on `path` — or on an ancestor
+    * of it: maintenance leases live on the TABLE root while some publish
+    * steps operate on a partition leaf. No-op when this thread holds
+    * none (a code path reachable outside any lease). */
+  def verifyCurrent(path: String, step: String): Unit =
+    held.get.find { case (p, _) =>
+      path == p || path.startsWith(p + java.io.File.separator)
+    }.foreach { case (p, id) => verifyHeld(p, id, step) }
+
+  /** TEST HOOK: drop the heartbeat without releasing — simulates a
+    * crashed/frozen holder so expiry-steal paths are drivable. */
+  private[sources] def simulateCrash(path: String, opId: String): Unit =
+    AuditMaintLock.synchronized {
+      Option(beats.remove(beatKey(path, opId))).foreach(_.cancel(false))
+    }
+
   /** Acquire the lease for one maintenance operation; returns the unique
-    * op id to pass to [[release]]. Loud when another live op holds it. */
+    * op id to pass to [[release]]. Loud when another live op holds it.
+    * A heartbeat keeps the claim fresh until release, so only a DEAD
+    * holder's lease ever expires. */
   def acquire(path: String, opDesc: String): String = {
     val dir = java.nio.file.Paths.get(path)
     val opIdEarly = opDesc + "-" + java.util.UUID.randomUUID.toString.take(8)
@@ -3558,68 +3733,95 @@ private[sources] object AuditMaintLock {
     val lock = dir.resolve("_MAINT_LOCK")
     val now = System.currentTimeMillis()
     val opId = opIdEarly
-    def conflict(): Unit =
-      if (java.nio.file.Files.exists(lock))
-        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
-          case LockRe(op, ts) if now - ts.toLong < leaseMs =>
-            throw new IllegalStateException(
-              s"audit: maintenance operation $opDesc cannot start at $path — " +
-                s"operation $op holds the maintenance lease (acquired " +
-                s"${now - ts.toLong} ms ago; expires after ${leaseMs} ms). " +
-                "OPTIMIZE/VACUUM/DML are single-writer on this table; wait " +
-                "for the other operation (or its lease) to end.")
-          case _ => () // expired or unreadable debris — claimable
-        }
-    conflict()
-    val line = s"""{"op":"$opId","ts":$now}"""
-    val tmp = lock.resolveSibling(
-      "_MAINT_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
-    java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
-    if (java.nio.file.Files.exists(lock)) {
-      java.nio.file.Files.move(tmp, lock,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      try {
-        java.nio.file.Files.createLink(lock, tmp)
-        java.nio.file.Files.delete(tmp)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.delete(tmp)
-          conflict()
-      }
-    }
-    // CAS verify (same shape as the stream lock): racing claimants of an
-    // expired lease both reach here; only the one whose claim is on disk
-    // proceeds — the loser throws before touching any metadata
-    val won = java.nio.file.Files.exists(lock) &&
-      (new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
-        case LockRe(op, _) => op == opId
-        case _             => false
-      })
-    if (!won)
+    def refuse(op: String, ts: Long): Nothing =
+      throw new IllegalStateException(
+        s"audit: maintenance operation $opDesc cannot start at $path — " +
+          s"operation $op holds the maintenance lease (renewed " +
+          s"${now - ts} ms ago; expires after ${leaseMs} ms without " +
+          "renewal). OPTIMIZE/VACUUM/DML are single-writer on this " +
+          "table; wait for the other operation (or its lease) to end.")
+    def lostRace(): Nothing =
       throw new IllegalStateException(
         s"audit: maintenance operation $opDesc lost the lease race at " +
           s"$path — another operation claimed the expired lease " +
           "concurrently; nothing was modified")
+    // retire an EXPIRED existing claim, single-winner and TOCTOU-safe:
+    // the expired lock is atomically MOVED to a private tombstone (only
+    // one claimant's move can succeed) and the tombstone's content is
+    // compared to what we read — if a fresh claim slid in between the
+    // read and the move, we restore it and lose, instead of stomping it
+    // the way a blind REPLACE_EXISTING move would.
+    val raw =
+      if (!java.nio.file.Files.exists(lock)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        .trim)
+    raw.foreach { r =>
+      r match {
+        case LockRe(op, ts) if now - ts.toLong < leaseMs => refuse(op, ts.toLong)
+        case _ => () // expired or unreadable debris — retire it
+      }
+      val tomb = lock.resolveSibling(
+        "_MAINT_LOCK.retired-" + java.util.UUID.randomUUID.toString.take(8))
+      try java.nio.file.Files.move(lock, tomb,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () } // retired by another
+      if (java.nio.file.Files.exists(tomb)) {
+        val t = new String(java.nio.file.Files.readAllBytes(tomb), "UTF-8")
+          .trim
+        if (t != r) {
+          // we displaced a FRESH claim that replaced the expired one
+          // after our read — put it back and lose
+          try {
+            java.nio.file.Files.createLink(lock, tomb)
+            java.nio.file.Files.delete(tomb)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // a third claimant already linked; the displaced owner's
+              // own verify-before-publish will detect the loss loudly
+              java.nio.file.Files.delete(tomb)
+          }
+          lostRace()
+        }
+        java.nio.file.Files.delete(tomb) // genuinely expired — retired
+      }
+    }
+    // fresh EXCLUSIVE claim: hard-link put-if-absent, single winner
+    try writeLockLine(lock, opId, replace = false)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        readLock(lock) match {
+          case Some((op, ts)) if now - ts < leaseMs => refuse(op, ts)
+          case _                                    => lostRace()
+        }
+    }
+    startHeartbeat(path, opId)
     opId
   }
 
   /** Release the lease iff still held by `opId` (an expired-and-stolen
     * lease belongs to the thief — never delete someone else's claim). */
-  def release(path: String, opId: String): Unit = {
-    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
-    if (java.nio.file.Files.exists(lock))
-      new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim match {
-        case LockRe(op, _) if op == opId =>
+  def release(path: String, opId: String): Unit =
+    AuditMaintLock.synchronized {
+      // stop the heartbeat FIRST so a racing renewal can't resurrect a
+      // deleted lock (renewal and release serialize on this monitor)
+      Option(beats.remove(beatKey(path, opId))).foreach(_.cancel(false))
+      lostLeases.remove(beatKey(path, opId))
+      val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+      readLock(lock) match {
+        case Some((op, _)) if op == opId =>
           java.nio.file.Files.deleteIfExists(lock)
         case _ => ()
       }
-  }
+    }
 
   def withLease[T](path: String, opDesc: String)(body: => T): T = {
     val id = acquire(path, opDesc)
-    try body finally release(path, id)
+    held.set((path, id) :: held.get)
+    try body
+    finally {
+      held.set(held.get.filterNot(e => e._1 == path && e._2 == id))
+      release(path, id)
+    }
   }
 }
 

@@ -46,7 +46,7 @@ class MvRewriteSpec extends AnyFunSuite {
     sums = Map("l_quantity" -> "mv_sum_qty"),
     mins = Map("l_extendedprice" -> "mv_min_price"),
     maxs = Map("l_extendedprice" -> "mv_max_price"),
-    mvPlan = () => ext.read.parquet(dir).queryExecution.analyzed)
+    mvPlan = s => s.read.parquet(dir).queryExecution.analyzed)
 
   private def withMv[T](body: => T): T = {
     MvRewriteRule.register(ext, mvDef(mvDir))
@@ -144,5 +144,31 @@ class MvRewriteSpec extends AnyFunSuite {
     }
     // after unregister (withMv's finally), the owner stops rewriting too
     assert(!fired(sq(ext)))
+  }
+
+  test("a dropped session's registrations are GC-reclaimable") {
+    // MvDef.mvPlan takes the session as a PARAMETER — a closure capturing
+    // it would make the weak map's value reference its own key and pin
+    // discarded sessions forever. Register in a throwaway session, drop
+    // the only strong reference, and watch the weak entry expunge.
+    val before = MvRewriteRule.registeredSessionCount
+    var throwaway: SparkSession = ext.newSession()
+    MvRewriteRule.register(throwaway, mvDef(mvDir))
+    assert(MvRewriteRule.registeredSessionCount === before + 1)
+    val ref = new java.lang.ref.WeakReference[SparkSession](throwaway)
+    throwaway = null
+    SparkSession.clearActiveSession()
+    val deadline = System.nanoTime + 30_000_000_000L
+    while (ref.get() != null && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(50)
+    }
+    SparkSession.setActiveSession(ext)
+    assert(ref.get() == null,
+      "the throwaway session was never collected — something (the MV " +
+        "registry's value closure?) still references it")
+    // other dropped sessions (e.g. an earlier test's sibling) may
+    // expunge in the same GC — assert the count fell back, not equality
+    assert(MvRewriteRule.registeredSessionCount <= before,
+      "the weak registry entry must expunge once the session is gone")
   }
 }

@@ -59,10 +59,12 @@ class AuditMaintLockSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
   }
 
-  test("an expired lease is stealable; release ignores a stolen lease") {
+  test("a DEAD holder's expired lease is stealable; release ignores it") {
     val path = java.nio.file.Files.createTempDirectory("graft_mlock_exp_")
       .toString
     val stale = AuditMaintLock.acquire(path, "optimize")
+    // a LIVE holder never expires (heartbeat); simulate the crash first
+    AuditMaintLock.simulateCrash(path, stale)
     sys.props("graft.audit.maintLeaseMs") = "1"
     try {
       Thread.sleep(5)
@@ -71,9 +73,82 @@ class AuditMaintLockSpec extends AnyFunSuite {
       AuditMaintLock.release(path, stale)
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+      // ...and the original holder's publish-step verify fails LOUDLY
+      val ex = intercept[IllegalStateException](
+        AuditMaintLock.verifyHeld(path, stale, "base publish"))
+      assert(ex.getMessage.contains("no longer holds"), ex.getMessage)
       AuditMaintLock.release(path, thief)
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+    } finally sys.props.remove("graft.audit.maintLeaseMs")
+  }
+
+  test("heartbeat: an operation outliving the TTL keeps its lease") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_hb_")
+      .toString
+    sys.props("graft.audit.maintLeaseMs") = "120"
+    try {
+      val held = AuditMaintLock.acquire(path, "optimize")
+      // run PAST the TTL: renewals (every TTL/3) keep the claim fresh,
+      // so a second operation is STILL rejected mid-operation
+      Thread.sleep(400)
+      val ex = intercept[IllegalStateException](
+        AuditMaintLock.acquire(path, "vacuum"))
+      assert(ex.getMessage.contains("holds the maintenance lease"),
+        ex.getMessage)
+      // the long-running holder still verifies green at publish time
+      AuditMaintLock.verifyHeld(path, held, "publish")
+      AuditMaintLock.release(path, held)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")))
+    } finally sys.props.remove("graft.audit.maintLeaseMs")
+  }
+
+  test("lease loss mid-operation is detected before publish, loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_loss_")
+      .toString
+    sys.props("graft.audit.maintLeaseMs") = "80"
+    try {
+      val frozen = AuditMaintLock.acquire(path, "optimize")
+      // the op FREEZES (GC pause / network partition): no renewals
+      AuditMaintLock.simulateCrash(path, frozen)
+      Thread.sleep(120)
+      // a second op legitimately claims the expired lease and finishes
+      val thief = AuditMaintLock.acquire(path, "vacuum")
+      AuditMaintLock.release(path, thief)
+      // the frozen op RESUMES and tries to publish: even though the
+      // thief already released (lock file GONE — the subtle case),
+      // ownership verification must refuse the publish
+      val ex = intercept[IllegalStateException](
+        AuditMaintLock.verifyHeld(path, frozen, "dir swap"))
+      assert(ex.getMessage.contains("no longer holds"), ex.getMessage)
+    } finally sys.props.remove("graft.audit.maintLeaseMs")
+  }
+
+  test("a steal cannot stomp a FRESH claim that replaced expired debris") {
+    // the TOCTOU: claimant B reads an EXPIRED lock, then claimant A
+    // retires it and claims; B's retirement must detect the fresh
+    // content and restore A's claim instead of replacing it
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_cas2_")
+      .toString
+    val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+    sys.props("graft.audit.maintLeaseMs") = "60000"
+    try {
+      // expired debris on disk
+      java.nio.file.Files.write(lock,
+        s"""{"op":"dead-op","ts":${System.currentTimeMillis() - 120000}}"""
+          .getBytes("UTF-8"))
+      // A claims the expired lease (retire + fresh claim)
+      val a = AuditMaintLock.acquire(path, "optimize")
+      // B, who (conceptually) read the expired content before A's claim,
+      // now attempts the same steal: must refuse — the lock is fresh
+      val ex = intercept[IllegalStateException](
+        AuditMaintLock.acquire(path, "vacuum"))
+      assert(ex.getMessage.contains("holds the maintenance lease"),
+        ex.getMessage)
+      // A's claim is intact and verifiable
+      AuditMaintLock.verifyHeld(path, a, "publish")
+      AuditMaintLock.release(path, a)
     } finally sys.props.remove("graft.audit.maintLeaseMs")
   }
 

@@ -218,4 +218,78 @@ class AuditMultiPartSpec extends AnyFunSuite {
     assert(planned.size === 1 && planned.head.startsWith("y=2024/name="))
     assert(q.count() === 10L)
   }
+
+  test("generated columns recompute through nested-layout delta DML") {
+    val (cat, wh) = freshCat("gen")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.g (id BIGINT, y BIGINT, m BIGINT,
+         |  leaf STRING GENERATED ALWAYS AS (concat(y, '/', m)))
+         |USING audit PARTITIONED BY (y, m)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.db.g (id, y, m)
+         |SELECT id, 2023 + (id % 2), 1 + (id % 3) FROM range(0, 120)""".stripMargin)
+    val data = wh.resolve("db/g")
+    def leafFiles(): Map[String, Int] = AuditPartition
+      .listDirsByCols(data.toString, Seq("y", "m"))
+      .map { case (rel, d) =>
+        rel -> AuditPartition.manifestEntries(d).size
+      }.toMap
+    val before = leafFiles()
+    // an UPDATE that MOVES rows across leaves recomputes the generated
+    // column with the NEW partition value
+    spark.sql(s"UPDATE $cat.db.g SET m = 12 WHERE id < 4")
+    val moved = spark.sql(
+      s"SELECT y, m, leaf FROM $cat.db.g WHERE id < 4").collect()
+    assert(moved.length === 4)
+    assert(moved.forall(r => r.getString(2) === s"${r.getLong(0)}/12"))
+    // every surviving row's generated value agrees with its columns
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.g " +
+      "WHERE leaf <> concat(y, '/', m)").head.getLong(0) === 0L)
+    // MERGE inserts into a brand-new leaf compute the generated value
+    spark.range(500, 503).toDF("id")
+      .selectExpr("id", "CAST(2025 AS BIGINT) AS y", "CAST(9 AS BIGINT) AS m")
+      .createOrReplaceTempView("mp_gen_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.g t USING mp_gen_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, y, m) VALUES (s.id, s.y, s.m)""".stripMargin)
+    val ins = spark.sql(
+      s"SELECT leaf FROM $cat.db.g WHERE id >= 500").collect()
+    assert(ins.length === 3 && ins.forall(_.getString(0) === "2025/9"))
+    // DML wrote only the touched leaves: untouched (y,m) leaves gained
+    // no files (writes target-dir-scoped, the 100 TB property)
+    val after = leafFiles()
+    val touched = Set("y=2023/m=12", "y=2024/m=12", "y=2025/m=9")
+    before.keySet.diff(touched).foreach { rel =>
+      // source leaves of moved rows gain only delete vectors, not files
+      assert(after(rel) === before(rel), s"untouched leaf $rel grew files")
+    }
+  }
+
+  test("a generated column can BE a nested partition LEVEL (moves on UPDATE)") {
+    val (cat, wh) = freshCat("genlvl")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.p (id BIGINT, ts BIGINT,
+         |  y BIGINT GENERATED ALWAYS AS (ts DIV 100),
+         |  mb BIGINT GENERATED ALWAYS AS (ts % 4))
+         |USING audit PARTITIONED BY (y, mb)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.p (id, ts) " +
+      "SELECT id, 202300 + id % 8 FROM range(0, 80)")
+    val data = wh.resolve("db/p")
+    val dirs0 = AuditPartition.listDirsByCols(data.toString, Seq("y", "mb"))
+      .map(_._1).toSet
+    assert(dirs0 === (for (y <- Seq(2023); b <- 0 to 3)
+      yield s"y=$y/mb=$b").toSet)
+    // UPDATE the BASE column: both generated partition levels recompute
+    // and the row re-routes to the recomputed leaf
+    spark.sql(s"UPDATE $cat.db.p SET ts = 202401 WHERE id = 0")
+    val r = spark.sql(s"SELECT ts, y, mb FROM $cat.db.p WHERE id = 0").head
+    assert(r.getLong(1) === 2024L && r.getLong(2) === 1L)
+    val dirs1 = AuditPartition.listDirsByCols(data.toString, Seq("y", "mb"))
+      .map(_._1).toSet
+    assert(dirs1.contains("y=2024/mb=1"))
+    // pruned read over the new leaf finds the moved row only there
+    assert(spark.table(s"$cat.db.p")
+      .where("y = 2024 AND mb = 1").count() === 1L)
+    assert(spark.table(s"$cat.db.p").count() === 80L)
+  }
 }

@@ -137,4 +137,57 @@ class AuditVectorFoldSpec extends AnyFunSuite {
     assert(feed.count(_.getString(2) == "insert") === 90)
     assert(feed.count(_.getString(2) == "delete") === 0)
   }
+
+  test("a fold under a live tail fails loudly even when lengths still fit") {
+    // the silent-shift trap: the tail consumed 2 vector entries, 3 more
+    // landed, then VACUUM folded the CONSUMED 2 — the log is now 3
+    // entries long, >= the consumed offset 2, so a length-only guard
+    // sees nothing while indices 2..5 silently became 0..3 (delete
+    // events skipped or re-emitted). The fold-GENERATION axis makes any
+    // fold past the checkpoint loud.
+    import org.apache.spark.sql.types._
+    val (cat, wh) = freshCat("live")
+    spark.sql(s"CREATE TABLE $cat.db.l (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.l SELECT id, id * 3 FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.db.l WHERE id % 50 = 7") // 2 entries
+    val path = wh.resolve("db/l").toString
+    assert(AuditDeletes.entries(path).size === 2)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("_change_type", StringType)))
+    val stream = new AuditCdfStream(path, schema)
+    val consumed = stream.latestOffset() // tail checkpointed here (d=2)
+    spark.sql(s"DELETE FROM $cat.db.l WHERE id % 33 = 5") // 3 more
+    assert(AuditDeletes.entries(path).size === 5)
+    // fold the 2 CONSUMED entries only (what a VACUUM whose retention
+    // window covers them does): log shrinks 5 → 3 positional + summary
+    val all = AuditDeletes.entries(path)
+    val foldedAway = all.take(2)
+    AuditDeletes.replace(path, all.drop(2),
+      foldedAway.groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
+    assert(AuditDeletes.entries(path).size === 3) // >= consumed 2: length guard blind
+    val ex = intercept[IllegalArgumentException](
+      stream.planInputPartitions(consumed, stream.latestOffset()))
+    assert(ex.getMessage.contains("folded"), ex.getMessage)
+
+    // same detector on the PARTITIONED feed
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id % 2 FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.db.p WHERE id % 50 = 6") // 1 per dir
+    val ppath = wh.resolve("db/p").toString
+    val pschema = StructType(Seq(StructField("id", LongType),
+      StructField("flag", LongType), StructField("_change_type", StringType)))
+    val pstream = new AuditPartitionedCdfStream(ppath, pschema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
+    val pconsumed = pstream.latestOffset()
+    spark.sql(s"DELETE FROM $cat.db.p WHERE id % 25 = 3") // 2 more per dir
+    val leaf = java.nio.file.Paths.get(ppath).resolve("flag=0").toString
+    val lall = AuditDeletes.entries(leaf)
+    assert(lall.size >= 3)
+    AuditDeletes.replace(leaf, lall.drop(1),
+      lall.take(1).groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
+    val pex = intercept[IllegalArgumentException](
+      pstream.planInputPartitions(pconsumed, pstream.latestOffset()))
+    assert(pex.getMessage.contains("folded"), pex.getMessage)
+  }
 }

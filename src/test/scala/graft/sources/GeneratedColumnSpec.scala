@@ -98,10 +98,64 @@ class GeneratedColumnSpec extends AnyFunSuite {
     val ex = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.db.i VALUES (777, 'explicit')"))
     assert(ex.getMessage != null)
-    // …and DML on identity tables is refused loudly (no allocation path)
-    val ex2 = intercept[Exception](
-      spark.sql(s"UPDATE $cat.db.i SET v = 'u' WHERE v = 'a0'"))
-    assert(ex2.getMessage.contains("IDENTITY"), ex2.getMessage)
+  }
+
+  test("identity columns survive delta UPDATE and allocate on MERGE insert") {
+    val (cat, _) = freshCat("identdml")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.i (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10
+         |    INCREMENT BY 5),
+         |  v STRING) USING audit""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.i (v) SELECT concat('a', id) " +
+      "FROM range(0, 50)")
+    val before = spark.sql(s"SELECT v, id FROM $cat.db.i").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // UPDATE keeps each row's EXISTING identity value (scan-carried)
+    spark.sql(s"UPDATE $cat.db.i SET v = concat(v, '!') WHERE v < 'a2'")
+    val after = spark.sql(s"SELECT v, id FROM $cat.db.i").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("a0!") === before("a0") && after("a19!") === before("a19"))
+    assert(after("a30") === before("a30"))
+    // MERGE insert allocates fresh, unique, step-aligned values
+    spark.range(0, 3).selectExpr("concat('m', id) AS v")
+      .createOrReplaceTempView("ident_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.i t USING ident_src s ON t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)""".stripMargin)
+    val ids = spark.sql(s"SELECT id FROM $cat.db.i").collect()
+      .map(_.getLong(0))
+    assert(ids.length === 53 && ids.distinct.length === 53,
+      "identity stays unique across INSERT + UPDATE + MERGE")
+    assert(ids.forall(i => i >= 10 && (i - 10) % 5 == 0))
+    // DELETE through the delta path leaves survivors' identities intact
+    spark.sql(s"DELETE FROM $cat.db.i WHERE v = 'm1'")
+    val left = spark.sql(s"SELECT v, id FROM $cat.db.i WHERE v LIKE 'm%'")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(left.keySet === Set("m0", "m2"))
+    assert(left.values.toSeq.distinct.length === 2)
+  }
+
+  test("a task outrunning its identity slice reserves a fresh block") {
+    // the per-task slice is 2^20 k-values; a huge COALESCED insert must
+    // roll over to a freshly reserved block, not throw mid-write
+    sys.props("graft.audit.identityTaskRows") = "100"
+    try {
+      val (cat, _) = freshCat("over")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.o (
+           |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 3
+           |    INCREMENT BY 2), v BIGINT) USING audit""".stripMargin)
+      // single task, 350 rows >> 100-row slice → 3 extra reservations
+      spark.range(0, 350).coalesce(1).selectExpr("id AS v")
+        .createOrReplaceTempView("gen_over_src")
+      spark.sql(s"INSERT INTO $cat.db.o (v) SELECT v FROM gen_over_src")
+      val ids = spark.sql(s"SELECT id FROM $cat.db.o").collect()
+        .map(_.getLong(0))
+      assert(ids.length === 350 && ids.distinct.length === 350,
+        "identity stays unique across intra-task block rollovers")
+      assert(ids.forall(i => i >= 3 && (i - 3) % 2 == 0))
+    } finally sys.props.remove("graft.audit.identityTaskRows")
   }
 
   test("GENERATED BY DEFAULT AS IDENTITY accepts explicit values") {
@@ -126,6 +180,22 @@ class GeneratedColumnSpec extends AnyFunSuite {
     val ex = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.db.g RENAME COLUMN c TO c2"))
     assert(ex.getMessage.contains("generation expression"), ex.getMessage)
+    // the guard resolves identifiers, not text: a CASE-different
+    // reference still blocks; a name inside a string LITERAL does not
+    spark.sql(
+      s"""CREATE TABLE $cat.db.cased (foo BIGINT,
+         |  up BIGINT GENERATED ALWAYS AS (FOO * 2)) USING audit""".stripMargin)
+    val exCase = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.cased RENAME COLUMN foo TO bar"))
+    assert(exCase.getMessage.contains("generation expression"),
+      exCase.getMessage)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.lit (foo BIGINT, other BIGINT,
+         |  tag STRING GENERATED ALWAYS AS (concat('foo-', other)))
+         |USING audit""".stripMargin)
+    // 'foo' appears only inside a literal — renaming foo is legal
+    spark.sql(s"ALTER TABLE $cat.db.lit RENAME COLUMN foo TO renamed_ok")
+    assert(spark.table(s"$cat.db.lit").columns.contains("renamed_ok"))
     // streaming writes refuse (batch INSERT materializes the values)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gen_ckpt")
     val ex2 = intercept[Exception] {

@@ -166,4 +166,56 @@ class GraftViewSpec extends AnyFunSuite {
     assert(spark.sessionState.catalogManager.currentCatalog.name() === prevCat)
     assert(spark.sql(s"SELECT n FROM $cat.db.ctx_v").head.getLong(0) === 7L)
   }
+
+  test("a stored view containing a WITH clause keeps its CTE references") {
+    // qualification of relative names must NOT touch CTE-defined names:
+    // `WITH x AS (...) ... FROM x` parses `x` as a 1-part relation, and
+    // rewriting it to catalog.ns.x would resolve it to a real table of
+    // the same name (wrong results) or fail analysis. The trap case is a
+    // CTE whose name SHADOWS a real table.
+    val cat = freshCat("cte")
+    spark.sql(s"CREATE TABLE $cat.db.base (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.base SELECT id FROM range(0, 10)")
+    // a real table named exactly like the CTE, with DIFFERENT contents —
+    // if the CTE reference were qualified, the view would read this one
+    spark.sql(s"CREATE TABLE $cat.db.evens (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.evens VALUES (777)")
+    spark.sql(
+      s"""CREATE VIEW $cat.db.cte_v AS
+         |WITH evens AS (SELECT id FROM $cat.db.base WHERE id % 2 = 0)
+         |SELECT count(*) AS n, sum(id) AS total FROM evens""".stripMargin)
+    val r = spark.sql(s"SELECT n, total FROM $cat.db.cte_v").head
+    assert(r.getLong(0) === 5L, "CTE must win over the same-named table")
+    assert(r.getLong(1) === 20L) // 0+2+4+6+8, NOT 777
+    // nested CTEs inside a subquery survive too
+    spark.sql(
+      s"""CREATE VIEW $cat.db.cte_nested AS
+         |SELECT * FROM (
+         |  WITH odds AS (SELECT id FROM $cat.db.base WHERE id % 2 = 1)
+         |  SELECT max(id) AS m FROM odds)""".stripMargin)
+    assert(spark.sql(s"SELECT m FROM $cat.db.cte_nested").head.getLong(0)
+      === 9L)
+  }
+
+  test("a view over a view in a DIFFERENT namespace re-qualifies nested refs") {
+    val cat = freshCat("nest")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.inner_ns")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.outer_ns")
+    spark.sql(s"CREATE TABLE $cat.inner_ns.t (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.inner_ns.t SELECT id FROM range(0, 12)")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql(s"USE $cat.inner_ns")
+    try {
+      // inner view: RELATIVE reference to t, stored context = inner_ns
+      spark.sql("CREATE VIEW inner_v AS SELECT id * 10 AS x FROM t")
+      spark.sql(s"USE $cat.outer_ns")
+      // outer view in ANOTHER namespace references the inner view by a
+      // 2-part name — its stored context (catalog only) must carry
+      spark.sql(s"CREATE VIEW outer_v AS " +
+        "SELECT count(*) AS n, max(x) AS mx FROM inner_ns.inner_v")
+    } finally spark.sql(s"USE $prevCat")
+    // resolve the whole chain from an unrelated session context
+    val r = spark.sql(s"SELECT n, mx FROM $cat.outer_ns.outer_v").head
+    assert(r.getLong(0) === 12L && r.getLong(1) === 110L)
+  }
 }
