@@ -1146,13 +1146,16 @@ private[sources] object GraftProcedures {
           StructField("rows", LongType, nullable = false),
           StructField("detail", StringType, nullable = false)))
         val epochRe =
-          """\{"epoch":(-?\d+),"files":(\d+),"rows":(\d+)\}""".r
+          """\{"epoch":(-?\d+),"files":(\d+),"rows":(\d+)(?:,"ts":(\d+))?\}""".r
         val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
         val epochRows: Seq[Array[Any]] =
           if (java.nio.file.Files.exists(epochsFile))
             java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq.collect {
-              case epochRe(e, nf, r) => Array[Any]("epoch", e.toLong,
-                nf.toInt, r.toLong, str("streamed micro-batch"))
+              case epochRe(e, nf, r, ts) => Array[Any]("epoch", e.toLong,
+                nf.toInt, r.toLong, str("streamed micro-batch" +
+                  (if (ts == null) ""
+                  else ", committed " + java.time.Instant
+                    .ofEpochMilli(ts.toLong).toString)))
             }.sortBy(_(1).asInstanceOf[Long])
           else Seq.empty
         val batchRows: Seq[Array[Any]] =

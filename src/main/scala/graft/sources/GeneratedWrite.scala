@@ -258,6 +258,51 @@ private[sources] object GeneratedWrite {
       delegate.useCommitCoordinator()
   }
 
+  /** Streaming wrapper: GENERATED columns compute per row exactly like
+    * the batch path (deterministic expressions — an epoch replay
+    * recomputes identical values, preserving idempotent epochs).
+    * IDENTITY tables are refused upstream: per-epoch reservations over
+    * an unbounded stream would burn k-space and replays would change
+    * values. */
+  final class FillingStreamingWrite(
+      delegate: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
+      specs: Specs)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    require(specs.ids.isEmpty,
+      "audit: identity columns have no streaming allocation path")
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      new FillingStreamingWriterFactory(
+        delegate.createStreamingWriterFactory(info), specs)
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit =
+      delegate.commit(epochId, messages)
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit =
+      delegate.abort(epochId, messages)
+    override def useCommitCoordinator(): Boolean =
+      delegate.useCommitCoordinator()
+  }
+
+  /** Named serializable factory (same Task-not-serializable trap as the
+    * delta path — never a SAM lambda in the enclosing class body). */
+  final class FillingStreamingWriterFactory(
+      delegate: org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory,
+      specs: Specs)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+        : DataWriter[InternalRow] = {
+      val d = delegate.createWriter(partitionId, taskId, epochId)
+      val fill = new Filler(specs, 0L, partitionId)
+      new DataWriter[InternalRow] {
+        override def write(record: InternalRow): Unit = d.write(fill(record))
+        override def commit(): WriterCommitMessage = d.commit()
+        override def abort(): Unit = d.abort()
+        override def close(): Unit = d.close()
+      }
+    }
+  }
+
   /** Task-side factory for the delta path — only (delegate, specs) ship
     * to executors. `validateExplicit = false`: UPDATE rows arrive with
     * the stale generated value; always recompute instead of compare. */

@@ -103,6 +103,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident, Some(version.toLong))
 
+  /** SQL `TIMESTAMP AS OF t` (Spark hands micros since the Unix epoch):
+    * resolve to the greatest epoch whose recorded commit time is at or
+    * before `t`, then pin exactly like `VERSION AS OF` — one time-travel
+    * mechanism, two SQL spellings. Epoch commit times live in `_EPOCHS`
+    * (`"ts"` millis, appended by the streaming two-phase commit). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val epoch = AuditScan.epochAt(dataDir(ident).toString, timestamp / 1000L)
+    loadTable(ident, Some(epoch))
+  }
+
   private def loadTable(ident: Identifier, version: Option[Long]): Table = {
     val f = metaFile(ident)
     if (!java.nio.file.Files.exists(f))
@@ -1899,6 +1911,60 @@ object CatalogApi {
       |FROM cur GROUP BY flag
       |ORDER BY at, flag""".stripMargin
 
+  /** `TIMESTAMP AS OF`, oracle-checked: stream three epochs, then pin
+    * the table at the LAST epoch's recorded commit time — the pinned
+    * state must equal the full streamed state (commit times are
+    * inclusive), which the oracle restates deterministically. Wall-clock
+    * values themselves are nondeterministic, so the meta row restates
+    * the INVARIANTS: every epoch carries a commit time, and the times
+    * are non-decreasing in epoch order. Boundary semantics (mid-stream
+    * pins, before-first errors, tie-breaks) are spec'd exactly in
+    * GraftCatalogSpec over a handcrafted epoch log. */
+  def auditTravelTs(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qts_wh")
+    spark.conf.set("spark.sql.catalog.graft_qts", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qts.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qts.db.tt")
+    spark.sql("CREATE TABLE graft_qts.db.tt (id BIGINT, flag BIGINT) " +
+      "USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qts_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_qts.db.tt")
+    try w.processAllAvailable() finally w.stop()
+    val path = wh.resolve("db").resolve("tt").toString
+    val tsByEpoch = AuditScan.epochTimestamps(path)
+    val ordered = tsByEpoch.toSeq.sortBy(_._1).map(_._2)
+    val monotonic = if (ordered.zip(ordered.drop(1)).forall {
+      case (a, b) => a <= b }) 1L else 0L
+    val tLast = tsByEpoch.values.max
+    spark.sql(
+      s"""SELECT CAST(flag AS STRING) AS grp, count(*) AS n,
+         |       sum(id) AS sum_id
+         |FROM graft_qts.db.tt TIMESTAMP AS OF timestamp_millis($tLast)
+         |GROUP BY flag
+         |UNION ALL
+         |SELECT '__meta__', ${tsByEpoch.size}L, ${monotonic}L
+         |ORDER BY grp""".stripMargin)
+  }
+
+  val auditTravelTsSql: String =
+    """WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(300) t(r))
+      |SELECT CAST(flag AS VARCHAR) AS grp, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM src GROUP BY flag
+      |UNION ALL
+      |SELECT '__meta__', 3, 1
+      |ORDER BY grp""".stripMargin
+
   /** PARTITIONED CDC REPLICATION, oracle-checked: a partitioned replica
     * is maintained EXCLUSIVELY from the partitioned table's change feed.
     * The feed's axes are the per-directory APPEND-ONLY logs — manifest
@@ -2747,6 +2813,7 @@ object CatalogApi {
       "q_audit_stream_part" -> (auditStreamPart _),
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
+      "q_audit_travel_ts" -> (auditTravelTs _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
       "q_catalog_rename" -> (catalogRename _),
@@ -2776,6 +2843,7 @@ object CatalogApi {
       "q_audit_stream_part" -> auditStreamPartSql,
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,
+      "q_audit_travel_ts" -> auditTravelTsSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,
       "q_catalog_rename" -> catalogRenameSql,

@@ -1045,7 +1045,8 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
   private def unpartitionedCount(): Long = {
     val dir = java.nio.file.Paths.get(path)
     val rowsRe = """.*"rows":(\d+)\}""".r
-    val epochRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
+    val epochRe =
+      """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)(?:,"ts":\d+)?\}""".r
     // base checkpoint: current-state counts swap the superseded epochs'
     // _EPOCHS rows for the base manifest total (which includes the
     // still-subtracted vector-deleted rows); pinned counts keep reading
@@ -1593,7 +1594,11 @@ private[sources] object AuditScan {
   private val EpochRe = """\{"epoch":(-?\d+),.*""".r
   private val PartRe = """part-e(-?\d+)-\d+\.jsonl""".r
 
-  private val EpochRowsRe = """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)\}""".r
+  // `,"ts":millis` is optional: pre-round-14 logs carry no commit time
+  private val EpochRowsRe =
+    """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)(?:,"ts":\d+)?\}""".r
+  private val EpochTsRe =
+    """\{"epoch":(-?\d+),"files":\d+,"rows":\d+,"ts":(\d+)\}""".r
 
   /** epoch → committed rows, from the `_EPOCHS` log. */
   def epochRowsByEpoch(path: String): Map[Long, Long] = {
@@ -1602,6 +1607,40 @@ private[sources] object AuditScan {
     java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
       case EpochRowsRe(e, r) => (e.toLong, r.toLong)
     }.toMap
+  }
+
+  /** epoch → commit wall-clock millis (lines that carry "ts" — an epoch
+    * REPLAY refreshes its line, so the recorded time is the time of the
+    * last SUCCESSFUL commit, the one whose files are live). */
+  def epochTimestamps(path: String): Map[Long, Long] = {
+    val epochsFile = java.nio.file.Paths.get(path).resolve("_EPOCHS")
+    if (!java.nio.file.Files.exists(epochsFile)) return Map.empty
+    java.nio.file.Files.readAllLines(epochsFile).asScala.collect {
+      case EpochTsRe(e, ts) => (e.toLong, ts.toLong)
+    }.toMap
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the greatest epoch committed at or
+    * before `millis`. Loud when the table has no timestamped epoch
+    * history at or before that point — silently returning "latest" (or
+    * "empty") would misanswer an auditing query, the one use case the
+    * feature exists for. */
+  def epochAt(path: String, millis: Long): Long = {
+    val stamped = epochTimestamps(path)
+    val all = committedEpochs(path)
+    if (all.isEmpty)
+      throw new IllegalArgumentException(
+        s"audit TIMESTAMP AS OF: table at $path has no epoch history " +
+          "(only streaming commits are time-travelable)")
+    val eligible = stamped.collect { case (e, ts) if ts <= millis => e }
+    if (eligible.isEmpty) {
+      // legacy epochs (no ts) exist but nothing provably <= millis
+      throw new IllegalArgumentException(
+        s"audit TIMESTAMP AS OF: no epoch committed at or before " +
+          s"$millis ms at $path (earliest timestamped commit: " +
+          s"${if (stamped.isEmpty) "none — pre-ts history" else stamped.values.min.toString})")
+    }
+    eligible.max
   }
 
   /** Epochs recorded in `_EPOCHS`, ascending (the stream's offset axis). */
@@ -3250,7 +3289,10 @@ private[sources] object AuditDelete {
     }
     // epoch files: rewrite, refresh per-epoch row totals in _EPOCHS
     val epochsFile = dir.resolve("_EPOCHS")
-    val epochRe = """\{"epoch":(-?\d+),"files":(\d+),.*""".r
+    // capture the optional commit ts so the rewrite preserves it (it is
+    // the TIMESTAMP AS OF axis — refreshing rows must not move time)
+    val epochRe =
+      """\{"epoch":(-?\d+),"files":(\d+),"rows":\d+((?:,"ts":\d+)?)\}""".r
     if (java.nio.file.Files.exists(epochsFile)) {
       val partRe = """part-e(-?\d+)-\d+\.jsonl""".r
       val byEpoch = {
@@ -3261,10 +3303,10 @@ private[sources] object AuditDelete {
         finally listing.close()
       }
       val newLines = java.nio.file.Files.readAllLines(epochsFile).asScala.map {
-        case epochRe(e, nf) =>
+        case epochRe(e, nf, ts) =>
           val rows = byEpoch.getOrElse(e.toLong, Seq.empty)
             .map { case (_, f) => rewrite(dir.resolve(f)) }.sum
-          s"""{"epoch":$e,"files":$nf,"rows":$rows}"""
+          s"""{"epoch":$e,"files":$nf,"rows":$rows$ts}"""
         case other => other
       }
       val tmp = dir.resolve("_EPOCHS.tmp")
@@ -3496,13 +3538,24 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       }
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(genSpecs.isEmpty,
-        "audit: streaming writes to a table with generated/identity " +
-          "columns are unsupported (batch INSERT materializes them)")
-      if (partLevels.nonEmpty)
-        new AuditPartitionedStreamingWrite(path, schema, partLevels,
-          queryId, bloomCols)
-      else new AuditStreamingWrite(path, schema, bloomCols, queryId)
+      // GENERATED columns are deterministic per-row — epoch replays
+      // recompute identical values, so the idempotent-epoch contract
+      // holds and streaming writes compute them like any batch write.
+      // IDENTITY stays refused: per-epoch block reservations over an
+      // unbounded epoch stream would burn the k-space and replays would
+      // re-reserve (values must not change across a replay).
+      require(genSpecs.forall(_.ids.isEmpty),
+        "audit: streaming writes to a table with IDENTITY columns are " +
+          "unsupported (batch INSERT materializes them)")
+      val inner: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        if (partLevels.nonEmpty)
+          new AuditPartitionedStreamingWrite(path, schema, partLevels,
+            queryId, bloomCols)
+        else new AuditStreamingWrite(path, schema, bloomCols, queryId)
+      genSpecs match {
+        case Some(s) => new GeneratedWrite.FillingStreamingWrite(inner, s)
+        case None    => inner
+      }
     }
   }
 }
@@ -3879,7 +3932,7 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     // attempt of this epoch wrote, then append the authoritative one.
     val epochsFile = dir.resolve("_EPOCHS")
     val thisLine = s"""{"epoch":$epochId,"files":${entries.size},""" +
-      s""""rows":${entries.map(_.rows).sum}}"""
+      s""""rows":${entries.map(_.rows).sum},"ts":${System.currentTimeMillis()}}"""
     val kept =
       if (java.nio.file.Files.exists(epochsFile))
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
@@ -3986,7 +4039,8 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     }
     // the epoch log: one authoritative line per epoch (replay replaces it)
     val epochsFile = dir.resolve("_EPOCHS")
-    val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows}"""
+    val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows,""" +
+      s""""ts":${System.currentTimeMillis()}}"""
     val kept =
       if (java.nio.file.Files.exists(epochsFile))
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq

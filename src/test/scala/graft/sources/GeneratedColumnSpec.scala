@@ -196,16 +196,33 @@ class GeneratedColumnSpec extends AnyFunSuite {
     // 'foo' appears only inside a literal — renaming foo is legal
     spark.sql(s"ALTER TABLE $cat.db.lit RENAME COLUMN foo TO renamed_ok")
     assert(spark.table(s"$cat.db.lit").columns.contains("renamed_ok"))
-    // streaming writes refuse (batch INSERT materializes the values)
+    // streaming writes COMPUTE generated columns (deterministic per row,
+    // so epoch replays stay idempotent) — supply NULL, read back computed
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gen_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "1").option("pageSize", "10").load()
+      .select(org.apache.spark.sql.functions.col("id").as("c"),
+        org.apache.spark.sql.functions.lit(null)
+          .cast("bigint").as("twice"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.g")
+    try q.processAllAvailable() finally q.stop()
+    val srows = spark.sql(s"SELECT c, twice FROM $cat.db.g").collect()
+    assert(srows.length === 10)
+    assert(srows.forall(r => r.getLong(1) === r.getLong(0) * 2))
+    // IDENTITY tables still refuse streaming (no epoch allocation path)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.i (c BIGINT,
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY) USING audit""".stripMargin)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_gen_ckpt2")
     val ex2 = intercept[Exception] {
-      val q = spark.readStream.format(classOf[PagedSource].getName)
+      val q2 = spark.readStream.format(classOf[PagedSource].getName)
         .option("pages", "1").option("pageSize", "10").load()
         .select(org.apache.spark.sql.functions.col("id").as("c"),
-          (org.apache.spark.sql.functions.col("id") * 2).as("twice"))
-        .writeStream.option("checkpointLocation", ckpt.toString)
-        .outputMode("append").toTable(s"$cat.db.g")
-      try q.processAllAvailable() finally q.stop()
+          org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"))
+        .writeStream.option("checkpointLocation", ckpt2.toString)
+        .outputMode("append").toTable(s"$cat.db.i")
+      try q2.processAllAvailable() finally q2.stop()
     }
     assert(ex2.getMessage != null)
   }

@@ -262,6 +262,64 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.events_tt")
   }
 
+  test("TIMESTAMP AS OF resolves commit times through the epoch log") {
+    init()
+    spark.sql("CREATE TABLE graft.db.events_ts (id BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat_tsck")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", s"$wh/db/events_ts")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tsByEpoch = AuditScan.epochTimestamps(s"$wh/db/events_ts")
+    assert(tsByEpoch.keySet === Set(0L, 1L, 2L),
+      "every streamed epoch must record its commit time")
+    // at (or after) the LAST commit time: the full table
+    val tLast = tsByEpoch.values.max
+    assert(spark.sql("SELECT count(*) FROM graft.db.events_ts " +
+      s"TIMESTAMP AS OF timestamp_millis(${tLast + 1})").head.getLong(0)
+      === 300L)
+    // BEFORE the first commit: loud, never silently empty/latest
+    val tFirst = tsByEpoch.values.min
+    val ex = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM graft.db.events_ts " +
+        s"TIMESTAMP AS OF timestamp_millis(${tFirst - 1000})").collect())
+    assert(ex.getMessage.contains("no epoch committed"), ex.getMessage)
+    // mid-stream resolution (only checkable when commit millis differ)
+    if (tsByEpoch(0L) < tsByEpoch(1L))
+      assert(spark.sql("SELECT count(*) FROM graft.db.events_ts " +
+        s"TIMESTAMP AS OF timestamp_millis(${tsByEpoch(0L)})")
+        .head.getLong(0) === 100L)
+    spark.sql("DROP TABLE graft.db.events_ts")
+
+    // resolver unit check over a handcrafted epoch log: exact boundary
+    // semantics independent of real commit timing
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_unit")
+    java.nio.file.Files.write(dir.resolve("_EPOCHS"),
+      ("""{"epoch":0,"files":1,"rows":10,"ts":1000}""" + "\n" +
+        """{"epoch":1,"files":1,"rows":10,"ts":2000}""" + "\n" +
+        """{"epoch":2,"files":1,"rows":10,"ts":2000}""" + "\n" +
+        """{"epoch":3,"files":1,"rows":10,"ts":3500}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(AuditScan.epochAt(dir.toString, 1000L) === 0L) // inclusive
+    assert(AuditScan.epochAt(dir.toString, 1999L) === 0L)
+    assert(AuditScan.epochAt(dir.toString, 2000L) === 2L) // ties → max epoch
+    assert(AuditScan.epochAt(dir.toString, 9999L) === 3L)
+    val ex2 = intercept[IllegalArgumentException](
+      AuditScan.epochAt(dir.toString, 999L))
+    assert(ex2.getMessage.contains("no epoch committed"))
+    // a LEGACY log (no ts anywhere) refuses rather than guessing
+    java.nio.file.Files.write(dir.resolve("_EPOCHS"),
+      ("""{"epoch":0,"files":1,"rows":10}""" + "\n").getBytes("UTF-8"))
+    val ex3 = intercept[IllegalArgumentException](
+      AuditScan.epochAt(dir.toString, 99999L))
+    assert(ex3.getMessage.contains("pre-ts"), ex3.getMessage)
+  }
+
   test("DELETE by INT-column predicate takes the metadata path without a cast crash") {
     init()
     spark.sql("CREATE TABLE graft.db.int_del (id INT, n BIGINT) USING audit")

@@ -155,7 +155,8 @@ class JsonAuditSinkSpec extends SparkSpec {
       s"stale attempt-1 files must not survive: $names")
     val epochLines = java.nio.file.Files.readAllLines(dir.resolve("_EPOCHS")).asScala
       .filter(_.startsWith("""{"epoch":5,"""))
-    assert(epochLines.toSeq === Seq("""{"epoch":5,"files":1,"rows":6}"""),
+    assert(epochLines.size === 1 && epochLines.head
+      .matches("""\{"epoch":5,"files":1,"rows":6,"ts":\d+\}"""),
       epochLines.mkString("\n"))
     // a neighboring epoch is untouched by epoch-5 replays
     w.commit(6L, Array(stageFile("stage-00000-11.jsonl", 1)))
