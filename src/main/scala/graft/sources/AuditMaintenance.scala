@@ -1029,7 +1029,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.catalog.procedures._
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "history")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "history", "sync_identity")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -1124,6 +1125,80 @@ private[sources] object GraftProcedures {
     * observability surface every table format grows (Delta DESCRIBE
     * HISTORY, Iceberg snapshots metadata table), derived entirely from
     * the format's own metadata files — no data file is opened. */
+  /** `CALL graft.system.sync_identity('db.t')` — re-align the identity
+    * allocator with the table's ACTUAL values: a `GENERATED BY DEFAULT`
+    * table that took explicit inserts above the allocator's horizon
+    * would otherwise hand those same values out again later (the drift
+    * every warehouse solves with a sync procedure — Delta's ALTER TABLE
+    * SYNC IDENTITY). One distributed single-column aggregate per
+    * identity column; the high-water mark only ever RAISES. */
+  def syncIdentity(catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "sync_identity"
+      override def description(): String =
+        "raise the identity high-water mark past every value present in " +
+          "the table (run after explicit BY-DEFAULT inserts)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "sync_identity"
+          override def description(): String =
+            syncIdentity(catalog).description()
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("audit table, as <namespace>.<name>").build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val table = input.getUTF8String(0).toString
+            val (path, _, _) = catalog.resolveAuditTableFull(table)
+            val spark = org.apache.spark.sql.SparkSession.active
+            val df = spark.table(s"${catalog.name()}.$table")
+            // identity metadata lives in the CATALOG's stored schema —
+            // the relation's schema strips field metadata
+            val parts = table.split('.')
+            val stored = catalog
+              .loadTable(org.apache.spark.sql.connector.catalog
+                .Identifier.of(parts.init, parts.last))
+              .asInstanceOf[AuditTable].schema()
+            val idCols = stored.fields.flatMap(f =>
+              org.apache.spark.sql.catalyst.util.IdentityColumn
+                .getIdentityInfo(f).map(s => (f.name, s))).toSeq
+            require(idCols.nonEmpty,
+              s"graft sync_identity: $table has no identity columns")
+            // required next-k per column: the smallest k whose value lies
+            // strictly beyond every present value in the step direction
+            val needed = idCols.map { case (c, s) =>
+              val agg = df.agg(
+                org.apache.spark.sql.functions.max(
+                  org.apache.spark.sql.functions.col(c)),
+                org.apache.spark.sql.functions.min(
+                  org.apache.spark.sql.functions.col(c))).head()
+              val k =
+                if (agg.isNullAt(0)) 0L // empty table
+                else if (s.getStep > 0) {
+                  val mx = agg.getLong(0)
+                  if (mx < s.getStart) 0L
+                  else (mx - s.getStart) / s.getStep + 1L
+                } else {
+                  val mn = agg.getLong(1)
+                  if (mn > s.getStart) 0L
+                  else (s.getStart - mn) / (-s.getStep) + 1L
+                }
+              (c, s, k)
+            }
+            val applied = GeneratedWrite.syncHwm(path,
+              needed.map(_._3).max)
+            rowsOf(StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("column", StringType, nullable = false),
+              StructField("next_value", LongType, nullable = false))),
+              needed.map { case (c, s, _) =>
+                Array[Any](str(table), str(c),
+                  s.getStart + s.getStep * applied)
+              })
+          }
+        }
+    }
+
   def history(catalog: GraftCatalog): UnboundProcedure = new UnboundProcedure {
     override def name(): String = "history"
     override def description(): String =

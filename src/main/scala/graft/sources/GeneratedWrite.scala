@@ -129,6 +129,27 @@ private[sources] object GeneratedWrite {
     def reserve(): Long = reserveBlock(path)
   }
 
+  /** Raise the high-water mark so the next allocated k is at least
+    * `minNextK` (never lowers it). `CALL system.sync_identity`: a
+    * GENERATED BY DEFAULT table that took explicit values above the
+    * allocator's horizon would otherwise hand out those same values
+    * later — the classic identity-collision drift every warehouse
+    * solves with a sync procedure. */
+  def syncHwm(path: String, minNextK: Long): Long =
+    AuditMaintLock.withLease(path, "identity-sync") {
+      val cur = readHwm(path)
+      val next = math.max(cur, minNextK)
+      if (next != cur) {
+        val f = hwmFile(path)
+        val tmp = f.resolveSibling("_IDENTITY.tmp")
+        java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      next
+    }
+
   /** Per-task row transform: recompute generated columns (validating
     * explicit values), assign identity values from the task's k-range.
     *
@@ -140,15 +161,21 @@ private[sources] object GeneratedWrite {
     * the user cannot assign a GENERATED ALWAYS column through DML, so
     * there is no explicit value to validate. */
   final class Filler(specs: Specs, idBase: Long, partitionId: Int,
-      validateExplicit: Boolean = true, reserver: Reserver = null)
+      validateExplicit: Boolean = true, reserver: Reserver = null,
+      lazyAlloc: Boolean = false)
       extends Serializable {
     private var localIdx = 0L
     // absolute k-base and capacity of the task's CURRENT range: starts
     // as the 2^20 slice of the commit block, grows by whole fresh blocks
-    // when a huge (coalesced) task outruns it
-    private var kBase = idBase + partitionId.toLong * TaskRows
-    private var kCap = TaskRows
-    require(specs.ids.isEmpty || partitionId < (Block / TaskRows),
+    // when a huge (coalesced) task outruns it. `lazyAlloc` (streaming)
+    // starts EMPTY — the task reserves its own whole block on its first
+    // identity row, so empty tasks reserve nothing and no driver-side
+    // per-epoch coordination is needed.
+    private var kBase =
+      if (lazyAlloc) 0L else idBase + partitionId.toLong * TaskRows
+    private var kCap = if (lazyAlloc) 0L else TaskRows
+    require(specs.ids.isEmpty || lazyAlloc ||
+      partitionId < (Block / TaskRows),
       s"audit identity: task $partitionId exceeds the per-commit task " +
         s"capacity ${Block / TaskRows}")
 
@@ -261,19 +288,24 @@ private[sources] object GeneratedWrite {
   /** Streaming wrapper: GENERATED columns compute per row exactly like
     * the batch path (deterministic expressions — an epoch replay
     * recomputes identical values, preserving idempotent epochs).
-    * IDENTITY tables are refused upstream: per-epoch reservations over
-    * an unbounded stream would burn k-space and replays would change
-    * values. */
+    * IDENTITY columns allocate LAZILY task-side: each (task, epoch)
+    * that actually writes an identity row reserves its own whole block
+    * from the `_IDENTITY` high-water mark. A replayed epoch reserves
+    * fresh blocks — its VALUES differ from the crashed attempt's, which
+    * is sound because the replay atomically REPLACES the epoch's files
+    * (uniqueness and step alignment hold across the whole history;
+    * crashed attempts waste their blocks, like every transactional
+    * identity allocator). */
   final class FillingStreamingWrite(
       delegate: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
-      specs: Specs)
+      specs: Specs, reserver: Reserver = null)
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-    require(specs.ids.isEmpty,
-      "audit: identity columns have no streaming allocation path")
+    require(specs.ids.isEmpty || reserver != null,
+      "audit: identity columns need a streaming reservation path")
     override def createStreamingWriterFactory(info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
       new FillingStreamingWriterFactory(
-        delegate.createStreamingWriterFactory(info), specs)
+        delegate.createStreamingWriterFactory(info), specs, reserver)
     override def commit(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit =
       delegate.commit(epochId, messages)
@@ -288,12 +320,13 @@ private[sources] object GeneratedWrite {
     * delta path — never a SAM lambda in the enclosing class body). */
   final class FillingStreamingWriterFactory(
       delegate: org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory,
-      specs: Specs)
+      specs: Specs, reserver: Reserver = null)
       extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
         : DataWriter[InternalRow] = {
       val d = delegate.createWriter(partitionId, taskId, epochId)
-      val fill = new Filler(specs, 0L, partitionId)
+      val fill = new Filler(specs, 0L, partitionId, reserver = reserver,
+        lazyAlloc = specs.ids.nonEmpty)
       new DataWriter[InternalRow] {
         override def write(record: InternalRow): Unit = d.write(fill(record))
         override def commit(): WriterCommitMessage = d.commit()

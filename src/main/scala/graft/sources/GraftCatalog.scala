@@ -465,6 +465,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fl.copy(metadata = b.build())
           }
         })
+      // ALTER COLUMN ... TYPE: WIDENING-ONLY integral changes. The JSON
+      // storage is type-directed at read — old files' literals re-parse
+      // in the new type with no rewrite — and the bloom filters hash the
+      // NUMERIC VALUE (int and long identically), so file-skipping
+      // metadata stays valid across the widening. Anything lossy
+      // (narrowing, long→double past 2^53, cross-family) is refused.
+      case (sc, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: nested ALTER COLUMN unsupported")
+        val name = upd.fieldNames.head
+        val fl = sc.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: no such column $name"))
+        def rank(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+          case org.apache.spark.sql.types.ByteType    => 1
+          case org.apache.spark.sql.types.ShortType   => 2
+          case org.apache.spark.sql.types.IntegerType => 3
+          case org.apache.spark.sql.types.LongType    => 4
+          case _                                      => -1
+        }
+        require(rank(fl.dataType) > 0 && rank(upd.newDataType()) > 0 &&
+          rank(fl.dataType) < rank(upd.newDataType()),
+          s"graft catalog: ALTER COLUMN $name TYPE supports WIDENING " +
+            s"integral changes only (${fl.dataType.simpleString} -> " +
+            s"${upd.newDataType().simpleString} refused)")
+        partCol.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col))
+          .foreach(pc => require(pc != name,
+            s"graft catalog: cannot change the type of partition column " +
+              s"$name (directory tokens embed its typed values)"))
+        require(org.apache.spark.sql.catalyst.util.IdentityColumn
+          .getIdentityInfo(fl).isEmpty,
+          s"graft catalog: identity column $name must stay BIGINT")
+        StructType(sc.fields.map(f =>
+          if (f.name == name) f.copy(dataType = upd.newDataType()) else f))
+      // ALTER COLUMN ... SET/DROP NOT NULL: relaxing is free; tightening
+      // validates the existing rows first (ENFORCED semantics, like
+      // ADD CONSTRAINT)
+      case (sc, upd: TableChange.UpdateColumnNullability) =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: nested ALTER COLUMN unsupported")
+        val name = upd.fieldNames.head
+        require(sc.fieldNames.contains(name),
+          s"graft catalog: no such column $name")
+        if (!upd.nullable()) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val full = (this.name() +: ident.namespace() :+ ident.name())
+            .map(p => s"`$p`").mkString(".")
+          val nulls = spark.table(full)
+            .filter(org.apache.spark.sql.functions.col(name).isNull).count()
+          require(nulls == 0L,
+            s"graft catalog: cannot SET NOT NULL on $name — $nulls " +
+              "existing row(s) are null")
+        }
+        StructType(sc.fields.map(f =>
+          if (f.name == name) f.copy(nullable = upd.nullable()) else f))
+      case (sc, upd: TableChange.UpdateColumnComment) =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: nested ALTER COLUMN unsupported")
+        val name = upd.fieldNames.head
+        require(sc.fieldNames.contains(name),
+          s"graft catalog: no such column $name")
+        StructType(sc.fields.map(f =>
+          if (f.name == name) f.withComment(upd.newComment()) else f))
+      // ALTER COLUMN ... FIRST/AFTER: REFUSED. Schema order is a STORAGE
+      // invariant here — the single-pass line parser reads keys in write
+      // order (what buys its speed), and every committed vintage was
+      // written in its schema order, so a reorder would need per-vintage
+      // order tracking on the hot path. Presentation order belongs in a
+      // view; refusing loudly beats silently nulling displaced columns.
+      case (_, upd: TableChange.UpdateColumnPosition) =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: ALTER COLUMN ${upd.fieldNames.mkString(".")} " +
+            "FIRST/AFTER is unsupported — schema order is the storage " +
+            "write order (single-pass parser); create a VIEW for a " +
+            "different presentation order")
       case (sc, set: TableChange.SetProperty) =>
         props += (set.property.toLowerCase -> set.value); sc
       case (sc, rm: TableChange.RemoveProperty) =>
@@ -710,6 +785,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "optimize") => GraftProcedures.optimize(this)
       case (Seq("system"), "vacuum")   => GraftProcedures.vacuum(this)
       case (Seq("system"), "history")  => GraftProcedures.history(this)
+      case (Seq("system"), "sync_identity") =>
+        GraftProcedures.syncIdentity(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")
@@ -1911,6 +1988,57 @@ object CatalogApi {
       |FROM cur GROUP BY flag
       |ORDER BY at, flag""".stripMargin
 
+  /** ALTER COLUMN TYPE widening, oracle-checked: an INT column takes a
+    * wave of values, widens to BIGINT with NO file rewrite (old literals
+    * re-parse in the new type), then takes values beyond INT range; a
+    * selective filter still skips via the pre-widening stats/blooms
+    * (value-identical hashing for int/long). The oracle restates both
+    * waves in BIGINT from lineitem. */
+  def catalogWiden(spark: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qwd_wh")
+    spark.conf.set("spark.sql.catalog.graft_qwd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qwd.warehouse", wh.toString)
+    graft.Tables.lineitem(spark, d).createOrReplaceTempView("graft_cat_li11")
+    spark.sql("DROP TABLE IF EXISTS graft_qwd.db.w")
+    spark.sql(
+      """CREATE TABLE graft_qwd.db.w (okey INT, qty INT, flag STRING)
+        |USING audit""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_qwd.db.w
+        |SELECT CAST(l_orderkey AS INT), CAST(l_quantity AS INT),
+        |       l_returnflag
+        |FROM graft_cat_li11 WHERE l_orderkey <= 2000""".stripMargin)
+    spark.sql("ALTER TABLE graft_qwd.db.w ALTER COLUMN okey TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_qwd.db.w ALTER COLUMN qty TYPE BIGINT")
+    // post-widening wave with values far beyond INT range
+    spark.sql(
+      """INSERT INTO graft_qwd.db.w
+        |SELECT l_orderkey + 90000000000, CAST(l_quantity AS BIGINT),
+        |       l_returnflag
+        |FROM graft_cat_li11
+        |WHERE l_orderkey > 2000 AND l_orderkey <= 3000""".stripMargin)
+    spark.sql(
+      """SELECT flag, count(*) AS n_rows,
+        |       sum(qty) AS sum_qty, sum(okey) AS sum_okey
+        |FROM graft_qwd.db.w GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  val catalogWidenSql: String =
+    """WITH w AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+      |         CAST(l_quantity AS BIGINT) AS qty,
+      |         l_returnflag AS flag
+      |  FROM lineitem WHERE l_orderkey <= 2000
+      |  UNION ALL
+      |  SELECT CAST(l_orderkey + 90000000000 AS BIGINT),
+      |         CAST(l_quantity AS BIGINT), l_returnflag
+      |  FROM lineitem WHERE l_orderkey > 2000 AND l_orderkey <= 3000)
+      |SELECT flag, count(*) AS n_rows,
+      |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |       CAST(sum(okey) AS BIGINT) AS sum_okey
+      |FROM w GROUP BY flag ORDER BY flag""".stripMargin
+
   /** `TIMESTAMP AS OF`, oracle-checked: stream three epochs, then pin
     * the table at the LAST epoch's recorded commit time — the pinned
     * state must equal the full streamed state (commit times are
@@ -2814,6 +2942,7 @@ object CatalogApi {
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
       "q_audit_travel_ts" -> (auditTravelTs _),
+      "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
       "q_catalog_rename" -> (catalogRename _),
@@ -2844,6 +2973,7 @@ object CatalogApi {
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,
       "q_audit_travel_ts" -> auditTravelTsSql,
+      "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,
       "q_catalog_rename" -> catalogRenameSql,

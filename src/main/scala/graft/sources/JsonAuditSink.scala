@@ -3541,19 +3541,18 @@ final class AuditWriteBuilder(path: String, schema: StructType,
       // GENERATED columns are deterministic per-row — epoch replays
       // recompute identical values, so the idempotent-epoch contract
       // holds and streaming writes compute them like any batch write.
-      // IDENTITY stays refused: per-epoch block reservations over an
-      // unbounded epoch stream would burn the k-space and replays would
-      // re-reserve (values must not change across a replay).
-      require(genSpecs.forall(_.ids.isEmpty),
-        "audit: streaming writes to a table with IDENTITY columns are " +
-          "unsupported (batch INSERT materializes them)")
+      // IDENTITY columns allocate lazily task-side (one block per
+      // (task, epoch) that actually writes identity rows); a replayed
+      // epoch reserves fresh blocks but atomically replaces its files,
+      // so uniqueness holds across the whole history.
       val inner: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         if (partLevels.nonEmpty)
           new AuditPartitionedStreamingWrite(path, schema, partLevels,
             queryId, bloomCols)
         else new AuditStreamingWrite(path, schema, bloomCols, queryId)
       genSpecs match {
-        case Some(s) => new GeneratedWrite.FillingStreamingWrite(inner, s)
+        case Some(s) => new GeneratedWrite.FillingStreamingWrite(inner, s,
+          GeneratedWrite.Reserver(path))
         case None    => inner
       }
     }

@@ -172,6 +172,38 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(rows("assigned") >= 1L)
   }
 
+  test("sync_identity raises the allocator past explicit BY-DEFAULT values") {
+    val (cat, _) = freshCat("sync")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.s (
+         |  id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 0
+         |    INCREMENT BY 1), v STRING) USING audit""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.s (v) VALUES ('assigned0')")
+    // explicit values ABOVE the allocator's horizon (well past any
+    // already-reserved block) — future allocations would collide
+    // without a sync
+    val hi = 10L * (1L << 33)
+    spark.sql(s"INSERT INTO $cat.db.s VALUES " +
+      s"($hi, 'explicit-hi'), (${hi + 1}, 'explicit-hi2')")
+    val res = spark.sql(
+      s"CALL $cat.system.sync_identity(table => 'db.s')").collect()
+    assert(res.length === 1 && res.head.getString(1) === "id")
+    assert(res.head.getLong(2) === hi + 2,
+      s"next_value must clear the explicit maximum, got ${res.head}")
+    spark.sql(s"INSERT INTO $cat.db.s (v) VALUES ('post-sync')")
+    val ids = spark.table(s"$cat.db.s").collect().map(_.getLong(0))
+    assert(ids.length === 4 && ids.distinct.length === 4)
+    val post = spark.sql(
+      s"SELECT id FROM $cat.db.s WHERE v = 'post-sync'").head.getLong(0)
+    assert(post >= hi + 2,
+      s"post-sync allocation must not reuse explicit values, got $post")
+    // a table with no identity columns refuses loudly
+    spark.sql(s"CREATE TABLE $cat.db.plain (x BIGINT) USING audit")
+    val ex = intercept[Exception](
+      spark.sql(s"CALL $cat.system.sync_identity(table => 'db.plain')"))
+    assert(ex.getMessage.contains("no identity columns"), ex.getMessage)
+  }
+
   test("guards: rename/drop of a referenced column refused; streaming refused") {
     val (cat, _) = freshCat("guard")
     spark.sql(
@@ -210,20 +242,29 @@ class GeneratedColumnSpec extends AnyFunSuite {
     val srows = spark.sql(s"SELECT c, twice FROM $cat.db.g").collect()
     assert(srows.length === 10)
     assert(srows.forall(r => r.getLong(1) === r.getLong(0) * 2))
-    // IDENTITY tables still refuse streaming (no epoch allocation path)
+    // IDENTITY columns allocate lazily per (task, epoch) in streaming
     spark.sql(
       s"""CREATE TABLE $cat.db.i (c BIGINT,
-         |  id BIGINT GENERATED ALWAYS AS IDENTITY) USING audit""".stripMargin)
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 7
+         |    INCREMENT BY 3)) USING audit""".stripMargin)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_gen_ckpt2")
-    val ex2 = intercept[Exception] {
-      val q2 = spark.readStream.format(classOf[PagedSource].getName)
-        .option("pages", "1").option("pageSize", "10").load()
-        .select(org.apache.spark.sql.functions.col("id").as("c"),
-          org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"))
-        .writeStream.option("checkpointLocation", ckpt2.toString)
-        .outputMode("append").toTable(s"$cat.db.i")
-      try q2.processAllAvailable() finally q2.stop()
-    }
-    assert(ex2.getMessage != null)
+    val q2 = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "50")
+      .option("pagesPerTrigger", "1").load()
+      .select(org.apache.spark.sql.functions.col("id").as("c"),
+        org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"))
+      .writeStream.option("checkpointLocation", ckpt2.toString)
+      .outputMode("append").toTable(s"$cat.db.i")
+    try q2.processAllAvailable() finally q2.stop()
+    val sids = spark.sql(s"SELECT id FROM $cat.db.i").collect()
+      .map(_.getLong(0))
+    assert(sids.length === 150 && sids.distinct.length === 150,
+      "streamed identity values must be unique across epochs and tasks")
+    assert(sids.forall(i => i >= 7 && (i - 7) % 3 == 0))
+    // ...and a batch INSERT after streaming keeps allocating uniquely
+    spark.sql(s"INSERT INTO $cat.db.i (c) SELECT id FROM range(0, 20)")
+    val allIds = spark.sql(s"SELECT id FROM $cat.db.i").collect()
+      .map(_.getLong(0))
+    assert(allIds.length === 170 && allIds.distinct.length === 170)
   }
 }

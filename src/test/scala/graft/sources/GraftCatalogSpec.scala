@@ -141,6 +141,58 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.ev")
   }
 
+  test("ALTER COLUMN: widening TYPE, nullability, comment, position") {
+    init()
+    spark.sql("CREATE TABLE graft.db.ac (x INT, y BIGINT, " +
+      "z STRING NOT NULL) USING audit")
+    spark.sql("INSERT INTO graft.db.ac VALUES (5, 50, 'a'), (7, 70, 'b')")
+    // widening INT -> BIGINT: no rewrite, old literals re-parse
+    spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN x TYPE BIGINT")
+    assert(spark.table("graft.db.ac").schema("x").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(x) FROM graft.db.ac").head.getLong(0) === 12L)
+    // values beyond INT range now insertable
+    spark.sql("INSERT INTO graft.db.ac VALUES (3000000000, 1, 'c')")
+    assert(spark.sql("SELECT max(x) FROM graft.db.ac").head.getLong(0)
+      === 3000000000L)
+    // filters over the widened column still skip via stats/blooms soundly
+    assert(spark.sql("SELECT count(*) FROM graft.db.ac WHERE x = 5")
+      .head.getLong(0) === 1L)
+    // narrowing refused (Spark's analyzer up-cast rule fires first)
+    val exN = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN y TYPE INT"))
+    assert(exN.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      exN.getMessage.contains("WIDENING"), exN.getMessage)
+    // long -> double passes Spark's up-cast rule but is LOSSY past 2^53
+    // — the catalog-side widening guard refuses it
+    val exD = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN y TYPE DOUBLE"))
+    assert(exD.getMessage.contains("WIDENING"), exD.getMessage)
+    // DROP NOT NULL relaxes; Spark's analyzer categorically refuses
+    // tightening via SQL (the catalog-side validation stays for the
+    // direct TableChange API)
+    assert(!spark.table("graft.db.ac").schema("z").nullable)
+    spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN z DROP NOT NULL")
+    assert(spark.table("graft.db.ac").schema("z").nullable)
+    spark.sql("INSERT INTO graft.db.ac VALUES (1, 1, NULL)")
+    val exNN = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN z SET NOT NULL"))
+    assert(exNN.getMessage.contains("non-nullable"), exNN.getMessage)
+    // comment is pure metadata
+    spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN z COMMENT 'the label'")
+    assert(spark.table("graft.db.ac").schema("z")
+      .getComment().contains("the label"))
+    // reorder is refused LOUDLY: schema order is the storage write order
+    // (the single-pass parser reads keys in that order per vintage) —
+    // silently nulling displaced columns would be corruption
+    val exPos = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ac ALTER COLUMN z FIRST"))
+    assert(exPos.getMessage.contains("presentation order"), exPos.getMessage)
+    assert(spark.sql("SELECT x, z FROM graft.db.ac WHERE x = 7")
+      .head.toSeq === Seq(7L, "b"))
+    spark.sql("DROP TABLE graft.db.ac")
+  }
+
   test("CTAS and DESCRIBE work through the catalog") {
     init()
     spark.sql(
@@ -318,6 +370,29 @@ class GraftCatalogSpec extends SparkSpec {
     val ex3 = intercept[IllegalArgumentException](
       AuditScan.epochAt(dir.toString, 99999L))
     assert(ex3.getMessage.contains("pre-ts"), ex3.getMessage)
+
+    // PARTITIONED table: the streaming commit writes the same
+    // table-level _EPOCHS log, so TIMESTAMP AS OF pins identically
+    spark.sql("CREATE TABLE graft.db.events_tsp (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cat_tsck2")
+    val q2 = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream.option("checkpointLocation", ckpt2.toString)
+      .outputMode("append").toTable("graft.db.events_tsp")
+    try q2.processAllAvailable() finally q2.stop()
+    val pts = AuditScan.epochTimestamps(s"$wh/db/events_tsp")
+    assert(pts.keySet === Set(0L, 1L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.events_tsp " +
+      s"TIMESTAMP AS OF timestamp_millis(${pts.values.max + 1})")
+      .head.getLong(0) === 200L)
+    // pinned + partition-pruned composes
+    assert(spark.sql("SELECT count(*) FROM graft.db.events_tsp " +
+      s"TIMESTAMP AS OF timestamp_millis(${pts.values.max + 1}) " +
+      "WHERE flag = 1").head.getLong(0) === 67L)
+    spark.sql("DROP TABLE graft.db.events_tsp")
   }
 
   test("DELETE by INT-column predicate takes the metadata path without a cast crash") {
