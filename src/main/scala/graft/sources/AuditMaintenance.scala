@@ -728,10 +728,120 @@ private[sources] object AuditMaintenance {
     * extended to sweep each partition directory's unreferenced files. */
   def vacuum(path: String, retainLast: Int,
       cleanOrphans: Boolean = false,
-      partCols: Seq[String] = Nil): (Int, Long) =
+      partCols: Seq[String] = Nil,
+      olderThanMs: Option[Long] = None): (Int, Long) =
     AuditMaintLock.withLease(path, "vacuum") {
-      vacuumLocked(path, retainLast, cleanOrphans, partCols)
+      vacuumLocked(path, retainLast, cleanOrphans, partCols, olderThanMs)
     }
+
+  /** RESTORE the table to streaming epoch `version`: physically remove
+    * every epoch committed AFTER it — the bad-publish undo. The epoch
+    * axis is the ONLY version axis this format has, so restore applies
+    * to PURE streaming history and refuses loudly otherwise: batch txn
+    * appends, delta-DML vectors, and a base checkpoint all carry no
+    * epoch, so "state as of epoch v" is undefined once they exist
+    * (guessing would silently un-delete or re-delete rows). Live
+    * streaming tails fail loudly on the shrunk log (the documented
+    * append-only contract) — restart them from fresh checkpoints. */
+  def restore(path: String, version: Long,
+      partCols: Seq[String] = Nil): (Int, Long) =
+    AuditMaintLock.withLease(path, "restore") {
+      restoreLocked(path, version, partCols)
+    }
+
+  private def restoreLocked(path: String, version: Long,
+      partCols: Seq[String]): (Int, Long) = {
+    val dir = java.nio.file.Paths.get(path)
+    AuditStreamLock.liveWriter(path).foreach(q =>
+      throw new IllegalStateException(
+        s"audit RESTORE: streaming query $q holds the writer lease at " +
+          s"$path — stop it first (a concurrent epoch commit would race " +
+          "the truncation)"))
+    val epochs = AuditScan.committedEpochs(path)
+    require(epochs.nonEmpty,
+      s"audit RESTORE: $path has no epoch history to restore")
+    require(version >= epochs.min,
+      s"audit RESTORE: epoch $version predates all history " +
+        s"(earliest committed epoch: ${epochs.min})")
+    val gone = epochs.filter(_ > version)
+    if (gone.isEmpty) return (0, 0L)
+    // PURE streaming history only — every other state has no epoch axis
+    require(AuditBase.read(path).isEmpty,
+      s"audit RESTORE: $path is compacted — the base checkpoint folded " +
+        "epoch history and cannot be un-folded")
+    if (partCols.isEmpty) {
+      require(AuditBase.readManifest(path).isEmpty,
+        s"audit RESTORE: $path has batch txn appends — they carry no " +
+          "epoch, so state as of an epoch is undefined; restore applies " +
+          "to pure streaming history")
+      require(!AuditDeletes.exists(path),
+        s"audit RESTORE: $path has delta-DML delete vectors — DML " +
+          "carries no epoch, so state as of an epoch is undefined")
+    } else AuditPartition.listDirsByCols(path, partCols).foreach {
+      case (relDir, pdir) =>
+        require(AuditPartition.manifestEntries(pdir)
+          .forall { case (f, _) => AuditScan.epochOf(f).isDefined },
+          s"audit RESTORE: partition $relDir of $path has batch txn " +
+            "appends — they carry no epoch; restore applies to pure " +
+            "streaming history")
+        require(!AuditDeletes.exists(pdir.toString),
+          s"audit RESTORE: partition $relDir of $path has delta-DML " +
+            "delete vectors — DML carries no epoch")
+    }
+    val rowsByEpoch = AuditScan.epochRowsByEpoch(path)
+    val rowsRemoved = gone.map(rowsByEpoch.getOrElse(_, 0L)).sum
+    AuditMaintLock.verifyCurrent(path, "RESTORE epoch truncation")
+    // METADATA FIRST, files second: visibility is metadata-driven on
+    // both layouts (_EPOCHS for unpartitioned scans/counts/CDF, per-dir
+    // manifests for partitioned), so a crash between the two steps
+    // leaves invisible ORPHAN files (clean_orphans reclaims them) —
+    // never live metadata referencing deleted files, which would
+    // silently overcount and under-read.
+    def trimEpochLog(): Unit = {
+      val epochsFile = dir.resolve("_EPOCHS")
+      val keepRe = """\{"epoch":(-?\d+),.*""".r
+      val kept = java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
+        .filter {
+          case keepRe(e) => e.toLong <= version
+          case _         => true
+        }
+      val tmp = dir.resolve("_EPOCHS.tmp")
+      java.nio.file.Files.write(tmp,
+        kept.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, epochsFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    var filesRemoved = 0
+    if (partCols.isEmpty) {
+      val doomed = AuditScan.epochFiles(path, gone.toSet)
+      trimEpochLog()
+      doomed.foreach { case (f, _) =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(f))
+        filesRemoved += 1
+      }
+      AuditStats.retain(path,
+        f => java.nio.file.Files.exists(dir.resolve(f)))
+    } else {
+      AuditPartition.listDirsByCols(path, partCols).foreach {
+        case (_, pdir) =>
+          val (drop, keep) = AuditPartition.manifestEntries(pdir).partition {
+            case (f, _) => AuditScan.epochOf(f).exists(_ > version)
+          }
+          if (drop.nonEmpty) {
+            AuditPartition.writeManifest(pdir, keep)
+            drop.foreach { case (f, _) =>
+              java.nio.file.Files.deleteIfExists(pdir.resolve(f))
+              filesRemoved += 1
+            }
+            AuditStats.retain(pdir.toString,
+              f => java.nio.file.Files.exists(pdir.resolve(f)))
+          }
+      }
+      trimEpochLog()
+    }
+    (filesRemoved, rowsRemoved)
+  }
 
   /** VECTOR RETENTION: fold positional delete-vector entries that target
     * BATCH-append files into the files themselves. Batch files are
@@ -785,7 +895,8 @@ private[sources] object AuditMaintenance {
 
   private def vacuumLocked(path: String, retainLast: Int,
       cleanOrphans: Boolean,
-      partCols: Seq[String]): (Int, Long) = {
+      partCols: Seq[String],
+      olderThanMs: Option[Long] = None): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
     // vector retention runs on every VACUUM, both layouts (lease held)
@@ -809,10 +920,27 @@ private[sources] object AuditMaintenance {
     b0.foreach { b =>
       val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
       val keep = math.max(retainLast, 0)
-      val newExpired =
+      val byCount =
         if (superseded.size > keep)
           math.max(b.expiredThrough, superseded(superseded.size - keep - 1))
         else b.expiredThrough
+      // TIME-based retention (older_than): only epochs whose recorded
+      // commit time is before the cutoff may expire. expiredThrough is a
+      // WATERMARK, so the bound is the maximal PREFIX of superseded
+      // epochs provably older than the cutoff — an epoch without a
+      // commit time (legacy) is never provably old, conservatively
+      // ending the prefix.
+      val newExpired = olderThanMs match {
+        case None => byCount
+        case Some(cut) =>
+          val ts = AuditScan.epochTimestamps(path)
+          val oldPrefix = superseded
+            .takeWhile(e => ts.get(e).exists(_ < cut))
+          val byTime =
+            if (oldPrefix.isEmpty) b.expiredThrough
+            else math.max(b.expiredThrough, oldPrefix.max)
+          math.min(byCount, byTime)
+      }
       val gone = AuditScan.epochFiles(path, superseded.toSet)
       gone.foreach { case (f, _) =>
         java.nio.file.Files.deleteIfExists(dir.resolve(f))
@@ -1030,7 +1158,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "history", "sync_identity")
+    Seq("optimize", "vacuum", "history", "sync_identity", "restore")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -1297,14 +1425,22 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("clean_orphans", BooleanType)
           .defaultValue("false")
           .comment("also remove unreferenced data files and staged " +
-            "leftovers (single-writer assumption)").build())
+            "leftovers (single-writer assumption)").build(),
+        ProcedureParameter.in("older_than", TimestampType)
+          .defaultValue("CAST(NULL AS TIMESTAMP)")
+          .comment("expire only epochs whose recorded commit time is " +
+            "before this instant (epochs without a commit time never " +
+            "time-expire)").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
+        val olderThanMs =
+          if (input.isNullAt(3)) None else Some(input.getLong(3) / 1000L)
         val (path, _, part) = catalog.resolveAuditTableFull(table)
         val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans,
-          part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)))
+          part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)),
+          olderThanMs)
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),
@@ -1313,4 +1449,42 @@ private[sources] object GraftProcedures {
       }
     }
   }
+
+  /** `CALL graft.system.restore('db.t', version => v)` — the
+    * bad-publish undo: physically remove every streaming epoch after
+    * `v`. Pure streaming history only (batch appends / DML / a base
+    * checkpoint carry no epoch axis — refused loudly); a live streaming
+    * writer must stop first. Running tails fail loudly on the shrunk
+    * log and restart from fresh checkpoints. */
+  def restore(catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "restore"
+      override def description(): String =
+        "restore a pure streaming-history table to an epoch: epochs " +
+          "after it are physically removed"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "restore"
+          override def description(): String = restore(catalog).description()
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("audit table, as <namespace>.<name>").build(),
+            ProcedureParameter.in("version", LongType)
+              .comment("target epoch (the newest one to KEEP)").build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val table = input.getUTF8String(0).toString
+            val version = input.getLong(1)
+            val (path, _, part) = catalog.resolveAuditTableFull(table)
+            val (files, rows) = AuditMaintenance.restore(path, version,
+              part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)))
+            one(StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("restored_to", LongType, nullable = false),
+              StructField("removed_files", IntegerType, nullable = false),
+              StructField("removed_rows", LongType, nullable = false))),
+              str(table), version, files, rows)
+          }
+        }
+    }
 }

@@ -787,6 +787,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "history")  => GraftProcedures.history(this)
       case (Seq("system"), "sync_identity") =>
         GraftProcedures.syncIdentity(this)
+      case (Seq("system"), "restore") => GraftProcedures.restore(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")

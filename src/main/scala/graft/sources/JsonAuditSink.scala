@@ -3579,6 +3579,20 @@ private[sources] object AuditStreamLock {
 
   private val LockRe = """\{"query":"([^"]*)","ts":(\d+)\}""".r
 
+  /** The query id of a LIVE (unexpired) streaming-writer lease, if any —
+    * operations that rewrite the epoch axis (RESTORE) must refuse while
+    * a streaming writer could commit concurrently. */
+  def liveWriter(path: String): Option[String] = {
+    val lock = java.nio.file.Paths.get(path).resolve("_STREAM_LOCK")
+    if (!java.nio.file.Files.exists(lock)) None
+    else new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      .trim match {
+        case LockRe(q, ts)
+            if System.currentTimeMillis() - ts.toLong < leaseMs => Some(q)
+        case _ => None
+      }
+  }
+
   def acquire(path: String, queryId: String): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)

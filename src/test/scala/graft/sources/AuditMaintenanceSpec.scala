@@ -987,5 +987,131 @@ class AuditMaintenanceSpec extends SparkSpec {
     val procs = spark.sql("SHOW PROCEDURES IN graft_m.system").collect()
       .map(_.toSeq.mkString(".")).mkString(";")
     assert(procs.contains("optimize") && procs.contains("vacuum"), procs)
+    assert(procs.contains("restore") && procs.contains("sync_identity"),
+      procs)
+  }
+
+  test("RESTORE truncates epochs after the target; refuses mixed state") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.rst")
+    spark.sql("CREATE TABLE graft_m.db.rst (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir("rst").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.rst")
+      .head.getLong(0) === 400L)
+    // the stopped stream's writer lease lingers until its TTL (the
+    // crashed-writer contract) — shrink it so RESTORE can proceed
+    sys.props("graft.audit.streamLeaseMs") = "1"
+    Thread.sleep(5)
+    // a bad publish happened at epochs 2-3: restore to epoch 1
+    val res = spark.sql(
+      "CALL graft_m.system.restore(table => 'db.rst', version => 1)")
+      .head
+    assert(res.getLong(1) === 1L && res.getInt(2) === 2 &&
+      res.getLong(3) === 200L, res.toString)
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.rst")
+      .head.getLong(0) === 200L)
+    assert(spark.sql("SELECT max(id) FROM graft_m.db.rst")
+      .head.getLong(0) === 199L)
+    // the epoch log is trimmed; time travel within kept history works
+    assert(AuditScan.committedEpochs(dataDir("rst").toString) === Seq(0L, 1L))
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.rst VERSION AS OF 0")
+      .head.getLong(0) === 100L)
+    // restoring to the current head is a no-op
+    val noop = spark.sql(
+      "CALL graft_m.system.restore(table => 'db.rst', version => 1)").head
+    assert(noop.getInt(2) === 0 && noop.getLong(3) === 0L)
+    // the stream RESUMES from its checkpoint... its source offsets are
+    // exhausted, but a fresh batch append now exists → mixed state, and
+    // a further restore refuses loudly
+    spark.sql("INSERT INTO graft_m.db.rst VALUES (9000, 1)")
+    val exMixed = intercept[Exception](spark.sql(
+      "CALL graft_m.system.restore(table => 'db.rst', version => 0)"))
+    assert(exMixed.getMessage.contains("batch txn appends"),
+      exMixed.getMessage)
+    // predating-all-history refused
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.rst2")
+    spark.sql("CREATE TABLE graft_m.db.rst2 (id BIGINT) USING audit")
+    val exNone = intercept[Exception](spark.sql(
+      "CALL graft_m.system.restore(table => 'db.rst2', version => 0)"))
+    assert(exNone.getMessage.contains("no epoch history"), exNone.getMessage)
+    sys.props.remove("graft.audit.streamLeaseMs")
+  }
+
+  test("RESTORE on a PARTITIONED table trims per-dir manifests") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.rstp")
+    spark.sql("CREATE TABLE graft_m.db.rstp (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rstp_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "90")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_m.db.rstp")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.rstp")
+      .head.getLong(0) === 270L)
+    sys.props("graft.audit.streamLeaseMs") = "1"
+    Thread.sleep(5)
+    try {
+      spark.sql(
+        "CALL graft_m.system.restore(table => 'db.rstp', version => 1)")
+      assert(spark.sql("SELECT count(*) FROM graft_m.db.rstp")
+        .head.getLong(0) === 180L)
+      // each partition dir's manifest dropped its post-restore entries
+      // and pruned reads stay exact
+      assert(spark.table("graft_m.db.rstp").where("flag = 1").count()
+        === 60L)
+      AuditPartition.listDirsByCols(dataDir("rstp").toString, Seq("flag"))
+        .foreach { case (rel, pdir) =>
+          val entries = AuditPartition.manifestEntries(pdir)
+          assert(entries.forall { case (f, _) =>
+            AuditScan.epochOf(f).exists(_ <= 1L) }, s"$rel: $entries")
+        }
+      // a delta DELETE (vectors) makes a further REAL restore refuse
+      // (epoch 1 still exists beyond the new target 0)
+      spark.sql("DELETE FROM graft_m.db.rstp WHERE id % 30 = 7")
+      val ex = intercept[Exception](spark.sql(
+        "CALL graft_m.system.restore(table => 'db.rstp', version => 0)"))
+      assert(ex.getMessage.contains("delete vectors"), ex.getMessage)
+    } finally sys.props.remove("graft.audit.streamLeaseMs")
+  }
+
+  test("VACUUM older_than expires only epochs provably before the cutoff") {
+    buildTable("vt")
+    spark.sql("CALL graft_m.system.optimize(table => 'db.vt', " +
+      "target_file_count => 2)")
+    val path = dataDir("vt").toString
+    val ts = AuditScan.epochTimestamps(path)
+    assert(ts.keySet === Set(0L, 1L, 2L, 3L))
+    // cutoff BEFORE epoch 0's commit: nothing is provably old enough
+    val before = spark.sql(
+      s"""CALL graft_m.system.vacuum(table => 'db.vt',
+         |  older_than => timestamp_millis(${ts(0L) - 60000}))""".stripMargin)
+      .head
+    assert(before.getLong(2) === -1L,
+      s"nothing should time-expire, got $before")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.vt VERSION AS OF 0")
+      .head.getLong(0) === 100L)
+    // cutoff AFTER every commit, retain_last still caps what expires
+    val after = spark.sql(
+      s"""CALL graft_m.system.vacuum(table => 'db.vt', retain_last => 2,
+         |  older_than => timestamp_millis(${ts.values.max + 60000}))""".stripMargin)
+      .head
+    assert(after.getLong(2) === 1L, s"count cap must hold, got $after")
+    // the two retained versions still travel
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.vt VERSION AS OF 2")
+      .head.getLong(0) === 300L)
   }
 }
