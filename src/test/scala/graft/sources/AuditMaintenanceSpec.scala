@@ -1046,6 +1046,34 @@ class AuditMaintenanceSpec extends SparkSpec {
     sys.props.remove("graft.audit.streamLeaseMs")
   }
 
+  test("a change-feed tail across a RESTORE fails loudly, never drifts") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.rstc")
+    spark.sql("CREATE TABLE graft_m.db.rstc (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rstc_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", dataDir("rstc").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val path = dataDir("rstc").toString
+    val stream = new AuditCdfStream(path, cdfSchema)
+    val consumed = stream.latestOffset() // tail checkpointed at 3 epochs
+    sys.props("graft.audit.streamLeaseMs") = "1"
+    try {
+      Thread.sleep(5)
+      AuditMaintenance.restore(path, 0L)
+    } finally sys.props.remove("graft.audit.streamLeaseMs")
+    val ex = intercept[IllegalArgumentException](
+      stream.planInputPartitions(consumed, stream.latestOffset()))
+    assert(ex.getMessage.contains("exceeds the current logs"),
+      ex.getMessage)
+  }
+
   test("RESTORE on a PARTITIONED table trims per-dir manifests") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_m.db.rstp")

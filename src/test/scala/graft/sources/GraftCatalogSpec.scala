@@ -346,6 +346,13 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graft.db.events_ts " +
         s"TIMESTAMP AS OF timestamp_millis(${tsByEpoch(0L)})")
         .head.getLong(0) === 100L)
+    // the DataFrame reader option routes through the same resolution
+    val viaOption = spark.read
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(tLast + 1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+        .replace('T', ' '))
+      .table("graft.db.events_ts")
+    assert(viaOption.count() === 300L)
     spark.sql("DROP TABLE graft.db.events_ts")
 
     // resolver unit check over a handcrafted epoch log: exact boundary
