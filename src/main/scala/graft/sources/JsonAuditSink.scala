@@ -551,12 +551,32 @@ final class AuditTable(path: String, writeSchema: StructType,
       // event and every per-directory delete-vector entry (partitioned
       // delta DML) a delete event; the tail fails loudly on manifest
       // shrink, consumed-entry row drift, or a vanished directory.
+      // startingEpoch: incremental batch CDC — plan only epochs >= e.
+      // startingTimestamp (millis) resolves through the commit-time
+      // axis: the first epoch committed AT or AFTER the instant.
+      val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
+        .orElse(Option(options.get("startingTimestamp")).map { s =>
+          val cut = s.toLong
+          val stamped = AuditScan.epochTimestamps(path)
+          stamped.collect { case (e, ts) if ts >= cut => e }
+            .minOption.getOrElse(
+              // nothing at-or-after: start past the head (empty pull),
+              // unless the table has epochs with NO recorded time —
+              // then "since <instant>" is unanswerable, stay loud
+              if (AuditScan.committedEpochs(path).size == stamped.size)
+                AuditScan.committedEpochs(path).lastOption.map(_ + 1L)
+                  .getOrElse(0L)
+              else throw new IllegalArgumentException(
+                s"audit changeFeed startingTimestamp: $path has epochs " +
+                  "without recorded commit times (pre-ts history) — " +
+                  "use startingEpoch"))
+        })
       if (partLevels.nonEmpty)
         return new AuditPartitionedCdfScan(path, writeSchema, partLevels,
-          AuditNameMap.toStorage(writeSchema, colMap))
+          AuditNameMap.toStorage(writeSchema, colMap), startEpoch)
       else
         return new AuditCdfScan(path, writeSchema,
-          AuditNameMap.toStorage(writeSchema, colMap))
+          AuditNameMap.toStorage(writeSchema, colMap), startEpoch)
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
@@ -1841,7 +1861,7 @@ final class AuditPartitionedMicroBatchStream(path: String,
   * an open changelog detects the shrunken logs and fails loudly rather
   * than replaying drifted history. */
 final class AuditCdfScan(path: String, fullSchema: StructType,
-    parseSchema0: StructType = null)
+    parseSchema0: StructType = null, startEpoch: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
@@ -1857,11 +1877,30 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String = s"AuditCdfScan $path (change feed)"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AuditCdf.partitionsFor(path,
+  override def planInputPartitions(): Array[InputPartition] = startEpoch match {
+    case None => AuditCdf.partitionsFor(path,
       AuditScan.committedEpochs(path),
       AuditBase.readManifest(path),
       AuditDeletes.entries(path))
+    // INCREMENTAL batch CDC ("changes since epoch e", the daily
+    // downstream-job pattern — no streaming infra needed): plan ONLY
+    // the epochs >= e. Honest scope: every event must carry an epoch —
+    // batch txn appends and delete vectors have none, so re-reading
+    // them on every incremental pull would double-count downstream;
+    // refuse loudly and point at the streaming feed, whose offsets
+    // track those axes exactly.
+    case Some(e) =>
+      require(AuditBase.readManifest(path).isEmpty,
+        s"audit changeFeed startingEpoch: $path has batch txn appends, " +
+          "which carry no epoch — an incremental pull would re-emit " +
+          "them every time; use the streaming change feed")
+      require(AuditDeletes.entries(path).isEmpty &&
+        AuditDeletes.foldedRows(path) == 0L,
+        s"audit changeFeed startingEpoch: $path has delta-DML delete " +
+          "vectors, which carry no epoch; use the streaming change feed")
+      AuditCdf.partitionsFor(path,
+        AuditScan.committedEpochs(path).filter(_ >= e), Nil, Nil)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AuditCdfReaderFactory(parseSchema)
@@ -1886,7 +1925,8 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
   * vanished directory) fails loudly instead of replaying drifted
   * history. */
 final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
-    partLevels: Seq[AuditPartition.Level], parseSchema0: StructType = null)
+    partLevels: Seq[AuditPartition.Level], parseSchema0: StructType = null,
+    startEpoch: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
@@ -1903,7 +1943,23 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     AuditPartition.listDirs(path, partLevels).flatMap { case (relDir, pdir) =>
-      AuditPartition.manifestEntries(pdir).map { case (f, _) =>
+      // startingEpoch (incremental batch CDC): only epoch-stamped
+      // entries >= e; un-epoch'd events refuse (see AuditCdfScan)
+      startEpoch.foreach { _ =>
+        require(AuditPartition.manifestEntries(pdir).forall {
+          case (f, _) => AuditScan.epochOf(f).isDefined },
+          s"audit changeFeed startingEpoch: partition $relDir of $path " +
+            "has batch txn appends, which carry no epoch; use the " +
+            "streaming change feed")
+        require(AuditDeletes.entries(pdir.toString).isEmpty &&
+          AuditDeletes.foldedRows(pdir.toString) == 0L,
+          s"audit changeFeed startingEpoch: partition $relDir of $path " +
+            "has delta-DML delete vectors, which carry no epoch; use " +
+            "the streaming change feed")
+      }
+      AuditPartition.manifestEntries(pdir).filter { case (f, _) =>
+        startEpoch.forall(e => AuditScan.epochOf(f).exists(_ >= e))
+      }.map { case (f, _) =>
         AuditCdfPartition(pdir.resolve(f).toString,
           AuditScan.epochOf(f), None,
           relName = Some(s"$relDir/$f")): InputPartition
