@@ -1340,6 +1340,71 @@ object CatalogApi {
       .orderBy(col("change_type"), col("commit_epoch"))
   }
 
+  /** INCREMENTAL batch CDC, oracle-checked: stream four epochs, then a
+    * downstream-style pull with `startingEpoch => 2` — exactly the
+    * epochs 2..3 events arrive, pulled twice at different horizons to
+    * prove the idempotent-pull shape (rows restated deterministically
+    * by the oracle; the source formula is [[PagedSource]]'s). */
+  def cdfIncremental(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qci_wh")
+    spark.conf.set("spark.sql.catalog.graft_qci", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qci.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qci.db.inc")
+    spark.sql("CREATE TABLE graft_qci.db.inc (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qci_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), col("duration_ms").as("v"))
+      .writeStream.format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("inc").toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_epoch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    def pull(e: Long) = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", wh.resolve("db").resolve("inc").toString)
+      .option("changeFeed", "true")
+      .option("startingEpoch", e.toString).load()
+    pull(2L).select(lit("since2").as("pull"), col("_commit_epoch"),
+        col("id"), col("v"))
+      .unionAll(pull(3L).select(lit("since3").as("pull"),
+        col("_commit_epoch"), col("id"), col("v")))
+      .groupBy(col("pull"), col("_commit_epoch").as("commit_epoch"))
+      .agg(count(lit(1)).as("n_events"), sum(col("id")).as("sum_id"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("pull"), col("commit_epoch"))
+  }
+
+  val cdfIncrementalSql: String = {
+    val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
+    s"""WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) // 100 AS ep,
+      |         ${PagedSource.DurBase} + $dur % ${PagedSource.DurSpan} AS v
+      |  FROM range(400) t(r)
+      |), pulls AS (
+      |  SELECT 'since2' AS pull, ep, id, v FROM src WHERE ep >= 2
+      |  UNION ALL
+      |  SELECT 'since3', ep, id, v FROM src WHERE ep >= 3
+      |)
+      |SELECT pull, CAST(ep AS BIGINT) AS commit_epoch,
+      |       count(*) AS n_events, CAST(sum(id) AS BIGINT) AS sum_id,
+      |       CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM pulls GROUP BY pull, ep
+      |ORDER BY pull, commit_epoch""".stripMargin
+  }
+
   val auditCdfSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -2929,6 +2994,7 @@ object CatalogApi {
       "q_catalog_func" -> (catalogFunc _),
       "q_audit_bucket" -> (auditBucket _),
       "q_audit_cdf" -> (auditCdf _),
+      "q_cdf_incremental" -> (cdfIncremental _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
@@ -2960,6 +3026,7 @@ object CatalogApi {
       "q_catalog_func" -> catalogFuncSql,
       "q_audit_bucket" -> auditBucketSql,
       "q_audit_cdf" -> auditCdfSql,
+      "q_cdf_incremental" -> cdfIncrementalSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
