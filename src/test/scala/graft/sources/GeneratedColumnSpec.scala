@@ -172,6 +172,47 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(rows("assigned") >= 1L)
   }
 
+  test("identity columns on a PARTITIONED table: routing, DML, sync") {
+    val (cat, wh) = freshCat("identp")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.p (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1
+         |    INCREMENT BY 2),
+         |  flag BIGINT, v STRING) USING audit
+         |PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.p (flag, v) " +
+      "SELECT id % 3, concat('r', id) FROM range(0, 90)")
+    val dirs = AuditPartition
+      .listDirsByCols(wh.resolve("db/p").toString, Seq("flag"))
+    assert(dirs.map(_._1).toSet === Set("flag=0", "flag=1", "flag=2"))
+    val ids0 = spark.sql(s"SELECT id FROM $cat.db.p").collect()
+      .map(_.getLong(0))
+    assert(ids0.length === 90 && ids0.distinct.length === 90)
+    assert(ids0.forall(i => i >= 1 && (i - 1) % 2 == 0))
+    // delta MERGE: updates keep identities while rows MOVE across dirs;
+    // inserts allocate fresh values into their routed dir
+    val before = spark.sql(s"SELECT v, id FROM $cat.db.p WHERE v = 'r7'")
+      .head.getLong(1)
+    spark.sql(s"UPDATE $cat.db.p SET flag = 9 WHERE v = 'r7'")
+    val moved = spark.sql(
+      s"SELECT flag, id FROM $cat.db.p WHERE v = 'r7'").head
+    assert(moved.getLong(0) === 9L && moved.getLong(1) === before,
+      "a cross-partition move must keep the row's identity")
+    spark.range(0, 2).selectExpr("concat('m', id) AS v",
+      "CAST(5 AS BIGINT) AS flag").createOrReplaceTempView("identp_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.p t USING identp_src s ON t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (flag, v) VALUES (s.flag, s.v)""".stripMargin)
+    val all = spark.sql(s"SELECT id FROM $cat.db.p").collect()
+      .map(_.getLong(0))
+    assert(all.length === 92 && all.distinct.length === 92)
+    assert(spark.table(s"$cat.db.p").where("flag = 5").count() === 2L)
+    // sync_identity works on the partitioned layout too
+    val res = spark.sql(
+      s"CALL $cat.system.sync_identity(table => 'db.p')").collect()
+    assert(res.length === 1 && res.head.getString(1) === "id")
+  }
+
   test("sync_identity raises the allocator past explicit BY-DEFAULT values") {
     val (cat, _) = freshCat("sync")
     spark.sql(
