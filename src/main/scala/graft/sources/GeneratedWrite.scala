@@ -179,7 +179,13 @@ private[sources] object GeneratedWrite {
       s"audit identity: task $partitionId exceeds the per-commit task " +
         s"capacity ${Block / TaskRows}")
 
-    def apply(row: InternalRow): InternalRow = {
+    def apply(row: InternalRow): InternalRow = apply(row, validateExplicit)
+
+    /** `validate` overrides the constructor default per row: the delta
+      * path validates INSERT rows (a MERGE-inserted explicit value obeys
+      * GENERATED ALWAYS rules) but not UPDATE rows (which legitimately
+      * carry stale generated values and scan-carried identity values). */
+    def apply(row: InternalRow, validate: Boolean): InternalRow = {
       val n = specs.fieldTypes.length
       val vals = new Array[Any](n)
       var i = 0
@@ -190,7 +196,7 @@ private[sources] object GeneratedWrite {
       specs.gens.foreach { g =>
         val computed = g.expr.eval(row)
         val arrived = vals(g.idx)
-        if (validateExplicit && arrived != null && arrived != computed)
+        if (validate && arrived != null && arrived != computed)
           throw new IllegalArgumentException(
             s"audit generated column: explicit value $arrived does not " +
               s"match the generation expression's $computed — GENERATED " +
@@ -200,10 +206,10 @@ private[sources] object GeneratedWrite {
       specs.ids.foreach { id =>
         val arrived = vals(id.idx)
         if (arrived != null) {
-          // delta path (validateExplicit = false): a non-null identity is
+          // delta-UPDATE rows (validate = false): a non-null identity is
           // the row's EXISTING value carried through the UPDATE/MERGE
-          // scan — keep it. Insert path: explicit values need BY DEFAULT.
-          if (validateExplicit && !id.allowExplicit)
+          // scan — keep it. Insert rows: explicit values need BY DEFAULT.
+          if (validate && !id.allowExplicit)
             throw new IllegalArgumentException(
               "audit identity column: explicit INSERT is not allowed " +
                 "(GENERATED ALWAYS AS IDENTITY) — omit the column")
@@ -337,8 +343,18 @@ private[sources] object GeneratedWrite {
   }
 
   /** Task-side factory for the delta path — only (delegate, specs) ship
-    * to executors. `validateExplicit = false`: UPDATE rows arrive with
-    * the stale generated value; always recompute instead of compare. */
+    * to executors. INSERT rows validate explicit values (a MERGE insert
+    * obeys the same GENERATED ALWAYS rules as INSERT INTO); UPDATE rows
+    * arrive with stale generated values, so they recompute instead of
+    * compare — and GENERATED ALWAYS AS IDENTITY columns are guarded by
+    * the METADATA projection: the audit delta operations require one
+    * `_orig_<col>` metadata attribute per locked identity column, so the
+    * `meta` row carries each row's ORIGINAL identity value (metadata
+    * columns are preserved-on-update, and unlike rowId attributes they
+    * may be nullable). An UPDATE whose new value diverges from the
+    * original is an explicit assignment to an identity column and is
+    * rejected loudly — the reference behavior; Spark 4.1's analyzer has
+    * no check of its own for this. */
   final class FillingDeltaWriterFactory(
       delegate: org.apache.spark.sql.connector.write.DeltaWriterFactory,
       specs: Specs, idBase: Long, reserver: Reserver = null)
@@ -348,10 +364,32 @@ private[sources] object GeneratedWrite {
       val d = delegate.createWriter(partitionId, taskId)
       val fill = new Filler(specs, idBase, partitionId,
         validateExplicit = false, reserver = reserver)
+      // GENERATED ALWAYS identity columns, in schema order — the same
+      // order the operations declare their `_orig_<col>` metadata attrs,
+      // so the `meta` row is exactly (orig₁, orig₂, …)
+      val locked = specs.ids.filter(!_.allowExplicit)
       new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-        override def insert(row: InternalRow): Unit = d.insert(fill(row))
+        override def insert(row: InternalRow): Unit =
+          d.insert(fill(row, validate = true))
         override def update(meta: InternalRow, id: InternalRow,
-            row: InternalRow): Unit = d.update(meta, id, fill(row))
+            row: InternalRow): Unit = {
+          var j = 0
+          locked.foreach { lc =>
+            val dt = specs.fieldTypes(lc.idx)
+            val orig =
+              if (meta == null || meta.numFields <= j || meta.isNullAt(j))
+                null
+              else meta.get(j, dt)
+            val arrived = if (row.isNullAt(lc.idx)) null else row.get(lc.idx, dt)
+            if (orig != null && arrived != orig)
+              throw new IllegalArgumentException(
+                s"audit identity column: UPDATE cannot assign a GENERATED " +
+                  s"ALWAYS AS IDENTITY column (assigned $arrived, stored " +
+                  s"$orig) — identity values are engine-managed")
+            j += 1
+          }
+          d.update(meta, id, fill(row, validate = false))
+        }
         override def delete(meta: InternalRow, id: InternalRow): Unit =
           d.delete(meta, id)
         override def commit(): WriterCommitMessage = d.commit()

@@ -420,7 +420,25 @@ final class AuditTable(path: String, writeSchema: StructType,
         override def dataType(): org.apache.spark.sql.types.DataType = LongType
         override def isNullable: Boolean = false
         override def comment(): String = "line position of this row within _file"
-      })
+      }) ++
+      // one `_orig_<col>` per GENERATED ALWAYS identity column: the
+      // column's ORIGINAL stored value. Metadata columns are preserved
+      // on update (PRESERVE_ON_UPDATE defaults true), so a delta UPDATE's
+      // `meta` row carries the pre-assignment value — the comparison
+      // that lets the writer reject explicit identity assignments.
+      writeSchema.fields.toSeq.flatMap { f =>
+        org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+          .filter(!_.isAllowExplicitInsert).map { _ =>
+            new org.apache.spark.sql.connector.catalog.MetadataColumn {
+              override def name(): String = "_orig_" + f.name
+              override def dataType(): org.apache.spark.sql.types.DataType =
+                f.dataType
+              override def isNullable: Boolean = true
+              override def comment(): String =
+                s"original stored value of identity column ${f.name}"
+            }
+          }
+      }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // generated/identity columns: resolve + bind the fill specs ON THE
     // DRIVER (this is driver code); the batch write wraps its writers
@@ -517,13 +535,22 @@ final class AuditTable(path: String, writeSchema: StructType,
         Some(GeneratedWrite.specsOf(
           org.apache.spark.sql.SparkSession.active, writeSchema))
       else None
+    // GENERATED ALWAYS identity columns ride the METADATA projection
+    // (`_orig_<col>`, preserved-on-update) so the delta writer can
+    // compare each UPDATE row's new value against the row's ORIGINAL and
+    // reject explicit assignments — schema field order, matching the
+    // order FillingDeltaWriterFactory reads the `meta` row back.
+    val lockedIdCols: Seq[String] = writeSchema.fields.toSeq.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .filter(!_.isAllowExplicitInsert).map(_ => f.name)
+    }
     () =>
       if (partLevels.isEmpty)
         new AuditDeltaOperation(path, storageSchema, info.command(), colMap,
-          genSpecs)
+          genSpecs, lockedIdCols)
       else
         new AuditPartDeltaOperation(path, storageSchema, info.command(),
-          partLevels, colMap, genSpecs)
+          partLevels, colMap, genSpecs, lockedIdCols)
   }
 
   /** Read-back (and TIME TRAVEL) over the sink's own commit metadata: the
@@ -661,7 +688,15 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
           .filterNot(requiredSchema.fieldNames.contains)
           .map(writeSchema(_)))
     requiredOut = out
-    required = AuditNameMap.toStorage(out, nameMap)
+    // `_orig_<cur>` metadata fields translate their BASE name (nameMap
+    // keys are plain column names, so toStorage would leave them alone)
+    val mapped = StructType(out.fields.map { f =>
+      if (f.name.startsWith("_orig_")) {
+        val base = f.name.stripPrefix("_orig_")
+        f.copy(name = "_orig_" + nameMap.getOrElse(base, base))
+      } else f
+    })
+    required = AuditNameMap.toStorage(mapped, nameMap)
   }
 
   /** PARTIAL limit pushdown: each partition stops after n surviving rows
@@ -1064,7 +1099,6 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
 
   private def unpartitionedCount(): Long = {
     val dir = java.nio.file.Paths.get(path)
-    val rowsRe = """.*"rows":(\d+)\}""".r
     val epochRe =
       """\{"epoch":(-?\d+),"files":\d+,"rows":(\d+)(?:,"ts":\d+)?\}""".r
     // base checkpoint: current-state counts swap the superseded epochs'
@@ -2448,11 +2482,15 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
           if (p.relDir.isEmpty) "" else p.relDir + "/")
     }
     // map each required field to its write-schema index, or a negative
-    // sentinel for the metadata columns (_epoch/_file/_pos)
+    // sentinel for the metadata columns (_epoch/_file/_pos);
+    // `_orig_<col>` reads the same stored value as <col> (identity
+    // originals for the delta-DML metadata projection)
     val srcIdx = required.fields.map {
       case f if f.name == "_epoch" => -1
       case f if f.name == "_file"  => -2
       case f if f.name == "_pos"   => -3
+      case f if f.name.startsWith("_orig_") =>
+        writeSchema.fieldIndex(f.name.stripPrefix("_orig_"))
       case f => writeSchema.fieldIndex(f.name)
     }
     val absent = AuditJson.absentFill(writeSchema)
@@ -2528,6 +2566,8 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       case f if f.name == "_epoch" => -1
       case f if f.name == "_file"  => -2
       case f if f.name == "_pos"   => -3
+      case f if f.name.startsWith("_orig_") =>
+        writeSchema.fieldIndex(f.name.stripPrefix("_orig_"))
       case f => writeSchema.fieldIndex(f.name)
     }
     // columns added AFTER compaction are absent from base lines too —
@@ -2602,7 +2642,8 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     partLevels: Seq[AuditPartition.Level],
     nameMap: Map[String, String] = Map.empty,
-    genSpecs: Option[GeneratedWrite.Specs] = None)
+    genSpecs: Option[GeneratedWrite.Specs] = None,
+    lockedIdCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
@@ -2615,6 +2656,14 @@ final class AuditPartDeltaOperation(path: String, schema: StructType,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
       org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  // each GENERATED ALWAYS identity column's ORIGINAL stored value rides
+  // the metadata projection (`_orig_<col>`, preserved-on-update) so the
+  // delta writer can reject UPDATE assignments — see AuditDeltaOperation
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    lockedIdCols.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column("_orig_" + c))
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
@@ -2818,7 +2867,8 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
 final class AuditDeltaOperation(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     nameMap: Map[String, String] = Map.empty,
-    genSpecs: Option[GeneratedWrite.Specs] = None)
+    genSpecs: Option[GeneratedWrite.Specs] = None,
+    lockedIdCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command()
@@ -2830,6 +2880,17 @@ final class AuditDeltaOperation(path: String, schema: StructType,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
       org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  // GENERATED ALWAYS identity columns cannot ride rowId (row-id attrs
+  // must be non-nullable) — instead each one's ORIGINAL stored value
+  // rides the metadata projection as `_orig_<col>` (metadata columns are
+  // preserved-on-update by default, so the `meta` row the delta writer
+  // receives carries pre-assignment values even when the UPDATE assigns
+  // the column). FillingDeltaWriterFactory compares and rejects.
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    lockedIdCols.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column("_orig_" + c))
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
@@ -3140,20 +3201,12 @@ private[sources] object AuditDelete {
     if (partLevels.nonEmpty)
       return AuditPartition.listDirs(path, partLevels)
         .map { case (_, d) => AuditPartition.manifestEntries(d).map(_._2).sum }.sum
-    val dir = java.nio.file.Paths.get(path)
-    val rowsRe = """.*"rows":(\d+)\}""".r
-    def sumOf(name: String, dropHeader: Boolean): Long = {
-      val f = dir.resolve(name)
-      if (java.nio.file.Files.exists(f))
-        java.nio.file.Files.readAllLines(f).asScala
-          .drop(if (dropHeader) 1 else 0)
-          .collect { case rowsRe(r) => r.toLong }.sum
-      else 0L
-    }
-    // batch side through readManifest (includes unconsolidated OCC txn
-    // commits); epoch side straight from the _EPOCHS log as before
+    // `,"ts":millis` is optional: pre-round-14 logs carry no commit time.
+    // (Anchoring on the full epoch-line shape, not a bare `"rows":N}`
+    // suffix, keeps streamed rows counted after the ts field was added —
+    // otherwise the ≤10M-row driver-rewrite guard silently under-counts.)
     AuditBase.readManifest(path).collect { case e if !e.folded => e.rows }.sum +
-      sumOf("_EPOCHS", dropHeader = false)
+      AuditScan.epochRowsByEpoch(path).values.sum
   }
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
@@ -3778,16 +3831,50 @@ private[sources] object AuditMaintLock {
     val key = beatKey(path, opId)
     val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
     val task: Runnable = () => AuditMaintLock.synchronized {
-      if (beats.containsKey(key)) // not released/crashed meanwhile
-        readLock(lock) match {
-          case Some((op, _)) if op == opId =>
-            try writeLockLine(lock, opId, replace = true)
-            catch { case _: java.io.IOException => () } // retry next beat
-          case other =>
-            lostLeases.put(key, s"lease renewal found $other instead of " +
-              s"own claim $opId")
-            Option(beats.remove(key)).foreach(_.cancel(false))
+      if (beats.containsKey(key)) { // not released/crashed meanwhile
+        // COMPARE-and-swap, not read-then-replace: a plain REPLACE_EXISTING
+        // rewrite could stomp a thief's freshly stolen claim if this
+        // thread stalled past expiry between the read and the move —
+        // landing exactly between the thief's verifyHeld and its publish
+        // step. Instead (1) rename the lock AWAY (atomic claim of whatever
+        // is on disk), (2) inspect the renamed copy, (3) renew via
+        // EXCLUSIVE create, so any racer that claims in the gap wins and
+        // the renewal records a lost lease instead of overwriting.
+        def lost(what: String): Unit = {
+          lostLeases.put(key, s"lease renewal found $what instead of " +
+            s"own claim $opId")
+          Option(beats.remove(key)).foreach(_.cancel(false))
         }
+        val away = lock.resolveSibling("_MAINT_LOCK.renew-" +
+          java.util.UUID.randomUUID.toString.take(8))
+        val moved =
+          try { java.nio.file.Files.move(lock, away,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              lost("no lock file"); false
+            case _: java.io.IOException => false // retry next beat
+          }
+        if (moved)
+          try readLock(away) match {
+            case Some((op, _)) if op == opId =>
+              // still ours — exclusive-create the renewed line; a thief
+              // recreating the lock inside this gap wins the race
+              try writeLockLine(lock, opId, replace = false)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  lost(readLock(lock).toString)
+                case _: java.io.IOException => // put the claim back as-was
+                  try java.nio.file.Files.createLink(lock, away)
+                  catch { case _: java.io.IOException => () }
+              }
+            case other =>
+              // a thief's claim — restore it untouched and record the loss
+              try java.nio.file.Files.createLink(lock, away)
+              catch { case _: java.io.IOException => () }
+              lost(other.toString)
+          } finally java.nio.file.Files.deleteIfExists(away)
+      }
     }
     beats.put(key, scheduler.scheduleAtFixedRate(task, period, period,
       java.util.concurrent.TimeUnit.MILLISECONDS))

@@ -136,6 +136,64 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(left.values.toSeq.distinct.length === 2)
   }
 
+  test("GENERATED ALWAYS identity refuses UPDATE/MERGE assignments") {
+    val (cat, _) = freshCat("lock")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.l (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10
+         |    INCREMENT BY 5),
+         |  v STRING) USING audit""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.l (v) SELECT concat('a', id) " +
+      "FROM range(0, 20)")
+    val before = spark.sql(s"SELECT v, id FROM $cat.db.l").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // UPDATE cannot assign the identity column — rejected loudly, the
+    // whole statement aborts, and nothing changed
+    val ex1 = intercept[Exception](
+      spark.sql(s"UPDATE $cat.db.l SET id = 424242 WHERE v = 'a3'"))
+    assert(ex1.toString.contains("identity") ||
+      Option(ex1.getCause).exists(_.toString.contains("identity")))
+    assert(spark.sql(s"SELECT id FROM $cat.db.l WHERE v = 'a3'")
+      .head.getLong(0) === before("a3"))
+    // a MERGE matched-UPDATE assigning the identity column is rejected too
+    spark.createDataFrame(Seq(("a5", 777L))).toDF("v", "newid")
+      .createOrReplaceTempView("lock_upd_src")
+    val ex2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.l t USING lock_upd_src s ON t.v = s.v
+         |WHEN MATCHED THEN UPDATE SET id = s.newid""".stripMargin))
+    assert(ex2.toString.contains("identity") ||
+      Option(ex2.getCause).exists(_.toString.contains("identity")))
+    assert(spark.sql(s"SELECT id FROM $cat.db.l WHERE v = 'a5'")
+      .head.getLong(0) === before("a5"))
+    // a MERGE insert with an EXPLICIT identity value is rejected
+    // (GENERATED ALWAYS — same rule as INSERT INTO)
+    spark.createDataFrame(Seq(("zz", 999L))).toDF("v", "newid")
+      .createOrReplaceTempView("lock_ins_src")
+    val ex3 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.l t USING lock_ins_src s ON t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.newid, s.v)""".stripMargin))
+    assert(ex3.toString.contains("identity") ||
+      Option(ex3.getCause).exists(_.toString.contains("identity")))
+    assert(spark.table(s"$cat.db.l").count() === 20L)
+    // a no-op self-assignment is accepted (value does not diverge)
+    spark.sql(s"UPDATE $cat.db.l SET v = concat(v, '!') WHERE v = 'a7'")
+    assert(spark.sql(s"SELECT id FROM $cat.db.l WHERE v = 'a7!'")
+      .head.getLong(0) === before("a7"))
+  }
+
+  test("GENERATED BY DEFAULT identity allows UPDATE assignments") {
+    val (cat, _) = freshCat("bydefupd")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.d (
+         |  id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)
+         |USING audit""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.d (v) VALUES ('x'), ('y')")
+    // BY DEFAULT identity is user-assignable — UPDATE goes through
+    spark.sql(s"UPDATE $cat.db.d SET id = 4242 WHERE v = 'x'")
+    assert(spark.sql(s"SELECT id FROM $cat.db.d WHERE v = 'x'")
+      .head.getLong(0) === 4242L)
+  }
+
   test("a task outrunning its identity slice reserves a fresh block") {
     // the per-task slice is 2^20 k-values; a huge COALESCED insert must
     // roll over to a freshly reserved block, not throw mid-write
