@@ -69,8 +69,13 @@ import org.apache.spark.sql.types._
   * deployment of the same pipeline would need first.
   */
 private[sources] object AuditBase {
-  /** One `_MANIFEST` body line: a live batch file or a folded tombstone. */
-  final case class ManifestEntry(file: String, rows: Long, folded: Boolean)
+  /** One `_MANIFEST` body line: a live batch file or a folded tombstone.
+    * `ts` is the commit wall-clock millis — the batch half of the
+    * TIMESTAMP AS OF axis (None on pre-commit-time history, which a
+    * mixed-table time travel must refuse loudly rather than silently
+    * exclude). */
+  final case class ManifestEntry(file: String, rows: Long, folded: Boolean,
+      ts: Option[Long] = None)
 
   final case class Info(throughEpoch: Long, expiredThrough: Long,
       files: Seq[(String, Long)], sortBy: Option[String] = None)
@@ -135,7 +140,9 @@ private[sources] object AuditBase {
   // working; folded lines use DIFFERENT keys ({"folded":...,"origrows":...})
   // so those same consumers skip them without knowing why.
 
-  private val LiveRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+  // `,"ts":millis` is optional: pre-round-15 lines carry no commit time
+  private val LiveRe =
+    """\{"file":"([^"]+)","rows":(\d+)(?:,"ts":(\d+))?\}""".r
   private val FoldedRe = """\{"folded":"([^"]+)","origrows":(\d+)\}""".r
 
   // --- OCC append commit log (_TXN) ---------------------------------------
@@ -186,8 +193,9 @@ private[sources] object AuditBase {
       try {
         val lines = java.nio.file.Files.readAllLines(d.resolve(n)).asScala
         Some(Txn(v,
-          lines.drop(1).collect { case LiveRe(f, r) =>
-            ManifestEntry(f, r.toLong, folded = false) }.toSeq,
+          lines.drop(1).collect { case LiveRe(f, r, ts) =>
+            ManifestEntry(f, r.toLong, folded = false,
+              ts = Option(ts).map(_.toLong)) }.toSeq,
           lines.drop(1).filter(isStatsLine).toSeq))
       } catch { case _: java.nio.file.NoSuchFileException => None }
     }
@@ -222,7 +230,8 @@ private[sources] object AuditBase {
       case Some(lines) =>
         val floor = floorOf(lines.head)
         lines.drop(1).collect {
-          case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
+          case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
+            folded = false, ts = Option(ts).map(_.toLong))
           case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
         } ++ txns.filter(_.v > floor).flatMap(_.entries)
     }
@@ -242,10 +251,15 @@ private[sources] object AuditBase {
     * appenders — only the createLink is contended, and the loser's retry
     * re-reads nothing heavier than a directory listing. */
   def commitTxn(path: String, entries: Seq[ManifestEntry],
-      statsLines: Seq[String]): Long = {
+      statsLines: Seq[String],
+      ts: Long = System.currentTimeMillis()): Long = {
     val d = txnDir(path)
     java.nio.file.Files.createDirectories(d)
-    val body = entries.map(e => s"""{"file":"${e.file}","rows":${e.rows}}""") ++
+    // every entry line carries the commit wall-clock millis — the batch
+    // half of the TIMESTAMP AS OF axis (consolidation copies it into
+    // `_MANIFEST` verbatim, so the vintage survives folding)
+    val body = entries.map(e =>
+      s"""{"file":"${e.file}","rows":${e.rows},"ts":$ts}""") ++
       statsLines
     var attempt = 0
     while (true) {
@@ -307,7 +321,8 @@ private[sources] object AuditBase {
     val (floor, body) = manifestLines(path) match {
       case None => (0L, Seq.empty[ManifestEntry])
       case Some(lines) => (floorOf(lines.head), lines.drop(1).collect {
-        case LiveRe(n, r)   => ManifestEntry(n, r.toLong, folded = false)
+        case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
+          folded = false, ts = Option(ts).map(_.toLong))
         case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
       }.toSeq)
     }
@@ -350,8 +365,9 @@ private[sources] object AuditBase {
     java.nio.file.Files.write(tmp,
       (Seq(header) ++
         entries.map {
-          case ManifestEntry(n, r, false) => s"""{"file":"$n","rows":$r}"""
-          case ManifestEntry(n, r, true)  => s"""{"folded":"$n","origrows":$r}"""
+          case ManifestEntry(n, r, false, ts) => s"""{"file":"$n","rows":$r""" +
+            ts.map(t => s""","ts":$t""").getOrElse("") + "}"
+          case ManifestEntry(n, r, true, _) => s"""{"folded":"$n","origrows":$r}"""
         }).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -858,7 +874,7 @@ private[sources] object AuditMaintenance {
     * path. A DML-heavy, never-optimized partition thus pays O(#files)
     * vector overhead instead of O(#deleted rows). */
   private def foldBatchVectors(dirPath: String): Int = {
-    val entries = AuditDeletes.entries(dirPath)
+    val entries = AuditDeletes.entriesWithTs(dirPath)
     if (entries.isEmpty) return 0
     // the fold rewrites committed state in place — re-verify the VACUUM
     // lease (held on the TABLE root; dirPath may be a partition leaf)
@@ -867,7 +883,7 @@ private[sources] object AuditMaintenance {
     val live = AuditBase.readManifest(dirPath)
       .collect { case e if !e.folded => e.file }.toSet
     val d = java.nio.file.Paths.get(dirPath)
-    val (foldable, keep) = entries.partition { case (f, _) =>
+    val (foldable, keep) = entries.partition { case (f, _, _) =>
       AuditScan.epochOf(f).isEmpty && live.contains(f) &&
         java.nio.file.Files.exists(d.resolve(f))
     }

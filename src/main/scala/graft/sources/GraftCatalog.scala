@@ -103,19 +103,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident, Some(version.toLong))
 
-  /** SQL `TIMESTAMP AS OF t` (Spark hands micros since the Unix epoch):
-    * resolve to the greatest epoch whose recorded commit time is at or
-    * before `t`, then pin exactly like `VERSION AS OF` — one time-travel
-    * mechanism, two SQL spellings. Epoch commit times live in `_EPOCHS`
-    * (`"ts"` millis, appended by the streaming two-phase commit). */
+  /** SQL `TIMESTAMP AS OF t` (Spark hands micros since the Unix epoch).
+    * PURE-STREAMING tables resolve to the greatest epoch whose recorded
+    * commit time is at or before `t`, then pin exactly like `VERSION AS
+    * OF` (epoch commit times live in `_EPOCHS`). MIXED tables — any
+    * batch `_TXN` append or delta-DML history — pin by COMMIT TIME
+    * instead: the scan reconstructs `t` across all three vintage axes
+    * (epochs, txn appends, delete vectors), so a travel instant strictly
+    * between a batch append and the next epoch SEES the append. History
+    * that cannot be placed on the commit-time axis refuses loudly. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val epoch = AuditScan.epochAt(dataDir(ident).toString, timestamp / 1000L)
-    loadTable(ident, Some(epoch))
+    loadTable(ident, None, asOfMillis = Some(timestamp / 1000L))
   }
 
-  private def loadTable(ident: Identifier, version: Option[Long]): Table = {
+  private def loadTable(ident: Identifier, version: Option[Long],
+      asOfMillis: Option[Long] = None): Table = {
     val f = metaFile(ident)
     if (!java.nio.file.Files.exists(f))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -142,8 +146,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new PagedTable(prop("pages").map(_.toInt).getOrElse(1),
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
-        new AuditTable(dataDir(ident).toString, schema, version, partCol,
-          colMap, checks)
+        val path = dataDir(ident).toString
+        asOfMillis match {
+          case Some(ms) =>
+            // partitioned dirs hold per-directory manifests for STREAMING
+            // epoch files too — "mixed" means un-epoch'd entries (batch
+            // txn appends) or delete vectors, not any manifest at all
+            val partMixed = partCol.exists { pc =>
+              AuditPartition.listDirsByCols(path,
+                AuditPartition.parseSpecs(pc).map(_.col))
+                .exists { case (_, d) =>
+                  AuditBase.readManifest(d.toString).exists(e =>
+                    !e.folded && AuditScan.epochOf(e.file).isEmpty) ||
+                    (AuditDeletes.exists(d.toString) &&
+                      AuditDeletes.count(d.toString) > 0)
+                }
+            }
+            if (partMixed)
+              throw new IllegalArgumentException(
+                s"audit TIMESTAMP AS OF: partitioned table $ident has " +
+                  "batch-append/DML history, which commit-time travel " +
+                  "does not yet resolve on partitioned layouts — use " +
+                  "VERSION AS OF (refusing rather than silently " +
+                  "excluding those vintages)")
+            if (partCol.isEmpty && AuditScan.isMixed(path))
+              // mixed table: commit-time pin across epochs, txn appends
+              // and delete vectors (AuditScan.planTimePinned)
+              new AuditTable(path, schema, None, partCol, colMap, checks,
+                pinnedMillis = Some(ms))
+            else
+              // pure-streaming: epoch pin (works through base checkpoints)
+              new AuditTable(path, schema,
+                Some(AuditScan.epochAt(path, ms)), partCol, colMap, checks)
+          case None =>
+            new AuditTable(path, schema, version, partCol, colMap, checks)
+        }
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
     }
@@ -1405,6 +1442,108 @@ object CatalogApi {
       |ORDER BY pull, commit_epoch""".stripMargin
   }
 
+  /** MIXED-HISTORY incremental batch CDC, oracle-checked: a table whose
+    * history interleaves streaming epochs, an OCC batch append and
+    * row-level DML is pulled incrementally with
+    * `option("startingTimestamp", t)` — the COMMIT-TIME axis all three
+    * logs now carry — at three instants: after wave 1 (must emit the
+    * batch append + wave 2 + the DML events, each EXACTLY once), after
+    * the batch append (wave 2 + DML), and after wave 2 (the DML's four
+    * delete/insert pairs only). Every event must carry a non-null
+    * `_commit_ts`, the value a puller checkpoints (`max + 1`) for the
+    * next exactly-once window. This closes the round-14 gap where a
+    * mixed table refused incremental pulls outright. */
+  def cdfIncrementalMixed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qcim_wh")
+    spark.conf.set("spark.sql.catalog.graft_qcim", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qcim.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qcim.db.inc")
+    spark.sql("CREATE TABLE graft_qcim.db.inc (id BIGINT, v BIGINT) " +
+      "USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qcim_ckpt")
+    def wave(pages: Int): Unit = {
+      val w = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().selectExpr("id", "id AS v")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .outputMode("append").toTable("graft_qcim.db.inc")
+      try w.processAllAvailable() finally w.stop()
+    }
+    wave(2) // epochs 0-1: ids 0..199
+    Thread.sleep(8)
+    spark.sql("INSERT INTO graft_qcim.db.inc " +
+      "SELECT id + 1000, id + 1000 FROM range(50)")
+    Thread.sleep(8)
+    wave(4) // epochs 2-3: ids 200..399
+    Thread.sleep(8)
+    // vectors + replacement rows, ONE commit ts for the statement
+    spark.sql("UPDATE graft_qcim.db.inc SET v = 999 " +
+      "WHERE id % 100 = 7 AND id < 400")
+    val path = wh.resolve("db").resolve("inc").toString
+    val tsByEpoch = AuditScan.epochTimestamps(path)
+    val tBatch = AuditBase.readManifest(path).flatMap(_.ts).min
+    require(tsByEpoch(1L) < tBatch && tBatch < tsByEpoch(2L),
+      s"commit times not strictly ordered (${tsByEpoch(1L)}, $tBatch, " +
+        s"${tsByEpoch(2L)}) — ms-clock tie")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.LongType)))
+    def pull(label: String, sinceMs: Long) = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path)
+      .option("changeFeed", "true")
+      .option("startingTimestamp", sinceMs.toString).load()
+      .select(lit(label).as("pull"), col("_change_type").as("change_type"),
+        col("id"), col("v"), col("_commit_ts"))
+    pull("sinceW1", tsByEpoch(1L) + 1)
+      .unionAll(pull("sinceBatch", tBatch + 1))
+      .unionAll(pull("sinceW2", tsByEpoch(3L) + 1))
+      .groupBy(col("pull"), col("change_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("id")).as("sum_id"),
+        sum(col("v")).as("sum_v"),
+        // every event must carry its commit ts (what a puller checkpoints)
+        count(col("_commit_ts")).as("n_ts"))
+      .orderBy(col("pull"), col("change_type"))
+  }
+
+  val cdfIncrementalMixedSql: String =
+    """WITH w2 AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
+      |  FROM range(200, 400) t(r)),
+      |b AS (
+      |  SELECT CAST(t.r AS BIGINT) + 1000 AS id, CAST(t.r AS BIGINT) + 1000 AS v
+      |  FROM range(50) t(r)),
+      |dml_del AS (
+      |  SELECT id, v FROM (VALUES (7, 7), (107, 107), (207, 207),
+      |                            (307, 307)) AS m(id, v)),
+      |dml_ins AS (SELECT id, 999 AS v FROM dml_del),
+      |ev AS (
+      |  SELECT 'sinceW1' AS pull, 'insert' AS change_type, id, v FROM b
+      |  UNION ALL SELECT 'sinceW1', 'insert', id, v FROM w2
+      |  UNION ALL SELECT 'sinceW1', 'insert', id, v FROM dml_ins
+      |  UNION ALL SELECT 'sinceW1', 'delete', id, v FROM dml_del
+      |  UNION ALL SELECT 'sinceBatch', 'insert', id, v FROM w2
+      |  UNION ALL SELECT 'sinceBatch', 'insert', id, v FROM dml_ins
+      |  UNION ALL SELECT 'sinceBatch', 'delete', id, v FROM dml_del
+      |  UNION ALL SELECT 'sinceW2', 'insert', id, v FROM dml_ins
+      |  UNION ALL SELECT 'sinceW2', 'delete', id, v FROM dml_del
+      |)
+      |SELECT pull, change_type, count(*) AS n_events,
+      |       CAST(sum(id) AS BIGINT) AS sum_id,
+      |       CAST(sum(v) AS BIGINT) AS sum_v,
+      |       count(*) AS n_ts
+      |FROM ev GROUP BY pull, change_type
+      |ORDER BY pull, change_type""".stripMargin
+
   val auditCdfSql: String = {
     val dur = graft.functions.Hashing.hexHashSql("'dur:' || CAST(t.r AS VARCHAR)")
     s"""WITH src AS (
@@ -2157,6 +2296,119 @@ object CatalogApi {
       |FROM src GROUP BY flag
       |UNION ALL
       |SELECT '__meta__', 3, 1
+      |ORDER BY grp""".stripMargin
+
+  /** MIXED-TABLE TIME TRAVEL, oracle-checked: a table whose history
+    * interleaves streaming epochs, an OCC batch `_TXN` append and
+    * row-level DML is reconstructed at four instants on the COMMIT-TIME
+    * axis — (w1) after the first streaming wave only; (w1b) strictly
+    * BETWEEN the batch append and the next epoch, which must SEE the
+    * append (the vintage the epoch-only axis silently dropped); (w2)
+    * after the second wave but before any DML (delete vectors committed
+    * later must NOT apply, replacement rows must not appear); and
+    * (tnow) after UPDATE+DELETE, which must equal the current state
+    * (vectors and replacement rows from the SAME statement appear
+    * together — they share one commit timestamp). Commit times are read
+    * back from the table's own logs; strict ordering is asserted so a
+    * clock-resolution tie fails loudly instead of flaking. */
+  def auditTravelMixed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qtm_wh")
+    spark.conf.set("spark.sql.catalog.graft_qtm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qtm.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qtm.db.tt")
+    spark.sql("CREATE TABLE graft_qtm.db.tt (id BIGINT, flag BIGINT) " +
+      "USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qtm_ckpt")
+    def wave(pages: Int): Unit = {
+      val w = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().select(col("id"), (col("id") % 3).as("flag"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").toTable("graft_qtm.db.tt")
+      try w.processAllAvailable() finally w.stop()
+    }
+    wave(2) // epochs 0-1: ids 0..199
+    Thread.sleep(8)
+    // batch txn append between the waves: ids 1000..1099
+    spark.sql("INSERT INTO graft_qtm.db.tt " +
+      "SELECT id + 1000, (id + 1000) % 3 FROM range(100)")
+    Thread.sleep(8)
+    wave(4) // epochs 2-3 (checkpointed resume): ids 200..399
+    Thread.sleep(8)
+    // row-level DML: vectors on epoch files + replacement txn append...
+    spark.sql("UPDATE graft_qtm.db.tt SET flag = 9 " +
+      "WHERE id % 100 = 7 AND id < 400")
+    // ...and vectors on the batch append's file (the modulo keeps the
+    // predicate off the retroactive metadata-DELETE path, which would
+    // physically rewrite history instead of appending vectors)
+    spark.sql("DELETE FROM graft_qtm.db.tt " +
+      "WHERE id % 1000 >= 90 AND id >= 1000")
+    Thread.sleep(8)
+    val path = wh.resolve("db").resolve("tt").toString
+    val tsByEpoch = AuditScan.epochTimestamps(path)
+    // the INSERT's commit time = the OLDEST batch vintage on record
+    val tBatch = AuditBase.readManifest(path).flatMap(_.ts).min
+    val tNow = System.currentTimeMillis()
+    require(tsByEpoch(1L) < tBatch && tBatch < tsByEpoch(2L) &&
+      tsByEpoch(3L) < tNow,
+      s"commit times not strictly ordered (${tsByEpoch(1L)}, $tBatch, " +
+        s"${tsByEpoch(2L)}, ${tsByEpoch(3L)}, $tNow) — ms-clock tie")
+    def sliceAt(label: String, ms: Long): DataFrame = spark.sql(
+      s"""SELECT concat('$label/', CAST(flag AS STRING)) AS grp,
+         |       count(*) AS n, sum(id) AS sum_id
+         |FROM graft_qtm.db.tt TIMESTAMP AS OF timestamp_millis($ms)
+         |GROUP BY flag""".stripMargin)
+    sliceAt("w1", tsByEpoch(1L))
+      .unionAll(sliceAt("w1b", tBatch))
+      .unionAll(sliceAt("w2", tsByEpoch(3L)))
+      .unionAll(sliceAt("tnow", tNow))
+      .unionAll(spark.sql(
+        """SELECT concat('cur/', CAST(flag AS STRING)) AS grp,
+          |       count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qtm.db.tt GROUP BY flag""".stripMargin))
+      .orderBy(col("grp"))
+  }
+
+  val auditTravelMixedSql: String =
+    """WITH w1 AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(200) t(r)),
+      |b AS (
+      |  SELECT CAST(t.r AS BIGINT) + 1000 AS id,
+      |         (CAST(t.r AS BIGINT) + 1000) % 3 AS flag
+      |  FROM range(100) t(r)),
+      |w2 AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(200, 400) t(r)),
+      |pre AS (SELECT * FROM w1 UNION ALL SELECT * FROM b
+      |        UNION ALL SELECT * FROM w2),
+      |cur AS (
+      |  SELECT id,
+      |         CASE WHEN id % 100 = 7 AND id < 400 THEN 9 ELSE flag END AS flag
+      |  FROM pre WHERE id < 1090)
+      |SELECT 'w1/' || CAST(flag AS VARCHAR) AS grp, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM w1 GROUP BY flag
+      |UNION ALL
+      |SELECT 'w1b/' || CAST(flag AS VARCHAR), count(*),
+      |       CAST(sum(id) AS BIGINT)
+      |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM b) GROUP BY flag
+      |UNION ALL
+      |SELECT 'w2/' || CAST(flag AS VARCHAR), count(*),
+      |       CAST(sum(id) AS BIGINT)
+      |FROM pre GROUP BY flag
+      |UNION ALL
+      |SELECT 'tnow/' || CAST(flag AS VARCHAR), count(*),
+      |       CAST(sum(id) AS BIGINT)
+      |FROM cur GROUP BY flag
+      |UNION ALL
+      |SELECT 'cur/' || CAST(flag AS VARCHAR), count(*),
+      |       CAST(sum(id) AS BIGINT)
+      |FROM cur GROUP BY flag
       |ORDER BY grp""".stripMargin
 
   /** PARTITIONED CDC REPLICATION, oracle-checked: a partitioned replica
@@ -2995,6 +3247,7 @@ object CatalogApi {
       "q_audit_bucket" -> (auditBucket _),
       "q_audit_cdf" -> (auditCdf _),
       "q_cdf_incremental" -> (cdfIncremental _),
+      "q_cdf_incremental_mixed" -> (cdfIncrementalMixed _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
@@ -3009,6 +3262,7 @@ object CatalogApi {
       "q_audit_part_tail" -> (auditPartTail _),
       "q_audit_part_travel" -> (auditPartTravel _),
       "q_audit_travel_ts" -> (auditTravelTs _),
+      "q_audit_travel_mixed" -> (auditTravelMixed _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3027,6 +3281,7 @@ object CatalogApi {
       "q_audit_bucket" -> auditBucketSql,
       "q_audit_cdf" -> auditCdfSql,
       "q_cdf_incremental" -> cdfIncrementalSql,
+      "q_cdf_incremental_mixed" -> cdfIncrementalMixedSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
@@ -3041,6 +3296,7 @@ object CatalogApi {
       "q_audit_part_tail" -> auditPartTailSql,
       "q_audit_part_travel" -> auditPartTravelSql,
       "q_audit_travel_ts" -> auditTravelTsSql,
+      "q_audit_travel_mixed" -> auditTravelMixedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,

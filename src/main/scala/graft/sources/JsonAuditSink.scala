@@ -246,7 +246,10 @@ final class AuditTable(path: String, writeSchema: StructType,
     pinnedVersion: Option[Long] = None, partCol: Option[String] = None,
     colMap: Map[String, String] = Map.empty,
     // enforced CHECK constraints: (name, predicate SQL in CURRENT names)
-    checks: Seq[(String, String)] = Nil)
+    checks: Seq[(String, String)] = Nil,
+    // TIMESTAMP AS OF pin on a MIXED table (batch/DML history): commit-
+    // time millis — resolves epochs, txn appends AND delete vectors
+    pinnedMillis: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -579,11 +582,14 @@ final class AuditTable(path: String, writeSchema: StructType,
       // delta DML) a delete event; the tail fails loudly on manifest
       // shrink, consumed-entry row drift, or a vanished directory.
       // startingEpoch: incremental batch CDC — plan only epochs >= e.
-      // startingTimestamp (millis) resolves through the commit-time
-      // axis: the first epoch committed AT or AFTER the instant.
+      // startingTimestamp (millis): the COMMIT-TIME axis. Unpartitioned
+      // tables resolve it natively across all three logs (epochs, txn
+      // appends, delete vectors — mixed histories pull exactly once);
+      // partitioned tables resolve it to an epoch bound, refusing
+      // un-epoch'd history exactly like startingEpoch.
+      val startTs = Option(options.get("startingTimestamp")).map(_.toLong)
       val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
-        .orElse(Option(options.get("startingTimestamp")).map { s =>
-          val cut = s.toLong
+        .orElse(if (partLevels.isEmpty) None else startTs.map { cut =>
           val stamped = AuditScan.epochTimestamps(path)
           stamped.collect { case (e, ts) if ts >= cut => e }
             .minOption.getOrElse(
@@ -603,10 +609,15 @@ final class AuditTable(path: String, writeSchema: StructType,
           AuditNameMap.toStorage(writeSchema, colMap), startEpoch)
       else
         return new AuditCdfScan(path, writeSchema,
-          AuditNameMap.toStorage(writeSchema, colMap), startEpoch)
+          AuditNameMap.toStorage(writeSchema, colMap), startEpoch,
+          startMillis = if (startEpoch.isDefined) None else startTs)
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion) // catalog `VERSION AS OF` pins via loadTable
+    // catalog `TIMESTAMP AS OF` on a mixed table pins by commit time;
+    // the path-based surface can pass millis directly
+    val asOfMillis = Option(options.get("timestampAsOfMillis")).map(_.toLong)
+      .orElse(pinnedMillis)
     // OPTIMIZE's rewrite scan: full row history, delete vectors NOT applied
     val includeDeleted = Option(options.get("includeDeleted")).exists(_.toBoolean)
     // compaction snapshot pin: only epochs <= snapshotMaxEpoch and batch
@@ -617,7 +628,8 @@ final class AuditTable(path: String, writeSchema: StructType,
       .map(_.split(",").filter(_.nonEmpty).toSet)
     new AuditScanBuilder(path, storageSchema, version, partLevels,
       includeDeleted = includeDeleted,
-      snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles, nameMap = colMap)
+      snapMaxEpoch = snapMaxEpoch, snapFiles = snapFiles, nameMap = colMap,
+      asOfMillis = asOfMillis)
   }
 
   private[sources] def dataPath: String = path
@@ -657,7 +669,10 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
     // 100 TB a selective MERGE that can't runtime-prune opens every
     // directory on the target side. Reading K extra small columns per
     // matched row is noise next to that. Plain reads never force.
-    keepPartCols: Boolean = false)
+    keepPartCols: Boolean = false,
+    // mixed-table TIMESTAMP AS OF pin (commit-time millis): epochs, txn
+    // appends and delete vectors all resolve on the commit-time axis
+    asOfMillis: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -718,7 +733,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    val ok = partLevels.isEmpty && versionAsOf.isEmpty && !includeDeleted &&
+    val ok = partLevels.isEmpty && versionAsOf.isEmpty &&
+      asOfMillis.isEmpty && !includeDeleted &&
       orders.length == 1 && {
         val o = orders.head
         o.direction == SortDirection.ASCENDING &&
@@ -918,7 +934,10 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    metadataAggs(aggregation) match {
+    // a time-pinned read reconstructs past state row-by-row; the
+    // manifest counts describe the PRESENT — never claim them
+    if (asOfMillis.nonEmpty) false
+    else metadataAggs(aggregation) match {
       case Some(specs) => pushedMetaAggs = Some(specs); true
       case None => groupedCountLevels(aggregation) match {
         case Some(lis) =>
@@ -940,7 +959,8 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
         new AuditScan(path, writeSchema, required, versionAsOf, partLevels,
           allowedTokens, includeDeleted, skipFilters,
           pushedCap.map(_.toLong).getOrElse(Long.MaxValue),
-          snapMaxEpoch, snapFiles, excludeNull, outSchema = Some(requiredOut))
+          snapMaxEpoch, snapFiles, excludeNull, outSchema = Some(requiredOut),
+          asOfMillis = asOfMillis)
     }
 }
 
@@ -1172,7 +1192,10 @@ final class AuditScan(path: String, writeSchema: StructType,
     excludeNull: Set[Int] = Set.empty,
     // current-named pruned schema for Spark (readSchema); `required` is
     // its storage-named twin the readers parse with. None = identical.
-    outSchema: Option[StructType] = None)
+    outSchema: Option[StructType] = None,
+    // mixed-table TIMESTAMP AS OF: commit-time millis pin across epochs,
+    // txn appends and delete vectors (see planTimePinned)
+    asOfMillis: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1451,7 +1474,66 @@ final class AuditScan(path: String, writeSchema: StructType,
       fileStats.get(f).exists(
         AuditStats.canSkip(_, skipFilters, statableCols, strCols))
 
+  /** Mixed-table TIMESTAMP AS OF plan: the state at wall-clock `t` is
+    * (streaming epochs committed at/before t) + (txn batch appends
+    * committed at/before t) with EXACTLY the delete vectors committed
+    * at/before t applied — an UPDATE's delete and its replacement row
+    * share one commit ts, so a travel instant sees the whole statement
+    * or none of it. Refuses loudly whenever part of the history cannot
+    * be placed on the commit-time axis (pre-commit-time vintages,
+    * VACUUM-folded vectors, a base checkpoint): silently excluding a
+    * vintage would misanswer the audit question the feature exists for. */
+  private def planTimePinned(t: Long): Array[InputPartition] = {
+    require(partLevels.isEmpty,
+      "audit TIMESTAMP AS OF: commit-time travel is not supported on " +
+        "partitioned mixed tables — use VERSION AS OF")
+    val dir = java.nio.file.Paths.get(path)
+    def refuse(what: String): Nothing = throw new IllegalArgumentException(
+      s"audit TIMESTAMP AS OF: $what at $path — this history cannot be " +
+        "placed on the commit-time axis, and a time-travel read refuses " +
+        "rather than silently excluding vintages")
+    if (AuditBase.read(path).nonEmpty)
+      refuse("the table is compacted (OPTIMIZE base checkpoint)")
+    val stamped = AuditScan.epochTimestamps(path)
+    val unstamped = AuditScan.committedEpochs(path)
+      .filterNot(stamped.contains)
+    if (unstamped.nonEmpty)
+      refuse(s"epoch(s) ${unstamped.take(3).mkString(", ")} carry no " +
+        "commit time (pre-upgrade history)")
+    val manifest = AuditBase.readManifest(path).filterNot(_.folded)
+    if (manifest.exists(_.ts.isEmpty))
+      refuse("batch append(s) carry no commit time (pre-upgrade history)")
+    val vecs = AuditDeletes.entriesWithTs(path)
+    if (AuditDeletes.foldedRows(path) > 0)
+      refuse("delete vectors were folded (VACUUM) — pre-fold deleted " +
+        "rows are physically gone")
+    if (vecs.exists(_._3.isEmpty))
+      refuse("delete vector(s) carry no commit time (pre-upgrade history)")
+    val minTs = (stamped.values ++ manifest.flatMap(_.ts)).minOption
+    if (minTs.forall(_ > t))
+      throw new IllegalArgumentException(
+        s"audit TIMESTAMP AS OF: no commit at or before $t ms at $path" +
+          minTs.fold("")(m => s" (earliest timestamped commit: $m)"))
+    val wanted = stamped.collect { case (e, ts) if ts <= t => e }.toSet
+    val epochFiles = AuditScan.epochFiles(path, wanted)
+      .map { case (f, e) => (f, Some(e)) }
+    val batchFiles = manifest.collect {
+      case e if e.ts.exists(_ <= t) => (e.file, None: Option[Long]) }
+    val vectors: Map[String, Set[Long]] =
+      vecs.collect { case (f, p, Some(ts)) if ts <= t => (f, p) }
+        .groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
+    (batchFiles ++ epochFiles).collect {
+      case (f, e) if !skippable(f) =>
+        AuditFilePartition(dir.resolve(f).toString, e,
+          vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
+    }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    asOfMillis match {
+      case Some(t) => return planTimePinned(t)
+      case None    => ()
+    }
     if (partLevels.nonEmpty) {
         // per-DIRECTORY zone maps: inside each surviving partition the
         // same bounds/bloom refutation drops files; the partition itself
@@ -1554,7 +1636,9 @@ final class AuditScan(path: String, writeSchema: StructType,
   * the contract — append-only vectors, never moving a committed row — is
   * the part that scales. */
 private[sources] object AuditDeletes {
-  private val LineRe = """\{"file":"([^"]+)","pos":(\d+)\}""".r
+  // `,"ts":millis` (the DML commit time) is optional: pre-round-15
+  // vector lines carry none — the TIMESTAMP AS OF axis refuses them
+  private val LineRe = """\{"file":"([^"]+)","pos":(\d+)(?:,"ts":(\d+))?\}""".r
   // VACUUM's vector-retention summary: n rows of `file` were delta-
   // deleted and have been FOLDED — physically blanked in place — so no
   // positional entry is needed anymore. Counts still subtract them.
@@ -1568,7 +1652,7 @@ private[sources] object AuditDeletes {
   def read(path: String): Map[String, Set[Long]] =
     if (!exists(path)) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case LineRe(f, p) => (f, p.toLong)
+      case LineRe(f, p, _) => (f, p.toLong)
     }.groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
 
   /** Folded-summary entries: file → rows already blanked in place. */
@@ -1592,30 +1676,43 @@ private[sources] object AuditDeletes {
   def count(path: String): Long =
     if (!exists(path)) 0L
     else java.nio.file.Files.readAllLines(file(path)).asScala.map {
-      case LineRe(_, _) => 1L
-      case FoldRe(_, n) => n.toLong
-      case _            => 0L
+      case LineRe(_, _, _) => 1L
+      case FoldRe(_, n)    => n.toLong
+      case _               => 0L
     }.sum
 
   /** Vector entries in FILE ORDER (the append order — the CDF offset axis). */
   def entries(path: String): Seq[(String, Long)] =
     if (!exists(path)) Seq.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case LineRe(f, p) => (f, p.toLong)
+      case LineRe(f, p, _) => (f, p.toLong)
+    }.toSeq
+
+  /** Vector entries with their DML commit time (None on pre-commit-time
+    * history) — the delete half of the TIMESTAMP AS OF axis. */
+  def entriesWithTs(path: String): Seq[(String, Long, Option[Long])] =
+    if (!exists(path)) Seq.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case LineRe(f, p, ts) => (f, p.toLong, Option(ts).map(_.toLong))
     }.toSeq
 
   /** Append new vector entries (dedup against the existing set: a replayed
     * task attempt or an idempotent MERGE must not double-count). */
-  def append(path: String, entries: Seq[(String, Long)]): Unit = {
+  def append(path: String, entries: Seq[(String, Long)],
+      ts: Option[Long] = None): Unit = {
     if (entries.isEmpty) return
     val prior = read(path)
     val fresh = entries.distinct.filterNot { case (f, p) =>
       prior.get(f).exists(_.contains(p))
     }
     if (fresh.isEmpty) return
+    // the optional commit ts shares the DML commit's txn timestamp, so
+    // a travel instant sees an UPDATE's delete and its replacement row
+    // appear (or not) TOGETHER
+    val suffix = ts.map(t => s""","ts":$t""").getOrElse("")
     val f = file(path)
     java.nio.file.Files.write(f,
-      fresh.map { case (n, p) => s"""{"file":"$n","pos":$p}""" + "\n" }
+      fresh.map { case (n, p) => s"""{"file":"$n","pos":$p$suffix}""" + "\n" }
         .mkString.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -1627,7 +1724,7 @@ private[sources] object AuditDeletes {
   /** Atomically REPLACE the vector log with the given positional entries
     * + folded summaries (VACUUM's vector retention — the one writer that
     * may shrink this log; it holds the maintenance lease). */
-  def replace(path: String, positional: Seq[(String, Long)],
+  def replace(path: String, positional: Seq[(String, Long, Option[Long])],
       foldedSums: Map[String, Long]): Unit = {
     if (positional.isEmpty && foldedSums.isEmpty) { clear(path); return }
     val f = file(path)
@@ -1635,8 +1732,9 @@ private[sources] object AuditDeletes {
     val body =
       foldedSums.toSeq.sortBy(_._1).map { case (n, c) =>
         s"""{"file":"$n","folded":$c}""" + "\n" }.mkString +
-        positional.map { case (n, p) =>
-          s"""{"file":"$n","pos":$p}""" + "\n" }.mkString
+        positional.map { case (n, p, ts) =>
+          s"""{"file":"$n","pos":$p${ts.map(t => s""","ts":$t""")
+            .getOrElse("")}}""" + "\n" }.mkString
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -1696,6 +1794,14 @@ private[sources] object AuditScan {
     }
     eligible.max
   }
+
+  /** Does the table (directory) carry any batch/DML history — manifest
+    * entries (live or folded) or delete vectors? A MIXED table's
+    * `TIMESTAMP AS OF` must resolve on the commit-time axis across all
+    * three vintage kinds; a pure-streaming table keeps the epoch pin. */
+  def isMixed(path: String): Boolean =
+    AuditBase.readManifest(path).nonEmpty || (AuditDeletes.exists(path) &&
+      AuditDeletes.count(path) > 0)
 
   /** Epochs recorded in `_EPOCHS`, ascending (the stream's offset axis). */
   def committedEpochs(path: String): Seq[Long] = {
@@ -1895,7 +2001,8 @@ final class AuditPartitionedMicroBatchStream(path: String,
   * an open changelog detects the shrunken logs and fails loudly rather
   * than replaying drifted history. */
 final class AuditCdfScan(path: String, fullSchema: StructType,
-    parseSchema0: StructType = null, startEpoch: Option[Long] = None)
+    parseSchema0: StructType = null, startEpoch: Option[Long] = None,
+    startMillis: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
@@ -1911,11 +2018,13 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String = s"AuditCdfScan $path (change feed)"
 
-  override def planInputPartitions(): Array[InputPartition] = startEpoch match {
-    case None => AuditCdf.partitionsFor(path,
+  override def planInputPartitions(): Array[InputPartition] =
+    (startEpoch, startMillis) match {
+    case (None, None) => AuditCdf.partitionsFor(path,
       AuditScan.committedEpochs(path),
       AuditBase.readManifest(path),
-      AuditDeletes.entries(path))
+      AuditDeletes.entriesWithTs(path),
+      epochTs = AuditScan.epochTimestamps(path))
     // INCREMENTAL batch CDC ("changes since epoch e", the daily
     // downstream-job pattern — no streaming infra needed): plan ONLY
     // the epochs >= e. Honest scope: every event must carry an epoch —
@@ -1923,17 +2032,52 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
     // them on every incremental pull would double-count downstream;
     // refuse loudly and point at the streaming feed, whose offsets
     // track those axes exactly.
-    case Some(e) =>
+    case (Some(e), _) =>
       require(AuditBase.readManifest(path).isEmpty,
         s"audit changeFeed startingEpoch: $path has batch txn appends, " +
           "which carry no epoch — an incremental pull would re-emit " +
-          "them every time; use the streaming change feed")
+          "them every time; use startingTimestamp (commit-time axis) " +
+          "or the streaming change feed")
       require(AuditDeletes.entries(path).isEmpty &&
         AuditDeletes.foldedRows(path) == 0L,
         s"audit changeFeed startingEpoch: $path has delta-DML delete " +
-          "vectors, which carry no epoch; use the streaming change feed")
+          "vectors, which carry no epoch; use startingTimestamp " +
+          "(commit-time axis) or the streaming change feed")
       AuditCdf.partitionsFor(path,
-        AuditScan.committedEpochs(path).filter(_ >= e), Nil, Nil)
+        AuditScan.committedEpochs(path).filter(_ >= e), Nil, Nil,
+        epochTs = AuditScan.epochTimestamps(path))
+    // MIXED-HISTORY incremental batch CDC: "changes committed at or
+    // after instant t", resolved on the COMMIT-TIME axis all three logs
+    // now carry — epochs, txn appends and delete vectors each filter by
+    // their recorded commit millis, so a pull on a table interleaving
+    // batch appends (and DML) with epochs emits each event EXACTLY once
+    // per window. Consumers checkpoint `max(_commit_ts) + 1`. History
+    // that cannot be placed on the axis refuses loudly.
+    case (None, Some(t)) =>
+      def refuse(what: String): Nothing = throw new IllegalArgumentException(
+        s"audit changeFeed startingTimestamp: $what at $path — those " +
+          "events cannot be placed on the commit-time axis; use the " +
+          "streaming change feed")
+      val stamped = AuditScan.epochTimestamps(path)
+      val unstampedE = AuditScan.committedEpochs(path)
+        .filterNot(stamped.contains)
+      if (unstampedE.nonEmpty)
+        refuse("epoch(s) carry no commit time (pre-upgrade history)")
+      val manifest = AuditBase.readManifest(path)
+      if (manifest.exists(_.folded))
+        refuse("batch history was folded into a base checkpoint (OPTIMIZE)")
+      if (manifest.exists(_.ts.isEmpty))
+        refuse("batch append(s) carry no commit time (pre-upgrade history)")
+      val vecs = AuditDeletes.entriesWithTs(path)
+      if (AuditDeletes.foldedRows(path) > 0)
+        refuse("delete vectors were folded (VACUUM vector retention)")
+      if (vecs.exists(_._3.isEmpty))
+        refuse("delete vector(s) carry no commit time (pre-upgrade history)")
+      AuditCdf.partitionsFor(path,
+        stamped.collect { case (e, ts) if ts >= t => e }.toSeq.sorted,
+        manifest.filter(_.ts.exists(_ >= t)),
+        vecs.filter(_._3.exists(_ >= t)),
+        epochTs = stamped)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2168,7 +2312,8 @@ private[sources] object AuditCdf {
     * either way, so a running changelog tail survives maintenance. */
   def partitionsFor(path: String, epochs: Seq[Long],
       batchEntries: Seq[AuditBase.ManifestEntry],
-      deletes: Seq[(String, Long)])
+      deletes: Seq[(String, Long, Option[Long])],
+      epochTs: Map[Long, Long] = Map.empty)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     val base = AuditBase.read(path)
@@ -2177,28 +2322,35 @@ private[sources] object AuditCdf {
       if (base.isEmpty) epochs.toSet else onDisk.map(_._2).toSet
     val goneEpochs = epochs.filterNot(liveEpochSet.contains)
     val goneBatch = batchEntries.collect { case e if e.folded => e.file }
-    val delGroups = deletes.groupBy(_._1).toSeq.sortBy(_._1)
-    val (liveDel, goneDel) = delGroups.partition { case (f, _) =>
+    // one partition per (file, commit ts): a file's vector entries from
+    // DIFFERENT DML statements carry different commit times, and the
+    // `_commit_ts` column must report each event's own
+    val delGroups = deletes.groupBy(d => (d._1, d._3)).toSeq
+      .sortBy { case ((f, ts), _) => (f, ts.getOrElse(Long.MinValue)) }
+    val (liveDel, goneDel) = delGroups.partition { case ((f, _), _) =>
       base.isEmpty || java.nio.file.Files.exists(dir.resolve(f))
     }
     val inserts =
       onDisk.filter { case (_, e) => liveEpochSet.contains(e) }
         .map { case (f, e) =>
-          AuditCdfPartition(dir.resolve(f).toString, Some(e), None)
+          AuditCdfPartition(dir.resolve(f).toString, Some(e), None,
+            commitTs = epochTs.get(e))
         } ++ batchEntries.collect {
           case e if !e.folded =>
-            AuditCdfPartition(dir.resolve(e.file).toString, None, None)
+            AuditCdfPartition(dir.resolve(e.file).toString, None, None,
+              commitTs = e.ts)
         }
-    val dels = liveDel.map { case (f, ps) =>
+    val dels = liveDel.map { case ((f, ts), ps) =>
       AuditCdfPartition(dir.resolve(f).toString, None,
-        Some(ps.map(_._2).sorted))
+        Some(ps.map(_._2).sorted), commitTs = ts)
     }
     val baseParts: Seq[AuditCdfBasePartition] =
       if (goneEpochs.isEmpty && goneBatch.isEmpty && goneDel.isEmpty) Seq.empty
       else base.toSeq.flatMap(_.files.map { case (f, _) =>
         AuditCdfBasePartition(dir.resolve(f).toString, goneEpochs.toSet,
           goneBatch.toSet,
-          goneDel.map { case (df, ps) => (df, ps.map(_._2).toSet) }.toMap)
+          goneDel.groupBy(_._1._1).map { case (df, gs) =>
+            (df, gs.flatMap(_._2.map(_._2)).toSet) })
       })
     (inserts ++ dels ++ baseParts)
       .toArray[org.apache.spark.sql.connector.read.InputPartition]
@@ -2210,7 +2362,10 @@ final case class AuditCdfPartition(file: String, epoch: Option[Long],
     // `_file` value when it must differ from the plain file name — the
     // partitioned feed dir-qualifies it (`col=token/part-…`) so
     // (file, pos) replay keys are unique table-wide
-    relName: Option[String] = None)
+    relName: Option[String] = None,
+    // commit wall-clock millis of the events in this slice (`_commit_ts`
+    // metadata column) — what an incremental ts-puller checkpoints
+    commitTs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Base-resolved slice of the change feed: one base file scanned for rows
@@ -2223,7 +2378,8 @@ final case class AuditCdfBasePartition(file: String, epochs: Set[Long],
 
 final class AuditCdfReaderFactory(fullSchema: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
-  private val metaCols = Set("_change_type", "_commit_epoch", "_file", "_pos")
+  private val metaCols =
+    Set("_change_type", "_commit_epoch", "_commit_ts", "_file", "_pos")
   private val dataSchema = StructType(fullSchema.filterNot(f => metaCols(f.name)))
 
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
@@ -2243,6 +2399,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       case f if f.name == "_commit_epoch" => -2
       case f if f.name == "_file"         => -3
       case f if f.name == "_pos"          => -4
+      case f if f.name == "_commit_ts"    => -5
       case f => dataSchema.fieldIndex(f.name)
     }
     val absent = AuditJson.absentFill(dataSchema)
@@ -2284,6 +2441,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
               case -2 => p.epoch.map(Long.box).orNull
               case -3 => fileName
               case -4 => pos
+              case -5 => p.commitTs.map(Long.box).orNull
               case s  =>
                 if (full.isNullAt(s)) null
                 else full.get(s, dataSchema(s).dataType)
@@ -2317,6 +2475,10 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       case f if f.name == "_commit_epoch" => -2
       case f if f.name == "_file"         => -3
       case f if f.name == "_pos"          => -4
+      // base-resolved history predates commit-time stamping of its
+      // original files — `_commit_ts` is null here (ts-pulls refuse
+      // folded history anyway; only full pulls reach this reader)
+      case f if f.name == "_commit_ts"    => -5
       case f => dataSchema.fieldIndex(f.name)
     }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
@@ -2336,6 +2498,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
             case -2 => epoch
             case -3 => of
             case -4 => op
+            case -5 => null // commit ts unknown for base-resolved history
             case s  =>
               if (full.isNullAt(s)) null
               else full.get(s, dataSchema(s).dataType)
@@ -2453,7 +2616,8 @@ final class AuditCdfStream(path: String, fullSchema: StructType)
     AuditCdf.partitionsFor(path,
       epochs.slice(s.e, en.e),
       batch.slice(s.b, en.b),
-      dels.slice(s.d.toInt, en.d.toInt))
+      AuditDeletes.entriesWithTs(path).slice(s.d.toInt, en.d.toInt),
+      epochTs = AuditScan.epochTimestamps(path))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2807,6 +2971,10 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditPartDeltaCommitMessage])
+    // ONE commit timestamp for the whole DML statement (all directories,
+    // inserts AND delete vectors): a travel instant sees the statement's
+    // effects appear together or not at all
+    val commitMs = System.currentTimeMillis()
     // inserts: per-directory OCC txn append, same as the batch writer
     msgs.flatMap(_.entries).groupBy(_._1).toSeq.sortBy(_._1)
       .foreach { case (relDir, entries) =>
@@ -2823,7 +2991,8 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
         AuditBase.commitTxn(pdir.toString,
           added.map { case (n, r, _) =>
             AuditBase.ManifestEntry(n, r, folded = false) },
-          added.map { case (n, _, st) => AuditStats.line(n, st) })
+          added.map { case (n, _, st) => AuditStats.line(n, st) },
+          ts = commitMs)
       }
     // deletes: split the dir-qualified row id back into (dir, plain file)
     msgs.flatMap(_.deletes).map { case (rel, pos) =>
@@ -2832,7 +3001,8 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
         "dir-qualified — scan/write contract violation")
       (rel.substring(0, cut), (rel.substring(cut + 1), pos))
     }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (dirName, pairs) =>
-      AuditDeletes.append(dir.resolve(dirName).toString, pairs.map(_._2))
+      AuditDeletes.append(dir.resolve(dirName).toString, pairs.map(_._2),
+        ts = Some(commitMs))
     }
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
@@ -3011,18 +3181,22 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     AuditBase.consolidate(path)
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
+    // ONE commit timestamp for the statement's inserts and delete
+    // vectors — the TIMESTAMP AS OF axis sees them together
+    val commitMs = System.currentTimeMillis()
     val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
       .sortBy(_._1).zipWithIndex.map { case ((staged, rows, stats), i) =>
         val name = f"part-${start + i}%05d.jsonl"
         java.nio.file.Files.move(stage.resolve(staged), dir.resolve(name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (AuditBase.ManifestEntry(name, rows, folded = false), stats)
+        (AuditBase.ManifestEntry(name, rows, folded = false,
+          ts = Some(commitMs)), stats)
       }
     val added = placed.map(_._1)
     if (added.nonEmpty || !java.nio.file.Files.exists(manifestFile))
       AuditBase.writeManifest(path, prior ++ added)
     AuditStats.append(path, placed.map { case (e, s) => (e.file, s) })
-    AuditDeletes.append(path, msgs.flatMap(_.deletes))
+    AuditDeletes.append(path, msgs.flatMap(_.deletes), ts = Some(commitMs))
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -3384,17 +3558,17 @@ private[sources] object AuditDelete {
       }
       return
     }
-    // batch manifest: rewrite files, refresh per-file counts
+    // batch manifest: rewrite files, refresh per-file counts — via
+    // readManifest so the optional commit ts survives (the rewrite
+    // refreshes ROWS; it must not move a file's vintage on the
+    // TIMESTAMP AS OF axis). The caller consolidated txns already.
     val manifestFile = dir.resolve("_MANIFEST")
-    val fileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
     if (java.nio.file.Files.exists(manifestFile)) {
-      val entries = java.nio.file.Files.readAllLines(manifestFile).asScala.collect {
-        case fileRe(f, _) => f
-      }.toSeq
-      val updated = entries.map(f => (f, rewrite(dir.resolve(f))))
-      AuditBase.writeManifest(path, updated.map { case (f, r) =>
-        AuditBase.ManifestEntry(f, r, folded = false)
-      }) // preserves the OCC txn floor (atomic tmp+move)
+      val entries = AuditBase.readManifest(path).filterNot(_.folded)
+      val updated = entries.map(e =>
+        e.copy(rows = rewrite(dir.resolve(e.file))))
+      AuditBase.writeManifest(path, updated)
+      // preserves the OCC txn floor (atomic tmp+move)
     }
     // epoch files: rewrite, refresh per-epoch row totals in _EPOCHS
     val epochsFile = dir.resolve("_EPOCHS")

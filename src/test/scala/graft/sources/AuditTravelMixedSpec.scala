@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Mixed-table TIMESTAMP AS OF: commit-time travel across streaming
+  * epochs, OCC batch `_TXN` appends and delta-DML delete vectors — and
+  * the LOUD refusals whenever part of the history cannot be placed on
+  * the commit-time axis (silently excluding a vintage would misanswer
+  * the audit question the feature exists for). The happy-path content
+  * reconstruction is oracle-checked end to end by q_audit_travel_mixed;
+  * this spec drives the boundary and refusal semantics. */
+class AuditTravelMixedSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshCat(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_tmix_${tag}_")
+    val cat = s"graft_tmix_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+
+  test("a travel instant between a batch append and now sees the append") {
+    val (cat, wh) = freshCat("basic")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 10 FROM range(100)")
+    Thread.sleep(5)
+    val path = wh.resolve("db/t").toString
+    val tAfterA = AuditBase.readManifest(path).flatMap(_.ts).max
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 500, id FROM range(50)")
+    // current state sees both appends; the pinned instant only the first
+    assert(spark.table(s"$cat.db.t").count() === 150L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tAfterA)").head.getLong(0) === 100L)
+    // travel BEFORE any commit is loud, not empty
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.db.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${tAfterA - 100000})").collect())
+    assert(ex.getMessage.contains("no commit at or before"), ex.getMessage)
+  }
+
+  test("DML vectors resolve on the commit-time axis (pre/post UPDATE)") {
+    val (cat, wh) = freshCat("dml")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
+    Thread.sleep(5)
+    val path = wh.resolve("db/t").toString
+    val tPre = AuditBase.readManifest(path).flatMap(_.ts).max
+    Thread.sleep(5)
+    spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 10 = 3")
+    Thread.sleep(5)
+    val tPost = System.currentTimeMillis()
+    // pre-DML instant: original values, no vectors applied, no
+    // replacement rows — 100 rows, none with v=999
+    val pre = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tPre)").head
+    assert(pre.getLong(0) === 100L && pre.getLong(1) === 4950L)
+    // post-DML instant: the UPDATE's vectors and replacement rows appear
+    // TOGETHER (one commit ts) — still 100 rows, 10 of them v=999
+    val post = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tPost)").head
+    assert(post.getLong(0) === 100L)
+    assert(post.getLong(1) === 4950L - (3 + 13 + 23 + 33 + 43 + 53 + 63 +
+      73 + 83 + 93) + 10 * 999)
+  }
+
+  test("a compacted mixed table refuses commit-time travel loudly") {
+    val (cat, wh) = freshCat("base")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id FROM range(100)")
+    Thread.sleep(5)
+    val t = System.currentTimeMillis()
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1)")
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.db.t " +
+        s"TIMESTAMP AS OF timestamp_millis($t)").collect())
+    assert(ex.getMessage.contains("compacted"), ex.getMessage)
+    val _ = wh
+  }
+
+  test("partitioned tables with batch history refuse commit-time travel") {
+    val (cat, _) = freshCat("part")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id % 3 FROM range(90)")
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.db.p " +
+        s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()})")
+      .collect())
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+  }
+
+  test("pre-commit-time batch history (no ts) refuses, not excludes") {
+    val (cat, wh) = freshCat("legacy")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id FROM range(100)")
+    val path = wh.resolve("db/t")
+    // fold the txn into _MANIFEST, then strip the ts fields — simulating
+    // a table written before commit-time stamping existed
+    AuditBase.consolidate(path.toString)
+    val mf = path.resolve("_MANIFEST")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .replaceAll(""","ts":\d+\}""", "}")
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.db.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()})")
+      .collect())
+    assert(ex.getMessage.contains("carry no commit time"), ex.getMessage)
+    // the current read is unaffected
+    assert(spark.table(s"$cat.db.t").count() === 100L)
+  }
+
+  test("VERSION AS OF keeps the pure-epoch contract on mixed tables") {
+    // version pins reconstruct epoch history only: batch appends and
+    // vectors stay out — the commit-time axis is the mixed spelling
+    val (cat, wh) = freshCat("vsn")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tmix_vsn_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "50")
+      .option("pagesPerTrigger", "1")
+      .load().selectExpr("id", "id AS v")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.t")
+    try w.processAllAvailable() finally w.stop()
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+      .head.getLong(0) === 100L) // epochs 0-1 only, no batch append
+    val _ = wh
+  }
+}

@@ -160,7 +160,7 @@ class AuditVectorFoldSpec extends AnyFunSuite {
     assert(AuditDeletes.entries(path).size === 5)
     // fold the 2 CONSUMED entries only (what a VACUUM whose retention
     // window covers them does): log shrinks 5 → 3 positional + summary
-    val all = AuditDeletes.entries(path)
+    val all = AuditDeletes.entriesWithTs(path)
     val foldedAway = all.take(2)
     AuditDeletes.replace(path, all.drop(2),
       foldedAway.groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
@@ -182,7 +182,7 @@ class AuditVectorFoldSpec extends AnyFunSuite {
     val pconsumed = pstream.latestOffset()
     spark.sql(s"DELETE FROM $cat.db.p WHERE id % 25 = 3") // 2 more per dir
     val leaf = java.nio.file.Paths.get(ppath).resolve("flag=0").toString
-    val lall = AuditDeletes.entries(leaf)
+    val lall = AuditDeletes.entriesWithTs(leaf)
     assert(lall.size >= 3)
     AuditDeletes.replace(leaf, lall.drop(1),
       lall.take(1).groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
