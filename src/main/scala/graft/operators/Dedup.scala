@@ -887,11 +887,12 @@ object Dedup {
   // window + island numbering sharing ONE per-doc sort).
   //
   // Scale: the gram groupBy is the one heavy shuffle and it is inherent to
-  // cross-document matching — at 100 TB you ship 8-byte rolling hashes
-  // (graft.plans.WordShingleHashesExpr, as the minhash suite does) instead
-  // of gram strings and keep these plans unchanged; strings are used here
-  // so the whole pipeline stays string-exact against the oracle. Span
-  // merging shuffles once on doc_id and both window passes share the sort.
+  // cross-document matching — gram text reduces to an 8-byte hash AT THE
+  // SCAN (the winnow/minhash discipline: shuffle only ids + fixed-width
+  // values; the shared-gram aggregate and join move longs, never gram
+  // strings — ~5-10x less shuffle bandwidth on text). The oracle states
+  // the identical hash, so the comparison stays exact. Span merging
+  // shuffles once on doc_id and both window passes share the sort.
 
   val SpanK = 5
 
@@ -908,7 +909,7 @@ object Dedup {
     documents(spark, d)
       .select(col("doc_id"), posexplode(grams))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("gram"))
+        Hashing.hexHash(col("col")).as("gram"))
   }
 
   private val gramPositionsSql: String =
@@ -920,7 +921,8 @@ object Dedup {
       |  FROM toks
       |), grams AS (
       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-      |         array_to_string(t[pos:pos + ${SpanK - 1}], ' ') AS gram
+      |         ${Hashing.hexHashSql(
+                  s"array_to_string(t[pos:pos + ${SpanK - 1}], ' ')")} AS gram
       |  FROM posu
       |), shared AS (
       |  SELECT gram FROM grams GROUP BY gram

@@ -78,7 +78,11 @@ private[sources] object AuditBase {
       ts: Option[Long] = None)
 
   final case class Info(throughEpoch: Long, expiredThrough: Long,
-      files: Seq[(String, Long)], sortBy: Option[String] = None)
+      files: Seq[(String, Long)], sortBy: Option[String] = None,
+      // snapshot wall-clock millis of the checkpoint (None on pre-
+      // round-15 bases) — the commit-time boundary RESTORE-to-checkpoint
+      // uses to split pre- from post-checkpoint delete vectors
+      ts: Option[Long] = None)
 
   /** Origin columns appended to every base row. `_oepoch` is null for rows
     * first committed by a batch write. */
@@ -94,29 +98,33 @@ private[sources] object AuditBase {
     java.nio.file.Paths.get(path).resolve("_BASE")
 
   private val HeaderRe =
-    """\{"throughEpoch":(-?\d+),"expiredThrough":(-?\d+)(?:,"sortBy":"([^"]+)")?\}""".r
+    ("""\{"throughEpoch":(-?\d+),"expiredThrough":(-?\d+)""" +
+      """(?:,"sortBy":"([^"]+)")?(?:,"ts":(\d+))?\}""").r
   private val FileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
 
   def read(path: String): Option[Info] = {
     val f = baseFile(path)
     if (!java.nio.file.Files.exists(f)) return None
     val lines = java.nio.file.Files.readAllLines(f).asScala
-    val (through, expired, sortBy) = lines.head match {
-      case HeaderRe(t, e, s) => (t.toLong, e.toLong, Option(s))
+    val (through, expired, sortBy, ts) = lines.head match {
+      case HeaderRe(t, e, s, ts) =>
+        (t.toLong, e.toLong, Option(s), Option(ts).map(_.toLong))
       case other => throw new IllegalStateException(s"audit _BASE header: $other")
     }
     Some(Info(through, expired, lines.tail.collect {
       case FileRe(n, r) => (n, r.toLong)
-    }.toSeq, sortBy))
+    }.toSeq, sortBy, ts))
   }
 
   def write(path: String, throughEpoch: Long, expiredThrough: Long,
-      files: Seq[(String, Long)], sortBy: Option[String] = None): Unit = {
+      files: Seq[(String, Long)], sortBy: Option[String] = None,
+      ts: Option[Long] = None): Unit = {
     val f = baseFile(path)
     val tmp = f.resolveSibling("_BASE.tmp")
     val header = s"""{"throughEpoch":$throughEpoch,""" +
       s""""expiredThrough":$expiredThrough""" +
-      sortBy.map(s => s""","sortBy":"$s"""").getOrElse("") + "}"
+      sortBy.map(s => s""","sortBy":"$s"""").getOrElse("") +
+      ts.map(t => s""","ts":$t""").getOrElse("") + "}"
     java.nio.file.Files.write(tmp,
       (Seq(header) ++
         files.map { case (n, r) => s"""{"file":"$n","rows":$r}""" })
@@ -395,7 +403,8 @@ private[sources] object AuditBase {
 final class AuditBaseBatchWrite(path: String, schema: StructType,
     throughEpoch: Long, sortBy: Option[String] = None,
     foldFiles: Option[Set[String]] = None,
-    bloomCols: Set[String] = Set.empty) extends BatchWrite {
+    bloomCols: Set[String] = Set.empty,
+    snapTs: Option[Long] = None) extends BatchWrite {
   require(schema.fields.takeRight(3).map(_.name).toSeq ==
     Seq("_oepoch", "_ofile", "_opos"),
     s"audit base commit: schema must end with the origin columns, got " +
@@ -436,7 +445,8 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     AuditBase.writeManifest(path,
       manifest.map(e => if (toFold(e)) e.copy(folded = true) else e))
     AuditBase.write(path, throughEpoch,
-      prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy)
+      prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy,
+      ts = snapTs)
     prev.foreach(_.files.foreach { case (f, _) =>
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     })
@@ -579,6 +589,7 @@ private[sources] object AuditMaintenance {
       .option("basecommit", "true")
       .option("basethroughepoch", through.toString)
       .option("basefoldfiles", snap.batchFiles.mkString(","))
+      .option("basesnapts", snap.ts.toString)
       .option("bloomcols", bloomCols.mkString(","))
     sortBy.fold(writer)(writer.option("basesortby", _)).mode("append").save()
     val b = AuditBase.read(path).getOrElse(
@@ -732,11 +743,14 @@ private[sources] object AuditMaintenance {
   /** The pinned input set of one compaction run: the newest committed
     * epoch and the LIVE batch-manifest files at capture time. */
   final case class CompactionSnapshot(throughEpoch: Long,
-      batchFiles: Seq[String])
+      batchFiles: Seq[String], ts: Long = 0L)
 
   def snapshot(path: String): CompactionSnapshot = CompactionSnapshot(
     AuditScan.committedEpochs(path).lastOption.getOrElse(-1L),
-    AuditBase.readManifest(path).collect { case e if !e.folded => e.file })
+    AuditBase.readManifest(path).collect { case e if !e.folded => e.file },
+    // capture time = the checkpoint's position on the commit-time axis
+    // (the lease serializes DML, so nothing can land "inside" the window)
+    ts = System.currentTimeMillis())
 
   /** Reclaim superseded epoch files and bound the time-travel window.
     * On a PARTITIONED table (`partCol` set) there is no base checkpoint
@@ -753,12 +767,17 @@ private[sources] object AuditMaintenance {
   /** RESTORE the table to streaming epoch `version`: physically remove
     * every epoch committed AFTER it — the bad-publish undo. The epoch
     * axis is the ONLY version axis this format has, so restore applies
-    * to PURE streaming history and refuses loudly otherwise: batch txn
-    * appends, delta-DML vectors, and a base checkpoint all carry no
-    * epoch, so "state as of epoch v" is undefined once they exist
-    * (guessing would silently un-delete or re-delete rows). Live
-    * streaming tails fail loudly on the shrunk log (the documented
-    * append-only contract) — restart them from fresh checkpoints. */
+    * to PURE streaming history — with ONE exception: a compacted table
+    * restores TO its OPTIMIZE checkpoint boundary, where the base
+    * materializes full state (epochs ≤ through + folded batch appends)
+    * and the commit-time axis splits pre- from post-checkpoint delete
+    * vectors exactly, so no epoch-axis guessing is needed even on a
+    * mixed table. Everywhere else batch txn appends, delta-DML vectors
+    * and non-boundary compacted epochs refuse loudly: "state as of
+    * epoch v" is undefined there (guessing would silently un-delete or
+    * re-delete rows). Live streaming tails fail loudly on the shrunk
+    * log (the documented append-only contract) — restart them from
+    * fresh checkpoints. */
   def restore(path: String, version: Long,
       partCols: Seq[String] = Nil): (Int, Long) =
     AuditMaintLock.withLease(path, "restore") {
@@ -779,12 +798,19 @@ private[sources] object AuditMaintenance {
     require(version >= epochs.min,
       s"audit RESTORE: epoch $version predates all history " +
         s"(earliest committed epoch: ${epochs.min})")
+    // COMPACTED table: route boundary restores to the checkpoint path
+    // (full state is materialized there); refuse everything else
+    AuditBase.read(path) match {
+      case Some(b) if partCols.isEmpty =>
+        return restoreToCheckpoint(path, version, b)
+      case Some(_) =>
+        throw new IllegalStateException(
+          s"audit RESTORE: $path is compacted — the base checkpoint " +
+            "folded epoch history and cannot be un-folded")
+      case None => ()
+    }
     val gone = epochs.filter(_ > version)
     if (gone.isEmpty) return (0, 0L)
-    // PURE streaming history only — every other state has no epoch axis
-    require(AuditBase.read(path).isEmpty,
-      s"audit RESTORE: $path is compacted — the base checkpoint folded " +
-        "epoch history and cannot be un-folded")
     if (partCols.isEmpty) {
       require(AuditBase.readManifest(path).isEmpty,
         s"audit RESTORE: $path has batch txn appends — they carry no " +
@@ -856,6 +882,82 @@ private[sources] object AuditMaintenance {
       }
       trimEpochLog()
     }
+    (filesRemoved, rowsRemoved)
+  }
+
+  /** RESTORE a COMPACTED (possibly mixed) table to its OPTIMIZE
+    * checkpoint boundary: the base materializes the checkpoint's full
+    * state, so undoing everything after it needs no epoch-axis
+    * guessing — post-checkpoint epochs truncate, post-checkpoint batch
+    * appends (every LIVE manifest entry: the fold marked exactly the
+    * checkpointed set) delete, and delete vectors split on the commit-
+    * time axis at the base's snapshot instant (pre-checkpoint vectors
+    * stay applied; post-checkpoint DML un-happens). Metadata first,
+    * files second: a crash leaves invisible orphans (clean_orphans
+    * reclaims them), never live metadata over deleted files. */
+  private def restoreToCheckpoint(path: String, version: Long,
+      b: AuditBase.Info): (Int, Long) = {
+    val dir = java.nio.file.Paths.get(path)
+    require(version == b.throughEpoch,
+      s"audit RESTORE: $path is compacted — only the checkpoint " +
+        s"boundary (epoch ${b.throughEpoch}) is restorable there (the " +
+        "base materializes full state at that instant); other epochs " +
+        "cannot be un-folded")
+    val baseTs = b.ts.getOrElse(throw new IllegalStateException(
+      s"audit RESTORE: the base checkpoint at $path predates commit-" +
+        "time stamping — pre- and post-checkpoint delete vectors " +
+        "cannot be told apart; re-run OPTIMIZE first"))
+    require(AuditDeletes.foldedRows(path) == 0L,
+      s"audit RESTORE: $path has VACUUM-folded delete vectors — " +
+        "physically blanked rows cannot be restored")
+    val vecs = AuditDeletes.entriesWithTs(path)
+    require(vecs.forall(_._3.nonEmpty),
+      s"audit RESTORE: $path has delete vectors without commit times " +
+        "(pre-upgrade history) — their checkpoint side is unknown")
+    val epochs = AuditScan.committedEpochs(path)
+    val gone = epochs.filter(_ > version)
+    val rowsByEpoch = AuditScan.epochRowsByEpoch(path)
+    // post-checkpoint batch appends = every LIVE manifest entry: the
+    // checkpoint's fold marked exactly its snapshot as folded
+    AuditBase.consolidate(path)
+    val manifest = AuditBase.readManifest(path)
+    val (foldedEntries, liveEntries) = manifest.partition(_.folded)
+    val (keepVecs, dropVecs) = vecs.partition(_._3.exists(_ <= baseTs))
+    if (gone.isEmpty && liveEntries.isEmpty && dropVecs.isEmpty)
+      return (0, 0L)
+    val rowsRemoved = gone.map(rowsByEpoch.getOrElse(_, 0L)).sum +
+      liveEntries.map(_.rows).sum
+    AuditMaintLock.verifyCurrent(path, "RESTORE checkpoint truncation")
+    // metadata first
+    if (gone.nonEmpty) {
+      val epochsFile = dir.resolve("_EPOCHS")
+      val keepRe = """\{"epoch":(-?\d+),.*""".r
+      val kept = java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
+        .filter {
+          case keepRe(e) => e.toLong <= version
+          case _         => true
+        }
+      val tmp = dir.resolve("_EPOCHS.tmp")
+      java.nio.file.Files.write(tmp,
+        kept.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, epochsFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (liveEntries.nonEmpty) AuditBase.writeManifest(path, foldedEntries)
+    if (dropVecs.nonEmpty) AuditDeletes.replace(path, keepVecs, Map.empty)
+    // files second
+    var filesRemoved = 0
+    AuditScan.epochFiles(path, gone.toSet).foreach { case (f, _) =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(f))
+      filesRemoved += 1
+    }
+    liveEntries.foreach { e =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(e.file))
+      filesRemoved += 1
+    }
+    AuditStats.retain(path,
+      f => java.nio.file.Files.exists(dir.resolve(f)))
     (filesRemoved, rowsRemoved)
   }
 
@@ -962,7 +1064,8 @@ private[sources] object AuditMaintenance {
         java.nio.file.Files.deleteIfExists(dir.resolve(f))
       }
       AuditStats.retain(path, f => java.nio.file.Files.exists(dir.resolve(f)))
-      AuditBase.write(path, b.throughEpoch, newExpired, b.files, b.sortBy)
+      AuditBase.write(path, b.throughEpoch, newExpired, b.files, b.sortBy,
+        ts = b.ts)
       removed += gone.size
       expired = newExpired
     }

@@ -3802,7 +3802,8 @@ final class AuditWriteBuilder(path: String, schema: StructType,
           options("basethroughepoch").toLong, options.get("basesortby"),
           options.get("basefoldfiles")
             .map(_.split(",").filter(_.nonEmpty).toSet),
-          bloomCols)
+          bloomCols,
+          snapTs = options.get("basesnapts").map(_.toLong).filter(_ > 0L))
       } else {
         val inner: BatchWrite =
           if (partLevels.nonEmpty)
