@@ -716,8 +716,12 @@ private[sources] object AuditMaintenance {
         "injected failure: partitioned OPTIMIZE killed after staging")
     val displaced = hidden("old")
     // the swap replaces the whole data dir — restore the replicated
-    // colmap INTO THE STAGE before it becomes the table, so the path
-    // surface never observes a renamed table without its map
+    // colmap (and the identity allocator's high-water mark: losing it
+    // would restart the allocator at 0 and reuse identity values) INTO
+    // THE STAGE before it becomes the table
+    val idhwm = dir.resolve("_IDENTITY")
+    if (java.nio.file.Files.exists(idhwm))
+      java.nio.file.Files.copy(idhwm, stage.resolve("_IDENTITY"))
     AuditNameMap.writeColMapFile(stage, colMap)
     // re-verify the lease immediately before the swap: the staging write
     // above is the long phase — a frozen-then-resumed operation whose
@@ -751,6 +755,102 @@ private[sources] object AuditMaintenance {
     // capture time = the checkpoint's position on the commit-time axis
     // (the lease serializes DML, so nothing can land "inside" the window)
     ts = System.currentTimeMillis())
+
+  /** PARTITION-SPEC EVOLUTION: rewrite the table into a NEW
+    * `PARTITIONED BY` layout — the staged sibling-tree rewrite + atomic
+    * swap the partitioned OPTIMIZE already does, generalized to CHANGE
+    * the spec (including from/to a different level count, bucket
+    * transforms, or an unpartitioned source layout). Reads the CURRENT
+    * state through the catalog (identity values are scan-carried, and
+    * the `_IDENTITY` allocator high-water mark moves with the swap, so
+    * later inserts never reuse values), routes rows into the new
+    * directory tree, swaps atomically, then updates the catalog's
+    * stored spec via `onSwapped` (inside the lease). Refuses live
+    * streaming writers. History RESETS like a CTAS: prior epochs /
+    * vintages become one fresh batch tree, so time travel and running
+    * change-feed tails fail loudly afterwards (the documented
+    * append-only contract — restart feeds from fresh checkpoints).
+    * Crash windows: before the swap, the live table is untouched and
+    * the stage is an orphan sibling (reclaimable); between the swap and
+    * the meta update, the table reads through the OLD spec and must be
+    * repaired by re-declaring the spec — single-writer maintenance, the
+    * same contract as the manifest/_BASE two-rename window. */
+  def repartitionTable(spark: SparkSession, fullName: String, path: String,
+      oldSpec: Option[String], newSpec: String,
+      colMap: Map[String, String],
+      onSwapped: () => Unit): (Int, Long) =
+    AuditMaintLock.withLease(path, "repartition") {
+      repartitionLocked(spark, fullName, path, oldSpec, newSpec, colMap,
+        onSwapped)
+    }
+
+  private def repartitionLocked(spark: SparkSession, fullName: String,
+      path: String, oldSpec: Option[String], newSpec: String,
+      colMap: Map[String, String], onSwapped: () => Unit): (Int, Long) = {
+    AuditStreamLock.liveWriter(path).foreach(q =>
+      throw new IllegalStateException(
+        s"audit repartition_table: streaming query $q holds the writer " +
+          s"lease at $path — stop it first (its epoch commits would land " +
+          "in the displaced tree)"))
+    val specs = AuditPartition.parseSpecs(newSpec)
+    require(specs.nonEmpty,
+      "audit repartition_table: the new partition spec is empty")
+    // partition columns are storage==current by invariant (directory
+    // names embed them) — a renamed column cannot become one
+    specs.foreach(sp => require(!colMap.contains(sp.col),
+      s"audit repartition_table: column ${sp.col} was renamed — renamed " +
+        "columns cannot become partition columns (directory names embed " +
+        "the storage spelling)"))
+    // current state through the catalog, storage-named for the raw write
+    var df = colMap.foldLeft(spark.table(fullName)) {
+      case (d, (current, storage)) => d.withColumnRenamed(current, storage)
+    }
+    val n = spark.sparkContext.defaultParallelism
+    df = df.repartition(n, specs.map(sp => col(sp.col)): _*)
+    // blooms survive the layout change (old layout's stats, either shape)
+    val priorBloomed = (AuditStats.read(path).valuesIterator
+      .flatMap(_.blooms.keysIterator) ++
+      oldSpec.toSeq.flatMap { pc =>
+        AuditPartition.listDirsByCols(path,
+          AuditPartition.parseSpecs(pc).map(_.col))
+          .flatMap { case (_, d) => AuditStats.read(d.toString)
+            .valuesIterator.flatMap(_.blooms.keysIterator) }
+      }).toSet
+      .filter(c => df.schema.fields.exists(f =>
+        f.name == c && AuditBloom.bloomable(f.dataType)))
+    val dir = java.nio.file.Paths.get(path)
+    def hidden(tag: String) = dir.resolveSibling(
+      "." + dir.getFileName.toString + s".$tag." +
+        java.util.UUID.randomUUID().toString.take(8))
+    val stage = hidden("repartstage")
+    df.write.format(classOf[JsonAuditSink].getName)
+      .option("path", stage.toString)
+      .option("partitionby", AuditPartition.serializeSpecs(specs))
+      .option("bloomcols", priorBloomed.mkString(","))
+      .mode("append").save()
+    // allocator state and colmap move WITH the table
+    val idf = dir.resolve("_IDENTITY")
+    if (java.nio.file.Files.exists(idf))
+      java.nio.file.Files.copy(idf, stage.resolve("_IDENTITY"))
+    AuditNameMap.writeColMapFile(stage, colMap)
+    AuditMaintLock.verifyCurrent(path, "repartition_table dir swap")
+    val displaced = hidden("old")
+    java.nio.file.Files.move(dir, displaced,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(stage, dir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    onSwapped() // catalog partcols → newSpec, still under the lease
+    val walk = java.nio.file.Files.walk(displaced)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    spark.catalog.refreshTable(fullName)
+    val perDir = AuditPartition.listDirs(path,
+      AuditPartition.levelsOf(specs, df.schema))
+      .map { case (_, d) =>
+        AuditPartition.manifestEntries(d).map(_._2).sum }
+    (perDir.size, perDir.sum)
+  }
 
   /** Reclaim superseded epoch files and bound the time-travel window.
     * On a PARTITIONED table (`partCol` set) there is no base checkpoint
@@ -1277,7 +1377,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "history", "sync_identity", "restore")
+    Seq("optimize", "vacuum", "history", "sync_identity", "restore",
+      "repartition_table")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -1603,6 +1704,49 @@ private[sources] object GraftProcedures {
               StructField("removed_files", IntegerType, nullable = false),
               StructField("removed_rows", LongType, nullable = false))),
               str(table), version, files, rows)
+          }
+        }
+    }
+
+  def repartitionTable(catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "repartition_table"
+      override def description(): String =
+        "rewrite an audit table into a new PARTITIONED BY layout " +
+          "(staged tree + atomic swap); resets history like a CTAS"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "repartition_table"
+          override def description(): String =
+            repartitionTable(catalog).description()
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("audit table, as <namespace>.<name>").build(),
+            ProcedureParameter.in("spec", StringType)
+              .comment("new partition spec, e.g. 'day' / 'y,m' / " +
+                "'bucket(8,id)'").build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val table = input.getUTF8String(0).toString
+            val spec = input.getUTF8String(1).toString
+            val (path, _, oldPart) = catalog.resolveAuditTableFull(table)
+            val spark = SparkSession.active
+            val full = catalog.name() + "." + table
+            val colMap = catalog.loadTable(
+              org.apache.spark.sql.connector.catalog.Identifier.of(
+                table.split('.').init, table.split('.').last)) match {
+              case a: AuditTable => a.columnMap
+              case _ => Map.empty[String, String]
+            }
+            val (dirs, rows) = AuditMaintenance.repartitionTable(spark,
+              full, path, oldPart, spec, colMap,
+              onSwapped = () => catalog.updatePartitionSpec(table, spec))
+            one(StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("spec", StringType, nullable = false),
+              StructField("directories", IntegerType, nullable = false),
+              StructField("rows", LongType, nullable = false))),
+              str(table), str(spec), dirs, rows)
           }
         }
     }

@@ -825,6 +825,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "sync_identity") =>
         GraftProcedures.syncIdentity(this)
       case (Seq("system"), "restore") => GraftProcedures.restore(this)
+      case (Seq("system"), "repartition_table") =>
+        GraftProcedures.repartitionTable(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")
@@ -892,6 +894,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new IllegalArgumentException(
         s"graft maintenance: $name is not an audit table (${other.name()})")
     }
+  }
+
+  /** Replace the stored `PARTITIONED BY` spec — the metadata half of
+    * `CALL system.repartition_table` (called under the maintenance
+    * lease, AFTER the data-dir swap). Everything else in the metadata
+    * file round-trips unchanged. */
+  private[sources] def updatePartitionSpec(name: String, newSpec: String): Unit = {
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val f = metaFile(ident)
+    require(java.nio.file.Files.exists(f),
+      s"graft catalog: no table $name to update")
+    val meta = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    val schemaJson = meta.substring(meta.lastIndexOf("\"schema\":") + 9,
+      meta.lastIndexOf('}'))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val provider = """"provider":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("audit")
+    val jProps = new java.util.HashMap[String, String]
+    GraftCatalog.parseProps(meta).foreach { case (k, v) => jProps.put(k, v) }
+    writeMeta(ident, provider, schema, jProps, Some(newSpec),
+      GraftCatalog.parseColMap(meta), GraftCatalog.parseRetired(meta),
+      GraftCatalog.parseChecks(meta))
   }
 }
 
@@ -1441,6 +1467,65 @@ object CatalogApi {
       |FROM pulls GROUP BY pull, ep
       |ORDER BY pull, commit_epoch""".stripMargin
   }
+
+  /** PARTITION-SPEC EVOLUTION, oracle-checked: a day-partitioned table
+    * with delta-DML history is rewritten to a region-partitioned layout
+    * by `CALL system.repartition_table` (staged sibling tree + atomic
+    * swap). The result frame proves (pre) the answer captured BEFORE the
+    * call, (post) the same groups re-read from the NEW layout, (prune) a
+    * partition-pruned read on the new column, and (__meta__) the new
+    * directory count and total rows the procedure reported — all
+    * restated by the DuckDB oracle from the generation arithmetic, so a
+    * swap that lost or duplicated a single row hash-fails. */
+  def catalogRepartition(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qrp_wh")
+    spark.conf.set("spark.sql.catalog.graft_qrp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qrp.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qrp.db.r")
+    spark.sql("CREATE TABLE graft_qrp.db.r (id BIGINT, day BIGINT, " +
+      "region BIGINT, v BIGINT) USING audit PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft_qrp.db.r " +
+      "SELECT id, id % 5, id % 3, id * 2 FROM range(300)")
+    spark.sql("UPDATE graft_qrp.db.r SET v = 111 WHERE id % 50 = 7")
+    val groupSql = "SELECT region, count(*) AS n, sum(v) AS sum_v " +
+      "FROM graft_qrp.db.r GROUP BY region"
+    // materialize the PRE answer before the swap (lazy frames would
+    // re-read the new layout and prove nothing)
+    val pre = spark.sql(groupSql).collect().toSeq.map(r =>
+      (s"pre/${r.getLong(0)}", r.getLong(1), r.getLong(2)))
+    val res = spark.sql("CALL graft_qrp.system.repartition_table(" +
+      "table => 'db.r', spec => 'region')").head
+    val meta = Seq(("__meta__", res.getInt(2).toLong, res.getLong(3)))
+    import spark.implicits._
+    (pre ++ meta).toDF("grp", "n", "sum_v")
+      .unionAll(spark.sql(groupSql).select(
+        concat(lit("post/"), col("region").cast("string")).as("grp"),
+        col("n"), col("sum_v")))
+      .unionAll(spark.sql(
+        """SELECT 'prune' AS grp, count(*) AS n, sum(v) AS sum_v
+          |FROM graft_qrp.db.r WHERE region = 1""".stripMargin))
+      .orderBy(col("grp"))
+  }
+
+  val catalogRepartitionSql: String =
+    """WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS region,
+      |         CASE WHEN t.r % 50 = 7 THEN 111 ELSE CAST(t.r AS BIGINT) * 2
+      |         END AS v
+      |  FROM range(300) t(r)),
+      |g AS (
+      |  SELECT region, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      |  FROM src GROUP BY region)
+      |SELECT 'pre/' || CAST(region AS VARCHAR) AS grp, n, sum_v FROM g
+      |UNION ALL
+      |SELECT 'post/' || CAST(region AS VARCHAR), n, sum_v FROM g
+      |UNION ALL
+      |SELECT 'prune', n, sum_v FROM g WHERE region = 1
+      |UNION ALL
+      |SELECT '__meta__', 3, 300
+      |ORDER BY grp""".stripMargin
 
   /** MIXED-HISTORY incremental batch CDC, oracle-checked: a table whose
     * history interleaves streaming epochs, an OCC batch append and
@@ -3248,6 +3333,7 @@ object CatalogApi {
       "q_audit_cdf" -> (auditCdf _),
       "q_cdf_incremental" -> (cdfIncremental _),
       "q_cdf_incremental_mixed" -> (cdfIncrementalMixed _),
+      "q_catalog_repartition" -> (catalogRepartition _),
       "q_audit_partition" -> (auditPartition _),
       "q_audit_spj" -> (auditSpj _),
       "q_audit_optimize" -> (auditOptimize _),
@@ -3282,6 +3368,7 @@ object CatalogApi {
       "q_audit_cdf" -> auditCdfSql,
       "q_cdf_incremental" -> cdfIncrementalSql,
       "q_cdf_incremental_mixed" -> cdfIncrementalMixedSql,
+      "q_catalog_repartition" -> catalogRepartitionSql,
       "q_audit_partition" -> auditPartitionSql,
       "q_audit_spj" -> auditSpjSql,
       "q_audit_optimize" -> auditOptimizeSql,
