@@ -17,7 +17,13 @@ object Bench {
     catch { case _: Throwable => () }
     // deterministic name order so per-query timings are comparable across
     // rounds (Map iteration order would shift as queries are added)
+    // SPARK_GRAFT_ONLY=q_a,q_b: time a subset (fast A/B loops); the
+    // full-artifact write below is skipped for filtered runs so a probe
+    // can never clobber the round's BENCH_full_last.json
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeAll(): Seq[(String, Double, Boolean)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column; a plain df.count()
@@ -51,7 +57,7 @@ object Bench {
     // context are uninterpretable — so ALWAYS persist the full per-query
     // JSON plus /proc/loadavg next to the repo (BENCH_full_last.json),
     // where a round snapshot commits it alongside the driver's artifact.
-    try {
+    if (only.isEmpty) try {
       val load =
         try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/loadavg")).trim

@@ -62,6 +62,7 @@ object ScaleSmoke {
       case "gen" => gen(spark, src, dst)
       case "run" => run(spark, src, dst,
         if (args.length > 1) args.drop(1).toSeq else HeavyTail)
+      case "audit" => auditScale(spark)
       case other => sys.error(s"ScaleSmoke: unknown mode $other")
     }
     spark.stop()
@@ -160,5 +161,96 @@ object ScaleSmoke {
       catch { case _: Throwable => "unavailable" }
     println(s"""{"metric":"scale_smoke","queries":${results.size},""" +
       s""""failed":${results.count(!_._5)},"loadavg":"$load"}""")
+  }
+
+  /** Audit-format scale smoke (rounds 11-14 surface): the partitioned
+    * DML / CDC / identity / z-order paths build their own fixtures, so
+    * the sf-dir harness above cannot scale them — this one measures each
+    * PATH at two table volumes (10×) and prints the same exponent lines.
+    * The contract each number checks: partitioned batch insert, identity
+    * allocation, CDC pull and z-order OPTIMIZE are linear in the table;
+    * delta UPDATE is linear in the CHANGED rows (grown 10× alongside). */
+  def auditScale(spark: SparkSession): Unit = {
+    import graft.sources.GraftCatalog
+    val sizes = Seq(100000L, 1000000L)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def freshCat(tag: String, n: Long): String = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_scale_$tag$n")
+      val cat = s"graft_scale_${tag}_$n"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      cat
+    }
+    // each scenario: (name, per-size prep, per-size measured action)
+    type Prep = (String, Long) => Unit
+    type Act = (String, Long) => Unit
+    val mkPart: Prep = (cat, _) => spark.sql(
+      s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT, v BIGINT) " +
+        "USING audit PARTITIONED BY (flag)")
+    val fill: Prep = (cat, n) => spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id, id % 6, id * 3 FROM range($n)")
+    val scenarios: Seq[(String, Prep, Act)] = Seq(
+      ("audit_part_insert", mkPart,
+        (cat, n) => fill(cat, n)),
+      ("audit_part_update", (cat, n) => { mkPart(cat, n); fill(cat, n) },
+        // delta DML: changed rows grow 10× with the table — linear in
+        // CHANGES is the contract (never O(table))
+        (cat, _) => spark.sql(
+          s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")),
+      ("audit_part_cdc_pull", (cat, n) => {
+        mkPart(cat, n); fill(cat, n)
+        spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")
+      }, (cat, n) => {
+        val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+        val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("flag",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+        spark.read.schema(cdfSchema)
+          .format(classOf[graft.sources.JsonAuditSink].getName)
+          .option("path", s"$wh/db/t").option("partitionby", "flag")
+          .option("changeFeed", "true").load()
+          .groupBy(col("_change_type")).count()
+          .queryExecution.toRdd.count()
+      }),
+      ("audit_identity_insert", (cat, _) => spark.sql(
+        s"""CREATE TABLE $cat.db.t (
+           |  sk BIGINT GENERATED ALWAYS AS IDENTITY,
+           |  id BIGINT, v BIGINT) USING audit""".stripMargin),
+        (cat, n) => spark.sql(
+          s"INSERT INTO $cat.db.t (id, v) SELECT id, id * 3 FROM range($n)")),
+      ("audit_part_zorder", (cat, n) => { mkPart(cat, n); fill(cat, n) },
+        (cat, _) => spark.sql(s"CALL $cat.system.optimize(" +
+          "table => 'db.t', target_file_count => 8, zorder_by => 'id,v')")))
+    // untimed warm-up at a token size: the first traversal of each path
+    // pays classloading + codegen that would otherwise masquerade as the
+    // small-size cost (observed 3-25× inflation on the first run)
+    scenarios.foreach { case (name, prep, act) =>
+      val cat = freshCat("w" + name.replaceAll("[^a-z]", ""), 3000L)
+      prep(cat, 3000L); act(cat, 3000L)
+    }
+    val results = scenarios.map { case (name, prep, act) =>
+      val ts = sizes.map { n =>
+        val cat = freshCat(name.replaceAll("[^a-z]", ""), n)
+        prep(cat, n)
+        timed(act(cat, n))
+      }
+      val exp = math.log10(ts(1) / ts(0))
+      println(f"""{"query":"$name","n100k":${ts(0)}%.2f,"n1m":${ts(1)}%.2f,"exp":$exp%.2f}""")
+      (name, exp)
+    }
+    val load =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "unavailable" }
+    println(s"""{"metric":"audit_scale_smoke","paths":${results.size},""" +
+      s""""loadavg":"$load"}""")
   }
 }

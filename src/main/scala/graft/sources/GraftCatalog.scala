@@ -147,6 +147,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
         val path = dataDir(ident).toString
+        // mirror generation/identity specs into `graft.*` metadata keys
+        // that survive Spark's v2-column round trip — `spark.table(...)
+        // .schema` would otherwise show plain columns (Spark moves its
+        // own spec keys into Column attributes and strips them)
+        val schemaM = GraftCatalog.withSpecMirror(schema)
         asOfMillis match {
           case Some(ms) =>
             // partitioned dirs hold per-directory manifests for STREAMING
@@ -172,14 +177,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (partCol.isEmpty && AuditScan.isMixed(path))
               // mixed table: commit-time pin across epochs, txn appends
               // and delete vectors (AuditScan.planTimePinned)
-              new AuditTable(path, schema, None, partCol, colMap, checks,
+              new AuditTable(path, schemaM, None, partCol, colMap, checks,
                 pinnedMillis = Some(ms))
             else
               // pure-streaming: epoch pin (works through base checkpoints)
-              new AuditTable(path, schema,
+              new AuditTable(path, schemaM,
                 Some(AuditScan.epochAt(path, ms)), partCol, colMap, checks)
           case None =>
-            new AuditTable(path, schema, version, partCol, colMap, checks)
+            new AuditTable(path, schemaM, version, partCol, colMap, checks)
         }
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")
@@ -940,6 +945,35 @@ final case class GraftView(viewName: String, sql: String, catalog: String,
 }
 
 object GraftCatalog {
+  /** Mirror generation/identity specs into engine-namespaced metadata
+    * keys (`graft.generated_always_as`, `graft.identity.*`) that SURVIVE
+    * Spark's v2-column round trip: Spark moves its own spec keys into
+    * `Column.generationExpression()` / `identityColumnSpec()` and strips
+    * them from field metadata, so `spark.table(...).schema` showed a
+    * plain column. Unknown keys pass through untouched — a user can
+    * introspect the specs straight off the relation schema. Applied at
+    * LOAD time only; the stored schema keeps Spark's canonical keys. */
+  private[sources] def withSpecMirror(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val gen = org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f)
+      val id = org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(f)
+      if (gen.isEmpty && id.isEmpty) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        gen.foreach(b.putString("graft.generated_always_as", _))
+        id.foreach { sp =>
+          b.putLong("graft.identity.start", sp.getStart)
+          b.putLong("graft.identity.step", sp.getStep)
+          b.putBoolean("graft.identity.allow_explicit_insert",
+            sp.isAllowExplicitInsert)
+        }
+        f.copy(metadata = b.build())
+      }
+    })
+
   /** PARTITIONED BY validation: at most ONE transform — `identity(col)`
     * (Hive-style value directories) or `bucket(n, col)` (hash-bucket
     * directories; SPJ-eligible because the catalog's FunctionCatalog
@@ -2181,24 +2215,30 @@ object CatalogApi {
       """CREATE TABLE graft_qpt.db.ptail (id BIGINT, flag BIGINT, dur BIGINT)
         |USING audit PARTITIONED BY (flag)""".stripMargin)
     val wckpt = java.nio.file.Files.createTempDirectory("graft_qpt_wckpt")
-    val w = spark.readStream.format(classOf[PagedSource].getName)
-      .option("pages", "4").option("pageSize", "100")
-      .option("pagesPerTrigger", "1")
-      .load()
-      .select(col("id"), (col("id") % 3).as("flag"),
-        col("duration_ms").as("dur"))
-      .writeStream
-      .option("checkpointLocation", wckpt.toString)
-      .outputMode("append").toTable("graft_qpt.db.ptail")
-    try w.processAllAvailable() finally w.stop()
     spark.catalog.dropTempView("graft_qpt_mem")
+    // SUBSCRIBE FIRST, then write: the two streaming lifecycles overlap
+    // instead of running back to back (this query's cost is fixed
+    // choreography, not data volume — see BENCH notes), and the tail
+    // proving multi-epoch resolution needs only two writer epochs
     val tail = spark.readStream.table("graft_qpt.db.ptail")
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"), sum(col("dur")).as("sum_dur"),
         min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
     val q = tail.writeStream.outputMode("complete")
       .format("memory").queryName("graft_qpt_mem").start()
-    try q.processAllAvailable() finally q.stop()
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "4").option("pageSize", "100")
+      .option("pagesPerTrigger", "2")
+      .load()
+      .select(col("id"), (col("id") % 3).as("flag"),
+        col("duration_ms").as("dur"))
+      .writeStream
+      .option("checkpointLocation", wckpt.toString)
+      .outputMode("append").toTable("graft_qpt.db.ptail")
+    try {
+      try w.processAllAvailable() finally w.stop()
+      q.processAllAvailable()
+    } finally q.stop()
     spark.table("graft_qpt_mem").orderBy("flag")
   }
 

@@ -181,6 +181,27 @@ class GeneratedColumnSpec extends AnyFunSuite {
       .head.getLong(0) === before("a7"))
   }
 
+  test("spark.table() surfaces generation/identity specs in field metadata") {
+    val (cat, _) = freshCat("meta")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.m (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10
+         |    INCREMENT BY 5),
+         |  c BIGINT,
+         |  twice BIGINT GENERATED ALWAYS AS (c * 2)) USING audit""".stripMargin)
+    // Spark strips its own spec keys into Column attributes — the
+    // graft.* mirror keys survive onto the relation schema, so a user
+    // can introspect the specs without the catalog escape hatch
+    val fields = spark.table(s"$cat.db.m").schema.fields
+      .map(f => (f.name, f.metadata)).toMap
+    assert(fields("id").getLong("graft.identity.start") === 10L)
+    assert(fields("id").getLong("graft.identity.step") === 5L)
+    assert(!fields("id").getBoolean("graft.identity.allow_explicit_insert"))
+    assert(fields("twice").getString("graft.generated_always_as")
+      .contains("c * 2"))
+    assert(!fields("c").contains("graft.generated_always_as"))
+  }
+
   test("GENERATED BY DEFAULT identity allows UPDATE assignments") {
     val (cat, _) = freshCat("bydefupd")
     spark.sql(
