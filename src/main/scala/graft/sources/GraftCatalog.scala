@@ -167,16 +167,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                       AuditDeletes.count(d.toString) > 0)
                 }
             }
-            if (partMixed)
-              throw new IllegalArgumentException(
-                s"audit TIMESTAMP AS OF: partitioned table $ident has " +
-                  "batch-append/DML history, which commit-time travel " +
-                  "does not yet resolve on partitioned layouts — use " +
-                  "VERSION AS OF (refusing rather than silently " +
-                  "excluding those vintages)")
-            if (partCol.isEmpty && AuditScan.isMixed(path))
-              // mixed table: commit-time pin across epochs, txn appends
-              // and delete vectors (AuditScan.planTimePinned)
+            if (partMixed || (partCol.isEmpty && AuditScan.isMixed(path)))
+              // mixed table (either layout): commit-time pin across
+              // epochs, txn appends and delete vectors
+              // (AuditScan.planTimePinned / planTimePinnedPartitioned)
               new AuditTable(path, schemaM, None, partCol, colMap, checks,
                 pinnedMillis = Some(ms))
             else

@@ -582,31 +582,16 @@ final class AuditTable(path: String, writeSchema: StructType,
       // delta DML) a delete event; the tail fails loudly on manifest
       // shrink, consumed-entry row drift, or a vanished directory.
       // startingEpoch: incremental batch CDC — plan only epochs >= e.
-      // startingTimestamp (millis): the COMMIT-TIME axis. Unpartitioned
-      // tables resolve it natively across all three logs (epochs, txn
-      // appends, delete vectors — mixed histories pull exactly once);
-      // partitioned tables resolve it to an epoch bound, refusing
-      // un-epoch'd history exactly like startingEpoch.
+      // startingTimestamp (millis): the COMMIT-TIME axis, resolved
+      // natively across all three logs on BOTH layouts (epochs, txn
+      // appends, delete vectors each filter by their recorded commit
+      // time — mixed histories pull each event exactly once).
       val startTs = Option(options.get("startingTimestamp")).map(_.toLong)
       val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
-        .orElse(if (partLevels.isEmpty) None else startTs.map { cut =>
-          val stamped = AuditScan.epochTimestamps(path)
-          stamped.collect { case (e, ts) if ts >= cut => e }
-            .minOption.getOrElse(
-              // nothing at-or-after: start past the head (empty pull),
-              // unless the table has epochs with NO recorded time —
-              // then "since <instant>" is unanswerable, stay loud
-              if (AuditScan.committedEpochs(path).size == stamped.size)
-                AuditScan.committedEpochs(path).lastOption.map(_ + 1L)
-                  .getOrElse(0L)
-              else throw new IllegalArgumentException(
-                s"audit changeFeed startingTimestamp: $path has epochs " +
-                  "without recorded commit times (pre-ts history) — " +
-                  "use startingEpoch"))
-        })
       if (partLevels.nonEmpty)
         return new AuditPartitionedCdfScan(path, writeSchema, partLevels,
-          AuditNameMap.toStorage(writeSchema, colMap), startEpoch)
+          AuditNameMap.toStorage(writeSchema, colMap), startEpoch,
+          startMillis = if (startEpoch.isDefined) None else startTs)
       else
         return new AuditCdfScan(path, writeSchema,
           AuditNameMap.toStorage(writeSchema, colMap), startEpoch,
@@ -1483,15 +1468,65 @@ final class AuditScan(path: String, writeSchema: StructType,
     * be placed on the commit-time axis (pre-commit-time vintages,
     * VACUUM-folded vectors, a base checkpoint): silently excluding a
     * vintage would misanswer the audit question the feature exists for. */
-  private def planTimePinned(t: Long): Array[InputPartition] = {
-    require(partLevels.isEmpty,
-      "audit TIMESTAMP AS OF: commit-time travel is not supported on " +
-        "partitioned mixed tables — use VERSION AS OF")
-    val dir = java.nio.file.Paths.get(path)
-    def refuse(what: String): Nothing = throw new IllegalArgumentException(
+  /** Shared time-pin refusal: history that cannot be placed on the
+    * commit-time axis fails loudly rather than silently excluding. */
+  private def timePinRefuse(what: String): Nothing =
+    throw new IllegalArgumentException(
       s"audit TIMESTAMP AS OF: $what at $path — this history cannot be " +
         "placed on the commit-time axis, and a time-travel read refuses " +
         "rather than silently excluding vintages")
+
+  /** PARTITIONED mixed-table TIMESTAMP AS OF: the same three-axis
+    * resolution as [[planTimePinned]], applied per partition directory
+    * (per-dir manifests carry batch commit times, per-dir vector logs
+    * carry DML commit times, the root `_EPOCHS` log carries epoch
+    * times). Composes with static partition pruning (survivingDirs)
+    * and the per-directory zone maps. */
+  private def planTimePinnedPartitioned(t: Long): Array[InputPartition] = {
+    val stamped = AuditScan.epochTimestamps(path)
+    val unstamped = AuditScan.committedEpochs(path)
+      .filterNot(stamped.contains)
+    if (unstamped.nonEmpty)
+      timePinRefuse(s"epoch(s) ${unstamped.take(3).mkString(", ")} carry " +
+        "no commit time (pre-upgrade history)")
+    survivingDirs.map { case (relDir, dir) =>
+      val dirStats =
+        if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
+        else Map.empty[String, AuditStats.FileStats]
+      val entries = AuditBase.readManifest(dir.toString)
+        .filterNot(_.folded)
+      entries.foreach { e =>
+        if (AuditScan.epochOf(e.file).isEmpty && e.ts.isEmpty)
+          timePinRefuse(s"batch append ${e.file} in partition $relDir " +
+            "carries no commit time (pre-upgrade history)")
+      }
+      val vecs = AuditDeletes.entriesWithTs(dir.toString)
+      if (AuditDeletes.foldedRows(dir.toString) > 0)
+        timePinRefuse(s"partition $relDir has VACUUM-folded delete " +
+          "vectors — pre-fold deleted rows are physically gone")
+      if (vecs.exists(_._3.isEmpty))
+        timePinRefuse(s"delete vector(s) in partition $relDir carry no " +
+          "commit time (pre-upgrade history)")
+      def visibleAt(e: AuditBase.ManifestEntry): Boolean =
+        AuditScan.epochOf(e.file) match {
+          case Some(ep) => stamped.get(ep).exists(_ <= t)
+          case None     => e.ts.exists(_ <= t)
+        }
+      val files = entries.filter(visibleAt).map(_.file)
+        .filterNot(f => dirStats.get(f).exists(
+          AuditStats.canSkip(_, skipFilters, statableCols, strCols)))
+        .map(f => dir.resolve(f).toString)
+      val dirVectors = vecs
+        .collect { case (f, pp, Some(ts)) if ts <= t => (f, pp) }
+        .groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
+      AuditDirPartition(files, relDir, partLevels,
+        vectors = dirVectors): InputPartition
+    }.toArray
+  }
+
+  private def planTimePinned(t: Long): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    def refuse(what: String): Nothing = timePinRefuse(what)
     if (AuditBase.read(path).nonEmpty)
       refuse("the table is compacted (OPTIMIZE base checkpoint)")
     val stamped = AuditScan.epochTimestamps(path)
@@ -1531,7 +1566,8 @@ final class AuditScan(path: String, writeSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     asOfMillis match {
-      case Some(t) => return planTimePinned(t)
+      case Some(t) if partLevels.isEmpty  => return planTimePinned(t)
+      case Some(t) => return planTimePinnedPartitioned(t)
       case None    => ()
     }
     if (partLevels.nonEmpty) {
@@ -2104,7 +2140,8 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
   * history. */
 final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
     partLevels: Seq[AuditPartition.Level], parseSchema0: StructType = null,
-    startEpoch: Option[Long] = None)
+    startEpoch: Option[Long] = None,
+    startMillis: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
@@ -2119,7 +2156,15 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
   override def description(): String =
     s"AuditPartitionedCdfScan $path (change feed)"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val epochTs = AuditScan.epochTimestamps(path)
+    startMillis.foreach { _ =>
+      val unstamped = AuditScan.committedEpochs(path)
+        .filterNot(epochTs.contains)
+      require(unstamped.isEmpty,
+        s"audit changeFeed startingTimestamp: $path has epochs without " +
+          "recorded commit times (pre-upgrade history)")
+    }
     AuditPartition.listDirs(path, partLevels).flatMap { case (relDir, pdir) =>
       // startingEpoch (incremental batch CDC): only epoch-stamped
       // entries >= e; un-epoch'd events refuse (see AuditCdfScan)
@@ -2127,27 +2172,56 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
         require(AuditPartition.manifestEntries(pdir).forall {
           case (f, _) => AuditScan.epochOf(f).isDefined },
           s"audit changeFeed startingEpoch: partition $relDir of $path " +
-            "has batch txn appends, which carry no epoch; use the " +
-            "streaming change feed")
+            "has batch txn appends, which carry no epoch; use " +
+            "startingTimestamp (commit-time axis) or the streaming " +
+            "change feed")
         require(AuditDeletes.entries(pdir.toString).isEmpty &&
           AuditDeletes.foldedRows(pdir.toString) == 0L,
           s"audit changeFeed startingEpoch: partition $relDir of $path " +
             "has delta-DML delete vectors, which carry no epoch; use " +
-            "the streaming change feed")
+            "startingTimestamp (commit-time axis) or the streaming " +
+            "change feed")
       }
-      AuditPartition.manifestEntries(pdir).filter { case (f, _) =>
-        startEpoch.forall(e => AuditScan.epochOf(f).exists(_ >= e))
-      }.map { case (f, _) =>
-        AuditCdfPartition(pdir.resolve(f).toString,
-          AuditScan.epochOf(f), None,
-          relName = Some(s"$relDir/$f")): InputPartition
-      } ++ AuditDeletes.entries(pdir.toString).groupBy(_._1).toSeq
-        .sortBy(_._1).map { case (f, ps) =>
-          AuditCdfPartition(pdir.resolve(f).toString, None,
-            Some(ps.map(_._2).sorted),
-            relName = Some(s"$relDir/$f")): InputPartition
-        }
+      val entries = AuditBase.readManifest(pdir.toString).filterNot(_.folded)
+      startMillis.foreach { _ =>
+        entries.foreach(e => require(
+          AuditScan.epochOf(e.file).isDefined || e.ts.isDefined,
+          s"audit changeFeed startingTimestamp: batch append ${e.file} " +
+            s"in partition $relDir carries no commit time (pre-upgrade " +
+            "history); use the streaming change feed"))
+        require(AuditDeletes.foldedRows(pdir.toString) == 0L,
+          s"audit changeFeed startingTimestamp: partition $relDir has " +
+            "VACUUM-folded delete vectors — their commit side is unknown")
+      }
+      def entryTs(e: AuditBase.ManifestEntry): Option[Long] =
+        AuditScan.epochOf(e.file).flatMap(epochTs.get).orElse(e.ts)
+      entries.filter { e =>
+        startEpoch.forall(se => AuditScan.epochOf(e.file).exists(_ >= se)) &&
+          startMillis.forall(t => entryTs(e).exists(_ >= t))
+      }.map { e =>
+        AuditCdfPartition(pdir.resolve(e.file).toString,
+          AuditScan.epochOf(e.file), None,
+          relName = Some(s"$relDir/${e.file}"),
+          commitTs = entryTs(e)): InputPartition
+      } ++ {
+        val vecs = AuditDeletes.entriesWithTs(pdir.toString)
+        startMillis.foreach(_ => require(vecs.forall(_._3.isDefined),
+          s"audit changeFeed startingTimestamp: delete vector(s) in " +
+            s"partition $relDir carry no commit time (pre-upgrade " +
+            "history); use the streaming change feed"))
+        vecs.filter { case (_, _, ts) =>
+          startMillis.forall(t => ts.exists(_ >= t)) && startEpoch.isEmpty
+        }.groupBy(d => (d._1, d._3)).toSeq
+          .sortBy { case ((f, ts), _) => (f, ts.getOrElse(Long.MinValue)) }
+          .map { case ((f, ts), ps) =>
+            AuditCdfPartition(pdir.resolve(f).toString, None,
+              Some(ps.map(_._2).sorted),
+              relName = Some(s"$relDir/$f"),
+              commitTs = ts): InputPartition
+          }
+      }
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AuditCdfReaderFactory(parseSchema)

@@ -84,16 +84,71 @@ class AuditTravelMixedSpec extends AnyFunSuite {
     val _ = wh
   }
 
-  test("partitioned tables with batch history refuse commit-time travel") {
-    val (cat, _) = freshCat("part")
-    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, flag BIGINT) " +
+  test("partitioned mixed tables resolve commit-time travel per directory") {
+    val (cat, wh) = freshCat("part")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, flag BIGINT, v BIGINT) " +
       "USING audit PARTITIONED BY (flag)")
-    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id % 3 FROM range(90)")
-    val ex = intercept[Exception](spark.sql(
-      s"SELECT count(*) FROM $cat.db.p " +
-        s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()})")
-      .collect())
-    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id % 3, id FROM range(90)")
+    Thread.sleep(5)
+    val path = wh.resolve("db/p").toString
+    val t1 = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .flatMap { case (_, d) => AuditBase.readManifest(d.toString)
+        .flatMap(_.ts) }.max
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id + 500, id % 3, id " +
+      "FROM range(30)")
+    // partitioned delta DML after the pinned instant (vectors + moves)
+    spark.sql(s"UPDATE $cat.db.p SET v = 999 WHERE id % 30 = 7 AND id < 90")
+    assert(spark.table(s"$cat.db.p").count() === 120L)
+    // the instant between the appends sees only the first
+    val pinned = spark.sql(s"SELECT count(*) AS n, sum(v) AS s " +
+      s"FROM $cat.db.p TIMESTAMP AS OF timestamp_millis($t1)").head
+    assert(pinned.getLong(0) === 90L && pinned.getLong(1) === (0L until 90L).sum)
+    // composes with static partition pruning
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p " +
+      s"TIMESTAMP AS OF timestamp_millis($t1) WHERE flag = 1")
+      .head.getLong(0) === 30L)
+  }
+
+  test("partitioned mixed tables pull startingTimestamp CDC per directory") {
+    val (cat, wh) = freshCat("pcdc")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, flag BIGINT, v BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id % 3, id FROM range(90)")
+    Thread.sleep(5)
+    val path = wh.resolve("db/p").toString
+    val t1 = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .flatMap { case (_, d) => AuditBase.readManifest(d.toString)
+        .flatMap(_.ts) }.max + 1
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id + 500, id % 3, id " +
+      "FROM range(30)")
+    spark.sql(s"UPDATE $cat.db.p SET v = 999 WHERE id % 30 = 7 AND id < 90")
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.LongType)))
+    val pull = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("partitionby", "flag")
+      .option("changeFeed", "true")
+      .option("startingTimestamp", t1.toString).load()
+    val byType = pull.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the pull sees ONLY the second append (30 inserts), the UPDATE's
+    // replacements (ids 7,37,67 → 3 inserts) and its 3 deletes — the
+    // first append's 90 rows are before the window, exactly once each
+    assert(byType === Map("insert" -> 33L, "delete" -> 3L), byType.toString)
+    // every event carries its commit ts (the puller's checkpoint)
+    assert(pull.where(org.apache.spark.sql.functions
+      .col("_commit_ts").isNull).count() === 0L)
   }
 
   test("pre-commit-time batch history (no ts) refuses, not excludes") {
