@@ -151,7 +151,8 @@ private[sources] object AuditBase {
   // `,"ts":millis` is optional: pre-round-15 lines carry no commit time
   private val LiveRe =
     """\{"file":"([^"]+)","rows":(\d+)(?:,"ts":(\d+))?\}""".r
-  private val FoldedRe = """\{"folded":"([^"]+)","origrows":(\d+)\}""".r
+  private val FoldedRe =
+    """\{"folded":"([^"]+)","origrows":(\d+)(?:,"ts":(\d+))?\}""".r
 
   // --- OCC append commit log (_TXN) ---------------------------------------
   // Concurrent batch appends commit OPTIMISTICALLY: each commit's entries
@@ -240,7 +241,8 @@ private[sources] object AuditBase {
         lines.drop(1).collect {
           case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
             folded = false, ts = Option(ts).map(_.toLong))
-          case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
+          case FoldedRe(n, r, ts) => ManifestEntry(n, r.toLong,
+            folded = true, ts = Option(ts).map(_.toLong))
         } ++ txns.filter(_.v > floor).flatMap(_.entries)
     }
   }
@@ -331,7 +333,8 @@ private[sources] object AuditBase {
       case Some(lines) => (floorOf(lines.head), lines.drop(1).collect {
         case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
           folded = false, ts = Option(ts).map(_.toLong))
-        case FoldedRe(n, r) => ManifestEntry(n, r.toLong, folded = true)
+        case FoldedRe(n, r, ts) => ManifestEntry(n, r.toLong,
+          folded = true, ts = Option(ts).map(_.toLong))
       }.toSeq)
     }
     val live = txns.filter(_.v > floor)
@@ -375,7 +378,9 @@ private[sources] object AuditBase {
         entries.map {
           case ManifestEntry(n, r, false, ts) => s"""{"file":"$n","rows":$r""" +
             ts.map(t => s""","ts":$t""").getOrElse("") + "}"
-          case ManifestEntry(n, r, true, _) => s"""{"folded":"$n","origrows":$r}"""
+          case ManifestEntry(n, r, true, ts) =>
+            s"""{"folded":"$n","origrows":$r""" +
+              ts.map(t => s""","ts":$t""").getOrElse("") + "}"
         }).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

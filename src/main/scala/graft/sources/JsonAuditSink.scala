@@ -1527,15 +1527,15 @@ final class AuditScan(path: String, writeSchema: StructType,
   private def planTimePinned(t: Long): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     def refuse(what: String): Nothing = timePinRefuse(what)
-    if (AuditBase.read(path).nonEmpty)
-      refuse("the table is compacted (OPTIMIZE base checkpoint)")
+    val base = AuditBase.read(path)
     val stamped = AuditScan.epochTimestamps(path)
     val unstamped = AuditScan.committedEpochs(path)
       .filterNot(stamped.contains)
     if (unstamped.nonEmpty)
       refuse(s"epoch(s) ${unstamped.take(3).mkString(", ")} carry no " +
         "commit time (pre-upgrade history)")
-    val manifest = AuditBase.readManifest(path).filterNot(_.folded)
+    val allEntries = AuditBase.readManifest(path)
+    val manifest = allEntries.filterNot(_.folded)
     if (manifest.exists(_.ts.isEmpty))
       refuse("batch append(s) carry no commit time (pre-upgrade history)")
     val vecs = AuditDeletes.entriesWithTs(path)
@@ -1544,12 +1544,30 @@ final class AuditScan(path: String, writeSchema: StructType,
         "rows are physically gone")
     if (vecs.exists(_._3.isEmpty))
       refuse("delete vector(s) carry no commit time (pre-upgrade history)")
-    val minTs = (stamped.values ++ manifest.flatMap(_.ts)).minOption
-    if (minTs.forall(_ > t))
+    // VACUUM expiry bound for time pins: expired epochs carry no ts, so
+    // the cut must sit AT or AFTER the earliest retained epoch's commit
+    // — inside the window every expired-origin row is provably visible
+    base.filter(_.expiredThrough >= 0L).foreach { b =>
+      val earliestRetained = AuditScan.committedEpochs(path)
+        .filter(_ > b.expiredThrough).minOption.flatMap(stamped.get)
+      if (earliestRetained.forall(_ > t))
+        throw new IllegalArgumentException(
+          s"audit TIMESTAMP AS OF: $t ms at $path is expired — VACUUM " +
+            s"retained only epochs > ${b.expiredThrough}" +
+            earliestRetained.fold("")(e =>
+              s" (earliest retained commit: $e ms)"))
+    }
+    // loud before-first-commit (folded entries count — their retained ts
+    // IS the vintage); with expired epochs the retention bound above
+    // already established t is inside the window
+    val minTs = (stamped.values ++ allEntries.flatMap(_.ts)).minOption
+    if (base.forall(_.expiredThrough < 0L) && minTs.forall(_ > t))
       throw new IllegalArgumentException(
         s"audit TIMESTAMP AS OF: no commit at or before $t ms at $path" +
           minTs.fold("")(m => s" (earliest timestamped commit: $m)"))
-    val wanted = stamped.collect { case (e, ts) if ts <= t => e }.toSet
+    val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
+    val wanted = stamped.collect {
+      case (e, ts) if ts <= t && e > baseThrough => e }.toSet
     val epochFiles = AuditScan.epochFiles(path, wanted)
       .map { case (f, e) => (f, Some(e)) }
     val batchFiles = manifest.collect {
@@ -1557,11 +1575,28 @@ final class AuditScan(path: String, writeSchema: StructType,
     val vectors: Map[String, Set[Long]] =
       vecs.collect { case (f, p, Some(ts)) if ts <= t => (f, p) }
         .groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
-    (batchFiles ++ epochFiles).collect {
+    // COMPACTED history resolves from the base by ORIGIN: a base row is
+    // visible iff its origin vintage was committed at or before the cut
+    // (folded manifest tombstones retain batch commit times; epoch
+    // times come from the log; expired epochs are inside the window by
+    // the bound above). Origin-keyed vectors apply time-filtered.
+    val foldedTs: Map[String, Long] = allEntries.collect {
+      case e if e.folded && e.ts.isDefined => (e.file, e.ts.get) }.toMap
+    val baseParts: Seq[InputPartition] = base.toSeq.flatMap { b =>
+      b.files.collect { case (f, _) if !skippable(f) =>
+        AuditBasePartition(dir.resolve(f).toString,
+          vectors = vectors,
+          originTsCut = Some(t),
+          epochTs = stamped,
+          fileTs = foldedTs,
+          expiredThrough = b.expiredThrough): InputPartition
+      }
+    }
+    (baseParts ++ (batchFiles ++ epochFiles).collect {
       case (f, e) if !skippable(f) =>
         AuditFilePartition(dir.resolve(f).toString, e,
           vectors.getOrElse(f, Set.empty).toSeq.sorted): InputPartition
-    }.toArray
+    }).toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1889,7 +1924,17 @@ final case class AuditBasePartition(file: String,
     epochFilter: Option[Set[Long]] = None,
     maxEpoch: Option[Long] = None,
     epochOriginOnly: Boolean = false,
-    vectors: Map[String, Set[Long]] = Map.empty)
+    vectors: Map[String, Set[Long]] = Map.empty,
+    // COMMIT-TIME pin: a row is kept iff its ORIGIN was committed at or
+    // before the cut — epoch origins via epochTs (expired epochs are
+    // always visible: the plan-time bound guarantees the cut is inside
+    // the retention window), batch origins via fileTs (the folded
+    // manifest tombstones retain each entry's commit ts). A missing
+    // lookup throws loudly — never a silent exclusion.
+    originTsCut: Option[Long] = None,
+    epochTs: Map[Long, Long] = Map.empty,
+    fileTs: Map[String, Long] = Map.empty,
+    expiredThrough: Long = -1L)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** One LEAF partition DIRECTORY of a partitioned audit table;
@@ -2100,9 +2145,14 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
       if (unstampedE.nonEmpty)
         refuse("epoch(s) carry no commit time (pre-upgrade history)")
       val manifest = AuditBase.readManifest(path)
-      if (manifest.exists(_.folded))
-        refuse("batch history was folded into a base checkpoint (OPTIMIZE)")
-      if (manifest.exists(_.ts.isEmpty))
+      // folded (base-checkpointed) entries BEFORE the window are simply
+      // outside the pull; a fold inside it (or of unknown time) would
+      // need base-origin resolution, whose events carry no _commit_ts —
+      // refuse those rather than break the max+1 checkpoint contract
+      if (manifest.exists(e => e.folded && e.ts.forall(_ >= t)))
+        refuse("batch history inside the pull window was folded into a " +
+          "base checkpoint (OPTIMIZE)")
+      if (manifest.exists(e => !e.folded && e.ts.isEmpty))
         refuse("batch append(s) carry no commit time (pre-upgrade history)")
       val vecs = AuditDeletes.entriesWithTs(path)
       if (AuditDeletes.foldedRows(path) > 0)
@@ -2111,7 +2161,7 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
         refuse("delete vector(s) carry no commit time (pre-upgrade history)")
       AuditCdf.partitionsFor(path,
         stamped.collect { case (e, ts) if ts >= t => e }.toSeq.sorted,
-        manifest.filter(_.ts.exists(_ >= t)),
+        manifest.filter(e => !e.folded && e.ts.exists(_ >= t)),
         vecs.filter(_._3.exists(_ >= t)),
         epochTs = stamped)
   }
@@ -2830,10 +2880,24 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
             if (full.isNullAt(n)) null else Long.box(full.getLong(n))
           val of = full.getUTF8String(n + 1)
           val op = full.getLong(n + 2)
+          def visibleAtCut(cut: Long): Boolean =
+            if (oe != null) {
+              if (oe <= p.expiredThrough) true
+              else p.epochTs.get(oe).map(_ <= cut).getOrElse(
+                throw new IllegalArgumentException(
+                  s"audit TIMESTAMP AS OF: base row origin epoch $oe " +
+                    "carries no commit time (pre-upgrade history) — " +
+                    "refusing rather than silently excluding"))
+            } else p.fileTs.get(of.toString).map(_ <= cut).getOrElse(
+              throw new IllegalArgumentException(
+                s"audit TIMESTAMP AS OF: base row origin file $of " +
+                  "carries no commit time (pre-upgrade fold) — " +
+                  "refusing rather than silently excluding"))
           val keep =
             p.epochFilter.forall(s => oe != null && s.contains(oe)) &&
               p.maxEpoch.forall(v => oe != null && oe <= v) &&
               (!p.epochOriginOnly || oe != null) &&
+              p.originTsCut.forall(visibleAtCut) &&
               !p.vectors.get(of.toString).exists(_.contains(op))
           if (keep) {
             val vals = new Array[Any](srcIdx.length)

@@ -69,19 +69,39 @@ class AuditTravelMixedSpec extends AnyFunSuite {
       73 + 83 + 93) + 10 * 999)
   }
 
-  test("a compacted mixed table refuses commit-time travel loudly") {
+  test("a compacted mixed table resolves commit-time travel by origin") {
     val (cat, wh) = freshCat("base")
-    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING audit")
-    spark.sql(s"INSERT INTO $cat.db.t SELECT id FROM range(100)")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
     Thread.sleep(5)
-    val t = System.currentTimeMillis()
+    val path = wh.resolve("db/t").toString
+    val tA = AuditBase.readManifest(path).flatMap(_.ts).max
+    Thread.sleep(5)
+    spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 10 = 3")
+    Thread.sleep(5)
+    val tU = System.currentTimeMillis()
+    // compact: batch entries (the original insert AND the UPDATE's
+    // replacement file) fold into the base — their commit times survive
+    // in the folded manifest tombstones; vectors stay, keyed by origin
     spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
-      "target_file_count => 1)")
-    val ex = intercept[Exception](spark.sql(
-      s"SELECT count(*) FROM $cat.db.t " +
-        s"TIMESTAMP AS OF timestamp_millis($t)").collect())
-    assert(ex.getMessage.contains("compacted"), ex.getMessage)
-    val _ = wh
+      "target_file_count => 2)")
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 500, id FROM range(20)")
+    // instant before the UPDATE: originals only, no vectors, no
+    // replacement rows — all resolved FROM THE BASE by origin ts
+    val pre = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tA)").head
+    assert(pre.getLong(0) === 100L && pre.getLong(1) === 4950L)
+    // instant after the UPDATE, before compaction: updated state
+    val upd = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tU)").head
+    assert(upd.getLong(0) === 100L)
+    assert(upd.getLong(1) === 4950L - (3 to 93 by 10).sum + 10 * 999)
+    // travel to now equals the current read (base + post-base append)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t TIMESTAMP AS OF " +
+      s"timestamp_millis(${System.currentTimeMillis()})")
+      .head.getLong(0) === 120L)
+    assert(spark.table(s"$cat.db.t").count() === 120L)
   }
 
   test("partitioned mixed tables resolve commit-time travel per directory") {
@@ -149,6 +169,37 @@ class AuditTravelMixedSpec extends AnyFunSuite {
     // every event carries its commit ts (the puller's checkpoint)
     assert(pull.where(org.apache.spark.sql.functions
       .col("_commit_ts").isNull).count() === 0L)
+  }
+
+  test("startingTimestamp CDC pulls past an old base checkpoint") {
+    val (cat, wh) = freshCat("cdcbase")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1)")
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 500, id FROM range(20)")
+    val path = wh.resolve("db/t").toString
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    def pull(since: Long) = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("changeFeed", "true")
+      .option("startingTimestamp", since.toString).load()
+    // the fold is BEFORE the window: the pull sees only the new append
+    assert(pull(t1).count() === 20L)
+    // a window REACHING INTO the fold refuses (base-origin events carry
+    // no _commit_ts — the max+1 checkpoint contract would break)
+    val ex = intercept[Exception](pull(0L).collect())
+    assert(ex.getMessage.contains("folded into a base checkpoint"),
+      ex.getMessage)
   }
 
   test("pre-commit-time batch history (no ts) refuses, not excludes") {
