@@ -838,6 +838,12 @@ private[sources] object AuditMaintenance {
     if (java.nio.file.Files.exists(idf))
       java.nio.file.Files.copy(idf, stage.resolve("_IDENTITY"))
     AuditNameMap.writeColMapFile(stage, colMap)
+    // spec replica INTO the stage: it becomes authoritative the instant
+    // the swap lands, so a crash between the swap and the catalog meta
+    // update is SELF-HEALING — the next loadTable reconciles the stored
+    // spec from this file instead of misreading the new layout
+    java.nio.file.Files.write(stage.resolve("_PARTSPEC"),
+      AuditPartition.serializeSpecs(specs).getBytes("UTF-8"))
     AuditMaintLock.verifyCurrent(path, "repartition_table dir swap")
     val displaced = hidden("old")
     java.nio.file.Files.move(dir, displaced,

@@ -147,6 +147,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           prop("pagesize").map(_.toInt).getOrElse(100))
       case "audit" | "" =>
         val path = dataDir(ident).toString
+        // repartition_table crash healing: the data dir's `_PARTSPEC`
+        // replica (written into the staged tree, atomic with the swap)
+        // is authoritative — if a crash landed between the dir swap and
+        // the catalog meta update, reconcile the stored spec now rather
+        // than misread the new layout through the old one
+        val specFile = java.nio.file.Paths.get(path).resolve("_PARTSPEC")
+        val partCol0 =
+          if (!java.nio.file.Files.exists(specFile)) partCol
+          else {
+            val onDisk = new String(
+              java.nio.file.Files.readAllBytes(specFile), "UTF-8").trim
+            if (partCol.contains(onDisk)) partCol
+            else {
+              updatePartitionSpec(
+                (ident.namespace() :+ ident.name()).mkString("."), onDisk)
+              Some(onDisk)
+            }
+          }
         // mirror generation/identity specs into `graft.*` metadata keys
         // that survive Spark's v2-column round trip — `spark.table(...)
         // .schema` would otherwise show plain columns (Spark moves its
@@ -157,7 +175,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // partitioned dirs hold per-directory manifests for STREAMING
             // epoch files too — "mixed" means un-epoch'd entries (batch
             // txn appends) or delete vectors, not any manifest at all
-            val partMixed = partCol.exists { pc =>
+            val partMixed = partCol0.exists { pc =>
               AuditPartition.listDirsByCols(path,
                 AuditPartition.parseSpecs(pc).map(_.col))
                 .exists { case (_, d) =>
@@ -167,18 +185,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                       AuditDeletes.count(d.toString) > 0)
                 }
             }
-            if (partMixed || (partCol.isEmpty && AuditScan.isMixed(path)))
+            if (partMixed || (partCol0.isEmpty && AuditScan.isMixed(path)))
               // mixed table (either layout): commit-time pin across
               // epochs, txn appends and delete vectors
               // (AuditScan.planTimePinned / planTimePinnedPartitioned)
-              new AuditTable(path, schemaM, None, partCol, colMap, checks,
+              new AuditTable(path, schemaM, None, partCol0, colMap, checks,
                 pinnedMillis = Some(ms))
             else
               // pure-streaming: epoch pin (works through base checkpoints)
               new AuditTable(path, schemaM,
-                Some(AuditScan.epochAt(path, ms)), partCol, colMap, checks)
+                Some(AuditScan.epochAt(path, ms)), partCol0, colMap, checks)
           case None =>
-            new AuditTable(path, schemaM, version, partCol, colMap, checks)
+            new AuditTable(path, schemaM, version, partCol0, colMap, checks)
         }
       case other =>
         throw new IllegalArgumentException(s"graft catalog: unknown provider $other")

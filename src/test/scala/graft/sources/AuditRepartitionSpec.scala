@@ -93,6 +93,31 @@ class AuditRepartitionSpec extends AnyFunSuite {
       "post-repartition inserts must allocate FRESH identity values")
   }
 
+  test("crash between dir swap and meta update self-heals on next load") {
+    val (cat, _) = freshCat("heal")
+    spark.sql(s"CREATE TABLE $cat.db.h (id BIGINT, day BIGINT, " +
+      "region BIGINT) USING audit PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.db.h SELECT id, id % 5, id % 3 " +
+      "FROM range(100)")
+    val before = spark.sql(s"SELECT id, day, region FROM $cat.db.h " +
+      "ORDER BY id").collect().toSeq
+    spark.sql(s"CALL $cat.system.repartition_table(" +
+      "table => 'db.h', spec => 'region')")
+    // simulate the crash window: the dir swap landed (data is
+    // region-partitioned, `_PARTSPEC` says so) but the catalog meta
+    // update never happened — roll the stored spec back to the old one
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    catalog.updatePartitionSpec("db.h", "day")
+    spark.catalog.refreshTable(s"$cat.db.h")
+    // the next load reconciles the stored spec from the data dir's
+    // replica instead of misreading the new layout through the old spec
+    assert(spark.sql(s"SELECT id, day, region FROM $cat.db.h ORDER BY id")
+      .collect().toSeq === before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.h WHERE region = 1")
+      .head.getLong(0) === 33L)
+  }
+
   test("refusals: live streaming writer; renamed partition target") {
     val (cat, _) = freshCat("refuse")
     spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, flag BIGINT) USING audit")
