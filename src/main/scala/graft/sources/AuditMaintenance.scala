@@ -256,23 +256,46 @@ private[sources] object AuditBase {
     txns.filter(_.v > floor).flatMap(_.statsLines)
   }
 
+  /** Greatest commit timestamp visible in this directory's metadata —
+    * txn entries, manifest lines (live AND folded), the epoch log, the
+    * delete-vector log and the base header. The floor every new stamp
+    * must EXCEED: strictly monotonic per-directory commit times are
+    * what make the incremental-CDC `max(_commit_ts) + 1` checkpoint
+    * exactly-once even when two commits land in the same millisecond
+    * (a pull between them would otherwise skip the second forever). */
+  def maxVisibleTs(path: String): Long = {
+    val manifestMax = readManifest(path).flatMap(_.ts)
+      .foldLeft(-1L)(math.max)
+    val epochMax = graft.sources.AuditScan.epochTimestamps(path).values
+      .foldLeft(-1L)(math.max)
+    val vecMax = AuditDeletes.entriesWithTs(path).flatMap(_._3)
+      .foldLeft(-1L)(math.max)
+    val baseMax = read(path).flatMap(_.ts).getOrElse(-1L)
+    math.max(math.max(manifestMax, epochMax), math.max(vecMax, baseMax))
+  }
+
   /** OCC commit: publish `entries` (+ their stats lines) as the next txn.
-    * Returns the committed version. The loop is wait-free vs other
-    * appenders — only the createLink is contended, and the loser's retry
-    * re-reads nothing heavier than a directory listing. */
+    * Returns (committed version, effective commit ts). The loop is
+    * wait-free vs other appenders — only the createLink is contended,
+    * and the loser's retry re-reads nothing heavier than a directory
+    * listing. The stamp is `max(caller ts, maxVisibleTs + 1)`, derived
+    * PER ATTEMPT: a loser re-reads the winner's file, so commit times
+    * are strictly increasing in durability order within a directory
+    * (first-attempt racers collide on the version link and retry). */
   def commitTxn(path: String, entries: Seq[ManifestEntry],
       statsLines: Seq[String],
-      ts: Long = System.currentTimeMillis()): Long = {
+      ts: Long = System.currentTimeMillis()): (Long, Long) = {
     val d = txnDir(path)
     java.nio.file.Files.createDirectories(d)
-    // every entry line carries the commit wall-clock millis — the batch
-    // half of the TIMESTAMP AS OF axis (consolidation copies it into
-    // `_MANIFEST` verbatim, so the vintage survives folding)
-    val body = entries.map(e =>
-      s"""{"file":"${e.file}","rows":${e.rows},"ts":$ts}""") ++
-      statsLines
     var attempt = 0
     while (true) {
+      // every entry line carries the commit wall-clock millis — the
+      // batch half of the TIMESTAMP AS OF axis (consolidation copies it
+      // into `_MANIFEST` verbatim, so the vintage survives folding)
+      val tsEff = math.max(ts, maxVisibleTs(path) + 1L)
+      val body = entries.map(e =>
+        s"""{"file":"${e.file}","rows":${e.rows},"ts":$tsEff}""") ++
+        statsLines
       // List the txn dir BEFORE reading the floor: a consolidation (run by
       // DML/OPTIMIZE, which may race appends) folds txns and advances the
       // floor — reading the floor first could observe floor=0 plus an
@@ -302,11 +325,11 @@ private[sources] object AuditBase {
           val manifested = readManifest(path).map(_.file).toSet
           if (entries.nonEmpty && entries.forall(e => manifested(e.file))) {
             java.nio.file.Files.deleteIfExists(d.resolve(s"$v.json"))
-            return v // folded in — already durable in the manifest
+            return (v, tsEff) // folded in — already durable in the manifest
           }
           java.nio.file.Files.deleteIfExists(d.resolve(s"$v.json"))
         } else {
-          return v
+          return (v, tsEff)
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -315,7 +338,7 @@ private[sources] object AuditBase {
       attempt += 1
       require(attempt < 10000, s"audit OCC: $attempt failed commit attempts")
     }
-    -1L // unreachable
+    (-1L, -1L) // unreachable
   }
 
   /** Fold every live txn into `_MANIFEST` (+ its stats into `_STATS`) and

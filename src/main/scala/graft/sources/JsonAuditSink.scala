@@ -3109,13 +3109,32 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
     val msgs = messages.toSeq.map(_.asInstanceOf[AuditPartDeltaCommitMessage])
+    val insertGroups = msgs.flatMap(_.entries).groupBy(_._1).toSeq.sortBy(_._1)
+    // deletes: split the dir-qualified row id back into (dir, plain file)
+    val deleteGroups = msgs.flatMap(_.deletes).map { case (rel, pos) =>
+      val cut = rel.lastIndexOf('/')
+      require(cut > 0, s"audit partitioned delta: row id file $rel is not " +
+        "dir-qualified — scan/write contract violation")
+      (rel.substring(0, cut), (rel.substring(cut + 1), pos))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
     // ONE commit timestamp for the whole DML statement (all directories,
     // inserts AND delete vectors): a travel instant sees the statement's
-    // effects appear together or not at all
-    val commitMs = System.currentTimeMillis()
-    // inserts: per-directory OCC txn append, same as the batch writer
-    msgs.flatMap(_.entries).groupBy(_._1).toSeq.sortBy(_._1)
-      .foreach { case (relDir, entries) =>
+    // effects appear together or not at all. Derived strictly ABOVE
+    // everything visible in the ROOT epoch log and every TOUCHED
+    // directory (monotonic stamps keep the CDC max+1 checkpoint
+    // exactly-once); a concurrent OCC append into an untouched dir can
+    // still tie within one millisecond — the documented residual.
+    val touched = (insertGroups.map(_._1) ++ deleteGroups.map(_._1)).distinct
+    val commitMs = math.max(System.currentTimeMillis(),
+      (AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) +: 
+        touched.map(d => AuditBase.maxVisibleTs(dir.resolve(d).toString)))
+        .max + 1L)
+    // inserts: per-directory OCC txn append, same as the batch writer;
+    // commitTxn may bump a dir PAST commitMs if an append raced in —
+    // that dir's vectors take the bumped stamp so the dir stays
+    // internally consistent
+    val dirTs = scala.collection.mutable.Map.empty[String, Long]
+    insertGroups.foreach { case (relDir, entries) =>
         val pdir = dir.resolve(relDir)
         java.nio.file.Files.createDirectories(pdir)
         val gen = java.util.UUID.randomUUID.toString.take(8)
@@ -3126,21 +3145,16 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             (name, rows, st)
         }
-        AuditBase.commitTxn(pdir.toString,
+        val (_, tsEff) = AuditBase.commitTxn(pdir.toString,
           added.map { case (n, r, _) =>
             AuditBase.ManifestEntry(n, r, folded = false) },
           added.map { case (n, _, st) => AuditStats.line(n, st) },
           ts = commitMs)
+        dirTs(relDir) = tsEff
       }
-    // deletes: split the dir-qualified row id back into (dir, plain file)
-    msgs.flatMap(_.deletes).map { case (rel, pos) =>
-      val cut = rel.lastIndexOf('/')
-      require(cut > 0, s"audit partitioned delta: row id file $rel is not " +
-        "dir-qualified — scan/write contract violation")
-      (rel.substring(0, cut), (rel.substring(cut + 1), pos))
-    }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (dirName, pairs) =>
+    deleteGroups.foreach { case (dirName, pairs) =>
       AuditDeletes.append(dir.resolve(dirName).toString, pairs.map(_._2),
-        ts = Some(commitMs))
+        ts = Some(dirTs.getOrElse(dirName, commitMs)))
     }
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)
@@ -3320,8 +3334,11 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
     // ONE commit timestamp for the statement's inserts and delete
-    // vectors — the TIMESTAMP AS OF axis sees them together
-    val commitMs = System.currentTimeMillis()
+    // vectors — the TIMESTAMP AS OF axis sees them together — strictly
+    // ABOVE everything already visible (the monotonic stamp that makes
+    // the CDC max+1 checkpoint exactly-once across same-ms commits)
+    val commitMs = math.max(System.currentTimeMillis(),
+      AuditBase.maxVisibleTs(path) + 1L)
     val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
       .sortBy(_._1).zipWithIndex.map { case ((staged, rows, stats), i) =>
         val name = f"part-${start + i}%05d.jsonl"
@@ -4400,8 +4417,12 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     // _EPOCHS keeps exactly one line per epoch: drop any line a previous
     // attempt of this epoch wrote, then append the authoritative one.
     val epochsFile = dir.resolve("_EPOCHS")
+    // strictly monotonic epoch stamps (single streaming writer; the
+    // floor also covers batch/DML vintages in the same directory)
+    val epochTs = math.max(System.currentTimeMillis(),
+      AuditBase.maxVisibleTs(path) + 1L)
     val thisLine = s"""{"epoch":$epochId,"files":${entries.size},""" +
-      s""""rows":${entries.map(_.rows).sum},"ts":${System.currentTimeMillis()}}"""
+      s""""rows":${entries.map(_.rows).sum},"ts":$epochTs}"""
     val kept =
       if (java.nio.file.Files.exists(epochsFile))
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
@@ -4506,10 +4527,15 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       files += added.size
       rows += added.map(_._2).sum
     }
-    // the epoch log: one authoritative line per epoch (replay replaces it)
+    // the epoch log: one authoritative line per epoch (replay replaces
+    // it). The stamp floor reads the ROOT logs only — scanning every
+    // partition directory per epoch would be O(dirs); a per-dir batch
+    // commit tying this epoch's millisecond is the documented residual.
     val epochsFile = dir.resolve("_EPOCHS")
+    val epochTs = math.max(System.currentTimeMillis(),
+      AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L)
     val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows,""" +
-      s""""ts":${System.currentTimeMillis()}}"""
+      s""""ts":$epochTs}"""
     val kept =
       if (java.nio.file.Files.exists(epochsFile))
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq

@@ -223,6 +223,26 @@ class AuditTravelMixedSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() === 100L)
   }
 
+  test("commit stamps are strictly monotonic across rapid-fire commits") {
+    val (cat, wh) = freshCat("mono")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    // rapid-fire appends + DML: several commits can land inside one
+    // wall-clock millisecond — their stamps must STILL be strictly
+    // increasing in durability order, or the CDC max+1 checkpoint
+    // could silently skip a commit forever
+    (0 until 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.t VALUES ($i, $i)"))
+    spark.sql(s"UPDATE $cat.db.t SET v = 99 WHERE id % 2 = 0")
+    val path = wh.resolve("db/t").toString
+    val ts = AuditBase.readManifest(path).flatMap(_.ts)
+    assert(ts.length >= 6) // 5 appends + the UPDATE's replacement file
+    assert(ts.zip(ts.drop(1)).forall { case (a, b) => a < b },
+      s"manifest stamps must be strictly increasing, got $ts")
+    val vecTs = AuditDeletes.entriesWithTs(path).flatMap(_._3)
+    assert(vecTs.nonEmpty && vecTs.forall(_ == ts.max),
+      "the UPDATE's vectors share its replacement file's stamp")
+  }
+
   test("VERSION AS OF keeps the pure-epoch contract on mixed tables") {
     // version pins reconstruct epoch history only: batch appends and
     // vectors stay out — the commit-time axis is the mixed spelling
