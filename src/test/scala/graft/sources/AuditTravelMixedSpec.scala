@@ -235,9 +235,13 @@ class AuditTravelMixedSpec extends AnyFunSuite {
     spark.sql(s"UPDATE $cat.db.t SET v = 99 WHERE id % 2 = 0")
     val path = wh.resolve("db/t").toString
     val ts = AuditBase.readManifest(path).flatMap(_.ts)
-    assert(ts.length >= 6) // 5 appends + the UPDATE's replacement file
-    assert(ts.zip(ts.drop(1)).forall { case (a, b) => a < b },
-      s"manifest stamps must be strictly increasing, got $ts")
+    assert(ts.length >= 6) // 5 appends + the UPDATE's replacement file(s)
+    // non-decreasing in log order, strictly increasing ACROSS commits
+    // (a multi-file statement legitimately shares ONE stamp)
+    assert(ts.zip(ts.drop(1)).forall { case (a, b) => a <= b },
+      s"manifest stamps must be non-decreasing, got $ts")
+    assert(ts.distinct.length === 6,
+      s"six commits must carry six distinct stamps, got $ts")
     val vecTs = AuditDeletes.entriesWithTs(path).flatMap(_._3)
     assert(vecTs.nonEmpty && vecTs.forall(_ == ts.max),
       "the UPDATE's vectors share its replacement file's stamp")
