@@ -2145,13 +2145,12 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
       if (unstampedE.nonEmpty)
         refuse("epoch(s) carry no commit time (pre-upgrade history)")
       val manifest = AuditBase.readManifest(path)
-      // folded (base-checkpointed) entries BEFORE the window are simply
-      // outside the pull; a fold inside it (or of unknown time) would
-      // need base-origin resolution, whose events carry no _commit_ts —
-      // refuse those rather than break the max+1 checkpoint contract
-      if (manifest.exists(e => e.folded && e.ts.forall(_ >= t)))
-        refuse("batch history inside the pull window was folded into a " +
-          "base checkpoint (OPTIMIZE)")
+      // folded (base-checkpointed) entries resolve through the base by
+      // ORIGIN — their tombstones retain the commit time, so the events
+      // still carry `_commit_ts`; only a fold of UNKNOWN time refuses
+      if (manifest.exists(e => e.folded && e.ts.isEmpty))
+        refuse("batch history of unknown commit time was folded into a " +
+          "base checkpoint (pre-upgrade OPTIMIZE)")
       if (manifest.exists(e => !e.folded && e.ts.isEmpty))
         refuse("batch append(s) carry no commit time (pre-upgrade history)")
       val vecs = AuditDeletes.entriesWithTs(path)
@@ -2161,7 +2160,7 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
         refuse("delete vector(s) carry no commit time (pre-upgrade history)")
       AuditCdf.partitionsFor(path,
         stamped.collect { case (e, ts) if ts >= t => e }.toSeq.sorted,
-        manifest.filter(e => !e.folded && e.ts.exists(_ >= t)),
+        manifest.filter(_.ts.exists(_ >= t)),
         vecs.filter(_._3.exists(_ >= t)),
         epochTs = stamped)
   }
@@ -2468,13 +2467,20 @@ private[sources] object AuditCdf {
       AuditCdfPartition(dir.resolve(f).toString, None,
         Some(ps.map(_._2).sorted), commitTs = ts)
     }
+    val foldedTs: Map[String, Long] = batchEntries.collect {
+      case e if e.folded && e.ts.isDefined => (e.file, e.ts.get) }.toMap
+    val goneDelTs: Map[(String, Long), Long] = goneDel.flatMap {
+      case ((df, ts), ps) => ts.toSeq.flatMap(v =>
+        ps.map { case (_, pos, _) => ((df, pos), v) })
+    }.toMap
     val baseParts: Seq[AuditCdfBasePartition] =
       if (goneEpochs.isEmpty && goneBatch.isEmpty && goneDel.isEmpty) Seq.empty
       else base.toSeq.flatMap(_.files.map { case (f, _) =>
         AuditCdfBasePartition(dir.resolve(f).toString, goneEpochs.toSet,
           goneBatch.toSet,
           goneDel.groupBy(_._1._1).map { case (df, gs) =>
-            (df, gs.flatMap(_._2.map(_._2)).toSet) })
+            (df, gs.flatMap(_._2.map(_._2)).toSet) },
+          epochTs = epochTs, fileTs = foldedTs, delTs = goneDelTs)
       })
     (inserts ++ dels ++ baseParts)
       .toArray[org.apache.spark.sql.connector.read.InputPartition]
@@ -2497,7 +2503,14 @@ final case class AuditCdfPartition(file: String, epoch: Option[Long],
   * delete-vector entries. A row can yield both its insert event and a
   * delete event in the same slice. */
 final case class AuditCdfBasePartition(file: String, epochs: Set[Long],
-    batchOrigins: Set[String], deletes: Map[String, Set[Long]])
+    batchOrigins: Set[String], deletes: Map[String, Set[Long]],
+    // commit-time lookups so base-resolved events carry `_commit_ts`
+    // like live-file events do: epoch origins via epochTs, folded batch
+    // origins via fileTs, delete events via delTs keyed (file, pos).
+    // A missing lookup yields null (pre-upgrade history).
+    epochTs: Map[Long, Long] = Map.empty,
+    fileTs: Map[String, Long] = Map.empty,
+    delTs: Map[(String, Long), Long] = Map.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 final class AuditCdfReaderFactory(fullSchema: StructType)
@@ -2613,7 +2626,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
       private var row: InternalRow = _
       private def emit(full: InternalRow, tag: org.apache.spark.unsafe.types.UTF8String,
           epoch: java.lang.Long, of: org.apache.spark.unsafe.types.UTF8String,
-          op: Long): Unit = {
+          op: Long, commitTs: java.lang.Long): Unit = {
         val vals = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {
@@ -2622,7 +2635,7 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
             case -2 => epoch
             case -3 => of
             case -4 => op
-            case -5 => null // commit ts unknown for base-resolved history
+            case -5 => commitTs // null on pre-upgrade vintages
             case s  =>
               if (full.isNullAt(s)) null
               else full.get(s, dataSchema(s).dataType)
@@ -2641,9 +2654,12 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
           val op = full.getLong(n + 2)
           val insertHit = (oe != null && p.epochs.contains(oe)) ||
             (oe == null && p.batchOrigins.contains(of.toString))
-          if (insertHit) emit(full, insertTag, oe, of, op)
+          if (insertHit) emit(full, insertTag, oe, of, op,
+            (if (oe != null) p.epochTs.get(oe.longValue)
+             else p.fileTs.get(of.toString)).map(Long.box).orNull)
           if (p.deletes.get(of.toString).exists(_.contains(op)))
-            emit(full, deleteTag, null, of, op)
+            emit(full, deleteTag, null, of, op,
+              p.delTs.get((of.toString, op)).map(Long.box).orNull)
         }
         if (pending.isEmpty) false
         else { row = pending.dequeue(); true }

@@ -195,11 +195,18 @@ class AuditTravelMixedSpec extends AnyFunSuite {
       .option("startingTimestamp", since.toString).load()
     // the fold is BEFORE the window: the pull sees only the new append
     assert(pull(t1).count() === 20L)
-    // a window REACHING INTO the fold refuses (base-origin events carry
-    // no _commit_ts — the max+1 checkpoint contract would break)
-    val ex = intercept[Exception](pull(0L).collect())
-    assert(ex.getMessage.contains("folded into a base checkpoint"),
-      ex.getMessage)
+    // a window reaching INTO the fold resolves through the base by
+    // origin — the folded tombstones retain the commit times, so the
+    // full history pulls with non-null _commit_ts on every event
+    val full = spark.read.schema(org.apache.spark.sql.types.StructType(
+      cdfSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "_commit_ts", org.apache.spark.sql.types.LongType)))
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("changeFeed", "true")
+      .option("startingTimestamp", "0").load()
+    assert(full.count() === 120L)
+    assert(full.where(org.apache.spark.sql.functions
+      .col("_commit_ts").isNull).count() === 0L)
   }
 
   test("pre-commit-time batch history (no ts) refuses, not excludes") {
