@@ -268,8 +268,9 @@ private[sources] object AuditBase {
       .foldLeft(-1L)(math.max)
     val epochMax = graft.sources.AuditScan.epochTimestamps(path).values
       .foldLeft(-1L)(math.max)
-    val vecMax = AuditDeletes.entriesWithTs(path).flatMap(_._3)
-      .foldLeft(-1L)(math.max)
+    // bounded tail read — the vector log is row-count-sized and its
+    // stamps are append-monotonic, so the last stamped line IS the max
+    val vecMax = AuditDeletes.lastTs(path)
     val baseMax = read(path).flatMap(_.ts).getOrElse(-1L)
     math.max(math.max(manifestMax, epochMax), math.max(vecMax, baseMax))
   }

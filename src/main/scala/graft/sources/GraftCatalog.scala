@@ -1514,6 +1514,69 @@ object CatalogApi {
       |ORDER BY pull, commit_epoch""".stripMargin
   }
 
+  /** COMPACTED-TABLE TIME TRAVEL, oracle-checked: a mixed table (batch
+    * insert + delta UPDATE) is OPTIMIZEd into a base checkpoint, then
+    * extended — travel instants BEFORE the compaction must resolve from
+    * the base BY ORIGIN (the folded manifest tombstones retain each
+    * batch vintage's commit time; origin-keyed vectors apply
+    * time-filtered): (pre) before the UPDATE sees originals only,
+    * (upd) after it sees the updated state, (now) sees everything, and
+    * (cur) the plain read must agree with (now). */
+  def auditTravelCompacted(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qtc_wh")
+    spark.conf.set("spark.sql.catalog.graft_qtc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qtc.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qtc.db.tc")
+    spark.sql("CREATE TABLE graft_qtc.db.tc (id BIGINT, v BIGINT) " +
+      "USING audit")
+    spark.sql("INSERT INTO graft_qtc.db.tc SELECT id, id FROM range(100)")
+    Thread.sleep(8)
+    val path = wh.resolve("db").resolve("tc").toString
+    val tA = AuditBase.readManifest(path).flatMap(_.ts).max
+    Thread.sleep(8)
+    spark.sql("UPDATE graft_qtc.db.tc SET v = 999 WHERE id % 10 = 3")
+    Thread.sleep(8)
+    val tU = System.currentTimeMillis()
+    spark.sql("CALL graft_qtc.system.optimize(table => 'db.tc', " +
+      "target_file_count => 2)")
+    Thread.sleep(8)
+    spark.sql("INSERT INTO graft_qtc.db.tc SELECT id + 500, id FROM range(20)")
+    Thread.sleep(8)
+    val tNow = System.currentTimeMillis()
+    require(tA < tU && tU < tNow, s"commit ordering tie ($tA, $tU, $tNow)")
+    def sliceAt(label: String, ms: Long): DataFrame = spark.sql(
+      s"""SELECT '$label' AS grp, count(*) AS n, sum(v) AS sum_v
+         |FROM graft_qtc.db.tc TIMESTAMP AS OF timestamp_millis($ms)"""
+        .stripMargin)
+    sliceAt("pre", tA)
+      .unionAll(sliceAt("upd", tU))
+      .unionAll(sliceAt("tnow", tNow))
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, count(*) AS n, sum(v) AS sum_v
+          |FROM graft_qtc.db.tc""".stripMargin))
+      .orderBy(col("grp"))
+  }
+
+  val auditTravelCompactedSql: String =
+    """WITH pre AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
+      |  FROM range(100) t(r)),
+      |upd AS (
+      |  SELECT id, CASE WHEN id % 10 = 3 THEN 999 ELSE v END AS v FROM pre),
+      |now_state AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT CAST(t.r AS BIGINT) + 500, CAST(t.r AS BIGINT)
+      |  FROM range(20) t(r))
+      |SELECT 'pre' AS grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM pre
+      |UNION ALL SELECT 'upd', count(*), CAST(sum(v) AS BIGINT) FROM upd
+      |UNION ALL SELECT 'tnow', count(*), CAST(sum(v) AS BIGINT) FROM now_state
+      |UNION ALL SELECT 'cur', count(*), CAST(sum(v) AS BIGINT) FROM now_state
+      |ORDER BY grp""".stripMargin
+
   /** PARTITION-SPEC EVOLUTION, oracle-checked: a day-partitioned table
     * with delta-DML history is rewritten to a region-partitioned layout
     * by `CALL system.repartition_table` (staged sibling tree + atomic
@@ -3401,6 +3464,7 @@ object CatalogApi {
       "q_audit_part_travel" -> (auditPartTravel _),
       "q_audit_travel_ts" -> (auditTravelTs _),
       "q_audit_travel_mixed" -> (auditTravelMixed _),
+      "q_audit_travel_compacted" -> (auditTravelCompacted _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3436,6 +3500,7 @@ object CatalogApi {
       "q_audit_part_travel" -> auditPartTravelSql,
       "q_audit_travel_ts" -> auditTravelTsSql,
       "q_audit_travel_mixed" -> auditTravelMixedSql,
+      "q_audit_travel_compacted" -> auditTravelCompactedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,

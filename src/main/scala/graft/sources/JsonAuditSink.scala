@@ -1759,6 +1759,32 @@ private[sources] object AuditDeletes {
       case LineRe(f, p, _) => (f, p.toLong)
     }.toSeq
 
+  /** Commit ts of the LAST positional entry — the log's maximum stamp
+    * (appends carry monotonic commit times), read from a BOUNDED tail so
+    * the per-commit monotonic-stamp floor never scans a row-count-sized
+    * log. -1 when absent/unstamped (legacy history predates stamps). */
+  def lastTs(path: String): Long = {
+    val f = file(path)
+    if (!java.nio.file.Files.exists(f)) return -1L
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      if (size == 0L) return -1L
+      val cap = math.min(size, 64L * 1024).toInt
+      val buf = java.nio.ByteBuffer.allocate(cap)
+      ch.position(size - cap)
+      var read = 0
+      while (read < cap) {
+        val r = ch.read(buf); if (r < 0) read = cap else read += r
+      }
+      new String(buf.array(), 0, buf.position(), "UTF-8")
+        .split('\n').reverseIterator.collectFirst {
+          case LineRe(_, _, ts) if ts != null => ts.toLong
+        }.getOrElse(-1L)
+    } finally ch.close()
+  }
+
   /** Vector entries with their DML commit time (None on pre-commit-time
     * history) — the delete half of the TIMESTAMP AS OF axis. */
   def entriesWithTs(path: String): Seq[(String, Long, Option[Long])] =
