@@ -893,6 +893,17 @@ object Dedup {
   // strings — ~5-10x less shuffle bandwidth on text). The oracle states
   // the identical hash, so the comparison stays exact. Span merging
   // shuffles once on doc_id and both window passes share the sort.
+  //
+  // Collision bound: the hash is 60 bits (15 md5 hex chars), so by the
+  // birthday bound P(any two distinct grams collide) ≈ n²/2^61 — at 10^9
+  // distinct grams (~a 100 TB text corpus) that is ~4×10^-4 for one false
+  // shared-gram POSITION, which span merging can only extend by ≤ K-1
+  // tokens; acceptable for corpus curation. Because the DuckDB oracle
+  // restates the identical hash, the harness structurally cannot catch a
+  // collision-induced wrong answer — DedupSpec's "duplicated-span stats
+  // match a brute-force in-Scala reference" is the STRING-EXACT canary
+  // (its reference shares grams by true string equality, never a hash)
+  // cross-checking this path on a fixed corpus.
 
   val SpanK = 5
 

@@ -269,8 +269,13 @@ private[sources] object AuditBase {
     val epochMax = graft.sources.AuditScan.epochTimestamps(path).values
       .foldLeft(-1L)(math.max)
     // bounded tail read — the vector log is row-count-sized and its
-    // stamps are append-monotonic, so the last stamped line IS the max
-    val vecMax = AuditDeletes.lastTs(path)
+    // stamps are append-monotonic, so the last stamped line IS the max;
+    // plus the bounded HEAD read for fold watermarks (a fold that blanked
+    // the newest deletes leaves its watermark as the only trace of their
+    // stamps — without it the floor could re-issue a stamp at/below a
+    // folded delete's, breaking strict monotonicity)
+    val vecMax = math.max(AuditDeletes.lastTs(path),
+      AuditDeletes.headFoldWatermark(path))
     val baseMax = read(path).flatMap(_.ts).getOrElse(-1L)
     math.max(math.max(manifestMax, epochMax), math.max(vecMax, baseMax))
   }
@@ -782,8 +787,14 @@ private[sources] object AuditMaintenance {
     AuditScan.committedEpochs(path).lastOption.getOrElse(-1L),
     AuditBase.readManifest(path).collect { case e if !e.folded => e.file },
     // capture time = the checkpoint's position on the commit-time axis
-    // (the lease serializes DML, so nothing can land "inside" the window)
-    ts = System.currentTimeMillis())
+    // (the lease serializes DML, so nothing can land "inside" the window).
+    // Captured on the MONOTONIC stamp axis, not raw wall clock: commit
+    // stamps are floor-bumped to maxVisibleTs+1 and can run ahead of the
+    // clock (several commits in one ms, or a clock step back) — a raw
+    // wall-clock snapshot ts below a pre-checkpoint vector stamp would
+    // make restoreToCheckpoint's `ts <= baseTs` split classify that
+    // vector as post-checkpoint and silently un-delete its rows.
+    ts = math.max(System.currentTimeMillis(), AuditBase.maxVisibleTs(path)))
 
   /** PARTITION-SPEC EVOLUTION: rewrite the table into a NEW
     * `PARTITIONED BY` layout — the staged sibling-tree rewrite + atomic
@@ -1139,9 +1150,22 @@ private[sources] object AuditMaintenance {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val mergedFolds = (AuditDeletes.folded(dirPath).toSeq ++
-      foldable.groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
-      .groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
+    // per-file fold WATERMARK: the max commit ts among the entries this
+    // fold blanks (None if any is unstamped — post-fold time travel then
+    // keeps refusing, exactly as pre-watermark folds always did). Merging
+    // with an existing summary keeps the max, or None if either side
+    // lost its vintage.
+    val freshFolds: Map[String, (Long, Option[Long])] =
+      foldable.groupBy(_._1).map { case (f, ps) =>
+        (f, (ps.size.toLong,
+          if (ps.exists(_._3.isEmpty)) None else Some(ps.map(_._3.get).max)))
+      }
+    val mergedFolds = (AuditDeletes.foldedWithTs(dirPath).toSeq ++ freshFolds)
+      .groupBy(_._1).map { case (f, es) =>
+        (f, (es.map(_._2._1).sum,
+          if (es.exists(_._2._2.isEmpty)) None
+          else Some(es.map(_._2._2.get).max)))
+      }
     AuditDeletes.replace(dirPath, keep, mergedFolds)
     foldable.size
   }
@@ -1773,9 +1797,15 @@ private[sources] object GraftProcedures {
               case a: AuditTable => a.columnMap
               case _ => Map.empty[String, String]
             }
+            // store the NORMALIZED spelling (serializeSpecs∘parseSpecs):
+            // the data dir's _PARTSPEC replica holds the normalized form,
+            // and a raw-vs-normalized mismatch ('day, region' vs
+            // 'day,region') would make every post-repartition loadTable
+            // spuriously re-fire the crash-heal metadata write
             val (dirs, rows) = AuditMaintenance.repartitionTable(spark,
               full, path, oldPart, spec, colMap,
-              onSwapped = () => catalog.updatePartitionSpec(table, spec))
+              onSwapped = () => catalog.updatePartitionSpec(table,
+                AuditPartition.serializeSpecs(AuditPartition.parseSpecs(spec))))
             one(StructType(Seq(
               StructField("table", StringType, nullable = false),
               StructField("spec", StringType, nullable = false),

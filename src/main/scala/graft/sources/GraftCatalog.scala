@@ -158,7 +158,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else {
             val onDisk = new String(
               java.nio.file.Files.readAllBytes(specFile), "UTF-8").trim
-            if (partCol.contains(onDisk)) partCol
+            // compare PARSED specs, not raw text: a cosmetic spelling
+            // difference ('day, region' vs 'day,region') must not fire a
+            // metadata write on the read path
+            if (partCol.exists(p => AuditPartition.parseSpecs(p) ==
+              AuditPartition.parseSpecs(onDisk))) partCol
             else {
               updatePartitionSpec(
                 (ident.namespace() :+ ident.name()).mkString("."), onDisk)
@@ -308,7 +312,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partCol.map(c => s""""partcols":"$c"""") ++ props ++
       mapJson ++ retiredJson ++ checksJson ++
       Seq(s""""schema":${effectiveSchema.json}""")).mkString("{", ",", "}")
-    java.nio.file.Files.write(metaFile(ident), meta.getBytes("UTF-8"))
+    // tmp + atomic move: metadata is re-written on live paths (spec
+    // crash-heal fires from loadTable) — a concurrent reader must see
+    // old-or-new bytes, never a torn file
+    val mf = metaFile(ident)
+    val tmp = mf.resolveSibling(mf.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmp, meta.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, mf,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // replicate the colmap into the data dir (`_COLMAP`) so the PATH
     // surface — change-feed reads included — translates renamed columns
     // without this catalog's metadata file
@@ -1575,6 +1588,63 @@ object CatalogApi {
       |UNION ALL SELECT 'upd', count(*), CAST(sum(v) AS BIGINT) FROM upd
       |UNION ALL SELECT 'tnow', count(*), CAST(sum(v) AS BIGINT) FROM now_state
       |UNION ALL SELECT 'cur', count(*), CAST(sum(v) AS BIGINT) FROM now_state
+      |ORDER BY grp""".stripMargin
+
+  /** POST-FOLD TIME TRAVEL, oracle-checked: a batch table takes delta
+    * DELETEs, VACUUM folds their vectors (physically blanking the rows —
+    * the point of no return for PRE-fold instants), a second DELETE lands
+    * after the fold, and `TIMESTAMP AS OF` still answers exactly for
+    * instants at/after the fold watermark: the `fold` slice (pinned
+    * between the folded and the post-fold DELETE) sees the first delete
+    * applied and the second not. Routine maintenance must not destroy the
+    * time-travel feature for the whole post-fold future; pre-watermark
+    * instants refuse loudly (AuditTravelFoldedSpec). */
+  def auditTravelFolded(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qtf_wh")
+    spark.conf.set("spark.sql.catalog.graft_qtf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qtf.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qtf.db.tf")
+    spark.sql("CREATE TABLE graft_qtf.db.tf (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_qtf.db.tf SELECT id, id FROM range(100)")
+    Thread.sleep(8)
+    spark.sql("DELETE FROM graft_qtf.db.tf WHERE id % 10 = 3")
+    val path = wh.resolve("db").resolve("tf").toString
+    // the pin must sit at/after every first-delete stamp (stamps can run
+    // ahead of the wall clock under the monotonic floor) — maxVisibleTs
+    // IS the fold watermark the upcoming VACUUM will record
+    val tFold = AuditBase.maxVisibleTs(path)
+    spark.sql("CALL graft_qtf.system.vacuum(table => 'db.tf')")
+    require(AuditDeletes.foldedRows(path) == 10L,
+      s"expected the VACUUM to fold 10 vectors, " +
+        s"got ${AuditDeletes.foldedRows(path)}")
+    Thread.sleep(8)
+    spark.sql("DELETE FROM graft_qtf.db.tf WHERE id % 10 = 7")
+    val tPost = AuditBase.maxVisibleTs(path)
+    require(tFold < tPost, s"commit ordering tie ($tFold, $tPost)")
+    def sliceAt(label: String, ms: Long): DataFrame = spark.sql(
+      s"""SELECT '$label' AS grp, count(*) AS n, sum(v) AS sum_v
+         |FROM graft_qtf.db.tf TIMESTAMP AS OF timestamp_millis($ms)"""
+        .stripMargin)
+    sliceAt("fold", tFold)
+      .unionAll(sliceAt("post", tPost))
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, count(*) AS n, sum(v) AS sum_v
+          |FROM graft_qtf.db.tf""".stripMargin))
+      .orderBy(col("grp"))
+  }
+
+  val auditTravelFoldedSql: String =
+    """WITH base AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
+      |  FROM range(100) t(r)),
+      |fold_state AS (SELECT * FROM base WHERE id % 10 <> 3),
+      |post_state AS (SELECT * FROM fold_state WHERE id % 10 <> 7)
+      |SELECT 'cur' AS grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM post_state
+      |UNION ALL SELECT 'fold', count(*), CAST(sum(v) AS BIGINT) FROM fold_state
+      |UNION ALL SELECT 'post', count(*), CAST(sum(v) AS BIGINT) FROM post_state
       |ORDER BY grp""".stripMargin
 
   /** PARTITION-SPEC EVOLUTION, oracle-checked: a day-partitioned table
@@ -3465,6 +3535,7 @@ object CatalogApi {
       "q_audit_travel_ts" -> (auditTravelTs _),
       "q_audit_travel_mixed" -> (auditTravelMixed _),
       "q_audit_travel_compacted" -> (auditTravelCompacted _),
+      "q_audit_travel_folded" -> (auditTravelFolded _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3501,6 +3572,7 @@ object CatalogApi {
       "q_audit_travel_ts" -> auditTravelTsSql,
       "q_audit_travel_mixed" -> auditTravelMixedSql,
       "q_audit_travel_compacted" -> auditTravelCompactedSql,
+      "q_audit_travel_folded" -> auditTravelFoldedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,

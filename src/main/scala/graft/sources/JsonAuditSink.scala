@@ -1501,9 +1501,22 @@ final class AuditScan(path: String, writeSchema: StructType,
             "carries no commit time (pre-upgrade history)")
       }
       val vecs = AuditDeletes.entriesWithTs(dir.toString)
+      // VACUUM-folded vectors: physically blanked rows cannot be unwound,
+      // but for an instant AT/AFTER the fold watermark every folded
+      // delete is provably visible — the blanking is then exactly the
+      // right answer, and travel proceeds (post-fold vectors ts-filter
+      // as usual). Refuse only pre-watermark instants and unstamped folds.
       if (AuditDeletes.foldedRows(dir.toString) > 0)
-        timePinRefuse(s"partition $relDir has VACUUM-folded delete " +
-          "vectors — pre-fold deleted rows are physically gone")
+        AuditDeletes.foldWatermark(dir.toString) match {
+          case None => timePinRefuse(s"partition $relDir has VACUUM-" +
+            "folded delete vectors without a fold watermark (pre-upgrade " +
+            "fold) — pre-fold deleted rows are physically gone")
+          case Some(wm) if t < wm => timePinRefuse(s"instant $t ms " +
+            s"predates partition $relDir's VACUUM vector-fold watermark " +
+            s"($wm ms) — deletes folded at/before it are physically " +
+            "applied and cannot be unwound")
+          case Some(_) => () // t >= watermark: every folded delete visible
+        }
       if (vecs.exists(_._3.isEmpty))
         timePinRefuse(s"delete vector(s) in partition $relDir carry no " +
           "commit time (pre-upgrade history)")
@@ -1539,9 +1552,23 @@ final class AuditScan(path: String, writeSchema: StructType,
     if (manifest.exists(_.ts.isEmpty))
       refuse("batch append(s) carry no commit time (pre-upgrade history)")
     val vecs = AuditDeletes.entriesWithTs(path)
+    // VACUUM-folded vectors: for an instant AT/AFTER the fold watermark
+    // (max folded-entry commit ts, stamped into the fold summary) every
+    // folded delete is provably visible — the in-place blanking is then
+    // exactly right and travel proceeds; post-fold positional vectors
+    // ts-filter below as usual. Refuse only pre-watermark instants and
+    // unstamped (pre-upgrade) folds — routine maintenance must not
+    // destroy time travel for the whole post-fold future.
     if (AuditDeletes.foldedRows(path) > 0)
-      refuse("delete vectors were folded (VACUUM) — pre-fold deleted " +
-        "rows are physically gone")
+      AuditDeletes.foldWatermark(path) match {
+        case None => refuse("delete vectors were folded (VACUUM) without " +
+          "a fold watermark (pre-upgrade fold) — pre-fold deleted rows " +
+          "are physically gone")
+        case Some(wm) if t < wm => refuse(s"instant $t ms predates the " +
+          s"VACUUM vector-fold watermark ($wm ms) — deletes folded " +
+          "at/before it are physically applied and cannot be unwound")
+        case Some(_) => ()
+      }
     if (vecs.exists(_._3.isEmpty))
       refuse("delete vector(s) carry no commit time (pre-upgrade history)")
     // VACUUM expiry bound for time pins: expired epochs carry no ts, so
@@ -1713,7 +1740,12 @@ private[sources] object AuditDeletes {
   // VACUUM's vector-retention summary: n rows of `file` were delta-
   // deleted and have been FOLDED — physically blanked in place — so no
   // positional entry is needed anymore. Counts still subtract them.
-  private val FoldRe = """\{"file":"([^"]+)","folded":(\d+)\}""".r
+  // `,"ts":millis` is the fold's WATERMARK: the max commit ts among the
+  // folded entries — a TIMESTAMP AS OF at/after it sees every folded
+  // delete as visible (the physical blanking is then exactly right), so
+  // time travel survives VACUUM for post-watermark instants. Absent when
+  // any folded entry predated commit stamps (travel refuses, as before).
+  private val FoldRe = """\{"file":"([^"]+)","folded":(\d+)(?:,"ts":(\d+))?\}""".r
 
   def file(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path).resolve("_DELETES")
@@ -1730,8 +1762,32 @@ private[sources] object AuditDeletes {
   def folded(path: String): Map[String, Long] =
     if (!exists(path)) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case FoldRe(f, n) => (f, n.toLong)
+      case FoldRe(f, n, _) => (f, n.toLong)
     }.groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
+
+  /** Folded summaries with their fold WATERMARK (max folded-entry commit
+    * ts; None when the fold predates stamps or folded unstamped entries)
+    * — the post-fold half of the TIMESTAMP AS OF axis. */
+  def foldedWithTs(path: String): Map[String, (Long, Option[Long])] =
+    if (!exists(path)) Map.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case FoldRe(f, n, ts) => (f, n.toLong, Option(ts).map(_.toLong))
+    }.groupBy(_._1).map { case (f, es) =>
+      // multiple summaries per file merge conservatively: sum the counts,
+      // take the max watermark ONLY when every summary carries one
+      (f, (es.map(_._2).sum,
+        if (es.exists(_._3.isEmpty)) None else Some(es.map(_._3.get).max)))
+    }
+
+  /** The log's overall fold watermark: Some(maxTs) when every fold
+    * summary is stamped (no folds → Some(-1), always satisfiable);
+    * None when any fold lost its vintage (travel must refuse). */
+  def foldWatermark(path: String): Option[Long] = {
+    val fs = foldedWithTs(path).values
+    if (fs.isEmpty) Some(-1L)
+    else if (fs.exists(_._2.isEmpty)) None
+    else Some(fs.map(_._2.get).max)
+  }
 
   /** Total rows ever folded out of this log — a MONOTONIC fold
     * generation (every fold adds its entries' count; nothing ever
@@ -1748,7 +1804,7 @@ private[sources] object AuditDeletes {
     if (!exists(path)) 0L
     else java.nio.file.Files.readAllLines(file(path)).asScala.map {
       case LineRe(_, _, _) => 1L
-      case FoldRe(_, n)    => n.toLong
+      case FoldRe(_, n, _) => n.toLong
       case _               => 0L
     }.sum
 
@@ -1820,15 +1876,19 @@ private[sources] object AuditDeletes {
 
   /** Atomically REPLACE the vector log with the given positional entries
     * + folded summaries (VACUUM's vector retention — the one writer that
-    * may shrink this log; it holds the maintenance lease). */
+    * may shrink this log; it holds the maintenance lease). Fold summaries
+    * are written FIRST — a log invariant ([[headFoldWatermark]] relies on
+    * it: appends only ever add positional lines, so the summaries stay a
+    * bounded prefix). */
   def replace(path: String, positional: Seq[(String, Long, Option[Long])],
-      foldedSums: Map[String, Long]): Unit = {
+      foldedSums: Map[String, (Long, Option[Long])]): Unit = {
     if (positional.isEmpty && foldedSums.isEmpty) { clear(path); return }
     val f = file(path)
     val tmp = f.resolveSibling("_DELETES.tmp")
     val body =
-      foldedSums.toSeq.sortBy(_._1).map { case (n, c) =>
-        s"""{"file":"$n","folded":$c}""" + "\n" }.mkString +
+      foldedSums.toSeq.sortBy(_._1).map { case (n, (c, wm)) =>
+        s"""{"file":"$n","folded":$c${wm.map(t => s""","ts":$t""")
+          .getOrElse("")}}""" + "\n" }.mkString +
         positional.map { case (n, p, ts) =>
           s"""{"file":"$n","pos":$p${ts.map(t => s""","ts":$t""")
             .getOrElse("")}}""" + "\n" }.mkString
@@ -1836,6 +1896,29 @@ private[sources] object AuditDeletes {
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Max fold watermark readable from the log's HEAD — fold summaries are
+    * a prefix by the [[replace]] invariant, so this streams lines only
+    * until the first non-summary line (bounded by the FILE count, never
+    * the row count). -1 when there are no stamped summaries. Feeds
+    * [[AuditBase.maxVisibleTs]]: after a fold empties the positional
+    * tail, the watermark may exceed every other visible stamp, and the
+    * monotonic-stamp floor must not re-issue a stamp at or below it. */
+  def headFoldWatermark(path: String): Long = {
+    val f = file(path)
+    if (!java.nio.file.Files.exists(f)) return -1L
+    val lines = java.nio.file.Files.lines(f)
+    try {
+      val it = lines.iterator()
+      var max = -1L
+      var go = true
+      while (go && it.hasNext) it.next() match {
+        case FoldRe(_, _, ts) => if (ts != null) max = math.max(max, ts.toLong)
+        case _ => go = false
+      }
+      max
+    } finally lines.close()
   }
 }
 

@@ -62,6 +62,11 @@ class DedupSpec extends SparkSpec {
     assert(e === s)
   }
 
+  // STRING-EXACT CANARY for the hash-first gram pipeline: the reference
+  // below shares grams by true string equality (no hashing anywhere), so
+  // a 60-bit hexHash collision that inflated shared-gram counts would
+  // fail here even though the DuckDB oracle (which restates the same
+  // hash) structurally cannot see it.
   test("duplicated-span stats match a brute-force in-Scala reference") {
     val d = "/root/testdata/sf0.001"
     val k = Dedup.SpanK

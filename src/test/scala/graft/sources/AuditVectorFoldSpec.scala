@@ -163,7 +163,8 @@ class AuditVectorFoldSpec extends AnyFunSuite {
     val all = AuditDeletes.entriesWithTs(path)
     val foldedAway = all.take(2)
     AuditDeletes.replace(path, all.drop(2),
-      foldedAway.groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
+      foldedAway.groupBy(_._1).map { case (f, ps) =>
+        (f, (ps.size.toLong, ps.flatMap(_._3).maxOption)) })
     assert(AuditDeletes.entries(path).size === 3) // >= consumed 2: length guard blind
     val ex = intercept[IllegalArgumentException](
       stream.planInputPartitions(consumed, stream.latestOffset()))
@@ -185,7 +186,8 @@ class AuditVectorFoldSpec extends AnyFunSuite {
     val lall = AuditDeletes.entriesWithTs(leaf)
     assert(lall.size >= 3)
     AuditDeletes.replace(leaf, lall.drop(1),
-      lall.take(1).groupBy(_._1).map { case (f, ps) => (f, ps.size.toLong) })
+      lall.take(1).groupBy(_._1).map { case (f, ps) =>
+        (f, (ps.size.toLong, ps.flatMap(_._3).maxOption)) })
     val pex = intercept[IllegalArgumentException](
       pstream.planInputPartitions(pconsumed, pstream.latestOffset()))
     assert(pex.getMessage.contains("folded"), pex.getMessage)
