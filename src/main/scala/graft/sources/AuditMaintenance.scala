@@ -677,6 +677,9 @@ private[sources] object AuditMaintenance {
     val n =
       if (targetFileCount > 0) targetFileCount
       else spark.sparkContext.defaultParallelism
+    // raced-append fingerprint BEFORE the rewrite scan can plan — see the
+    // stage-and-swap vs OCC-appends defense above
+    val preStage = liveFileSets(path, partCols)
     // the catalog read speaks CURRENT names; the staged rewrite must
     // keep the STORAGE keys (renaming a column must never silently
     // rewrite the payload keys out from under the colmap)
@@ -761,10 +764,20 @@ private[sources] object AuditMaintenance {
     // above is the long phase — a frozen-then-resumed operation whose
     // lease was stolen must abort HERE, not replace the thief's table
     AuditMaintLock.verifyCurrent(path, "partitioned OPTIMIZE dir swap")
+    // an OCC append committed while the rewrite staged means the staged
+    // tree is stale — abort loudly instead of destroying committed rows
+    afterStageHook.foreach(_())
+    requireUnchangedSinceStaging(path, partCols, preStage, stage,
+      "partitioned OPTIMIZE")
+    afterCheckHook.foreach(_())
     java.nio.file.Files.move(dir, displaced,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage, dir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // an append that slid in between the check and the rename landed in
+    // the displaced tree — re-append it before the delete
+    reappendRaced(spark, path, displaced, partCols, preStage, df.schema,
+      AuditPartition.serializeSpecs(specs))
     val walk = java.nio.file.Files.walk(displaced)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
@@ -776,6 +789,108 @@ private[sources] object AuditMaintenance {
         (e.size, e.map(_._2).sum)
       }
     (perDir.map(_._1).sum, perDir.map(_._2).sum, -1L)
+  }
+
+  // ---- stage-and-swap vs wait-free OCC appends --------------------------
+  // commitTxn deliberately runs WITHOUT the maintenance lease, so an
+  // INSERT INTO can land in the old tree at any point of a long staged
+  // rewrite (partitioned OPTIMIZE / repartition_table). Two-phase defense:
+  // (pre-swap) any append committed since staging ABORTS the swap loudly —
+  // the staged tree no longer covers the table, nothing was changed;
+  // (post-swap) an append that slid into the displaced tree between that
+  // check and the rename is RE-APPENDED into the new tree — read back
+  // through the engine, routed by the new spec — before the displaced
+  // tree is deleted. Acknowledged commits are never destroyed.
+
+  /** TEST HOOKS for the raced-append windows (None in production):
+    * `afterStageHook` fires after the stage tree is fully written but
+    * before the pre-swap check (a commit here must ABORT the swap);
+    * `afterCheckHook` fires between the check and the dir rename (a
+    * commit here lands in the displaced tree and must be RE-APPENDED). */
+  private[sources] var afterStageHook: Option[() => Unit] = None
+  private[sources] var afterCheckHook: Option[() => Unit] = None
+
+  /** Live manifest file names per old-layout directory — the raced-append
+    * fingerprint the stage-and-swap paths compare (includes OCC txn
+    * entries via readManifest). */
+  private def liveFileSets(root: String, partCols: Seq[String])
+      : Map[String, Set[String]] = {
+    val dirs =
+      if (partCols.isEmpty) Seq(("", java.nio.file.Paths.get(root)))
+      else AuditPartition.listDirsByCols(root, partCols)
+    dirs.map { case (rel, d) =>
+      (rel, AuditBase.readManifest(d.toString)
+        .collect { case e if !e.folded => e.file }.toSet)
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Pre-swap guard: abort (and reclaim the stage) if any append
+    * committed into the live tree since `before` was captured. */
+  private def requireUnchangedSinceStaging(root: String,
+      partCols: Seq[String], before: Map[String, Set[String]],
+      stage: java.nio.file.Path, op: String): Unit = {
+    val now = liveFileSets(root, partCols)
+    if (now != before) {
+      val changed = (now.keySet ++ before.keySet).filter(rel =>
+        now.getOrElse(rel, Set.empty) != before.getOrElse(rel, Set.empty))
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+      throw new IllegalStateException(
+        s"audit $op: concurrent append(s) committed into " +
+          s"${changed.toSeq.sorted.take(3).map(r => if (r.isEmpty) "<root>"
+          else r).mkString(", ")} while the rewrite was staging — the " +
+          "staged tree no longer covers the table. Nothing was changed; " +
+          "re-run the operation.")
+    }
+  }
+
+  /** Post-swap reconciler: appends that slid into the displaced tree
+    * between the pre-swap check and the rename were NOT read by the
+    * rewrite (the scan finished before the check), so copy them into a
+    * temp audit dir, read them back through the engine (storage-named),
+    * and append them into the new tree routed by the new spec. Returns
+    * re-appended rows. */
+  private def reappendRaced(spark: SparkSession, newRoot: String,
+      displaced: java.nio.file.Path, oldCols: Seq[String],
+      atCheck: Map[String, Set[String]], storageSchema: StructType,
+      newSpecSerialized: String): Long = {
+    val after = liveFileSets(displaced.toString, oldCols)
+    val raced: Seq[(String, String, Long)] = after.toSeq.flatMap {
+      case (rel, fs) =>
+        val fresh = fs -- atCheck.getOrElse(rel, Set.empty)
+        if (fresh.isEmpty) Seq.empty
+        else {
+          val d = if (rel.isEmpty) displaced else displaced.resolve(rel)
+          AuditBase.readManifest(d.toString).collect {
+            case e if !e.folded && fresh(e.file) => (rel, e.file, e.rows)
+          }
+        }
+    }
+    if (raced.isEmpty) return 0L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raced_")
+    val entries = raced.zipWithIndex.map { case ((rel, f, rows), i) =>
+      val src = (if (rel.isEmpty) displaced else displaced.resolve(rel))
+        .resolve(f)
+      val name = f"raced-$i%05d.jsonl"
+      java.nio.file.Files.copy(src, tmp.resolve(name))
+      AuditBase.ManifestEntry(name, rows, folded = false)
+    }
+    AuditBase.writeManifest(tmp.toString, entries)
+    val df = spark.read.schema(storageSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", tmp.toString).option("rawcolumns", "true")
+      .load()
+    val w = df.write.format(classOf[JsonAuditSink].getName)
+      .option("path", newRoot).option("rawcolumns", "true")
+    (if (newSpecSerialized.nonEmpty) w.option("partitionby", newSpecSerialized)
+    else w).mode("append").save()
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    raced.map(_._3).sum
   }
 
   /** The pinned input set of one compaction run: the newest committed
@@ -841,6 +956,11 @@ private[sources] object AuditMaintenance {
       s"audit repartition_table: column ${sp.col} was renamed — renamed " +
         "columns cannot become partition columns (directory names embed " +
         "the storage spelling)"))
+    // raced-append fingerprint BEFORE the rewrite scan can plan: any OCC
+    // append after this either aborts the swap (pre-swap check) or is
+    // re-appended from the displaced tree (post-swap reconciler)
+    val oldCols = oldSpec.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col))
+    val preStage = liveFileSets(path, oldCols)
     // current state through the catalog, storage-named for the raw write
     var df = colMap.foldLeft(spark.table(fullName)) {
       case (d, (current, storage)) => d.withColumnRenamed(current, storage)
@@ -880,12 +1000,23 @@ private[sources] object AuditMaintenance {
     java.nio.file.Files.write(stage.resolve("_PARTSPEC"),
       AuditPartition.serializeSpecs(specs).getBytes("UTF-8"))
     AuditMaintLock.verifyCurrent(path, "repartition_table dir swap")
+    // an OCC append committed while the rewrite staged means the staged
+    // tree is stale — abort loudly instead of destroying committed rows
+    afterStageHook.foreach(_())
+    requireUnchangedSinceStaging(path, oldCols, preStage, stage,
+      "repartition_table")
+    afterCheckHook.foreach(_())
     val displaced = hidden("old")
     java.nio.file.Files.move(dir, displaced,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage, dir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     onSwapped() // catalog partcols → newSpec, still under the lease
+    // an append that slid in between the check and the rename landed in
+    // the displaced tree — re-append it into the new layout before the
+    // delete (still under the lease)
+    reappendRaced(spark, path, displaced, oldCols, preStage, df.schema,
+      AuditPartition.serializeSpecs(specs))
     val walk = java.nio.file.Files.walk(displaced)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => java.nio.file.Files.deleteIfExists(f))

@@ -4281,54 +4281,64 @@ private[sources] object AuditMaintLock {
     }
   }
 
+  // ---- sidecar heartbeat files ------------------------------------------
+  // Renewal must never remove or rewrite the live claim: the previous
+  // rename-away-inspect-recreate CAS opened a window where `_MAINT_LOCK`
+  // was ABSENT on every heartbeat, and acquire() treats absence as
+  // immediately claimable — a concurrent op could steal the lease from a
+  // healthy holder (theft is supposed to require expiry). Instead each
+  // holder renews a PRIVATE sidecar (`_MAINT_HB.<opId>` — no other
+  // process ever writes that name), and freshness = max(claim ts,
+  // sidecar ts) for the opId the lock currently names. The claim file is
+  // touched exactly twice in a lease's life: exclusive-create at acquire,
+  // delete at release/retire. A holder that stalls past expiry can stomp
+  // nothing — its renewal writes only its own sidecar, which stops
+  // mattering the instant the lock names a thief.
+  private def hbFile(path: String, opId: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path).resolve(
+      "_MAINT_HB." + opId.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  private def hbTs(path: String, opId: String): Long = {
+    val f = hbFile(path, opId)
+    try new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    catch { case _: Throwable => -1L }
+  }
+
+  /** Claim freshness: the newest of the claim line's ts and the holder's
+    * sidecar renewals. */
+  private def freshness(path: String, opId: String, claimTs: Long): Long =
+    math.max(claimTs, hbTs(path, opId))
+
+  private def renewSidecar(path: String, opId: String): Unit = {
+    val f = hbFile(path, opId)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    java.nio.file.Files.write(tmp,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def startHeartbeat(path: String, opId: String): Unit = {
     val period = math.max(leaseMs / 3, 10L)
     val key = beatKey(path, opId)
     val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
     val task: Runnable = () => AuditMaintLock.synchronized {
       if (beats.containsKey(key)) { // not released/crashed meanwhile
-        // COMPARE-and-swap, not read-then-replace: a plain REPLACE_EXISTING
-        // rewrite could stomp a thief's freshly stolen claim if this
-        // thread stalled past expiry between the read and the move —
-        // landing exactly between the thief's verifyHeld and its publish
-        // step. Instead (1) rename the lock AWAY (atomic claim of whatever
-        // is on disk), (2) inspect the renamed copy, (3) renew via
-        // EXCLUSIVE create, so any racer that claims in the gap wins and
-        // the renewal records a lost lease instead of overwriting.
         def lost(what: String): Unit = {
           lostLeases.put(key, s"lease renewal found $what instead of " +
             s"own claim $opId")
           Option(beats.remove(key)).foreach(_.cancel(false))
         }
-        val away = lock.resolveSibling("_MAINT_LOCK.renew-" +
-          java.util.UUID.randomUUID.toString.take(8))
-        val moved =
-          try { java.nio.file.Files.move(lock, away,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-          catch {
-            case _: java.nio.file.NoSuchFileException =>
-              lost("no lock file"); false
-            case _: java.io.IOException => false // retry next beat
-          }
-        if (moved)
-          try readLock(away) match {
-            case Some((op, _)) if op == opId =>
-              // still ours — exclusive-create the renewed line; a thief
-              // recreating the lock inside this gap wins the race
-              try writeLockLine(lock, opId, replace = false)
-              catch {
-                case _: java.nio.file.FileAlreadyExistsException =>
-                  lost(readLock(lock).toString)
-                case _: java.io.IOException => // put the claim back as-was
-                  try java.nio.file.Files.createLink(lock, away)
-                  catch { case _: java.io.IOException => () }
-              }
-            case other =>
-              // a thief's claim — restore it untouched and record the loss
-              try java.nio.file.Files.createLink(lock, away)
-              catch { case _: java.io.IOException => () }
-              lost(other.toString)
-          } finally java.nio.file.Files.deleteIfExists(away)
+        readLock(lock) match {
+          case Some((op, _)) if op == opId =>
+            // still ours — refresh the private sidecar; the claim file is
+            // never absent, so no acquire() can race into a gap
+            try renewSidecar(path, opId)
+            catch { case _: java.io.IOException => () } // retry next beat
+          case other => lost(other.toString) // a thief's claim — untouched
+        }
       }
     }
     beats.put(key, scheduler.scheduleAtFixedRate(task, period, period,
@@ -4421,7 +4431,11 @@ private[sources] object AuditMaintLock {
         .trim)
     raw.foreach { r =>
       r match {
-        case LockRe(op, ts) if now - ts.toLong < leaseMs => refuse(op, ts.toLong)
+        // freshness = claim ts OR the holder's sidecar renewals — a live
+        // holder heartbeats the sidecar, never the claim file itself
+        case LockRe(op, ts)
+          if now - freshness(path, op, ts.toLong) < leaseMs =>
+          refuse(op, freshness(path, op, ts.toLong))
         case _ => () // expired or unreadable debris — retire it
       }
       val tomb = lock.resolveSibling(
@@ -4447,6 +4461,12 @@ private[sources] object AuditMaintLock {
           lostRace()
         }
         java.nio.file.Files.delete(tomb) // genuinely expired — retired
+        // the dead holder's sidecar is debris now
+        r match {
+          case LockRe(op, _) =>
+            java.nio.file.Files.deleteIfExists(hbFile(path, op))
+          case _ => ()
+        }
       }
     }
     // fresh EXCLUSIVE claim: hard-link put-if-absent, single winner
@@ -4454,8 +4474,10 @@ private[sources] object AuditMaintLock {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         readLock(lock) match {
-          case Some((op, ts)) if now - ts < leaseMs => refuse(op, ts)
-          case _                                    => lostRace()
+          case Some((op, ts))
+            if now - freshness(path, op, ts) < leaseMs =>
+            refuse(op, freshness(path, op, ts))
+          case _ => lostRace()
         }
     }
     startHeartbeat(path, opId)
@@ -4473,8 +4495,15 @@ private[sources] object AuditMaintLock {
       val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
       readLock(lock) match {
         case Some((op, _)) if op == opId =>
+          // sidecar FIRST: if we crash between the two deletes the claim
+          // still names us and the next acquire retires both together
+          try java.nio.file.Files.deleteIfExists(hbFile(path, opId))
+          catch { case _: java.io.IOException => () }
           java.nio.file.Files.deleteIfExists(lock)
-        case _ => ()
+        case _ =>
+          // a thief owns the claim; our sidecar is pure debris
+          try java.nio.file.Files.deleteIfExists(hbFile(path, opId))
+          catch { case _: java.io.IOException => () }
       }
     }
 

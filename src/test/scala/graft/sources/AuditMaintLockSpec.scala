@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
@@ -149,6 +151,40 @@ class AuditMaintLockSpec extends AnyFunSuite {
       // A's claim is intact and verifiable
       AuditMaintLock.verifyHeld(path, a, "publish")
       AuditMaintLock.release(path, a)
+    } finally sys.props.remove("graft.audit.maintLeaseMs")
+  }
+
+  test("renewal never removes the live claim: no steal-from-healthy window") {
+    // the round-15 renewal CAS moved _MAINT_LOCK away before recreating
+    // it, so every heartbeat opened a window where acquire() saw "no
+    // lock" and could claim instantly — theft from a HEALTHY holder.
+    // The sidecar renewal never touches the claim file: across many
+    // heartbeat periods the lock stays continuously present and every
+    // concurrent acquire refuses.
+    val path = java.nio.file.Files.createTempDirectory("graft_mlock_hb2_")
+      .toString
+    sys.props("graft.audit.maintLeaseMs") = "60" // heartbeat every 20 ms
+    try {
+      val held = AuditMaintLock.acquire(path, "optimize")
+      val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
+      val deadline = System.currentTimeMillis() + 400 // ~20 renewals
+      var absences = 0
+      var steals = 0
+      while (System.currentTimeMillis() < deadline) {
+        if (!java.nio.file.Files.exists(lock)) absences += 1
+        try { AuditMaintLock.acquire(path, "vacuum"); steals += 1 }
+        catch { case _: IllegalStateException => () }
+        Thread.sleep(1)
+      }
+      assert(absences === 0, s"claim file absent $absences times mid-lease")
+      assert(steals === 0, s"a healthy holder was stolen from $steals times")
+      AuditMaintLock.verifyHeld(path, held, "publish")
+      AuditMaintLock.release(path, held)
+      // release cleans both the claim and the heartbeat sidecar
+      val left = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try assert(!left.iterator().asScala.exists(p =>
+        p.getFileName.toString.startsWith("_MAINT")), "lock debris left")
+      finally left.close()
     } finally sys.props.remove("graft.audit.maintLeaseMs")
   }
 
