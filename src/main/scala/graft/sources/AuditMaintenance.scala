@@ -68,6 +68,88 @@ import org.apache.spark.sql.types._
   * playback_pipeline.py:300-320). This is the piece a persistent 100 TB
   * deployment of the same pipeline would need first.
   */
+/** ROOT-LEVEL COMMIT SEQUENCER — the piece that makes commit stamps
+  * strictly increasing TABLE-WIDE, not just per directory. Every
+  * stamp-issuing commit (OCC txn appends, delta DML statements, streaming
+  * epoch publishes) claims its stamp by EXCLUSIVE CREATE of
+  * `_SEQ/<value>` at the table root: put-if-absent admits exactly one
+  * winner per value, so two commits — same millisecond, different
+  * partition directories, different writers — can never share a stamp.
+  * This closes the last sub-millisecond tie the per-directory
+  * `maxVisibleTs + 1` floor could not see (a commit into a directory the
+  * other writer never reads), which is what makes the incremental-CDC
+  * `max(_commit_ts) + 1` checkpoint exactly-once across ANY race. The
+  * pointer is ONE empty file named by the last issued value; a claim is
+  * the atomic RENAME of that file to the new value — only one rename from
+  * a given source name can succeed, and values strictly increase, so a
+  * once-issued value can never be issued again (an earlier
+  * create-then-prune design re-opened pruned values for re-claiming).
+  * Every production lakehouse format has this root pointer; ours is one
+  * rename per commit — the same cost class as the `_TXN` link. */
+private[sources] object AuditSeq {
+  private def seqDir(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root).resolve("_SEQ")
+  // INIT marks "a pointer exists": a directory listing racing a rename
+  // can transiently miss the pointer file, and creating a fresh pointer
+  // then could re-issue an old value — with INIT present, an empty
+  // numeric listing means "retry", never "initialize". Created AFTER the
+  // first pointer so a birth crash can never strand claimants spinning.
+  private val InitMarker = "INIT"
+
+  /** Highest stamp ever issued through this sequencer (-1 when none).
+    * Birth racers can leave stray smaller numerics; max() ignores them
+    * and renames only ever start from the max, so they are inert. */
+  def maxIssued(root: String): Long = {
+    val d = seqDir(root)
+    if (!java.nio.file.Files.isDirectory(d)) return -1L
+    val listing = java.nio.file.Files.list(d)
+    try listing.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+    finally listing.close()
+  }
+
+  /** Claim the next stamp: at least `floor`, strictly above every stamp
+    * ever issued here. */
+  def next(root: String, floor: Long): Long = {
+    val d = seqDir(root)
+    java.nio.file.Files.createDirectories(d)
+    var attempts = 0
+    while (attempts < 100000) {
+      val cur = maxIssued(root)
+      if (cur < 0L) {
+        if (!java.nio.file.Files.exists(d.resolve(InitMarker))) {
+          // genuine birth: exclusive-create the first pointer (= first
+          // issued stamp); losers fall through to the rename path
+          val target = math.max(floor, 0L)
+          try {
+            java.nio.file.Files.createFile(d.resolve(target.toString))
+            try java.nio.file.Files.createFile(d.resolve(InitMarker))
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            return target
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        } // else: transient empty listing during a rename — retry
+      } else {
+        val target = math.max(floor, cur + 1L)
+        try {
+          java.nio.file.Files.move(d.resolve(cur.toString),
+            d.resolve(target.toString),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          return target
+        } catch {
+          case _: java.nio.file.NoSuchFileException => () // lost the race
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"audit sequencer: $attempts failed stamp claims at $root")
+  }
+}
+
 private[sources] object AuditBase {
   /** One `_MANIFEST` body line: a live batch file or a folded tombstone.
     * `ts` is the commit wall-clock millis — the batch half of the
@@ -284,21 +366,31 @@ private[sources] object AuditBase {
     * Returns (committed version, effective commit ts). The loop is
     * wait-free vs other appenders — only the createLink is contended,
     * and the loser's retry re-reads nothing heavier than a directory
-    * listing. The stamp is `max(caller ts, maxVisibleTs + 1)`, derived
-    * PER ATTEMPT: a loser re-reads the winner's file, so commit times
-    * are strictly increasing in durability order within a directory
-    * (first-attempt racers collide on the version link and retry). */
+    * listing. STAMPS come from the table-root [[AuditSeq]] sequencer —
+    * unique table-wide by construction, so a commit here can never tie a
+    * same-millisecond commit in another directory. A caller that already
+    * claimed a statement stamp passes it as `ts` (>= 0): it is REUSED as
+    * long as it still dominates this directory (one stamp per DML
+    * statement across all its directories); a racing append that bumped
+    * the directory past it forces a fresh claim, keeping the directory
+    * internally monotonic. `seqRoot` is the TABLE root for partition-leaf
+    * commits (default: the directory itself). */
   def commitTxn(path: String, entries: Seq[ManifestEntry],
       statsLines: Seq[String],
-      ts: Long = System.currentTimeMillis()): (Long, Long) = {
+      ts: Long = -1L, seqRoot: String = null): (Long, Long) = {
     val d = txnDir(path)
+    val root = Option(seqRoot).getOrElse(path)
     java.nio.file.Files.createDirectories(d)
     var attempt = 0
     while (true) {
       // every entry line carries the commit wall-clock millis — the
       // batch half of the TIMESTAMP AS OF axis (consolidation copies it
       // into `_MANIFEST` verbatim, so the vintage survives folding)
-      val tsEff = math.max(ts, maxVisibleTs(path) + 1L)
+      val floor = maxVisibleTs(path) + 1L
+      val tsEff =
+        if (ts >= floor) ts // caller-claimed statement stamp, still valid
+        else AuditSeq.next(root,
+          math.max(System.currentTimeMillis(), floor))
       val body = entries.map(e =>
         s"""{"file":"${e.file}","rows":${e.rows},"ts":$tsEff}""") ++
         statsLines

@@ -2043,7 +2043,12 @@ final case class AuditBasePartition(file: String,
     originTsCut: Option[Long] = None,
     epochTs: Map[Long, Long] = Map.empty,
     fileTs: Map[String, Long] = Map.empty,
-    expiredThrough: Long = -1L)
+    expiredThrough: Long = -1L,
+    // PER-DIRECTORY bases (partitioned OPTIMIZE): origin `_ofile` values
+    // are plain names within the dir; `filePrefix` (the relDir + "/")
+    // re-qualifies the `_file` metadata column so row ids stay unique
+    // table-wide, matching the partitioned scan contract.
+    filePrefix: String = "")
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** One LEAF partition DIRECTORY of a partitioned audit table;
@@ -3244,16 +3249,17 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
     }.groupBy(_._1).toSeq.sortBy(_._1)
     // ONE commit timestamp for the whole DML statement (all directories,
     // inserts AND delete vectors): a travel instant sees the statement's
-    // effects appear together or not at all. Derived strictly ABOVE
-    // everything visible in the ROOT epoch log and every TOUCHED
-    // directory (monotonic stamps keep the CDC max+1 checkpoint
-    // exactly-once); a concurrent OCC append into an untouched dir can
-    // still tie within one millisecond — the documented residual.
+    // effects appear together or not at all. CLAIMED through the root
+    // sequencer — unique table-wide, so a concurrent OCC append in ANY
+    // directory (touched or not) can never tie it, even inside one
+    // millisecond; the CDC max+1 checkpoint is exactly-once across the
+    // race. The floor still covers the root epoch log and every touched
+    // directory (pre-sequencer history included).
     val touched = (insertGroups.map(_._1) ++ deleteGroups.map(_._1)).distinct
-    val commitMs = math.max(System.currentTimeMillis(),
-      (AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) +: 
+    val commitMs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
+      (AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) +:
         touched.map(d => AuditBase.maxVisibleTs(dir.resolve(d).toString)))
-        .max + 1L)
+        .max + 1L))
     // inserts: per-directory OCC txn append, same as the batch writer;
     // commitTxn may bump a dir PAST commitMs if an append raced in —
     // that dir's vectors take the bumped stamp so the dir stays
@@ -3274,7 +3280,7 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
           added.map { case (n, r, _) =>
             AuditBase.ManifestEntry(n, r, folded = false) },
           added.map { case (n, _, st) => AuditStats.line(n, st) },
-          ts = commitMs)
+          ts = commitMs, seqRoot = path)
         dirTs(relDir) = tsEff
       }
     deleteGroups.foreach { case (dirName, pairs) =>
@@ -3459,11 +3465,12 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val prior: Seq[AuditBase.ManifestEntry] = AuditBase.readManifest(path)
     val start = AuditBase.nextPartIndex(prior)
     // ONE commit timestamp for the statement's inserts and delete
-    // vectors — the TIMESTAMP AS OF axis sees them together — strictly
-    // ABOVE everything already visible (the monotonic stamp that makes
-    // the CDC max+1 checkpoint exactly-once across same-ms commits)
-    val commitMs = math.max(System.currentTimeMillis(),
-      AuditBase.maxVisibleTs(path) + 1L)
+    // vectors — the TIMESTAMP AS OF axis sees them together — claimed
+    // through the root sequencer: strictly above everything visible AND
+    // unique table-wide (no same-ms tie with a racing OCC append or an
+    // epoch publish), which keeps the CDC max+1 checkpoint exactly-once.
+    val commitMs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
+      AuditBase.maxVisibleTs(path) + 1L))
     val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
       .sortBy(_._1).zipWithIndex.map { case ((staged, rows, stats), i) =>
         val name = f"part-${start + i}%05d.jsonl"
@@ -4571,10 +4578,12 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     // _EPOCHS keeps exactly one line per epoch: drop any line a previous
     // attempt of this epoch wrote, then append the authoritative one.
     val epochsFile = dir.resolve("_EPOCHS")
-    // strictly monotonic epoch stamps (single streaming writer; the
-    // floor also covers batch/DML vintages in the same directory)
-    val epochTs = math.max(System.currentTimeMillis(),
-      AuditBase.maxVisibleTs(path) + 1L)
+    // strictly monotonic epoch stamps, claimed through the root
+    // sequencer (single streaming writer; the floor also covers
+    // batch/DML vintages in the same directory, and the sequencer makes
+    // a same-ms racing OCC append take a DIFFERENT stamp)
+    val epochTs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
+      AuditBase.maxVisibleTs(path) + 1L))
     val thisLine = s"""{"epoch":$epochId,"files":${entries.size},""" +
       s""""rows":${entries.map(_.rows).sum},"ts":$epochTs}"""
     val kept =
@@ -4683,11 +4692,13 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     }
     // the epoch log: one authoritative line per epoch (replay replaces
     // it). The stamp floor reads the ROOT logs only — scanning every
-    // partition directory per epoch would be O(dirs); a per-dir batch
-    // commit tying this epoch's millisecond is the documented residual.
+    // partition directory per epoch would be O(dirs) — and the root
+    // SEQUENCER claim makes the stamp unique table-wide anyway: a
+    // per-dir batch commit in the same millisecond claims a different
+    // value by construction (the former documented residual, closed).
     val epochsFile = dir.resolve("_EPOCHS")
-    val epochTs = math.max(System.currentTimeMillis(),
-      AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L)
+    val epochTs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
+      AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L))
     val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows,""" +
       s""""ts":$epochTs}"""
     val kept =
@@ -5488,6 +5499,12 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
     val byToken = messages.toSeq
       .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
       .groupBy(_._1)
+    // ONE statement stamp for all directories this INSERT routes to,
+    // claimed through the root sequencer: a travel instant sees the
+    // whole statement or none of it, and no same-ms commit anywhere in
+    // the table can tie it (a racing append that bumps a directory past
+    // the stamp forces that dir onto a fresh claim — see commitTxn)
+    val stmtTs = AuditSeq.next(path, System.currentTimeMillis())
     byToken.toSeq.sortBy(_._1).foreach { case (relDir, entries) =>
       val pdir = dir.resolve(relDir)
       java.nio.file.Files.createDirectories(pdir)
@@ -5508,7 +5525,8 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
       AuditBase.commitTxn(pdir.toString,
         added.map { case (n, r, _) =>
           AuditBase.ManifestEntry(n, r, folded = false) },
-        added.map { case (n, _, st) => AuditStats.line(n, st) })
+        added.map { case (n, _, st) => AuditStats.line(n, st) },
+        ts = stmtTs, seqRoot = path)
     }
     if (java.nio.file.Files.exists(stage)) {
       val walk = java.nio.file.Files.walk(stage)

@@ -426,7 +426,8 @@ class GraftCatalogSpec extends SparkSpec {
     // layout: one dir per value, each with its own manifest
     val dirs = new java.io.File(s"$wh/db/psales").listFiles()
       .filter(_.isDirectory).map(_.getName)
-      .filterNot(_ == "_staging").sorted // commit-scoped staging root may linger empty
+      .filterNot(Set("_staging", "_SEQ")) // staging may linger empty; _SEQ is the commit sequencer
+      .sorted
     assert(dirs.toSeq === Seq("flag=A", "flag=B", "flag=C"))
     // OCC appends publish as per-dir txns; entries are visible either way
     assert(AuditPartition.manifestEntries(
@@ -463,7 +464,7 @@ class GraftCatalogSpec extends SparkSpec {
         |AS SELECT id % 3 AS k, id AS v FROM range(9)""".stripMargin)
     val dirs = new java.io.File(s"$wh/db/pctas").listFiles()
       .filter(_.isDirectory).map(_.getName)
-      .filterNot(_ == "_staging").sorted
+      .filterNot(Set("_staging", "_SEQ")).sorted
     assert(dirs.toSeq === Seq("k=0", "k=1", "k=2"))
     val pruned = spark.sql("SELECT sum(v) FROM graft.db.pctas WHERE k = 1")
     assert(pruned.head.getLong(0) === 1L + 4L + 7L)
