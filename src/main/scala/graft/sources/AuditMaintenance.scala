@@ -723,63 +723,88 @@ private[sources] object AuditMaintenance {
     (b.files.size, b.files.map(_._2).sum, b.throughEpoch)
   }
 
-  /** PARTITIONED compaction, STAGE-AND-SWAP: rewrite the table clustered
-    * by the partition column into a hidden SIBLING directory tree (the
-    * path-based `partitionby` write rebuilds `<col>=<token>` dirs,
-    * per-dir manifests and `_STATS`), then publish with the same
-    * displaced-rename discipline the catalog's RTAS uses — old dir
-    * renamed aside, stage renamed into place, displaced dir deleted last.
-    * A crash mid-job leaves the live table UNTOUCHED (only an orphan
-    * stage, reclaimed by VACUUM clean_orphans); a crash between the two
-    * renames leaves the old tree recoverable beside a loudly-missing
-    * data dir — never a healthy-looking empty or half-compacted table
-    * (the truncate-then-append shape this replaces could crash into
-    * exactly that). Because the source table is never mutated while the
-    * job runs, the rewrite scan streams straight from the live
-    * directories — no driver pin, no localCheckpoint materialization, so
-    * the path costs one distributed read + one routed write at any
-    * scale. A streamed partitioned table accretes one file per epoch per
-    * token forever; this is its maintenance path. The epoch log is
-    * folded away by construction (the stage is a pure batch tree;
-    * epochs only serve replay idempotence, and maintenance runs under
-    * the format's single-writer rule — never beside a live stream or a
-    * checkpointed tail, which would hit the shrunken-log guard on
-    * restart). */
+  /** PARTITIONED compaction, PER-DIRECTORY BASE CHECKPOINTS: one
+    * distributed origin-tagged read of the current state (clustered by
+    * the partition columns, z-order/sort within), one routed write whose
+    * commit publishes each directory's `base-*` files + `_BASE` header
+    * (throughEpoch + the snapshot instant on the monotonic stamp axis)
+    * and tombstones the pinned manifest entries — the exact machinery of
+    * the unpartitioned OPTIMIZE, applied per leaf. Unlike the retired
+    * stage-and-swap design this PRESERVES every history axis in place:
+    * the root `_EPOCHS` log (VERSION AS OF and the streaming tail keep
+    * resolving), per-dir delete vectors (origin-keyed, valid against
+    * base rows forever), folded data files (left on disk for running
+    * feeds until VACUUM), `_IDENTITY` and `_COLMAP` (never moved) — so
+    * partitioned TIMESTAMP AS OF now travels ACROSS a compaction by
+    * resolving base rows by origin per directory, exactly like the
+    * unpartitioned q_audit_travel_compacted path. A streamed partitioned
+    * table accretes one file per epoch per token forever; this is its
+    * maintenance path. Crash windows per directory match the documented
+    * unpartitioned contract (manifest fold and `_BASE` publish are two
+    * renames); a crash before any commit leaves only an orphan `_staging`
+    * subtree, reclaimed by VACUUM clean_orphans. */
   def optimizePartitioned(spark: SparkSession, fullName: String, path: String,
       partSpec: String, targetFileCount: Int,
       sortBy: Option[String],
-      colMap: Map[String, String] = Map.empty,
+      schema: StructType,
       zorderBy: Seq[String] = Nil,
       bloomBy: Seq[String] = Nil): (Int, Long, Long) =
     AuditMaintLock.withLease(path, "optimize") {
       optimizePartitionedLocked(spark, fullName, path, partSpec,
-        targetFileCount, sortBy, colMap, zorderBy, bloomBy)
+        targetFileCount, sortBy, schema, zorderBy, bloomBy)
     }
 
   private def optimizePartitionedLocked(spark: SparkSession, fullName: String,
       path: String, partSpec: String, targetFileCount: Int,
       sortBy: Option[String],
-      colMap: Map[String, String],
+      schema: StructType,
       zorderBy: Seq[String],
       bloomBy: Seq[String]): (Int, Long, Long) = {
     val specs = AuditPartition.parseSpecs(partSpec)
     val partCols = specs.map(_.col)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "audit OPTIMIZE: sort_by and zorder_by are mutually exclusive")
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"audit OPTIMIZE: sort_by column $c not in table schema"))
+    // no upfront streaming-writer refusal: a gracefully stopped query's
+    // lease lingers to its TTL, and any epoch that actually commits
+    // mid-job changes the pinned fingerprint — the base publish then
+    // aborts loudly before touching anything
     val n =
       if (targetFileCount > 0) targetFileCount
       else spark.sparkContext.defaultParallelism
-    // raced-append fingerprint BEFORE the rewrite scan can plan — see the
-    // stage-and-swap vs OCC-appends defense above
-    val preStage = liveFileSets(path, partCols)
-    // the catalog read speaks CURRENT names; the staged rewrite must
-    // keep the STORAGE keys (renaming a column must never silently
-    // rewrite the payload keys out from under the colmap)
-    var df = colMap.foldLeft(spark.table(fullName)) {
-      case (d, (current, storage)) => d.withColumnRenamed(current, storage)
-    }
-    // sortBy/zorderBy arrive storage-named from the procedure — applied
-    // after the rename above, both spellings agree
+    // PINNED input set, captured BEFORE the rewrite scan can plan: the
+    // base folds exactly these files; an OCC append racing the job either
+    // aborts the commit (landed before its check — the scan may have
+    // read it) or stays live alongside the base (landed after).
+    val pinned = liveFileSets(path, partCols)
+    val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
+    // snapshot instant on the MONOTONIC stamp axis (root sequencer +
+    // every dir's visible stamps): every pre-snapshot commit stamp is
+    // <= snapTs, so post-compaction time travel splits exactly
+    val snapTs = (AuditPartition.listDirsByCols(path, partCols)
+      .map { case (_, d) => AuditBase.maxVisibleTs(d.toString) } ++
+      Seq(System.currentTimeMillis(), AuditSeq.maxIssued(path),
+        AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max)))
+      .max
+    // full current state, origin-tagged, STORAGE-named (raw read):
+    // includeDeleted keeps vector-deleted rows in the base under their
+    // origin ids, so the origin-keyed vectors keep applying
+    val full = spark.read.schema(schema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path)
+      .option("partitionby", AuditPartition.serializeSpecs(specs))
+      .option("includeDeleted", "true")
+      .option("rawcolumns", "true")
+      .load()
+    var df = full.select(schema.fieldNames.map(col).toSeq ++ Seq(
+      col("_epoch").as("_oepoch"),
+      // origin ids are PLAIN names within the directory (the scan
+      // dir-qualifies _file for table-wide uniqueness; per-dir vectors
+      // and manifests key by the plain name)
+      org.apache.spark.sql.functions.substring_index(col("_file"), "/", -1)
+        .as("_ofile"),
+      col("_pos").as("_opos")): _*)
     if (zorderBy.nonEmpty) {
       zorderBy.foreach { c =>
         val f = df.schema.fields.find(_.name == c).getOrElse(throw
@@ -827,60 +852,26 @@ private[sources] object AuditMaintenance {
     val bloomCols = (priorBloomed ++ bloomBy).filter(c =>
       df.schema.fields.exists(f =>
         f.name == c && AuditBloom.bloomable(f.dataType)))
-    val dir = java.nio.file.Paths.get(path)
-    def hidden(tag: String) = dir.resolveSibling(
-      "." + dir.getFileName.toString + s".$tag." +
-        java.util.UUID.randomUUID().toString.take(8))
-    val stage = hidden("optstage")
+    // test-only raced-append injection: a commit landing here (before or
+    // during the staging scan) must ABORT the base publish
+    afterStageHook.foreach(_())
+    // PER-DIRECTORY base commit (AuditPartitionedBaseWrite): staged
+    // through the ordinary partitioned writer discipline; the pinned set
+    // travels driver-side by token (O(files), not an option string)
+    val token = AuditPartBasePin.put(
+      AuditPartBasePin.Pin(through, snapTs, pinned))
     df.write.format(classOf[JsonAuditSink].getName)
-      .option("path", stage.toString)
+      .option("path", path)
       .option("partitionby", AuditPartition.serializeSpecs(specs))
+      .option("rawcolumns", "true")
+      .option("basecommit", "true")
+      .option("partbasetoken", token)
       .option("bloomcols", bloomCols.mkString(","))
       .mode("append").save()
-    // test-only failure injection (-Dgraft.audit.maintFailPoint=after-stage):
-    // dies AFTER the stage tree is fully written but BEFORE any rename —
-    // the live table must read identically, the orphan stage reclaimable
-    if (sys.props.get("graft.audit.maintFailPoint").contains("after-stage"))
-      throw new IllegalStateException(
-        "injected failure: partitioned OPTIMIZE killed after staging")
-    val displaced = hidden("old")
-    // the swap replaces the whole data dir — restore the replicated
-    // colmap (and the identity allocator's high-water mark: losing it
-    // would restart the allocator at 0 and reuse identity values) INTO
-    // THE STAGE before it becomes the table
-    val idhwm = dir.resolve("_IDENTITY")
-    if (java.nio.file.Files.exists(idhwm))
-      java.nio.file.Files.copy(idhwm, stage.resolve("_IDENTITY"))
-    AuditNameMap.writeColMapFile(stage, colMap)
-    // re-verify the lease immediately before the swap: the staging write
-    // above is the long phase — a frozen-then-resumed operation whose
-    // lease was stolen must abort HERE, not replace the thief's table
-    AuditMaintLock.verifyCurrent(path, "partitioned OPTIMIZE dir swap")
-    // an OCC append committed while the rewrite staged means the staged
-    // tree is stale — abort loudly instead of destroying committed rows
-    afterStageHook.foreach(_())
-    requireUnchangedSinceStaging(path, partCols, preStage, stage,
-      "partitioned OPTIMIZE")
-    afterCheckHook.foreach(_())
-    java.nio.file.Files.move(dir, displaced,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(stage, dir,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // an append that slid in between the check and the rename landed in
-    // the displaced tree — re-append it before the delete
-    reappendRaced(spark, path, displaced, partCols, preStage, df.schema,
-      AuditPartition.serializeSpecs(specs))
-    val walk = java.nio.file.Files.walk(displaced)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
     spark.catalog.refreshTable(fullName) // drop any cached file listing
     val perDir = AuditPartition.listDirsByCols(path, partCols)
-      .map { case (_, d) =>
-        val e = AuditPartition.manifestEntries(d)
-        (e.size, e.map(_._2).sum)
-      }
-    (perDir.map(_._1).sum, perDir.map(_._2).sum, -1L)
+      .flatMap { case (_, d) => AuditBase.read(d.toString).toSeq.flatMap(_.files) }
+    (perDir.size, perDir.map(_._2).sum, through)
   }
 
   // ---- stage-and-swap vs wait-free OCC appends --------------------------
@@ -1733,7 +1724,7 @@ private[sources] object GraftProcedures {
           case Some(ps) =>
             AuditMaintenance.optimizePartitioned(
               org.apache.spark.sql.SparkSession.active,
-              s"${catalog.name()}.$table", path, ps, tfc, sortBySt, cm,
+              s"${catalog.name()}.$table", path, ps, tfc, sortBySt, schema,
               zorderBySt, bloomBySt)
           case None => AuditMaintenance.optimize(
             org.apache.spark.sql.SparkSession.active, path, schema, tfc,

@@ -183,8 +183,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               AuditPartition.listDirsByCols(path,
                 AuditPartition.parseSpecs(pc).map(_.col))
                 .exists { case (_, d) =>
+                  // FOLDED entries count: a per-dir base checkpoint
+                  // tombstones the batch vintages it compacted, but they
+                  // are still history the commit-time pin must resolve
                   AuditBase.readManifest(d.toString).exists(e =>
-                    !e.folded && AuditScan.epochOf(e.file).isEmpty) ||
+                    AuditScan.epochOf(e.file).isEmpty) ||
                     (AuditDeletes.exists(d.toString) &&
                       AuditDeletes.count(d.toString) > 0)
                 }
@@ -2463,6 +2466,90 @@ object CatalogApi {
       |FROM cur GROUP BY flag
       |ORDER BY at, flag""".stripMargin
 
+  /** PARTITIONED TRAVEL ACROSS A COMPACTION, oracle-checked: a
+    * partitioned table with streamed epochs AND delta DML is compacted
+    * by the per-directory-base partitioned OPTIMIZE, then takes a
+    * post-compaction batch INSERT — and `TIMESTAMP AS OF` still answers
+    * exactly at (pre) an instant before the DML, (upd) between the DML
+    * and the compaction, and (tnow) after the post-compaction insert:
+    * base rows resolve by ORIGIN per directory (epoch origins via the
+    * root stamps, batch origins via the folded tombstones' retained ts,
+    * vectors ts-filtered against origin ids). The 'prune' slice repeats
+    * the pre instant under a partition predicate, proving travel
+    * composes with static partition pruning (plan-audited in
+    * AuditPartBaseSpec). */
+  def auditPartTravelCompacted(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qptc_wh")
+    spark.conf.set("spark.sql.catalog.graft_qptc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qptc.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qptc.db.pc")
+    spark.sql(
+      """CREATE TABLE graft_qptc.db.pc (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qptc_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_qptc.db.pc")
+    try w.processAllAvailable() finally w.stop()
+    val path = wh.resolve("db").resolve("pc").toString
+    val tPre = AuditScan.epochTimestamps(path).values.max
+    Thread.sleep(8)
+    spark.sql("UPDATE graft_qptc.db.pc SET id = id + 10000 " +
+      "WHERE id % 100 = 7")
+    def dirMax: Long = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, dd) => AuditBase.maxVisibleTs(dd.toString) }.max
+    val tUpd = dirMax
+    require(tPre < tUpd, s"commit ordering tie ($tPre, $tUpd)")
+    Thread.sleep(8)
+    spark.sql("CALL graft_qptc.system.optimize(table => 'db.pc', " +
+      "target_file_count => 3)")
+    spark.sql("INSERT INTO graft_qptc.db.pc VALUES (9000, 1), (9001, 2)")
+    val tNow = dirMax
+    require(tUpd < tNow, s"commit ordering tie ($tUpd, $tNow)")
+    def sliceAt(label: String, ms: Long, where: String = ""): DataFrame =
+      spark.sql(
+        s"""SELECT '$label' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+           |FROM graft_qptc.db.pc TIMESTAMP AS OF timestamp_millis($ms)
+           |$where GROUP BY flag""".stripMargin)
+    sliceAt("pre", tPre)
+      .unionAll(sliceAt("upd", tUpd))
+      .unionAll(sliceAt("tnow", tNow))
+      .unionAll(sliceAt("prune", tPre, "WHERE flag = 1"))
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qptc.db.pc GROUP BY flag""".stripMargin))
+      .orderBy(col("grp"), col("flag"))
+  }
+
+  val auditPartTravelCompactedSql: String =
+    """WITH pre AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(300) t(r)),
+      |upd AS (
+      |  SELECT CASE WHEN id % 100 = 7 THEN id + 10000 ELSE id END AS id,
+      |         flag FROM pre),
+      |now_state AS (
+      |  SELECT * FROM upd
+      |  UNION ALL SELECT 9000, 1 UNION ALL SELECT 9001, 2)
+      |SELECT 'pre' AS grp, flag, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM pre GROUP BY flag
+      |UNION ALL SELECT 'upd', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM upd GROUP BY flag
+      |UNION ALL SELECT 'tnow', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM now_state GROUP BY flag
+      |UNION ALL SELECT 'prune', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM pre WHERE flag = 1 GROUP BY flag
+      |UNION ALL SELECT 'cur', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM now_state GROUP BY flag
+      |ORDER BY grp, flag""".stripMargin
+
   /** ALTER COLUMN TYPE widening, oracle-checked: an INT column takes a
     * wave of values, widens to BIGINT with NO file rewrite (old literals
     * re-parse in the new type), then takes values beyond INT range; a
@@ -3536,6 +3623,7 @@ object CatalogApi {
       "q_audit_travel_mixed" -> (auditTravelMixed _),
       "q_audit_travel_compacted" -> (auditTravelCompacted _),
       "q_audit_travel_folded" -> (auditTravelFolded _),
+      "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3573,6 +3661,7 @@ object CatalogApi {
       "q_audit_travel_mixed" -> auditTravelMixedSql,
       "q_audit_travel_compacted" -> auditTravelCompactedSql,
       "q_audit_travel_folded" -> auditTravelFoldedSql,
+      "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,

@@ -875,6 +875,12 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return None
+    // a PINNED count on a compacted partitioned table needs an origin
+    // scan of the per-dir base rows (epoch <= v) — not metadata-answerable
+    if (versionAsOf.isDefined && partLevels.nonEmpty &&
+        AuditPartition.listDirs(path, partLevels).exists { case (_, d) =>
+          AuditBase.read(d.toString).isDefined })
+      return None
     val wantsMinMax = specs.flatten.exists(_.op != "count")
     if (wantsMinMax) {
       // exactness gate for the stats-answered aggregates
@@ -890,7 +896,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
               !AuditPartition.survives(relDir, allowedTokens, excludeNull) || {
                   val st = AuditStats.read(dir.toString)
                   AuditDeletes.count(dir.toString) == 0L &&
-                    AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1))
+                    AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1)) &&
+                    // per-dir base files (partitioned OPTIMIZE) need
+                    // stats lines too — they hold the compacted rows
+                    AuditBase.read(dir.toString).forall(
+                      _.files.forall(f => st.contains(f._1)))
                 }
           }
           if (!covered) return None
@@ -990,9 +1000,14 @@ final class AuditGroupCountScan(path: String,
     AuditPartition.listDirs(path, partLevels).collect {
       case (relDir, dir)
         if AuditPartition.survives(relDir, allowedTokens, excludeNull) =>
-        // live rows = manifest total − the dir's delete-vector entries
+        // live rows = base rows (per-dir checkpoint, vector-deleted rows
+        // included by construction) + live manifest total − the dir's
+        // delete-vector entries (each vector targets an origin id that
+        // exists exactly once across base + live files)
         (groupLevels.map(AuditPartition.componentToken(relDir, _)),
-          AuditPartition.manifestEntries(dir).map(_._2).sum -
+          AuditBase.read(dir.toString)
+            .map(_.files.map(_._2).sum).getOrElse(0L) +
+            AuditPartition.manifestEntries(dir).map(_._2).sum -
             AuditDeletes.count(dir.toString))
     }.groupBy(_._1).toSeq.sortBy(_._1.mkString("/"))
       .map { case (toks, dirs) => (toks, dirs.map(_._2).sum) }
@@ -1060,8 +1075,9 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
       if (partLevels.nonEmpty)
         survivingDirs.flatMap { case (_, dir) =>
             val st = AuditStats.read(dir.toString)
-            AuditPartition.manifestEntries(dir)
-              .flatMap(e => st.get(e._1).flatMap(_.ints.get(f.name)))
+            (AuditPartition.manifestEntries(dir).map(_._1) ++
+              AuditBase.read(dir.toString).toSeq.flatMap(_.files.map(_._1)))
+              .flatMap(file => st.get(file).flatMap(_.ints.get(f.name)))
         }
       else {
         val stats = AuditStats.read(path)
@@ -1089,6 +1105,14 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
   private def manifestCount(): Long =
     if (partLevels.nonEmpty)
       survivingDirs.map { case (_, dir) =>
+          // current-state: per-dir base rows (vector-deleted rows are in
+          // the base by construction) + live manifest − vector entries.
+          // Pinned reads on a compacted dir never reach here — the
+          // pushdown gate refuses (base rows need an origin scan).
+          (if (versionAsOf.isEmpty)
+            AuditBase.read(dir.toString)
+              .map(_.files.map(_._2).sum).getOrElse(0L)
+          else 0L) +
           AuditPartition.manifestEntries(dir).collect {
             case (f, r) if AuditScan.epochVisible(f, versionAsOf) => r
           }.sum -
@@ -1489,17 +1513,42 @@ final class AuditScan(path: String, writeSchema: StructType,
     if (unstamped.nonEmpty)
       timePinRefuse(s"epoch(s) ${unstamped.take(3).mkString(", ")} carry " +
         "no commit time (pre-upgrade history)")
+    // loud before-first-commit, like the unpartitioned path: a travel
+    // instant older than every stamped vintage must refuse, not answer
+    // an empty table that never existed
+    val minTs = (stamped.values ++
+      AuditPartition.listDirs(path, partLevels).flatMap { case (_, dd) =>
+        AuditBase.readManifest(dd.toString).flatMap(_.ts)
+      }).minOption
+    if (minTs.forall(_ > t))
+      throw new IllegalArgumentException(
+        s"audit TIMESTAMP AS OF: no commit at or before $t ms at $path" +
+          minTs.fold("")(m => s" (earliest timestamped commit: $m)"))
     survivingDirs.map { case (relDir, dir) =>
       val dirStats =
         if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
         else Map.empty[String, AuditStats.FileStats]
-      val entries = AuditBase.readManifest(dir.toString)
-        .filterNot(_.folded)
+      val base = AuditBase.read(dir.toString)
+      val baseThrough = base.map(_.throughEpoch).getOrElse(Long.MinValue)
+      val allEntries = AuditBase.readManifest(dir.toString)
+      val entries = allEntries.filterNot(_.folded)
       entries.foreach { e =>
         if (AuditScan.epochOf(e.file).isEmpty && e.ts.isEmpty)
           timePinRefuse(s"batch append ${e.file} in partition $relDir " +
             "carries no commit time (pre-upgrade history)")
       }
+      // COMPACTED directory (per-dir base checkpoint): base rows resolve
+      // by ORIGIN — epoch origins via the root epoch stamps, batch
+      // origins via the folded manifest tombstones' retained commit ts
+      // (a tombstone without one is pre-upgrade history: refuse loudly).
+      // Folded EPOCH tombstones need no ts — their vintage is the root
+      // log's. Mirrors the unpartitioned q_audit_travel_compacted path.
+      val foldedTs: Map[String, Long] = allEntries.collect {
+        case e if e.folded && AuditScan.epochOf(e.file).isEmpty =>
+          (e.file, e.ts.getOrElse(timePinRefuse(
+            s"folded batch append ${e.file} in partition $relDir " +
+              "carries no commit time (pre-upgrade history)")))
+      }.toMap
       val vecs = AuditDeletes.entriesWithTs(dir.toString)
       // VACUUM-folded vectors: physically blanked rows cannot be unwound,
       // but for an instant AT/AFTER the fold watermark every folded
@@ -1522,7 +1571,9 @@ final class AuditScan(path: String, writeSchema: StructType,
           "commit time (pre-upgrade history)")
       def visibleAt(e: AuditBase.ManifestEntry): Boolean =
         AuditScan.epochOf(e.file) match {
-          case Some(ep) => stamped.get(ep).exists(_ <= t)
+          // epoch rows at/under the base's throughEpoch are served from
+          // the base (a live epoch entry <= through would double-count)
+          case Some(ep) => ep > baseThrough && stamped.get(ep).exists(_ <= t)
           case None     => e.ts.exists(_ <= t)
         }
       val files = entries.filter(visibleAt).map(_.file)
@@ -1532,8 +1583,17 @@ final class AuditScan(path: String, writeSchema: StructType,
       val dirVectors = vecs
         .collect { case (f, pp, Some(ts)) if ts <= t => (f, pp) }
         .groupBy(_._1).map { case (f, ps) => (f, ps.map(_._2).toSet) }
+      val baseFiles = base.toSeq.flatMap(_.files.collect {
+        case (f, _) if !dirStats.get(f).exists(
+          AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
+          dir.resolve(f).toString
+      })
       AuditDirPartition(files, relDir, partLevels,
-        vectors = dirVectors): InputPartition
+        vectors = dirVectors,
+        baseFiles = baseFiles,
+        originTsCut = Some(t),
+        epochTs = stamped,
+        fileTs = foldedTs): InputPartition
     }.toArray
   }
 
@@ -1638,7 +1698,11 @@ final class AuditScan(path: String, writeSchema: StructType,
         // stays (possibly empty) so KeyGroupedPartitioning is unaffected.
         // A pinned (VERSION AS OF) read keeps only streaming-epoch files
         // with epoch <= v — batch txn appends carry no epoch, the same
-        // exclusion the unpartitioned pinned read applies.
+        // exclusion the unpartitioned pinned read applies. A directory
+        // with a BASE checkpoint (partitioned OPTIMIZE) serves its
+        // pre-compaction rows from origin-tagged base files read INSIDE
+        // the same InputPartition: current reads drop origin-vector-
+        // deleted base rows, pinned reads keep epoch origins <= v.
         return survivingDirs.map { case (relDir, dir) =>
           val dirStats =
             if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
@@ -1656,8 +1720,17 @@ final class AuditScan(path: String, writeSchema: StructType,
             if (versionAsOf.isEmpty && !includeDeleted)
               AuditDeletes.read(dir.toString)
             else Map.empty[String, Set[Long]]
+          val baseFiles = AuditBase.read(dir.toString).toSeq
+            .flatMap(_.files.collect {
+              case (f, _) if !dirStats.get(f).exists(
+                AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
+                dir.resolve(f).toString
+            })
           AuditDirPartition(files, relDir, partLevels,
-            vectors = dirVectors): InputPartition
+            vectors = dirVectors,
+            baseFiles = baseFiles,
+            baseMaxEpoch = versionAsOf,
+            baseEpochOriginOnly = versionAsOf.isDefined): InputPartition
         }.toArray
     }
     val dir = java.nio.file.Paths.get(path)
@@ -2061,7 +2134,20 @@ final case class AuditBasePartition(file: String,
   * the PLAIN file name within the directory. */
 final case class AuditDirPartition(files: Seq[String], relDir: String,
     levels: Seq[AuditPartition.Level],
-    vectors: Map[String, Set[Long]] = Map.empty)
+    vectors: Map[String, Set[Long]] = Map.empty,
+    // PER-DIRECTORY BASE CHECKPOINT (partitioned OPTIMIZE): the dir's
+    // base-* files are read INSIDE this partition (not as separate
+    // InputPartitions) so the KeyGroupedPartitioning contract — one
+    // partition per surviving dir — and storage-partitioned joins
+    // survive compaction. Origin filters mirror AuditBasePartition:
+    // current reads drop origin-vector-deleted rows, VERSION AS OF pins
+    // epoch origins <= v, TIMESTAMP AS OF cuts by origin commit time.
+    baseFiles: Seq[String] = Nil,
+    baseMaxEpoch: Option[Long] = None,
+    baseEpochOriginOnly: Boolean = false,
+    originTsCut: Option[Long] = None,
+    epochTs: Map[Long, Long] = Map.empty,
+    fileTs: Map[String, Long] = Map.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -2168,11 +2254,18 @@ final class AuditPartitionedMicroBatchStream(path: String,
         "from a fresh checkpoint")
     val slice = eps.slice(from, end.asInstanceOf[PagedOffset].page).toSet
     val epochRe = """part-e(-?\d+)-\d+\.jsonl""".r
+    // resolution reads the manifests INCLUDING folded tombstones: a
+    // per-dir base checkpoint (partitioned OPTIMIZE) tombstones compacted
+    // epoch entries but leaves their files on disk until VACUUM, so a
+    // running tail keeps replaying exact epoch slices across maintenance
+    // (the offset axis — the root `_EPOCHS` log — is never rewritten)
     AuditPartition.listDirs(path, partLevels).flatMap { case (_, pdir) =>
-      AuditPartition.manifestEntries(pdir).collect {
-        case (f @ epochRe(e), _) if slice.contains(e.toLong) =>
-          AuditFilePartition(pdir.resolve(f).toString,
-            Some(e.toLong)): InputPartition
+      AuditBase.readManifest(pdir.toString).collect {
+        case e if epochRe.pattern.matcher(e.file).matches() &&
+          slice.contains(AuditScan.epochOf(e.file).get) &&
+          java.nio.file.Files.exists(pdir.resolve(e.file)) =>
+          AuditFilePartition(pdir.resolve(e.file).toString,
+            AuditScan.epochOf(e.file)): InputPartition
       }
     }.toArray
   }
@@ -2408,7 +2501,9 @@ final case class AuditPartCdfOffset(
     dirs.toSeq.sortBy(_._1)
       .map { case (t, o) =>
         val folds = if (o.folds < 0L) "" else s":${o.folds}"
-        s""""${AuditRowJson.esc(t)}":"${o.entries}:${o.rows}:${o.dels}$folds"""" }
+        val mfolds =
+          if (o.folds < 0L || o.mfolds < 0L) "" else s":${o.mfolds}"
+        s""""${AuditRowJson.esc(t)}":"${o.entries}:${o.rows}:${o.dels}$folds$mfolds"""" }
       .mkString("{", ",", "}")
 }
 
@@ -2418,20 +2513,24 @@ private[sources] object AuditPartCdfOffset {
     * already-consumed prefix, everything else resumes exactly. folds is
     * the directory's monotonic fold generation ([[AuditDeletes
     * .foldedRows]]) at consumption time; -1 marks a pre-round-14
-    * checkpoint without the axis (that detector skipped too). */
+    * checkpoint without the axis (that detector skipped too). mfolds is
+    * the MANIFEST fold generation (tombstoned entries — a per-dir base
+    * checkpoint shifts every later live-entry index); -1 legacy. */
   final case class DirOff(entries: Int, rows: Long, dels: Int,
-      folds: Long = -1L)
+      folds: Long = -1L, mfolds: Long = -1L)
   val Zero: DirOff = DirOff(0, 0L, 0)
 
   private val EntryRe =
-    """"((?:[^"\\]|\\.)*)":(?:"(\d+):(-?\d+):(\d+)(?::(-?\d+))?"|(\d+))""".r
+    (""""((?:[^"\\]|\\.)*)":""" +
+      """(?:"(\d+):(-?\d+):(\d+)(?::(-?\d+))?(?::(-?\d+))?"|(\d+))""").r
   def parse(json: String): AuditPartCdfOffset = AuditPartCdfOffset(
     EntryRe.findAllMatchIn(json).map { m =>
       val tok = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
       val off =
-        if (m.group(6) != null) DirOff(m.group(6).toInt, -1L, 0)
+        if (m.group(7) != null) DirOff(m.group(7).toInt, -1L, 0)
         else DirOff(m.group(2).toInt, m.group(3).toLong, m.group(4).toInt,
-          if (m.group(5) == null) -1L else m.group(5).toLong)
+          if (m.group(5) == null) -1L else m.group(5).toLong,
+          if (m.group(6) == null) -1L else m.group(6).toLong)
       (tok, off)
     }.toMap)
 }
@@ -2456,7 +2555,10 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       // tail fails loudly — the documented maintenance contract)
       (relDir, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
         AuditDeletes.entries(pdir.toString).size,
-        AuditDeletes.foldedRows(pdir.toString)))
+        AuditDeletes.foldedRows(pdir.toString),
+        // manifest fold generation: a per-dir base checkpoint tombstones
+        // entries, shifting every later live index — detect it exactly
+        AuditBase.readManifest(pdir.toString).count(_.folded).toLong))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
@@ -2489,6 +2591,17 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
           "the table was truncated or its partition dropped; restart the feed"))
       val entries = AuditPartition.manifestEntries(pdir)
       val from = s.getOrElse(relDir, AuditPartCdfOffset.Zero)
+      // manifest-fold detector FIRST (precise diagnosis): a per-dir base
+      // checkpoint (partitioned OPTIMIZE) tombstones manifest entries,
+      // shifting every later LIVE index — even when the live count
+      // coincidentally matches the consumed offset
+      if (from.mfolds >= 0L)
+        require(AuditBase.readManifest(pdir.toString)
+          .count(_.folded).toLong == from.mfolds,
+          s"audit changeFeed: manifest entries of $relDir at $path were " +
+            "folded (partitioned OPTIMIZE base checkpoint) after this " +
+            "feed checkpointed — entry offsets no longer align; restart " +
+            "the feed from a fresh checkpoint")
       require(from.entries <= entries.size && until.entries <= entries.size,
         s"audit changeFeed: restored offset ${from.entries}..${until.entries} " +
           s"exceeds the manifest length ${entries.size} for $relDir at " +
@@ -2887,18 +3000,32 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     partition match {
       case p: AuditBasePartition => return baseReader(p)
+      case p: AuditDirPartition if p.baseFiles.nonEmpty =>
+        // a compacted partition directory reads its live files THEN its
+        // base files, all inside ONE InputPartition (KeyGrouped contract)
+        val prefix = if (p.relDir.isEmpty) "" else p.relDir + "/"
+        val live = createReader(p.copy(baseFiles = Nil))
+        val bases = p.baseFiles.map(f => () => baseReader(AuditBasePartition(
+          f, maxEpoch = p.baseMaxEpoch,
+          epochOriginOnly = p.baseEpochOriginOnly,
+          vectors = p.vectors, originTsCut = p.originTsCut,
+          epochTs = p.epochTs, fileTs = p.fileTs,
+          filePrefix = prefix)))
+        return chainReaders((() => live) +: bases)
       case _ => ()
     }
     // (file paths, epoch, fixed vector for the single-file case,
-    //  per-file vectors + `_file` prefix for the directory case)
-    val (files, epoch, fixedDeleted, dirVectors, filePrefix) = partition match {
-      case p: AuditFilePartition =>
-        (Seq(p.file), p.epoch, p.deleted.toSet,
-          Map.empty[String, Set[Long]], "")
-      case p: AuditDirPartition  =>
-        (p.files, None, Set.empty[Long], p.vectors,
-          if (p.relDir.isEmpty) "" else p.relDir + "/")
-    }
+    //  per-file vectors + `_file` prefix for the directory case;
+    //  dir reads derive each file's `_epoch` from its name)
+    val (files, epoch, fixedDeleted, dirVectors, filePrefix, deriveEpoch) =
+      partition match {
+        case p: AuditFilePartition =>
+          (Seq(p.file), p.epoch, p.deleted.toSet,
+            Map.empty[String, Set[Long]], "", false)
+        case p: AuditDirPartition  =>
+          (p.files, None, Set.empty[Long], p.vectors,
+            if (p.relDir.isEmpty) "" else p.relDir + "/", true)
+      }
     // map each required field to its write-schema index, or a negative
     // sentinel for the metadata columns (_epoch/_file/_pos);
     // `_orig_<col>` reads the same stored value as <col> (identity
@@ -2919,6 +3046,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       private var fileName: org.apache.spark.unsafe.types.UTF8String = _
       private var pos = -1L // line position within the current file
       private var deleted: Set[Long] = fixedDeleted
+      private var curEpoch: Option[Long] = epoch
       private var row: InternalRow = _
       private def advanceFile(): Boolean =
         if (!fileIt.hasNext) false
@@ -2930,6 +3058,9 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
             .fromString(filePrefix + plain)
           if (dirVectors.nonEmpty)
             deleted = dirVectors.getOrElse(plain, Set.empty)
+          // dir reads: a partition dir mixes epoch and batch files, so
+          // `_epoch` comes from the file name (part-e<epoch>-*.jsonl)
+          if (deriveEpoch) curEpoch = AuditScan.epochOf(plain)
           pos = -1L
           lines = java.nio.file.Files.lines(p,
             java.nio.charset.StandardCharsets.UTF_8)
@@ -2953,7 +3084,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
         var i = 0
         while (i < srcIdx.length) {
           vals(i) = srcIdx(i) match {
-            case -1 => epoch.map(Long.box).orNull
+            case -1 => curEpoch.map(Long.box).orNull
             case -2 => fileName
             case -3 => pos
             case s  =>
@@ -2970,6 +3101,31 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
       override def close(): Unit = if (lines != null) lines.close()
     }
   }
+
+  /** Sequential concatenation of readers (a compacted partition dir's
+    * live files + its base files as ONE partition). Readers are created
+    * lazily so at most one file stream is open at a time. */
+  private def chainReaders(
+      mk: Seq[() => org.apache.spark.sql.connector.read.PartitionReader[InternalRow]])
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val remaining = mk.iterator
+      private var cur: org.apache.spark.sql.connector.read
+        .PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!remaining.hasNext) return false
+            cur = remaining.next()()
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
 
   /** Reader over a base-checkpoint file: rows carry their origin
     * (`_oepoch`/`_ofile`/`_opos`) as trailing json fields. The metadata
@@ -3035,7 +3191,10 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
             while (i < srcIdx.length) {
               vals(i) = srcIdx(i) match {
                 case -1 => oe
-                case -2 => of
+                case -2 =>
+                  if (p.filePrefix.isEmpty) of
+                  else org.apache.spark.unsafe.types.UTF8String
+                    .fromString(p.filePrefix + of.toString)
                 case -3 => op
                 case s  =>
                   if (full.isNullAt(s)) null
@@ -4080,11 +4239,16 @@ final class AuditWriteBuilder(path: String, schema: StructType,
 
     override def toBatch: BatchWrite =
       if (options.get("basecommit").exists(_.toBoolean)) {
+        if (partLevels.nonEmpty) {
+          // PER-DIRECTORY base checkpoints (partitioned OPTIMIZE): the
+          // pinned input set is driver-side state handed through a token
+          // (a serialized per-dir file map would be O(files) in an
+          // option string; the commit runs on the driver either way)
+          val pin = AuditPartBasePin.take(options("partbasetoken"))
+          new AuditPartitionedBaseWrite(path, schema, partLevels,
+            pin.throughEpoch, pin.snapTs, pin.pinned, bloomCols)
+        } else
         // OPTIMIZE's base-checkpoint publish — see AuditBase
-        require(partLevels.isEmpty,
-          "audit: base compaction applies to unpartitioned tables " +
-            "(partitioned small files are controlled per-partition at write " +
-            "time via clusterBy/targetFileCount)")
         new AuditBaseBatchWrite(path, schema,
           options("basethroughepoch").toLong, options.get("basesortby"),
           options.get("basefoldfiles")
@@ -5465,6 +5629,151 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+/** Driver-side handoff of a partitioned compaction's pinned input set —
+  * the per-dir live file map is O(files) and the `BatchWrite` is
+  * constructed from string options, so the pin travels by token (the
+  * base commit runs on the driver, same JVM as the OPTIMIZE call). */
+private[sources] object AuditPartBasePin {
+  final case class Pin(throughEpoch: Long, snapTs: Long,
+      pinned: Map[String, Set[String]])
+  private val pins =
+    new java.util.concurrent.ConcurrentHashMap[String, Pin]()
+  def put(pin: Pin): String = {
+    val token = java.util.UUID.randomUUID.toString
+    pins.put(token, pin); token
+  }
+  def take(token: String): Pin = {
+    val p = pins.remove(token)
+    require(p != null,
+      s"audit partitioned OPTIMIZE: base-commit pin $token missing — " +
+        "the base write must run in the JVM that planned it")
+    p
+  }
+}
+
+/** PER-DIRECTORY BASE CHECKPOINT commit — partitioned OPTIMIZE's publish
+  * half, the partitioned analog of [[AuditBaseBatchWrite]]. Rows arrive
+  * origin-tagged and route through the ordinary partitioned writer; per
+  * directory, commit renames staged files to `base-*`, folds the PINNED
+  * manifest entries into tombstones (their commit ts retained — the
+  * batch half of post-compaction time travel), publishes the dir's
+  * `_BASE` (throughEpoch + the compaction snapshot instant), and deletes
+  * only files a PREVIOUS base owned. Unlike the retired stage-and-swap
+  * path this preserves ALL history axes in place: the root `_EPOCHS` log,
+  * per-dir delete vectors (origin-keyed, still valid against base rows),
+  * folded data files (left on disk so running tails/CDC keep resolving;
+  * VACUUM reclaims them later), `_IDENTITY`, `_COLMAP`. A raced OCC
+  * append aborts the commit loudly BEFORE any mutation (the rewrite scan
+  * read the pinned set; committing would duplicate or destroy the raced
+  * rows); an append landing after the check stays live alongside the
+  * base — folding touches only pinned files. */
+final class AuditPartitionedBaseWrite(path: String, schema: StructType,
+    partLevels: Seq[AuditPartition.Level],
+    throughEpoch: Long, snapTs: Long,
+    pinned: Map[String, Set[String]],
+    bloomCols: Set[String] = Set.empty) extends BatchWrite {
+  require(schema.fields.takeRight(3).map(_.name).toSeq ==
+    Seq("_oepoch", "_ofile", "_opos"),
+    s"audit partitioned base commit: schema must end with the origin " +
+      s"columns, got ${schema.fieldNames.mkString(",")}")
+
+  private val stageSub = "pb-" + java.util.UUID.randomUUID.toString.take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditPartitionedWriterFactory(path, schema, partLevels, stageSub,
+      bloomCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    AuditMaintLock.verifyCurrent(path, "partitioned OPTIMIZE base publish")
+    val dir = java.nio.file.Paths.get(path)
+    val stage = dir.resolve("_staging").resolve(stageSub)
+    // test-only failure injection: dies AFTER staging, BEFORE any
+    // per-dir mutation — the live table must read identically and the
+    // orphan stage be reclaimable (VACUUM clean_orphans)
+    if (sys.props.get("graft.audit.maintFailPoint").contains("after-stage"))
+      throw new IllegalStateException(
+        "injected failure: partitioned OPTIMIZE killed after staging")
+    // raced-append abort BEFORE any mutation: the staged tree reflects
+    // exactly the pinned set or the compaction is stale
+    val partCols = partLevels.map(_.col)
+    val nowSets = AuditPartition.listDirsByCols(path, partCols)
+      .map { case (rel, d) =>
+        (rel, AuditBase.readManifest(d.toString)
+          .collect { case e if !e.folded => e.file }.toSet)
+      }.toMap.filter(_._2.nonEmpty)
+    if (nowSets != pinned) {
+      if (java.nio.file.Files.exists(stage)) {
+        val walk = java.nio.file.Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      throw new IllegalStateException(
+        s"audit partitioned OPTIMIZE: concurrent append(s) committed " +
+          s"while the compaction ran at $path — the rewrite no longer " +
+          "covers the table. Nothing was changed; re-run the operation.")
+    }
+    // test hook: an append landing AFTER the check stays live alongside
+    // the base (folding touches only pinned files) — never destroyed
+    AuditMaintenance.afterCheckHook.foreach(_())
+    val byDir = messages.toSeq
+      .flatMap(_.asInstanceOf[AuditPartCommitMessage].entries)
+      .groupBy(_._1)
+    (pinned.keySet ++ byDir.keySet).toSeq.sorted.foreach { relDir =>
+      val pdir = dir.resolve(relDir)
+      java.nio.file.Files.createDirectories(pdir)
+      val gen = java.util.UUID.randomUUID().toString.take(8)
+      val entries = byDir.getOrElse(relDir, Seq.empty)
+        .filter(_._3 > 0).sortBy(_._2)
+      val files = entries.zipWithIndex.map { case ((_, staged, rows, _), i) =>
+        val name = f"base-$gen-$i%05d.jsonl"
+        java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (name, rows)
+      }
+      val prev = AuditBase.read(pdir.toString)
+      AuditBase.consolidate(pdir.toString)
+      val manifest = AuditBase.readManifest(pdir.toString)
+      val pin = pinned.getOrElse(relDir, Set.empty)
+      val toFold: AuditBase.ManifestEntry => Boolean = e =>
+        !e.folded && pin.contains(e.file)
+      AuditBase.writeManifest(pdir.toString,
+        manifest.map(e => if (toFold(e)) e.copy(folded = true) else e))
+      AuditBase.write(pdir.toString, throughEpoch,
+        prev.map(_.expiredThrough).getOrElse(-1L), files,
+        ts = Some(snapTs))
+      // only a PREVIOUS base's files are superseded-and-invisible
+      // everywhere — folded ORIGINAL files stay on disk for running
+      // tails/feeds until VACUUM
+      prev.foreach(_.files.foreach { case (f, _) =>
+        java.nio.file.Files.deleteIfExists(pdir.resolve(f))
+      })
+      AuditStats.retain(pdir.toString,
+        f => java.nio.file.Files.exists(pdir.resolve(f)))
+      AuditStats.append(pdir.toString,
+        entries.zip(files).map { case ((_, _, _, st), (name, _)) =>
+          (name, st)
+        })
+    }
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stage = java.nio.file.Paths.get(path).resolve("_staging").resolve(stageSub)
+    if (java.nio.file.Files.exists(stage)) {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }
 
 /** Commit for partitioned tables: group staged files by partition relDir,

@@ -574,19 +574,28 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(!mm0.queryExecution.executedPlan.toString.contains("AuditCountScan"),
       mm0.queryExecution.executedPlan.toString.take(500))
     assert(mm0.head.toSeq === Seq(0L, 100499L))
-    // partitioned OPTIMIZE folds the vectors and recomputes per-dir
-    // stats — the metadata MIN/MAX claim comes back, exact
+    // partitioned OPTIMIZE (per-dir base checkpoints) PRESERVES the
+    // vectors — origin-keyed, they keep applying to base rows, which is
+    // what lets TIMESTAMP AS OF travel across the compaction. The
+    // metadata MIN/MAX claim therefore stays correctly refused (a vector
+    // could hide the extreme row; base stats cover deleted rows too) —
+    // but answers stay exact through the row-level path.
     spark.sql(
       "CALL graft_m.system.optimize(table => 'db.pz1', target_file_count => 4)")
     val mm = spark.sql("SELECT min(id), max(id) FROM graft_m.db.pz1")
-    assert(mm.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+    assert(!mm.queryExecution.executedPlan.toString.contains("AuditCountScan"),
       mm.queryExecution.executedPlan.toString.take(500))
     assert(mm.head.toSeq === Seq(0L, 100499L))
-    // partition-sliced extremes stay metadata-only and slice-exact
+    // partition-sliced extremes likewise: row-level but slice-exact
     val mmA = spark.sql(
       "SELECT min(id), max(id) FROM graft_m.db.pz1 WHERE flag = 'A'")
-    assert(mmA.queryExecution.executedPlan.toString.contains("AuditCountScan"))
     assert(mmA.head.toSeq === Seq(0L, 100498L)) // 'A' holds the even ids
+    // counts DO stay metadata-only across the compaction (base rows +
+    // live manifest − vectors)
+    val cnt = spark.sql("SELECT count(*) FROM graft_m.db.pz1")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      cnt.queryExecution.executedPlan.toString.take(500))
+    assert(cnt.head.getLong(0) === 1500L)
   }
 
   test("grouped COUNT by the partition column answers from manifests only") {
@@ -660,17 +669,21 @@ class AuditMaintenanceSpec extends SparkSpec {
     val res = spark.sql("CALL graft_m.system.optimize(table => 'db.po1', " +
       "target_file_count => 3, sort_by => 'id')").collect()
     assert(res.head.getLong(2) === 401L, res.toSeq)
-    // one file per partition dir, batch-named, epoch log folded away
+    // PER-DIR BASE CHECKPOINT: one base file per dir (rows route whole-
+    // dir-per-task), original entries tombstoned, epoch log PRESERVED
+    // (that is what keeps VERSION AS OF / tails / travel resolving)
     (0 to 2).foreach { t =>
-      val entries = AuditPartition.manifestEntries(
-        dataDir("po1").resolve(s"flag=$t"))
-      assert(entries.size === 1, s"flag=$t: $entries")
-      // batch files are commit-unique-named (OCC txn append naming)
-      assert(entries.head._1.matches("part-x[0-9a-f]{8}-\\d{5}\\.jsonl"), entries)
-      assert(AuditStats.read(
-        dataDir("po1").resolve(s"flag=$t").toString).nonEmpty)
+      val pdir = dataDir("po1").resolve(s"flag=$t")
+      assert(AuditPartition.manifestEntries(pdir).isEmpty,
+        s"flag=$t live entries should all be folded into the base")
+      val b = AuditBase.read(pdir.toString)
+      assert(b.isDefined && b.get.files.size === 1, s"flag=$t: $b")
+      assert(b.get.files.head._1.matches("base-[0-9a-f]{8}-\\d{5}\\.jsonl"), b)
+      assert(b.get.ts.isDefined, "base must carry the snapshot instant")
+      assert(AuditStats.read(pdir.toString).nonEmpty)
     }
-    assert(!java.nio.file.Files.exists(dataDir("po1").resolve("_EPOCHS")))
+    assert(java.nio.file.Files.exists(dataDir("po1").resolve("_EPOCHS")),
+      "the epoch log survives partitioned OPTIMIZE (history preserved)")
     // every read contract is unchanged
     assert(snap("SELECT id, flag FROM graft_m.db.po1 ORDER BY id") === before)
     val cnt = spark.sql(
@@ -679,9 +692,9 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(cnt.head.getLong(0) === 134L) // 133 streamed + 1 inserted
     assert(spark.sql("SELECT min(id), max(id) FROM graft_m.db.po1")
       .head.toSeq === Seq(0L, 9000L))
-    // within-dir sort honored
-    val f0 = AuditPartition.manifestEntries(
-      dataDir("po1").resolve("flag=0")).head._1
+    // within-dir sort honored (in the base file)
+    val f0 = AuditBase.read(
+      dataDir("po1").resolve("flag=0").toString).get.files.head._1
     val ids = java.nio.file.Files.readAllLines(
       dataDir("po1").resolve("flag=0").resolve(f0))
       .asScala.map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
@@ -709,12 +722,12 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(snap("SELECT id, v, flag FROM graft_m.db.po4 ORDER BY id") === before)
     (0 to 1).foreach { t =>
       val pdir = dataDir("po4").resolve(s"flag=$t")
-      val entries = AuditPartition.manifestEntries(pdir)
+      val entries = AuditBase.read(pdir.toString).get.files
       assert(entries.size >= 2,
-        s"flag=$t should hold multiple z-tiled files: $entries")
+        s"flag=$t base should hold multiple z-tiled files: $entries")
       val stats = AuditStats.read(pdir.toString)
-      // every file carries bounds for BOTH z-ordered dimensions and an
-      // id bloom; z-tiling makes the per-file id ranges non-identical
+      // every base file carries bounds for BOTH z-ordered dimensions and
+      // an id bloom; z-tiling makes the per-file id ranges non-identical
       assert(entries.forall(e => stats.get(e._1)
         .exists(s => s.ints.contains("id") && s.ints.contains("v") &&
           s.blooms.contains("id"))), stats.keySet)

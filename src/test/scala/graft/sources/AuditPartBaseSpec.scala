@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** PER-DIRECTORY BASE CHECKPOINTS (partitioned OPTIMIZE): unlike the
+  * retired stage-and-swap design, compaction preserves every history
+  * axis in place — so partitioned VERSION AS OF, TIMESTAMP AS OF, and
+  * the streaming tail all keep resolving ACROSS a compaction, and the
+  * partitioned change feed detects the manifest fold loudly instead of
+  * drifting. Travel composes with static partition pruning (the pruned
+  * plan opens only the surviving directory's partition). */
+class AuditPartBaseSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshCat(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_pb_${tag}_")
+    val cat = s"graft_pb_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+
+  private def streamEpochs(cat: String, pages: Int): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pb_ckpt")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", pages.toString).option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.t")
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("VERSION AS OF resolves across a partitioned compaction via " +
+    "base epoch origins") {
+    val (cat, wh) = freshCat("v")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 3) // epochs 0,1,2 → ids 0..299
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1)") // batch: never pinned
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 3)")
+    // all three dirs compacted: no live entries, a base each
+    val path = wh.resolve("db").resolve("t")
+    (0 to 2).foreach { f =>
+      val pdir = path.resolve(s"flag=$f").toString
+      // everything (epochs AND the pre-compaction batch row) folded in
+      assert(AuditPartition.manifestEntries(
+        java.nio.file.Paths.get(pdir)).isEmpty)
+      assert(AuditBase.read(pdir).isDefined)
+    }
+    // VERSION AS OF 1 = epochs 0..1 = ids 0..199, batch row excluded
+    val v1 = spark.sql(s"SELECT count(*) AS n, sum(id) AS s " +
+      s"FROM $cat.db.t VERSION AS OF 1").head
+    assert(v1.getLong(0) === 200L)
+    assert(v1.getLong(1) === (0L until 200L).sum)
+    // current = 300 streamed + 1 batch
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === 301L)
+  }
+
+  test("TIMESTAMP AS OF travels across the compaction, per-dir origins, " +
+    "with static partition pruning in the plan") {
+    val (cat, wh) = freshCat("t")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 2) // ids 0..199
+    val path = wh.resolve("db").resolve("t").toString
+    val tPre = AuditScan.epochTimestamps(path).values.max
+    Thread.sleep(4)
+    spark.sql(s"UPDATE $cat.db.t SET id = id + 10000 WHERE id % 50 = 7")
+    def dirMax: Long = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, d) => AuditBase.maxVisibleTs(d.toString) }.max
+    val tUpd = dirMax
+    Thread.sleep(4)
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 0)")
+    val tNow = dirMax
+    def at(ms: Long, where: String = ""): (Long, Long) = {
+      val r = spark.sql(s"SELECT count(*), sum(id) FROM $cat.db.t " +
+        s"TIMESTAMP AS OF timestamp_millis($ms) $where").head
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = (0L until 200L).sum
+    assert(at(tPre) === ((200L, base)))
+    assert(at(tUpd) === ((200L, base + 4 * 10000L))) // ids 7,57,107,157
+    assert(at(tNow) === ((201L, base + 4 * 10000L + 9000L)))
+    // pruned travel: only flag=1 rows at tPre (ids ≡ 1 mod 3)
+    val onlyF1 = (0L until 200L).filter(_ % 3 == 1)
+    assert(at(tPre, "WHERE flag = 1") === ((onlyF1.size.toLong, onlyF1.sum)))
+    // PLAN AUDIT: the pruned travel read plans exactly ONE dir partition
+    val pruned = spark.sql(s"SELECT id FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tPre) WHERE flag = 1")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputPartitions.collect { case p: AuditDirPartition => p }
+    assert(parts.size === 1, s"expected 1 pruned dir, got ${parts.size}")
+    assert(parts.head.relDir === "flag=1")
+    assert(parts.head.baseFiles.nonEmpty, "travel must read the dir's base")
+    // refusal before the first commit is still loud
+    val ex = intercept[Exception](at(tPre - 1000000L))
+    assert(ex.getMessage.contains("TIMESTAMP AS OF"), ex.getMessage)
+  }
+
+  test("a running streaming tail keeps replaying exact epoch slices " +
+    "across the compaction") {
+    val (cat, wh) = freshCat("s")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 3)
+    val path = wh.resolve("db").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType)))
+    val tail = new AuditPartitionedMicroBatchStream(path, schema, schema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
+    // consume epoch 0, checkpoint, then compact
+    val off1 = PagedOffset(1)
+    assert(tail.planInputPartitions(PagedOffset(0), off1).length > 0)
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    // the tail resumes PAST the compaction: epochs 1..2 resolve through
+    // the folded tombstones (files still on disk), exact row totals
+    val parts = tail.planInputPartitions(off1, tail.latestOffset())
+    val rows = parts.collect { case p: AuditFilePartition =>
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(p.file)).size.toLong
+    }.sum
+    assert(rows === 200L, s"epochs 1..2 must replay exactly, got $rows")
+  }
+
+  test("the partitioned change feed detects the manifest fold loudly") {
+    val (cat, wh) = freshCat("c")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 2)
+    val path = wh.resolve("db").resolve("t").toString
+    val cdfSchema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType)))
+    val feed = new AuditPartitionedCdfStream(path, cdfSchema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
+    val consumed = feed.latestOffset()
+    // offsets round-trip the new manifest-fold axis
+    assert(feed.deserializeOffset(consumed.json()).asInstanceOf[AuditPartCdfOffset]
+      .dirs.values.forall(_.mfolds === 0L))
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    val ex = intercept[Exception](
+      feed.planInputPartitions(consumed, feed.latestOffset()))
+    assert(ex.getMessage.contains("folded"), ex.getMessage)
+    // a FRESH feed over the compacted table works (no consumed prefix)
+    assert(feed.planInputPartitions(feed.initialOffset(),
+      feed.latestOffset()) != null)
+  }
+}
