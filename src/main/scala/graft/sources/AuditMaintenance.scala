@@ -1169,6 +1169,12 @@ private[sources] object AuditMaintenance {
             "folded epoch history and cannot be un-folded")
       case None => ()
     }
+    // PARTITIONED compacted table: per-dir base checkpoints — route
+    // boundary restores to the per-dir checkpoint path
+    if (partCols.nonEmpty &&
+        AuditPartition.listDirsByCols(path, partCols).exists { case (_, d) =>
+          AuditBase.read(d.toString).isDefined })
+      return restorePartitionedToCheckpoint(path, version, partCols)
     val gone = epochs.filter(_ > version)
     if (gone.isEmpty) return (0, 0L)
     if (partCols.isEmpty) {
@@ -1319,6 +1325,107 @@ private[sources] object AuditMaintenance {
     AuditStats.retain(path,
       f => java.nio.file.Files.exists(dir.resolve(f)))
     (filesRemoved, rowsRemoved)
+  }
+
+  /** RESTORE a PARTITIONED compacted table to its OPTIMIZE checkpoint
+    * boundary — the per-directory analog of [[restoreToCheckpoint]]:
+    * every directory's base materializes the checkpoint's state there,
+    * so undoing everything after it is per-dir vintage truncation —
+    * post-checkpoint epochs truncate from the root log, every LIVE
+    * per-dir manifest entry deletes (the fold marked exactly the
+    * checkpointed set), per-dir vectors split on the commit-time axis
+    * at the shared snapshot instant, and a directory born AFTER the
+    * checkpoint (no base) empties entirely. Metadata first, files
+    * second — same crash contract as every maintenance path. */
+  private def restorePartitionedToCheckpoint(path: String, version: Long,
+      partCols: Seq[String]): (Int, Long) = {
+    val dirs = AuditPartition.listDirsByCols(path, partCols)
+    val bases = dirs.flatMap { case (rel, d) =>
+      AuditBase.read(d.toString).map(b => (rel, d, b)) }
+    val throughs = bases.map(_._3.throughEpoch).distinct
+    require(throughs.size == 1,
+      s"audit RESTORE: partition directories of $path disagree on the " +
+        s"checkpoint epoch (${throughs.sorted.mkString(", ")}) — " +
+        "interrupted compaction; re-run OPTIMIZE first")
+    require(version == throughs.head,
+      s"audit RESTORE: $path is compacted — only the checkpoint " +
+        s"boundary (epoch ${throughs.head}) is restorable there (the " +
+        "per-dir bases materialize full state at that instant); other " +
+        "epochs cannot be un-folded")
+    val baseTsByDir: Map[String, Long] = bases.map { case (rel, d, b) =>
+      (rel, b.ts.getOrElse(throw new IllegalStateException(
+        s"audit RESTORE: the base checkpoint of partition $rel at $path " +
+          "predates commit-time stamping — pre- and post-checkpoint " +
+          "delete vectors cannot be told apart; re-run OPTIMIZE first")))
+    }.toMap
+    dirs.foreach { case (rel, d) =>
+      require(AuditDeletes.foldedRows(d.toString) == 0L,
+        s"audit RESTORE: partition $rel of $path has VACUUM-folded " +
+          "delete vectors — physically blanked rows cannot be restored")
+      require(AuditDeletes.entriesWithTs(d.toString).forall(_._3.nonEmpty),
+        s"audit RESTORE: partition $rel of $path has delete vectors " +
+          "without commit times (pre-upgrade history) — their " +
+          "checkpoint side is unknown")
+    }
+    val epochs = AuditScan.committedEpochs(path)
+    val gone = epochs.filter(_ > version)
+    val rowsByEpoch = AuditScan.epochRowsByEpoch(path)
+    AuditMaintLock.verifyCurrent(path, "partitioned RESTORE truncation")
+    var filesRemoved = 0
+    var batchRowsRemoved = 0L
+    // metadata first: root epoch log, then each dir's manifest + vectors
+    if (gone.nonEmpty) {
+      val dir = java.nio.file.Paths.get(path)
+      val epochsFile = dir.resolve("_EPOCHS")
+      val keepRe = """\{"epoch":(-?\d+),.*""".r
+      val kept = java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
+        .filter {
+          case keepRe(e) => e.toLong <= version
+          case _         => true
+        }
+      val tmp = dir.resolve("_EPOCHS.tmp")
+      java.nio.file.Files.write(tmp,
+        kept.map(_ + "\n").mkString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, epochsFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val doomedFiles = scala.collection.mutable.ArrayBuffer
+      .empty[java.nio.file.Path]
+    dirs.foreach { case (rel, d) =>
+      AuditBase.consolidate(d.toString)
+      val manifest = AuditBase.readManifest(d.toString)
+      val (foldedEntries, liveEntries) = manifest.partition(_.folded)
+      val vecs = AuditDeletes.entriesWithTs(d.toString)
+      baseTsByDir.get(rel) match {
+        case Some(baseTs) =>
+          val (keepVecs, dropVecs) = vecs.partition(_._3.exists(_ <= baseTs))
+          if (dropVecs.nonEmpty)
+            AuditDeletes.replace(d.toString, keepVecs, Map.empty)
+        case None =>
+          // a directory born after the checkpoint: everything in it —
+          // entries, vectors — is post-checkpoint
+          if (vecs.nonEmpty) AuditDeletes.clear(d.toString)
+      }
+      if (liveEntries.nonEmpty) {
+        AuditBase.writeManifest(d.toString, foldedEntries)
+        liveEntries.foreach { e =>
+          // epoch-file rows are accounted through the root epoch log
+          if (AuditScan.epochOf(e.file).isEmpty) batchRowsRemoved += e.rows
+          doomedFiles += d.resolve(e.file)
+        }
+      }
+    }
+    // files second
+    doomedFiles.foreach { f =>
+      if (java.nio.file.Files.deleteIfExists(f)) filesRemoved += 1
+    }
+    dirs.foreach { case (_, d) =>
+      AuditStats.retain(d.toString,
+        f => java.nio.file.Files.exists(d.resolve(f)))
+    }
+    (filesRemoved,
+      gone.map(rowsByEpoch.getOrElse(_, 0L)).sum + batchRowsRemoved)
   }
 
   /** VECTOR RETENTION: fold positional delete-vector entries that target
@@ -1483,7 +1590,12 @@ private[sources] object AuditMaintenance {
       if (partCols.nonEmpty) {
         AuditPartition.listDirsByCols(path, partCols).foreach { case (_, pdir) =>
           AuditBase.cleanTxnDebris(pdir.toString) // lost per-dir OCC attempts
-          val listed = AuditPartition.manifestEntries(pdir).map(_._1).toSet
+          // referenced = ALL manifest entries (folded originals stay on
+          // disk by design — running tails resolve them) + the dir's
+          // base checkpoint files
+          val listed = AuditBase.readManifest(pdir.toString)
+            .map(_.file).toSet ++
+            AuditBase.read(pdir.toString).toSeq.flatMap(_.files.map(_._1))
           val listing = java.nio.file.Files.list(pdir)
           try listing.iterator().asScala
             .filter(p => (p.getFileName.toString.endsWith(".jsonl") &&

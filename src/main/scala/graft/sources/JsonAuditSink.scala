@@ -3991,6 +3991,27 @@ private[sources] object AuditDelete {
         // DML is single-writer vs maintenance but may race OCC appends:
         // fold live txns in before rewriting files + manifest in place
         AuditBase.consolidate(pdir.toString)
+        // compacted dir (per-dir base checkpoint): only TRUNCATE reaches
+        // the partitioned in-place path (canDeleteWhere routes predicate
+        // deletes to the delta path) — the base and every folded
+        // original die wholesale; purged bytes must not linger anywhere
+        val dirBase = AuditBase.read(pdir.toString)
+        if (dirBase.isDefined || AuditBase.readManifest(pdir.toString)
+            .exists(_.folded)) {
+          require(filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
+            "audit: retroactive metadata DELETE on a compacted " +
+              "partition is unsupported — predicate deletes take the " +
+              "delta path")
+          dirBase.foreach(_.files.foreach { case (f, _) =>
+            java.nio.file.Files.deleteIfExists(pdir.resolve(f))
+          })
+          AuditBase.readManifest(pdir.toString).foreach { e =>
+            if (e.folded)
+              java.nio.file.Files.deleteIfExists(pdir.resolve(e.file))
+          }
+          java.nio.file.Files.deleteIfExists(pdir.resolve("_BASE"))
+        }
         // fold the directory's outstanding delete vectors (partitioned
         // delta DML) into the rewrite, then clear them — compaction
         // shifted every surviving position, same as the unpartitioned path
@@ -4817,15 +4838,20 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     // every partition (a replay may route to different partitions).
     // consolidate first: this path read-modify-writes the partition
     // manifest, and live OCC txn appends must fold in, not double-count
+    // FULL entries, not the live (file, rows) projection: a rewrite
+    // through the plain pair shape would silently DROP folded tombstones
+    // (the per-dir base checkpoint's batch vintages — post-compaction
+    // time travel dies) and live batch entries' commit stamps
     AuditPartition.listDirs(path, partLevels).foreach { case (_, pdir) =>
       AuditBase.consolidate(pdir.toString)
-      val prior = AuditPartition.manifestEntries(pdir)
-      val (mine, keep) = prior.partition(_._1.startsWith(epochPrefix))
+      val prior = AuditBase.readManifest(pdir.toString)
+      val (mine, keep) = prior.partition(e =>
+        !e.folded && e.file.startsWith(epochPrefix))
       if (mine.nonEmpty) {
-        mine.foreach { case (f, _) =>
-          java.nio.file.Files.deleteIfExists(pdir.resolve(f))
+        mine.foreach { e =>
+          java.nio.file.Files.deleteIfExists(pdir.resolve(e.file))
         }
-        AuditPartition.writeManifest(pdir, keep)
+        AuditBase.writeManifest(pdir.toString, keep)
         AuditStats.retain(pdir.toString, !_.startsWith(epochPrefix))
       }
     }
@@ -4838,7 +4864,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       val pdir = dir.resolve(relDir)
       java.nio.file.Files.createDirectories(pdir)
       AuditBase.consolidate(pdir.toString) // RMW of the manifest below
-      val prior = AuditPartition.manifestEntries(pdir)
+      val prior = AuditBase.readManifest(pdir.toString) // FULL entries
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, r, st), i) =>
           val name = f"part-e$epochId%d-$i%05d.jsonl"
@@ -4847,8 +4873,9 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           (name, r, st)
       }
-      AuditPartition.writeManifest(pdir,
-        prior ++ added.map { case (n, r, _) => (n, r) })
+      AuditBase.writeManifest(pdir.toString,
+        prior ++ added.map { case (n, r, _) =>
+          AuditBase.ManifestEntry(n, r, folded = false) })
       AuditStats.append(pdir.toString,
         added.map { case (n, _, st) => (n, st) })
       files += added.size
