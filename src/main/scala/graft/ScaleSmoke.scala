@@ -228,7 +228,50 @@ object ScaleSmoke {
           s"INSERT INTO $cat.db.t (id, v) SELECT id, id * 3 FROM range($n)")),
       ("audit_part_zorder", (cat, n) => { mkPart(cat, n); fill(cat, n) },
         (cat, _) => spark.sql(s"CALL $cat.system.optimize(" +
-          "table => 'db.t', target_file_count => 8, zorder_by => 'id,v')")))
+          "table => 'db.t', target_file_count => 8, zorder_by => 'id,v')")),
+      // READ paths (round-16): the time-pin planners and the ts-CDC pull
+      // re-read manifests/vector logs per plan — prove the planning cost
+      // is LOG-sized, not row-sized (the scan itself is linear in rows
+      // read, which is the point of reading)
+      ("audit_travel_ts_read", (cat, n) => {
+        mkPart(cat, n); fill(cat, n)
+        spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")
+      }, (cat, _) => {
+        val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+        val t = graft.sources.AuditIntrospect.maxVisibleMs(s"$wh/db/t",
+          Seq("flag"))
+        spark.sql(s"SELECT count(*), sum(v) FROM $cat.db.t " +
+          s"TIMESTAMP AS OF timestamp_millis($t)")
+          .queryExecution.toRdd.count()
+      }),
+      ("audit_cdc_ts_pull", (cat, n) => {
+        mkPart(cat, n); fill(cat, n)
+        spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")
+      }, (cat, n) => {
+        // pull ONLY the DML tail (the window excludes the bulk insert):
+        // a log-sized plan + change-sized read, never a table-sized one
+        val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+        val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("flag",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_ts",
+            org.apache.spark.sql.types.LongType)))
+        val insertTs = graft.sources.AuditIntrospect.minBatchTs(s"$wh/db/t",
+          Seq("flag"))
+        spark.read.schema(cdfSchema)
+          .format(classOf[graft.sources.JsonAuditSink].getName)
+          .option("path", s"$wh/db/t").option("partitionby", "flag")
+          .option("changeFeed", "true")
+          .option("startingTimestamp", (insertTs + 1).toString).load()
+          .groupBy(col("_change_type")).count()
+          .queryExecution.toRdd.count()
+      }))
     // untimed warm-up at a token size: the first traversal of each path
     // pays classloading + codegen that would otherwise masquerade as the
     // small-size cost (observed 3-25× inflation on the first run)

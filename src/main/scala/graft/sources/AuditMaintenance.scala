@@ -68,6 +68,33 @@ import org.apache.spark.sql.types._
   * playback_pipeline.py:300-320). This is the piece a persistent 100 TB
   * deployment of the same pipeline would need first.
   */
+/** Tiny PUBLIC introspection facade for harness code (Bench/ScaleSmoke)
+  * outside this package — commit-time lookups over a table's metadata
+  * logs, never a data file. */
+object AuditIntrospect {
+  /** Max visible commit stamp across the table (partitioned: over all
+    * leaf dirs + the root epoch log). */
+  def maxVisibleMs(path: String, partCols: Seq[String]): Long = {
+    val dirsMax =
+      if (partCols.isEmpty) AuditBase.maxVisibleTs(path)
+      else AuditPartition.listDirsByCols(path, partCols)
+        .map { case (_, d) => AuditBase.maxVisibleTs(d.toString) }
+        .foldLeft(-1L)(math.max)
+    math.max(dirsMax,
+      AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max))
+  }
+
+  /** Smallest batch-entry commit stamp (partitioned: across dirs) —
+    * the instant of the table's first batch append. */
+  def minBatchTs(path: String, partCols: Seq[String]): Long = {
+    val dirs =
+      if (partCols.isEmpty) Seq(java.nio.file.Paths.get(path))
+      else AuditPartition.listDirsByCols(path, partCols).map(_._2)
+    dirs.flatMap(d => AuditBase.readManifest(d.toString).flatMap(_.ts))
+      .foldLeft(Long.MaxValue)(math.min)
+  }
+}
+
 /** ROOT-LEVEL COMMIT SEQUENCER — the piece that makes commit stamps
   * strictly increasing TABLE-WIDE, not just per directory. Every
   * stamp-issuing commit (OCC txn appends, delta DML statements, streaming

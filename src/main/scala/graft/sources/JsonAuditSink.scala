@@ -2314,26 +2314,35 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
       AuditDeletes.entriesWithTs(path),
       epochTs = AuditScan.epochTimestamps(path))
     // INCREMENTAL batch CDC ("changes since epoch e", the daily
-    // downstream-job pattern — no streaming infra needed): plan ONLY
-    // the epochs >= e. Honest scope: every event must carry an epoch —
-    // batch txn appends and delete vectors have none, so re-reading
-    // them on every incremental pull would double-count downstream;
-    // refuse loudly and point at the streaming feed, whose offsets
-    // track those axes exactly.
+    // downstream-job pattern — no streaming infra needed). On a PURE
+    // streaming history: plan exactly the epochs >= e. On a MIXED table
+    // (batch txn appends / delta-DML vectors, which carry no epoch),
+    // the epoch bound TRANSLATES onto the commit-time axis: "changes
+    // committed at or after epoch e's commit instant" — every event
+    // then filters by its recorded stamp, exactly once per window
+    // (commit stamps are sequencer-unique). Pre-commit-time epochs
+    // cannot be placed on that axis and refuse loudly, pointing at
+    // startingTimestamp.
     case (Some(e), _) =>
-      require(AuditBase.readManifest(path).isEmpty,
-        s"audit changeFeed startingEpoch: $path has batch txn appends, " +
-          "which carry no epoch — an incremental pull would re-emit " +
-          "them every time; use startingTimestamp (commit-time axis) " +
-          "or the streaming change feed")
-      require(AuditDeletes.entries(path).isEmpty &&
-        AuditDeletes.foldedRows(path) == 0L,
-        s"audit changeFeed startingEpoch: $path has delta-DML delete " +
-          "vectors, which carry no epoch; use startingTimestamp " +
-          "(commit-time axis) or the streaming change feed")
-      AuditCdf.partitionsFor(path,
-        AuditScan.committedEpochs(path).filter(_ >= e), Nil, Nil,
-        epochTs = AuditScan.epochTimestamps(path))
+      val mixed = AuditBase.readManifest(path).nonEmpty ||
+        AuditDeletes.entries(path).nonEmpty ||
+        AuditDeletes.foldedRows(path) > 0
+      if (mixed) {
+        AuditScan.committedEpochs(path).filter(_ >= e).minOption match {
+          case None => Array.empty // nothing committed at/after epoch e
+          case Some(e0) =>
+            val t = AuditScan.epochTimestamps(path).getOrElse(e0,
+              throw new IllegalArgumentException(
+                s"audit changeFeed startingEpoch: epoch $e0 at $path " +
+                  "carries no commit time (pre-upgrade history) — the " +
+                  "epoch bound cannot be placed on this mixed table's " +
+                  "commit-time axis; use startingTimestamp"))
+            tsPartitions(t)
+        }
+      } else
+        AuditCdf.partitionsFor(path,
+          AuditScan.committedEpochs(path).filter(_ >= e), Nil, Nil,
+          epochTs = AuditScan.epochTimestamps(path))
     // MIXED-HISTORY incremental batch CDC: "changes committed at or
     // after instant t", resolved on the COMMIT-TIME axis all three logs
     // now carry — epochs, txn appends and delete vectors each filter by
@@ -2341,35 +2350,38 @@ final class AuditCdfScan(path: String, fullSchema: StructType,
     // batch appends (and DML) with epochs emits each event EXACTLY once
     // per window. Consumers checkpoint `max(_commit_ts) + 1`. History
     // that cannot be placed on the axis refuses loudly.
-    case (None, Some(t)) =>
-      def refuse(what: String): Nothing = throw new IllegalArgumentException(
-        s"audit changeFeed startingTimestamp: $what at $path — those " +
-          "events cannot be placed on the commit-time axis; use the " +
-          "streaming change feed")
-      val stamped = AuditScan.epochTimestamps(path)
-      val unstampedE = AuditScan.committedEpochs(path)
-        .filterNot(stamped.contains)
-      if (unstampedE.nonEmpty)
-        refuse("epoch(s) carry no commit time (pre-upgrade history)")
-      val manifest = AuditBase.readManifest(path)
-      // folded (base-checkpointed) entries resolve through the base by
-      // ORIGIN — their tombstones retain the commit time, so the events
-      // still carry `_commit_ts`; only a fold of UNKNOWN time refuses
-      if (manifest.exists(e => e.folded && e.ts.isEmpty))
-        refuse("batch history of unknown commit time was folded into a " +
-          "base checkpoint (pre-upgrade OPTIMIZE)")
-      if (manifest.exists(e => !e.folded && e.ts.isEmpty))
-        refuse("batch append(s) carry no commit time (pre-upgrade history)")
-      val vecs = AuditDeletes.entriesWithTs(path)
-      if (AuditDeletes.foldedRows(path) > 0)
-        refuse("delete vectors were folded (VACUUM vector retention)")
-      if (vecs.exists(_._3.isEmpty))
-        refuse("delete vector(s) carry no commit time (pre-upgrade history)")
-      AuditCdf.partitionsFor(path,
-        stamped.collect { case (e, ts) if ts >= t => e }.toSeq.sorted,
-        manifest.filter(_.ts.exists(_ >= t)),
-        vecs.filter(_._3.exists(_ >= t)),
-        epochTs = stamped)
+    case (None, Some(t)) => tsPartitions(t)
+  }
+
+  private def tsPartitions(t: Long): Array[InputPartition] = {
+    def refuse(what: String): Nothing = throw new IllegalArgumentException(
+      s"audit changeFeed startingTimestamp: $what at $path — those " +
+        "events cannot be placed on the commit-time axis; use the " +
+        "streaming change feed")
+    val stamped = AuditScan.epochTimestamps(path)
+    val unstampedE = AuditScan.committedEpochs(path)
+      .filterNot(stamped.contains)
+    if (unstampedE.nonEmpty)
+      refuse("epoch(s) carry no commit time (pre-upgrade history)")
+    val manifest = AuditBase.readManifest(path)
+    // folded (base-checkpointed) entries resolve through the base by
+    // ORIGIN — their tombstones retain the commit time, so the events
+    // still carry `_commit_ts`; only a fold of UNKNOWN time refuses
+    if (manifest.exists(e => e.folded && e.ts.isEmpty))
+      refuse("batch history of unknown commit time was folded into a " +
+        "base checkpoint (pre-upgrade OPTIMIZE)")
+    if (manifest.exists(e => !e.folded && e.ts.isEmpty))
+      refuse("batch append(s) carry no commit time (pre-upgrade history)")
+    val vecs = AuditDeletes.entriesWithTs(path)
+    if (AuditDeletes.foldedRows(path) > 0)
+      refuse("delete vectors were folded (VACUUM vector retention)")
+    if (vecs.exists(_._3.isEmpty))
+      refuse("delete vector(s) carry no commit time (pre-upgrade history)")
+    AuditCdf.partitionsFor(path,
+      stamped.collect { case (e, ts) if ts >= t => e }.toSeq.sorted,
+      manifest.filter(_.ts.exists(_ >= t)),
+      vecs.filter(_._3.exists(_ >= t)),
+      epochTs = stamped)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -209,6 +209,45 @@ class AuditTravelMixedSpec extends AnyFunSuite {
       .col("_commit_ts").isNull).count() === 0L)
   }
 
+  test("startingEpoch on a MIXED table translates onto the commit-time " +
+    "axis: changes at/after the epoch's commit instant, exactly once") {
+    val (cat, wh) = freshCat("epochmix")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tm_emck")
+    val q = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("id").as("v"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable(s"$cat.db.t")
+    try q.processAllAvailable() finally q.stop()
+    // mixed history AFTER the epochs: a batch append and delta DML
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 500, id FROM range(20)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 100 = 3")
+    val path = wh.resolve("db/t").toString
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    def pull(sinceEpoch: Long) = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("changeFeed", "true")
+      .option("startingEpoch", sinceEpoch.toString).load()
+    // since epoch 1: epoch 1's 100 inserts + the batch 20 + 3 deletes
+    // (ids 3, 103, 503 — all committed after epoch 1's instant)
+    val byType = pull(1L).groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === Map("insert" -> 120L, "delete" -> 3L), byType.toString)
+    // since epoch 0: everything
+    assert(pull(0L).count() === 223L)
+    // beyond the epoch log: nothing (no commit at/after that epoch)
+    assert(pull(99L).count() === 0L)
+  }
+
   test("pre-commit-time batch history (no ts) refuses, not excludes") {
     val (cat, wh) = freshCat("legacy")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING audit")
