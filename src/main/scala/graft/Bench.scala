@@ -29,7 +29,7 @@ object Bench {
     def calibOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 32)
+      spark.range(0, 8000000L, 1, 32)
         .select((col("id") * 2654435761L % 1000000L).as("k"), col("id"))
         .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
         .orderBy("k").queryExecution.toRdd.count()

@@ -1669,7 +1669,10 @@ object EventStream {
             9100000L + b, d0Ns + b.toLong * 10L * dayNs, -2L, "purchase", 0.0,
             null.asInstanceOf[String])),
         rawSchema)
-    landCopy(0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
+    // ONE sentinel suffices — see streamingFullOuterJoin's round-16 note
+    // (watermark from batch1 applies at the next batch; the no-data
+    // micro-batch flushes batch0's unmatched state)
+    landCopy(0); land(sentinel(1), 1)
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1765,7 +1768,15 @@ object EventStream {
             9100000L + b, d0Ns + b.toLong * 10L * dayNs, -2L, "purchase", 0.0,
             null.asInstanceOf[String])),
         rawSchema)
-    landCopy(0); land(sentinel(1), 1); land(sentinel(2), 2); land(sentinel(3), 3)
+    // ONE sentinel suffices (round-16 probe): the watermark computed from
+    // batch1 (+10d − 3d delay = +7d > every data ts) applies at the NEXT
+    // batch, and processAllAvailable runs a NO-DATA micro-batch whenever
+    // the watermark advanced (spark.sql.streaming.noDataMicroBatches,
+    // default on) — that final empty batch flushes batch0's unmatched
+    // state on both sides. The previous three-sentinel walk re-ran the
+    // stateful join choreography twice more for rows the rollup filters
+    // out anyway (oracle hash-green at both verify scales).
+    landCopy(0); land(sentinel(1), 1)
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
