@@ -1146,9 +1146,11 @@ private[sources] object AuditMaintenance {
   def vacuum(path: String, retainLast: Int,
       cleanOrphans: Boolean = false,
       partCols: Seq[String] = Nil,
-      olderThanMs: Option[Long] = None): (Int, Long) =
+      olderThanMs: Option[Long] = None,
+      schema: Option[StructType] = None): (Int, Long) =
     AuditMaintLock.withLease(path, "vacuum") {
-      vacuumLocked(path, retainLast, cleanOrphans, partCols, olderThanMs)
+      vacuumLocked(path, retainLast, cleanOrphans, partCols, olderThanMs,
+        schema)
     }
 
   /** RESTORE the table to streaming epoch `version`: physically remove
@@ -1469,7 +1471,31 @@ private[sources] object AuditMaintenance {
     * remain observable at retained versions; OPTIMIZE is their fold
     * path. A DML-heavy, never-optimized partition thus pays O(#files)
     * vector overhead instead of O(#deleted rows). */
-  private def foldBatchVectors(dirPath: String): Int = {
+  /** Re-derive a blanked file's `_STATS` line from its SURVIVING rows —
+    * what lets the metadata MIN/MAX claim come back after a vector fold
+    * (stale superset bounds could otherwise claim a blanked extreme).
+    * Preserves the file's prior bloom column set. `isBase` parses the
+    * trailing origin fields (base files carry them; they get stats like
+    * any column, matching the base-commit writers). */
+  private def refreshFoldedStats(dirPath: String, fileName: String,
+      schema: StructType, isBase: Boolean): Unit = {
+    val priorBlooms = AuditStats.read(dirPath).get(fileName)
+      .map(_.blooms.keySet).getOrElse(Set.empty[String])
+    val parseSchema = if (isBase) AuditBase.baseSchema(schema) else schema
+    val absent = AuditJson.absentFill(parseSchema)
+    val acc = new AuditStats.Acc(parseSchema, priorBlooms)
+    val lines = java.nio.file.Files.lines(
+      java.nio.file.Paths.get(dirPath).resolve(fileName),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try lines.iterator().asScala.foreach { l =>
+      if (l.nonEmpty) acc.update(AuditJson.parseLine(l, parseSchema, absent))
+    } finally lines.close()
+    AuditStats.retain(dirPath, _ != fileName)
+    AuditStats.append(dirPath, Seq((fileName, acc.result)))
+  }
+
+  private def foldBatchVectors(dirPath: String,
+      schema: StructType): Int = {
     val entries = AuditDeletes.entriesWithTs(dirPath)
     if (entries.isEmpty) return 0
     // the fold rewrites committed state in place — re-verify the VACUUM
@@ -1497,6 +1523,9 @@ private[sources] object AuditMaintenance {
       java.nio.file.Files.move(tmp, file,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // stats stay EXACT through the fold — the invariant the relaxed
+      // metadata MIN/MAX gate relies on (fold ⇔ stats recomputed)
+      refreshFoldedStats(dirPath, f, schema, isBase = false)
     }
     // per-file fold WATERMARK: the max commit ts among the entries this
     // fold blanks (None if any is unstamped — post-fold time travel then
@@ -1518,18 +1547,105 @@ private[sources] object AuditMaintenance {
     foldable.size
   }
 
+  /** Fold vectors that target BATCH-ORIGIN BASE rows (post-compaction
+    * DML deletes against a base checkpoint, either layout). Batch-origin
+    * rows never participate in pinned (`VERSION AS OF`) reads — so
+    * physically blanking them in the base file changes no retained
+    * version, exactly the [[foldBatchVectors]] argument lifted to bases.
+    * EPOCH-origin vectors stay positional: their rows remain observable
+    * at retained versions. Same watermark discipline (fold summaries
+    * keyed by the ORIGIN file retain the max folded commit ts), same
+    * stats recompute, so time travel keeps its post-watermark window
+    * and the metadata MIN/MAX claim can come back once no positional
+    * vectors remain. */
+  private def foldBaseVectors(dirPath: String, schema: StructType): Int = {
+    val b = AuditBase.read(dirPath).getOrElse(return 0)
+    val entries = AuditDeletes.entriesWithTs(dirPath)
+    if (entries.isEmpty) return 0
+    AuditMaintLock.verifyCurrent(dirPath, "VACUUM base-vector fold")
+    // origins still present as LIVE manifest files fold via
+    // foldBatchVectors; what is left targets folded/base-held rows
+    val live = AuditBase.readManifest(dirPath)
+      .collect { case e if !e.folded => e.file }.toSet
+    val (candidates, keep0) = entries.partition { case (f, _, _) =>
+      AuditScan.epochOf(f).isEmpty && !live.contains(f)
+    }
+    if (candidates.isEmpty) return 0
+    val d = java.nio.file.Paths.get(dirPath)
+    val vecSet: Set[(String, Long)] =
+      candidates.map { case (f, p, _) => (f, p) }.toSet
+    val baseSchema = AuditBase.baseSchema(schema)
+    val absent = AuditJson.absentFill(baseSchema)
+    val n = schema.length
+    val folded = scala.collection.mutable.Set.empty[(String, Long)]
+    b.files.foreach { case (bf, _) =>
+      val file = d.resolve(bf)
+      if (java.nio.file.Files.exists(file)) {
+        val lines = java.nio.file.Files.readAllLines(file,
+          java.nio.charset.StandardCharsets.UTF_8).asScala
+        var touched = false
+        val blanked = lines.map { l =>
+          if (l.isEmpty) l
+          else {
+            val row = AuditJson.parseLine(l, baseSchema, absent)
+            // batch-origin only: epoch-origin rows stay (pinned reads)
+            if (!row.isNullAt(n)) l
+            else {
+              val key = (row.getUTF8String(n + 1).toString,
+                row.getLong(n + 2))
+              if (vecSet(key)) { folded += key; touched = true; "" }
+              else l
+            }
+          }
+        }
+        if (touched) {
+          val tmp = file.resolveSibling(bf + ".vfold")
+          java.nio.file.Files.write(tmp,
+            blanked.map(_ + "\n").mkString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, file,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          refreshFoldedStats(dirPath, bf, schema, isBase = true)
+        }
+      }
+    }
+    if (folded.isEmpty) return 0
+    val (foldable, keep1) = candidates.partition { case (f, p, _) =>
+      folded((f, p)) }
+    val freshFolds: Map[String, (Long, Option[Long])] =
+      foldable.groupBy(_._1).map { case (f, ps) =>
+        (f, (ps.size.toLong,
+          if (ps.exists(_._3.isEmpty)) None else Some(ps.map(_._3.get).max)))
+      }
+    val mergedFolds = (AuditDeletes.foldedWithTs(dirPath).toSeq ++ freshFolds)
+      .groupBy(_._1).map { case (f, es) =>
+        (f, (es.map(_._2._1).sum,
+          if (es.exists(_._2._2.isEmpty)) None
+          else Some(es.map(_._2._2.get).max)))
+      }
+    AuditDeletes.replace(dirPath, keep0 ++ keep1, mergedFolds)
+    foldable.size
+  }
+
   private def vacuumLocked(path: String, retainLast: Int,
       cleanOrphans: Boolean,
       partCols: Seq[String],
-      olderThanMs: Option[Long] = None): (Int, Long) = {
+      olderThanMs: Option[Long] = None,
+      schema: Option[StructType] = None): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
     val b0 = AuditBase.read(path)
-    // vector retention runs on every VACUUM, both layouts (lease held)
-    val foldedEntries: Int =
+    // vector retention runs on every VACUUM when the schema is known
+    // (the catalog procedure path — always); the fold recomputes the
+    // blanked files' stats, which NEEDS the schema. A schema-less direct
+    // API call skips retention rather than leave stale superset bounds.
+    val foldedEntries: Int = schema.fold(0) { sch =>
       if (partCols.nonEmpty)
         AuditPartition.listDirsByCols(path, partCols)
-          .map { case (_, pdir) => foldBatchVectors(pdir.toString) }.sum
-      else foldBatchVectors(path)
+          .map { case (_, pdir) =>
+            foldBatchVectors(pdir.toString, sch) +
+              foldBaseVectors(pdir.toString, sch) }.sum
+      else foldBatchVectors(path, sch) + foldBaseVectors(path, sch)
+    }
     if (b0.isEmpty && !cleanOrphans && foldedEntries == 0)
       throw new IllegalStateException(
         s"audit VACUUM: $path has no base checkpoint — " +
@@ -2069,10 +2185,10 @@ private[sources] object GraftProcedures {
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
         val olderThanMs =
           if (input.isNullAt(3)) None else Some(input.getLong(3) / 1000L)
-        val (path, _, part) = catalog.resolveAuditTableFull(table)
+        val (path, schema, part) = catalog.resolveAuditTableFull(table)
         val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans,
           part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)),
-          olderThanMs)
+          olderThanMs, schema = Some(schema))
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),

@@ -895,7 +895,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
             case (relDir, dir) =>
               !AuditPartition.survives(relDir, allowedTokens, excludeNull) || {
                   val st = AuditStats.read(dir.toString)
-                  AuditDeletes.count(dir.toString) == 0L &&
+                  // POSITIONAL vectors refuse (one could hide the extreme
+                  // row); FOLDED summaries do not — the fold physically
+                  // blanked the rows AND recomputed the touched files'
+                  // stats (the VACUUM invariant since round 16)
+                  AuditDeletes.entries(dir.toString).isEmpty &&
                     AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1)) &&
                     // per-dir base files (partitioned OPTIMIZE) need
                     // stats lines too — they hold the compacted rows
@@ -905,7 +909,9 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
           }
           if (!covered) return None
       } else {
-          if (AuditDeletes.exists(path) && AuditDeletes.count(path) > 0) return None
+          // positional vectors refuse; folded summaries' rows are blanked
+          // with stats recomputed (see the partitioned twin above)
+          if (AuditDeletes.entries(path).nonEmpty) return None
           val stats = AuditStats.read(path)
           val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
             AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
@@ -3173,7 +3179,12 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
         if (emitted >= rowCap) return false
         emitted += 1
         while (it.hasNext) {
-          val full = AuditJson.parseLine(it.next(), baseSchema, absent)
+          val line = it.next()
+          // blank lines are VACUUM-folded tombstones (base-origin vector
+          // retention): physically dead rows, positions never shift
+          if (line.isEmpty) { /* skip */ }
+          else {
+          val full = AuditJson.parseLine(line, baseSchema, absent)
           val oe: java.lang.Long =
             if (full.isNullAt(n)) null else Long.box(full.getLong(n))
           val of = full.getUTF8String(n + 1)
@@ -3217,6 +3228,7 @@ final class AuditReaderFactory(writeSchema: StructType, required: StructType,
             row = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(vals)
             return true
+          }
           }
         }
         false

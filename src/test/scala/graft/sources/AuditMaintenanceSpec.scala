@@ -596,6 +596,24 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"),
       cnt.queryExecution.executedPlan.toString.take(500))
     assert(cnt.head.getLong(0) === 1500L)
+    // VACUUM folds the base-origin vectors — rows physically blanked in
+    // the base files, stats RECOMPUTED over the survivors — so the
+    // metadata MIN/MAX claim comes back, exact
+    spark.sql("CALL graft_m.system.vacuum(table => 'db.pz1')").collect()
+    val mmV = spark.sql("SELECT min(id), max(id) FROM graft_m.db.pz1")
+    assert(mmV.queryExecution.executedPlan.toString.contains("AuditCountScan"),
+      mmV.queryExecution.executedPlan.toString.take(500))
+    assert(mmV.head.toSeq === Seq(0L, 100499L))
+    val mmVA = spark.sql(
+      "SELECT min(id), max(id) FROM graft_m.db.pz1 WHERE flag = 'A'")
+    assert(mmVA.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(mmVA.head.toSeq === Seq(0L, 100498L))
+    // counts and rows stay exact through the fold
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.pz1")
+      .head.getLong(0) === 1500L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_m.db.pz1 WHERE id >= 100000")
+      .head.getLong(0) === 500L)
   }
 
   test("grouped COUNT by the partition column answers from manifests only") {
