@@ -1646,18 +1646,59 @@ private[sources] object AuditMaintenance {
               foldBaseVectors(pdir.toString, sch) }.sum
       else foldBatchVectors(path, sch) + foldBaseVectors(path, sch)
     }
-    if (b0.isEmpty && !cleanOrphans && foldedEntries == 0)
+    // partitioned: per-dir base checkpoints make folded files reclaimable
+    val partDirsWithBase: Seq[(String, java.nio.file.Path, AuditBase.Info)] =
+      if (partCols.isEmpty) Seq.empty
+      else AuditPartition.listDirsByCols(path, partCols).flatMap {
+        case (rel, d) => AuditBase.read(d.toString).map(b => (rel, d, b))
+      }
+    if (b0.isEmpty && partDirsWithBase.isEmpty && !cleanOrphans &&
+        foldedEntries == 0)
       throw new IllegalStateException(
         s"audit VACUUM: $path has no base checkpoint — " +
-          (if (partCols.nonEmpty)
-            "partitioned tables have no superseded epochs to reclaim; pass "
-          else
-            "run OPTIMIZE first (only epochs superseded by a base can be " +
-              "reclaimed), or pass ") +
+          "run OPTIMIZE first (only files superseded by a base can be " +
+          "reclaimed), or pass " +
           "clean_orphans => true for orphan cleanup alone " +
           "(and no outstanding batch-file delete vectors were foldable)")
     var removed = 0
     var expired = b0.map(_.expiredThrough).getOrElse(-1L)
+    // PARTITIONED reclamation: every FOLDED entry's file is superseded by
+    // the dir's base (batch rows are base-held and invisible everywhere;
+    // epoch rows <= through replay from the base by origin — the tail's
+    // epochFilter path — and pinned reads resolve from base origins, so
+    // no retained version needs the original file). retain_last keeps the
+    // newest k superseded epochs' files on disk (cheap tail resolution);
+    // older_than keeps epochs not provably old. Tombstones STAY in the
+    // manifests — they carry the batch vintages travel resolves by and
+    // the CDF's fold axis.
+    partDirsWithBase.foreach { case (_, pdir, b) =>
+      val superseded = AuditScan.committedEpochs(path)
+        .filter(_ <= b.throughEpoch)
+      val keep = math.max(retainLast, 0)
+      val byCount =
+        if (superseded.size > keep) superseded(superseded.size - keep - 1)
+        else Long.MinValue
+      val bound = olderThanMs match {
+        case None => byCount
+        case Some(cut) =>
+          val ts = AuditScan.epochTimestamps(path)
+          val oldPrefix = superseded
+            .takeWhile(e => ts.get(e).exists(_ < cut))
+          math.min(byCount,
+            if (oldPrefix.isEmpty) Long.MinValue else oldPrefix.max)
+      }
+      AuditBase.readManifest(pdir.toString).foreach { e =>
+        val reclaim = e.folded && (AuditScan.epochOf(e.file) match {
+          case Some(ep) => ep <= bound
+          case None     => true // folded batch files: base-held, unread
+        })
+        if (reclaim &&
+            java.nio.file.Files.deleteIfExists(pdir.resolve(e.file)))
+          removed += 1
+      }
+      AuditStats.retain(pdir.toString,
+        f => java.nio.file.Files.exists(pdir.resolve(f)))
+    }
     b0.foreach { b =>
       val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
       val keep = math.max(retainLast, 0)

@@ -2262,17 +2262,28 @@ final class AuditPartitionedMicroBatchStream(path: String,
     val epochRe = """part-e(-?\d+)-\d+\.jsonl""".r
     // resolution reads the manifests INCLUDING folded tombstones: a
     // per-dir base checkpoint (partitioned OPTIMIZE) tombstones compacted
-    // epoch entries but leaves their files on disk until VACUUM, so a
-    // running tail keeps replaying exact epoch slices across maintenance
-    // (the offset axis — the root `_EPOCHS` log — is never rewritten)
+    // epoch entries but leaves their files on disk until VACUUM reclaims
+    // them — a reclaimed epoch replays from the dir's BASE by origin
+    // (epochFilter), so a running tail keeps exactly-once accounting
+    // across maintenance (the offset axis — the root `_EPOCHS` log — is
+    // never rewritten). Same replay design as the unpartitioned tail.
     AuditPartition.listDirs(path, partLevels).flatMap { case (_, pdir) =>
-      AuditBase.readManifest(pdir.toString).collect {
-        case e if epochRe.pattern.matcher(e.file).matches() &&
-          slice.contains(AuditScan.epochOf(e.file).get) &&
-          java.nio.file.Files.exists(pdir.resolve(e.file)) =>
-          AuditFilePartition(pdir.resolve(e.file).toString,
-            AuditScan.epochOf(e.file)): InputPartition
-      }
+      val entries = AuditBase.readManifest(pdir.toString).filter(e =>
+        epochRe.pattern.matcher(e.file).matches() &&
+          slice.contains(AuditScan.epochOf(e.file).get))
+      val (onDisk, gone) = entries.partition(e =>
+        java.nio.file.Files.exists(pdir.resolve(e.file)))
+      val goneEpochs = gone.flatMap(e => AuditScan.epochOf(e.file)).toSet
+      val baseParts: Seq[InputPartition] =
+        if (goneEpochs.isEmpty) Seq.empty
+        else AuditBase.read(pdir.toString).toSeq.flatMap(_.files.map {
+          case (bf, _) => AuditBasePartition(pdir.resolve(bf).toString,
+            epochFilter = Some(goneEpochs)): InputPartition
+        })
+      onDisk.map { e =>
+        AuditFilePartition(pdir.resolve(e.file).toString,
+          AuditScan.epochOf(e.file)): InputPartition
+      } ++ baseParts
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -5233,9 +5244,16 @@ private[sources] object AuditStats {
     * hygiene — stale lines are harmless but unbounded). */
   def retain(path: String, keep: String => Boolean): Unit =
     if (java.nio.file.Files.exists(file(path))) {
+      // LATENT-BUG NOTE (fixed round 16): this match was `LineRe(f, _)` —
+      // a 2-binding pattern against a 4-group regex NEVER matches in
+      // Scala, so every retain() silently wiped the whole stats file.
+      // Masked wherever the caller re-appended a full fresh set right
+      // after (base commits, metadata DELETE); real damage on the paths
+      // that retained a SUBSET (epoch replay, vacuum) — zone-map skipping
+      // silently degraded to no-skipping (correctness-safe, perf loss).
       val kept = java.nio.file.Files.readAllLines(file(path)).asScala.filter {
-        case LineRe(f, _) => keep(f)
-        case _            => false
+        case LineRe(f, _, _, _) => keep(f)
+        case _                  => false
       }
       val tmp = file(path).resolveSibling("_STATS.tmp")
       java.nio.file.Files.write(tmp,

@@ -992,15 +992,15 @@ class AuditMaintenanceSpec extends SparkSpec {
       spark.sql("CALL graft_m.system.vacuum(table => 'db.g1')").collect())
     assert(e1.getMessage.contains("OPTIMIZE") ||
       Option(e1.getCause).exists(_.getMessage.contains("OPTIMIZE")))
-    // epoch-log maintenance stays unpartitioned-only (partitioned
-    // OPTIMIZE is its own path; vacuum/history target table-level logs)
+    // VACUUM on an uncompacted table (either layout) has nothing to
+    // reclaim: only base-superseded files are reclaimable
     spark.sql("DROP TABLE IF EXISTS graft_m.db.g2")
     spark.sql("CREATE TABLE graft_m.db.g2 (id BIGINT, flag STRING) " +
       "USING audit PARTITIONED BY (flag)")
     val e2 = intercept[Exception](
       spark.sql("CALL graft_m.system.vacuum(table => 'db.g2')").collect())
-    assert(e2.getMessage.contains("partitioned") ||
-      Option(e2.getCause).exists(_.getMessage.contains("partitioned")))
+    assert(e2.getMessage.contains("no base checkpoint") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no base checkpoint")))
     // unknown procedure
     intercept[Exception](
       spark.sql("CALL graft_m.system.nope(table => 'db.g1')").collect())

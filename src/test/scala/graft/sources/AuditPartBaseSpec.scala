@@ -136,6 +136,79 @@ class AuditPartBaseSpec extends AnyFunSuite {
     assert(rows === 200L, s"epochs 1..2 must replay exactly, got $rows")
   }
 
+  test("VACUUM reclaims folded files; tails replay reclaimed epochs " +
+    "from the per-dir base; reads stay exact") {
+    val (cat, wh) = freshCat("vac")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 3) // epochs 0..2: ids 0..299
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 3)")
+    val path = wh.resolve("db").resolve("t").toString
+    val dirs = AuditPartition.listDirsByCols(path, Seq("flag"))
+    def foldedOnDisk(): Int = dirs.map { case (_, d) =>
+      AuditBase.readManifest(d.toString).count(e => e.folded &&
+        java.nio.file.Files.exists(d.resolve(e.file)))
+    }.sum
+    assert(foldedOnDisk() > 0, "compaction leaves folded files on disk")
+    val res = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+    assert(res.head.getInt(1) > 0, res.toSeq) // deleted_files
+    assert(foldedOnDisk() === 0, "VACUUM reclaims every folded file")
+    // tombstones stay (travel vintages + CDF fold axis)
+    assert(dirs.forall { case (_, d) =>
+      AuditBase.readManifest(d.toString).exists(_.folded) })
+    // current and pinned reads stay exact (resolved from the base)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === 301L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+      .head.getLong(0) === 200L)
+    // a tail whose slice spans the reclaimed epochs replays them from
+    // the base by origin, exactly
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType)))
+    val tail = new AuditPartitionedMicroBatchStream(path, schema, schema,
+      Seq(AuditPartition.Level("flag", LongType, None)))
+    val fac = tail.createReaderFactory()
+    val rows = tail.planInputPartitions(PagedOffset(0), tail.latestOffset())
+      .map { p =>
+        val r = fac.createReader(p)
+        var n = 0L
+        try { while (r.next()) n += 1 } finally r.close()
+        n
+      }.sum
+    assert(rows === 300L, s"all 3 epochs must replay exactly, got $rows")
+    // retain_last keeps the newest superseded epochs' files on disk
+    val (cat2, wh2) = freshCat("vac2")
+    spark.sql(s"CREATE TABLE $cat2.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_pb_ck2")
+    val q2 = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "3").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream.option("checkpointLocation", ck2.toString)
+      .outputMode("append").toTable(s"$cat2.db.t")
+    try q2.processAllAvailable() finally q2.stop()
+    spark.sql(s"CALL $cat2.system.optimize(table => 'db.t', " +
+      "target_file_count => 3)")
+    spark.sql(s"CALL $cat2.system.vacuum(table => 'db.t', " +
+      "retain_last => 1)").collect()
+    val path2 = wh2.resolve("db").resolve("t").toString
+    val epochRe = """part-e(-?\d+)-\d+\.jsonl""".r
+    val survivingEpochs = AuditPartition.listDirsByCols(path2, Seq("flag"))
+      .flatMap { case (_, d) =>
+        AuditBase.readManifest(d.toString).collect {
+          case e if e.folded && epochRe.pattern.matcher(e.file).matches() &&
+            java.nio.file.Files.exists(d.resolve(e.file)) =>
+            AuditScan.epochOf(e.file).get
+        }
+      }.toSet
+    assert(survivingEpochs === Set(2L),
+      s"retain_last => 1 keeps exactly the newest epoch: $survivingEpochs")
+  }
+
   test("the partitioned change feed detects the manifest fold loudly") {
     val (cat, wh) = freshCat("c")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
