@@ -2451,11 +2451,13 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
           "recorded commit times (pre-upgrade history)")
     }
     AuditPartition.listDirs(path, partLevels).flatMap { case (relDir, pdir) =>
+      val all = AuditBase.readManifest(pdir.toString)
+      val entries = all.filterNot(_.folded)
+      val folded = all.filter(_.folded)
       // startingEpoch (incremental batch CDC): only epoch-stamped
       // entries >= e; un-epoch'd events refuse (see AuditCdfScan)
       startEpoch.foreach { _ =>
-        require(AuditPartition.manifestEntries(pdir).forall {
-          case (f, _) => AuditScan.epochOf(f).isDefined },
+        require(all.forall(e => AuditScan.epochOf(e.file).isDefined),
           s"audit changeFeed startingEpoch: partition $relDir of $path " +
             "has batch txn appends, which carry no epoch; use " +
             "startingTimestamp (commit-time axis) or the streaming " +
@@ -2467,9 +2469,8 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
             "startingTimestamp (commit-time axis) or the streaming " +
             "change feed")
       }
-      val entries = AuditBase.readManifest(pdir.toString).filterNot(_.folded)
       startMillis.foreach { _ =>
-        entries.foreach(e => require(
+        all.foreach(e => require(
           AuditScan.epochOf(e.file).isDefined || e.ts.isDefined,
           s"audit changeFeed startingTimestamp: batch append ${e.file} " +
             s"in partition $relDir carries no commit time (pre-upgrade " +
@@ -2480,31 +2481,62 @@ final class AuditPartitionedCdfScan(path: String, fullSchema: StructType,
       }
       def entryTs(e: AuditBase.ManifestEntry): Option[Long] =
         AuditScan.epochOf(e.file).flatMap(epochTs.get).orElse(e.ts)
-      entries.filter { e =>
+      def inWindow(e: AuditBase.ManifestEntry): Boolean =
         startEpoch.forall(se => AuditScan.epochOf(e.file).exists(_ >= se)) &&
           startMillis.forall(t => entryTs(e).exists(_ >= t))
-      }.map { e =>
+      val vecs = AuditDeletes.entriesWithTs(pdir.toString)
+      startMillis.foreach(_ => require(vecs.forall(_._3.isDefined),
+        s"audit changeFeed startingTimestamp: delete vector(s) in " +
+          s"partition $relDir carry no commit time (pre-upgrade " +
+          "history); use the streaming change feed"))
+      val delGroups = vecs.filter { case (_, _, ts) =>
+        startMillis.forall(t => ts.exists(_ >= t)) && startEpoch.isEmpty
+      }.groupBy(d => (d._1, d._3)).toSeq
+        .sortBy { case ((f, ts), _) => (f, ts.getOrElse(Long.MinValue)) }
+      // delete events read the original row values back from (file, pos):
+      // from the original file while it exists, from the BASE by origin
+      // once VACUUM reclaimed it
+      val (delOnDisk, delGone) = delGroups.partition { case ((f, _), _) =>
+        java.nio.file.Files.exists(pdir.resolve(f)) }
+      // FOLDED history (per-dir base checkpoint) replays from the base by
+      // ORIGIN — insert events for compacted epochs/batch appends, with
+      // `_commit_ts` from the root stamps / tombstone ts, so a fresh feed
+      // over a compacted partitioned table still emits the full history
+      // (the unpartitioned feed's contract, now on both layouts)
+      val foldedInWindow = folded.filter(inWindow)
+      val goneEpochs = foldedInWindow
+        .flatMap(e => AuditScan.epochOf(e.file)).toSet
+      val goneBatch = foldedInWindow.collect {
+        case e if AuditScan.epochOf(e.file).isEmpty => e.file }.toSet
+      val foldedTs: Map[String, Long] = folded.collect {
+        case e if AuditScan.epochOf(e.file).isEmpty && e.ts.isDefined =>
+          (e.file, e.ts.get) }.toMap
+      val goneDelTs: Map[(String, Long), Long] = delGone.flatMap {
+        case ((df, ts), ps) => ts.toSeq.flatMap(v =>
+          ps.map { case (_, pos, _) => ((df, pos), v) })
+      }.toMap
+      val baseParts: Seq[InputPartition] =
+        if (goneEpochs.isEmpty && goneBatch.isEmpty && delGone.isEmpty)
+          Seq.empty
+        else AuditBase.read(pdir.toString).toSeq.flatMap(_.files.map {
+          case (bf, _) => AuditCdfBasePartition(
+            pdir.resolve(bf).toString, goneEpochs, goneBatch,
+            delGone.groupBy(_._1._1).map { case (df, gs) =>
+              (df, gs.flatMap(_._2.map(_._2)).toSet) },
+            epochTs = epochTs, fileTs = foldedTs, delTs = goneDelTs,
+            filePrefix = s"$relDir/"): InputPartition
+        })
+      entries.filter(inWindow).map { e =>
         AuditCdfPartition(pdir.resolve(e.file).toString,
           AuditScan.epochOf(e.file), None,
           relName = Some(s"$relDir/${e.file}"),
           commitTs = entryTs(e)): InputPartition
-      } ++ {
-        val vecs = AuditDeletes.entriesWithTs(pdir.toString)
-        startMillis.foreach(_ => require(vecs.forall(_._3.isDefined),
-          s"audit changeFeed startingTimestamp: delete vector(s) in " +
-            s"partition $relDir carry no commit time (pre-upgrade " +
-            "history); use the streaming change feed"))
-        vecs.filter { case (_, _, ts) =>
-          startMillis.forall(t => ts.exists(_ >= t)) && startEpoch.isEmpty
-        }.groupBy(d => (d._1, d._3)).toSeq
-          .sortBy { case ((f, ts), _) => (f, ts.getOrElse(Long.MinValue)) }
-          .map { case ((f, ts), ps) =>
-            AuditCdfPartition(pdir.resolve(f).toString, None,
-              Some(ps.map(_._2).sorted),
-              relName = Some(s"$relDir/$f"),
-              commitTs = ts): InputPartition
-          }
-      }
+      } ++ delOnDisk.map { case ((f, ts), ps) =>
+        AuditCdfPartition(pdir.resolve(f).toString, None,
+          Some(ps.map(_._2).sorted),
+          relName = Some(s"$relDir/$f"),
+          commitTs = ts): InputPartition
+      } ++ baseParts
     }.toArray
   }
 
@@ -2766,7 +2798,10 @@ final case class AuditCdfBasePartition(file: String, epochs: Set[Long],
     // A missing lookup yields null (pre-upgrade history).
     epochTs: Map[Long, Long] = Map.empty,
     fileTs: Map[String, Long] = Map.empty,
-    delTs: Map[(String, Long), Long] = Map.empty)
+    delTs: Map[(String, Long), Long] = Map.empty,
+    // partitioned feeds dir-qualify `_file` (col=token/part-…) so
+    // (file, pos) replay keys stay unique table-wide
+    filePrefix: String = "")
     extends org.apache.spark.sql.connector.read.InputPartition
 
 final class AuditCdfReaderFactory(fullSchema: StructType)
@@ -2901,21 +2936,30 @@ final class AuditCdfReaderFactory(fullSchema: StructType)
         pending.enqueue(
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
       }
+      private def qualified(of: org.apache.spark.unsafe.types.UTF8String) =
+        if (p.filePrefix.isEmpty) of
+        else org.apache.spark.unsafe.types.UTF8String
+          .fromString(p.filePrefix + of.toString)
       override def next(): Boolean = {
         while (pending.isEmpty && it.hasNext) {
-          val full = AuditJson.parseLine(it.next(), baseSchema, absent)
+          val line = it.next()
+          // blank lines: VACUUM base-vector fold tombstones (rows gone,
+          // positions never shift)
+          if (line.nonEmpty) {
+          val full = AuditJson.parseLine(line, baseSchema, absent)
           val oe: java.lang.Long =
             if (full.isNullAt(n)) null else Long.box(full.getLong(n))
           val of = full.getUTF8String(n + 1)
           val op = full.getLong(n + 2)
           val insertHit = (oe != null && p.epochs.contains(oe)) ||
             (oe == null && p.batchOrigins.contains(of.toString))
-          if (insertHit) emit(full, insertTag, oe, of, op,
+          if (insertHit) emit(full, insertTag, oe, qualified(of), op,
             (if (oe != null) p.epochTs.get(oe.longValue)
              else p.fileTs.get(of.toString)).map(Long.box).orNull)
           if (p.deletes.get(of.toString).exists(_.contains(op)))
-            emit(full, deleteTag, null, of, op,
+            emit(full, deleteTag, null, qualified(of), op,
               p.delTs.get((of.toString, op)).map(Long.box).orNull)
+          }
         }
         if (pending.isEmpty) false
         else { row = pending.dequeue(); true }

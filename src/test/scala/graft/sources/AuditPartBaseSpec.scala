@@ -209,6 +209,50 @@ class AuditPartBaseSpec extends AnyFunSuite {
       s"retain_last => 1 keeps exactly the newest epoch: $survivingEpochs")
   }
 
+  test("a fresh partitioned feed over a compacted+vacuumed table emits " +
+    "the FULL history from the base by origin") {
+    val (cat, wh) = freshCat("hist")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    streamEpochs(cat, 2) // ids 0..199
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 100 = 3") // 2 deletes
+    val path = wh.resolve("db").resolve("t").toString
+    val cdfSchema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType),
+      StructField("_commit_ts", LongType),
+      StructField("_file", StringType)))
+    def feed() = spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("partitionby", "flag")
+      .option("changeFeed", "true").load()
+    def byType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("_change_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val before = byType(feed())
+    assert(before === Map("insert" -> 201L, "delete" -> 2L), before.toString)
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    // compacted: a FRESH feed still emits the whole history (base-origin
+    // replay), with _commit_ts on the batch insert and dir-qualified ids
+    val afterOpt = feed()
+    assert(byType(afterOpt) === before, byType(afterOpt).toString)
+    assert(afterOpt.where(col("id") === 9000L &&
+      col("_commit_ts").isNull).count() === 0L,
+      "base-resolved batch insert must carry its tombstone commit ts")
+    assert(afterOpt.where(!col("_file").contains("/")).count() === 0L,
+      "partitioned feed events must carry dir-qualified row ids")
+    // ...and after VACUUM reclaims the folded originals, still exact
+    // (delete events read original values from the base by origin)
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+    val afterVac = feed()
+    assert(byType(afterVac) === before, byType(afterVac).toString)
+    // the deletes carry the ORIGINAL row values back
+    assert(afterVac.where(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 103L))
+  }
+
   test("the partitioned change feed detects the manifest fold loudly") {
     val (cat, wh) = freshCat("c")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
