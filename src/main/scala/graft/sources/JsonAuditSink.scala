@@ -2610,16 +2610,21 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
 
   private def now(): AuditPartCdfOffset = AuditPartCdfOffset(
     AuditPartition.listDirs(path, partLevels).map { case (relDir, pdir) =>
-      val entries = AuditPartition.manifestEntries(pdir)
-      // dels axis = POSITIONAL entries (folded summaries carry no
-      // replayable positions; a fold shrinks this log and a resuming
-      // tail fails loudly — the documented maintenance contract)
-      (relDir, AuditPartCdfOffset.DirOff(entries.size, entries.map(_._2).sum,
+      // entries axis = ALL manifest entries, folded tombstones INCLUDED:
+      // a per-dir base checkpoint folds entries IN PLACE (order and
+      // per-entry rows preserved in the tombstones), so this axis is
+      // STABLE across a partitioned OPTIMIZE — a running tail survives
+      // the compaction, resolving tombstoned entries from the base by
+      // origin. dels stays POSITIONAL (a vector fold shrinks it and the
+      // folds detector restarts the tail loudly — vector retention is
+      // the one axis that genuinely renumbers).
+      val all = AuditBase.readManifest(pdir.toString)
+      (relDir, AuditPartCdfOffset.DirOff(all.size, all.map(_.rows).sum,
         AuditDeletes.entries(pdir.toString).size,
         AuditDeletes.foldedRows(pdir.toString),
-        // manifest fold generation: a per-dir base checkpoint tombstones
-        // entries, shifting every later live index — detect it exactly
-        AuditBase.readManifest(pdir.toString).count(_.folded).toLong))
+        // fold count: kept to tell a round-15 LIVE-axis checkpoint
+        // (mfolds = -1) from the fold-stable axis above
+        all.count(_.folded).toLong))
     }.toMap)
 
   override def initialOffset(): Offset = AuditPartCdfOffset(Map.empty)
@@ -2650,29 +2655,31 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       val pdir = dirs.getOrElse(relDir, throw new IllegalStateException(
         s"audit changeFeed: partition dir $relDir vanished at $path — " +
           "the table was truncated or its partition dropped; restart the feed"))
-      val entries = AuditPartition.manifestEntries(pdir)
+      val all = AuditBase.readManifest(pdir.toString)
       val from = s.getOrElse(relDir, AuditPartCdfOffset.Zero)
-      // manifest-fold detector FIRST (precise diagnosis): a per-dir base
-      // checkpoint (partitioned OPTIMIZE) tombstones manifest entries,
-      // shifting every later LIVE index — even when the live count
-      // coincidentally matches the consumed offset
-      if (from.mfolds >= 0L)
-        require(AuditBase.readManifest(pdir.toString)
-          .count(_.folded).toLong == from.mfolds,
+      // AXIS disambiguation: a round-15 checkpoint (mfolds = -1) counted
+      // LIVE entries — identical to the fold-stable all-entries axis
+      // only while the dir has never folded; after a fold it cannot be
+      // translated and restarts loudly. Fold-axis checkpoints
+      // (mfolds >= 0) survive the fold: entries keep their positions.
+      if (from.mfolds < 0L && (from.entries > 0 || from.dels > 0))
+        require(all.forall(!_.folded),
           s"audit changeFeed: manifest entries of $relDir at $path were " +
             "folded (partitioned OPTIMIZE base checkpoint) after this " +
-            "feed checkpointed — entry offsets no longer align; restart " +
-            "the feed from a fresh checkpoint")
-      require(from.entries <= entries.size && until.entries <= entries.size,
+            "pre-fold-axis feed checkpointed — entry offsets no longer " +
+            "align; restart the feed from a fresh checkpoint")
+      require(from.entries <= all.size && until.entries <= all.size,
         s"audit changeFeed: restored offset ${from.entries}..${until.entries} " +
-          s"exceeds the manifest length ${entries.size} for $relDir at " +
+          s"exceeds the manifest length ${all.size} for $relDir at " +
           s"$path — the directory was rewritten (epoch replay after a " +
           "crash); restart the feed from a fresh checkpoint")
       // in-place-rewrite detector: the retroactive metadata DELETE keeps
       // entry COUNTS but changes entry ROWS — a consumed prefix whose row
       // sum moved means already-emitted history was rewritten under us
+      // (folding preserves per-entry rows in the tombstones, so the sum
+      // is fold-invariant)
       if (from.rows >= 0L)
-        require(entries.take(from.entries).map(_._2).sum == from.rows,
+        require(all.take(from.entries).map(_.rows).sum == from.rows,
           s"audit changeFeed: already-consumed entries of $relDir at " +
             s"$path changed row counts (retroactive metadata DELETE " +
             "rewrote published history in place); restart the feed from " +
@@ -2695,11 +2702,31 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
             "folded (VACUUM vector retention) after this feed " +
             "checkpointed — positional offsets no longer align; restart " +
             "the feed from a fresh checkpoint")
-      entries.slice(from.entries, until.entries).map { case (f, _) =>
-        AuditCdfPartition(pdir.resolve(f).toString,
-          AuditScan.epochOf(f), None,
-          relName = Some(s"$relDir/$f")): InputPartition
-      } ++ dels.slice(from.dels, until.dels).groupBy(_._1).toSeq
+      // slice over the fold-stable axis: live entries (and folded ones
+      // whose original file still exists) read directly; entries whose
+      // file VACUUM reclaimed replay from the dir's base by origin
+      val slice = all.slice(from.entries, until.entries)
+      val (onDisk, gone) = slice.partition(e =>
+        java.nio.file.Files.exists(pdir.resolve(e.file)))
+      val goneEpochs = gone.flatMap(e => AuditScan.epochOf(e.file)).toSet
+      val goneBatch = gone.collect {
+        case e if AuditScan.epochOf(e.file).isEmpty => e.file }.toSet
+      val goneTs: Map[String, Long] = gone.collect {
+        case e if AuditScan.epochOf(e.file).isEmpty && e.ts.isDefined =>
+          (e.file, e.ts.get) }.toMap
+      val baseParts: Seq[InputPartition] =
+        if (goneEpochs.isEmpty && goneBatch.isEmpty) Seq.empty
+        else AuditBase.read(pdir.toString).toSeq.flatMap(_.files.map {
+          case (bf, _) => AuditCdfBasePartition(
+            pdir.resolve(bf).toString, goneEpochs, goneBatch, Map.empty,
+            epochTs = AuditScan.epochTimestamps(path), fileTs = goneTs,
+            filePrefix = s"$relDir/"): InputPartition
+        })
+      onDisk.map { e =>
+        AuditCdfPartition(pdir.resolve(e.file).toString,
+          AuditScan.epochOf(e.file), None,
+          relName = Some(s"$relDir/${e.file}")): InputPartition
+      } ++ baseParts ++ dels.slice(from.dels, until.dels).groupBy(_._1).toSeq
         .sortBy(_._1).map { case (f, ps) =>
           AuditCdfPartition(pdir.resolve(f).toString, None,
             Some(ps.map(_._2).sorted),

@@ -253,7 +253,8 @@ class AuditPartBaseSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 103L))
   }
 
-  test("the partitioned change feed detects the manifest fold loudly") {
+  test("a running partitioned change-feed tail SURVIVES the compaction: " +
+    "the entries axis is fold-stable") {
     val (cat, wh) = freshCat("c")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
       "USING audit PARTITIONED BY (flag)")
@@ -265,16 +266,45 @@ class AuditPartBaseSpec extends AnyFunSuite {
     val feed = new AuditPartitionedCdfStream(path, cdfSchema,
       Seq(AuditPartition.Level("flag", LongType, None)))
     val consumed = feed.latestOffset()
-    // offsets round-trip the new manifest-fold axis
+    // offsets round-trip the fold axis
     assert(feed.deserializeOffset(consumed.json()).asInstanceOf[AuditPartCdfOffset]
       .dirs.values.forall(_.mfolds === 0L))
     spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
       "target_file_count => 2)")
+    // the tail RESUMES across the compaction: entries kept their
+    // positions (tombstoned in place), so nothing new to emit...
+    assert(feed.planInputPartitions(consumed, feed.latestOffset()).isEmpty)
+    // ...and a post-compaction append flows through as usual
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 1)")
+    val parts = feed.planInputPartitions(consumed, feed.latestOffset())
+    assert(parts.length === 1, parts.toSeq)
+    // a FRESH slice over the whole axis replays the compacted history
+    // (still on disk here) exactly once
+    val fac = feed.createReaderFactory()
+    val events = feed.planInputPartitions(feed.initialOffset(),
+      feed.latestOffset()).map { p =>
+      val r = fac.createReader(p)
+      var n = 0L
+      try { while (r.next()) n += 1 } finally r.close()
+      n
+    }.sum
+    assert(events === 201L, s"full history must replay, got $events")
+    // ...and still does after VACUUM reclaims the folded originals
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+    val events2 = feed.planInputPartitions(feed.initialOffset(),
+      feed.latestOffset()).map { p =>
+      val r = fac.createReader(p)
+      var n = 0L
+      try { while (r.next()) n += 1 } finally r.close()
+      n
+    }.sum
+    assert(events2 === 201L, s"base-origin replay must cover, got $events2")
+    // a LEGACY (pre-fold-axis) checkpoint over a folded dir restarts
+    // loudly — its live-entry axis cannot be translated
+    val legacy = AuditPartCdfOffset(consumed.asInstanceOf[AuditPartCdfOffset]
+      .dirs.map { case (k, v) => (k, v.copy(folds = -1L, mfolds = -1L)) })
     val ex = intercept[Exception](
-      feed.planInputPartitions(consumed, feed.latestOffset()))
+      feed.planInputPartitions(legacy, feed.latestOffset()))
     assert(ex.getMessage.contains("folded"), ex.getMessage)
-    // a FRESH feed over the compacted table works (no consumed prefix)
-    assert(feed.planInputPartitions(feed.initialOffset(),
-      feed.latestOffset()) != null)
   }
 }
