@@ -2550,6 +2550,68 @@ object CatalogApi {
       |FROM now_state GROUP BY flag
       |ORDER BY grp, flag""".stripMargin
 
+  /** PARTITIONED CHANGE FEED THROUGH COMPACTION + VACUUM, oracle-checked:
+    * a partitioned table with streamed epochs, a batch append and delta
+    * DELETEs is compacted (per-dir bases) and VACUUMed (folded originals
+    * reclaimed) — and a FRESH full-history feed still emits every insert
+    * and delete event exactly once, replayed from the bases by origin
+    * (delete events carry the ORIGINAL row values back). The grouped
+    * event counts and id sums are restated by DuckDB from the
+    * generation arithmetic, so one lost or duplicated event hash-fails. */
+  def cdfPartCompacted(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qpcc_wh")
+    spark.conf.set("spark.sql.catalog.graft_qpcc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qpcc.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qpcc.db.pc")
+    spark.sql(
+      """CREATE TABLE graft_qpcc.db.pc (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qpcc_ckpt")
+    val w = spark.readStream.format(classOf[PagedSource].getName)
+      .option("pages", "2").option("pageSize", "100")
+      .option("pagesPerTrigger", "1")
+      .load().select(col("id"), (col("id") % 3).as("flag"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").toTable("graft_qpcc.db.pc")
+    try w.processAllAvailable() finally w.stop()
+    spark.sql("INSERT INTO graft_qpcc.db.pc VALUES (9000, 1), (9001, 2)")
+    spark.sql("DELETE FROM graft_qpcc.db.pc WHERE id % 100 = 3")
+    spark.sql("CALL graft_qpcc.system.optimize(table => 'db.pc', " +
+      "target_file_count => 2)")
+    spark.sql("CALL graft_qpcc.system.vacuum(table => 'db.pc')").collect()
+    val path = wh.resolve("db").resolve("pc").toString
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(cdfSchema)
+      .format(classOf[JsonAuditSink].getName)
+      .option("path", path).option("partitionby", "flag")
+      .option("changeFeed", "true").load()
+      .groupBy(col("_change_type").as("ct"), col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy(col("ct"), col("flag"))
+  }
+
+  val cdfPartCompactedSql: String =
+    """WITH src AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(200) t(r)
+      |  UNION ALL SELECT 9000, 1 UNION ALL SELECT 9001, 2),
+      |ev AS (
+      |  SELECT 'insert' AS ct, id, flag FROM src
+      |  UNION ALL
+      |  SELECT 'delete', id, flag FROM src WHERE id % 100 = 3)
+      |SELECT ct, flag, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM ev GROUP BY ct, flag
+      |ORDER BY ct, flag""".stripMargin
+
   /** ALTER COLUMN TYPE widening, oracle-checked: an INT column takes a
     * wave of values, widens to BIGINT with NO file rewrite (old literals
     * re-parse in the new type), then takes values beyond INT range; a
@@ -3624,6 +3686,7 @@ object CatalogApi {
       "q_audit_travel_compacted" -> (auditTravelCompacted _),
       "q_audit_travel_folded" -> (auditTravelFolded _),
       "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
+      "q_cdf_part_compacted" -> (cdfPartCompacted _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3662,6 +3725,7 @@ object CatalogApi {
       "q_audit_travel_compacted" -> auditTravelCompactedSql,
       "q_audit_travel_folded" -> auditTravelFoldedSql,
       "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
+      "q_cdf_part_compacted" -> cdfPartCompactedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,
