@@ -209,6 +209,46 @@ class AuditPartBaseSpec extends AnyFunSuite {
       s"retain_last => 1 keeps exactly the newest epoch: $survivingEpochs")
   }
 
+  test("storage-partitioned join SURVIVES compaction: zero exchanges " +
+    "over two compacted tables") {
+    val (cat, _) = freshCat("spj")
+    spark.sql(s"CREATE TABLE $cat.db.a (flag BIGINT, qty BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"CREATE TABLE $cat.db.b (flag BIGINT, price BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT id % 3, id FROM range(60)")
+    spark.sql(s"INSERT INTO $cat.db.b VALUES (0, 10), (1, 20), (2, 30)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.a', " +
+      "target_file_count => 3)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.b', " +
+      "target_file_count => 3)")
+    val was = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val wasB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(s"SELECT a.flag, a.qty, b.price " +
+        s"FROM $cat.db.a a JOIN $cat.db.b b ON a.flag = b.flag")
+      val sums = j.collect().groupBy(_.getLong(0))
+        .map { case (f, rs) => (f, rs.map(r => r.getLong(1) * r.getLong(2)).sum) }
+      val exp = (0L to 2L).map(f => (f,
+        (0L until 60L).filter(_ % 3 == f).sum * (10L + f * 10L))).toMap
+      assert(sums === exp)
+      // base files read INSIDE the dir partitions keep the KeyGrouped
+      // contract — both join-side exchanges elided
+      val full = j.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), full.take(1500))
+      assert(!plan.contains("Exchange"),
+        "SPJ should elide both join-side exchanges:\n" + full.take(2500))
+    } finally {
+      was.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      wasB.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("a fresh partitioned feed over a compacted+vacuumed table emits " +
     "the FULL history from the base by origin") {
     val (cat, wh) = freshCat("hist")
