@@ -1471,6 +1471,40 @@ private[sources] object AuditMaintenance {
     * remain observable at retained versions; OPTIMIZE is their fold
     * path. A DML-heavy, never-optimized partition thus pays O(#files)
     * vector overhead instead of O(#deleted rows). */
+  /** Streamed in-place line blanking: copy `file` line by line to a
+    * sibling tmp, letting `transform(line, pos)` replace folded lines
+    * with "", then atomic-move over the original. O(1) memory at any
+    * file size (a compacted base file is unbounded); returns true when
+    * any line was blanked. */
+  private def blankLines(file: java.nio.file.Path,
+      transform: (String, Long) => String): Boolean = {
+    val tmp = file.resolveSibling(file.getFileName.toString + ".vfold")
+    var touched = false
+    val in = java.nio.file.Files.newBufferedReader(file,
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val out = java.nio.file.Files.newBufferedWriter(tmp,
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        var pos = 0L
+        var line = in.readLine()
+        while (line != null) {
+          val t = transform(line, pos)
+          if (t != line) touched = true
+          out.write(t); out.write("\n")
+          pos += 1
+          line = in.readLine()
+        }
+      } finally out.close()
+    } finally in.close()
+    if (touched)
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else java.nio.file.Files.deleteIfExists(tmp)
+    touched
+  }
+
   /** Re-derive a blanked file's `_STATS` line from its SURVIVING rows —
     * what lets the metadata MIN/MAX claim come back after a vector fold
     * (stale superset bounds could otherwise claim a blanked extreme).
@@ -1512,17 +1546,10 @@ private[sources] object AuditMaintenance {
     if (foldable.isEmpty) return 0
     foldable.groupBy(_._1).foreach { case (f, ps) =>
       val file = d.resolve(f)
-      val gone = ps.map(_._2.toInt).toSet
-      val lines = java.nio.file.Files.readAllLines(file,
-        java.nio.charset.StandardCharsets.UTF_8).asScala
-      val blanked = lines.zipWithIndex.map { case (l, i) =>
-        if (gone(i)) "" else l }
-      val tmp = file.resolveSibling(f + ".vfold")
-      java.nio.file.Files.write(tmp,
-        blanked.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, file,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val gone = ps.map(_._2).toSet
+      // STREAMED rewrite (never readAllLines: a data file on the driver
+      // is unbounded — the fold must be O(1) memory at any file size)
+      blankLines(file, (line, pos) => if (gone(pos)) "" else line)
       // stats stay EXACT through the fold — the invariant the relaxed
       // metadata MIN/MAX gate relies on (fold ⇔ stats recomputed)
       refreshFoldedStats(dirPath, f, schema, isBase = false)
@@ -1581,10 +1608,9 @@ private[sources] object AuditMaintenance {
     b.files.foreach { case (bf, _) =>
       val file = d.resolve(bf)
       if (java.nio.file.Files.exists(file)) {
-        val lines = java.nio.file.Files.readAllLines(file,
-          java.nio.charset.StandardCharsets.UTF_8).asScala
-        var touched = false
-        val blanked = lines.map { l =>
+        // STREAMED blanking — a compacted base file is unbounded and must
+        // never be materialized on the driver
+        val touched = blankLines(file, (l, _) =>
           if (l.isEmpty) l
           else {
             val row = AuditJson.parseLine(l, baseSchema, absent)
@@ -1593,20 +1619,11 @@ private[sources] object AuditMaintenance {
             else {
               val key = (row.getUTF8String(n + 1).toString,
                 row.getLong(n + 2))
-              if (vecSet(key)) { folded += key; touched = true; "" }
+              if (vecSet(key)) { folded += key; "" }
               else l
             }
-          }
-        }
-        if (touched) {
-          val tmp = file.resolveSibling(bf + ".vfold")
-          java.nio.file.Files.write(tmp,
-            blanked.map(_ + "\n").mkString.getBytes("UTF-8"))
-          java.nio.file.Files.move(tmp, file,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          refreshFoldedStats(dirPath, bf, schema, isBase = true)
-        }
+          })
+        if (touched) refreshFoldedStats(dirPath, bf, schema, isBase = true)
       }
     }
     if (folded.isEmpty) return 0
