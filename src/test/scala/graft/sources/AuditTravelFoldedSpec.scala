@@ -102,6 +102,43 @@ class AuditTravelFoldedSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("flag=1"), ex.getMessage)
   }
 
+  test("travel composes with a BASE-vector fold on a partitioned " +
+    "compacted table: exact at/after the watermark, loud before") {
+    val (cat, wh) = freshCat("pbase")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 2 FROM range(100)")
+    val path = wh.resolve("db").resolve("t").toString
+    def dirMax: Long = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, d) => AuditBase.maxVisibleTs(d.toString) }.max
+    Thread.sleep(4)
+    val tPre = dirMax
+    Thread.sleep(4)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 3") // 10 rows
+    val wm = dirMax
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    // travel works across the compaction BEFORE the vector fold,
+    // including to the pre-delete instant (vectors ts-filter)
+    def nAt(ms: Long): Long = spark.sql(
+      s"SELECT count(*) FROM $cat.db.t TIMESTAMP AS OF timestamp_millis($ms)")
+      .collect()(0).getLong(0)
+    assert(nAt(tPre) === 100L)
+    assert(nAt(wm) === 90L)
+    // VACUUM folds the base-origin vectors (blanks base rows, stamps the
+    // watermark): post-watermark travel stays exact, pre-watermark
+    // instants now refuse — the blanked rows cannot come back
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+    // ids ≡ 3 (mod 10) are all odd → every vector lives in flag=1
+    val leaf = java.nio.file.Paths.get(path).resolve("flag=1").toString
+    assert(AuditDeletes.entries(leaf).isEmpty &&
+      AuditDeletes.foldedRows(leaf) === 10L)
+    assert(nAt(wm) === 90L)
+    assert(nAt(dirMax) === 90L)
+    val ex = intercept[Exception](nAt(tPre))
+    assert(ex.getMessage.contains("watermark"), ex.getMessage)
+  }
+
   test("a fold of unstamped (pre-upgrade) vectors still refuses forever") {
     val (cat, wh) = freshCat("legacy")
     spark.sql(s"CREATE TABLE $cat.db.l (id BIGINT, v BIGINT) USING audit")
