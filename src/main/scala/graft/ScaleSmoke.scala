@@ -244,6 +244,15 @@ object ScaleSmoke {
           s"TIMESTAMP AS OF timestamp_millis($t)")
           .queryExecution.toRdd.count()
       }),
+      ("audit_vacuum_fold", (cat, n) => {
+        mkPart(cat, n); fill(cat, n)
+        spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")
+        spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+          "target_file_count => 8)")
+      }, (cat, _) =>
+        // streamed base-vector fold + folded-file reclamation + stats
+        // recompute: linear in the TOUCHED base bytes, O(1) driver memory
+        spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()),
       ("audit_cdc_ts_pull", (cat, n) => {
         mkPart(cat, n); fill(cat, n)
         spark.sql(s"UPDATE $cat.db.t SET v = 999 WHERE id % 100 = 7")
