@@ -2466,6 +2466,60 @@ object CatalogApi {
       |FROM cur GROUP BY flag
       |ORDER BY at, flag""".stripMargin
 
+  /** PARTITIONED POST-FOLD TIME TRAVEL, oracle-checked: the partitioned
+    * analog of [[auditTravelFolded]] — per-directory vector folds stamp
+    * their watermarks, and `TIMESTAMP AS OF` keeps answering at/after
+    * them (per-dir refusals for earlier instants are spec-pinned in
+    * AuditTravelFoldedSpec). */
+  def auditPartTravelFolded(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qptf_wh")
+    spark.conf.set("spark.sql.catalog.graft_qptf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qptf.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qptf.db.tf")
+    spark.sql(
+      """CREATE TABLE graft_qptf.db.tf (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO graft_qptf.db.tf SELECT id, id % 3 " +
+      "FROM range(120)")
+    spark.sql("DELETE FROM graft_qptf.db.tf WHERE id % 12 = 5")
+    val path = wh.resolve("db").resolve("tf").toString
+    def dirMax: Long = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, dd) => AuditBase.maxVisibleTs(dd.toString) }.max
+    val tFold = dirMax // >= every per-dir fold watermark-to-be
+    spark.sql("CALL graft_qptf.system.vacuum(table => 'db.tf')").collect()
+    Thread.sleep(8)
+    spark.sql("DELETE FROM graft_qptf.db.tf WHERE id % 12 = 7")
+    val tPost = dirMax
+    require(tFold < tPost, s"commit ordering tie ($tFold, $tPost)")
+    def sliceAt(label: String, ms: Long): DataFrame = spark.sql(
+      s"""SELECT '$label' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+         |FROM graft_qptf.db.tf TIMESTAMP AS OF timestamp_millis($ms)
+         |GROUP BY flag""".stripMargin)
+    sliceAt("fold", tFold)
+      .unionAll(sliceAt("post", tPost))
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qptf.db.tf GROUP BY flag""".stripMargin))
+      .orderBy(col("grp"), col("flag"))
+  }
+
+  val auditPartTravelFoldedSql: String =
+    """WITH base AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(120) t(r)),
+      |fold_state AS (SELECT * FROM base WHERE id % 12 <> 5),
+      |post_state AS (SELECT * FROM fold_state WHERE id % 12 <> 7)
+      |SELECT 'cur' AS grp, flag, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM post_state GROUP BY flag
+      |UNION ALL SELECT 'fold', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM fold_state GROUP BY flag
+      |UNION ALL SELECT 'post', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM post_state GROUP BY flag
+      |ORDER BY grp, flag""".stripMargin
+
   /** PARTITIONED TRAVEL ACROSS A COMPACTION, oracle-checked: a
     * partitioned table with streamed epochs AND delta DML is compacted
     * by the per-directory-base partitioned OPTIMIZE, then takes a
@@ -3687,6 +3741,7 @@ object CatalogApi {
       "q_audit_travel_folded" -> (auditTravelFolded _),
       "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
       "q_cdf_part_compacted" -> (cdfPartCompacted _),
+      "q_audit_part_travel_folded" -> (auditPartTravelFolded _),
       "q_catalog_widen" -> (catalogWiden _),
       "q_cdf_replica_part" -> (cdfReplicaPart _),
       "q_catalog_merge_part" -> (catalogMergePart _),
@@ -3726,6 +3781,7 @@ object CatalogApi {
       "q_audit_travel_folded" -> auditTravelFoldedSql,
       "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
       "q_cdf_part_compacted" -> cdfPartCompactedSql,
+      "q_audit_part_travel_folded" -> auditPartTravelFoldedSql,
       "q_catalog_widen" -> catalogWidenSql,
       "q_cdf_replica_part" -> cdfReplicaPartSql,
       "q_catalog_merge_part" -> catalogMergePartSql,
