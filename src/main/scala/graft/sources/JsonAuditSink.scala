@@ -2233,10 +2233,12 @@ final class AuditMicroBatchStream(path: String, writeSchema: StructType,
   * retraction rewrites an epoch's full file set before its `_EPOCHS` line
   * lands, keeping the name→epoch mapping stable. A subscriber therefore
   * receives each committed epoch exactly once regardless of how its rows
-  * spread across partitions. Partitioned OPTIMIZE folds the epoch log
-  * into the partition manifests; a tail restarted across that
-  * maintenance hits the same shrunken-log guard as the unpartitioned
-  * tail and fails loudly instead of replaying drifted offsets. */
+  * spread across partitions. Partitioned OPTIMIZE (per-dir base
+  * checkpoints) PRESERVES the epoch log: a running tail resumes across
+  * the compaction, reading tombstoned epoch files from disk until
+  * VACUUM reclaims them and replaying reclaimed epochs from the dir's
+  * base by origin (epochFilter) — same exactly-once accounting either
+  * way. */
 final class AuditPartitionedMicroBatchStream(path: String,
     writeSchema: StructType, required: StructType,
     partLevels: Seq[AuditPartition.Level])

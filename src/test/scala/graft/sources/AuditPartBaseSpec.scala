@@ -11,9 +11,10 @@ import graft.SparkSpec
   * retired stage-and-swap design, compaction preserves every history
   * axis in place — so partitioned VERSION AS OF, TIMESTAMP AS OF, and
   * the streaming tail all keep resolving ACROSS a compaction, and the
-  * partitioned change feed detects the manifest fold loudly instead of
-  * drifting. Travel composes with static partition pruning (the pruned
-  * plan opens only the surviving directory's partition). */
+  * partitioned change feed's fold-stable entries axis lets a running
+  * tail SURVIVE it (only pre-fold-axis checkpoints restart loudly).
+  * Travel composes with static partition pruning (the pruned plan opens
+  * only the surviving directory's partition). */
 class AuditPartBaseSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSpec.session
