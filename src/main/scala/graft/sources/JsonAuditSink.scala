@@ -898,8 +898,14 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
                   // POSITIONAL vectors refuse (one could hide the extreme
                   // row); FOLDED summaries do not — the fold physically
                   // blanked the rows AND recomputed the touched files'
-                  // stats (the VACUUM invariant since round 16)
+                  // stats (the VACUUM invariant since round 16). That
+                  // invariant only holds for STAMPED folds: a watermark-
+                  // less summary is a pre-upgrade fold that blanked rows
+                  // WITHOUT recomputing stats — its superset bounds can
+                  // claim a physically deleted row's value, so it refuses
+                  // here exactly as it refuses time travel.
                   AuditDeletes.entries(dir.toString).isEmpty &&
+                    AuditDeletes.foldWatermark(dir.toString).isDefined &&
                     AuditPartition.manifestEntries(dir).forall(e => st.contains(e._1)) &&
                     // per-dir base files (partitioned OPTIMIZE) need
                     // stats lines too — they hold the compacted rows
@@ -910,8 +916,11 @@ final class AuditScanBuilder(path: String, writeSchema: StructType,
           if (!covered) return None
       } else {
           // positional vectors refuse; folded summaries' rows are blanked
-          // with stats recomputed (see the partitioned twin above)
-          if (AuditDeletes.entries(path).nonEmpty) return None
+          // with stats recomputed (see the partitioned twin above) —
+          // but only STAMPED folds carry that invariant: a watermark-
+          // less (pre-upgrade) fold blanked without recomputing stats
+          if (AuditDeletes.entries(path).nonEmpty ||
+              AuditDeletes.foldWatermark(path).isEmpty) return None
           val stats = AuditStats.read(path)
           val files = AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
             AuditBase.readManifest(path).collect { case e if !e.folded => e.file } ++
@@ -1010,11 +1019,19 @@ final class AuditGroupCountScan(path: String,
         // included by construction) + live manifest total − the dir's
         // delete-vector entries (each vector targets an origin id that
         // exists exactly once across base + live files)
-        (groupLevels.map(AuditPartition.componentToken(relDir, _)),
+        (groupLevels.map(AuditPartition.componentToken(relDir, _)), {
+          // live epoch entries <= the dir's base throughEpoch are
+          // base-held (epoch replay racing a partitioned OPTIMIZE) —
+          // counting them on top of the base rows double-counts
+          val baseThrough = AuditBase.read(dir.toString)
+            .map(_.throughEpoch).getOrElse(Long.MinValue)
           AuditBase.read(dir.toString)
             .map(_.files.map(_._2).sum).getOrElse(0L) +
-            AuditPartition.manifestEntries(dir).map(_._2).sum -
-            AuditDeletes.count(dir.toString))
+            AuditPartition.manifestEntries(dir).collect {
+              case (f, r) if AuditScan.epochOf(f).forall(_ > baseThrough) => r
+            }.sum -
+            AuditDeletes.count(dir.toString)
+        })
     }.groupBy(_._1).toSeq.sortBy(_._1.mkString("/"))
       .map { case (toks, dirs) => (toks, dirs.map(_._2).sum) }
       .collect { // an empty group is no group at all in SQL semantics
@@ -1115,13 +1132,21 @@ final class AuditCountScan(path: String, versionAsOf: Option[Long],
           // the base by construction) + live manifest − vector entries.
           // Pinned reads on a compacted dir never reach here — the
           // pushdown gate refuses (base rows need an origin scan).
+          {
+          // live epoch entries <= the dir's base throughEpoch are
+          // base-held (a replayed epoch racing a partitioned OPTIMIZE)
+          // — counting them on top of the base rows double-counts
+          val baseThrough = AuditBase.read(dir.toString)
+            .map(_.throughEpoch).getOrElse(Long.MinValue)
           (if (versionAsOf.isEmpty)
             AuditBase.read(dir.toString)
               .map(_.files.map(_._2).sum).getOrElse(0L)
           else 0L) +
           AuditPartition.manifestEntries(dir).collect {
-            case (f, r) if AuditScan.epochVisible(f, versionAsOf) => r
-          }.sum -
+            case (f, r) if AuditScan.epochVisible(f, versionAsOf) &&
+              AuditScan.epochOf(f).forall(_ > baseThrough) => r
+          }.sum
+          } -
             // current-state counts subtract the directory's delete
             // vectors (partitioned delta DML); pinned reads ignore them
             (if (versionAsOf.isEmpty) AuditDeletes.count(dir.toString) else 0L)
@@ -1713,8 +1738,17 @@ final class AuditScan(path: String, writeSchema: StructType,
           val dirStats =
             if (skipFilters.nonEmpty) AuditStats.read(dir.toString)
             else Map.empty[String, AuditStats.FileStats]
+          val dirBase = AuditBase.read(dir.toString)
+          // epochs at/under the dir's base throughEpoch are served from
+          // the base by ORIGIN — a LIVE epoch entry <= through (a
+          // streaming-writer epoch replay racing a partitioned OPTIMIZE)
+          // must not ALSO scan, or its rows double-count (mirrors
+          // visibleAt's `ep > baseThrough` in the time-pinned plan)
+          val baseThrough =
+            dirBase.map(_.throughEpoch).getOrElse(Long.MinValue)
           val files = AuditPartition.manifestEntries(dir).collect {
             case (f, _) if AuditScan.epochVisible(f, versionAsOf) &&
+              AuditScan.epochOf(f).forall(_ > baseThrough) &&
               !dirStats.get(f).exists(
                 AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
               dir.resolve(f).toString
@@ -1726,7 +1760,7 @@ final class AuditScan(path: String, writeSchema: StructType,
             if (versionAsOf.isEmpty && !includeDeleted)
               AuditDeletes.read(dir.toString)
             else Map.empty[String, Set[Long]]
-          val baseFiles = AuditBase.read(dir.toString).toSeq
+          val baseFiles = dirBase.toSeq
             .flatMap(_.files.collect {
               case (f, _) if !dirStats.get(f).exists(
                 AuditStats.canSkip(_, skipFilters, statableCols, strCols)) =>
@@ -2716,11 +2750,23 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
       val goneTs: Map[String, Long] = gone.collect {
         case e if AuditScan.epochOf(e.file).isEmpty && e.ts.isDefined =>
           (e.file, e.ts.get) }.toMap
+      // delete events read original row values back from (file, pos):
+      // from the original file while it exists, from the BASE by origin
+      // once VACUUM reclaimed it (folded original or base-superseded
+      // epoch file) — same split as the batch AuditPartitionedCdfScan,
+      // so the feed's "survives compaction+VACUUM" contract holds on
+      // the streaming path too
+      val delGroups = dels.slice(from.dels, until.dels)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val (delOnDisk, delGone) = delGroups.partition { case (f, _) =>
+        java.nio.file.Files.exists(pdir.resolve(f)) }
       val baseParts: Seq[InputPartition] =
-        if (goneEpochs.isEmpty && goneBatch.isEmpty) Seq.empty
+        if (goneEpochs.isEmpty && goneBatch.isEmpty && delGone.isEmpty)
+          Seq.empty
         else AuditBase.read(pdir.toString).toSeq.flatMap(_.files.map {
           case (bf, _) => AuditCdfBasePartition(
-            pdir.resolve(bf).toString, goneEpochs, goneBatch, Map.empty,
+            pdir.resolve(bf).toString, goneEpochs, goneBatch,
+            delGone.map { case (f, ps) => (f, ps.map(_._2).toSet) }.toMap,
             epochTs = AuditScan.epochTimestamps(path), fileTs = goneTs,
             filePrefix = s"$relDir/"): InputPartition
         })
@@ -2728,8 +2774,7 @@ final class AuditPartitionedCdfStream(path: String, fullSchema: StructType,
         AuditCdfPartition(pdir.resolve(e.file).toString,
           AuditScan.epochOf(e.file), None,
           relName = Some(s"$relDir/${e.file}")): InputPartition
-      } ++ baseParts ++ dels.slice(from.dels, until.dels).groupBy(_._1).toSeq
-        .sortBy(_._1).map { case (f, ps) =>
+      } ++ baseParts ++ delOnDisk.map { case (f, ps) =>
           AuditCdfPartition(pdir.resolve(f).toString, None,
             Some(ps.map(_._2).sorted),
             relName = Some(s"$relDir/$f")): InputPartition
@@ -4968,10 +5013,27 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       .groupBy(_._1)
     var files = 0
     var rows = 0L
+    var foldedReplay = false
     byToken.toSeq.sortBy(_._1).foreach { case (relDir, entries) =>
       val pdir = dir.resolve(relDir)
       java.nio.file.Files.createDirectories(pdir)
       AuditBase.consolidate(pdir.toString) // RMW of the manifest below
+      // FOLDED-EPOCH replay defense: a crash between this sink commit
+      // and the streaming checkpoint commit, then a partitioned
+      // OPTIMIZE, then a restart replays an epoch whose rows are
+      // already folded into this directory's base checkpoint. The
+      // retraction above correctly skipped the folded tombstones —
+      // publishing fresh live entries here would double-count every
+      // replayed row (base origins + live file). Drop the staged files:
+      // the base IS this epoch's publication.
+      val baseThrough = AuditBase.read(pdir.toString)
+        .map(_.throughEpoch).getOrElse(Long.MinValue)
+      if (epochId <= baseThrough) {
+        foldedReplay = true
+        entries.foreach { case (_, staged, _, _) =>
+          java.nio.file.Files.deleteIfExists(stage.resolve(staged))
+        }
+      } else {
       val prior = AuditBase.readManifest(pdir.toString) // FULL entries
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, r, st), i) =>
@@ -4988,6 +5050,7 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
         added.map { case (n, _, st) => (n, st) })
       files += added.size
       rows += added.map(_._2).sum
+      }
     }
     // the epoch log: one authoritative line per epoch (replay replaces
     // it). The stamp floor reads the ROOT logs only — scanning every
@@ -4996,6 +5059,12 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     // per-dir batch commit in the same millisecond claims a different
     // value by construction (the former documented residual, closed).
     val epochsFile = dir.resolve("_EPOCHS")
+    // a replay fully absorbed by base checkpoints keeps the epoch's
+    // ORIGINAL log line: the folded base rows resolve their travel
+    // vintage through it, and re-stamping would silently move them on
+    // the commit-time axis
+    if (foldedReplay && files == 0 &&
+        AuditScan.epochTimestamps(path).contains(epochId)) return
     val epochTs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
       AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L))
     val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows,""" +
