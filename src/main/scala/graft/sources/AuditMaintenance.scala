@@ -1528,8 +1528,36 @@ private[sources] object AuditMaintenance {
     AuditStats.append(dirPath, Seq((fileName, acc.result)))
   }
 
+  /** Merge fresh fold summaries into the existing ones: counts sum, the
+    * watermark keeps the max, or None if either side lost its vintage. */
+  private def mergeFolds(dirPath: String,
+      fresh: Seq[(String, Long, Option[Long])])
+      : Map[String, (Long, Option[Long])] = {
+    val freshFolds: Map[String, (Long, Option[Long])] =
+      fresh.groupBy(_._1).map { case (f, ps) =>
+        (f, (ps.size.toLong,
+          if (ps.exists(_._3.isEmpty)) None else Some(ps.map(_._3.get).max)))
+      }
+    (AuditDeletes.foldedWithTs(dirPath).toSeq ++ freshFolds)
+      .groupBy(_._1).map { case (f, es) =>
+        (f, (es.map(_._2._1).sum,
+          if (es.exists(_._2._2.isEmpty)) None
+          else Some(es.map(_._2._2.get).max)))
+      }
+  }
+
+  /** `cutoffMs` is the effective RETENTION cutoff of this VACUUM call
+    * (min of `older_than` and the oldest retained epoch's commit
+    * instant, when either is defined): only vectors PROVABLY older fold,
+    * so the fold watermark stays at/under the advertised retention
+    * horizon — `TIMESTAMP AS OF` inside the window never refuses because
+    * of routine maintenance, and an in-window CDF tail never loses its
+    * unconsumed vector entries. None (a bare VACUUM with no retention
+    * parameters) folds everything, as before — no window was advertised.
+    * A pending crash-recovery INTENT key always folds regardless: its
+    * blanking already started. */
   private def foldBatchVectors(dirPath: String,
-      schema: StructType): Int = {
+      schema: StructType, cutoffMs: Option[Long]): Int = {
     val entries = AuditDeletes.entriesWithTs(dirPath)
     if (entries.isEmpty) return 0
     // the fold rewrites committed state in place — re-verify the VACUUM
@@ -1539,11 +1567,27 @@ private[sources] object AuditMaintenance {
     val live = AuditBase.readManifest(dirPath)
       .collect { case e if !e.folded => e.file }.toSet
     val d = java.nio.file.Paths.get(dirPath)
-    val (foldable, keep) = entries.partition { case (f, _, _) =>
+    val priorIntents = AuditDeletes.intents(dirPath)
+    val intentKeys: Set[(String, Long)] =
+      priorIntents.map(i => (i._1, i._2)).toSet
+    val (foldable, keep) = entries.partition { case (f, p, ts) =>
       AuditScan.epochOf(f).isEmpty && live.contains(f) &&
-        java.nio.file.Files.exists(d.resolve(f))
+        java.nio.file.Files.exists(d.resolve(f)) &&
+        (intentKeys((f, p)) || cutoffMs.forall(c => ts.exists(_ < c)))
     }
     if (foldable.isEmpty) return 0
+    val myKeys = foldable.map(e => (e._1, e._2)).toSet
+    // intents that belong to the OTHER fold path (base-origin rows of a
+    // crashed foldBaseVectors) ride through both rewrites untouched
+    val otherIntents = priorIntents.filterNot(i => myKeys((i._1, i._2)))
+    // INTENT FIRST (crash contract): record what is about to be blanked
+    // — with the watermark — before any data file changes, so a crash
+    // mid-blanking refuses pre-watermark travel instead of silently
+    // omitting half-blanked rows, and the next VACUUM finishes the job.
+    // Positional twins stay: counts and current reads are unaffected.
+    AuditDeletes.replace(dirPath, entries,
+      AuditDeletes.foldedWithTs(dirPath),
+      foldIntents = otherIntents ++ foldable)
     foldable.groupBy(_._1).foreach { case (f, ps) =>
       val file = d.resolve(f)
       val gone = ps.map(_._2).toSet
@@ -1556,21 +1600,9 @@ private[sources] object AuditMaintenance {
     }
     // per-file fold WATERMARK: the max commit ts among the entries this
     // fold blanks (None if any is unstamped — post-fold time travel then
-    // keeps refusing, exactly as pre-watermark folds always did). Merging
-    // with an existing summary keeps the max, or None if either side
-    // lost its vintage.
-    val freshFolds: Map[String, (Long, Option[Long])] =
-      foldable.groupBy(_._1).map { case (f, ps) =>
-        (f, (ps.size.toLong,
-          if (ps.exists(_._3.isEmpty)) None else Some(ps.map(_._3.get).max)))
-      }
-    val mergedFolds = (AuditDeletes.foldedWithTs(dirPath).toSeq ++ freshFolds)
-      .groupBy(_._1).map { case (f, es) =>
-        (f, (es.map(_._2._1).sum,
-          if (es.exists(_._2._2.isEmpty)) None
-          else Some(es.map(_._2._2.get).max)))
-      }
-    AuditDeletes.replace(dirPath, keep, mergedFolds)
+    // keeps refusing, exactly as pre-watermark folds always did).
+    AuditDeletes.replace(dirPath, keep, mergeFolds(dirPath, foldable),
+      foldIntents = otherIntents)
     foldable.size
   }
 
@@ -1585,7 +1617,8 @@ private[sources] object AuditMaintenance {
     * stats recompute, so time travel keeps its post-watermark window
     * and the metadata MIN/MAX claim can come back once no positional
     * vectors remain. */
-  private def foldBaseVectors(dirPath: String, schema: StructType): Int = {
+  private def foldBaseVectors(dirPath: String, schema: StructType,
+      cutoffMs: Option[Long]): Int = {
     val b = AuditBase.read(dirPath).getOrElse(return 0)
     val entries = AuditDeletes.entriesWithTs(dirPath)
     if (entries.isEmpty) return 0
@@ -1594,17 +1627,34 @@ private[sources] object AuditMaintenance {
     // foldBatchVectors; what is left targets folded/base-held rows
     val live = AuditBase.readManifest(dirPath)
       .collect { case e if !e.folded => e.file }.toSet
-    val (candidates, keep0) = entries.partition { case (f, _, _) =>
-      AuditScan.epochOf(f).isEmpty && !live.contains(f)
+    val priorIntents = AuditDeletes.intents(dirPath)
+    val intentKeys: Set[(String, Long)] =
+      priorIntents.map(i => (i._1, i._2)).toSet
+    val (candidates, keep0) = entries.partition { case (f, p, ts) =>
+      AuditScan.epochOf(f).isEmpty && !live.contains(f) &&
+        (intentKeys((f, p)) || cutoffMs.forall(c => ts.exists(_ < c)))
     }
     if (candidates.isEmpty) return 0
+    val myKeys = candidates.map(e => (e._1, e._2)).toSet
+    val otherIntents = priorIntents.filterNot(i => myKeys((i._1, i._2)))
+    // INTENT FIRST — base rows are keyed by origin fields INSIDE the
+    // line, so a blanked line loses its key and a crashed fold could
+    // never re-find it: without the intent the vector would stay
+    // positional forever while travel silently omitted the blanked row.
+    // With it, a re-run treats every candidate it cannot find live as
+    // already blanked and completes the summary.
+    AuditDeletes.replace(dirPath, entries,
+      AuditDeletes.foldedWithTs(dirPath),
+      foldIntents = otherIntents ++ candidates)
     val d = java.nio.file.Paths.get(dirPath)
-    val vecSet: Set[(String, Long)] =
-      candidates.map { case (f, p, _) => (f, p) }.toSet
+    val vecSet: Set[(String, Long)] = myKeys
+    // recovering a crashed fold: its blanked lines lost their keys, so
+    // `touched` can no longer prove which files it reached — refresh
+    // every base file's stats to restore fold ⇔ stats-exact
+    val recovering = intentKeys.exists(myKeys)
     val baseSchema = AuditBase.baseSchema(schema)
     val absent = AuditJson.absentFill(baseSchema)
     val n = schema.length
-    val folded = scala.collection.mutable.Set.empty[(String, Long)]
     b.files.foreach { case (bf, _) =>
       val file = d.resolve(bf)
       if (java.nio.file.Files.exists(file)) {
@@ -1619,30 +1669,58 @@ private[sources] object AuditMaintenance {
             else {
               val key = (row.getUTF8String(n + 1).toString,
                 row.getLong(n + 2))
-              if (vecSet(key)) { folded += key; "" }
-              else l
+              if (vecSet(key)) "" else l
             }
           })
-        if (touched) refreshFoldedStats(dirPath, bf, schema, isBase = true)
+        if (touched || recovering)
+          refreshFoldedStats(dirPath, bf, schema, isBase = true)
       }
     }
-    if (folded.isEmpty) return 0
-    val (foldable, keep1) = candidates.partition { case (f, p, _) =>
-      folded((f, p)) }
-    val freshFolds: Map[String, (Long, Option[Long])] =
-      foldable.groupBy(_._1).map { case (f, ps) =>
-        (f, (ps.size.toLong,
-          if (ps.exists(_._3.isEmpty)) None else Some(ps.map(_._3.get).max)))
-      }
-    val mergedFolds = (AuditDeletes.foldedWithTs(dirPath).toSeq ++ freshFolds)
-      .groupBy(_._1).map { case (f, es) =>
-        (f, (es.map(_._2._1).sum,
-          if (es.exists(_._2._2.isEmpty)) None
-          else Some(es.map(_._2._2.get).max)))
-      }
-    AuditDeletes.replace(dirPath, keep0 ++ keep1, mergedFolds)
-    foldable.size
+    // every candidate is now blanked: found rows were blanked above,
+    // not-found rows were blanked by the crashed run this recovers
+    // (every vector targets a real base-held row, so absence proves a
+    // prior blanking, never a bogus key)
+    AuditDeletes.replace(dirPath, keep0, mergeFolds(dirPath, candidates),
+      foldIntents = otherIntents)
+    candidates.size
   }
+
+  /** The expiry bound a VACUUM call establishes over epochs superseded
+    * by a base checkpoint `through`: the newest `retainLast` superseded
+    * epochs stay, `older_than` keeps epochs not provably old, and the
+    * bound never regresses below `floor` (the previous watermark). */
+  private def expiryBound(path: String, through: Long, floor: Long,
+      retainLast: Int, olderThanMs: Option[Long]): Long = {
+    val superseded = AuditScan.committedEpochs(path).filter(_ <= through)
+    val keep = math.max(retainLast, 0)
+    val byCount =
+      if (superseded.size > keep)
+        math.max(floor, superseded(superseded.size - keep - 1))
+      else floor
+    olderThanMs match {
+      case None => byCount
+      case Some(cut) =>
+        val ts = AuditScan.epochTimestamps(path)
+        val oldPrefix = superseded.takeWhile(e => ts.get(e).exists(_ < cut))
+        val byTime =
+          if (oldPrefix.isEmpty) floor else math.max(floor, oldPrefix.max)
+        math.min(byCount, byTime)
+    }
+  }
+
+  /** The commit instant of the oldest epoch this call RETAINS — defined
+    * only when the user asked for an epoch window (`retain_last` > 0):
+    * vectors younger than it must survive the fold or `TIMESTAMP AS OF`
+    * inside the advertised window would refuse. None when the epoch has
+    * no stamp (no instant is provable) or no epoch survives. */
+  private def retainedInstant(path: String, through: Long, floor: Long,
+      retainLast: Int, olderThanMs: Option[Long]): Option[Long] =
+    if (retainLast <= 0) None
+    else {
+      val bound = expiryBound(path, through, floor, retainLast, olderThanMs)
+      AuditScan.committedEpochs(path).filter(_ > bound).minOption
+        .flatMap(AuditScan.epochTimestamps(path).get)
+    }
 
   private def vacuumLocked(path: String, retainLast: Int,
       cleanOrphans: Boolean,
@@ -1655,13 +1733,28 @@ private[sources] object AuditMaintenance {
     // (the catalog procedure path — always); the fold recomputes the
     // blanked files' stats, which NEEDS the schema. A schema-less direct
     // API call skips retention rather than leave stale superset bounds.
+    // The fold CUTOFF is the effective retention horizon of THIS call —
+    // min of `older_than` and the oldest retained epoch's instant (when
+    // `retain_last` asked for an epoch window) — so the fold watermark
+    // stays at/under what the user advertised and in-window travel
+    // never refuses. A bare VACUUM advertises nothing and folds all.
     val foldedEntries: Int = schema.fold(0) { sch =>
       if (partCols.nonEmpty)
         AuditPartition.listDirsByCols(path, partCols)
           .map { case (_, pdir) =>
-            foldBatchVectors(pdir.toString, sch) +
-              foldBaseVectors(pdir.toString, sch) }.sum
-      else foldBatchVectors(path, sch) + foldBaseVectors(path, sch)
+            val cutoff = (olderThanMs.toSeq ++
+              AuditBase.read(pdir.toString).flatMap(b =>
+                retainedInstant(path, b.throughEpoch, Long.MinValue,
+                  retainLast, olderThanMs))).minOption
+            foldBatchVectors(pdir.toString, sch, cutoff) +
+              foldBaseVectors(pdir.toString, sch, cutoff) }.sum
+      else {
+        val cutoff = (olderThanMs.toSeq ++ b0.flatMap(b =>
+          retainedInstant(path, b.throughEpoch, b.expiredThrough,
+            retainLast, olderThanMs))).minOption
+        foldBatchVectors(path, sch, cutoff) +
+          foldBaseVectors(path, sch, cutoff)
+      }
     }
     // partitioned: per-dir base checkpoints make folded files reclaimable
     val partDirsWithBase: Seq[(String, java.nio.file.Path, AuditBase.Info)] =
@@ -1689,21 +1782,8 @@ private[sources] object AuditMaintenance {
     // manifests — they carry the batch vintages travel resolves by and
     // the CDF's fold axis.
     partDirsWithBase.foreach { case (_, pdir, b) =>
-      val superseded = AuditScan.committedEpochs(path)
-        .filter(_ <= b.throughEpoch)
-      val keep = math.max(retainLast, 0)
-      val byCount =
-        if (superseded.size > keep) superseded(superseded.size - keep - 1)
-        else Long.MinValue
-      val bound = olderThanMs match {
-        case None => byCount
-        case Some(cut) =>
-          val ts = AuditScan.epochTimestamps(path)
-          val oldPrefix = superseded
-            .takeWhile(e => ts.get(e).exists(_ < cut))
-          math.min(byCount,
-            if (oldPrefix.isEmpty) Long.MinValue else oldPrefix.max)
-      }
+      val bound = expiryBound(path, b.throughEpoch, Long.MinValue,
+        retainLast, olderThanMs)
       AuditBase.readManifest(pdir.toString).foreach { e =>
         val reclaim = e.folded && (AuditScan.epochOf(e.file) match {
           case Some(ep) => ep <= bound
@@ -1718,28 +1798,14 @@ private[sources] object AuditMaintenance {
     }
     b0.foreach { b =>
       val superseded = AuditScan.committedEpochs(path).filter(_ <= b.throughEpoch)
-      val keep = math.max(retainLast, 0)
-      val byCount =
-        if (superseded.size > keep)
-          math.max(b.expiredThrough, superseded(superseded.size - keep - 1))
-        else b.expiredThrough
       // TIME-based retention (older_than): only epochs whose recorded
       // commit time is before the cutoff may expire. expiredThrough is a
       // WATERMARK, so the bound is the maximal PREFIX of superseded
       // epochs provably older than the cutoff — an epoch without a
       // commit time (legacy) is never provably old, conservatively
       // ending the prefix.
-      val newExpired = olderThanMs match {
-        case None => byCount
-        case Some(cut) =>
-          val ts = AuditScan.epochTimestamps(path)
-          val oldPrefix = superseded
-            .takeWhile(e => ts.get(e).exists(_ < cut))
-          val byTime =
-            if (oldPrefix.isEmpty) b.expiredThrough
-            else math.max(b.expiredThrough, oldPrefix.max)
-          math.min(byCount, byTime)
-      }
+      val newExpired = expiryBound(path, b.throughEpoch, b.expiredThrough,
+        retainLast, olderThanMs)
       val gone = AuditScan.epochFiles(path, superseded.toSet)
       gone.foreach { case (f, _) =>
         java.nio.file.Files.deleteIfExists(dir.resolve(f))

@@ -1650,6 +1650,59 @@ object CatalogApi {
       |UNION ALL SELECT 'post', count(*), CAST(sum(v) AS BIGINT) FROM post_state
       |ORDER BY grp""".stripMargin
 
+  /** RETENTION-AWARE VACUUM, oracle-checked: two delta DELETEs straddle
+    * an `older_than` cutoff. The VACUUM folds ONLY the pre-cutoff
+    * vectors (the round-17 retention contract: the fold watermark stays
+    * under the advertised horizon), so `TIMESTAMP AS OF` keeps
+    * answering at the cutoff (first delete applied, second not), after
+    * both, and at the current state — while the in-window vectors stay
+    * positional (AuditRetentionFoldSpec pins the refusal half and the
+    * crash-recovery intents). */
+  def auditTravelRetained(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qtr_wh")
+    spark.conf.set("spark.sql.catalog.graft_qtr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qtr.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qtr.db.tr")
+    spark.sql("CREATE TABLE graft_qtr.db.tr (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_qtr.db.tr SELECT id, id FROM range(100)")
+    spark.sql("DELETE FROM graft_qtr.db.tr WHERE id % 10 = 3")
+    val path = wh.resolve("db").resolve("tr").toString
+    val tCut = AuditBase.maxVisibleTs(path) + 1L
+    spark.sql("DELETE FROM graft_qtr.db.tr WHERE id % 10 = 7")
+    val tNow = AuditBase.maxVisibleTs(path)
+    spark.sql("CALL graft_qtr.system.vacuum(table => 'db.tr', " +
+      s"older_than => timestamp_millis($tCut))")
+    require(AuditDeletes.foldedRows(path) == 10L &&
+      AuditDeletes.entries(path).size == 10,
+      s"expected exactly the pre-cutoff vectors folded, got " +
+        s"${AuditDeletes.foldedRows(path)} folded / " +
+        s"${AuditDeletes.entries(path).size} positional")
+    def sliceAt(label: String, ms: Long): DataFrame = spark.sql(
+      s"""SELECT '$label' AS grp, count(*) AS n, sum(v) AS sum_v
+         |FROM graft_qtr.db.tr TIMESTAMP AS OF timestamp_millis($ms)"""
+        .stripMargin)
+    sliceAt("cut", tCut)
+      .unionAll(sliceAt("post", tNow))
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, count(*) AS n, sum(v) AS sum_v
+          |FROM graft_qtr.db.tr""".stripMargin))
+      .orderBy(col("grp"))
+  }
+
+  val auditTravelRetainedSql: String =
+    """WITH base AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
+      |  FROM range(100) t(r)),
+      |cut_state AS (SELECT * FROM base WHERE id % 10 <> 3),
+      |post_state AS (SELECT * FROM cut_state WHERE id % 10 <> 7)
+      |SELECT 'cur' AS grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM post_state
+      |UNION ALL SELECT 'cut', count(*), CAST(sum(v) AS BIGINT) FROM cut_state
+      |UNION ALL SELECT 'post', count(*), CAST(sum(v) AS BIGINT) FROM post_state
+      |ORDER BY grp""".stripMargin
+
   /** PARTITION-SPEC EVOLUTION, oracle-checked: a day-partitioned table
     * with delta-DML history is rewritten to a region-partitioned layout
     * by `CALL system.repartition_table` (staged sibling tree + atomic
@@ -3739,6 +3792,7 @@ object CatalogApi {
       "q_audit_travel_mixed" -> (auditTravelMixed _),
       "q_audit_travel_compacted" -> (auditTravelCompacted _),
       "q_audit_travel_folded" -> (auditTravelFolded _),
+      "q_audit_travel_retained" -> (auditTravelRetained _),
       "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
       "q_cdf_part_compacted" -> (cdfPartCompacted _),
       "q_audit_part_travel_folded" -> (auditPartTravelFolded _),
@@ -3779,6 +3833,7 @@ object CatalogApi {
       "q_audit_travel_mixed" -> auditTravelMixedSql,
       "q_audit_travel_compacted" -> auditTravelCompactedSql,
       "q_audit_travel_folded" -> auditTravelFoldedSql,
+      "q_audit_travel_retained" -> auditTravelRetainedSql,
       "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
       "q_cdf_part_compacted" -> cdfPartCompactedSql,
       "q_audit_part_travel_folded" -> auditPartTravelFoldedSql,

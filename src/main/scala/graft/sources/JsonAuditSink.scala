@@ -1859,6 +1859,17 @@ private[sources] object AuditDeletes {
   // time travel survives VACUUM for post-watermark instants. Absent when
   // any folded entry predated commit stamps (travel refuses, as before).
   private val FoldRe = """\{"file":"([^"]+)","folded":(\d+)(?:,"ts":(\d+))?\}""".r
+  // FOLD-INTENT marker: VACUUM is ABOUT TO physically blank these
+  // (file, pos) rows. Written BEFORE any data file is touched, removed
+  // by the same atomic replace that installs the fold summaries — so a
+  // crash mid-fold leaves the intent behind and (a) time travel refuses
+  // pre-watermark instants instead of silently omitting half-blanked
+  // rows, and (b) the next VACUUM completes exactly this fold (intent
+  // keys override its own retention cutoff: blanking already started,
+  // the point of no return). The positional twins STAY until the final
+  // replace, so current reads/counts never double-subtract.
+  private val IntentRe =
+    """\{"foldintent":"([^"]+)","pos":(\d+)(?:,"ts":(\d+))?\}""".r
 
   def file(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path).resolve("_DELETES")
@@ -1892,14 +1903,25 @@ private[sources] object AuditDeletes {
         if (es.exists(_._3.isEmpty)) None else Some(es.map(_._3.get).max)))
     }
 
+  /** Pending fold intents: (file, pos, commit ts) rows a crashed VACUUM
+    * may have HALF-blanked (see [[IntentRe]]). Empty in steady state. */
+  def intents(path: String): Seq[(String, Long, Option[Long])] =
+    if (!exists(path)) Seq.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case IntentRe(f, p, ts) => (f, p.toLong, Option(ts).map(_.toLong))
+    }.toSeq
+
   /** The log's overall fold watermark: Some(maxTs) when every fold
     * summary is stamped (no folds → Some(-1), always satisfiable);
-    * None when any fold lost its vintage (travel must refuse). */
+    * None when any fold lost its vintage (travel must refuse). A
+    * PENDING intent counts like a completed fold — its rows may
+    * already be blanked, so travel before its stamp must refuse. */
   def foldWatermark(path: String): Option[Long] = {
-    val fs = foldedWithTs(path).values
+    val fs = foldedWithTs(path).values.map(_._2) ++
+      intents(path).map(_._3)
     if (fs.isEmpty) Some(-1L)
-    else if (fs.exists(_._2.isEmpty)) None
-    else Some(fs.map(_._2.get).max)
+    else if (fs.exists(_.isEmpty)) None
+    else Some(fs.map(_.get).max)
   }
 
   /** Total rows ever folded out of this log — a MONOTONIC fold
@@ -1909,7 +1931,11 @@ private[sources] object AuditDeletes {
     * entries sat, so any advance past the checkpointed value is a loud
     * restart — not just the shrink-below-consumed-offset case the
     * length guard alone can see. */
-  def foldedRows(path: String): Long = folded(path).values.sum
+  def foldedRows(path: String): Long =
+    // pending intents count: their rows may already be blanked, so every
+    // gate keyed on "has this log folded?" (travel, ts-CDC, RESTORE,
+    // the feed's fold-generation detector) must fire during the window
+    folded(path).values.sum + intents(path).size
 
   /** Total delta-deleted rows: positional entries + folded summaries
     * (the exact amount every current-state count must subtract). */
@@ -1994,14 +2020,22 @@ private[sources] object AuditDeletes {
     * it: appends only ever add positional lines, so the summaries stay a
     * bounded prefix). */
   def replace(path: String, positional: Seq[(String, Long, Option[Long])],
-      foldedSums: Map[String, (Long, Option[Long])]): Unit = {
-    if (positional.isEmpty && foldedSums.isEmpty) { clear(path); return }
+      foldedSums: Map[String, (Long, Option[Long])],
+      foldIntents: Seq[(String, Long, Option[Long])] = Nil): Unit = {
+    if (positional.isEmpty && foldedSums.isEmpty && foldIntents.isEmpty) {
+      clear(path); return
+    }
     val f = file(path)
     val tmp = f.resolveSibling("_DELETES.tmp")
+    // order: summaries, intents, positional — summaries stay a bounded
+    // prefix for headFoldWatermark, and appends only add positional
     val body =
       foldedSums.toSeq.sortBy(_._1).map { case (n, (c, wm)) =>
         s"""{"file":"$n","folded":$c${wm.map(t => s""","ts":$t""")
           .getOrElse("")}}""" + "\n" }.mkString +
+        foldIntents.map { case (n, p, ts) =>
+          s"""{"foldintent":"$n","pos":$p${ts.map(t => s""","ts":$t""")
+            .getOrElse("")}}""" + "\n" }.mkString +
         positional.map { case (n, p, ts) =>
           s"""{"file":"$n","pos":$p${ts.map(t => s""","ts":$t""")
             .getOrElse("")}}""" + "\n" }.mkString
