@@ -1357,14 +1357,16 @@ private[sources] object AuditMaintenance {
   }
 
   /** RESTORE a PARTITIONED compacted table to its OPTIMIZE checkpoint
-    * boundary — the per-directory analog of [[restoreToCheckpoint]]:
-    * every directory's base materializes the checkpoint's state there,
-    * so undoing everything after it is per-dir vintage truncation —
-    * post-checkpoint epochs truncate from the root log, every LIVE
-    * per-dir manifest entry deletes (the fold marked exactly the
-    * checkpointed set), per-dir vectors split on the commit-time axis
-    * at the shared snapshot instant, and a directory born AFTER the
-    * checkpoint (no base) empties entirely. Metadata first, files
+    * boundary OR any later epoch — the per-directory analog of
+    * [[restoreToCheckpoint]]. At the boundary, every directory's base
+    * materializes the checkpoint's state, so undoing everything after
+    * it is per-dir vintage truncation: every LIVE manifest entry
+    * deletes (the fold marked exactly the checkpointed set), vectors
+    * split at the dir's snapshot instant, and a directory born AFTER
+    * the checkpoint (no base) empties entirely. PAST the boundary all
+    * needed history is intact — epochs > version truncate, and batch
+    * appends / vectors committed after the target epoch's instant
+    * un-happen; the bases stay untouched. Metadata first, files
     * second — same crash contract as every maintenance path. */
   private def restorePartitionedToCheckpoint(path: String, version: Long,
       partCols: Seq[String]): (Int, Long) = {
@@ -1376,17 +1378,41 @@ private[sources] object AuditMaintenance {
       s"audit RESTORE: partition directories of $path disagree on the " +
         s"checkpoint epoch (${throughs.sorted.mkString(", ")}) — " +
         "interrupted compaction; re-run OPTIMIZE first")
-    require(version == throughs.head,
-      s"audit RESTORE: $path is compacted — only the checkpoint " +
-        s"boundary (epoch ${throughs.head}) is restorable there (the " +
-        "per-dir bases materialize full state at that instant); other " +
-        "epochs cannot be un-folded")
-    val baseTsByDir: Map[String, Long] = bases.map { case (rel, d, b) =>
-      (rel, b.ts.getOrElse(throw new IllegalStateException(
-        s"audit RESTORE: the base checkpoint of partition $rel at $path " +
-          "predates commit-time stamping — pre- and post-checkpoint " +
-          "delete vectors cannot be told apart; re-run OPTIMIZE first")))
-    }.toMap
+    require(version >= throughs.head,
+      s"audit RESTORE: $path is compacted — epochs before the " +
+        s"checkpoint boundary (epoch ${throughs.head}) were folded into " +
+        "the per-dir bases and cannot be un-folded; restorable targets " +
+        s"are the boundary itself or any later epoch")
+    val boundary = version == throughs.head
+    // restoring PAST the checkpoint (version > through) only truncates
+    // newer history: epochs > version go, and batch appends / delete
+    // vectors committed after the target epoch's instant un-happen —
+    // the bases stay untouched, all needed history is intact. The cut
+    // instant is the stamp of the newest committed epoch <= version.
+    val postCutTs: Option[Long] =
+      if (boundary) None
+      else {
+        val target = AuditScan.committedEpochs(path)
+          .filter(_ <= version).maxOption.getOrElse(
+            throw new IllegalStateException(
+              s"audit RESTORE: no committed epoch at or before $version " +
+                s"at $path"))
+        Some(AuditScan.epochTimestamps(path).getOrElse(target,
+          throw new IllegalStateException(
+            s"audit RESTORE: epoch $target at $path carries no commit " +
+              "time (pre-upgrade history) — commits after it cannot be " +
+              "told apart")))
+      }
+    // the boundary restore splits each dir at ITS base's snapshot
+    // instant (live entries are all post-snapshot there)
+    val baseTsByDir: Map[String, Long] =
+      if (!boundary) Map.empty
+      else bases.map { case (rel, d, b) =>
+        (rel, b.ts.getOrElse(throw new IllegalStateException(
+          s"audit RESTORE: the base checkpoint of partition $rel at $path " +
+            "predates commit-time stamping — pre- and post-checkpoint " +
+            "delete vectors cannot be told apart; re-run OPTIMIZE first")))
+      }.toMap
     dirs.foreach { case (rel, d) =>
       require(AuditDeletes.foldedRows(d.toString) == 0L,
         s"audit RESTORE: partition $rel of $path has VACUUM-folded " +
@@ -1424,21 +1450,35 @@ private[sources] object AuditMaintenance {
     dirs.foreach { case (rel, d) =>
       AuditBase.consolidate(d.toString)
       val manifest = AuditBase.readManifest(d.toString)
-      val (foldedEntries, liveEntries) = manifest.partition(_.folded)
       val vecs = AuditDeletes.entriesWithTs(d.toString)
-      baseTsByDir.get(rel) match {
-        case Some(baseTs) =>
-          val (keepVecs, dropVecs) = vecs.partition(_._3.exists(_ <= baseTs))
+      // vector cut: the dir's base snapshot instant at the boundary
+      // (None for a dir born after the checkpoint — everything in it is
+      // post-checkpoint); the target epoch's instant past the boundary
+      val vecCut: Option[Long] =
+        if (boundary) baseTsByDir.get(rel) else postCutTs
+      vecCut match {
+        case Some(c) =>
+          val (keepVecs, dropVecs) = vecs.partition(_._3.exists(_ <= c))
           if (dropVecs.nonEmpty)
             AuditDeletes.replace(d.toString, keepVecs, Map.empty)
         case None =>
-          // a directory born after the checkpoint: everything in it —
-          // entries, vectors — is post-checkpoint
           if (vecs.nonEmpty) AuditDeletes.clear(d.toString)
       }
-      if (liveEntries.nonEmpty) {
-        AuditBase.writeManifest(d.toString, foldedEntries)
-        liveEntries.foreach { e =>
+      // live entries: ALL are post-snapshot at the boundary; past it,
+      // keep epochs <= version and batch appends at/under the cut
+      def doomedLive(e: AuditBase.ManifestEntry): Boolean =
+        !e.folded && (boundary || (AuditScan.epochOf(e.file) match {
+          case Some(ep) => ep > version
+          case None => e.ts.getOrElse(throw new IllegalStateException(
+            s"audit RESTORE: batch append ${e.file} in partition $rel " +
+              s"of $path carries no commit time (pre-upgrade history) — " +
+              "its target-epoch side is unknown")) > postCutTs.get
+        }))
+      val dropped = manifest.filter(doomedLive)
+      if (dropped.nonEmpty) {
+        // filter IN PLACE — the manifest's entry order is the CDF axis
+        AuditBase.writeManifest(d.toString, manifest.filterNot(doomedLive))
+        dropped.foreach { e =>
           // epoch-file rows are accounted through the root epoch log
           if (AuditScan.epochOf(e.file).isEmpty) batchRowsRemoved += e.rows
           doomedFiles += d.resolve(e.file)
@@ -2272,8 +2312,45 @@ private[sources] object GraftProcedures {
               str("outstanding delete-vector entries")))
           else Seq.empty
         }
+        // TRAVEL WINDOW observability: the earliest `TIMESTAMP AS OF`
+        // instant each table/partition still answers — max of the VACUUM
+        // fold watermark and the earliest retained commit — so users SEE
+        // the window instead of discovering it by refusal
+        def travelRows(p: String, label: String): Seq[Array[Any]] = {
+          def detail(s: String) = Array[Any]("travel", null, 0, 0L, str(
+            (if (label.isEmpty) "" else s"$label: ") + s))
+          AuditDeletes.foldWatermark(p) match {
+            case None => Seq(detail(
+              "time travel unavailable (pre-upgrade VACUUM fold without " +
+                "a watermark)"))
+            case Some(wm) =>
+              // VACUUM epoch expiry: the earliest retained commit bounds
+              // the window from below too
+              val expiryFloor = AuditBase.read(p)
+                .filter(_.expiredThrough >= 0L).flatMap { b =>
+                  AuditScan.committedEpochs(path)
+                    .filter(_ > b.expiredThrough).minOption
+                    .flatMap(AuditScan.epochTimestamps(path).get)
+                }.getOrElse(-1L)
+              val from = math.max(wm, expiryFloor)
+              if (from < 0L) Seq(detail("full history travelable"))
+              else Seq(detail("travels from " +
+                java.time.Instant.ofEpochMilli(from).toString +
+                (if (wm >= expiryFloor) " (VACUUM fold watermark)"
+                else " (earliest retained commit)")))
+          }
+        }
+        val travelWindowRows: Seq[Array[Any]] =
+          if (partSpec.isEmpty) travelRows(path, "")
+          else partSpec.toSeq.flatMap { ps =>
+            val cols = AuditPartition.parseSpecs(ps).map(_.col)
+            AuditPartition.listDirsByCols(path, cols).flatMap {
+              case (relDir, pdir) => travelRows(pdir.toString, relDir)
+            }
+          }
         rowsOf(schema,
-          (epochRows ++ batchRows ++ baseRows ++ partRows ++ delRows)
+          (epochRows ++ batchRows ++ baseRows ++ partRows ++ delRows ++
+            travelWindowRows)
             .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
       }
     }

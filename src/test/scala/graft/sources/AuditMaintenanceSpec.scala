@@ -1173,4 +1173,34 @@ class AuditMaintenanceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_m.db.vt VERSION AS OF 2")
       .head.getLong(0) === 300L)
   }
+
+  test("history reports the travel window: full history, then the fold " +
+    "watermark after VACUUM, per partition on partitioned tables") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.tw")
+    spark.sql("CREATE TABLE graft_m.db.tw (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_m.db.tw SELECT id, id FROM range(100)")
+    def hist(t: String) = spark.sql(
+      s"CALL graft_m.system.history(table => 'db.$t')").collect()
+      .filter(_.getString(0) == "travel").map(_.getString(4)).toSeq
+    assert(hist("tw") === Seq("full history travelable"))
+    spark.sql("DELETE FROM graft_m.db.tw WHERE id % 10 = 3")
+    spark.sql("CALL graft_m.system.vacuum(table => 'db.tw')")
+    val t = hist("tw")
+    assert(t.size === 1 && t.head.startsWith("travels from ") &&
+      t.head.contains("fold watermark"), t)
+    // partitioned: one travel row PER DIRECTORY, each with its own window
+    spark.sql("DROP TABLE IF EXISTS graft_m.db.twp")
+    spark.sql("CREATE TABLE graft_m.db.twp (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO graft_m.db.twp SELECT id, id % 2 FROM range(100)")
+    // vectors in flag=1 only: its window shrinks, flag=0 stays full
+    spark.sql("DELETE FROM graft_m.db.twp WHERE id % 10 = 3")
+    spark.sql("CALL graft_m.system.vacuum(table => 'db.twp')")
+    val p = hist("twp")
+    assert(p.size === 2, p)
+    assert(p.count(_.startsWith("flag=0: full history")) === 1, p)
+    assert(p.count(s => s.startsWith("flag=1: travels from ") &&
+      s.contains("fold watermark")) === 1, p)
+  }
 }

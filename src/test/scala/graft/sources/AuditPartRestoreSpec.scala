@@ -99,6 +99,51 @@ class AuditPartRestoreSpec extends AnyFunSuite {
       === expected.size.toLong)
   }
 
+  test("restore PAST the boundary truncates only newer history: " +
+    "epochs > version go, pre-target appends and DML stay") {
+    val (cat, wh) = freshCat("post")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_prk_pck")
+    wave(cat, ckpt, 2) // epochs 0-1
+    withShortStreamLease {
+      Thread.sleep(4)
+      spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+        "target_file_count => 3)") // checkpoint at epoch 1
+    }
+    // post-checkpoint, PRE-target history that must SURVIVE: an append
+    // and DML (vectors + replacement rows committed before epoch 2)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1000, 1)")
+    spark.sql(s"UPDATE $cat.db.t SET id = id + 5000 WHERE id % 100 = 7")
+    Thread.sleep(4)
+    wave(cat, ckpt, 3) // epoch 2 — the restore target
+    val expected = spark.sql(
+      s"SELECT id, flag FROM $cat.db.t ORDER BY id, flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // post-target damage: a fourth epoch, a new-dir append, more DML
+    Thread.sleep(4)
+    wave(cat, ckpt, 4) // epoch 3
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (7000, 9)") // flag=9: new dir
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 100 = 13")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      !== expected.size.toLong)
+    withShortStreamLease(spark.sql(
+      s"CALL $cat.system.restore(table => 'db.t', version => 2)").collect())
+    spark.catalog.refreshTable(s"$cat.db.t")
+    val after = spark.sql(
+      s"SELECT id, flag FROM $cat.db.t ORDER BY id, flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === expected)
+    // the post-target dir is empty, metadata counts agree
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE flag = 9")
+      .head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === expected.size.toLong)
+    // the root epoch log was truncated to the target
+    val path = wh.resolve("db").resolve("t").toString
+    assert(AuditScan.committedEpochs(path).max === 2L)
+  }
+
   test("boundary restore is a no-op when nothing followed the checkpoint") {
     val (cat, _) = freshCat("noop")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
