@@ -25,7 +25,13 @@ object Bench {
     // by the calib ratio first: two judges burned sessions adjudicating
     // VM drift that this number makes mechanical (run A at calib 1.2 s vs
     // run B at calib 1.8 s ⇒ divide B's per-query times by 1.5 before
-    // calling anything a regression). Min of two runs, like the queries.
+    // calling anything a regression).
+    // The calibrator itself must be LOW-VARIANCE or it mis-scales the
+    // comparison it exists for (round-16 read 2.69 vs 1.56 for identical
+    // code — min-of-2 with no warm-up let codegen+JIT compilation land
+    // inside the timed window). So: one UNTIMED warm-up compiles the
+    // shape, then min-of-5 timed runs, with every run recorded in the
+    // artifact so variance is visible instead of argued about.
     def calibOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -36,7 +42,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val loadStart = loadavg
-    val calib = math.min(calibOnce(), calibOnce())
+    calibOnce() // untimed: whole-stage codegen + JIT compile the shape
+    val calibRuns = Seq.fill(5)(calibOnce())
+    val calib = calibRuns.min
     // deterministic name order so per-query timings are comparable across
     // rounds (Map iteration order would shift as queries are added)
     // SPARK_GRAFT_ONLY=q_a,q_b: time a subset (fast A/B loops); the
@@ -71,9 +79,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // end-of-run calibration: drift ACROSS the run (suite load, VM
+    // neighbors) shows up as calib_end_s diverging from calib_s
+    val calibEnd = math.min(calibOnce(), calibOnce())
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"runs":2,"sf":"$sfDir","calib_s":$calib,""" +
+        s""""calib_runs":${calibRuns.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        s""""calib_end_s":$calibEnd,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}"""
     println(line)
     // Artifact hygiene: the one stdout line has been lost to pipe
