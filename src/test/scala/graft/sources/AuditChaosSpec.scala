@@ -1,0 +1,210 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** CONCURRENCY CHAOS (round-17 verdict #6): the lock / sequencer /
+  * fingerprint machinery is individually spec'd (AuditSeqSpec,
+  * AuditSwapRaceSpec, AuditMaintLockSpec, AuditOccSpec) — this spec
+  * drives seeded randomized COMPOSITIONS: concurrent OCC appends racing
+  * OPTIMIZE / VACUUM, delta DML between waves, and a live change-feed
+  * tail pulling THROUGHOUT, then asserts the global invariants:
+  *
+  *  - no acknowledged commit is ever lost (final content = the model);
+  *  - commit stamps stay table-wide unique across append/DML commits
+  *    (the root _SEQ sequencer's contract, observed on the data axes);
+  *  - the tail is exactly-once-or-loud: within one uninterrupted
+  *    accumulation no event is delivered twice, and any axis shift
+  *    (vector fold) restarts it loudly rather than drifting;
+  *  - metadata counts agree with the row scan after every wave.
+  *
+  * Seeds are FIXED so a failure reproduces; add the failing seed here
+  * when one is found. */
+class AuditChaosSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+  private val cdfSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType),
+    StructField("_change_type", StringType)))
+
+  private def loudRestart(t: Throwable): Boolean = {
+    val m = Option(t.getMessage).getOrElse("")
+    m.contains("restart the feed") || m.contains("folded") ||
+      m.contains("rewritten") ||
+      Option(t.getCause).exists(loudRestart)
+  }
+
+  private def runSeed(seed: Int): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_chaos_${seed}_")
+    val cat = s"graft_chaos_$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    val path = wh.resolve("db").resolve("t").toString
+    val rnd = new scala.util.Random(seed)
+    val model = mutable.Set.empty[Long]
+    var nextId = 0L
+    var nAppends = 0
+    var nDeletes = 0
+
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 3 AS v")
+        .repartition(2)
+        .write.format(classOf[JsonAuditSink].getName)
+        .option("path", path).mode("append").save()
+
+    // ---- the live tail: pulls in a loop on its own thread ----
+    val stream = new AuditCdfStream(path, cdfSchema)
+    val restarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dupSeen = new java.util.concurrent.atomic.AtomicReference[String](null)
+    @volatile var tailStop = false
+    val tailThread = new Thread(() => {
+      var from = stream.initialOffset()
+      var acc = mutable.Set.empty[(Long, String)]
+      while (!tailStop) {
+        try {
+          val until = stream.latestOffset()
+          val parts = stream.planInputPartitions(from, until)
+          val factory = stream.createReaderFactory()
+          parts.foreach { p =>
+            val r = factory.createReader(p)
+            try while (r.next()) {
+              val row = r.get()
+              val ev = (row.getLong(0), row.getUTF8String(2).toString)
+              // exactly-once within one uninterrupted accumulation
+              if (!acc.add(ev) && dupSeen.get() == null)
+                dupSeen.set(s"duplicate event $ev (seed $seed)")
+            } finally r.close()
+          }
+          from = until
+        } catch {
+          case t: Throwable if loudRestart(t) =>
+            // LOUD restart: re-consume from scratch — never drift
+            restarts.incrementAndGet()
+            from = stream.initialOffset()
+            acc = mutable.Set.empty
+          case _: Throwable =>
+            // a plan raced a maintenance rewrite mid-listing; retry the
+            // same offsets next iteration (nothing was consumed)
+        }
+        Thread.sleep(3)
+      }
+    })
+    tailThread.start()
+
+    // ---- chaos waves ----
+    val maintErrors = mutable.Buffer.empty[String]
+    for (_ <- 1 to 6) {
+      val appendThreads = (0 until (1 + rnd.nextInt(3))).map { _ =>
+        val from = nextId; nextId += 100
+        model ++= (from until from + 100)
+        nAppends += 1
+        new Thread(() => append(from, from + 100))
+      }
+      val maintThread: Option[Thread] =
+        if (rnd.nextInt(10) < 4) Some(new Thread(() => {
+          try {
+            if (rnd.nextBoolean())
+              spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+                "target_file_count => 2)").collect()
+            else
+              spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+          } catch {
+            // benign contention: lease held by a racer, or VACUUM with
+            // nothing to reclaim yet — the op is REFUSED, never partial
+            case t: Throwable => maintErrors += Option(t.getMessage)
+              .getOrElse(t.getClass.getName)
+          }
+        }))
+        else None
+      val threads = rnd.shuffle(appendThreads ++ maintThread.toSeq)
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      // delta DML between waves (deterministic model update)
+      if (rnd.nextBoolean()) {
+        val m = 7 + rnd.nextInt(7)
+        val r = rnd.nextInt(m)
+        spark.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
+        val doomed = model.filter(_ % m == r)
+        if (doomed.nonEmpty) nDeletes += 1
+        model --= doomed
+      }
+      // after every wave: scan and metadata count agree with the model
+      spark.catalog.refreshTable(s"$cat.db.t")
+      assert(spark.table(s"$cat.db.t").count() === model.size.toLong,
+        s"row count diverged from the model (seed $seed)")
+      val cnt = spark.sql(s"SELECT count(*) FROM $cat.db.t")
+      assert(cnt.head.getLong(0) === model.size.toLong,
+        s"metadata count diverged (seed $seed)")
+    }
+    tailStop = true
+    tailThread.join()
+    val dup = dupSeen.get()
+    assert(dup == null, s"$dup")
+
+    // ---- no lost acknowledged commit: content equals the model ----
+    val ids = spark.table(s"$cat.db.t").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size === ids.distinct.size, s"duplicated rows (seed $seed)")
+    assert(ids.toSet === model.toSet, s"content diverged (seed $seed)")
+
+    // ---- sequencer uniqueness, observed on the data axes ----
+    // every append commit stamps its manifest entries with ONE ts;
+    // distinct batch-entry stamps == acknowledged append commits, and
+    // no DML stamp ever collides with an append stamp
+    val entryTs = AuditBase.readManifest(path).flatMap(_.ts)
+    assert(entryTs.distinct.size === nAppends,
+      s"append stamps not unique per commit (seed $seed): " +
+        s"${entryTs.distinct.size} != $nAppends")
+    val vecTs = AuditDeletes.entriesWithTs(path).flatMap(_._3)
+    assert(vecTs.toSet.intersect(entryTs.toSet).isEmpty,
+      s"a DML stamp collided with an append stamp (seed $seed)")
+
+    // ---- final feed replay reconciles with the model ----
+    // (a fresh tail over the final state: ids with an insert event and
+    // no delete event are exactly the survivors; vector-folded deletes
+    // blanked both their insert row and their positional entry)
+    val fresh = new AuditCdfStream(path, cdfSchema)
+    val parts = fresh.planInputPartitions(
+      fresh.initialOffset(), fresh.latestOffset())
+    val factory = fresh.createReaderFactory()
+    val events = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = mutable.ArrayBuffer.empty[(Long, String)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getUTF8String(2).toString))
+      } finally r.close()
+      buf
+    }
+    val inserted = events.collect { case (i, "insert") => i }.toSet
+    val deleted = events.collect { case (i, "delete") => i }.toSet
+    assert((inserted -- deleted) === model.toSet,
+      s"feed replay diverged from the model (seed $seed, " +
+        s"restarts=${restarts.get()}, maint errors=$maintErrors)")
+    info(s"seed $seed: ${model.size} survivors of ${nextId} appended, " +
+      s"$nAppends appends, $nDeletes deletes, " +
+      s"foldedRows=${AuditDeletes.foldedRows(path)}, " +
+      s"base=${AuditBase.read(path).isDefined}, " +
+      s"tail restarts=${restarts.get()}, " +
+      s"maint refused=${maintErrors.size}")
+  }
+
+  // fixed seeds: reproducible; pin any future failing seed here
+  Seq(11, 29, 47, 83).foreach { seed =>
+    test(s"chaos seed $seed: concurrent appends + maintenance + live " +
+      "tail preserve every invariant") {
+      runSeed(seed)
+    }
+  }
+}
