@@ -886,13 +886,19 @@ object Dedup {
   // duplicated positions into maximal spans (gaps-and-islands: running-max
   // window + island numbering sharing ONE per-doc sort).
   //
-  // Scale: the gram groupBy is the one heavy shuffle and it is inherent to
-  // cross-document matching — gram text reduces to an 8-byte hash AT THE
-  // SCAN (the winnow/minhash discipline: shuffle only ids + fixed-width
-  // values; the shared-gram aggregate and join move longs, never gram
-  // strings — ~5-10x less shuffle bandwidth on text). The oracle states
-  // the identical hash, so the comparison stays exact. Span merging
-  // shuffles once on doc_id and both window passes share the sort.
+  // Scale: the gram shuffle is the one heavy exchange and it is inherent
+  // to cross-document matching — gram text reduces to an 8-byte hash AT
+  // THE SCAN (the winnow/minhash discipline: shuffle only ids +
+  // fixed-width values, never gram strings). Since round 17 that shuffle
+  // happens exactly ONCE: "gram appears in ≥2 docs" is computed as
+  // `min(doc_id) OVER (PARTITION BY gram) <> max(doc_id) OVER (...)` —
+  // the dup flag rides on the same shuffled rows, replacing the old
+  // groupBy(gram)+self-join shape that exploded and shuffled the
+  // positional grams TWICE (measured 2.1x at sf0.1, ProbeR17; one fewer
+  // exchange in the plan). Window groups are per-gram (a handful of
+  // positions each; a degenerate heavy gram spills, and its rows were
+  // shuffled by the old join anyway). Span merging shuffles once on
+  // doc_id and both window passes share the sort.
   //
   // Collision bound: the hash is 60 bits (15 md5 hex chars), so by the
   // birthday bound P(any two distinct grams collide) ≈ n²/2^61 — at 10^9
@@ -943,15 +949,16 @@ object Dedup {
   /** Per-doc duplicated-K-gram stats: total positional grams, positions
     * whose gram appears in ≥ 2 docs, and distinct such grams. */
   def dupNgrams(spark: SparkSession, d: String): DataFrame = {
-    val pos = gramPositions(spark, d)
-    val shared = pos.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select(col("gram"), lit(1L).as("dup"))
-    pos.join(shared, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("gram")
+    // one gram-keyed pass: min≠max doc_id over the gram partition IS
+    // "appears in ≥2 docs" (same-doc repeats keep min = max)
+    val flagged = gramPositions(spark, d).withColumn("dup",
+      min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+    flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_pos"),
-        countDistinct(when(col("dup").isNotNull, col("gram"))).as("n_dup_distinct"))
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"),
+        countDistinct(when(col("dup"), col("gram"))).as("n_dup_distinct"))
       .orderBy("doc_id")
   }
 
@@ -971,11 +978,12 @@ object Dedup {
     * are absent (they carry no spans). */
   def dupSpans(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = gramPositions(spark, d)
-    val shared = pos.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select("gram")
-    val dupPos = pos.join(shared, Seq("gram"))
+    val wg = Window.partitionBy("gram")
+    // same one-pass dup flag as [[dupNgrams]] — no join, one gram shuffle
+    val dupPos = gramPositions(spark, d)
+      .withColumn("dup",
+        min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+      .where(col("dup"))
       .select(col("doc_id"), col("pos"), (col("pos") + SpanK - 1).as("e"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max(col("e"))
