@@ -339,9 +339,19 @@ final class AuditTable(path: String, writeSchema: StructType,
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchPartitionException(name(), ident, partitionSchema())
     val entries = AuditPartition.manifestEntries(d)
+    // live rows: base checkpoint rows (post-OPTIMIZE dirs hold their
+    // rows there; vector-deleted rows are in the base by construction)
+    // + live manifest total (epochs above the base's through only —
+    // mirrors the count pushdown) − outstanding delete vectors
+    val baseThrough = AuditBase.read(d.toString)
+      .map(_.throughEpoch).getOrElse(Long.MinValue)
+    val rows = AuditBase.read(d.toString)
+      .map(_.files.map(_._2).sum).getOrElse(0L) +
+      entries.collect {
+        case (f, r) if AuditScan.epochOf(f).forall(_ > baseThrough) => r
+      }.sum - AuditDeletes.count(d.toString)
     java.util.Map.of("files", entries.size.toString,
-      // live rows: manifest total − the dir's outstanding delete vectors
-      "rows", (entries.map(_._2).sum - AuditDeletes.count(d.toString)).toString)
+      "rows", rows.toString)
   }
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {

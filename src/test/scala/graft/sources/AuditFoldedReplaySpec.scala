@@ -86,6 +86,17 @@ class AuditFoldedReplaySpec extends AnyFunSuite {
     assert(g.queryExecution.executedPlan.toString.contains("AuditGroupCountScan"))
     assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       === Map(0L -> 67L, 1L -> 67L, 2L -> 66L))
+    // partition-management metadata counts base rows too (a compacted
+    // dir's rows live in the base, not the live manifest) and applies
+    // the same duplicate-entry filter
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]
+    val ident = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](0L))
+    assert(tbl.loadPartitionMetadata(ident).get("rows") === "67")
   }
 
   test("epoch replay after a partitioned OPTIMIZE is absorbed by the " +
