@@ -600,6 +600,10 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     AuditBase.write(path, throughEpoch,
       prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy,
       ts = snapTs)
+    // pre-compaction fold summaries: the compaction scan skipped their
+    // blanked rows, so this base physically excludes them — mark them
+    // absorbed or counts double-subtract (AuditChaosSpec pseed 7)
+    AuditDeletes.markAbsorbed(path)
     prev.foreach(_.files.foreach { case (f, _) =>
       java.nio.file.Files.deleteIfExists(dir.resolve(f))
     })
@@ -1627,7 +1631,8 @@ private[sources] object AuditMaintenance {
     // Positional twins stay: counts and current reads are unaffected.
     AuditDeletes.replace(dirPath, entries,
       AuditDeletes.foldedWithTs(dirPath),
-      foldIntents = otherIntents ++ foldable)
+      foldIntents = otherIntents ++ foldable,
+      absorbedSums = AuditDeletes.absorbed(dirPath))
     foldable.groupBy(_._1).foreach { case (f, ps) =>
       val file = d.resolve(f)
       val gone = ps.map(_._2).toSet
@@ -1642,7 +1647,8 @@ private[sources] object AuditMaintenance {
     // fold blanks (None if any is unstamped — post-fold time travel then
     // keeps refusing, exactly as pre-watermark folds always did).
     AuditDeletes.replace(dirPath, keep, mergeFolds(dirPath, foldable),
-      foldIntents = otherIntents)
+      foldIntents = otherIntents,
+      absorbedSums = AuditDeletes.absorbed(dirPath))
     foldable.size
   }
 
@@ -1685,7 +1691,8 @@ private[sources] object AuditMaintenance {
     // already blanked and completes the summary.
     AuditDeletes.replace(dirPath, entries,
       AuditDeletes.foldedWithTs(dirPath),
-      foldIntents = otherIntents ++ candidates)
+      foldIntents = otherIntents ++ candidates,
+      absorbedSums = AuditDeletes.absorbed(dirPath))
     val d = java.nio.file.Paths.get(dirPath)
     val vecSet: Set[(String, Long)] = myKeys
     // recovering a crashed fold: its blanked lines lost their keys, so
@@ -1721,7 +1728,8 @@ private[sources] object AuditMaintenance {
     // (every vector targets a real base-held row, so absence proves a
     // prior blanking, never a bogus key)
     AuditDeletes.replace(dirPath, keep0, mergeFolds(dirPath, candidates),
-      foldIntents = otherIntents)
+      foldIntents = otherIntents,
+      absorbedSums = AuditDeletes.absorbed(dirPath))
     candidates.size
   }
 

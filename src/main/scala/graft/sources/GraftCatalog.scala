@@ -189,7 +189,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   AuditBase.readManifest(d.toString).exists(e =>
                     AuditScan.epochOf(e.file).isEmpty) ||
                     (AuditDeletes.exists(d.toString) &&
-                      AuditDeletes.count(d.toString) > 0)
+                      (AuditDeletes.count(d.toString) > 0 ||
+                        AuditDeletes.foldedRows(d.toString) > 0))
                 }
             }
             if (partMixed || (partCol0.isEmpty && AuditScan.isMixed(path)))

@@ -1868,7 +1868,15 @@ private[sources] object AuditDeletes {
   // delete as visible (the physical blanking is then exactly right), so
   // time travel survives VACUUM for post-watermark instants. Absent when
   // any folded entry predated commit stamps (travel refuses, as before).
-  private val FoldRe = """\{"file":"([^"]+)","folded":(\d+)(?:,"ts":(\d+))?\}""".r
+  // `,"absorbed":a` marks a rows of the summary as ABSORBED by a later
+  // base checkpoint: the compaction scan skipped the blanked rows, so
+  // the base physically excludes them and counts must stop subtracting
+  // them (a pre-compaction fold otherwise double-subtracts — found by
+  // AuditChaosSpec pseed 7). foldedRows/foldWatermark ignore absorption:
+  // the fold GENERATION axis stays monotonic and travel keeps refusing
+  // pre-watermark instants.
+  private val FoldRe =
+    """\{"file":"([^"]+)","folded":(\d+)(?:,"ts":(\d+))?(?:,"absorbed":(\d+))?\}""".r
   // FOLD-INTENT marker: VACUUM is ABOUT TO physically blank these
   // (file, pos) rows. Written BEFORE any data file is touched, removed
   // by the same atomic replace that installs the fold summaries — so a
@@ -1896,7 +1904,7 @@ private[sources] object AuditDeletes {
   def folded(path: String): Map[String, Long] =
     if (!exists(path)) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case FoldRe(f, n, _) => (f, n.toLong)
+      case FoldRe(f, n, _, _) => (f, n.toLong)
     }.groupBy(_._1).map { case (f, ns) => (f, ns.map(_._2).sum) }
 
   /** Folded summaries with their fold WATERMARK (max folded-entry commit
@@ -1905,13 +1913,21 @@ private[sources] object AuditDeletes {
   def foldedWithTs(path: String): Map[String, (Long, Option[Long])] =
     if (!exists(path)) Map.empty
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
-      case FoldRe(f, n, ts) => (f, n.toLong, Option(ts).map(_.toLong))
+      case FoldRe(f, n, ts, _) => (f, n.toLong, Option(ts).map(_.toLong))
     }.groupBy(_._1).map { case (f, es) =>
       // multiple summaries per file merge conservatively: sum the counts,
       // take the max watermark ONLY when every summary carries one
       (f, (es.map(_._2).sum,
         if (es.exists(_._3.isEmpty)) None else Some(es.map(_._3.get).max)))
     }
+
+  /** Per-file ABSORBED row counts of the fold summaries (rows a later
+    * base checkpoint physically excluded — see [[FoldRe]]). */
+  def absorbed(path: String): Map[String, Long] =
+    if (!exists(path)) Map.empty
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
+      case FoldRe(f, _, _, a) if a != null => (f, a.toLong)
+    }.groupBy(_._1).map { case (f, as) => (f, as.map(_._2).sum) }
 
   /** Pending fold intents: (file, pos, commit ts) rows a crashed VACUUM
     * may have HALF-blanked (see [[IntentRe]]). Empty in steady state. */
@@ -1953,7 +1969,10 @@ private[sources] object AuditDeletes {
     if (!exists(path)) 0L
     else java.nio.file.Files.readAllLines(file(path)).asScala.map {
       case LineRe(_, _, _) => 1L
-      case FoldRe(_, n, _) => n.toLong
+      // absorbed rows are physically absent from the base checkpoint —
+      // they already stopped counting; subtract only the remainder
+      case FoldRe(_, n, _, a) =>
+        n.toLong - Option(a).map(_.toLong).getOrElse(0L)
       case _               => 0L
     }.sum
 
@@ -2031,7 +2050,8 @@ private[sources] object AuditDeletes {
     * bounded prefix). */
   def replace(path: String, positional: Seq[(String, Long, Option[Long])],
       foldedSums: Map[String, (Long, Option[Long])],
-      foldIntents: Seq[(String, Long, Option[Long])] = Nil): Unit = {
+      foldIntents: Seq[(String, Long, Option[Long])] = Nil,
+      absorbedSums: Map[String, Long] = Map.empty): Unit = {
     if (positional.isEmpty && foldedSums.isEmpty && foldIntents.isEmpty) {
       clear(path); return
     }
@@ -2041,8 +2061,10 @@ private[sources] object AuditDeletes {
     // prefix for headFoldWatermark, and appends only add positional
     val body =
       foldedSums.toSeq.sortBy(_._1).map { case (n, (c, wm)) =>
+        val a = absorbedSums.getOrElse(n, 0L)
         s"""{"file":"$n","folded":$c${wm.map(t => s""","ts":$t""")
-          .getOrElse("")}}""" + "\n" }.mkString +
+          .getOrElse("")}${if (a > 0) s""","absorbed":${math.min(a, c)}"""
+          else ""}}""" + "\n" }.mkString +
         foldIntents.map { case (n, p, ts) =>
           s"""{"foldintent":"$n","pos":$p${ts.map(t => s""","ts":$t""")
             .getOrElse("")}}""" + "\n" }.mkString +
@@ -2053,6 +2075,19 @@ private[sources] object AuditDeletes {
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Mark every fold summary fully ABSORBED — called at base-checkpoint
+    * publish (OPTIMIZE, both layouts): the compaction scan skipped the
+    * blanked rows, so from this snapshot on the base physically excludes
+    * them and counts must not subtract them again. Positional entries
+    * and pending intents ride through untouched; foldedRows and the
+    * watermark are unchanged (axis + travel semantics keep holding). */
+  def markAbsorbed(path: String): Unit = {
+    val sums = foldedWithTs(path)
+    if (sums.isEmpty) return
+    replace(path, entriesWithTs(path), sums, intents(path),
+      absorbedSums = sums.map { case (f, (n, _)) => (f, n) })
   }
 
   /** Max fold watermark readable from the log's HEAD — fold summaries are
@@ -2071,7 +2106,7 @@ private[sources] object AuditDeletes {
       var max = -1L
       var go = true
       while (go && it.hasNext) it.next() match {
-        case FoldRe(_, _, ts) => if (ts != null) max = math.max(max, ts.toLong)
+        case FoldRe(_, _, ts, _) => if (ts != null) max = math.max(max, ts.toLong)
         case _ => go = false
       }
       max
@@ -2138,7 +2173,7 @@ private[sources] object AuditScan {
     * three vintage kinds; a pure-streaming table keeps the epoch pin. */
   def isMixed(path: String): Boolean =
     AuditBase.readManifest(path).nonEmpty || (AuditDeletes.exists(path) &&
-      AuditDeletes.count(path) > 0)
+      (AuditDeletes.count(path) > 0 || AuditDeletes.foldedRows(path) > 0))
 
   /** Epochs recorded in `_EPOCHS`, ascending (the stream's offset axis). */
   def committedEpochs(path: String): Seq[Long] = {
@@ -4932,6 +4967,23 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     queryId.foreach(AuditStreamLock.acquire(path, _))
     val dir = java.nio.file.Paths.get(path)
     val stage = dir.resolve("_staging").resolve(stageSub)
+    // FOLDED-EPOCH replay defense (the unpartitioned twin of the
+    // partitioned commit's): a crash between sink commit and checkpoint
+    // commit followed by an OPTIMIZE folds this epoch into the base —
+    // republishing would delete the retained original files (a running
+    // tail resolves them) and RE-STAMP the epoch, silently moving the
+    // folded base origins on the travel axis. The base is this epoch's
+    // publication; just drop the staged files.
+    val baseThrough = AuditBase.read(path)
+      .map(_.throughEpoch).getOrElse(Long.MinValue)
+    if (epochId <= baseThrough) {
+      messages.toSeq.foreach {
+        case m: AuditCommitMessage =>
+          java.nio.file.Files.deleteIfExists(stage.resolve(m.stagedName))
+        case _ => ()
+      }
+      return
+    }
     // Idempotent under epoch replay: a re-attempted epoch first clears its
     // OWN prior part files (an earlier attempt may have published MORE
     // files than this one — REPLACE_EXISTING alone would leave stale
@@ -5999,6 +6051,10 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
       AuditBase.write(pdir.toString, throughEpoch,
         prev.map(_.expiredThrough).getOrElse(-1L), files,
         ts = Some(snapTs))
+      // pre-compaction fold summaries: their blanked rows were skipped
+      // by the compaction scan, so this base physically excludes them —
+      // counts must stop subtracting them (AuditChaosSpec pseed 7)
+      AuditDeletes.markAbsorbed(pdir.toString)
       // only a PREVIOUS base's files are superseded-and-invisible
       // everywhere — folded ORIGINAL files stay on disk for running
       // tails/feeds until VACUUM

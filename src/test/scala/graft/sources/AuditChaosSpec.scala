@@ -76,15 +76,21 @@ class AuditChaosSpec extends AnyFunSuite {
           val until = stream.latestOffset()
           val parts = stream.planInputPartitions(from, until)
           val factory = stream.createReaderFactory()
+          // buffer the pull; merge only on FULL success — a mid-pull
+          // failure retries the same offsets (Spark's own micro-batch
+          // retry), so partial reads must not count as delivered
+          val pull = mutable.ArrayBuffer.empty[(Long, String)]
           parts.foreach { p =>
             val r = factory.createReader(p)
             try while (r.next()) {
               val row = r.get()
-              val ev = (row.getLong(0), row.getUTF8String(2).toString)
-              // exactly-once within one uninterrupted accumulation
-              if (!acc.add(ev) && dupSeen.get() == null)
-                dupSeen.set(s"duplicate event $ev (seed $seed)")
+              pull += ((row.getLong(0), row.getUTF8String(2).toString))
             } finally r.close()
+          }
+          pull.foreach { ev =>
+            // exactly-once within one uninterrupted accumulation
+            if (!acc.add(ev) && dupSeen.get() == null)
+              dupSeen.set(s"duplicate event $ev (seed $seed)")
           }
           from = until
         } catch {
@@ -94,8 +100,9 @@ class AuditChaosSpec extends AnyFunSuite {
             from = stream.initialOffset()
             acc = mutable.Set.empty
           case _: Throwable =>
-            // a plan raced a maintenance rewrite mid-listing; retry the
-            // same offsets next iteration (nothing was consumed)
+            // the pull raced a maintenance rewrite (e.g. a planned file
+            // reclaimed mid-read); the buffered partial pull is
+            // discarded and the same offsets retry next iteration
         }
         Thread.sleep(3)
       }
@@ -200,11 +207,182 @@ class AuditChaosSpec extends AnyFunSuite {
       s"maint refused=${maintErrors.size}")
   }
 
+  /** PARTITIONED twin: catalog INSERT waves racing partitioned
+    * OPTIMIZE/VACUUM (per-dir bases), delta DML, and a live PARTITIONED
+    * feed tail. Same invariants; stamps additionally prove one shared
+    * statement stamp across a partitioned INSERT's directories. */
+  private def runSeedPartitioned(seed: Int): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosp_${seed}_")
+    val cat = s"graft_chaosp_$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val path = wh.resolve("db").resolve("t").toString
+    val levels = Seq(AuditPartition.Level("flag",
+      org.apache.spark.sql.types.LongType, None))
+    val rnd = new scala.util.Random(seed)
+    val model = mutable.Set.empty[Long]
+    var nextId = 0L
+    var nAppends = 0
+
+    val pcdfSchema = StructType(Seq(
+      StructField("id", LongType), StructField("flag", LongType),
+      StructField("_change_type", StringType),
+      StructField("_file", StringType)))
+    val stream = new AuditPartitionedCdfStream(path, pcdfSchema, levels)
+    val restarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dupSeen = new java.util.concurrent.atomic.AtomicReference[String](null)
+    @volatile var tailStop = false
+    val tailThread = new Thread(() => {
+      var from = stream.initialOffset()
+      var acc = mutable.Set.empty[(Long, String)]
+      while (!tailStop) {
+        try {
+          val until = stream.latestOffset()
+          val parts = stream.planInputPartitions(from, until)
+          val factory = stream.createReaderFactory()
+          // buffered pull — see the unpartitioned tail
+          val pull = mutable.ArrayBuffer.empty[(Long, String)]
+          parts.foreach { p =>
+            val r = factory.createReader(p)
+            try while (r.next()) {
+              val row = r.get()
+              pull += ((row.getLong(0), row.getUTF8String(2).toString))
+            } finally r.close()
+          }
+          pull.foreach { ev =>
+            if (!acc.add(ev) && dupSeen.get() == null)
+              dupSeen.set(s"duplicate event $ev (pseed $seed)")
+          }
+          from = until
+        } catch {
+          case t: Throwable if loudRestart(t) =>
+            restarts.incrementAndGet()
+            from = stream.initialOffset()
+            acc = mutable.Set.empty
+          case _: Throwable => () // raced a rewrite mid-pull; the
+            // buffered partial pull is discarded, same offsets retry
+        }
+        Thread.sleep(3)
+      }
+    })
+    tailThread.start()
+
+    val maintErrors = mutable.Buffer.empty[String]
+    for (wave <- 1 to 5) {
+      val appendThreads = (0 until (1 + rnd.nextInt(2))).map { _ =>
+        val from = nextId; nextId += 90
+        model ++= (from until from + 90)
+        nAppends += 1
+        new Thread(() => spark.sql(
+          s"INSERT INTO $cat.db.t SELECT id, id % 3 FROM " +
+            s"range($from, ${from + 90})"))
+      }
+      // random waves RACE a maintenance op against the inserts (a raced
+      // compaction may legitimately abort — the swap-race defense)
+      val maintThread: Option[Thread] =
+        if (rnd.nextInt(10) < 3)
+          Some(new Thread(() => {
+          try {
+            if (rnd.nextBoolean())
+              spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+                "target_file_count => 2)").collect()
+            else
+              spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+          } catch {
+            case t: Throwable => maintErrors += Option(t.getMessage)
+              .getOrElse(t.getClass.getName)
+          }
+        }))
+        else None
+      val threads = rnd.shuffle(appendThreads ++ maintThread.toSeq)
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      // waves 3 and 5: compaction / reclamation AFTER the inserts land
+      // (no abort-worthy race) but UNDER the live tail — every seed
+      // exercises per-dir bases and the fold-stable tail axis
+      if (wave == 3)
+        spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+          "target_file_count => 2)").collect()
+      if (wave == 5)
+        try spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+        catch { case t: Throwable => maintErrors += Option(t.getMessage)
+          .getOrElse(t.getClass.getName) }
+      if (rnd.nextBoolean()) {
+        val m = 7 + rnd.nextInt(7)
+        val r = rnd.nextInt(m)
+        spark.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
+        model --= model.filter(_ % m == r)
+      }
+      spark.catalog.refreshTable(s"$cat.db.t")
+      val waveCount = spark.table(s"$cat.db.t").count()
+      if (waveCount != model.size.toLong) {
+        val ids = spark.table(s"$cat.db.t").select("id")
+          .collect().map(_.getLong(0)).toSet
+        val missing = (model.toSet -- ids).toSeq.sorted
+        val extra = (ids -- model.toSet).toSeq.sorted
+        val dirs = AuditPartition.listDirsByCols(path, Seq("flag"))
+          .map { case (rel, d) =>
+            val phys = AuditBase.read(d.toString).toSeq
+              .flatMap(_.files.map(_._1)).map { f =>
+                val lines = java.nio.file.Files.readAllLines(d.resolve(f))
+                (f, lines.size, lines.asScala.count(_.nonEmpty))
+              }
+            s"$rel base=${AuditBase.read(d.toString).map(b =>
+              (b.throughEpoch, b.files.map(_._2).sum))} phys=$phys " +
+              s"live=${AuditBase.readManifest(d.toString)
+                .filterNot(_.folded).map(e => (e.file, e.rows))} " +
+              s"dels=${AuditDeletes.count(d.toString)}"
+          }.mkString("\n")
+        fail(s"row count diverged (pseed $seed): table=$waveCount " +
+          s"model=${model.size} missing=${missing.take(60)} " +
+          s"extra=${extra.take(60)} maintErrors=$maintErrors\n$dirs")
+      }
+      // partition-pruned + metadata group count stay exact mid-chaos
+      val g = spark.sql(
+        s"SELECT flag, count(*) AS n FROM $cat.db.t GROUP BY flag")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(g === model.groupBy(_ % 3).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 > 0),
+        s"group counts diverged (pseed $seed)")
+    }
+    tailStop = true
+    tailThread.join()
+    val dup = dupSeen.get()
+    assert(dup == null, s"$dup")
+
+    val ids = spark.table(s"$cat.db.t").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size === ids.distinct.size, s"duplicated rows (pseed $seed)")
+    assert(ids.toSet === model.toSet, s"content diverged (pseed $seed)")
+
+    // one statement stamp shared across a partitioned INSERT's dirs:
+    // distinct batch stamps across ALL dirs == acknowledged INSERTs
+    val allTs = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .flatMap { case (_, d) =>
+        AuditBase.readManifest(d.toString).flatMap(_.ts) }
+    assert(allTs.distinct.size === nAppends,
+      s"partitioned statement stamps not shared/unique (pseed $seed): " +
+        s"${allTs.distinct.size} != $nAppends")
+    info(s"pseed $seed: ${model.size} survivors of $nextId appended, " +
+      s"$nAppends inserts, tail restarts=${restarts.get()}, " +
+      s"maint refused=${maintErrors.size}, " +
+      s"bases=${AuditPartition.listDirsByCols(path, Seq("flag"))
+        .count { case (_, d) => AuditBase.read(d.toString).isDefined }}")
+  }
+
   // fixed seeds: reproducible; pin any future failing seed here
   Seq(11, 29, 47, 83).foreach { seed =>
     test(s"chaos seed $seed: concurrent appends + maintenance + live " +
       "tail preserve every invariant") {
       runSeed(seed)
+    }
+  }
+  Seq(7, 61).foreach { seed =>
+    test(s"partitioned chaos seed $seed: concurrent INSERTs + per-dir " +
+      "bases + live partitioned tail preserve every invariant") {
+      runSeedPartitioned(seed)
     }
   }
 }

@@ -136,6 +136,42 @@ class AuditFoldedReplaySpec extends AnyFunSuite {
     assert(AuditScan.epochTimestamps(path) === stampsBefore)
   }
 
+  test("UNPARTITIONED epoch replay after OPTIMIZE is absorbed by the " +
+    "base: originals untouched, original epoch stamp kept") {
+    val (cat, wh) = freshCat("rpu")
+    spark.sql(s"CREATE TABLE $cat.db.u (id BIGINT, flag BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_frp_rpu_ck")
+    def stream(): Unit = {
+      val q = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", "2").option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().select(col("id"), (col("id") % 3).as("flag"))
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .outputMode("append").toTable(s"$cat.db.u")
+      try q.processAllAvailable() finally q.stop()
+    }
+    stream() // epochs 0,1
+    val path = wh.resolve("db").resolve("u").toString
+    val stampsBefore = AuditScan.epochTimestamps(path)
+    assert(java.nio.file.Files.deleteIfExists(
+      ckpt.resolve("commits").resolve("1")))
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve("commits").resolve(".1.crc"))
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.u', " +
+      "target_file_count => 1)") // folds epochs 0,1 into the base
+    // retained originals on disk before the replay
+    val origs = AuditScan.epochFiles(path,
+      AuditScan.committedEpochs(path).toSet).map(_._1).toSet
+    stream() // replays epoch 1 against the compacted table
+    assert(spark.table(s"$cat.db.u").count() === 200L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.u").head.getLong(0)
+      === (0L until 200L).sum)
+    // original files untouched (running tails resolve them), stamp kept
+    assert(AuditScan.epochFiles(path,
+      AuditScan.committedEpochs(path).toSet).map(_._1).toSet === origs)
+    assert(AuditScan.epochTimestamps(path) === stampsBefore)
+  }
+
   test("metadata MIN/MAX refuses a watermark-less (pre-upgrade) fold") {
     val (cat, wh) = freshCat("wm")
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
