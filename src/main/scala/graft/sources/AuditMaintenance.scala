@@ -779,10 +779,11 @@ private[sources] object AuditMaintenance {
       sortBy: Option[String],
       schema: StructType,
       zorderBy: Seq[String] = Nil,
-      bloomBy: Seq[String] = Nil): (Int, Long, Long) =
+      bloomBy: Seq[String] = Nil,
+      partitionFilter: Seq[(String, String)] = Nil): (Int, Long, Long) =
     AuditMaintLock.withLease(path, "optimize") {
       optimizePartitionedLocked(spark, fullName, path, partSpec,
-        targetFileCount, sortBy, schema, zorderBy, bloomBy)
+        targetFileCount, sortBy, schema, zorderBy, bloomBy, partitionFilter)
     }
 
   private def optimizePartitionedLocked(spark: SparkSession, fullName: String,
@@ -790,7 +791,8 @@ private[sources] object AuditMaintenance {
       sortBy: Option[String],
       schema: StructType,
       zorderBy: Seq[String],
-      bloomBy: Seq[String]): (Int, Long, Long) = {
+      bloomBy: Seq[String],
+      partitionFilter: Seq[(String, String)] = Nil): (Int, Long, Long) = {
     val specs = AuditPartition.parseSpecs(partSpec)
     val partCols = specs.map(_.col)
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -808,7 +810,32 @@ private[sources] object AuditMaintenance {
     // base folds exactly these files; an OCC append racing the job either
     // aborts the commit (landed before its check — the scan may have
     // read it) or stays live alongside the base (landed after).
+    // PARTITION-FILTERED compaction (`partition_filter => 'col=v,…'`):
+    // compact only the matching directories — the operational shape at
+    // scale, where "compact yesterday's partition" must not rewrite the
+    // whole table. Matching is token-level on IDENTITY partition columns
+    // (a bucket column's value→dir mapping is not expressible as one
+    // token); unselected directories keep their live entries, bases and
+    // history untouched, and every read path already resolves per-dir.
+    val selFilter: Map[Int, String] = partitionFilter.map { case (c, v) =>
+      val li = specs.indexWhere(_.col == c)
+      require(li >= 0, s"audit OPTIMIZE: partition_filter column $c is " +
+        s"not a partition column of $path (${partCols.mkString(",")})")
+      require(specs(li).bucket.isEmpty,
+        s"audit OPTIMIZE: partition_filter on bucket column $c is not " +
+          "supported (a value does not name one directory)")
+      (li, java.net.URLEncoder.encode(v, "UTF-8"))
+    }.toMap
+    def selected(relDir: String): Boolean = selFilter.forall {
+      case (li, tok) => AuditPartition.componentToken(relDir, li) == tok }
+    val selDirs: Option[Set[String]] =
+      if (selFilter.isEmpty) None
+      else Some(AuditPartition.listDirsByCols(path, partCols)
+        .collect { case (rel, _) if selected(rel) => rel }.toSet)
+    selDirs.foreach(ds => require(ds.nonEmpty,
+      s"audit OPTIMIZE: partition_filter matches no partition of $path"))
     val pinned = liveFileSets(path, partCols)
+      .filter { case (rel, _) => selected(rel) }
     val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
     // snapshot instant on the MONOTONIC stamp axis (root sequencer +
     // every dir's visible stamps): every pre-snapshot commit stamp is
@@ -828,7 +855,22 @@ private[sources] object AuditMaintenance {
       .option("includeDeleted", "true")
       .option("rawcolumns", "true")
       .load()
-    var df = full.select(schema.fieldNames.map(col).toSeq ++ Seq(
+    val fullSel = partitionFilter.foldLeft(full) { case (acc, (c, v)) =>
+      val lit0: org.apache.spark.sql.Column =
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(LongType) => org.apache.spark.sql.functions.lit(v.toLong)
+          case Some(IntegerType) => org.apache.spark.sql.functions.lit(v.toInt)
+          case Some(org.apache.spark.sql.types.StringType) =>
+            org.apache.spark.sql.functions.lit(v)
+          case Some(org.apache.spark.sql.types.DateType) =>
+            org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(v))
+          case other => throw new IllegalArgumentException(
+            s"audit OPTIMIZE: partition_filter on $c of type $other is " +
+              "not supported")
+        }
+      acc.where(col(c) === lit0) // statically pruned to the matching dirs
+    }
+    var df = fullSel.select(schema.fieldNames.map(col).toSeq ++ Seq(
       col("_epoch").as("_oepoch"),
       // origin ids are PLAIN names within the directory (the scan
       // dir-qualifies _file for table-wide uniqueness; per-dir vectors
@@ -890,7 +932,7 @@ private[sources] object AuditMaintenance {
     // through the ordinary partitioned writer discipline; the pinned set
     // travels driver-side by token (O(files), not an option string)
     val token = AuditPartBasePin.put(
-      AuditPartBasePin.Pin(through, snapTs, pinned))
+      AuditPartBasePin.Pin(through, snapTs, pinned, selDirs))
     df.write.format(classOf[JsonAuditSink].getName)
       .option("path", path)
       .option("partitionby", AuditPartition.serializeSpecs(specs))
@@ -1378,16 +1420,20 @@ private[sources] object AuditMaintenance {
     val bases = dirs.flatMap { case (rel, d) =>
       AuditBase.read(d.toString).map(b => (rel, d, b)) }
     val throughs = bases.map(_._3.throughEpoch).distinct
-    require(throughs.size == 1,
-      s"audit RESTORE: partition directories of $path disagree on the " +
-        s"checkpoint epoch (${throughs.sorted.mkString(", ")}) — " +
-        "interrupted compaction; re-run OPTIMIZE first")
-    require(version >= throughs.head,
-      s"audit RESTORE: $path is compacted — epochs before the " +
-        s"checkpoint boundary (epoch ${throughs.head}) were folded into " +
-        "the per-dir bases and cannot be un-folded; restorable targets " +
-        s"are the boundary itself or any later epoch")
-    val boundary = version == throughs.head
+    // partition-filtered OPTIMIZE legitimately leaves dirs at DIFFERENT
+    // checkpoint epochs: boundary restore (per-dir base materialization)
+    // needs one shared boundary, but any epoch AT/AFTER the newest
+    // checkpoint restores by pure truncation on every dir
+    val maxThrough = throughs.max
+    val boundary = throughs.size == 1 && version == throughs.head
+    require(boundary || version >= maxThrough,
+      s"audit RESTORE: $path is compacted — epochs before the newest " +
+        s"checkpoint boundary (epoch $maxThrough) were folded into " +
+        "per-dir bases and cannot be un-folded; restorable targets are " +
+        (if (throughs.size == 1)
+          s"the checkpoint boundary (epoch $maxThrough) or any later epoch"
+        else s"epochs >= $maxThrough (partition-filtered compactions " +
+          s"left mixed boundaries: ${throughs.sorted.mkString(", ")})"))
     // restoring PAST the checkpoint (version > through) only truncates
     // newer history: epochs > version go, and batch appends / delete
     // vectors committed after the target epoch's instant un-happen —
@@ -2125,7 +2171,13 @@ private[sources] object GraftProcedures {
           .defaultValue("CAST(NULL AS STRING)")
           .comment("optional comma-separated columns to (re)build " +
             "per-file bloom filters for; existing bloomed columns are " +
-            "always preserved").build())
+            "always preserved").build(),
+        ProcedureParameter.in("partition_filter", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("compact only matching partitions of a partitioned " +
+            "table: 'col=value[,col=value]' on identity partition " +
+            "columns; other directories keep their files and history")
+          .build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val tfc = if (input.isNullAt(1)) 0 else input.getInt(1)
@@ -2139,6 +2191,15 @@ private[sources] object GraftProcedures {
           if (input.isNullAt(4)) Nil
           else input.getUTF8String(4).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
+        val partitionFilter: Seq[(String, String)] =
+          if (input.isNullAt(5)) Nil
+          else input.getUTF8String(5).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq.map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"audit OPTIMIZE: partition_filter entry " +
+                s"'$kv' is not col=value")
+              (kv.take(i).trim, kv.drop(i + 1).trim)
+            }
         val (path, schema, partSpec) = catalog.resolveAuditTableFull(table)
         // user-facing column args arrive in CURRENT names; the rewrite
         // works in storage names (see resolveAuditTableFull)
@@ -2152,8 +2213,13 @@ private[sources] object GraftProcedures {
             AuditMaintenance.optimizePartitioned(
               org.apache.spark.sql.SparkSession.active,
               s"${catalog.name()}.$table", path, ps, tfc, sortBySt, schema,
-              zorderBySt, bloomBySt)
-          case None => AuditMaintenance.optimize(
+              zorderBySt, bloomBySt,
+              partitionFilter.map { case (c, v) => (st(c), v) })
+          case None =>
+            require(partitionFilter.isEmpty,
+              s"audit OPTIMIZE: partition_filter needs a partitioned " +
+                s"table; $table is unpartitioned")
+            AuditMaintenance.optimize(
             org.apache.spark.sql.SparkSession.active, path, schema, tfc,
             sortBySt, zorderBySt, bloomBy = bloomBySt)
         }

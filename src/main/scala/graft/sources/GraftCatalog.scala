@@ -1692,6 +1692,74 @@ object CatalogApi {
       .orderBy(col("grp"))
   }
 
+  /** PARTITION-FILTERED OPTIMIZE, oracle-checked: only flag=1 compacts
+    * (`partition_filter`); the other directories keep their live files
+    * and history. The frame proves per-flag groups, a pruned read on
+    * the compacted partition, post-compaction appends landing live in
+    * ALL dirs, and commit-time travel to the pre-append instant — all
+    * restated by DuckDB from the generation arithmetic.
+    * AuditPartialOptimizeSpec pins the raced-append and mixed-boundary
+    * RESTORE halves. */
+  def auditPartOptimizeWhere(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qpow_wh")
+    spark.conf.set("spark.sql.catalog.graft_qpow", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qpow.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qpow.db.tw")
+    spark.sql(
+      """CREATE TABLE graft_qpow.db.tw (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO graft_qpow.db.tw SELECT id, id % 3 " +
+      "FROM range(120)")
+    spark.sql("DELETE FROM graft_qpow.db.tw WHERE id % 12 = 5")
+    val path = wh.resolve("db").resolve("tw").toString
+    spark.sql("CALL graft_qpow.system.optimize(table => 'db.tw', " +
+      "target_file_count => 2, partition_filter => 'flag=1')")
+    require(AuditBase.read(
+      wh.resolve("db/tw/flag=1").toString).isDefined &&
+      AuditBase.read(wh.resolve("db/tw/flag=0").toString).isEmpty &&
+      AuditBase.read(wh.resolve("db/tw/flag=2").toString).isEmpty,
+      "partition_filter must compact exactly flag=1")
+    def dirMax: Long = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, dd) => AuditBase.maxVisibleTs(dd.toString) }.max
+    val tMid = dirMax
+    spark.sql("INSERT INTO graft_qpow.db.tw SELECT id + 1000, id % 3 " +
+      "FROM range(30)")
+    spark.sql(
+      s"""SELECT 'cur' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+         |FROM graft_qpow.db.tw GROUP BY flag""".stripMargin)
+      .unionAll(spark.sql(
+        s"""SELECT 'mid' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+           |FROM graft_qpow.db.tw
+           |TIMESTAMP AS OF timestamp_millis($tMid) GROUP BY flag"""
+          .stripMargin))
+      .unionAll(spark.sql(
+        """SELECT 'prune' AS grp, flag, count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qpow.db.tw WHERE flag = 1 GROUP BY flag"""
+          .stripMargin))
+      .orderBy(col("grp"), col("flag"))
+  }
+
+  val auditPartOptimizeWhereSql: String =
+    """WITH first AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(120) t(r)),
+      |mid_state AS (SELECT * FROM first WHERE id % 12 <> 5),
+      |cur_state AS (
+      |  SELECT * FROM mid_state
+      |  UNION ALL
+      |  SELECT CAST(t.r AS BIGINT) + 1000, CAST(t.r AS BIGINT) % 3
+      |  FROM range(30) t(r))
+      |SELECT 'cur' AS grp, flag, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM cur_state GROUP BY flag
+      |UNION ALL SELECT 'mid', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM mid_state GROUP BY flag
+      |UNION ALL SELECT 'prune', flag, count(*), CAST(sum(id) AS BIGINT)
+      |FROM cur_state WHERE flag = 1 GROUP BY flag
+      |ORDER BY grp, flag""".stripMargin
+
   val auditTravelRetainedSql: String =
     """WITH base AS (
       |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
@@ -3794,6 +3862,7 @@ object CatalogApi {
       "q_audit_travel_compacted" -> (auditTravelCompacted _),
       "q_audit_travel_folded" -> (auditTravelFolded _),
       "q_audit_travel_retained" -> (auditTravelRetained _),
+      "q_audit_part_optimize_where" -> (auditPartOptimizeWhere _),
       "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
       "q_cdf_part_compacted" -> (cdfPartCompacted _),
       "q_audit_part_travel_folded" -> (auditPartTravelFolded _),
@@ -3835,6 +3904,7 @@ object CatalogApi {
       "q_audit_travel_compacted" -> auditTravelCompactedSql,
       "q_audit_travel_folded" -> auditTravelFoldedSql,
       "q_audit_travel_retained" -> auditTravelRetainedSql,
+      "q_audit_part_optimize_where" -> auditPartOptimizeWhereSql,
       "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
       "q_cdf_part_compacted" -> cdfPartCompactedSql,
       "q_audit_part_travel_folded" -> auditPartTravelFoldedSql,

@@ -4499,7 +4499,8 @@ final class AuditWriteBuilder(path: String, schema: StructType,
           // option string; the commit runs on the driver either way)
           val pin = AuditPartBasePin.take(options("partbasetoken"))
           new AuditPartitionedBaseWrite(path, schema, partLevels,
-            pin.throughEpoch, pin.snapTs, pin.pinned, bloomCols)
+            pin.throughEpoch, pin.snapTs, pin.pinned, bloomCols,
+            pin.selected)
         } else
         // OPTIMIZE's base-checkpoint publish — see AuditBase
         new AuditBaseBatchWrite(path, schema,
@@ -5944,7 +5945,10 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
   * base commit runs on the driver, same JVM as the OPTIMIZE call). */
 private[sources] object AuditPartBasePin {
   final case class Pin(throughEpoch: Long, snapTs: Long,
-      pinned: Map[String, Set[String]])
+      pinned: Map[String, Set[String]],
+      // partition-filtered OPTIMIZE: only these relDirs participate —
+      // the raced-append abort checks them alone (None = whole table)
+      selected: Option[Set[String]] = None)
   private val pins =
     new java.util.concurrent.ConcurrentHashMap[String, Pin]()
   def put(pin: Pin): String = {
@@ -5980,7 +5984,8 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
     partLevels: Seq[AuditPartition.Level],
     throughEpoch: Long, snapTs: Long,
     pinned: Map[String, Set[String]],
-    bloomCols: Set[String] = Set.empty) extends BatchWrite {
+    bloomCols: Set[String] = Set.empty,
+    selected: Option[Set[String]] = None) extends BatchWrite {
   require(schema.fields.takeRight(3).map(_.name).toSeq ==
     Seq("_oepoch", "_ofile", "_opos"),
     s"audit partitioned base commit: schema must end with the origin " +
@@ -6005,7 +6010,11 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
     // raced-append abort BEFORE any mutation: the staged tree reflects
     // exactly the pinned set or the compaction is stale
     val partCols = partLevels.map(_.col)
+    // partition-filtered compaction: appends racing into UNSELECTED
+    // directories are none of this rewrite's business — only the
+    // selected dirs must still match the pinned snapshot exactly
     val nowSets = AuditPartition.listDirsByCols(path, partCols)
+      .filter { case (rel, _) => selected.forall(_.contains(rel)) }
       .map { case (rel, d) =>
         (rel, AuditBase.readManifest(d.toString)
           .collect { case e if !e.folded => e.file }.toSet)

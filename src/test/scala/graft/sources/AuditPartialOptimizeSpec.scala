@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** PARTITION-FILTERED OPTIMIZE (`partition_filter => 'col=v'`): compact
+  * only the matching directories — the operational shape at 100 TB,
+  * where "compact yesterday's partition" must not rewrite the whole
+  * table. Unselected directories keep their live entries, bases and
+  * history untouched; every read/count/travel path already resolves
+  * per directory. Mixed per-dir checkpoint epochs are a legitimate
+  * state afterwards: RESTORE accepts any epoch at/after the newest
+  * boundary (pure truncation) and names the mixed boundaries when
+  * refusing earlier targets. */
+class AuditPartialOptimizeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshCat(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_pof_${tag}_")
+    val cat = s"graft_pof_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+
+  test("compacts only the selected partition; reads, counts, pruning " +
+    "and travel stay exact on both sides") {
+    val (cat, wh) = freshCat("sel")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    (0 until 3).foreach { w =>
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id + ${w * 100}, id % 2 " +
+        "FROM range(100)")
+    }
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 30 = 7") // both dirs
+    val path = wh.resolve("db").resolve("t").toString
+    val expected = spark.sql(
+      s"SELECT id, flag FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tPre = AuditPartition.listDirsByCols(path, Seq("flag"))
+      .map { case (_, d) => AuditBase.maxVisibleTs(d.toString) }.max
+    val d0 = wh.resolve("db/t/flag=0").toString
+    val d1 = wh.resolve("db/t/flag=1").toString
+    val live0Before = AuditBase.readManifest(d0).filterNot(_.folded)
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2, partition_filter => 'flag=1')")
+    // only flag=1 got a base; flag=0 keeps its live entries untouched
+    assert(AuditBase.read(d0).isEmpty)
+    assert(AuditBase.read(d1).isDefined)
+    assert(AuditBase.readManifest(d0).filterNot(_.folded) === live0Before)
+    assert(AuditBase.readManifest(d1).forall(_.folded))
+    // content identical; metadata count and group count exact
+    spark.catalog.refreshTable(s"$cat.db.t")
+    val after = spark.sql(s"SELECT id, flag FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === expected)
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.db.t")
+    assert(cnt.queryExecution.executedPlan.toString.contains("AuditCountScan"))
+    assert(cnt.head.getLong(0) === expected.size.toLong)
+    val g = spark.sql(
+      s"SELECT flag, count(*) AS n FROM $cat.db.t GROUP BY flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g === expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    // partition-pruned reads on both sides
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE flag = 0")
+      .head.getLong(0) === expected.count(_._2 == 0L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE flag = 1")
+      .head.getLong(0) === expected.count(_._2 == 1L))
+    // commit-time travel still answers across the partial compaction
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tPre)").head.getLong(0)
+      === expected.size.toLong)
+    // a later FULL compaction converges the table
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    assert(AuditBase.read(d0).isDefined)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === expected.size.toLong)
+  }
+
+  test("restore on mixed per-dir boundaries: truncation targets work, " +
+    "earlier targets refuse naming the boundaries") {
+    val (cat, wh) = freshCat("mix")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pof_mck")
+    def wave(pages: Int): Unit = {
+      val q = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().selectExpr("id", "id % 2 AS flag")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .outputMode("append").toTable(s"$cat.db.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    sys.props("graft.audit.streamLeaseMs") = "1"
+    try {
+      wave(2) // epochs 0,1
+      spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'flag=0')") // flag=0 through epoch 1
+      wave(3) // epoch 2
+      spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'flag=1')") // flag=1 through epoch 2
+      val expected = spark.table(s"$cat.db.t").count()
+      wave(4) // epoch 3 — the damage to undo
+      // restore to epoch 2 (= max through): pure truncation, works
+      spark.sql(s"CALL $cat.system.restore(table => 'db.t', version => 2)")
+      spark.catalog.refreshTable(s"$cat.db.t")
+      assert(spark.table(s"$cat.db.t").count() === expected)
+      // an earlier target refuses, naming the mixed boundaries
+      val ex = intercept[Exception](spark.sql(
+        s"CALL $cat.system.restore(table => 'db.t', version => 1)").collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("mixed boundaries")), ex.toString)
+    } finally sys.props.remove("graft.audit.streamLeaseMs")
+  }
+
+  test("filter validation: unknown column, bucket column, no match, " +
+    "unpartitioned table all refuse loudly") {
+    val (cat, _) = freshCat("val")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 2 FROM range(20)")
+    def refused(callArgs: String, what: String): Unit = {
+      val ex = intercept[Exception](spark.sql(
+        s"CALL $cat.system.optimize($callArgs)").collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains(what)), ex.toString)
+    }
+    refused("table => 'db.t', partition_filter => 'nope=1'",
+      "not a partition column")
+    refused("table => 'db.t', partition_filter => 'flag=7'",
+      "matches no partition")
+    spark.sql(s"CREATE TABLE $cat.db.b (id BIGINT, k BIGINT) " +
+      "USING audit PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT id, id FROM range(20)")
+    refused("table => 'db.b', partition_filter => 'k=3'", "bucket column")
+    spark.sql(s"CREATE TABLE $cat.db.u (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.u SELECT id FROM range(5)")
+    refused("table => 'db.u', partition_filter => 'id=1'",
+      "needs a partitioned table")
+  }
+
+  test("an append racing into the SELECTED partition aborts the " +
+    "compaction; one into an unselected partition does not") {
+    val (cat, wh) = freshCat("race")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 2 FROM range(100)")
+    val path = wh.resolve("db").resolve("t").toString
+    // raced insert into flag=0 while compacting flag=1: NOT aborted
+    AuditMaintenance.afterCheckHook = Some(() => {
+      AuditMaintenance.afterCheckHook = None
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 0)")
+    })
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "partition_filter => 'flag=1')")
+    assert(AuditBase.read(wh.resolve("db/t/flag=1").toString).isDefined)
+    assert(spark.table(s"$cat.db.t").count() === 101L)
+    // raced insert into the SELECTED dir: aborts, nothing changed
+    AuditMaintenance.afterStageHook = Some(() => {
+      AuditMaintenance.afterStageHook = None
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (9001, 0)")
+    })
+    val ex = intercept[Exception](spark.sql(
+      s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'flag=0')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("concurrent append")), ex.toString)
+    assert(AuditBase.read(wh.resolve("db/t/flag=0").toString).isEmpty)
+    assert(spark.table(s"$cat.db.t").count() === 102L)
+  }
+}
