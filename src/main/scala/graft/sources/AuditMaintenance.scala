@@ -813,27 +813,12 @@ private[sources] object AuditMaintenance {
     // PARTITION-FILTERED compaction (`partition_filter => 'col=v,…'`):
     // compact only the matching directories — the operational shape at
     // scale, where "compact yesterday's partition" must not rewrite the
-    // whole table. Matching is token-level on IDENTITY partition columns
-    // (a bucket column's value→dir mapping is not expressible as one
-    // token); unselected directories keep their live entries, bases and
-    // history untouched, and every read path already resolves per-dir.
-    val selFilter: Map[Int, String] = partitionFilter.map { case (c, v) =>
-      val li = specs.indexWhere(_.col == c)
-      require(li >= 0, s"audit OPTIMIZE: partition_filter column $c is " +
-        s"not a partition column of $path (${partCols.mkString(",")})")
-      require(specs(li).bucket.isEmpty,
-        s"audit OPTIMIZE: partition_filter on bucket column $c is not " +
-          "supported (a value does not name one directory)")
-      (li, java.net.URLEncoder.encode(v, "UTF-8"))
-    }.toMap
-    def selected(relDir: String): Boolean = selFilter.forall {
-      case (li, tok) => AuditPartition.componentToken(relDir, li) == tok }
+    // whole table. Unselected directories keep their live entries, bases
+    // and history untouched; every read path already resolves per-dir.
     val selDirs: Option[Set[String]] =
-      if (selFilter.isEmpty) None
-      else Some(AuditPartition.listDirsByCols(path, partCols)
-        .collect { case (rel, _) if selected(rel) => rel }.toSet)
-    selDirs.foreach(ds => require(ds.nonEmpty,
-      s"audit OPTIMIZE: partition_filter matches no partition of $path"))
+      partitionSelector(path, specs, partitionFilter, "OPTIMIZE")
+    def selected(relDir: String): Boolean =
+      selDirs.forall(_.contains(relDir))
     val pinned = liveFileSets(path, partCols)
       .filter { case (rel, _) => selected(rel) }
     val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
@@ -969,6 +954,33 @@ private[sources] object AuditMaintenance {
   /** Live manifest file names per old-layout directory — the raced-append
     * fingerprint the stage-and-swap paths compare (includes OCC txn
     * entries via readManifest). */
+  /** Resolve a `partition_filter => 'col=v,…'` selector to the matching
+    * partition relDirs (None = whole table). Matching is token-level on
+    * IDENTITY partition columns — a bucket column's value→dir mapping is
+    * not expressible as one token, so it refuses. */
+  private[sources] def partitionSelector(path: String,
+      specs: Seq[AuditPartition.Spec],
+      filter: Seq[(String, String)], op: String): Option[Set[String]] = {
+    if (filter.isEmpty) return None
+    val partCols = specs.map(_.col)
+    val byLevel: Map[Int, String] = filter.map { case (c, v) =>
+      val li = specs.indexWhere(_.col == c)
+      require(li >= 0, s"audit $op: partition_filter column $c is " +
+        s"not a partition column of $path (${partCols.mkString(",")})")
+      require(specs(li).bucket.isEmpty,
+        s"audit $op: partition_filter on bucket column $c is not " +
+          "supported (a value does not name one directory)")
+      (li, java.net.URLEncoder.encode(v, "UTF-8"))
+    }.toMap
+    val dirs = AuditPartition.listDirsByCols(path, partCols).collect {
+      case (rel, _) if byLevel.forall { case (li, tok) =>
+        AuditPartition.componentToken(rel, li) == tok } => rel
+    }.toSet
+    require(dirs.nonEmpty,
+      s"audit $op: partition_filter matches no partition of $path")
+    Some(dirs)
+  }
+
   private def liveFileSets(root: String, partCols: Seq[String])
       : Map[String, Set[String]] = {
     val dirs =
@@ -1193,10 +1205,11 @@ private[sources] object AuditMaintenance {
       cleanOrphans: Boolean = false,
       partCols: Seq[String] = Nil,
       olderThanMs: Option[Long] = None,
-      schema: Option[StructType] = None): (Int, Long) =
+      schema: Option[StructType] = None,
+      selDirs: Option[Set[String]] = None): (Int, Long) =
     AuditMaintLock.withLease(path, "vacuum") {
       vacuumLocked(path, retainLast, cleanOrphans, partCols, olderThanMs,
-        schema)
+        schema, selDirs)
     }
 
   /** RESTORE the table to streaming epoch `version`: physically remove
@@ -1820,8 +1833,14 @@ private[sources] object AuditMaintenance {
       cleanOrphans: Boolean,
       partCols: Seq[String],
       olderThanMs: Option[Long] = None,
-      schema: Option[StructType] = None): (Int, Long) = {
+      schema: Option[StructType] = None,
+      selDirs: Option[Set[String]] = None): (Int, Long) = {
     val dir = java.nio.file.Paths.get(path)
+    // partition-filtered reclamation: folds, per-dir file reclaim and
+    // per-dir orphan sweeps touch only the selected directories (the
+    // optimize partition_filter's complement; table-level stage/swap
+    // debris cleanup is layout-global and always runs)
+    def dirSelected(rel: String): Boolean = selDirs.forall(_.contains(rel))
     val b0 = AuditBase.read(path)
     // vector retention runs on every VACUUM when the schema is known
     // (the catalog procedure path — always); the fold recomputes the
@@ -1835,6 +1854,7 @@ private[sources] object AuditMaintenance {
     val foldedEntries: Int = schema.fold(0) { sch =>
       if (partCols.nonEmpty)
         AuditPartition.listDirsByCols(path, partCols)
+          .filter { case (rel, _) => dirSelected(rel) }
           .map { case (_, pdir) =>
             val cutoff = (olderThanMs.toSeq ++
               AuditBase.read(pdir.toString).flatMap(b =>
@@ -1853,7 +1873,9 @@ private[sources] object AuditMaintenance {
     // partitioned: per-dir base checkpoints make folded files reclaimable
     val partDirsWithBase: Seq[(String, java.nio.file.Path, AuditBase.Info)] =
       if (partCols.isEmpty) Seq.empty
-      else AuditPartition.listDirsByCols(path, partCols).flatMap {
+      else AuditPartition.listDirsByCols(path, partCols)
+        .filter { case (rel, _) => dirSelected(rel) }
+        .flatMap {
         case (rel, d) => AuditBase.read(d.toString).map(b => (rel, d, b))
       }
     if (b0.isEmpty && partDirsWithBase.isEmpty && !cleanOrphans &&
@@ -1949,7 +1971,9 @@ private[sources] object AuditMaintenance {
       // partition directories: a file its dir's manifest does not list is
       // a crashed-commit leftover, same as the table-level case
       if (partCols.nonEmpty) {
-        AuditPartition.listDirsByCols(path, partCols).foreach { case (_, pdir) =>
+        AuditPartition.listDirsByCols(path, partCols)
+          .filter { case (rel, _) => dirSelected(rel) }
+          .foreach { case (_, pdir) =>
           AuditBase.cleanTxnDebris(pdir.toString) // lost per-dir OCC attempts
           // referenced = ALL manifest entries (folded originals stay on
           // disk by design — running tails resolve them) + the dir's
@@ -2453,17 +2477,44 @@ private[sources] object GraftProcedures {
           .defaultValue("CAST(NULL AS TIMESTAMP)")
           .comment("expire only epochs whose recorded commit time is " +
             "before this instant (epochs without a commit time never " +
-            "time-expire)").build())
+            "time-expire)").build(),
+        ProcedureParameter.in("partition_filter", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("reclaim/fold only matching partitions of a " +
+            "partitioned table: 'col=value[,col=value]' on identity " +
+            "partition columns").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
         val olderThanMs =
           if (input.isNullAt(3)) None else Some(input.getLong(3) / 1000L)
+        val partitionFilter: Seq[(String, String)] =
+          if (input.isNullAt(4)) Nil
+          else input.getUTF8String(4).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq.map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"audit VACUUM: partition_filter entry " +
+                s"'$kv' is not col=value")
+              (kv.take(i).trim, kv.drop(i + 1).trim)
+            }
         val (path, schema, part) = catalog.resolveAuditTableFull(table)
+        val cmv = catalog.resolveAuditColMap(table)
+        val selDirs = part match {
+          case Some(ps) if partitionFilter.nonEmpty =>
+            AuditMaintenance.partitionSelector(path,
+              AuditPartition.parseSpecs(ps),
+              partitionFilter.map { case (c, v) =>
+                (cmv.getOrElse(c, c), v) }, "VACUUM")
+          case None if partitionFilter.nonEmpty =>
+            throw new IllegalArgumentException(
+              s"audit VACUUM: partition_filter needs a partitioned " +
+                s"table; $table is unpartitioned")
+          case _ => None
+        }
         val (deleted, expired) = AuditMaintenance.vacuum(path, retain, orphans,
           part.toSeq.flatMap(AuditPartition.parseSpecs(_).map(_.col)),
-          olderThanMs, schema = Some(schema))
+          olderThanMs, schema = Some(schema), selDirs = selDirs)
         one(StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false),

@@ -149,6 +149,55 @@ class AuditPartialOptimizeSpec extends AnyFunSuite {
       "needs a partitioned table")
   }
 
+  test("partition-filtered VACUUM folds and reclaims only the selected " +
+    "directory") {
+    val (cat, wh) = freshCat("vf")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 2 FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 5 = 3") // both dirs
+    val d0 = wh.resolve("db/t/flag=0").toString
+    val d1 = wh.resolve("db/t/flag=1").toString
+    assert(AuditDeletes.entries(d0).size === 10)
+    assert(AuditDeletes.entries(d1).size === 10)
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "partition_filter => 'flag=1')")
+    val foldedOriginals1 = AuditBase.readManifest(d1)
+      .filter(_.folded).map(_.file)
+    assert(foldedOriginals1.nonEmpty)
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t', " +
+      "partition_filter => 'flag=1')")
+    // flag=1: vectors folded (absorbed by the base write? no — these
+    // POST-compaction vectors target base-held rows and fold), folded
+    // originals reclaimed
+    assert(AuditDeletes.entries(d1).isEmpty)
+    assert(AuditDeletes.foldedRows(d1) === 10L)
+    assert(foldedOriginals1.forall(f =>
+      !java.nio.file.Files.exists(wh.resolve("db/t/flag=1").resolve(f))))
+    // flag=0: untouched — vectors positional, files on disk
+    assert(AuditDeletes.entries(d0).size === 10)
+    assert(AuditDeletes.foldedRows(d0) === 0L)
+    assert(AuditBase.readManifest(d0).filterNot(_.folded).forall(e =>
+      java.nio.file.Files.exists(wh.resolve("db/t/flag=0").resolve(e.file))))
+    // counts exact on both sides
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === 80L)
+    val g = spark.sql(
+      s"SELECT flag, count(*) AS n FROM $cat.db.t GROUP BY flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g === Map(0L -> 40L, 1L -> 40L))
+    // unpartitioned refusal
+    spark.sql(s"CREATE TABLE $cat.db.u (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.u SELECT id FROM range(5)")
+    val ex = intercept[Exception](spark.sql(
+      s"CALL $cat.system.vacuum(table => 'db.u', " +
+        "partition_filter => 'id=1')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("needs a partitioned table")), ex.toString)
+  }
+
   test("an append racing into the SELECTED partition aborts the " +
     "compaction; one into an unselected partition does not") {
     val (cat, wh) = freshCat("race")
