@@ -301,10 +301,16 @@ class AuditChaosSpec extends AnyFunSuite {
       threads.foreach(_.join())
       // waves 3 and 5: compaction / reclamation AFTER the inserts land
       // (no abort-worthy race) but UNDER the live tail — every seed
-      // exercises per-dir bases and the fold-stable tail axis
-      if (wave == 3)
+      // exercises per-dir bases and the fold-stable tail axis; half the
+      // time the compaction is PARTITION-FILTERED, leaving mixed per-dir
+      // checkpoint boundaries for the rest of the run to stress
+      if (wave == 3) {
+        val filter =
+          if (rnd.nextBoolean()) s", partition_filter => 'flag=${rnd.nextInt(3)}'"
+          else ""
         spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
-          "target_file_count => 2)").collect()
+          s"target_file_count => 2$filter)").collect()
+      }
       if (wave == 5)
         try spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
         catch { case t: Throwable => maintErrors += Option(t.getMessage)
