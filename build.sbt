@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Flake forensics: every test failure/abort lands in _FLAKES.log with
+// its name + message the moment it happens (graft.FlakeReporter) — a
+// one-off flake in a long run can never again go nameless.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-C", "graft.FlakeReporter")
 // Inherit the forked JVM's stdout directly: Bench's one-line JSON contract
 // must land on stdout as a bare line, not behind the sbt logger's "[info] "
 // prefix (which breaks line-oriented JSON extraction downstream).

@@ -85,6 +85,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"runs":2,"sf":"$sfDir","calib_s":$calib,""" +
+        // calibration methodology stamp — FROZEN since round 17 (one
+        // untimed warm-up, then min-of-5 timed): cross-round calib_s
+        // values are comparable iff this field matches
+        s""""calib_method":"warmup+min5",""" +
         s""""calib_runs":${calibRuns.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         s""""calib_end_s":$calibEnd,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}"""

@@ -597,6 +597,11 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
       !e.folded && foldFiles.forall(_.contains(e.file))
     AuditBase.writeManifest(path,
       manifest.map(e => if (toFold(e)) e.copy(folded = true) else e))
+    // ABSORB-INTENT before the pointer swap: if the swap lands but the
+    // finalize below never runs (crash), the intent — valid only once a
+    // base with exactly this snapshot ts exists — keeps counts from
+    // double-subtracting the fold rows the compaction scan skipped
+    snapTs.foreach(AuditDeletes.markAbsorbPending(path, _))
     AuditBase.write(path, throughEpoch,
       prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy,
       ts = snapTs)
@@ -635,6 +640,23 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
 
 private[sources] object AuditMaintenance {
 
+  /** Refuse maintenance that would compact over a crashed VACUUM's
+    * half-completed fold: the intent rows may be blanked in SOME data
+    * files and live in others, and only the recovery fold (the next
+    * VACUUM — intent keys override its retention cutoff) can resolve
+    * that state exactly. */
+  private def requireNoFoldIntents(dirPath: String, label: String): Unit = {
+    val pending = AuditDeletes.intents(dirPath)
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"audit OPTIMIZE: $label has ${pending.size} pending fold " +
+        "intent(s) left by a crashed VACUUM — its data files may be " +
+        "half-blanked, and compacting them would permanently " +
+        "double-count the intent rows (the base would exclude the " +
+        "already-blanked subset while their positional delete entries " +
+        "keep subtracting). Run VACUUM first (it completes exactly the " +
+        "crashed fold), then retry OPTIMIZE.")
+  }
+
   /** Distributed compaction: read full history, rewrite as an
     * origin-tagged base checkpoint. Runs as an ordinary Spark job — the
     * scan fans out per file, the exchange is the one repartition the
@@ -669,6 +691,14 @@ private[sources] object AuditMaintenance {
           s"${f.dataType.simpleString} (z-order a timestamp via a derived " +
           "epoch column)")
     }
+    // PENDING FOLD INTENTS refuse compaction: a crashed VACUUM may have
+    // half-blanked the intent rows, so the compaction scan would skip
+    // exactly the already-blanked subset — baking those rows out of the
+    // base while their positional twin entries keep subtracting (a
+    // permanent double-count; the recovery fold would then summarize
+    // them UNabsorbed, cementing it). The next VACUUM completes exactly
+    // the crashed fold; OPTIMIZE afterwards is clean.
+    requireNoFoldIntents(path, path)
     // Pin the input snapshot BEFORE building the job: the scan plans
     // lazily (at write-job time), so without the pin an epoch or batch
     // INSERT landing between here and execution would be read into the
@@ -819,6 +849,12 @@ private[sources] object AuditMaintenance {
       partitionSelector(path, specs, partitionFilter, "OPTIMIZE")
     def selected(relDir: String): Boolean =
       selDirs.forall(_.contains(relDir))
+    // pending fold intents in any SELECTED directory refuse compaction —
+    // see the unpartitioned twin (half-blanked rows would bake out of
+    // the base while their positional twins keep subtracting)
+    AuditPartition.listDirsByCols(path, partCols)
+      .filter { case (rel, _) => selected(rel) }
+      .foreach { case (rel, d) => requireNoFoldIntents(d.toString, rel) }
     val pinned = liveFileSets(path, partCols)
       .filter { case (rel, _) => selected(rel) }
     val through = AuditScan.committedEpochs(path).lastOption.getOrElse(-1L)
@@ -1852,20 +1888,30 @@ private[sources] object AuditMaintenance {
     // stays at/under what the user advertised and in-window travel
     // never refuses. A bare VACUUM advertises nothing and folds all.
     val foldedEntries: Int = schema.fold(0) { sch =>
+      // with NO base checkpoint the epoch window still constrains the
+      // fold: nothing is expired, so the whole committed-epoch axis is
+      // "superseded" for WINDOWING purposes (through = newest epoch) —
+      // otherwise VACUUM(retain_last => N) on a never-OPTIMIZEd table
+      // would fold ALL vectors and refuse in-window TIMESTAMP AS OF,
+      // contradicting the advertised retention horizon
+      val newestEpoch = AuditScan.committedEpochs(path).lastOption
+        .getOrElse(-1L)
       if (partCols.nonEmpty)
         AuditPartition.listDirsByCols(path, partCols)
           .filter { case (rel, _) => dirSelected(rel) }
           .map { case (_, pdir) =>
+            val through = AuditBase.read(pdir.toString)
+              .map(_.throughEpoch).getOrElse(newestEpoch)
             val cutoff = (olderThanMs.toSeq ++
-              AuditBase.read(pdir.toString).flatMap(b =>
-                retainedInstant(path, b.throughEpoch, Long.MinValue,
-                  retainLast, olderThanMs))).minOption
+              retainedInstant(path, through, Long.MinValue,
+                retainLast, olderThanMs)).minOption
             foldBatchVectors(pdir.toString, sch, cutoff) +
               foldBaseVectors(pdir.toString, sch, cutoff) }.sum
       else {
-        val cutoff = (olderThanMs.toSeq ++ b0.flatMap(b =>
-          retainedInstant(path, b.throughEpoch, b.expiredThrough,
-            retainLast, olderThanMs))).minOption
+        val cutoff = (olderThanMs.toSeq ++
+          retainedInstant(path, b0.map(_.throughEpoch).getOrElse(newestEpoch),
+            b0.map(_.expiredThrough).getOrElse(-1L),
+            retainLast, olderThanMs)).minOption
         foldBatchVectors(path, sch, cutoff) +
           foldBaseVectors(path, sch, cutoff)
       }

@@ -1888,6 +1888,22 @@ private[sources] object AuditDeletes {
   // replace, so current reads/counts never double-subtract.
   private val IntentRe =
     """\{"foldintent":"([^"]+)","pos":(\d+)(?:,"ts":(\d+))?\}""".r
+  // ABSORB-INTENT marker: a base publish with snapshot instant <ts> is
+  // in flight. Written by the SAME atomic replace that precedes the
+  // `_BASE` pointer swap, honored only once a base with exactly that
+  // snapshot ts exists — so absorption and the base it depends on
+  // become effective together even though they live in two files:
+  //   * crash BEFORE the swap: no base carries the ts, the marker is
+  //     inert, explicit `absorbed` fields keep counting (no rows were
+  //     physically excluded — nothing to absorb);
+  //   * crash AFTER the swap, before the post-publish finalize: the
+  //     marker matches the live base and every summary present when it
+  //     was written counts as fully absorbed — exactly what the
+  //     compaction scan's skip of blanked rows made true.
+  // Any later fold rewrite resolves the marker through [[absorbed]]
+  // (valid → materialized as explicit fields, stale → dropped), so the
+  // marker never outlives the next `_DELETES` rewrite.
+  private val AbsorbIntentRe = """\{"absorbintent":(\d+)\}""".r
 
   def file(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path).resolve("_DELETES")
@@ -1921,10 +1937,30 @@ private[sources] object AuditDeletes {
         if (es.exists(_._3.isEmpty)) None else Some(es.map(_._3.get).max)))
     }
 
-  /** Per-file ABSORBED row counts of the fold summaries (rows a later
-    * base checkpoint physically excluded — see [[FoldRe]]). */
+  /** The pending absorb-intent's base snapshot ts, if any ([[AbsorbIntentRe]]). */
+  def absorbIntentTs(path: String): Option[Long] =
+    if (!exists(path)) None
+    else java.nio.file.Files.readAllLines(file(path)).asScala.collectFirst {
+      case AbsorbIntentRe(t) => t.toLong
+    }
+
+  /** True when the pending absorb-intent's base publish COMPLETED: the
+    * dir's live `_BASE` carries exactly the intent's snapshot instant
+    * (snapshot instants are sequencer-claimed, hence unique — a stale
+    * intent from a crashed-before-swap publish can never match a later
+    * base). */
+  private def absorbIntentValid(path: String): Boolean =
+    absorbIntentTs(path).exists(t =>
+      AuditBase.read(path).flatMap(_.ts).contains(t))
+
+  /** Per-file EFFECTIVE absorbed row counts of the fold summaries (rows
+    * a later base checkpoint physically excluded — see [[FoldRe]]). A
+    * valid absorb-intent grants FULL absorption to every summary (its
+    * base publish completed; the finalize that would have written the
+    * explicit fields crashed); a stale intent grants nothing. */
   def absorbed(path: String): Map[String, Long] =
     if (!exists(path)) Map.empty
+    else if (absorbIntentValid(path)) folded(path)
     else java.nio.file.Files.readAllLines(file(path)).asScala.collect {
       case FoldRe(f, _, _, a) if a != null => (f, a.toLong)
     }.groupBy(_._1).map { case (f, as) => (f, as.map(_._2).sum) }
@@ -1965,16 +2001,22 @@ private[sources] object AuditDeletes {
 
   /** Total delta-deleted rows: positional entries + folded summaries
     * (the exact amount every current-state count must subtract). */
-  def count(path: String): Long =
-    if (!exists(path)) 0L
-    else java.nio.file.Files.readAllLines(file(path)).asScala.map {
+  def count(path: String): Long = {
+    if (!exists(path)) return 0L
+    // a VALID absorb-intent means the base publish completed but its
+    // finalize crashed — every summary is fully absorbed (see
+    // [[AbsorbIntentRe]]); a stale one grants nothing
+    val fullAbsorb = absorbIntentValid(path)
+    java.nio.file.Files.readAllLines(file(path)).asScala.map {
       case LineRe(_, _, _) => 1L
       // absorbed rows are physically absent from the base checkpoint —
       // they already stopped counting; subtract only the remainder
       case FoldRe(_, n, _, a) =>
-        n.toLong - Option(a).map(_.toLong).getOrElse(0L)
+        if (fullAbsorb) 0L
+        else n.toLong - Option(a).map(_.toLong).getOrElse(0L)
       case _               => 0L
     }.sum
+  }
 
   /** Vector entries in FILE ORDER (the append order — the CDF offset axis). */
   def entries(path: String): Seq[(String, Long)] =
@@ -2051,20 +2093,27 @@ private[sources] object AuditDeletes {
   def replace(path: String, positional: Seq[(String, Long, Option[Long])],
       foldedSums: Map[String, (Long, Option[Long])],
       foldIntents: Seq[(String, Long, Option[Long])] = Nil,
-      absorbedSums: Map[String, Long] = Map.empty): Unit = {
+      absorbedSums: Map[String, Long] = Map.empty,
+      absorbIntent: Option[Long] = None): Unit = {
     if (positional.isEmpty && foldedSums.isEmpty && foldIntents.isEmpty) {
       clear(path); return
     }
     val f = file(path)
     val tmp = f.resolveSibling("_DELETES.tmp")
-    // order: summaries, intents, positional — summaries stay a bounded
-    // prefix for headFoldWatermark, and appends only add positional
+    // order: summaries, absorb-intent, fold-intents, positional —
+    // summaries stay a bounded prefix for headFoldWatermark, and
+    // appends only add positional. Callers that do NOT pass
+    // absorbIntent drop any pending marker — correct, because they all
+    // resolve it first through [[absorbed]] (valid → materialized as
+    // explicit fields in absorbedSums, stale → nothing to keep).
     val body =
       foldedSums.toSeq.sortBy(_._1).map { case (n, (c, wm)) =>
         val a = absorbedSums.getOrElse(n, 0L)
         s"""{"file":"$n","folded":$c${wm.map(t => s""","ts":$t""")
           .getOrElse("")}${if (a > 0) s""","absorbed":${math.min(a, c)}"""
           else ""}}""" + "\n" }.mkString +
+        absorbIntent.map(t => s"""{"absorbintent":$t}""" + "\n")
+          .getOrElse("") +
         foldIntents.map { case (n, p, ts) =>
           s"""{"foldintent":"$n","pos":$p${ts.map(t => s""","ts":$t""")
             .getOrElse("")}}""" + "\n" }.mkString +
@@ -2088,6 +2137,20 @@ private[sources] object AuditDeletes {
     if (sums.isEmpty) return
     replace(path, entriesWithTs(path), sums, intents(path),
       absorbedSums = sums.map { case (f, (n, _)) => (f, n) })
+  }
+
+  /** Record that a base publish with snapshot instant `snapTs` is ABOUT
+    * to swap `_BASE` in ([[AbsorbIntentRe]]) — called immediately before
+    * the pointer swap at both OPTIMIZE commit sites, so a crash between
+    * the swap and the post-publish [[markAbsorbed]] finalize cannot
+    * leave a published base whose physically-excluded fold rows keep
+    * subtracting (double-count). Prior valid intents are resolved into
+    * explicit fields first (via [[absorbed]]); prior stale ones drop. */
+  def markAbsorbPending(path: String, snapTs: Long): Unit = {
+    val sums = foldedWithTs(path)
+    if (sums.isEmpty) return
+    replace(path, entriesWithTs(path), sums, intents(path),
+      absorbedSums = absorbed(path), absorbIntent = Some(snapTs))
   }
 
   /** Max fold watermark readable from the log's HEAD — fold summaries are
@@ -5160,10 +5223,17 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
     // ORIGINAL log line: the folded base rows resolve their travel
     // vintage through it, and re-stamping would silently move them on
     // the commit-time axis
-    if (foldedReplay && files == 0 &&
-        AuditScan.epochTimestamps(path).contains(epochId)) return
-    val epochTs = AuditSeq.next(path, math.max(System.currentTimeMillis(),
-      AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L))
+    val priorTs = AuditScan.epochTimestamps(path).get(epochId)
+    if (foldedReplay && files == 0 && priorTs.isDefined) return
+    // PARTIALLY-folded replay (partition-filtered OPTIMIZE compacted
+    // the epoch in some dirs while others republished live files above,
+    // so files > 0): the folded dirs' base origins STILL resolve their
+    // vintage through this epoch line — reuse the original stamp and
+    // only refresh files/rows, or the fold would silently move them on
+    // the commit-time travel axis
+    val epochTs = priorTs.filter(_ => foldedReplay).getOrElse(
+      AuditSeq.next(path, math.max(System.currentTimeMillis(),
+        AuditScan.epochTimestamps(path).values.foldLeft(-1L)(math.max) + 1L)))
     val thisLine = s"""{"epoch":$epochId,"files":$files,"rows":$rows,""" +
       s""""ts":$epochTs}"""
     val kept =
@@ -6057,6 +6127,10 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
         !e.folded && pin.contains(e.file)
       AuditBase.writeManifest(pdir.toString,
         manifest.map(e => if (toFold(e)) e.copy(folded = true) else e))
+      // ABSORB-INTENT before the pointer swap — see the unpartitioned
+      // twin (AuditBaseBatchWrite.commit): a crash between the swap and
+      // the finalize must not leave the fold rows double-subtracting
+      AuditDeletes.markAbsorbPending(pdir.toString, snapTs)
       AuditBase.write(pdir.toString, throughEpoch,
         prev.map(_.expiredThrough).getOrElse(-1L), files,
         ts = Some(snapTs))

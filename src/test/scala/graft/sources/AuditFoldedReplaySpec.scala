@@ -136,6 +136,47 @@ class AuditFoldedReplaySpec extends AnyFunSuite {
     assert(AuditScan.epochTimestamps(path) === stampsBefore)
   }
 
+  test("PARTIALLY-folded epoch replay (partition-filtered OPTIMIZE) " +
+    "keeps the original epoch stamp while republishing the live dirs") {
+    val (cat, wh) = freshCat("mix")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_frp_mix_ck")
+    streamEpochs(cat, 2, ckpt) // epochs 0,1
+    val path = wh.resolve("db").resolve("t").toString
+    val stampsBefore = AuditScan.epochTimestamps(path)
+    // crash window: sink committed epoch 1, checkpoint did not
+    assert(java.nio.file.Files.deleteIfExists(
+      ckpt.resolve("commits").resolve("1")))
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve("commits").resolve(".1.crc"))
+    // compact ONLY flag=1: epoch 1 is folded there, live everywhere else
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1, partition_filter => 'flag=1')")
+    // restart: epoch 1 replays MIXED — dropped in flag=1 (base holds
+    // it), retracted + republished in flag=0 and flag=2 (files > 0).
+    // The epoch line is rewritten, but its STAMP must not move: the
+    // folded dir's base origins resolve their travel vintage through it
+    streamEpochs(cat, 2, ckpt)
+    assert(spark.table(s"$cat.db.t").count() === 200L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.t").head.getLong(0)
+      === (0L until 200L).sum)
+    assert(AuditScan.epochTimestamps(path) === stampsBefore)
+    // the folded dir gained no live entries under its base through;
+    // the live dirs republished theirs
+    AuditPartition.listDirsByCols(path, Seq("flag")).foreach {
+      case (rel, pdir) =>
+        val liveE1 = AuditBase.readManifest(pdir.toString).filter(e =>
+          !e.folded && AuditScan.epochOf(e.file).contains(1L))
+        if (rel.startsWith("flag=1")) assert(liveE1.isEmpty,
+          s"replayed live entries in the folded dir: $liveE1")
+        else assert(liveE1.nonEmpty, s"missing republished epoch in $rel")
+    }
+    // travel at the original epoch-1 instant still sees both epochs
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t TIMESTAMP AS OF " +
+      s"timestamp_millis(${stampsBefore(1L)})").head.getLong(0) === 200L)
+  }
+
   test("UNPARTITIONED epoch replay after OPTIMIZE is absorbed by the " +
     "base: originals untouched, original epoch stamp kept") {
     val (cat, wh) = freshCat("rpu")

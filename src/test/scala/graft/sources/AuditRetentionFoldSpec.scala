@@ -105,6 +105,53 @@ class AuditRetentionFoldSpec extends AnyFunSuite {
     assert(AuditDeletes.entries(path).isEmpty)
   }
 
+  test("retain_last window holds on a never-OPTIMIZEd table: only " +
+    "vectors older than the oldest retained epoch's instant fold") {
+    val (cat, wh) = freshCat("nb")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) USING audit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rf_nb_ck")
+    def stream(pages: Int): Unit = {
+      val q = spark.readStream.format(classOf[PagedSource].getName)
+        .option("pages", pages.toString).option("pageSize", "100")
+        .option("pagesPerTrigger", "1")
+        .load().selectExpr("id", "id % 3 AS flag")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .outputMode("append").toTable(s"$cat.db.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    stream(1) // epoch 0
+    // batch rows + an OLD delete wave, all BEFORE epochs 1,2 commit
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 10000, id % 3 " +
+      "FROM range(20)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id > 9999 AND id % 4 = 0")
+    val path = wh.resolve("db").resolve("t").toString
+    val oldWave = AuditDeletes.entries(path).size
+    assert(oldWave === 5)
+    stream(3) // epochs 1,2
+    // a YOUNG delete wave inside any retain_last => 2 window
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id > 9999 AND id % 4 = 1")
+    val tMid = AuditScan.epochTimestamps(path)
+      .maxBy(_._1)._2 // epoch 2's instant — inside the window
+    // NO base checkpoint exists: the window must still constrain the
+    // fold (through = newest committed epoch), or this call would fold
+    // everything and refuse in-window TIMESTAMP AS OF
+    assert(AuditBase.read(path).isEmpty)
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t', " +
+      "retain_last => 2)")
+    // only the pre-window wave folded; the in-window wave is intact
+    assert(AuditDeletes.foldedRows(path) === oldWave.toLong)
+    assert(AuditDeletes.entries(path).size === 5)
+    val wm = AuditDeletes.foldWatermark(path).get
+    val oldestRetained = AuditScan.epochTimestamps(path)(1L)
+    assert(wm < oldestRetained,
+      s"watermark $wm must stay under the retained horizon $oldestRetained")
+    // travel inside the advertised window answers: old wave applied,
+    // young wave not yet (tMid predates it)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis($tMid)").head.getLong(0) === 315L)
+    assert(spark.table(s"$cat.db.t").count() === 310L)
+  }
+
   test("a crashed base fold leaves an intent: travel refuses loudly, " +
     "the next VACUUM completes the fold and restores stats") {
     val (cat, wh) = freshCat("cr")
