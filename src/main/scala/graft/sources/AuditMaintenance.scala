@@ -150,8 +150,8 @@ private[sources] object AuditSeq {
           // issued stamp); losers fall through to the rename path
           val target = math.max(floor, 0L)
           try {
-            java.nio.file.Files.createFile(d.resolve(target.toString))
-            try java.nio.file.Files.createFile(d.resolve(InitMarker))
+            CommitPrimitives.io.createMarker(d.resolve(target.toString))
+            try CommitPrimitives.io.createMarker(d.resolve(InitMarker))
             catch { case _: java.nio.file.FileAlreadyExistsException => () }
             return target
           } catch {
@@ -161,9 +161,8 @@ private[sources] object AuditSeq {
       } else {
         val target = math.max(floor, cur + 1L)
         try {
-          java.nio.file.Files.move(d.resolve(cur.toString),
-            d.resolve(target.toString),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          CommitPrimitives.io.renameClaim(d.resolve(cur.toString),
+            d.resolve(target.toString))
           return target
         } catch {
           case _: java.nio.file.NoSuchFileException => () // lost the race
@@ -228,19 +227,14 @@ private[sources] object AuditBase {
   def write(path: String, throughEpoch: Long, expiredThrough: Long,
       files: Seq[(String, Long)], sortBy: Option[String] = None,
       ts: Option[Long] = None): Unit = {
-    val f = baseFile(path)
-    val tmp = f.resolveSibling("_BASE.tmp")
     val header = s"""{"throughEpoch":$throughEpoch,""" +
       s""""expiredThrough":$expiredThrough""" +
       sortBy.map(s => s""","sortBy":"$s"""").getOrElse("") +
       ts.map(t => s""","ts":$t""").getOrElse("") + "}"
-    java.nio.file.Files.write(tmp,
+    CommitPrimitives.io.replace(baseFile(path),
       (Seq(header) ++
         files.map { case (n, r) => s"""{"file":"$n","rows":$r}""" })
         .mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Expiry gate for pinned reads — VACUUM's retention bound. */
@@ -434,7 +428,7 @@ private[sources] object AuditBase {
       java.nio.file.Files.write(tmp,
         (header +: body).mkString("\n").getBytes("UTF-8"))
       try {
-        java.nio.file.Files.createLink(d.resolve(s"$v.json"), tmp)
+        CommitPrimitives.io.linkIfAbsent(d.resolve(s"$v.json"), tmp)
         java.nio.file.Files.delete(tmp)
         // Post-link fence: if a racing consolidation advanced the floor to
         // >= v between our listing and the link, our txn is below the floor.
@@ -519,9 +513,7 @@ private[sources] object AuditBase {
     val f = java.nio.file.Paths.get(path).resolve("_MANIFEST")
     val header = s"""{"files":${live.size},"rows":${live.map(_.rows).sum}""" +
       (if (floor > 0) s""","txnfloor":$floor""" else "") + "}"
-    val tmp = f.resolveSibling(
-      s"_MANIFEST.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    java.nio.file.Files.write(tmp,
+    CommitPrimitives.io.replace(f,
       (Seq(header) ++
         entries.map {
           case ManifestEntry(n, r, false, ts) => s"""{"file":"$n","rows":$r""" +
@@ -530,9 +522,6 @@ private[sources] object AuditBase {
             s"""{"folded":"$n","origrows":$r""" +
               ts.map(t => s""","ts":$t""").getOrElse("") + "}"
         }).mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private val PartNumRe = """part-(\d+)\.jsonl""".r
@@ -1337,12 +1326,8 @@ private[sources] object AuditMaintenance {
           case keepRe(e) => e.toLong <= version
           case _         => true
         }
-      val tmp = dir.resolve("_EPOCHS.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(epochsFile,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, epochsFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     var filesRemoved = 0
     if (partCols.isEmpty) {
@@ -1427,12 +1412,8 @@ private[sources] object AuditMaintenance {
           case keepRe(e) => e.toLong <= version
           case _         => true
         }
-      val tmp = dir.resolve("_EPOCHS.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(epochsFile,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, epochsFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     if (liveEntries.nonEmpty) AuditBase.writeManifest(path, foldedEntries)
     if (dropVecs.nonEmpty) AuditDeletes.replace(path, keepVecs, Map.empty)
@@ -1537,12 +1518,8 @@ private[sources] object AuditMaintenance {
           case keepRe(e) => e.toLong <= version
           case _         => true
         }
-      val tmp = dir.resolve("_EPOCHS.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(epochsFile,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, epochsFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val doomedFiles = scala.collection.mutable.ArrayBuffer
       .empty[java.nio.file.Path]
@@ -1989,13 +1966,23 @@ private[sources] object AuditMaintenance {
           AuditBase.read(path).toSeq.flatMap(_.files.map(_._1)) ++
           AuditScan.epochFiles(path,
             AuditScan.committedEpochs(path).toSet).map(_._1)
+      // staged metadata rewrites whose atomic move never landed
+      // (CommitPrimitives.replace crash debris). Age-guarded: a FRESH
+      // ".tmp-" may belong to an in-flight un-leased writer (a streaming
+      // epoch commit racing this VACUUM) — only provably-dead ones go.
+      def tmpDebris(p: java.nio.file.Path): Boolean =
+        p.getFileName.toString.contains(".tmp-") &&
+          (try java.nio.file.Files.getLastModifiedTime(p).toMillis <
+            System.currentTimeMillis() - AuditMaintLock.leaseMs
+          catch { case _: java.io.IOException => false })
       if (java.nio.file.Files.isDirectory(dir)) {
         val listing = java.nio.file.Files.list(dir)
         try listing.iterator().asScala
           .filter(p => (p.getFileName.toString.endsWith(".jsonl") &&
             !referenced(p.getFileName.toString)) ||
             // crashed vector-fold tmp (atomic-move never landed)
-            p.getFileName.toString.endsWith(".vfold"))
+            p.getFileName.toString.endsWith(".vfold") ||
+            tmpDebris(p))
           .foreach { p =>
             java.nio.file.Files.deleteIfExists(p); removed += 1
           }
@@ -2031,7 +2018,8 @@ private[sources] object AuditMaintenance {
           try listing.iterator().asScala
             .filter(p => (p.getFileName.toString.endsWith(".jsonl") &&
               !listed(p.getFileName.toString)) ||
-              p.getFileName.toString.endsWith(".vfold"))
+              p.getFileName.toString.endsWith(".vfold") ||
+              tmpDebris(p))
             .toSeq.foreach { p =>
               java.nio.file.Files.deleteIfExists(p); removed += 1
             }

@@ -2073,12 +2073,9 @@ private[sources] object AuditDeletes {
     // a travel instant sees an UPDATE's delete and its replacement row
     // appear (or not) TOGETHER
     val suffix = ts.map(t => s""","ts":$t""").getOrElse("")
-    val f = file(path)
-    java.nio.file.Files.write(f,
+    CommitPrimitives.io.appendBounded(file(path),
       fresh.map { case (n, p) => s"""{"file":"$n","pos":$p$suffix}""" + "\n" }
-        .mkString.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+        .mkString.getBytes("UTF-8"))
   }
 
   def clear(path: String): Unit =
@@ -2099,7 +2096,6 @@ private[sources] object AuditDeletes {
       clear(path); return
     }
     val f = file(path)
-    val tmp = f.resolveSibling("_DELETES.tmp")
     // order: summaries, absorb-intent, fold-intents, positional —
     // summaries stay a bounded prefix for headFoldWatermark, and
     // appends only add positional. Callers that do NOT pass
@@ -2120,10 +2116,7 @@ private[sources] object AuditDeletes {
         positional.map { case (n, p, ts) =>
           s"""{"file":"$n","pos":$p${ts.map(t => s""","ts":$t""")
             .getOrElse("")}}""" + "\n" }.mkString
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    CommitPrimitives.io.replace(f, body.getBytes("UTF-8"))
   }
 
   /** Mark every fold summary fully ABSORBED — called at base-checkpoint
@@ -4354,12 +4347,8 @@ private[sources] object AuditDelete {
           s"""{"epoch":$e,"files":$nf,"rows":$rows$ts}"""
         case other => other
       }
-      val tmp = dir.resolve("_EPOCHS.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(epochsFile,
         newLines.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, epochsFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     AuditStats.retain(path, f => !newStats.contains(f))
     AuditStats.append(path, newStats.toSeq)
@@ -4666,17 +4655,15 @@ private[sources] object AuditStreamLock {
         }
     conflict()
     val line = s"""{"query":"$queryId","ts":$now}"""
-    val tmp = lock.resolveSibling(
-      "_STREAM_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
-    java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
     if (java.nio.file.Files.exists(lock)) {
       // renew (ours) or steal (expired): atomic replace
-      java.nio.file.Files.move(tmp, lock,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CommitPrimitives.io.replace(lock, line.getBytes("UTF-8"))
     } else {
+      val tmp = lock.resolveSibling(
+        "_STREAM_LOCK.tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
       try {
-        java.nio.file.Files.createLink(lock, tmp)
+        CommitPrimitives.io.linkIfAbsent(lock, tmp)
         java.nio.file.Files.delete(tmp)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -4757,15 +4744,10 @@ private[sources] object AuditMaintLock {
       val tmp = target.resolveSibling(target.getFileName.toString +
         ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
       java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(target, tmp)
+      try CommitPrimitives.io.linkIfAbsent(target, tmp)
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      val tmp = target.resolveSibling(target.getFileName.toString +
-        ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
-      java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CommitPrimitives.io.replace(target, line.getBytes("UTF-8"))
     }
   }
 
@@ -4797,16 +4779,9 @@ private[sources] object AuditMaintLock {
   private def freshness(path: String, opId: String, claimTs: Long): Long =
     math.max(claimTs, hbTs(path, opId))
 
-  private def renewSidecar(path: String, opId: String): Unit = {
-    val f = hbFile(path, opId)
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp-" +
-      java.util.UUID.randomUUID.toString.take(8))
-    java.nio.file.Files.write(tmp,
+  private def renewSidecar(path: String, opId: String): Unit =
+    CommitPrimitives.io.replace(hbFile(path, opId),
       System.currentTimeMillis().toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
 
   private def startHeartbeat(path: String, opId: String): Unit = {
     val period = math.max(leaseMs / 3, 10L)
@@ -4928,8 +4903,7 @@ private[sources] object AuditMaintLock {
       }
       val tomb = lock.resolveSibling(
         "_MAINT_LOCK.retired-" + java.util.UUID.randomUUID.toString.take(8))
-      try java.nio.file.Files.move(lock, tomb,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try CommitPrimitives.io.renameClaim(lock, tomb)
       catch { case _: java.nio.file.NoSuchFileException => () } // retired by another
       if (java.nio.file.Files.exists(tomb)) {
         val t = new String(java.nio.file.Files.readAllBytes(tomb), "UTF-8")
@@ -4938,7 +4912,7 @@ private[sources] object AuditMaintLock {
           // we displaced a FRESH claim that replaced the expired one
           // after our read — put it back and lose
           try {
-            java.nio.file.Files.createLink(lock, tomb)
+            CommitPrimitives.io.linkIfAbsent(lock, tomb)
             java.nio.file.Files.delete(tomb)
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -5089,12 +5063,8 @@ final class AuditStreamingWrite(path: String, schema: StructType,
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
           .filterNot(_.startsWith(s"""{"epoch":$epochId,"""))
       else Seq.empty
-    val tmp = dir.resolve("_EPOCHS.tmp")
-    java.nio.file.Files.write(tmp,
+    CommitPrimitives.io.replace(epochsFile,
       (kept :+ thisLine).map(_ + "\n").mkString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, epochsFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** A failed epoch attempt removes the staged files its tasks reported —
@@ -5241,12 +5211,8 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
         java.nio.file.Files.readAllLines(epochsFile).asScala.toSeq
           .filterNot(_.startsWith(s"""{"epoch":$epochId,"""))
       else Seq.empty
-    val tmp = dir.resolve("_EPOCHS.tmp")
-    java.nio.file.Files.write(tmp,
+    CommitPrimitives.io.replace(epochsFile,
       (kept :+ thisLine).map(_ + "\n").mkString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, epochsFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -5514,10 +5480,8 @@ private[sources] object AuditStats {
   /** Append pre-rendered stats lines (txn consolidation). */
   def appendRaw(path: String, lines: Seq[String]): Unit =
     if (lines.nonEmpty)
-      java.nio.file.Files.write(file(path),
-        lines.map(_ + "\n").mkString.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      CommitPrimitives.io.appendBounded(file(path),
+        lines.map(_ + "\n").mkString.getBytes("UTF-8"))
 
   def line(fileName: String, st: FileStats): String = {
     val esc = AuditRowJson.esc _
@@ -5543,10 +5507,8 @@ private[sources] object AuditStats {
     * it under every null-rejecting predicate on such a column. */
   def append(path: String, entries: Seq[(String, FileStats)]): Unit = {
     if (entries.isEmpty) return
-    java.nio.file.Files.write(file(path),
-      entries.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    CommitPrimitives.io.appendBounded(file(path),
+      entries.map { case (f, s) => line(f, s) + "\n" }.mkString.getBytes("UTF-8"))
   }
 
   /** Drop stats lines for files that no longer exist (compaction/vacuum
@@ -5564,12 +5526,8 @@ private[sources] object AuditStats {
         case LineRe(f, _, _, _) => keep(f)
         case _                  => false
       }
-      val tmp = file(path).resolveSibling("_STATS.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(file(path),
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, file(path),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
   def clear(path: String): Unit =
