@@ -594,6 +594,8 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     AuditBase.write(path, throughEpoch,
       prev.map(_.expiredThrough).getOrElse(-1L), files, sortBy,
       ts = snapTs)
+    AuditMaintenance.maintFail("after-base-swap",
+      "OPTIMIZE killed after the _BASE swap, before the absorb finalize")
     // pre-compaction fold summaries: the compaction scan skipped their
     // blanked rows, so this base physically excludes them — mark them
     // absorbed or counts double-subtract (AuditChaosSpec pseed 7)
@@ -628,6 +630,17 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] object AuditMaintenance {
+
+  /** Test-only CRASH INJECTION (`-Dgraft.audit.maintFailPoint=<point>`):
+    * dies at a named point inside a maintenance operation, leaving the
+    * REAL mid-crash disk state (not a reconstruction) for the recovery
+    * machinery to heal — AuditChaosSpec composes these with concurrent
+    * appends, DML and a live tail. The JVM-side cleanup that still runs
+    * (lease release via withLease's finally) is exactly what a real
+    * crash reaches eventually through the lease TTL. */
+  private[sources] def maintFail(point: String, what: String): Unit =
+    if (sys.props.get("graft.audit.maintFailPoint").contains(point))
+      throw new IllegalStateException(s"injected failure: $what")
 
   /** Refuse maintenance that would compact over a crashed VACUUM's
     * half-completed fold: the intent rows may be blanked in SOME data
@@ -1705,6 +1718,8 @@ private[sources] object AuditMaintenance {
       AuditDeletes.foldedWithTs(dirPath),
       foldIntents = otherIntents ++ foldable,
       absorbedSums = AuditDeletes.absorbed(dirPath))
+    maintFail("fold-intent",
+      "VACUUM batch fold killed after the intent write, before blanking")
     foldable.groupBy(_._1).foreach { case (f, ps) =>
       val file = d.resolve(f)
       val gone = ps.map(_._2).toSet
@@ -1715,6 +1730,8 @@ private[sources] object AuditMaintenance {
       // metadata MIN/MAX gate relies on (fold ⇔ stats recomputed)
       refreshFoldedStats(dirPath, f, schema, isBase = false)
     }
+    maintFail("fold-blanked",
+      "VACUUM batch fold killed after blanking, before the summary replace")
     // per-file fold WATERMARK: the max commit ts among the entries this
     // fold blanks (None if any is unstamped — post-fold time travel then
     // keeps refusing, exactly as pre-watermark folds always did).
@@ -1765,6 +1782,8 @@ private[sources] object AuditMaintenance {
       AuditDeletes.foldedWithTs(dirPath),
       foldIntents = otherIntents ++ candidates,
       absorbedSums = AuditDeletes.absorbed(dirPath))
+    maintFail("fold-intent",
+      "VACUUM base fold killed after the intent write, before blanking")
     val d = java.nio.file.Paths.get(dirPath)
     val vecSet: Set[(String, Long)] = myKeys
     // recovering a crashed fold: its blanked lines lost their keys, so
@@ -1795,6 +1814,8 @@ private[sources] object AuditMaintenance {
           refreshFoldedStats(dirPath, bf, schema, isBase = true)
       }
     }
+    maintFail("fold-blanked",
+      "VACUUM base fold killed after blanking, before the summary replace")
     // every candidate is now blanked: found rows were blanked above,
     // not-found rows were blanked by the crashed run this recovers
     // (every vector targets a real base-held row, so absence proves a

@@ -6092,6 +6092,9 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
       AuditBase.write(pdir.toString, throughEpoch,
         prev.map(_.expiredThrough).getOrElse(-1L), files,
         ts = Some(snapTs))
+      AuditMaintenance.maintFail("after-base-swap",
+        "partitioned OPTIMIZE killed after a dir's _BASE swap, before " +
+          "its absorb finalize (later dirs unpublished)")
       // pre-compaction fold summaries: their blanked rows were skipped
       // by the compaction scan, so this base physically excludes them —
       // counts must stop subtracting them (AuditChaosSpec pseed 7)

@@ -378,6 +378,192 @@ class AuditChaosSpec extends AnyFunSuite {
         .count { case (_, d) => AuditBase.read(d.toString).isDefined }}")
   }
 
+  /** CRASH-INJECTING chaos (round-18): the same composition, plus
+    * seeded waves that KILL a maintenance op at a real failpoint — a
+    * VACUUM fold after its intent write ("fold-intent"), after blanking
+    * but before the summary replace ("fold-blanked"), and an OPTIMIZE
+    * after the `_BASE` swap but before the absorb finalize
+    * ("after-base-swap") — then LET THE RUN CONTINUE. The disk state is
+    * the genuine mid-crash one (not a reconstruction); the invariants
+    * must hold through it (counts stay exact, the live tail restarts
+    * loudly, OPTIMIZE refuses over pending intents), and the healing
+    * VACUUM must resolve it exactly. */
+  private def fullMsg(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) {
+      sb ++= Option(cur.getMessage).getOrElse(cur.getClass.getName)
+      sb += ' '
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
+  private def runSeedCrash(seed: Int): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosc_${seed}_")
+    val cat = s"graft_chaosc_$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    val path = wh.resolve("db").resolve("t").toString
+    val rnd = new scala.util.Random(seed)
+    val model = mutable.Set.empty[Long]
+    var nextId = 0L
+
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 3 AS v")
+        .repartition(2)
+        .write.format(classOf[JsonAuditSink].getName)
+        .option("path", path).mode("append").save()
+
+    // live tail throughout, exactly as runSeed: loud-restart-or-exact
+    val stream = new AuditCdfStream(path, cdfSchema)
+    val restarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dupSeen = new java.util.concurrent.atomic.AtomicReference[String](null)
+    @volatile var tailStop = false
+    val tailThread = new Thread(() => {
+      var from = stream.initialOffset()
+      var acc = mutable.Set.empty[(Long, String)]
+      while (!tailStop) {
+        try {
+          val until = stream.latestOffset()
+          val parts = stream.planInputPartitions(from, until)
+          val factory = stream.createReaderFactory()
+          val pull = mutable.ArrayBuffer.empty[(Long, String)]
+          parts.foreach { p =>
+            val r = factory.createReader(p)
+            try while (r.next()) {
+              val row = r.get()
+              pull += ((row.getLong(0), row.getUTF8String(2).toString))
+            } finally r.close()
+          }
+          pull.foreach { ev =>
+            if (!acc.add(ev) && dupSeen.get() == null)
+              dupSeen.set(s"duplicate event $ev (cseed $seed)")
+          }
+          from = until
+        } catch {
+          case t: Throwable if loudRestart(t) =>
+            restarts.incrementAndGet()
+            from = stream.initialOffset()
+            acc = mutable.Set.empty
+          case _: Throwable => ()
+        }
+        Thread.sleep(3)
+      }
+    })
+    tailThread.start()
+
+    def crashedCall(sql: String, point: String): String = {
+      sys.props("graft.audit.maintFailPoint") = point
+      try { spark.sql(sql).collect(); "no-failure" }
+      catch { case t: Throwable => fullMsg(t) }
+      finally sys.props.remove("graft.audit.maintFailPoint")
+    }
+    def deleteSome(): Unit = {
+      val m = 7 + rnd.nextInt(7)
+      val r = rnd.nextInt(m)
+      spark.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
+      model --= model.filter(_ % m == r)
+    }
+    def heal(): Unit =
+      spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+
+    var injected = 0
+    for (wave <- 1 to 8) {
+      val appendThreads = (0 until (1 + rnd.nextInt(2))).map { _ =>
+        val from = nextId; nextId += 100
+        model ++= (from until from + 100)
+        new Thread(() => append(from, from + 100))
+      }
+      appendThreads.foreach(_.start())
+      appendThreads.foreach(_.join())
+      wave match {
+        case 3 | 6 =>
+          // CRASH WAVES — synchronous, so the kill point is
+          // deterministic; wave 6 kills a fold, wave 3 kills the swap,
+          // so every seed exercises BOTH crash kinds
+          if (wave == 6) {
+            // kill a VACUUM fold: fresh vectors guarantee the fold runs
+            deleteSome()
+            val point = if (rnd.nextBoolean()) "fold-intent" else "fold-blanked"
+            val msg = crashedCall(
+              s"CALL $cat.system.vacuum(table => 'db.t')", point)
+            assert(msg.contains("injected failure"),
+              s"fold kill never fired (cseed $seed, wave $wave): $msg")
+            injected += 1
+            assert(AuditDeletes.intents(path).nonEmpty,
+              s"crashed fold left no intent (cseed $seed)")
+            // the half-dead state refuses compaction LOUDLY
+            val ref = crashedCall(s"CALL $cat.system.optimize(" +
+              s"table => 'db.t', target_file_count => 2)", "none")
+            assert(ref.contains("pending fold intent"),
+              s"OPTIMIZE over a crashed fold did not refuse " +
+                s"(cseed $seed): $ref")
+          } else {
+            // kill an OPTIMIZE after the _BASE swap: fold summaries
+            // first (delete + clean vacuum), so the absorb window is
+            // the live one the crash lands in
+            deleteSome()
+            heal()
+            val msg = crashedCall(s"CALL $cat.system.optimize(" +
+              s"table => 'db.t', target_file_count => 2)", "after-base-swap")
+            assert(msg.contains("injected failure"),
+              s"swap kill never fired (cseed $seed): $msg")
+            injected += 1
+            // the base IS published; the absorb-intent must be carrying
+            // the absorption until something finalizes it
+            assert(AuditDeletes.absorbIntentTs(path).isDefined,
+              s"no absorb-intent after the swap kill (cseed $seed)")
+          }
+        case 4 | 7 =>
+          // wave after a crash: HEAL under the live tail, then the
+          // healed state must be exact
+          heal()
+          assert(AuditDeletes.intents(path).isEmpty,
+            s"healing VACUUM left intents (cseed $seed)")
+        case _ =>
+          if (rnd.nextBoolean()) deleteSome()
+      }
+      spark.catalog.refreshTable(s"$cat.db.t")
+      assert(spark.table(s"$cat.db.t").count() === model.size.toLong,
+        s"row count diverged from the model (cseed $seed, wave $wave)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+        === model.size.toLong,
+        s"metadata count diverged (cseed $seed, wave $wave)")
+    }
+    assert(injected === 2, s"expected both crash waves to fire (cseed $seed)")
+    tailStop = true
+    tailThread.join()
+    assert(dupSeen.get() == null, s"${dupSeen.get()}")
+
+    // final state exact + a fresh feed replay reconciles
+    val ids = spark.table(s"$cat.db.t").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size === ids.distinct.size, s"duplicated rows (cseed $seed)")
+    assert(ids.toSet === model.toSet, s"content diverged (cseed $seed)")
+    val fresh = new AuditCdfStream(path, cdfSchema)
+    val parts = fresh.planInputPartitions(
+      fresh.initialOffset(), fresh.latestOffset())
+    val factory = fresh.createReaderFactory()
+    val events = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = mutable.ArrayBuffer.empty[(Long, String)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getUTF8String(2).toString))
+      } finally r.close()
+      buf
+    }
+    val inserted = events.collect { case (i, "insert") => i }.toSet
+    val deleted = events.collect { case (i, "delete") => i }.toSet
+    assert((inserted -- deleted) === model.toSet,
+      s"feed replay diverged after crash-and-heal (cseed $seed)")
+    info(s"cseed $seed: ${model.size} survivors of $nextId appended, " +
+      s"2 injected crashes healed, tail restarts=${restarts.get()}, " +
+      s"foldedRows=${AuditDeletes.foldedRows(path)}")
+  }
+
   // fixed seeds: reproducible; pin any future failing seed here
   Seq(11, 29, 47, 83).foreach { seed =>
     test(s"chaos seed $seed: concurrent appends + maintenance + live " +
@@ -389,6 +575,12 @@ class AuditChaosSpec extends AnyFunSuite {
     test(s"partitioned chaos seed $seed: concurrent INSERTs + per-dir " +
       "bases + live partitioned tail preserve every invariant") {
       runSeedPartitioned(seed)
+    }
+  }
+  Seq(19, 73).foreach { seed =>
+    test(s"crash chaos seed $seed: maintenance killed mid-fold and " +
+      "mid-swap heals exactly under appends, DML and a live tail") {
+      runSeedCrash(seed)
     }
   }
 }
