@@ -812,7 +812,7 @@ private[sources] object AuditMaintenance {
       schema: StructType,
       zorderBy: Seq[String] = Nil,
       bloomBy: Seq[String] = Nil,
-      partitionFilter: Seq[(String, String)] = Nil): (Int, Long, Long) =
+      partitionFilter: Seq[PartPred] = Nil): (Int, Long, Long) =
     AuditMaintLock.withLease(path, "optimize") {
       optimizePartitionedLocked(spark, fullName, path, partSpec,
         targetFileCount, sortBy, schema, zorderBy, bloomBy, partitionFilter)
@@ -824,7 +824,7 @@ private[sources] object AuditMaintenance {
       schema: StructType,
       zorderBy: Seq[String],
       bloomBy: Seq[String],
-      partitionFilter: Seq[(String, String)] = Nil): (Int, Long, Long) = {
+      partitionFilter: Seq[PartPred] = Nil): (Int, Long, Long) = {
     val specs = AuditPartition.parseSpecs(partSpec)
     val partCols = specs.map(_.col)
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -848,7 +848,7 @@ private[sources] object AuditMaintenance {
     // whole table. Unselected directories keep their live entries, bases
     // and history untouched; every read path already resolves per-dir.
     val selDirs: Option[Set[String]] =
-      partitionSelector(path, specs, partitionFilter, "OPTIMIZE")
+      partitionSelector(path, specs, partitionFilter, "OPTIMIZE", schema)
     def selected(relDir: String): Boolean =
       selDirs.forall(_.contains(relDir))
     // pending fold intents in any SELECTED directory refuse compaction —
@@ -878,20 +878,38 @@ private[sources] object AuditMaintenance {
       .option("includeDeleted", "true")
       .option("rawcolumns", "true")
       .load()
-    val fullSel = partitionFilter.foldLeft(full) { case (acc, (c, v)) =>
-      val lit0: org.apache.spark.sql.Column =
-        schema.fields.find(_.name == c).map(_.dataType) match {
-          case Some(LongType) => org.apache.spark.sql.functions.lit(v.toLong)
-          case Some(IntegerType) => org.apache.spark.sql.functions.lit(v.toInt)
-          case Some(org.apache.spark.sql.types.StringType) =>
-            org.apache.spark.sql.functions.lit(v)
-          case Some(org.apache.spark.sql.types.DateType) =>
-            org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(v))
-          case other => throw new IllegalArgumentException(
-            s"audit OPTIMIZE: partition_filter on $c of type $other is " +
-              "not supported")
-        }
-      acc.where(col(c) === lit0) // statically pruned to the matching dirs
+    // row-level twin of the dir selector: the predicate must select
+    // EXACTLY the rows of the selected dirs (a divergence would fold a
+    // file whose rows were not all read) — same typed comparison as
+    // partitionSelector, statically pruned to the matching dirs
+    def plit(c: String, v: String): org.apache.spark.sql.Column =
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => org.apache.spark.sql.functions.lit(v.toLong)
+        case Some(IntegerType) => org.apache.spark.sql.functions.lit(v.toInt)
+        case Some(org.apache.spark.sql.types.StringType) =>
+          org.apache.spark.sql.functions.lit(v)
+        case other => throw new IllegalArgumentException(
+          s"audit OPTIMIZE: partition_filter on $c of type $other is " +
+            "not supported")
+      }
+    val fullSel = partitionFilter.foldLeft(full) { (acc, p) =>
+      acc.where(p match {
+        case PartEq(c, v)  => col(c) === plit(c, v)
+        case PartIn(c, vs) =>
+          val typed: Seq[Any] =
+            schema.fields.find(_.name == c).map(_.dataType) match {
+              case Some(LongType)    => vs.map(_.toLong)
+              case Some(IntegerType) => vs.map(_.toInt)
+              case _                 => vs
+            }
+          col(c).isin(typed: _*)
+        case PartCmp(c, "<=", v) => col(c) <= plit(c, v)
+        case PartCmp(c, ">=", v) => col(c) >= plit(c, v)
+        case PartCmp(c, "<", v)  => col(c) < plit(c, v)
+        case PartCmp(c, ">", v)  => col(c) > plit(c, v)
+        case PartCmp(c, o, _) => throw new IllegalArgumentException(
+          s"audit OPTIMIZE: partition_filter op $o on $c")
+      })
     }
     var df = fullSel.select(schema.fieldNames.map(col).toSeq ++ Seq(
       col("_epoch").as("_oepoch"),
@@ -992,27 +1010,108 @@ private[sources] object AuditMaintenance {
   /** Live manifest file names per old-layout directory — the raced-append
     * fingerprint the stage-and-swap paths compare (includes OCC txn
     * entries via readManifest). */
-  /** Resolve a `partition_filter => 'col=v,…'` selector to the matching
-    * partition relDirs (None = whole table). Matching is token-level on
-    * IDENTITY partition columns — a bucket column's value→dir mapping is
-    * not expressible as one token, so it refuses. */
+  /** One conjunct of a `partition_filter` selector. `=` and `IN` match
+    * any identity column type; ranges additionally need an ORDER that
+    * the directory-token side and the row-predicate side agree on —
+    * numeric for long/int, UTF8 binary for strings (exactly Spark's
+    * string comparison, so the selected DIRS and the compaction scan's
+    * ROW predicate can never diverge — a divergence would fold a file
+    * whose rows were not all read). */
+  private[sources] sealed trait PartPred { def col: String }
+  private[sources] final case class PartEq(col: String, v: String)
+      extends PartPred
+  private[sources] final case class PartIn(col: String, vs: Seq[String])
+      extends PartPred
+  /** `op` ∈ `<= >= < >`. */
+  private[sources] final case class PartCmp(col: String, op: String,
+      v: String) extends PartPred
+
+  private val CmpRe = """^([^<>=\s]+)\s*(<=|>=|<|>)\s*(.+)$""".r
+  private val InRe = """(?i)^([^<>=\s]+)\s+IN\s*\((.*)\)$""".r
+  private val EqRe = """^([^<>=\s]+)\s*=\s*(.+)$""".r
+
+  /** Parse a `partition_filter` string into conjuncts. Top-level commas
+    * separate conjuncts; commas inside an `IN (…)` list do not split —
+    * so `'day >= 2024-01-01, day <= 2024-01-07'` (one bounded range as
+    * ONE call: one lease, one raced-append window) and
+    * `'flag IN (0,2)'` both work alongside the original `'col=v'`. */
+  private[sources] def parsePartitionFilter(raw: String, op: String)
+      : Seq[PartPred] = {
+    val entries = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      raw.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      out += cur.result().trim
+      out.toSeq.filter(_.nonEmpty)
+    }
+    entries.map {
+      case InRe(c, vs) => PartIn(c.trim,
+        vs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case CmpRe(c, o, v) => PartCmp(c.trim, o, v.trim)
+      case EqRe(c, v) => PartEq(c.trim, v.trim)
+      case other => throw new IllegalArgumentException(
+        s"audit $op: partition_filter entry '$other' is not " +
+          "col=value, col IN (v1,v2,…), or col <op> value")
+    }
+  }
+
+  /** Resolve a `partition_filter` selector to the matching partition
+    * relDirs (None = whole table). Matching is token-level on IDENTITY
+    * partition columns — a bucket column's value→dir mapping is not
+    * expressible as one token, so it refuses. Range conjuncts compare
+    * under the column's type (see [[PartPred]]); the null-token dir
+    * never matches any conjunct (SQL comparison semantics). */
   private[sources] def partitionSelector(path: String,
       specs: Seq[AuditPartition.Spec],
-      filter: Seq[(String, String)], op: String): Option[Set[String]] = {
+      filter: Seq[PartPred], op: String,
+      schema: StructType): Option[Set[String]] = {
     if (filter.isEmpty) return None
     val partCols = specs.map(_.col)
-    val byLevel: Map[Int, String] = filter.map { case (c, v) =>
-      val li = specs.indexWhere(_.col == c)
-      require(li >= 0, s"audit $op: partition_filter column $c is " +
+    val byLevel: Seq[(Int, PartPred)] = filter.map { p =>
+      val li = specs.indexWhere(_.col == p.col)
+      require(li >= 0, s"audit $op: partition_filter column ${p.col} is " +
         s"not a partition column of $path (${partCols.mkString(",")})")
       require(specs(li).bucket.isEmpty,
-        s"audit $op: partition_filter on bucket column $c is not " +
+        s"audit $op: partition_filter on bucket column ${p.col} is not " +
           "supported (a value does not name one directory)")
-      (li, java.net.URLEncoder.encode(v, "UTF-8"))
-    }.toMap
+      (li, p)
+    }
+    def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
+    def cmp(li: Int, tok: String, v: String): Option[Int] = {
+      if (tok == AuditPartition.NullToken) return None // null matches nothing
+      val dt = schema.fields.find(_.name == specs(li).col).map(_.dataType)
+      dt match {
+        case Some(LongType) | Some(IntegerType) =>
+          Some(java.lang.Long.compare(
+            java.net.URLDecoder.decode(tok, "UTF-8").toLong, v.toLong))
+        case _ => // string: UTF8 binary order — Spark's own
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.net.URLDecoder.decode(tok, "UTF-8")).compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      }
+    }
+    def holds(rel: String, li: Int, p: PartPred): Boolean = {
+      val tok = AuditPartition.componentToken(rel, li)
+      p match {
+        case PartEq(_, v)  => tok == enc(v)
+        case PartIn(_, vs) => vs.exists(v => tok == enc(v))
+        case PartCmp(_, o, v) => cmp(li, tok, v).exists(c => o match {
+          case "<=" => c <= 0
+          case ">=" => c >= 0
+          case "<"  => c < 0
+          case ">"  => c > 0
+        })
+      }
+    }
     val dirs = AuditPartition.listDirsByCols(path, partCols).collect {
-      case (rel, _) if byLevel.forall { case (li, tok) =>
-        AuditPartition.componentToken(rel, li) == tok } => rel
+      case (rel, _) if byLevel.forall { case (li, p) =>
+        holds(rel, li, p) } => rel
     }.toSet
     require(dirs.nonEmpty,
       s"audit $op: partition_filter matches no partition of $path")
@@ -2270,15 +2369,10 @@ private[sources] object GraftProcedures {
           if (input.isNullAt(4)) Nil
           else input.getUTF8String(4).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
-        val partitionFilter: Seq[(String, String)] =
+        val partitionFilter: Seq[AuditMaintenance.PartPred] =
           if (input.isNullAt(5)) Nil
-          else input.getUTF8String(5).toString.split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq.map { kv =>
-              val i = kv.indexOf('=')
-              require(i > 0, s"audit OPTIMIZE: partition_filter entry " +
-                s"'$kv' is not col=value")
-              (kv.take(i).trim, kv.drop(i + 1).trim)
-            }
+          else AuditMaintenance.parsePartitionFilter(
+            input.getUTF8String(5).toString, "OPTIMIZE")
         val (path, schema, partSpec) = catalog.resolveAuditTableFull(table)
         // user-facing column args arrive in CURRENT names; the rewrite
         // works in storage names (see resolveAuditTableFull)
@@ -2293,7 +2387,14 @@ private[sources] object GraftProcedures {
               org.apache.spark.sql.SparkSession.active,
               s"${catalog.name()}.$table", path, ps, tfc, sortBySt, schema,
               zorderBySt, bloomBySt,
-              partitionFilter.map { case (c, v) => (st(c), v) })
+              partitionFilter.map {
+                case AuditMaintenance.PartEq(c, v) =>
+                  AuditMaintenance.PartEq(st(c), v)
+                case AuditMaintenance.PartIn(c, vs) =>
+                  AuditMaintenance.PartIn(st(c), vs)
+                case AuditMaintenance.PartCmp(c, o, v) =>
+                  AuditMaintenance.PartCmp(st(c), o, v)
+              })
           case None =>
             require(partitionFilter.isEmpty,
               s"audit OPTIMIZE: partition_filter needs a partitioned " +
@@ -2544,23 +2645,24 @@ private[sources] object GraftProcedures {
         val orphans = !input.isNullAt(2) && input.getBoolean(2)
         val olderThanMs =
           if (input.isNullAt(3)) None else Some(input.getLong(3) / 1000L)
-        val partitionFilter: Seq[(String, String)] =
+        val partitionFilter: Seq[AuditMaintenance.PartPred] =
           if (input.isNullAt(4)) Nil
-          else input.getUTF8String(4).toString.split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq.map { kv =>
-              val i = kv.indexOf('=')
-              require(i > 0, s"audit VACUUM: partition_filter entry " +
-                s"'$kv' is not col=value")
-              (kv.take(i).trim, kv.drop(i + 1).trim)
-            }
+          else AuditMaintenance.parsePartitionFilter(
+            input.getUTF8String(4).toString, "VACUUM")
         val (path, schema, part) = catalog.resolveAuditTableFull(table)
         val cmv = catalog.resolveAuditColMap(table)
         val selDirs = part match {
           case Some(ps) if partitionFilter.nonEmpty =>
             AuditMaintenance.partitionSelector(path,
               AuditPartition.parseSpecs(ps),
-              partitionFilter.map { case (c, v) =>
-                (cmv.getOrElse(c, c), v) }, "VACUUM")
+              partitionFilter.map {
+                case AuditMaintenance.PartEq(c, v) =>
+                  AuditMaintenance.PartEq(cmv.getOrElse(c, c), v)
+                case AuditMaintenance.PartIn(c, vs) =>
+                  AuditMaintenance.PartIn(cmv.getOrElse(c, c), vs)
+                case AuditMaintenance.PartCmp(c, o, v) =>
+                  AuditMaintenance.PartCmp(cmv.getOrElse(c, c), o, v)
+              }, "VACUUM", schema)
           case None if partitionFilter.nonEmpty =>
             throw new IllegalArgumentException(
               s"audit VACUUM: partition_filter needs a partitioned " +

@@ -1760,6 +1760,73 @@ object CatalogApi {
       |FROM cur_state WHERE flag = 1 GROUP BY flag
       |ORDER BY grp, flag""".stripMargin
 
+  /** RANGE/IN `partition_filter` (round 18): "compact the last N days"
+    * is ONE call — one lease, one raced-append window — instead of N.
+    * A day-partitioned table is compacted with a bounded range selector
+    * (`day >= 3, day <= 5`) then an IN-list (`day IN (0,6)`); the frame
+    * proves per-day counts/sums current, at a mixed-boundary travel
+    * instant, and under a pruned range read. */
+  def auditPartOptimizeRange(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qpor_wh")
+    spark.conf.set("spark.sql.catalog.graft_qpor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qpor.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qpor.db.tr")
+    spark.sql(
+      """CREATE TABLE graft_qpor.db.tr (id BIGINT, day BIGINT)
+        |USING audit PARTITIONED BY (day)""".stripMargin)
+    spark.sql("INSERT INTO graft_qpor.db.tr SELECT id, id % 7 " +
+      "FROM range(140)")
+    spark.sql("DELETE FROM graft_qpor.db.tr WHERE id % 10 = 3")
+    val path = wh.resolve("db").resolve("tr").toString
+    spark.sql("CALL graft_qpor.system.optimize(table => 'db.tr', " +
+      "target_file_count => 2, partition_filter => " +
+      "'day >= 3, day <= 5')")
+    spark.sql("CALL graft_qpor.system.optimize(table => 'db.tr', " +
+      "target_file_count => 1, partition_filter => 'day IN (0,6)')")
+    val based = (0L to 6L).filter(dd => AuditBase.read(
+      wh.resolve(s"db/tr/day=$dd").toString).isDefined).toSet
+    require(based == Set(0L, 3L, 4L, 5L, 6L),
+      s"range+IN selectors must compact exactly days 0,3,4,5,6 — got $based")
+    val tMid = AuditPartition.listDirsByCols(path, Seq("day"))
+      .map { case (_, dd) => AuditBase.maxVisibleTs(dd.toString) }.max
+    spark.sql("INSERT INTO graft_qpor.db.tr SELECT id + 1000, id % 7 " +
+      "FROM range(35)")
+    spark.sql(
+      """SELECT 'cur' AS grp, day, count(*) AS n, sum(id) AS sum_id
+        |FROM graft_qpor.db.tr GROUP BY day""".stripMargin)
+      .unionAll(spark.sql(
+        s"""SELECT 'mid' AS grp, day, count(*) AS n, sum(id) AS sum_id
+           |FROM graft_qpor.db.tr
+           |TIMESTAMP AS OF timestamp_millis($tMid) GROUP BY day"""
+          .stripMargin))
+      .unionAll(spark.sql(
+        """SELECT 'range' AS grp, day, count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qpor.db.tr WHERE day BETWEEN 3 AND 5 GROUP BY day"""
+          .stripMargin))
+      .orderBy(col("grp"), col("day"))
+  }
+
+  val auditPartOptimizeRangeSql: String =
+    """WITH first AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 7 AS day
+      |  FROM range(140) t(r)),
+      |mid_state AS (SELECT * FROM first WHERE id % 10 <> 3),
+      |cur_state AS (
+      |  SELECT * FROM mid_state
+      |  UNION ALL
+      |  SELECT CAST(t.r AS BIGINT) + 1000, CAST(t.r AS BIGINT) % 7
+      |  FROM range(35) t(r))
+      |SELECT 'cur' AS grp, day, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM cur_state GROUP BY day
+      |UNION ALL SELECT 'mid', day, count(*), CAST(sum(id) AS BIGINT)
+      |FROM mid_state GROUP BY day
+      |UNION ALL SELECT 'range', day, count(*), CAST(sum(id) AS BIGINT)
+      |FROM cur_state WHERE day BETWEEN 3 AND 5 GROUP BY day
+      |ORDER BY grp, day""".stripMargin
+
   val auditTravelRetainedSql: String =
     """WITH base AS (
       |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
@@ -3863,6 +3930,7 @@ object CatalogApi {
       "q_audit_travel_folded" -> (auditTravelFolded _),
       "q_audit_travel_retained" -> (auditTravelRetained _),
       "q_audit_part_optimize_where" -> (auditPartOptimizeWhere _),
+      "q_audit_part_optimize_range" -> (auditPartOptimizeRange _),
       "q_audit_part_travel_compacted" -> (auditPartTravelCompacted _),
       "q_cdf_part_compacted" -> (cdfPartCompacted _),
       "q_audit_part_travel_folded" -> (auditPartTravelFolded _),
@@ -3905,6 +3973,7 @@ object CatalogApi {
       "q_audit_travel_folded" -> auditTravelFoldedSql,
       "q_audit_travel_retained" -> auditTravelRetainedSql,
       "q_audit_part_optimize_where" -> auditPartOptimizeWhereSql,
+      "q_audit_part_optimize_range" -> auditPartOptimizeRangeSql,
       "q_audit_part_travel_compacted" -> auditPartTravelCompactedSql,
       "q_cdf_part_compacted" -> cdfPartCompactedSql,
       "q_audit_part_travel_folded" -> auditPartTravelFoldedSql,

@@ -198,6 +198,87 @@ class AuditPartialOptimizeSpec extends AnyFunSuite {
       t.getMessage.contains("needs a partitioned table")), ex.toString)
   }
 
+  test("range and IN selectors compact a multi-dir window in ONE call; " +
+    "raced appends into unselected dirs proceed, into selected abort") {
+    val (cat, wh) = freshCat("rng")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, day BIGINT) " +
+      "USING audit PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 7 FROM range(140)")
+    def based: Set[Long] = (0L to 6L).filter(d => AuditBase.read(
+      wh.resolve(s"db/t/day=$d").toString).isDefined).toSet
+    // bounded range, ONE call, with an append racing into day=6
+    // (UNSELECTED): the compaction is none of its business — proceeds
+    AuditMaintenance.afterCheckHook = Some(() => {
+      AuditMaintenance.afterCheckHook = None
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (9000, 6)")
+    })
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2, partition_filter => " +
+      "'day >= 3, day <= 5')")
+    assert(based === Set(3L, 4L, 5L), s"range selected $based")
+    assert(spark.table(s"$cat.db.t").count() === 141L)
+    // IN-list with an append racing into day=0 (SELECTED, lands after
+    // the staged tree was built): aborts loudly, nothing changed
+    AuditMaintenance.afterStageHook = Some(() => {
+      AuditMaintenance.afterStageHook = None
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (9001, 0)")
+    })
+    val ex = intercept[Exception](spark.sql(
+      s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'day IN (0,6)')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("concurrent append")), ex.toString)
+    assert(based === Set(3L, 4L, 5L))
+    // clean retry of the IN-list: exactly days 0 and 6 join
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "partition_filter => 'day IN (0,6)')")
+    assert(based === Set(0L, 3L, 4L, 5L, 6L))
+    assert(spark.table(s"$cat.db.t").count() === 142L)
+    val g = spark.sql(
+      s"SELECT day, count(*) AS n FROM $cat.db.t GROUP BY day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g === (0L to 6L).map(d =>
+      (d, 20L + (if (d == 0L || d == 6L) 1L else 0L))).toMap)
+    // partition-filtered VACUUM accepts the same selector forms
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 20 = 4")
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t', " +
+      "partition_filter => 'day <= 1')")
+    val foldedDirs = (0L to 6L).filter(d => AuditDeletes.foldedRows(
+      wh.resolve(s"db/t/day=$d").toString) > 0).toSet
+    assert(foldedDirs.nonEmpty && foldedDirs.subsetOf(Set(0L, 1L)),
+      s"VACUUM range selector folded outside the window: $foldedDirs")
+  }
+
+  test("range selector on a STRING partition column orders like Spark " +
+    "(UTF8 binary), and malformed entries refuse loudly") {
+    val (cat, wh) = freshCat("str")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, day STRING) " +
+      "USING audit PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, " +
+      "concat('2024-01-0', CAST(id % 5 + 1 AS STRING)) FROM range(50)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "partition_filter => " +
+      "'day >= 2024-01-02, day <= 2024-01-04')")
+    val based = (1 to 5).map(d => s"2024-01-0$d").filter(d =>
+      AuditBase.read(wh.resolve(s"db/t/day=$d").toString).isDefined)
+    assert(based === Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(spark.table(s"$cat.db.t").count() === 50L)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val bad = intercept[Exception](spark.sql(
+      s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'day ~ x')").collect())
+    assert(chain(bad).exists(t => t.getMessage != null &&
+      t.getMessage.contains("is not")), bad.toString)
+    val none = intercept[Exception](spark.sql(
+      s"CALL $cat.system.optimize(table => 'db.t', " +
+        "partition_filter => 'day > 2025-01-01')").collect())
+    assert(chain(none).exists(t => t.getMessage != null &&
+      t.getMessage.contains("matches no partition")), none.toString)
+  }
+
   test("an append racing into the SELECTED partition aborts the " +
     "compaction; one into an unselected partition does not") {
     val (cat, wh) = freshCat("race")
