@@ -63,6 +63,7 @@ object ScaleSmoke {
       case "run" => run(spark, src, dst,
         if (args.length > 1) args.drop(1).toSeq else HeavyTail)
       case "audit" => auditScale(spark)
+      case "partial" => partialMaintScale(spark)
       case other => sys.error(s"ScaleSmoke: unknown mode $other")
     }
     spark.stop()
@@ -170,6 +171,56 @@ object ScaleSmoke {
     * The contract each number checks: partitioned batch insert, identity
     * allocation, CDC pull and z-order OPTIMIZE are linear in the table;
     * delta UPDATE is linear in the CHANGED rows (grown 10× alongside). */
+  /** Round-18 (verdict item 7): partition-filtered maintenance where the
+    * VOLUME term dominates — 1M rows across 64 identity dirs, then a
+    * full compaction vs selecting 8 dirs (1/8) vs 1 dir (1/64). The
+    * claim to demonstrate: partial-optimize time approaches
+    * fixed-floor + selected-fraction × volume as the dir count grows
+    * (the r17 measurement at 6 dirs read 1.68× not 6× because fixed
+    * job costs dominated; 64 dirs separates the two terms). */
+  def partialMaintScale(spark: SparkSession): Unit = {
+    import graft.sources.GraftCatalog
+    val n = 1000000L
+    val dirs = 64
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fresh(tag: String, rows: Long): String = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_pm_$tag")
+      val cat = s"graft_pm_$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT, " +
+        "v BIGINT) USING audit PARTITIONED BY (flag)")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % $dirs, id * 3 " +
+        s"FROM range($rows)")
+      cat
+    }
+    // untimed warm-up: classloading + codegen out of the timed window
+    val w = fresh("warm", 10000L)
+    spark.sql(s"CALL $w.system.optimize(table => 'db.t', " +
+      "target_file_count => 1, partition_filter => 'flag=1')")
+    val cases = Seq(
+      ("full_64dirs", ""),
+      ("sel8_of_64", ", partition_filter => 'flag >= 0, flag <= 7'"),
+      ("sel1_of_64", ", partition_filter => 'flag=7'"))
+    val times = cases.map { case (name, filter) =>
+      val cat = fresh(name.replaceAll("[^a-z0-9]", ""), n)
+      val t = timed(spark.sql(s"CALL $cat.system.optimize(" +
+        s"table => 'db.t', target_file_count => $dirs$filter)").collect())
+      println(f"""{"case":"$name","sec":$t%.2f}""")
+      t
+    }
+    val load =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "unavailable" }
+    println(f"""{"metric":"partial_maint_smoke","full_s":${times(0)}%.2f,""" +
+      f""""sel8_s":${times(1)}%.2f,"sel1_s":${times(2)}%.2f,""" +
+      f""""sel8_ratio":${times(1) / times(0)}%.3f,""" +
+      f""""sel1_ratio":${times(2) / times(0)}%.3f,"loadavg":"$load"}""")
+  }
+
   def auditScale(spark: SparkSession): Unit = {
     import graft.sources.GraftCatalog
     val sizes = Seq(100000L, 1000000L)
