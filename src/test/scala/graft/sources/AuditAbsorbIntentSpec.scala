@@ -166,6 +166,58 @@ class AuditAbsorbIntentSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() === 90L)
   }
 
+  test("PARTITIONED publish killed after the first dir's base swap: " +
+    "that dir's absorb-intent holds, later dirs untouched, retry heals") {
+    val (cat, wh) = freshCat("pks")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 3 FROM range(90)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 9") // 9 vectors
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')") // folds them
+    val path = wh.resolve("db").resolve("t").toString
+    assert(spark.table(s"$cat.db.t").count() === 81L)
+    // kill the partitioned OPTIMIZE right after the FIRST dir's _BASE
+    // swap, before its absorb finalize and before any later dir
+    sys.props("graft.audit.maintFailPoint") = "after-base-swap"
+    val ex = intercept[Exception](
+      try spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+        "target_file_count => 1)").collect()
+      finally sys.props.remove("graft.audit.maintFailPoint"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("injected failure")), ex.toString)
+    val dirs = AuditPartition.listDirsByCols(path, Seq("flag"))
+    val published = dirs.filter { case (_, d) =>
+      AuditBase.read(d.toString).isDefined }
+    assert(published.size === 1, s"exactly one dir published: $published")
+    // the published dir's absorb-intent matches its live base → its
+    // fold rows are absorbed; unpublished dirs keep explicit-only state
+    published.foreach { case (_, d) =>
+      val ts = AuditBase.read(d.toString).get.ts.get
+      assert(AuditDeletes.absorbIntentTs(d.toString) === Some(ts))
+      assert(AuditDeletes.count(d.toString) === 0L)
+    }
+    // counts exact across the mixed published/unpublished state
+    spark.catalog.refreshTable(s"$cat.db.t")
+    assert(spark.table(s"$cat.db.t").count() === 81L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0)
+      === 81L)
+    // retry compacts cleanly and finalizes everything
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1)")
+    dirs.foreach { case (rel, d) =>
+      assert(AuditBase.read(d.toString).isDefined, s"$rel unpublished")
+      assert(AuditDeletes.absorbIntentTs(d.toString) === None, rel)
+      assert(AuditDeletes.count(d.toString) === 0L, rel)
+    }
+    assert(spark.table(s"$cat.db.t").count() === 81L)
+    val g = spark.sql(
+      s"SELECT flag, count(*) AS n FROM $cat.db.t GROUP BY flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g === Map(0L -> 27L, 1L -> 27L, 2L -> 27L))
+  }
+
   test("a stale intent never shadows EXPLICIT absorption from an " +
     "earlier completed publish") {
     val (cat, wh) = freshCat("shd")
