@@ -2602,9 +2602,42 @@ private[sources] object GraftProcedures {
               case (relDir, pdir) => travelRows(pdir.toString, relDir)
             }
           }
+        // RECOVERY observability: a crashed maintenance op's pending
+        // markers, with the heal action — operators see the state and
+        // its remedy instead of discovering it through an OPTIMIZE
+        // refusal (fold intents) or not at all (an absorb-intent is
+        // behaviorally invisible by design; it still deserves a row)
+        def recoveryRows(p: String, label: String): Seq[Array[Any]] = {
+          def pre(s: String) =
+            if (label.isEmpty) s else s"$label: " + s
+          val intents = AuditDeletes.intents(p)
+          val intentRow =
+            if (intents.isEmpty) Seq.empty
+            else Seq(Array[Any]("recovery", null, 0, intents.size.toLong,
+              str(pre(s"${intents.size} pending fold intent(s) from a " +
+                "crashed VACUUM — run VACUUM to complete the fold " +
+                "(OPTIMIZE refuses until then)"))))
+          val absorbRow = AuditDeletes.absorbIntentTs(p) match {
+            case Some(ts) =>
+              Seq(Array[Any]("recovery", null, 0, 0L, str(pre(
+                s"pending absorb-intent for base snapshot $ts — " +
+                  "counts stay exact; the next fold or OPTIMIZE " +
+                  "finalizes it"))))
+            case None => Seq.empty
+          }
+          intentRow ++ absorbRow
+        }
+        val recoveryWindowRows: Seq[Array[Any]] =
+          if (partSpec.isEmpty) recoveryRows(path, "")
+          else partSpec.toSeq.flatMap { ps =>
+            val cols = AuditPartition.parseSpecs(ps).map(_.col)
+            AuditPartition.listDirsByCols(path, cols).flatMap {
+              case (relDir, pdir) => recoveryRows(pdir.toString, relDir)
+            }
+          }
         rowsOf(schema,
           (epochRows ++ batchRows ++ baseRows ++ partRows ++ delRows ++
-            travelWindowRows)
+            travelWindowRows ++ recoveryWindowRows)
             .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
       }
     }

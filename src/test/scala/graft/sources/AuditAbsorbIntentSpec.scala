@@ -60,6 +60,12 @@ class AuditAbsorbIntentSpec extends AnyFunSuite {
     // nothing was changed by the refusal
     assert(spark.table(s"$cat.db.t").count() === 90L)
     assert(AuditDeletes.intents(path).size === 10)
+    // system.history SURFACES the crashed-fold state with its remedy
+    val rec = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
+      .collect().filter(_.getString(0) == "recovery")
+    assert(rec.length === 1, rec.mkString(";"))
+    assert(rec.head.getString(4).contains("pending fold intent"))
+    assert(rec.head.getString(4).contains("run VACUUM"))
     // heal, then compact
     spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')")
     assert(AuditDeletes.intents(path).isEmpty)
@@ -128,6 +134,11 @@ class AuditAbsorbIntentSpec extends AnyFunSuite {
     assert(AuditDeletes.count(path) === 0L)
     assert(AuditDeletes.absorbed(path).values.sum === 10L)
     assert(spark.table(s"$cat.db.t").count() === 90L)
+    // observable (though behaviorally invisible) in system.history
+    val rec = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
+      .collect().filter(_.getString(0) == "recovery")
+    assert(rec.length === 1 &&
+      rec.head.getString(4).contains("absorb-intent"), rec.mkString(";"))
     // the next fold rewrite resolves the intent into explicit fields
     spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 8")
     spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')")
