@@ -1937,12 +1937,25 @@ private[sources] object AuditDeletes {
         if (es.exists(_._3.isEmpty)) None else Some(es.map(_._3.get).max)))
     }
 
-  /** The pending absorb-intent's base snapshot ts, if any ([[AbsorbIntentRe]]). */
-  def absorbIntentTs(path: String): Option[Long] =
-    if (!exists(path)) None
-    else java.nio.file.Files.readAllLines(file(path)).asScala.collectFirst {
-      case AbsorbIntentRe(t) => t.toLong
-    }
+  /** The pending absorb-intent's base snapshot ts, if any
+    * ([[AbsorbIntentRe]]). BOUNDED head read: the marker sits directly
+    * after the fold-summary prefix by the [[replace]] write order (and
+    * appends only ever add positional lines at the tail), so streaming
+    * stops at the first non-summary line — file-count-sized, never
+    * row-count-sized. */
+  def absorbIntentTs(path: String): Option[Long] = {
+    if (!exists(path)) return None
+    val lines = java.nio.file.Files.lines(file(path))
+    try {
+      val it = lines.iterator()
+      while (it.hasNext) it.next() match {
+        case FoldRe(_, _, _, _) => () // the bounded summaries prefix
+        case AbsorbIntentRe(t)  => return Some(t.toLong)
+        case _                  => return None // past the marker slot
+      }
+      None
+    } finally lines.close()
+  }
 
   /** True when the pending absorb-intent's base publish COMPLETED: the
     * dir's live `_BASE` carries exactly the intent's snapshot instant
@@ -2003,19 +2016,27 @@ private[sources] object AuditDeletes {
     * (the exact amount every current-state count must subtract). */
   def count(path: String): Long = {
     if (!exists(path)) return 0L
-    // a VALID absorb-intent means the base publish completed but its
-    // finalize crashed — every summary is fully absorbed (see
-    // [[AbsorbIntentRe]]); a stale one grants nothing
-    val fullAbsorb = absorbIntentValid(path)
-    java.nio.file.Files.readAllLines(file(path)).asScala.map {
-      case LineRe(_, _, _) => 1L
+    // SINGLE pass (this runs on hot planning paths — metadata count,
+    // partition listings): positional entries count 1 each; summary
+    // terms accumulate net of explicit absorption; the absorb-intent ts
+    // is noted in the same pass. A VALID intent (its base publish
+    // completed but the finalize crashed — see [[AbsorbIntentRe]])
+    // makes every summary fully absorbed; a stale one grants nothing.
+    var positional = 0L
+    var foldedNet = 0L
+    var intentTs: Option[Long] = None
+    java.nio.file.Files.readAllLines(file(path)).asScala.foreach {
+      case LineRe(_, _, _) => positional += 1L
       // absorbed rows are physically absent from the base checkpoint —
       // they already stopped counting; subtract only the remainder
       case FoldRe(_, n, _, a) =>
-        if (fullAbsorb) 0L
-        else n.toLong - Option(a).map(_.toLong).getOrElse(0L)
-      case _               => 0L
-    }.sum
+        foldedNet += n.toLong - Option(a).map(_.toLong).getOrElse(0L)
+      case AbsorbIntentRe(t) => intentTs = Some(t.toLong)
+      case _ => ()
+    }
+    val fullAbsorb = foldedNet > 0L && intentTs.exists(t =>
+      AuditBase.read(path).flatMap(_.ts).contains(t))
+    positional + (if (fullAbsorb) 0L else foldedNet)
   }
 
   /** Vector entries in FILE ORDER (the append order — the CDF offset axis). */
