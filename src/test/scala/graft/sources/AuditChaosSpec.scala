@@ -211,7 +211,7 @@ class AuditChaosSpec extends AnyFunSuite {
     * OPTIMIZE/VACUUM (per-dir bases), delta DML, and a live PARTITIONED
     * feed tail. Same invariants; stamps additionally prove one shared
     * statement stamp across a partitioned INSERT's directories. */
-  private def runSeedPartitioned(seed: Int): Unit = {
+  private def runSeedPartitioned(seed: Int, crash: Boolean = false): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosp_${seed}_")
     val cat = s"graft_chaosp_$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
@@ -310,6 +310,38 @@ class AuditChaosSpec extends AnyFunSuite {
           else ""
         spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
           s"target_file_count => 2$filter)").collect()
+      }
+      // crash variant, wave 4: kill a VACUUM fold mid-way ACROSS the
+      // partition dirs (the failpoint fires in the first dir with
+      // foldable vectors; later dirs keep theirs positional — a
+      // realistic partial-crash the per-dir recovery must heal), then
+      // verify counts through the half-dead state and heal
+      if (crash && wave == 4) {
+        val m = 5 + rnd.nextInt(5)
+        val r = rnd.nextInt(m)
+        spark.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
+        model --= model.filter(_ % m == r)
+        sys.props("graft.audit.maintFailPoint") = "fold-intent"
+        val msg =
+          try { spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')")
+            .collect(); "no-failure" }
+          catch { case t: Throwable => fullMsg(t) }
+          finally sys.props.remove("graft.audit.maintFailPoint")
+        assert(msg.contains("injected failure"),
+          s"partitioned fold kill never fired (pseed $seed): $msg")
+        val dirsWithIntents = AuditPartition
+          .listDirsByCols(path, Seq("flag"))
+          .count { case (_, d) => AuditDeletes.intents(d.toString).nonEmpty }
+        assert(dirsWithIntents >= 1,
+          s"crashed partitioned fold left no intents (pseed $seed)")
+        spark.catalog.refreshTable(s"$cat.db.t")
+        assert(spark.table(s"$cat.db.t").count() === model.size.toLong,
+          s"count diverged through the half-dead state (pseed $seed)")
+        spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+        AuditPartition.listDirsByCols(path, Seq("flag")).foreach {
+          case (rel, d) => assert(AuditDeletes.intents(d.toString).isEmpty,
+            s"healing VACUUM left intents in $rel (pseed $seed)")
+        }
       }
       if (wave == 5)
         try spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
@@ -582,5 +614,9 @@ class AuditChaosSpec extends AnyFunSuite {
       "mid-swap heals exactly under appends, DML and a live tail") {
       runSeedCrash(seed)
     }
+  }
+  test("partitioned crash chaos seed 37: a VACUUM fold killed mid-way " +
+    "across dirs heals per-dir under INSERTs and a live tail") {
+    runSeedPartitioned(37, crash = true)
   }
 }
