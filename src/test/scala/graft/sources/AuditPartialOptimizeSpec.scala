@@ -251,6 +251,40 @@ class AuditPartialOptimizeSpec extends AnyFunSuite {
       s"VACUUM range selector folded outside the window: $foldedDirs")
   }
 
+  test("zorder_by composes with partition_filter: the selected window " +
+    "is z-ordered (tight per-file bounds), others untouched") {
+    val (cat, wh) = freshCat("zpf")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, day BIGINT) " +
+      "USING audit PARTITIONED BY (day)")
+    // interleave ids so an unsorted file spans the full id range
+    spark.sql(s"INSERT INTO $cat.db.t SELECT " +
+      "CASE WHEN id % 2 = 0 THEN id ELSE 9999 - id END, id * 3, id % 4 " +
+      "FROM range(2000)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 4, zorder_by => 'id,v', " +
+      "partition_filter => 'day >= 2, day <= 3')")
+    val based = (0L to 3L).filter(d => AuditBase.read(
+      wh.resolve(s"db/t/day=$d").toString).isDefined)
+    assert(based === Seq(2L, 3L))
+    // z-order delivered: per-file id bounds in a compacted dir are
+    // tighter than the full range (an unsorted rewrite would leave
+    // every file spanning ~0..9999)
+    val d2 = wh.resolve("db/t/day=2").toString
+    val bounds = AuditStats.read(d2).collect {
+      case (f, st) if f.startsWith("base-") && st.ints.contains("id") =>
+        st.ints("id")
+    }
+    assert(bounds.size > 1, s"expected multiple base files, got $bounds")
+    val widths = bounds.map { case (lo, hi) => hi - lo }
+    assert(widths.min < 5000,
+      s"z-order left every file spanning the full id range: $bounds")
+    // correctness unchanged across the mixed state
+    assert(spark.table(s"$cat.db.t").count() === 2000L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.t").head.getLong(0)
+      === (0L until 2000L).map(i =>
+        if (i % 2 == 0) i else 9999L - i).sum)
+  }
+
   test("range selector on a STRING partition column orders like Spark " +
     "(UTF8 binary), and malformed entries refuse loudly") {
     val (cat, wh) = freshCat("str")
