@@ -596,11 +596,54 @@ class AuditChaosSpec extends AnyFunSuite {
       s"foldedRows=${AuditDeletes.foldedRows(path)}")
   }
 
+  /** Counting decorator over the POSIX primitives — identical behavior,
+    * proves the chaos composition runs THROUGH the CommitPrimitives
+    * seam (the object-store port surface inherits this suite's coverage
+    * by swapping one value). */
+  private final class CountingIo(under: CommitPrimitives)
+      extends CommitPrimitives {
+    val calls = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    private def tick(k: String): Unit =
+      calls.computeIfAbsent(k, _ =>
+        new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+    override def createMarker(t: java.nio.file.Path): Unit = {
+      tick("marker"); under.createMarker(t)
+    }
+    override def linkIfAbsent(t: java.nio.file.Path,
+        s: java.nio.file.Path): Unit = {
+      tick("link"); under.linkIfAbsent(t, s)
+    }
+    override def renameClaim(s: java.nio.file.Path,
+        t: java.nio.file.Path): Unit = {
+      tick("claim"); under.renameClaim(s, t)
+    }
+    override def replace(t: java.nio.file.Path, c: Array[Byte]): Unit = {
+      tick("replace"); under.replace(t, c)
+    }
+    override def appendBounded(t: java.nio.file.Path,
+        c: Array[Byte]): Unit = {
+      tick("append"); under.appendBounded(t, c)
+    }
+  }
+
   // fixed seeds: reproducible; pin any future failing seed here
+  // (seed 11 additionally runs through an instrumented CommitPrimitives
+  // impl and asserts all five primitives fired under the composition)
   Seq(11, 29, 47, 83).foreach { seed =>
     test(s"chaos seed $seed: concurrent appends + maintenance + live " +
       "tail preserve every invariant") {
-      runSeed(seed)
+      if (seed == 11) {
+        val counting = new CountingIo(PosixCommitPrimitives)
+        CommitPrimitives.withImpl(counting)(runSeed(seed))
+        Seq("marker", "link", "claim", "replace", "append").foreach { k =>
+          assert(counting.calls.containsKey(k) &&
+            counting.calls.get(k).get > 0,
+            s"primitive '$k' never fired through the seam under chaos")
+        }
+        info(s"seam counts: " + counting.calls.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${v.get}" }.mkString(", "))
+      } else runSeed(seed)
     }
   }
   Seq(7, 61).foreach { seed =>
