@@ -2302,7 +2302,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "history", "sync_identity", "restore",
-      "repartition_table")
+      "repartition_table", "maintenance_plan")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -2639,6 +2639,113 @@ private[sources] object GraftProcedures {
           (epochRows ++ batchRows ++ baseRows ++ partRows ++ delRows ++
             travelWindowRows ++ recoveryWindowRows)
             .map(r => { r(0) = str(r(0).asInstanceOf[String]); r }))
+      }
+    }
+  }
+
+  /** MAINTENANCE RECOMMENDER: at 100 TB nobody eyeballs 10k partition
+    * directories — the engine inspects its own metadata (file counts,
+    * vector backlog, crash-recovery markers; never a data file) and
+    * emits per-target recommendations INCLUDING the exact
+    * `partition_filter` selector to run, using the round-18 IN-list
+    * form to batch flagged dirs into one CALL. Pure read; thresholds
+    * are parameters so operators encode their own policy. */
+  def maintenancePlan(catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+    override def name(): String = "maintenance_plan"
+    override def description(): String =
+      "recommend OPTIMIZE/VACUUM actions per table/partition from " +
+        "metadata only (file counts, delete-vector backlog, pending " +
+        "crash-recovery markers)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "maintenance_plan"
+      override def description(): String =
+        maintenancePlan(catalog).description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("audit table, as <namespace>.<name>").build(),
+        ProcedureParameter.in("max_live_files", IntegerType)
+          .comment("OPTIMIZE when a target holds more live files " +
+            "(default 8)").defaultValue("8").build(),
+        ProcedureParameter.in("vector_threshold", IntegerType)
+          .comment("VACUUM when a target holds at least this many " +
+            "positional delete-vector entries (default 1000)")
+          .defaultValue("1000").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val maxFiles = if (input.isNullAt(1)) 8 else input.getInt(1)
+        val vecThresh = if (input.isNullAt(2)) 1000 else input.getInt(2)
+        val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
+        val schema = StructType(Seq(
+          StructField("target", StringType, nullable = false),
+          StructField("live_files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("delete_vectors", LongType, nullable = false),
+          StructField("pending_recovery", IntegerType, nullable = false),
+          StructField("action", StringType, nullable = false),
+          StructField("recommendation", StringType, nullable = false)))
+        // (action, detail) for one target dir, from metadata only
+        def planOf(p: String): (Int, Long, Long, Int, String, String) = {
+          val live = AuditBase.readManifest(p).filterNot(_.folded)
+          val base = AuditBase.read(p)
+          val files = live.size + base.map(_.files.size).getOrElse(0)
+          val rows = live.map(_.rows).sum +
+            base.toSeq.flatMap(_.files.map(_._2)).sum -
+            AuditDeletes.count(p)
+          val vectors = AuditDeletes.entries(p).size.toLong
+          val recovery = AuditDeletes.intents(p).size +
+            (if (AuditDeletes.absorbIntentTs(p).isDefined) 1 else 0)
+          val (action, why) =
+            if (AuditDeletes.intents(p).nonEmpty)
+              ("VACUUM", "complete the crashed fold (OPTIMIZE refuses " +
+                "until then)")
+            else if (vectors >= vecThresh)
+              ("VACUUM", s"fold $vectors positional delete-vector " +
+                "entries")
+            else if (files > maxFiles)
+              ("OPTIMIZE", s"compact $files live files")
+            else ("none", "healthy")
+          (files, rows, vectors, recovery, action, why)
+        }
+        partSpec match {
+          case None =>
+            val (f, r, v, rec, action, why) = planOf(path)
+            rowsOf(schema, Seq(Array[Any](str("(table)"), f, r, v, rec,
+              str(action), str(why))))
+          case Some(ps) =>
+            val specs = AuditPartition.parseSpecs(ps)
+            val cols = specs.map(_.col)
+            val dirRows = AuditPartition.listDirsByCols(path, cols).map {
+              case (rel, d) =>
+                val (f, r, v, rec, action, why) = planOf(d.toString)
+                val selector = rel.split('/').map { comp =>
+                  val i = comp.indexOf('=')
+                  comp.take(i + 1) + java.net.URLDecoder.decode(
+                    comp.drop(i + 1), "UTF-8")
+                }.mkString(",")
+                val detail =
+                  if (action == "none") why
+                  else s"$why — partition_filter => '$selector'"
+                (rel, Array[Any](str(rel), f, r, v, rec, str(action),
+                  str(detail)), action, selector)
+            }
+            // single-level identity layouts: batch every OPTIMIZE-flagged
+            // dir into ONE call via the IN-list selector
+            val summary: Seq[Array[Any]] =
+              if (specs.size == 1 && specs.head.bucket.isEmpty) {
+                val flagged = dirRows.filter(_._3 == "OPTIMIZE")
+                  .map(_._4.dropWhile(_ != '=').drop(1))
+                if (flagged.size > 1)
+                  Seq(Array[Any](str("(table)"), 0, 0L, 0L, 0,
+                    str("OPTIMIZE"),
+                    str(s"batch ${flagged.size} flagged dirs in one " +
+                      s"call — partition_filter => '${specs.head.col} " +
+                      s"IN (${flagged.mkString(",")})'")))
+                else Seq.empty
+              } else Seq.empty
+            rowsOf(schema, dirRows.map(_._2) ++ summary)
+        }
       }
     }
   }

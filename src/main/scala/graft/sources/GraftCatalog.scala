@@ -861,6 +861,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "restore") => GraftProcedures.restore(this)
       case (Seq("system"), "repartition_table") =>
         GraftProcedures.repartitionTable(this)
+      case (Seq("system"), "maintenance_plan") =>
+        GraftProcedures.maintenancePlan(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** `system.maintenance_plan` — the metadata-only maintenance recommender
+  * (round 18): at 100 TB nobody eyeballs 10k partition directories, so
+  * the engine inspects its own metadata and names the action AND the
+  * exact `partition_filter` selector to run, batching flagged dirs into
+  * one IN-list call. */
+class MaintenancePlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSpec.session
+
+  private def freshCat(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_mp_${tag}_")
+    val cat = s"graft_mp_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+
+  private def plan(cat: String, args: String = "")
+      : Seq[(String, Int, Long, Long, Int, String, String)] =
+    spark.sql(s"CALL $cat.system.maintenance_plan(table => 'db.t'$args)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getString(5), r.getString(6))).toSeq
+
+  test("unpartitioned: healthy → none; fragmentation → OPTIMIZE; " +
+    "vector backlog → VACUUM; crashed fold → VACUUM with the remedy") {
+    val (cat, _) = freshCat("u")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
+    val healthy = plan(cat)
+    assert(healthy.size === 1 && healthy.head._6 === "none", healthy)
+    // fragmentation: 9 more single-file commits exceed max_live_files=8
+    (0 until 9).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0)"))
+    val frag = plan(cat)
+    assert(frag.head._6 === "OPTIMIZE", frag)
+    assert(frag.head._2 >= 10) // live files counted
+    // an operator with a different policy sees none
+    assert(plan(cat, ", max_live_files => 50").head._6 === "none")
+    // vector backlog (threshold lowered to make 11 entries matter —
+    // ids 3,13,…,93 plus the later 1003)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 3")
+    val vac = plan(cat, ", vector_threshold => 5")
+    assert(vac.head._6 === "VACUUM" && vac.head._4 === 11L, vac)
+    // crashed fold: recovery beats every other recommendation
+    val (cat2, wh2) = freshCat("u2")
+    spark.sql(s"CREATE TABLE $cat2.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat2.db.t SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $cat2.db.t WHERE id % 10 = 3")
+    val p2 = wh2.resolve("db").resolve("t").toString
+    val pre = AuditDeletes.entriesWithTs(p2)
+    spark.sql(s"CALL $cat2.system.vacuum(table => 'db.t')")
+    AuditDeletes.replace(p2, pre, Map.empty, foldIntents = pre)
+    val rec = plan(cat2)
+    assert(rec.head._6 === "VACUUM" &&
+      rec.head._7.contains("crashed fold") && rec.head._5 === 10, rec)
+  }
+
+  test("partitioned: per-dir rows name their selector; multiple " +
+    "flagged dirs batch into one IN-list call") {
+    val (cat, _) = freshCat("p")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
+      "USING audit PARTITIONED BY (flag)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 3 FROM range(90)")
+    // fragment flags 0 and 2 only
+    (0 until 9).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0)")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${2000 + i}, 2)")
+    }
+    val rows = plan(cat)
+    val byTarget = rows.map(r => (r._1, r)).toMap
+    assert(byTarget("flag=0")._6 === "OPTIMIZE")
+    assert(byTarget("flag=0")._7.contains("partition_filter => 'flag=0'"))
+    assert(byTarget("flag=1")._6 === "none")
+    assert(byTarget("flag=2")._6 === "OPTIMIZE")
+    // the batch summary names ONE call for both flagged dirs
+    val summary = byTarget("(table)")
+    assert(summary._6 === "OPTIMIZE", summary)
+    assert(summary._7.contains("flag IN (0,2)"), summary)
+    // and the recommended call actually works end-to-end
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "partition_filter => 'flag IN (0,2)')")
+    val after = plan(cat)
+    assert(after.forall(_._6 === "none"), after)
+    assert(spark.table(s"$cat.db.t").count() === 108L)
+  }
+}
