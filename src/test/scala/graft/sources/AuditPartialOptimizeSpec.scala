@@ -261,20 +261,23 @@ class AuditPartialOptimizeSpec extends AnyFunSuite {
       "CASE WHEN id % 2 = 0 THEN id ELSE 9999 - id END, id * 3, id % 4 " +
       "FROM range(2000)")
     spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
-      "target_file_count => 4, zorder_by => 'id,v', " +
+      "target_file_count => 8, zorder_by => 'id,v', " +
       "partition_filter => 'day >= 2, day <= 3')")
     val based = (0L to 3L).filter(d => AuditBase.read(
       wh.resolve(s"db/t/day=$d").toString).isDefined)
     assert(based === Seq(2L, 3L))
-    // z-order delivered: per-file id bounds in a compacted dir are
+    // z-order delivered: per-file id bounds in the compacted WINDOW are
     // tighter than the full range (an unsorted rewrite would leave
-    // every file spanning ~0..9999)
-    val d2 = wh.resolve("db/t/day=2").toString
-    val bounds = AuditStats.read(d2).collect {
-      case (f, st) if f.startsWith("base-") && st.ints.contains("id") =>
-        st.ints("id")
+    // every file spanning ~0..9999). Range-partition boundary sampling
+    // may split the 8 partitions unevenly across the two dirs, so
+    // assert over the union of both selected dirs.
+    val bounds = Seq(2L, 3L).flatMap { d =>
+      AuditStats.read(wh.resolve(s"db/t/day=$d").toString).collect {
+        case (f, st) if f.startsWith("base-") && st.ints.contains("id") =>
+          st.ints("id")
+      }
     }
-    assert(bounds.size > 1, s"expected multiple base files, got $bounds")
+    assert(bounds.size > 2, s"expected several base files, got $bounds")
     val widths = bounds.map { case (lo, hi) => hi - lo }
     assert(widths.min < 5000,
       s"z-order left every file spanning the full id range: $bounds")
