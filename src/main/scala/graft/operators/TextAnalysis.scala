@@ -117,6 +117,54 @@ object TextAnalysis {
     *
     * Scale: map-only over the scan — one projection, no shuffle, no UDF;
     * everything codegens. */
+  /** FILTER-FUNNEL curation report — the standard corpus-cleaning
+    * artifact (ccnet/Dolma-style): every document gets its FIRST failing
+    * reason in a fixed predicate cascade (length floor, length ceiling,
+    * stopword share, lexical diversity), and the report aggregates docs
+    * and id-sums per reason. All predicates are integer
+    * cross-multiplications (never a float ratio), so the DuckDB oracle
+    * reproduces them bit-exactly; at 100 TB this is one map + one
+    * 5-group aggregate — no shuffle wider than the reason cardinality. */
+  def filterFunnel(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val words = size(t).cast("long")
+    val dwords = size(array_distinct(t)).cast("long")
+    val stops = size(filter(t,
+      w => w === lit("a") || w === lit("the"))).cast("long")
+    val reason =
+      when(words < 40L, "too_short")
+        .when(col("n_chars") > 400L, "too_long")
+        .when(stops * 100L > words * 12L, "stopword_heavy")
+        .when(dwords * 10L < words * 5L, "low_diversity")
+        .otherwise("pass")
+    documents(spark, d)
+      .select(col("doc_id"), reason.as("reason"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"))
+      .orderBy("reason")
+  }
+
+  val filterFunnelSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS words,
+      |    len(list_distinct(string_split(text, ' '))) AS dwords,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('a','the'))) AS stops
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN words < 40 THEN 'too_short'
+      |         WHEN n_chars > 400 THEN 'too_long'
+      |         WHEN stops * 100 > words * 12 THEN 'stopword_heavy'
+      |         WHEN dwords * 10 < words * 5 THEN 'low_diversity'
+      |         ELSE 'pass' END AS reason
+      |  FROM sig)
+      |SELECT reason, count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM lab GROUP BY reason ORDER BY reason""".stripMargin
+
   def gopherFilter(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val wc = size(t).cast("long")
@@ -1664,6 +1712,7 @@ object TextAnalysis {
     "q_html_strip"       -> ((s, d) => htmlStrip(s, d)),
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_gopher_filter"    -> ((s, d) => gopherFilter(s, d)),
+    "q_filter_funnel"    -> ((s, d) => filterFunnel(s, d)),
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply"        -> ((s, d) => bpeApply(s, d)),
@@ -1749,6 +1798,7 @@ object TextAnalysis {
     "q_bpe_pairs"     -> bpePairsSql,
     "q_bpe_apply"     -> bpeApplySql,
     "q_data_pipeline" -> dataPipelineSql,
+    "q_filter_funnel" -> filterFunnelSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
