@@ -23,6 +23,41 @@ object Sampling {
   private def bucket100Sql(expr: String) =
     s"(${Hashing.hexHashSql(s"CAST($expr AS VARCHAR)")} % 100)"
 
+  /** DOMAIN FREQUENCY CAP — the corpus-balancing stage that keeps a
+    * handful of over-represented sources from dominating the training
+    * mix: per source, rank documents by a deterministic quality proxy
+    * (longer first, doc_id tiebreak) and keep the top `cap`. The window
+    * partitions on the source key, so the shuffle is domain-keyed —
+    * at 100 TB that is the natural key distribution, and a skewed mega-
+    * domain is exactly what AQE skew-split handles (rank-within-key
+    * still only needs the per-key top slice after partial limits). */
+  def domainCap(spark: SparkSession, d: String, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap.toLong)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").as("sum_doc_id"),
+        min("n_chars").as("min_kept_chars"))
+      .orderBy("source")
+  }
+
+  def domainCapSql(cap: Int = 10): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       |  min(n_chars) AS min_kept_chars
+       |FROM ranked WHERE rk <= $cap
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic ~10% sample by id-hash bucket. */
   def hashSample(spark: SparkSession, d: String, pct: Int = 10): DataFrame =
     documents(spark, d)
@@ -436,6 +471,7 @@ object Sampling {
     "q_cluster_split"   -> ((s, d) => clusterSplit(s, d)),
     "q_neg_sample" -> ((s, d) => negativeSample(s, d)),
     "q_hash_sample"  -> ((s, d) => hashSample(s, d)),
+    "q_domain_cap"   -> ((s, d) => domainCap(s, d)),
     "q_strat_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_data_split"   -> ((s, d) => dataSplit(s, d)),
     "q_mix_weights"  -> ((s, d) => mixWeights(s, d)),
@@ -443,6 +479,7 @@ object Sampling {
     "q_corpus_stats" -> ((s, d) => corpusStats(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_domain_cap" -> domainCapSql(),
     "q_target_encode" -> targetEncodeSql,
     "q_bootstrap"     -> bootstrapSql,
     "q_weighted_sample" -> weightedSampleSql(),
