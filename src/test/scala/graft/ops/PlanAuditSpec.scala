@@ -49,6 +49,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(countExchanges(graft.operators.TextAnalysis.piiScrub(spark, d)) === 0)
   }
 
+  test("filter funnel is one map + one reason-cardinality aggregate " +
+    "(single shuffle, partial agg on the map side)") {
+    val df = graft.operators.TextAnalysis.filterFunnel(spark, d)
+    val p = plan(df)
+    // one exchange for the 5-key groupBy, one for the tiny orderBy —
+    // never a row-sized shuffle (the signals are computed map-side)
+    assert(countExchanges(df) <= 2, p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("domain cap shuffles once on the domain key (window + agg reuse " +
+    "the same partitioning)") {
+    val df = graft.operators.Sampling.domainCap(spark, d)
+    // source-hash exchange for the window; the groupBy(source) after it
+    // must REUSE that partitioning, leaving only the final tiny sort
+    assert(countExchanges(df) <= 2, plan(df))
+  }
+
   test("flatten reuses the join's partitioning for dedup (bounded exchanges)") {
     // lineitem→agg exchange, orders→join exchange, final range sort: the
     // keyed dropDuplicates must NOT add a fourth full-row exchange
