@@ -109,13 +109,8 @@ private[sources] object GeneratedWrite {
   def reserveBlock(path: String): Long =
     AuditMaintLock.withLease(path, "identity-alloc") {
       val base = readHwm(path)
-      val f = hwmFile(path)
-      val tmp = f.resolveSibling("_IDENTITY.tmp")
-      java.nio.file.Files.write(tmp,
+      CommitPrimitives.io.replace(hwmFile(path),
         (base + Block).toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       base
     }
 
@@ -139,14 +134,9 @@ private[sources] object GeneratedWrite {
     AuditMaintLock.withLease(path, "identity-sync") {
       val cur = readHwm(path)
       val next = math.max(cur, minNextK)
-      if (next != cur) {
-        val f = hwmFile(path)
-        val tmp = f.resolveSibling("_IDENTITY.tmp")
-        java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      if (next != cur)
+        CommitPrimitives.io.replace(hwmFile(path),
+          next.toString.getBytes("UTF-8"))
       next
     }
 

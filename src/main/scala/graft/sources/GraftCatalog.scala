@@ -319,13 +319,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // tmp + atomic move: metadata is re-written on live paths (spec
     // crash-heal fires from loadTable) — a concurrent reader must see
     // old-or-new bytes, never a torn file
-    val mf = metaFile(ident)
-    val tmp = mf.resolveSibling(mf.getFileName.toString + ".tmp-" +
-      java.util.UUID.randomUUID().toString.take(8))
-    java.nio.file.Files.write(tmp, meta.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, mf,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    CommitPrimitives.io.replace(metaFile(ident), meta.getBytes("UTF-8"))
     // replicate the colmap into the data dir (`_COLMAP`) so the PATH
     // surface — change-feed reads included — translates renamed columns
     // without this catalog's metadata file
@@ -741,13 +735,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // ATOMIC publish: write a tmp sidecar and move it over the target —
     // a crash mid-(re)definition never loses or corrupts the view, and a
     // concurrent reader sees either the old or the new definition whole
-    val f = viewFile(ident)
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp-" +
-      java.util.UUID.randomUUID.toString.take(8))
-    java.nio.file.Files.write(tmp, body.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    CommitPrimitives.io.replace(viewFile(ident),
+      body.mkString("\n").getBytes("UTF-8"))
   }
 
   override def createView(
@@ -804,8 +793,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
-    java.nio.file.Files.move(viewFile(oldIdent), viewFile(newIdent),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // single-key rename CAS: one winner claims the old name; a racing
+    // re-create of the target surfaces as FileAlreadyExists, never a stomp
+    CommitPrimitives.io.renameClaim(viewFile(oldIdent), viewFile(newIdent))
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
