@@ -266,6 +266,81 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH RECALL EVALUATION — the validation step a real pipeline runs
+    * before trusting banded MinHash at scale: on a deterministic sample
+    * (hash-bucket slice + the PLANTED duplicate pairs, the seeded-eval
+    * shape), compare the LSH candidate set against brute-force exact
+    * Jaccard and report true/candidate/hit counts with an integer
+    * recall in ppm. Brute force joins shingle rows on the hash — a true
+    * pair (Jaccard ≥ 0.8 > 0) necessarily shares a shingle, so the
+    * shingle join IS exhaustive while never materializing the n² pair
+    * space. At 100 TB this runs on exactly this kind of bounded sample;
+    * the LSH parameters it validates then serve the full corpus. */
+  def lshRecallEval(spark: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sample = docsWithInjectedDups(spark, d).where(
+      pmod(Hashing.hexHash(col("doc_id").cast("string")), lit(100L)) < 40L ||
+        col("doc_id") < 20L || col("doc_id") >= 1000000L)
+    val sh = shingleHashRows(sample).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val truePairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .where(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val cand = lshCandidatePairs(minhashFromHashRows(sh)).localCheckpoint()
+    val hit = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
+  }
+
+  def lshRecallEvalSql(threshold: Double = 0.8): String =
+    s"""WITH samp AS (
+       |  SELECT doc_id, text FROM (${docsWithInjectedDupsSql()})
+       |  WHERE (${Hashing.hexHashSql("CAST(doc_id AS VARCHAR)")} % 100) < 40
+       |     OR doc_id < 20 OR doc_id >= 1000000
+       |), base AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS sh,
+       |         $baseHashesSql AS h0
+       |  FROM samp
+       |), docs AS (
+       |  SELECT doc_id, sh, ${signatureFromBaseSql("h0")} AS sig FROM base
+       |), bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |         sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand] AS band_key
+       |  FROM docs, range(0, $Bands) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |), true_p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    >= $threshold
+       |), hit AS (
+       |  SELECT doc_a, doc_b FROM true_p
+       |  INTERSECT SELECT doc_a, doc_b FROM cand
+       |)
+       |SELECT (SELECT count(*) FROM true_p) AS n_true,
+       |       (SELECT count(*) FROM cand) AS n_cand,
+       |       (SELECT count(*) FROM hit) AS n_hit,
+       |       ((SELECT count(*) FROM hit) * 1000000)
+       |         // (SELECT count(*) FROM true_p) AS recall_ppm""".stripMargin
+
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     // localCheckpoint pins the computed signatures/shingle hashes: a lazy
     // plan would re-derive them for EVERY downstream branch (x side, y side,
@@ -1219,6 +1294,7 @@ object Dedup {
     "q_dedup_keep"    -> ((s, d) => dedupKeepBest(s, d)),
     "q_minhash_sig"   -> ((s, d) => minhashSig(s, d)),
     "q_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    "q_dedup_eval"    -> ((s, d) => lshRecallEval(s, d)),
     "q_simhash"       -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -1238,6 +1314,7 @@ object Dedup {
     "q_dedup_keep"    -> dedupKeepBestSql,
     "q_minhash_sig"   -> minhashSigSql,
     "q_minhash_pairs" -> minhashPairsSql(),
+    "q_dedup_eval"    -> lshRecallEvalSql(),
     "q_simhash"       -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(),
     "q_ngram_jaccard" -> ngramJaccardSql(),
