@@ -447,6 +447,106 @@ object Similarity {
        |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
   }
 
+  /** ANN RECALL EVALUATION — the IVF twin of the text side's
+    * q_dedup_eval: for a deterministic panel of query vectors
+    * (vec_id % 97 = 0), compare multi-probe IVF top-k against
+    * brute-force exact-cosine top-k and report overlap as an integer
+    * recall in ppm. The panel is bounded and broadcast, the corpus is
+    * scored ONCE (both rankings read the same scored frame), and ties
+    * break identically on (cos desc, vec_id) in both engines — so the
+    * report is bit-deterministic. At 100 TB this is how nprobe gets
+    * chosen: run the eval on a sample, pick the smallest nprobe above
+    * the recall target, serve the full corpus with it. */
+  def ivfRecallEval(spark: SparkSession, d: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    graft.plans.CosineSim.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = embDouble(spark, d)
+    val withCell = e.join(
+      ivfAssignDf(e.select(col("vec_id"), col("emb"))), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .localCheckpoint()
+    val probe = ivfDistAgg(queries.select(
+        col("q_id").as("vec_id"), col("q_emb").as("emb")))
+      .select(col("vec_id").as("q_id"),
+        explode(array((0 until IvfCells).map(kk =>
+          struct(col(s"d$kk").as("dist"), lit(kk).as("cell"))): _*)).as("c"))
+      .select(col("q_id"), col("c.dist"), col("c.cell"))
+      .withColumn("pr", row_number().over(
+        w.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+      .where(col("pr") <= nprobe).select(col("q_id"), col("cell"))
+    val scored = withCell.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        cosineFast(col("emb"), col("q_emb")).as("cs"))
+      .localCheckpoint() // ONE scoring pass feeds both rankings
+    def topk(df: DataFrame): DataFrame =
+      df.withColumn("rk", row_number().over(
+          w.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))))
+        .where(col("rk") <= k).select(col("q_id"), col("vec_id"))
+    val brute = topk(scored).localCheckpoint()
+    val ivf = topk(scored.join(broadcast(probe), Seq("q_id", "cell")))
+      .localCheckpoint()
+    val hit = brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_true")))
+      .crossJoin(ivf.agg(count(lit(1)).as("n_ivf")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"), col("n_true"), col("n_ivf"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
+  }
+
+  def ivfRecallEvalSql(k: Int = 10, nprobe: Int = 3): String = {
+    val cos = cosineSql("CAST(c.embedding AS DOUBLE[])",
+      "CAST(q.q_emb AS DOUBLE[])")
+    val distArms = (0 until IvfCells).map(kk =>
+      s"SELECT vec_id AS q_id, $kk AS cell, " +
+        s"${ivfDistSql(kk, "embedding")} AS dist FROM qrows")
+      .mkString("\n       |    UNION ALL\n       |    ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, cell
+       |  FROM ${ivfCellsFromSql(", embedding")}
+       |), qrows AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM qrows
+       |), probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+       |    FROM (
+       |    $distArms
+       |    )) WHERE pr <= $nprobe
+       |), scored AS (
+       |  SELECT q.q_id, c.vec_id, c.cell, $cos AS cs
+       |  FROM cells c, q WHERE c.vec_id <> q.q_id
+       |), brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cs DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= $k
+       |), ivf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |        ORDER BY s.cs DESC, s.vec_id) AS rk
+       |    FROM scored s JOIN probe p
+       |      ON s.q_id = p.q_id AND s.cell = p.cell) WHERE rk <= $k
+       |), hit AS (
+       |  SELECT q_id, vec_id FROM brute
+       |  INTERSECT SELECT q_id, vec_id FROM ivf
+       |)
+       |SELECT (SELECT count(*) FROM q) AS n_queries,
+       |       (SELECT count(*) FROM brute) AS n_true,
+       |       (SELECT count(*) FROM ivf) AS n_ivf,
+       |       (SELECT count(*) FROM hit) AS n_hit,
+       |       ((SELECT count(*) FROM hit) * 1000000)
+       |         // (SELECT count(*) FROM brute) AS recall_ppm""".stripMargin
+  }
+
   // ---- dedup → curation composite -------------------------------------------
 
   /** The cross-table training-data story in one query: embedding near-dup
@@ -1206,6 +1306,7 @@ object Similarity {
     "q_ivf_cells"       -> ((s, d) => ivfCells(s, d)),
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
     "q_ivf_probe3"      -> ((s, d) => ivfTopKProbe(s, d)),
+    "q_ann_recall"      -> ((s, d) => ivfRecallEval(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1225,6 +1326,7 @@ object Similarity {
     "q_l2_normalize"    -> l2NormalizeSql,
     "q_dedup_quality"   -> dedupQualitySql(),
     "q_ivf_cells"       -> ivfCellsSql,
+    "q_ann_recall"      -> ivfRecallEvalSql(),
     "q_ivf_topk"        -> ivfTopKSql(),
     "q_ivf_probe3"      -> ivfTopKProbeSql(),
     "q_label_centroids" -> labelCentroidsSql)
