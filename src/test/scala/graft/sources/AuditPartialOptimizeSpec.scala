@@ -251,6 +251,31 @@ class AuditPartialOptimizeSpec extends AnyFunSuite {
       s"VACUUM range selector folded outside the window: $foldedDirs")
   }
 
+  test("multi-level layout: a range on the outer level conjoins with " +
+    "an equality on the inner one") {
+    val (cat, wh) = freshCat("ml")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, day BIGINT, " +
+      "region STRING) USING audit PARTITIONED BY (day, region)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 4, " +
+      "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END FROM range(80)")
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1, partition_filter => " +
+      "'day >= 1, day <= 2, region=eu')")
+    val based = AuditPartition.listDirsByCols(path = wh.resolve("db/t")
+        .toString, Seq("day", "region"))
+      .collect { case (rel, d) if AuditBase.read(d.toString).isDefined => rel }
+    // day∈{1,2} × region=eu — but eu rows are even ids, so day = id%4 of
+    // an even id is 0 or 2: only day=2/region=eu exists AND matches
+    assert(based === Seq("day=2/region=eu"), based)
+    assert(spark.table(s"$cat.db.t").count() === 80L)
+    val g = spark.sql(s"SELECT day, region, count(*) AS n FROM $cat.db.t " +
+      "GROUP BY day, region ORDER BY day, region")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // parity couples the levels: even ids (eu) land on days 0/2, odd
+    // (us) on 1/3 — four combos of 20 rows each
+    assert(g.length === 4 && g.forall(_._3 === 20L), g.mkString(";"))
+  }
+
   test("zorder_by composes with partition_filter: the selected window " +
     "is z-ordered (tight per-file bounds), others untouched") {
     val (cat, wh) = freshCat("zpf")
