@@ -648,6 +648,8 @@ private[sources] object AuditMaintenance {
     * VACUUM — intent keys override its retention cutoff) can resolve
     * that state exactly. */
   private def requireNoFoldIntents(dirPath: String, label: String): Unit = {
+    // bounded probe first: the steady state answers from the log's head
+    if (!AuditDeletes.hasIntents(dirPath)) return
     val pending = AuditDeletes.intents(dirPath)
     if (pending.nonEmpty) throw new IllegalStateException(
       s"audit OPTIMIZE: $label has ${pending.size} pending fold " +

@@ -1986,6 +1986,27 @@ private[sources] object AuditDeletes {
       case IntentRe(f, p, ts) => (f, p.toLong, Option(ts).map(_.toLong))
     }.toSeq
 
+  /** BOUNDED intent existence check for hot gates (every OPTIMIZE start
+    * probes every selected dir): by the [[replace]] write order, intent
+    * lines precede every positional line and appends only add positional
+    * — so the steady-state (no-intent) answer is decided at the first
+    * positional line, after the file-count-sized summaries prefix,
+    * never a row-count-sized read. */
+  def hasIntents(path: String): Boolean = {
+    if (!exists(path)) return false
+    val lines = java.nio.file.Files.lines(file(path))
+    try {
+      val it = lines.iterator()
+      while (it.hasNext) it.next() match {
+        case FoldRe(_, _, _, _)  => () // summaries prefix
+        case AbsorbIntentRe(_)   => () // optional marker slot
+        case IntentRe(_, _, _)   => return true
+        case _                   => return false // first positional line
+      }
+      false
+    } finally lines.close()
+  }
+
   /** The log's overall fold watermark: Some(maxTs) when every fold
     * summary is stamped (no folds → Some(-1), always satisfiable);
     * None when any fold lost its vintage (travel must refuse). A
