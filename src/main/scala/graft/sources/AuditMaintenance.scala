@@ -568,8 +568,8 @@ final class AuditBaseBatchWrite(path: String, schema: StructType,
     val gen = java.util.UUID.randomUUID().toString.take(8)
     val files = entries.zipWithIndex.map { case (m, i) =>
       val name = f"base-$gen-$i%05d.jsonl"
-      java.nio.file.Files.move(stage.resolve(m.stagedName), dir.resolve(name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      CommitPrimitives.io.publishData(stage.resolve(m.stagedName),
+        dir.resolve(name))
       (name, m.rows)
     }
     val prev = AuditBase.read(path)
@@ -890,6 +890,8 @@ private[sources] object AuditMaintenance {
         case Some(IntegerType) => org.apache.spark.sql.functions.lit(v.toInt)
         case Some(org.apache.spark.sql.types.StringType) =>
           org.apache.spark.sql.functions.lit(v)
+        case Some(DateType) =>
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(v))
         case other => throw new IllegalArgumentException(
           s"audit OPTIMIZE: partition_filter on $c of type $other is " +
             "not supported")
@@ -902,6 +904,7 @@ private[sources] object AuditMaintenance {
             schema.fields.find(_.name == c).map(_.dataType) match {
               case Some(LongType)    => vs.map(_.toLong)
               case Some(IntegerType) => vs.map(_.toInt)
+              case Some(DateType)    => vs.map(java.sql.Date.valueOf(_))
               case _                 => vs
             }
           col(c).isin(typed: _*)
@@ -1092,6 +1095,10 @@ private[sources] object AuditMaintenance {
         case Some(LongType) | Some(IntegerType) =>
           Some(java.lang.Long.compare(
             java.net.URLDecoder.decode(tok, "UTF-8").toLong, v.toLong))
+        case Some(DateType) => // typed date order, not string order
+          Some(java.time.LocalDate.parse(
+            java.net.URLDecoder.decode(tok, "UTF-8")).compareTo(
+            java.time.LocalDate.parse(v)))
         case _ => // string: UTF8 binary order — Spark's own
           Some(org.apache.spark.unsafe.types.UTF8String.fromString(
             java.net.URLDecoder.decode(tok, "UTF-8")).compareTo(
@@ -1728,9 +1735,7 @@ private[sources] object AuditMaintenance {
       } finally out.close()
     } finally in.close()
     if (touched)
-      java.nio.file.Files.move(tmp, file,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CommitPrimitives.io.publishData(tmp, file, replaceExisting = true)
     else java.nio.file.Files.deleteIfExists(tmp)
     touched
   }

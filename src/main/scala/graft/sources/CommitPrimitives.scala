@@ -3,15 +3,17 @@ package graft.sources
 import java.nio.file.Path
 
 /** THE FIVE SINGLE-WINNER COMMIT PRIMITIVES the audit table format is
-  * built on. Every metadata mutation in the format funnels through one
-  * of these, and each needs exactly ONE guarantee — a single-winner
+  * built on, plus the one non-commit data shape ([[publishData]]).
+  * Every metadata mutation in the format funnels through one of the
+  * five, and each needs exactly ONE guarantee — a single-winner
   * compare-and-swap on ONE key. This trait is the compile-time port
   * surface for the object-store mapping documented in SCALING.md
   * ("Round-17: the object-store mapping for the commit primitives"):
   * [[PosixCommitPrimitives]] is the local-filesystem implementation
-  * (today's behavior, byte-for-byte), and an S3/GCS implementation
-  * would translate each method to the conditional-PUT forms stated
-  * there — no primitive needs a cross-key atomic rename, a directory
+  * (today's behavior, byte-for-byte),
+  * [[graft.sources.ObjectStoreCommitPrimitives]] is an in-memory
+  * implementation of the S3/GCS conditional-PUT forms stated there —
+  * no primitive needs a cross-key atomic rename, a directory
   * transaction, or a server-side lock service.
   *
   * Error contract (what the format's race-resolution logic keys on —
@@ -21,8 +23,15 @@ import java.nio.file.Path
   *     [[java.nio.file.FileAlreadyExistsException]] iff the target
   *     exists: the loser's signal in every put-if-absent race.
   *   - [[renameClaim]] throws [[java.nio.file.NoSuchFileException]]
-  *     when the source is gone (a racer claimed it first) and
-  *     `FileAlreadyExistsException` when the target exists.
+  *     when the source is gone (a racer claimed it first) — the ONE
+  *     portable lost-race signal. What happens when the TARGET already
+  *     exists is implementation-specific: POSIX rename(2) silently
+  *     replaces it, while the object-store form (create-if-absent +
+  *     guarded delete) throws `FileAlreadyExistsException`. Call
+  *     sites therefore must not rely on target-exists detection —
+  *     every one uses a fresh unique target (uuid tombstones,
+  *     strictly-increasing `_SEQ` stamps) and catches BOTH exceptions
+  *     as "lost the race".
   *   - [[replace]] and [[appendBounded]] do not race by contract —
   *     their callers hold the maintenance lease or the table commit —
   *     so any exception is a genuine I/O failure, not a lost race.
@@ -68,6 +77,27 @@ private[sources] trait CommitPrimitives {
     * S3/GCS: read-modify-write guarded by ETag/generation, retried on
     * precondition failure. */
   def appendBounded(target: Path, content: Array[Byte]): Unit
+
+  /** DATA-OBJECT PUBLISH — the sixth shape, and the only one that is
+    * NOT a commit point: move a fully-written, never-again-mutated data
+    * object from its staging name to its final name. Visibility comes
+    * from the SUBSEQUENT metadata swap (`_TXN` link / `_MANIFEST` or
+    * `_BASE` replace); a crash after publish leaves an unreferenced
+    * object that VACUUM(clean_orphans) reclaims, so this needs no
+    * atomicity ACROSS keys and no conditional semantics. Call sites:
+    * every staged-batch publish (OCC append, overwrite, base write,
+    * partitioned twins) and the fold/DELETE kept-line rewrites.
+    * `replaceExisting` = true only on the re-publish paths — streaming
+    * epoch replay (final names are epoch-deterministic; the epoch's
+    * single owner may retry after a crash) and the lease-held fold
+    * rewrite of an existing data file (single-writer under the
+    * maintenance lease, readers see old or new whole file).
+    * S3/GCS: there is no server-side move — the writer PUTs the bytes
+    * directly at the final key ("staging" IS the unreferenced final
+    * key until the metadata swap references it); per-key PUT is atomic,
+    * which covers the `replaceExisting` rewrite case too. */
+  def publishData(source: Path, target: Path,
+      replaceExisting: Boolean = false): Unit
 }
 
 /** Local-filesystem implementation — the exact POSIX mechanisms the
@@ -105,6 +135,16 @@ private[sources] object PosixCommitPrimitives extends CommitPrimitives {
     java.nio.file.Files.write(target, content,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+
+  override def publishData(source: Path, target: Path,
+      replaceExisting: Boolean): Unit =
+    if (replaceExisting)
+      java.nio.file.Files.move(source, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      java.nio.file.Files.move(source, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 }
 
 private[sources] object CommitPrimitives {

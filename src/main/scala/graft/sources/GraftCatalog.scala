@@ -793,8 +793,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
-    // single-key rename CAS: one winner claims the old name; a racing
-    // re-create of the target surfaces as FileAlreadyExists, never a stomp
+    // single-key rename: one winner claims the old name (a racing rename
+    // of the same view observes NoSuchFile). The viewExists pre-checks
+    // are best-effort (TOCTOU): on POSIX, rename(2) replaces a target
+    // re-created between the check and the move — concurrent DDL naming
+    // the SAME target view is last-writer-wins here, not an error; the
+    // object-store impl's create-if-absent surfaces that race as
+    // FileAlreadyExists instead. View DDL is a human-rate path; the
+    // format's single-winner guarantees live in the table commit
+    // protocol, not in catalog renames.
     CommitPrimitives.io.renameClaim(viewFile(oldIdent), viewFile(newIdent))
   }
 

@@ -3761,8 +3761,8 @@ final class AuditPartDeltaBatchWrite(path: String, schema: StructType,
         val added = entries.sortBy(_._2).zipWithIndex.map {
           case ((_, staged, rows, st), i) =>
             val name = f"part-x$gen-$i%05d.jsonl"
-            java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            CommitPrimitives.io.publishData(stage.resolve(staged),
+              pdir.resolve(name))
             (name, rows, st)
         }
         val (_, tsEff) = AuditBase.commitTxn(pdir.toString,
@@ -3963,8 +3963,8 @@ final class AuditDeltaBatchWrite(path: String, schema: StructType)
     val placed = msgs.flatMap(m => m.staged.map((_, m.rows, m.stats)))
       .sortBy(_._1).zipWithIndex.map { case ((staged, rows, stats), i) =>
         val name = f"part-${start + i}%05d.jsonl"
-        java.nio.file.Files.move(stage.resolve(staged), dir.resolve(name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        CommitPrimitives.io.publishData(stage.resolve(staged),
+          dir.resolve(name))
         (AuditBase.ManifestEntry(name, rows, folded = false,
           ts = Some(commitMs)), stats)
       }
@@ -4025,12 +4025,9 @@ private[sources] object AuditNameMap {
     val body = m.toSeq.sorted
       .map { case (c, st) => s""""${esc(c)}":"${esc(st)}"""" }
       .mkString("{", ",", "}")
-    val tmp = f.resolveSibling(
-      "_COLMAP.tmp-" + java.util.UUID.randomUUID.toString.take(8))
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // metadata whole-file replace — the `replace` commit primitive
+    // (single-writer: only the catalog's ALTER path rewrites _COLMAP)
+    CommitPrimitives.io.replace(f, body.getBytes("UTF-8"))
   }
 
   def readColMapFile(path: String): Map[String, String] = {
@@ -4308,9 +4305,7 @@ private[sources] object AuditDelete {
       val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp,
         kept.map(_ + "\n").mkString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, file,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CommitPrimitives.io.publishData(tmp, file, replaceExisting = true)
       kept.size.toLong
     }
     // partitioned table: rewrite inside each partition dir, refresh its
@@ -5079,10 +5074,9 @@ final class AuditStreamingWrite(path: String, schema: StructType,
     val entries = messages.toSeq.map(_.asInstanceOf[AuditCommitMessage])
       .sortBy(_.stagedName)
     entries.zipWithIndex.foreach { case (m, i) =>
-      java.nio.file.Files.move(stage.resolve(m.stagedName),
+      CommitPrimitives.io.publishData(stage.resolve(m.stagedName),
         dir.resolve(f"part-e$epochId%d-$i%05d.jsonl"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        replaceExisting = true)
     }
     // zone maps: a replayed epoch first drops its own prior stats lines
     AuditStats.retain(path, !_.startsWith(epochPrefix))
@@ -5210,9 +5204,8 @@ final class AuditPartitionedStreamingWrite(path: String, schema: StructType,
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, r, st), i) =>
           val name = f"part-e$epochId%d-$i%05d.jsonl"
-          java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          CommitPrimitives.io.publishData(stage.resolve(staged),
+            pdir.resolve(name), replaceExisting = true)
           (name, r, st)
       }
       AuditBase.writeManifest(pdir.toString,
@@ -5797,9 +5790,8 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       // numbered names + direct manifest, as before
       val start = 0
       entries.zipWithIndex.foreach { case (m, i) =>
-        java.nio.file.Files.move(stage.resolve(m.stagedName),
-          dir.resolve(f"part-${start + i}%05d.jsonl"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        CommitPrimitives.io.publishData(stage.resolve(m.stagedName),
+          dir.resolve(f"part-${start + i}%05d.jsonl"))
       }
       AuditBase.writeManifest(path, entries.zipWithIndex.map {
         case (m, i) =>
@@ -5820,8 +5812,8 @@ final class AuditBatchWrite(path: String, schema: StructType, truncateFirst: Boo
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val named = entries.zipWithIndex.map { case (m, i) =>
         val name = f"part-x$gen-$i%05d.jsonl"
-        java.nio.file.Files.move(stage.resolve(m.stagedName),
-          dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        CommitPrimitives.io.publishData(stage.resolve(m.stagedName),
+          dir.resolve(name))
         (name, m)
       }
       AuditBase.commitTxn(path,
@@ -6115,8 +6107,8 @@ final class AuditPartitionedBaseWrite(path: String, schema: StructType,
         .filter(_._3 > 0).sortBy(_._2)
       val files = entries.zipWithIndex.map { case ((_, staged, rows, _), i) =>
         val name = f"base-$gen-$i%05d.jsonl"
-        java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        CommitPrimitives.io.publishData(stage.resolve(staged),
+          pdir.resolve(name))
         (name, rows)
       }
       val prev = AuditBase.read(pdir.toString)
@@ -6224,8 +6216,8 @@ final class AuditPartitionedBatchWrite(path: String, schema: StructType,
       val added = entries.sortBy(_._2).zipWithIndex.map {
         case ((_, staged, rows, st), i) =>
           val name = f"part-x$gen-$i%05d.jsonl"
-          java.nio.file.Files.move(stage.resolve(staged), pdir.resolve(name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          CommitPrimitives.io.publishData(stage.resolve(staged),
+            pdir.resolve(name))
           (name, rows, st)
       }
       AuditBase.commitTxn(pdir.toString,

@@ -625,18 +625,23 @@ class AuditChaosSpec extends AnyFunSuite {
         c: Array[Byte]): Unit = {
       tick("append"); under.appendBounded(t, c)
     }
+    override def publishData(s: java.nio.file.Path,
+        t: java.nio.file.Path, r: Boolean): Unit = {
+      tick("publish"); under.publishData(s, t, r)
+    }
   }
 
   // fixed seeds: reproducible; pin any future failing seed here
   // (seed 11 additionally runs through an instrumented CommitPrimitives
-  // impl and asserts all five primitives fired under the composition)
+  // impl and asserts all six shapes fired under the composition)
   Seq(11, 29, 47, 83).foreach { seed =>
     test(s"chaos seed $seed: concurrent appends + maintenance + live " +
       "tail preserve every invariant") {
       if (seed == 11) {
         val counting = new CountingIo(PosixCommitPrimitives)
         CommitPrimitives.withImpl(counting)(runSeed(seed))
-        Seq("marker", "link", "claim", "replace", "append").foreach { k =>
+        Seq("marker", "link", "claim", "replace", "append",
+          "publish").foreach { k =>
           assert(counting.calls.containsKey(k) &&
             counting.calls.get(k).get > 0,
             s"primitive '$k' never fired through the seam under chaos")

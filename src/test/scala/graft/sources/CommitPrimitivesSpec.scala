@@ -131,7 +131,8 @@ class CommitPrimitivesSpec extends AnyFunSuite {
   /** Counting decorator — behavior identical to the POSIX impl. */
   private final class Counting(under: CommitPrimitives)
       extends CommitPrimitives {
-    val marks, links, claims, replaces, appends = new AtomicInteger(0)
+    val marks, links, claims, replaces, appends, publishes =
+      new AtomicInteger(0)
     override def createMarker(t: java.nio.file.Path): Unit = {
       marks.incrementAndGet(); under.createMarker(t)
     }
@@ -150,6 +151,10 @@ class CommitPrimitivesSpec extends AnyFunSuite {
     override def appendBounded(t: java.nio.file.Path,
         c: Array[Byte]): Unit = {
       appends.incrementAndGet(); under.appendBounded(t, c)
+    }
+    override def publishData(s: java.nio.file.Path,
+        t: java.nio.file.Path, r: Boolean): Unit = {
+      publishes.incrementAndGet(); under.publishData(s, t, r)
     }
   }
 
@@ -180,5 +185,6 @@ class CommitPrimitivesSpec extends AnyFunSuite {
     assert(counting.claims.get > 0, "renameClaim never fired")
     assert(counting.replaces.get > 0, "replace never fired")
     assert(counting.appends.get > 0, "appendBounded never fired")
+    assert(counting.publishes.get > 0, "publishData never fired")
   }
 }

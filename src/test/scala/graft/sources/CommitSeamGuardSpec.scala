@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LINT-GRADE SEAM GUARD. The round-17 verdict predicted that call
+  * sites would silently escape the [[CommitPrimitives]] seam, and the
+  * `_COLMAP` rewrite did exactly that in the round the seam landed.
+  * This spec makes the escape mechanical to catch: it greps every
+  * production source in `graft/sources` for the raw POSIX mechanisms
+  * the primitives wrap (`Files.move` / `Files.createLink` /
+  * `Files.createFile`) and fails the build unless the site is either
+  * inside `CommitPrimitives.scala` itself or on the explicit
+  * allowlist below.
+  *
+  * Allowlisted (deliberately OUTSIDE the seam, with the argument):
+  *   - the two stage-and-swap DIRECTORY renames in
+  *     `AuditMaintenance.repartitionTable` and the twin in
+  *     `GraftCatalog` (REPLACE TABLE): whole-directory swaps are a
+  *     POSIX-only convenience for the local layout rewrite — the
+  *     object-store shape of the same operation is a new table prefix
+  *     plus a catalog-pointer `replace` (SCALING.md documents this),
+  *     so they are not a primitive to port.
+  * Data-file publishes are NOT allowlisted anymore — they are the
+  * sixth shape, [[CommitPrimitives.publishData]].
+  */
+class CommitSeamGuardSpec extends AnyFunSuite {
+
+  private val RawOp = """Files\.(move|createLink|createFile)\(""".r
+
+  /** (fileName, substring that uniquely names the allowed call). */
+  private val allow: Set[(String, String)] = Set(
+    ("AuditMaintenance.scala", "Files.move(dir, displaced,"),
+    ("AuditMaintenance.scala", "Files.move(stage, dir,"),
+    ("GraftCatalog.scala", "Files.move(data, displaced,"),
+    ("GraftCatalog.scala", "Files.move(stageDir, data,"))
+
+  /** Raw-primitive violations in one source body: (line#, line) pairs
+    * that use a wrapped mechanism outside the seam and the allowlist.
+    * Line comments are stripped so PROSE mentioning a mechanism does
+    * not trip the guard; block comments in this repo never contain
+    * call-shaped text on their own line, and a false positive would be
+    * loud, not silent. */
+  private[sources] def violations(fileName: String, body: String)
+      : Seq[(Int, String)] =
+    body.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
+      val code = raw.indexOf("//") match {
+        case -1 => raw
+        case n  => raw.substring(0, n)
+      }
+      if (RawOp.findFirstIn(code).isEmpty) None
+      else if (allow.exists { case (f, frag) =>
+        f == fileName && code.contains(frag) }) None
+      else Some((i + 1, raw.trim))
+    }.toSeq
+
+  test("guard is red on a planted violation") {
+    val planted =
+      """val x = 1
+        |java.nio.file.Files.move(tmp, target, ATOMIC_MOVE)
+        |""".stripMargin
+    assert(violations("Planted.scala", planted).nonEmpty)
+    // and the comment strip works: prose never trips it
+    assert(violations("Planted.scala",
+      "// Files.createLink fails atomically if <v> exists").isEmpty)
+    // and the allowlist is file-scoped: the same fragment elsewhere trips
+    assert(violations("Elsewhere.scala",
+      "java.nio.file.Files.move(dir, displaced, X)").nonEmpty)
+    assert(violations("AuditMaintenance.scala",
+      "java.nio.file.Files.move(dir, displaced, X)").isEmpty)
+  }
+
+  test("no raw Files.move/createLink/createFile outside the seam") {
+    val dir = new java.io.File("src/main/scala/graft/sources")
+    assert(dir.isDirectory, s"guard must run from the repo root: $dir")
+    val offenders = dir.listFiles().toSeq
+      .filter(f => f.getName.endsWith(".scala") &&
+        f.getName != "CommitPrimitives.scala")
+      .sortBy(_.getName)
+      .flatMap { f =>
+        val body = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        violations(f.getName, body).map { case (ln, l) =>
+          s"${f.getName}:$ln  $l" }
+      }
+    assert(offenders.isEmpty,
+      "raw commit mechanisms outside the CommitPrimitives seam " +
+        "(route through CommitPrimitives.io or extend the allowlist " +
+        s"with the argument):\n${offenders.mkString("\n")}")
+  }
+}
