@@ -1031,40 +1031,81 @@ private[sources] object AuditMaintenance {
   private[sources] final case class PartCmp(col: String, op: String,
       v: String) extends PartPred
 
-  private val CmpRe = """^([^<>=\s]+)\s*(<=|>=|<|>)\s*(.+)$""".r
-  private val InRe = """(?i)^([^<>=\s]+)\s+IN\s*\((.*)\)$""".r
-  private val EqRe = """^([^<>=\s]+)\s*=\s*(.+)$""".r
+  /** Strip one level of double quotes from a selector value
+    * (`""` inside = one literal `"`). Unquoted values pass through. */
+  private def unquoteVal(v: String): String =
+    if (v.length >= 2 && v.head == '"' && v.last == '"')
+      v.substring(1, v.length - 1).replace("\"\"", "\"")
+    else v
+
+  /** Split on `sep` outside parens AND outside double-quoted values. */
+  private def splitTop(raw: String, sep: Char,
+      trackParens: Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    raw.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case '(' if !inQ && trackParens => depth += 1; cur += '('
+      case ')' if !inQ && trackParens => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inQ =>
+        out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq.filter(_.nonEmpty)
+  }
 
   /** Parse a `partition_filter` string into conjuncts. Top-level commas
     * separate conjuncts; commas inside an `IN (…)` list do not split —
     * so `'day >= 2024-01-01, day <= 2024-01-07'` (one bounded range as
     * ONE call: one lease, one raced-append window) and
-    * `'flag IN (0,2)'` both work alongside the original `'col=v'`. */
+    * `'flag IN (0,2)'` both work alongside the original `'col=v'`.
+    * Values containing selector syntax (comma, paren, quote, `<`, `>`,
+    * `=`, or edge whitespace) are written double-quoted with `""` for a
+    * literal quote — `'tag="a,b"'`, `'tag IN ("a,b","c")'` — which is
+    * the form `maintenance_plan` emits, so its recommendations stay
+    * copy-pasteable for ANY string partition value. */
   private[sources] def parsePartitionFilter(raw: String, op: String)
       : Seq[PartPred] = {
-    val entries = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      var depth = 0
-      raw.foreach {
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
-        case c => cur += c
-      }
-      out += cur.result().trim
-      out.toSeq.filter(_.nonEmpty)
-    }
-    entries.map {
-      case InRe(c, vs) => PartIn(c.trim,
-        vs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case CmpRe(c, o, v) => PartCmp(c.trim, o, v.trim)
-      case EqRe(c, v) => PartEq(c.trim, v.trim)
-      case other => throw new IllegalArgumentException(
-        s"audit $op: partition_filter entry '$other' is not " +
+    val entries = splitTop(raw, ',', trackParens = true)
+    val InTail = """(?is)^IN\s*\((.*)\)$""".r
+    entries.map { e =>
+      // structural, not regex-over-the-whole-entry: the column name
+      // (an identifier — never contains quote/operator chars) ends at
+      // the first operator or whitespace, BEFORE any value content, so
+      // a quoted value containing ' IN (' or '<' cannot be misread as
+      // the operator
+      def bad(): Nothing = throw new IllegalArgumentException(
+        s"audit $op: partition_filter entry '$e' is not " +
           "col=value, col IN (v1,v2,…), or col <op> value")
+      val opIdx = e.indexWhere(c => "<>=".indexOf(c.toInt) >= 0 ||
+        c.isWhitespace)
+      if (opIdx <= 0) bad()
+      val c = e.take(opIdx)
+      val rest = e.drop(opIdx).trim
+      if (rest.startsWith("<=") || rest.startsWith(">="))
+        PartCmp(c, rest.take(2), unquoteVal(rest.drop(2).trim))
+      else if (rest.startsWith("<") || rest.startsWith(">"))
+        PartCmp(c, rest.take(1), unquoteVal(rest.drop(1).trim))
+      else if (rest.startsWith("="))
+        PartEq(c, unquoteVal(rest.drop(1).trim))
+      else rest match {
+        case InTail(vs) => PartIn(c,
+          splitTop(vs, ',', trackParens = false).map(unquoteVal))
+        case _ => bad()
+      }
     }
   }
+
+  /** Quote a partition value for a selector string iff it contains
+    * selector syntax — the inverse of [[unquoteVal]]. */
+  private[sources] def quoteVal(v: String): String =
+    if (v.isEmpty || v != v.trim ||
+        v.exists(c => ",()\"<>=".indexOf(c.toInt) >= 0))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
 
   /** Resolve a `partition_filter` selector to the matching partition
     * relDirs (None = whole table). Matching is token-level on IDENTITY
@@ -2094,11 +2135,20 @@ private[sources] object AuditMaintenance {
           AuditScan.epochFiles(path,
             AuditScan.committedEpochs(path).toSet).map(_._1)
       // staged metadata rewrites whose atomic move never landed
-      // (CommitPrimitives.replace crash debris). Age-guarded: a FRESH
-      // ".tmp-" may belong to an in-flight un-leased writer (a streaming
-      // epoch commit racing this VACUUM) — only provably-dead ones go.
+      // (CommitPrimitives.replace crash debris). Scoped to the
+      // LEASE-PROTECTED metadata targets: their writers hold the same
+      // maintenance lease this VACUUM holds, so an aged tmp here is
+      // provably a crash, never an in-flight writer. Un-leased staging
+      // writers (stream-lock claims, lease-claim docs) also stage as
+      // ".tmp-" — a writer paused past the age guard must NOT find its
+      // staged file swept out from under its atomic move, so their
+      // prefixes are deliberately outside this sweep (their debris is
+      // a few bytes, inert, and recognizable by prefix).
+      val leasedTmpPrefixes = Seq(
+        "_MANIFEST.tmp-", "_EPOCHS.tmp-", "_DELETES.tmp-",
+        "_BASE.tmp-", "_STATS.tmp-", "_COLMAP.tmp-")
       def tmpDebris(p: java.nio.file.Path): Boolean =
-        p.getFileName.toString.contains(".tmp-") &&
+        leasedTmpPrefixes.exists(p.getFileName.toString.startsWith) &&
           (try java.nio.file.Files.getLastModifiedTime(p).toMillis <
             System.currentTimeMillis() - AuditMaintLock.leaseMs
           catch { case _: java.io.IOException => false })
@@ -2728,8 +2778,11 @@ private[sources] object GraftProcedures {
                 val (f, r, v, rec, action, why) = planOf(d.toString)
                 val selector = rel.split('/').map { comp =>
                   val i = comp.indexOf('=')
-                  comp.take(i + 1) + java.net.URLDecoder.decode(
-                    comp.drop(i + 1), "UTF-8")
+                  // quote values carrying selector syntax (commas,
+                  // parens, quotes, comparison chars) so the emitted
+                  // recommendation is copy-pasteable for ANY value
+                  comp.take(i + 1) + AuditMaintenance.quoteVal(
+                    java.net.URLDecoder.decode(comp.drop(i + 1), "UTF-8"))
                 }.mkString(",")
                 val detail =
                   if (action == "none") why

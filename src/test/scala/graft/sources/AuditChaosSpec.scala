@@ -44,7 +44,7 @@ class AuditChaosSpec extends AnyFunSuite {
       Option(t.getCause).exists(loudRestart)
   }
 
-  private def runSeed(seed: Int): Unit = {
+  private[sources] def runSeed(seed: Int): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaos_${seed}_")
     val cat = s"graft_chaos_$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
@@ -211,7 +211,7 @@ class AuditChaosSpec extends AnyFunSuite {
     * OPTIMIZE/VACUUM (per-dir bases), delta DML, and a live PARTITIONED
     * feed tail. Same invariants; stamps additionally prove one shared
     * statement stamp across a partitioned INSERT's directories. */
-  private def runSeedPartitioned(seed: Int, crash: Boolean = false): Unit = {
+  private[sources] def runSeedPartitioned(seed: Int, crash: Boolean = false): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosp_${seed}_")
     val cat = s"graft_chaosp_$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
@@ -431,7 +431,7 @@ class AuditChaosSpec extends AnyFunSuite {
     sb.toString
   }
 
-  private def runSeedCrash(seed: Int): Unit = {
+  private[sources] def runSeedCrash(seed: Int): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosc_${seed}_")
     val cat = s"graft_chaosc_$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)

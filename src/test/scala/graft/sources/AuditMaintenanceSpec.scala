@@ -945,6 +945,27 @@ class AuditMaintenanceSpec extends SparkSpec {
       "CALL graft_m.system.vacuum(table => 'db.orf1', clean_orphans => true)")
     assert(!java.nio.file.Files.exists(d.resolve("part-88888.jsonl")))
     assert(snap("SELECT id, v FROM graft_m.db.orf1 ORDER BY id") === before)
+    // the ".tmp-" sweep is SCOPED to lease-protected metadata targets:
+    // an aged _MANIFEST staging tmp is a provable crash (its writer
+    // would hold the lease this VACUUM holds) and goes; an aged tmp of
+    // an UN-leased writer (stream-lock claim staging) survives — a
+    // paused writer must never find its staged file swept before its
+    // atomic move (the advisor's NoSuchFileException failure mode)
+    val deadMani = d.resolve("_MANIFEST.tmp-deadcafe")
+    val pausedLock = d.resolve("_STREAM_LOCK.tmp-paused01")
+    java.nio.file.Files.write(deadMani, "{}".getBytes("UTF-8"))
+    java.nio.file.Files.write(pausedLock, "claim".getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - AuditMaintLock.leaseMs * 20)
+    java.nio.file.Files.setLastModifiedTime(deadMani, old)
+    java.nio.file.Files.setLastModifiedTime(pausedLock, old)
+    spark.sql(
+      "CALL graft_m.system.vacuum(table => 'db.orf1', clean_orphans => true)")
+    assert(!java.nio.file.Files.exists(deadMani),
+      "aged lease-protected staging tmp must be reclaimed")
+    assert(java.nio.file.Files.exists(pausedLock),
+      "un-leased writer staging must survive the sweep")
+    java.nio.file.Files.delete(pausedLock)
   }
 
   test("SHOW PARTITIONS / ADD / DROP PARTITION manage the directory layout") {

@@ -74,7 +74,10 @@ class CommitSeamGuardSpec extends AnyFunSuite {
     assert(dir.isDirectory, s"guard must run from the repo root: $dir")
     val offenders = dir.listFiles().toSeq
       .filter(f => f.getName.endsWith(".scala") &&
-        f.getName != "CommitPrimitives.scala")
+        f.getName != "CommitPrimitives.scala" &&
+        // the object-store impl IS the seam: its internal tmp+move is
+        // the per-key-atomic PUT emulation, not an escaping call site
+        f.getName != "ObjectStoreCommitPrimitives.scala")
       .sortBy(_.getName)
       .flatMap { f =>
         val body = new String(

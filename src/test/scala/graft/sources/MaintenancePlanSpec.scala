@@ -90,4 +90,48 @@ class MaintenancePlanSpec extends AnyFunSuite {
     assert(after.forall(_._6 === "none"), after)
     assert(spark.table(s"$cat.db.t").count() === 108L)
   }
+
+  test("values carrying selector syntax (comma/paren/quote/operator) " +
+    "emit QUOTED selectors that parse back exactly and copy-paste") {
+    // unit round trip: quoteVal → parsePartitionFilter is identity on
+    // every hostile value class the advisor named
+    val vals = Seq("a,b", "x (y)", "he said \"hi\"", " lead", "tag=7",
+      "a<b", "IN (z)", "plain")
+    vals.foreach { v =>
+      val sel = s"tag=${AuditMaintenance.quoteVal(v)}"
+      val parsed = AuditMaintenance.parsePartitionFilter(sel, "TEST")
+      assert(parsed.size === 1, sel)
+      assert(parsed.head === AuditMaintenance.PartEq("tag", v), sel)
+    }
+    val inSel =
+      s"tag IN (${vals.map(AuditMaintenance.quoteVal).mkString(",")})"
+    assert(AuditMaintenance.parsePartitionFilter(inSel, "TEST") ===
+      Seq(AuditMaintenance.PartIn("tag", vals)), inSel)
+    // end-to-end: comma/paren values as real partition dirs — the plan's
+    // emitted recommendation, copy-pasted VERBATIM, compacts exactly the
+    // flagged dirs and re-plans to none
+    val (cat, _) = freshCat("q")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, tag STRING) " +
+      "USING audit PARTITIONED BY (tag)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (0, 'a,b'), (1, 'c(d)'), " +
+      "(2, 'ok')")
+    (0 until 9).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${100 + i}, 'a,b')")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${200 + i}, 'c(d)')")
+    }
+    val rows = plan(cat)
+    val summary = rows.find(_._1 == "(table)").getOrElse(
+      fail(s"no batch summary: $rows"))
+    assert(summary._7.contains("""tag IN ("a,b","c(d)")"""), summary)
+    val SelRe = """partition_filter => '(.*)'""".r.unanchored
+    val emitted = summary._7 match {
+      case SelRe(s) => s
+      case _ => fail(s"no selector in: ${summary._7}")
+    }
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      s"target_file_count => 1, partition_filter => '$emitted')")
+    val after = plan(cat)
+    assert(after.forall(_._6 === "none"), after)
+    assert(spark.table(s"$cat.db.t").count() === 21L)
+  }
 }
