@@ -447,23 +447,44 @@ object Similarity {
        |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
   }
 
+  /** Planted-neighbor id offset for [[ivfRecallEval]]:
+    * 10000000 % 97 = 76, so a planted row can never join the query
+    * panel (vec_id % 97 = 0) and never collides with a real vec_id. */
+  private val PlantOffset = 10000000L
+
   /** ANN RECALL EVALUATION — the IVF twin of the text side's
-    * q_dedup_eval: for a deterministic panel of query vectors
+    * q_dedup_eval, in the 100-TB-legal form BOTH sides of that eval
+    * now share (round-18 verdict #6): the ground truth is computed on
+    * a BOUNDED corpus — a deterministic hash-bucket slice (25%) plus
+    * PLANTED near-neighbors (each query vector re-scaled and shifted,
+    * `x*0.9 + 0.01`: high-cosine but not identical) — never the full
+    * corpus, so the brute-force side stays sample-sized no matter how
+    * big the table is. For a deterministic panel of query vectors
     * (vec_id % 97 = 0), compare multi-probe IVF top-k against
     * brute-force exact-cosine top-k and report overlap as an integer
-    * recall in ppm. The panel is bounded and broadcast, the corpus is
-    * scored ONCE (both rankings read the same scored frame), and ties
-    * break identically on (cos desc, vec_id) in both engines — so the
-    * report is bit-deterministic. At 100 TB this is how nprobe gets
-    * chosen: run the eval on a sample, pick the smallest nprobe above
-    * the recall target, serve the full corpus with it. */
+    * recall in ppm, plus how many planted neighbors the IVF ranking
+    * recovered. The panel is bounded and broadcast, the sliced corpus
+    * is scored ONCE (both rankings read the same scored frame), and
+    * ties break identically on (cos desc, vec_id) in both engines —
+    * so the report is bit-deterministic. At 100 TB this is how nprobe
+    * gets chosen: run the eval on a sample, pick the smallest nprobe
+    * above the recall target, serve the full corpus with it. */
   def ivfRecallEval(spark: SparkSession, d: String, k: Int = 10,
       nprobe: Int = 3): DataFrame = {
     graft.plans.CosineSim.register(spark)
     val w = org.apache.spark.sql.expressions.Window
-    val e = embDouble(spark, d)
-    val withCell = e.join(
-      ivfAssignDf(e.select(col("vec_id"), col("emb"))), Seq("vec_id"))
+    val e = embDouble(spark, d).select(col("vec_id"), col("emb"))
+    // bounded corpus: deterministic hash slice ∪ the query panel …
+    val slice = e.where(
+      pmod(graft.functions.Hashing.hexHash(col("vec_id").cast("string")),
+        lit(100L)) < 25L || pmod(col("vec_id"), lit(97L)) === 0L)
+    // … ∪ one planted near-neighbor per query (deterministic transform:
+    // same IEEE double ops on both engines)
+    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L)
+      .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+        transform(col("emb"), x => x * lit(0.9) + lit(0.01)).as("emb"))
+    val corpus = slice.unionAll(planted)
+    val withCell = corpus.join(ivfAssignDf(corpus), Seq("vec_id"))
       .localCheckpoint()
     val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -490,28 +511,54 @@ object Similarity {
     val ivf = topk(scored.join(broadcast(probe), Seq("q_id", "cell")))
       .localCheckpoint()
     val hit = brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+    // planted-neighbor recovery: did IVF's top-k surface the known
+    // near-duplicate planted for this query?
+    val plantedHit = ivf.where(col("vec_id") === col("q_id") + lit(PlantOffset))
     queries.agg(count(lit(1)).as("n_queries"))
       .crossJoin(brute.agg(count(lit(1)).as("n_true")))
       .crossJoin(ivf.agg(count(lit(1)).as("n_ivf")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(plantedHit.agg(count(lit(1)).as("n_planted_found")))
       .select(col("n_queries"), col("n_true"), col("n_ivf"), col("n_hit"),
-        expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
+        expr("(n_hit * 1000000) div n_true").as("recall_ppm"),
+        col("n_planted_found"))
   }
 
   def ivfRecallEvalSql(k: Int = 10, nprobe: Int = 3): String = {
-    val cos = cosineSql("CAST(c.embedding AS DOUBLE[])",
-      "CAST(q.q_emb AS DOUBLE[])")
+    val cos = cosineSql("c.de", "q.q_emb")
     val distArms = (0 until IvfCells).map(kk =>
       s"SELECT vec_id AS q_id, $kk AS cell, " +
-        s"${ivfDistSql(kk, "embedding")} AS dist FROM qrows")
+        s"${ivfDistSql(kk, "de")} AS dist FROM qrows")
       .mkString("\n       |    UNION ALL\n       |    ")
-    s"""WITH cells AS (
-       |  SELECT vec_id, embedding, cell
-       |  FROM ${ivfCellsFromSql(", embedding")}
+    val dists = (0 until IvfCells)
+      .map(kk => s"${ivfDistSql(kk, "de")} AS d$kk")
+      .mkString(",\n       |         ")
+    val least =
+      s"least(${(0 until IvfCells).map(kk => s"d$kk").mkString(", ")})"
+    val cases = (0 until IvfCells)
+      .map(kk => s"WHEN d$kk = m THEN $kk").mkString(" ")
+    s"""WITH qsrc AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+       |  FROM embeddings WHERE vec_id % 97 = 0
+       |), corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+       |  WHERE (${Hashing.hexHashSql("CAST(vec_id AS VARCHAR)")} % 100) < 25
+       |     OR vec_id % 97 = 0
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset,
+       |         list_transform(de, x -> x * 0.9 + 0.01) FROM qsrc
+       |), cells AS (
+       |  SELECT vec_id, de, CAST(CASE $cases END AS INT) AS cell
+       |  FROM (SELECT vec_id, de, $least AS m,
+       |        ${(0 until IvfCells).map(kk => s"d$kk").mkString(", ")}
+       |        FROM (SELECT vec_id, de,
+       |        $dists
+       |        FROM corpus))
        |), qrows AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+       |  SELECT vec_id, de FROM corpus
+       |  WHERE vec_id % 97 = 0 AND vec_id < $PlantOffset
        |), q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM qrows
+       |  SELECT vec_id AS q_id, de AS q_emb FROM qrows
        |), probe AS (
        |  SELECT q_id, cell FROM (
        |    SELECT q_id, cell,
@@ -538,13 +585,16 @@ object Similarity {
        |), hit AS (
        |  SELECT q_id, vec_id FROM brute
        |  INTERSECT SELECT q_id, vec_id FROM ivf
+       |), planted AS (
+       |  SELECT q_id, vec_id FROM ivf WHERE vec_id = q_id + $PlantOffset
        |)
        |SELECT (SELECT count(*) FROM q) AS n_queries,
        |       (SELECT count(*) FROM brute) AS n_true,
        |       (SELECT count(*) FROM ivf) AS n_ivf,
        |       (SELECT count(*) FROM hit) AS n_hit,
        |       ((SELECT count(*) FROM hit) * 1000000)
-       |         // (SELECT count(*) FROM brute) AS recall_ppm""".stripMargin
+       |         // (SELECT count(*) FROM brute) AS recall_ppm,
+       |       (SELECT count(*) FROM planted) AS n_planted_found""".stripMargin
   }
 
   // ---- dedup → curation composite -------------------------------------------

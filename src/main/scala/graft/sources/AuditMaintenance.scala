@@ -883,39 +883,12 @@ private[sources] object AuditMaintenance {
     // row-level twin of the dir selector: the predicate must select
     // EXACTLY the rows of the selected dirs (a divergence would fold a
     // file whose rows were not all read) — same typed comparison as
-    // partitionSelector, statically pruned to the matching dirs
-    def plit(c: String, v: String): org.apache.spark.sql.Column =
-      schema.fields.find(_.name == c).map(_.dataType) match {
-        case Some(LongType) => org.apache.spark.sql.functions.lit(v.toLong)
-        case Some(IntegerType) => org.apache.spark.sql.functions.lit(v.toInt)
-        case Some(org.apache.spark.sql.types.StringType) =>
-          org.apache.spark.sql.functions.lit(v)
-        case Some(DateType) =>
-          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(v))
-        case other => throw new IllegalArgumentException(
-          s"audit OPTIMIZE: partition_filter on $c of type $other is " +
-            "not supported")
-      }
-    val fullSel = partitionFilter.foldLeft(full) { (acc, p) =>
-      acc.where(p match {
-        case PartEq(c, v)  => col(c) === plit(c, v)
-        case PartIn(c, vs) =>
-          val typed: Seq[Any] =
-            schema.fields.find(_.name == c).map(_.dataType) match {
-              case Some(LongType)    => vs.map(_.toLong)
-              case Some(IntegerType) => vs.map(_.toInt)
-              case Some(DateType)    => vs.map(java.sql.Date.valueOf(_))
-              case _                 => vs
-            }
-          col(c).isin(typed: _*)
-        case PartCmp(c, "<=", v) => col(c) <= plit(c, v)
-        case PartCmp(c, ">=", v) => col(c) >= plit(c, v)
-        case PartCmp(c, "<", v)  => col(c) < plit(c, v)
-        case PartCmp(c, ">", v)  => col(c) > plit(c, v)
-        case PartCmp(c, o, _) => throw new IllegalArgumentException(
-          s"audit OPTIMIZE: partition_filter op $o on $c")
-      })
-    }
+    // partitionSelector, statically pruned to the matching dirs;
+    // extracted as rowPredicate and property-pinned against the dir
+    // selector over randomized layouts (PartitionSelectorPropSpec)
+    val fullSel =
+      if (partitionFilter.isEmpty) full
+      else full.where(rowPredicate(schema, partitionFilter))
     var df = fullSel.select(schema.fieldNames.map(col).toSeq ++ Seq(
       col("_epoch").as("_oepoch"),
       // origin ids are PLAIN names within the directory (the scan
@@ -1107,6 +1080,47 @@ private[sources] object AuditMaintenance {
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 
+  /** Row-level twin of [[partitionSelector]]: a predicate holding on
+    * EXACTLY the rows of the dirs the selector names — same typed
+    * comparisons (numeric for long/int, typed date order for DATE,
+    * UTF8 binary order for strings, which IS Spark's own string
+    * comparison), so the selected-dirs set and the row slice cannot
+    * diverge (a divergence would fold a file whose rows were not all
+    * read). Property-pinned against [[partitionSelector]] over
+    * randomized layouts and selector mixes in PartitionSelectorPropSpec. */
+  private[sources] def rowPredicate(schema: StructType,
+      filter: Seq[PartPred]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def plit(c: String, v: String): org.apache.spark.sql.Column =
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType)    => lit(v.toLong)
+        case Some(IntegerType) => lit(v.toInt)
+        case Some(org.apache.spark.sql.types.StringType) => lit(v)
+        case Some(DateType)    => lit(java.sql.Date.valueOf(v))
+        case other => throw new IllegalArgumentException(
+          s"audit OPTIMIZE: partition_filter on $c of type $other is " +
+            "not supported")
+      }
+    filter.map {
+      case PartEq(c, v)  => col(c) === plit(c, v)
+      case PartIn(c, vs) =>
+        val typed: Seq[Any] =
+          schema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(LongType)    => vs.map(_.toLong)
+            case Some(IntegerType) => vs.map(_.toInt)
+            case Some(DateType)    => vs.map(java.sql.Date.valueOf(_))
+            case _                 => vs
+          }
+        col(c).isin(typed: _*)
+      case PartCmp(c, "<=", v) => col(c) <= plit(c, v)
+      case PartCmp(c, ">=", v) => col(c) >= plit(c, v)
+      case PartCmp(c, "<", v)  => col(c) < plit(c, v)
+      case PartCmp(c, ">", v)  => col(c) > plit(c, v)
+      case PartCmp(c, o, _) => throw new IllegalArgumentException(
+        s"audit OPTIMIZE: partition_filter op $o on $c")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   /** Resolve a `partition_filter` selector to the matching partition
     * relDirs (None = whole table). Matching is token-level on IDENTITY
     * partition columns — a bucket column's value→dir mapping is not
@@ -1128,7 +1142,6 @@ private[sources] object AuditMaintenance {
           "supported (a value does not name one directory)")
       (li, p)
     }
-    def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
     def cmp(li: Int, tok: String, v: String): Option[Int] = {
       if (tok == AuditPartition.NullToken) return None // null matches nothing
       val dt = schema.fields.find(_.name == specs(li).col).map(_.dataType)
@@ -1149,8 +1162,14 @@ private[sources] object AuditMaintenance {
     def holds(rel: String, li: Int, p: PartPred): Boolean = {
       val tok = AuditPartition.componentToken(rel, li)
       p match {
-        case PartEq(_, v)  => tok == enc(v)
-        case PartIn(_, vs) => vs.exists(v => tok == enc(v))
+        // equality goes through the SAME typed comparison as ranges:
+        // token-string equality would diverge from the row predicate on
+        // non-canonical numerics ('flag IN (7, 08)' must select dir 8,
+        // exactly as `col IN (7, 8)` matches its rows) and would let a
+        // literal '__NULL__' value string-match the null-token dir that
+        // the row predicate can never match (rows-not-all-read hazard)
+        case PartEq(_, v)  => cmp(li, tok, v).contains(0)
+        case PartIn(_, vs) => vs.exists(v => cmp(li, tok, v).contains(0))
         case PartCmp(_, o, v) => cmp(li, tok, v).exists(c => o match {
           case "<=" => c <= 0
           case ">=" => c >= 0
@@ -2061,6 +2080,15 @@ private[sources] object AuditMaintenance {
           foldBaseVectors(path, sch, cutoff)
       }
     }
+    // VACUUM-side absorb-intent finalize: a crash-after-swap leaves a
+    // pending marker that reads resolve transparently but history shows
+    // as a recovery row until the next log rewrite — finalize it here
+    // even when nothing folds (bounded no-op in steady state)
+    if (partCols.isEmpty) AuditDeletes.finalizeAbsorbIntent(path)
+    else AuditPartition.listDirsByCols(path, partCols)
+      .filter { case (rel, _) => dirSelected(rel) }
+      .foreach { case (_, pdir) =>
+        AuditDeletes.finalizeAbsorbIntent(pdir.toString) }
     // partitioned: per-dir base checkpoints make folded files reclaimable
     val partDirsWithBase: Seq[(String, java.nio.file.Path, AuditBase.Info)] =
       if (partCols.isEmpty) Seq.empty
@@ -2359,7 +2387,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "history", "sync_identity", "restore",
-      "repartition_table", "maintenance_plan")
+      "repartition_table", "maintenance_plan", "maintenance_apply")
 
   private final class Result(schema: StructType, data: Array[InternalRow])
       extends LocalScan {
@@ -2700,6 +2728,84 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** One target's maintenance recommendation — the structured form
+    * shared by `maintenance_plan` (renders these as rows) and
+    * `maintenance_apply` (executes them). `selector` is the exact
+    * `partition_filter` conjunct string naming the target dir (None on
+    * unpartitioned tables). */
+  private[sources] final case class MaintRec(target: String, files: Int,
+      rows: Long, vectors: Long, recovery: Int, action: String,
+      why: String, selector: Option[String])
+
+  /** Metadata-only planning core: per-target recommendations plus —
+    * for single-level identity layouts — one batched IN-list selector
+    * per action covering every flagged dir, so N flagged dirs cost ONE
+    * lease and one raced-append window instead of N. Inspects only
+    * manifests/vectors/recovery markers; never opens a data file. */
+  private[sources] def planRecs(catalog: GraftCatalog, table: String,
+      maxFiles: Int, vecThresh: Int): (Seq[MaintRec], Map[String, String]) = {
+    val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
+    // (files, rows, vectors, recovery, action, why) from metadata only
+    def planOf(p: String): (Int, Long, Long, Int, String, String) = {
+      val live = AuditBase.readManifest(p).filterNot(_.folded)
+      val base = AuditBase.read(p)
+      val files = live.size + base.map(_.files.size).getOrElse(0)
+      val rows = live.map(_.rows).sum +
+        base.toSeq.flatMap(_.files.map(_._2)).sum -
+        AuditDeletes.count(p)
+      val vectors = AuditDeletes.entries(p).size.toLong
+      val recovery = AuditDeletes.intents(p).size +
+        (if (AuditDeletes.absorbIntentTs(p).isDefined) 1 else 0)
+      val (action, why) =
+        if (AuditDeletes.intents(p).nonEmpty)
+          ("VACUUM", "complete the crashed fold (OPTIMIZE refuses " +
+            "until then)")
+        else if (vectors >= vecThresh)
+          ("VACUUM", s"fold $vectors positional delete-vector " +
+            "entries")
+        else if (files > maxFiles)
+          ("OPTIMIZE", s"compact $files live files")
+        else ("none", "healthy")
+      (files, rows, vectors, recovery, action, why)
+    }
+    partSpec match {
+      case None =>
+        val (f, r, v, rec, action, why) = planOf(path)
+        (Seq(MaintRec("(table)", f, r, v, rec, action, why, None)),
+          Map.empty)
+      case Some(ps) =>
+        val specs = AuditPartition.parseSpecs(ps)
+        val cols = specs.map(_.col)
+        val recs = AuditPartition.listDirsByCols(path, cols).map {
+          case (rel, d) =>
+            val (f, r, v, rec, action, why) = planOf(d.toString)
+            val selector = rel.split('/').map { comp =>
+              val i = comp.indexOf('=')
+              // quote values carrying selector syntax (commas, parens,
+              // quotes, comparison chars) so the emitted recommendation
+              // is copy-pasteable for ANY value
+              comp.take(i + 1) + AuditMaintenance.quoteVal(
+                java.net.URLDecoder.decode(comp.drop(i + 1), "UTF-8"))
+            }.mkString(",")
+            MaintRec(rel, f, r, v, rec, action, why, Some(selector))
+        }.sortBy(_.target)
+        // single-level identity layouts: batch flagged dirs per action
+        // into ONE call via the IN-list selector (quoted values pass
+        // through verbatim from the per-dir selectors)
+        val batched: Map[String, String] =
+          if (specs.size == 1 && specs.head.bucket.isEmpty) {
+            val pfx = specs.head.col.length + 1
+            recs.filter(_.action != "none").groupBy(_.action).collect {
+              case (act, rs) if rs.size > 1 =>
+                act -> (s"${specs.head.col} IN (" +
+                  rs.flatMap(_.selector).map(_.drop(pfx)).mkString(",") +
+                  ")")
+            }
+          } else Map.empty
+        (recs, batched)
+    }
+  }
+
   /** MAINTENANCE RECOMMENDER: at 100 TB nobody eyeballs 10k partition
     * directories — the engine inspects its own metadata (file counts,
     * vector backlog, crash-recovery markers; never a data file) and
@@ -2733,7 +2839,6 @@ private[sources] object GraftProcedures {
         val table = input.getUTF8String(0).toString
         val maxFiles = if (input.isNullAt(1)) 8 else input.getInt(1)
         val vecThresh = if (input.isNullAt(2)) 1000 else input.getInt(2)
-        val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
         val schema = StructType(Seq(
           StructField("target", StringType, nullable = false),
           StructField("live_files", IntegerType, nullable = false),
@@ -2742,70 +2847,135 @@ private[sources] object GraftProcedures {
           StructField("pending_recovery", IntegerType, nullable = false),
           StructField("action", StringType, nullable = false),
           StructField("recommendation", StringType, nullable = false)))
-        // (action, detail) for one target dir, from metadata only
-        def planOf(p: String): (Int, Long, Long, Int, String, String) = {
-          val live = AuditBase.readManifest(p).filterNot(_.folded)
-          val base = AuditBase.read(p)
-          val files = live.size + base.map(_.files.size).getOrElse(0)
-          val rows = live.map(_.rows).sum +
-            base.toSeq.flatMap(_.files.map(_._2)).sum -
-            AuditDeletes.count(p)
-          val vectors = AuditDeletes.entries(p).size.toLong
-          val recovery = AuditDeletes.intents(p).size +
-            (if (AuditDeletes.absorbIntentTs(p).isDefined) 1 else 0)
-          val (action, why) =
-            if (AuditDeletes.intents(p).nonEmpty)
-              ("VACUUM", "complete the crashed fold (OPTIMIZE refuses " +
-                "until then)")
-            else if (vectors >= vecThresh)
-              ("VACUUM", s"fold $vectors positional delete-vector " +
-                "entries")
-            else if (files > maxFiles)
-              ("OPTIMIZE", s"compact $files live files")
-            else ("none", "healthy")
-          (files, rows, vectors, recovery, action, why)
+        val (recs, batched) = planRecs(catalog, table, maxFiles, vecThresh)
+        val dirRows = recs.map { r =>
+          val detail =
+            if (r.action == "none") r.why
+            else r.selector.fold(r.why)(sel =>
+              s"${r.why} — partition_filter => '$sel'")
+          Array[Any](str(r.target), r.files, r.rows, r.vectors, r.recovery,
+            str(r.action), str(detail))
         }
-        partSpec match {
-          case None =>
-            val (f, r, v, rec, action, why) = planOf(path)
-            rowsOf(schema, Seq(Array[Any](str("(table)"), f, r, v, rec,
-              str(action), str(why))))
-          case Some(ps) =>
-            val specs = AuditPartition.parseSpecs(ps)
-            val cols = specs.map(_.col)
-            val dirRows = AuditPartition.listDirsByCols(path, cols).map {
-              case (rel, d) =>
-                val (f, r, v, rec, action, why) = planOf(d.toString)
-                val selector = rel.split('/').map { comp =>
-                  val i = comp.indexOf('=')
-                  // quote values carrying selector syntax (commas,
-                  // parens, quotes, comparison chars) so the emitted
-                  // recommendation is copy-pasteable for ANY value
-                  comp.take(i + 1) + AuditMaintenance.quoteVal(
-                    java.net.URLDecoder.decode(comp.drop(i + 1), "UTF-8"))
-                }.mkString(",")
-                val detail =
-                  if (action == "none") why
-                  else s"$why — partition_filter => '$selector'"
-                (rel, Array[Any](str(rel), f, r, v, rec, str(action),
-                  str(detail)), action, selector)
+        // batch summary: every OPTIMIZE-flagged dir in one IN-list call
+        val summary: Seq[Array[Any]] = batched.get("OPTIMIZE").toSeq
+          .map { sel =>
+            val n = recs.count(_.action == "OPTIMIZE")
+            Array[Any](str("(table)"), 0, 0L, 0L, 0, str("OPTIMIZE"),
+              str(s"batch $n flagged dirs in one call — " +
+                s"partition_filter => '$sel'"))
+          }
+        rowsOf(schema, dirRows ++ summary)
+      }
+    }
+  }
+
+  /** MAINTENANCE EXECUTOR — the closing loop over [[maintenancePlan]]:
+    * run the plan's emitted CALLs (VACUUM strictly before OPTIMIZE —
+    * the plan encodes crashed-fold VACUUM as the gate OPTIMIZE refuses
+    * through), re-plan, and repeat until every target reads "none" or
+    * `max_rounds` is hit. Each executed statement is the LITERAL CALL
+    * string an operator would copy-paste (same quoted selectors, same
+    * IN-list batching: N flagged dirs = one lease), so this procedure
+    * also round-trips the recommendation surface end-to-end. Multiple
+    * rounds exist because one action can reveal the next (a fold can
+    * leave a dir fragmented); the plan itself is the convergence test. */
+  def maintenanceApply(catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+    override def name(): String = "maintenance_apply"
+    override def description(): String =
+      "execute maintenance_plan's recommendations (VACUUM before " +
+        "OPTIMIZE, IN-list batched) and re-plan until convergence"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "maintenance_apply"
+      override def description(): String =
+        maintenanceApply(catalog).description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("audit table, as <namespace>.<name>").build(),
+        ProcedureParameter.in("max_live_files", IntegerType)
+          .comment("OPTIMIZE when a target holds more live files " +
+            "(default 8)").defaultValue("8").build(),
+        ProcedureParameter.in("vector_threshold", IntegerType)
+          .comment("VACUUM when a target holds at least this many " +
+            "positional delete-vector entries (default 1000)")
+          .defaultValue("1000").build(),
+        ProcedureParameter.in("target_file_count", IntegerType)
+          .comment("base file count for executed OPTIMIZEs (default 1)")
+          .defaultValue("1").build(),
+        ProcedureParameter.in("max_rounds", IntegerType)
+          .comment("apply/re-plan iterations before reporting " +
+            "non-convergence (default 4)").defaultValue("4").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val maxFiles = if (input.isNullAt(1)) 8 else input.getInt(1)
+        val vecThresh = if (input.isNullAt(2)) 1000 else input.getInt(2)
+        val tfc = if (input.isNullAt(3)) 1 else input.getInt(3)
+        val maxRounds = if (input.isNullAt(4)) 4 else input.getInt(4)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val cname = catalog.name()
+        // a selector travels inside a single-quoted SQL literal: double
+        // quotes (quoteVal's own escaping) pass through; a single quote
+        // in a partition VALUE needs the SQL '' escape
+        def sq(s: String): String = s.replace("'", "''")
+        val schema = StructType(Seq(
+          StructField("round", IntegerType, nullable = false),
+          StructField("target", StringType, nullable = false),
+          StructField("action", StringType, nullable = false),
+          StructField("executed_call", StringType, nullable = false)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        var round = 1
+        var converged = false
+        while (!converged && round <= maxRounds) {
+          val (recs, batched) = planRecs(catalog, table, maxFiles, vecThresh)
+          val actionable = recs.filter(_.action != "none")
+          if (actionable.isEmpty) {
+            out += Array[Any](round, str("(plan)"), str("none"),
+              str(s"converged: every target healthy"))
+            converged = true
+          } else {
+            // one action per flagged group, VACUUM strictly first
+            def exec(action: String, mkCall: Option[String] => String): Unit = {
+              val flagged = actionable.filter(_.action == action)
+              if (flagged.isEmpty) ()
+              else if (flagged.exists(_.selector.isEmpty)) {
+                val c = mkCall(None)
+                spark.sql(c)
+                out += Array[Any](round, str("(table)"), str(action), str(c))
+              } else batched.get(action) match {
+                case Some(inSel) =>
+                  val c = mkCall(Some(inSel))
+                  spark.sql(c)
+                  out += Array[Any](round, str(s"${flagged.size} dirs"),
+                    str(action), str(c))
+                case None =>
+                  flagged.foreach { r =>
+                    val c = mkCall(r.selector)
+                    spark.sql(c)
+                    out += Array[Any](round, str(r.target), str(action),
+                      str(c))
+                  }
+              }
             }
-            // single-level identity layouts: batch every OPTIMIZE-flagged
-            // dir into ONE call via the IN-list selector
-            val summary: Seq[Array[Any]] =
-              if (specs.size == 1 && specs.head.bucket.isEmpty) {
-                val flagged = dirRows.filter(_._3 == "OPTIMIZE")
-                  .map(_._4.dropWhile(_ != '=').drop(1))
-                if (flagged.size > 1)
-                  Seq(Array[Any](str("(table)"), 0, 0L, 0L, 0,
-                    str("OPTIMIZE"),
-                    str(s"batch ${flagged.size} flagged dirs in one " +
-                      s"call — partition_filter => '${specs.head.col} " +
-                      s"IN (${flagged.mkString(",")})'")))
-                else Seq.empty
-              } else Seq.empty
-            rowsOf(schema, dirRows.map(_._2) ++ summary)
+            exec("VACUUM", sel =>
+              s"CALL $cname.system.vacuum(table => '$table'" +
+                sel.fold("")(s => s", partition_filter => '${sq(s)}'") + ")")
+            exec("OPTIMIZE", sel =>
+              s"CALL $cname.system.optimize(table => '$table', " +
+                s"target_file_count => $tfc" +
+                sel.fold("")(s => s", partition_filter => '${sq(s)}'") + ")")
+            round += 1
+          }
         }
+        if (!converged) {
+          val (recs, _) = planRecs(catalog, table, maxFiles, vecThresh)
+          val left = recs.count(_.action != "none")
+          out += Array[Any](round, str("(plan)"),
+            str(if (left == 0) "none" else "stuck"),
+            str(if (left == 0) "converged: every target healthy"
+            else s"$left actionable target(s) after ${maxRounds} rounds"))
+        }
+        rowsOf(schema, out.toSeq)
       }
     }
   }

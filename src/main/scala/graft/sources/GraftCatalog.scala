@@ -860,6 +860,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftProcedures.repartitionTable(this)
       case (Seq("system"), "maintenance_plan") =>
         GraftProcedures.maintenancePlan(this)
+      case (Seq("system"), "maintenance_apply") =>
+        GraftProcedures.maintenanceApply(this)
       case _ => throw new RuntimeException(
         s"graft catalog: no such procedure $ident (available: " +
           GraftProcedures.Names.map("system." + _).mkString(", ") + ")")
@@ -1825,6 +1827,86 @@ object CatalogApi {
       |UNION ALL SELECT 'range', day, count(*), CAST(sum(id) AS BIGINT)
       |FROM cur_state WHERE day BETWEEN 3 AND 5 GROUP BY day
       |ORDER BY grp, day""".stripMargin
+
+  /** PLAN → APPLY round trip, oracle-checked: the worst-case composite
+    * maintenance state (two fragmented dirs + a vector backlog turned
+    * into a CRASHED fold on flag=1) is healed by ONE
+    * `CALL system.maintenance_apply`. The result frame pins the EXACT
+    * executed CALL strings (VACUUM for the crashed fold strictly first,
+    * then one IN-list-batched OPTIMIZE over both flagged dirs — N dirs,
+    * one lease), the re-plan converging to all-"none", and the final
+    * per-partition counts/sums — all restated by the DuckDB oracle from
+    * the generation arithmetic, so a heal that lost a row, skipped a
+    * target, or emitted a different recommendation hash-fails. */
+  def maintenanceApplyQ(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qma_wh")
+    spark.conf.set("spark.sql.catalog.graft_qma", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qma.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qma.db.t")
+    spark.sql(
+      """CREATE TABLE graft_qma.db.t (id BIGINT, flag BIGINT)
+        |USING audit PARTITIONED BY (flag)""".stripMargin)
+    // REPARTITION(1): exactly one initial file per dir regardless of the
+    // session's shuffle partitioning — the plan thresholds below then
+    // flag deterministically (flag 0/2: 10 live files; flag 1: 1)
+    spark.sql("INSERT INTO graft_qma.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id % 3 FROM range(90)")
+    (0 until 9).foreach { i =>
+      spark.sql(s"INSERT INTO graft_qma.db.t VALUES (${1000 + i}, 0)")
+      spark.sql(s"INSERT INTO graft_qma.db.t VALUES (${2000 + i}, 2)")
+    }
+    spark.sql("DELETE FROM graft_qma.db.t WHERE id % 10 = 3")
+    // crash flag=1's fold: fold the table, then restore that dir's
+    // entries with pending intents — the mid-fold state OPTIMIZE
+    // refuses through and the plan prioritizes
+    val d1 = wh.resolve("db").resolve("t").resolve("flag=1").toString
+    val pre = AuditDeletes.entriesWithTs(d1)
+    spark.sql("CALL graft_qma.system.vacuum(table => 'db.t')")
+    AuditDeletes.replace(d1, pre, Map.empty, foldIntents = pre)
+    val applied = spark.sql("CALL graft_qma.system.maintenance_apply(" +
+      "table => 'db.t', vector_threshold => 2)").collect().toSeq.map(r =>
+      (s"call/${r.getInt(0)}/${r.getString(2)}",
+        s"${r.getString(1)} :: ${r.getString(3)}", 1L, 0L))
+    val planNone = spark.sql("CALL graft_qma.system.maintenance_plan(" +
+      "table => 'db.t', vector_threshold => 2)").collect()
+      .count(_.getString(5) == "none").toLong
+    import spark.implicits._
+    (applied ++ Seq(("plan/none", "", planNone, 0L)))
+      .toDF("grp", "detail", "n", "sum_id")
+      .unionAll(spark.sql(
+        """SELECT concat('cur/', CAST(flag AS STRING)) AS grp,
+          |       '' AS detail, count(*) AS n, sum(id) AS sum_id
+          |FROM graft_qma.db.t GROUP BY flag""".stripMargin))
+      .orderBy(col("grp"), col("detail"))
+  }
+
+  val maintenanceApplySql: String =
+    """WITH first AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) % 3 AS flag
+      |  FROM range(90) t(r)
+      |  UNION ALL SELECT CAST(t.r AS BIGINT) + 1000, 0 FROM range(9) t(r)
+      |  UNION ALL SELECT CAST(t.r AS BIGINT) + 2000, 2 FROM range(9) t(r)),
+      |cur AS (SELECT * FROM first WHERE id % 10 <> 3)
+      |SELECT 'call/1/VACUUM' AS grp,
+      |       'flag=1 :: CALL graft_qma.system.vacuum(table => ''db.t'', partition_filter => ''flag=1'')' AS detail,
+      |       CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_id
+      |UNION ALL
+      |SELECT 'call/1/OPTIMIZE',
+      |       '2 dirs :: CALL graft_qma.system.optimize(table => ''db.t'', target_file_count => 1, partition_filter => ''flag IN (0,2)'')',
+      |       CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'call/2/none',
+      |       '(plan) :: converged: every target healthy',
+      |       CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'plan/none', '', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'cur/' || CAST(flag AS VARCHAR), '', count(*),
+      |       CAST(sum(id) AS BIGINT)
+      |FROM cur GROUP BY flag
+      |ORDER BY grp, detail""".stripMargin
 
   val auditTravelRetainedSql: String =
     """WITH base AS (
@@ -3939,6 +4021,7 @@ object CatalogApi {
       "q_catalog_rename" -> (catalogRename _),
       "q_catalog_rename_part" -> (catalogRenamePart _),
       "q_audit_gcount" -> (auditGroupCount _),
+      "q_maintenance_apply" -> (maintenanceApplyQ _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
@@ -3982,6 +4065,7 @@ object CatalogApi {
       "q_catalog_rename" -> catalogRenameSql,
       "q_catalog_rename_part" -> catalogRenamePartSql,
       "q_audit_gcount" -> auditGroupCountSql,
+      "q_maintenance_apply" -> maintenanceApplySql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

@@ -2174,6 +2174,23 @@ private[sources] object AuditDeletes {
       absorbedSums = sums.map { case (f, (n, _)) => (f, n) })
   }
 
+  /** Resolve a pending absorb-intent NOW (the VACUUM-side finalize): a
+    * VALID intent (its base publish completed) materializes as explicit
+    * absorbed fields; a STALE one (crashed before the swap) drops. The
+    * marker is behaviorally invisible either way — [[absorbed]] already
+    * resolves it on every read — but it lingers as a `recovery` row in
+    * `system.history` until some fold or OPTIMIZE rewrites the log, so
+    * VACUUM finalizes it even when nothing folds. Bounded head read
+    * when no marker is pending; caller holds the maintenance lease. */
+  def finalizeAbsorbIntent(path: String): Boolean =
+    absorbIntentTs(path) match {
+      case None => false
+      case Some(_) =>
+        replace(path, entriesWithTs(path), foldedWithTs(path),
+          intents(path), absorbedSums = absorbed(path))
+        true
+    }
+
   /** Record that a base publish with snapshot instant `snapTs` is ABOUT
     * to swap `_BASE` in ([[AbsorbIntentRe]]) — called immediately before
     * the pointer swap at both OPTIMIZE commit sites, so a crash between

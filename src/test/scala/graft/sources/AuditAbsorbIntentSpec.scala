@@ -149,6 +149,31 @@ class AuditAbsorbIntentSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() === 80L)
   }
 
+  test("a bare VACUUM finalizes a lingering absorb-intent even when " +
+    "nothing folds (the recovery row clears; counts stay exact)") {
+    val (cat, wh) = freshCat("fin")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 9")
+    val path = wh.resolve("db").resolve("t").toString
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')") // folds 10
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 1)")
+    val baseTs = AuditBase.read(path).get.ts.get
+    AuditDeletes.replace(path, AuditDeletes.entriesWithTs(path),
+      AuditDeletes.foldedWithTs(path), absorbIntent = Some(baseTs))
+    assert(AuditDeletes.absorbIntentTs(path) === Some(baseTs))
+    // NO new deletes: this VACUUM has nothing to fold — round 18 left
+    // the marker lingering here until the NEXT fold; round 19 finalizes
+    spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')")
+    assert(AuditDeletes.absorbIntentTs(path) === None)
+    assert(AuditDeletes.absorbed(path).values.sum === 10L)
+    assert(AuditDeletes.count(path) === 0L)
+    assert(spark.table(s"$cat.db.t").count() === 90L)
+    assert(spark.sql(s"CALL $cat.system.history(table => 'db.t')")
+      .collect().forall(_.getString(0) != "recovery"))
+  }
+
   test("crash BEFORE the base swap: the stale absorb-intent grants " +
     "nothing, and the retried OPTIMIZE absorbs cleanly") {
     val (cat, wh) = freshCat("stl")

@@ -46,7 +46,7 @@ class AuditChaosSpec extends AnyFunSuite {
 
   private[sources] def runSeed(seed: Int): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaos_${seed}_")
-    val cat = s"graft_chaos_$seed"
+    val cat = graft.SparkSpec.uniqueCat(s"graft_chaos_$seed")
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
@@ -213,7 +213,7 @@ class AuditChaosSpec extends AnyFunSuite {
     * statement stamp across a partitioned INSERT's directories. */
   private[sources] def runSeedPartitioned(seed: Int, crash: Boolean = false): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosp_${seed}_")
-    val cat = s"graft_chaosp_$seed"
+    val cat = graft.SparkSpec.uniqueCat(s"graft_chaosp_$seed")
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT) " +
@@ -310,6 +310,48 @@ class AuditChaosSpec extends AnyFunSuite {
           else ""
         spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
           s"target_file_count => 2$filter)").collect()
+      }
+      // crash variant, wave 2 (round-19 composition): kill a partitioned
+      // OPTIMIZE right after the FIRST dir's `_BASE` swap — the mixed
+      // published/unpublished state (one dir base + pending absorb-
+      // intent, others untouched) must hold exact counts UNDER THE LIVE
+      // TAIL and concurrent waves, and the retried OPTIMIZE must publish
+      // and finalize every dir (the directed twin is
+      // AuditAbsorbIntentSpec's static-state test)
+      if (crash && wave == 2) {
+        // modulus coprime with 3 so the delete (and hence the fold
+        // summaries the intent rides on) hits EVERY flag dir — a
+        // 3-sharing modulus concentrates deletes in one flag and the
+        // first-published dir could legitimately carry no intent
+        val m = Seq(5, 7, 8, 10, 11)(rnd.nextInt(5))
+        val r = rnd.nextInt(m)
+        spark.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
+        model --= model.filter(_ % m == r)
+        spark.sql(s"CALL $cat.system.vacuum(table => 'db.t')").collect()
+        sys.props("graft.audit.maintFailPoint") = "after-base-swap"
+        val msg =
+          try { spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+            "target_file_count => 2)").collect(); "no-failure" }
+          catch { case t: Throwable => fullMsg(t) }
+          finally sys.props.remove("graft.audit.maintFailPoint")
+        assert(msg.contains("injected failure"),
+          s"partitioned after-swap kill never fired (pseed $seed): $msg")
+        val dirs = AuditPartition.listDirsByCols(path, Seq("flag"))
+        assert(dirs.count { case (_, d) =>
+          AuditDeletes.absorbIntentTs(d.toString).isDefined } >= 1,
+          s"after-swap kill left no pending absorb-intent (pseed $seed)")
+        spark.catalog.refreshTable(s"$cat.db.t")
+        assert(spark.table(s"$cat.db.t").count() === model.size.toLong,
+          s"count diverged through the mixed published state (pseed $seed)")
+        // retry publishes the remaining dirs and finalizes every intent
+        spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+          "target_file_count => 2)").collect()
+        dirs.foreach { case (rel, d) =>
+          assert(AuditBase.read(d.toString).isDefined,
+            s"$rel unpublished after the retry (pseed $seed)")
+          assert(AuditDeletes.absorbIntentTs(d.toString) === None,
+            s"$rel intent not finalized after the retry (pseed $seed)")
+        }
       }
       // crash variant, wave 4: kill a VACUUM fold mid-way ACROSS the
       // partition dirs (the failpoint fires in the first dir with
@@ -433,7 +475,7 @@ class AuditChaosSpec extends AnyFunSuite {
 
   private[sources] def runSeedCrash(seed: Int): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_chaosc_${seed}_")
-    val cat = s"graft_chaosc_$seed"
+    val cat = graft.SparkSpec.uniqueCat(s"graft_chaosc_$seed")
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")

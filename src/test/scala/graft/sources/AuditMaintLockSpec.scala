@@ -19,7 +19,7 @@ class AuditMaintLockSpec extends AnyFunSuite {
 
   private def freshTable(tag: String): (String, String) = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft_mlock_${tag}_")
-    val cat = s"graft_mlock_$tag"
+    val cat = graft.SparkSpec.uniqueCat(s"graft_mlock_$tag")
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
@@ -163,11 +163,19 @@ class AuditMaintLockSpec extends AnyFunSuite {
     // concurrent acquire refuses.
     val path = java.nio.file.Files.createTempDirectory("graft_mlock_hb2_")
       .toString
-    sys.props("graft.audit.maintLeaseMs") = "60" // heartbeat every 20 ms
+    // lease 300 ms / heartbeat every 100 ms: the 60 ms lease this test
+    // originally used left only 40 ms of renewal slack — INSIDE the
+    // normal GC-pause/scheduler-starvation band of a busy test JVM, so
+    // the test occasionally observed a legitimate expiry-steal and
+    // called it theft (flaked once under the nested object-store run).
+    // The property under test is "renewal keeps a HEALTHY holder's
+    // lease", and healthy means the heartbeat thread actually runs;
+    // 200 ms of slack models that without slowing the suite much.
+    sys.props("graft.audit.maintLeaseMs") = "300"
     try {
       val held = AuditMaintLock.acquire(path, "optimize")
       val lock = java.nio.file.Paths.get(path).resolve("_MAINT_LOCK")
-      val deadline = System.currentTimeMillis() + 400 // ~20 renewals
+      val deadline = System.currentTimeMillis() + 1200 // ~12 renewals
       var absences = 0
       var steals = 0
       while (System.currentTimeMillis() < deadline) {

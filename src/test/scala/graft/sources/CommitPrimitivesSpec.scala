@@ -163,7 +163,7 @@ class CommitPrimitivesSpec extends AnyFunSuite {
     val counting = new Counting(PosixCommitPrimitives)
     CommitPrimitives.withImpl(counting) {
       val wh = java.nio.file.Files.createTempDirectory("graft_cp_seam")
-      val cat = "graft_cp_seam"
+      val cat = graft.SparkSpec.uniqueCat("graft_cp_seam")
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
       spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
