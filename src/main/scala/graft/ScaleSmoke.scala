@@ -64,6 +64,7 @@ object ScaleSmoke {
         if (args.length > 1) args.drop(1).toSeq else HeavyTail)
       case "audit" => auditScale(spark)
       case "partial" => partialMaintScale(spark)
+      case "apply" => applyMaintScale(spark)
       case other => sys.error(s"ScaleSmoke: unknown mode $other")
     }
     spark.stop()
@@ -219,6 +220,68 @@ object ScaleSmoke {
       f""""sel8_s":${times(1)}%.2f,"sel1_s":${times(2)}%.2f,""" +
       f""""sel8_ratio":${times(1) / times(0)}%.3f,""" +
       f""""sel1_ratio":${times(2) / times(0)}%.3f,"loadavg":"$load"}""")
+  }
+
+  /** `ScaleSmoke apply` (round 19): one idempotent `maintenance_apply`
+    * heals a 64-dir / 1M-row table carrying 8 fragmented dirs and one
+    * dir's delete-vector backlog. The point measured: the PLANNING pass
+    * is metadata-only (never opens a data file) and the executed work
+    * batches — one IN-list OPTIMIZE covers all 8 flagged dirs (one
+    * lease), one VACUUM covers the backlogged dir — so the heal cost
+    * tracks the FLAGGED fraction, not the 64-dir count, and a second
+    * apply is a metadata-only no-op. */
+  def applyMaintScale(spark: SparkSession): Unit = {
+    import graft.sources.GraftCatalog
+    val dirs = 64
+    val n = 1000000L
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft_ap")
+    val cat = "graft_ap"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, flag BIGINT, " +
+      "v BIGINT) USING audit PARTITIONED BY (flag)")
+    // one writer task per flag → one initial file per dir
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      s"SELECT /*+ REPARTITION($dirs, flag) */ id, id % $dirs AS flag, " +
+      s"id * 3 AS v FROM range($n)")
+    // fragment dirs 0..7 (10 live files each)…
+    (0 until 8).foreach { f =>
+      (0 until 9).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.t VALUES " +
+          s"(${n + f * 100 + i}, $f, 0)")
+      }
+    }
+    // …and backlog dir 63 (modulo predicate → delete vectors; dir 63's
+    // ids are ≡63 mod 64, all odd, so the modulus must be coprime: %3
+    // hits a third of its ~15.6k rows)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE flag = 63 AND id % 3 = 0")
+    val plan0 = spark.sql(s"CALL $cat.system.maintenance_plan(" +
+      "table => 'db.t')").collect()
+    println(s"""{"pre_flagged":${plan0.count(_.getString(5) != "none")},""" +
+      s""""pre_actions":"${plan0.filter(_.getString(5) != "none")
+        .map(r => s"${r.getString(0)}:${r.getString(5)}")
+        .mkString(" ")}"}""")
+    val tApply = timed {
+      val rows = spark.sql(s"CALL $cat.system.maintenance_apply(" +
+        "table => 'db.t')").collect()
+      require(rows.last.getString(2) == "none",
+        s"apply did not converge: ${rows.mkString(";")}")
+      val calls = rows.length - 1
+      println(s"""{"apply_calls":$calls,"rows":${rows.length}}""")
+    }
+    val tAgain = timed {
+      spark.sql(s"CALL $cat.system.maintenance_apply(table => 'db.t')")
+        .collect()
+    }
+    val load =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "unavailable" }
+    println(f"""{"metric":"maintenance_apply_smoke","dirs":$dirs,""" +
+      f""""heal_s":$tApply%.2f,"noop_s":$tAgain%.2f,"loadavg":"$load"}""")
   }
 
   def auditScale(spark: SparkSession): Unit = {

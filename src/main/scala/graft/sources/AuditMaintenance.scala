@@ -2737,13 +2737,27 @@ private[sources] object GraftProcedures {
       rows: Long, vectors: Long, recovery: Int, action: String,
       why: String, selector: Option[String])
 
-  /** Metadata-only planning core: per-target recommendations plus —
-    * for single-level identity layouts — one batched IN-list selector
-    * per action covering every flagged dir, so N flagged dirs cost ONE
-    * lease and one raced-append window instead of N. Inspects only
-    * manifests/vectors/recovery markers; never opens a data file. */
+  /** One IN-list-batched call covering several flagged dirs:
+    * `selector` is the exact `partition_filter`, `targets` the relDirs
+    * it covers (so the executor knows which flagged dirs are already
+    * handled). */
+  private[sources] final case class MaintBatch(selector: String,
+      targets: Seq[String])
+
+  /** Metadata-only planning core: per-target recommendations plus
+    * per-action batched selectors, so N flagged dirs cost ONE lease and
+    * one raced-append window instead of N. Single-level identity
+    * layouts batch every flagged dir into one IN list; multi-level
+    * identity layouts batch per shared all-but-last-level prefix
+    * (`day=5, region IN (…)` — the (day, region) shape at 100 TB).
+    * Layouts with a BUCKET level get NO selectors at all: a bucket
+    * dir is not selector-addressable (`partition_filter` refuses bucket
+    * columns), so recommendations and the executor fall back to the
+    * whole-table CALL. Inspects only manifests/vectors/recovery
+    * markers; never opens a data file. */
   private[sources] def planRecs(catalog: GraftCatalog, table: String,
-      maxFiles: Int, vecThresh: Int): (Seq[MaintRec], Map[String, String]) = {
+      maxFiles: Int, vecThresh: Int)
+      : (Seq[MaintRec], Map[String, Seq[MaintBatch]]) = {
     val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
     // (files, rows, vectors, recovery, action, why) from metadata only
     def planOf(p: String): (Int, Long, Long, Int, String, String) = {
@@ -2776,32 +2790,51 @@ private[sources] object GraftProcedures {
       case Some(ps) =>
         val specs = AuditPartition.parseSpecs(ps)
         val cols = specs.map(_.col)
-        val recs = AuditPartition.listDirsByCols(path, cols).map {
+        val bucketed = specs.exists(_.bucket.isDefined)
+        // per dir: (rec, one "col=<quoted value>" component per level) —
+        // components are kept structured so prefix-grouping never has to
+        // re-split a rendered selector (quoted values may contain commas)
+        val dirInfos = AuditPartition.listDirsByCols(path, cols).map {
           case (rel, d) =>
             val (f, r, v, rec, action, why) = planOf(d.toString)
-            val selector = rel.split('/').map { comp =>
+            val comps = rel.split('/').map { comp =>
               val i = comp.indexOf('=')
               // quote values carrying selector syntax (commas, parens,
               // quotes, comparison chars) so the emitted recommendation
               // is copy-pasteable for ANY value
               comp.take(i + 1) + AuditMaintenance.quoteVal(
                 java.net.URLDecoder.decode(comp.drop(i + 1), "UTF-8"))
-            }.mkString(",")
-            MaintRec(rel, f, r, v, rec, action, why, Some(selector))
-        }.sortBy(_.target)
-        // single-level identity layouts: batch flagged dirs per action
-        // into ONE call via the IN-list selector (quoted values pass
-        // through verbatim from the per-dir selectors)
-        val batched: Map[String, String] =
-          if (specs.size == 1 && specs.head.bucket.isEmpty) {
-            val pfx = specs.head.col.length + 1
-            recs.filter(_.action != "none").groupBy(_.action).collect {
-              case (act, rs) if rs.size > 1 =>
-                act -> (s"${specs.head.col} IN (" +
-                  rs.flatMap(_.selector).map(_.drop(pfx)).mkString(",") +
-                  ")")
-            }
-          } else Map.empty
+            }.toSeq
+            val selector =
+              if (bucketed) None // bucket dirs are not selector-addressable
+              else Some(comps.mkString(","))
+            val whyFull =
+              if (bucketed && action != "none")
+                s"$why (bucket dirs are not selector-addressable — run " +
+                  "the whole-table CALL)"
+              else why
+            (MaintRec(rel, f, r, v, rec, action, whyFull, selector), comps)
+        }.sortBy(_._1.target)
+        val recs = dirInfos.map(_._1)
+        // batch flagged dirs per action into IN-list calls: whole-layout
+        // for single-level, per all-but-last-level prefix group for
+        // multi-level (quoted values pass through verbatim from the
+        // per-dir components)
+        val batched: Map[String, Seq[MaintBatch]] =
+          if (bucketed) Map.empty
+          else dirInfos.filter(_._1.action != "none")
+            .groupBy(_._1.action).map { case (act, rs) =>
+              act -> rs.groupBy(_._2.init).toSeq
+                .sortBy(_._1.mkString(","))
+                .collect { case (prefix, grp) if grp.size > 1 =>
+                  val lastCol = specs.last.col
+                  val inList = grp.map(_._2.last.drop(lastCol.length + 1))
+                  MaintBatch(
+                    (prefix :+ s"$lastCol IN (${inList.mkString(",")})")
+                      .mkString(","),
+                    grp.map(_._1.target))
+                }
+            }.filter(_._2.nonEmpty)
         (recs, batched)
     }
   }
@@ -2856,13 +2889,19 @@ private[sources] object GraftProcedures {
           Array[Any](str(r.target), r.files, r.rows, r.vectors, r.recovery,
             str(r.action), str(detail))
         }
-        // batch summary: every OPTIMIZE-flagged dir in one IN-list call
-        val summary: Seq[Array[Any]] = batched.get("OPTIMIZE").toSeq
-          .map { sel =>
-            val n = recs.count(_.action == "OPTIMIZE")
-            Array[Any](str("(table)"), 0, 0L, 0L, 0, str("OPTIMIZE"),
-              str(s"batch $n flagged dirs in one call — " +
-                s"partition_filter => '$sel'"))
+        // batch summaries: flagged dirs in IN-list calls — "(table)" when
+        // one batch covers every flagged dir of the action (single-level
+        // layouts), "(batch)" for multi-level per-prefix groups
+        val summary: Seq[Array[Any]] = batched.toSeq.sortBy(_._1)
+          .flatMap { case (act, bs) =>
+            val allOfAction = bs.size == 1 &&
+              bs.head.targets.size == recs.count(_.action == act)
+            bs.map { b =>
+              Array[Any](str(if (allOfAction) "(table)" else "(batch)"),
+                0, 0L, 0L, 0, str(act),
+                str(s"batch ${b.targets.size} flagged dirs in one " +
+                  s"call — partition_filter => '${b.selector}'"))
+            }
           }
         rowsOf(schema, dirRows ++ summary)
       }
@@ -2934,7 +2973,11 @@ private[sources] object GraftProcedures {
               str(s"converged: every target healthy"))
             converged = true
           } else {
-            // one action per flagged group, VACUUM strictly first
+            // one action per flagged group, VACUUM strictly first: a
+            // missing selector means the dir is not selector-addressable
+            // (unpartitioned table or a bucket-level layout) → ONE
+            // whole-table call; otherwise batches first, then the
+            // uncovered stragglers per-dir
             def exec(action: String, mkCall: Option[String] => String): Unit = {
               val flagged = actionable.filter(_.action == action)
               if (flagged.isEmpty) ()
@@ -2942,19 +2985,22 @@ private[sources] object GraftProcedures {
                 val c = mkCall(None)
                 spark.sql(c)
                 out += Array[Any](round, str("(table)"), str(action), str(c))
-              } else batched.get(action) match {
-                case Some(inSel) =>
-                  val c = mkCall(Some(inSel))
+              } else {
+                val batches = batched.getOrElse(action, Seq.empty)
+                val covered = batches.flatMap(_.targets).toSet
+                batches.foreach { b =>
+                  val c = mkCall(Some(b.selector))
                   spark.sql(c)
-                  out += Array[Any](round, str(s"${flagged.size} dirs"),
+                  out += Array[Any](round, str(s"${b.targets.size} dirs"),
                     str(action), str(c))
-                case None =>
-                  flagged.foreach { r =>
+                }
+                flagged.filterNot(r => covered.contains(r.target)).foreach {
+                  r =>
                     val c = mkCall(r.selector)
                     spark.sql(c)
                     out += Array[Any](round, str(r.target), str(action),
                       str(c))
-                  }
+                }
               }
             }
             exec("VACUUM", sel =>

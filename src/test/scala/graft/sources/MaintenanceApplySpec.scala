@@ -85,6 +85,86 @@ class MaintenanceApplySpec extends AnyFunSuite {
       .head().getLong(0) === 0L)
   }
 
+  test("multi-level layout: flagged dirs sharing a prefix batch into " +
+    "one 'day=d, region IN (…)' call; lone dirs go per-dir") {
+    val (cat, _) = freshCat("ml")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, day BIGINT, " +
+      "region BIGINT) USING audit PARTITIONED BY (day, region)")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id % 2, id % 3 FROM range(60)")
+    // fragment (day=0,region=0), (day=0,region=1) — shared prefix —
+    // and (day=1,region=2) — a loner
+    (0 until 9).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0, 0)")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${2000 + i}, 0, 1)")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${3000 + i}, 1, 2)")
+    }
+    // the plan names the prefix batch
+    val planRows = spark.sql(
+      s"CALL $cat.system.maintenance_plan(table => 'db.t')").collect()
+      .map(r => (r.getString(0), r.getString(5), r.getString(6)))
+    val batchRow = planRows.filter(_._1 == "(batch)")
+    assert(batchRow.length === 1, planRows.mkString("\n"))
+    assert(batchRow.head._3.contains(
+      "partition_filter => 'day=0,region IN (0,1)'"), batchRow.head)
+    val rows = apply0(cat)
+    val r1 = rows.filter(_._1 == 1)
+    assert(r1.map(r => (r._2, r._3)) ===
+      Seq(("2 dirs", "OPTIMIZE"), ("day=1/region=2", "OPTIMIZE")), rows)
+    assert(r1.head._4.contains(
+      "partition_filter => 'day=0,region IN (0,1)'"), r1.head)
+    assert(r1(1)._4.contains(
+      "partition_filter => 'day=1,region=2'"), r1(1))
+    assert(rows.last._3 === "none" && rows.last._4.contains("converged"))
+    assert(spark.table(s"$cat.db.t").count() === 87L)
+  }
+
+  test("bucket-level layout: dirs are not selector-addressable — apply " +
+    "falls back to ONE whole-table call and still converges") {
+    val (cat, _) = freshCat("b")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, k BIGINT) " +
+      "USING audit PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(40)")
+    // same k → same bucket dir: that one dir collects 10 live files
+    (0 until 9).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 77)"))
+    // the plan flags fragmented bucket dirs WITHOUT a selector and says
+    // why; apply must not emit a refusing partition_filter call
+    val planRows = spark.sql(
+      s"CALL $cat.system.maintenance_plan(table => 'db.t')").collect()
+      .map(r => (r.getString(0), r.getString(5), r.getString(6)))
+    assert(planRows.exists(r => r._2 == "OPTIMIZE" &&
+      r._3.contains("whole-table")), planRows.mkString("\n"))
+    assert(!planRows.exists(_._3.contains("partition_filter")),
+      planRows.mkString("\n"))
+    val rows = apply0(cat)
+    val opt = rows.filter(_._3 == "OPTIMIZE")
+    assert(opt.map(_._2) === Seq("(table)"), rows)
+    assert(!opt.head._4.contains("partition_filter"), opt.head)
+    assert(rows.last._3 === "none" && rows.last._4.contains("converged"))
+    assert(spark.table(s"$cat.db.t").count() === 49L)
+  }
+
+  test("non-convergence inside max_rounds reports 'stuck' instead of " +
+    "claiming success") {
+    val (cat, _) = freshCat("s")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM range(100)")
+    (0 until 9).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0)"))
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id % 10 = 3")
+    // needs two action rounds (VACUUM then OPTIMIZE) + a verify round;
+    // max_rounds => 1 executes only the VACUUM
+    val rows = apply0(cat, ", vector_threshold => 5, max_rounds => 1")
+    assert(rows.map(_._3) === Seq("VACUUM", "stuck"), rows)
+    assert(rows.last._4.contains("1 actionable"), rows.last)
+    // a follow-up apply with room finishes the job
+    val again = apply0(cat, ", vector_threshold => 5")
+    assert(again.last._3 === "none" &&
+      again.last._4.contains("converged"), again)
+  }
+
   test("unpartitioned: backlog folds, fragmentation compacts, healthy " +
     "is a no-op one-row report") {
     val (cat, _) = freshCat("u")

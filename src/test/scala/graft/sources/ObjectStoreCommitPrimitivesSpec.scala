@@ -314,4 +314,11 @@ class ObjectStoreCommitPrimitivesSpec extends AnyFunSuite {
       (new AuditChaosSpec).runSeedCrash(73)
     }
   }
+
+  test("partitioned crash seed 37 (after-base-swap + mid-fold kills " +
+    "under a live tail) under the object-store impl") {
+    CommitPrimitives.withImpl(new ObjectStoreCommitPrimitives()) {
+      (new AuditChaosSpec).runSeedPartitioned(37, crash = true)
+    }
+  }
 }
