@@ -341,6 +341,117 @@ object Dedup {
        |       ((SELECT count(*) FROM hit) * 1000000)
        |         // (SELECT count(*) FROM true_p) AS recall_ppm""".stripMargin
 
+  /** The bandings a 12-hash signature admits: (bands, rows_per_band). */
+  val SweepBandings: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** LSH BANDING PARAMETER SWEEP — how a pipeline actually picks its
+    * banding at 100 TB: from ONE signature pass over the same bounded
+    * sample as [[lshRecallEval]] (hash-bucket slice + planted
+    * duplicates), evaluate EVERY banding the signature admits — more
+    * bands / fewer rows = higher recall but more candidate pairs to
+    * verify (cost), fewer bands / more rows = the reverse — and report
+    * per banding the candidate count (the verify bill) and the recall
+    * vs exact-Jaccard truth. Truth is computed ONCE (the shingle-hash
+    * equi-join — exhaustive above any positive threshold without the
+    * n² pair space); signatures are computed ONCE and pinned; each
+    * banding is then just a band-key self-join over the pinned frame.
+    * The operator picks the cheapest banding above the recall target
+    * and serves the full corpus with it. */
+  def lshBandingSweep(spark: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sample = docsWithInjectedDups(spark, d).where(
+      pmod(Hashing.hexHash(col("doc_id").cast("string")), lit(100L)) < 40L ||
+        col("doc_id") < 20L || col("doc_id") >= 1000000L)
+    val sh = shingleHashRows(sample).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val truePairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .where(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sigs = minhashFromHashRows(sh).localCheckpoint()
+    val perBanding = SweepBandings.map { case (b, r) =>
+      val bands = sigs.select(col("doc_id"),
+          explode(array((0 until b).map(i =>
+            struct(lit(i).as("band_id"),
+              slice(col("minhash"), i * r + 1, r).as("band_key"))): _*))
+            .as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().localCheckpoint()
+      val hit = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"), col("n_cand"), col("n_hit"))
+    }.reduce(_ unionAll _)
+    perBanding.crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        col("n_cand"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
+      .orderBy(col("bands"))
+  }
+
+  def lshBandingSweepSql(threshold: Double = 0.8): String = {
+    val configArms = SweepBandings.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |       CAST($r AS BIGINT) AS rows_per_band,
+         |       (SELECT count(*) FROM true_p) AS n_true,
+         |       (SELECT count(*) FROM (
+         |          SELECT DISTINCT x.doc_id, y.doc_id
+         |          FROM bands_$b x JOIN bands_$b y
+         |            ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |           AND x.doc_id < y.doc_id)) AS n_cand,
+         |       (SELECT count(*) FROM (
+         |          SELECT doc_a, doc_b FROM true_p
+         |          INTERSECT
+         |          SELECT DISTINCT x.doc_id, y.doc_id
+         |          FROM bands_$b x JOIN bands_$b y
+         |            ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |           AND x.doc_id < y.doc_id)) AS n_hit""".stripMargin
+    }.mkString("\n|UNION ALL\n|".stripMargin)
+    val bandCtes = SweepBandings.map { case (b, r) =>
+      s"""bands_$b AS (
+         |  SELECT doc_id, bb AS band_id,
+         |         sig[bb*$r+1 : bb*$r+$r] AS band_key
+         |  FROM docs, range(0, $b) AS t(bb)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH samp AS (
+       |  SELECT doc_id, text FROM (${docsWithInjectedDupsSql()})
+       |  WHERE (${Hashing.hexHashSql("CAST(doc_id AS VARCHAR)")} % 100) < 40
+       |     OR doc_id < 20 OR doc_id >= 1000000
+       |), base AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform($shinglesSql,
+       |           s -> ${Hashing.hexHashSql("s")})) AS sh,
+       |         $baseHashesSql AS h0
+       |  FROM samp
+       |), docs AS (
+       |  SELECT doc_id, sh, ${signatureFromBaseSql("h0")} AS sig FROM base
+       |), true_p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    >= $threshold
+       |), $bandCtes
+       |SELECT bands, rows_per_band, n_true, n_cand, n_hit,
+       |       (n_hit * 1000000) // n_true AS recall_ppm
+       |FROM ($configArms)
+       |ORDER BY bands""".stripMargin
+  }
+
   def minhashPairs(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     // localCheckpoint pins the computed signatures/shingle hashes: a lazy
     // plan would re-derive them for EVERY downstream branch (x side, y side,
@@ -1295,6 +1406,7 @@ object Dedup {
     "q_minhash_sig"   -> ((s, d) => minhashSig(s, d)),
     "q_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "q_dedup_eval"    -> ((s, d) => lshRecallEval(s, d)),
+    "q_lsh_sweep"     -> ((s, d) => lshBandingSweep(s, d)),
     "q_simhash"       -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -1315,6 +1427,7 @@ object Dedup {
     "q_minhash_sig"   -> minhashSigSql,
     "q_minhash_pairs" -> minhashPairsSql(),
     "q_dedup_eval"    -> lshRecallEvalSql(),
+    "q_lsh_sweep"     -> lshBandingSweepSql(),
     "q_simhash"       -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(),
     "q_ngram_jaccard" -> ngramJaccardSql(),

@@ -483,7 +483,11 @@ object Similarity {
     val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L)
       .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
         transform(col("emb"), x => x * lit(0.9) + lit(0.01)).as("emb"))
-    val corpus = slice.unionAll(planted)
+    // pin the bounded corpus once: it fans out into the cell-assignment
+    // aggregate AND the join's probe side (exchange reuse does not fire
+    // across fan-out branches — the slice scan + planted transform would
+    // otherwise run twice)
+    val corpus = slice.unionAll(planted).localCheckpoint()
     val withCell = corpus.join(ivfAssignDf(corpus), Seq("vec_id"))
       .localCheckpoint()
     val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
