@@ -601,6 +601,152 @@ object Similarity {
        |       (SELECT count(*) FROM planted) AS n_planted_found""".stripMargin
   }
 
+  /** NPROBE PARAMETER SWEEP — the IVF twin of the text side's banding
+    * sweep (q_lsh_sweep): from ONE scoring pass over the same bounded
+    * corpus as [[ivfRecallEval]], rank IVF top-k at EVERY nprobe
+    * 1..[[IvfCells]] and report per setting the retrieved count, the
+    * overlap with brute-force truth (recall in ppm) and the planted-
+    * neighbor recovery. More probes = more cells scanned (serving
+    * cost) for more recall; the operator picks the smallest nprobe
+    * above the target from this curve and serves the full corpus with
+    * it. The scored frame and the brute ranking are computed once and
+    * pinned; each nprobe is just a filtered re-rank. */
+  def ivfNprobeSweep(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    graft.plans.CosineSim.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = embDouble(spark, d).select(col("vec_id"), col("emb"))
+    val slice = e.where(
+      pmod(graft.functions.Hashing.hexHash(col("vec_id").cast("string")),
+        lit(100L)) < 25L || pmod(col("vec_id"), lit(97L)) === 0L)
+    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L)
+      .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+        transform(col("emb"), x => x * lit(0.9) + lit(0.01)).as("emb"))
+    val corpus = slice.unionAll(planted).localCheckpoint()
+    val withCell = corpus.join(ivfAssignDf(corpus), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .localCheckpoint()
+    // ranked probe cells, UNfiltered — every nprobe slices this frame
+    val probeRanked = ivfDistAgg(queries.select(
+        col("q_id").as("vec_id"), col("q_emb").as("emb")))
+      .select(col("vec_id").as("q_id"),
+        explode(array((0 until IvfCells).map(kk =>
+          struct(col(s"d$kk").as("dist"), lit(kk).as("cell"))): _*)).as("c"))
+      .select(col("q_id"), col("c.dist"), col("c.cell"))
+      .withColumn("pr", row_number().over(
+        w.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+      .select(col("q_id"), col("cell"), col("pr"))
+      .localCheckpoint()
+    val scored = withCell.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        cosineFast(col("emb"), col("q_emb")).as("cs"))
+      .localCheckpoint()
+    def topk(df: DataFrame): DataFrame =
+      df.withColumn("rk", row_number().over(
+          w.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))))
+        .where(col("rk") <= k).select(col("q_id"), col("vec_id"))
+    val brute = topk(scored).localCheckpoint()
+    val perProbe = (1 to IvfCells).map { np =>
+      val ivf = topk(scored.join(broadcast(
+        probeRanked.where(col("pr") <= np).select(col("q_id"), col("cell"))),
+        Seq("q_id", "cell")))
+      val hit = brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+      val plantedHit =
+        ivf.where(col("vec_id") === col("q_id") + lit(PlantOffset))
+      ivf.agg(count(lit(1)).as("n_ivf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(plantedHit.agg(count(lit(1)).as("n_planted_found")))
+        .select(lit(np.toLong).as("nprobe"), col("n_ivf"), col("n_hit"),
+          col("n_planted_found"))
+    }.reduce(_ unionAll _)
+    perProbe.crossJoin(brute.agg(count(lit(1)).as("n_true")))
+      .select(col("nprobe"), col("n_true"), col("n_ivf"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_true").as("recall_ppm"),
+        col("n_planted_found"))
+      .orderBy(col("nprobe"))
+  }
+
+  def ivfNprobeSweepSql(k: Int = 10): String = {
+    val cos = cosineSql("c.de", "q.q_emb")
+    val distArms = (0 until IvfCells).map(kk =>
+      s"SELECT vec_id AS q_id, $kk AS cell, " +
+        s"${ivfDistSql(kk, "de")} AS dist FROM qrows")
+      .mkString("\n       |    UNION ALL\n       |    ")
+    val dists = (0 until IvfCells)
+      .map(kk => s"${ivfDistSql(kk, "de")} AS d$kk")
+      .mkString(",\n       |         ")
+    val least =
+      s"least(${(0 until IvfCells).map(kk => s"d$kk").mkString(", ")})"
+    val cases = (0 until IvfCells)
+      .map(kk => s"WHEN d$kk = m THEN $kk").mkString(" ")
+    val probeArms = (1 to IvfCells).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |       (SELECT count(*) FROM ivf_$np) AS n_ivf,
+         |       (SELECT count(*) FROM (
+         |          SELECT q_id, vec_id FROM brute
+         |          INTERSECT SELECT q_id, vec_id FROM ivf_$np)) AS n_hit,
+         |       (SELECT count(*) FROM ivf_$np
+         |        WHERE vec_id = q_id + $PlantOffset) AS n_planted_found"""
+        .stripMargin
+    }.mkString("\n|UNION ALL\n|".stripMargin)
+    val ivfCtes = (1 to IvfCells).map { np =>
+      s"""ivf_$np AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT s.q_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.q_id
+         |        ORDER BY s.cs DESC, s.vec_id) AS rk
+         |    FROM scored s JOIN probe p
+         |      ON s.q_id = p.q_id AND s.cell = p.cell AND p.pr <= $np)
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH qsrc AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+       |  FROM embeddings WHERE vec_id % 97 = 0
+       |), corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+       |  WHERE (${Hashing.hexHashSql("CAST(vec_id AS VARCHAR)")} % 100) < 25
+       |     OR vec_id % 97 = 0
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset,
+       |         list_transform(de, x -> x * 0.9 + 0.01) FROM qsrc
+       |), cells AS (
+       |  SELECT vec_id, de, CAST(CASE $cases END AS INT) AS cell
+       |  FROM (SELECT vec_id, de, $least AS m,
+       |        ${(0 until IvfCells).map(kk => s"d$kk").mkString(", ")}
+       |        FROM (SELECT vec_id, de,
+       |        $dists
+       |        FROM corpus))
+       |), qrows AS (
+       |  SELECT vec_id, de FROM corpus
+       |  WHERE vec_id % 97 = 0 AND vec_id < $PlantOffset
+       |), q AS (
+       |  SELECT vec_id AS q_id, de AS q_emb FROM qrows
+       |), probe AS (
+       |  SELECT q_id, cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+       |  FROM (
+       |    $distArms
+       |  )
+       |), scored AS (
+       |  SELECT q.q_id, c.vec_id, c.cell, $cos AS cs
+       |  FROM cells c, q WHERE c.vec_id <> q.q_id
+       |), brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cs DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= $k
+       |), $ivfCtes
+       |SELECT nprobe, (SELECT count(*) FROM brute) AS n_true, n_ivf,
+       |       n_hit, (n_hit * 1000000) // (SELECT count(*) FROM brute)
+       |         AS recall_ppm, n_planted_found
+       |FROM ($probeArms)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ---- dedup → curation composite -------------------------------------------
 
   /** The cross-table training-data story in one query: embedding near-dup
@@ -1361,6 +1507,7 @@ object Similarity {
     "q_ivf_topk"        -> ((s, d) => ivfTopK(s, d)),
     "q_ivf_probe3"      -> ((s, d) => ivfTopKProbe(s, d)),
     "q_ann_recall"      -> ((s, d) => ivfRecallEval(s, d)),
+    "q_ann_sweep"       -> ((s, d) => ivfNprobeSweep(s, d)),
     "q_label_centroids" -> ((s, d) => labelCentroids(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1381,6 +1528,7 @@ object Similarity {
     "q_dedup_quality"   -> dedupQualitySql(),
     "q_ivf_cells"       -> ivfCellsSql,
     "q_ann_recall"      -> ivfRecallEvalSql(),
+    "q_ann_sweep"       -> ivfNprobeSweepSql(),
     "q_ivf_topk"        -> ivfTopKSql(),
     "q_ivf_probe3"      -> ivfTopKProbeSql(),
     "q_label_centroids" -> labelCentroidsSql)
