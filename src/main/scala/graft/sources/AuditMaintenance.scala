@@ -2737,6 +2737,26 @@ private[sources] object GraftProcedures {
       rows: Long, vectors: Long, recovery: Int, action: String,
       why: String, selector: Option[String])
 
+  /** Expand a `<ns>.*` wildcard to every AUDIT table in the namespace
+    * (views and non-audit tables are skipped), sorted by name; a plain
+    * table name passes through. At 100 TB nobody loops over tables by
+    * hand either — `maintenance_plan`/`maintenance_apply` accept the
+    * wildcard so one CALL covers the whole namespace. */
+  private def expandTables(catalog: GraftCatalog, table: String): Seq[String] =
+    if (!table.endsWith(".*")) Seq(table)
+    else {
+      val ns = table.dropRight(2).split('.').filter(_.nonEmpty)
+      require(ns.nonEmpty,
+        s"graft maintenance: bad wildcard '$table' — use '<namespace>.*'")
+      catalog.listTables(ns).toSeq
+        .map(id => (id.namespace() :+ id.name()).mkString("."))
+        .sorted
+        .filter { n =>
+          try { catalog.resolveAuditTableFull(n); true }
+          catch { case _: Exception => false }
+        }
+    }
+
   /** One IN-list-batched call covering several flagged dirs:
     * `selector` is the exact `partition_filter`, `targets` the relDirs
     * it covers (so the executor knows which flagged dirs are already
@@ -2880,30 +2900,37 @@ private[sources] object GraftProcedures {
           StructField("pending_recovery", IntegerType, nullable = false),
           StructField("action", StringType, nullable = false),
           StructField("recommendation", StringType, nullable = false)))
-        val (recs, batched) = planRecs(catalog, table, maxFiles, vecThresh)
-        val dirRows = recs.map { r =>
-          val detail =
-            if (r.action == "none") r.why
-            else r.selector.fold(r.why)(sel =>
-              s"${r.why} — partition_filter => '$sel'")
-          Array[Any](str(r.target), r.files, r.rows, r.vectors, r.recovery,
-            str(r.action), str(detail))
-        }
-        // batch summaries: flagged dirs in IN-list calls — "(table)" when
-        // one batch covers every flagged dir of the action (single-level
-        // layouts), "(batch)" for multi-level per-prefix groups
-        val summary: Seq[Array[Any]] = batched.toSeq.sortBy(_._1)
-          .flatMap { case (act, bs) =>
-            val allOfAction = bs.size == 1 &&
-              bs.head.targets.size == recs.count(_.action == act)
-            bs.map { b =>
-              Array[Any](str(if (allOfAction) "(table)" else "(batch)"),
-                0, 0L, 0L, 0, str(act),
-                str(s"batch ${b.targets.size} flagged dirs in one " +
-                  s"call — partition_filter => '${b.selector}'"))
-            }
+        val tables = expandTables(catalog, table)
+        val wildcard = tables != Seq(table)
+        def pfx(t: String, tgt: String) = if (wildcard) s"$t:$tgt" else tgt
+        val allRows = tables.flatMap { t =>
+          val (recs, batched) = planRecs(catalog, t, maxFiles, vecThresh)
+          val dirRows = recs.map { r =>
+            val detail =
+              if (r.action == "none") r.why
+              else r.selector.fold(r.why)(sel =>
+                s"${r.why} — partition_filter => '$sel'")
+            Array[Any](str(pfx(t, r.target)), r.files, r.rows, r.vectors,
+              r.recovery, str(r.action), str(detail))
           }
-        rowsOf(schema, dirRows ++ summary)
+          // batch summaries: flagged dirs in IN-list calls — "(table)"
+          // when one batch covers every flagged dir of the action
+          // (single-level layouts), "(batch)" for per-prefix groups
+          val summary: Seq[Array[Any]] = batched.toSeq.sortBy(_._1)
+            .flatMap { case (act, bs) =>
+              val allOfAction = bs.size == 1 &&
+                bs.head.targets.size == recs.count(_.action == act)
+              bs.map { b =>
+                Array[Any](
+                  str(pfx(t, if (allOfAction) "(table)" else "(batch)")),
+                  0, 0L, 0L, 0, str(act),
+                  str(s"batch ${b.targets.size} flagged dirs in one " +
+                    s"call — partition_filter => '${b.selector}'"))
+              }
+            }
+          dirRows ++ summary
+        }
+        rowsOf(schema, allRows)
       }
     }
   }
@@ -2963,13 +2990,17 @@ private[sources] object GraftProcedures {
           StructField("action", StringType, nullable = false),
           StructField("executed_call", StringType, nullable = false)))
         val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        val tables = expandTables(catalog, table)
+        val wildcard = tables != Seq(table)
+        tables.foreach { tbl =>
+        def pfx(tgt: String) = if (wildcard) s"$tbl:$tgt" else tgt
         var round = 1
         var converged = false
         while (!converged && round <= maxRounds) {
-          val (recs, batched) = planRecs(catalog, table, maxFiles, vecThresh)
+          val (recs, batched) = planRecs(catalog, tbl, maxFiles, vecThresh)
           val actionable = recs.filter(_.action != "none")
           if (actionable.isEmpty) {
-            out += Array[Any](round, str("(plan)"), str("none"),
+            out += Array[Any](round, str(pfx("(plan)")), str("none"),
               str(s"converged: every target healthy"))
             converged = true
           } else {
@@ -2984,43 +3015,45 @@ private[sources] object GraftProcedures {
               else if (flagged.exists(_.selector.isEmpty)) {
                 val c = mkCall(None)
                 spark.sql(c)
-                out += Array[Any](round, str("(table)"), str(action), str(c))
+                out += Array[Any](round, str(pfx("(table)")), str(action),
+                  str(c))
               } else {
                 val batches = batched.getOrElse(action, Seq.empty)
                 val covered = batches.flatMap(_.targets).toSet
                 batches.foreach { b =>
                   val c = mkCall(Some(b.selector))
                   spark.sql(c)
-                  out += Array[Any](round, str(s"${b.targets.size} dirs"),
-                    str(action), str(c))
+                  out += Array[Any](round,
+                    str(pfx(s"${b.targets.size} dirs")), str(action), str(c))
                 }
                 flagged.filterNot(r => covered.contains(r.target)).foreach {
                   r =>
                     val c = mkCall(r.selector)
                     spark.sql(c)
-                    out += Array[Any](round, str(r.target), str(action),
+                    out += Array[Any](round, str(pfx(r.target)), str(action),
                       str(c))
                 }
               }
             }
             exec("VACUUM", sel =>
-              s"CALL $cname.system.vacuum(table => '$table'" +
+              s"CALL $cname.system.vacuum(table => '$tbl'" +
                 sel.fold("")(s => s", partition_filter => '${sq(s)}'") + ")")
             exec("OPTIMIZE", sel =>
-              s"CALL $cname.system.optimize(table => '$table', " +
+              s"CALL $cname.system.optimize(table => '$tbl', " +
                 s"target_file_count => $tfc" +
                 sel.fold("")(s => s", partition_filter => '${sq(s)}'") + ")")
             round += 1
           }
         }
         if (!converged) {
-          val (recs, _) = planRecs(catalog, table, maxFiles, vecThresh)
+          val (recs, _) = planRecs(catalog, tbl, maxFiles, vecThresh)
           val left = recs.count(_.action != "none")
-          out += Array[Any](round, str("(plan)"),
+          out += Array[Any](round, str(pfx("(plan)")),
             str(if (left == 0) "none" else "stuck"),
             str(if (left == 0) "converged: every target healthy"
             else s"$left actionable target(s) after ${maxRounds} rounds"))
         }
+        } // tables.foreach
         rowsOf(schema, out.toSeq)
       }
     }

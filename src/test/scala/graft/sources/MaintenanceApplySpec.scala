@@ -165,6 +165,40 @@ class MaintenanceApplySpec extends AnyFunSuite {
       again.last._4.contains("converged"), again)
   }
 
+  test("namespace wildcard 'db.*': plan lists every audit table " +
+    "(non-audit catalog tables skipped), apply heals them all in one CALL") {
+    val (cat, _) = freshCat("w")
+    spark.sql(s"CREATE TABLE $cat.db.frag (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.frag SELECT id, id FROM range(50)")
+    (0 until 9).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.frag VALUES (${1000 + i}, 0)"))
+    spark.sql(s"CREATE TABLE $cat.db.ok (id BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.ok SELECT id FROM range(10)")
+    // a non-audit catalog table in the same namespace: must be SKIPPED
+    spark.sql(s"CREATE TABLE $cat.db.pg USING paged " +
+      "OPTIONS (pages '2', pageSize '10')")
+    val plan = spark.sql(
+      s"CALL $cat.system.maintenance_plan(table => 'db.*')").collect()
+      .map(r => (r.getString(0), r.getString(5))).toSeq
+    assert(plan.toSet === Set(("db.frag:(table)", "OPTIMIZE"),
+      ("db.ok:(table)", "none")), plan)
+    val rows = spark.sql(
+      s"CALL $cat.system.maintenance_apply(table => 'db.*')").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(rows.exists(r => r._2 === "db.frag:(table)" &&
+      r._3 === "OPTIMIZE" &&
+      r._4 === s"CALL $cat.system.optimize(table => 'db.frag', " +
+        "target_file_count => 1)"), rows)
+    // both tables converge; the healthy one is a pure no-op report
+    assert(rows.filter(_._3 === "none").map(_._2).toSet ===
+      Set("db.frag:(plan)", "db.ok:(plan)"), rows)
+    assert(spark.table(s"$cat.db.frag").count() === 59L)
+    // re-plan: everything healthy
+    assert(spark.sql(s"CALL $cat.system.maintenance_plan(table => 'db.*')")
+      .collect().forall(_.getString(5) == "none"))
+  }
+
   test("unpartitioned: backlog folds, fragmentation compacts, healthy " +
     "is a no-op one-row report") {
     val (cat, _) = freshCat("u")
