@@ -165,6 +165,80 @@ object TextAnalysis {
       |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
       |FROM lab GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** QUALITY-CUTOFF SWEEP — the third tuning curve a curation pipeline
+    * reads (after dedup banding and ANN nprobe): an integer-exact
+    * quality score per document (lexical diversity + length-band bonus
+    * − stopword penalty, all floor-div permille so both engines agree
+    * bit-for-bit), bucketed by score/100, with the CUMULATIVE
+    * kept-docs/kept-tokens curve from the best bucket down. The
+    * operator picks the cutoff whose cumulative token count fits the
+    * training budget ("keep the top X% of tokens by quality").
+    * Map-only scan → ~20-row bucket rollup; the global window runs
+    * over BUCKETS, not rows, so the single-partition sort is
+    * constant-sized at any corpus scale. */
+  def qualitySweep(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val base = documents(spark, d).select(col("doc_id"),
+      greatest(size(t).cast("long"), lit(1L)).as("w"),
+      size(array_distinct(t)).cast("long").as("dw"),
+      size(filter(t, x => x === lit("a") || x === lit("the")))
+        .cast("long").as("st"))
+    // +1000 offset keeps the score NONNEGATIVE: Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so a negative score would
+    // bucket differently per engine
+    val scored = base.select(col("w"),
+      (lit(1000L) + expr("dw * 1000 div w") +
+        when(col("w").between(40L, 400L), 200L).otherwise(0L) -
+        expr("st * 1000 div w")).as("score"))
+    val bucketed = scored
+      .select(expr("score div 100").as("bucket"), col("w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_tokens"))
+    val wdesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_docs", sum("n_docs").over(wdesc))
+      .withColumn("cum_tokens", sum("n_tokens").over(wdesc))
+      .crossJoin(scored.agg(sum("w").as("total_tokens")))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        expr("(cum_tokens * 1000000) div total_tokens")
+          .as("cum_tokens_ppm"))
+      .orderBy(col("bucket").desc)
+  }
+
+  val qualitySweepSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    greatest(len(string_split(text, ' ')), 1) AS w,
+      |    len(list_distinct(string_split(text, ' '))) AS dw,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('a','the'))) AS st
+      |  FROM documents),
+      |scored AS (
+      |  SELECT w,
+      |    1000 + (dw * 1000) // w
+      |      + CASE WHEN w BETWEEN 40 AND 400 THEN 200 ELSE 0 END
+      |      - (st * 1000) // w AS score
+      |  FROM sig),
+      |bucketed AS (
+      |  SELECT score // 100 AS bucket, count(*) AS n_docs,
+      |         CAST(sum(w) AS BIGINT) AS n_tokens
+      |  FROM scored GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, n_docs, n_tokens,
+      |    CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+      |    CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM bucketed)
+      |SELECT bucket, n_docs, n_tokens, cum_docs, cum_tokens,
+      |       (cum_tokens * 1000000)
+      |         // (SELECT CAST(sum(w) AS BIGINT) FROM scored)
+      |         AS cum_tokens_ppm
+      |FROM cum ORDER BY bucket DESC""".stripMargin
+
   def gopherFilter(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val wc = size(t).cast("long")
@@ -1713,6 +1787,7 @@ object TextAnalysis {
     "q_chunk_gen"        -> ((s, d) => chunkDocsGen(s, d)),
     "q_gopher_filter"    -> ((s, d) => gopherFilter(s, d)),
     "q_filter_funnel"    -> ((s, d) => filterFunnel(s, d)),
+    "q_quality_sweep"    -> ((s, d) => qualitySweep(s, d)),
     "q_sent_chunk"       -> ((s, d) => sentenceChunks(s, d)),
     "q_bpe_pairs"        -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply"        -> ((s, d) => bpeApply(s, d)),
@@ -1799,6 +1874,7 @@ object TextAnalysis {
     "q_bpe_apply"     -> bpeApplySql,
     "q_data_pipeline" -> dataPipelineSql,
     "q_filter_funnel" -> filterFunnelSql,
+    "q_quality_sweep" -> qualitySweepSql,
     "q_url_parse"     -> urlParseSql,
     "q_perplexity"    -> perplexitySql,
     "q_repetition"    -> repetitionSignalSql,
