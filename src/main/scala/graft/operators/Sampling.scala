@@ -186,16 +186,16 @@ object Sampling {
     * training shards that are balanced in BOTH doc count and volume
     * without a bin-packing pass. Output is the per-shard balance sheet
     * proving it (counts within 1, volumes near-equal). The global
-    * row_number is a range-partitioned sort at scale — same cost class as
-    * [[graft.ops.LakeOps.rangeBounds]]; everything after is shard-sized. */
+    * row_number is [[ScaleTools.globalRank]] — range partition on the
+    * curriculum key, broadcast per-partition counts as offsets — so the
+    * widest stage is one range partition, never the whole corpus;
+    * everything after is shard-sized. */
   val NShards = 16
 
   def shardAssign(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    documents(spark, d)
-      .select(col("doc_id"), col("n_chars"),
-        row_number().over(w).cast("long").as("rank"))
+    ScaleTools.globalRank(
+      documents(spark, d).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc), "rank")
       .withColumn("shard", (col("rank") - 1) % NShards)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),

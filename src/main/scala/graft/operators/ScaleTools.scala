@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale join machinery the 100 TB deployment leans on: bucketed
@@ -93,6 +93,174 @@ object ScaleTools {
     val smallS = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i)): _*)))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  // ---- exact global order without a single-partition window -----------------
+  //
+  // row_number()/ntile()/running aggregates OVER (ORDER BY ...) with no
+  // PARTITION BY plan as ONE WindowExec partition — every row through a
+  // single task, the canonical 100 TB scale-killer. These primitives compute
+  // the SAME exact answers in two passes:
+  //
+  //   1. repartitionByRange on the sort key (the RangePartitioner pass every
+  //      global sort already pays) + sortWithinPartitions, then pin the
+  //      partitioning (localCheckpoint here; persist/checkpoint on a
+  //      cluster — the pin is what lets the stats pass and the main pass
+  //      read the SAME physical partitions).
+  //   2. collect per-partition stats — one row PER PARTITION (planner-sized,
+  //      the zoneMap discipline, never data-sized) — prefix-combine them on
+  //      the driver, and broadcast the per-partition offsets back as a
+  //      literal map keyed by partition id.
+  //
+  // Range partition i holds exactly the rows sorting before partition i+1,
+  // so (offset of earlier partitions) + (local position) IS the global
+  // position: bit-for-bit what the single-partition window returns, with the
+  // widest stage bounded by one range partition. Local positions come free
+  // from monotonically_increasing_id (partition id in the high 33 bits,
+  // sequential local index in the low bits — stable once pinned); running
+  // aggregates additionally use a window PARTITIONED BY the range-partition
+  // id, so no unpartitioned WindowExec appears anywhere in the plan
+  // (PlanAuditSpec lints the whole query surface for exactly that).
+
+  private val MidCol = "__graft_mid"
+  private def pidOf: Column = shiftright(col(MidCol), 33)
+  private def localOf: Column = col(MidCol).bitwiseAND(lit((1L << 33) - 1))
+
+  private def rangePin(df: DataFrame, sortExprs: Seq[Column], parts: Int): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn(MidCol, monotonically_increasing_id())
+      .localCheckpoint()
+  }
+
+  /** Literal bigint→bigint map — the broadcast vehicle for per-partition
+    * offsets (≤ #partitions entries, so always plan-literal-sized). */
+  private def litLongMap(entries: Seq[(Long, Long)]): Column =
+    map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** Exact global `row_number() OVER (ORDER BY sortExprs)` as `rankCol`
+    * (1-based bigint), plus the total row count. The sort key must be a
+    * total order (include a tie-break column) for the rank to be
+    * well-defined — the same requirement the window form has. */
+  def globalRankAndCount(df: DataFrame, sortExprs: Seq[Column],
+      rankCol: String = "rank", parts: Int = 0): (DataFrame, Long) = {
+    val pinned = rangePin(df, sortExprs, parts)
+    val cnts = pinned.groupBy(pidOf.as("p")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (p, c) => val e = (p, acc); acc += c; e }
+    val rank =
+      if (offs.isEmpty) localOf + lit(1L)
+      else element_at(litLongMap(offs.toIndexedSeq), pidOf) + localOf + lit(1L)
+    (pinned.withColumn(rankCol, rank.cast("long")).drop(MidCol), acc)
+  }
+
+  def globalRank(df: DataFrame, sortExprs: Seq[Column], rankCol: String = "rank",
+      parts: Int = 0): DataFrame =
+    globalRankAndCount(df, sortExprs, rankCol, parts)._1
+
+  /** Exact global `ntile(k) OVER (ORDER BY sortExprs)` as `binCol` (bigint).
+    * SQL ntile semantics reconstructed from the exact global rank: with n
+    * rows, the first n%k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ — pure
+    * integer arithmetic on the rank, so the output is hash-identical to the
+    * window form on both engines. */
+  def globalNtile(df: DataFrame, sortExprs: Seq[Column], k: Int,
+      binCol: String, parts: Int = 0): DataFrame = {
+    require(k > 0, "ntile bucket count must be positive")
+    val (ranked, n) = globalRankAndCount(df, sortExprs, "__graft_rank", parts)
+    val small = n / k
+    val r = n % k
+    val big = small + 1
+    val cut = r * big
+    val bin =
+      if (small == 0) col("__graft_rank") // n <= k: each row its own bucket
+      else when(col("__graft_rank") <= cut,
+          floor((col("__graft_rank") - 1) / lit(big)) + 1)
+        .otherwise(lit(r) + floor((col("__graft_rank") - lit(cut) - 1) / lit(small)) + 1)
+    ranked.withColumn(binCol, bin.cast("long")).drop("__graft_rank")
+  }
+
+  /** Exact global rank AND inclusive running sums of each `(value, outCol)`
+    * over the same total order (all bigint), plus the grand totals —
+    * returned driver-side so callers never re-scan the input just to divide
+    * by them. The running sums use a window PARTITIONED BY the
+    * range-partition id (local prefix) plus the broadcast earlier-partition
+    * totals; every value shares the one stats pass and the one local
+    * window sort. */
+  def globalRankPrefixSums(df: DataFrame, sortExprs: Seq[Column],
+      values: Seq[(Column, String)], rankCol: String = "rank",
+      parts: Int = 0): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val pinned = rangePin(df, sortExprs, parts)
+    val aggs = count(lit(1)).as("c") +:
+      values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"s$i") }
+    val st = pinned.groupBy(pidOf.as("p")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        values.indices.map(i => if (r.isNullAt(i + 2)) 0L else r.getLong(i + 2))))
+      .sortBy(_._1)
+    var accC = 0L
+    val accS = Array.fill(values.size)(0L)
+    val offs = st.map { case (p, c, ss) =>
+      val e = (p, accC, accS.toIndexedSeq)
+      accC += c
+      ss.zipWithIndex.foreach { case (s, i) => accS(i) += s }
+      e }
+    val rank =
+      if (offs.isEmpty) localOf + lit(1L)
+      else element_at(litLongMap(offs.map(o => (o._1, o._2)).toIndexedSeq), pidOf) +
+        localOf + lit(1L)
+    val wLoc = Window.partitionBy(pidOf).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRank = pinned.withColumn(rankCol, rank.cast("long"))
+    val out = values.zipWithIndex.foldLeft(withRank) {
+      case (acc, ((v, name), i)) =>
+        val runOff =
+          if (offs.isEmpty) lit(0L)
+          else element_at(litLongMap(offs.map(o => (o._1, o._3(i))).toIndexedSeq), pidOf)
+        acc.withColumn(name, (sum(v).over(wLoc) + runOff).cast("long"))
+    }
+    (out.drop(MidCol), accS.toIndexedSeq)
+  }
+
+  /** Single-value form of [[globalRankPrefixSums]]. */
+  def globalRankPrefixSum(df: DataFrame, sortExprs: Seq[Column], value: Column,
+      rankCol: String = "rank", runCol: String = "run",
+      parts: Int = 0): (DataFrame, Long) = {
+    val (out, tots) =
+      globalRankPrefixSums(df, sortExprs, Seq((value, runCol)), rankCol, parts)
+    (out, tots.head)
+  }
+
+  /** Exact `max(value) OVER (ORDER BY sortExprs ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` — the strict prefix max (null for the
+    * first row), as `outCol`. Local strict prefix within each range
+    * partition (window partitioned by partition id) combined with the
+    * broadcast max over all strictly-earlier partitions. */
+  def globalPrefixMax(df: DataFrame, sortExprs: Seq[Column], value: Column,
+      outCol: String, parts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pinned = rangePin(df, sortExprs, parts)
+    val st = pinned.groupBy(pidOf.as("p")).agg(max(value).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var run: Option[Long] = None
+    val prev = st.flatMap { case (p, m) =>
+      val e = run.map(v => (p, v))
+      run = (run.toSeq ++ m.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+      e }
+    val wLoc = Window.partitionBy(pidOf).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localPrev = max(value).over(wLoc)
+    val partPrev =
+      if (prev.isEmpty) lit(null).cast("long")
+      else element_at(litLongMap(prev.toIndexedSeq), pidOf)
+    // greatest() skips nulls (null only when BOTH are null — i.e. the very
+    // first rows of the total order), exactly the window frame's semantics
+    pinned.withColumn(outCol, greatest(localPrev, partPrev)).drop(MidCol)
   }
 
   /** Bloom-filter-accelerated incremental delta load (EXACT result): keep

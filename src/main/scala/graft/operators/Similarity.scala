@@ -1438,21 +1438,22 @@ object Similarity {
     * Scale: each list is produced by its own scale-correct path (BM25 =
     * broadcast corpus stats over the scan; cosine = broadcast query +
     * TakeOrderedAndProject partial top-k), cut to a CONSTANT RrfN rows
-    * before any ranking window runs — the global row_number only ever sees
-    * 50 rows, and the fusion join is constant-size. Ranks are total-ordered
-    * (score desc, id) so ties are deterministic; the fused score is one
-    * two-term double sum in fixed order, then 1e-9-floor-quantized. */
+    * before any ranking runs — the global rank only ever sees 50 rows, via
+    * the two-pass [[ScaleTools.globalRank]] (so even the list ranking
+    * plans with no unpartitioned window), and the fusion join is
+    * constant-size. Ranks are total-ordered (score desc, id) so ties are
+    * deterministic; the fused score is one two-term double sum in fixed
+    * order, then 1e-9-floor-quantized. */
   def rrfFusion(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = TextAnalysis.bm25(spark, d)
-      .orderBy(col("bm25_q").desc, col("doc_id")).limit(RrfN)
-      .select(col("doc_id"),
-        row_number().over(Window.orderBy(col("bm25_q").desc, col("doc_id")))
-          .cast("long").as("ra"))
-    val sem = cosineTopK(spark, d, 0L, RrfN)
-      .select(col("vec_id").as("doc_id"),
-        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
-          .cast("long").as("rb"))
+    val lex = ScaleTools.globalRank(
+      TextAnalysis.bm25(spark, d)
+        .orderBy(col("bm25_q").desc, col("doc_id")).limit(RrfN),
+      Seq(col("bm25_q").desc, col("doc_id")), "ra")
+      .select(col("doc_id"), col("ra"))
+    val sem = ScaleTools.globalRank(
+      cosineTopK(spark, d, 0L, RrfN),
+      Seq(col("cos_sim").desc, col("vec_id")), "rb")
+      .select(col("vec_id").as("doc_id"), col("rb"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("ra"), col("rb"),
         floor((coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +

@@ -173,9 +173,12 @@ object TextAnalysis {
     * kept-docs/kept-tokens curve from the best bucket down. The
     * operator picks the cutoff whose cumulative token count fits the
     * training budget ("keep the top X% of tokens by quality").
-    * Map-only scan → ~20-row bucket rollup; the global window runs
-    * over BUCKETS, not rows, so the single-partition sort is
-    * constant-sized at any corpus scale. */
+    * ONE map-only scan → ~20-row bucket rollup; both cumulative curves
+    * and the grand total come out of [[ScaleTools.globalRankPrefixSums]]
+    * over the bucket frame (the total is the sum of the per-partition
+    * sums that pass collects anyway — never a second scan of
+    * `documents`, and no unpartitioned window; PlanAuditSpec pins both
+    * properties). */
   def qualitySweep(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val base = documents(spark, d).select(col("doc_id"),
@@ -194,16 +197,15 @@ object TextAnalysis {
       .select(expr("score div 100").as("bucket"), col("w"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("w").as("n_tokens"))
-    val wdesc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    bucketed
-      .withColumn("cum_docs", sum("n_docs").over(wdesc))
-      .withColumn("cum_tokens", sum("n_tokens").over(wdesc))
-      .crossJoin(scored.agg(sum("w").as("total_tokens")))
+    val (cum, totals) = ScaleTools.globalRankPrefixSums(
+      bucketed, Seq(col("bucket").desc),
+      Seq((col("n_docs"), "cum_docs"), (col("n_tokens"), "cum_tokens")),
+      "__graft_rank")
+    val totalTokens = totals(1)
+    cum
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         col("cum_docs"), col("cum_tokens"),
-        expr("(cum_tokens * 1000000) div total_tokens")
+        expr(s"(cum_tokens * 1000000) div ${totalTokens}L")
           .as("cum_tokens_ppm"))
       .orderBy(col("bucket").desc)
   }
@@ -235,7 +237,7 @@ object TextAnalysis {
       |  FROM bucketed)
       |SELECT bucket, n_docs, n_tokens, cum_docs, cum_tokens,
       |       (cum_tokens * 1000000)
-      |         // (SELECT CAST(sum(w) AS BIGINT) FROM scored)
+      |         // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM bucketed)
       |         AS cum_tokens_ppm
       |FROM cum ORDER BY bucket DESC""".stripMargin
 
@@ -848,24 +850,23 @@ object TextAnalysis {
   /** Cumulative vocabulary coverage: rank every token by corpus frequency
     * and report each rank's running share of all token occurrences in exact
     * integer ppm — the "how small can the vocab be" planning table for
-    * tokenizer training. One fact shuffle (term counts); the rank +
-    * running-sum pass runs over the VOCABULARY-cardinality frame (share one
-    * ordering, so one sort), and the grand total broadcasts back. At a
-    * billion-term vocab the single-ordering window becomes a
-    * range-partitioned sort — same cost class as any global rank. */
+    * tokenizer training. One fact shuffle (term counts); the rank + running
+    * sum over the vocabulary frame is the two-pass exact form
+    * ([[ScaleTools.globalRankPrefixSum]]): range partition on (tf desc,
+    * term), local prefix windows PARTITIONED by the range-partition id,
+    * broadcast earlier-partition count/sum offsets — at a billion-term
+    * vocab no stage ever holds more than one range partition. The grand
+    * total falls out of the same per-partition stats (a literal, not a
+    * second scan). */
   def vocabCoverage(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term").asc)
     val tf = documents(spark, d)
       .select(explode(toks(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val tot = tf.agg(sum(col("tf")).as("tot"))
-    tf.withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("run", sum(col("tf")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(tot))
+    val (ranked, tot) = ScaleTools.globalRankPrefixSum(
+      tf, Seq(col("tf").desc, col("term").asc), col("tf"), "rank", "run")
+    ranked
       .select(col("rank"), col("term"), col("tf"),
-        expr("(run * 1000000) div tot").as("cum_ppm"))
+        expr(s"(run * 1000000) div ${tot}L").as("cum_ppm"))
       .orderBy("rank")
   }
 
@@ -1406,9 +1407,7 @@ object TextAnalysis {
     * word-frequency dict; the per-word position explode is bounded by
     * word length, never document length. */
   def bpePairs(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("pair"))
-    documents(spark, d)
+    val counts = documents(spark, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .where(length(col("w")) >= 2)
@@ -1416,7 +1415,10 @@ object TextAnalysis {
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // global rank over the pair vocabulary: two-pass exact
+    // ([[ScaleTools.globalRank]]) — at a byte-pair vocabulary of billions
+    // the ranking still never single-threads
+    ScaleTools.globalRank(counts, Seq(col("cnt").desc, col("pair")), "rank")
       .where(col("rank") <= BpeTopPairs)
       .orderBy("rank")
   }

@@ -206,18 +206,16 @@ object AnalyticOps {
   // --- equal-frequency binning (quantile discretization) --------------------
   // ntile(8) over order totals with a total order (price, orderkey — ties
   // can't straddle a boundary differently per engine), then per-bin count,
-  // range, and exact money sum: the feature-discretization op. The global
-  // ntile is a single-partition window — correct and oracle-exact at test
-  // scale; at 100 TB the same output comes from approx_percentile
-  // boundaries + width_bucket (sampled boundaries, exact routing — the
-  // RangePartitioner construction LakeOps.rangeBounds documents), so the
-  // scan never single-threads.
+  // range, and exact money sum: the feature-discretization op. The ntile is
+  // the two-pass exact form ([[graft.operators.ScaleTools.globalNtile]]):
+  // range partition on the sort key, broadcast per-partition counts as
+  // offsets, integer-reconstruct the bucket — bit-identical to the window
+  // ntile with NO single-partition stage, so the scan never single-threads
+  // at 100 TB.
   def quantileBins(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders(spark, d)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bin", ntile(8).over(w).cast("long"))
+    graft.operators.ScaleTools.globalNtile(
+      orders(spark, d).select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice"), col("o_orderkey")), 8, "bin")
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),
@@ -242,15 +240,16 @@ object AnalyticOps {
   // segments, rebuilt from exact per-group sums: one hash-agg pass collects
   // (n, Σcents, Σcents²) per segment — cents² summed as DECIMAL(38,0)
   // (a long accumulator would overflow past ~4k rows/group at 5e7
-  // cents/row; DuckDB's HUGEINT sum is the same exact form) — then a
-  // 5-row unbounded window derives the complement group by subtraction.
+  // cents/row; DuckDB's HUGEINT sum is the same exact form) — then the
+  // grand totals broadcast back onto the pinned 5-row rollup and the
+  // complement group falls out by subtraction (no unpartitioned window —
+  // WindowLintSpec holds the whole surface to zero of those).
   // All doubles appear AFTER the exact sums, in ONE expression tree both
   // engines evaluate in the same order (exact ints → deterministic
   // doubles; / and sqrt are IEEE-determined), floor-quantized at the
   // boundary. Scale: the shuffle is the groupBy on c_mktsegment (5 keys,
-  // map-side partials do the work); the window is over #segments rows.
+  // map-side partials do the work); the pin is segment-cardinality.
   def welchT(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Money.cents(col("o_totalprice"))
     val per = orders(spark, d)
       .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
@@ -258,11 +257,11 @@ object AnalyticOps {
       .agg(count(lit(1)).as("n"),
         sum(cents).as("s"),
         sum((cents * cents).cast("decimal(38,0)")).as("q"))
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val tot = per
-      .withColumn("nn", sum(col("n")).over(w))
-      .withColumn("ss", sum(col("s")).over(w))
-      .withColumn("qq", sum(col("q")).over(w))
+      // pinned so the totals pass below reads the 5-row rollup, not a
+      // second fact scan (exchange reuse doesn't fire across branches)
+      .localCheckpoint()
+    val tot = per.crossJoin(broadcast(per.agg(
+      sum(col("n")).as("nn"), sum(col("s")).as("ss"), sum(col("q")).as("qq"))))
     val n1 = col("n").cast("double")
     val s1 = col("s").cast("double")
     val q1 = col("q").cast("double")
@@ -538,10 +537,12 @@ object AnalyticOps {
       .groupBy(col("c.c_custkey").as("c_custkey"), col("c.c_acctbal").as("c_acctbal"))
       .agg(count(col("o.o_orderkey")).as("n_orders"))
     val grp = pts.groupBy(col("c_acctbal")).agg(max(col("n_orders")).as("best_y"))
-    val wx = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c_acctbal").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranked = grp.withColumn("prev_max", max(col("best_y")).over(wx))
+    // strict prefix max over descending x: the two-pass exact form — range
+    // partition on x desc, local strict-prefix window PARTITIONED by the
+    // range-partition id, broadcast earlier-partition maxima. Same output as
+    // the unpartitioned sweep window, no single-partition stage.
+    val ranked = graft.operators.ScaleTools.globalPrefixMax(
+      grp, Seq(col("c_acctbal").desc), col("best_y"), "prev_max")
     pts.join(ranked, Seq("c_acctbal"))
       .where(col("n_orders") === col("best_y") &&
         (col("prev_max").isNull || col("prev_max") < col("n_orders")))

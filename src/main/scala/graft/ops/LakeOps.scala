@@ -195,19 +195,21 @@ object LakeOps {
   // --- range-partition boundary planning ------------------------------------
   // The planner step behind repartitionByRange / Iceberg sort-order writes:
   // split a sort key into equal-row buckets and report each bucket's
-  // [min, max] — the split points a writer uses to route rows. Exact
-  // (full-sort ntile) here so the oracle can check it; at 100 TB the same
-  // query runs over a small TABLESAMPLE — sampled boundaries + exact
-  // routing is literally Spark's RangePartitioner algorithm. The ordering
-  // tiebreaks on o_orderkey so equal prices land deterministically.
+  // [min, max] — the split points a writer uses to route rows. Exact ntile
+  // here so the oracle can check it, computed two-pass
+  // ([[graft.operators.ScaleTools.globalNtile]]: range partition +
+  // broadcast per-partition counts — itself the RangePartitioner shape, so
+  // the planner step never single-threads); at 100 TB the same query runs
+  // over a small TABLESAMPLE — sampled boundaries + exact routing is
+  // literally Spark's RangePartitioner algorithm. The ordering tiebreaks
+  // on o_orderkey so equal prices land deterministically.
   private val RangeBuckets = 32
 
   def rangeBounds(spark: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
-    orders(spark, d)
-      .select(col("o_orderkey"), cents.as("price_cents"))
-      .withColumn("bucket", ntile(RangeBuckets)
-        .over(Window.orderBy(col("price_cents"), col("o_orderkey"))).cast("long"))
+    graft.operators.ScaleTools.globalNtile(
+      orders(spark, d).select(col("o_orderkey"), cents.as("price_cents")),
+      Seq(col("price_cents"), col("o_orderkey")), RangeBuckets, "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("price_cents")).as("lo_cents"),

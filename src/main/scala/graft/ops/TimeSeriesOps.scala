@@ -319,13 +319,13 @@ object TimeSeriesOps {
     * engines.
     *
     * Scale: the fact table shuffles ONCE (groupBy custkey); everything
-    * after is customer-cardinality. The three global ntile sorts are
-    * single-ordering window passes over that reduced frame — at extreme
-    * customer counts they'd become range-partitioned sorts (ntile is the
-    * same exact computation under range partitioning; or swap to
-    * approx-percentile bucket edges and lose the exact-equal-bucket
-    * property, which this operator deliberately keeps). Monetary is the
-    * exact integer-cents sum recombined only at the boundary
+    * after is customer-cardinality. The three global ntiles are the
+    * two-pass exact form ([[graft.operators.ScaleTools.globalNtile]]:
+    * range partition per ordering, broadcast per-partition counts,
+    * integer-reconstruct the tile) — ntile is the same exact computation
+    * under range partitioning, so the exact-equal-bucket property holds
+    * with no single-partition window at any customer count. Monetary is
+    * the exact integer-cents sum recombined only at the boundary
     * ([[graft.functions.Money]]).
     */
   def rfm(spark: SparkSession, d: String): DataFrame = {
@@ -339,13 +339,13 @@ object TimeSeriesOps {
       .select(col("o_custkey"),
         datediff(col("ref_day"), col("last_day")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-    val r = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
-    val f = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
-    val m = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
-    scored
-      .withColumn("r_score", ntile(5).over(r).cast("long"))
-      .withColumn("f_score", ntile(5).over(f).cast("long"))
-      .withColumn("m_score", ntile(5).over(m).cast("long"))
+    import graft.operators.ScaleTools.globalNtile
+    val s1 = globalNtile(scored,
+      Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score")
+    val s2 = globalNtile(s1,
+      Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score")
+    globalNtile(s2,
+      Seq(col("monetary").desc, col("o_custkey").asc), 5, "m_score")
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("o_custkey")
