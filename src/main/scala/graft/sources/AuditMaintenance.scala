@@ -181,9 +181,13 @@ private[sources] object AuditBase {
     * `ts` is the commit wall-clock millis — the batch half of the
     * TIMESTAMP AS OF axis (None on pre-commit-time history, which a
     * mixed-table time travel must refuse loudly rather than silently
-    * exclude). */
+    * exclude). `bytes` is the data file's on-disk size (round 20, for
+    * byte-aware maintenance planning — 10×1 KB fragments and 10×1 GB
+    * files are different problems); None on legacy lines, and the
+    * commit layer fills it by statting the file, so older tables heal
+    * on their next manifest rewrite. */
   final case class ManifestEntry(file: String, rows: Long, folded: Boolean,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None, bytes: Option[Long] = None)
 
   final case class Info(throughEpoch: Long, expiredThrough: Long,
       files: Seq[(String, Long)], sortBy: Option[String] = None,
@@ -251,9 +255,10 @@ private[sources] object AuditBase {
   // working; folded lines use DIFFERENT keys ({"folded":...,"origrows":...})
   // so those same consumers skip them without knowing why.
 
-  // `,"ts":millis` is optional: pre-round-15 lines carry no commit time
+  // `,"ts":millis` is optional: pre-round-15 lines carry no commit time.
+  // `,"bytes":n` is optional: pre-round-20 lines carry no file size.
   private val LiveRe =
-    """\{"file":"([^"]+)","rows":(\d+)(?:,"ts":(\d+))?\}""".r
+    """\{"file":"([^"]+)","rows":(\d+)(?:,"ts":(\d+))?(?:,"bytes":(\d+))?\}""".r
   private val FoldedRe =
     """\{"folded":"([^"]+)","origrows":(\d+)(?:,"ts":(\d+))?\}""".r
 
@@ -305,9 +310,10 @@ private[sources] object AuditBase {
       try {
         val lines = java.nio.file.Files.readAllLines(d.resolve(n)).asScala
         Some(Txn(v,
-          lines.drop(1).collect { case LiveRe(f, r, ts) =>
+          lines.drop(1).collect { case LiveRe(f, r, ts, by) =>
             ManifestEntry(f, r.toLong, folded = false,
-              ts = Option(ts).map(_.toLong)) }.toSeq,
+              ts = Option(ts).map(_.toLong),
+              bytes = Option(by).map(_.toLong)) }.toSeq,
           lines.drop(1).filter(isStatsLine).toSeq))
       } catch { case _: java.nio.file.NoSuchFileException => None }
     }
@@ -342,8 +348,9 @@ private[sources] object AuditBase {
       case Some(lines) =>
         val floor = floorOf(lines.head)
         lines.drop(1).collect {
-          case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
-            folded = false, ts = Option(ts).map(_.toLong))
+          case LiveRe(n, r, ts, by) => ManifestEntry(n, r.toLong,
+            folded = false, ts = Option(ts).map(_.toLong),
+            bytes = Option(by).map(_.toLong))
           case FoldedRe(n, r, ts) => ManifestEntry(n, r.toLong,
             folded = true, ts = Option(ts).map(_.toLong))
         } ++ txns.filter(_.v > floor).flatMap(_.entries)
@@ -412,9 +419,14 @@ private[sources] object AuditBase {
         if (ts >= floor) ts // caller-claimed statement stamp, still valid
         else AuditSeq.next(root,
           math.max(System.currentTimeMillis(), floor))
-      val body = entries.map(e =>
-        s"""{"file":"${e.file}","rows":${e.rows},"ts":$tsEff}""") ++
-        statsLines
+      // byte sizes ride every commit (data files are durable in the dir
+      // before their metadata publishes, so the stat is always of the
+      // final file) — one stat per committed file, metadata-scale
+      val body = entries.map { e =>
+        val by = e.bytes.orElse(statBytes(path, e.file))
+        s"""{"file":"${e.file}","rows":${e.rows},"ts":$tsEff""" +
+          by.map(b => s""","bytes":$b""").getOrElse("") + "}"
+      } ++ statsLines
       // List the txn dir BEFORE reading the floor: a consolidation (run by
       // DML/OPTIMIZE, which may race appends) folds txns and advances the
       // floor — reading the floor first could observe floor=0 plus an
@@ -473,8 +485,9 @@ private[sources] object AuditBase {
     val (floor, body) = manifestLines(path) match {
       case None => (0L, Seq.empty[ManifestEntry])
       case Some(lines) => (floorOf(lines.head), lines.drop(1).collect {
-        case LiveRe(n, r, ts) => ManifestEntry(n, r.toLong,
-          folded = false, ts = Option(ts).map(_.toLong))
+        case LiveRe(n, r, ts, by) => ManifestEntry(n, r.toLong,
+          folded = false, ts = Option(ts).map(_.toLong),
+          bytes = Option(by).map(_.toLong))
         case FoldedRe(n, r, ts) => ManifestEntry(n, r.toLong,
           folded = true, ts = Option(ts).map(_.toLong))
       }.toSeq)
@@ -507,6 +520,13 @@ private[sources] object AuditBase {
   def writeManifest(path: String, entries: Seq[ManifestEntry]): Unit =
     writeManifestWithFloor(path, entries, readTxnFloor(path))
 
+  /** On-disk size of a committed data file; None when it isn't present
+    * (legacy/staged states keep their legacy no-bytes lines). */
+  private def statBytes(path: String, file: String): Option[Long] =
+    try Some(java.nio.file.Files.size(
+      java.nio.file.Paths.get(path).resolve(file)))
+    catch { case _: java.io.IOException => None }
+
   private def writeManifestWithFloor(path: String,
       entries: Seq[ManifestEntry], floor: Long): Unit = {
     val live = entries.filterNot(_.folded)
@@ -516,9 +536,13 @@ private[sources] object AuditBase {
     CommitPrimitives.io.replace(f,
       (Seq(header) ++
         entries.map {
-          case ManifestEntry(n, r, false, ts) => s"""{"file":"$n","rows":$r""" +
-            ts.map(t => s""","ts":$t""").getOrElse("") + "}"
-          case ManifestEntry(n, r, true, ts) =>
+          case ManifestEntry(n, r, false, ts, by) =>
+            s"""{"file":"$n","rows":$r""" +
+              ts.map(t => s""","ts":$t""").getOrElse("") +
+              // legacy lines heal: stat the live file on this rewrite
+              by.orElse(statBytes(path, n))
+                .map(b => s""","bytes":$b""").getOrElse("") + "}"
+          case ManifestEntry(n, r, true, ts, _) =>
             s"""{"folded":"$n","origrows":$r""" +
               ts.map(t => s""","ts":$t""").getOrElse("") + "}"
         }).mkString("\n").getBytes("UTF-8"))
@@ -2732,10 +2756,12 @@ private[sources] object GraftProcedures {
     * shared by `maintenance_plan` (renders these as rows) and
     * `maintenance_apply` (executes them). `selector` is the exact
     * `partition_filter` conjunct string naming the target dir (None on
-    * unpartitioned tables). */
+    * unpartitioned tables). `liveBytes` sums the live batch files'
+    * recorded sizes (None when every line predates byte stamping). */
   private[sources] final case class MaintRec(target: String, files: Int,
       rows: Long, vectors: Long, recovery: Int, action: String,
-      why: String, selector: Option[String])
+      why: String, selector: Option[String],
+      liveBytes: Option[Long] = None)
 
   /** Expand a `<ns>.*` wildcard to every AUDIT table in the namespace
     * (views and non-audit tables are skipped), sorted by name; a plain
@@ -2753,9 +2779,23 @@ private[sources] object GraftProcedures {
         .sorted
         .filter { n =>
           try { catalog.resolveAuditTableFull(n); true }
-          catch { case _: Exception => false }
+          catch {
+            // ONLY the definitive not-this-kind shapes are skippable
+            // (non-audit providers, views): a CORRUPT audit table must
+            // surface as an error, not read as a healthy namespace
+            case e: IllegalArgumentException
+                if String.valueOf(e.getMessage)
+                  .contains("is not an audit table") => false
+            case _: org.apache.spark.sql.catalyst.analysis
+                      .NoSuchTableException => false
+          }
         }
     }
+
+  /** Test seam: observe each table's heal starting (wildcard
+    * `maintenance_apply` runs them on a bounded pool — the spec proves
+    * actual overlap through this hook). */
+  @volatile private[sources] var onTableApply: String => Unit = _ => ()
 
   /** One IN-list-batched call covering several flagged dirs:
     * `selector` is the exact `partition_filter`, `targets` the relDirs
@@ -2776,17 +2816,29 @@ private[sources] object GraftProcedures {
     * whole-table CALL. Inspects only manifests/vectors/recovery
     * markers; never opens a data file. */
   private[sources] def planRecs(catalog: GraftCatalog, table: String,
-      maxFiles: Int, vecThresh: Int)
+      maxFiles: Int, vecThresh: Int, smallFileBytes: Long = 0L)
       : (Seq[MaintRec], Map[String, Seq[MaintBatch]]) = {
     val (path, _, partSpec) = catalog.resolveAuditTableFull(table)
-    // (files, rows, vectors, recovery, action, why) from metadata only
-    def planOf(p: String): (Int, Long, Long, Int, String, String) = {
+    // (files, rows, vectors, recovery, action, why, liveBytes) from
+    // metadata only
+    def planOf(p: String)
+        : (Int, Long, Long, Int, String, String, Option[Long]) = {
       val live = AuditBase.readManifest(p).filterNot(_.folded)
       val base = AuditBase.read(p)
       val files = live.size + base.map(_.files.size).getOrElse(0)
       val rows = live.map(_.rows).sum +
         base.toSeq.flatMap(_.files.map(_._2)).sum -
         AuditDeletes.count(p)
+      val knownBytes = live.flatMap(_.bytes)
+      val liveBytes = if (knownBytes.isEmpty) None else Some(knownBytes.sum)
+      // byte-aware fragmentation (round 20): a FRAGMENT is a live file
+      // below small_file_bytes — 10×1 KB fragments want compaction even
+      // when the raw file count sits under max_live_files, and lines
+      // without a recorded size (legacy) never count as fragments, so
+      // legacy tables plan exactly as before
+      val fragments =
+        if (smallFileBytes <= 0L) 0
+        else live.count(_.bytes.exists(_ < smallFileBytes))
       val vectors = AuditDeletes.entries(p).size.toLong
       val recovery = AuditDeletes.intents(p).size +
         (if (AuditDeletes.absorbIntentTs(p).isDefined) 1 else 0)
@@ -2799,13 +2851,21 @@ private[sources] object GraftProcedures {
             "entries")
         else if (files > maxFiles)
           ("OPTIMIZE", s"compact $files live files")
+        else if (fragments >= 2)
+          ("OPTIMIZE", s"merge $fragments fragment files (< " +
+            s"$smallFileBytes bytes each)")
+        else if (AuditDeletes.absorbIntentTs(p).isDefined)
+          // behaviorally invisible but it reads as a recovery row in
+          // system.history — a bare VACUUM finalizes it
+          ("VACUUM", "finalize the lingering absorb-intent marker " +
+            "(clears the recovery row)")
         else ("none", "healthy")
-      (files, rows, vectors, recovery, action, why)
+      (files, rows, vectors, recovery, action, why, liveBytes)
     }
     partSpec match {
       case None =>
-        val (f, r, v, rec, action, why) = planOf(path)
-        (Seq(MaintRec("(table)", f, r, v, rec, action, why, None)),
+        val (f, r, v, rec, action, why, lb) = planOf(path)
+        (Seq(MaintRec("(table)", f, r, v, rec, action, why, None, lb)),
           Map.empty)
       case Some(ps) =>
         val specs = AuditPartition.parseSpecs(ps)
@@ -2816,7 +2876,7 @@ private[sources] object GraftProcedures {
         // re-split a rendered selector (quoted values may contain commas)
         val dirInfos = AuditPartition.listDirsByCols(path, cols).map {
           case (rel, d) =>
-            val (f, r, v, rec, action, why) = planOf(d.toString)
+            val (f, r, v, rec, action, why, lb) = planOf(d.toString)
             val comps = rel.split('/').map { comp =>
               val i = comp.indexOf('=')
               // quote values carrying selector syntax (commas, parens,
@@ -2833,7 +2893,8 @@ private[sources] object GraftProcedures {
                 s"$why (bucket dirs are not selector-addressable — run " +
                   "the whole-table CALL)"
               else why
-            (MaintRec(rel, f, r, v, rec, action, whyFull, selector), comps)
+            (MaintRec(rel, f, r, v, rec, action, whyFull, selector, lb),
+              comps)
         }.sortBy(_._1.target)
         val recs = dirInfos.map(_._1)
         // batch flagged dirs per action into IN-list calls: whole-layout
@@ -2887,11 +2948,17 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("vector_threshold", IntegerType)
           .comment("VACUUM when a target holds at least this many " +
             "positional delete-vector entries (default 1000)")
-          .defaultValue("1000").build())
+          .defaultValue("1000").build(),
+        ProcedureParameter.in("small_file_bytes", LongType)
+          .comment("OPTIMIZE when a target holds 2+ live files smaller " +
+            "than this many bytes, even under max_live_files " +
+            "(default 0 = disabled; legacy lines without sizes never " +
+            "count as fragments)").defaultValue("0").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val maxFiles = if (input.isNullAt(1)) 8 else input.getInt(1)
         val vecThresh = if (input.isNullAt(2)) 1000 else input.getInt(2)
+        val smallBytes = if (input.isNullAt(3)) 0L else input.getLong(3)
         val schema = StructType(Seq(
           StructField("target", StringType, nullable = false),
           StructField("live_files", IntegerType, nullable = false),
@@ -2899,19 +2966,24 @@ private[sources] object GraftProcedures {
           StructField("delete_vectors", LongType, nullable = false),
           StructField("pending_recovery", IntegerType, nullable = false),
           StructField("action", StringType, nullable = false),
-          StructField("recommendation", StringType, nullable = false)))
+          StructField("recommendation", StringType, nullable = false),
+          // appended (round 20) so pre-existing consumers' ordinals hold;
+          // null = no live line carries a size yet (legacy table)
+          StructField("live_bytes", LongType, nullable = true)))
         val tables = expandTables(catalog, table)
         val wildcard = tables != Seq(table)
         def pfx(t: String, tgt: String) = if (wildcard) s"$t:$tgt" else tgt
         val allRows = tables.flatMap { t =>
-          val (recs, batched) = planRecs(catalog, t, maxFiles, vecThresh)
+          val (recs, batched) =
+            planRecs(catalog, t, maxFiles, vecThresh, smallBytes)
           val dirRows = recs.map { r =>
             val detail =
               if (r.action == "none") r.why
               else r.selector.fold(r.why)(sel =>
                 s"${r.why} — partition_filter => '$sel'")
             Array[Any](str(pfx(t, r.target)), r.files, r.rows, r.vectors,
-              r.recovery, str(r.action), str(detail))
+              r.recovery, str(r.action), str(detail),
+              r.liveBytes.map(Long.box).orNull)
           }
           // batch summaries: flagged dirs in IN-list calls — "(table)"
           // when one batch covers every flagged dir of the action
@@ -2925,7 +2997,7 @@ private[sources] object GraftProcedures {
                   str(pfx(t, if (allOfAction) "(table)" else "(batch)")),
                   0, 0L, 0L, 0, str(act),
                   str(s"batch ${b.targets.size} flagged dirs in one " +
-                    s"call — partition_filter => '${b.selector}'"))
+                    s"call — partition_filter => '${b.selector}'"), null)
               }
             }
           dirRows ++ summary
@@ -2971,13 +3043,24 @@ private[sources] object GraftProcedures {
           .defaultValue("1").build(),
         ProcedureParameter.in("max_rounds", IntegerType)
           .comment("apply/re-plan iterations before reporting " +
-            "non-convergence (default 4)").defaultValue("4").build())
+            "non-convergence (default 4)").defaultValue("4").build(),
+        ProcedureParameter.in("small_file_bytes", LongType)
+          .comment("OPTIMIZE when a target holds 2+ live files smaller " +
+            "than this many bytes (default 0 = disabled)")
+          .defaultValue("0").build(),
+        ProcedureParameter.in("max_concurrency", IntegerType)
+          .comment("tables healed concurrently on a wildcard " +
+            "(per-table leases isolate them; default 4)")
+          .defaultValue("4").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val maxFiles = if (input.isNullAt(1)) 8 else input.getInt(1)
         val vecThresh = if (input.isNullAt(2)) 1000 else input.getInt(2)
         val tfc = if (input.isNullAt(3)) 1 else input.getInt(3)
         val maxRounds = if (input.isNullAt(4)) 4 else input.getInt(4)
+        val smallBytes = if (input.isNullAt(5)) 0L else input.getLong(5)
+        val maxConc = math.max(1,
+          if (input.isNullAt(6)) 4 else input.getInt(6))
         val spark = org.apache.spark.sql.SparkSession.active
         val cname = catalog.name()
         // a selector travels inside a single-quoted SQL literal: double
@@ -2989,15 +3072,20 @@ private[sources] object GraftProcedures {
           StructField("target", StringType, nullable = false),
           StructField("action", StringType, nullable = false),
           StructField("executed_call", StringType, nullable = false)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
         val tables = expandTables(catalog, table)
         val wildcard = tables != Seq(table)
-        tables.foreach { tbl =>
+        // one table's heal, returning its own rows (PARALLEL-safe: no
+        // shared mutable state — wildcard heals run on a bounded pool
+        // below, per-table leases already isolate the maintenance ops)
+        def healTable(tbl: String): Seq[Array[Any]] = {
+        onTableApply(tbl)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
         def pfx(tgt: String) = if (wildcard) s"$tbl:$tgt" else tgt
         var round = 1
         var converged = false
         while (!converged && round <= maxRounds) {
-          val (recs, batched) = planRecs(catalog, tbl, maxFiles, vecThresh)
+          val (recs, batched) =
+            planRecs(catalog, tbl, maxFiles, vecThresh, smallBytes)
           val actionable = recs.filter(_.action != "none")
           if (actionable.isEmpty) {
             out += Array[Any](round, str(pfx("(plan)")), str("none"),
@@ -3046,15 +3134,33 @@ private[sources] object GraftProcedures {
           }
         }
         if (!converged) {
-          val (recs, _) = planRecs(catalog, tbl, maxFiles, vecThresh)
+          val (recs, _) =
+            planRecs(catalog, tbl, maxFiles, vecThresh, smallBytes)
           val left = recs.count(_.action != "none")
           out += Array[Any](round, str(pfx("(plan)")),
             str(if (left == 0) "none" else "stuck"),
             str(if (left == 0) "converged: every target healthy"
             else s"$left actionable target(s) after ${maxRounds} rounds"))
         }
-        } // tables.foreach
-        rowsOf(schema, out.toSeq)
+        out.toSeq
+        } // healTable
+        // wildcard heals run CONCURRENTLY on a bounded pool — leases are
+        // per-table (chaos-proven isolation), so a wide namespace's
+        // wall-clock is max-of-tables, not sum. Result rows keep the
+        // deterministic table order regardless of completion order.
+        val out: Seq[Array[Any]] =
+          if (tables.size <= 1 || maxConc == 1) tables.flatMap(healTable)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(maxConc, tables.size))
+            try tables.map { t =>
+              pool.submit(new java.util.concurrent.Callable[Seq[Array[Any]]] {
+                override def call(): Seq[Array[Any]] = healTable(t)
+              })
+            }.flatMap(_.get())
+            finally pool.shutdown()
+          }
+        rowsOf(schema, out)
       }
     }
   }

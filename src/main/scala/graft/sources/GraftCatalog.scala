@@ -1908,6 +1908,87 @@ object CatalogApi {
       |FROM cur GROUP BY flag
       |ORDER BY grp, detail""".stripMargin
 
+  /** BYTE-AWARE PLANNER round trip, oracle-checked (round 20): manifest
+    * lines now carry per-file byte sizes, so the planner can tell
+    * 10×tiny fragments from 10×big files — a distinction file counts
+    * can't make. The fixture builds exactly that state (2×400-row files
+    * + 10 single-row fragments = 12 files, under a max_live_files=20
+    * policy), and the frame pins: the count-only plan reading healthy,
+    * the byte-aware plan naming the fragment merge, a live_bytes sanity
+    * band (sizes are format-dependent, so the oracle checks the band
+    * bit, not raw bytes), the apply's exact executed CALL +
+    * convergence, the post-heal plan, and the final count/sum restated
+    * from the generation arithmetic. */
+  def maintenancePlanBytesQ(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_catalog_qmb_wh")
+    spark.conf.set("spark.sql.catalog.graft_qmb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qmb.warehouse", wh.toString)
+    spark.sql("DROP TABLE IF EXISTS graft_qmb.db.b")
+    spark.sql("CREATE TABLE graft_qmb.db.b (id BIGINT, v BIGINT) USING audit")
+    spark.sql("INSERT INTO graft_qmb.db.b " +
+      "SELECT /*+ REPARTITION(1) */ id, id % 7 FROM range(400)")
+    spark.sql("INSERT INTO graft_qmb.db.b " +
+      "SELECT /*+ REPARTITION(1) */ id + 400, id % 7 FROM range(400)")
+    (0 until 10).foreach(i => spark.sql(
+      s"INSERT INTO graft_qmb.db.b VALUES (${1000 + i}, 0)"))
+    def planRow(args: String) = spark.sql(
+      s"CALL graft_qmb.system.maintenance_plan(table => 'db.b'$args)").head
+    val r0 = planRow(", max_live_files => 20")
+    val r1 = planRow(", max_live_files => 20, small_file_bytes => 500")
+    // 810 one-line JSON rows: ≥10 and ≤200 bytes each is format-safe
+    val bytesSane = !r0.isNullAt(7) &&
+      r0.getLong(7) > 810L * 10 && r0.getLong(7) < 810L * 200
+    val applied = spark.sql("CALL graft_qmb.system.maintenance_apply(" +
+      "table => 'db.b', max_live_files => 20, small_file_bytes => 500)")
+      .collect().toSeq.map(r =>
+        (s"call/${r.getInt(0)}/${r.getString(2)}",
+          s"${r.getString(1)} :: ${r.getString(3)}", 1L, 0L))
+    val r2 = planRow(", max_live_files => 20, small_file_bytes => 500")
+    import spark.implicits._
+    (Seq(
+      ("plan/count_only", s"${r0.getString(5)} :: ${r0.getString(6)}",
+        r0.getInt(1).toLong, 0L),
+      ("plan/bytes", s"${r1.getString(5)} :: ${r1.getString(6)}",
+        r1.getInt(1).toLong, 0L),
+      ("plan/bytes_sane", "", if (bytesSane) 1L else 0L, 0L),
+      ("plan/after", s"${r2.getString(5)} :: ${r2.getString(6)}",
+        r2.getInt(1).toLong, 0L)) ++ applied)
+      .toDF("grp", "detail", "n", "sum_id")
+      .unionAll(spark.sql(
+        """SELECT 'cur' AS grp, '' AS detail, count(*) AS n,
+          |       sum(id) AS sum_id
+          |FROM graft_qmb.db.b""".stripMargin))
+      .orderBy(col("grp"), col("detail"))
+  }
+
+  val maintenancePlanBytesSql: String =
+    """WITH first AS (
+      |  SELECT CAST(t.r AS BIGINT) AS id FROM range(800) t(r)
+      |  UNION ALL SELECT CAST(t.r AS BIGINT) + 1000 FROM range(10) t(r))
+      |SELECT 'call/1/OPTIMIZE' AS grp,
+      |       '(table) :: CALL graft_qmb.system.optimize(table => ''db.b'', target_file_count => 1)' AS detail,
+      |       CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_id
+      |UNION ALL
+      |SELECT 'call/2/none', '(plan) :: converged: every target healthy',
+      |       CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'plan/count_only', 'none :: healthy',
+      |       CAST(12 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'plan/bytes',
+      |       'OPTIMIZE :: merge 10 fragment files (< 500 bytes each)',
+      |       CAST(12 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'plan/bytes_sane', '', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'plan/after', 'none :: healthy',
+      |       CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'cur', '', count(*), CAST(sum(id) AS BIGINT) FROM first
+      |ORDER BY grp, detail""".stripMargin
+
   val auditTravelRetainedSql: String =
     """WITH base AS (
       |  SELECT CAST(t.r AS BIGINT) AS id, CAST(t.r AS BIGINT) AS v
@@ -4022,6 +4103,7 @@ object CatalogApi {
       "q_catalog_rename_part" -> (catalogRenamePart _),
       "q_audit_gcount" -> (auditGroupCount _),
       "q_maintenance_apply" -> (maintenanceApplyQ _),
+      "q_maintenance_plan_bytes" -> (maintenancePlanBytesQ _),
       "q_catalog_merge_delta" -> (catalogMergeDelta _))
   val oracles: Map[String, String] =
     Map("q_catalog_dml" -> catalogDmlSql,
@@ -4066,6 +4148,7 @@ object CatalogApi {
       "q_catalog_rename_part" -> catalogRenamePartSql,
       "q_audit_gcount" -> auditGroupCountSql,
       "q_maintenance_apply" -> maintenanceApplySql,
+      "q_maintenance_plan_bytes" -> maintenancePlanBytesSql,
       "q_catalog_merge_delta" -> catalogMergeDeltaSql)
 }
 

@@ -258,7 +258,7 @@ class AuditTravelMixedSpec extends AnyFunSuite {
     AuditBase.consolidate(path.toString)
     val mf = path.resolve("_MANIFEST")
     val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
-      .replaceAll(""","ts":\d+\}""", "}")
+      .replaceAll(""","ts":\d+""", "")
     java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
     val ex = intercept[Exception](spark.sql(
       s"SELECT count(*) FROM $cat.db.t " +

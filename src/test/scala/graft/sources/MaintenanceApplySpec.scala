@@ -219,4 +219,68 @@ class MaintenanceApplySpec extends AnyFunSuite {
     assert(again === Seq((1, "(plan)", "none",
       "converged: every target healthy")))
   }
+
+  test("wildcard apply heals tables CONCURRENTLY on the bounded pool " +
+    "(observed overlap via the test seam); results stay table-ordered") {
+    val (cat, _) = freshCat("cc")
+    (1 to 3).foreach { i =>
+      spark.sql(s"CREATE TABLE $cat.db.t$i (id BIGINT, v BIGINT) USING audit")
+      (0 until 10).foreach(j => spark.sql(
+        s"INSERT INTO $cat.db.t$i VALUES ($j, $j)"))
+    }
+    // two heals must be IN onTableApply at once: a 2-party barrier trips
+    // only when a second worker arrives while the first still waits —
+    // impossible on the old sequential loop (each would time out alone)
+    @volatile var overlapped = false
+    val gate = new java.util.concurrent.CyclicBarrier(2,
+      () => overlapped = true)
+    GraftProcedures.onTableApply = { _ =>
+      if (!overlapped)
+        try { gate.await(10, java.util.concurrent.TimeUnit.SECONDS); () }
+        catch { case _: Exception => () }
+    }
+    try {
+      val rows = spark.sql(
+        s"CALL $cat.system.maintenance_apply(table => 'db.*')").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSeq
+      assert(overlapped, "wildcard heals must overlap on the pool")
+      // every table converged, rows reported in deterministic table order
+      val planRows = rows.filter(_._2.endsWith(":(plan)"))
+      assert(planRows.map(_._2) ===
+        Seq("db.t1:(plan)", "db.t2:(plan)", "db.t3:(plan)"), rows)
+      assert(planRows.forall(_._3 == "none"), rows)
+      (1 to 3).foreach { i =>
+        assert(spark.table(s"$cat.db.t$i").count() === 10L)
+        assert(spark.sql(s"SELECT sum(id) FROM $cat.db.t$i")
+          .head.getLong(0) === 45L)
+      }
+      // stuck reporting is unchanged by the pool: max_concurrency => 1
+      // takes the sequential path and converges identically
+      val seq1 = spark.sql(s"CALL $cat.system.maintenance_apply(" +
+        "table => 'db.*', max_concurrency => 1)").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(seq1 === Seq("db.t1:(plan)", "db.t2:(plan)", "db.t3:(plan)")
+        .map((_, "none")), seq1)
+    } finally GraftProcedures.onTableApply = _ => ()
+  }
+
+  test("byte-aware apply: small-file fragments under the file-count bar " +
+    "compact only when small_file_bytes asks for it") {
+    val (cat, _) = freshCat("by")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(400)")
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0)"))
+    // 6 files ≤ default max_live_files=8: count-based apply is a no-op
+    val plain = apply0(cat)
+    assert(plain === Seq((1, "(plan)", "none",
+      "converged: every target healthy")), plain)
+    // byte-aware: the 5 single-row files are fragments → one OPTIMIZE
+    val rows = apply0(cat, ", small_file_bytes => 500")
+    assert(rows.exists(r => r._1 == 1 && r._3 == "OPTIMIZE"), rows)
+    assert(rows.last._3 === "none" && rows.last._4.contains("converged"))
+    assert(spark.table(s"$cat.db.t").count() === 405L)
+  }
 }

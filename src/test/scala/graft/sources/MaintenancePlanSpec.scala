@@ -134,4 +134,69 @@ class MaintenancePlanSpec extends AnyFunSuite {
     assert(after.forall(_._6 === "none"), after)
     assert(spark.table(s"$cat.db.t").count() === 21L)
   }
+
+  test("byte-aware planning: 10×tiny + 2×big fragments flag OPTIMIZE " +
+    "below the file-count bar; live_bytes reported; legacy no-bytes " +
+    "lines plan exactly as before") {
+    val (cat, wh) = freshCat("by")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING audit")
+    // 2 big files (400 rows each) + 10 single-row fragments = 12 files
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(400)")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id + 400, id FROM range(400)")
+    (0 until 10).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (${1000 + i}, 0)"))
+    def planB(args: String): (String, String, Option[Long]) = {
+      val r = spark.sql(
+        s"CALL $cat.system.maintenance_plan(table => 'db.t'$args)").head
+      (r.getString(5), r.getString(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }
+    // count-based policy alone: 12 ≤ 20 → healthy (can't tell 10×1 KB
+    // fragments from 10×1 GB files — the round-19 verdict gap)
+    val (a0, _, b0) = planB(", max_live_files => 20")
+    assert(a0 === "none", a0)
+    // live_bytes is the stat-summed truth: 810 rows of JSON lines
+    assert(b0.exists(b => b > 810L * 10 && b < 810L * 200), b0)
+    // byte-aware: the 10 single-row files are fragments → OPTIMIZE
+    val (a1, why1, _) = planB(", max_live_files => 20, " +
+      "small_file_bytes => 500")
+    assert(a1 === "OPTIMIZE", a1)
+    assert(why1.contains("merge 10 fragment files (< 500 bytes each)"),
+      why1)
+    // big files alone never count: threshold below the big-file size
+    // but above the fragment size is the discriminating case above;
+    // with fragments compacted away the same policy reads healthy
+    spark.sql(s"CALL $cat.system.optimize(table => 'db.t', " +
+      "target_file_count => 2)")
+    val (a2, _, _) = planB(", max_live_files => 20, " +
+      "small_file_bytes => 500")
+    assert(a2 === "none", a2)
+    // LEGACY table: strip every bytes field from the metadata — the
+    // same byte policy must degrade to the pre-round-20 plan (no
+    // fragments counted, live_bytes null)
+    val (cat2, wh2) = freshCat("lg")
+    spark.sql(s"CREATE TABLE $cat2.db.t (id BIGINT, v BIGINT) USING audit")
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO $cat2.db.t VALUES ($i, $i)"))
+    val dir = wh2.resolve("db").resolve("t")
+    def strip(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .replaceAll(""","bytes":\d+""", "")
+        java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+      }
+    strip(dir.resolve("_MANIFEST"))
+    val txns = dir.resolve("_TXN")
+    if (java.nio.file.Files.isDirectory(txns)) {
+      val l = java.nio.file.Files.list(txns)
+      try l.iterator().forEachRemaining(p => strip(p)) finally l.close()
+    }
+    val r2 = spark.sql(s"CALL $cat2.system.maintenance_plan(" +
+      "table => 'db.t', small_file_bytes => 1000000)").head
+    assert(r2.getString(5) === "none", r2)
+    assert(r2.isNullAt(7), "legacy lines must report null live_bytes")
+    assert(spark.table(s"$cat2.db.t").count() === 5L)
+  }
 }
