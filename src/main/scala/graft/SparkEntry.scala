@@ -23,7 +23,8 @@ object SparkEntry {
       ops.AnalyticOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Sampling.queries ++ streaming.EventStream.queries ++
+      operators.Sampling.queries ++ operators.Tuning.queries ++
+      streaming.EventStream.queries ++
       ops.AsOfJoin.queries ++ ops.NativeAsOf.queries ++ ops.RangeJoin.queries ++
       ops.LakeOps.queries ++ ops.TimeSeriesOps.queries ++ ops.GraphOps.queries ++
       ops.TypedOps.queries ++ sources.PagedApi.queries ++ sources.CatalogApi.queries
@@ -35,7 +36,8 @@ object SparkEntry {
       ops.AnalyticOps.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Sampling.oracles ++ streaming.EventStream.oracles ++
+      operators.Sampling.oracles ++ operators.Tuning.oracles ++
+      streaming.EventStream.oracles ++
       ops.AsOfJoin.oracles ++ ops.NativeAsOf.oracles ++ ops.RangeJoin.oracles ++
       ops.LakeOps.oracles ++ ops.TimeSeriesOps.oracles ++ ops.GraphOps.oracles ++
       ops.TypedOps.oracles ++ sources.PagedApi.oracles ++ sources.CatalogApi.oracles

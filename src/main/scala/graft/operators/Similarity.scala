@@ -449,8 +449,23 @@ object Similarity {
 
   /** Planted-neighbor id offset for [[ivfRecallEval]]:
     * 10000000 % 97 = 76, so a planted row can never join the query
-    * panel (vec_id % 97 = 0) and never collides with a real vec_id. */
+    * panel (vec_id % 97 = 0); [[requirePlantOffsetClear]] asserts no
+    * REAL vec_id reaches the offset (a collision would silently skew
+    * recall), and the panel/planted filters carry an explicit
+    * `vec_id < PlantOffset` guard mirroring the SQL oracle's. */
   private val PlantOffset = 10000000L
+
+  /** Fail LOUDLY when the corpus id space reaches [[PlantOffset]]:
+    * planted ids would collide with real rows and the two engines'
+    * query panels would silently diverge. One min/max-stats-sized
+    * aggregate over the id column — eval-path cost only. */
+  private def requirePlantOffsetClear(e: DataFrame): Unit = {
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxId < PlantOffset,
+      s"ivf eval: corpus max vec_id $maxId >= planted-id offset " +
+        s"$PlantOffset — raise PlantOffset (planted ids must not " +
+        "collide with real rows)")
+  }
 
   /** ANN RECALL EVALUATION — the IVF twin of the text side's
     * q_dedup_eval, in the 100-TB-legal form BOTH sides of that eval
@@ -474,13 +489,17 @@ object Similarity {
     graft.plans.CosineSim.register(spark)
     val w = org.apache.spark.sql.expressions.Window
     val e = embDouble(spark, d).select(col("vec_id"), col("emb"))
+    requirePlantOffsetClear(e)
     // bounded corpus: deterministic hash slice ∪ the query panel …
     val slice = e.where(
       pmod(graft.functions.Hashing.hexHash(col("vec_id").cast("string")),
-        lit(100L)) < 25L || pmod(col("vec_id"), lit(97L)) === 0L)
+        lit(100L)) < 25L ||
+        (pmod(col("vec_id"), lit(97L)) === 0L &&
+          col("vec_id") < lit(PlantOffset)))
     // … ∪ one planted near-neighbor per query (deterministic transform:
     // same IEEE double ops on both engines)
-    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L)
+    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L &&
+        col("vec_id") < lit(PlantOffset))
       .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
         transform(col("emb"), x => x * lit(0.9) + lit(0.01)).as("emb"))
     // pin the bounded corpus once: it fans out into the cell-assignment
@@ -490,7 +509,8 @@ object Similarity {
     val corpus = slice.unionAll(planted).localCheckpoint()
     val withCell = corpus.join(ivfAssignDf(corpus), Seq("vec_id"))
       .localCheckpoint()
-    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
+    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L &&
+        col("vec_id") < lit(PlantOffset))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       .localCheckpoint()
     val probe = ivfDistAgg(queries.select(
@@ -543,11 +563,11 @@ object Similarity {
       .map(kk => s"WHEN d$kk = m THEN $kk").mkString(" ")
     s"""WITH qsrc AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
-       |  FROM embeddings WHERE vec_id % 97 = 0
+       |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < $PlantOffset
        |), corpus AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
        |  WHERE (${Hashing.hexHashSql("CAST(vec_id AS VARCHAR)")} % 100) < 25
-       |     OR vec_id % 97 = 0
+       |     OR (vec_id % 97 = 0 AND vec_id < $PlantOffset)
        |  UNION ALL
        |  SELECT vec_id + $PlantOffset,
        |         list_transform(de, x -> x * 0.9 + 0.01) FROM qsrc
@@ -615,16 +635,21 @@ object Similarity {
     graft.plans.CosineSim.register(spark)
     val w = org.apache.spark.sql.expressions.Window
     val e = embDouble(spark, d).select(col("vec_id"), col("emb"))
+    requirePlantOffsetClear(e)
     val slice = e.where(
       pmod(graft.functions.Hashing.hexHash(col("vec_id").cast("string")),
-        lit(100L)) < 25L || pmod(col("vec_id"), lit(97L)) === 0L)
-    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L)
+        lit(100L)) < 25L ||
+        (pmod(col("vec_id"), lit(97L)) === 0L &&
+          col("vec_id") < lit(PlantOffset)))
+    val planted = e.where(pmod(col("vec_id"), lit(97L)) === 0L &&
+        col("vec_id") < lit(PlantOffset))
       .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
         transform(col("emb"), x => x * lit(0.9) + lit(0.01)).as("emb"))
     val corpus = slice.unionAll(planted).localCheckpoint()
     val withCell = corpus.join(ivfAssignDf(corpus), Seq("vec_id"))
       .localCheckpoint()
-    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L)
+    val queries = withCell.where(pmod(col("vec_id"), lit(97L)) === 0L &&
+        col("vec_id") < lit(PlantOffset))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       .localCheckpoint()
     // ranked probe cells, UNfiltered — every nprobe slices this frame
@@ -704,11 +729,11 @@ object Similarity {
     }.mkString(", ")
     s"""WITH qsrc AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
-       |  FROM embeddings WHERE vec_id % 97 = 0
+       |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < $PlantOffset
        |), corpus AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
        |  WHERE (${Hashing.hexHashSql("CAST(vec_id AS VARCHAR)")} % 100) < 25
-       |     OR vec_id % 97 = 0
+       |     OR (vec_id % 97 = 0 AND vec_id < $PlantOffset)
        |  UNION ALL
        |  SELECT vec_id + $PlantOffset,
        |         list_transform(de, x -> x * 0.9 + 0.01) FROM qsrc
