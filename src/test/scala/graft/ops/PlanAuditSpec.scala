@@ -544,6 +544,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("quality sweep scans documents ONCE: the served plan reads the " +
+    "pinned bucket rollup, never a second corpus scan") {
+    // the r19 shape crossJoin'd scored.agg(sum(w)) for the grand total,
+    // re-deriving the full documents scan — 2× the dominant cost at
+    // 100 TB. Now the total is a literal from the rollup's own stats
+    // pass, so the final plan must contain NO file scan at all (the one
+    // corpus scan happened inside the pinned pass at build time).
+    val df = graft.operators.TextAnalysis.qualitySweep(spark, d)
+    val p = plan(df)
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "a file scan in the served plan means the corpus is read twice:\n" +
+        p.take(2000))
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
   test("declarative SQL UDFs inline into the plan — no closure, codegen intact") {
     // CREATE FUNCTION bodies must resolve to ordinary expressions: the
     // aggregate over graft_net_units plans as a hash aggregate inside
