@@ -177,4 +177,80 @@ class ScaleToolsSpec extends SparkSpec {
       ScaleTools.prunedRangeRead(spark, dir, "l_orderkey", maxKey + 10, maxKey + 20)
     assert(openedNone === 0 && none.count() === 0L)
   }
+
+  // ---- two-pass exact global order (round 20) -----------------------------
+  // every primitive is checked against the single-partition window it
+  // replaces, on shapes chosen to cross partition boundaries: duplicate
+  // sort keys (must not straddle), descending orders, n < k ntile, empty
+  // input, nulls in the prefix-max value
+
+  test("globalRank equals row_number() over the same total order " +
+    "(duplicate keys, desc order, many partitions)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 997).select(
+      col("id"), (col("id") % 13).as("k"), (col("id") % 7).as("t"))
+    val sort = Seq(col("k").desc, col("id").asc)
+    val got = ScaleTools.globalRank(df, sort, "r", parts = 9)
+      .select(col("id"), col("r"))
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(sort: _*)).cast("long").as("r"))
+    assert(got.orderBy("id").collect().toSeq ===
+      want.orderBy("id").collect().toSeq)
+    // empty input: no rows, no error
+    assert(ScaleTools.globalRank(df.where(lit(false)), sort, "r").count() === 0L)
+  }
+
+  test("globalNtile equals ntile() for k < n, k dividing n, and k > n") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 11).as("k"))
+    val sort = Seq(col("k").asc, col("id").asc)
+    for (k <- Seq(1, 4, 7, 100, 250)) {
+      val got = ScaleTools.globalNtile(df, sort, k, "b", parts = 6)
+        .select(col("id"), col("b"))
+      val want = df.select(col("id"),
+        ntile(k).over(Window.orderBy(sort: _*)).cast("long").as("b"))
+      assert(got.orderBy("id").collect().toSeq ===
+        want.orderBy("id").collect().toSeq, s"k=$k")
+    }
+  }
+
+  test("globalRankPrefixSums equals running sums over the total order; " +
+    "totals are the grand sums") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 500).select(
+      col("id"), (col("id") * 3 % 17).as("v"), (col("id") % 5).as("w"))
+    val sort = Seq(col("v").desc, col("id").asc)
+    val (got, tots) = ScaleTools.globalRankPrefixSums(df, sort,
+      Seq((col("v"), "rv"), (col("w"), "rw")), "r", parts = 7)
+    val w = Window.orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(sort: _*)).cast("long").as("r"),
+      sum(col("v")).over(w).cast("long").as("rv"),
+      sum(col("w")).over(w).cast("long").as("rw"))
+    assert(got.select("id", "r", "rv", "rw").orderBy("id").collect().toSeq ===
+      want.orderBy("id").collect().toSeq)
+    assert(tots === Seq(
+      df.agg(sum("v")).head.getLong(0), df.agg(sum("w")).head.getLong(0)))
+  }
+
+  test("globalPrefixMax equals the strict prefix max (null for the " +
+    "leading rows, null values skipped)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 300).select(col("id"),
+      when(col("id") % 9 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 7 % 23).as("v"))
+    val sort = Seq(col("id").desc)
+    val got = ScaleTools.globalPrefixMax(df, sort, col("v"), "pm", parts = 5)
+      .select(col("id"), col("pm"))
+    val w = Window.orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"), max(col("v")).over(w).as("pm"))
+    assert(got.orderBy("id").collect().toSeq ===
+      want.orderBy("id").collect().toSeq)
+  }
 }
