@@ -65,6 +65,7 @@ object ScaleSmoke {
       case "audit" => auditScale(spark)
       case "partial" => partialMaintScale(spark)
       case "apply" => applyMaintScale(spark)
+      case "rank" => rankScale(spark)
       case other => sys.error(s"ScaleSmoke: unknown mode $other")
     }
     spark.stop()
@@ -418,5 +419,45 @@ object ScaleSmoke {
       catch { case _: Throwable => "unavailable" }
     println(s"""{"metric":"audit_scale_smoke","paths":${results.size},""" +
       s""""loadavg":"$load"}""")
+  }
+
+  /** `rank` mode (round 20): head-to-head of the single-partition window
+    * the bench's r20 movers replaced vs the two-pass exact primitive, at
+    * growing n on the SAME generated frame. The two forms must agree
+    * exactly (asserted via an order-free checksum of every rank); the
+    * interesting number is where the ratio inverts — the two-pass form
+    * pays constant job overhead (range exchange + pin + stats collect)
+    * while the window form pays one task sorting ALL n rows, so the
+    * window wins at row counts tiny enough that one task's sort is
+    * cheaper than a handful of job round-trips, and loses monotonically
+    * from there. Results recorded in SCALING.md / ROUND_NOTES. */
+  def rankScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(100000L, 1000000L, 10000000L, 40000000L).foreach { n =>
+      val df = spark.range(0, n, 1, 32).select(
+        (col("id") * 2654435761L % lit(n)).as("k"), col("id"))
+      val sort = Seq(col("k").asc, col("id").asc)
+      // order-free exact checksum over (id, rank): proves the two plans
+      // computed the SAME total order, and forces full materialization
+      def chk(ranked: DataFrame): Long =
+        ranked.agg(sum(col("r") * ((col("id") % 97L) + 1L))).head.getLong(0)
+      var wv = 0L
+      var tv = 0L
+      def winOnce(): Unit = {
+        wv = chk(df.select(col("id"), row_number()
+          .over(Window.orderBy(sort: _*)).cast("long").as("r")))
+      }
+      def twoOnce(): Unit = {
+        tv = chk(graft.operators.ScaleTools.globalRank(df, sort, "r"))
+      }
+      val w = Seq.fill(2)(timed(winOnce())).min
+      val t = Seq.fill(2)(timed(twoOnce())).min
+      require(wv == tv, s"rank checksum mismatch at n=$n: $wv vs $tv")
+      println(f"""{"smoke":"rank","n":$n,"window_1task_s":$w%.2f,""" +
+        f""""twopass_s":$t%.2f,"speedup":${w / t}%.2f}""")
+    }
   }
 }
