@@ -365,17 +365,165 @@ object Multimodal {
        |          $FrameStep)) AS f
        |      FROM documents WHERE length(text) > 0)""".stripMargin
 
+  // ---- audio: real WAV/PCM codec path --------------------------------------
+  // Same discipline as the PNG path: payloads are genuine RIFF/WAVE PCM
+  // bytes built on the EXECUTORS from deterministic per-doc formulas, the
+  // decode is a real container parse (chunk walk, header validation,
+  // little-endian 16-bit samples) on the hot path, and the DuckDB oracle
+  // recomputes every DECODED feature from the generation formulas — a
+  // single corrupted sample or a mis-parsed header hash-fails. dur_ms is
+  // derived from the PARSED sample rate, so the header round-trips under
+  // test too. Scale: batched map-only, payloads never shuffle.
+
+  final case class AudioRecord(doc_id: Long, payload: Array[Byte],
+      format: String)
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      dur_ms: Long, sum_abs: Long, peak: Long, zero_crossings: Long,
+      rms_q: Long)
+
+  val SampleRate = 8000
+
+  // deterministic generation parameters — the oracle's ground truth
+  def audioLen(docId: Long): Int = (docId % 500 + 100).toInt
+  def sampleValue(docId: Long, i: Int): Int =
+    (((docId * 31L + i.toLong * i.toLong * 7L) % 2003L) - 1001L).toInt
+
+  /** Encode one REAL WAV file (RIFF/WAVE, PCM, mono, 16-bit LE). */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = audioLen(docId)
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(SampleRate); bb.putInt(SampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(sampleValue(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  def audioTable(spark: SparkSession, d: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    // repartition BEFORE the per-row codec — the img-dedup lesson
+    documents(spark, d).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => AudioRecord(id, encodeWav(id), "audio/wav"))
+  }
+
+  /** The batch decode — a real RIFF chunk walk per payload. Every
+    * feature comes from the PARSED samples and header, never from row
+    * metadata. rms_q: two exact integers (Σs², n), one IEEE-determined
+    * division + sqrt, floor-quantized — bit-equal cross-engine. */
+  def decodeWavBatch(batch: Seq[AudioRecord]): Seq[AudioFeatures] =
+    batch.map { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc ${r.doc_id}: not RIFF")
+      bb.getInt() // riff size
+      require(tag() == "WAVE", s"doc ${r.doc_id}: not WAVE")
+      var rate = -1
+      var nSamples = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val t = tag()
+        val len = bb.getInt()
+        t match {
+          case "fmt " =>
+            val fmt = bb.getShort(); val ch = bb.getShort()
+            rate = bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"doc ${r.doc_id}: unsupported WAV ($fmt/$ch/$bits)")
+            bb.position(bb.position() + (len - 16))
+          case "data" =>
+            require(rate > 0, s"doc ${r.doc_id}: data before fmt")
+            nSamples = len / 2
+            samples = Array.ofDim[Short](nSamples)
+            var i = 0
+            while (i < nSamples) { samples(i) = bb.getShort(); i += 1 }
+          case _ => bb.position(bb.position() + len) // skip unknown chunk
+        }
+      }
+      require(samples != null, s"doc ${r.doc_id}: no data chunk")
+      var sumAbs = 0L
+      var sumSq = 0L
+      var peak = 0L
+      var zc = 0L
+      var i = 0
+      while (i < nSamples) {
+        val s = samples(i).toLong
+        val a = math.abs(s)
+        sumAbs += a
+        sumSq += s * s
+        if (a > peak) peak = a
+        if (i > 0 && samples(i - 1).toLong * s < 0) zc += 1
+        i += 1
+      }
+      AudioFeatures(r.doc_id, nSamples.toLong,
+        dur_ms = nSamples.toLong * 1000L / rate,
+        sum_abs = sumAbs, peak = peak, zero_crossings = zc,
+        rms_q = math.floor(
+          math.sqrt(sumSq.toDouble / nSamples) * 1000.0).toLong)
+    }
+
+  def audioFeatures(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ds = audioTable(spark, d)
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeWavBatch))(
+        Encoders.product[AudioFeatures])
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: regenerate every sample from the formulas and aggregate —
+    * the Spark side only matches if the WAV encode→parse round trip
+    * reproduced the header and every 16-bit sample exactly. The
+    * previous-sample term is re-derived from the formula (no window). */
+  val audioFeaturesSql: String =
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM lens
+       |), v AS (
+       |  SELECT doc_id, n, i,
+       |         (doc_id * 31 + i * i * 7) % 2003 - 1001 AS s,
+       |         CASE WHEN i >= 1 THEN
+       |           (doc_id * 31 + (i-1) * (i-1) * 7) % 2003 - 1001
+       |         END AS prev
+       |  FROM pos
+       |)
+       |SELECT doc_id,
+       |       max(n) AS n_samples,
+       |       max(n) * 1000 // $SampleRate AS dur_ms,
+       |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       |       CAST(max(abs(s)) AS BIGINT) AS peak,
+       |       CAST(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS zero_crossings,
+       |       CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / max(n)) * 1000.0)
+       |         AS BIGINT) AS rms_q
+       |FROM v GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, d) => features(s, d)),
     "q_img_resize"          -> ((s, d) => thumbnails(s, d)),
     "q_img_phash"           -> ((s, d) => phash(s, d)),
     "q_img_dedup"           -> ((s, d) => imgDedup(s, d)),
-    "q_frame_sample"        -> ((s, d) => frameSample(s, d)))
+    "q_frame_sample"        -> ((s, d) => frameSample(s, d)),
+    "q_audio_features"      -> ((s, d) => audioFeatures(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
     "q_img_resize"          -> thumbnailsSql,
     "q_img_phash"           -> phashSql,
     "q_img_dedup"           -> imgDedupSql,
-    "q_frame_sample"        -> frameSampleSql)
+    "q_frame_sample"        -> frameSampleSql,
+    "q_audio_features"      -> audioFeaturesSql)
 }

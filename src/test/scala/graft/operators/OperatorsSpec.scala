@@ -293,6 +293,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("audio payloads are real RIFF/WAVE PCM and the parse matches the " +
+    "generation formulas; corrupt payloads refuse loudly") {
+    val records = Multimodal.audioTable(spark, d).collect().toSeq
+    assert(records.nonEmpty)
+    records.foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") === "RIFF",
+        s"doc ${r.doc_id} payload is not RIFF")
+      assert(new String(r.payload.slice(8, 12), "US-ASCII") === "WAVE")
+      assert(r.payload.length === 44 + Multimodal.audioLen(r.doc_id) * 2)
+    }
+    // the chunk-walk parse recovers header + every 16-bit sample exactly
+    val direct = Multimodal.decodeWavBatch(records)
+    direct.foreach { f =>
+      val n = Multimodal.audioLen(f.doc_id)
+      assert(f.n_samples === n.toLong)
+      assert(f.dur_ms === n.toLong * 1000L / Multimodal.SampleRate)
+      val samples = (0 until n).map(i => Multimodal.sampleValue(f.doc_id, i))
+      assert(f.sum_abs === samples.map(s => math.abs(s).toLong).sum)
+      assert(f.peak === samples.map(s => math.abs(s).toLong).max)
+      assert(f.zero_crossings === (1 until n).count(i =>
+        samples(i - 1).toLong * samples(i) < 0).toLong)
+    }
+    // a parser must refuse garbage, truncation, and wrong formats loudly
+    val ok = records.head
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavBatch(Seq(ok.copy(
+        payload = "not a wav at all........".getBytes("US-ASCII"))))
+    }
+    intercept[Exception] { // data chunk truncated mid-sample stream
+      Multimodal.decodeWavBatch(Seq(ok.copy(
+        payload = ok.payload.take(ok.payload.length / 2))))
+    }
+    val stereo = ok.payload.clone()
+    stereo(22) = 2 // numChannels = 2
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavBatch(Seq(ok.copy(payload = stereo)))
+    }
+  }
+
   test("nearest-neighbor thumbnails sample the decoded raster at exact grid points") {
     val cells = Multimodal.thumbnails(spark, d).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ty"),
