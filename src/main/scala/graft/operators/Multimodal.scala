@@ -414,44 +414,53 @@ object Multimodal {
       .map(id => AudioRecord(id, encodeWav(id), "audio/wav"))
   }
 
-  /** The batch decode — a real RIFF chunk walk per payload. Every
-    * feature comes from the PARSED samples and header, never from row
-    * metadata. rms_q: two exact integers (Σs², n), one IEEE-determined
-    * division + sqrt, floor-quantized — bit-equal cross-engine. */
+  /** Real RIFF chunk walk: validate the container, return the parsed
+    * sample rate + every 16-bit sample. Refuses garbage, truncation,
+    * and non-PCM/mono/16-bit formats loudly. */
+  def parseWav(docId: Long, payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"doc $docId: not RIFF")
+    bb.getInt() // riff size
+    require(tag() == "WAVE", s"doc $docId: not WAVE")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && samples == null) {
+      val t = tag()
+      val len = bb.getInt()
+      t match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          rate = bb.getInt(); bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"doc $docId: unsupported WAV ($fmt/$ch/$bits)")
+          bb.position(bb.position() + (len - 16))
+        case "data" =>
+          require(rate > 0, s"doc $docId: data before fmt")
+          val n = len / 2
+          val arr = Array.ofDim[Short](n)
+          var i = 0
+          while (i < n) { arr(i) = bb.getShort(); i += 1 }
+          samples = arr
+        case _ => bb.position(bb.position() + len) // skip unknown chunk
+      }
+    }
+    require(samples != null, s"doc $docId: no data chunk")
+    (rate, samples)
+  }
+
+  /** The batch decode — [[parseWav]] per payload. Every feature comes
+    * from the PARSED samples and header, never from row metadata.
+    * rms_q: two exact integers (Σs², n), one IEEE-determined division +
+    * sqrt, floor-quantized — bit-equal cross-engine. */
   def decodeWavBatch(batch: Seq[AudioRecord]): Seq[AudioFeatures] =
     batch.map { r =>
-      val bb = java.nio.ByteBuffer.wrap(r.payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def tag(): String = {
-        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-      }
-      require(tag() == "RIFF", s"doc ${r.doc_id}: not RIFF")
-      bb.getInt() // riff size
-      require(tag() == "WAVE", s"doc ${r.doc_id}: not WAVE")
-      var rate = -1
-      var nSamples = -1
-      var samples: Array[Short] = null
-      while (bb.remaining() >= 8 && samples == null) {
-        val t = tag()
-        val len = bb.getInt()
-        t match {
-          case "fmt " =>
-            val fmt = bb.getShort(); val ch = bb.getShort()
-            rate = bb.getInt(); bb.getInt(); bb.getShort()
-            val bits = bb.getShort()
-            require(fmt == 1 && ch == 1 && bits == 16,
-              s"doc ${r.doc_id}: unsupported WAV ($fmt/$ch/$bits)")
-            bb.position(bb.position() + (len - 16))
-          case "data" =>
-            require(rate > 0, s"doc ${r.doc_id}: data before fmt")
-            nSamples = len / 2
-            samples = Array.ofDim[Short](nSamples)
-            var i = 0
-            while (i < nSamples) { samples(i) = bb.getShort(); i += 1 }
-          case _ => bb.position(bb.position() + len) // skip unknown chunk
-        }
-      }
-      require(samples != null, s"doc ${r.doc_id}: no data chunk")
+      val (rate, samples) = parseWav(r.doc_id, r.payload)
+      val nSamples = samples.length
       var sumAbs = 0L
       var sumSq = 0L
       var peak = 0L
@@ -511,13 +520,128 @@ object Multimodal {
        |FROM v GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- acoustic fingerprint + audio near-dup pairs -------------------------
+  // The echoprint-shaped signal: split each clip into AudioFrames
+  // equal-duration frames, take per-frame energy (Σs² — exact integer),
+  // and fingerprint the SHAPE of the envelope as one bit per adjacent
+  // frame pair (E_{f+1} > E_f). Energy-shape bits survive volume scaling
+  // and small edits — the property real audio dedup keys on. Near-dups
+  // are hamming ≤ AudioHamMax over the fingerprint, found by banded
+  // blocking (3 bands × 8 bits; pigeonhole exact for ham ≤ 2): candidates
+  // only meet inside a (band, value) bucket, never an n² product, and
+  // payloads never shuffle — the fingerprint table is 16 bytes/row.
+
+  val AudioFrames = 25
+  val AudioBands = 3
+  val AudioBandBits = 8
+  val AudioHamMax = 2
+
+  final case class AudioFp(doc_id: Long, fp: Long)
+
+  def audioFpBatch(batch: Seq[AudioRecord]): Seq[AudioFp] =
+    batch.map { r =>
+      val (_, samples) = parseWav(r.doc_id, r.payload)
+      val n = samples.length
+      val e = Array.fill(AudioFrames)(0L)
+      var i = 0
+      while (i < n) {
+        val s = samples(i).toLong
+        e((i * AudioFrames / n).toInt) += s * s
+        i += 1
+      }
+      var fp = 0L
+      var f = 0
+      while (f < AudioFrames - 1) {
+        if (e(f + 1) > e(f)) fp |= 1L << f
+        f += 1
+      }
+      AudioFp(r.doc_id, fp)
+    }
+
+  private def audioFpDf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    audioTable(spark, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(audioFpBatch))(
+        Encoders.product[AudioFp])
+      .toDF()
+  }
+
+  def audioFp(spark: SparkSession, d: String): DataFrame =
+    audioFpDf(spark, d).orderBy("doc_id")
+
+  /** Shared formula-side fingerprint CTE: regenerate every sample,
+    * frame it with the same (i*F)//n floor assignment, rebuild the
+    * envelope bits — the Spark side only matches if the WAV round trip
+    * reproduced every sample. */
+  private val audioFpCteSql: String =
+    s"""lens AS (
+       |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM lens
+       |), sv AS (
+       |  SELECT doc_id, n, i,
+       |         (doc_id * 31 + i * i * 7) % 2003 - 1001 AS s
+       |  FROM pos
+       |), en AS (
+       |  SELECT doc_id, (i * $AudioFrames) // n AS f, sum(s * s) AS e
+       |  FROM sv GROUP BY doc_id, (i * $AudioFrames) // n
+       |), afp AS (
+       |  SELECT a.doc_id,
+       |         CAST(sum(CASE WHEN b.e > a.e
+       |                       THEN (1::BIGINT) << CAST(a.f AS INT)
+       |                       ELSE 0 END) AS BIGINT) AS fp
+       |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
+
+  val audioFpSql: String =
+    s"""WITH $audioFpCteSql
+       |SELECT doc_id, fp FROM afp ORDER BY doc_id""".stripMargin
+
+  /** Audio near-dup pairs via banded hamming blocking over the
+    * fingerprints — same shape as [[imgDedup]]; the oracle is the
+    * brute-force all-pairs restatement, tractable at oracle scale,
+    * which is exactly why the Spark side must not be written that way. */
+  def audioDedup(spark: SparkSession, d: String): DataFrame = {
+    // pin before the self-join: both sides would otherwise re-run the
+    // whole WAV synthesis+parse pass (the img-dedup lesson)
+    val bands = audioFpDf(spark, d).localCheckpoint()
+      .select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(AudioBands - 1))).as("b"))
+      .withColumn("bval",
+        expr(s"shiftright(fp, cast($AudioBandBits * b as int)) " +
+          s"% ${1 << AudioBandBits}"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("fa ^ fb")).cast("long").as("hamming"))
+      .where(col("hamming") <= AudioHamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val audioDedupSql: String =
+    s"""WITH $audioFpCteSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $AudioHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, d) => features(s, d)),
     "q_img_resize"          -> ((s, d) => thumbnails(s, d)),
     "q_img_phash"           -> ((s, d) => phash(s, d)),
     "q_img_dedup"           -> ((s, d) => imgDedup(s, d)),
     "q_frame_sample"        -> ((s, d) => frameSample(s, d)),
-    "q_audio_features"      -> ((s, d) => audioFeatures(s, d)))
+    "q_audio_features"      -> ((s, d) => audioFeatures(s, d)),
+    "q_audio_fp"            -> ((s, d) => audioFp(s, d)),
+    "q_audio_dedup"         -> ((s, d) => audioDedup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
@@ -525,5 +649,7 @@ object Multimodal {
     "q_img_phash"           -> phashSql,
     "q_img_dedup"           -> imgDedupSql,
     "q_frame_sample"        -> frameSampleSql,
-    "q_audio_features"      -> audioFeaturesSql)
+    "q_audio_features"      -> audioFeaturesSql,
+    "q_audio_fp"            -> audioFpSql,
+    "q_audio_dedup"         -> audioDedupSql)
 }
