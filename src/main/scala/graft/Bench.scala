@@ -216,18 +216,25 @@ object Bench {
           else 1.0
         val common = curQ.keySet.intersect(baseQ.keySet).toSeq.sorted
           .filter(q => baseQ(q) > 0)
+        if (common.isEmpty)
+          // nothing comparable (disjoint query sets / all-zero baseline):
+          // a NaN-median artifact would be invalid JSON — say so and skip
+          System.err.println(
+            s"[bench] no comparable queries vs $basePath — norm skipped")
+        else {
         val ratios = common.map(q => (q, curQ(q) / baseQ(q)))
         val rawMedian = median(ratios.map(_._2))
         val basketSpread =
           if (shapeRatios.size == 3) shapeRatios.max / shapeRatios.min
           else Double.NaN
-        // unstable ⇒ refuse adjustment: shapes disagree, or the factor
-        // contradicts what the whole workload says about common-mode drift
+        // unstable ⇒ refuse adjustment: shapes disagree with each other,
+        // OR the factor contradicts what the whole workload says about
+        // common-mode drift (the 300+-query raw median is the better
+        // estimator than ANY calibrator — a correlated basket swing must
+        // not be trusted just because the shapes agree among themselves)
         val unstable =
           (shapeRatios.size == 3 && basketSpread > 1.15) ||
-            (shapeRatios.size != 3) && // single-calib fallback: only the
-              // workload median can sanity-check the factor
-              math.abs(math.log(adj) - math.log(rawMedian)) > math.log(1.25)
+            math.abs(math.log(adj) - math.log(rawMedian)) > math.log(1.25)
         val adjEff = if (unstable) 1.0 else adj
         // movers: RAW regression, >1s, and (when adjustment is trusted)
         // still a regression after dividing out common-mode VM drift
@@ -246,7 +253,13 @@ object Bench {
           if (unstable) s""""median_ratio_calib_adjusted":null,"""
           else s""""median_ratio_calib_adjusted":${f(rawMedian * adj)},"""
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"BENCH_r${baseRound + 1}_norm.json"),
+          // a PINNED baseline (SPARK_GRAFT_BENCH_BASE) writes to a
+          // dedicated name: the default r{base+1} naming would clobber a
+          // committed historical BENCH_r{N}_norm.json when base is old
+          java.nio.file.Paths.get(
+            if (sys.env.contains("SPARK_GRAFT_BENCH_BASE"))
+              s"BENCH_norm_vs_r${baseRound}_last.json"
+            else s"BENCH_r${baseRound + 1}_norm.json"),
           s"""{"base_round":$baseRound,"base_calib_s":${f(baseCalib)},""" +
             s""""calib_s":${f(calib)},"calib_adjust":${f(adj)},""" +
             s""""calib_basket_ratios":${
@@ -259,8 +272,19 @@ object Bench {
             adjustedField +
             s""""movers_raw_gt_1.25x_and_1s":$moversJson,""" +
             s""""added":$added,"removed":$removed}""" + "\n")
+        }
       }
     } catch { case _: Throwable => () } // advisory artifact only
+    // the scan-calibration parquet is per-run scratch — delete it or
+    // repeated bench loops accumulate ~100 MB per run in the temp fs
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(Path.of(calibDir))
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -460,7 +460,11 @@ object Similarity {
     * query panels would silently diverge. One min/max-stats-sized
     * aggregate over the id column — eval-path cost only. */
   private def requirePlantOffsetClear(e: DataFrame): Unit = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val row = e.agg(max(col("vec_id"))).head
+    // empty corpus: max is NULL and nothing can collide — fall through
+    // to the (empty) eval instead of an opaque NPE
+    if (row.isNullAt(0)) return
+    val maxId = row.getLong(0)
     require(maxId < PlantOffset,
       s"ivf eval: corpus max vec_id $maxId >= planted-id offset " +
         s"$PlantOffset — raise PlantOffset (planted ids must not " +

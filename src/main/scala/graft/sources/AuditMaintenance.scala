@@ -2757,7 +2757,9 @@ private[sources] object GraftProcedures {
     * `maintenance_apply` (executes them). `selector` is the exact
     * `partition_filter` conjunct string naming the target dir (None on
     * unpartitioned tables). `liveBytes` sums the live batch files'
-    * recorded sizes (None when every line predates byte stamping). */
+    * recorded sizes — Some only when EVERY live line carries one (a
+    * partial sum would misread as the table's footprint); None on
+    * legacy or mixed manifests. */
   private[sources] final case class MaintRec(target: String, files: Int,
       rows: Long, vectors: Long, recovery: Int, action: String,
       why: String, selector: Option[String],
@@ -2829,8 +2831,15 @@ private[sources] object GraftProcedures {
       val rows = live.map(_.rows).sum +
         base.toSeq.flatMap(_.files.map(_._2)).sum -
         AuditDeletes.count(p)
+      // total only when EVERY live line carries a size: a partial sum on
+      // a mixed legacy/new manifest would read as the table's footprint
+      // while silently missing the uncounted files — null means "not
+      // fully known", never "small"
       val knownBytes = live.flatMap(_.bytes)
-      val liveBytes = if (knownBytes.isEmpty) None else Some(knownBytes.sum)
+      val liveBytes =
+        if (live.nonEmpty && knownBytes.size == live.size)
+          Some(knownBytes.sum)
+        else None
       // byte-aware fragmentation (round 20): a FRAGMENT is a live file
       // below small_file_bytes — 10×1 KB fragments want compaction even
       // when the raw file count sits under max_live_files, and lines
@@ -2968,7 +2977,8 @@ private[sources] object GraftProcedures {
           StructField("action", StringType, nullable = false),
           StructField("recommendation", StringType, nullable = false),
           // appended (round 20) so pre-existing consumers' ordinals hold;
-          // null = no live line carries a size yet (legacy table)
+          // null = not every live line carries a size (legacy or mixed
+          // manifest — a partial sum would misread as the footprint)
           StructField("live_bytes", LongType, nullable = true)))
         val tables = expandTables(catalog, table)
         val wildcard = tables != Seq(table)
@@ -3151,14 +3161,35 @@ private[sources] object GraftProcedures {
         val out: Seq[Array[Any]] =
           if (tables.size <= 1 || maxConc == 1) tables.flatMap(healTable)
           else {
+            // daemon threads + shutdownNow on failure: a table whose heal
+            // throws must not leave SIBLING heals running invisibly in
+            // the background (an immediate retry would race their leases
+            // on tables that look idle), and the surfaced error is the
+            // heal's own, not the ExecutionException wrapper
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(maxConc, tables.size))
-            try tables.map { t =>
-              pool.submit(new java.util.concurrent.Callable[Seq[Array[Any]]] {
-                override def call(): Seq[Array[Any]] = healTable(t)
+              math.min(maxConc, tables.size),
+              new java.util.concurrent.ThreadFactory {
+                override def newThread(r: Runnable): Thread = {
+                  val t = new Thread(r, "graft-maint-apply")
+                  t.setDaemon(true)
+                  t
+                }
               })
-            }.flatMap(_.get())
-            finally pool.shutdown()
+            try {
+              val futs = tables.map { t =>
+                pool.submit(new java.util.concurrent.Callable[Seq[Array[Any]]] {
+                  override def call(): Seq[Array[Any]] = healTable(t)
+                })
+              }
+              try futs.flatMap(_.get())
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  pool.shutdownNow()
+                  pool.awaitTermination(60,
+                    java.util.concurrent.TimeUnit.SECONDS)
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            } finally pool.shutdown()
           }
         rowsOf(schema, out)
       }
