@@ -19,8 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit md5-derived hash, reproducible in DuckDB (see object doc). */
+  /** 60-bit md5-derived hash, reproducible in DuckDB (see object doc).
+    *
+    * Round-21 optimization (guide §4 — per-row expression cost): computed
+    * by the codegen'd [[graft.plans.HexHash60Expr]] instead of the
+    * `conv(substring(md5(c), 1, 15), 16, 10)` chain. Value-identical
+    * (HashingSpec proves chain ≡ native on randomized inputs); the chain
+    * paid a hex-format allocation + substring + base-conversion digit
+    * loop + string→long parse per row on top of the md5 itself. */
   def hexHash(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.HexHash60Expr(
+        org.apache.spark.sql.GraftSqlShim.expression(c)))
+
+  /** The pre-round-21 expression-chain spelling of [[hexHash]] — kept as
+    * the differential-test twin (HashingSpec asserts chain ≡ native). */
+  def hexHashChain(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** The DuckDB SQL spelling of [[hexHash]], for building oracle strings. */

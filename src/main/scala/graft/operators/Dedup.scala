@@ -1103,17 +1103,15 @@ object Dedup {
     * stream; docs shorter than K tokens contribute nothing. The token
     * array is sliced per position (O(K) each) — never per-character
     * substr (the round-4 O(n²) trap). */
-  private def gramPositions(spark: SparkSession, d: String): DataFrame = {
-    val grams = expr(
-      s"CASE WHEN size(split(text, ' ')) >= $SpanK THEN " +
-        s"transform(sequence(1, size(split(text, ' ')) - ${SpanK - 1}), " +
-        s"i -> array_join(slice(split(text, ' '), i, $SpanK), ' ')) " +
-        s"ELSE slice(split(text, ' '), 1, 0) END")
+  private def gramPositions(spark: SparkSession, d: String): DataFrame =
+    // r21: one codegen'd pass ([[graft.plans.WordKgramHashesExpr]])
+    // replaces the interpreted transform/slice/array_join HOF chain +
+    // per-gram hexHash — same positional grams, same hashes (spec'd)
     documents(spark, d)
-      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"),
+        posexplode(graft.plans.WordKgramHashes.kgramHashes(col("text"), SpanK)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        Hashing.hexHash(col("col")).as("gram"))
-  }
+        col("col").as("gram"))
 
   private val gramPositionsSql: String =
     s"""toks AS (
@@ -1278,15 +1276,12 @@ object Dedup {
     * nothing (the standard winnowing domain). */
   def winnow(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = expr(
-      s"CASE WHEN size(split(text, ' ')) >= $WinnowK THEN " +
-        s"transform(sequence(1, size(split(text, ' ')) - ${WinnowK - 1}), " +
-        s"i -> array_join(slice(split(text, ' '), i, $WinnowK), ' ')) " +
-        s"ELSE slice(split(text, ' '), 1, 0) END")
+    // r21: same codegen'd k-gram pass as [[gramPositions]] (WordKgramHashesExpr)
     val keyed = documents(spark, d)
-      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"),
+        posexplode(graft.plans.WordKgramHashes.kgramHashes(col("text"), WinnowK)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        (Hashing.hexHash(col("col")) % WinnowFpMod).as("h40"))
+        (col("col") % WinnowFpMod).as("h40"))
       .select(col("doc_id"), col("pos"),
         (col("h40") * WinnowPosMod + (lit(WinnowPosMod - 1) - col("pos"))).as("k"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
