@@ -30,6 +30,13 @@ import graft.Tables._
   */
 object Multimodal {
 
+  // r21 (guide §1/§4 — per-task work): ImageIO defaults to DISK-backed
+  // stream caches, so every in-memory encode/decode round-tripped a temp
+  // FILE (create+write+read+delete per image — FileCacheImageInput/
+  // OutputStream). All payloads here are byte arrays; cache in memory.
+  // JVM-global, affects performance only, never decoded values.
+  ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, payload: Array[Byte],
       format: String)
