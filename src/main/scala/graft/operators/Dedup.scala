@@ -376,29 +376,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val sigs = minhashFromHashRows(sh).localCheckpoint()
-    val perBanding = SweepBandings.map { case (b, r) =>
-      val bands = sigs.select(col("doc_id"),
-          explode(array((0 until b).map(i =>
-            struct(lit(i).as("band_id"),
-              slice(col("minhash"), i * r + 1, r).as("band_key"))): _*))
-            .as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      val cand = bands.as("x").join(bands.as("y"),
+    // r21 (guide §2.4 — one exchange instead of five): the old shape ran
+    // a PER-BANDING loop — 5 × (band explode → self-join → distinct →
+    // localCheckpoint → semi-join → two single-row aggs), ~25 jobs. All
+    // five bandings now ride ONE exploded band frame (banding id leads
+    // the band key), ONE self-join, ONE distinct, and ONE aggregation;
+    // n_hit folds into the same pass as a LEFT-join marker count instead
+    // of a separate semi-join per arm. Row-identical output (the DuckDB
+    // oracle still restates the per-arm form): candidates per banding
+    // are the same pair sets, counted per banding key.
+    import spark.implicits._
+    val bandsAll = sigs.select(col("doc_id"),
+        explode(array(SweepBandings.flatMap { case (b, r) =>
+          (0 until b).map(i =>
+            struct(lit(b).as("banding"), lit(i).as("band_id"),
+              slice(col("minhash"), i * r + 1, r).as("band_key")))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("band.banding"), col("band.band_id"),
+        col("band.band_key"))
+    val candAll = bandsAll.as("x").join(bandsAll.as("y"),
+        col("x.banding") === col("y.banding") &&
           col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct().localCheckpoint()
-      val hit = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(lit(b.toLong).as("bands"),
-          lit(r.toLong).as("rows_per_band"), col("n_cand"), col("n_hit"))
-    }.reduce(_ unionAll _)
-    perBanding.crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.banding").as("banding"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val counts = candAll
+      .join(truePairs.withColumn("__hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("banding"))
+      .agg(count(lit(1)).as("n_cand"), count(col("__hit")).as("n_hit"))
+    // left join from the literal arm list so a zero-candidate banding
+    // still emits its row (the old per-arm agg-without-groupBy did)
+    val arms = SweepBandings.map { case (b, r) => (b.toLong, r.toLong) }
+      .toDF("bands", "rows_per_band")
+    arms.join(counts, col("bands") === col("banding"), "left")
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
       .select(col("bands"), col("rows_per_band"), col("n_true"),
-        col("n_cand"), col("n_hit"),
-        expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_true"))
       .orderBy(col("bands"))
   }
 

@@ -677,20 +677,42 @@ object Similarity {
           w.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))))
         .where(col("rk") <= k).select(col("q_id"), col("vec_id"))
     val brute = topk(scored).localCheckpoint()
-    val perProbe = (1 to IvfCells).map { np =>
-      val ivf = topk(scored.join(broadcast(
-        probeRanked.where(col("pr") <= np).select(col("q_id"), col("cell"))),
-        Seq("q_id", "cell")))
-      val hit = brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
-      val plantedHit =
-        ivf.where(col("vec_id") === col("q_id") + lit(PlantOffset))
-      ivf.agg(count(lit(1)).as("n_ivf"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(plantedHit.agg(count(lit(1)).as("n_planted_found")))
-        .select(lit(np.toLong).as("nprobe"), col("n_ivf"), col("n_hit"),
-          col("n_planted_found"))
-    }.reduce(_ unionAll _)
-    perProbe.crossJoin(brute.agg(count(lit(1)).as("n_true")))
+    // r21 (guide §2.4 — one exchange instead of eight): the old shape ran
+    // a PER-NPROBE loop — 8 × (probe-cell join → top-k window, the window
+    // re-run for each of the arm's THREE consumers → ~24 window jobs +
+    // 24 single-row aggs). The arms are NESTED (np=1 ⊂ np=2 ⊂ …), so each
+    // candidate row belongs to every arm np ≥ pr(its cell): explode that
+    // range once, rank ONE window partitioned by (np, q_id), and fold all
+    // three per-arm counts (candidates, brute-truth hits, planted hits)
+    // into ONE aggregation via a LEFT-join marker. Total rows through the
+    // window are IDENTICAL to the sum of the eight per-arm subsets; the
+    // output is row-identical (same tie-breaks, same counts — the DuckDB
+    // oracle still restates the per-arm form).
+    val scoredPr = scored.join(broadcast(probeRanked), Seq("q_id", "cell"))
+    val ivfAll = scoredPr
+      .select(col("q_id"), col("vec_id"), col("cs"),
+        explode(sequence(col("pr"), lit(IvfCells))).as("nprobe"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("nprobe"), col("q_id"))
+          .orderBy(col("cs").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("nprobe").cast("long").as("nprobe"), col("q_id"), col("vec_id"))
+    val counts = ivfAll
+      .join(brute.withColumn("__hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_ivf"), count(col("__hit")).as("n_hit"),
+        sum(when(col("vec_id") === col("q_id") + lit(PlantOffset), 1L)
+          .otherwise(0L)).as("n_planted_found"))
+    // left join from the literal arm list so an empty arm still emits its
+    // zero-count row (the old agg-without-groupBy did)
+    import spark.implicits._
+    val arms = (1 to IvfCells).map(_.toLong).toDF("np")
+    arms.join(counts, col("np") === col("nprobe"), "left")
+      .crossJoin(brute.agg(count(lit(1)).as("n_true")))
+      .select(col("np").as("nprobe"), col("n_true"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_planted_found"), lit(0L)).as("n_planted_found"))
       .select(col("nprobe"), col("n_true"), col("n_ivf"), col("n_hit"),
         expr("(n_hit * 1000000) div n_true").as("recall_ppm"),
         col("n_planted_found"))

@@ -57,6 +57,22 @@ object ProbeR21 {
       val t = timeMin(3)(all(q)(spark, d))
       println(f"[probe] $q%-18s ${t}%.3f s (min of 3, one JVM)")
     }
+
+    // probe 3: AQE byte-based partition coalescing (parallelismFirst=false,
+    // guide §2.2 "fewer, larger reduce partitions") on the iterative graph
+    // loops — tiny node-sized frontiers currently fan every shuffle into 32
+    // reducer tasks. Alternating arms, min-of-3 each, one JVM.
+    val graphQs = Seq("q_pagerank", "q_bfs", "q_sssp", "q_kcore",
+      "q_triangles", "q_dup_clusters", "q_copurchase", "q_degree_dist")
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    graphQs.foreach { q =>
+      val tDefault = timeMin(3)(all(q)(spark, d))
+      spark.conf.set(key, "false")
+      val tBytes = try timeMin(3)(all(q)(spark, d))
+      finally spark.conf.unset(key)
+      println(f"[probe] aqe:$q%-16s default=$tDefault%.3f s bytes=$tBytes%.3f s " +
+        f"(ratio ${tBytes / tDefault}%.2f)")
+    }
     spark.stop()
   }
 }
