@@ -3666,6 +3666,7 @@ final class AuditPartDeltaWriter(path: String, schema: StructType,
   // empty for a pure DELETE (empty write schema, no inserts)
   private lazy val partIdxs: Array[Int] =
     partLevels.map(l => schema.fieldIndex(l.col)).toArray
+  private lazy val enc = new AuditRowJson.Enc(schema)
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   private def writerFor(relDir: String) = outs.getOrElseUpdate(relDir, {
@@ -3696,8 +3697,7 @@ final class AuditPartDeltaWriter(path: String, schema: StructType,
           if (row.isNullAt(i)) null else row.get(i, l.dt), l.bucket)
       })
     val (w, _, n, acc) = writerFor(relDir)
-    w.write(AuditRowJson.line(schema, row))
-    w.write("\n")
+    enc.writeTo(row, w)
     acc.update(row)
     n(0) += 1
   }
@@ -3904,6 +3904,7 @@ final class AuditDeltaWriter(path: String, schema: StructType,
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
   private val acc = new AuditStats.Acc(schema)
+  private lazy val enc = new AuditRowJson.Enc(schema)
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -3920,8 +3921,7 @@ final class AuditDeltaWriter(path: String, schema: StructType,
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
     }
-    out.write(AuditRowJson.line(schema, row))
-    out.write("\n")
+    enc.writeTo(row, out)
     acc.update(row)
     rows += 1
   }
@@ -4488,8 +4488,10 @@ private[sources] object AuditJson {
             }
           }
         } else { // null / number / boolean
-          val end0 = line.indexWhere(c => c == ',' || c == '}', i)
-          i = if (end0 < 0) line.length else end0
+          var e = i
+          while (e < line.length &&
+            { val c = line.charAt(e); c != ',' && c != '}' }) e += 1
+          i = e
         }
         if (i < line.length && line.charAt(i) == '}') {
           // dropped key was the last: remaining schema fields post-date
@@ -4511,7 +4513,18 @@ private[sources] object AuditJson {
       else schema(f).dataType match {
         case StringType =>
           expect('"')
-          val sb = new java.lang.StringBuilder
+          // fast path: no escapes before the closing quote → slice once
+          var q = i
+          while (q < line.length &&
+            { val c = line.charAt(q); c != '"' && c != '\\' }) q += 1
+          if (q < line.length && line.charAt(q) == '"') {
+            vals(f) = org.apache.spark.unsafe.types.UTF8String
+              .fromString(line.substring(i, q))
+            i = q + 1
+          } else {
+          val sb = new java.lang.StringBuilder(math.min(line.length - i, 64))
+          sb.append(line, i, q)
+          i = q
           var done = false
           while (!done) {
             line.charAt(i) match {
@@ -4533,17 +4546,22 @@ private[sources] object AuditJson {
             }
           }
           vals(f) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          }
         case BooleanType =>
           if (line.startsWith("true", i)) { vals(f) = true; i += 4 }
           else { vals(f) = false; i += 5 }
         case dt =>
-          val end0 = line.indexWhere(c => c == ',' || c == '}', i)
-          val end = if (end0 < 0) line.length else end0
-          val tok = line.substring(i, end)
+          var e = i
+          while (e < line.length &&
+            { val c = line.charAt(e); c != ',' && c != '}' }) e += 1
+          val end = e
           vals(f) = dt match {
-            case LongType | TimestampType | TimestampNTZType => tok.toLong
-            case IntegerType => tok.toInt
-            case DoubleType  => tok.toDouble
+            // parse straight off the line (JDK 9+ CharSequence overloads) —
+            // no per-token substring allocation
+            case LongType | TimestampType | TimestampNTZType =>
+              java.lang.Long.parseLong(line, i, end, 10)
+            case IntegerType => java.lang.Integer.parseInt(line, i, end, 10)
+            case DoubleType  => line.substring(i, end).toDouble
             case other => throw new UnsupportedOperationException(
               s"graft-audit-sink read: unsupported column type $other")
           }
@@ -5863,46 +5881,114 @@ final class AuditWriterFactory(path: String, schema: StructType,
 }
 
 /** Shared row→jsonl serialization (batch, streaming, and partitioned
-  * writers all emit the identical line format the reader parses). */
+  * writers all emit the identical line format the reader parses).
+  *
+  * Round-21 (guide §1.2 step 2, per-task work): the original
+  * `schema.fields.zipWithIndex.map` path allocated a tuple array plus
+  * ~three Strings PER FIELD PER ROW (~434 ns/row on a 3-long row,
+  * ProbeJson). [[AuditRowJson.Enc]] precomputes the per-field
+  * `,"name":` prefixes and a primitive type tag once per writer and
+  * appends every value straight into one reusable builder —
+  * byte-identical lines (AuditRowJsonSpec pins new == the old chain on
+  * randomized rows), no per-row garbage. */
 private[sources] object AuditRowJson {
   /** JSON string escaping — backslash, quote, AND control characters
     * (a raw newline in a value would split one record across two invalid
     * JSON lines, breaking both the framing and the read-back round trip). */
   def esc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\\' => sb.append("\\\\")
-        case '"'  => sb.append("\\\"")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
+    appendEsc(sb, s)
     sb.toString
   }
 
-  def line(schema: StructType, record: InternalRow): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val v = f.dataType match {
-        case _ if record.isNullAt(i) => "null"
-        case LongType | IntegerType  => record.get(i, f.dataType).toString
-        case DoubleType              => record.getDouble(i).toString
-        case BooleanType             => record.getBoolean(i).toString
-        case StringType              => "\"" + esc(record.getUTF8String(i).toString) + "\""
-        case TimestampType | TimestampNTZType =>
-          record.getLong(i).toString // µs since epoch; reader schema uses long
-        case other => throw new UnsupportedOperationException(
-          s"graft-audit-sink: unsupported column type $other")
+  /** Escape `s` into `sb`: unescaped runs are copied with one bulk
+    * append (the dominant case) instead of char-at-a-time. */
+  private def appendEsc(sb: java.lang.StringBuilder, s: String): Unit = {
+    val n = s.length
+    var i = 0
+    var runStart = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\' || c == '"' || c < 0x20) {
+        if (i > runStart) sb.append(s, runStart, i)
+        c match {
+          case '\\' => sb.append("\\\\")
+          case '"'  => sb.append("\\\"")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case other => sb.append(f"\\u${other.toInt}%04x")
+        }
+        runStart = i + 1
       }
-      "\"" + f.name + "\":" + v
+      i += 1
     }
-    fields.mkString("{", ",", "}")
+    if (runStart < n) sb.append(s, runStart, n)
   }
+
+  // primitive tags — one Int comparison per field per row instead of a
+  // DataType pattern match
+  private final val KLong = 0; private final val KInt = 1
+  private final val KDouble = 2; private final val KBool = 3
+  private final val KString = 4
+
+  /** Per-writer encoder: precomputed prefixes + reusable buffers. NOT
+    * thread-safe — one instance per DataWriter (Spark gives each task
+    * its own writer). */
+  final class Enc(schema: StructType) {
+    private val prefixes: Array[String] = schema.fields.zipWithIndex.map {
+      case (f, i) => (if (i == 0) "{\"" else ",\"") + f.name + "\":"
+    }
+    private val kinds: Array[Int] = schema.fields.map(_.dataType match {
+      case LongType | TimestampType | TimestampNTZType => KLong
+      case IntegerType => KInt
+      case DoubleType  => KDouble
+      case BooleanType => KBool
+      case StringType  => KString
+      case other => throw new UnsupportedOperationException(
+        s"graft-audit-sink: unsupported column type $other")
+    })
+    private val sb = new java.lang.StringBuilder(256)
+    private var buf = new Array[Char](1024)
+
+    private def build(record: InternalRow): Unit = {
+      sb.setLength(0)
+      if (prefixes.isEmpty) sb.append('{')
+      var i = 0
+      while (i < prefixes.length) {
+        sb.append(prefixes(i))
+        if (record.isNullAt(i)) sb.append("null")
+        else kinds(i) match {
+          case KLong   => sb.append(record.getLong(i))
+          case KInt    => sb.append(record.getInt(i))
+          case KDouble => sb.append(record.getDouble(i))
+          case KBool   => sb.append(record.getBoolean(i))
+          case KString =>
+            sb.append('"')
+            appendEsc(sb, record.getUTF8String(i).toString)
+            sb.append('"')
+        }
+        i += 1
+      }
+      sb.append('}')
+    }
+
+    def line(record: InternalRow): String = { build(record); sb.toString }
+
+    /** Append the record's line plus trailing newline to `out` without
+      * materializing an intermediate String. */
+    def writeTo(record: InternalRow, out: java.io.Writer): Unit = {
+      build(record)
+      sb.append('\n')
+      val len = sb.length
+      if (buf.length < len) buf = new Array[Char](Integer.highestOneBit(len) * 2)
+      sb.getChars(0, len, buf, 0)
+      out.write(buf, 0, len)
+    }
+  }
+
+  def line(schema: StructType, record: InternalRow): String =
+    new Enc(schema).line(record)
 }
 
 final class AuditDataWriter(path: String, schema: StructType,
@@ -5923,10 +6009,10 @@ final class AuditDataWriter(path: String, schema: StructType,
     java.nio.file.Files.newOutputStream(stageDir.resolve(stagedName)), "UTF-8"))
   private var rows = 0L
   private val acc = new AuditStats.Acc(schema, bloomCols)
+  private val enc = new AuditRowJson.Enc(schema)
 
   override def write(record: InternalRow): Unit = {
-    out.write(AuditRowJson.line(schema, record))
-    out.write("\n")
+    enc.writeTo(record, out)
     acc.update(record)
     rows += 1
   }
@@ -5978,6 +6064,7 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
     .empty[String, (java.io.BufferedWriter, String, Array[Long], AuditStats.Acc)]
   private val partIdxs: Array[Int] =
     partLevels.map(l => schema.fieldIndex(l.col)).toArray
+  private val enc = new AuditRowJson.Enc(schema)
 
   private def writerFor(relDir: String) = outs.getOrElseUpdate(relDir, {
     // staged names must be flat files: relDirs contain '/', so key the
@@ -5995,8 +6082,7 @@ final class AuditPartitionedDataWriter(path: String, schema: StructType,
           if (record.isNullAt(i)) null else record.get(i, l.dt), l.bucket)
       })
     val (w, _, n, acc) = writerFor(relDir)
-    w.write(AuditRowJson.line(schema, record))
-    w.write("\n")
+    enc.writeTo(record, w)
     acc.update(record)
     n(0) += 1
   }
