@@ -98,6 +98,43 @@ object EventStream {
     part.ifPresent(p => java.nio.file.Files.move(p, dst))
   }
 
+  /** Stage SEVERAL micro-batch files in ONE write job (the
+    * streamingLateData pattern, shared — round-21, guide §1.2 step 1:
+    * one source pass + one commit instead of one job per staged file).
+    * `df` must carry an integer `__batch` column in [0, names.size)
+    * selecting each row's staged file; `coalesce(1)` + `partitionBy`
+    * routes every batch to exactly one part file, moved to
+    * `inDir/<names(b)>` and stamped `mtimes(b)`. A batch with no rows
+    * writes no partition dir and is skipped — fewer arrival batches,
+    * same semantics (the callers' oracles are arrival-split-invariant).
+    * The staged files hold the same row SETS as the per-batch filtered
+    * writes they replace; within-file order is whatever the single write
+    * task sees, which every drive is insensitive to by design (order-free
+    * folds / max-reductions / dedup on unique keys). */
+  def landBatches(df: DataFrame, root: java.nio.file.Path,
+      inDir: java.nio.file.Path, names: Seq[String],
+      mtimes: Seq[Long]): Unit = {
+    val stage = root.resolve("stage_all")
+    df.coalesce(1).write.partitionBy("__batch")
+      .mode("overwrite").parquet(stage.toString)
+    names.indices.foreach { b =>
+      val dir = stage.resolve(s"__batch=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val listing = java.nio.file.Files.list(dir)
+        val part =
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst()
+          finally listing.close() // Files.list leaks a directory handle otherwise
+        part.ifPresent { p =>
+          val dst = inDir.resolve(names(b))
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtimes(b)))
+        }
+      }
+    }
+  }
+
   /** Tumbling 5-minute windows per event type with a 10-minute watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -202,23 +239,10 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_tws")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def land(df: DataFrame, b: Int): Unit = {
-      val stage = root.resolve(s"stage$b")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst()
-        finally listing.close()
-      part.ifPresent { p =>
-        val dst = inDir.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(p, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
-      }
-    }
-    land(raw.where(col("event_id") % 2 === 0), 0)
-    land(raw.where(col("event_id") % 2 === 1), 1)
+    // both parity batches staged in one pass (landBatches, round 21)
+    landBatches(raw.withColumn("__batch", (col("event_id") % 2).cast("int")),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 30000L, now))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -440,22 +464,12 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_tws_timer")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def land(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = inDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-    land(raw.where(col("event_id") % 2 === 0), "b0", now - 60000L)
-    land(raw.where(col("event_id") % 2 === 1), "b1", now - 30000L)
-    land(sentinel, "b2", now)
+    // parity batches + flush sentinel staged in one pass (landBatches, r21)
+    landBatches(
+      raw.withColumn("__batch", (col("event_id") % 2).cast("int"))
+        .unionByName(sentinel.withColumn("__batch", lit(2))),
+      root, inDir, Seq("b0.parquet", "b1.parquet", "b2.parquet"),
+      Seq(now - 60000L, now - 30000L, now))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -590,23 +604,10 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_upd")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def land(df: DataFrame, b: Int): Unit = {
-      val stage = root.resolve(s"stage$b")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst()
-        finally listing.close()
-      part.ifPresent { p =>
-        val dst = inDir.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(p, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
-      }
-    }
-    land(raw.where(col("event_id") % 2 === 0), 0)
-    land(raw.where(col("event_id") % 2 === 1), 1)
+    // both parity batches staged in one pass (landBatches, round 21)
+    landBatches(raw.withColumn("__batch", (col("event_id") % 2).cast("int")),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 30000L, now))
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
@@ -684,38 +685,20 @@ object EventStream {
         -1L, maxNs + 30L * dayNs, -1L, "__flush__", 0.0, "{}")),
       rawSchema)
 
-    // stage all four arrival batches in ONE write job (partitionBy routes
-    // rows to per-batch subdirs; coalesce(1) → exactly one file each), then
-    // move them into the stream dir with ordered mtimes
+    // stage all four arrival batches in ONE write job ([[landBatches]]);
+    // an empty stratum (e.g. a fixture spanning <7 days has no old-odd
+    // rows) just means fewer arrival batches — the oracle's relational
+    // restatement agrees
     val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
-    val stage = root.resolve("stage")
-    raw.withColumn("__batch",
-        when(col("event_id") % 2 === 0, 0)
-          .when(col("ts") >= cutoffNs, 1).otherwise(2))
-      .unionByName(sentinel.withColumn("__batch", lit(3)))
-      .coalesce(1)
-      .write.partitionBy("__batch").mode("overwrite").parquet(stage.toString)
     val now = System.currentTimeMillis()
-    (0 to 3).foreach { b =>
-      val dir = stage.resolve(s"__batch=$b")
-      // an empty stratum writes no partition dir (e.g. a fixture spanning
-      // <7 days has no old-odd rows): skip it — fewer arrival batches, same
-      // semantics, and the oracle's relational restatement agrees
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val listing = java.nio.file.Files.list(dir)
-        val part =
-          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-            .findFirst()
-          finally listing.close() // Files.list leaks a directory handle otherwise
-        part.ifPresent { p =>
-          val dst = inDir.resolve(s"batch$b.parquet")
-          java.nio.file.Files.move(p, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
-        }
-      }
-    }
+    landBatches(
+      raw.withColumn("__batch",
+          when(col("event_id") % 2 === 0, 0)
+            .when(col("ts") >= cutoffNs, 1).otherwise(2))
+        .unionByName(sentinel.withColumn("__batch", lit(3))),
+      root, inDir, (0 to 3).map(b => s"batch$b.parquet"),
+      (0 to 3).map(b => now - (3 - b) * 30000L))
 
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -789,22 +772,13 @@ object EventStream {
 
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sw")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
-    val dst0 = inDir.resolve("batch0.parquet")
-    stageOne(raw, root.resolve("stage0"), dst0)
-    val stage = root.resolve("stage")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val listing = java.nio.file.Files.list(stage)
-    val part =
-      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst()
-      finally listing.close()
-    val dst1 = inDir.resolve("batch1.parquet")
-    java.nio.file.Files.move(part.get(), dst1)
     val now = System.currentTimeMillis()
-    java.nio.file.Files.setLastModifiedTime(dst0,
-      java.nio.file.attribute.FileTime.fromMillis(now - 30000L))
-    java.nio.file.Files.setLastModifiedTime(dst1,
-      java.nio.file.attribute.FileTime.fromMillis(now))
+    // data batch + flush sentinel staged in one pass (landBatches, r21)
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel.withColumn("__batch", lit(1))),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 30000L, now))
 
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -861,22 +835,13 @@ object EventStream {
 
     val root = java.nio.file.Files.createTempDirectory("graft_stream_rw")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
-    val dst0 = inDir.resolve("batch0.parquet")
-    stageOne(raw, root.resolve("stage0"), dst0)
-    val stage = root.resolve("stage")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val listing = java.nio.file.Files.list(stage)
-    val part =
-      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst()
-      finally listing.close()
-    val dst1 = inDir.resolve("batch1.parquet")
-    java.nio.file.Files.move(part.get(), dst1)
     val now = System.currentTimeMillis()
-    java.nio.file.Files.setLastModifiedTime(dst0,
-      java.nio.file.attribute.FileTime.fromMillis(now - 30000L))
-    java.nio.file.Files.setLastModifiedTime(dst1,
-      java.nio.file.attribute.FileTime.fromMillis(now))
+    // data batch + flush sentinel staged in one pass (landBatches, r21)
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel.withColumn("__batch", lit(1))),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 30000L, now))
 
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1178,12 +1143,6 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_join_agg")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def stamp(dst: java.nio.file.Path, b: Int): Unit =
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(now - (1 - b) * 30000L))
-    val b0 = inDir.resolve("batch0.parquet")
-    stageOne(raw, root.resolve("stage0"), b0)
-    stamp(b0, 0)
     val sentinel = spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(
@@ -1193,18 +1152,12 @@ object EventStream {
           9100001L, d0Ns + 40L * dayNs + 7200L * 1000000000L, -1L,
           "purchase", 0.0, null.asInstanceOf[String])),
       rawSchema)
-    val stage = root.resolve("stage1")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val listing = java.nio.file.Files.list(stage)
-    val part =
-      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst()
-      finally listing.close()
-    part.ifPresent { p =>
-      val dst = inDir.resolve("batch1.parquet")
-      java.nio.file.Files.move(p, dst)
-      stamp(dst, 1)
-    }
+    // data batch + watermark sentinel staged in one pass (landBatches, r21)
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel.withColumn("__batch", lit(1))),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 30000L, now))
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1383,22 +1336,13 @@ object EventStream {
 
     val root = java.nio.file.Files.createTempDirectory("graft_stream_timeout")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
-    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = inDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val now = System.currentTimeMillis()
-    land(raw, "b0", now - 30000L)
-    land(sentinel, "b1", now)
+    // data batch + flush sentinel staged in one pass (landBatches, r21)
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel.withColumn("__batch", lit(1))),
+      root, inDir, Seq("b0.parquet", "b1.parquet"),
+      Seq(now - 30000L, now))
 
     val GapMs = 30L * 60L * 1000L
     val stream = spark.readStream.schema(rawSchema)
@@ -1460,23 +1404,18 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_merge")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
 
-    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = inDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val now = System.currentTimeMillis()
-    land(raw.where(col("event_id") % 2 === 0), "b0", now - 30000L)
-    land(raw.where(col("event_id") % 2 === 1 || col("event_id") < 1000),
-      "b1", now) // odd rows + re-delivered low evens: the update path
+    // both arrival batches staged in one job (landBatches, round 21); the
+    // strata OVERLAP (low even ids are re-delivered in b1 — the update
+    // path), so they union with literal batch ids rather than routing on
+    // a partition expression
+    landBatches(
+      raw.where(col("event_id") % 2 === 0).withColumn("__batch", lit(0))
+        .unionByName(
+          raw.where(col("event_id") % 2 === 1 || col("event_id") < 1000)
+            .withColumn("__batch", lit(1))),
+      root, inDir, Seq("b0.parquet", "b1.parquet"),
+      Seq(now - 30000L, now))
 
     var version = -1
     def warehouseDir(v: Int) = root.resolve(s"wh_v$v").toString
@@ -1527,21 +1466,11 @@ object EventStream {
     // stage the raw file twice, split by event_id parity → 2 micro-batches
     val raw = rawEvents(spark, sfDir)
       .localCheckpoint()
-    def land(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
-      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"))
-      java.nio.file.Files.setLastModifiedTime(inDir.resolve(s"$name.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val now = System.currentTimeMillis()
-    land(raw.where(col("event_id") % 2 === 0), "b0", now - 30000L)
-    land(raw.where(col("event_id") % 2 === 1), "b1", now)
+    // both parity batches staged in one pass (landBatches, round 21)
+    landBatches(raw.withColumn("__batch", (col("event_id") % 2).cast("int")),
+      root, inDir, Seq("b0.parquet", "b1.parquet"),
+      Seq(now - 30000L, now))
 
     // static feature history: one signup row per (user, ts), pinned once
     val withTs = raw.select(col("event_id"), col("user_id"),
@@ -1630,30 +1559,8 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_outer")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def stamp(dst: java.nio.file.Path, b: Int): Unit =
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
-    def land(df: DataFrame, b: Int): Unit = {
-      val stage = root.resolve(s"stage$b")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst()
-        finally listing.close()
-      part.ifPresent { p =>
-        val dst = inDir.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(p, dst)
-        stamp(dst, b)
-      }
-    }
     // batch0 = the whole normalized events table in one staged file (the
     // type filter runs stream-side)
-    def landCopy(b: Int): Unit = {
-      val dst = inDir.resolve(s"batch$b.parquet")
-      stageOne(raw, root.resolve(s"stage_copy$b"), dst)
-      stamp(dst, b)
-    }
     // one view AND one purchase per sentinel batch: the global watermark is
     // the MIN over both sides' trackers, so advancing only the view side
     // would pin the join's eviction line at the purchases' batch0 max
@@ -1671,8 +1578,13 @@ object EventStream {
         rawSchema)
     // ONE sentinel suffices — see streamingFullOuterJoin's round-16 note
     // (watermark from batch1 applies at the next batch; the no-data
-    // micro-batch flushes batch0's unmatched state)
-    landCopy(0); land(sentinel(1), 1)
+    // micro-batch flushes batch0's unmatched state). Both batches staged
+    // in one pass (landBatches, round 21).
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel(1).withColumn("__batch", lit(1))),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 3 * 30000L, now - 2 * 30000L))
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1736,28 +1648,6 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_fouter")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def stamp(dst: java.nio.file.Path, b: Int): Unit =
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(now - (3 - b) * 30000L))
-    def land(df: DataFrame, b: Int): Unit = {
-      val stage = root.resolve(s"stage$b")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst()
-        finally listing.close()
-      part.ifPresent { p =>
-        val dst = inDir.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(p, dst)
-        stamp(dst, b)
-      }
-    }
-    def landCopy(b: Int): Unit = {
-      val dst = inDir.resolve(s"batch$b.parquet")
-      stageOne(raw, root.resolve(s"stage_copy$b"), dst)
-      stamp(dst, b)
-    }
     def sentinel(b: Int): DataFrame =
       spark.createDataFrame(
         java.util.Arrays.asList(
@@ -1775,8 +1665,13 @@ object EventStream {
     // default on) — that final empty batch flushes batch0's unmatched
     // state on both sides. The previous three-sentinel walk re-ran the
     // stateful join choreography twice more for rows the rollup filters
-    // out anyway (oracle hash-green at both verify scales).
-    landCopy(0); land(sentinel(1), 1)
+    // out anyway (oracle hash-green at both verify scales). Both batches
+    // staged in one pass (landBatches, round 21).
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel(1).withColumn("__batch", lit(1))),
+      root, inDir, Seq("batch0.parquet", "batch1.parquet"),
+      Seq(now - 3 * 30000L, now - 2 * 30000L))
 
     def src() = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1868,34 +1763,22 @@ object EventStream {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_wm")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
     val now = System.currentTimeMillis()
-    def stamp(dst: java.nio.file.Path, b: Int): Unit =
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(now - (2 - b) * 30000L))
-    def land(df: DataFrame, b: Int): Unit = {
-      val stage = root.resolve(s"stage$b")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst()
-        finally listing.close()
-      part.ifPresent { p =>
-        val dst = inDir.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(p, dst)
-        stamp(dst, b)
-      }
-    }
     val sentinel = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(
         9000001L, d0Ns + 10L * dayNs, -1L, "view", 0.0,
         null.asInstanceOf[String])),
       rawSchema)
-    // batch0 = the whole normalized events table in one staged file
-    val b0 = inDir.resolve("batch0.parquet")
-    stageOne(raw, root.resolve("stage0"), b0)
-    stamp(b0, 0)
-    land(sentinel, 1)
-    land(raw.where(col("ts") >= recentNs), 2)
+    // batch0 = the whole events table, batch1 = watermark sentinel,
+    // batch2 = the recent slice RE-DELIVERED (overlaps batch0, so the
+    // strata union with literal ids) — all staged in one pass
+    // (landBatches, round 21)
+    landBatches(
+      raw.withColumn("__batch", lit(0))
+        .unionByName(sentinel.withColumn("__batch", lit(1)))
+        .unionByName(raw.where(col("ts") >= recentNs)
+          .withColumn("__batch", lit(2))),
+      root, inDir, (0 to 2).map(b => s"batch$b.parquet"),
+      (0 to 2).map(b => now - (2 - b) * 30000L))
 
     val deduped = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
