@@ -573,9 +573,12 @@ object Dedup {
     while (!converged) {
       val propagated = edges.join(labels, edges("doc_b") === labels("v"))
         .select(edges("doc_a").as("v"), col("label"))
+      // LAZY pin: the labelSum action materializes the checkpoint in the
+      // same pass (eager pin + sum was two jobs per round — round 21,
+      // guide §1.2; same lineage cut, half the round's actions)
       val updated = labels.unionByName(propagated)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -285,9 +285,12 @@ object GraphOps {
     var guard = 0
     while (!done && guard < 50) {
       guard += 1
+      // LAZY pin + count: the count() job materializes the checkpoint in
+      // the same pass (eager pin + count was two jobs per peel; round 21,
+      // guide §1.2 — same lineage cut, half the superstep actions)
       val survivors = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= KCoreK).select(col("u").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = survivors.count()
       if (n == nVerts) done = true
       else { nVerts = n; edges = kcoreStep(base, survivors) }
@@ -372,11 +375,14 @@ object GraphOps {
       .select(lit(s0).as("node"), lit(0L).as("level")).localCheckpoint()
     var frontier = visited.select(col("node").as("src"))
     for (l <- 1 to BfsMaxHops) {
+      // LAZY pin on the level delta: the visited-union pin's job computes
+      // AND checkpoints it in one pass (two jobs per level before — round
+      // 21, guide §1.2); the frontier then reads the materialized blocks
       val next = edges.join(frontier, Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(l.toLong).as("level"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select(col("node").as("src"))
     }
@@ -468,7 +474,14 @@ object GraphOps {
     * placement stays visible in the analyzed plan). */
   private[graft] def ssspStep(edges: DataFrame, dist: DataFrame,
       frontier: DataFrame,
-      pin: DataFrame => DataFrame = _.localCheckpoint()): (DataFrame, DataFrame) = {
+      pin: DataFrame => DataFrame = _.localCheckpoint(),
+      // LAZY pin for the improved-delta (round 21, guide §1.2): the
+      // newDist pin's job computes and checkpoints it in the same pass
+      // (eager+eager was two jobs per relax round); the next round's
+      // frontier broadcast then reads the materialized blocks. Plan-shape
+      // tests pass identity for both.
+      pinLazy: DataFrame => DataFrame = _.localCheckpoint(eager = false))
+      : (DataFrame, DataFrame) = {
     // best ≤(i)-hop candidate per node reachable from the delta frontier
     val cand = edges.join(broadcast(frontier), col("src") === col("node"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
@@ -479,7 +492,7 @@ object GraphOps {
       .join(dist.withColumnRenamed("dist", "prev"), Seq("node"), "left")
       .where(col("prev").isNull || col("cand") < col("prev"))
       .select(col("node"), col("cand").as("dist"))
-    val pinned = pin(improved)
+    val pinned = pinLazy(improved)
     val newDist = pin(dist.unionByName(pinned)
       .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     (newDist, pinned)

@@ -168,7 +168,8 @@ class GraphOpsSpec extends SparkSpec {
     val frontier = spark.range(5)
       .select(col("id").as("node"), (col("id") * 10L).as("dist"))
     val (newDist, improved) =
-      GraphOps.ssspStep(edges, dist, frontier, pin = identity)
+      GraphOps.ssspStep(edges, dist, frontier, pin = identity,
+        pinLazy = identity)
     val hints = newDist.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.size === 1, s"exactly one broadcast hint per superstep, got ${hints.size}")
     val sub = hints.head.child.toString
