@@ -1060,25 +1060,24 @@ object TextAnalysis {
     * quality signals. Empty docs keep a row with 0s (LEFT JOIN both
     * sides — the ADVICE r4 empty-input rule). */
   def repetitionSignal(spark: SparkSession, d: String): DataFrame = {
-    val toksOf = toks(col("text"))
-    val base = documents(spark, d).select(col("doc_id"), col("lang"),
-      size(toksOf).cast("long").as("n_tokens"),
-      size(array_distinct(toksOf)).cast("long").as("n_distinct"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val bigrams = documents(spark, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .withColumn("nxt", lead(col("col"), 1).over(byDoc))
-      .where(col("nxt").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("col"), col("nxt")).as("n_bigram_distinct"))
-    base.join(bigrams, Seq("doc_id"), "left")
+    // Round 21 (guide §1.2 step 1): all four counters are per-document, so
+    // the old posexplode → lead-window (doc_id exchange) → countDistinct
+    // (expand + exchange) → join shape shuffled ~250k token rows for
+    // numbers one codegen expression computes in a single pass
+    // ([[graft.plans.RepStats]]; 1.70 → sub-second warm, plan has zero
+    // pre-sort exchanges — plans/r21/q_repetition_{before,after}.txt).
+    // Semantics byte-identical: same tokenizer, exact distinct counts;
+    // docs with <2 tokens have n_bigrams = 0 and keep rep_bigram_ppm = 0
+    // exactly like the old left-join-null + coalesce path.
+    documents(spark, d)
       .select(col("doc_id"), col("lang"),
-        expr("((n_tokens - n_distinct) * 1000000) div n_tokens").as("rep_token_ppm"),
-        coalesce(
-          expr("((n_bigrams - n_bigram_distinct) * 1000000) div n_bigrams"),
-          lit(0L)).as("rep_bigram_ppm"))
+        graft.plans.RepStats.repStats(col("text")).as("s"))
+      .select(col("doc_id"), col("lang"),
+        expr("((s.n_tokens - s.n_distinct) * 1000000) div s.n_tokens")
+          .as("rep_token_ppm"),
+        when(col("s.n_bigrams") > 0,
+          expr("((s.n_bigrams - s.n_bigram_distinct) * 1000000) div s.n_bigrams"))
+          .otherwise(0L).as("rep_bigram_ppm"))
       .orderBy("doc_id")
   }
 
