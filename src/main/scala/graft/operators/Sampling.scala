@@ -256,6 +256,15 @@ object Sampling {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
       .distinct()
+    // Round-21 A/B (guide §1.1 empirical loop): converting this window to
+    // the [[graft.functions.TopKPairs]] partial aggregate — the documented
+    // production shape — measured SLOWER here (1.93 → 2.31 s warm min,
+    // one JVM): the typed-Aggregator path pays a tuple-encoder round trip
+    // per candidate row, and at local[32] the window's one exchange is a
+    // memory copy, so there are no network bytes for the pre-aggregation
+    // to save. The window stays; on a real cluster the aggregate form
+    // wins exactly as this scaladoc describes (shuffle carries k rows per
+    // customer per map task instead of the full candidate set).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_custkey")).orderBy(col("h"), col("p_partkey"))
     cand.join(purchased, Seq("c_custkey", "p_partkey"), "left_anti")

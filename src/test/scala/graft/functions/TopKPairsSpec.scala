@@ -29,6 +29,22 @@ class TopKPairsSpec extends SparkSpec {
     }
   }
 
+  test("ordered-insert buffers equal brute force on large streams with dup pairs") {
+    // round-21: reduce/merge rewritten as O(k) insert / linear merge —
+    // stress the invariant (sorted best-first, ≤ k pairs) on bigger data
+    // including exact-duplicate (score,key) pairs and many split points
+    val rng = new scala.util.Random(7)
+    val data = Seq.fill(500)((rng.nextInt(20).toLong, rng.nextInt(10).toLong))
+    (0 until 20).foreach { i =>
+      val perm = new scala.util.Random(100 + i).shuffle(data)
+      val (l, r) = perm.splitAt(rng.nextInt(data.size + 1))
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufL, bufR)) === brute(data))
+      assert(agg.finish(agg.merge(bufR, bufL)) === brute(data))
+    }
+  }
+
   test("ties on score break by ascending key, deterministically") {
     val data = Seq((5L, 30L), (5L, 10L), (5L, 20L), (4L, 1L))
     assert(agg.finish(data.foldLeft(agg.zero)(agg.reduce)) ===
