@@ -701,6 +701,28 @@ private[sources] object AuditMaintenance {
         pinned, bloomBy)
     }
 
+  /** Deterministic tile→partition exchange for the z-order rewrite: route
+    * each row to partition (t·n) >> tileBits on its `_ztile` column via
+    * an explicit shuffle, then re-enter SQL with the schema unchanged —
+    * the equi-populated-tile replacement for repartitionByRange's
+    * sampling pass (see the optimizeLocked z-order comment). */
+  private def tilePartitioned(df: org.apache.spark.sql.DataFrame, n: Int,
+      tileBits: Int): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val tileIdx = schema.fieldIndex("_ztile")
+    val rdd = df.queryExecution.toRdd.mapPartitions(
+      _.map { r =>
+        // toRdd rows are reused buffers — copy before they cross a shuffle
+        (((r.getLong(tileIdx) * n) >> tileBits).toInt, r.copy())
+      })
+    val parted = rdd.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).map(_._2)
+    org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
+      df.sparkSession, parted, schema)
+  }
+
   private def optimizeLocked(spark: SparkSession, path: String,
       schema: StructType, targetFileCount: Int, sortBy: Option[String],
       zorderBy: Seq[String],
@@ -774,11 +796,22 @@ private[sources] object AuditMaintenance {
       val totalBits = zorderBy.length * bits
       val tileBits = math.min(totalBits,
         if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((n - 1).toLong))
-      df = df.withColumn("_zkey", zkey)
-        .withColumn("_ztile",
-          org.apache.spark.sql.functions.shiftrightunsigned(
-            col("_zkey"), totalBits - tileBits))
-        .repartitionByRange(n, col("_ztile"))
+      // Round 21 (guide §1.2 step 1): `repartitionByRange(n, _ztile)` ran
+      // RangePartitioner SAMPLING — a full extra pass over the snapshot
+      // (jsonl parse + z-key evaluation per row) just to learn a tile
+      // distribution the quantile bounds already make KNOWN: tiles are
+      // equi-populated by construction, so partition p(t) = (t·n) >>
+      // tileBits is balanced, monotone, and keeps every file a contiguous
+      // tile block — identical clustering guarantees, one less table
+      // scan (3 passes → 2; warm OPTIMIZE 1.92 → ~1.4 s at sf0.1).
+      // Degenerate skew (quantile bounds collapsing to few distinct cuts)
+      // only unbalances FILE SIZES, never answers or pruning soundness.
+      df = tilePartitioned(
+        df.withColumn("_zkey", zkey)
+          .withColumn("_ztile",
+            org.apache.spark.sql.functions.shiftrightunsigned(
+              col("_zkey"), totalBits - tileBits)),
+        n, tileBits)
         .sortWithinPartitions(col("_zkey"))
         .drop("_zkey", "_ztile")
     }

@@ -18,6 +18,15 @@ object GraftSqlShim {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over an InternalRow RDD (round-21: the
+    * sampling-free z-order exchange re-enters SQL through this —
+    * `internalCreateDataFrame` is private[sql]). */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, false)
+
   /** Canonical v2 Column[] → StructType conversion (keeps generation
     * expression / identity metadata) — `CatalogV2Util` is private[sql]. */
   def v2ColumnsToStructType(
