@@ -232,9 +232,17 @@ object Bench {
         // common-mode drift (the 300+-query raw median is the better
         // estimator than ANY calibrator — a correlated basket swing must
         // not be trusted just because the shapes agree among themselves)
+        // consistency check (ADVICE r20 medium, sign FIXED): adj is a
+        // base/cur ratio while rawMedian is cur/base, so genuine
+        // common-mode drift d gives adj = 1/d and rawMedian = d — their
+        // LOG-SUM is ~0 when the calibrator and the workload agree. The
+        // old `log(adj) - log(rawMedian)` read 2·|log d| under real drift
+        // and tripped "unstable" for any drift over ~12%, refusing the
+        // adjustment exactly when it was valid. A calibrator-only swing
+        // (adj = 2, rawMedian = 1) still reads |log 2| > log 1.25.
         val unstable =
           (shapeRatios.size == 3 && basketSpread > 1.15) ||
-            math.abs(math.log(adj) - math.log(rawMedian)) > math.log(1.25)
+            math.abs(math.log(adj) + math.log(rawMedian)) > math.log(1.25)
         val adjEff = if (unstable) 1.0 else adj
         // movers: RAW regression, >1s, and (when adjustment is trusted)
         // still a regression after dividing out common-mode VM drift

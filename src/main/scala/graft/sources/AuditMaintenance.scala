@@ -2817,10 +2817,10 @@ private[sources] object GraftProcedures {
           catch {
             // ONLY the definitive not-this-kind shapes are skippable
             // (non-audit providers, views): a CORRUPT audit table must
-            // surface as an error, not read as a healthy namespace
-            case e: IllegalArgumentException
-                if String.valueOf(e.getMessage)
-                  .contains("is not an audit table") => false
+            // surface as an error, not read as a healthy namespace.
+            // Typed, not message-matched (ADVICE r20): a reworded message
+            // can never turn routine skips into wildcard failures.
+            case _: NotAnAuditTableException => false
             case _: org.apache.spark.sql.catalyst.analysis
                       .NoSuchTableException => false
           }

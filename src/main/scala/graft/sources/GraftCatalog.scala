@@ -38,6 +38,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 211-215, BigQuery table ids); this is that surface rebuilt on Spark's
   * own catalog plugin API, zero external services.
   */
+/** A named table exists but is not an audit-provider table (view, other
+  * provider). Typed so wildcard maintenance can SKIP it structurally
+  * instead of substring-matching the message (ADVICE r20). */
+final class NotAnAuditTableException(msg: String)
+  extends IllegalArgumentException(msg)
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with GraftStagingSupport with ProcedureCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog {
@@ -926,7 +932,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // provider: it must speak STORAGE column names (the name-mapping
       // layer translates only at the catalog-table boundary)
       case a: AuditTable => (a.dataPath, a.storageNamedSchema, a.partitionColumn)
-      case other => throw new IllegalArgumentException(
+      case other => throw new NotAnAuditTableException(
         s"graft maintenance: $name is not an audit table (${other.name()})")
     }
   }

@@ -330,6 +330,20 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWavBatch(Seq(ok.copy(payload = stereo)))
     }
+    // ADVICE r20 (round 21): an ODD-length unknown chunk carries a RIFF
+    // pad byte; the walk must skip it or every later chunk misaligns.
+    // Splice `junk` (len 3 + 1 pad) between WAVE and the original chunks.
+    val oddChunk = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 3 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("junk".getBytes("US-ASCII")).putInt(3)
+        .put(Array[Byte](1, 2, 3)).put(0.toByte)
+      ok.payload.take(12) ++ bb.array() ++ ok.payload.drop(12)
+    }
+    val (padRate, padSamples) = Multimodal.parseWav(ok.doc_id, oddChunk)
+    val (refRate, refSamples) = Multimodal.parseWav(ok.doc_id, ok.payload)
+    assert(padRate === refRate)
+    assert(padSamples.toSeq === refSamples.toSeq)
   }
 
   test("nearest-neighbor thumbnails sample the decoded raster at exact grid points") {
