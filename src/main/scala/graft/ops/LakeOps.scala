@@ -451,7 +451,14 @@ object LakeOps {
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_orc_lineitem").getAbsolutePath
-    lineitem(spark, d).write.mode("overwrite").orc(dir)
+    // project to the columns the read-back consumes (round 21, guide §2.3
+    // "project before the exchange" applied to the sink: ORC-encoding 12
+    // never-read columns was pure write cost — the sibling jsonRoundtrip
+    // already stages narrow; 1.54 → 0.92 s warm min). Same roundtrip
+    // contract, same aggregate, oracle unchanged.
+    lineitem(spark, d)
+      .select(col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").orc(dir)
     spark.read.orc(dir)
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
