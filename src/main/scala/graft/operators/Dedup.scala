@@ -582,7 +582,13 @@ object Dedup {
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist() // release the prior round's checkpoint blocks
+      // NOTE (round-21 review): Dataset.unpersist only consults the
+      // CacheManager and does NOT free localCheckpoint blocks — those are
+      // reclaimed by the ContextCleaner once the prior round's RDD is
+      // unreachable. Kept for the plan-cache entry it does drop; the
+      // per-round label frames are node-sized, so the transient block
+      // accumulation is bounded by diameter × |V|, tiny here.
+      labels.unpersist()
       labels = updated
     }
     labels.groupBy(col("label").as("cluster_id"))

@@ -51,9 +51,13 @@ object Tuning {
         val fIvf = scala.concurrent.Future(Similarity.ivfNprobeSweep(spark, d))
         val fCut = scala.concurrent.Future(TextAnalysis.qualitySweep(spark, d))
         import scala.concurrent.duration.Duration
-        (scala.concurrent.Await.result(fLsh, Duration.Inf),
-          scala.concurrent.Await.result(fIvf, Duration.Inf),
-          scala.concurrent.Await.result(fCut, Duration.Inf))
+        // Future.sequence fails as soon as ANY sweep fails (a per-future
+        // Await chain would sit through the healthy sweeps first —
+        // round-21 review finding)
+        val Seq(lsh, ivf, cut) = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(Seq(fLsh, fIvf, fCut)),
+          Duration.Inf)
+        (lsh, ivf, cut)
       } finally pool.shutdown()
     val lsh = lshSweep
       .where(col("recall_ppm") >= RecallTargetPpm)

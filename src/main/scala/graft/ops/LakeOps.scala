@@ -443,11 +443,14 @@ object LakeOps {
 
   // --- ORC round trip (columnar sink/source beyond parquet) -----------------
 
-  /** Write the fact table as ORC, read it back, aggregate — proving the
-    * second columnar format end-to-end (schema, nulls, doubles, money
-    * exactness all survive the round trip; the oracle reads the ORIGINAL
-    * parquet). ORC shares parquet's scan virtues in Spark: column
-    * pruning, predicate pushdown, vectorized reader. */
+  /** Write the consumed fact columns as ORC, read them back, aggregate —
+    * proving the second columnar format end-to-end for the types the
+    * rollup exercises (strings, doubles, money exactness; the oracle
+    * reads the ORIGINAL parquet). Since round 21 the staged file carries
+    * only the three consumed columns (guide §2.3 — the full-width write
+    * was pure encode cost); full-schema ORC type fidelity is a spec
+    * concern, not this bench query's. ORC shares parquet's scan virtues
+    * in Spark: column pruning, predicate pushdown, vectorized reader. */
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_orc_lineitem").getAbsolutePath

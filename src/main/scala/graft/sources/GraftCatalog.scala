@@ -38,12 +38,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 211-215, BigQuery table ids); this is that surface rebuilt on Spark's
   * own catalog plugin API, zero external services.
   */
-/** A named table exists but is not an audit-provider table (view, other
-  * provider). Typed so wildcard maintenance can SKIP it structurally
-  * instead of substring-matching the message (ADVICE r20). */
-final class NotAnAuditTableException(msg: String)
-  extends IllegalArgumentException(msg)
-
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with GraftStagingSupport with ProcedureCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog {
@@ -979,6 +973,12 @@ final case class GraftView(viewName: String, sql: String, catalog: String,
   override def columnComments(): Array[String] = comments
   override def properties(): java.util.Map[String, String] = props.asJava
 }
+
+/** A named table exists but is not an audit-provider table (view, other
+  * provider). Typed so wildcard maintenance can SKIP it structurally
+  * instead of substring-matching the message (ADVICE r20). */
+final class NotAnAuditTableException(msg: String)
+  extends IllegalArgumentException(msg)
 
 object GraftCatalog {
   /** Mirror generation/identity specs into engine-namespaced metadata

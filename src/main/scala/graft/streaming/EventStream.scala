@@ -104,22 +104,29 @@ object EventStream {
     * `df` must carry an integer `__batch` column in [0, names.size)
     * selecting each row's staged file; `coalesce(1)` + `partitionBy`
     * routes every batch to exactly one part file, moved to
-    * `inDir/<names(b)>` and stamped `mtimes(b)`. A batch with no rows
-    * writes no partition dir and is skipped — fewer arrival batches,
-    * same semantics (the callers' oracles are arrival-split-invariant).
+    * `inDir/<names(b)>` and stamped `mtimes(b)`. An empty batch is a
+    * LOUD error unless its index is listed in `allowEmpty` — most drives
+    * depend on every staged file arriving (a silently missing
+    * watermark-sentinel batch would leave state unflushed and fail the
+    * oracle with no pointer to the staging step; round-21 review
+    * finding); streamingLateData opts its strata in because a fixture
+    * spanning <7 days legitimately has no old-odd rows.
     * The staged files hold the same row SETS as the per-batch filtered
     * writes they replace; within-file order is whatever the single write
     * task sees, which every drive is insensitive to by design (order-free
     * folds / max-reductions / dedup on unique keys). */
   def landBatches(df: DataFrame, root: java.nio.file.Path,
       inDir: java.nio.file.Path, names: Seq[String],
-      mtimes: Seq[Long]): Unit = {
+      mtimes: Seq[Long], allowEmpty: Set[Int] = Set.empty): Unit = {
     val stage = root.resolve("stage_all")
     df.coalesce(1).write.partitionBy("__batch")
       .mode("overwrite").parquet(stage.toString)
     names.indices.foreach { b =>
       val dir = stage.resolve(s"__batch=$b")
-      if (java.nio.file.Files.isDirectory(dir)) {
+      if (!java.nio.file.Files.isDirectory(dir)) {
+        require(allowEmpty.contains(b),
+          s"landBatches: staged batch $b (${names(b)}) produced no rows")
+      } else {
         val listing = java.nio.file.Files.list(dir)
         val part =
           try listing.filter(p => p.getFileName.toString.startsWith("part-"))
@@ -698,7 +705,8 @@ object EventStream {
             .when(col("ts") >= cutoffNs, 1).otherwise(2))
         .unionByName(sentinel.withColumn("__batch", lit(3))),
       root, inDir, (0 to 3).map(b => s"batch$b.parquet"),
-      (0 to 3).map(b => now - (3 - b) * 30000L))
+      (0 to 3).map(b => now - (3 - b) * 30000L),
+      allowEmpty = Set(0, 1, 2, 3))
 
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
