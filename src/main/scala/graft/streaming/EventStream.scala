@@ -524,11 +524,34 @@ object EventStream {
     * so a width sized for big batch scans (32 here) pays pure state-store
     * overhead on these rollup-sized streams. On a real cluster this is the
     * same dial — size it to state volume, not to scan parallelism. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+  /** Probe-only override of the per-drive stateful width (ProbeStreamWidth
+    * sweeps it within one JVM); < 0 means "use the drive's own `parts`". */
+  private[graft] var streamPartsOverride: Int = -1
+
+  /** Stateful width for drives whose per-batch state is commit-bound, not
+    * compute-bound: every stateful operator opens one state store PER
+    * shuffle partition PER micro-batch and pays a commit (delta file +
+    * fsync) on each — a stream-stream join is FOUR stores per partition —
+    * so a drive whose keyed state is a few MB (user-cardinality rollups,
+    * the view/purchase join state) wants the narrowest width that still
+    * overlaps commit I/O. Round-22 A/B (ProbeStreamWidth, min-of-3 warm,
+    * one JVM): width 2 beat 8 on all six join drives (e.g. q_stream_join_agg
+    * 6.47→4.64 s, q_stream_join 2.47→1.86 s) and on late/rewindow/update;
+    * width 1 serialized batch-0 work and lost on several. Drives with
+    * LARGE per-batch state keep width 8 (measured worse at 2):
+    * q_stream_dedup/_wm hold every event key (~600 k), session_window
+    * merges interval state, tws_timer's RocksDB stores commit heavier per
+    * store. On a real cluster this is the same dial — size stateful width
+    * to state volume, never to scan parallelism. */
+  private val NarrowParts = 2
+
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+      parts: Int = 8): Unit = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // idempotent re-runs
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val width = if (streamPartsOverride > 0) streamPartsOverride else parts
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
@@ -623,7 +646,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Money.moneySum(col("value")).as("sum_value"))
-    try runToMemory(agg, "graft_stream_update", OutputMode.Update)
+    try runToMemory(agg, "graft_stream_update", OutputMode.Update, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_update")
       .groupBy(col("window.start").cast("timestamp_ntz").as("day"),
@@ -706,7 +729,11 @@ object EventStream {
         .unionByName(sentinel.withColumn("__batch", lit(3))),
       root, inDir, (0 to 3).map(b => s"batch$b.parquet"),
       (0 to 3).map(b => now - (3 - b) * 30000L),
-      allowEmpty = Set(0, 1, 2, 3))
+      // only the DATA strata may legitimately be empty (a fixture spanning
+      // <7 days has no old-odd rows); batch 3 is the watermark SENTINEL —
+      // listing it would silently defeat the missing-sentinel guard
+      // landBatches exists for (round-21 advice)
+      allowEmpty = Set(0, 1, 2))
 
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -717,7 +744,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Money.moneySum(col("value")).as("sum_value"))
-    try runToMemory(agg, "graft_stream_late", OutputMode.Append)
+    try runToMemory(agg, "graft_stream_late", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root) // the sink table holds the result; staging is disposable
     spark.table("graft_stream_late")
       .where(col("event_type") =!= "__flush__")
@@ -865,7 +892,7 @@ object EventStream {
         col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         graft.functions.Money.centsToDollars(sum(col("cents"))).as("sum_value"))
-    try runToMemory(daily, "graft_stream_rewindow", OutputMode.Append)
+    try runToMemory(daily, "graft_stream_rewindow", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_rewindow")
       .where(col("event_type") =!= "__flush__")
@@ -934,7 +961,7 @@ object EventStream {
       col("v_user") === col("p_user") &&
         col("p_ts") > col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
-    runToMemory(joined, "graft_stream_join", OutputMode.Append)
+    runToMemory(joined, "graft_stream_join", OutputMode.Append, NarrowParts)
     spark.table("graft_stream_join")
       .groupBy(to_date(col("p_ts")).as("day"))
       .agg(count(lit(1)).as("n_attributed"),
@@ -1030,7 +1057,7 @@ object EventStream {
       col("v_user") === col("p_user") &&
         col("p_ts") > col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("interval 1 hour"))
-    try runToMemory(joined, "graft_stream_join_late", OutputMode.Append)
+    try runToMemory(joined, "graft_stream_join_late", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_join_late")
       .groupBy(to_date(col("p_ts")).as("day"))
@@ -1099,7 +1126,7 @@ object EventStream {
         col("p_ts") > col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
       "left_semi")
-    runToMemory(joined, "graft_stream_semi", OutputMode.Append)
+    runToMemory(joined, "graft_stream_semi", OutputMode.Append, NarrowParts)
     spark.table("graft_stream_semi")
       .groupBy(to_date(col("p_ts")).as("day"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -1185,7 +1212,7 @@ object EventStream {
       .groupBy(window(col("p_ts"), "1 day"))
       .agg(count(lit(1)).as("n_attributed"),
         graft.functions.Money.moneySum(col("value")).as("sum_value"))
-    try runToMemory(agg, "graft_stream_join_agg", OutputMode.Append)
+    try runToMemory(agg, "graft_stream_join_agg", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_join_agg")
       .select(col("window.start").cast("timestamp_ntz").as("day"),
@@ -1609,7 +1636,7 @@ object EventStream {
         col("p_ts") > col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
       "left_outer")
-    try runToMemory(joined, "graft_stream_outer", OutputMode.Append)
+    try runToMemory(joined, "graft_stream_outer", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_outer")
       .where(col("v_user") >= 0)
@@ -1696,7 +1723,7 @@ object EventStream {
         col("p_ts") > col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("interval 1 hour"),
       "full_outer")
-    try runToMemory(joined, "graft_stream_fouter", OutputMode.Append)
+    try runToMemory(joined, "graft_stream_fouter", OutputMode.Append, NarrowParts)
     finally deleteRecursively(root)
     spark.table("graft_stream_fouter")
       .where(coalesce(col("v_user"), lit(0L)) >= 0 &&
