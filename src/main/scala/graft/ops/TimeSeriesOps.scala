@@ -339,13 +339,47 @@ object TimeSeriesOps {
       .select(col("o_custkey"),
         datediff(col("ref_day"), col("last_day")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-    import graft.operators.ScaleTools.globalNtile
-    val s1 = globalNtile(scored,
-      Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score")
-    val s2 = globalNtile(s1,
-      Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score")
-    globalNtile(s2,
-      Seq(col("monetary").desc, col("o_custkey").asc), 5, "m_score")
+    // FUSED three-metric ntile (round 22, guide §2.4 — one exchange where
+    // three ran): the R/F/M orderings differ, but each metric has EXACTLY
+    // one row per customer, so exploding a metric dimension (mid 0/1/2,
+    // sort key normalized to "ascending double") and range-partitioning
+    // ONCE on (mid, skey, custkey) makes the three global sorts contiguous
+    // rank blocks of one pass: per-metric rank = global rank − mid·n.
+    // Descending metrics negate (order-isomorphic for finite doubles);
+    // recency_days/frequency are small integers, exact in double. The
+    // previous form ran globalNtile three times = three range exchanges +
+    // three sampling/stats passes + three checkpoints over the same
+    // customer-grain frame. Tile arithmetic below is globalNtile's own
+    // (first n%5 buckets get ⌈n/5⌉), so assignments are bit-identical.
+    val tagged = scored.select(col("o_custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        explode(array(
+          struct(lit(0L).as("mid"), col("recency_days").cast("double").as("skey")),
+          struct(lit(1L).as("mid"), (-col("frequency")).cast("double").as("skey")),
+          struct(lit(2L).as("mid"), (-col("monetary")).as("skey")))).as("t"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("t.mid").as("mid"), col("t.skey").as("skey"))
+    import graft.operators.ScaleTools.globalRankAndCount
+    val (ranked, n3) = globalRankAndCount(tagged,
+      Seq(col("mid").asc, col("skey").asc, col("o_custkey").asc), "__graft_rank")
+    val n = n3 / 3
+    val small = n / 5
+    val rem = n % 5
+    val big = small + 1
+    val cut = rem * big
+    val r = col("__graft_rank") - col("mid") * lit(n)
+    val bin =
+      if (small == 0) r // n <= 5: each row its own bucket
+      else when(r <= cut, floor((r - 1) / lit(big)) + 1)
+        .otherwise(lit(rem) + floor((r - lit(cut) - 1) / lit(small)) + 1)
+    ranked.withColumn("__bin", bin.cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("recency_days")).as("recency_days"), // 3 equal copies/cust
+        max(col("frequency")).as("frequency"),
+        max(col("monetary")).as("monetary"),
+        max(when(col("mid") === 0, col("__bin"))).as("r_score"),
+        max(when(col("mid") === 1, col("__bin"))).as("f_score"),
+        max(when(col("mid") === 2, col("__bin"))).as("m_score"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("o_custkey")

@@ -40,6 +40,16 @@ object ProbeAudit {
         li.selectExpr("cast(okey as double) okey", "cast(pkey as double) pkey")
           .stat.approxQuantile(Array("okey", "pkey"), probs, 0.005)
       }
+      t("sample(0.05) e=0.005") {
+        li.selectExpr("cast(okey as double) okey", "cast(pkey as double) pkey")
+          .sample(0.05, 42L)
+          .stat.approxQuantile(Array("okey", "pkey"), probs, 0.005)
+      }
+      t("sample(0.02) e=0.01") {
+        li.selectExpr("cast(okey as double) okey", "cast(pkey as double) pkey")
+          .sample(0.02, 42L)
+          .stat.approxQuantile(Array("okey", "pkey"), probs, 0.01)
+      }
     }
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep ---")

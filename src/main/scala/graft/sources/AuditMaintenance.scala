@@ -723,6 +723,37 @@ private[sources] object AuditMaintenance {
       df.sparkSession, parted, schema)
   }
 
+  /** Per-column quantile boundaries for the z-order bucketizer: 2^bits − 1
+    * cut points per dimension, equi-populated by construction. Round 22
+    * (guide §1.2 step 2 — the summaries, not the scan, dominated the
+    * pass): the boundaries only steer FILE SIZES (approximation can never
+    * change a query answer — the curve key still orders every row), so
+    * they are estimated from a 5% Bernoulli sample with a relaxed sketch
+    * error (0.005 vs 0.001), cutting the quantile pass ~3× warm
+    * (ProbeAudit: 0.65 → 0.21 s at sf0.1). The count rides the same
+    * aggregate; a sample under ~20 rows/bucket falls back to the exact
+    * full-frame pass — small tables keep bit-identical bounds (and the
+    * fallback's extra pass is cheap precisely because the table is small).
+    * Fixed seed: bounds are deterministic for a given table state. */
+  private[sources] def zQuantileBounds(df: org.apache.spark.sql.DataFrame,
+      zorderBy: Seq[String], bits: Int): Array[Array[Long]] = {
+    import org.apache.spark.sql.functions.{count => fcount, _}
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
+    val minRows = (1L << bits) * 20
+    val sampled = asDouble.sample(withReplacement = false, 0.05, seed = 42L)
+    val aggs = fcount(lit(1L)).as("__n") +: asDouble.columns.toSeq.map(c =>
+      percentile_approx(col(c), typedlit(probs.toSeq), lit(200)).as(c))
+    val row = sampled.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getLong(0) >= minRows && !row.anyNull)
+      asDouble.columns.indices.map(i =>
+        row.getSeq[Double](i + 1).toArray.map(_.toLong).distinct.sorted)
+        .toArray
+    else
+      asDouble.stat.approxQuantile(asDouble.columns, probs, 0.001)
+        .map(_.map(_.toLong).distinct.sorted)
+  }
+
   private def optimizeLocked(spark: SparkSession, path: String,
       schema: StructType, targetFileCount: Int, sortBy: Option[String],
       zorderBy: Seq[String],
@@ -775,13 +806,10 @@ private[sources] object AuditMaintenance {
     if (zorderBy.nonEmpty) {
       // Pass 1: per-column quantile boundaries (equi-populated buckets —
       // skew-robust, unlike min/max linear scaling). Approximation error
-      // only loosens file bounds; it can never change a query answer.
+      // only loosens file bounds; it can never change a query answer —
+      // estimated from a 5% sample since round 22 ([[zQuantileBounds]]).
       val bits = 10 // 1024 rank buckets per dimension
-      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-      val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
-      val bounds = asDouble.stat
-        .approxQuantile(asDouble.columns, probs, 0.001)
-        .map(_.map(_.toLong).distinct.sorted)
+      val bounds = zQuantileBounds(df, zorderBy, bits)
       val zkey = org.apache.spark.sql.GraftSqlShim.column(graft.plans.ZOrderExpr(
         zorderBy.map(c => org.apache.spark.sql.GraftSqlShim.expression(col(c))),
         bounds.toSeq, bits))
@@ -968,13 +996,10 @@ private[sources] object AuditMaintenance {
       // range-cluster on (partition cols…, z-tile) so every directory
       // splits into files covering tight axis-aligned blocks — the same
       // two-pass design as the unpartitioned zorder, with the partition
-      // columns as the leading range keys so rows stay dir-clustered
+      // columns as the leading range keys so rows stay dir-clustered;
+      // boundaries from a 5% sample since round 22 ([[zQuantileBounds]])
       val bits = 10
-      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-      val asDouble = df.select(zorderBy.map(c => col(c).cast("double")): _*)
-      val bounds = asDouble.stat
-        .approxQuantile(asDouble.columns, probs, 0.001)
-        .map(_.map(_.toLong).distinct.sorted)
+      val bounds = zQuantileBounds(df, zorderBy, bits)
       val zkey = org.apache.spark.sql.GraftSqlShim.column(graft.plans.ZOrderExpr(
         zorderBy.map(c => org.apache.spark.sql.GraftSqlShim.expression(col(c))),
         bounds.toSeq, bits))
